@@ -1,0 +1,34 @@
+"""PySpark-native analytics engine with the capabilities of
+``joshuagrisham/kafka-connect-expand-json-transform`` (a Kafka Connect SMT that
+expands JSON-text fields into typed nested structs with per-record schema
+inference), rebuilt Spark-first.
+
+Reference parity (cited per module as reference file:line):
+  - ``schema_inference``   — KIP-301-style JSON -> schema rules (ExpandJson.java:191-258)
+  - ``operators.expand_json`` — the SMT itself, both modes, key/value (ExpandJson.java:86-129, 277-319)
+
+Engine extensions mandated by the north star (no reference citation possible;
+the reference contains no relational/streaming/LLM operators — SURVEY.md §2.1):
+  - ``operators.relational`` — as-of join, top-k per group, sessionize, dedup helpers
+  - ``streaming``           — watermarked windows, stateful dedup, kafka wiring
+  - ``llmops``              — dedup (exact/minhash/simhash/jaccard/embedding),
+                              similarity search, text analysis, multimodal columns
+"""
+
+from kafka_connect_expand_json_transform_spark.session import get_spark
+from kafka_connect_expand_json_transform_spark.schema_inference import (
+    infer_schema_for_json,
+    infer_schema_from_samples,
+    infer_schema_for_column,
+)
+from kafka_connect_expand_json_transform_spark.operators.expand_json import expand_json
+
+__all__ = [
+    "get_spark",
+    "infer_schema_for_json",
+    "infer_schema_from_samples",
+    "infer_schema_for_column",
+    "expand_json",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,19 @@
+from kafka_connect_expand_json_transform_spark.sources.batch import (
+    TESTDATA_TABLES,
+    load_table,
+    load_tables,
+    register_testdata,
+)
+from kafka_connect_expand_json_transform_spark.sources.kafka import (
+    read_kafka_stream,
+    write_kafka_stream,
+)
+
+__all__ = [
+    "TESTDATA_TABLES",
+    "load_table",
+    "load_tables",
+    "register_testdata",
+    "read_kafka_stream",
+    "write_kafka_stream",
+]

@@ -1,0 +1,84 @@
+"""Batch sources/sinks — [EXT] per SURVEY.md §2.2 (the reference's host
+runtime, Kafka Connect, owns all I/O; this engine owns it directly).
+
+Handles one real-world wart: the driver's ``events.parquet`` stores ``ts`` as
+parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects.  We read
+nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+microseconds — exactly what DuckDB does when it reads the same file, so the
+correctness oracle sees identical values.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# columns stored as TIMESTAMP(NANOS) in the driver's parquet, read as long
+_NANO_TS_COLUMNS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table, normalizing nano-timestamps to timestamps."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLUMNS.get(name, []):
+        field = df.schema[col]
+        if field.dataType.simpleString() == "bigint":
+            # integer ns -> µs truncation, matching DuckDB's read of the file
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"CAST({col} DIV 1000 AS LONG)")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {
+        name: load_table(spark, sf_dir, name)
+        for name in TESTDATA_TABLES
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet"))
+    }
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every driver table as a temp view (the engine's SQL entry
+    point needs named relations; SURVEY.md §2.2 'SQL entry point')."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    table_name: str | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` gives partition pruning on read;
+    ``bucket_by`` (requires ``table_name``, saveAsTable) gives shuffle-free
+    co-located joins on the bucket keys — the 100 TB answer to repeated joins
+    on the same key."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        if not table_name:
+            raise ValueError("bucketBy requires saveAsTable(table_name)")
+        writer.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(table_name)
+        return
+    writer.parquet(path)

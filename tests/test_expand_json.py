@@ -1,0 +1,206 @@
+"""Port of all 10 reference unit tests (ExpandJsonTest.java, SURVEY.md §5)
+plus engine-specific mode/error coverage.
+
+Mapping: ConnectRecord key/value -> DataFrame columns ``key``/``value``;
+``ExpandJson$Key`` / ``$Value`` -> ``source_column=``/``fields=`` against the
+chosen column; `DataException` -> ValueError (plan time) / FAILFAST raise
+(parse time)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.errors import PySparkException
+
+from kafka_connect_expand_json_transform_spark import expand_json
+
+SIMPLE_JSON = '{"stringValue": "String value", "numberValue": 42, "booleanValue": true}'
+NESTED_JSON = (
+    '{"numberValue": 42, "level1": {"level2": {"level3Number": 24, "level3String": "foo"}}}'
+)
+
+SIMPLE_STRUCT = StructType(
+    [
+        StructField("stringValue", StringType(), True),
+        StructField("numberValue", IntegerType(), True),
+        StructField("booleanValue", BooleanType(), True),
+    ]
+)
+
+
+def kv_df(spark, key, value):
+    return spark.createDataFrame([Row(key=key, value=value)])
+
+
+# --- wholeRecordKeySchemaless / wholeRecordValueSchemaless
+#     (ExpandJsonTest.java:79-103)
+
+
+def test_whole_record_value_schemaless(spark):
+    df = kv_df(spark, "other side", SIMPLE_JSON)
+    out = expand_json(df, source_column="value")
+    assert out.schema["value"].dataType == SIMPLE_STRUCT
+    row = out.collect()[0]
+    assert row.value.asDict() == {
+        "stringValue": "String value",
+        "numberValue": 42,
+        "booleanValue": True,
+    }
+    assert row.key == "other side"  # untouched side passes through
+
+
+def test_whole_record_key_schemaless(spark):
+    df = kv_df(spark, SIMPLE_JSON, "other side")
+    out = expand_json(df, source_column="key")
+    assert out.schema["key"].dataType == SIMPLE_STRUCT
+    row = out.collect()[0]
+    assert row.key.numberValue == 42
+    assert row.value == "other side"
+
+
+# --- primitiveStringKeySchemaless / ...Value... (ExpandJsonTest.java:105-129)
+
+
+def test_primitive_string_value_schemaless(spark):
+    df = kv_df(spark, "k", '"value"')
+    out = expand_json(df, source_column="value")
+    assert out.schema["value"].dataType == StringType()
+    assert out.collect()[0].value == "value"  # unquoted
+
+
+def test_primitive_string_key_schemaless(spark):
+    df = kv_df(spark, '"key"', "v")
+    out = expand_json(df, source_column="key")
+    assert out.collect()[0].key == "key"
+
+
+# --- primitiveIntKeySchemaless / ...Value... (ExpandJsonTest.java:131-155)
+
+
+def test_primitive_int_value_schemaless(spark):
+    df = kv_df(spark, "k", "24")
+    out = expand_json(df, source_column="value")
+    assert out.schema["value"].dataType == IntegerType()  # int32 rule
+    assert out.collect()[0].value == 24
+
+
+def test_primitive_int_key_schemaless(spark):
+    df = kv_df(spark, "42", "v")
+    out = expand_json(df, source_column="key")
+    assert out.schema["key"].dataType == IntegerType()
+    assert out.collect()[0].key == 42
+
+
+# --- wholeRecordKeySchemalessFailsFieldsConfig (ExpandJsonTest.java:157-163)
+
+
+def test_fields_plus_source_column_rejected(spark):
+    df = kv_df(spark, "k", SIMPLE_JSON)
+    with pytest.raises(ValueError):
+        expand_json(df, fields=["value"], source_column="key")
+
+
+# --- keySchemaField / valueSchemaField (ExpandJsonTest.java:165-190)
+
+
+def test_value_schema_field(spark):
+    df = spark.createDataFrame(
+        [Row(jsonValue=SIMPLE_JSON, numberValue=42, booleanValue=True)]
+    )
+    out = expand_json(df, fields=["jsonValue"])
+    assert out.schema["jsonValue"].dataType == SIMPLE_STRUCT
+    row = out.collect()[0]
+    assert row.jsonValue.stringValue == "String value"
+    # sibling fields byte-identical pass-through (ExpandJsonTest.java:86-89)
+    assert row.numberValue == 42 and row.booleanValue is True
+
+
+def test_key_schema_field(spark):
+    # key side is just another named column in Spark's model
+    df = spark.createDataFrame([Row(key=SIMPLE_JSON, value="untouched")])
+    out = expand_json(df, fields=["key"])
+    assert out.schema["key"].dataType == SIMPLE_STRUCT
+    assert out.collect()[0].value == "untouched"
+
+
+# --- testSchemaNamePrefix (ExpandJsonTest.java:192-200, fleshed out)
+
+
+def test_schema_name_prefix(spark):
+    df = kv_df(spark, "k", NESTED_JSON)
+    out = expand_json(df, source_column="value", schema_name_prefix="my.prefix.MyConnectRecord")
+    level1 = out.schema["value"].dataType["level1"]
+    assert level1.metadata["connect.name"] == "my.prefix.MyConnectRecord2"
+    assert level1.dataType["level2"].metadata["connect.name"] == "my.prefix.MyConnectRecord"
+
+
+# --- engine-specific coverage
+
+
+def test_nested_paths_rejected(spark):
+    df = kv_df(spark, "k", SIMPLE_JSON)
+    with pytest.raises(ValueError):
+        expand_json(df, fields=["value.inner"])  # readme.md:25 limitation
+
+
+def test_missing_field_rejected(spark):
+    df = kv_df(spark, "k", SIMPLE_JSON)
+    with pytest.raises(ValueError):
+        expand_json(df, fields=["nope"])
+
+
+def test_permissive_null_on_malformed(spark):
+    df = spark.createDataFrame([Row(value='{"a": 1}'), Row(value="not json {")])
+    out = expand_json(df, source_column="value", mode="PERMISSIVE")
+    vals = sorted([r.value for r in out.collect()], key=lambda v: v.a is None)
+    assert vals[0].a == 1
+    # Spark PERMISSIVE semantics: malformed -> struct of nulls (not a null
+    # struct); the reference would have thrown (ExpandJson.java:169-171)
+    assert vals[1].a is None
+
+
+def test_failfast_raises_on_malformed(spark):
+    from pyspark.sql.types import StructType as ST
+
+    df = spark.createDataFrame([Row(value="not json {")])
+    sch = ST().add("a", IntegerType(), True)
+    out = expand_json(df, source_column="value", infer="static", schema=sch, mode="FAILFAST")
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        out.collect()
+
+
+def test_static_schema_per_field(spark):
+    df = spark.createDataFrame([Row(a='{"x": 1}', b='{"y": "z"}')])
+    out = expand_json(
+        df,
+        fields=["a", "b"],
+        infer="static",
+        schema={
+            "a": StructType().add("x", IntegerType(), True),
+            "b": StructType().add("y", StringType(), True),
+        },
+    )
+    row = out.collect()[0]
+    assert row.a.x == 1 and row.b.y == "z"
+
+
+def test_variant_mode(spark):
+    df = spark.createDataFrame([Row(value='{"a": 1}'), Row(value='{"a": "mixed"}')])
+    out = expand_json(df, source_column="value", infer="variant")
+    got = {r["v"] for r in out.select(F.to_json(F.col("value")).alias("v")).collect()}
+    assert got == {'{"a":1}', '{"a":"mixed"}'}
+
+
+def test_sample_strategy_on_testdata(spark, sf_dir):
+    from kafka_connect_expand_json_transform_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = expand_json(events, fields=["props"])
+    assert out.schema["props"].dataType["k"].dataType == IntegerType()
+    assert out.where(F.col("props.k").isNotNull()).count() > 0
