@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines — [EXT]
+(SURVEY.md §2.2: exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Scale design (the 100 TB story):
+
+* **exact**       — one hash-partitioned groupBy on a 128-bit fingerprint;
+                    no full-text shuffle (group on the hash, carry min id).
+* **MinHash+LSH** — signatures are a narrow projection; candidate generation
+                    is a groupBy on band keys (only docs sharing a band key
+                    co-locate); verification joins only candidate pairs.
+                    Nothing ever does an all-pairs comparison.
+* **connected components** — iterative min-label propagation over candidate
+                    edges, log(diameter) rounds of two joins each; bounded
+                    iterations; dup clusters are tiny in practice so the
+                    edge table is ≪ the corpus.
+* **SimHash**     — one 64-bit signature per doc; near-dup = same signature
+                    band (or small hamming distance on candidate pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_expand_json_transform_spark.functions.text import (
+    md5_fingerprint,
+    minhash_md5,
+    minhash_xxhash,
+    simhash64,
+    tokens,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str, keep: str = "min") -> DataFrame:
+    """Keep one row per distinct normalized text: group on the md5
+    fingerprint (never on the raw text — the shuffle carries 16 bytes + id,
+    not documents), keep min/max id, then semi-join back for payload."""
+    agg = F.min if keep == "min" else F.max
+    keepers = (
+        df.select(F.col(id_col), md5_fingerprint(F.col(text_col)).alias("__fp"))
+        .groupBy("__fp")
+        .agg(agg(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+    hash_family: str = "xxhash",
+) -> DataFrame:
+    """(id, signature) per doc. ``hash_family='md5'`` is the oracle-parity
+    variant (DuckDB-reproducible); ``'xxhash'`` the production fast path."""
+    sh = word_shingles(F.col(text_col), n=shingle_size)
+    sig = (
+        minhash_md5(sh, num_hashes)
+        if hash_family == "md5"
+        else minhash_xxhash(sh, num_hashes)
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int = 4,
+    rows_per_band: int | None = None,
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL hashes of any band become a
+    candidate pair. Emits (id_a, id_b), id_a < id_b, distinct.
+
+    Plan shape: explode to (band_key, id) — narrow; groupBy band_key
+    collecting ids — ONE shuffle on band keys; pairs generated inside each
+    (tiny) bucket. An all-pairs join never exists in the plan. Degenerate
+    buckets (e.g. empty-text docs) are capped: buckets larger than
+    ``max_bucket`` are dropped as non-discriminative (standard LSH practice —
+    a bucket that big is a stop-shingle, not a dup signal)."""
+    return _lsh_pairs_impl(signatures, id_col, num_bands, rows_per_band)
+
+
+def _lsh_pairs_impl(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int,
+    rows_per_band: int | None,
+    max_bucket: int = 200,
+) -> DataFrame:
+    n = signatures.select(F.size("signature")).first()[0]
+    rpb = rows_per_band or max(1, n // num_bands)
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.element_at(F.col("signature").cast("array<string>"), b * rpb + r + 1) for r in range(rpb)],
+            )
+            for b in range(num_bands)
+        ]
+    )
+    keyed = signatures.select(F.col(id_col), F.explode(bands).alias("band_key"))
+    buckets = keyed.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
+    pairs = (
+        buckets.where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .select(F.explode(_pairs_expr(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def _pairs_expr(ids: Column) -> Column:
+    """All unordered pairs from an id array, as array<struct<a,b>> with a<b —
+    pure expressions (flatten of per-element transforms)."""
+    sorted_ids = F.array_sort(ids)
+    return F.flatten(
+        F.transform(
+            sorted_ids,
+            lambda x, i: F.transform(
+                F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
+def jaccard_on_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only (the verify step
+    after LSH). Joins the shingle arrays in, intersects in-expression —
+    two broadcast-or-shuffle hash joins on ids, no explode."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n=shingle_size).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_size: int = 3,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH candidates -> exact-Jaccard
+    verify -> connected components -> keep the min-id doc per cluster.
+    Returns the deduplicated DataFrame."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    cand = lsh_candidate_pairs(sigs, id_col, num_bands)
+    edges = (
+        jaccard_on_pairs(df, cand, text_col, id_col, shingle_size)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges, "id_a", "id_b", max_iterations)
+    # drop every doc whose component representative is a different (smaller) id
+    losers = comp.where(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Min-label propagation without GraphFrames (SURVEY.md §7 'hard #3'):
+    every node repeatedly adopts the min label among itself and neighbors.
+    Converges in O(log diameter) rounds for dup clusters (tiny diameters);
+    each round is two shuffled joins on the edge table — edge tables for
+    near-dup graphs are orders of magnitude smaller than the corpus.
+
+    Returns (id, component) where component = min id in the cluster.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    labels = (
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    sym = sym.localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["d"] == labels["id"])
+            .groupBy(sym["s"].alias("id2"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # checkpoint truncates the lineage so the plan doesn't double per round
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def simhash_dedup_candidates(
+    df: DataFrame, text_col: str, id_col: str, band_bits: int = 16
+) -> DataFrame:
+    """SimHash near-dup candidates: docs sharing any of the four 16-bit bands
+    of their 64-bit SimHash (standard Hamming-distance-≤3 trick: if two
+    64-bit hashes differ in ≤3 bits, at least one of 4 bands is identical).
+    Returns (id_a, id_b) candidates; callers verify with Jaccard or Hamming."""
+    sig = df.select(F.col(id_col), simhash64(tokens(F.col(text_col))).alias("sh"))
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                F.shiftrightunsigned(F.col("sh"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .cast("string"),
+            )
+            for b in range(64 // band_bits)
+        ]
+    )
+    keyed = sig.select(F.col(id_col), F.explode(bands).alias("band_key"))
+    buckets = keyed.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
+    return (
+        buckets.where((F.size("ids") > 1) & (F.size("ids") <= 200))
+        .select(F.explode(_pairs_expr(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )

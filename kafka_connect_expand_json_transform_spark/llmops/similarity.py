@@ -1,0 +1,229 @@
+"""Similarity search over embedding columns — [EXT] (SURVEY.md §2.2).
+
+Three tiers, trading recall for scale:
+
+* **brute_force_topk** — exact cosine against every row. The baseline and
+  the verifier for the approximate paths. Plan: broadcast the (small) query
+  set, one narrow pass over the corpus, per-query top-k via window with
+  WindowGroupLimit pushdown. Scales linearly; at 100 TB use it only behind a
+  pre-filter or as the rerank stage.
+* **lsh_topk** — random-hyperplane LSH: b sign-bits per vector form a bucket
+  key; only same-bucket pairs are scored. One shuffle on bucket keys; probes
+  multiple tables to recover recall. The built-in-only ANN (SURVEY.md §2.2
+  notes Spark ML's LSH is the only native ANN; this is the same math without
+  the MLlib Vector conversion overhead).
+* **ivf_topk** — inverted-file ANN: k centroids (sampled deterministically,
+  refined with Lloyd iterations in pandas), each corpus vector assigned to
+  its nearest centroid at index time; queries probe ``nprobe`` nearest cells.
+  Centroid assignment is a vectorized Arrow pandas UDF (numpy matmul) — the
+  documented "Python when it pays" path; cell search is a co-partitioned
+  join on cell ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from kafka_connect_expand_json_transform_spark.functions.vectors import (
+    as_double,
+    cosine,
+)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query. Queries are broadcast — the
+    cross join never shuffles the corpus."""
+    q = queries.select(F.col(query_id_col), as_double(query_vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("__cv"))
+    scored = c.join(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim)
+
+
+def lsh_bucket_expr(vec_col, planes: np.ndarray):
+    """Sign-bit bucket key for one LSH table, as a pure Column expression:
+    bit_i = 1 if dot(vec, plane_i) > 0. Stays in codegen."""
+    v = as_double(vec_col)
+    bits = []
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d > 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
+    return F.concat_ws("", *bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    bits: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing an LSH bucket in any of
+    ``num_tables`` hyperplane tables. Recall grows with num_tables; measure
+    against brute_force_topk (tests do)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("__cv"))
+    q = queries.select(F.col(query_id_col), as_double(query_vec_col).alias("__qv"))
+    per_table = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, bits, seed + t)
+        ck = c.withColumn("__bucket", F.concat(F.lit(f"{t}|"), lsh_bucket_expr(F.col("__cv"), planes)))
+        qk = q.withColumn("__bucket", F.concat(F.lit(f"{t}|"), lsh_bucket_expr(F.col("__qv"), planes)))
+        per_table.append(qk.join(ck, "__bucket").select(query_id_col, id_col, "__qv", "__cv"))
+    cand = per_table[0]
+    for p in per_table[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.dropDuplicates([query_id_col, id_col])
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    lloyd_iterations: int = 3,
+    sample_size: int = 10_000,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF index: centroids from a driver-side k-means over a bounded sample
+    (deterministic seed), then one distributed pass assigning every vector to
+    its nearest centroid via an Arrow-batched pandas UDF (numpy matmul —
+    ~100x a row-at-a-time UDF).
+
+    Returns (assigned corpus with ``cell`` column, centroids array). The
+    assigned frame is what you'd write out partitioned by ``cell`` at scale.
+    """
+    sample = np.array(
+        [r[0] for r in corpus.select(as_double(vec_col)).limit(sample_size).collect()]
+    )
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(num_cells, len(sample)), replace=False)]
+    for _ in range(lloyd_iterations):
+        # normalized-cosine assignment
+        cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        assign = np.argmax(sn @ cn.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ cn.T, axis=1))
+
+    assigned = corpus.withColumn("cell", nearest_cell(as_double(vec_col)))
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned_corpus: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest cells per query, exact-rerank inside.
+    The per-cell join hits only ~nprobe/num_cells of the corpus."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ cn.T), axis=1)[:, :nprobe]
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col(query_id_col),
+        as_double(query_vec_col).alias("__qv"),
+    ).withColumn("cell", F.explode(probe_cells(F.col("__qv"))))
+    c = assigned_corpus.select(F.col(id_col), as_double(vec_col).alias("__cv"), "cell")
+    scored = q.join(c, "cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cosine_pairs_above(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (embedding near-dup detection).
+    Quadratic — correct-by-construction oracle twin for the LSH variant; at
+    scale use lsh/ivf candidates + this as the rerank on candidates only."""
+    a = corpus.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

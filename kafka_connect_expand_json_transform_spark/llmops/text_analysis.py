@@ -1,0 +1,85 @@
+"""Text analysis operators for training-data pipelines — [EXT]
+(SURVEY.md §2.2: language-ID, quality scoring, token counting, document
+fingerprinting). All pure Column expressions over the ``documents`` table
+shape (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_expand_json_transform_spark.functions.text import (
+    alpha_ratio,
+    bpe_ish_token_count,
+    md5_fingerprint,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens,
+    unique_token_ratio,
+)
+
+# Tiny per-language marker-word profiles for the n-gram/stopword heuristic
+# language-ID. Deliberately small + inline so the DuckDB oracle can embed the
+# identical lists; swap for real profiles (fastText-style) in production.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def profile_text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics — the filter columns a curation pipeline
+    thresholds on."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
+        F.round(unique_token_ratio(text_col), 4).alias("uniq_ratio"),
+        F.round(stopword_ratio(text_col), 4).alias("stopword_ratio"),
+        F.round(alpha_ratio(text_col), 4).alias("alpha_ratio"),
+        quality_score(text_col).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language-ID: count marker-word hits per language profile,
+    argmax with deterministic tie-break on language code. One narrow pass."""
+    toks = tokens(F.col(text_col))
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(*words))).alias("score"),
+            # negative-ordering trick folded into struct comparison: compare
+            # by score first; ties broken by lexicographically SMALLEST code,
+            # so invert the code ordering via a sort on (-score, code)
+            F.lit(code).alias("code"),
+        )
+        for code, words in sorted(LANG_PROFILES.items())
+    ]
+    # array_sort on struct sorts ascending by (score, code); the winner is the
+    # max score with min code on ties -> sort by score asc then take from the
+    # end among equal scores the first code: easiest deterministic pick is
+    # reduce with an explicit comparator
+    best = F.aggregate(
+        F.array(*scores),
+        F.struct(F.lit(-1).alias("score"), F.lit("zz").alias("code")),
+        lambda acc, s: F.when(
+            (s["score"] > acc["score"])
+            | ((s["score"] == acc["score"]) & (s["code"] < acc["code"])),
+            s,
+        ).otherwise(acc),
+    )
+    return df.withColumn(out_col, best["code"]).withColumn(
+        out_col + "_score", best["score"]
+    )
+
+
+def fingerprint_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, md5 fingerprint of normalized text) — the exact-dedup key and
+    lineage id for a curation pipeline."""
+    return df.select(F.col(id_col), md5_fingerprint(F.col(text_col)).alias("fingerprint"))

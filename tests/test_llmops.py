@@ -1,0 +1,180 @@
+"""LLM-data-pipeline operator tests over the driver's documents/embeddings
+tables (SURVEY.md §2.2 [EXT] operators)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_connect_expand_json_transform_spark.functions import text as T
+from kafka_connect_expand_json_transform_spark.functions import vectors as V
+from kafka_connect_expand_json_transform_spark.llmops import dedup, similarity, text_analysis
+from kafka_connect_expand_json_transform_spark.llmops import multimodal
+from kafka_connect_expand_json_transform_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([Row(t="The quick  brown fox jumps")])
+    row = df.select(
+        T.tokens("t").alias("toks"),
+        T.word_shingles("t", 3).alias("sh"),
+        T.token_count("t").alias("n"),
+    ).first()
+    assert row.toks == ["the", "quick", "brown", "fox", "jumps"]
+    assert row.n == 5
+    assert "the quick brown" in row.sh and len(row.sh) == 3
+
+
+def test_short_text_shingle(spark):
+    df = spark.createDataFrame([Row(t="one two")])
+    assert df.select(T.word_shingles("t", 3).alias("s")).first().s == ["one two"]
+
+
+def test_quality_metrics(spark):
+    df = spark.createDataFrame([Row(t="the cat sat on the mat !!!")])
+    row = df.select(
+        F.round(T.stopword_ratio("t"), 3).alias("sw"),
+        F.round(T.unique_token_ratio("t"), 3).alias("uq"),
+        T.bpe_ish_token_count("t").alias("bpe"),
+    ).first()
+    assert row.sw == pytest.approx(2 / 7, abs=0.001)
+    assert row.uq == pytest.approx(6 / 7, abs=0.001)
+    assert row.bpe == 9  # 6 words + 3 '!'
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [Row(i=1, t="Hello  World"), Row(i=2, t="hello world"), Row(i=3, t="different")]
+    )
+    out = dedup.exact_dedup(df, "t", "i")
+    assert sorted(r.i for r in out.collect()) == [1, 3]  # normalization folds 1&2
+
+
+def test_minhash_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [Row(i=1, t="a b c d e f g h"), Row(i=2, t="a b c d e f g h"), Row(i=3, t="x y z w v u t s")]
+    )
+    sigs = dedup.minhash_signatures(df, "t", "i", num_hashes=8)
+    rows = {r.i: r.signature for r in sigs.collect()}
+    assert rows[1] == rows[2] != rows[3]
+    pairs = dedup.lsh_candidate_pairs(sigs, "i", num_bands=4).collect()
+    assert (1, 2) in [(p.id_a, p.id_b) for p in pairs]
+
+
+def test_minhash_dedup_pipeline(spark, docs):
+    small = docs.limit(200)
+    dup = small.withColumn("doc_id", F.col("doc_id") + 1_000_000)  # exact copies
+    both = small.unionByName(dup)
+    out = dedup.minhash_dedup(both, "text", "doc_id", threshold=0.9, num_hashes=8, num_bands=4)
+    # every injected exact copy collapses onto its lower-id original...
+    assert out.where(F.col("doc_id") >= 1_000_000).count() == 0
+    # ...and the result matches deduping the originals alone (the corpus has
+    # its own planted near-dups, so this is < small.count())
+    base = dedup.minhash_dedup(small, "text", "doc_id", threshold=0.9, num_hashes=8, num_bands=4)
+    assert out.count() == base.count() <= small.count()
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)]
+    )
+    comp = {r.id: r.component for r in dedup.connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_simhash_candidates(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=1, t="the quick brown fox jumps over the lazy dog today"),
+            Row(i=2, t="the quick brown fox jumps over the lazy dog tonight"),
+            Row(i=3, t="completely unrelated text about spark query engines"),
+        ]
+    )
+    cand = [(r.id_a, r.id_b) for r in dedup.simhash_dedup_candidates(df, "t", "i").collect()]
+    assert (1, 2) in cand
+
+
+def test_cosine_exprs(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 0.0], b=[0.0, 1.0]), Row(a=[1.0, 1.0], b=[1.0, 1.0])])
+    got = df.select(F.round(V.cosine(F.col("a"), F.col("b")), 4).alias("c")).collect()
+    assert [r.c for r in got] == [0.0, 1.0]
+
+
+def test_brute_force_topk(spark, emb):
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 10  # 2 queries x 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != q for r in rs)  # self excluded
+
+
+def test_lsh_recall_vs_brute_force(spark, emb):
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_topk(emb, queries, k=5, bits=4, num_tables=16)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"LSH recall {recall} collapsed"
+
+
+def test_ivf_topk(spark, emb):
+    assigned, centroids = similarity.build_ivf_index(emb, num_cells=8)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=3)
+    approx = similarity.ivf_topk(assigned, centroids, queries, k=3, nprobe=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5
+
+
+def test_language_id_and_quality(spark, docs):
+    out = text_analysis.language_id(text_analysis.profile_text_quality(docs))
+    row = out.first()
+    assert 0.0 <= row.quality <= 1.0
+    assert row.lang_pred in text_analysis.LANG_PROFILES
+    assert out.count() == docs.count()
+
+
+def test_multimodal_plumbing(spark, docs):
+    with_payload = multimodal.attach_binary_payload(docs.limit(20), "text")
+    assert dict(with_payload.dtypes)["payload"] == "binary"
+    feats = multimodal.extract_image_features(with_payload)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(0 <= r.img_width < 4096 for r in rows)
+    # deterministic fake: same payload -> same features
+    again = multimodal.extract_image_features(with_payload).collect()
+    assert {(r.doc_id, r.img_width) for r in rows} == {(r.doc_id, r.img_width) for r in again}
+    frames = multimodal.sample_frames(with_payload)
+    assert frames.count() >= 20  # >=1 frame per doc
+    assert dict(frames.dtypes)["frame_payload"] == "binary"
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    with_payload = multimodal.attach_binary_payload(docs.limit(1), "text")
+    feats = multimodal.extract_image_features(with_payload, fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        feats.collect()
