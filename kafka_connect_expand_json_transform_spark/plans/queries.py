@@ -1,0 +1,1118 @@
+"""Declared query inventory — the engine's operator surface as runnable
+queries (SURVEY.md §2.2), each with a DuckDB oracle where ANSI-SQL can
+express it.
+
+Cross-engine float discipline (the driver hash-compares values):
+* Source money/rate columns are 2-decimal by generation (FIXTURES.md §B), so
+  ``CAST(col AS DECIMAL(p,2))`` is EXACT and identical in Spark and DuckDB;
+  all additive aggregation happens in decimal (order-independent), and only
+  final results are cast to double.
+* Averages are ``CAST(sum AS DOUBLE) / CAST(count AS DOUBLE)`` — identical
+  IEEE division of identical inputs.
+* Cosines are rounded to 4 decimals before any ordering; rank ties break on
+  ids. Raw float sums across rows are never compared.
+* Hash-dependent operators (fingerprints, MinHash) use md5 — bit-identical
+  in both engines — so even MinHash candidate generation has a SQL oracle.
+
+Every Spark query aliases its output columns to exactly the oracle's names.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_connect_expand_json_transform_spark.operators.expand_json import expand_json
+from kafka_connect_expand_json_transform_spark.operators.relational import (
+    asof_join,
+    top_k_per_group,
+)
+from kafka_connect_expand_json_transform_spark.functions import text as TXT
+from kafka_connect_expand_json_transform_spark.functions import vectors as VEC
+from kafka_connect_expand_json_transform_spark.llmops import dedup, similarity, text_analysis
+from kafka_connect_expand_json_transform_spark.llmops.multimodal import attach_binary_payload
+from kafka_connect_expand_json_transform_spark.sources.batch import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+def money(col: str) -> F.Column:
+    # exact: source is 2-decimal by generation
+    return F.col(col).cast("decimal(12,2)")
+
+
+def rate(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(4,2)")
+
+
+def dbl(c) -> F.Column:
+    return c.cast("double")
+
+
+# l_extendedprice * (1 - l_discount), exact decimal
+def _disc_price() -> F.Column:
+    return money("l_extendedprice") * (F.lit(1) - rate("l_discount")).cast("decimal(4,2)")
+
+
+_SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+)
+_SQL_CHARGE = (
+    f"({_SQL_DISC_PRICE}) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+)
+
+# ---------------------------------------------------------------------------
+# [REF] core: expand_json over events.props (ExpandJson.java:86-129)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "expand_props_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def expand_props_agg(spark, sf_dir):
+    """Field-mode expansion (ExpandJson.java:106-129) -> relational agg."""
+    ev = expand_json(load_table(spark, sf_dir, "events"), fields=["props"])
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("props.k").alias("sum_k"),
+        (dbl(F.sum("props.k")) / dbl(F.count("*"))).alias("avg_k"),
+    )
+
+
+@query(
+    "expand_whole_value",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def expand_whole_value(spark, sf_dir):
+    """Whole-value (schemaless) mode (ExpandJson.java:94-104)."""
+    ev = expand_json(load_table(spark, sf_dir, "events"), source_column="props")
+    return ev.select("event_id", F.col("props.k").alias("k"))
+
+
+@query(
+    "expand_variant",
+    """
+    SELECT event_type, COUNT(*) AS n_high FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    GROUP BY event_type
+    """,
+)
+def expand_variant(spark, sf_dir):
+    """Variant strategy (SURVEY.md §1.5) — per-record dynamic typing."""
+    ev = expand_json(load_table(spark, sf_dir, "events"), source_column="props", infer="variant")
+    k = F.try_variant_get(F.col("props"), "$.k", "int")
+    return ev.where(k >= 50).groupBy("event_type").agg(F.count("*").alias("n_high"))
+
+
+@query(
+    "json_scalar_funcs",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    GROUP BY event_type
+    """,
+)
+def json_scalar_funcs(spark, sf_dir):
+    """get_json_object scalar path (no expansion) — SURVEY.md §2.2 scalar json."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.where(k > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(k).alias("sum_k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] relational: TPC-H-shaped analytics (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    charge = _disc_price() * (F.lit(1) + rate("l_tax")).cast("decimal(4,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dbl(F.sum(money("l_quantity"))).alias("sum_qty"),
+        dbl(F.sum(money("l_extendedprice"))).alias("sum_base_price"),
+        dbl(F.sum(_disc_price())).alias("sum_disc_price"),
+        dbl(F.sum(charge)).alias("sum_charge"),
+        (dbl(F.sum(money("l_quantity"))) / dbl(F.count("*"))).alias("avg_qty"),
+        dbl(F.sum(rate("l_discount"))).alias("sum_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer side is small after the segment filter -> broadcast
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dbl(F.sum(_disc_price())).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    # dimension chain nation⋈region is tiny: broadcast everywhere
+    nr = F.broadcast(
+        t["nation"].join(t["region"], t["nation"].n_regionkey == t["region"].r_regionkey).where(
+            F.col("r_name") == "ASIA"
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nr, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dbl(F.sum(_disc_price())).alias("revenue"))
+    )
+
+
+@query(
+    "join_left_count",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_count(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dbl(F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast("decimal(12,2)"))).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers_without_orders FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def join_anti(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           CAST(c.k IS NOT NULL AS INTEGER) AS has_customers,
+           CAST(s.k IS NOT NULL AS INTEGER) AS has_suppliers
+    FROM (SELECT DISTINCT c_nationkey AS k FROM customer) c
+    FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS k FROM supplier) s ON c.k = s.k
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("ck")).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("sk")).distinct()
+    return c.join(s, c.ck == s.sk, "full").select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.col("ck").isNotNull().cast("int").alias("has_customers"),
+        F.col("sk").isNotNull().cast("int").alias("has_suppliers"),
+    )
+
+
+@query(
+    "join_cross",
+    """
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN r_regionkey = n_regionkey THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("r_regionkey") == F.col("n_regionkey"), 1).otherwise(0)).alias(
+            "n_matched"
+        ),
+    )
+
+
+@query(
+    "window_rank",
+    """
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) WHERE rn <= 5
+    """,
+)
+def window_rank(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "window_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+                CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def window_lag(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+    )
+
+
+@query(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        dbl(F.sum(money("o_totalprice")).over(w)).alias("running_spend"),
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def topk_per_group_q(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+
+
+@query(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dbl(F.sum(money("l_quantity"))).alias("sum_qty")
+    )
+
+
+@query(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets(spark, sf_dir):
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    """
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey FROM supplier
+    """,
+)
+def set_except(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s.distinct()).distinct()
+
+
+@query(
+    "set_union",
+    """
+    SELECT COUNT(*) AS n FROM (
+      SELECT DISTINCT c_nationkey AS k FROM customer
+      UNION
+      SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+)
+def set_union(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().agg(F.count("*").alias("n"))
+
+
+@query(
+    "distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("approx_distinct")  # approx algorithms differ per engine: rows-only check
+def approx_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           concat(p_brand, '-', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           date_trunc('month', o_orderdate) AS month_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def scalar_date_funcs(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    ).agg(F.count("*").alias("n"), dbl(F.sum(money("o_totalprice"))).alias("revenue"))
+
+
+@query(
+    "case_when_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def case_when_buckets(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), dbl(F.sum(money("o_totalprice"))).alias("revenue")
+    )
+
+
+@query(
+    "sort_limit",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+    """,
+)
+def sort_limit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+@query(
+    "pivot_event_counts",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "explode_tokens",
+    """
+    SELECT token, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 10
+    """,
+)
+def explode_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(10)
+    )
+
+
+@query(
+    "asof_join_purchase_click",
+    """
+    SELECT COUNT(*) AS n_purchases,
+           COUNT(c_ts) AS n_matched,
+           CAST(SUM(CAST(epoch(p_ts) - epoch(c_ts) AS DECIMAL(18,6))) AS DOUBLE) AS total_lag_seconds
+    FROM (
+      SELECT p.ts AS p_ts, c.ts AS c_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts)
+    """,
+)
+def asof_join_purchase_click(spark, sf_dir):
+    """As-of join (SURVEY.md §2.2: 'no single primitive — union+window trick')."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, on="user_id", left_time="ts")
+    lag_s = (F.col("ts").cast("double") - F.col("ts_right").cast("double")).cast(
+        "decimal(18,6)"
+    )
+    return joined.agg(
+        F.count("*").alias("n_purchases"),
+        F.count("ts_right").alias("n_matched"),
+        dbl(F.sum(lag_s)).alias("total_lag_seconds"),
+    )
+
+
+@query(
+    "window_tumbling",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def window_tumbling(spark, sf_dir):
+    """Tumbling event-time window — batch twin of the streaming operator."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), dbl(F.sum(money("value"))).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), labeled AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sid, COUNT(*) AS n_events FROM labeled GROUP BY user_id, sid
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_session_events
+    FROM sessions
+    """,
+)
+def session_windows(spark, sf_dir):
+    """Session windows (SURVEY.md §2.2 streaming) — batch mode over events.
+    Spark's session_window merges events with gap < 30min, matching the
+    islands oracle (new session at gap >= 1800s)."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return sessions.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        (dbl(F.sum("n_events")) / dbl(F.count("*"))).alias("avg_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] LLM-data-pipeline operators (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+_SQL_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_SQL_TOKS = f"string_split({_SQL_NORM_TEXT}, ' ')"
+
+
+@query(
+    "dedup_exact_stats",
+    f"""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5({_SQL_NORM_TEXT})) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT md5({_SQL_NORM_TEXT})) AS n_dupes
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fp = TXT.md5_fingerprint(F.col("text"))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(fp).alias("n_distinct"),
+        (F.count("*") - F.count_distinct(fp)).alias("n_dupes"),
+    )
+
+
+@query(
+    "dedup_exact_keep_min",
+    f"""
+    SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+    FROM (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_SQL_NORM_TEXT}))
+    """,
+)
+def dedup_exact_keep_min(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs, "text", "doc_id")
+    return kept.agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_kept_ids"))
+
+
+_SQL_SHINGLES = f"""
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+"""
+
+
+@query(
+    "minhash_band_candidates",
+    f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sig AS (
+      SELECT doc_id, MIN(md5(s || '#0')) AS m0, MIN(md5(s || '#1')) AS m1
+      FROM sh GROUP BY doc_id)
+    SELECT COUNT(*) AS n_candidate_pairs
+    FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_band_candidates(spark, sf_dir):
+    """MinHash with the md5 oracle-parity hash family: candidate pairs whose
+    2-hash band agrees — the SQL oracle reproduces the exact hashes."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.size(TXT.tokens(F.col("text"))) >= 3
+    )
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=2, hash_family="md5")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b"))
+    return (
+        a.join(b, (F.col("sig_a") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b")))
+        .agg(F.count("*").alias("n_candidate_pairs"))
+    )
+
+
+@query(
+    "neardup_jaccard_pairs",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, s FROM ({_SQL_SHINGLES})),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(ca.n + cb.n - n_inter AS BIGINT) AS n_union,
+           CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= 0.8
+    """,
+)
+def neardup_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs via shingle inverted index —
+    the all-pairs-free formulation (join only docs sharing a shingle)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.size(TXT.tokens(F.col("text"))) >= 3
+    )
+    sh = docs.select(
+        F.col("doc_id"), F.explode(TXT.word_shingles(F.col("text"), 3)).alias("s")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    union_n = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            union_n.cast("bigint").alias("n_union"),
+            (dbl(F.col("n_inter")) / dbl(union_n)).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+    )
+
+
+@query("minhash_dedup_pipeline")  # iterative connected components: rows-only
+def minhash_dedup_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup.minhash_dedup(docs, "text", "doc_id", threshold=0.8, num_hashes=16, num_bands=4)
+    return kept.agg(
+        F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_kept_ids")
+    )
+
+
+@query("simhash_candidates")  # xxhash64-based: rows-only (engine-specific hash)
+def simhash_candidates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.simhash_dedup_candidates(docs, "text", "doc_id")
+    return cand.agg(F.count("*").alias("n_candidate_pairs"))
+
+
+@query(
+    "text_quality_by_lang",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter({_SQL_TOKS}, x -> x <> '')) AS n_toks,
+             len(list_filter({_SQL_TOKS}, x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+           CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE) AS stopword_rate
+    FROM t GROUP BY lang
+    """,
+)
+def text_quality_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TXT.tokens(F.col("text"))
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*TXT.DEFAULT_STOPWORDS)))
+    n_bpe = TXT.bpe_ish_token_count("text")
+    return (
+        docs.select("lang", n_toks.alias("nt"), n_stop.alias("ns"), n_bpe.alias("nb"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("ns").alias("total_stopwords"),
+            F.sum("nb").alias("total_bpe_tokens"),
+            (dbl(F.sum("nt")) / dbl(F.count("*"))).alias("avg_tokens"),
+            (dbl(F.sum("ns")) / dbl(F.sum("nt"))).alias("stopword_rate"),
+        )
+    )
+
+
+@query(
+    "langid_distribution",
+    f"""
+    WITH scores AS (
+      SELECT len(list_filter({_SQL_TOKS}, x -> x IN ('der','die','und','das'))) AS s_de,
+             len(list_filter({_SQL_TOKS}, x -> x IN ('the','a','of','and')))    AS s_en,
+             len(list_filter({_SQL_TOKS}, x -> x IN ('el','la','de','y')))      AS s_es,
+             len(list_filter({_SQL_TOKS}, x -> x IN ('le','la','et','les')))    AS s_fr
+      FROM documents)
+    SELECT CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           COUNT(*) AS n
+    FROM scores GROUP BY 1
+    """,
+)
+def langid_distribution(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.language_id(docs).groupBy("lang_pred").agg(F.count("*").alias("n"))
+
+
+@query(
+    "doc_fingerprints",
+    f"SELECT doc_id, md5({_SQL_NORM_TEXT}) AS fingerprint FROM documents",
+)
+def doc_fingerprints(spark, sf_dir):
+    return text_analysis.fingerprint_documents(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter({_SQL_TOKS}, x -> x <> '')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.token_count("text").alias("n_tokens"),
+        TXT.bpe_ish_token_count("text").alias("n_tokens_bpe"),
+    )
+
+
+_SQL_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@query(
+    "cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT * FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             round({_SQL_COS}, 4) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_SQL_COS}, 4) DESC, b.vec_id) AS rank
+      FROM e a JOIN e b ON a.vec_id < 3 AND a.vec_id <> b.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+@query(
+    "cosine_threshold_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_SQL_COS}, 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({_SQL_COS}, 4) >= 0.4
+    """,
+)
+def cosine_threshold_pairs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_above(emb, 0.4)
+
+
+@query(
+    "embedding_centroids",
+    """
+    SELECT label, CAST(i.pos AS INTEGER) AS pos, COUNT(*) AS n,
+           CAST(SUM(CAST(round(CAST(embedding[i.pos + 1] AS DOUBLE), 4) AS DECIMAL(12,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_val
+    FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 3)) AS pos) i
+    GROUP BY label, i.pos
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid of the first 4 dims (array processing + exact
+    decimal aggregation of rounded floats)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.slice(VEC.as_double("embedding"), 1, 4)).alias("pos", "x")
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        (dbl(F.sum(F.round(F.col("x"), 4).cast("decimal(12,4)"))) / dbl(F.count("*"))).alias(
+            "mean_val"
+        ),
+    )
+
+
+@query("lsh_ann_topk")  # approximate by construction: rows-only
+def lsh_ann_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_topk(emb, queries, k=5, bits=4, num_tables=8).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+@query("ivf_ann_topk")  # approximate by construction: rows-only
+def ivf_ann_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = similarity.build_ivf_index(emb, num_cells=8)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_topk(assigned, centroids, queries, k=5, nprobe=3).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+@query(
+    "multimodal_payload_stats",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS payload_len,
+           sha256(text) AS payload_sha  -- duckdb 1.0 sha256 is VARCHAR-only; hashes the same UTF-8 bytes as the payload
+    FROM documents
+    """,
+)
+def multimodal_payload_stats(spark, sf_dir):
+    """Binary modality column plumbing: payload bytes + content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(docs, "text")
+    return with_payload.select(
+        "doc_id",
+        F.length("payload").alias("payload_len"),
+        F.col("payload_meta.sha256").alias("payload_sha"),
+    )

@@ -1,0 +1,93 @@
+"""Driver-style correctness gate: run every declared query on Spark AND its
+oracle SQL on DuckDB over the same parquet, compare row count + values
+(order-insensitive, columns sorted by name) — SURVEY.md §5 strategy (2).
+
+Runs at sf0.001 by default for speed; set SPARK_GRAFT_TEST_SF_DIR to
+/root/testdata/sf0.01 to mirror the driver's scale exactly.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    yield con
+    con.close()
+
+
+def canon(df):
+    """Order-insensitive canonical form: columns sorted by name, rows sorted."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+ORACLE_QUERIES = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    spark_df = canon(q(spark, SF_DIR).toPandas())
+    duck_df = canon(ddb.execute(sql).fetchdf())
+    assert len(spark_df) == len(duck_df), (
+        f"{name}: row count {len(spark_df)} (spark) != {len(duck_df)} (duckdb)"
+    )
+    assert list(spark_df.columns) == list(duck_df.columns), (
+        f"{name}: columns {list(spark_df.columns)} != {list(duck_df.columns)}"
+    )
+    mismatches = []
+    for col in spark_df.columns:
+        sv, dv = spark_df[col].tolist(), duck_df[col].tolist()
+        for i, (x, y) in enumerate(zip(sv, dv)):
+            if not values_equal(x, y):
+                mismatches.append((col, i, x, y))
+                if len(mismatches) > 5:
+                    break
+    assert not mismatches, f"{name}: value mismatches {mismatches[:5]}"
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle (approx/iterative) must still run and
+    return a stable schema."""
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    for name, fn in qs.items():
+        if name in oracles:
+            continue
+        df = fn(spark, SF_DIR)
+        assert df.count() >= 0, name
+        assert len(df.schema.fields) > 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
