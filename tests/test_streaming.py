@@ -1,0 +1,184 @@
+"""Streaming semantics tests — deterministic, broker-free (SURVEY.md §5
+strategy (3)): JSON file source -> availableNow trigger -> memory sink."""
+
+import json
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from kafka_connect_expand_json_transform_spark.streaming import (
+    expand_json_stream,
+    file_stream_source,
+    memory_sink,
+    running_aggregate,
+    session_window_agg,
+    sliding_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", IntegerType()),
+        StructField("user", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("props", StringType()),
+    ]
+)
+
+ROWS = [
+    # two sessions for alice (gap > 10 min between 10:05 and 10:30),
+    # one session for bob; event 4 duplicates event 3's id
+    {"event_id": 1, "user": "alice", "ts": "2026-01-01T10:00:00Z", "props": '{"k": 10}'},
+    {"event_id": 2, "user": "alice", "ts": "2026-01-01T10:05:00Z", "props": '{"k": 20}'},
+    {"event_id": 3, "user": "bob", "ts": "2026-01-01T10:06:00Z", "props": '{"k": 5}'},
+    {"event_id": 3, "user": "bob", "ts": "2026-01-01T10:06:00Z", "props": '{"k": 5}'},
+    {"event_id": 4, "user": "alice", "ts": "2026-01-01T10:30:00Z", "props": '{"k": 40}'},
+    {"event_id": 5, "user": "bob", "ts": "2026-01-01T11:02:00Z", "props": "not json"},
+]
+
+
+@pytest.fixture()
+def events_path(tmp_path):
+    p = tmp_path / "stream_in"
+    p.mkdir()
+    (p / "batch0.json").write_text("\n".join(json.dumps(r) for r in ROWS))
+    return str(p)
+
+
+def run_to_table(spark, df, output_mode="append"):
+    name = "t_" + uuid.uuid4().hex[:12]
+    q = memory_sink(df, name, output_mode=output_mode)
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_stream_expand_json_with_sample_batch(spark, events_path):
+    stream = file_stream_source(spark, events_path, EVENT_SCHEMA)
+    sample = spark.read.schema(EVENT_SCHEMA).json(events_path)
+    expanded = expand_json_stream(stream, fields=["props"], sample_df=sample)
+    assert expanded.isStreaming
+    out = run_to_table(spark, expanded.select("event_id", "props.k"))
+    rows = {r["event_id"]: r["k"] for r in out.collect() if r["k"] is not None}
+    assert rows == {1: 10, 2: 20, 3: 5, 4: 40}  # malformed row -> null (PERMISSIVE)
+
+
+def test_tumbling_window_counts(spark, events_path):
+    # complete mode: all windows visible after one availableNow batch (append
+    # mode only emits windows *closed by the watermark in a later batch* —
+    # covered by test_append_mode_drops_late_data)
+    stream = file_stream_source(spark, events_path, EVENT_SCHEMA)
+    agg = tumbling_window_agg(stream, "ts", "1 hour", {"n": F.count("*")})
+    out = run_to_table(spark, agg, output_mode="complete").collect()
+    got = {r["window"]["start"].strftime("%H:%M"): r["n"] for r in out}
+    assert got == {"10:00": 5, "11:00": 1}
+
+
+def test_sliding_window_overlap(spark, events_path):
+    stream = file_stream_source(spark, events_path, EVENT_SCHEMA)
+    agg = sliding_window_agg(stream, "ts", "1 hour", "30 minutes", {"n": F.count("*")})
+    out = run_to_table(spark, agg, output_mode="complete").collect()
+    # event at 10:00 lands in windows [09:30,10:30) and [10:00,11:00)
+    got = {r["window"]["start"].strftime("%H:%M"): r["n"] for r in out}
+    assert got["09:30"] == 4 and got["10:00"] == 5
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
+    """Watermark semantics end-to-end, two micro-batches (maxFilesPerTrigger=1).
+
+    Encodes Spark's *actual* append-mode contract (verified on 4.1.2):
+    * a window is emitted exactly once, in the batch whose watermark strictly
+      passes the window end — never while still open;
+    * late-row dropping is one-sided best-effort: a straggler whose window was
+      never evicted is admitted and gets its own (late) window emission.
+    """
+    import os as _os
+
+    p = tmp_path / "late_in"
+    p.mkdir()
+    batch0 = [
+        {"event_id": 1, "user": "a", "ts": "2026-01-01T10:00:00Z", "props": "{}"},
+        {"event_id": 2, "user": "a", "ts": "2026-01-01T10:10:00Z", "props": "{}"},
+    ]
+    batch1 = [
+        # on-time: advances watermark to 10:25 after this batch
+        {"event_id": 3, "user": "a", "ts": "2026-01-01T10:30:00Z", "props": "{}"},
+        # straggler behind the 10:05 watermark: admitted (one-sided guarantee),
+        # creates window [09:30,10:00)
+        {"event_id": 4, "user": "a", "ts": "2026-01-01T09:50:00Z", "props": "{}"},
+    ]
+    f0, f1 = p / "b0.json", p / "b1.json"
+    f0.write_text("\n".join(json.dumps(r) for r in batch0))
+    f1.write_text("\n".join(json.dumps(r) for r in batch1))
+    _os.utime(f0, (1000000000, 1000000000))  # force b0 before b1
+    _os.utime(f1, (1000000100, 1000000100))
+
+    stream = file_stream_source(
+        spark, str(p), EVENT_SCHEMA, options={"maxFilesPerTrigger": "1"}
+    )
+    agg = tumbling_window_agg(
+        stream, "ts", "30 minutes", {"n": F.count("*")}, watermark="5 minutes"
+    )
+    out = run_to_table(spark, agg, output_mode="append").collect()
+    got = sorted((r["window"]["start"].strftime("%H:%M"), r["n"]) for r in out)
+    # [09:30,10:00): straggler's window, end 10:00 <= final watermark 10:25 ->
+    #   emitted (n=1) by the trailing no-data batch.
+    # [10:00,10:30): end 10:30 > watermark 10:25 -> still open, NOT emitted.
+    # [10:30,11:00): open, NOT emitted.
+    assert got == [("09:30", 1)]
+
+
+def test_session_window_split_by_gap(spark, events_path):
+    stream = file_stream_source(spark, events_path, EVENT_SCHEMA)
+    agg = session_window_agg(
+        stream,
+        "ts",
+        "10 minutes",
+        {"n": F.count("*")},
+        keys=["user"],
+        watermark="1 minute",
+    )
+    out = run_to_table(spark, agg, output_mode="complete").collect()
+    per_user = sorted((r["user"], r["n"]) for r in out)
+    # alice: {10:00,10:05} then {10:30}; bob: {10:06 x2} then {11:02}
+    assert per_user == [("alice", 1), ("alice", 2), ("bob", 1), ("bob", 2)]
+
+
+def test_session_window_streaming_requires_watermark(spark, events_path):
+    stream = file_stream_source(spark, events_path, EVENT_SCHEMA)
+    with pytest.raises(ValueError, match="watermark"):
+        session_window_agg(stream, "ts", "10 minutes", {"n": F.count("*")})
+
+
+def test_stream_dedup_within_watermark(spark, events_path):
+    stream = file_stream_source(spark, events_path, EVENT_SCHEMA)
+    deduped = stream_dedup(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    out = run_to_table(spark, deduped)
+    ids = [r["event_id"] for r in out.collect()]
+    assert sorted(ids) == [1, 2, 3, 4, 5]
+
+
+def test_running_aggregate_state(spark, events_path):
+    stream = file_stream_source(spark, events_path, EVENT_SCHEMA)
+    with_k = stream.withColumn("k", F.get_json_object("props", "$.k").cast("double"))
+    agg = running_aggregate(with_k, ["user"], "k")
+    out = run_to_table(spark, agg, output_mode="update").collect()
+    # one availableNow batch -> one row per key with full totals
+    got = {r["user"]: (r["n"], r["total"], r["min_value"], r["max_value"]) for r in out}
+    assert got["alice"] == (3, 70.0, 10.0, 40.0)
+    assert got["bob"] == (2, 10.0, 5.0, 5.0)
+
+
+def test_rate_source_plan(spark):
+    from kafka_connect_expand_json_transform_spark.streaming import rate_source
+
+    df = rate_source(spark, rows_per_second=10)
+    assert df.isStreaming and set(df.columns) == {"timestamp", "value"}
