@@ -32,8 +32,21 @@ def word_shingles(col: Column | str, n: int = 3, lowercase: bool = True) -> Colu
 
     Built with ``transform(sequence(...))`` over the token array — stays in
     codegen, no explode until the caller wants one row per shingle.
+
+    PERF: this inlines the tokenization expression, which Catalyst re-evaluates
+    at EVERY reference inside the lambda (~3×positions per doc). Fine for a
+    single projection over a corpus; for anything iterated (MinHash, SimHash),
+    materialize the token array first and use ``shingles_from_tokens``.
     """
-    toks = tokens(col, lowercase)
+    return shingles_from_tokens(tokens(col, lowercase), n)
+
+
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Shingles from an already-computed token array column. When ``toks`` is
+    a plain attribute (a real column, not a nested expression), each
+    ``element_at`` reference is O(1) — the staging trick that makes MinHash
+    ~100× cheaper than inlining (see ``dedup.minhash_signatures``)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     # element_at is 1-based; sequence(1, size-n+1) yields all start positions
     return F.array_distinct(
         F.when(
@@ -146,8 +159,19 @@ def minhash_xxhash(shingles: Column, num_hashes: int) -> Column:
 def simhash64(toks: Column) -> Column:
     """64-bit SimHash of a token array: per bit, sum +1/-1 weighted by token
     hash bit, take sign. Pure expressions: 64 shift/mask aggregations over
-    ``aggregate`` — codegen'd, no UDF."""
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    ``aggregate`` — codegen'd, no UDF.
+
+    PERF: pass a *materialized* token-array column; the hash array below is
+    referenced 64 times, so ``toks`` must be an attribute, and callers should
+    ideally stage ``transform(toks, xxhash64)`` as its own column and call
+    ``simhash64_from_hashes`` (see ``dedup.simhash_dedup_candidates``)."""
+    return simhash64_from_hashes(F.transform(toks, lambda t: F.xxhash64(t)))
+
+
+def simhash64_from_hashes(hashed: Column | str) -> Column:
+    """SimHash from an already-hashed array<bigint> column (one xxhash64 per
+    token). Keep ``hashed`` an attribute: it is referenced once per bit."""
+    hashed = F.col(hashed) if isinstance(hashed, str) else hashed
     bits = []
     for b in range(64):
         votes = F.aggregate(

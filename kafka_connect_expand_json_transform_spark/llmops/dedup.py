@@ -26,9 +26,9 @@ from kafka_connect_expand_json_transform_spark.functions.text import (
     md5_fingerprint,
     minhash_md5,
     minhash_xxhash,
-    simhash64,
+    shingles_from_tokens,
+    simhash64_from_hashes,
     tokens,
-    word_shingles,
 )
 
 
@@ -55,14 +55,24 @@ def minhash_signatures(
     hash_family: str = "xxhash",
 ) -> DataFrame:
     """(id, signature) per doc. ``hash_family='md5'`` is the oracle-parity
-    variant (DuckDB-reproducible); ``'xxhash'`` the production fast path."""
-    sh = word_shingles(F.col(text_col), n=shingle_size)
-    sig = (
-        minhash_md5(sh, num_hashes)
-        if hash_family == "md5"
-        else minhash_xxhash(sh, num_hashes)
+    variant (DuckDB-reproducible); ``'xxhash'`` the production fast path.
+
+    Staged as three projections (tokens -> shingles -> signature) so each
+    intermediate is a materialized attribute: Catalyst re-evaluates nested
+    expression trees at every lambda reference, so inlining would recompute
+    the tokenizer ~3×positions times per doc and the whole shingle array once
+    per hash — staged, each stage runs once per row (and CollapseProject
+    keeps it that way: it never merges projections that would duplicate
+    expensive multi-referenced expressions)."""
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).select(
+        F.col(id_col), shingles_from_tokens("__toks", shingle_size).alias("__sh")
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    sig = (
+        minhash_md5(F.col("__sh"), num_hashes)
+        if hash_family == "md5"
+        else minhash_xxhash(F.col("__sh"), num_hashes)
+    )
+    return staged.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -70,6 +80,7 @@ def lsh_candidate_pairs(
     id_col: str,
     num_bands: int = 4,
     rows_per_band: int | None = None,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL hashes of any band become a
     candidate pair. Emits (id_a, id_b), id_a < id_b, distinct.
@@ -80,7 +91,7 @@ def lsh_candidate_pairs(
     buckets (e.g. empty-text docs) are capped: buckets larger than
     ``max_bucket`` are dropped as non-discriminative (standard LSH practice —
     a bucket that big is a stop-shingle, not a dup signal)."""
-    return _lsh_pairs_impl(signatures, id_col, num_bands, rows_per_band)
+    return _lsh_pairs_impl(signatures, id_col, num_bands, rows_per_band, num_hashes)
 
 
 def _lsh_pairs_impl(
@@ -88,9 +99,11 @@ def _lsh_pairs_impl(
     id_col: str,
     num_bands: int,
     rows_per_band: int | None,
+    num_hashes: int | None = None,
     max_bucket: int = 200,
 ) -> DataFrame:
-    n = signatures.select(F.size("signature")).first()[0]
+    # pass num_hashes when known: probing it costs a job over the signature plan
+    n = num_hashes or signatures.select(F.size("signature")).first()[0]
     rpb = rows_per_band or max(1, n // num_bands)
     bands = F.array(
         *[
@@ -138,8 +151,8 @@ def jaccard_on_pairs(
     """Exact shingle-set Jaccard for candidate pairs only (the verify step
     after LSH). Joins the shingle arrays in, intersects in-expression —
     two broadcast-or-shuffle hash joins on ids, no explode."""
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), n=shingle_size).alias("sh")
+    sh = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).select(
+        F.col(id_col), shingles_from_tokens("__toks", shingle_size).alias("sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -169,7 +182,7 @@ def minhash_dedup(
     verify -> connected components -> keep the min-id doc per cluster.
     Returns the deduplicated DataFrame."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
-    cand = lsh_candidate_pairs(sigs, id_col, num_bands)
+    cand = lsh_candidate_pairs(sigs, id_col, num_bands, num_hashes=num_hashes)
     edges = (
         jaccard_on_pairs(df, cand, text_col, id_col, shingle_size)
         .where(F.col("jaccard") >= threshold)
@@ -195,15 +208,20 @@ def connected_components(
 
     Returns (id, component) where component = min id in the cluster.
     """
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    # checkpoint FIRST: every derived frame (labels, each round) must build on
+    # the materialized edges, or the full upstream pipeline (MinHash + LSH +
+    # verify) re-executes once per action
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .localCheckpoint()
     )
-    sym = sym.localCheckpoint()
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["d"] == labels["id"])
@@ -241,7 +259,16 @@ def simhash_dedup_candidates(
     of their 64-bit SimHash (standard Hamming-distance-≤3 trick: if two
     64-bit hashes differ in ≤3 bits, at least one of 4 bands is identical).
     Returns (id_a, id_b) candidates; callers verify with Jaccard or Hamming."""
-    sig = df.select(F.col(id_col), simhash64(tokens(F.col(text_col))).alias("sh"))
+    # staged: tokens -> per-token hashes -> simhash; each stage evaluates once
+    # per row (the hash array is referenced 64 times by the bit aggregates)
+    sig = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
+        )
+        .select(F.col(id_col), simhash64_from_hashes("__th").alias("sh"))
+    )
     bands = F.array(
         *[
             F.concat_ws(

@@ -517,7 +517,8 @@ def set_intersect(spark, sf_dir):
 def set_except(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.exceptAll(s.distinct()).distinct()
+    # subtract == EXCEPT (DISTINCT) — set difference, not multiset exceptAll
+    return c.subtract(s)
 
 
 @query(
@@ -876,8 +877,8 @@ def neardup_jaccard_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").where(
         F.size(TXT.tokens(F.col("text"))) >= 3
     )
-    sh = docs.select(
-        F.col("doc_id"), F.explode(TXT.word_shingles(F.col("text"), 3)).alias("s")
+    sh = docs.select(F.col("doc_id"), TXT.tokens(F.col("text")).alias("__toks")).select(
+        F.col("doc_id"), F.explode(TXT.shingles_from_tokens("__toks", 3)).alias("s")
     )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")
