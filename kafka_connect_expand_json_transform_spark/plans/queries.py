@@ -21,6 +21,9 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -775,6 +778,303 @@ def session_windows(spark, sf_dir):
         F.sum("n_events").alias("n_events"),
         F.max("n_events").alias("max_session_events"),
         (dbl(F.sum("n_events")) / dbl(F.count("*"))).alias("avg_session_events"),
+    )
+
+
+@query(
+    "join_right_count",
+    """
+    SELECT o_orderpriority, COUNT(o_orderkey) AS n_orders, COUNT(*) AS n_rows
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_right_count(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("o_orderpriority")
+        .agg(F.count("o_orderkey").alias("n_orders"), F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "window_rank_funcs",
+    """
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM orders WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_funcs(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "window_lead_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER w AS next_order,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lead_first_last(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+    )
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_near_below
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based, peers included) — counts are peer-order
+    independent, so results are deterministic across engines."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey", "o_orderstatus", F.count("*").over(w).alias("n_near_below")
+    )
+
+
+@query(
+    "range_join_order_events",
+    """
+    SELECT o_orderkey, COUNT(event_id) AS n_events
+    FROM orders JOIN events
+      ON user_id = o_custkey
+     AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 7 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def range_join_order_events(spark, sf_dir):
+    """Equi + range join: the equi key carries the hash join; the range
+    predicate is evaluated post-match (no O(n*m) explosion)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    cond = (
+        (ev.user_id == orders.o_custkey)
+        & (ev.ts >= orders.o_orderdate)
+        & (ev.ts < F.date_add(orders.o_orderdate, 7))
+    )
+    return (
+        orders.join(ev, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count("event_id").alias("n_events"))
+    )
+
+
+@query(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_quantity), 4) AS sqrt_qty,
+           round(pow(l_discount, 2), 4) AS disc_sq,
+           abs(l_quantity - 25) AS qty_dev,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           round(ln(l_extendedprice), 4) AS log_price
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def math_funcs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        F.round(F.pow("l_discount", F.lit(2)), 4).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k"),
+        F.round(F.log("l_extendedprice"), 4).alias("log_price"),
+    )
+
+
+@query(
+    "map_funcs",
+    """
+    SELECT l_linestatus,
+           COALESCE(COUNT(*) FILTER (WHERE l_returnflag = 'A'), 0) AS n_a,
+           COALESCE(COUNT(*) FILTER (WHERE l_returnflag = 'N'), 0) AS n_n,
+           COALESCE(COUNT(*) FILTER (WHERE l_returnflag = 'R'), 0) AS n_r
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def map_funcs(spark, sf_dir):
+    """MapType surface: per-group counts materialized as a map column
+    (map_from_entries over collected entries), then element_at lookups. The
+    oracle states the same result relationally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_linestatus", "l_returnflag").agg(F.count("*").alias("n"))
+    m = per.groupBy("l_linestatus").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_returnflag", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "l_linestatus",
+        F.coalesce(F.element_at("m", F.lit("A")), F.lit(0)).alias("n_a"),
+        F.coalesce(F.element_at("m", F.lit("N")), F.lit(0)).alias("n_n"),
+        F.coalesce(F.element_at("m", F.lit("R")), F.lit(0)).alias("n_r"),
+    )
+
+
+@query(
+    "percentiles",
+    """
+    SELECT o_orderstatus,
+           round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 2) AS p50,
+           round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 2) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark percentile == SQL
+    quantile_cont/percentile_cont linear interpolation)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] UDF surface (SURVEY.md §2.2): python UDF, pandas UDF, UDTF,
+# pandas UDAF via applyInPandas
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pandas_udf_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def pandas_udf_norms(spark, sf_dir):
+    """Arrow-vectorized pandas UDF (the performant Python path): batch numpy
+    norm, not per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        return pd.Series(np.round(np.sqrt((m * m).sum(axis=1)), 4))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", l2_norm(VEC.as_double("embedding")).alias("l2_norm"))
+
+
+@query(
+    "python_udf_sign",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+    FROM documents
+    """,
+)
+def python_udf_sign(spark, sf_dir):
+    """Row-at-a-time Python UDF — exposed for completeness; the docstring of
+    the engine points users to pandas UDFs for anything hot."""
+    from pyspark.sql.functions import udf
+
+    @udf("string")
+    def parity(text: str) -> str:
+        return "even" if len(text) % 2 == 0 else "odd"
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", parity("text").alias("parity"))
+
+
+@query(
+    "udtf_sentences",
+    """
+    WITH parts AS (
+      SELECT doc_id, unnest(string_split(text, '.')) AS part,
+             generate_subscripts(string_split(text, '.'), 1) AS idx
+      FROM documents)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS INT) AS pos,
+           trim(part) AS sentence
+    FROM parts WHERE trim(part) <> ''
+    """,
+)
+def udtf_sentences(spark, sf_dir):
+    """Python UDTF (Spark 3.5+) in a LATERAL join — one input row to many
+    output rows, registered and invoked from SQL."""
+    from kafka_connect_expand_json_transform_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM __udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+@query(
+    "applyinpandas_centroid",
+    """
+    SELECT label, COUNT(*) AS n,
+           round(CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE), 4) AS DECIMAL(12,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS mean_dim0
+    FROM embeddings GROUP BY label
+    """,
+)
+def applyinpandas_centroid(spark, sf_dir):
+    """Pandas UDAF via applyInPandas: per-group vectorized aggregation in
+    numpy/pandas — decimal-exact accumulation of rounded dim-0 values so the
+    SQL oracle reproduces it."""
+    from decimal import Decimal
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = [Decimal(str(round(float(v[0]), 4))) for v in pdf["embedding"]]
+        total = sum(vals, Decimal(0))
+        n = len(vals)
+        return pd.DataFrame(
+            {"label": [pdf["label"].iloc[0]], "n": [n], "mean_dim0": [round(float(total) / n, 4)]}
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    label_type = emb.schema["label"].dataType.simpleString()
+    return emb.groupBy("label").applyInPandas(
+        centroid, schema=f"label {label_type}, n bigint, mean_dim0 double"
     )
 
 
