@@ -2,7 +2,10 @@ from kafka_connect_expand_json_transform_spark.sources.batch import (
     TESTDATA_TABLES,
     load_table,
     load_tables,
+    read_csv,
+    read_json,
     register_testdata,
+    write_parquet,
 )
 from kafka_connect_expand_json_transform_spark.sources.kafka import (
     read_kafka_stream,
@@ -13,7 +16,10 @@ __all__ = [
     "TESTDATA_TABLES",
     "load_table",
     "load_tables",
+    "read_csv",
+    "read_json",
     "register_testdata",
     "read_kafka_stream",
     "write_kafka_stream",
+    "write_parquet",
 ]

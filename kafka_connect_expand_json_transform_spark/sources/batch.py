@@ -60,6 +60,52 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return tables
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    multiline: bool = False,
+    mode: str = "PERMISSIVE",
+    options: dict | None = None,
+) -> DataFrame:
+    """JSON batch source — doubles as the engine's distributed schema
+    inferencer (SURVEY.md §2.2: 'JSON reader doubles as the schema-inference
+    engine'): with no schema, Spark samples and merges across the cluster."""
+    reader = spark.read.option("multiLine", multiline).option("mode", mode)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    infer_schema: bool = True,
+    sep: str = ",",
+    mode: str = "PERMISSIVE",
+    options: dict | None = None,
+) -> DataFrame:
+    """CSV batch source with sane defaults (header + inference unless a
+    schema is given — at scale always pass the schema: inference is a full
+    extra pass over the files)."""
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("mode", mode)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", infer_schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
