@@ -19,6 +19,8 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -252,6 +254,41 @@ def connected_components(
     return labels
 
 
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash) per doc: token hashing stays in codegen (xxhash64
+    expression), the 64-bit sign-vote runs as one vectorized numpy pass in a
+    pandas UDF — bit-unpack the flattened hash array, segment-sum with
+    ``np.add.reduceat``. The expression-only formulation (64 interpreted
+    ``aggregate`` lambdas per doc) measured ~4× slower at sf0.1."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash_votes(hashes: pd.Series) -> pd.Series:
+        lengths = hashes.map(len).to_numpy()
+        out = np.zeros(len(hashes), dtype=np.int64)
+        nonempty = lengths > 0
+        if nonempty.any():
+            # int64 -> uint64 must go through astype (bit-preserving wrap);
+            # direct construction from negative ints raises
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hashes[nonempty]]
+            ).astype(np.uint64)
+            # (total_tokens, 64) of ±1 votes
+            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int32
+            ) * 2 - 1
+            offsets = np.concatenate(([0], np.cumsum(lengths[nonempty])[:-1]))
+            votes = np.add.reduceat(bits, offsets, axis=0)
+            sig = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            out[nonempty] = sig.sum(axis=1).astype(np.int64)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).select(
+        F.col(id_col),
+        simhash_votes(F.transform("__toks", lambda t: F.xxhash64(t))).alias("simhash"),
+    )
+
+
 def simhash_dedup_candidates(
     df: DataFrame, text_col: str, id_col: str, band_bits: int = 16
 ) -> DataFrame:
@@ -259,16 +296,7 @@ def simhash_dedup_candidates(
     of their 64-bit SimHash (standard Hamming-distance-≤3 trick: if two
     64-bit hashes differ in ≤3 bits, at least one of 4 bands is identical).
     Returns (id_a, id_b) candidates; callers verify with Jaccard or Hamming."""
-    # staged: tokens -> per-token hashes -> simhash; each stage evaluates once
-    # per row (the hash array is referenced 64 times by the bit aggregates)
-    sig = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-        .select(
-            F.col(id_col),
-            F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
-        )
-        .select(F.col(id_col), simhash64_from_hashes("__th").alias("sh"))
-    )
+    sig = simhash_signatures(df, text_col, id_col).withColumnRenamed("simhash", "sh")
     bands = F.array(
         *[
             F.concat_ws(
