@@ -1,0 +1,121 @@
+"""Property-based schema-inference tests (SURVEY.md §5 strategy (4)):
+random JSON documents; invariants the reference rule table guarantees.
+
+Driver-side only (no SparkSession needed): the inference module is pure
+Python over parsed JSON, exactly like the reference's inferSchema
+(ExpandJson.java:191-258) is pure Java over Jackson nodes.
+"""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_connect_expand_json_transform_spark.schema_inference import (
+    finalize_type,
+    infer_schema_for_json,
+    infer_schema_from_samples,
+    merge_types,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    DataType,
+    IntegerType,
+    LongType,
+    NullType,
+    StringType,
+    StructType,
+)
+
+json_values = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**70), max_value=2**70)
+    | st.floats(allow_nan=False, allow_infinity=False)
+    | st.text(max_size=20),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(min_size=1, max_size=8), children, max_size=4),
+    max_leaves=20,
+)
+
+
+def no_nulltype(dt: DataType) -> bool:
+    if isinstance(dt, NullType):
+        return False
+    if isinstance(dt, ArrayType):
+        return no_nulltype(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(no_nulltype(f.dataType) for f in dt.fields)
+    return True
+
+
+def all_nullable(dt: DataType) -> bool:
+    if isinstance(dt, ArrayType):
+        return dt.containsNull and all_nullable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(f.nullable and all_nullable(f.dataType) for f in dt.fields)
+    return True
+
+
+@given(json_values)
+@settings(max_examples=200, deadline=None)
+def test_inference_never_throws_and_is_finalized(value):
+    dt = infer_schema_for_json(json.dumps(value))
+    # reference invariants: no unfinalized sentinel, everything optional
+    assert no_nulltype(dt)
+    assert all_nullable(dt)
+
+
+@given(json_values)
+@settings(max_examples=200, deadline=None)
+def test_inference_deterministic(value):
+    text = json.dumps(value)
+    assert infer_schema_for_json(text) == infer_schema_for_json(text)
+
+
+@given(st.lists(json_values, min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_merge_order_insensitive_on_reversal(values):
+    """Merging a sample forward and backward must agree on field *types*;
+    struct field order is first-seen by design (reference: JSON key order),
+    so compare order-insensitively."""
+
+    def canon(dt: DataType):
+        if isinstance(dt, StructType):
+            return ("struct", frozenset((f.name, canon(f.dataType)) for f in dt.fields))
+        if isinstance(dt, ArrayType):
+            return ("array", canon(dt.elementType))
+        return dt.simpleString()
+
+    texts = [json.dumps(v) for v in values]
+    fwd = infer_schema_from_samples(texts)
+    bwd = infer_schema_from_samples(list(reversed(texts)))
+    assert canon(fwd) == canon(bwd)
+
+
+@given(json_values, json_values)
+@settings(max_examples=200, deadline=None)
+def test_merge_commutative_associative_ish(a, b):
+    ta = infer_schema_for_json(json.dumps(a))
+    tb = infer_schema_for_json(json.dumps(b))
+
+    def canon(dt: DataType):
+        if isinstance(dt, StructType):
+            return ("struct", frozenset((f.name, canon(f.dataType)) for f in dt.fields))
+        if isinstance(dt, ArrayType):
+            return ("array", canon(dt.elementType))
+        return dt.simpleString()
+
+    assert canon(finalize_type(merge_types(ta, tb))) == canon(
+        finalize_type(merge_types(tb, ta))
+    )
+
+
+def test_int_boundaries_exact():
+    # the reference's 32/64-bit numeric splits (ExpandJson.java:201-209)
+    assert infer_schema_for_json(str(2**31 - 1)) == IntegerType()
+    assert infer_schema_for_json(str(2**31)) == LongType()
+    assert infer_schema_for_json(str(-(2**31))) == IntegerType()
+    assert infer_schema_for_json(str(-(2**31) - 1)) == LongType()
+    assert infer_schema_for_json(str(2**63 - 1)) == LongType()
+    assert infer_schema_for_json(str(2**63)) == StringType()

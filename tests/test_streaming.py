@@ -177,6 +177,63 @@ def test_running_aggregate_state(spark, events_path):
     assert got["bob"] == (2, 10.0, 5.0, 5.0)
 
 
+def test_stream_static_join(spark, events_path):
+    """Stream-static join (SURVEY.md §2.2 streaming): the static side is
+    re-read per micro-batch, no watermark needed."""
+    stream = file_stream_source(spark, events_path, EVENT_SCHEMA)
+    users = spark.createDataFrame(
+        [("alice", "US"), ("bob", "DE")], "user string, country string"
+    )
+    joined = stream.join(users, "user").select("event_id", "user", "country")
+    out = run_to_table(spark, joined).collect()
+    got = {(r["event_id"], r["country"]) for r in out}
+    assert got == {(1, "US"), (2, "US"), (4, "US"), (3, "DE"), (5, "DE")}
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-bound condition:
+    purchases matched to clicks within the preceding 30 minutes."""
+    clicks_p = tmp_path / "clicks"
+    buys_p = tmp_path / "buys"
+    clicks_p.mkdir()
+    buys_p.mkdir()
+    clicks = [
+        {"event_id": 1, "user": "alice", "ts": "2026-01-01T10:00:00Z", "props": "{}"},
+        {"event_id": 2, "user": "bob", "ts": "2026-01-01T10:05:00Z", "props": "{}"},
+    ]
+    buys = [
+        # within 30min of alice's click -> matches
+        {"event_id": 10, "user": "alice", "ts": "2026-01-01T10:20:00Z", "props": "{}"},
+        # 2h after bob's click -> outside the bound, no match
+        {"event_id": 11, "user": "bob", "ts": "2026-01-01T12:05:00Z", "props": "{}"},
+    ]
+    (clicks_p / "c.json").write_text("\n".join(json.dumps(r) for r in clicks))
+    (buys_p / "b.json").write_text("\n".join(json.dumps(r) for r in buys))
+
+    c = (
+        file_stream_source(spark, str(clicks_p), EVENT_SCHEMA)
+        .selectExpr("user", "ts AS click_ts", "event_id AS click_id")
+        .withWatermark("click_ts", "1 hour")
+    )
+    b = (
+        file_stream_source(spark, str(buys_p), EVENT_SCHEMA)
+        .selectExpr("user AS buyer", "ts AS buy_ts", "event_id AS buy_id")
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = c.join(
+        b,
+        F.expr(
+            """
+            user = buyer AND
+            buy_ts >= click_ts AND
+            buy_ts <= click_ts + INTERVAL 30 MINUTES
+            """
+        ),
+    ).select("user", "click_id", "buy_id")
+    out = run_to_table(spark, joined).collect()
+    assert {(r["user"], r["click_id"], r["buy_id"]) for r in out} == {("alice", 1, 10)}
+
+
 def test_rate_source_plan(spark):
     from kafka_connect_expand_json_transform_spark.streaming import rate_source
 
