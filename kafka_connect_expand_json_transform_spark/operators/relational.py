@@ -20,24 +20,31 @@ def asof_join(
     on: str | Sequence[str],
     left_time: str,
     right_time: str | None = None,
+    direction: str = "backward",
     tolerance_seconds: float | None = None,
     suffix: str = "_right",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row with
-    ``right_time <= left_time`` per key (ties match).
+    """As-of join: for each left row, the matching right row per key —
+    ``backward`` (latest right with rt <= lt, the default/pandas semantics),
+    ``forward`` (earliest right with rt >= lt), or ``nearest`` (smaller
+    absolute gap, ties to backward). Equal times match in every direction.
 
     Spark has no as-of primitive (SURVEY.md §2.2), so this uses the
-    union + last(ignorenulls) over ordered window trick:
+    union + ordered-window fill trick:
 
         L(key, t, payload, NULLs) UNION R(key, t, NULLs, payload)
-        -> last(right cols, ignorenulls) over (partition key order t, side)
+        -> last(right cols, ignorenulls) over (key order t)   [backward]
+           first(right cols, ignorenulls) over reverse frame  [forward]
         -> keep left rows
 
     Cost model: exactly ONE shuffle on the key (the window's partitionBy) —
     the same exchange a sort-merge join would need, with no join explosion
-    and no per-key driver loop, so it scales to 100 TB the way a SMJ does.
+    and no per-key driver loop, so it scales to 100 TB the way a SMJ does
+    (``nearest`` adds one extra in-partition sort, still one shuffle).
     Skewed keys are split by AQE.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     rt = right_time or left_time
     lpayload = [c for c in left.columns if c not in keys and c != left_time]
@@ -45,6 +52,7 @@ def asof_join(
 
     rp_names = {c: (c + suffix if c in left.columns else c) for c in rpayload}
     rtime_out = rt + suffix if rt in left.columns or rt == left_time else rt
+    rcols = [*rp_names.values(), rtime_out]
 
     lhs = left.select(
         *[F.col(k) for k in keys],
@@ -62,32 +70,59 @@ def asof_join(
         *[F.col(c).alias(rp_names[c]) for c in rpayload],
         F.col(rt).alias(rtime_out),
     )
-
-    # right rows sort before left rows at equal time, so an equal-time right
-    # row is visible to the left row (backward-inclusive semantics)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t"), F.col("__is_left"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     filled = lhs.unionByName(rhs)
-    for c in [*rp_names.values(), rtime_out]:
-        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+
+    tol = None if tolerance_seconds is None else F.lit(float(tolerance_seconds))
+    t_sec = F.col("__t").cast("double")
+
+    if direction in ("backward", "nearest"):
+        # right rows sort before left rows at equal time, so an equal-time
+        # right row is visible looking backward (inclusive semantics)
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t"), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in rcols:
+            filled = filled.withColumn(f"__b_{c}", F.last(F.col(c), ignorenulls=True).over(wb))
+    if direction in ("forward", "nearest"):
+        # left rows sort before right rows at equal time -> equal-time right
+        # row is inside the forward frame
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t"), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        for c in rcols:
+            filled = filled.withColumn(f"__f_{c}", F.first(F.col(c), ignorenulls=True).over(wf))
 
     out = filled.where(F.col("__is_left") == 1)
-    if tolerance_seconds is not None:
-        within = (
-            F.col("__t").cast("double") - F.col(rtime_out).cast("double")
-        ) <= F.lit(float(tolerance_seconds))
-        for c in rp_names.values():
-            out = out.withColumn(c, F.when(within, F.col(c)))
-        out = out.withColumn(rtime_out, F.when(within, F.col(rtime_out)))
+
+    def picked(c: str) -> Column:
+        if direction == "backward":
+            chosen = F.col(f"__b_{c}")
+            valid = F.lit(True) if tol is None else (t_sec - F.col(f"__b_{rtime_out}").cast("double")) <= tol
+            return F.when(valid, chosen)
+        if direction == "forward":
+            chosen = F.col(f"__f_{c}")
+            valid = F.lit(True) if tol is None else (F.col(f"__f_{rtime_out}").cast("double") - t_sec) <= tol
+            return F.when(valid, chosen)
+        b_lag = t_sec - F.col(f"__b_{rtime_out}").cast("double")
+        f_lag = F.col(f"__f_{rtime_out}").cast("double") - t_sec
+        b_ok = b_lag.isNotNull() if tol is None else (b_lag <= tol)
+        f_ok = f_lag.isNotNull() if tol is None else (f_lag <= tol)
+        use_b = (F.coalesce(b_ok, F.lit(False))) & (
+            ~F.coalesce(f_ok, F.lit(False)) | (b_lag <= f_lag)
+        )
+        return F.when(use_b, F.col(f"__b_{c}")).otherwise(
+            F.when(F.coalesce(f_ok, F.lit(False)), F.col(f"__f_{c}"))
+        )
+
     return out.select(
         *keys,
         F.col("__t").alias(left_time),
         *lpayload,
-        *rp_names.values(),
-        rtime_out,
+        *[picked(c).alias(c) for c in rcols],
     )
 
 

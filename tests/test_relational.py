@@ -1,0 +1,111 @@
+"""Unit tests for operators.relational — the only relational ops the engine
+implements itself (everything else is stock Spark; SURVEY.md §2.2)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_expand_json_transform_spark.operators.relational import (
+    asof_join,
+    sessionize,
+    top_k_per_group,
+)
+
+
+def ts(minute):
+    return datetime.datetime(2026, 1, 1, 10, minute, 0)
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [("A", ts(0), 100.0), ("A", ts(10), 101.0), ("B", ts(5), 50.0)],
+        "sym string, t timestamp, px double",
+    )
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts(0), 99.5),   # equal-time with first trade
+            ("A", ts(7), 100.5),
+            ("A", ts(12), 101.5),
+            ("B", ts(9), 49.5),   # after B's only trade
+        ],
+        "sym string, t timestamp, bid double",
+    )
+
+
+def rows(df):
+    return {
+        (r["sym"], r["t"].minute): (r["bid"], r["t_right"].minute if r["t_right"] else None)
+        for r in df.collect()
+    }
+
+
+def test_asof_backward(spark, trades, quotes):
+    got = rows(asof_join(trades, quotes, on="sym", left_time="t"))
+    assert got == {
+        ("A", 0): (99.5, 0),     # equal time matches
+        ("A", 10): (100.5, 7),   # latest quote <= 10:10
+        ("B", 5): (None, None),  # no quote before 10:05
+    }
+
+
+def test_asof_forward(spark, trades, quotes):
+    got = rows(asof_join(trades, quotes, on="sym", left_time="t", direction="forward"))
+    assert got == {
+        ("A", 0): (99.5, 0),     # equal time matches forward too
+        ("A", 10): (101.5, 12),  # earliest quote >= 10:10
+        ("B", 5): (49.5, 9),
+    }
+
+
+def test_asof_nearest_ties_backward(spark, trades, quotes):
+    got = rows(asof_join(trades, quotes, on="sym", left_time="t", direction="nearest"))
+    assert got == {
+        ("A", 0): (99.5, 0),
+        ("A", 10): (101.5, 12),  # forward gap 2min < backward gap 3min
+        ("B", 5): (49.5, 9),     # only a forward match exists
+    }
+
+
+def test_asof_tolerance(spark, trades, quotes):
+    got = rows(
+        asof_join(trades, quotes, on="sym", left_time="t", tolerance_seconds=120)
+    )
+    # backward within 2 minutes only: the 10:07 quote is 3min before 10:10
+    assert got[("A", 10)] == (None, None)
+    assert got[("A", 0)] == (99.5, 0)
+
+
+def test_asof_nearest_tolerance(spark, trades, quotes):
+    got = rows(
+        asof_join(
+            trades, quotes, on="sym", left_time="t",
+            direction="nearest", tolerance_seconds=150,
+        )
+    )
+    # backward 3min excluded, forward 2min within tolerance
+    assert got[("A", 10)] == (101.5, 12)
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 5), ("g1", 3), ("g2", 9)], "g string, v int"
+    )
+    out = top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
+    got = sorted((r["g"], r["v"], r["rn"]) for r in out.collect())
+    assert got == [("g1", 3, 2), ("g1", 5, 1), ("g2", 9, 1)]
+
+
+def test_sessionize(spark):
+    df = spark.createDataFrame(
+        [("u", ts(0)), ("u", ts(5)), ("u", ts(40)), ("v", ts(1))],
+        "user string, t timestamp",
+    )
+    out = sessionize(df, "user", "t", gap_seconds=1800)
+    got = {(r["user"], r["t"].minute): r["session_id"] for r in out.collect()}
+    assert got == {("u", 0): 1, ("u", 5): 1, ("u", 40): 2, ("v", 1): 1}
