@@ -254,6 +254,35 @@ def connected_components(
     return labels
 
 
+def embedding_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    max_iterations: int = 10,
+    block_size: int = 2048,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal: tiled-GEMM all-pairs above
+    ``threshold`` (see ``similarity.cosine_pairs_above``) -> connected
+    components -> keep the min-id row per cluster.
+
+    At 100 TB replace the exact all-pairs stage with LSH/IVF candidates and
+    keep the same edge->components->keep-min tail.
+    """
+    from kafka_connect_expand_json_transform_spark.llmops.similarity import (
+        cosine_pairs_above,
+    )
+
+    edges = cosine_pairs_above(
+        df, threshold, id_col=id_col, vec_col=vec_col, block_size=block_size
+    ).select("id_a", "id_b")
+    comp = connected_components(edges, "id_a", "id_b", max_iterations)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash) per doc: token hashing stays in codegen (xxhash64
     expression), the 64-bit sign-vote runs as one vectorized numpy pass in a

@@ -1206,6 +1206,36 @@ def neardup_jaccard_pairs(spark, sf_dir):
     )
 
 
+@query("embedding_dedup_pipeline")  # iterative connected components: rows-only
+def embedding_dedup_pipeline(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = dedup.embedding_dedup(emb, "embedding", "vec_id", threshold=0.95)
+    return kept.agg(F.count("*").alias("n_kept"), F.sum("vec_id").alias("sum_kept_ids"))
+
+
+@query(
+    "set_multiset_ops",
+    """
+    WITH c AS (SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 200),
+         s AS (SELECT s_nationkey AS k FROM supplier)
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT k FROM c INTERSECT ALL SELECT k FROM s)) AS n_intersect_all,
+      (SELECT COUNT(*) FROM (SELECT k FROM c EXCEPT ALL SELECT k FROM s)) AS n_except_all
+    """,
+)
+def set_multiset_ops(spark, sf_dir):
+    """Multiset set-ops (INTERSECT ALL / EXCEPT ALL) — multiplicity-aware."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 200)
+        .select(F.col("c_nationkey").alias("k"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    ia = c.intersectAll(s).agg(F.count("*").alias("n_intersect_all"))
+    ea = c.exceptAll(s).agg(F.count("*").alias("n_except_all"))
+    return ia.crossJoin(ea)
+
+
 @query("minhash_dedup_pipeline")  # iterative connected components: rows-only
 def minhash_dedup_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
