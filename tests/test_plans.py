@@ -1,0 +1,82 @@
+"""Physical-plan property tests — the scale contract, asserted (SURVEY.md §4:
+everything Catalyst gives us is only 'free' if the plans actually use it).
+
+These guard against regressions that correctness tests can't see: a lost
+filter pushdown, a broadcast that silently became a shuffle, a cartesian
+product sneaking into an equi-join.
+"""
+
+import pytest
+
+from kafka_connect_expand_json_transform_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: the 16-column lineitem reads only the 7 needed columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read_schema.count(":") <= 8, read_schema
+    assert "HashAggregate" in plan  # partial+final pair
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_no_cartesian_and_broadcast_chain(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_expand_json_is_narrow(spark):
+    """The core transform must stay a shuffle-free projection: a single
+    Exchange for the final aggregation, none before it."""
+    plan = plan_of(spark, "expand_whole_value")
+    assert "Exchange" not in plan  # pure projection: no shuffle at all
+    assert "from_json" in plan or "JsonToStructs" in plan.lower() or "Project" in plan
+
+
+def test_equi_joins_never_cartesian(spark):
+    for name in ("join_left_count", "join_semi", "join_anti", "join_right_count",
+                 "range_join_order_events"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_topk_pushes_window_group_limit(spark):
+    plan = plan_of(spark, "topk_per_group")
+    # Spark 3.5+ WindowGroupLimit: only ~k rows per group survive the sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_whole_stage_codegen_present(spark):
+    # with AQE the codegen'd final plan only exists after execution
+    for name in ("q1_pricing_summary", "scalar_string_funcs", "math_funcs"):
+        df = QUERIES[name](spark, SF)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        # codegen'd operators carry the "*(stageId)" prefix in the final plan
+        assert "*(" in final, name
+
+
+def test_exact_dedup_shuffles_fingerprint_not_text(spark):
+    plan = plan_of(spark, "dedup_exact_keep_min")
+    # the shuffle keys must be the md5 fingerprint / id, never the raw text
+    part_args = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert part_args, "expected a hash exchange"
+    assert not any("text#" in l for l in part_args), part_args
