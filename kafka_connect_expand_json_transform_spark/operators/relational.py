@@ -143,6 +143,40 @@ def top_k_per_group(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+    salt_col: str = "__salt",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (skewed) left side into
+    ``salt_buckets`` sub-keys and replicate the right side once per bucket,
+    so a hot key's rows spread over ``salt_buckets`` tasks instead of one.
+
+    AQE's skew-join split (on by default in ``get_spark``) handles most skew
+    at runtime; reach for explicit salting when a single key exceeds what one
+    task can hold even after AQE splitting, or on Spark builds/paths where
+    AQE can't rewrite (e.g. some stream-static joins).
+
+    Cost: right side × salt_buckets rows through the shuffle — size
+    ``salt_buckets`` to the skew factor, not higher. Supported ``how``:
+    inner/left (right-preserving joins would need right-side salting).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_l = left.withColumn(
+        salt_col, (F.abs(F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id())) % salt_buckets)
+    )
+    salted_r = right.withColumn(
+        salt_col, F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_l.join(salted_r, [*keys, salt_col], how)
+    return out.drop(salt_col)
+
+
 def sessionize(
     df: DataFrame,
     key: str,

@@ -101,6 +101,23 @@ def test_top_k_per_group(spark):
     assert got == [("g1", 3, 2), ("g1", 5, 1), ("g2", 9, 1)]
 
 
+def test_salted_join_matches_plain_join(spark):
+    from kafka_connect_expand_json_transform_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold", 0)], "k string, v int"
+    )
+    right = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, tag string")
+    plain = {(r["k"], r["v"], r["tag"]) for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["v"], r["tag"]) for r in salted_join(left, right, "k", salt_buckets=4).collect()}
+    assert salted == plain
+    # left join preserves unmatched left rows
+    left2 = left.union(spark.createDataFrame([("orphan", 1)], "k string, v int"))
+    lp = {(r["k"], r["v"], r["tag"]) for r in left2.join(right, "k", "left").collect()}
+    ls = {(r["k"], r["v"], r["tag"]) for r in salted_join(left2, right, "k", how="left", salt_buckets=4).collect()}
+    assert ls == lp
+
+
 def test_sessionize(spark):
     df = spark.createDataFrame(
         [("u", ts(0)), ("u", ts(5)), ("u", ts(40)), ("v", ts(1))],
