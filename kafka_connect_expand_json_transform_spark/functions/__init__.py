@@ -1,3 +1,3 @@
-from kafka_connect_expand_json_transform_spark.functions import text, vectors
+from kafka_connect_expand_json_transform_spark.functions import text, udtf, variant, vectors
 
-__all__ = ["text", "vectors"]
+__all__ = ["text", "udtf", "variant", "vectors"]

@@ -177,6 +177,43 @@ def test_running_aggregate_state(spark, events_path):
     assert got["bob"] == (2, 10.0, 5.0, 5.0)
 
 
+def _have_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="transformWithStateInPandas's state server needs google.protobuf, "
+    "not installed in this container",
+)
+def test_running_aggregate_transform_with_state(spark, events_path):
+    """Spark 4 transformWithStateInPandas path (typed ValueState on the
+    RocksDB store) — same totals as the applyInPandasWithState twin."""
+    from kafka_connect_expand_json_transform_spark.streaming.stateful import (
+        running_aggregate_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = file_stream_source(spark, events_path, EVENT_SCHEMA)
+        with_k = stream.withColumn("k", F.get_json_object("props", "$.k").cast("double"))
+        agg = running_aggregate_tws(with_k, ["user"], "k")
+        out = run_to_table(spark, agg, output_mode="update").collect()
+        got = {r["user"]: (r["n"], r["total"], r["min_value"], r["max_value"]) for r in out}
+        assert got["alice"] == (3, 70.0, 10.0, 40.0)
+        assert got["bob"] == (2, 10.0, 5.0, 5.0)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_stream_static_join(spark, events_path):
     """Stream-static join (SURVEY.md §2.2 streaming): the static side is
     re-read per micro-batch, no watermark needed."""
