@@ -1236,6 +1236,42 @@ def set_multiset_ops(spark, sf_dir):
     return ia.crossJoin(ea)
 
 
+@query(
+    "doc_quality_scores",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS rawtoks,
+        list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS lowtoks,
+        len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+        length(text) AS n_chars
+      FROM documents)
+    SELECT doc_id,
+      round(
+        0.4 * least(CAST(len(rawtoks) AS DOUBLE) / 20.0, 1.0)
+      + 0.3 * (CAST(len(list_distinct(lowtoks)) AS DOUBLE) / CAST(greatest(len(lowtoks), 1) AS DOUBLE))
+      + 0.2 * (CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE))
+      + 0.1 * least((CAST(len(list_filter(lowtoks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                     / CAST(greatest(len(lowtoks), 1) AS DOUBLE)) * 5.0, 1.0), 4) AS quality
+    FROM t
+    """,
+)
+def doc_quality_scores(spark, sf_dir):
+    """Composite quality score, value-exact against the SQL formulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.quality_score("text").alias("quality"))
+
+
+@query("curation_pipeline")  # iterative CC inside minhash_dedup: rows-only
+def curation_pipeline(spark, sf_dir):
+    """End-to-end curation: quality filter -> exact dedup -> near-dup dedup."""
+    from kafka_connect_expand_json_transform_spark.llmops.curation import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curate(docs, min_quality=0.5, min_tokens=5, near_dup_threshold=0.8)
+    return kept.agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_kept_ids"))
+
+
 @query("minhash_dedup_pipeline")  # iterative connected components: rows-only
 def minhash_dedup_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

@@ -178,3 +178,23 @@ def test_multimodal_real_decode_is_stubbed(spark, docs):
     feats = multimodal.extract_image_features(with_payload, fake=False)
     with pytest.raises(Exception, match="NotImplementedError|imaging library"):
         feats.collect()
+
+
+def test_curation_pipeline_report(spark, docs):
+    from kafka_connect_expand_json_transform_spark.llmops.curation import curate
+
+    kept, report = curate(
+        docs, min_quality=0.0, min_tokens=1, near_dup_threshold=0.8, with_report=True
+    )
+    assert report.n_input == docs.count()
+    # each stage only removes rows
+    assert (
+        report.n_input
+        >= report.n_after_quality
+        >= report.n_after_exact_dedup
+        >= report.n_after_near_dedup
+        == kept.count()
+    )
+    # quality floor actually filters
+    strict = curate(docs, min_quality=0.9, min_tokens=1)
+    assert strict.count() <= report.n_after_near_dedup
