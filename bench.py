@@ -23,12 +23,14 @@ def main() -> int:
 
     spark = get_spark(app_name="kafka-connect-expand-json-transform-spark-bench")
 
-    # warmup: absorb JVM + codegen + parquet footer reads
+    # warmup: absorb JVM + codegen + parquet footer reads across the tables
+    # the suite touches (keeps per-query numbers about the query, not startup)
     from kafka_connect_expand_json_transform_spark.sources.batch import load_table
 
-    load_table(spark, sf_dir, "lineitem").limit(1000).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).limit(1000).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

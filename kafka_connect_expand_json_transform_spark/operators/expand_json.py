@@ -143,6 +143,12 @@ def expand_json(
         if missing:
             raise ValueError(f"no static schema supplied for fields: {missing}")
     else:  # sample
+        if df.isStreaming:
+            raise ValueError(
+                "infer='sample' cannot sample a streaming DataFrame at plan "
+                "time; use streaming.expand_json_stream with sample_df=, or "
+                "infer='static'/'variant'"
+            )
         schemas = {
             f: infer_schema_for_column(
                 df,

@@ -276,3 +276,13 @@ def test_rate_source_plan(spark):
 
     df = rate_source(spark, rows_per_second=10)
     assert df.isStreaming and set(df.columns) == {"timestamp", "value"}
+
+
+def test_expand_json_sample_rejects_streaming(spark, events_path):
+    from kafka_connect_expand_json_transform_spark.operators.expand_json import (
+        expand_json,
+    )
+
+    stream = file_stream_source(spark, events_path, EVENT_SCHEMA)
+    with pytest.raises(ValueError, match="expand_json_stream"):
+        expand_json(stream, fields=["props"])
