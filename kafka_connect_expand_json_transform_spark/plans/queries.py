@@ -215,8 +215,9 @@ def q3_shipping_priority(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # customer side is small after the segment filter -> broadcast
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF — no broadcast hint; AQE broadcasts it at
+        # small SF and falls back to SMJ at 100 TB where it must
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dbl(F.sum(_disc_price())).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -247,7 +248,9 @@ def q5_local_supplier_volume(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
-    # dimension chain nation⋈region is tiny: broadcast everywhere
+    # nation⋈region is FIXED cardinality (25×5 rows at any SF) — the only
+    # joins where a broadcast hint is scale-safe; customer/supplier grow with
+    # SF, so their join strategy is left to AQE
     nr = F.broadcast(
         t["nation"].join(t["region"], t["nation"].n_regionkey == t["region"].r_regionkey).where(
             F.col("r_name") == "ASIA"
@@ -258,7 +261,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
