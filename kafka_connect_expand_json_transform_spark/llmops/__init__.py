@@ -1,8 +1,9 @@
 from kafka_connect_expand_json_transform_spark.llmops import (
+    curation,
     dedup,
     multimodal,
     similarity,
     text_analysis,
 )
 
-__all__ = ["dedup", "multimodal", "similarity", "text_analysis"]
+__all__ = ["curation", "dedup", "multimodal", "similarity", "text_analysis"]

@@ -12,8 +12,12 @@ from kafka_connect_expand_json_transform_spark.streaming.sources import (
     memory_sink,
     rate_source,
 )
+from kafka_connect_expand_json_transform_spark.streaming.sources import (
+    foreach_batch_sink,
+)
 from kafka_connect_expand_json_transform_spark.streaming.stateful import (
     running_aggregate,
+    running_aggregate_tws,
 )
 from kafka_connect_expand_json_transform_spark.streaming.windows import (
     session_window_agg,
@@ -25,9 +29,11 @@ from kafka_connect_expand_json_transform_spark.streaming.windows import (
 __all__ = [
     "expand_json_stream",
     "file_stream_source",
+    "foreach_batch_sink",
     "memory_sink",
     "rate_source",
     "running_aggregate",
+    "running_aggregate_tws",
     "session_window_agg",
     "sliding_window_agg",
     "stream_dedup",
