@@ -65,7 +65,10 @@ def curate(
     accounting is optional because it is not free).
     """
     staged = quality_filter(df, text_col, min_quality, min_tokens)
-    exact = exact_dedup(staged, text_col, id_col)
+    # lazy local checkpoint: the exact-dedup output feeds the MinHash stage
+    # THREE times (signatures, Jaccard verify, final anti-join) — without it
+    # the filter+groupBy+semi-join lineage re-executes per use
+    exact = exact_dedup(staged, text_col, id_col).localCheckpoint(eager=False)
     near = minhash_dedup(exact, text_col, id_col, threshold=near_dup_threshold)
     if not with_report:
         return near
