@@ -40,6 +40,54 @@ def read_kafka_stream(
     return df
 
 
+def expand_kafka_records(
+    df: DataFrame,
+    side: str = "value",
+    schema=None,
+    infer: str = "sample",
+    sample_df: DataFrame | None = None,
+    mode: str = "PERMISSIVE",
+    schema_name_prefix: str | None = None,
+) -> DataFrame:
+    """The reference's ``ExpandJson$Key`` / ``ExpandJson$Value`` deployment
+    shape (ExpandJson.java:277-319, readme.md:38-42) over the Kafka record
+    tuple: expand the chosen side's JSON text into a typed struct, pass every
+    other record column (topic/partition/offset/timestamp and the other side)
+    through untouched.
+
+    Works on batch or streaming frames; streaming + ``infer='sample'`` needs
+    ``sample_df`` (see ``streaming.expand_json_stream``).
+    """
+    if side not in ("key", "value"):
+        raise ValueError("side must be 'key' or 'value' (ExpandJson.java:277,299)")
+    from kafka_connect_expand_json_transform_spark.operators.expand_json import (
+        expand_json,
+    )
+
+    if df.isStreaming and infer == "sample":
+        from kafka_connect_expand_json_transform_spark.streaming.expand import (
+            expand_json_stream,
+        )
+
+        return expand_json_stream(
+            df,
+            source_column=side,
+            schema=schema,
+            infer=infer,
+            sample_df=sample_df,
+            mode=mode,
+            schema_name_prefix=schema_name_prefix,
+        )
+    return expand_json(
+        df,
+        source_column=side,
+        schema=schema,
+        infer="static" if schema is not None else infer,
+        mode=mode,
+        schema_name_prefix=schema_name_prefix,
+    )
+
+
 def write_kafka_stream(
     df: DataFrame,
     bootstrap_servers: str,

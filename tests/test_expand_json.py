@@ -204,3 +204,36 @@ def test_sample_strategy_on_testdata(spark, sf_dir):
     out = expand_json(events, fields=["props"])
     assert out.schema["props"].dataType["k"].dataType == IntegerType()
     assert out.where(F.col("props.k").isNotNull()).count() > 0
+
+
+def test_expand_kafka_record_tuple_key_and_value(spark):
+    """The reference's actual deployment: a Kafka-shaped record tuple with
+    binary key/value; expand one side, everything else passes through
+    (ExpandJson.java:277-319 Key/Value subclasses; newRecord at 290/312)."""
+    from kafka_connect_expand_json_transform_spark.sources.kafka import (
+        expand_kafka_records,
+    )
+
+    rows = [
+        (b'{"id": 7}', b'{"amount": 12.5, "ok": true}', "orders", 0, 100, None),
+        (b'{"id": 8}', b'{"amount": 1.0, "ok": false}', "orders", 1, 101, None),
+    ]
+    kafka_shaped = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp",
+    )
+    by_value = expand_kafka_records(kafka_shaped, side="value")
+    assert by_value.schema["value"].dataType.simpleString() == (
+        "struct<amount:double,ok:boolean>"
+    )
+    r = by_value.orderBy("offset").first()
+    assert bytes(r["key"]) == b'{"id": 7}'  # other side untouched
+    assert (r["topic"], r["partition"], r["offset"]) == ("orders", 0, 100)
+    assert r["value"]["amount"] == 12.5 and r["value"]["ok"] is True
+
+    by_key = expand_kafka_records(kafka_shaped, side="key")
+    assert by_key.schema["key"].dataType.simpleString() == "struct<id:int>"
+    k = by_key.orderBy("offset").first()
+    assert k["key"]["id"] == 7
+    assert bytes(k["value"]) == b'{"amount": 12.5, "ok": true}'
