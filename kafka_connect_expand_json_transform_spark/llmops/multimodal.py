@@ -123,6 +123,84 @@ def extract_image_features(
     return df.mapInPandas(process, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target_width: int = 224,
+    target_height: int = 224,
+    fake: bool = True,
+) -> DataFrame:
+    """Resize plumbing: payload in -> payload out with updated meta. Fake
+    mode passes bytes through and stamps the target dimensions; a real
+    implementation swaps the inner loop for PIL/opencv resize."""
+    out_schema = StructType(
+        [f for f in df.schema.fields]
+        + [
+            StructField("resized_payload", BinaryType(), True),
+            StructField("resized_width", IntegerType(), True),
+            StructField("resized_height", IntegerType(), True),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires an imaging library not present "
+                    "in this environment"
+                )
+            pdf = pdf.copy()
+            pdf["resized_payload"] = pdf[payload_col]
+            pdf["resized_width"] = pd.array([target_width] * len(pdf), dtype="int32")
+            pdf["resized_height"] = pd.array([target_height] * len(pdf), dtype="int32")
+            yield pdf
+
+    return df.mapInPandas(process, schema=out_schema)
+
+
+AUDIO_FEATURE_DIM = 8
+
+
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Audio feature extraction plumbing: payload -> fixed-dim float vector
+    (the embedding-ready shape). Fake mode derives a deterministic
+    pseudo-feature vector from the payload hash; a real implementation swaps
+    in e.g. librosa MFCCs."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    out_schema = StructType(
+        [f for f in df.schema.fields]
+        + [StructField("audio_features", ArrayType(FloatType(), True), True)]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decode requires an audio library not present "
+                        "in this environment"
+                    )
+                digest = hashlib.sha256(raw).digest()
+                feats.append(
+                    [
+                        int.from_bytes(digest[i * 2 : i * 2 + 2], "big") / 65535.0
+                        for i in range(AUDIO_FEATURE_DIM)
+                    ]
+                )
+            pdf = pdf.copy()
+            pdf["audio_features"] = feats
+            yield pdf
+
+    return df.mapInPandas(process, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

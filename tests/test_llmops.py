@@ -198,3 +198,26 @@ def test_curation_pipeline_report(spark, docs):
     # quality floor actually filters
     strict = curate(docs, min_quality=0.9, min_tokens=1)
     assert strict.count() <= report.n_after_near_dedup
+
+
+def test_multimodal_resize_and_audio_plumbing(spark, docs):
+    from kafka_connect_expand_json_transform_spark.llmops.multimodal import (
+        AUDIO_FEATURE_DIM,
+        attach_binary_payload,
+        extract_audio_features,
+        resize_images,
+    )
+
+    with_payload = attach_binary_payload(docs.limit(10), "text")
+    resized = resize_images(with_payload, target_width=64, target_height=32)
+    r = resized.first()
+    assert (r["resized_width"], r["resized_height"]) == (64, 32)
+    assert bytes(r["resized_payload"]) == bytes(r["payload"])  # fake passthrough
+
+    audio = extract_audio_features(with_payload)
+    a = audio.first()
+    assert len(a["audio_features"]) == AUDIO_FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in a["audio_features"])
+    # deterministic: same payload -> same features
+    b = extract_audio_features(with_payload).first()
+    assert a["audio_features"] == b["audio_features"]
