@@ -162,9 +162,10 @@ def simhash64(toks: Column) -> Column:
     ``aggregate`` — codegen'd, no UDF.
 
     PERF: pass a *materialized* token-array column; the hash array below is
-    referenced 64 times, so ``toks`` must be an attribute, and callers should
-    ideally stage ``transform(toks, xxhash64)`` as its own column and call
-    ``simhash64_from_hashes`` (see ``dedup.simhash_dedup_candidates``)."""
+    referenced 64 times, so ``toks`` must be an attribute. This expression
+    form is the semantic reference; the production path is
+    ``dedup.simhash_signatures`` (numpy sign-vote in a pandas UDF,
+    bit-identical — cross-checked in tests), ~4× faster at sf0.1."""
     return simhash64_from_hashes(F.transform(toks, lambda t: F.xxhash64(t)))
 
 

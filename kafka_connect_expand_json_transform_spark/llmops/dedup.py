@@ -24,12 +24,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+import warnings
+
 from kafka_connect_expand_json_transform_spark.functions.text import (
     md5_fingerprint,
     minhash_md5,
     minhash_xxhash,
     shingles_from_tokens,
-    simhash64_from_hashes,
     tokens,
 )
 
@@ -83,17 +84,19 @@ def lsh_candidate_pairs(
     num_bands: int = 4,
     rows_per_band: int | None = None,
     num_hashes: int | None = None,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL hashes of any band become a
     candidate pair. Emits (id_a, id_b), id_a < id_b, distinct.
 
     Plan shape: explode to (band_key, id) — narrow; groupBy band_key
     collecting ids — ONE shuffle on band keys; pairs generated inside each
-    (tiny) bucket. An all-pairs join never exists in the plan. Degenerate
-    buckets (e.g. empty-text docs) are capped: buckets larger than
-    ``max_bucket`` are dropped as non-discriminative (standard LSH practice —
-    a bucket that big is a stop-shingle, not a dup signal)."""
-    return _lsh_pairs_impl(signatures, id_col, num_bands, rows_per_band, num_hashes)
+    (tiny) bucket. An all-pairs join never exists in the plan. Buckets larger
+    than ``max_bucket`` (mass-duplicated text, boilerplate bands) emit linear
+    STAR edges instead of quadratic all-pairs — see ``_pairs_from_keyed``."""
+    return _lsh_pairs_impl(
+        signatures, id_col, num_bands, rows_per_band, num_hashes, max_bucket
+    )
 
 
 def _lsh_pairs_impl(
@@ -118,14 +121,32 @@ def _lsh_pairs_impl(
         ]
     )
     keyed = signatures.select(F.col(id_col), F.explode(bands).alias("band_key"))
+    return _pairs_from_keyed(keyed, id_col, max_bucket)
+
+
+def _pairs_from_keyed(keyed: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """(band_key, id) -> distinct candidate pairs with ``id_a < id_b``.
+
+    Buckets up to ``max_bucket`` emit all pairs (quadratic in bucket size but
+    bounded). Larger buckets — exactly the mass-duplicated clusters dedup
+    exists for — emit STAR edges to the bucket's min id: linear in bucket
+    size and connectivity-preserving, so connected-components dedup still
+    collapses the whole cluster. The trade-off is that pairwise verification
+    (Jaccard) then only checks members against the hub doc, relying on
+    near-transitivity inside a giant bucket.
+    """
     buckets = keyed.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
-    pairs = (
+    small = (
         buckets.where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
         .select(F.explode(_pairs_expr(F.col("ids"))).alias("p"))
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .distinct()
     )
-    return pairs
+    big = (
+        buckets.where(F.size("ids") > max_bucket)
+        .select(F.array_min("ids").alias("id_a"), F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+    return small.unionByName(big).distinct()
 
 
 def _pairs_expr(ids: Column) -> Column:
@@ -202,13 +223,16 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 10,
 ) -> DataFrame:
-    """Min-label propagation without GraphFrames (SURVEY.md §7 'hard #3'):
-    every node repeatedly adopts the min label among itself and neighbors.
-    Converges in O(log diameter) rounds for dup clusters (tiny diameters);
-    each round is two shuffled joins on the edge table — edge tables for
-    near-dup graphs are orders of magnitude smaller than the corpus.
+    """Min-label propagation + pointer jumping, no GraphFrames (SURVEY.md §7
+    'hard #3'): each round every node adopts the min label among itself and
+    its neighbors, then labels are path-compressed (component <- component's
+    component), giving O(log diameter) rounds; each round is three shuffled
+    joins on the label table — edge tables for near-dup graphs are orders of
+    magnitude smaller than the corpus.
 
-    Returns (id, component) where component = min id in the cluster.
+    Returns (id, component) where component = min id in the cluster. Warns if
+    the iteration cap was hit before convergence (labels then still valid but
+    possibly not fully merged — raise ``max_iterations``).
     """
     # checkpoint FIRST: every derived frame (labels, each round) must build on
     # the materialized edges, or the full upstream pipeline (MinHash + LSH +
@@ -224,6 +248,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["d"] == labels["id"])
@@ -239,6 +264,20 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # pointer jumping: adopt the component's own component, halving the
+        # remaining path length each round (this is what makes it log-round)
+        parent = new_labels.select(
+            F.col("id").alias("pid"), F.col("component").alias("pcomp")
+        )
+        new_labels = (
+            new_labels.join(parent, new_labels["component"] == parent["pid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("pcomp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
         # checkpoint truncates the lineage so the plan doesn't double per round
         new_labels = new_labels.localCheckpoint()
         changed = (
@@ -250,7 +289,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components hit the {max_iterations}-round cap before "
+            "converging; components may be under-merged — raise max_iterations",
+            stacklevel=2,
+        )
     return labels
 
 
@@ -291,25 +337,37 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ``aggregate`` lambdas per doc) measured ~4× slower at sf0.1."""
     from pyspark.sql.functions import pandas_udf
 
+    # cap the transient (tokens, 64) int8 bit matrix at ~128 MB per slice so
+    # long-document batches can't blow executor memory in one allocation
+    max_tokens_per_slice = 2_000_000
+
     @pandas_udf("long")
     def simhash_votes(hashes: pd.Series) -> pd.Series:
         lengths = hashes.map(len).to_numpy()
         out = np.zeros(len(hashes), dtype=np.int64)
-        nonempty = lengths > 0
-        if nonempty.any():
+        ne_idx = np.flatnonzero(lengths > 0)
+        shifts = np.arange(64, dtype=np.uint64)
+        start = 0
+        while start < len(ne_idx):
+            # grow the slice until the token budget is hit (≥1 doc per slice)
+            end, tok = start, 0
+            while end < len(ne_idx) and (
+                end == start or tok + lengths[ne_idx[end]] <= max_tokens_per_slice
+            ):
+                tok += lengths[ne_idx[end]]
+                end += 1
+            sl = ne_idx[start:end]
             # int64 -> uint64 must go through astype (bit-preserving wrap);
             # direct construction from negative ints raises
             flat = np.concatenate(
-                [np.asarray(h, dtype=np.int64) for h in hashes[nonempty]]
+                [np.asarray(hashes.iloc[i], dtype=np.int64) for i in sl]
             ).astype(np.uint64)
-            # (total_tokens, 64) of ±1 votes
-            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int32
-            ) * 2 - 1
-            offsets = np.concatenate(([0], np.cumsum(lengths[nonempty])[:-1]))
-            votes = np.add.reduceat(bits, offsets, axis=0)
-            sig = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-            out[nonempty] = sig.sum(axis=1).astype(np.int64)
+            bits = (((flat[:, None] >> shifts) & 1).astype(np.int8) * 2 - 1)
+            offsets = np.concatenate(([0], np.cumsum(lengths[sl])[:-1]))
+            votes = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+            sig = (votes > 0).astype(np.uint64) << shifts
+            out[sl] = sig.sum(axis=1).astype(np.int64)
+            start = end
         return pd.Series(out)
 
     return df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).select(
@@ -319,7 +377,11 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_dedup_candidates(
-    df: DataFrame, text_col: str, id_col: str, band_bits: int = 16
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    band_bits: int = 16,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """SimHash near-dup candidates: docs sharing any of the four 16-bit bands
     of their 64-bit SimHash (standard Hamming-distance-≤3 trick: if two
@@ -339,10 +401,4 @@ def simhash_dedup_candidates(
         ]
     )
     keyed = sig.select(F.col(id_col), F.explode(bands).alias("band_key"))
-    buckets = keyed.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
-    return (
-        buckets.where((F.size("ids") > 1) & (F.size("ids") <= 200))
-        .select(F.explode(_pairs_expr(F.col("ids"))).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .distinct()
-    )
+    return _pairs_from_keyed(keyed, id_col, max_bucket)

@@ -96,6 +96,7 @@ def lsh_topk(
     num_tables: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing an LSH bucket in any of
     ``num_tables`` hyperplane tables. Recall grows with num_tables; measure
@@ -105,8 +106,23 @@ def lsh_topk(
     (vec × all hyperplanes), exploded to (bucket_key, row) — one narrow pass
     per side, one shuffle on bucket keys. The expression-only alternative
     (``lsh_bucket_expr`` per bit per table) builds bits×tables interpreted
-    dot-product trees — measured ~6× slower at sf0.1 just in plan weight."""
-    dim = len(corpus.select(vec_col).first()[0])
+    dot-product trees — measured ~6× slower at sf0.1 just in plan weight.
+
+    Pass ``dim`` to skip the dimension-probing job on the corpus."""
+    if dim is None:
+        head = corpus.select(vec_col).first()
+        if head is None or head[0] is None:
+            # empty corpus -> empty result with the output schema
+            return (
+                queries.select(
+                    F.col(query_id_col),
+                    F.col(query_id_col).alias(id_col),
+                    F.lit(0.0).alias("cos_sim"),
+                    F.lit(0).alias("rank"),
+                )
+                .where(F.lit(False))
+            )
+        dim = len(head[0])
     planes = np.stack([_hyperplanes(dim, bits, seed + t) for t in range(num_tables)])
     flat = planes.reshape(-1, dim)  # (num_tables*bits, dim)
     nt, nb = num_tables, bits
@@ -165,6 +181,8 @@ def build_ivf_index(
     sample = np.array(
         [r[0] for r in corpus.select(as_double(vec_col)).limit(sample_size).collect()]
     )
+    if len(sample) == 0:
+        raise ValueError("build_ivf_index: corpus is empty, nothing to index")
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=min(num_cells, len(sample)), replace=False)]
     for _ in range(lloyd_iterations):

@@ -54,21 +54,26 @@ def asof_join(
     rtime_out = rt + suffix if rt in left.columns or rt == left_time else rt
     rcols = [*rp_names.values(), rtime_out]
 
+    # the right row travels as ONE struct so the fill can never stitch
+    # columns from different right rows (a per-column ignorenulls fill would
+    # skip genuine NULLs in the matched row and pull stale values forward)
+    rstruct = F.struct(
+        *[F.col(c).alias(rp_names[c]) for c in rpayload],
+        F.col(rt).alias(rtime_out),
+    )
     lhs = left.select(
         *[F.col(k) for k in keys],
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in lpayload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(rp_names[c]) for c in rpayload],
-        F.lit(None).cast(right.schema[rt].dataType).alias(rtime_out),
+        F.lit(None).cast(right.select(rstruct).schema[0].dataType).alias("__r"),
     )
     rhs = right.select(
         *[F.col(k) for k in keys],
         F.col(rt).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpayload],
-        *[F.col(c).alias(rp_names[c]) for c in rpayload],
-        F.col(rt).alias(rtime_out),
+        rstruct.alias("__r"),
     )
     filled = lhs.unionByName(rhs)
 
@@ -83,8 +88,7 @@ def asof_join(
             .orderBy(F.col("__t"), F.col("__is_left"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        for c in rcols:
-            filled = filled.withColumn(f"__b_{c}", F.last(F.col(c), ignorenulls=True).over(wb))
+        filled = filled.withColumn("__rb", F.last(F.col("__r"), ignorenulls=True).over(wb))
     if direction in ("forward", "nearest"):
         # left rows sort before right rows at equal time -> equal-time right
         # row is inside the forward frame
@@ -93,36 +97,34 @@ def asof_join(
             .orderBy(F.col("__t"), F.col("__is_left").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        for c in rcols:
-            filled = filled.withColumn(f"__f_{c}", F.first(F.col(c), ignorenulls=True).over(wf))
+        filled = filled.withColumn("__rf", F.first(F.col("__r"), ignorenulls=True).over(wf))
 
     out = filled.where(F.col("__is_left") == 1)
 
-    def picked(c: str) -> Column:
+    def chosen_struct() -> Column:
+        b_lag = t_sec - F.col("__rb")[rtime_out].cast("double")
+        f_lag = F.col("__rf")[rtime_out].cast("double") - t_sec
         if direction == "backward":
-            chosen = F.col(f"__b_{c}")
-            valid = F.lit(True) if tol is None else (t_sec - F.col(f"__b_{rtime_out}").cast("double")) <= tol
-            return F.when(valid, chosen)
+            valid = F.lit(True) if tol is None else b_lag <= tol
+            return F.when(valid, F.col("__rb"))
         if direction == "forward":
-            chosen = F.col(f"__f_{c}")
-            valid = F.lit(True) if tol is None else (F.col(f"__f_{rtime_out}").cast("double") - t_sec) <= tol
-            return F.when(valid, chosen)
-        b_lag = t_sec - F.col(f"__b_{rtime_out}").cast("double")
-        f_lag = F.col(f"__f_{rtime_out}").cast("double") - t_sec
+            valid = F.lit(True) if tol is None else f_lag <= tol
+            return F.when(valid, F.col("__rf"))
         b_ok = b_lag.isNotNull() if tol is None else (b_lag <= tol)
         f_ok = f_lag.isNotNull() if tol is None else (f_lag <= tol)
         use_b = (F.coalesce(b_ok, F.lit(False))) & (
             ~F.coalesce(f_ok, F.lit(False)) | (b_lag <= f_lag)
         )
-        return F.when(use_b, F.col(f"__b_{c}")).otherwise(
-            F.when(F.coalesce(f_ok, F.lit(False)), F.col(f"__f_{c}"))
+        return F.when(use_b, F.col("__rb")).otherwise(
+            F.when(F.coalesce(f_ok, F.lit(False)), F.col("__rf"))
         )
 
+    picked = chosen_struct()
     return out.select(
         *keys,
         F.col("__t").alias(left_time),
         *lpayload,
-        *[picked(c).alias(c) for c in rcols],
+        *[picked[c].alias(c) for c in rcols],
     )
 
 

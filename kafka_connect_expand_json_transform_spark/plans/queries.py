@@ -892,7 +892,8 @@ def range_join_order_events(spark, sf_dir):
     cond = (
         (ev.user_id == orders.o_custkey)
         & (ev.ts >= orders.o_orderdate)
-        & (ev.ts < F.date_add(orders.o_orderdate, 7))
+        # interval add preserves time-of-day; date_add would truncate to DATE
+        & (ev.ts < orders.o_orderdate + F.expr("INTERVAL 7 DAY"))
     )
     return (
         orders.join(ev, cond)

@@ -37,9 +37,12 @@ def expand_json_stream(
     """``expand_json`` for streaming DataFrames.
 
     ``infer="sample"`` requires ``sample_df``: a batch DataFrame with the same
-    JSON columns, from which schemas are inferred once at plan time.
+    JSON columns, from which schemas are inferred once at plan time. An
+    explicit ``schema=`` short-circuits inference entirely (static).
     """
-    if infer == "sample" and schema is None:
+    if schema is not None:
+        infer = "static"
+    elif infer == "sample":
         if sample_df is None:
             raise ValueError(
                 "streaming expand_json with infer='sample' needs sample_df= "

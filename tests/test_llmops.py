@@ -221,3 +221,24 @@ def test_multimodal_resize_and_audio_plumbing(spark, docs):
     # deterministic: same payload -> same features
     b = extract_audio_features(with_payload).first()
     assert a["audio_features"] == b["audio_features"]
+
+
+def test_minhash_dedup_mass_duplicates_beyond_bucket_cap(spark):
+    """300 copies of one text exceed max_bucket=200; star edges must keep
+    the cluster connected so dedup still collapses it to one doc."""
+    rows = [(i, "the same exact text repeated for the mass duplication test") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    kept = dedup.minhash_dedup(df, "text", "doc_id", threshold=0.8)
+    assert kept.count() == 1
+    assert kept.first()["doc_id"] == 0
+
+
+def test_connected_components_long_chain_converges(spark):
+    """31-node chain: pointer jumping must converge inside the 10-round cap
+    (pure neighbor-min propagation would need 30 rounds)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a int, id_b int"
+    )
+    comp = dedup.connected_components(edges, max_iterations=10)
+    labels = {r["id"]: r["component"] for r in comp.collect()}
+    assert set(labels.values()) == {0}

@@ -92,6 +92,28 @@ def test_asof_nearest_tolerance(spark, trades, quotes):
     assert got[("A", 10)] == (101.5, 12)
 
 
+def test_asof_preserves_nulls_in_matched_row(spark):
+    """A genuine NULL in the matched right row must come through as NULL —
+    never be back-filled from an older right row (pandas merge_asof
+    semantics; guards against per-column ignorenulls fills)."""
+    from kafka_connect_expand_json_transform_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([("k", ts(30))], "sym string, t timestamp")
+    right = spark.createDataFrame(
+        [("k", ts(0), 10.0), ("k", ts(20), None)], "sym string, t timestamp, bid double"
+    )
+    r = asof_join(left, right, on="sym", left_time="t").first()
+    assert r["t_right"].minute == 20  # matched the latest row...
+    assert r["bid"] is None  # ...including its NULL
+
+    # with tolerance: validity judged on the matched row's time, and the
+    # out-of-tolerance match yields NULL, not the older in-tolerance row
+    r2 = asof_join(
+        left, right, on="sym", left_time="t", tolerance_seconds=300
+    ).first()
+    assert r2["bid"] is None and r2["t_right"] is None
+
+
 def test_top_k_per_group(spark):
     df = spark.createDataFrame(
         [("g1", 1), ("g1", 5), ("g1", 3), ("g2", 9)], "g string, v int"
