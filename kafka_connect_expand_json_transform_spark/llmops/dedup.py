@@ -200,11 +200,15 @@ def minhash_dedup(
     num_bands: int = 4,
     shingle_size: int = 3,
     max_iterations: int = 10,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH candidates -> exact-Jaccard
     verify -> connected components -> keep the min-id doc per cluster.
-    Returns the deduplicated DataFrame."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    Returns the deduplicated DataFrame. ``hash_family='md5'`` makes every
+    stage reproducible in ANSI SQL (the oracle-parity mode)."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_size, hash_family
+    )
     cand = lsh_candidate_pairs(sigs, id_col, num_bands, num_hashes=num_hashes)
     edges = (
         jaccard_on_pairs(df, cand, text_col, id_col, shingle_size)

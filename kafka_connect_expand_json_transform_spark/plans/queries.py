@@ -1276,7 +1276,66 @@ def curation_pipeline(spark, sf_dir):
     return kept.agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_kept_ids"))
 
 
-@query("minhash_dedup_pipeline")  # iterative connected components: rows-only
+_SQL_SIG16 = "[" + ", ".join(
+    f"list_min(list_transform(shingles, s -> md5(s || '#{i}')))" for i in range(16)
+) + "]"
+_SQL_BANDS4 = "[" + ", ".join(
+    f"'{b}|' || " + " || '|' || ".join(f"sig[{b * 4 + r + 1}]" for r in range(4))
+    for b in range(4)
+) + "]"
+
+
+@query(
+    "minhash_dedup_md5",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM toks),
+    sig AS (SELECT doc_id, {_SQL_SIG16} AS sig FROM sh),
+    bands AS (SELECT doc_id, unnest({_SQL_BANDS4}) AS bk FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(greatest(len(list_distinct(sa.shingles || sb.shingles)), 1) AS DOUBLE) >= 0.8),
+    sym AS (SELECT id_a AS s, id_b AS d FROM verified
+            UNION SELECT id_b, id_a FROM verified),
+    reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s),
+    losers AS (SELECT DISTINCT s AS doc_id FROM reach GROUP BY s HAVING MIN(d) < s)
+    SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def minhash_dedup_md5(spark, sf_dir):
+    """Flagship dedup pipeline in oracle-parity mode: md5 hash family makes
+    MinHash signatures, LSH bands, Jaccard verification, AND the connected
+    components (recursive-CTE transitive closure in DuckDB) all value-checked
+    end-to-end against ANSI SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup.minhash_dedup(
+        docs, "text", "doc_id", threshold=0.8, num_hashes=16, num_bands=4,
+        hash_family="md5",
+    )
+    return kept.agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_kept_ids"))
+
+
+@query("minhash_dedup_pipeline")  # xxhash production path: rows-only
 def minhash_dedup_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     kept = dedup.minhash_dedup(docs, "text", "doc_id", threshold=0.8, num_hashes=16, num_bands=4)
