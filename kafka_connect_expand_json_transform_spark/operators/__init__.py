@@ -1,4 +1,4 @@
 from kafka_connect_expand_json_transform_spark.operators.expand_json import expand_json
-from kafka_connect_expand_json_transform_spark.operators import relational
+from kafka_connect_expand_json_transform_spark.operators import profiling, relational
 
-__all__ = ["expand_json", "relational"]
+__all__ = ["expand_json", "profiling", "relational"]

@@ -1,0 +1,66 @@
+"""Data profiling operators — [EXT]: the accounting surface a 100 TB pipeline
+runs before committing to a plan (skew detection before choosing a join
+strategy, numeric profiles before choosing partition bounds).
+
+All single-pass, partial-aggregated, shuffle-on-group-keys-only.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def summarize_numeric(
+    df: DataFrame,
+    value_col: str,
+    group_by: Sequence[str] = (),
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group numeric profile: n, min, max, mean, sample-stddev.
+
+    One hash aggregation (partial+final); floats rounded so profiles are
+    engine-comparable and stable across partitionings.
+    """
+    v = F.col(value_col)
+    aggs = [
+        F.count(v).alias("n"),
+        F.round(F.min(v), round_to).alias("min_value"),
+        F.round(F.max(v), round_to).alias("max_value"),
+        F.round(F.avg(v), round_to).alias("mean_value"),
+        F.round(F.stddev_samp(v), round_to).alias("stddev_value"),
+    ]
+    return df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-N hottest keys with their share of all rows and skew factor
+    (count / mean-count-per-key) — the number that says whether a join on
+    this key needs salting (``salted_join``) or AQE will cope.
+
+    Two aggregations (key counts, then global stats broadcast back) — never
+    collects keys to the driver.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("key_count"))
+    totals = counts.agg(
+        F.sum("key_count").alias("__total"),
+        F.avg("key_count").alias("__mean"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "key_count",
+            F.round(F.col("key_count") / F.col("__total"), 6).alias("row_share"),
+            F.round(F.col("key_count") / F.col("__mean"), 4).alias("skew_factor"),
+        )
+        .orderBy(F.col("key_count").desc(), *keys)
+        .limit(top_n)
+    )

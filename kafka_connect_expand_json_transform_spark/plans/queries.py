@@ -975,6 +975,53 @@ def percentiles(spark, sf_dir):
     )
 
 
+@query(
+    "profile_numeric",
+    """
+    SELECT o_orderstatus,
+           COUNT(o_totalprice) AS n,
+           round(min(o_totalprice), 4) AS min_value,
+           round(max(o_totalprice), 4) AS max_value,
+           round(avg(o_totalprice), 4) AS mean_value,
+           round(stddev_samp(o_totalprice), 4) AS stddev_value
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def profile_numeric(spark, sf_dir):
+    """Numeric profiling pass (operators/profiling.py)."""
+    from kafka_connect_expand_json_transform_spark.operators.profiling import (
+        summarize_numeric,
+    )
+
+    return summarize_numeric(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", ["o_orderstatus"]
+    )
+
+
+@query(
+    "key_skew_report",
+    """
+    WITH counts AS (
+      SELECT event_type, COUNT(*) AS key_count FROM events GROUP BY event_type),
+    totals AS (
+      SELECT CAST(SUM(key_count) AS DOUBLE) AS total,
+             CAST(AVG(key_count) AS DOUBLE) AS mean FROM counts)
+    SELECT event_type, key_count,
+           round(key_count / total, 6) AS row_share,
+           round(key_count / mean, 4) AS skew_factor
+    FROM counts, totals
+    ORDER BY key_count DESC, event_type LIMIT 20
+    """,
+)
+def key_skew_report_q(spark, sf_dir):
+    """Skew diagnosis before picking a join strategy (salting vs AQE)."""
+    from kafka_connect_expand_json_transform_spark.operators.profiling import (
+        key_skew_report,
+    )
+
+    return key_skew_report(load_table(spark, sf_dir, "events"), "event_type")
+
+
 # ---------------------------------------------------------------------------
 # [EXT] UDF surface (SURVEY.md §2.2): python UDF, pandas UDF, UDTF,
 # pandas UDAF via applyInPandas
