@@ -1,0 +1,66 @@
+"""Sequence packing — [EXT] LLM-data-pipeline operator: group documents into
+token-budget packs (the pre-tokenization step that turns a curated corpus
+into fixed-budget training sequences).
+
+Packing used here is deterministic cumulative-sum chunking: within a bucket,
+docs are ordered by id and a pack boundary falls wherever the running token
+count crosses a budget multiple. A pack may overshoot the budget by at most
+one document (the standard greedy-chunk trade-off; true bin packing is
+NP-hard and order-dependent — not worth a shuffle-heavy approximation).
+
+Scale shape: one narrow pass for token counts, one shuffle on the bucket key,
+one window cumsum per bucket. Buckets bound the window partition size, so no
+single task ever sorts the whole corpus; packs are only ever built within a
+bucket, which is exactly what a sharded training-data writer wants
+(bucket -> output shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_connect_expand_json_transform_spark.functions.text import token_count
+
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_budget: int = 2048,
+    num_buckets: int = 64,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Assign every document a ``(bucket, pack_id)``; return per-doc rows with
+    pack assignment and token counts. Deterministic: bucket = id % buckets,
+    order inside a bucket = id.
+
+    Pass ``tokens_col`` to pack on precomputed counts (e.g. real tokenizer
+    output) instead of the whitespace token count.
+    """
+    toks = F.col(tokens_col) if tokens_col else token_count(text_col)
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    staged = df.select(
+        F.col(id_col),
+        (F.col(id_col) % num_buckets).alias("bucket"),
+        toks.alias("n_tokens"),
+    )
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return staged.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        F.floor(cum_before / token_budget).cast("int").alias("pack_id"),
+    )
+
+
+def pack_summary(packed: DataFrame) -> DataFrame:
+    """Per-pack accounting: docs per pack and total tokens (the fill-rate
+    signal — mean total_tokens / budget is the packing efficiency)."""
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min(packed.columns[0]).alias("first_doc"),
+    )

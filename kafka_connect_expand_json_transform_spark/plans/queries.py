@@ -1399,6 +1399,44 @@ def simhash_candidates(spark, sf_dir):
 
 
 @query(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 16 AS bucket,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, bucket, n_tokens,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        / 512.0) AS INTEGER) AS pack_id
+      FROM toks)
+    SELECT bucket, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM packed GROUP BY bucket, pack_id
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Token-budget sequence packing (llmops/packing.py) with per-pack
+    accounting — deterministic cumsum chunking, fully oracle-checked."""
+    from kafka_connect_expand_json_transform_spark.llmops.packing import (
+        pack_summary,
+        sequence_pack,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = sequence_pack(docs, token_budget=512, num_buckets=16)
+    return pack_summary(packed).select(
+        "bucket",
+        "pack_id",
+        "n_docs",
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("first_doc").cast("bigint").alias("first_doc"),
+    )
+
+
+@query(
     "text_quality_by_lang",
     f"""
     WITH t AS (

@@ -242,3 +242,26 @@ def test_connected_components_long_chain_converges(spark):
     comp = dedup.connected_components(edges, max_iterations=10)
     labels = {r["id"]: r["component"] for r in comp.collect()}
     assert set(labels.values()) == {0}
+
+
+def test_sequence_packing_invariants(spark, docs):
+    from kafka_connect_expand_json_transform_spark.llmops.packing import (
+        pack_summary,
+        sequence_pack,
+    )
+
+    packed = sequence_pack(docs, token_budget=256, num_buckets=8)
+    # every doc assigned exactly once
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    summary = pack_summary(packed)
+    # a pack overshoots the budget by at most one document's tokens
+    max_doc = packed.agg(F.max("n_tokens")).first()[0]
+    assert summary.where(F.col("total_tokens") > 256 + max_doc).count() == 0
+    # packs are dense per bucket: ids 0..max contiguous
+    from pyspark.sql import Window as W
+
+    per_bucket = summary.groupBy("bucket").agg(
+        F.count("*").alias("n_packs"), F.max("pack_id").alias("max_pack")
+    )
+    assert per_bucket.where(F.col("n_packs") != F.col("max_pack") + 1).count() == 0
