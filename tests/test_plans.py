@@ -7,6 +7,7 @@ product sneaking into an equi-join.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from kafka_connect_expand_json_transform_spark.plans.queries import QUERIES
 
@@ -80,3 +81,41 @@ def test_exact_dedup_shuffles_fingerprint_not_text(spark):
     part_args = [l for l in plan.splitlines() if "hashpartitioning(" in l]
     assert part_args, "expected a hash exchange"
     assert not any("text#" in l for l in part_args), part_args
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The 100 TB repeated-join answer (sources.write_parquet bucket_by):
+    two tables bucketed on the join key by the same bucket count must join
+    with ZERO Exchange in the final plan."""
+    from kafka_connect_expand_json_transform_spark.sources.batch import (
+        load_table,
+        write_parquet,
+    )
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
+    write_parquet(
+        orders, str(tmp_path / "b_orders"), bucket_by=(8, ["o_custkey"]), table_name="b_orders"
+    )
+    write_parquet(
+        cust, str(tmp_path / "b_cust"), bucket_by=(8, ["c_custkey"]), table_name="b_cust"
+    )
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(spark.table("b_cust"), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in final or "ShuffledHashJoin" in final or "BroadcastHashJoin" in final
+        # the join itself must read both sides bucket-aligned: no Exchange
+        # between the scans and the join
+        assert "Exchange hashpartitioning(o_custkey" not in final
+        assert "Exchange hashpartitioning(c_custkey" not in final
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
