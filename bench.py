@@ -44,6 +44,10 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - report, don't abort the suite
             failures[name] = f"{type(e).__name__}: {e}"[:200]
 
+    streaming = None
+    if not only:
+        streaming = _streaming_micro_bench(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "declared_query_suite_wall_clock",
@@ -53,11 +57,59 @@ def main() -> int:
         "sf": float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1),
         "n_queries": len(timings),
     }
+    if streaming:
+        result["streaming"] = streaming
     if failures:
         result["failures"] = failures
     print(json.dumps(result))
     spark.stop()
     return 1 if failures else 0
+
+
+def _streaming_micro_bench(spark, sf_dir: str) -> dict:
+    """Replay events through a file stream into a watermarked tumbling-window
+    aggregation (availableNow -> noop sink); rows/s of the full micro-batch
+    pipeline including state-store commits."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_expand_json_transform_spark.sources.batch import load_table
+    from kafka_connect_expand_json_transform_spark.streaming import tumbling_window_agg
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").parquet(tmp + "/in")
+        n = ev.count()
+        stream = spark.readStream.schema(ev.schema).parquet(tmp + "/in")
+        agg = tumbling_window_agg(
+            stream,
+            "ts",
+            "1 hour",
+            {"n": F.count("*"), "sum_value": F.sum("value")},
+            keys=["event_type"],
+            watermark="1 hour",
+        )
+        t0 = time.perf_counter()
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        return {
+            "metric": "tumbling_window_stream_rows_per_sec",
+            "rows": n,
+            "wall_s": round(dt, 3),
+            "rows_per_sec": round(n / dt, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
