@@ -33,7 +33,17 @@ _NANO_TS_COLUMNS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table, normalizing nano-timestamps to timestamps."""
+    """Load one driver table, normalizing nano-timestamps to timestamps.
+
+    Sets ``nanosAsLong`` on the session defensively: harness-owned sessions
+    (not built by ``get_spark``) otherwise throw PARQUET_TYPE_ILLEGAL on the
+    TIMESTAMP(NANOS) column in events.parquet. The conf is runtime-settable
+    and only affects nano columns, which this function converts explicitly.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # locked-down conf: get_spark sessions already set it at build
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLUMNS.get(name, []):
         field = df.schema[col]
