@@ -339,6 +339,31 @@ def q10_returned_items(spark, sf_dir):
 
 
 @query(
+    "having_big_customers",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5 AND SUM(CAST(o_totalprice AS DECIMAL(12,2))) > 500000
+    """,
+)
+def having_big_customers(spark, sf_dir):
+    """HAVING through the SQL entry point (SURVEY.md §2.2 'SQL entry
+    point') — post-aggregation predicates."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__hv_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+        FROM __hv_orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 5 AND SUM(CAST(o_totalprice AS DECIMAL(12,2))) > 500000
+        """
+    )
+
+
+@query(
     "join_left_count",
     """
     SELECT c_custkey, COUNT(o_orderkey) AS n_orders,

@@ -43,6 +43,21 @@ def test_q5_no_cartesian_and_broadcast_chain(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q6_pushes_all_predicates(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+
+
+def test_q10_broadcasts_only_fixed_dim(spark):
+    plan = plan_of(spark, "q10_returned_items")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # top-20 with ordering must be TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_expand_json_is_narrow(spark):
     """The core transform must stay a shuffle-free projection: a single
     Exchange for the final aggregation, none before it."""
