@@ -31,6 +31,41 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (the MOSS scheme):
+    hash every character k-gram, then keep the minimum hash of each sliding
+    window of ``window`` consecutive k-grams; the distinct minima are the
+    document's fingerprints — position-robust, so local edits only perturb
+    nearby fingerprints (unlike a whole-document hash).
+
+    md5 hash family (lexicographic minima) so the DuckDB oracle reproduces
+    values exactly. Staged projections keep each step single-evaluation
+    (see dedup.minhash_signatures). Returns (id, fingerprint) exploded rows.
+    """
+    c = F.lower(F.trim(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: F.substring(c, i, k),
+    )
+    staged = df.select(F.col(id_col), grams.alias("__grams")).select(
+        F.col(id_col),
+        F.transform("__grams", lambda g: F.md5(g)).alias("__hs"),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("__hs")) - (window - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("__hs"), j, window)),
+    )
+    return staged.select(
+        F.col(id_col), F.explode(F.array_distinct(wins)).alias("fingerprint")
+    )
+
+
 def profile_text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics — the filter columns a curation pipeline
     thresholds on."""

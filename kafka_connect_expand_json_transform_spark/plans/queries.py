@@ -1597,6 +1597,29 @@ def doc_fingerprints(spark, sf_dir):
 
 
 @query(
+    "winnowing_fingerprints",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(t) - 4, 1)),
+                            i -> md5(substring(t, i, 5))) AS hs
+      FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+                                          j -> list_min(hs[j:j+3]))) AS fps
+      FROM g)
+    SELECT doc_id, unnest(fps) AS fingerprint FROM w
+    """,
+)
+def winnowing_fingerprints_q(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (MOSS) — edit-robust dedup keys."""
+    return text_analysis.winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=5, window=4
+    )
+
+
+@query(
     "token_counts",
     f"""
     SELECT doc_id,

@@ -265,3 +265,22 @@ def test_sequence_packing_invariants(spark, docs):
         F.count("*").alias("n_packs"), F.max("pack_id").alias("max_pack")
     )
     assert per_bucket.where(F.col("n_packs") != F.col("max_pack") + 1).count() == 0
+
+
+def test_winnowing_fingerprints_edit_robust(spark):
+    """Winnowing property: a local edit perturbs only nearby fingerprints —
+    most fingerprints of the original survive in the edited doc."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    edited = base.replace("jumps", "leaps")
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id int, text string")
+    fps = text_analysis.winnowing_fingerprints(df)
+    a = {r["fingerprint"] for r in fps.where(F.col("doc_id") == 1).collect()}
+    b = {r["fingerprint"] for r in fps.where(F.col("doc_id") == 2).collect()}
+    overlap = len(a & b) / len(a)
+    assert overlap > 0.5, overlap
+    # identical docs -> identical fingerprint sets
+    df2 = spark.createDataFrame([(1, base), (2, base)], "doc_id int, text string")
+    fps2 = text_analysis.winnowing_fingerprints(df2)
+    assert (
+        fps2.groupBy("fingerprint").count().where(F.col("count") != 2).count() == 0
+    )
