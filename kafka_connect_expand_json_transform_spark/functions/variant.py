@@ -39,8 +39,15 @@ def variant_schema(col: Column | str) -> Column:
     return F.schema_of_variant(c)
 
 
-def variant_schema_agg(df: DataFrame, col: str) -> str:
+def variant_schema_agg(df: DataFrame, col: str) -> str | None:
     """Merged schema DDL across all rows (``schema_of_variant_agg``) — the
     distributed, exact version of sampling-based inference: one aggregation,
-    no driver-side collect."""
-    return df.select(F.schema_of_variant_agg(to_variant(col)).alias("s")).first()["s"]
+    no driver-side collect.
+
+    ``col`` holds JSON text (parsed here); pass a column that is already
+    VariantType through ``F.schema_of_variant_agg`` directly to avoid the
+    re-parse. Returns None on an empty frame.
+    """
+    dt = df.schema[col].dataType.simpleString()
+    v = F.col(col) if dt == "variant" else to_variant(col)
+    return df.select(F.schema_of_variant_agg(v).alias("s")).first()["s"]

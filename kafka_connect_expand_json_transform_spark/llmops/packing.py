@@ -37,13 +37,24 @@ def sequence_pack(
 
     Pass ``tokens_col`` to pack on precomputed counts (e.g. real tokenizer
     output) instead of the whitespace token count.
+
+    Bucketing: ``pmod(id, buckets)`` for numeric ids (negative-safe,
+    SQL-reproducible); ``pmod(xxhash64(id), buckets)`` otherwise (string/UUID
+    ids) — either way deterministic and never a single NULL mega-bucket.
+    NULL texts count as 0 tokens (they'd otherwise poison the running sum).
     """
+    from pyspark.sql.types import NumericType
+
     toks = F.col(tokens_col) if tokens_col else token_count(text_col)
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        bucket = F.pmod(F.col(id_col), F.lit(num_buckets))
+    else:
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets))
     w = Window.partitionBy("bucket").orderBy(id_col)
     staged = df.select(
         F.col(id_col),
-        (F.col(id_col) % num_buckets).alias("bucket"),
-        toks.alias("n_tokens"),
+        bucket.alias("bucket"),
+        F.coalesce(toks.cast("long"), F.lit(0)).alias("n_tokens"),
     )
     cum_before = F.coalesce(
         F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
@@ -56,11 +67,11 @@ def sequence_pack(
     )
 
 
-def pack_summary(packed: DataFrame) -> DataFrame:
+def pack_summary(packed: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-pack accounting: docs per pack and total tokens (the fill-rate
     signal — mean total_tokens / budget is the packing efficiency)."""
     return packed.groupBy("bucket", "pack_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.min(packed.columns[0]).alias("first_doc"),
+        F.min(id_col).alias("first_doc"),
     )

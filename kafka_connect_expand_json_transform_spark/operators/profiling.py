@@ -24,6 +24,8 @@ def summarize_numeric(
     One hash aggregation (partial+final); floats rounded so profiles are
     engine-comparable and stable across partitionings.
     """
+    if isinstance(group_by, str):
+        group_by = [group_by]
     v = F.col(value_col)
     aggs = [
         F.count(v).alias("n"),
@@ -48,18 +50,22 @@ def key_skew_report(
     collects keys to the driver.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    counts = df.groupBy(*keys).agg(F.count("*").alias("key_count"))
+    reserved = {"key_count", "row_share", "skew_factor"}
+    clash = reserved.intersection(keys)
+    if clash:
+        raise ValueError(f"key column(s) {sorted(clash)} collide with report output columns")
+    counts = df.groupBy(*keys).agg(F.count("*").alias("__kc"))
     totals = counts.agg(
-        F.sum("key_count").alias("__total"),
-        F.avg("key_count").alias("__mean"),
+        F.sum("__kc").alias("__total"),
+        F.avg("__kc").alias("__mean"),
     )
     return (
         counts.crossJoin(F.broadcast(totals))
         .select(
             *keys,
-            "key_count",
-            F.round(F.col("key_count") / F.col("__total"), 6).alias("row_share"),
-            F.round(F.col("key_count") / F.col("__mean"), 4).alias("skew_factor"),
+            F.col("__kc").alias("key_count"),
+            F.round(F.col("__kc") / F.col("__total"), 6).alias("row_share"),
+            F.round(F.col("__kc") / F.col("__mean"), 4).alias("skew_factor"),
         )
         .orderBy(F.col("key_count").desc(), *keys)
         .limit(top_n)

@@ -60,6 +60,11 @@ def expand_kafka_records(
     """
     if side not in ("key", "value"):
         raise ValueError("side must be 'key' or 'value' (ExpandJson.java:277,299)")
+    if schema is not None and infer == "variant":
+        raise ValueError(
+            "schema= conflicts with infer='variant' (a variant column has no "
+            "fixed schema); pass one or the other"
+        )
     from kafka_connect_expand_json_transform_spark.operators.expand_json import (
         expand_json,
     )
@@ -97,7 +102,17 @@ def write_kafka_stream(
     trigger: dict | None = None,
 ):
     """Kafka sink — the SMT's output path back into the Connect pipeline
-    (ExpandJson.java:103,128). Expects ``key``/``value`` columns."""
+    (ExpandJson.java:103,128). Expects ``key``/``value`` columns; expanded
+    struct/variant sides (the output of ``expand_kafka_records``) are
+    serialized back to JSON text automatically, so the read -> expand ->
+    write round-trip works as-is."""
+    from pyspark.sql import functions as F
+
+    for side in ("key", "value"):
+        if side in df.columns:
+            dt = df.schema[side].dataType.simpleString()
+            if dt not in ("string", "binary"):
+                df = df.withColumn(side, F.to_json(F.col(side)))
     writer = (
         df.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -148,3 +148,31 @@ def test_sessionize(spark):
     out = sessionize(df, "user", "t", gap_seconds=1800)
     got = {(r["user"], r["t"].minute): r["session_id"] for r in out.collect()}
     assert got == {("u", 0): 1, ("u", 5): 1, ("u", 40): 2, ("v", 1): 1}
+
+
+def test_profiling_edge_cases(spark):
+    from kafka_connect_expand_json_transform_spark.operators.profiling import (
+        key_skew_report,
+        summarize_numeric,
+    )
+
+    df = spark.createDataFrame([("en", 1.0), ("en", 3.0), ("de", 5.0)], "lang string, v double")
+    # plain-string group_by treated as one column, not splatted into chars
+    out = summarize_numeric(df, "v", group_by="lang")
+    assert {r["lang"]: r["n"] for r in out.collect()} == {"en": 2, "de": 1}
+    with pytest.raises(ValueError, match="collide"):
+        key_skew_report(df.withColumnRenamed("lang", "key_count"), "key_count")
+
+
+def test_packing_string_ids_and_null_text(spark):
+    from kafka_connect_expand_json_transform_spark.llmops.packing import sequence_pack
+
+    df = spark.createDataFrame(
+        [("uuid-a", "one two three"), ("uuid-b", None), ("uuid-c", "four five")],
+        "doc_id string, text string",
+    )
+    packed = sequence_pack(df, token_budget=4, num_buckets=4)
+    rows = {r["doc_id"]: (r["bucket"], r["n_tokens"]) for r in packed.collect()}
+    assert len(rows) == 3
+    assert rows["uuid-b"][1] == 0  # null text counts as zero tokens
+    assert all(0 <= b < 4 for b, _ in rows.values())
