@@ -1,10 +1,21 @@
 from kafka_connect_expand_json_transform_spark.llmops import (
     curation,
+    decontamination,
     dedup,
     packing,
     multimodal,
     similarity,
+    splits,
     text_analysis,
 )
 
-__all__ = ["curation", "dedup", "packing", "multimodal", "similarity", "text_analysis"]
+__all__ = [
+    "curation",
+    "decontamination",
+    "dedup",
+    "packing",
+    "multimodal",
+    "similarity",
+    "splits",
+    "text_analysis",
+]

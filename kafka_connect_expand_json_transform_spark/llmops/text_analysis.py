@@ -118,3 +118,100 @@ def fingerprint_documents(
     """(id, md5 fingerprint of normalized text) — the exact-dedup key and
     lineage id for a curation pipeline."""
     return df.select(F.col(id_col), md5_fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+# --- repetition metrics (Gopher-style repetitious-text signals) -------------
+
+def ngrams_all(toks, n: int = 2):
+    """ALL n-gram occurrences (not deduplicated — repetition needs
+    multiplicity) from a staged token-array column."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array())
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-doc repetition signals (the Gopher repetition filters):
+
+    * ``dup_token_frac``  — 1 - distinct/total tokens (word-level repetition)
+    * ``top_ngram_frac``  — occurrences of the most frequent n-gram / total
+      n-gram occurrences (boilerplate/templating signal)
+
+    Shape: explode n-grams, two-level aggregation keyed on the doc id —
+    both aggregations partial+final (map-side combined), and the explode
+    never leaves the doc's partition lineage, so this scales linearly.
+    """
+    staged = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct_tokens"),
+        F.explode_outer(ngrams_all("__toks", n)).alias("ngram"),
+    )
+    per_gram = staged.groupBy(id_col, "n_tokens", "n_distinct_tokens", "ngram").agg(
+        F.count("ngram").alias("c")
+    )
+    return per_gram.groupBy(id_col, "n_tokens", "n_distinct_tokens").agg(
+        F.coalesce(F.max("c"), F.lit(0)).alias("top_ngram_count"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_ngrams"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.round(
+            1
+            - F.col("n_distinct_tokens")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_token_frac"),
+        F.round(
+            F.col("top_ngram_count")
+            / F.greatest(F.col("n_ngrams"), F.lit(1)).cast("double"),
+            4,
+        ).alias("top_ngram_frac"),
+    )
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2 (DuckDB):
+# no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+[0-9][0-9 ()-]{6,}[0-9]",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Replace PII-shaped spans with ``<KIND>`` placeholders and count the
+    redactions per kind.  Pure ``regexp_replace``/``regexp_count`` column
+    expressions — JVM regex in codegen, no UDF, trivially scan-parallel."""
+    pats = patterns or PII_PATTERNS
+    out = out_col or text_col
+    redacted = F.col(text_col)
+    counts = []
+    for kind, pat in pats.items():
+        counts.append(F.regexp_count(redacted, F.lit(pat)).alias(f"n_{kind}"))
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return df.select(
+        *[c for c in df.columns if c != out],
+        *counts,
+        redacted.alias(out),
+    )

@@ -196,3 +196,36 @@ def sessionize(
         session_col,
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: str | list[str],
+    order_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC merge: apply a changelog to a snapshot (MERGE INTO semantics).
+
+    ``changes`` rows carry the snapshot's data columns plus ``op_col``
+    ('I'/'U'/``delete_op``) and a monotonically-ordered ``order_col``
+    (commit timestamp / LSN).  Per key only the LATEST change wins
+    (row_number over (key, order desc)); a delete removes the key, anything
+    else upserts the row.
+
+    Scale shape: one shuffle of the (small) changelog for the window, one
+    key-partitioned anti-join of the snapshot against the touched keys — the
+    snapshot is never windowed.  With a dimension-sized changelog, AQE turns
+    the anti-join broadcast.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = snapshot.join(latest.select(*keys), keys, "left_anti")
+    upserts = latest.where(F.col(op_col) != delete_op).drop(op_col, order_col)
+    return untouched.unionByName(upserts)

@@ -1746,3 +1746,326 @@ def multimodal_payload_stats(spark, sf_dir):
         F.length("payload").alias("payload_len"),
         F.col("payload_meta.sha256").alias("payload_sha"),
     )
+
+
+# --- dataset splitting / sampling / mixing (llmops.splits) ------------------
+
+from kafka_connect_expand_json_transform_spark.llmops import splits as SPLITS
+from kafka_connect_expand_json_transform_spark.llmops import decontamination as DECON
+from kafka_connect_expand_json_transform_spark.operators.relational import merge_upsert
+
+# fixed-width hex thresholds embedded in both engines (splits.hex_threshold)
+_T80 = SPLITS.hex_threshold(0.8)   # cumulative train
+_T90 = SPLITS.hex_threshold(0.8 + 0.1)  # cumulative train+val
+
+
+@query(
+    "hash_split_counts",
+    f"""
+    WITH h AS (SELECT doc_id,
+                      substr(md5(doc_id::VARCHAR || ':split'), 1, 8) AS hx
+               FROM documents)
+    SELECT CASE WHEN hx < '{_T80}' THEN 'train'
+                WHEN hx < '{_T90}' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM h GROUP BY 1
+    """,
+)
+def hash_split_counts(spark, sf_dir):
+    """Deterministic hash-based train/val/test split: membership is a pure
+    function of md5(id:seed) — stable across partitionings, engines, runs
+    (df.randomSplit is none of those)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = SPLITS.hash_split(docs, (("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+_T_EN = SPLITS.hex_threshold(0.5)
+_T_DE = SPLITS.hex_threshold(0.25)
+_T_DEFAULT = SPLITS.hex_threshold(0.1)
+
+
+@query(
+    "stratified_sample_counts",
+    f"""
+    WITH h AS (SELECT doc_id, lang,
+                      substr(md5(doc_id::VARCHAR || ':sample'), 1, 8) AS hx
+               FROM documents)
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM h
+    WHERE CASE WHEN lang = 'en' THEN hx < '{_T_EN}'
+               WHEN lang = 'de' THEN hx < '{_T_DE}'
+               WHEN lang = 'fr' THEN hx < 'g'
+               ELSE hx < '{_T_DEFAULT}' END
+    GROUP BY lang
+    """,
+)
+def stratified_sample_counts(spark, sf_dir):
+    """Deterministic per-stratum sampling — a narrow filter, no shuffle, no
+    RNG; the kept set is invariant under repartitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SPLITS.stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25, "fr": 1.0}, default_fraction=0.1
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+@query(
+    "domain_mix_counts",
+    """
+    WITH shares AS (
+           SELECT 'src0' AS source, CAST(0.5 AS DOUBLE) AS share
+           UNION ALL SELECT 'src1', CAST(0.25 AS DOUBLE)
+           UNION ALL SELECT 'src2', CAST(0.25 AS DOUBLE)),
+         counts AS (SELECT d.source, COUNT(*) AS n
+                    FROM documents d JOIN shares s ON d.source = s.source
+                    GROUP BY d.source),
+         sc AS (SELECT MIN(CAST(c.n AS DOUBLE) / s.share) AS scale
+                FROM counts c JOIN shares s ON c.source = s.source),
+         rates AS (SELECT c.source,
+                          least(1.0, s.share * (SELECT scale FROM sc)
+                                     / CAST(c.n AS DOUBLE)) AS rate
+                   FROM counts c JOIN shares s ON c.source = s.source)
+    SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(d.doc_id) AS BIGINT) AS sum_ids
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR || ':mix'), 1, 8)) AS BIGINT)
+          < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+    GROUP BY d.source
+    """,
+)
+def domain_mix_counts(spark, sf_dir):
+    """Domain mixing (the pretraining "data recipe"): downsample domains to a
+    target mixture with the same deterministic hash filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = SPLITS.domain_mix(
+        docs, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    )
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+_SQL_DECON_CTES = """
+    WITH toks AS (SELECT doc_id, source,
+                         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     x -> x <> '') AS t
+                  FROM documents),
+         grams AS (SELECT doc_id, source,
+                          unnest(CASE WHEN len(t) >= 3
+                                 THEN list_distinct(list_transform(
+                                        generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+                                 ELSE [array_to_string(t, ' ')] END) AS g
+                   FROM toks),
+         bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+"""
+
+
+@query(
+    "contamination_report",
+    _SQL_DECON_CTES
+    + """
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_ngrams
+    FROM grams t JOIN bench b ON t.g = b.g
+    WHERE t.source <> 'src0'
+    GROUP BY t.doc_id
+    """,
+)
+def contamination_report_q(spark, sf_dir):
+    """Benchmark decontamination, report side: training docs sharing a
+    3-gram with the benchmark slice (source=src0), with hit counts.  The
+    benchmark n-gram set is broadcast — no corpus-vs-corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    return DECON.contamination_report(train, bench, n=3).select(
+        "doc_id", F.col("n_hit_ngrams").cast("bigint").alias("n_hit_ngrams")
+    )
+
+
+@query(
+    "decontaminate_survivors",
+    _SQL_DECON_CTES
+    + """
+    , flagged AS (SELECT DISTINCT t.doc_id
+                  FROM grams t JOIN bench b ON t.g = b.g
+                  WHERE t.source <> 'src0')
+    SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(d.doc_id) AS BIGINT) AS sum_ids
+    FROM documents d
+    WHERE d.source <> 'src0'
+      AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    GROUP BY d.source
+    """,
+)
+def decontaminate_survivors(spark, sf_dir):
+    """Decontamination, filter side: the corpus minus contaminated docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    clean = DECON.decontaminate(train, bench, n=3)
+    return clean.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+# --- repetition metrics (Gopher-style) --------------------------------------
+
+
+@query(
+    "repetition_report",
+    """
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     x -> x <> '') AS t
+                  FROM documents),
+         base AS (SELECT doc_id, len(t) AS n_tokens,
+                         len(list_distinct(t)) AS n_distinct
+                  FROM toks),
+         grams AS (SELECT doc_id,
+                          unnest(CASE WHEN len(t) >= 2
+                                 THEN list_transform(generate_series(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+1], ' '))
+                                 ELSE [] END) AS g
+                   FROM toks),
+         per AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+         top AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM per GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           round(1 - CAST(b.n_distinct AS DOUBLE)
+                     / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 4) AS dup_token_frac,
+           round(CAST(coalesce(t.mx, 0) AS DOUBLE)
+                 / CAST(greatest(coalesce(t.tot, 0), 1) AS DOUBLE), 4) AS top_ngram_frac
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+)
+def repetition_report(spark, sf_dir):
+    """Per-doc repetition signals (dup-token fraction, top-bigram fraction) —
+    the Gopher repetitious-text filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = text_analysis.repetition_metrics(docs, n=2)
+    return rep.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "dup_token_frac",
+        "top_ngram_frac",
+    )
+
+
+# --- PII redaction ----------------------------------------------------------
+
+
+@query(
+    "pii_redaction_stats",
+    """
+    WITH synth AS (SELECT doc_id,
+             'contact user' || doc_id::VARCHAR || '@example.com or 192.168.'
+             || (doc_id % 256)::VARCHAR || '.9 call +1 555 010 '
+             || doc_id::VARCHAR AS t
+           FROM documents),
+         r1 AS (SELECT doc_id,
+                 len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+                FROM synth),
+         r2 AS (SELECT doc_id, n_email,
+                 len(regexp_extract_all(t, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ipv4,
+                 regexp_replace(t, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IPV4>', 'g') AS t
+                FROM r1),
+         r3 AS (SELECT doc_id, n_email, n_ipv4,
+                 len(regexp_extract_all(t, '\\+[0-9][0-9 ()-]{6,}[0-9]')) AS n_phone,
+                 regexp_replace(t, '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS t
+                FROM r2)
+    SELECT CAST(SUM(n_email) AS BIGINT) AS total_email,
+           CAST(SUM(n_ipv4) AS BIGINT) AS total_ipv4,
+           CAST(SUM(n_phone) AS BIGINT) AS total_phone,
+           CAST(SUM(CASE WHEN t LIKE '%<EMAIL>%' AND t LIKE '%<IPV4>%'
+                          AND t LIKE '%<PHONE>%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fully_redacted
+    FROM r3
+    """,
+)
+def pii_redaction_stats(spark, sf_dir):
+    """PII redaction over synthesized PII-bearing text (the fixture corpus
+    has none) — regexp_replace/regexp_count column expressions, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".9 call +1 555 010 "),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    red = text_analysis.redact_pii(synth, "t")
+    fully = (
+        F.col("t").contains("<EMAIL>")
+        & F.col("t").contains("<IPV4>")
+        & F.col("t").contains("<PHONE>")
+    )
+    return red.agg(
+        F.sum("n_email").alias("total_email"),
+        F.sum("n_ipv4").alias("total_ipv4"),
+        F.sum("n_phone").alias("total_phone"),
+        F.sum(fully.cast("long")).alias("n_fully_redacted"),
+    )
+
+
+# --- CDC merge / upsert -----------------------------------------------------
+
+
+@query(
+    "merge_upsert_orders",
+    """
+    WITH changes AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE) AS o_totalprice,
+             'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+      FROM orders WHERE o_orderkey % 15 = 0),
+    latest AS (
+      SELECT * FROM (SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
+                                                    ORDER BY seq DESC) AS rn
+                     FROM changes c) WHERE rn = 1),
+    merged AS (
+      SELECT o.o_orderstatus, o.o_totalprice FROM orders o
+      WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+      UNION ALL
+      SELECT l.o_orderstatus, l.o_totalprice FROM latest l WHERE l.op <> 'D')
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """CDC MERGE INTO: apply a synthesized changelog (updates for keys %10,
+    deletes for keys %15; deletes sequenced later so they win on %30) to the
+    orders snapshot; latest-change-per-key wins."""
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", (money("o_totalprice") * 2).cast("double"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    dels = (
+        orders.where(F.col("o_orderkey") % 15 == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(2))
+    )
+    merged = merge_upsert(orders, upd.unionByName(dels), "o_orderkey", "seq")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dbl(F.sum(money("o_totalprice"))).alias("total_price"),
+    )

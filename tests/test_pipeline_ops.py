@@ -1,0 +1,150 @@
+"""Unit tests for dataset splits/mixing, decontamination, repetition,
+PII redaction, and CDC merge — the operator APIs behind the new queries
+(their value-level parity is covered by test_oracle_parity)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_expand_json_transform_spark.llmops import decontamination, splits
+from kafka_connect_expand_json_transform_spark.llmops.text_analysis import (
+    redact_pii,
+    repetition_metrics,
+)
+from kafka_connect_expand_json_transform_spark.operators.relational import merge_upsert
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+    )
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    df = _docs(spark)
+    a = {r["doc_id"]: r["split"] for r in splits.hash_split(df).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in splits.hash_split(df.repartition(13)).collect()
+    }
+    assert a == b  # membership is a function of the id, not the partitioning
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # weights normalize: (8,1,1) == (0.8,0.1,0.1)
+    c = {
+        r["doc_id"]: r["split"]
+        for r in splits.hash_split(
+            df, (("train", 8.0), ("val", 1.0), ("test", 1.0))
+        ).collect()
+    }
+    assert c == a
+
+
+def test_hash_split_disjoint_covering(spark):
+    df = _docs(spark, 100)
+    out = splits.hash_split(df)
+    assert out.count() == 100  # every row gets exactly one split
+
+
+def test_stratified_sample_subset_and_rates(spark):
+    df = _docs(spark, 1000)
+    kept = splits.stratified_sample(df, "grp", {"0": 1.0, "1": 0.0}, id_col="doc_id")
+    got = kept.groupBy("grp").count().collect()
+    by = {r["grp"]: r["count"] for r in got}
+    assert by.get("0") == 250  # fraction 1.0 keeps everything
+    assert "1" not in by  # fraction 0.0 drops everything
+    assert "2" not in by and "3" not in by  # default_fraction=0.0
+    # kept set is a subset of the input and stable across calls
+    again = splits.stratified_sample(df, "grp", {"0": 1.0, "1": 0.0})
+    assert kept.exceptAll(again).count() == 0
+
+
+def test_domain_mix_hits_target_shares(spark):
+    # 300/100/100 rows; target 50/25/25 -> feasible N=400 -> 200/100/100
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 300, "a").when(F.col("id") < 400, "b").otherwise("c").alias("src"),
+    )
+    mixed = splits.domain_mix(df, "src", {"a": 0.5, "b": 0.25, "c": 0.25})
+    by = {r["src"]: r["count"] for r in mixed.groupBy("src").count().collect()}
+    assert by["b"] == 100 and by["c"] == 100  # rate-1.0 domains keep all
+    assert abs(by["a"] - 200) < 40  # hash-sampled to ~2/3
+    with pytest.raises(ValueError, match="absent"):
+        splits.domain_mix(df, "src", {"a": 0.5, "zz": 0.5})
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "totally unrelated text here now"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox runs away")], "doc_id long, text string"
+    )
+    rep = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in decontamination.contamination_report(train, bench, n=3).collect()
+    }
+    assert rep == {1: 1}  # shares the 3-gram "quick brown fox"
+    clean = decontamination.decontaminate(train, bench, n=3)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_repetition_metrics_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "eight completely distinct words appear in here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(df, n=2).collect()}
+    assert got[1]["dup_token_frac"] > 0.7  # 2 distinct / 8 tokens
+    assert got[1]["top_ngram_frac"] > 0.5  # "buy now" dominates
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["top_ngram_frac"] < 0.2
+    assert got[3]["n_tokens"] == 0 and got[3]["top_ngram_frac"] == 0.0
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com and c@d.org ip 10.0.0.1 tel +1 555 123 4567")],
+        "id long, text string",
+    )
+    row = redact_pii(df, "text").collect()[0]
+    assert row["n_email"] == 2 and row["n_ipv4"] == 1 and row["n_phone"] == 1
+    t = row["text"]
+    assert "<EMAIL>" in t and "<IPV4>" in t and "<PHONE>" in t
+    assert "a@b.com" not in t and "10.0.0.1" not in t
+
+
+def test_merge_upsert_latest_change_wins(spark):
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U", 1),  # update
+            (2, "b3", 22.0, "U", 2),  # later update wins
+            (3, "c", 30.0, "D", 1),  # delete
+            (4, "d", 40.0, "I", 1),  # insert
+            (4, "d", 40.0, "D", 2),  # ...then deleted: never appears
+        ],
+        "k long, name string, v double, op string, seq int",
+    )
+    got = {
+        r["k"]: (r["name"], r["v"])
+        for r in merge_upsert(snap, changes, "k", "seq").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("b3", 22.0)}
