@@ -2069,3 +2069,100 @@ def merge_upsert_orders(spark, sf_dir):
         F.count("*").alias("n_orders"),
         dbl(F.sum(money("o_totalprice"))).alias("total_price"),
     )
+
+
+# --- TF-IDF / edit distance / HLL sketches ----------------------------------
+
+from kafka_connect_expand_json_transform_spark.operators import sketches as SKETCH
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     x -> x <> '') AS t
+                  FROM documents),
+         terms AS (SELECT doc_id, len(t) AS dlen, unnest(t) AS term FROM toks),
+         tf AS (SELECT doc_id, dlen, term, COUNT(*) AS c
+                FROM terms GROUP BY doc_id, dlen, term),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT COUNT(*) AS nd FROM documents),
+         score AS (SELECT tf.doc_id, tf.term,
+                          round((CAST(tf.c AS DOUBLE) / CAST(tf.dlen AS DOUBLE))
+                                * ln(CAST((SELECT nd FROM n) + 1 AS DOUBLE)
+                                     / CAST(dfreq.df + 1 AS DOUBLE)), 6) AS tfidf
+                   FROM tf JOIN dfreq ON tf.term = dfreq.term)
+    SELECT doc_id, term, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM score)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    """Top-3 characteristic terms per doc by smoothed TF-IDF; rank on the
+    rounded score with term tie-break so both engines agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.tfidf_top_terms(docs, k=3)
+
+
+@query(
+    "editdistance_pairs",
+    """
+    WITH t AS (SELECT doc_id, source,
+                      len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                      x -> x <> '')) AS ntok,
+                      substr(text, 1, 32) AS pre
+               FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+    FROM t a JOIN t b
+      ON a.source = b.source AND a.ntok = b.ntok AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pre, b.pre) <= 24
+    """,
+)
+def editdistance_pairs(spark, sf_dir):
+    """Edit-distance near-dup candidates: block on (source, token count) so
+    the O(n^2) Levenshtein only runs inside small blocks (the classic
+    blocking-key trick — never corpus x corpus), on a 32-char prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(TXT.tokens(F.col("text"))).alias("ntok"),
+        F.substring("text", 1, 32).alias("pre"),
+    )
+    a = t.select(
+        F.col("doc_id").alias("id_a"), "source", "ntok", F.col("pre").alias("pre_a")
+    )
+    b = t.select(
+        F.col("doc_id").alias("id_b"), "source", "ntok", F.col("pre").alias("pre_b")
+    )
+    return (
+        a.join(b, ["source", "ntok"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("pre_a", "pre_b").cast("bigint").alias("dist"),
+        )
+        .where(F.col("dist") <= 24)
+    )
+
+
+@query("hll_distinct_rollup")  # Datasketches HLL estimates: engine-specific, rows-only
+def hll_distinct_rollup(spark, sf_dir):
+    """Mergeable-sketch distinct counting: per-(status, priority) HLL
+    partials (the persistable pass), merged up to per-status estimates — at
+    100 TB the rollup reads kilobytes of sketches, not the corpus."""
+    orders = load_table(spark, sf_dir, "orders")
+    rep = SKETCH.distinct_estimate_report(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        ["o_orderstatus"],
+        "o_custkey",
+    )
+    return rep.select(
+        "o_orderstatus", F.col("n_distinct_est").cast("long").alias("n_distinct_est")
+    )

@@ -148,3 +148,53 @@ def test_merge_upsert_latest_change_wins(spark):
         for r in merge_upsert(snap, changes, "k", "seq").collect()
     }
     assert got == {1: ("a", 10.0), 2: ("b3", 22.0)}
+
+
+def test_tfidf_surfaces_distinctive_terms(spark):
+    from kafka_connect_expand_json_transform_spark.llmops.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common yak"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        (r["doc_id"], r["term"]): r["tfidf"] for r in tfidf_top_terms(df, k=1).collect()
+    }
+    # the rare term wins in docs 1 and 2; doc 3 only has the common term
+    assert set(top) == {(1, "zebra"), (2, "yak"), (3, "common")}
+    assert top[(1, "zebra")] > 0 and top[(3, "common")] == 0.0
+
+
+def test_hll_estimate_close_to_exact(spark):
+    from kafka_connect_expand_json_transform_spark.operators.sketches import (
+        distinct_estimate_report,
+        hll_partials,
+        hll_rollup,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 2).alias("sub"),
+        (F.col("id") % 5000).alias("v"),
+    )
+    est = {
+        r["g"]: r["n_distinct_est"]
+        for r in distinct_estimate_report(df, ["g", "sub"], ["g"], "v").collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.05
+    # partials are mergeable: rollup of partials == rollup of finer partials
+    parts = hll_partials(df, ["g", "sub"], "v")
+    again = {r["g"]: r["n_distinct_est"] for r in hll_rollup(parts, ["g"]).collect()}
+    assert again == est
