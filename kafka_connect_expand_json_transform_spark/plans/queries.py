@@ -36,7 +36,7 @@ from kafka_connect_expand_json_transform_spark.functions import text as TXT
 from kafka_connect_expand_json_transform_spark.functions import vectors as VEC
 from kafka_connect_expand_json_transform_spark.llmops import dedup, similarity, text_analysis
 from kafka_connect_expand_json_transform_spark.llmops.multimodal import attach_binary_payload
-from kafka_connect_expand_json_transform_spark.sources.batch import load_table
+from kafka_connect_expand_json_transform_spark.sources.batch import load_table, register_testdata
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -2166,3 +2166,196 @@ def hll_distinct_rollup(spark, sf_dir):
     return rep.select(
         "o_orderstatus", F.col("n_distinct_est").cast("long").alias("n_distinct_est")
     )
+
+
+# --- TPC-H extension pack: correlated subqueries, EXISTS/NOT EXISTS,
+# disjunctive pushdown, grouped-HAVING IN (no partsupp/commitdate in the
+# fixture, so q4/q17/q22 are adapted to the available columns) --------------
+
+_SQL_Q4 = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+"""
+
+
+@query("q4_order_priority", _SQL_Q4)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H q4 (adapted): correlated EXISTS — late-shipping orders per
+    priority. Runs through spark.sql so Catalyst's subquery decorrelation
+    (rewrite to left-semi join) is the engine under test; identical SQL text
+    runs on DuckDB."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(_SQL_Q4)
+
+
+_SQL_Q17 = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("q17_small_quantity_revenue", _SQL_Q17)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H q17: correlated SCALAR subquery (per-part average) — Catalyst
+    decorrelates to an aggregate + join. Quantities are integral doubles, so
+    the AVG is order-independent and both engines agree exactly."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(_SQL_Q17)
+
+
+_SQL_Q22 = """
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                              / CAST(COUNT(*) AS DOUBLE)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    GROUP BY c_mktsegment
+"""
+
+
+@query("q22_dormant_customers", _SQL_Q22)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H q22 (adapted): uncorrelated scalar subquery (average positive
+    balance, computed with the exact decimal-sum discipline) + correlated
+    NOT EXISTS (no finished orders) — Catalyst plans a left-anti join."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(_SQL_Q22)
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H q13: order-count histogram — left outer join preserving
+    order-less customers, two-level aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q14_promo_revenue",
+    f"""
+    SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN {_SQL_DISC_PRICE}
+                                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE))
+           / CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H q14: promo revenue share — conditional aggregation over a join,
+    exact decimal sums, one final double division."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return j.agg(
+        (
+            (F.lit(100.0) * dbl(F.sum(promo))) / dbl(F.sum(_disc_price()))
+        ).alias("promo_revenue")
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+                 FROM lineitem GROUP BY l_orderkey
+                 HAVING SUM(l_quantity) > 150)
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(b.total_qty AS BIGINT) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H q18: grouped-HAVING driving a join (the IN-subquery shape,
+    decorrelated) — large-volume orders with their customers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("total_qty").cast("bigint").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H q19: OR-of-ANDs predicate — Catalyst extracts the common
+    join key and pushes the per-table conjuncts below the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(cond).agg(dbl(F.sum(_disc_price())).alias("revenue"))

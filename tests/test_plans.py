@@ -134,3 +134,49 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan  # correlated EXISTS decorrelated, not re-executed
+    assert "CartesianProduct" not in plan
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l and "o_orderdate" in l)
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+
+
+def test_q17_scalar_subquery_decorrelates_to_aggregate_join(spark):
+    plan = plan_of(spark, "q17_small_quantity_revenue")
+    # per-part AVG runs once as an aggregate, joined back - not per-row
+    assert "HashAggregate" in plan and "avg(" in plan
+    assert "CartesianProduct" not in plan
+    assert "Brand#1" in plan  # part filter survives into the scan side
+
+
+def test_q22_not_exists_becomes_anti_join(spark):
+    plan = plan_of(spark, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_pushes_disjunction_common_conjuncts(spark):
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the brand IN / Or filter is evaluated below the join on the part side
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("Or(" in l and "p_brand" in l for l in pushed), pushed
+
+
+def test_repetition_metrics_single_exchange(spark):
+    df = QUERIES["repetition_report"](spark, SF)
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    final = phys.split("== Initial Plan ==")[0]  # AQE dump repeats the tree
+    # repartition(doc_id) satisfies both groupBys: exactly one shuffle
+    assert final.count("Exchange hashpartitioning") == 1, final.count("Exchange")
+
+
+def test_splits_are_narrow_filters(spark):
+    df = QUERIES["stratified_sample_counts"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # membership filter sits directly on the scan - no join, no window, no shuffle
+    assert "Join" not in plan and "Window" not in plan
