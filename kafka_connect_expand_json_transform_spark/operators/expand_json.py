@@ -167,3 +167,51 @@ def expand_json(
     for f in fields_to_expand:
         out = out.withColumn(f, _parse_expr(F.col(f), schemas[f], mode))
     return out
+
+
+def expand_json_nested(
+    df: DataFrame,
+    paths: Sequence[str],
+    schema: Mapping[str, DataType] | None = None,
+    infer: str = "sample",
+    sample_limit: int = 1000,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """[EXT] Expand JSON text held in NESTED struct fields, addressed by
+    dotted path (``"meta.payload"``).
+
+    The reference explicitly does not support this — it is the first entry
+    on its own improvement wishlist (readme.md:25, ExpandJson.java:42-44) —
+    so ``expand_json`` faithfully rejects dotted paths and this extension
+    provides them.  Implementation is ``Column.withField`` (Spark 3.1+),
+    which rewrites just the addressed leaf inside the struct: still a
+    narrow, codegen'd projection, no shuffle.
+
+    ``infer="sample"``/``"static"`` as in ``expand_json``; ``"variant"``
+    parses the leaf to VariantType.
+    """
+    if infer not in ("sample", "static", "variant"):
+        raise ValueError(f"unknown inference strategy: {infer!r}")
+    out = df
+    for path in paths:
+        if "." not in path:
+            raise ValueError(
+                f"{path!r} is a root-level field — use expand_json(fields=...) "
+                "for those; expand_json_nested is for dotted paths"
+            )
+        root, rest = path.split(".", 1)
+        if root not in df.columns:
+            raise ValueError(f"root column {root!r} not in DataFrame: {df.columns}")
+        leaf = F.col(path)
+        if infer == "variant":
+            parsed = F.parse_json(leaf.cast("string"))
+        else:
+            if infer == "static":
+                if schema is None or path not in schema:
+                    raise ValueError(f"infer='static' requires schema[{path!r}]")
+                dtype = schema[path]
+            else:
+                dtype = infer_schema_for_column(df, path, sample_limit=sample_limit)
+            parsed = _parse_expr(leaf, dtype, mode)
+        out = out.withColumn(root, F.col(root).withField(rest, parsed))
+    return out

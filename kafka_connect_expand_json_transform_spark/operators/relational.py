@@ -229,3 +229,35 @@ def merge_upsert(
     untouched = snapshot.join(latest.select(*keys), keys, "left_anti")
     upserts = latest.where(F.col(op_col) != delete_op).drop(op_col, order_col)
     return untouched.unionByName(upserts)
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: str | list[str],
+    compare_cols: list[str] | None = None,
+    status_col: str = "diff_status",
+) -> DataFrame:
+    """Snapshot diff: classify every key as added / removed / changed /
+    unchanged between two versions of a table (the data-ops audit step
+    before publishing a refreshed dataset).
+
+    One full-outer equi-join on the keys; the compared columns are packed
+    into a single struct per side so the change test is one null-safe
+    struct comparison (codegen) rather than N per-column ORs.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    compare = compare_cols or [c for c in old.columns if c not in keys]
+    missing = [c for c in compare if c not in new.columns]
+    if missing:
+        raise ValueError(f"compare columns absent from new side: {missing}")
+    o = old.select(*keys, F.struct(*compare).alias("__old"))
+    n = new.select(*keys, F.struct(*compare).alias("__new"))
+    j = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("__old").isNull(), "added")
+        .when(F.col("__new").isNull(), "removed")
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(*keys, status.alias(status_col), "__old", "__new")

@@ -1,0 +1,89 @@
+"""Time-series operators: bucketing, gap-filling, interpolation — [EXT]
+(SURVEY.md §2.2 north-star; the hypertable-style rollup surface.  The
+reference has no time semantics at all — an SMT sees one record at a time.)
+
+Design for scale: the time spine is generated *per key* with
+``sequence()`` + ``explode`` (codegen, no driver loop, no cross join
+against a global calendar), so a key that exists for one hour produces one
+spine row, not the whole calendar; the spine join is key+bucket equi-join.
+Fill methods are window functions over (key, bucket) — one shuffle, which
+the spine construction already required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts: Column | str, step: str = "1 hour") -> Column:
+    """Tumbling time bucket as a timestamp (hypertable ``time_bucket``)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.window(c, step)["start"]
+
+
+def bucket_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    aggs: list[Column],
+    step: str = "1 hour",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-(key, bucket) aggregation — the continuous-aggregate shape."""
+    return (
+        df.withColumn(bucket_col, time_bucket(ts_col, step))
+        .groupBy(*key_cols, bucket_col)
+        .agg(*aggs)
+    )
+
+
+def gap_fill(
+    rolled: DataFrame,
+    key_cols: list[str],
+    bucket_col: str = "bucket",
+    step_seconds: int = 3600,
+    fill: dict[str, str] | None = None,
+) -> DataFrame:
+    """Densify a rolled-up series: emit one row per key per ``step_seconds``
+    bucket between that key's first and last observation, filling gaps per
+    column: ``"zero"`` (0), ``"locf"`` (last observation carried forward),
+    ``"null"`` (leave missing).
+
+    The spine is built from each key's own [min, max] bucket range via
+    ``sequence()`` — no global calendar cross-join, so sparse keys stay
+    cheap and the operator scales with actual data, not with
+    #keys x #buckets.
+    """
+    fill = fill or {}
+    value_cols = [c for c in rolled.columns if c not in key_cols + [bucket_col]]
+    bad = [c for c, m in fill.items() if c not in value_cols]
+    if bad:
+        raise ValueError(f"fill targets not in frame: {bad}")
+    step = F.expr(f"INTERVAL {step_seconds} SECONDS")
+    spine = (
+        rolled.groupBy(*key_cols)
+        .agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
+        .select(
+            *key_cols,
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias(bucket_col),
+        )
+    )
+    dense = spine.join(rolled, [*key_cols, bucket_col], "left")
+    out_cols: list[Column] = [F.col(c) for c in key_cols] + [F.col(bucket_col)]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        method = fill.get(c, "null")
+        if method == "zero":
+            out_cols.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
+        elif method == "locf":
+            out_cols.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
+        elif method == "null":
+            out_cols.append(F.col(c))
+        else:
+            raise ValueError(f"unknown fill method {method!r} for column {c!r}")
+    return dense.select(*out_cols)

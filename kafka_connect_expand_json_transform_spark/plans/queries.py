@@ -2359,3 +2359,110 @@ def q19_disjunctive_revenue(spark, sf_dir):
         & F.col("l_quantity").between(20, 30)
     )
     return j.where(cond).agg(dbl(F.sum(_disc_price())).alias("revenue"))
+
+
+# --- time-series gap-fill / snapshot diff -----------------------------------
+
+from kafka_connect_expand_json_transform_spark.operators import timeseries as TS
+from kafka_connect_expand_json_transform_spark.operators.relational import dataset_diff
+
+
+@query(
+    "gapfill_hourly_events",
+    """
+    WITH rolled AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                           COUNT(*) AS n_events,
+                           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                             AS total_value
+                    FROM events GROUP BY 1, 2),
+         bounds AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+                    FROM rolled GROUP BY 1),
+         spine AS (SELECT event_type,
+                          unnest(generate_series(lo, hi, INTERVAL 3600 SECOND))
+                            AS bucket
+                   FROM bounds),
+         dense AS (SELECT s.event_type, s.bucket, r.n_events, r.total_value
+                   FROM spine s LEFT JOIN rolled r
+                     ON s.event_type = r.event_type AND s.bucket = r.bucket)
+    SELECT event_type, bucket,
+           COALESCE(n_events, 0) AS n_events,
+           last_value(total_value IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS total_value
+    FROM dense
+    """,
+)
+def gapfill_hourly_events(spark, sf_dir):
+    """Hypertable-style rollup + densify: hourly per-type event series with
+    zero-filled counts and LOCF'd totals.  The spine is generated per key
+    from its own [min, max] range (sequence + explode) — no global-calendar
+    cross join, so sparse keys cost nothing at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    rolled = TS.bucket_rollup(
+        ev,
+        ["event_type"],
+        "ts",
+        [
+            F.count("*").alias("n_events"),
+            dbl(F.sum(F.col("value").cast("decimal(12,2)"))).alias("total_value"),
+        ],
+        step="1 hour",
+    )
+    return TS.gap_fill(
+        rolled,
+        ["event_type"],
+        step_seconds=3600,
+        fill={"n_events": "zero", "total_value": "locf"},
+    )
+
+
+@query(
+    "dataset_diff_orders",
+    """
+    WITH changes AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE)
+               AS o_totalprice, 'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'D', 2
+      FROM orders WHERE o_orderkey % 15 = 0),
+    latest AS (
+      SELECT * FROM (SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
+                                                    ORDER BY seq DESC) AS rn
+                     FROM changes c) WHERE rn = 1),
+    newt AS (
+      SELECT o.o_orderkey, o.o_totalprice FROM orders o
+      WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+      UNION ALL
+      SELECT l.o_orderkey, l.o_totalprice FROM latest l WHERE l.op <> 'D')
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 'changed'
+                ELSE 'unchanged' END AS diff_status,
+           COUNT(*) AS n_keys
+    FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+    GROUP BY 1
+    """,
+)
+def dataset_diff_orders(spark, sf_dir):
+    """Snapshot diff audit: classify keys added/removed/changed/unchanged
+    between the orders snapshot and its CDC-merged successor — one
+    full-outer join, null-safe struct comparison."""
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", (money("o_totalprice") * 2).cast("double"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    dels = (
+        orders.where(F.col("o_orderkey") % 15 == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(2))
+    )
+    new = merge_upsert(orders, upd.unionByName(dels), "o_orderkey", "seq")
+    diff = dataset_diff(orders, new, "o_orderkey", compare_cols=["o_totalprice"])
+    return diff.groupBy("diff_status").agg(F.count("*").alias("n_keys"))

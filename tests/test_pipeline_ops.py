@@ -198,3 +198,72 @@ def test_hll_estimate_close_to_exact(spark):
     parts = hll_partials(df, ["g", "sub"], "v")
     again = {r["g"]: r["n_distinct_est"] for r in hll_rollup(parts, ["g"]).collect()}
     assert again == est
+
+
+def test_expand_json_nested_paths(spark):
+    from pyspark.sql.types import StructType
+    from kafka_connect_expand_json_transform_spark.operators.expand_json import (
+        expand_json,
+        expand_json_nested,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ("a", '{"x": 1, "y": "z"}'))],
+        "id long, meta struct<tag string, payload string>",
+    )
+    out = expand_json_nested(df, ["meta.payload"])
+    row = out.collect()[0]
+    assert row["meta"]["tag"] == "a"  # sibling leaf untouched
+    assert row["meta"]["payload"]["x"] == 1 and row["meta"]["payload"]["y"] == "z"
+    ptype = out.schema["meta"].dataType["payload"].dataType
+    assert isinstance(ptype, StructType)
+    # the faithful core still rejects dotted paths (readme.md:25)
+    with pytest.raises(ValueError, match="nested field path"):
+        expand_json(df, fields=["meta.payload"])
+    with pytest.raises(ValueError, match="root-level"):
+        expand_json_nested(df, ["id"])
+
+
+def test_gap_fill_zero_and_locf(spark):
+    import datetime as dt
+
+    from kafka_connect_expand_json_transform_spark.operators.timeseries import gap_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0)
+    rolled = spark.createDataFrame(
+        [
+            ("a", t0, 1, 10.0),
+            ("a", t0 + dt.timedelta(hours=3), 2, 30.0),  # 2-hour gap
+            ("b", t0, 5, 50.0),
+        ],
+        "k string, bucket timestamp, n long, total double",
+    )
+    out = gap_fill(
+        rolled, ["k"], step_seconds=3600, fill={"n": "zero", "total": "locf"}
+    )
+    rows = {(r["k"], r["bucket"].hour): (r["n"], r["total"]) for r in out.collect()}
+    assert rows[("a", 0)] == (1, 10.0)
+    assert rows[("a", 1)] == (0, 10.0)  # zero-filled count, carried total
+    assert rows[("a", 2)] == (0, 10.0)
+    assert rows[("a", 3)] == (2, 30.0)
+    assert rows[("b", 0)] == (5, 50.0)
+    assert len(rows) == 5  # b has no spine beyond its single bucket
+    with pytest.raises(ValueError, match="fill targets"):
+        gap_fill(rolled, ["k"], fill={"nope": "zero"})
+
+
+def test_dataset_diff_statuses(spark):
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        dataset_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0), (3, 31.0), (4, 40.0)], "k long, v double"
+    )
+    got = {
+        r["k"]: r["diff_status"] for r in dataset_diff(old, new, "k").collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
