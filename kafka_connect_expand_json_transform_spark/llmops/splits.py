@@ -138,3 +138,24 @@ def domain_mix(
         id_col=id_col,
         seed=seed,
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by deterministic hash order
+    (capping any one domain/source's contribution to a corpus).  Unlike
+    ``ORDER BY rand() LIMIT n`` the kept set is reproducible and
+    partition-invariant; ties in the 8-hex hash break on the id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(split_hash(id_col, seed), id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -2466,3 +2466,102 @@ def dataset_diff_orders(spark, sf_dir):
     new = merge_upsert(orders, upd.unionByName(dels), "o_orderkey", "seq")
     diff = dataset_diff(orders, new, "o_orderkey", compare_cols=["o_totalprice"])
     return diff.groupBy("diff_status").agg(F.count("*").alias("n_keys"))
+
+
+# --- unpivot / per-group caps / histogram / try-arithmetic ------------------
+
+
+@query(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, metric, val
+    FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+                 CAST(p_retailprice AS DOUBLE) AS p_retailprice
+          FROM part WHERE p_partkey <= 100)
+    UNPIVOT (val FOR metric IN (p_size, p_retailprice))
+    """,
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """Wide-to-long reshape (melt / UNPIVOT) — the inverse of the pivot
+    query; value columns unify to double."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).melt(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "cap_per_source",
+    """
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM (SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(doc_id::VARCHAR || ':cap'), 1, 8), doc_id)
+                   AS rn
+          FROM documents)
+    WHERE rn <= 10
+    GROUP BY source
+    """,
+)
+def cap_per_source(spark, sf_dir):
+    """Deterministic per-group cap: at most 10 docs per source, chosen by
+    hash order — reproducible and partition-invariant, unlike
+    ORDER BY rand() LIMIT n."""
+    docs = load_table(spark, sf_dir, "documents")
+    capped = SPLITS.cap_per_group(docs, "source", 10)
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+@query(
+    "histogram_totalprice",
+    """
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS bin_total
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark, sf_dir):
+    """Fixed-width histogram binning (width_bucket shape, floor arithmetic
+    so both engines bin identically)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bin")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dbl(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias("bin_total"),
+    )
+
+
+@query(
+    "try_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_quantity - 25, 0) AS price_per_dev
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def try_arithmetic(spark, sf_dir):
+    """Error-safe arithmetic: try_divide yields NULL where the denominator
+    is zero (ANSI-safe pipelines without per-row exception handling)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw IEEE quotient: identical inputs -> identical bits in both
+        # engines; rounding would diverge (Spark rounds the shortest decimal
+        # repr, DuckDB the binary value)
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).alias(
+            "price_per_dev"
+        ),
+    )

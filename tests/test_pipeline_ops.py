@@ -267,3 +267,13 @@ def test_dataset_diff_statuses(spark):
         r["k"]: r["diff_status"] for r in dataset_diff(old, new, "k").collect()
     }
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_cap_per_group_deterministic(spark):
+    df = _docs(spark, 400)
+    capped = splits.cap_per_group(df, "grp", 5)
+    by = {r["grp"]: r["count"] for r in capped.groupBy("grp").count().collect()}
+    assert all(v == 5 for v in by.values()) and len(by) == 4
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in splits.cap_per_group(df.repartition(7), "grp", 5).collect())
+    assert a == b  # kept set invariant under repartitioning
