@@ -2565,3 +2565,75 @@ def try_arithmetic(spark, sf_dir):
             "price_per_dev"
         ),
     )
+
+
+# --- winnowing-overlap near-dup pairs / statistical aggregates ---------------
+
+
+@query(
+    "winnowing_overlap_pairs",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(t) - 4, 1)),
+                            i -> md5(substring(t, i, 5))) AS hs
+      FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+                                          j -> list_min(hs[j:j+3]))) AS fps
+      FROM g),
+    fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM w),
+    rare AS (SELECT fingerprint FROM fp GROUP BY fingerprint
+             HAVING COUNT(*) <= 50),
+    fr AS (SELECT f.doc_id, f.fingerprint FROM fp f
+           JOIN rare r ON f.fingerprint = r.fingerprint)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM fr a JOIN fr b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def winnowing_overlap_pairs(spark, sf_dir):
+    """Substring-duplication candidates: doc pairs sharing >= 2 winnowing
+    fingerprints (the scalable stand-in for suffix-array substring dedup, Lee
+    et al. 2022).  Fingerprints occurring in > 50 docs are dropped before the
+    self-join — the stopword-shingle cap that keeps any one posting list, and
+    therefore the join fan-out, bounded at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text_analysis.winnowing_fingerprints(docs, k=5, window=4)
+    rare = fp.groupBy("fingerprint").agg(F.count("*").alias("__n")).where(
+        F.col("__n") <= 50
+    )
+    fr = fp.join(rare.select("fingerprint"), "fingerprint")
+    a = fr.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = fr.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+
+
+@query(
+    "stats_aggregates",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(stddev_samp(l_quantity), 4) AS qty_stddev,
+           round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_aggregates(spark, sf_dir):
+    """Statistical aggregates (corr/stddev/covar) per group, rounded to 4
+    decimals — the same transcendental-tolerance discipline as math_funcs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
+    )
