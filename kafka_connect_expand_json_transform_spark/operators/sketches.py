@@ -57,3 +57,43 @@ def distinct_estimate_report(
     scheduled pipeline would run incrementally (sketch new partitions, merge
     with the historical partials)."""
     return hll_rollup(hll_partials(df, fine_cols, value_col, lgk), coarse_cols)
+
+
+def incremental_hll(
+    stream_df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    partials_path: str,
+    checkpoint_location: str,
+    lgk: int = 12,
+):
+    """Maintain per-group HLL partials incrementally from a stream: each
+    micro-batch is sketched and union-merged into a persisted partials table
+    (the continuously-updated "distinct users per key" dashboard feed).
+
+    The merge reads kilobytes of sketches, never reprocesses history;
+    exactly-once bookkeeping comes from the foreachBatch checkpoint.  The
+    merged frame is localCheckpoint'ed (lineage truncated, not just cached)
+    before the overwrite — a cached-only plan could re-read the path it is
+    about to delete if a partition were evicted.
+    """
+    from kafka_connect_expand_json_transform_spark.streaming.sources import (
+        foreach_batch_sink,
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = hll_partials(batch_df, group_cols, value_col, lgk)
+        try:
+            old = spark.read.parquet(partials_path)
+            merged = (
+                old.unionByName(new)
+                .groupBy(*group_cols)
+                .agg(F.hll_union_agg("hll").alias("hll"))
+            )
+        except Exception:  # first batch: no partials yet
+            merged = new
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(partials_path)
+
+    return foreach_batch_sink(stream_df, update, checkpoint_location)

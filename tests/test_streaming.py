@@ -286,3 +286,39 @@ def test_expand_json_sample_rejects_streaming(spark, events_path):
     stream = file_stream_source(spark, events_path, EVENT_SCHEMA)
     with pytest.raises(ValueError, match="expand_json_stream"):
         expand_json(stream, fields=["props"])
+
+
+def test_incremental_hll_across_microbatches(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.operators.sketches import (
+        hll_rollup,
+        incremental_hll,
+    )
+
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    # two files -> two micro-batches with maxFilesPerTrigger=1; user 20
+    # appears in both batches and must count once
+    rows0 = [{"event_id": i, "user": "alice", "ts": "2026-01-01T10:00:00Z",
+              "props": str(i % 20)} for i in range(40)]
+    rows1 = [{"event_id": i, "user": "alice", "ts": "2026-01-01T10:01:00Z",
+              "props": str(i % 30)} for i in range(60)]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows0))
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    partials = str(tmp_path / "hll_partials")
+    q = incremental_hll(
+        stream, ["user"], "props", partials, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        r["user"]: r["n_distinct_est"]
+        for r in hll_rollup(
+            spark.read.parquet(partials), ["user"]
+        ).collect()
+    }
+    # distinct props across both batches: 0..29 -> 30 values, merged not summed
+    assert got["alice"] == pytest.approx(30, rel=0.05)
