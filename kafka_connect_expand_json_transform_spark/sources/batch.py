@@ -138,3 +138,29 @@ def write_parquet(
         writer.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(table_name)
         return
     writer.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str, options: dict | None = None) -> DataFrame:
+    """ORC batch source (columnar alternative to parquet; same pushdown and
+    pruning properties through the vectorized reader)."""
+    reader = spark.read
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    writer = df.write.mode(mode)
+    writer.orc(path)
+
+
+def read_parquet_evolving(
+    spark: SparkSession, *paths: str, merge_schema: bool = True
+) -> DataFrame:
+    """Read parquet written over time with widening schemas (columns added
+    across batches): ``mergeSchema`` unions the footers' schemas; rows from
+    older files surface NULL for later-added columns.  The schema-evolution
+    answer for an append-only 100 TB lake layout."""
+    return (
+        spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(*paths)
+    )

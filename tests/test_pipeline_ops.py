@@ -277,3 +277,37 @@ def test_cap_per_group_deterministic(spark):
     a = sorted(r["doc_id"] for r in capped.collect())
     b = sorted(r["doc_id"] for r in splits.cap_per_group(df.repartition(7), "grp", 5).collect())
     assert a == b  # kept set invariant under repartitioning
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.batch import (
+        read_orc,
+        write_orc,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), F.sha2(F.col("id").cast("string"), 256).alias("h")
+    )
+    p = str(tmp_path / "t.orc")
+    write_orc(df, p)
+    back = read_orc(spark, p).where(F.col("g") == 3).select("id")
+    assert back.count() == 14  # ids 3, 10, ..., 94
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "ReadSchema: struct<id:bigint,g:bigint>" in plan
+
+
+def test_parquet_schema_evolution(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.batch import (
+        read_parquet_evolving,
+    )
+
+    v1 = str(tmp_path / "lake/batch=1")
+    v2 = str(tmp_path / "lake/batch=2")
+    spark.range(3).select(F.col("id")).write.parquet(v1)
+    spark.range(3).select(F.col("id"), F.lit("en").alias("lang")).write.parquet(v2)
+    merged = read_parquet_evolving(spark, v1, v2)
+    assert set(merged.columns) == {"id", "lang"}
+    assert merged.count() == 6
+    assert merged.where(F.col("lang").isNull()).count() == 3  # old files: NULL
