@@ -9,10 +9,15 @@ Reference parity (cited per module as reference file:line):
 
 Engine extensions mandated by the north star (no reference citation possible;
 the reference contains no relational/streaming/LLM operators — SURVEY.md §2.1):
-  - ``operators.relational`` — as-of join, top-k per group, sessionize, dedup helpers
+  - ``operators.relational`` — as-of join, top-k per group, sessionize, salted
+                              join, CDC merge_upsert, dataset_diff
+  - ``operators.sketches``   — HLL partials/rollups (batch + incremental streaming)
+  - ``operators.timeseries`` — time-bucket rollup, per-key gap-fill (zero/LOCF)
   - ``streaming``           — watermarked windows, stateful dedup, kafka wiring
   - ``llmops``              — dedup (exact/minhash/simhash/jaccard/embedding),
-                              similarity search, text analysis, multimodal columns
+                              similarity search, text analysis (TF-IDF, repetition,
+                              PII), splits/stratified/domain-mix/cap, benchmark
+                              decontamination, sequence packing, multimodal columns
 """
 
 from kafka_connect_expand_json_transform_spark.session import get_spark

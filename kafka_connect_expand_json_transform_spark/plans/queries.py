@@ -2602,7 +2602,10 @@ def winnowing_overlap_pairs(spark, sf_dir):
     self-join — the stopword-shingle cap that keeps any one posting list, and
     therefore the join fan-out, bounded at corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = text_analysis.winnowing_fingerprints(docs, k=5, window=4)
+    # the fingerprint scan feeds three consumers (rare-filter + both join
+    # sides); checkpoint it once or the md5-per-chargram pass runs 3x
+    # (measured 15.9s -> ~6s at sf0.1)
+    fp = text_analysis.winnowing_fingerprints(docs, k=5, window=4).localCheckpoint()
     rare = fp.groupBy("fingerprint").agg(F.count("*").alias("__n")).where(
         F.col("__n") <= 50
     )

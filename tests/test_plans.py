@@ -180,3 +180,24 @@ def test_splits_are_narrow_filters(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     # membership filter sits directly on the scan - no join, no window, no shuffle
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_plan_report_summarizes_scale_facts(spark):
+    from kafka_connect_expand_json_transform_spark.plans.inspect import (
+        assert_scale_safe,
+        plan_report,
+    )
+
+    df = QUERIES["q3_shipping_priority"](spark, SF)
+    rep = plan_report(df)
+    assert rep["joins"].get("BroadcastHashJoin", 0) >= 1
+    assert not rep["has_cartesian"]
+    assert "n_codegen_stages" in rep  # 0 pre-execution under AQE (see memory)
+    assert any("c_mktsegment" in p for p in rep["pushed_filters"])
+    assert_scale_safe(df)  # no cartesian, passes
+
+    crossed = QUERIES["join_cross"](spark, SF)
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="Cartesian|exchanges"):
+        assert_scale_safe(crossed, max_exchanges=0)
