@@ -2640,3 +2640,24 @@ def stats_aggregates(spark, sf_dir):
         F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
     )
+
+
+@query(
+    "string_agg_customers",
+    """
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           COUNT(*) AS n
+    FROM customer WHERE c_custkey <= 60
+    GROUP BY c_nationkey
+    """,
+)
+def string_agg_customers(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG shape): collect_list is
+    order-nondeterministic under parallelism, so the deterministic form is
+    sort_array before concat — same contract as SQL's WITHIN GROUP order."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 60)
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("names"),
+        F.count("*").alias("n"),
+    )
