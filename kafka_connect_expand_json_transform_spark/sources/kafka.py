@@ -123,3 +123,66 @@ def write_kafka_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def from_connect_config(config: dict):
+    """Adapter for the reference's exact connector configuration (readme.md:
+    38-42; config surface ExpandJson.java:48-59): paste the SMT's properties,
+    get back a DataFrame transform.
+
+    Recognized keys:
+      * ``type`` — ``...ExpandJson$Key`` or ``...ExpandJson$Value`` (side)
+      * ``fields`` — comma-separated root-level fields (schema'd mode)
+      * ``schema.name.prefix`` — struct-name metadata prefix
+
+    The returned callable applies the reference's two mode guards at plan
+    time: ``fields`` on a schemaless (non-struct) side raises (the
+    DataException at ExpandJson.java:95-98), and a struct side without
+    ``fields`` raises (ExpandJson.java:107-110).  Field mode expands the
+    JSON-text fields INSIDE the record side via dotted-path rewrite; the
+    rest of the record passes through untouched.
+    """
+    type_name = str(config.get("type", ""))
+    side = "key" if type_name.strip().endswith("$Key") else "value"
+    raw = config.get("fields", "")
+    fields = [f.strip() for f in str(raw).split(",") if f.strip()] if raw else []
+    prefix = config.get("schema.name.prefix")
+
+    def apply(
+        df: DataFrame,
+        sample_df: DataFrame | None = None,
+        infer: str = "sample",
+        mode: str = "PERMISSIVE",
+    ) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        from kafka_connect_expand_json_transform_spark.operators.expand_json import (
+            expand_json_nested,
+        )
+
+        is_struct = isinstance(df.schema[side].dataType, StructType)
+        if fields and not is_struct:
+            raise ValueError(
+                f"'fields' configured but record {side} has no schema (not a "
+                "struct) — the reference raises DataException here "
+                "(ExpandJson.java:95-98)"
+            )
+        if not fields and is_struct:
+            raise ValueError(
+                f"record {side} is a struct but 'fields' is empty — the "
+                "reference raises DataException here (ExpandJson.java:107-110)"
+            )
+        if fields:
+            return expand_json_nested(
+                df, [f"{side}.{f}" for f in fields], infer=infer, mode=mode
+            )
+        return expand_kafka_records(
+            df,
+            side=side,
+            infer=infer,
+            sample_df=sample_df,
+            mode=mode,
+            schema_name_prefix=prefix,
+        )
+
+    return apply

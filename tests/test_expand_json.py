@@ -237,3 +237,46 @@ def test_expand_kafka_record_tuple_key_and_value(spark):
     k = by_key.orderBy("offset").first()
     assert k["key"]["id"] == 7
     assert bytes(k["value"]) == b'{"amount": 12.5, "ok": true}'
+
+
+def test_from_connect_config_whole_value(spark):
+    from kafka_connect_expand_json_transform_spark.sources.kafka import (
+        from_connect_config,
+    )
+
+    t = from_connect_config(
+        {"type": "com.github.joshuagrisham.kafka.connect.transforms.ExpandJson$Value"}
+    )
+    df = spark.createDataFrame(
+        [("k1", '{"a": 1, "b": "x"}')], "key string, value string"
+    )
+    out = t(df).collect()[0]
+    assert out["value"]["a"] == 1 and out["value"]["b"] == "x"
+    assert out["key"] == "k1"  # other side untouched (ExpandJsonTest.java:86-89)
+
+
+def test_from_connect_config_field_mode_and_guards(spark):
+    import pytest
+    from kafka_connect_expand_json_transform_spark.sources.kafka import (
+        from_connect_config,
+    )
+
+    t = from_connect_config({"type": "...ExpandJson$Value", "fields": "jsonValue"})
+    df = spark.createDataFrame(
+        [(("plain", '{"k": 5}'),)],
+        "value struct<other string, jsonValue string>",
+    )
+    out = t(df).collect()[0]
+    assert out["value"]["jsonValue"]["k"] == 5
+    assert out["value"]["other"] == "plain"  # sibling copied through
+    # guard 1: fields + schemaless side (ExpandJson.java:95-98)
+    flat = spark.createDataFrame([("x", "{}")], "key string, value string")
+    with pytest.raises(ValueError, match="no schema"):
+        t(flat)
+    # guard 2: struct side without fields (ExpandJson.java:107-110)
+    with pytest.raises(ValueError, match="'fields' is empty"):
+        from_connect_config({"type": "...ExpandJson$Value"})(df)
+    # key-side selection
+    tk = from_connect_config({"type": "...ExpandJson$Key"})
+    kdf = spark.createDataFrame([('"bare"', "v")], "key string, value string")
+    assert tk(kdf).collect()[0]["key"] == "bare"
