@@ -282,8 +282,10 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        # checkpoint truncates the lineage so the plan doesn't double per round
-        new_labels = new_labels.localCheckpoint()
+        # checkpoint truncates the lineage so the plan doesn't double per
+        # round; LAZY so the convergence count below is the action that
+        # materializes it — one Spark job per round instead of two
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
