@@ -119,3 +119,56 @@ def test_int_boundaries_exact():
     assert infer_schema_for_json(str(-(2**31) - 1)) == LongType()
     assert infer_schema_for_json(str(2**63 - 1)) == LongType()
     assert infer_schema_for_json(str(2**63)) == StringType()
+
+
+# --- deterministic-split scheme properties (driver-side: the scheme is
+# md5(f"{id}:{seed}")[:8] vs fixed-width hex thresholds; hashlib reproduces
+# the Spark/DuckDB expression byte-for-byte) ---------------------------------
+
+import hashlib
+
+from kafka_connect_expand_json_transform_spark.llmops.splits import (
+    _HASH_SPACE,
+    hex_threshold,
+)
+
+
+def _py_hash(i, seed):
+    return hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8]
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+def test_hex_threshold_bounds(f):
+    t = hex_threshold(f)
+    if f >= 1.0:
+        assert t == "g"  # +inf sentinel: sorts after every hex digit
+    else:
+        assert len(t) == 8 and int(t, 16) == int(f * _HASH_SPACE)
+
+
+@given(
+    st.floats(min_value=0.0, max_value=1.0),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+def test_hex_threshold_monotone(a, b):
+    lo, hi = sorted((a, b))
+    # lexicographic order on the fixed-width thresholds == numeric order
+    assert hex_threshold(lo) <= hex_threshold(hi)
+
+
+@settings(max_examples=20)
+@given(st.floats(min_value=0.1, max_value=0.9))
+def test_split_scheme_proportions(frac):
+    t = hex_threshold(frac)
+    kept = sum(1 for i in range(4000) if _py_hash(i, "split") < t)
+    # uniformity of md5: observed share within 4pp of the target fraction
+    assert abs(kept / 4000 - frac) < 0.04
+
+
+def test_split_scheme_seed_independence():
+    # different seeds give (near-)independent draws: overlap of two 50%
+    # samples is ~25%, not ~50%
+    a = {i for i in range(4000) if _py_hash(i, "s1") < hex_threshold(0.5)}
+    b = {i for i in range(4000) if _py_hash(i, "s2") < hex_threshold(0.5)}
+    inter = len(a & b) / 4000
+    assert 0.2 < inter < 0.3

@@ -311,3 +311,16 @@ def test_parquet_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "lang"}
     assert merged.count() == 6
     assert merged.where(F.col("lang").isNull()).count() == 3  # old files: NULL
+
+
+def test_merge_upsert_idempotent(spark):
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [(2, 21.0, "U", 1), (3, 30.0, "D", 1), (4, 40.0, "U", 1)],
+        "k long, v double, op string, seq int",
+    )
+    once = merge_upsert(snap, changes, "k", "seq")
+    twice = merge_upsert(once, changes, "k", "seq")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
