@@ -1323,6 +1323,9 @@ def neardup_jaccard_pairs(spark, sf_dir):
     sh = docs.select(F.col("doc_id"), TXT.tokens(F.col("text")).alias("__toks")).select(
         F.col("doc_id"), F.explode(TXT.shingles_from_tokens("__toks", 3)).alias("s")
     )
+    # three consumers (counts + both join sides): checkpoint or the shingle
+    # scan re-runs 3x (3.45s -> 2.39s at sf0.1)
+    sh = sh.localCheckpoint()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")
     b = sh.select(F.col("doc_id").alias("id_b"), "s")
