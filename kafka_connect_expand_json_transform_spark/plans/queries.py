@@ -2664,3 +2664,41 @@ def string_agg_customers(spark, sf_dir):
         F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("names"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events),
+    s AS (
+      SELECT user_id,
+             SUM(CASE WHEN prev IS NULL
+                       OR epoch_us(ts)/1000000.0 - epoch_us(prev)/1000000.0 > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM lagged)
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Batch sessionization (30-min gap) over the events stream replayed as
+    a table: island labeling via lag + running sum, one shuffle on the key.
+    Gap arithmetic is exact (integer microseconds -> identical doubles in
+    both engines)."""
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        sessionize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
