@@ -2976,3 +2976,159 @@ def q12_late_shipments(spark, sf_dir):
             F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
     )
+
+
+_SQL_Q2 = """
+    SELECT p_partkey, p_brand, s_suppkey, s_name,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM part
+    JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+      ON p_partkey = sp.l_partkey
+    JOIN supplier ON s_suppkey = sp.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 10
+      AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                       FROM supplier s2
+                       JOIN (SELECT DISTINCT l_partkey, l_suppkey
+                             FROM lineitem) sp2 ON s2.s_suppkey = sp2.l_suppkey
+                       JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                       WHERE r2.r_name = 'EUROPE'
+                         AND sp2.l_partkey = p_partkey)
+"""
+
+
+@query("q2_min_cost_supplier", _SQL_Q2)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H q2 (adapted: no partsupp — part-supplier pairs derive from
+    lineitem, min supply cost becomes min account balance): correlated
+    scalar MIN subquery over a join tree. Catalyst decorrelates to an
+    aggregate-on-partkey + join; the equality compares raw parquet doubles
+    (identical bits in both engines)."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(_SQL_Q2)
+
+
+_SQL_Q11 = f"""
+    SELECT l_partkey, CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) >
+           1.5 * (SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) FROM lineitem)
+               / (SELECT CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) FROM lineitem)
+"""
+
+
+@query("q11_important_parts", _SQL_Q11)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H q11 (adapted: part revenue in place of partsupp stock value):
+    HAVING against TWO uncorrelated scalar subqueries — parts earning >1.5x
+    the average per-part revenue. The multiple-of-average form is
+    scale-invariant (tables scale linearly, TESTDATA.md), unlike a fixed
+    fraction of the total. Both comparison sides are exact-decimal sums cast
+    to double plus one double multiply/divide: identical bits cross-engine."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(_SQL_Q11)
+
+
+_SQL_Q15 = f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", _SQL_Q15)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H q15: top supplier by quarterly revenue — a CTE consumed twice
+    (join input + MAX subquery). The revenue values compared for equality
+    are exact decimal sums cast to double, so the MAX match is bit-exact."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(_SQL_Q15)
+
+
+_SQL_Q16 = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT sp.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+    JOIN part ON p_partkey = sp.l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND sp.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q16_supplier_part_cnt", _SQL_Q16)
+def q16_supplier_part_cnt(spark, sf_dir):
+    """TPC-H q16 (adapted: pairs from lineitem; 'complaint' suppliers are
+    those with negative balance): NOT IN anti-join + COUNT(DISTINCT) per
+    group over a deduplicated pair set."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(_SQL_Q16)
+
+
+_SQL_Q20 = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT li.l_suppkey
+      FROM lineitem li JOIN part ON p_partkey = li.l_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY li.l_suppkey, li.l_partkey
+      HAVING SUM(li.l_quantity) > 0.15 * (SELECT SUM(l2.l_quantity)
+                                         FROM lineitem l2
+                                         WHERE l2.l_partkey = li.l_partkey))
+"""
+
+
+@query("q20_dominant_suppliers", _SQL_Q20)
+def q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H q20 (adapted: availqty threshold becomes share-of-part-volume):
+    IN-subquery whose HAVING contains a correlated scalar aggregate on the
+    grouping key — the deepest nesting in the suite. Quantities are integral
+    doubles, so sums and the 0.3 multiply are exact enough to agree
+    bit-for-bit."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(_SQL_Q20)
+
+
+_SQL_Q21 = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1
+                      FROM lineitem l3 JOIN orders o2
+                        ON o2.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o2.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+"""
+
+
+@query("q21_waiting_suppliers", _SQL_Q21)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H q21 (adapted: lateness = shipped >90 days after order date):
+    the classic EXISTS + NOT EXISTS double correlation — suppliers who were
+    the sole late shipper on a multi-supplier finished order. Catalyst plans
+    left-semi + left-anti joins; the correlated predicates are pure
+    equalities (the date comparison stays inside the subquery via the o2
+    self-join)."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(_SQL_Q21)
