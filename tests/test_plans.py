@@ -201,3 +201,39 @@ def test_plan_report_summarizes_scale_facts(spark):
 
     with _pytest.raises(AssertionError, match="Cartesian|exchanges"):
         assert_scale_safe(crossed, max_exchanges=0)
+
+
+def test_q21_double_correlation_becomes_semi_plus_anti(spark):
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan   # EXISTS (another supplier on the order)
+    assert "LeftAnti" in plan   # NOT EXISTS (another late supplier)
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_decorrelates_to_aggregate_join(spark):
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    # per-part MIN computed once as an aggregate and joined back
+    assert "HashAggregate" in plan and "min(" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_correlated_having_decorrelates(spark):
+    plan = plan_of(spark, "q20_dominant_suppliers")
+    assert "LeftSemi" in plan   # the IN-subquery
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_infers_nation_filters_from_disjunction(spark):
+    plan = plan_of(spark, "q7_volume_shipping")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q8_market_share")
+    # part/supplier/nation/nation/region all broadcast: >= 4 broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    # the p_type filter reaches the part scan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_type" in l and "PROMO" in l for l in pushed), pushed
