@@ -164,3 +164,28 @@ def read_parquet_evolving(
     return (
         spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(*paths)
     )
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort-within-partition layout: the data-skipping
+    answer for point/range reads on ``sort_cols`` at 100 TB.
+
+    ``repartitionByRange`` gives globally disjoint key ranges per file and
+    ``sortWithinPartitions`` makes every parquet row group's min/max stats
+    narrow, so a predicate on the sort key prunes whole files via the range
+    partitioning AND whole row groups via statistics — without any index
+    structure to maintain. (Single-column z-order degenerates to exactly
+    this; for multi-column skipping, list the columns major-to-minor.)
+    """
+    part = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    part.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

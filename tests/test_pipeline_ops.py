@@ -324,3 +324,43 @@ def test_merge_upsert_idempotent(spark):
     once = merge_upsert(snap, changes, "k", "seq")
     twice = merge_upsert(once, changes, "k", "seq")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_sorted_parquet_layout_skips_row_groups(spark, tmp_path):
+    """write_sorted_parquet must produce files with disjoint key ranges and
+    narrow row-group stats, and Spark must skip non-matching files/groups on
+    a point read (the no-index data-skipping contract at scale)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from kafka_connect_expand_json_transform_spark.sources.batch import (
+        load_table,
+        write_sorted_parquet,
+    )
+
+    out = str(tmp_path / "orders_by_custkey")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    write_sorted_parquet(orders, out, ["o_custkey"], n_files=4)
+
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    # per-file key ranges are pairwise disjoint (range partitioning)...
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_custkey"
+        )
+        stats = [md.row_group(g).column(col_idx).statistics for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # ...so a point predicate matches exactly one file
+    # and the point read returns correct results through the pushed filter
+    key = orders.select("o_custkey").first()[0]
+    got = spark.read.parquet(out).where(F.col("o_custkey") == key).count()
+    want = orders.where(F.col("o_custkey") == key).count()
+    assert got == want > 0

@@ -237,3 +237,33 @@ def test_q8_broadcasts_all_dims(spark):
     # the p_type filter reaches the part scan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("p_type" in l and "PROMO" in l for l in pushed), pushed
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
+    """When the dimension side of a shuffle join is selectively filtered,
+    Spark's runtime bloom-filter injection must semi-filter the fact scan
+    (might_contain on l_orderkey) — the 100 TB defense when the dim is too
+    big to broadcast. Thresholds are lowered because test data is tiny; at
+    real scale the defaults (10MB creation / 10GB application) self-arm."""
+    from kafka_connect_expand_json_transform_spark.sources.batch import load_table
+
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        o = load_table(spark, SF, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+        li = load_table(spark, SF, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v) if v is not None else conf.unset(k)

@@ -322,3 +322,56 @@ def test_incremental_hll_across_microbatches(spark, tmp_path):
     }
     # distinct props across both batches: 0..29 -> 30 values, merged not summed
     assert got["alice"] == pytest.approx(30, rel=0.05)
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched click emits a null-padded
+    row only once the global watermark (min across BOTH sources) passes its
+    join window — so each side's second file carries a late row to advance
+    its own watermark. A click whose window is still open at the final
+    watermark must NOT be emitted (state not yet evicted)."""
+    import os as _os
+
+    clicks_p, buys_p = tmp_path / "clicks", tmp_path / "buys"
+    clicks_p.mkdir()
+    buys_p.mkdir()
+    c0 = [
+        {"event_id": 1, "user": "alice", "ts": "2026-01-01T10:00:00Z", "props": "{}"},
+        # bob never buys -> null-padded once watermark > 10:05 + 30min
+        {"event_id": 2, "user": "bob", "ts": "2026-01-01T10:05:00Z", "props": "{}"},
+    ]
+    # charlie's click window [13:00, 13:30] is still open at the final
+    # watermark (12:50) -> must not appear in the output at all
+    c1 = [{"event_id": 3, "user": "charlie", "ts": "2026-01-01T13:00:00Z", "props": "{}"}]
+    b0 = [{"event_id": 10, "user": "alice", "ts": "2026-01-01T10:20:00Z", "props": "{}"}]
+    # unmatched BUY: left join never null-pads the right side; also advances
+    # the buys watermark to 12:50 so bob's state can be evicted
+    b1 = [{"event_id": 11, "user": "dave", "ts": "2026-01-01T13:00:00Z", "props": "{}"}]
+    for i, (p, rows) in enumerate(
+        [(clicks_p / "c0.json", c0), (clicks_p / "c1.json", c1),
+         (buys_p / "b0.json", b0), (buys_p / "b1.json", b1)]
+    ):
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        _os.utime(p, (1000000000 + (i % 2) * 100,) * 2)  # *0 files before *1 files
+
+    c = (
+        file_stream_source(spark, str(clicks_p), EVENT_SCHEMA,
+                           options={"maxFilesPerTrigger": "1"})
+        .selectExpr("user", "ts AS click_ts", "event_id AS click_id")
+        .withWatermark("click_ts", "10 minutes")
+    )
+    b = (
+        file_stream_source(spark, str(buys_p), EVENT_SCHEMA,
+                           options={"maxFilesPerTrigger": "1"})
+        .selectExpr("user AS buyer", "ts AS buy_ts", "event_id AS buy_id")
+        .withWatermark("buy_ts", "10 minutes")
+    )
+    joined = c.join(
+        b,
+        F.expr("user = buyer AND buy_ts >= click_ts AND "
+               "buy_ts <= click_ts + INTERVAL 30 MINUTES"),
+        "leftOuter",
+    ).select("user", "click_id", "buy_id")
+    out = run_to_table(spark, joined).collect()
+    got = {(r["user"], r["click_id"], r["buy_id"]) for r in out}
+    assert got == {("alice", 1, 10), ("bob", 2, None)}
