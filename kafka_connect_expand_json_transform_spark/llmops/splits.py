@@ -159,3 +159,27 @@ def cap_per_group(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    id_col: str = "doc_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Keep each row with probability = its own weight in [0, 1] —
+    quality-weighted downsampling (keep good documents more often), but
+    deterministic: membership is ``hash_draw(id, seed) < weight``, a pure
+    row-local function, so the same corpus samples identically on any
+    cluster, any partitioning, any engine.
+
+    The comparison stays in the fixed-width-hex domain of ``split_hash``:
+    the per-row threshold is ``lpad(hex(floor(w * 16^8)), 8, '0')`` (with
+    the 'g' sentinel for w >= 1), so an 8-char lexicographic compare equals
+    the numeric compare and DuckDB reproduces it byte-for-byte via
+    ``to_hex``."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    thr = F.when(w >= 1.0, F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex(F.floor(w * F.lit(float(_HASH_SPACE))).cast("bigint"))), 8, "0")
+    )
+    return df.where(split_hash(id_col, seed) < thr)

@@ -3069,3 +3069,26 @@ def q21_waiting_suppliers(spark, sf_dir):
     self-join)."""
     register_testdata(spark, sf_dir)
     return spark.sql(_SQL_Q21)
+
+
+@query(
+    "weighted_sample_docs",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             least(length(text) / 2000.0, 1.0) AS w,
+             substr(md5(concat(CAST(doc_id AS VARCHAR), ':wsample')), 1, 8) AS h
+      FROM documents)
+    WHERE h < CASE WHEN w >= 1.0 THEN 'g'
+                   ELSE lpad(lower(to_hex(CAST(floor(w * 4294967296.0) AS BIGINT))),
+                             8, '0') END
+    """,
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Deterministic quality-weighted downsampling: keep each document with
+    probability proportional to its length (capped at 1) — a pure row-local
+    md5 draw, shuffle-free and partition-invariant, reproduced byte-for-byte
+    by the DuckDB oracle (llmops/splits.py weighted_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(F.length("text") / F.lit(2000.0), F.lit(1.0))
+    return SPLITS.weighted_sample(docs.withColumn("w", w), "w").select("doc_id", "source")

@@ -364,3 +364,27 @@ def test_sorted_parquet_layout_skips_row_groups(spark, tmp_path):
     got = spark.read.parquet(out).where(F.col("o_custkey") == key).count()
     want = orders.where(F.col("o_custkey") == key).count()
     assert got == want > 0
+
+
+def test_weighted_sample_is_partition_invariant_and_rate_correct(spark):
+    """weighted_sample membership must not depend on physical partitioning,
+    and the realized rate must track the mean weight (it's an exact
+    per-row Bernoulli with hash-uniform draws)."""
+    from kafka_connect_expand_json_transform_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    w = F.least(F.length("text") / F.lit(2000.0), F.lit(1.0))
+    dw = docs.withColumn("w", w)
+    base = {r[0] for r in splits.weighted_sample(dw, "w").select("doc_id").collect()}
+    re32 = {
+        r[0]
+        for r in splits.weighted_sample(dw.repartition(32), "w").select("doc_id").collect()
+    }
+    assert base == re32
+    mean_w = dw.agg(F.avg("w")).first()[0]
+    n_total = dw.count()
+    rate = len(base) / n_total
+    assert abs(rate - mean_w) < 0.05  # 3-sigma at n>=1000 is well under this
+    # weight 0 drops everything; weight 1 keeps everything
+    assert splits.weighted_sample(dw.withColumn("w", F.lit(0.0)), "w").count() == 0
+    assert splits.weighted_sample(dw.withColumn("w", F.lit(1.0)), "w").count() == n_total
