@@ -70,3 +70,31 @@ def key_skew_report(
         .orderBy(F.col("key_count").desc(), *keys)
         .limit(top_n)
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 20) -> DataFrame:
+    """Exact corpus-wide top-k values by frequency, deterministically
+    tie-broken on the value itself. Two-phase by construction: partial
+    counts map-side, one shuffle on the value, then a global TakeOrdered of
+    k rows — never a full sort of the distinct-value space."""
+    return (
+        df.groupBy(F.col(col).alias("value"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "value")
+        .limit(k)
+    )
+
+
+def approx_heavy_hitters(
+    df: DataFrame, col: str, k: int = 20, max_items_tracked: int = 10000
+) -> DataFrame:
+    """Sketch-based top-k (Spark's approx_top_k): one pass, bounded memory
+    per partition, mergeable partials — the variant that survives a
+    distinct-value space too large to shuffle (URLs, n-grams at 100 TB).
+    Estimates, not exact counts: pair with heavy_hitters in tests to bound
+    the error."""
+    return df.select(
+        F.explode(
+            F.expr(f"approx_top_k({col}, {int(k)}, {int(max_items_tracked)})")
+        ).alias("e")
+    ).select(F.col("e.item").alias("value"), F.col("e.count").alias("n"))

@@ -3092,3 +3092,40 @@ def weighted_sample_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     w = F.least(F.length("text") / F.lit(2000.0), F.lit(1.0))
     return SPLITS.weighted_sample(docs.withColumn("w", w), "w").select("doc_id", "source")
+
+
+from kafka_connect_expand_json_transform_spark.operators.profiling import (  # noqa: E402
+    approx_heavy_hitters,
+    heavy_hitters,
+)
+
+
+@query(
+    "heavy_hitter_tokens",
+    """
+    SELECT tok AS value, COUNT(*) AS n
+    FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, value
+    LIMIT 20
+    """,
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    """Exact corpus vocabulary heavy hitters: top-20 tokens by frequency,
+    value tie-break. Partial counts map-side; only (token, count) pairs
+    shuffle; TakeOrdered keeps k rows per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters(toks, "tok", 20)
+
+
+@query("approx_heavy_hitter_tokens")  # sketch estimates: engine-specific, rows-only
+def approx_heavy_hitter_tokens(spark, sf_dir):
+    """Sketch top-k over the same tokens (approx_top_k): bounded-memory
+    one-pass partials, the variant for distinct-value spaces too large to
+    shuffle. test_pipeline_ops bounds its error against the exact top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+    return approx_heavy_hitters(toks, "tok", 20)

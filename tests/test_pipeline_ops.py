@@ -388,3 +388,24 @@ def test_weighted_sample_is_partition_invariant_and_rate_correct(spark):
     # weight 0 drops everything; weight 1 keeps everything
     assert splits.weighted_sample(dw.withColumn("w", F.lit(0.0)), "w").count() == 0
     assert splits.weighted_sample(dw.withColumn("w", F.lit(1.0)), "w").count() == n_total
+
+
+def test_approx_heavy_hitters_covers_true_top_half(spark):
+    """The sketch's top-k must contain every true top-k/2 value (standard
+    heavy-hitter guarantee at this tracked-items budget) and its counts must
+    be within 2% of exact for those values."""
+    from kafka_connect_expand_json_transform_spark.operators.profiling import (
+        approx_heavy_hitters,
+        heavy_hitters,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.batch import load_table
+    from kafka_connect_expand_json_transform_spark.functions import text as TXT
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    toks = docs.select(F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+    exact = {r["value"]: r["n"] for r in heavy_hitters(toks, "tok", 20).collect()}
+    approx = {r["value"]: r["n"] for r in approx_heavy_hitters(toks, "tok", 20).collect()}
+    top10 = sorted(exact, key=lambda v: (-exact[v], v))[:10]
+    for v in top10:
+        assert v in approx, (v, sorted(approx))
+        assert abs(approx[v] - exact[v]) <= max(2, 0.02 * exact[v])

@@ -267,3 +267,51 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v) if v is not None else conf.unset(k)
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE's OptimizeSkewedJoin must split the oversized shuffle partition
+    (SortMergeJoin(skew=true)) when one join key dominates — the built-in
+    complement to salted_join for unforeseen skew. Two traps this test
+    encodes: the skewed payload must SURVIVE the join (column pruning
+    otherwise shrinks the shuffle below any threshold), and thresholds are
+    lowered because the fixture is tiny (defaults: 256MB partition, 5x
+    median; they self-arm at real scale)."""
+    big_p, dim_p = str(tmp_path / "big"), str(tmp_path / "dim")
+    spark.range(200000).select(
+        F.when(F.col("id") % 100 < 98, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    ).coalesce(4).write.mode("overwrite").parquet(big_p)
+    spark.range(1000).select(F.col("id").alias("k"), F.col("id").alias("v")).write.mode(
+        "overwrite"
+    ).parquet(dim_p)
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        b = spark.read.parquet(big_p)
+        dm = spark.read.parquet(dim_p)
+        j = b.join(dm, "k").select(F.sum(F.length("pad")).alias("s"))
+        j.collect()  # AQE decisions only exist after execution
+        ep = j._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        assert "skew=true" in ep, ep
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
