@@ -189,3 +189,29 @@ def write_sorted_parquet(
         else df.repartitionByRange(*sort_cols)
     )
     part.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target)`` files. Streaming sinks and per-partition
+    writers fragment tables over time; at 100 TB the resulting
+    task-per-tiny-file scheduling overhead dominates scans, so periodic
+    compaction toward the 128MB-file sweet spot is routine maintenance.
+    Returns the output file count."""
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(in_path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(in_path).repartition(n).write.mode("overwrite").parquet(out_path)
+    return n

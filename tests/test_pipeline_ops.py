@@ -409,3 +409,24 @@ def test_approx_heavy_hitters_covers_true_top_half(spark):
     for v in top10:
         assert v in approx, (v, sorted(approx))
         assert abs(approx[v] - exact[v]) <= max(2, 0.02 * exact[v])
+
+
+def test_compact_parquet_reduces_file_count_preserving_rows(spark, tmp_path):
+    import os
+
+    from kafka_connect_expand_json_transform_spark.sources.batch import (
+        compact_parquet,
+        load_table,
+    )
+
+    frag, out = str(tmp_path / "frag"), str(tmp_path / "compact")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)  # 64 tiny files
+    n_in = sum(f.endswith(".parquet") for f in os.listdir(frag))
+    assert n_in == 64
+    compact_parquet(spark, frag, out, target_file_bytes=10 * 1024 * 1024)
+    n_out = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_out < 8  # ~300KB of data -> one 10MB-target file (plus slack)
+    a = spark.read.parquet(out)
+    assert a.count() == orders.count()
+    assert a.exceptAll(orders).count() == 0 and orders.exceptAll(a).count() == 0

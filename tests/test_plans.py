@@ -315,3 +315,26 @@ def test_aqe_splits_skewed_join_partition(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_dynamic_partition_pruning_from_broadcast_dim(spark, tmp_path):
+    """A partitioned fact joined to a selectively-filtered broadcast dim
+    must scan only the matching partitions: DPP injects the dim's key set
+    into the fact scan's PartitionFilters at runtime. (No selective
+    predicate on the dim -> no DPP: pruning must be justified by a filter.)"""
+    from kafka_connect_expand_json_transform_spark.sources.batch import load_table
+
+    out = str(tmp_path / "orders_part")
+    load_table(spark, SF, "orders").write.partitionBy("o_orderpriority").mode(
+        "overwrite"
+    ).parquet(out)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 0), ("5-LOW", 0)],
+        "o_orderpriority string, flag int",
+    ).where(F.col("flag") == 1)
+    fact = spark.read.parquet(out)
+    j = fact.join(F.broadcast(dim), "o_orderpriority").agg(F.count("*").alias("n"))
+    plan = j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruningexpression" in plan.lower(), plan
