@@ -3129,3 +3129,16 @@ def approx_heavy_hitter_tokens(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(TXT.tokens(F.col("text"))).alias("tok"))
     return approx_heavy_hitters(toks, "tok", 20)
+
+
+@query("pq_ann_shortlist")  # quantized scores, seeded codebooks: rows-only
+def pq_ann_shortlist(spark, sf_dir):
+    """Product-quantization ANN shortlist for one query vector: codes are
+    m=8 smallints per 64-float vector (32x smaller index); asymmetric
+    lookup-table scoring reads only the codes. The scale pattern is
+    PQ-shortlist -> exact rerank (test_llmops bounds shortlist recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks(emb, m=8, k=32)
+    enc = similarity.pq_encode(emb, books)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.pq_topk(enc, books, qv, k=20)
