@@ -261,3 +261,59 @@ def dataset_diff(
         .otherwise("unchanged")
     )
     return j.select(*keys, status.alias(status_col), "__old", "__new")
+
+
+def binned_range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    interval_start: str,
+    interval_end: str,
+    point_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Pure interval-containment join (no equi key): match every ``points``
+    row whose ``point_col`` lies in ``[interval_start, interval_end)``.
+
+    Spark plans a bare range predicate as BroadcastNestedLoopJoin — O(n*m)
+    comparisons and a mandatory broadcast of one whole side, which is the
+    canonical 100 TB cliff.  This operator converts it to an EQUI join by
+    discretizing the domain into fixed-width bins: each interval is exploded
+    to the bins it overlaps (``sequence(floor(s/w), floor(e/w))``), each
+    point hashes to exactly one bin, the bin id carries a shuffled hash /
+    sort-merge join, and the exact range predicate is re-applied to the
+    candidates.  Each (interval, point) pair meets in exactly one bin — the
+    point's own — so no dedup is needed.
+
+    Cost model: |intervals| * (len/width + 1) exploded rows, then one
+    hash-partitioned equi join on the bin id.  Pick ``bin_width`` near the
+    typical interval length so the explosion factor stays ~2 and every bin's
+    candidate list stays small; skewed bins (hot time ranges) are split by
+    AQE like any skewed equi key.
+
+    All three columns must be numeric in the same unit (cast timestamps with
+    ``unix_timestamp``/``cast("long")`` first).  ``[EXT]`` — SURVEY.md §2.2
+    lists range joins; the reference has no joins at all (SURVEY.md §2.1).
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"binned_range_join supports inner/left, got {how!r}")
+    w = F.lit(float(bin_width))
+    s, e, p = F.col(interval_start), F.col(interval_end), F.col(point_col)
+    lo = F.floor(s.cast("double") / w).cast("long")
+    hi = F.floor(e.cast("double") / w).cast("long")
+    binned = intervals.withColumn("__bin", F.explode(F.sequence(lo, hi)))
+    pts = points.withColumn("__bin", F.floor(p.cast("double") / w).cast("long"))
+    matched = binned.join(pts, on="__bin", how="inner").where(
+        (p >= s) & (p < e)
+    ).drop("__bin")
+    if how == "inner":
+        return matched
+    # left: keep intervals with no point (null-padded), like a LEFT range join
+    point_side = [c for c in points.columns]
+    hit_keys = matched.select(*intervals.columns).dropDuplicates()
+    missed = intervals.join(hit_keys, on=intervals.columns, how="left_anti")
+    for c in point_side:
+        missed = missed.withColumn(c, F.lit(None).cast(points.schema[c].dataType))
+    return matched.unionByName(missed)

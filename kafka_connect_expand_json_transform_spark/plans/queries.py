@@ -995,6 +995,43 @@ def range_join_order_events(spark, sf_dir):
 
 
 @query(
+    "binned_range_join_events",
+    """
+    SELECT a.event_id AS anchor_id, COUNT(b.event_id) AS n_within
+    FROM events a JOIN events b
+      ON b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE
+    WHERE a.event_id % 97 = 0
+    GROUP BY a.event_id
+    """,
+)
+def binned_range_join_events(spark, sf_dir):
+    """PURE range join (no equi key): for each anchor event, count events in
+    the 5 minutes after it.  Spark would plan the bare range predicate as
+    BroadcastNestedLoopJoin (O(n*m), one side fully broadcast — the 100 TB
+    cliff); ``binned_range_join`` discretizes time into 5-minute bins so the
+    match runs as a shuffled EQUI join on the bin id (plan assert in
+    tests/test_relational.py).  Exact integer microseconds on both sides, so
+    the timestamp-domain oracle sees identical boundaries."""
+    from kafka_connect_expand_json_transform_spark.operators.relational import binned_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    five_min_us = 300 * 1_000_000
+    anchors = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("anchor_id"),
+        F.unix_micros("ts").alias("win_start"),
+        (F.unix_micros("ts") + five_min_us).alias("win_end"),
+    )
+    pts = ev.select(
+        F.col("event_id").alias("pt_id"), F.unix_micros("ts").alias("pt_us")
+    )
+    return (
+        binned_range_join(anchors, pts, "win_start", "win_end", "pt_us", five_min_us)
+        .groupBy("anchor_id")
+        .agg(F.count("pt_id").alias("n_within"))
+    )
+
+
+@query(
     "math_funcs",
     """
     SELECT l_orderkey, l_linenumber,

@@ -338,3 +338,15 @@ def test_dynamic_partition_pruning_from_broadcast_dim(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "dynamicpruningexpression" in plan.lower(), plan
+
+
+def test_binned_range_join_is_equi_not_nested_loop(spark):
+    """The whole point of the operator: a pure range predicate must NOT plan
+    as BroadcastNestedLoopJoin/CartesianProduct — the bin id carries an
+    equi join (hashpartitioning on __bin or a broadcast hash join)."""
+    plan = plan_of(spark, "binned_range_join_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

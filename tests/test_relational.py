@@ -176,3 +176,39 @@ def test_packing_string_ids_and_null_text(spark):
     assert len(rows) == 3
     assert rows["uuid-b"][1] == 0  # null text counts as zero tokens
     assert all(0 <= b < 4 for b, _ in rows.values())
+
+
+def test_binned_range_join_matches_naive(spark):
+    from kafka_connect_expand_json_transform_spark.operators.relational import binned_range_join
+
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 6.0), (3, 40.0, 55.0), (4, 90.0, 91.0)],
+        "iid int, s double, e double",
+    )
+    points = spark.createDataFrame(
+        [(100, 0.0), (101, 5.5), (102, 9.999), (103, 10.0), (104, 54.0), (105, 70.0)],
+        "pid int, p double",
+    )
+    naive = {
+        (r["iid"], r["pid"])
+        for r in intervals.crossJoin(points)
+        .where((F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+        .collect()
+    }
+    for width in (1.0, 7.0, 100.0):  # narrower, comparable, wider than intervals
+        got = binned_range_join(intervals, points, "s", "e", "p", width)
+        pairs = [(r["iid"], r["pid"]) for r in got.collect()]
+        assert len(pairs) == len(set(pairs)), "pair matched in more than one bin"
+        assert set(pairs) == naive, width
+
+
+def test_binned_range_join_left_pads_empty_intervals(spark):
+    from kafka_connect_expand_json_transform_spark.operators.relational import binned_range_join
+
+    intervals = spark.createDataFrame([(1, 0.0, 10.0), (4, 90.0, 91.0)], "iid int, s double, e double")
+    points = spark.createDataFrame([(100, 3.0)], "pid int, p double")
+    got = binned_range_join(intervals, points, "s", "e", "p", 10.0, how="left")
+    by_iid = {r["iid"]: r["pid"] for r in got.collect()}
+    assert by_iid == {1: 100, 4: None}
+    with pytest.raises(ValueError, match="bin_width"):
+        binned_range_join(intervals, points, "s", "e", "p", 0)
