@@ -427,3 +427,96 @@ def pq_topk(
         .orderBy(F.col("pq_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def _trunc_div(a: int, n: int) -> int:
+    """Integer division truncating toward zero — the shared semantics of
+    Spark ``div`` and DuckDB ``//`` (Python ``//`` floors, which differs on
+    negatives)."""
+    q = abs(a) // n
+    return q if a >= 0 else -q
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 10_000,
+) -> tuple[dict[int, list[int]], DataFrame]:
+    """Distributed Lloyd k-means over an embedding column, on a fixed-point
+    integer quantization so every step is EXACT (order-independent integer
+    sums, no float drift) and bit-identical to a SQL oracle.
+
+    Semantics (deliberately fully deterministic):
+      * vectors quantized once: ``x_q[i] = floor(double(x[i]) * scale)``
+        (floor of the binary double — no decimal-rounding ambiguity);
+      * init: the vectors of the ``k`` smallest ids, cluster id = rank;
+      * assignment: argmin of the exact integer squared distance, ties to
+        the lower cluster id;
+      * update: per-dimension ``trunc_div(sum, n)`` centroid (Spark ``div``
+        / DuckDB ``//`` semantics); clusters that lose all members are
+        dropped (not reseeded).
+
+    ``iters`` counts assignment rounds: ``iters - 1`` update steps run, and
+    the returned DataFrame is the final re-assignment. Scale shape per
+    iteration: assignment is a NARROW codegen'd pass (centroids enter the
+    plan as k×dim literals — no join, no shuffle); the update is one
+    partial-aggregated shuffle of at most k×dim rows per partition
+    (posexplode → map-side combine on (cluster, pos)). The quantized
+    projection is persisted once and re-scanned per iteration — at real
+    scale, checkpoint it to parquet instead.
+
+    Returns ``(centroids, assigned)`` where ``assigned`` has the id column
+    plus ``cluster`` and the exact integer squared distance ``dist``.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
+    xq = F.transform(
+        as_double(vec_col), lambda x: F.floor(x * F.lit(float(scale))).cast("long")
+    )
+    base = df.select(F.col(id_col), xq.alias("__xq")).persist()
+
+    init_rows = base.orderBy(id_col).limit(k).collect()
+    centroids = {cid: list(r["__xq"]) for cid, r in enumerate(init_rows)}
+
+    def assign(frame: DataFrame) -> DataFrame:
+        cands = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__xq"),
+                        F.array(*[F.lit(v).cast("long") for v in vec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(cid).alias("cluster"),
+            )
+            for cid, vec in sorted(centroids.items())
+        ]
+        best = F.array_min(F.array(*cands))
+        return frame.withColumn("__best", best).select(
+            F.col(id_col),
+            F.col("__best.cluster").alias("cluster"),
+            F.col("__best.dist").alias("dist"),
+            F.col("__xq"),
+        )
+
+    for _ in range(iters - 1):
+        assigned = assign(base)
+        stats = (
+            assigned.select("cluster", F.posexplode("__xq").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        nxt: dict[int, list[int]] = {}
+        for r in stats:
+            nxt.setdefault(r["cluster"], [0] * len(centroids[r["cluster"]]))
+            nxt[r["cluster"]][r["pos"]] = _trunc_div(r["s"], r["n"])
+        centroids = nxt  # empty clusters drop out
+
+    return centroids, assign(base).drop("__xq")

@@ -1720,6 +1720,76 @@ def cosine_threshold_pairs(spark, sf_dir):
     return similarity.cosine_pairs_above(emb, 0.4)
 
 
+def _kmeans_iter_sql(i: int) -> str:
+    """One Lloyd round as SQL: distances to c{i-1}, argmin assignment a{i},
+    trunc-div centroid update c{i} (all exact integer arithmetic)."""
+    return f"""
+    d{i} AS (
+      SELECT q.vec_id, c.cid, CAST(SUM((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS d
+      FROM q JOIN c{i - 1} c ON q.pos = c.pos
+      GROUP BY q.vec_id, c.cid
+    ),
+    a{i} AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d{i}) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT a.cid, q.pos, CAST(SUM(q.x) // COUNT(*) AS BIGINT) AS x
+      FROM a{i} a JOIN q ON q.vec_id = a.vec_id
+      GROUP BY a.cid, q.pos
+    )"""
+
+
+@query(
+    "kmeans_cluster_sizes",
+    """
+    WITH q AS (
+      SELECT vec_id, CAST(i.pos AS INTEGER) AS pos,
+             CAST(FLOOR(CAST(embedding[i.pos + 1] AS DOUBLE) * 10000) AS BIGINT) AS x
+      FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 63)) AS pos) i
+    ),
+    c0 AS (
+      SELECT r.cid, q.pos, q.x
+      FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+            FROM embeddings ORDER BY vec_id LIMIT 8) r
+      JOIN q ON q.vec_id = r.vec_id
+    ),"""
+    + _kmeans_iter_sql(1)
+    + ","
+    + _kmeans_iter_sql(2)
+    + """,
+    d3 AS (
+      SELECT q.vec_id, c.cid, CAST(SUM((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS d
+      FROM q JOIN c2 c ON q.pos = c.pos
+      GROUP BY q.vec_id, c.cid
+    ),
+    a3 AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d3) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id, COUNT(*) AS n, CAST(SUM(d) AS BIGINT) AS total_dist
+    FROM a3 GROUP BY cid
+    """,
+)
+def kmeans_cluster_sizes(spark, sf_dir):
+    """Distributed Lloyd k-means (k=8, 3 assignment rounds) on fixed-point
+    quantized embeddings — EXACT integer arithmetic end-to-end, so the full
+    iterative algorithm is value-checked against a chained-CTE SQL oracle
+    (not rows-only). Assignment is a narrow codegen'd pass with centroids
+    as literals; each update shuffles only k*dim partial sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = similarity.kmeans_quantized(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iters=3
+    )
+    return assigned.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count("*").alias("n"), F.sum("dist").alias("total_dist")
+    )
+
+
 @query(
     "embedding_centroids",
     """

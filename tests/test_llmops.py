@@ -318,3 +318,37 @@ def test_pq_shortlist_recall_and_compression(spark):
     # determinism: same seed -> same codebooks
     again = S.train_pq_codebooks(emb, m=8, k=32)
     assert np.array_equal(books, again)
+
+
+def test_kmeans_quantized_separates_blobs(spark):
+    # two well-separated blobs -> k=2 must split them exactly
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, (rng.normal(0.0, 0.05, 8) + (5.0 if i % 2 else -5.0)).tolist())
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assigned = similarity.kmeans_quantized(df, k=2, iters=4)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    evens = {got[i] for i in range(0, 40, 2)}
+    odds = {got[i] for i in range(1, 40, 2)}
+    assert len(evens) == len(odds) == 1 and evens != odds
+    # centroids land near +-5 on the quantized scale
+    for vec in cents.values():
+        assert all(abs(abs(v) - 50_000) < 5_000 for v in vec)
+
+
+def test_kmeans_quantized_partition_invariant(spark):
+    # exact integer arithmetic => identical result under any partitioning
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(0, 1, 16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, a1 = similarity.kmeans_quantized(df.coalesce(1), k=5, iters=3)
+    _, a32 = similarity.kmeans_quantized(df.repartition(32), k=5, iters=3)
+    r1 = {r["vec_id"]: (r["cluster"], r["dist"]) for r in a1.collect()}
+    r32 = {r["vec_id"]: (r["cluster"], r["dist"]) for r in a32.collect()}
+    assert r1 == r32
+    with pytest.raises(ValueError, match="k and iters"):
+        similarity.kmeans_quantized(df, k=0)
