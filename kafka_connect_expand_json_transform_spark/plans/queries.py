@@ -1720,6 +1720,23 @@ def cosine_threshold_pairs(spark, sf_dir):
     return similarity.cosine_pairs_above(emb, 0.4)
 
 
+@query("quantile_sketch_rollup")  # rows-only: sketch estimates are engine-specific
+def quantile_sketch_rollup(spark, sf_dir):
+    """Mergeable quantile sketch (t-digest-lite): map-side centroid
+    compression per Arrow batch, reduce-side merge per event_type, p50/p95/
+    p99 estimates. The quantile analogue of hll_distinct_rollup — persisted
+    kilobyte partials instead of re-scanning raw data per rollup; accuracy
+    bound tested in tests/test_sketches.py."""
+    from kafka_connect_expand_json_transform_spark.operators.sketches import (
+        quantile_partials,
+        quantile_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    partials = quantile_partials(ev, ["event_type"], "value", m=256)
+    return quantile_rollup(partials, ["event_type"], [0.5, 0.95, 0.99], m=256)
+
+
 def _kmeans_iter_sql(i: int) -> str:
     """One Lloyd round as SQL: distances to c{i-1}, argmin assignment a{i},
     trunc-div centroid update c{i} (all exact integer arithmetic)."""

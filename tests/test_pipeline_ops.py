@@ -430,3 +430,38 @@ def test_compact_parquet_reduces_file_count_preserving_rows(spark, tmp_path):
     a = spark.read.parquet(out)
     assert a.count() == orders.count()
     assert a.exceptAll(orders).count() == 0 and orders.exceptAll(a).count() == 0
+
+
+def test_quantile_sketch_accuracy_and_merge(spark):
+    from kafka_connect_expand_json_transform_spark.operators.sketches import (
+        quantile_partials,
+        quantile_rollup,
+    )
+
+    # two groups with disjoint, known distributions
+    rows = [("a", float(i)) for i in range(10_000)] + [
+        ("b", 1000.0 + (i % 100)) for i in range(5_000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(16)
+    parts = quantile_partials(df, ["g"], "v", m=128)
+    # partials are small: each <= 128 centroids
+    sizes = parts.select(F.size("q_means").alias("s")).collect()
+    assert all(r["s"] <= 128 for r in sizes)
+    out = {r["g"]: r for r in quantile_rollup(parts, ["g"], [0.5, 0.99], m=128).collect()}
+    assert out["a"]["q_count"] == 10_000 and out["b"]["q_count"] == 5_000
+    # uniform[0,10000): p50 ~ 5000, p99 ~ 9900; rank error ~2/128 -> +-~200
+    assert abs(out["a"]["p50"] - 5000) < 250
+    assert abs(out["a"]["p99"] - 9900) < 250
+    assert 1000 <= out["b"]["p50"] <= 1100  # groups don't bleed into each other
+
+    # mergeability: sketching two halves separately then rolling up together
+    # lands within the same error bound as the single-pass sketch
+    h1 = quantile_partials(df.where("v < 2500 or g = 'b'"), ["g"], "v", m=128)
+    h2 = quantile_partials(df.where("v >= 2500 and g = 'a'"), ["g"], "v", m=128)
+    merged = {
+        r["g"]: r
+        for r in quantile_rollup(h1.unionByName(h2), ["g"], [0.5, 0.99], m=128).collect()
+    }
+    assert merged["a"]["q_count"] == 10_000
+    assert abs(merged["a"]["p50"] - 5000) < 250
+    assert abs(merged["a"]["p99"] - 9900) < 250
