@@ -215,3 +215,61 @@ def compact_parquet(
     n = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(in_path).repartition(n).write.mode("overwrite").parquet(out_path)
     return n
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 4,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustering: multi-column data skipping.
+
+    ``write_sorted_parquet`` prunes on its leading sort column only — the
+    trailing columns' min/max stats stay wide.  Z-ordering interleaves the
+    bits of a rank-bucket per column, so every file covers a narrow range of
+    EVERY clustered column and point/range predicates on any of them skip
+    ~(1 - 2^-bits_shared) of the files.  This is the same layout Delta/Iceberg
+    `OPTIMIZE ZORDER BY` produces, built from stock operators:
+
+    1. per column, ``approxQuantile`` boundaries (one sampled pass, driver
+       gets ``2^bits`` doubles) → rank buckets, so skew cannot collapse the
+       curve (value-uniform width_bucket would);
+    2. bucket via a static sum of ``2^bits`` comparisons (codegen, no UDF);
+    3. Morton-interleave the bucket bits into ``__z``;
+    4. range-partition + sort by ``__z`` (one shuffle), drop ``__z``.
+
+    Numeric columns only (ranks need an ordering approxQuantile supports);
+    NULLs land in bucket 0.
+    """
+    if not cols or len(cols) < 2:
+        raise ValueError("z-order needs >= 2 columns (use write_sorted_parquet for 1)")
+    nb = 1 << bits
+    probs = [i / nb for i in range(1, nb)]
+    bounds_per_col = df.stat.approxQuantile(cols, probs, 0.001)
+
+    buckets = []
+    for c, bounds in zip(cols, bounds_per_col):
+        uniq = sorted(set(bounds))
+        b = None
+        for x in uniq:
+            ind = F.when(F.col(c) > F.lit(x), 1).otherwise(0)
+            b = ind if b is None else b + ind
+        buckets.append((b if b is not None else F.lit(0)).cast("long"))
+
+    ncols = len(cols)
+    z = F.lit(0).cast("long")
+    for i, b in enumerate(buckets):
+        for j in range(bits):
+            bit = F.shiftright(b, j).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, j * ncols + (ncols - 1 - i))
+
+    zdf = df.withColumn("__z", z)
+    part = (
+        zdf.repartitionByRange(n_files, "__z")
+        if n_files
+        else zdf.repartitionByRange("__z")
+    )
+    part.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

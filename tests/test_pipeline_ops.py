@@ -465,3 +465,56 @@ def test_quantile_sketch_accuracy_and_merge(spark):
     assert merged["a"]["q_count"] == 10_000
     assert abs(merged["a"]["p50"] - 5000) < 250
     assert abs(merged["a"]["p99"] - 9900) < 250
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """Z-order contract: every file covers a narrow range of BOTH clustered
+    columns, so a narrow predicate on either one is covered by a minority of
+    files (single-column sort leaves the second column unprunable)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from kafka_connect_expand_json_transform_spark.sources.batch import (
+        load_table,
+        write_sorted_parquet,
+        write_zorder_parquet,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder_parquet(ev, zdir, ["user_id", "value"], bits=4, n_files=16)
+    write_sorted_parquet(ev, sdir, ["user_id"], n_files=16)
+
+    def file_ranges(d, col):
+        out = []
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            ci = next(i for i in range(md.num_columns)
+                      if md.row_group(0).column(i).path_in_schema == col)
+            st = [md.row_group(g).column(ci).statistics for g in range(md.num_row_groups)]
+            out.append((min(s.min for s in st), max(s.max for s in st)))
+        return out
+
+    stats = ev.agg(
+        F.expr("approx_percentile(user_id, 0.5)"), F.expr("approx_percentile(value, 0.5)")
+    ).first()
+    uid_mid, val_mid = stats[0], float(stats[1])
+
+    def covering(ranges, p):
+        return sum(1 for lo, hi in ranges if lo <= p <= hi)
+
+    zu = covering(file_ranges(zdir, "user_id"), uid_mid)
+    zv = covering(file_ranges(zdir, "value"), val_mid)
+    assert zu <= 8, f"z-order should skip most files on user_id, covered {zu}/16"
+    assert zv <= 8, f"z-order should skip most files on value, covered {zv}/16"
+    # the single-sort layout cannot skip on the non-sort column
+    sv = covering(file_ranges(sdir, "value"), val_mid)
+    assert sv >= 12, f"expected near-universal coverage on value for plain sort, got {sv}"
+    # correctness through the layout: filtered read matches the source
+    want = ev.where((F.col("user_id") == uid_mid)).count()
+    got = spark.read.parquet(zdir).where(F.col("user_id") == uid_mid).count()
+    assert got == want > 0
+    with pytest.raises(ValueError, match="2 columns"):
+        write_zorder_parquet(ev, zdir, ["user_id"])
