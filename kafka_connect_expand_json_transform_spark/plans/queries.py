@@ -1720,6 +1720,35 @@ def cosine_threshold_pairs(spark, sf_dir):
     return similarity.cosine_pairs_above(emb, 0.4)
 
 
+@query(
+    "chunk_documents_sliding",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                     '\\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks)
+    SELECT doc_id, CAST(i.i AS INTEGER) AS chunk_id,
+           CAST(len(t[i.i*64 + 1 : i.i*64 + 128]) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(t[i.i*64 + 1 : i.i*64 + 128], ' ') AS chunk_text
+    FROM sized, LATERAL (
+      SELECT unnest(generate_series(0,
+        CASE WHEN n > 128 THEN (n - 128 + 63) // 64 ELSE 0 END)) AS i) i
+    """,
+)
+def chunk_documents_sliding(spark, sf_dir):
+    """Sliding-window chunking of documents into 128-token windows with
+    64-token stride (overlap 64) — the long-context training-prep fan-out.
+    Narrow codegen'd pass; chunk text value-checked against the SQL oracle."""
+    from kafka_connect_expand_json_transform_spark.llmops.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=128, stride=64)
+
+
 @query("quantile_sketch_rollup")  # rows-only: sketch estimates are engine-specific
 def quantile_sketch_rollup(spark, sf_dir):
     """Mergeable quantile sketch (t-digest-lite): map-side centroid

@@ -518,3 +518,27 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
     assert got == want > 0
     with pytest.raises(ValueError, match="2 columns"):
         write_zorder_parquet(ev, zdir, ["user_id"])
+
+
+def test_chunk_documents_overlap_invariants(spark):
+    from kafka_connect_expand_json_transform_spark.llmops.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [("a", words), ("b", "one two"), ("c", None)], "doc_id string, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=4, stride=2)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    # 10 tokens, w=4, s=2 -> chunks at 0,2,4,6 (last full) -> extra = ceil(6/2)=3
+    a_ids = sorted(cid for d, cid in rows if d == "a")
+    assert a_ids == [0, 1, 2, 3]
+    assert rows[("a", 0)] == (4, "w0 w1 w2 w3")
+    assert rows[("a", 3)] == (4, "w6 w7 w8 w9")
+    # consecutive chunks overlap by w - s tokens
+    assert rows[("a", 0)][1].split()[2:] == rows[("a", 1)][1].split()[:2]
+    # short doc -> single chunk; null doc -> one empty chunk, id preserved
+    assert rows[("b", 0)] == (2, "one two")
+    assert rows[("c", 0)] == (0, "")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0)
