@@ -98,3 +98,39 @@ def approx_heavy_hitters(
             F.expr(f"approx_top_k({col}, {int(k)}, {int(max_items_tracked)})")
         ).alias("e")
     ).select(F.col("e.item").alias("value"), F.col("e.count").alias("n"))
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier report per group: bounds ``[q1 - k*iqr,
+    q3 + k*iqr]`` from exact interpolated quartiles, plus how many rows fall
+    below/above. Bounds are emitted as RAW IEEE doubles — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` interpolate bit-identically
+    on identical inputs (verified), so boundary rows classify identically
+    cross-engine; rounding the bounds would reintroduce half-up-vs-binary
+    divergence.
+
+    Plan: one partial+final aggregation for the per-group quartiles (exact
+    percentiles buffer the group's values — fine for bounded group counts;
+    at 100 TB swap in quantile_partials/quantile_rollup sketches), then the
+    tiny bounds table broadcast-joins back onto the data for the flag pass.
+    """
+    q1 = F.percentile(value_col, F.lit(0.25))
+    q3 = F.percentile(value_col, F.lit(0.75))
+    bounds = df.groupBy(*group_cols).agg(
+        (q1 - (q3 - q1) * F.lit(k)).alias("lo"),
+        (q3 + (q3 - q1) * F.lit(k)).alias("hi"),
+    )
+    flagged = df.join(F.broadcast(bounds), group_cols)
+    v = F.col(value_col)
+    return flagged.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(v < F.col("lo"), 1).otherwise(0)).alias("n_low"),
+        F.sum(F.when(v > F.col("hi"), 1).otherwise(0)).alias("n_high"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )

@@ -207,3 +207,56 @@ def quantile_rollup(
                             columns=[*group_cols, "q_count", *qcols])
 
     return partials.groupBy(*group_cols).applyInPandas(merge, schema)
+
+
+def incremental_quantile(
+    stream_df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    partials_path: str,
+    checkpoint_location: str,
+    m: int = 256,
+):
+    """Maintain per-group quantile-sketch partials incrementally from a
+    stream — the quantile twin of ``incremental_hll``: each micro-batch is
+    compressed to centroids and merge-compressed into a persisted partials
+    table, so "p99 so far" reads kilobytes instead of replaying history.
+    Same localCheckpoint-before-overwrite discipline as incremental_hll.
+    """
+    import pandas as pd
+
+    from kafka_connect_expand_json_transform_spark.streaming.sources import (
+        foreach_batch_sink,
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = quantile_partials(batch_df, group_cols, value_col, m)
+        try:
+            old = spark.read.parquet(partials_path)
+            combined = old.unionByName(new)
+        except Exception:  # first batch: no partials yet
+            combined = new
+
+        gschema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in combined.select(*group_cols).schema.fields
+        )
+        schema = f"{gschema}, q_means array<double>, q_weights array<double>, q_count long"
+
+        def remerge(key, pdf):
+            import numpy as np
+
+            means = np.concatenate([np.asarray(a, "float64") for a in pdf["q_means"]])
+            weights = np.concatenate([np.asarray(a, "float64") for a in pdf["q_weights"]])
+            mu, w = _compress(means, weights, m)
+            return pd.DataFrame(
+                [[*key, list(mu), list(w), int(pdf["q_count"].sum())]],
+                columns=[*group_cols, "q_means", "q_weights", "q_count"],
+            )
+
+        merged = combined.groupBy(*group_cols).applyInPandas(remerge, schema)
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(partials_path)
+
+    return foreach_batch_sink(stream_df, update, checkpoint_location)

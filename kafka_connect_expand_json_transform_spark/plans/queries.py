@@ -1749,6 +1749,33 @@ def chunk_documents_sliding(spark, sf_dir):
     return chunk_documents(docs, chunk_tokens=128, stride=64)
 
 
+@query(
+    "iqr_outlier_report",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont("value", 0.25) - (quantile_cont("value", 0.75) - quantile_cont("value", 0.25)) * 1.5 AS lo,
+             quantile_cont("value", 0.75) + (quantile_cont("value", 0.75) - quantile_cont("value", 0.25)) * 1.5 AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           SUM(CASE WHEN e."value" < b.lo THEN 1 ELSE 0 END) AS n_low,
+           SUM(CASE WHEN e."value" > b.hi THEN 1 ELSE 0 END) AS n_high,
+           ANY_VALUE(b.lo) AS lo, ANY_VALUE(b.hi) AS hi
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def iqr_outlier_report(spark, sf_dir):
+    """Tukey-fence outlier profiling of event values per type. Raw IEEE
+    bounds (Spark percentile == DuckDB quantile_cont bit-for-bit), so even
+    boundary rows classify identically in the oracle."""
+    from kafka_connect_expand_json_transform_spark.operators.profiling import iqr_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return iqr_outliers(ev, ["event_type"], "value")
+
+
 @query("quantile_sketch_rollup")  # rows-only: sketch estimates are engine-specific
 def quantile_sketch_rollup(spark, sf_dir):
     """Mergeable quantile sketch (t-digest-lite): map-side centroid

@@ -375,3 +375,37 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_pa
     out = run_to_table(spark, joined).collect()
     got = {(r["user"], r["click_id"], r["buy_id"]) for r in out}
     assert got == {("alice", 1, 10), ("bob", 2, None)}
+
+
+def test_incremental_quantile_across_microbatches(spark, tmp_path):
+    """Per-group quantile partials merged across micro-batches: after two
+    batches covering 0..99 and 100..199, the persisted sketch's p50 must sit
+    near the COMBINED median (~100), not either batch's own."""
+    from kafka_connect_expand_json_transform_spark.operators.sketches import (
+        incremental_quantile,
+        quantile_rollup,
+    )
+
+    src = tmp_path / "q_in"
+    src.mkdir()
+    rows0 = [{"event_id": i, "user": "alice", "ts": "2026-01-01T10:00:00Z",
+              "props": str(float(i))} for i in range(100)]
+    rows1 = [{"event_id": i, "user": "alice", "ts": "2026-01-01T10:01:00Z",
+              "props": str(float(100 + i))} for i in range(100)]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows0))
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    partials = str(tmp_path / "q_partials")
+    q = incremental_quantile(
+        stream, ["user"], "props", partials, str(tmp_path / "q_ckpt"), m=64
+    )
+    q.awaitTermination()
+    stored = spark.read.parquet(partials)
+    assert stored.count() == 1  # one merged partial per group, not per batch
+    out = quantile_rollup(stored, ["user"], [0.5], m=64).collect()[0]
+    assert out["q_count"] == 200
+    assert abs(out["p50"] - 99.5) < 10
