@@ -837,6 +837,29 @@ def window_tumbling(spark, sf_dir):
 
 
 @query(
+    "window_sliding",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - k.k * 1800) AS TIMESTAMP)
+             AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events, LATERAL (SELECT unnest(generate_series(0, 1)) AS k) k
+    GROUP BY 1
+    """,
+)
+def window_sliding(spark, sf_dir):
+    """Sliding event-time window (1h window, 30min slide — each event lands
+    in 2 windows) — batch twin of streaming sliding_window_agg; the oracle
+    fans each row out to its window starts via generate_series."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dbl(F.sum(money("value"))).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
     "session_windows",
     """
     WITH flagged AS (

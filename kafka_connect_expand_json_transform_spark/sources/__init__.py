@@ -6,6 +6,8 @@ from kafka_connect_expand_json_transform_spark.sources.batch import (
     read_json,
     register_testdata,
     write_parquet,
+    write_sorted_parquet,
+    write_zorder_parquet,
 )
 from kafka_connect_expand_json_transform_spark.sources.kafka import (
     read_kafka_stream,
@@ -22,4 +24,6 @@ __all__ = [
     "read_kafka_stream",
     "write_kafka_stream",
     "write_parquet",
+    "write_sorted_parquet",
+    "write_zorder_parquet",
 ]
