@@ -459,6 +459,11 @@ def kmeans_quantized(
         / DuckDB ``//`` semantics); clusters that lose all members are
         dropped (not reseeded).
 
+    Init is deliberately the k smallest ids, NOT k-means++: determinism and
+    oracle-checkability over seeding quality. If the smallest ids cluster in
+    one dense region the split can be poor — pre-shuffle ids (hash them into
+    the id order) or raise ``k`` when that matters.
+
     ``iters`` counts assignment rounds: ``iters - 1`` update steps run, and
     the returned DataFrame is the final re-assignment. Scale shape per
     iteration: assignment is a NARROW codegen'd pass (centroids enter the
@@ -527,3 +532,50 @@ def kmeans_quantized(
         centroids = nxt  # empty clusters drop out
 
     return centroids, assign(base).drop("__xq")
+
+
+def cluster_blocked_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Semantic-blocked near-dup candidates: k-means cluster the embeddings
+    (``kmeans_quantized`` — exact, deterministic), then score cosine only
+    WITHIN clusters.  Replaces the O(n²) all-pairs join with Σ|cluster|² —
+    with balanced clusters a k× reduction — at the cost of missing pairs
+    that straddle a cluster boundary (the standard blocking trade-off; raise
+    k for more pruning, lower it for more recall).
+
+    Plan shape: clustering as in kmeans_quantized, one equi self-join on the
+    cluster id (shuffled hash/SMJ, AQE-split on skewed clusters), cosine in
+    codegen.  Fully deterministic, so even this blocked pipeline is
+    value-checked against a SQL oracle (clustering CTE + pair join).
+    """
+    from kafka_connect_expand_json_transform_spark.functions.vectors import (
+        as_double as _as_double,
+    )
+    from kafka_connect_expand_json_transform_spark.functions.vectors import (
+        cosine as _cosine,
+    )
+
+    _, assigned = kmeans_quantized(corpus, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    tagged = assigned.select(id_col, "cluster").join(
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("__v")), id_col
+    )
+    a = tagged.select(
+        "cluster", F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = tagged.select(
+        "cluster", F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
+    )
+    cos = F.round(_cosine(F.col("__va"), F.col("__vb")), 4)
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= F.lit(threshold))
+        .select(F.col("cluster").alias("cluster_id"), "id_a", "id_b", "cos_sim")
+    )

@@ -1838,8 +1838,8 @@ def _kmeans_iter_sql(i: int) -> str:
     )"""
 
 
-@query(
-    "kmeans_cluster_sizes",
+# shared WITH prefix: 3 exact Lloyd rounds ending in assignment a3(vec_id, cid, d)
+_KMEANS_WITH = (
     """
     WITH q AS (
       SELECT vec_id, CAST(i.pos AS INTEGER) AS pos,
@@ -1866,7 +1866,14 @@ def _kmeans_iter_sql(i: int) -> str:
         SELECT vec_id, cid, d,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         FROM d3) WHERE rn = 1
-    )
+    )"""
+)
+
+
+@query(
+    "kmeans_cluster_sizes",
+    _KMEANS_WITH
+    + """
     SELECT cid AS cluster_id, COUNT(*) AS n, CAST(SUM(d) AS BIGINT) AS total_dist
     FROM a3 GROUP BY cid
     """,
@@ -1884,6 +1891,32 @@ def kmeans_cluster_sizes(spark, sf_dir):
     return assigned.groupBy(F.col("cluster").alias("cluster_id")).agg(
         F.count("*").alias("n"), F.sum("dist").alias("total_dist")
     )
+
+
+@query(
+    "semantic_blocked_pairs",
+    _KMEANS_WITH
+    + """,
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT x.cid AS cluster_id, x.vec_id AS id_a, y.vec_id AS id_b,
+           round(list_dot_product(ea.v, eb.v) /
+                 (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+                 4) AS cos_sim
+    FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    JOIN e ea ON ea.vec_id = x.vec_id
+    JOIN e eb ON eb.vec_id = y.vec_id
+    WHERE round(list_dot_product(ea.v, eb.v) /
+                (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+                4) >= 0.4
+    """,
+)
+def semantic_blocked_pairs(spark, sf_dir):
+    """Cluster-blocked semantic near-dup: exact k-means blocks the corpus,
+    cosine is scored within clusters only (Σ|cluster|² candidates instead of
+    n²). Deterministic end-to-end, so the ENTIRE blocked pipeline — Lloyd
+    rounds + pair scoring — is value-checked against the SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cluster_blocked_pairs(emb, threshold=0.4, k=8, iters=3)
 
 
 @query(

@@ -352,3 +352,34 @@ def test_kmeans_quantized_partition_invariant(spark):
     assert r1 == r32
     with pytest.raises(ValueError, match="k and iters"):
         similarity.kmeans_quantized(df, k=0)
+
+
+def test_cluster_blocked_pairs_subset_and_blob_recall(spark):
+    import numpy as np
+
+    # three tight blobs: every within-blob pair has cos ~1 and must be found
+    # (k-means separates blobs, so blocking loses nothing at high threshold)
+    rng = np.random.default_rng(3)
+    centers = [np.eye(6)[i] * 10 for i in range(3)]
+    # ids interleaved (j*3 + b) so the k smallest ids — the deterministic
+    # k-means seeds — land one per blob
+    rows = [(j * 3 + b, (centers[b] + rng.normal(0, 0.01, 6)).tolist())
+            for b in range(3) for j in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.cluster_blocked_pairs(df, threshold=0.99, k=3, iters=3)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    want = {(i * 3 + b, j * 3 + b) for b in range(3)
+            for i in range(8) for j in range(i + 1, 8)}
+    assert pairs == want  # full recall within blobs, nothing across blobs
+
+    # on arbitrary data: blocked pairs are a strict subset of exact all-pairs
+    # (precision 1 by construction — same cosine, same rounding)
+    rnd = spark.createDataFrame(
+        [(i, rng.normal(0, 1, 6).tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    blocked = {(r["id_a"], r["id_b"])
+               for r in similarity.cluster_blocked_pairs(rnd, 0.3, k=4).collect()}
+    exact = {(r["id_a"], r["id_b"])
+             for r in similarity.cosine_pairs_above(rnd, 0.3).collect()}
+    assert blocked <= exact
