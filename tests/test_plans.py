@@ -350,3 +350,38 @@ def test_binned_range_join_is_equi_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_chunking_is_narrow(spark):
+    """Chunk fan-out must be a shuffle-free projection+generate: tokens
+    staged once, explode(sequence), slice — no Exchange anywhere."""
+    plan = plan_of(spark, "chunk_documents_sliding")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_semantic_blocking_joins_on_cluster_not_cartesian(spark):
+    plan = plan_of(spark, "semantic_blocked_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_partials_shuffle_centroids_not_values(spark):
+    """The map-side sketch must run BEFORE the exchange: the only shuffle
+    input is the compressed (group, centroids) rows from mapInPandas, never
+    raw values."""
+    from kafka_connect_expand_json_transform_spark.operators.sketches import (
+        quantile_partials,
+        quantile_rollup,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF, "events")
+    df = quantile_rollup(quantile_partials(ev, ["event_type"], "value"), ["event_type"], [0.5])
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # exactly one exchange (the groupBy on event_type over sketch rows)
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the map-side sketch (MapInPandas) sits below the exchange in the tree:
+    # everything after the Exchange line mentions it
+    ex = plan.index("Exchange hashpartitioning")
+    assert "MapInPandas" in plan[ex:], plan
