@@ -63,7 +63,12 @@ def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
 
 def char_shingles(col: Column | str, n: int = 5, lowercase: bool = True) -> Column:
     """Distinct character n-grams (array<string>) — finer-grained near-dup
-    signal than word shingles for short texts."""
+    signal than word shingles for short texts.
+
+    PERF: pass an ALREADY-STAGED normalized column (and lowercase=False) in
+    hot paths — with lowercase=True the lower() sits inside the per-gram
+    lambda and is re-evaluated for every gram (O(len^2) per doc; see
+    winnowing_fingerprints for the staged pattern)."""
     c = F.col(col) if isinstance(col, str) else col
     if lowercase:
         c = F.lower(c)

