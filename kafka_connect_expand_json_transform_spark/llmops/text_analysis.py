@@ -280,3 +280,26 @@ def tfidf_top_terms(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str,
+    hash_bits: int = 256,
+) -> DataFrame:
+    """Deterministic salted-hash pseudonymization: replace identifier columns
+    with ``sha2(salt || value, bits)`` — the reversible-nowhere companion to
+    ``redact_pii`` (which masks in-text patterns; this tokenizes whole
+    columns). Same value + same salt -> same token, so joins on the
+    pseudonymized key still work across tables — the property that makes
+    this the standard pre-release treatment for user ids.
+
+    Narrow projection (codegen'd sha2), no shuffle; NULLs stay NULL.
+    """
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.sha2(F.concat(F.lit(salt), F.col(c).cast("string")), hash_bits)
+        )
+    return out

@@ -317,3 +317,26 @@ def binned_range_join(
     for c in point_side:
         missed = missed.withColumn(c, F.lit(None).cast(points.schema[c].dataType))
     return matched.unionByName(missed)
+
+
+def dataset_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-insensitive content checksum: one row of ``(n, checksum)`` where
+    checksum = SUM of a 32-bit slice of each row's md5 — identical under any
+    partitioning/ordering (integer addition commutes), so two engines or two
+    runs can compare a 100 TB table by exchanging 16 bytes. The audit
+    companion to ``dataset_diff`` (which says WHAT changed; this says
+    WHETHER, for free).
+
+    Non-string columns are cast to string: keep key/string columns here —
+    float-to-string rendering is engine-specific, hash floats yourself
+    first. NULL folds to a sentinel, and columns join on a US separator so
+    ('ab','c') and ('a','bc') hash differently.
+    """
+    use = cols or df.columns
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\u2400")) for c in use]
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws("\u001f", *parts)), 1, 8), 16, 10
+    ).cast("long")
+    return df.agg(
+        F.count("*").alias("n"), F.sum(row_hash).cast("long").alias("checksum")
+    )

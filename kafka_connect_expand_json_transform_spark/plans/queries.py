@@ -1816,6 +1816,52 @@ def quantile_sketch_rollup(spark, sf_dir):
     return quantile_rollup(partials, ["event_type"], [0.5, 0.95, 0.99], m=256)
 
 
+@query(
+    "dataset_checksum_customer",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(concat('0x', substr(md5(concat_ws(chr(31),
+                coalesce(CAST(c_custkey AS VARCHAR), chr(9216)),
+                coalesce(c_name, chr(9216)),
+                coalesce(c_mktsegment, chr(9216)))), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+    FROM customer
+    """,
+)
+def dataset_checksum_customer(spark, sf_dir):
+    """Order-insensitive table checksum (sum of 32-bit md5 slices): the
+    16-byte answer to 'are these two copies identical?' — partitioning- and
+    engine-independent by construction."""
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        dataset_checksum,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    return dataset_checksum(c, ["c_custkey", "c_name", "c_mktsegment"])
+
+
+@query(
+    "pseudonymized_customers",
+    """
+    SELECT c_custkey,
+           sha256(concat('pepper', c_name)) AS c_name,
+           sha256(concat('pepper', c_mktsegment)) AS c_mktsegment
+    FROM customer WHERE c_custkey <= 50
+    """,
+)
+def pseudonymized_customers(spark, sf_dir):
+    """Salted-hash pseudonymization of identifier columns — deterministic,
+    join-preserving tokens (DuckDB sha256 over the same string is
+    bit-identical)."""
+    from kafka_connect_expand_json_transform_spark.llmops.text_analysis import (
+        pseudonymize,
+    )
+
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 50)
+    return pseudonymize(
+        c.select("c_custkey", "c_name", "c_mktsegment"), ["c_name", "c_mktsegment"], "pepper"
+    )
+
+
 def _kmeans_iter_sql(i: int) -> str:
     """One Lloyd round as SQL: distances to c{i-1}, argmin assignment a{i},
     trunc-div centroid update c{i} (all exact integer arithmetic)."""

@@ -542,3 +542,40 @@ def test_chunk_documents_overlap_invariants(spark):
     assert rows[("c", 0)] == (0, "")
     with pytest.raises(ValueError, match="chunk_tokens"):
         chunk_documents(df, chunk_tokens=0)
+
+
+def test_dataset_checksum_invariance_and_sensitivity(spark):
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        dataset_checksum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id int, s string"
+    )
+    base = dataset_checksum(df).collect()[0]
+    shuffled = dataset_checksum(df.repartition(8).orderBy(F.rand(7))).collect()[0]
+    assert (base["n"], base["checksum"]) == (shuffled["n"], shuffled["checksum"])
+    changed = dataset_checksum(
+        spark.createDataFrame([(1, "a"), (2, "B"), (3, None)], "id int, s string")
+    ).collect()[0]
+    assert changed["checksum"] != base["checksum"]
+    # NULL is not the empty string
+    empt = dataset_checksum(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "")], "id int, s string")
+    ).collect()[0]
+    assert empt["checksum"] != base["checksum"]
+
+
+def test_pseudonymize_deterministic_join_preserving(spark):
+    from kafka_connect_expand_json_transform_spark.llmops.text_analysis import (
+        pseudonymize,
+    )
+
+    a = spark.createDataFrame([(1, "alice"), (2, None)], "id int, user string")
+    b = spark.createDataFrame([(10, "alice")], "other int, user string")
+    pa, pb = pseudonymize(a, ["user"], "s1"), pseudonymize(b, ["user"], "s1")
+    joined = pa.join(pb, "user").collect()
+    assert len(joined) == 1 and joined[0]["id"] == 1  # same salt -> joinable
+    assert pa.where("id = 2").collect()[0]["user"] is None  # NULL stays NULL
+    other_salt = pseudonymize(a, ["user"], "s2").where("id = 1").collect()[0]["user"]
+    assert other_salt != pa.where("id = 1").collect()[0]["user"]
