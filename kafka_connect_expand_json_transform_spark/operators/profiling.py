@@ -134,3 +134,40 @@ def iqr_outliers(
         F.first("lo").alias("lo"),
         F.first("hi").alias("hi"),
     )
+
+
+def constraint_report(df: DataFrame, constraints: dict) -> DataFrame:
+    """Declarative data-quality checks: ``{name: boolean Column}`` in, one
+    row per constraint out — ``(constraint_name, n_rows, n_violations)``.
+    A NULL predicate counts as a violation (stricter than SQL CHECK, which
+    lets NULL pass — for pipeline QA an unevaluable rule is a failure).
+
+    ONE pass over the data: every check folds into the same partial+final
+    aggregation (k conditional sums), then the single result row fans out to
+    k report rows — the scan cost is that of one count(*) regardless of how
+    many constraints are attached.
+    """
+    if not constraints:
+        raise ValueError("constraint_report: no constraints given")
+    names = list(constraints)
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+        ).alias(f"__v{i}")
+        for i, cond in enumerate(constraints.values())
+    ]
+    one = df.agg(F.count("*").alias("__n"), *aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("constraint_name"),
+                F.col(f"__v{i}").cast("long").alias("n_violations"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    return one.select(F.col("__n").alias("n_rows"), F.explode(rows).alias("__r")).select(
+        F.col("__r.constraint_name").alias("constraint_name"),
+        "n_rows",
+        F.col("__r.n_violations").alias("n_violations"),
+    )

@@ -1817,6 +1817,45 @@ def quantile_sketch_rollup(spark, sf_dir):
 
 
 @query(
+    "constraint_report_orders",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS v0,
+             SUM(CASE WHEN NOT coalesce(o_orderdate IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS v1,
+             SUM(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS v2,
+             SUM(CASE WHEN NOT coalesce(o_totalprice <= 300000, FALSE) THEN 1 ELSE 0 END) AS v3
+      FROM orders)
+    SELECT 'positive_price' AS constraint_name, n AS n_rows, CAST(v0 AS BIGINT) AS n_violations FROM s
+    UNION ALL
+    SELECT 'orderdate_not_null', n, CAST(v1 AS BIGINT) FROM s
+    UNION ALL
+    SELECT 'status_in_domain', n, CAST(v2 AS BIGINT) FROM s
+    UNION ALL
+    SELECT 'price_under_300k', n, CAST(v3 AS BIGINT) FROM s
+    """,
+)
+def constraint_report_orders(spark, sf_dir):
+    """Declarative QA checks over orders in ONE scan (k conditional sums in
+    one partial+final agg); the last rule is deliberately violated by the
+    data so nonzero counts are exercised."""
+    from kafka_connect_expand_json_transform_spark.operators.profiling import (
+        constraint_report,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return constraint_report(
+        o,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "price_under_300k": F.col("o_totalprice") <= 300000,
+        },
+    )
+
+
+@query(
     "dataset_checksum_customer",
     """
     SELECT COUNT(*) AS n,

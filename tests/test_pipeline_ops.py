@@ -579,3 +579,17 @@ def test_pseudonymize_deterministic_join_preserving(spark):
     assert pa.where("id = 2").collect()[0]["user"] is None  # NULL stays NULL
     other_salt = pseudonymize(a, ["user"], "s2").where("id = 1").collect()[0]["user"]
     assert other_salt != pa.where("id = 1").collect()[0]["user"]
+
+
+def test_constraint_report_null_counts_as_violation(spark):
+    from kafka_connect_expand_json_transform_spark.operators.profiling import (
+        constraint_report,
+    )
+
+    df = spark.createDataFrame([(1,), (None,), (-5,)], "v int")
+    out = {r["constraint_name"]: (r["n_rows"], r["n_violations"])
+           for r in constraint_report(df, {"v_positive": F.col("v") > 0}).collect()}
+    # NULL > 0 is NULL -> counted as a violation alongside -5
+    assert out == {"v_positive": (3, 2)}
+    with pytest.raises(ValueError, match="no constraints"):
+        constraint_report(df, {})
