@@ -1,0 +1,80 @@
+"""Graph analytics over edge tables — iterative PageRank in exact integer
+arithmetic.
+
+The reference has no graph surface (SURVEY.md §2.1 — its only operator is the
+JSON expansion SMT); this is an `[EXT]` operator for the analytics engine
+around it, in the same spirit as the distributed k-means
+(`llmops/similarity.py`): an ITERATIVE algorithm made oracle-checkable by
+doing every step in fixed-point int64 so Spark and DuckDB agree bit-for-bit.
+
+Scale design: the rank vector is |V| rows keyed by node and every round is
+one join edges⋈ranks + one partial-aggregated groupBy(dst) — the classic
+message-passing shape. The edge table is built once and every round reuses
+its shuffle output (ReusedExchange); at real scale (billions of edges) the
+rank frame stays hash-partitioned on node across rounds and each round would
+`localCheckpoint` to bound lineage, exactly as the connected-components loop
+in `llmops/dedup.py` does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOTAL_Q = 1_000_000_000_000  # total rank mass in fixed-point units (1e12)
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank over ``edges(src, dst, n)`` in exact int64 arithmetic.
+
+    Rank mass starts at ``TOTAL_Q div |V|`` per node; each round every node
+    sends ``(r * n) div out_n`` along each out-edge and the new rank is
+    ``(15% of TOTAL_Q) div |V| + (85 * inbound) div 100`` — all trunc-toward-
+    zero integer division (Spark ``div`` == DuckDB ``//`` on positives), so a
+    chained-CTE SQL oracle reproduces every round exactly. Truncation loses
+    <1 unit per op at 1e12 scale: ~1e-10 relative error, far below any
+    ranking-relevant difference.
+
+    Overflow headroom: per-edge products are ``r * n <= TOTAL_Q * max(n)``;
+    with int64 that allows edge multiplicities up to ~9e6. For larger corpora
+    normalize edge weights first (divide ``n`` by their GCD or bucket them).
+    """
+    teleport_total = damping_pct_complement(damping_pct)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").alias("n_nodes"))
+    outd = edges.groupBy("src").agg(F.sum("n").alias("out_n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{TOTAL_Q} div n_nodes").alias("r")
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outd, "src")
+            .groupBy("dst")
+            .agg(F.expr("sum((r * n) div out_n)").alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.expr(
+                    f"({teleport_total} div n_nodes)"
+                    f" + ({damping_pct} * coalesce(s, 0)) div 100"
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").cast("bigint").alias("pagerank"))
+
+
+def damping_pct_complement(damping_pct: int) -> int:
+    """Teleport mass in fixed-point units: ((100 - d) * TOTAL_Q) div 100."""
+    return (100 - damping_pct) * TOTAL_Q // 100

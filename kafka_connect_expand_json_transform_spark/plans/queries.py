@@ -3463,3 +3463,333 @@ def pq_ann_shortlist(spark, sf_dir):
     enc = similarity.pq_encode(emb, books)
     qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     return similarity.pq_topk(enc, books, qv, k=20)
+
+
+# ---------------------------------------------------------------------------
+# [EXT] event-analytics pack: funnel / cohort / transitions / OHLC bars /
+# robust outliers / co-occurrence / token entropy / PageRank.
+# Product-analytics shapes a training-data pipeline runs over its event logs.
+# Cross-engine discipline: time buckets are integer epoch arithmetic
+# (unix_micros, tz-proof), doubles are only ever MIN/MAX'd or compared
+# (never summed), entropy/PageRank use fixed-point int64 sums with one final
+# IEEE division.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_click_after,
+           (SELECT COUNT(*) FROM s3) AS n_purchase_after
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase: each stage is the users whose
+    first qualifying event strictly follows their previous stage's first
+    event. Every stage is one groupBy + one equi-join on user_id — the same
+    hash partitioning all the way down, so at scale the stages pipeline
+    without re-shuffling; the three scalar counts cross-join at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_view"))
+        .crossJoin(s2.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+    fw AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id)
+    SELECT fw.cohort_wk, w.wk - fw.cohort_wk AS week_offset,
+           COUNT(DISTINCT w.user_id) AS n_users
+    FROM w JOIN fw ON w.user_id = fw.user_id
+    GROUP BY fw.cohort_wk, week_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: cohort = epoch-week of a user's
+    first event (pure integer microsecond arithmetic — no tz/calendar
+    dependence), cell = distinct users active at each week offset. Both the
+    first-event agg and the join are keyed on user_id (one partitioning
+    reused); the distinct-count output is cohort_weeks x offsets — tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select("user_id", F.expr("unix_micros(ts) div 604800000000").alias("wk"))
+    fw = w.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        w.join(fw, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "event_transitions",
+    """
+    WITH o AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events)
+    SELECT prev AS src, event_type AS dst, COUNT(*) AS n
+    FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type
+    """,
+)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition counts over each user's event sequence
+    (deterministic order: ts, event_id tie-break). One shuffle on user_id for
+    the lag window, then a partial-aggregated count to |types|^2 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev"))
+    return (
+        o.where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "ohlc_hourly_bars",
+    """
+    WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                      value, ts, event_id FROM events),
+    w AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, hr
+                                    ORDER BY ts, event_id) AS ra,
+                 row_number() OVER (PARTITION BY event_type, hr
+                                    ORDER BY ts DESC, event_id DESC) AS rd
+          FROM b)
+    SELECT event_type, hr,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM w GROUP BY event_type, hr
+    """,
+)
+def ohlc_hourly_bars(spark, sf_dir):
+    """Time-series downsampling to OHLC bars: per (series, epoch-hour) the
+    first/max/min/last value. open/close via row_number in both directions
+    (deterministic tie-break on event_id), then conditional MAX — doubles are
+    only selected and MIN/MAX'd, never summed, so bars are bit-exact. One
+    shuffle on (event_type, hr); both windows and the final agg reuse it."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    asc = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    desc = Window.partitionBy("event_type", "hr").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w = b.withColumn("ra", F.row_number().over(asc)).withColumn("rd", F.row_number().over(desc))
+    return w.groupBy("event_type", "hr").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "mad_outlier_report",
+    """
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+            FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type, MAX(d.med) AS med, MAX(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           COUNT(*) AS n
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def mad_outlier_report(spark, sf_dir):
+    """Robust (median/MAD) outlier report — the heavy-tail-safe twin of the
+    IQR fences: flag |x - median| > 3 * MAD. Spark percentile and DuckDB
+    quantile_cont interpolate bitwise-identically, |x-med| and 3*mad are
+    single IEEE ops on identical doubles, so even the outlier *counts* are
+    exact. Two percentile aggs; the per-group medians broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "event_cooccurrence_pairs",
+    """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM d a JOIN d b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def event_cooccurrence_pairs(spark, sf_dir):
+    """Co-occurrence (market-basket) pairs: for every unordered pair of event
+    types, how many users did both. Distinct first (user cardinality x ~5
+    types), then a self-equi-join on user_id — the join fan-out per user is
+    |types choose 2|, bounded, never |events|^2."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", "event_type").distinct()
+    a = d.select("user_id", F.col("event_type").alias("type_a"))
+    b = d.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "token_entropy",
+    """
+    WITH tok AS (SELECT doc_id, t AS tok
+                 FROM (SELECT doc_id,
+                              unnest(string_split(lower(text), ' ')) AS t
+                       FROM documents) u
+                 WHERE t <> ''),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+    agg AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct,
+                   SUM(c * CAST(floor(ln(c) * 1000000) AS BIGINT)) AS s
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(CAST(floor(ln(n) * 1000000) AS BIGINT) * n - s AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000.0) AS entropy
+    FROM agg
+    """,
+)
+def token_entropy(spark, sf_dir):
+    """Per-document Shannon token entropy (a quality/repetition signal):
+    H = ln N - sum(c ln c)/N. The transcendental ln is quantized to integer
+    micro-nats BEFORE summing (floor(ln(c)*1e6) as int64), so the sums are
+    exact integers in any order and the single final division is identical
+    IEEE — no float-accumulation-order hazard. Narrow explode -> two
+    partial-aggregated groupBys on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.floor(F.ln("c") * 1000000).cast("bigint")).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        (
+            (F.floor(F.ln("n") * 1000000).cast("bigint") * F.col("n") - F.col("s")).cast("double")
+            / (F.col("n").cast("double") * F.lit(1000000.0))
+        ).alias("entropy"),
+    )
+
+
+def _pagerank_round(i: int) -> str:
+    """One chained-CTE PageRank round (mirrors operators/graph.py exactly)."""
+    p = i - 1
+    return f"""
+    c{i} AS (SELECT e.dst, SUM((r.r * e.n) // od.out_n) AS s
+             FROM edges e JOIN r{p} r ON r.node = e.src
+             JOIN outd od ON od.src = e.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT n.node,
+                    (150000000000 // nn.n_nodes)
+                      + (85 * COALESCE(c{i}.s, 0)) // 100 AS r
+             FROM nodes n CROSS JOIN nn
+             LEFT JOIN c{i} ON c{i}.dst = n.node)"""
+
+
+_SQL_PAGERANK = (
+    """
+    WITH o AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    edges AS (SELECT prev AS src, event_type AS dst, COUNT(*) AS n
+              FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type),
+    outd AS (SELECT src, SUM(n) AS out_n FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    r0 AS (SELECT node, 1000000000000 // n_nodes AS r
+           FROM nodes CROSS JOIN nn),"""
+    + ",".join(_pagerank_round(i) for i in (1, 2, 3))
+    + """
+    SELECT node, CAST(r AS BIGINT) AS pagerank FROM r3
+    """
+)
+
+
+@query("pagerank_event_graph", _SQL_PAGERANK)
+def pagerank_event_graph(spark, sf_dir):
+    """PageRank (3 rounds, damping 0.85) over the event-type transition graph
+    derived from every user's event sequence. The scalable half is the edge
+    derivation (one windowed lag over 100% of events, partial-aggregated to
+    |types|^2 edges); the iterative half is exact fixed-point message
+    passing value-checked round-by-round via the chained-CTE oracle — the
+    graph twin of kmeans_quantized."""
+    from kafka_connect_expand_json_transform_spark.operators.graph import pagerank_int
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev"))
+    edges = (
+        o.where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    return pagerank_int(edges, iterations=3)

@@ -1,0 +1,41 @@
+"""Unit tests for operators/graph.py — exact-integer PageRank."""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_expand_json_transform_spark.operators.graph import TOTAL_Q, pagerank_int
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, n long")
+
+
+def test_symmetric_cycle_has_equal_ranks(spark):
+    e = _edges(spark, [("a", "b", 5), ("b", "c", 5), ("c", "a", 5)])
+    ranks = {r.node: r.pagerank for r in pagerank_int(e, iterations=3).collect()}
+    assert len(set(ranks.values())) == 1  # perfect symmetry -> identical ints
+    assert abs(ranks["a"] - TOTAL_Q // 3) <= 10
+
+
+def test_star_hub_dominates(spark):
+    # 4 spokes all pointing at the hub; hub sends mass back out evenly
+    spokes = ["s1", "s2", "s3", "s4"]
+    rows = [(s, "hub", 1) for s in spokes] + [("hub", s, 1) for s in spokes]
+    ranks = {r.node: r.pagerank for r in pagerank_int(_edges(spark, rows)).collect()}
+    assert all(ranks["hub"] > ranks[s] for s in spokes)
+    spoke_vals = {ranks[s] for s in spokes}
+    assert len(spoke_vals) == 1  # symmetric spokes tie exactly
+
+
+def test_mass_approximately_conserved(spark):
+    e = _edges(spark, [("a", "b", 3), ("b", "a", 1), ("b", "c", 2), ("c", "a", 7)])
+    df = pagerank_int(e, iterations=3)
+    total = df.agg(F.sum("pagerank")).first()[0]
+    # trunc-div loses <1 unit per edge/node per round: bound 3 * (|E|+2|V|)
+    assert 0 <= TOTAL_Q - total <= 3 * (4 + 2 * 3) * 100
+
+
+def test_weights_shift_rank(spark):
+    # b receives 9x the weight c does from a; with a absorbing back-links
+    e = _edges(spark, [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)])
+    ranks = {r.node: r.pagerank for r in pagerank_int(e).collect()}
+    assert ranks["b"] > ranks["c"]
