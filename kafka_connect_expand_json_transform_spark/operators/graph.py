@@ -28,6 +28,7 @@ def pagerank_int(
     edges: DataFrame,
     iterations: int = 3,
     damping_pct: int = 85,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Weighted PageRank over ``edges(src, dst, n)`` in exact int64 arithmetic.
 
@@ -44,6 +45,12 @@ def pagerank_int(
     normalize edge weights first (divide ``n`` by their GCD or bucket them).
     """
     teleport_total = damping_pct_complement(damping_pct)
+    if checkpoint:
+        # the edge aggregate is consumed by every round (plus nodes/outd);
+        # cutting lineage here keeps iteration plans O(1) instead of
+        # re-embedding the full upstream scan per round — the same bounded-
+        # lineage discipline as the connected-components loop
+        edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

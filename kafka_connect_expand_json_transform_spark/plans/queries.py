@@ -3495,29 +3495,35 @@ def pq_ann_shortlist(spark, sf_dir):
 def funnel_view_click_purchase(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: each stage is the users whose
     first qualifying event strictly follows their previous stage's first
-    event. Every stage is one groupBy + one equi-join on user_id — the same
-    hash partitioning all the way down, so at scale the stages pipeline
-    without re-shuffling; the three scalar counts cross-join at the end."""
+    event. ONE scan and ONE shuffle: all three stage timestamps are chained
+    conditional-min windows over the same user_id partitioning (Catalyst
+    stacks the Window operators on a single Exchange), then a global agg of
+    three conditional distinct counts."""
     ev = load_table(spark, sf_dir, "events")
-    s1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
-    s2 = (
-        ev.where(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn("t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+                )
+            ).over(w),
+        )
     )
-    s3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        s1.agg(F.count("*").alias("n_view"))
-        .crossJoin(s2.agg(F.count("*").alias("n_click_after")))
-        .crossJoin(s3.agg(F.count("*").alias("n_purchase_after")))
+    return staged.agg(
+        F.count_distinct(F.when(F.col("t1").isNotNull(), F.col("user_id"))).alias("n_view"),
+        F.count_distinct(F.when(F.col("t2").isNotNull(), F.col("user_id"))).alias("n_click_after"),
+        F.count_distinct(F.when(F.col("t3").isNotNull(), F.col("user_id"))).alias(
+            "n_purchase_after"
+        ),
     )
 
 
