@@ -3799,3 +3799,110 @@ def pagerank_event_graph(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     return pagerank_int(edges, iterations=3)
+
+
+@query(
+    "daily_new_cumulative_users",
+    """
+    WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    fd AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id),
+    daily AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY day),
+    news AS (SELECT first_day AS day, COUNT(*) AS new_users
+             FROM fd GROUP BY first_day)
+    SELECT daily.day, daily.dau, COALESCE(news.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(news.new_users, 0))
+                  OVER (ORDER BY daily.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM daily LEFT JOIN news ON daily.day = news.day
+    """,
+)
+def daily_new_cumulative_users(spark, sf_dir):
+    """DAU / new-user / cumulative-user time series: running exact distinct
+    via first-seen-day (a groupBy, not an unsupported windowed DISTINCT).
+    Both heavy aggs key on user_id/day with partial aggregation; only the
+    |days|-row series passes through the single-partition running-sum window
+    — the standard 'aggregate first, window the tiny result' decomposition."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.expr("unix_micros(ts) div 86400000000").alias("day"))
+    fd = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = d.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    news = fd.groupBy(F.col("first_day").alias("day")).agg(F.count("*").alias("new_users"))
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.join(news, "day", "left")
+        .select("day", "dau", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .withColumn("cumulative_users", F.sum("new_users").over(run).cast("bigint"))
+    )
+
+
+@query(
+    "equidepth_histogram",
+    """
+    WITH t AS (SELECT o_totalprice,
+                      ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+               FROM orders)
+    SELECT bucket, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def equidepth_histogram(spark, sf_dir):
+    """Equi-depth (quantile-bucket) histogram via ntile with a deterministic
+    key tie-break — the exact twin of the sketch-based quantile_rollup. The
+    global sort is the honest cost of exactness here (ntile needs a total
+    order); the sketch path is the 100 TB variant, this is the small-table /
+    verification variant. Doubles are only MIN/MAX'd."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_totalprice",
+        F.ntile(8).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bucket"),
+    )
+    return t.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@query(
+    "incremental_agg_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def incremental_agg_orders(spark, sf_dir):
+    """Incremental view maintenance: materialize partials over the first five
+    years of orders (the 'base' that would already be on disk), then merge
+    only the post-2000 delta through refresh_aggregate. The oracle is the
+    FULL-scan aggregate — proving refresh(partials(base), delta) ==
+    agg(base ∪ delta) exactly (decimal sums are order/grouping-independent)."""
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        aggregate_partials,
+        refresh_aggregate,
+    )
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(14,2)")
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    measures = {
+        "n": ("count", "o_orderkey"),
+        "total_dec": ("sum", "price_dec"),
+        "lo": ("min", "o_totalprice"),
+        "hi": ("max", "o_totalprice"),
+    }
+    keys = ["o_orderstatus", "o_orderpriority"]
+    base = aggregate_partials(o.where(F.col("o_orderdate") < cutoff), keys, measures)
+    merged = refresh_aggregate(base, o.where(F.col("o_orderdate") >= cutoff), keys, measures)
+    return merged.select(
+        *keys,
+        "n",
+        F.col("total_dec").cast("double").alias("total"),
+        "lo",
+        "hi",
+    )

@@ -212,3 +212,43 @@ def test_binned_range_join_left_pads_empty_intervals(spark):
     assert by_iid == {1: 100, 4: None}
     with pytest.raises(ValueError, match="bin_width"):
         binned_range_join(intervals, points, "s", "e", "p", 0)
+
+
+def test_refresh_aggregate_equals_full_recompute(spark):
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        aggregate_partials,
+        refresh_aggregate,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i % 3, "g" + str(i % 2), float(i), i) for i in range(40)]
+    df = spark.createDataFrame(rows, "k int, g string, v double, w long")
+    measures = {
+        "n": ("count", "w"),
+        "s": ("sum", "w"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    base, delta = df.where("w < 25"), df.where("w >= 25")
+    merged = refresh_aggregate(
+        aggregate_partials(base, ["k", "g"], measures), delta, ["k", "g"], measures
+    )
+    full = aggregate_partials(df, ["k", "g"], measures)
+    key = lambda r: (r.k, r.g)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+    # delta containing brand-new groups must appear too
+    extra = spark.createDataFrame([(9, "new", 1.5, 100)], "k int, g string, v double, w long")
+    merged2 = refresh_aggregate(full, extra, ["k", "g"], measures)
+    assert merged2.where("k = 9").count() == 1
+
+
+def test_aggregate_partials_rejects_non_distributive(spark):
+    import pytest as _pytest
+
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        aggregate_partials,
+    )
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError, match="non-distributive"):
+        aggregate_partials(df, [], {"a": ("avg", "id")})
