@@ -171,3 +171,48 @@ def constraint_report(df: DataFrame, constraints: dict) -> DataFrame:
         "n_rows",
         F.col("__r.n_violations").alias("n_violations"),
     )
+
+
+def fk_orphan_report(
+    relations: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table referential integrity: for each ``(name, child, fk_col,
+    parent, pk_col)`` relation, count child rows whose non-NULL foreign key
+    has no matching parent — one report row per relation.
+
+    The cross-table complement of `constraint_report` (which is single-scan,
+    single-table). Per relation: distinct parent keys (partial-aggregated,
+    typically tiny vs the child) left-join the child, then one conditional
+    aggregation. NULL FKs follow SQL semantics — they reference nothing, so
+    they are counted separately (`null_fks`), never as orphans. At 100 TB
+    the child side streams through one shuffle on the FK; AQE broadcasts the
+    distinct-key side whenever the parent's key set fits.
+    """
+    if not relations:
+        raise ValueError("fk_orphan_report: no relations given")
+    reports = []
+    for name, child, fk_col, parent, pk_col in relations:
+        keys = parent.select(F.col(pk_col).alias("__pk")).distinct()
+        joined = child.select(F.col(fk_col).alias("__fk")).join(
+            keys, F.col("__fk") == F.col("__pk"), "left"
+        )
+        reports.append(
+            joined.agg(
+                F.lit(name).alias("relation"),
+                F.count("*").alias("child_rows"),
+                F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("null_fks"),
+                F.sum(
+                    F.when(
+                        F.col("__fk").isNotNull() & F.col("__pk").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("orphans"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -3906,3 +3906,48 @@ def incremental_agg_orders(spark, sf_dir):
         "lo",
         "hi",
     )
+
+
+@query(
+    "fk_orphans_report",
+    """
+    WITH ck AS (SELECT DISTINCT c_custkey AS pk FROM customer),
+         ok AS (SELECT DISTINCT o_orderkey AS pk FROM orders)
+    SELECT 'orders->customer' AS relation, COUNT(*) AS child_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_fks,
+           CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND ck.pk IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+    FROM orders LEFT JOIN ck ON o_custkey = ck.pk
+    UNION ALL
+    SELECT 'lineitem->orders', COUNT(*),
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND ok.pk IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem LEFT JOIN ok ON l_orderkey = ok.pk
+    UNION ALL
+    SELECT 'events->customer', COUNT(*),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN user_id IS NOT NULL AND ck.pk IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events LEFT JOIN ck ON user_id = ck.pk
+    """,
+)
+def fk_orphans_report(spark, sf_dir):
+    """Referential-integrity audit across the star schema: per FK relation,
+    the count of non-NULL keys with no parent (see
+    `operators.profiling.fk_orphan_report` for the scale notes)."""
+    from kafka_connect_expand_json_transform_spark.operators.profiling import (
+        fk_orphan_report,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    return fk_orphan_report(
+        [
+            ("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+            ("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+            ("events->customer", events, "user_id", customer, "c_custkey"),
+        ]
+    )

@@ -252,3 +252,23 @@ def test_aggregate_partials_rejects_non_distributive(spark):
     df = spark.range(3)
     with _pytest.raises(ValueError, match="non-distributive"):
         aggregate_partials(df, [], {"a": ("avg", "id")})
+
+
+def test_fk_orphan_report_counts_orphans_and_nulls(spark):
+    import pytest
+    from kafka_connect_expand_json_transform_spark.operators.profiling import (
+        fk_orphan_report,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,), (2,)], "pk long")  # dup keys OK
+    child = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 9), (4, None), (5, 1)], "id long, fk long"
+    )
+    rows = {
+        r["relation"]: r
+        for r in fk_orphan_report([("c->p", child, "fk", parent, "pk")]).collect()
+    }
+    r = rows["c->p"]
+    assert (r["child_rows"], r["null_fks"], r["orphans"]) == (5, 1, 1)
+    with pytest.raises(ValueError, match="no relations"):
+        fk_orphan_report([])
