@@ -85,3 +85,59 @@ def pagerank_int(
 def damping_pct_complement(damping_pct: int) -> int:
     """Teleport mass in fixed-point units: ((100 - d) * TOTAL_Q) div 100."""
     return (100 - damping_pct) * TOTAL_Q // 100
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact global triangle count over an undirected edge table — one row
+    ``(n_nodes, n_edges, n_triangles)``.
+
+    Degree-oriented wedge join (the standard O(m^1.5) bound): canonicalize +
+    dedup edges, compute degrees, then orient every edge from the endpoint
+    with lexicographically smaller ``(degree, id)`` to the larger. Wedges are
+    enumerated only at each edge's LOW-degree endpoint, so a celebrity node
+    with degree d contributes 0 wedges instead of d²/2 — without the
+    orientation a power-law graph's top hub alone would dominate the join.
+    The wedge set then semi-joins the oriented edge set to confirm closures.
+    Three shuffles total (degree agg, wedge self-join, closure join); AQE
+    broadcasts the degree table when it fits.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    withdeg = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    lo_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lo_is_a, F.col("db")).otherwise(F.col("da")).alias("dhi"),
+    )
+    # wedges at the low endpoint, ordered by (deg, id) so each is built once
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.lo") == F.col("e2.lo")).where(
+        (F.col("e1.dhi") < F.col("e2.dhi"))
+        | ((F.col("e1.dhi") == F.col("e2.dhi")) & (F.col("e1.hi") < F.col("e2.hi")))
+    ).select(F.col("e1.hi").alias("x"), F.col("e2.hi").alias("y"))
+    # inner join, not semi: each wedge row IS one distinct triangle (distinct
+    # lo per wedge), and the oriented edge set is already duplicate-free
+    closures = wedges.join(
+        oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y")), ["x", "y"]
+    )
+    tri = closures.agg(F.count("*").cast("long").alias("n_triangles"))
+    stats = e.agg(
+        F.count("*").cast("long").alias("n_edges"),
+    ).crossJoin(deg.agg(F.count("*").cast("long").alias("n_nodes")))
+    return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")

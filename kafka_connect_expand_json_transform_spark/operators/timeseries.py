@@ -87,3 +87,35 @@ def gap_fill(
         else:
             raise ValueError(f"unknown fill method {method!r} for column {c!r}")
     return dense.select(*out_cols)
+
+
+def interval_coverage(
+    df: DataFrame, key: str, start: str, end: str
+) -> DataFrame:
+    """Merge overlapping / touching half-open ``[start, end)`` intervals per
+    key into maximal islands — the classic "total covered time from
+    overlapping sessions" primitive (interval union).
+
+    Single per-key sort-window pass: a row starts a new island iff its start
+    exceeds the running max of all earlier ends (ROWS … 1 PRECEDING), the
+    island id is the running sum of those breaks, and one hash aggregation
+    collapses each island to ``(key, island_start, island_end)``. Exactly one
+    shuffle on `key`; with int64 epoch columns every value is exact, so the
+    result is engine-comparable bit-for-bit. At 100 TB the only concern is a
+    single hot key owning millions of intervals — the window is sequential
+    per key, so pre-split pathological keys by coarse time range first.
+    """
+    w = Window.partitionBy(key).orderBy(start, end)
+    prev_max = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_max.isNull() | (F.col(start) > prev_max), 1).otherwise(0)
+    islands = (
+        df.select(key, start, end)
+        .withColumn("__brk", brk)
+        .withColumn(
+            "__island",
+            F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return islands.groupBy(key, "__island").agg(
+        F.min(start).alias("island_start"), F.max(end).alias("island_end")
+    ).drop("__island")

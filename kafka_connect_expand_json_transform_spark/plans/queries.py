@@ -3951,3 +3951,88 @@ def fk_orphans_report(spark, sf_dir):
             ("events->customer", events, "user_id", customer, "c_custkey"),
         ]
     )
+
+
+@query(
+    "interval_coverage_events",
+    """
+    WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+                FROM events),
+    m AS (SELECT user_id, s, e,
+                 MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pmax
+          FROM iv),
+    f AS (SELECT user_id, s, e,
+                 CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+          FROM m),
+    g AS (SELECT user_id, s, e,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+          FROM f),
+    i AS (SELECT user_id, island, MIN(s) AS is_, MAX(e) AS ie
+          FROM g GROUP BY user_id, island)
+    SELECT user_id, COUNT(*) AS n_islands,
+           CAST(SUM(ie - is_) AS BIGINT) AS covered_us
+    FROM i GROUP BY user_id
+    """,
+)
+def interval_coverage_events(spark, sf_dir):
+    """Per-user total covered time when every event opens a 10-minute
+    half-open activity interval: overlapping/touching intervals merge into
+    islands (`operators.timeseries.interval_coverage`), then one agg gives
+    islands + exact covered microseconds — all int64, engine-exact."""
+    from kafka_connect_expand_json_transform_spark.operators.timeseries import (
+        interval_coverage,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    iv = ev.select("user_id", us.alias("s"), (us + F.lit(600_000_000)).alias("e"))
+    islands = interval_coverage(iv, "user_id", "s", "e")
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start"))
+        .cast("bigint")
+        .alias("covered_us"),
+    )
+
+
+@query(
+    "triangle_count_part_graph",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM op x JOIN op y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    verts AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+    tri AS (SELECT COUNT(*) AS n
+            FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT (SELECT COUNT(DISTINCT v) FROM verts) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
+    """,
+)
+def triangle_count_part_graph(spark, sf_dir):
+    """Exact triangle count over the part-co-purchase graph (parts are
+    adjacent iff they appear in the same order). The oracle enumerates by
+    id-order a<b<c; the engine uses degree orientation
+    (`operators.graph.triangle_count`) — counts are orientation-invariant."""
+    from kafka_connect_expand_json_transform_spark.operators.graph import (
+        triangle_count,
+    )
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = op.alias("x"), op.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    return triangle_count(edges)

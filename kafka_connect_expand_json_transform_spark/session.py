@@ -47,6 +47,13 @@ def get_spark(
         # the driver's events.parquet stores TIMESTAMP(NANOS); read as long
         # and convert in sources.batch.load_table (DuckDB-identical values)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local[N] packs driver + N executor threads into ONE JVM; the 1g
+        # default heap starves 32 concurrent sort/join buffers long before
+        # any real executor would (only effective for the process's first
+        # session — later getOrCreate calls reuse the running JVM)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -39,3 +39,25 @@ def test_weights_shift_rank(spark):
     e = _edges(spark, [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)])
     ranks = {r.node: r.pagerank for r in pagerank_int(e).collect()}
     assert ranks["b"] > ranks["c"]
+
+
+def test_triangle_count_known_graphs(spark):
+    from kafka_connect_expand_json_transform_spark.operators.graph import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df).collect()[0]
+
+    # K4: 4 triangles, 6 edges (input has dups/reversals/self-loop to clean)
+    k4 = [(i, j) for i in range(4) for j in range(4) if i != j] + [(0, 0), (1, 2)]
+    r = tri(k4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    # path graph: no triangles
+    r = tri([(0, 1), (1, 2), (2, 3)])
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 3, 0)
+    # two triangles sharing an edge (bowtie minus center): 0-1-2 and 1-2-3
+    r = tri([(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 5, 2)
+    # star (hub degree 4): orientation must not explode, and count is 0
+    r = tri([(9, i) for i in range(4)])
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 4, 0)

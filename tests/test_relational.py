@@ -272,3 +272,22 @@ def test_fk_orphan_report_counts_orphans_and_nulls(spark):
     assert (r["child_rows"], r["null_fks"], r["orphans"]) == (5, 1, 1)
     with pytest.raises(ValueError, match="no relations"):
         fk_orphan_report([])
+
+
+def test_interval_coverage_merges_touching_and_overlapping(spark):
+    from kafka_connect_expand_json_transform_spark.operators.timeseries import (
+        interval_coverage,
+    )
+
+    rows = [
+        ("u1", 0, 10), ("u1", 5, 12),   # overlap -> [0,12)
+        ("u1", 12, 15),                  # touching merges (half-open)
+        ("u1", 20, 25),                  # gap -> new island
+        ("u2", 3, 4), ("u2", 3, 4),      # duplicate rows collapse
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = sorted(
+        (r.k, r.island_start, r.island_end)
+        for r in interval_coverage(df, "k", "s", "e").collect()
+    )
+    assert out == [("u1", 0, 15), ("u1", 20, 25), ("u2", 3, 4)]
