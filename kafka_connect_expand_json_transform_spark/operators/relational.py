@@ -390,3 +390,36 @@ def refresh_aggregate(
         else:
             remerge.append(F.max(out).alias(out))
     return base_agg.unionByName(delta_agg).groupBy(*keys).agg(*remerge)
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """2D Pareto frontier (skyline): keep rows not dominated by any other row
+    in their group, where p dominates q iff ``p.x >= q.x and p.y <= q.y``
+    with at least one strict (maximize x, minimize y — negate a column to
+    flip its direction).
+
+    Not the O(n²) dominance self-join: aggregate to one row per distinct x
+    (per-x min of y — this table is |distinct x|, typically orders of
+    magnitude smaller than the input), take the suffix-min of y over
+    strictly-greater x with one window pass, and join the two thresholds
+    back. A row survives iff no better-x row has y <= its y, and no same-x
+    row has y < its y. Two shuffles (distinct-x agg + join, which AQE
+    broadcasts when distinct-x fits); the full data is never sorted.
+    """
+    g = list(group_by or [])
+    x, y = F.col(x_col), F.col(y_col)
+    perx = df.groupBy(*g, x_col).agg(F.min(y).alias("__ymin"))
+    w = Window.partitionBy(*g).orderBy(F.col(x_col).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    thresholds = perx.withColumn("__sm", F.min("__ymin").over(w))
+    joined = df.join(thresholds, on=g + [x_col], how="inner")
+    not_dominated = (
+        (F.col("__sm").isNull() | (F.col("__sm") > y)) & (F.col("__ymin") == y)
+    )
+    return joined.where(not_dominated).drop("__ymin", "__sm")

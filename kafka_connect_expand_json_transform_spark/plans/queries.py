@@ -4036,3 +4036,58 @@ def triangle_count_part_graph(spark, sf_dir):
         & (F.col("x.l_partkey") < F.col("y.l_partkey")),
     ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
     return triangle_count(edges)
+
+
+@query(
+    "skyline_orders",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate
+    FROM orders q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders p
+      WHERE p.o_orderpriority = q.o_orderpriority
+        AND p.o_totalprice >= q.o_totalprice AND p.o_orderdate <= q.o_orderdate
+        AND (p.o_totalprice > q.o_totalprice OR p.o_orderdate < q.o_orderdate))
+    """,
+)
+def skyline_orders(spark, sf_dir):
+    """Per-priority Pareto frontier of orders (maximize totalprice, minimize
+    orderdate — "biggest early orders"). The oracle states dominance as a
+    quadratic NOT EXISTS; the engine computes the identical set with the
+    linear-ish distinct-x suffix-min decomposition
+    (`operators.relational.skyline_2d`) — independent formulations, equal
+    sets."""
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        skyline_2d,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    return skyline_2d(o, "o_totalprice", "o_orderdate", group_by=["o_orderpriority"])
+
+
+@query(
+    "window_percent_rank",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+             AS pr,
+           CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+             AS cd
+    FROM customer
+    """,
+)
+def window_percent_rank(spark, sf_dir):
+    """Relative-standing window functions (percent_rank, cume_dist) —
+    completes the ranking-window surface next to row_number/rank/ntile.
+    Both are exact small-integer ratios, so doubles agree cross-engine."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

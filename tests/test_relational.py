@@ -291,3 +291,18 @@ def test_interval_coverage_merges_touching_and_overlapping(spark):
         for r in interval_coverage(df, "k", "s", "e").collect()
     )
     assert out == [("u1", 0, 15), ("u1", 20, 25), ("u2", 3, 4)]
+
+
+def test_skyline_2d_dominance_semantics(spark):
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        skyline_2d,
+    )
+
+    pts = [(5, 3), (4, 1), (4, 2), (3, 0), (5, 3), (2, 5)]
+    df = spark.createDataFrame([("g", x, y) for x, y in pts], "g string, x long, y long")
+    out = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y", ["g"]).collect())
+    # (4,2) dominated by (4,1); (2,5) by (3,0); duplicate (5,3) both survive
+    assert out == [(3, 0), (4, 1), (5, 3), (5, 3)]
+    # groups are independent: same points in another group unaffected
+    df2 = df.union(spark.createDataFrame([("h", 9, 9)], "g string, x long, y long"))
+    assert skyline_2d(df2, "x", "y", ["g"]).where("g = 'h'").count() == 1
