@@ -4091,3 +4091,37 @@ def window_percent_rank(spark, sf_dir):
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "hof_array_funcs",
+    """
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+             AS BIGINT) AS l1_milli,
+           len(list_filter(embedding, x -> abs(x) > 2)) > 0 AS has_big
+    FROM embeddings
+    """,
+)
+def hof_array_funcs(spark, sf_dir):
+    """Higher-order array function surface (transform / filter / exists /
+    aggregate) in one narrow pass over the embedding column. Sums are
+    int64-quantized (floor(x*1000)) so the fold is exact and order-safe
+    cross-engine; only attribute references appear inside the lambdas
+    (non-attribute expressions re-evaluate per element)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(x, lambda v: v > 0)).alias("n_pos"),
+        F.aggregate(
+            F.transform(
+                x, lambda v: F.floor(v.cast("double") * 1000).cast("bigint")
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("l1_milli"),
+        F.exists(x, lambda v: F.abs(v) > 2).alias("has_big"),
+    )
