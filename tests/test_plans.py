@@ -385,3 +385,44 @@ def test_quantile_partials_shuffle_centroids_not_values(spark):
     # everything after the Exchange line mentions it
     ex = plan.index("Exchange hashpartitioning")
     assert "MapInPandas" in plan[ex:], plan
+
+
+def test_interval_coverage_single_exchange_on_key(spark):
+    """interval_coverage: window + island agg must reuse ONE hash exchange on
+    the partition key — the agg on (key, island) is co-partitioned with the
+    window's partitioning, so no second shuffle of the data."""
+    plan = plan_of(spark, "interval_coverage_events")
+    parts = [l.strip() for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert parts and all("user_id" in l for l in parts), parts
+    # one Exchange node total (formatted mode prints each node twice:
+    # once in the tree, once in the detail section)
+    assert plan.count("Exchange") == 2, plan.count("Exchange")
+
+
+def test_skyline_is_equi_join_not_quadratic(spark):
+    """skyline_2d must stay an agg + window + equi join — never the O(n²)
+    dominance self-join (no cartesian / nested-loop in the plan)."""
+    plan = plan_of(spark, "skyline_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_orients_before_wedge_join(spark):
+    """triangle_count: wedge enumeration and closure confirmation must be
+    EQUI joins (hash/sort-merge) — the only nested-loop joins allowed are the
+    two 1-row×1-row scalar combines that assemble the final stats row."""
+    plan = plan_of(spark, "triangle_count_part_graph")
+    assert "CartesianProduct" not in plan
+    # formatted mode prints each node twice (tree + details)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_fk_orphan_report_joins_distinct_keys(spark):
+    plan = plan_of(spark, "fk_orphans_report")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
