@@ -4125,3 +4125,36 @@ def hof_array_funcs(spark, sf_dir):
         ).alias("l1_milli"),
         F.exists(x, lambda v: F.abs(v) > 2).alias("has_big"),
     )
+
+
+@query(
+    "argmax_aggregates",
+    """
+    SELECT c_mktsegment,
+           arg_max(c_custkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey)
+             AS richest_cust,
+           arg_min(c_custkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey)
+             AS poorest_cust,
+           MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def argmax_aggregates(spark, sf_dir):
+    """max_by / min_by (SQL arg_max/arg_min) with a TIE-PROOF ordering key:
+    ties on the raw measure make arg_max engine-arbitrary, so the key is the
+    2-decimal balance in cents composed with the row id into one int64
+    (cents * 1e6 + custkey; exact while custkey < 1e6) — a total order both
+    engines resolve identically."""
+    c = load_table(spark, sf_dir, "customer")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * F.lit(1000000)
+        + F.col("c_custkey")
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_custkey", key).alias("richest_cust"),
+        F.min_by("c_custkey", key).alias("poorest_cust"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+    )
