@@ -91,15 +91,18 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     """Exact global triangle count over an undirected edge table — one row
     ``(n_nodes, n_edges, n_triangles)``.
 
-    Degree-oriented wedge join (the standard O(m^1.5) bound): canonicalize +
-    dedup edges, compute degrees, then orient every edge from the endpoint
-    with lexicographically smaller ``(degree, id)`` to the larger. Wedges are
-    enumerated only at each edge's LOW-degree endpoint, so a celebrity node
-    with degree d contributes 0 wedges instead of d²/2 — without the
-    orientation a power-law graph's top hub alone would dominate the join.
-    The wedge set then semi-joins the oriented edge set to confirm closures.
-    Three shuffles total (degree agg, wedge self-join, closure join); AQE
-    broadcasts the degree table when it fits.
+    Degree-oriented adjacency intersection (the standard O(m^1.5) bound):
+    canonicalize + dedup edges, compute degrees, then orient every edge from
+    the endpoint with lexicographically smaller ``(degree, id)`` to the
+    larger — out-degrees are then bounded ~O(sqrt(m)), so a celebrity node
+    with degree d contributes nothing quadratic in d. Each triangle
+    (u < v < w in orientation order) is counted exactly once at its lowest
+    edge as ``w ∈ N+(u) ∩ N+(v)``: the oriented edge table joins the
+    collected out-neighbor lists of both endpoints and sums
+    ``size(array_intersect)``. Crucially the wedge set (potentially 30×
+    |edges|) is never materialized or shuffled — only |edges| rows carrying
+    ~sqrt(m)-element arrays move, and the intersection runs JVM-side inside
+    the join stage. Three shuffles (degree agg, adjacency agg, edge⋈adj).
     """
     a, b = F.col(src), F.col(dst)
     e = (
@@ -123,20 +126,26 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     oriented = withdeg.select(
         F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
-        F.when(lo_is_a, F.col("db")).otherwise(F.col("da")).alias("dhi"),
     )
-    # wedges at the low endpoint, ordered by (deg, id) so each is built once
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(e2, F.col("e1.lo") == F.col("e2.lo")).where(
-        (F.col("e1.dhi") < F.col("e2.dhi"))
-        | ((F.col("e1.dhi") == F.col("e2.dhi")) & (F.col("e1.hi") < F.col("e2.hi")))
-    ).select(F.col("e1.hi").alias("x"), F.col("e2.hi").alias("y"))
-    # inner join, not semi: each wedge row IS one distinct triangle (distinct
-    # lo per wedge), and the oriented edge set is already duplicate-free
-    closures = wedges.join(
-        oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y")), ["x", "y"]
+    adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    per_edge = (
+        oriented.join(
+            adj.select(F.col("lo").alias("lo"), F.col("nbrs").alias("nu")), "lo"
+        )
+        .join(
+            adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nv")),
+            "hi",
+            "left",  # orientation-maximal vertices have no out-list
+        )
+        .select(
+            F.size(
+                F.array_intersect(F.col("nu"), F.coalesce(F.col("nv"), F.array()))
+            ).alias("closed")
+        )
     )
-    tri = closures.agg(F.count("*").cast("long").alias("n_triangles"))
+    tri = per_edge.agg(
+        F.coalesce(F.sum("closed"), F.lit(0)).cast("long").alias("n_triangles")
+    )
     stats = e.agg(
         F.count("*").cast("long").alias("n_edges"),
     ).crossJoin(deg.agg(F.count("*").cast("long").alias("n_nodes")))

@@ -4024,17 +4024,19 @@ def triangle_count_part_graph(spark, sf_dir):
         triangle_count,
     )
 
-    op = (
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import _pairs_expr
+
+    # edge build: collect each order's part set (one shuffle, replaces both
+    # the distinct and the self-join) and explode the C(k,2) pairs narrowly —
+    # k <= ~17 parts/order, so the fan-out is bounded like any LSH bucket
+    sets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
     )
-    x, y = op.alias("x"), op.alias("y")
-    edges = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    edges = sets.select(F.explode(_pairs_expr(F.col("ps"))).alias("p")).select(
+        F.col("p.a").alias("src"), F.col("p.b").alias("dst")
+    )
     return triangle_count(edges)
 
 
