@@ -4160,3 +4160,54 @@ def argmax_aggregates(spark, sf_dir):
         F.max("c_acctbal").alias("max_bal"),
         F.min("c_acctbal").alias("min_bal"),
     )
+
+
+@query(
+    "time_weighted_average",
+    """
+    WITH t AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000 AS ms,
+             CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+             LEAD(epoch_us(ts) // 1000) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_ms
+      FROM events),
+    w AS (SELECT user_id, v_milli * (next_ms - ms) AS wpart, next_ms - ms AS dur
+          FROM t WHERE next_ms IS NOT NULL)
+    SELECT user_id,
+           CAST(SUM(wpart) AS BIGINT) AS wsum_milli_ms,
+           CAST(SUM(dur) AS BIGINT) AS dur_ms,
+           CAST(SUM(wpart) AS DOUBLE) / SUM(dur) / 1000 AS twap
+    FROM w GROUP BY user_id
+    """,
+)
+def time_weighted_average(spark, sf_dir):
+    """Time-weighted average (TWAP) per user, last-point-held: each
+    observation's value weights by its holding duration until the next
+    event. Weighted sums are int64 (milli-value × ms-duration — exact,
+    order-free); the reported TWAP is ONE IEEE division of identical int64s,
+    so doubles agree cross-engine. Tie-break on (ts, event_id) makes lead()
+    deterministic under duplicate timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.expr("unix_micros(ts) div 1000")
+    w = Window.partitionBy("user_id").orderBy(F.expr("unix_micros(ts)"), "event_id")
+    t = ev.select(
+        "user_id",
+        ms.alias("ms"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_milli"),
+        F.lead(ms).over(w).alias("next_ms"),
+    ).where(F.col("next_ms").isNotNull())
+    agg = t.groupBy("user_id").agg(
+        F.sum(F.col("v_milli") * (F.col("next_ms") - F.col("ms")))
+        .cast("bigint")
+        .alias("wsum_milli_ms"),
+        F.sum(F.col("next_ms") - F.col("ms")).cast("bigint").alias("dur_ms"),
+    )
+    return agg.select(
+        "user_id",
+        "wsum_milli_ms",
+        "dur_ms",
+        (
+            F.col("wsum_milli_ms").cast("double") / F.col("dur_ms") / F.lit(1000)
+        ).alias("twap"),
+    )
