@@ -4211,3 +4211,49 @@ def time_weighted_average(spark, sf_dir):
             F.col("wsum_milli_ms").cast("double") / F.col("dur_ms") / F.lit(1000)
         ).alias("twap"),
     )
+
+
+@query(
+    "conversion_latency",
+    """
+    WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS fv FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    fp AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS fp, MIN(fv.fv) AS fv
+           FROM events e JOIN fv ON e.user_id = fv.user_id
+                         AND epoch_us(e.ts) >= fv.fv
+           WHERE e.event_type = 'purchase'
+           GROUP BY e.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           quantile_cont(fp - fv, 0.5) AS p50_us,
+           quantile_cont(fp - fv, 0.9) AS p90_us,
+           CAST(MAX(fp - fv) AS BIGINT) AS max_us
+    FROM fp
+    """,
+)
+def conversion_latency(spark, sf_dir):
+    """First-view → first-subsequent-purchase latency distribution: per-user
+    conditional mins (one agg each), deltas in int64 µs, then exact
+    percentiles — Spark `percentile` and DuckDB `quantile_cont` interpolate
+    bit-identically, so p50/p90 doubles match without rounding."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("fv"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("us") >= F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("fp"), F.min("fv").alias("fv"))
+    )
+    delta = F.col("fp") - F.col("fv")
+    return fp.agg(
+        F.count("*").cast("bigint").alias("n_converters"),
+        F.expr("percentile(fp - fv, 0.5)").alias("p50_us"),
+        F.expr("percentile(fp - fv, 0.9)").alias("p90_us"),
+        F.max(delta).cast("bigint").alias("max_us"),
+    )
