@@ -4257,3 +4257,41 @@ def conversion_latency(spark, sf_dir):
         F.expr("percentile(fp - fv, 0.9)").alias("p90_us"),
         F.max(delta).cast("bigint").alias("max_us"),
     )
+
+
+_SQL_ANCESTORS = """
+    WITH RECURSIVE edges AS (
+      SELECT 'customer' AS ck, c_custkey AS ckey,
+             'nation' AS pk, CAST(c_nationkey AS BIGINT) AS pkey FROM customer
+      UNION ALL
+      SELECT 'supplier', s_suppkey, 'nation', CAST(s_nationkey AS BIGINT)
+      FROM supplier
+      UNION ALL
+      SELECT 'nation', CAST(n_nationkey AS BIGINT),
+             'region', CAST(n_regionkey AS BIGINT) FROM nation
+    ),
+    anc AS (
+      SELECT ck, ckey, pk AS ak, pkey AS akey, 1 AS depth FROM edges
+      UNION ALL
+      SELECT a.ck, a.ckey, e.pk, e.pkey, a.depth + 1
+      FROM anc a JOIN edges e ON a.ak = e.ck AND a.akey = e.ckey
+    )
+    SELECT ck AS kind, ak AS ancestor_kind, depth,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(akey) AS BIGINT) AS sum_ancestor_keys
+    FROM anc GROUP BY ck, ak, depth
+"""
+
+
+@query("hierarchy_ancestors", _SQL_ANCESTORS)
+def hierarchy_ancestors(spark, sf_dir):
+    """Recursive CTE / hierarchical closure (Spark 4.x WITH RECURSIVE,
+    executed as an iterative union loop): the geo hierarchy
+    customer/supplier → nation → region expanded to all (entity, ancestor,
+    depth) pairs, identical SQL text on both engines. The recursion depth is
+    data-bounded (2); at scale each iteration is one equi join on the
+    frontier, so cost is depth × |frontier| — the SQL-native alternative to
+    hand-rolled iterative joins for hierarchies (BOM explosion, org
+    rollups)."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(_SQL_ANCESTORS)
