@@ -61,3 +61,29 @@ def test_triangle_count_known_graphs(spark):
     # star (hub degree 4): orientation must not explode, and count is 0
     r = tri([(9, i) for i in range(4)])
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 4, 0)
+
+
+def test_triangle_count_matches_bruteforce_on_random_graphs(spark):
+    """Seeded G(n, p) sweep vs itertools brute force — exercises isolated
+    vertices, multi-edges, and orientation ties that fixed examples miss."""
+    import random
+    from itertools import combinations
+
+    from kafka_connect_expand_json_transform_spark.operators.graph import triangle_count
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = 12
+        edges = [
+            (i, j) for i, j in combinations(range(n), 2) if rng.random() < 0.35
+        ]
+        edges += [(j, i) for i, j in edges[::3]]  # reversed duplicates
+        adj = {frozenset(e) for e in edges}
+        expected = sum(
+            1
+            for t in combinations(range(n), 3)
+            if all(frozenset(p) in adj for p in combinations(t, 2))
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = triangle_count(df).collect()[0]
+        assert r.n_triangles == expected, (seed, r.n_triangles, expected)

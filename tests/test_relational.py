@@ -306,3 +306,34 @@ def test_skyline_2d_dominance_semantics(spark):
     # groups are independent: same points in another group unaffected
     df2 = df.union(spark.createDataFrame([("h", 9, 9)], "g string, x long, y long"))
     assert skyline_2d(df2, "x", "y", ["g"]).where("g = 'h'").count() == 1
+
+
+def test_skyline_matches_bruteforce_on_random_inputs(spark):
+    """Seeded random sweep vs the O(n²) dominance definition — tie-heavy
+    small coordinate ranges exercise the same-x / duplicate edge cases."""
+    import random
+
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        skyline_2d,
+    )
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        pts = [
+            (rng.choice("gh"), rng.randrange(8), rng.randrange(8))
+            for _ in range(40)
+        ]
+        expected = sorted(
+            p
+            for p in pts
+            if not any(
+                q[0] == p[0]
+                and q[1] >= p[1]
+                and q[2] <= p[2]
+                and (q[1] > p[1] or q[2] < p[2])
+                for q in pts
+            )
+        )
+        df = spark.createDataFrame(pts, "g string, x long, y long")
+        got = sorted((r.g, r.x, r.y) for r in skyline_2d(df, "x", "y", ["g"]).collect())
+        assert got == expected, (seed, got, expected)
