@@ -10,9 +10,16 @@ Reference parity (cited per module as reference file:line):
 Engine extensions mandated by the north star (no reference citation possible;
 the reference contains no relational/streaming/LLM operators — SURVEY.md §2.1):
   - ``operators.relational`` — as-of join, top-k per group, sessionize, salted
-                              join, CDC merge_upsert, dataset_diff
+                              join, CDC merge_upsert, dataset_diff, 2D skyline,
+                              incremental view maintenance (aggregate_partials /
+                              refresh_aggregate), dataset_checksum
+  - ``operators.profiling``  — numeric/skew/IQR profiles, constraint_report,
+                              cross-table FK orphan audit, heavy hitters
+  - ``operators.graph``      — exact-arithmetic PageRank, degree-oriented
+                              triangle counting
   - ``operators.sketches``   — HLL partials/rollups (batch + incremental streaming)
-  - ``operators.timeseries`` — time-bucket rollup, per-key gap-fill (zero/LOCF)
+  - ``operators.timeseries`` — time-bucket rollup, per-key gap-fill (zero/LOCF),
+                              interval-union coverage
   - ``streaming``           — watermarked windows, stateful dedup, kafka wiring
   - ``llmops``              — dedup (exact/minhash/simhash/jaccard/embedding),
                               similarity search, text analysis (TF-IDF, repetition,
