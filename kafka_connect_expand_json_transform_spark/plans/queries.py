@@ -4295,3 +4295,374 @@ def hierarchy_ancestors(spark, sf_dir):
     rollups)."""
     register_testdata(spark, sf_dir)
     return spark.sql(_SQL_ANCESTORS)
+
+
+# ---------------------------------------------------------------------------
+# [EXT] analytics pack 4: regression trend, deterministic mode, market
+# concentration, SCD2 run-length compression, rolling z-score anomalies,
+# Benford digit profiling, A/B proportion test.
+# Cross-engine discipline: every statistic is derived from exact int64 /
+# decimal sums; doubles appear only in the final expression, with identical
+# operand order on both engines.
+# ---------------------------------------------------------------------------
+
+_SQL_TREND = """
+    WITH d AS (
+      SELECT o_orderpriority AS priority,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT priority, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM d GROUP BY priority
+    )
+    SELECT priority,
+           CAST(n AS BIGINT) AS n_days,
+           (CAST(n * sxy - sx * sy AS DOUBLE)) / (CAST(n * sxx - sx * sx AS DOUBLE))
+             AS slope_per_day,
+           (CAST(n * sxy - sx * sy AS DOUBLE)) * (CAST(n * sxy - sx * sy AS DOUBLE))
+             / ((CAST(n * sxx - sx * sx AS DOUBLE)) * (CAST(n * syy - sy * sy AS DOUBLE)))
+             AS r2
+    FROM s
+"""
+
+
+@query("revenue_trend_slope", _SQL_TREND)
+def revenue_trend_slope(spark, sf_dir):
+    """Per-group OLS trend (slope + R^2) of daily revenue over time — the
+    group-wise linear-regression aggregate (regr_slope/regr_r2 family),
+    computed from exact int64 moment sums (x centered on epoch day 9131 =
+    1995-01-01, y = floor-dollar daily revenue) so both engines do the same
+    single double division at the end.  Scale: two chained groupBys, the
+    first keyed (priority, day) — partial aggregation makes the shuffle tiny
+    (days x priorities rows); the moment-sum formulation is a one-pass
+    distributive aggregate, the standard way to do OLS at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("x"),
+        )
+        .agg(F.floor(F.sum(money("o_totalprice"))).cast("bigint").alias("y"))
+    )
+    s = d.groupBy("priority").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = dbl(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = dbl(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    deny = dbl(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return s.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n_days"),
+        (num / den).alias("slope_per_day"),
+        (num * num / (den * deny)).alias("r2"),
+    )
+
+
+_SQL_MODE = """
+    WITH c AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS INTEGER) AS q, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT flag, q, cnt,
+             ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cnt DESC, q) AS rn
+      FROM c
+    )
+    SELECT flag, q AS mode_quantity, CAST(cnt AS BIGINT) AS n FROM r WHERE rn = 1
+"""
+
+
+@query("mode_quantity_by_flag", _SQL_MODE)
+def mode_quantity_by_flag(spark, sf_dir):
+    """Deterministic MODE aggregate: most frequent value per group with an
+    explicit smallest-value tie-break (engines' native mode() leaves ties
+    unspecified — unusable cross-engine).  Two-level: distributive count per
+    (group, value), then a window over the tiny distinct-value set.  Scale:
+    the first groupBy partial-aggregates map-side; the window input is
+    |groups| x |distinct values| rows, not |rows|."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("int").alias("q"),
+        ).agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("flag").orderBy(F.col("cnt").desc(), F.col("q"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("flag", F.col("q").alias("mode_quantity"), F.col("cnt").cast("bigint").alias("n"))
+    )
+
+
+_SQL_HHI = """
+    WITH r AS (
+      SELECT l_suppkey AS sk,
+             CAST(FLOOR(SUM({disc})) AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    )
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           10000.0 * CAST(SUM(rev * rev) AS DOUBLE)
+             / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)) AS hhi
+    FROM r
+    JOIN supplier ON s_suppkey = sk
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+""".format(disc=_SQL_DISC_PRICE)
+
+
+@query("hhi_supplier_concentration", _SQL_HHI)
+def hhi_supplier_concentration(spark, sf_dir):
+    """Market-concentration profiling: Herfindahl–Hirschman index of supplier
+    revenue within each nation.  HHI = 10000 * sum(rev_i^2) / (sum rev_i)^2
+    avoids per-row share divisions entirely — both sums are exact int64 over
+    floor-dollar revenues, so the index is one double expression per group.
+    Scale: the only big shuffle is the per-supplier revenue agg (keyed
+    l_suppkey, partial map-side); supplier and nation are broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    r = (
+        li.groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(F.floor(F.sum(_disc_price())).cast("bigint").alias("rev"))
+    )
+    j = r.join(F.broadcast(sup), F.col("s_suppkey") == F.col("sk")).join(
+        F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey")
+    )
+    sumsq = dbl(F.sum(F.col("rev") * F.col("rev")))
+    tot = dbl(F.sum("rev"))
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        (F.lit(10000.0) * sumsq / (tot * tot)).alias("hhi"),
+    )
+
+
+_SQL_SCD2 = """
+    WITH o AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_type, us, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           us AS valid_from_us,
+           LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT)
+             AS version
+    FROM c
+"""
+
+
+@query("scd2_user_state", _SQL_SCD2)
+def scd2_user_state(spark, sf_dir):
+    """SCD Type-2 dimension build from a change stream: run-length compress
+    each user's event_type timeline into effective-dated versions
+    (valid_from/valid_to microseconds, NULL valid_to = current, monotone
+    version number).  The standard warehouse pattern for turning CDC logs
+    into slowly-changing dimensions.  Scale: both windows partition on
+    user_id — one shuffle, reused; the change filter drops repeat rows
+    before the second window, so state is per-user and small."""
+    ev = load_table(spark, sf_dir, "events")
+    w0 = Window.partitionBy("user_id").orderBy(F.expr("unix_micros(ts)"), "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.lag("event_type").over(w0).alias("prev"),
+    )
+    c = o.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w1 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return c.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w1).alias("valid_to_us"),
+        F.row_number().over(w1).cast("bigint").alias("version"),
+    )
+
+
+_SQL_ZSCORE = """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+             epoch_us(ts) AS us
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, event_id, cents,
+             COUNT(*) OVER win AS n,
+             SUM(cents) OVER win AS s,
+             SUM(cents * cents) OVER win AS q
+      FROM v
+      WINDOW win AS (PARTITION BY event_type ORDER BY us, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_anomalies,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM w
+    WHERE n >= 10 AND (n * q - s * s) > 0
+      AND ABS(CAST(n AS DOUBLE) * CAST(cents AS DOUBLE) - CAST(s AS DOUBLE))
+          > 3.0 * SQRT(CAST(n AS DOUBLE)
+                       * (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / CAST(n - 1 AS DOUBLE))
+    GROUP BY event_type
+"""
+
+
+@query("rolling_zscore_anomalies", _SQL_ZSCORE)
+def rolling_zscore_anomalies(spark, sf_dir):
+    """Rolling z-score anomaly detection: flag events whose value deviates
+    > 3 sigma from the trailing-20 window of their series.  The test
+    |x - mean| > 3*std is algebraically rescaled by n to
+    |n*x - s| > 3*sqrt(n*(n*q - s^2)/(n-1)) so every operand (trailing
+    count / sum / sum-of-squares over exact cents) is int64-exact; doubles
+    enter only in the final comparison, bit-identical across engines.
+    Scale: a single ROWS-frame window per series key — streaming-friendly
+    state of O(frame); no self-join, no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("value").cast("decimal(8,2)") * 100).cast("bigint").alias("cents"),
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = v.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.count("*").over(win).alias("n"),
+        F.sum("cents").over(win).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("q"),
+    )
+    n, s, q, x = (dbl(F.col(c)) for c in ("n", "s", "q", "cents"))
+    cond = (
+        (F.col("n") >= 10)
+        & ((F.col("n") * F.col("q") - F.col("s") * F.col("s")) > 0)
+        & (
+            F.abs(n * x - s)
+            > F.lit(3.0) * F.sqrt(n * (n * q - s * s) / dbl(F.col("n") - 1))
+        )
+    )
+    return w.filter(cond).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_anomalies"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+_SQL_BENFORD = """
+    SELECT SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+             AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS frac
+    FROM orders GROUP BY 1
+"""
+
+
+@query("benford_digit_profile", _SQL_BENFORD)
+def benford_digit_profile(spark, sf_dir):
+    """Benford's-law first-digit profile of order totals — a fraud/quality
+    screen over numeric columns.  The leading digit is taken from the
+    canonical decimal string rendering (identical '1013.70' form in both
+    engines — no float log10, whose libm rounding could differ).  Scale: a
+    9-group distributive count; the empty-frame window for the grand total
+    is one scalar broadcast back, not a second scan."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring(money("o_totalprice").cast("string"), 1, 1).alias("digit")
+    ).agg(F.count("*").alias("n"))
+    total = Window.partitionBy()
+    return g.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        (dbl(F.col("n")) / dbl(F.sum("n").over(total))).alias("frac"),
+    )
+
+
+_SQL_ABTEST = """
+    WITH u AS (
+      SELECT user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND CAST(value AS DECIMAL(8,2)) > 100 THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+      FROM u
+    )
+    SELECT n0 AS n_control, c0 AS conv_control, n1 AS n_treat, c1 AS conv_treat,
+           CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS lift,
+           (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             / SQRT((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z_score
+    FROM a
+"""
+
+
+@query("ab_test_conversion", _SQL_ABTEST)
+def ab_test_conversion(spark, sf_dir):
+    """Two-proportion z-test for experiment analysis: per-user conversion
+    (>= 1 purchase event over 100.00 — plain purchase is saturated in the
+    fixture, p=1 degenerates the pooled variance), variants split by user_id
+    parity, pooled-variance z-score.  All counts are exact int64; the z expression mirrors the
+    oracle's operand order so the doubles match bit-for-bit.  Scale: one
+    groupBy(user_id) shuffle (the dedup to user grain), then a single-row
+    global agg — partial aggregation reduces it to one row per task."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value").cast("decimal(8,2)") > 100),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    a = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).cast("bigint").alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).cast("bigint").alias("c1"),
+    )
+    n0, c0, n1, c1 = (dbl(F.col(c)) for c in ("n0", "c0", "n1", "c1"))
+    p = dbl(F.col("c0") + F.col("c1")) / dbl(F.col("n0") + F.col("n1"))
+    lift = c1 / n1 - c0 / n0
+    return a.select(
+        F.col("n0").alias("n_control"),
+        F.col("c0").alias("conv_control"),
+        F.col("n1").alias("n_treat"),
+        F.col("c1").alias("conv_treat"),
+        lift.alias("lift"),
+        (
+            lift
+            / F.sqrt(p * (F.lit(1.0) - p) * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+        ).alias("z_score"),
+    )

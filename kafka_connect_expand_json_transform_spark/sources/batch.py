@@ -44,12 +44,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # locked-down conf: get_spark sessions already set it at build
+    try:
+        # The NTZ -> LTZ normalization below is wall-clock identity only
+        # under UTC; harness-owned sessions don't run get_spark, so pin the
+        # session timezone here too (runtime-settable).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLUMNS.get(name, []):
         field = df.schema[col]
         if field.dataType.simpleString() == "bigint":
             # integer ns -> µs truncation, matching DuckDB's read of the file
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"CAST({col} DIV 1000 AS LONG)")))
+    # The driver's parquet stores naive timestamps (isAdjustedToUTC=false),
+    # which Spark 4 reads as TIMESTAMP_NTZ — a type unix_micros() and the
+    # window()/watermark operators reject. Under the engine's fixed UTC
+    # session timezone the NTZ -> LTZ cast is wall-clock identity, and
+    # unix_micros(ts) then equals DuckDB's epoch_us(ts) on the same file.
+    for field in df.schema.fields:
+        if field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
