@@ -4310,7 +4310,7 @@ _SQL_TREND = """
     WITH d AS (
       SELECT o_orderpriority AS priority,
              date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
-             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS BIGINT) AS y
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS BIGINT) // 1000 AS y
       FROM orders GROUP BY 1, 2
     ),
     s AS (
@@ -4333,8 +4333,9 @@ _SQL_TREND = """
 def revenue_trend_slope(spark, sf_dir):
     """Per-group OLS trend (slope + R^2) of daily revenue over time — the
     group-wise linear-regression aggregate (regr_slope/regr_r2 family),
-    computed from exact int64 moment sums (x centered on epoch day 9131 =
-    1995-01-01, y = floor-dollar daily revenue) so both engines do the same
+    computed from exact int64 moment sums (x = days since 1995-01-01, y =
+    floor-divided thousand-dollar daily revenue — kilodollar units keep
+    n*syy - sy² inside int64 through sf10) so both engines do the same
     single double division at the end.  Scale: two chained groupBys, the
     first keyed (priority, day) — partial aggregation makes the shuffle tiny
     (days x priorities rows); the moment-sum formulation is a one-pass
@@ -4345,7 +4346,9 @@ def revenue_trend_slope(spark, sf_dir):
             F.col("o_orderpriority").alias("priority"),
             F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("x"),
         )
-        .agg(F.floor(F.sum(money("o_totalprice"))).cast("bigint").alias("y"))
+        .agg(
+            F.expr("CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS BIGINT) div 1000").alias("y")
+        )
     )
     s = d.groupBy("priority").agg(
         F.count("*").alias("n"),
@@ -4665,4 +4668,130 @@ def ab_test_conversion(spark, sf_dir):
             lift
             / F.sqrt(p * (F.lit(1.0) - p) * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
         ).alias("z_score"),
+    )
+
+
+_SQL_PSI = """
+    WITH b AS (
+      SELECT LEAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     // 5000000, 9) AS bin,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS nc
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT bin, nb, nc, SUM(nb) OVER () AS tb, SUM(nc) OVER () AS tc FROM b
+    ),
+    q AS (
+      SELECT bin, nb, nc, tb, tc,
+             (nc * tb - nb * tc)
+               * CAST(FLOOR(LN(CAST(nc * tb AS DOUBLE) / CAST(nb * tc AS DOUBLE))
+                            * 1000000) AS BIGINT) AS term
+      FROM t WHERE nb > 0 AND nc > 0
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(nb AS BIGINT) AS n_base,
+           CAST(nc AS BIGINT) AS n_curr,
+           CAST(term AS BIGINT) AS psi_term_micro,
+           CAST(SUM(term) OVER () AS DOUBLE)
+             / (CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE) * 1000000.0) AS psi
+    FROM q
+"""
+
+
+@query("psi_drift_report", _SQL_PSI)
+def psi_drift_report(spark, sf_dir):
+    """Population-stability-index drift report — the standard ML-monitoring
+    check that a feature's distribution (order totals, binned to 10
+    fixed-width buckets) has not shifted between a baseline period
+    (< 1997-01-01) and the current one.  PSI = sum (pc - pb) ln(pc/pb) is
+    restated over integer counts: term_i = (c_i*B - b_i*C) * floor(ln((c_i*B)
+    / (b_i*C)) * 1e6), summed exactly as int64 (the token_entropy micro-nat
+    trick — the transcendental is quantized per bin BEFORE summation), then
+    one identical double division. Empty bins are excluded (documented PSI
+    smoothing caveat).  Scale: one scan, a 10-group agg, and window totals
+    over 10 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    b = o.groupBy(
+        F.least(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) div 5000000"),
+            F.lit(9).cast("bigint"),
+        ).alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("o_orderdate") < cut, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("o_orderdate") >= cut, 1).otherwise(0)).alias("nc"),
+    )
+    wall = Window.partitionBy()
+    t = b.select(
+        "bin", "nb", "nc",
+        F.sum("nb").over(wall).alias("tb"),
+        F.sum("nc").over(wall).alias("tc"),
+    )
+    ratio = dbl(F.col("nc") * F.col("tb")) / dbl(F.col("nb") * F.col("tc"))
+    q = t.filter((F.col("nb") > 0) & (F.col("nc") > 0)).select(
+        "bin", "nb", "nc", "tb", "tc",
+        (
+            (F.col("nc") * F.col("tb") - F.col("nb") * F.col("tc"))
+            * F.floor(F.ln(ratio) * 1000000).cast("bigint")
+        ).alias("term"),
+    )
+    return q.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("nb").cast("bigint").alias("n_base"),
+        F.col("nc").cast("bigint").alias("n_curr"),
+        F.col("term").cast("bigint").alias("psi_term_micro"),
+        (
+            dbl(F.sum("term").over(wall))
+            / (dbl(F.col("tb")) * dbl(F.col("tc")) * F.lit(1000000.0))
+        ).alias("psi"),
+    )
+
+
+_SQL_BIGRAMS = f"""
+    WITH tk AS (
+      SELECT list_filter({_SQL_TOKS}, x -> x <> '') AS toks FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM tk WHERE len(toks) >= 2
+    ),
+    c AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram)
+    SELECT bigram, CAST(cnt AS BIGINT) AS n
+    FROM (SELECT bigram, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rn
+          FROM c)
+    WHERE rn <= 20
+"""
+
+
+@query("bigram_top20", _SQL_BIGRAMS)
+def bigram_top20(spark, sf_dir):
+    """Corpus bigram language-model counts, top-20 by frequency with a
+    deterministic lexical tie-break — the first step of phrase mining /
+    collocation extraction over a training corpus.  Scale: bigram
+    construction is a narrow per-row array transform (no join of adjacent
+    rows); the count is a distributive groupBy; only |vocab²∩corpus| rows
+    shuffle, and the final top-k is a tiny single-partition window after
+    per-partition pre-ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TXT.tokens(F.col("text"))
+    bg = (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+    )
+    c = bg.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("bigram", F.col("cnt").cast("bigint").alias("n"))
     )
