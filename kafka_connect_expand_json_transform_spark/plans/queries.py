@@ -4795,3 +4795,111 @@ def bigram_top20(spark, sf_dir):
         .filter(F.col("rn") <= 20)
         .select("bigram", F.col("cnt").cast("bigint").alias("n"))
     )
+
+
+_SQL_GINI = """
+    WITH s AS (
+      SELECT o.o_custkey AS ck, c.c_mktsegment AS segment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT segment, cents,
+             ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cents, ck) AS i
+      FROM s
+    ),
+    a AS (
+      SELECT segment, COUNT(*) AS n, SUM(cents) AS s0, SUM(i * cents) AS s1
+      FROM r GROUP BY segment
+    )
+    SELECT segment,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE) AS gini
+    FROM a
+"""
+
+
+@query("gini_customer_spend", _SQL_GINI)
+def gini_customer_spend(spark, sf_dir):
+    """Gini coefficient of customer spend per market segment — the
+    inequality twin of the HHI concentration report (how skewed is the
+    long tail, not just the top).  Uses the rank formulation
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending exact
+    cent totals with a custkey tie-break, so both moment sums are exact
+    int64 and one double division closes it.  Scale: groupBy(custkey) is
+    the only big shuffle; the rank window partitions by segment (5 keys) —
+    at real scale swap in a salted two-phase ranking, documented here."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum(money("o_totalprice") * 100).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "ck")
+    r = s.select("segment", "cents", F.row_number().over(w).alias("i"))
+    a = r.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s0"),
+        F.sum(F.col("i") * F.col("cents")).alias("s1"),
+    )
+    return a.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_customers"),
+        (
+            dbl(F.lit(2) * F.col("s1") - (F.col("n") + 1) * F.col("s0"))
+            / dbl(F.col("n") * F.col("s0"))
+        ).alias("gini"),
+    )
+
+
+_SQL_DECILE = """
+    WITH s AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT ck, cents, n_orders,
+             NTILE(10) OVER (ORDER BY cents DESC, ck) AS decile
+      FROM s
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS DOUBLE) / CAST(SUM(SUM(cents)) OVER () AS DOUBLE)
+             AS spend_share
+    FROM d GROUP BY decile
+"""
+
+
+@query("decile_lift_customers", _SQL_DECILE)
+def decile_lift_customers(spark, sf_dir):
+    """Decile lift table — rank customers by exact cent spend (deterministic
+    custkey tie-break), NTILE(10), and report each decile's share of total
+    revenue: the standard model-evaluation / campaign-targeting report
+    ("top decile carries X% of value").  Shares are exact-int ratios cast
+    to double once.  Scale: groupBy(custkey), then a global NTILE — at
+    cluster scale replace with a two-phase range-partitioned rank; the
+    aggregate output is 10 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(money("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("ck"))
+    d = s.select("ck", "cents", "n_orders", F.ntile(10).over(w).alias("decile"))
+    g = d.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("n_orders").alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    wall = Window.partitionBy()
+    return g.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        (dbl(F.col("cents")) / dbl(F.sum("cents").over(wall))).alias("spend_share"),
+    )

@@ -51,6 +51,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    try:
+        # Read naive parquet timestamps as TIMESTAMP (LTZ) at the scan
+        # itself: a post-hoc NTZ -> LTZ cast would sit between the scan and
+        # every date predicate and break parquet filter pushdown (q1/q6/...
+        # filter on dates; at 100 TB pushdown is the difference between
+        # reading a row group and skipping it). The cast loop below then
+        # finds nothing to rewrite and is kept only for locked-conf sessions.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLUMNS.get(name, []):
         field = df.schema[col]
