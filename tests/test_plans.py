@@ -426,3 +426,22 @@ def test_fk_orphan_report_joins_distinct_keys(spark):
     plan = plan_of(spark, "fk_orphans_report")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_orders_date_pushdown_survives_ntz_normalization(spark):
+    """The driver's naive parquet timestamps must not cost pushdown: date
+    predicates on orders reach the scan as PushedFilters (load_table reads
+    them as LTZ at the scan; a blocking projection here would turn row-group
+    skips into full reads at 100 TB)."""
+    from kafka_connect_expand_json_transform_spark.sources.batch import load_table
+
+    o = load_table(spark, SF, "orders")
+    df = o.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select("o_orderkey")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "o_orderdate" in pushed, pushed
+    assert "LessThan(o_orderdate" in pushed, pushed
