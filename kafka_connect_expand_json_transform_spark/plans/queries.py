@@ -4903,3 +4903,137 @@ def decile_lift_customers(spark, sf_dir):
         F.col("n_orders").cast("bigint").alias("n_orders"),
         (dbl(F.col("cents")) / dbl(F.sum("cents").over(wall))).alias("spend_share"),
     )
+
+
+_SQL_ATTRIB = """
+    WITH o AS (
+      SELECT user_id, event_type,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      FROM events
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS attributed_revenue
+    FROM o
+    WHERE event_type = 'purchase' AND channel IS NOT NULL
+    GROUP BY channel
+"""
+
+
+@query("last_touch_attribution", _SQL_ATTRIB)
+def last_touch_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase's revenue is credited
+    to the user's most recent preceding non-purchase event type, via
+    LAST_VALUE ... IGNORE NULLS over a trailing unbounded ROWS frame with a
+    deterministic (ts, event_id) order.  Revenue stays in exact int64 cents
+    until one final division.  Scale: one window partitioned on user_id (the
+    same single shuffle every sessionization op here reuses) and a tiny
+    channel-grain agg — no self-join against the purchase subset."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(ts)"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(8,2)") * 100).cast("bigint").alias("cents"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w).alias("channel"),
+    )
+    return (
+        o.filter((F.col("event_type") == "purchase") & F.col("channel").isNotNull())
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            (dbl(F.sum("cents")) / F.lit(100.0)).alias("attributed_revenue"),
+        )
+    )
+
+
+# Pairwise Pearson correlation from one-pass integer moment sums. Unit
+# choices keep every moment inside int64 at sf0.1 and beyond: quantity as
+# units, extendedprice floor-divided to kilodollars, discount in cents.
+_SQL_CORR_MOMENTS = """
+      SELECT COUNT(*) AS n,
+             SUM(q)  AS sq,  SUM(p)  AS sp,  SUM(d)  AS sd,
+             SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(d*d) AS sdd,
+             SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(p*d) AS spd
+      FROM (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2)))AS BIGINT) // 1000 AS p,
+               CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS d
+        FROM lineitem)
+"""
+
+_SQL_CORR = f"""
+    WITH m AS ({_SQL_CORR_MOMENTS})
+    SELECT 'quantity_price' AS pair,
+           CAST(n * sqp - sq * sp AS DOUBLE)
+             / (SQRT(CAST(n * sqq - sq * sq AS DOUBLE))
+                * SQRT(CAST(n * spp - sp * sp AS DOUBLE))) AS pearson_r
+    FROM m
+    UNION ALL
+    SELECT 'quantity_discount' AS pair,
+           CAST(n * sqd - sq * sd AS DOUBLE)
+             / (SQRT(CAST(n * sqq - sq * sq AS DOUBLE))
+                * SQRT(CAST(n * sdd - sd * sd AS DOUBLE))) AS pearson_r
+    FROM m
+    UNION ALL
+    SELECT 'price_discount' AS pair,
+           CAST(n * spd - sp * sd AS DOUBLE)
+             / (SQRT(CAST(n * spp - sp * sp AS DOUBLE))
+                * SQRT(CAST(n * sdd - sd * sd AS DOUBLE))) AS pearson_r
+    FROM m
+"""
+
+
+@query("corr_matrix_lineitem", _SQL_CORR)
+def corr_matrix_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlation matrix (quantity / kilodollar price /
+    discount cents) from ONE scan of integer moment sums — the distributive
+    generalization of the OLS trend query: all nine moments accumulate as
+    exact int64 in any order, and each coefficient is one identical double
+    expression.  Native corr() is float-accumulation-order-dependent and
+    engine-specific; this form is not.  Scale: a single-row global agg
+    (partial map-side), then three constant-space projections."""
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.expr("CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2))) AS BIGINT) div 1000").alias("p"),
+        (F.col("l_discount").cast("decimal(4,2)") * 100).cast("bigint").alias("d"),
+    )
+    m = src.agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"), F.sum("p").alias("sp"), F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+    )
+
+    def r(sab, a, b):
+        num = dbl(F.col("n") * F.col(sab) - F.col(f"s{a}") * F.col(f"s{b}"))
+        da = F.sqrt(dbl(F.col("n") * F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}")))
+        db = F.sqrt(dbl(F.col("n") * F.col(f"s{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}")))
+        return num / (da * db)
+
+    # one agg subtree -> explode 3 struct rows (a UNION of selects over `m`
+    # would duplicate the whole scan+agg per branch: 3x the I/O at scale)
+    return m.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("quantity_price").alias("pair"), r("sqp", "q", "p").alias("pearson_r")),
+                F.struct(F.lit("quantity_discount").alias("pair"), r("sqd", "q", "d").alias("pearson_r")),
+                F.struct(F.lit("price_discount").alias("pair"), r("spd", "p", "d").alias("pearson_r")),
+            )
+        ).alias("kv")
+    ).select("kv.pair", "kv.pearson_r")
