@@ -593,3 +593,96 @@ def test_constraint_report_null_counts_as_violation(spark):
     assert out == {"v_positive": (3, 2)}
     with pytest.raises(ValueError, match="no constraints"):
         constraint_report(df, {})
+
+
+def test_scd2_versions_tile_the_timeline(spark):
+    """SCD2 invariants on the declared query: per user, versions are 1..k
+    contiguous, valid ranges chain exactly (valid_to == next valid_from),
+    only the last version is open, and adjacent versions never repeat a
+    state (run-length property)."""
+    from kafka_connect_expand_json_transform_spark.plans.queries import QUERIES
+
+    rows = (
+        QUERIES["scd2_user_state"](spark, "/root/testdata/sf0.001")
+        .orderBy("user_id", "version")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, vs in by_user.items():
+        assert [v["version"] for v in vs] == list(range(1, len(vs) + 1)), user
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], user
+            assert a["state"] != b["state"], user  # run-length compressed
+        assert vs[-1]["valid_to_us"] is None, user
+        assert all(v["valid_to_us"] is not None for v in vs[:-1]), user
+
+
+def test_attribution_conserves_purchase_revenue(spark):
+    """Every purchase with a preceding non-purchase event is attributed to
+    exactly one channel: attributed revenue + unattributed (purchase-first
+    users' leading purchases) == total purchase revenue, in exact cents."""
+    from pyspark.sql import Window
+
+    from kafka_connect_expand_json_transform_spark.plans.queries import QUERIES
+    from kafka_connect_expand_json_transform_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    attributed = (
+        QUERIES["last_touch_attribution"](spark, sf)
+        .agg(F.sum((F.col("attributed_revenue") * 100).cast("bigint")))
+        .collect()[0][0]
+    )
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(ts)"), "event_id")
+        .rowsBetween(-1000000, -1)
+    )
+    cents = (F.col("value").cast("decimal(8,2)") * 100).cast("bigint")
+    flagged = ev.select(
+        "event_type",
+        cents.alias("cents"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w).alias("channel"),
+    ).filter(F.col("event_type") == "purchase")
+    total = flagged.agg(F.sum("cents")).collect()[0][0]
+    unattributed = (
+        flagged.filter(F.col("channel").isNull()).agg(F.sum("cents")).collect()[0][0]
+        or 0
+    )
+    assert attributed + unattributed == total
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    """PSI's exact-arithmetic path: comparing a distribution against itself
+    must give psi == 0 and every per-bin term == 0 (the quantized ln of a
+    ratio of identical integer products is ln(1) -> floor(0) == 0)."""
+    from pyspark.sql import Window
+
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("bin"),
+        F.lit(1).alias("nb"),
+        F.lit(1).alias("nc"),
+    )
+    b = df.groupBy("bin").agg(F.sum("nb").alias("nb"), F.sum("nc").alias("nc"))
+    wall = Window.partitionBy()
+    t = b.select(
+        "bin", "nb", "nc",
+        F.sum("nb").over(wall).alias("tb"),
+        F.sum("nc").over(wall).alias("tc"),
+    )
+    ratio = (F.col("nc") * F.col("tb")).cast("double") / (
+        F.col("nb") * F.col("tc")
+    ).cast("double")
+    terms = t.select(
+        (
+            (F.col("nc") * F.col("tb") - F.col("nb") * F.col("tc"))
+            * F.floor(F.ln(ratio) * 1000000).cast("bigint")
+        ).alias("term")
+    ).collect()
+    assert all(r["term"] == 0 for r in terms)
