@@ -5037,3 +5037,28 @@ def corr_matrix_lineitem(spark, sf_dir):
             )
         ).alias("kv")
     ).select("kv.pair", "kv.pearson_r")
+
+
+_SQL_LATERAL = """
+    SELECT n_name AS nation, t.customer, CAST(t.bal AS DOUBLE) AS bal
+    FROM nation,
+    LATERAL (
+      SELECT c_name AS customer, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer WHERE c_nationkey = n_nationkey
+      ORDER BY bal DESC, c_name LIMIT 2
+    ) t
+"""
+
+
+@query("lateral_topn_customers", _SQL_LATERAL)
+def lateral_topn_customers(spark, sf_dir):
+    """LATERAL correlated subquery with ORDER BY ... LIMIT — identical SQL
+    text on both engines (Catalyst decorrelates the per-row dependent
+    subquery; DuckDB executes it natively).  Covers the SQL-surface lateral
+    join the DataFrame API expresses as top_k_per_group.  Scale note: a
+    lateral per-outer-row limit is only safe when the outer side is small
+    (25 nations); for large outer relations use top_k_per_group's
+    window-rank form, which Spark turns into a single partitioned
+    WindowGroupLimit instead of a nested-loop."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL)
