@@ -409,3 +409,68 @@ def test_incremental_quantile_across_microbatches(spark, tmp_path):
     out = quantile_rollup(stored, ["user"], [0.5], m=64).collect()[0]
     assert out["q_count"] == 200
     assert abs(out["p50"] - 99.5) < 10
+
+
+def test_streaming_cdc_merge_matches_batch(spark, tmp_path):
+    """Streaming CDC apply: replaying the changelog through a file stream and
+    merge-upserting each micro-batch onto the running snapshot must produce
+    exactly the state of one batch merge of the full changelog (micro-batch /
+    batch equivalence — the property that lets the same merge_upsert power
+    both the backfill and the live tail of a CDC pipeline)."""
+    import os
+
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    snapshot = spark.createDataFrame(
+        [(i, 0, "base") for i in range(10)], "id int, val int, src string"
+    )
+
+    # two changelog files: later file has higher LSNs and must win per key
+    changes1 = [(1, 10, "cdc", "U", 1), (2, 20, "cdc", "U", 2), (3, 0, "cdc", "D", 3)]
+    changes2 = [(1, 99, "cdc", "U", 4), (3, 33, "cdc", "I", 5), (11, 11, "cdc", "I", 6)]
+    cols = "id int, val int, src string, op string, lsn int"
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    for n, rows in (("a", changes1), ("b", changes2)):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode("overwrite").json(
+            str(tmp_path / f"stage_{n}")
+        )
+        part = next(
+            p for p in os.listdir(tmp_path / f"stage_{n}") if p.startswith("part-")
+        )
+        os.rename(tmp_path / f"stage_{n}" / part, cdc_dir / f"{n}.json")
+        # file source replays oldest-mtime first; make the order explicit
+        os.utime(cdc_dir / f"{n}.json", (1000, 1000) if n == "a" else (2000, 2000))
+
+    state = {"snap": snapshot}
+
+    def apply_batch(batch_df, _batch_id):
+        state["snap"] = merge_upsert(
+            state["snap"], batch_df, key_cols="id", order_col="lsn"
+        ).localCheckpoint()  # cut lineage so state doesn't re-merge every batch
+
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(cdc_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    full = spark.createDataFrame(changes1 + changes2, cols)
+    expected = {
+        (r["id"], r["val"], r["src"])
+        for r in merge_upsert(snapshot, full, key_cols="id", order_col="lsn").collect()
+    }
+    got = {(r["id"], r["val"], r["src"]) for r in state["snap"].collect()}
+    assert got == expected
+    assert (1, 99, "cdc") in got  # later micro-batch won key 1
+    assert (3, 33, "cdc") in got  # delete then re-insert across batches
+    assert (11, 11, "cdc") in got and (2, 20, "cdc") in got
