@@ -686,3 +686,34 @@ def test_psi_zero_for_identical_distributions(spark):
         ).alias("term")
     ).collect()
     assert all(r["term"] == 0 for r in terms)
+
+
+def test_read_csv_and_json_sources(spark, tmp_path):
+    """Direct coverage of the CSV/JSON batch sources (SURVEY.md §2.2
+    sources): CSV honors an explicit schema + delimiter without the
+    inference pass; JSON PERMISSIVE nulls corrupt records while FAILFAST
+    raises — the reference's DataException analogue at the source layer."""
+    import pytest as _pytest
+
+    from kafka_connect_expand_json_transform_spark.sources.batch import (
+        read_csv,
+        read_json,
+    )
+
+    csv_path = str(tmp_path / "t.csv")
+    with open(csv_path, "w") as f:
+        f.write("id|name\n1|alpha\n2|beta\n")
+    got = read_csv(
+        spark, csv_path, schema="id int, name string", sep="|"
+    ).collect()
+    assert {(r["id"], r["name"]) for r in got} == {(1, "alpha"), (2, "beta")}
+
+    json_path = str(tmp_path / "t.jsonl")
+    with open(json_path, "w") as f:
+        f.write('{"k": 1}\n{"k": 2\n{"k": 3}\n')  # middle line corrupt
+    ok = read_json(spark, json_path, schema="k int").collect()
+    assert sorted(r["k"] for r in ok if r["k"] is not None) == [1, 3]
+    assert sum(1 for r in ok if r["k"] is None) == 1
+
+    with _pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        read_json(spark, json_path, schema="k int", mode="FAILFAST").collect()
