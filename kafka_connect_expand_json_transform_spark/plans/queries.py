@@ -5062,3 +5062,57 @@ def lateral_topn_customers(spark, sf_dir):
     WindowGroupLimit instead of a nested-loop."""
     register_testdata(spark, sf_dir)
     return spark.sql(_SQL_LATERAL)
+
+
+_SQL_GROUPING_MARKS = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("rollup_grouping_marks", _SQL_GROUPING_MARKS)
+def rollup_grouping_marks(spark, sf_dir):
+    """ROLLUP with GROUPING() marks — distinguishes 'NULL because subtotal'
+    from 'NULL in the data', the piece of the grouping-sets surface the
+    plain cube/rollup queries don't exercise.  Identical SQL text on both
+    engines.  Scale: Spark expands rollup to grouping sets in one Expand +
+    partial-aggregated exchange — level count multiplies rows pre-shuffle,
+    not scans."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(_SQL_GROUPING_MARKS)
+
+
+@query(
+    "percentile_disc_quantity",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_disc(CAST(l_quantity AS INTEGER), 0.25) AS BIGINT) AS p25,
+           CAST(quantile_disc(CAST(l_quantity AS INTEGER), 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(CAST(l_quantity AS INTEGER), 0.75) AS BIGINT) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_disc_quantity(spark, sf_dir):
+    """Discrete percentiles (an actual data value, no interpolation) — the
+    deterministic cross-engine form of quantiles over integers: Spark's
+    percentile_disc WITHIN GROUP == DuckDB's quantile_disc, both defined as
+    the smallest value whose cumulative distribution reaches p, so results
+    are exact with no float discipline needed (contrast the rows-only
+    t-digest sketch for the approximate path).  Scale: one partial-aggregated
+    groupBy; the sort happens per group inside the aggregate buffer."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(percentile_disc(0.25) WITHIN GROUP
+                    (ORDER BY CAST(l_quantity AS INTEGER)) AS BIGINT) AS p25,
+               CAST(percentile_disc(0.5) WITHIN GROUP
+                    (ORDER BY CAST(l_quantity AS INTEGER)) AS BIGINT) AS p50,
+               CAST(percentile_disc(0.75) WITHIN GROUP
+                    (ORDER BY CAST(l_quantity AS INTEGER)) AS BIGINT) AS p75
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
