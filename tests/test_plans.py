@@ -66,12 +66,40 @@ def test_expand_json_is_narrow(spark):
     assert "from_json" in plan or "JsonToStructs" in plan.lower() or "Project" in plan
 
 
-def test_equi_joins_never_cartesian(spark):
-    for name in ("join_left_count", "join_semi", "join_anti", "join_right_count",
-                 "range_join_order_events"):
+# queries whose SEMANTICS are a cross/theta join — everything else must
+# plan equi/broadcast joins only
+_INTENTIONALLY_UNKEYED = {
+    "join_cross",  # the declared CROSS JOIN coverage row
+    # BNLJ-by-design: the "joined" side is a broadcast of one row (a global
+    # aggregate) or a handful of rows (query vectors / GEMM tiles) — a
+    # nested loop over a tiny broadcast IS the optimal physical plan there
+    "cosine_threshold_pairs",  # tile x tile all-pairs GEMM, tiles broadcast
+    "cosine_topk",  # 3 query vectors broadcast against the corpus
+    "key_skew_report",  # rows joined to the single-row global total
+    "pagerank_event_graph",  # per-iteration single-row dangling-mass join
+    "set_multiset_ops",  # two scalar-subquery 1-row results combined
+    "tfidf_top_terms",  # single-row corpus doc-count (IDF denominator)
+    "triangle_count_part_graph",  # 1-row node/edge/triangle stats combined
+}
+
+
+def test_no_query_plans_a_cartesian(spark):
+    """Suite-wide plan lint: no declared query may compile to a
+    CartesianProduct or BroadcastNestedLoopJoin unless its semantics are a
+    cross join. This is the blanket form of the per-query asserts below —
+    a new query that accidentally loses its join keys fails here before it
+    ever ships."""
+    offenders = {}
+    for name in QUERIES:
+        if name in _INTENTIONALLY_UNKEYED:
+            continue
         plan = plan_of(spark, name)
-        assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        hits = [
+            k for k in ("CartesianProduct", "BroadcastNestedLoopJoin") if k in plan
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
 
 
 def test_topk_pushes_window_group_limit(spark):
