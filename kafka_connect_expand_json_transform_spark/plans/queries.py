@@ -5116,3 +5116,72 @@ def percentile_disc_quantity(spark, sf_dir):
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+_SQL_NULLSAFE = """
+    WITH c AS (SELECT NULLIF(c_nationkey % 7, 3) AS k, c_custkey
+               FROM customer WHERE c_custkey <= 100),
+         s AS (SELECT NULLIF(s_nationkey % 7, 3) AS k, s_suppkey
+               FROM supplier WHERE s_suppkey <= 40)
+    SELECT COALESCE(CAST(c.k AS VARCHAR), '<null>') AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(c_custkey + s_suppkey) AS BIGINT) AS id_checksum
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY 1
+"""
+
+
+@query("nullsafe_equijoin", _SQL_NULLSAFE)
+def nullsafe_equijoin(spark, sf_dir):
+    """Null-safe equality join: Spark's <=> (eqNullSafe) == SQL's IS NOT
+    DISTINCT FROM — NULL keys match each other instead of vanishing, the
+    semantics CDC/merge pipelines need for nullable business keys.
+    Crucially this is still a HASH-partitionable equi-join in Spark (NULL
+    hashes like any value under <=>), not a nested loop — the suite-wide
+    plan lint would catch the latter.  Scale: same shuffle shape as a plain
+    equi-join; beware only that a hot NULL key skews like any hot key
+    (salting applies unchanged)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("ck"), "c_custkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 40)
+        .select(F.nullif(F.col("s_nationkey") % 7, F.lit(3)).alias("sk"), "s_suppkey")
+    )
+    j = c.join(s, F.col("ck").eqNullSafe(F.col("sk")))
+    return j.groupBy(
+        F.coalesce(F.col("ck").cast("string"), F.lit("<null>")).alias("key")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("c_custkey") + F.col("s_suppkey")).cast("bigint").alias("id_checksum"),
+    )
+
+
+_SQL_ORDINALITY = f"""
+    WITH d AS (
+      SELECT doc_id, list_filter({_SQL_TOKS}, x -> x <> '')[1:5] AS toks
+      FROM documents
+    )
+    SELECT doc_id, toks[i] AS tok, CAST(i AS BIGINT) AS pos
+    FROM d, UNNEST(generate_series(1, len(toks))) AS g(i)
+"""
+
+
+@query("posexplode_ordinality", _SQL_ORDINALITY)
+def posexplode_ordinality(spark, sf_dir):
+    """Positional explode (UNNEST WITH ORDINALITY): each document's first
+    five tokens with their 1-based position — the primitive chunking and
+    sequence-packing pipelines rely on to keep token order after the
+    explode.  Scale: a narrow per-row generator (no shuffle at all); the
+    position is computed inside the row, never by a window over the
+    exploded output (which would force a per-doc sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.slice(TXT.tokens(F.col("text")), 1, 5)
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.posexplode("toks").alias("pos0", "tok"))
+        .select("doc_id", "tok", (F.col("pos0") + 1).cast("bigint").alias("pos"))
+    )
