@@ -49,19 +49,45 @@ def main() -> int:
         streaming = _streaming_micro_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    result = {
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+    full = {
         "metric": "declared_query_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1),
+        "sf": sf,
         "n_queries": len(timings),
     }
     if streaming:
-        result["streaming"] = streaming
+        full["streaming"] = streaming
     if failures:
-        result["failures"] = failures
-    print(json.dumps(result))
+        full["failures"] = failures
+    # Full per-query detail goes to a file; stdout gets ONE compact line.
+    # The driver records only a 2000-char tail of stdout, so the final line
+    # must be complete, parseable JSON well under that limit (the full
+    # 164-query dict is ~8 KB and was truncated to `parsed: null` in round 1).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": "declared_query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,  # 10 slowest; all 164 in bench_full.json
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+    }
+    if streaming:
+        compact["streaming"] = {
+            "rows_per_sec": streaming["rows_per_sec"],
+            "wall_s": streaming["wall_s"],
+        }
+    if failures:
+        compact["failed"] = sorted(failures)[:10]
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line)
     spark.stop()
     return 1 if failures else 0
 

@@ -35,7 +35,10 @@ from pyspark.sql.types import ArrayType, DataType, StructType
 
 from kafka_connect_expand_json_transform_spark.schema_inference import (
     assign_schema_names,
+    collect_column_samples,
+    decimal_leaf_paths,
     infer_schema_for_column,
+    infer_schema_from_samples,
 )
 
 _SCALAR_WRAP = "__v"
@@ -68,6 +71,7 @@ def expand_json(
     mode: str = "PERMISSIVE",
     schema_name_prefix: str | None = None,
     first_element_only: bool = True,
+    decimal_fidelity: bool = False,
 ) -> DataFrame:
     """Expand JSON-text column(s) into typed nested structures.
 
@@ -95,6 +99,12 @@ def expand_json(
     schema_name_prefix
         The reference's ``schema.name.prefix`` (ExpandJson.java:55-59):
         generated struct names carried as ``StructField.metadata``.
+    decimal_fidelity
+        Apply the reference's BigDecimal -> string rule
+        (ExpandJson.java:212-213) during ``sample`` inference: JSON floats
+        are parsed as exact decimals, so high-precision decimal text keeps
+        every digit in a string field instead of rounding through a double
+        (the analogue of Jackson's USE_BIG_DECIMAL_FOR_FLOATS).
     """
     if infer not in ("sample", "static", "variant"):
         raise ValueError(f"unknown inference strategy: {infer!r}")
@@ -142,30 +152,44 @@ def expand_json(
         missing = [f for f in fields_to_expand if f not in schemas]
         if missing:
             raise ValueError(f"no static schema supplied for fields: {missing}")
-    else:  # sample
+    decimal_paths: dict[str, list[str]] = {}
+    if infer == "sample":
         if df.isStreaming:
             raise ValueError(
                 "infer='sample' cannot sample a streaming DataFrame at plan "
                 "time; use streaming.expand_json_stream with sample_df=, or "
                 "infer='static'/'variant'"
             )
-        schemas = {
-            f: infer_schema_for_column(
-                df,
-                f,
-                sample_limit=sample_limit,
-                sample_ratio=sample_ratio,
-                first_element_only=first_element_only,
+        schemas = {}
+        for f in fields_to_expand:
+            samples = collect_column_samples(
+                df, f, sample_limit=sample_limit, sample_ratio=sample_ratio
             )
-            for f in fields_to_expand
-        }
+            schemas[f] = infer_schema_from_samples(
+                samples, first_element_only, decimal_fidelity
+            )
+            if decimal_fidelity:
+                decimal_paths[f] = decimal_leaf_paths(samples)
 
     if schema_name_prefix:
         schemas = {f: assign_schema_names(dt, schema_name_prefix) for f, dt in schemas.items()}
 
     out = df
     for f in fields_to_expand:
-        out = out.withColumn(f, _parse_expr(F.col(f), schemas[f], mode))
+        parsed = _parse_expr(F.col(f), schemas[f], mode)
+        # BigDecimal value fidelity (ExpandJson.java:212-213): from_json
+        # funnels number tokens through a double even for string targets, so
+        # decimal-derived string leaves are re-extracted through VariantType,
+        # which keeps the exact literal up to 38 digits (decimal128); beyond
+        # that Variant itself falls back to double — documented bound.
+        for path in decimal_paths.get(f, []):
+            exact = F.try_variant_get(
+                F.try_parse_json(F.col(f).cast("string")),
+                "$" if path == "" else f"$.{path}",
+                "string",
+            )
+            parsed = exact if path == "" else parsed.withField(path, exact)
+        out = out.withColumn(f, parsed)
     return out
 
 
@@ -176,6 +200,7 @@ def expand_json_nested(
     infer: str = "sample",
     sample_limit: int = 1000,
     mode: str = "PERMISSIVE",
+    schema_name_prefix: str | None = None,
 ) -> DataFrame:
     """[EXT] Expand JSON text held in NESTED struct fields, addressed by
     dotted path (``"meta.payload"``).
@@ -212,6 +237,8 @@ def expand_json_nested(
                 dtype = schema[path]
             else:
                 dtype = infer_schema_for_column(df, path, sample_limit=sample_limit)
+            if schema_name_prefix:
+                dtype = assign_schema_names(dtype, schema_name_prefix)
             parsed = _parse_expr(leaf, dtype, mode)
         out = out.withColumn(root, F.col(root).withField(rest, parsed))
     return out

@@ -33,6 +33,7 @@ truly wide/dynamic data use ``strategy="variant"`` or pass a static schema.
 
 from __future__ import annotations
 
+import decimal
 import json
 from typing import Any, Iterable
 
@@ -72,6 +73,13 @@ def _infer_node(node: Any, first_element_only: bool = True) -> DataType:
         if _INT64_MIN <= node <= _INT64_MAX:
             return LongType()
         # > 64 bits: the reference stringifies (ExpandJson.java:201-202)
+        return StringType()
+    if isinstance(node, decimal.Decimal):
+        # BigDecimal -> string (ExpandJson.java:212-213).  A Decimal node only
+        # appears when the caller parsed with decimal_fidelity=True — the
+        # analogue of Jackson's USE_BIG_DECIMAL_FOR_FLOATS, without which the
+        # reference's own readTree yields DoubleNode and the string branch
+        # never fires.
         return StringType()
     if isinstance(node, float):
         return DoubleType()
@@ -166,17 +174,32 @@ def finalize_type(dtype: DataType) -> DataType:
     return dtype
 
 
-def infer_schema_for_json(text: str, first_element_only: bool = True) -> DataType:
+def _loads(text: str, decimal_fidelity: bool) -> Any:
+    if decimal_fidelity:
+        return json.loads(text, parse_float=decimal.Decimal)
+    return json.loads(text)
+
+
+def infer_schema_for_json(
+    text: str, first_element_only: bool = True, decimal_fidelity: bool = False
+) -> DataType:
     """Per-record inference, bit-faithful to the reference's rule table.
 
     ``infer_schema_for_json('{"a": 42}')`` ->
     ``StructType([StructField("a", IntegerType())])``
+
+    ``decimal_fidelity=True`` parses JSON floats as ``decimal.Decimal`` so the
+    reference's BigDecimal -> string rule (ExpandJson.java:212-213) applies:
+    high-precision decimal text keeps every digit by landing in a string
+    field instead of being rounded through a double.
     """
-    return finalize_type(_infer_node(json.loads(text), first_element_only))
+    return finalize_type(_infer_node(_loads(text, decimal_fidelity), first_element_only))
 
 
 def infer_schema_from_samples(
-    samples: Iterable[str | None], first_element_only: bool = True
+    samples: Iterable[str | None],
+    first_element_only: bool = True,
+    decimal_fidelity: bool = False,
 ) -> DataType:
     """Merge per-record inferred schemas across a sample of JSON strings —
     the honest version of the reference's first-record schema freeze
@@ -186,11 +209,32 @@ def infer_schema_from_samples(
         if text is None:
             continue
         try:
-            node = json.loads(text)
+            node = _loads(text, decimal_fidelity)
         except (ValueError, TypeError):
             continue  # malformed sample rows don't poison inference
         merged = merge_types(merged, _infer_node(node, first_element_only))
     return finalize_type(merged)
+
+
+def collect_column_samples(
+    df: DataFrame,
+    column: str,
+    sample_limit: int = 1000,
+    sample_ratio: float | None = None,
+) -> list[str]:
+    """Deterministic bounded sample of a column's non-null string values.
+
+    Ordered by a stable hash of the value (ties by value) before the limit:
+    a bare ``limit(n)`` is partition-order-dependent, so the inferred schema
+    could flip between runs on heterogeneous data.  orderBy + limit compiles
+    to TakeOrderedAndProject — a per-partition top-n heap, no full sort
+    shuffle — so this stays O(data) with O(n) driver transfer.
+    """
+    src = df.select(F.col(column).cast("string").alias("j")).where(F.col("j").isNotNull())
+    if sample_ratio is not None:
+        src = src.sample(fraction=sample_ratio, seed=42)
+    rows = src.orderBy(F.xxhash64("j"), "j").limit(sample_limit).collect()
+    return [r["j"] for r in rows]
 
 
 def infer_schema_for_column(
@@ -199,6 +243,7 @@ def infer_schema_for_column(
     sample_limit: int = 1000,
     sample_ratio: float | None = None,
     first_element_only: bool = True,
+    decimal_fidelity: bool = False,
 ) -> DataType:
     """Infer the schema of a JSON-text column from a bounded sample.
 
@@ -206,11 +251,34 @@ def infer_schema_for_column(
     100 TB table that is a single-partition-ish scan of one pruned column
     (Catalyst pushes both the projection and the limit into the scan).
     """
-    src = df.select(F.col(column).cast("string").alias("j")).where(F.col("j").isNotNull())
-    if sample_ratio is not None:
-        src = src.sample(fraction=sample_ratio, seed=42)
-    rows = src.limit(sample_limit).collect()
-    return infer_schema_from_samples((r["j"] for r in rows), first_element_only)
+    samples = collect_column_samples(df, column, sample_limit, sample_ratio)
+    return infer_schema_from_samples(samples, first_element_only, decimal_fidelity)
+
+
+def decimal_leaf_paths(samples: Iterable[str | None]) -> list[str]:
+    """Dotted struct paths whose sampled values held JSON floats — the fields
+    the reference's BigDecimal -> string rule (ExpandJson.java:212-213) turns
+    into strings.  The bare-scalar root is ``""``.  Array-internal decimals
+    are not tracked (no stable per-element path); those stay on the from_json
+    value path."""
+    paths: set[str] = set()
+
+    def walk(node: Any, prefix: str) -> None:
+        if isinstance(node, decimal.Decimal):
+            paths.add(prefix)
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}.{k}" if prefix else str(k))
+
+    for text in samples:
+        if text is None:
+            continue
+        try:
+            node = json.loads(text, parse_float=decimal.Decimal)
+        except (ValueError, TypeError):
+            continue
+        walk(node, "")
+    return sorted(paths)
 
 
 def assign_schema_names(dtype: DataType, prefix: str) -> DataType:

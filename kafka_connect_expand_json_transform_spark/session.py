@@ -47,6 +47,11 @@ def get_spark(
         # the driver's events.parquet stores TIMESTAMP(NANOS); read as long
         # and convert in sources.batch.load_table (DuckDB-identical values)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet timestamps read as TIMESTAMP (LTZ, =UTC wall clock
+        # here) at the scan so date predicates stay pushdown-eligible;
+        # sources.batch.load_table re-asserts this for harness-owned
+        # sessions that never went through get_spark
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # local[N] packs driver + N executor threads into ONE JVM; the 1g
         # default heap starves 32 concurrent sort/join buffers long before
         # any real executor would (only effective for the process's first

@@ -35,10 +35,13 @@ _NANO_TS_COLUMNS = {"events": ["ts"]}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, normalizing nano-timestamps to timestamps.
 
-    Sets ``nanosAsLong`` on the session defensively: harness-owned sessions
-    (not built by ``get_spark``) otherwise throw PARQUET_TYPE_ILLEGAL on the
-    TIMESTAMP(NANOS) column in events.parquet. The conf is runtime-settable
-    and only affects nano columns, which this function converts explicitly.
+    This loader intentionally OWNS session timestamp semantics: the three
+    confs below (nanosAsLong, session UTC, no NTZ inference) are all set at
+    build time by ``get_spark`` — the ``conf.set`` calls here are deliberate
+    re-asserts for harness-owned sessions that never went through
+    ``get_spark``, and they do mutate those sessions globally.  That is the
+    point: every read in this suite (driver tables or otherwise) must agree
+    on UTC wall-clock TIMESTAMP or the DuckDB oracle comparisons break.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

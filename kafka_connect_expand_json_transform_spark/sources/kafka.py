@@ -174,7 +174,11 @@ def from_connect_config(config: dict):
             )
         if fields:
             return expand_json_nested(
-                df, [f"{side}.{f}" for f in fields], infer=infer, mode=mode
+                df,
+                [f"{side}.{f}" for f in fields],
+                infer=infer,
+                mode=mode,
+                schema_name_prefix=prefix,
             )
         return expand_kafka_records(
             df,

@@ -1,0 +1,92 @@
+"""Fixture-domain guards (ADVICE r01): queries that rely on exact-integer
+restatements assume specific properties of the driver-generated parquet.
+The driver REGENERATES testdata between rounds, so these assumptions are
+asserted here — drift fails loudly instead of surfacing as a silent
+cross-engine divergence in a downstream query.
+
+Guarded assumptions:
+  * events.value and orders.o_totalprice are 2-decimal-exact doubles inside
+    DECIMAL(8,2) / DECIMAL(12,2) range (the `cents` trick in the analytics
+    pack: Spark non-ANSI overflow -> NULL vs DuckDB -> error would otherwise
+    diverge);
+  * psi_drift_report's per-bin ln(ratio)*1e6 quantization is nowhere near an
+    integer boundary (JVM Math.log vs libm log may differ in the last ulp;
+    a flip at floor() would shift a whole micro-nat, scaled by the count
+    term).
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ("orders", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t)}.parquet'")
+    yield con
+    con.close()
+
+
+def test_events_value_is_2dp_exact_and_bounded(ddb):
+    lo, hi, bad = ddb.execute(
+        """
+        SELECT MIN(value), MAX(value),
+               SUM(CASE WHEN ABS(value * 100 - ROUND(value * 100)) > 1e-6
+                        THEN 1 ELSE 0 END)
+        FROM events
+        """
+    ).fetchone()
+    assert lo is not None and lo >= 0, lo
+    assert hi < 999999.99, f"events.value {hi} would overflow DECIMAL(8,2)"
+    assert bad == 0, f"{bad} events.value rows are not 2-decimal-exact"
+
+
+def test_orders_totalprice_is_2dp_exact_and_bounded(ddb):
+    lo, hi, bad = ddb.execute(
+        """
+        SELECT MIN(o_totalprice), MAX(o_totalprice),
+               SUM(CASE WHEN ABS(o_totalprice * 100 - ROUND(o_totalprice * 100)) > 1e-6
+                        THEN 1 ELSE 0 END)
+        FROM orders
+        """
+    ).fetchone()
+    assert lo is not None and lo >= 0, lo
+    assert hi < 9999999999.99, f"o_totalprice {hi} would overflow DECIMAL(12,2)"
+    assert bad == 0, f"{bad} o_totalprice rows are not 2-decimal-exact"
+
+
+def test_psi_quantization_clear_of_integer_boundaries(ddb):
+    """Recompute psi_drift_report's per-bin ratios on the live fixture and
+    assert ln(ratio)*1e6 sits > 1e-4 away from the nearest integer — several
+    orders of magnitude beyond any JVM-vs-libm last-ulp difference, so
+    floor() cannot flip between engines."""
+    rows = ddb.execute(
+        """
+        WITH b AS (
+          SELECT LEAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       // 5000000, 9) AS bin,
+                 SUM(CASE WHEN o_orderdate <  TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS nb,
+                 SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS nc
+          FROM orders GROUP BY 1
+        )
+        SELECT bin, nb, nc,
+               (SELECT SUM(nb) FROM b) AS tb,
+               (SELECT SUM(nc) FROM b) AS tc
+        FROM b WHERE nb > 0 AND nc > 0
+        """
+    ).fetchall()
+    assert rows, "psi fixture produced no populated bins"
+    for bin_, nb, nc, tb, tc in rows:
+        ratio = (nc * tb) / (nb * tc)
+        q = math.log(ratio) * 1e6
+        dist = abs(q - round(q))
+        assert dist > 1e-4, (
+            f"bin {bin_}: ln(ratio)*1e6 = {q!r} is {dist:.2e} from an integer "
+            "— floor() quantization could flip between engines"
+        )

@@ -105,3 +105,88 @@ def test_inferred_schema_reparses_own_document():
         sch = infer_schema_for_json(doc)
         assert sch is not None
         json.loads(doc)  # well-formed by construction
+
+
+# ---------------------------------------------------------------------------
+# BigDecimal / BigInteger fidelity goldens (FIXTURES.md A6;
+# ExpandJson.java:201-216 — isBigInteger -> string, isBigDecimal -> string)
+# ---------------------------------------------------------------------------
+
+HIGH_PRECISION = "3.141592653589793238462643383279502884197"
+
+
+def test_biginteger_boundary_sweep():
+    """ExpandJson.java:201-209: int if it fits 32 bits, bigint if 64, string
+    beyond — exact boundaries at 2^31 +/- 1 and 2^63 +/- 1."""
+    cases = {
+        2**31 - 1: IntegerType(),
+        2**31: LongType(),
+        2**31 + 1: LongType(),
+        -(2**31): IntegerType(),
+        -(2**31) - 1: LongType(),
+        2**63 - 1: LongType(),
+        2**63: StringType(),       # BigInteger -> string (ExpandJson.java:201-202)
+        2**63 + 1: StringType(),
+        -(2**63): LongType(),
+        -(2**63) - 1: StringType(),
+        99999999999999999999: StringType(),  # FIXTURES.md A6 golden
+    }
+    for value, expected in cases.items():
+        got = infer_schema_for_json(f'{{"a": {value}}}')
+        assert got == st(("a", expected)), (value, got)
+
+
+def test_bigdecimal_fidelity_mode():
+    """ExpandJson.java:212-213: a BigDecimal float node -> string.  Only
+    fires under decimal_fidelity=True — Jackson's default readTree yields
+    DoubleNode (so double), which is also this module's default."""
+    doc = f'{{"pi": {HIGH_PRECISION}, "plain": 2.5}}'
+    assert infer_schema_for_json(doc) == st(
+        ("pi", DoubleType()), ("plain", DoubleType())
+    )
+    assert infer_schema_for_json(doc, decimal_fidelity=True) == st(
+        ("pi", StringType()), ("plain", StringType())
+    )
+    # sample-merge path honors the same flag
+    assert infer_schema_from_samples([doc], decimal_fidelity=True) == st(
+        ("pi", StringType()), ("plain", StringType())
+    )
+    # bare-scalar BigDecimal (whole-value mode expands scalars too)
+    assert infer_schema_for_json(HIGH_PRECISION, decimal_fidelity=True) == StringType()
+    assert infer_schema_for_json(HIGH_PRECISION) == DoubleType()
+
+
+def test_bigdecimal_fidelity_end_to_end(spark):
+    """Decimal text survives expansion digit-for-digit when the field lands in
+    a string column: the decimal-derived leaves are re-extracted through
+    VariantType, exact up to 38 digits (decimal128 — the documented bound;
+    the reference's BigDecimal is unbounded)."""
+    from kafka_connect_expand_json_transform_spark.operators.expand_json import (
+        expand_json,
+    )
+
+    exact29 = "1.2345678901234567890123456789"  # 29 digits: inside the bound
+    df = spark.createDataFrame(
+        [(f'{{"pi": {exact29}, "small": 3.14, "nested": {{"d": {exact29}}}}}',)],
+        "payload string",
+    )
+    out = expand_json(df, fields=["payload"], decimal_fidelity=True)
+    ptype = out.schema["payload"].dataType
+    assert ptype["pi"].dataType == StringType()
+    assert ptype["small"].dataType == StringType()
+    assert ptype["nested"].dataType["d"].dataType == StringType()
+    row = out.select("payload.pi", "payload.small", "payload.nested.d").first()
+    assert row[0] == exact29          # every digit kept
+    assert row[1] == "3.14"           # scale kept, no trailing-zero padding
+    assert row[2] == exact29          # nested path kept too
+    # without fidelity the same text rounds through a double
+    lossy = expand_json(df, fields=["payload"])
+    assert lossy.schema["payload"].dataType["pi"].dataType == DoubleType()
+    assert lossy.select("payload.pi").first()[0] == float(exact29)
+    # beyond 38 digits Variant itself holds a double — schema stays string,
+    # value is the double's shortest round-trip text (documented divergence
+    # from the reference's unbounded BigDecimal)
+    wide = spark.createDataFrame([(f'{{"x": {HIGH_PRECISION}}}',)], "payload string")
+    wout = expand_json(wide, fields=["payload"], decimal_fidelity=True)
+    assert wout.schema["payload"].dataType["x"].dataType == StringType()
+    assert wout.select("payload.x").first()[0] == str(float(HIGH_PRECISION))
