@@ -1,0 +1,279 @@
+"""Pure-stdlib media codecs for the multimodal operators — [EXT]
+(SURVEY.md §2.2 "multimodal columns"; VERDICT r01 next-round #7).
+
+The container has no imaging/audio libraries, so ``llmops.multimodal``'s
+real-decode paths were stubs in round 1.  This module makes them REAL for
+the formats the standard library can honestly handle:
+
+  * image dimension decode — PNG / GIF / BMP / JPEG header parsing
+    (``struct`` over the documented byte layouts; no pixel decode needed for
+    width/height feature extraction);
+  * full PNG pixel decode / re-encode / nearest-neighbor resize — zlib
+    inflate + scanline unfiltering per the PNG spec (8-bit gray / gray+alpha
+    / RGB / RGBA, non-interlaced: the overwhelmingly common case);
+  * WAV audio features — stdlib ``wave`` framing + PCM amplitude statistics.
+
+``llmops.multimodal`` prefers PIL / soundfile when importable and falls back
+here, so the same pipeline code runs real decodes in this container and
+full-codec decodes in production images.  Scale: these run INSIDE Arrow
+batches on executors (mapInPandas) — per-payload pure-Python cost is the
+hot path, so the decoders avoid per-pixel Python loops except in the
+nearest-neighbor gather, which touches only the TARGET pixel count.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+# ---------------------------------------------------------------------------
+# sniffing + dimensions (header-only: no pixel decode)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_mime(raw: bytes) -> str:
+    """Magic-byte mime sniff for the formats this module understands."""
+    if raw.startswith(_PNG_SIG):
+        return "image/png"
+    if raw.startswith(b"\xff\xd8\xff"):
+        return "image/jpeg"
+    if raw.startswith((b"GIF87a", b"GIF89a")):
+        return "image/gif"
+    if raw.startswith(b"BM"):
+        return "image/bmp"
+    if raw.startswith(b"RIFF") and raw[8:12] == b"WAVE":
+        return "audio/wav"
+    return "application/octet-stream"
+
+
+def image_dimensions(raw: bytes) -> tuple[int, int]:
+    """(width, height) from the image header; raises ValueError on formats
+    this module cannot parse."""
+    mime = sniff_mime(raw)
+    if mime == "image/png":
+        if len(raw) < 24 or raw[12:16] != b"IHDR":
+            raise ValueError("truncated PNG header")
+        w, h = struct.unpack(">II", raw[16:24])
+        return w, h
+    if mime == "image/gif":
+        w, h = struct.unpack("<HH", raw[6:10])
+        return w, h
+    if mime == "image/bmp":
+        if len(raw) < 26:
+            raise ValueError("truncated BMP header")
+        header_size = struct.unpack("<I", raw[14:18])[0]
+        if header_size == 12:  # BITMAPCOREHEADER: 16-bit fields
+            w, h = struct.unpack("<HH", raw[18:22])
+        else:
+            w, h = struct.unpack("<ii", raw[18:26])
+        return int(w), abs(int(h))  # negative height = top-down DIB
+    if mime == "image/jpeg":
+        return _jpeg_dimensions(raw)
+    raise ValueError(f"cannot parse dimensions of {mime}")
+
+
+def _jpeg_dimensions(raw: bytes) -> tuple[int, int]:
+    """Walk JPEG markers to the first SOF frame header."""
+    i = 2  # past FFD8
+    n = len(raw)
+    while i + 4 <= n:
+        if raw[i] != 0xFF:
+            i += 1
+            continue
+        marker = raw[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers have no length
+            continue
+        if i + 4 > n:
+            break
+        seg_len = struct.unpack(">H", raw[i + 2 : i + 4])[0]
+        # SOF0-3, 5-7, 9-11, 13-15 all carry the frame dimensions
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                break
+            h, w = struct.unpack(">HH", raw[i + 5 : i + 9])
+            return w, h
+        i += 2 + seg_len
+    raise ValueError("no SOF marker found in JPEG")
+
+
+# ---------------------------------------------------------------------------
+# PNG pixel decode / encode / resize (8-bit, non-interlaced)
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
+def decode_png(raw: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode an 8-bit non-interlaced PNG to raw pixels.
+
+    Returns (width, height, channels, pixels) with pixels in row-major
+    scanline order, ``channels`` samples per pixel.  Palette (type 3),
+    sub-8-bit and 16-bit depths, and interlacing raise ValueError — those
+    belong to a full imaging library (PIL path in ``multimodal``).
+    """
+    if not raw.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[i : i + 4])
+        ctype = raw[i + 4 : i + 8]
+        data = raw[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace}); use the PIL path"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    decomp = zlib.decompress(bytes(idat))
+    if len(decomp) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for row in range(h):
+        base = row * (stride + 1)
+        ftype = decomp[base]
+        line = bytearray(decomp[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[row * stride : (row + 1) * stride] = line
+        prev = line
+    return w, h, ch, out
+
+
+def encode_png(w: int, h: int, channels: int, pixels: bytes | bytearray) -> bytes:
+    """Encode raw 8-bit pixels back to a minimal valid PNG (filter 0)."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = w * channels
+    if len(pixels) != h * stride:
+        raise ValueError("pixel buffer does not match dimensions")
+    scanlines = bytearray()
+    for row in range(h):
+        scanlines.append(0)  # filter type 0 = None
+        scanlines.extend(pixels[row * stride : (row + 1) * stride])
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(raw: bytes, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resize of a decodable PNG; returns PNG bytes."""
+    w, h, ch, px = decode_png(raw)
+    out = bytearray(target_w * target_h * ch)
+    for ty in range(target_h):
+        sy = min(h - 1, (ty * h) // target_h)
+        src_row = sy * w * ch
+        dst_row = ty * target_w * ch
+        for tx in range(target_w):
+            sx = min(w - 1, (tx * w) // target_w)
+            s = src_row + sx * ch
+            d = dst_row + tx * ch
+            out[d : d + ch] = px[s : s + ch]
+    return encode_png(target_w, target_h, ch, out)
+
+
+# ---------------------------------------------------------------------------
+# WAV audio features
+# ---------------------------------------------------------------------------
+
+
+def wav_features(raw: bytes) -> dict:
+    """Real audio features from a PCM WAV payload via stdlib ``wave``:
+    duration, rate, channels, and amplitude statistics (rms / peak /
+    zero-crossing rate over the first channel), all normalized to [0, 1]-ish
+    scales so they can feed a fixed-dim feature vector."""
+    with wave.open(io.BytesIO(raw), "rb") as wf:
+        rate = wf.getframerate()
+        n_channels = wf.getnchannels()
+        sampwidth = wf.getsampwidth()
+        n_frames = wf.getnframes()
+        frames = wf.readframes(n_frames)
+    if sampwidth == 2:
+        fmt = f"<{len(frames) // 2}h"
+        samples = struct.unpack(fmt, frames)
+        full_scale = 32768.0
+    elif sampwidth == 1:  # unsigned 8-bit PCM
+        samples = tuple(b - 128 for b in frames)
+        full_scale = 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    mono = samples[::n_channels] if n_channels > 1 else samples
+    n = len(mono)
+    if n == 0:
+        rms = peak = zcr = mean = 0.0
+    else:
+        mean = sum(mono) / n
+        rms = (sum(s * s for s in mono) / n) ** 0.5 / full_scale
+        peak = max(abs(s) for s in mono) / full_scale
+        crossings = sum(
+            1 for a, b in zip(mono, mono[1:]) if (a >= 0) != (b >= 0)
+        )
+        zcr = crossings / max(1, n - 1)
+    return {
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rate": rate,
+        "channels": n_channels,
+        "rms": rms,
+        "peak": peak,
+        "zcr": zcr,
+        "mean": mean / full_scale,
+        "n_frames": n_frames,
+    }

@@ -4,10 +4,12 @@
 Convention: a modality column is ``binary`` payload + a sibling typed struct
 ``<col>_meta`` (mime, width/height/duration, sha256...). Decode /
 feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
-over the binary column — the Spark-side plumbing (schema, batch shape,
-partition sizing) is real and tested; the actual codec call is stubbed
-because image/audio libraries are not in this container (marked clearly
-below), with a deterministic fake for tests.
+over the binary column.  Codec resolution is tiered: PIL / soundfile / PyAV
+when importable (full coverage), else the pure-stdlib decoders in
+``llmops.codecs`` (PNG/GIF/BMP/JPEG headers, full PNG pixel path, WAV PCM)
+— REAL decodes with zero dependencies — and ``fake=True`` keeps the
+deterministic hash-derived fakes for plumbing tests.  Only video has no
+stdlib path (PyAV or fake).
 
 Scale notes: binary payloads dominate row size — repartition by size before
 mapInPandas (``spark.sql.files.maxPartitionBytes`` governs scan-side), keep
@@ -70,12 +72,23 @@ def read_binary_files(spark, path: str, glob: str | None = None) -> DataFrame:
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int]:
-    # STUB: real implementation would be e.g. PIL.Image.open(io.BytesIO(...))
-    # — image libraries are not available in this container.
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; use fake=True (deterministic fake) for tests"
-    )
+    """REAL image dimension decode.  Prefers PIL when importable (full format
+    coverage); otherwise falls back to the stdlib header parsers in
+    ``llmops.codecs`` (PNG/GIF/BMP/JPEG — no external dependency).  Raises
+    ValueError for formats neither path can read."""
+    try:
+        import io as _io
+
+        from PIL import Image  # optional dep: full-codec path
+
+        with Image.open(_io.BytesIO(payload)) as img:
+            return img.width, img.height
+    except ImportError:
+        from kafka_connect_expand_json_transform_spark.llmops.codecs import (
+            image_dimensions,
+        )
+
+        return image_dimensions(payload)
 
 
 def extract_image_features(
@@ -130,9 +143,13 @@ def resize_images(
     target_height: int = 224,
     fake: bool = True,
 ) -> DataFrame:
-    """Resize plumbing: payload in -> payload out with updated meta. Fake
-    mode passes bytes through and stamps the target dimensions; a real
-    implementation swaps the inner loop for PIL/opencv resize."""
+    """Resize: payload in -> payload out with updated meta.  ``fake=True``
+    passes bytes through and stamps the target dimensions.  ``fake=False``
+    REALLY resizes: PIL when importable (any format), else the stdlib PNG
+    decode -> nearest-neighbor -> re-encode path in ``llmops.codecs``
+    (8-bit non-interlaced PNG; other formats raise ValueError).  The stdlib
+    unfilter loop is per-byte Python — fine for thumbnails and tests; ship
+    PIL in production images for the vectorized path."""
     out_schema = StructType(
         [f for f in df.schema.fields]
         + [
@@ -142,15 +159,33 @@ def resize_images(
         ]
     )
 
+    def _resize_real(raw: bytes) -> bytes:
+        try:
+            import io as _io
+
+            from PIL import Image
+
+            with Image.open(_io.BytesIO(raw)) as img:
+                buf = _io.BytesIO()
+                img.resize((target_width, target_height)).save(buf, format=img.format or "PNG")
+                return buf.getvalue()
+        except ImportError:
+            from kafka_connect_expand_json_transform_spark.llmops.codecs import (
+                resize_png,
+            )
+
+            return resize_png(raw, target_width, target_height)
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires an imaging library not present "
-                    "in this environment"
-                )
             pdf = pdf.copy()
-            pdf["resized_payload"] = pdf[payload_col]
+            if fake:
+                pdf["resized_payload"] = pdf[payload_col]
+            else:
+                pdf["resized_payload"] = [
+                    _resize_real(bytes(p)) if p is not None else None
+                    for p in pdf[payload_col]
+                ]
             pdf["resized_width"] = pd.array([target_width] * len(pdf), dtype="int32")
             pdf["resized_height"] = pd.array([target_height] * len(pdf), dtype="int32")
             yield pdf
@@ -166,10 +201,13 @@ def extract_audio_features(
     payload_col: str = "payload",
     fake: bool = True,
 ) -> DataFrame:
-    """Audio feature extraction plumbing: payload -> fixed-dim float vector
-    (the embedding-ready shape). Fake mode derives a deterministic
-    pseudo-feature vector from the payload hash; a real implementation swaps
-    in e.g. librosa MFCCs."""
+    """Audio feature extraction: payload -> fixed-dim float vector (the
+    embedding-ready shape).  ``fake=True`` derives a deterministic
+    pseudo-feature vector from the payload hash.  ``fake=False`` REALLY
+    decodes: soundfile/librosa when importable, else stdlib ``wave`` PCM
+    parsing (``llmops.codecs.wav_features``) — duration, rate, channels,
+    rms, peak, zero-crossing rate, DC mean, length, normalized into the
+    same ``AUDIO_FEATURE_DIM``-wide vector."""
     from pyspark.sql.types import ArrayType, FloatType
 
     out_schema = StructType(
@@ -177,16 +215,51 @@ def extract_audio_features(
         + [StructField("audio_features", ArrayType(FloatType(), True), True)]
     )
 
+    def _features_real(raw: bytes) -> list[float]:
+        try:
+            import io as _io
+
+            import soundfile as sf  # optional dep: full-codec path
+
+            data, rate = sf.read(_io.BytesIO(raw), always_2d=True)
+            mono = data[:, 0]
+            n = len(mono)
+            zcr = float(((mono[:-1] >= 0) != (mono[1:] >= 0)).mean()) if n > 1 else 0.0
+            return [
+                n / rate if rate else 0.0,
+                rate / 48000.0,
+                float(data.shape[1]),
+                float((mono**2).mean() ** 0.5) if n else 0.0,
+                float(abs(mono).max()) if n else 0.0,
+                zcr,
+                float(mono.mean()) if n else 0.0,
+                min(1.0, n / 1e6),
+            ]
+        except ImportError:
+            from kafka_connect_expand_json_transform_spark.llmops.codecs import (
+                wav_features,
+            )
+
+            f = wav_features(raw)
+            return [
+                f["duration_s"],
+                f["rate"] / 48000.0,
+                float(f["channels"]),
+                f["rms"],
+                f["peak"],
+                f["zcr"],
+                f["mean"],
+                min(1.0, f["n_frames"] / 1e6),
+            ]
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload in pdf[payload_col]:
                 raw = bytes(payload) if payload is not None else b""
                 if not fake:
-                    raise NotImplementedError(
-                        "audio decode requires an audio library not present "
-                        "in this environment"
-                    )
+                    feats.append([float(x) for x in _features_real(raw)])
+                    continue
                 digest = hashlib.sha256(raw).digest()
                 feats.append(
                     [
@@ -231,10 +304,25 @@ def sample_frames(
                         r["frame_payload"] = raw[:16]
                         rows.append(r)
                 else:
-                    raise NotImplementedError(
-                        "video decode requires a codec library not present "
-                        "in this environment"
-                    )
+                    try:
+                        import io as _io
+
+                        import av  # optional dep: the only real video path
+                    except ImportError as exc:
+                        raise NotImplementedError(
+                            "video decode requires PyAV (no stdlib codec "
+                            "exists); install 'av' or use fake=True"
+                        ) from exc
+                    with av.open(_io.BytesIO(raw)) as container:
+                        for i, frame in enumerate(container.decode(video=0)):
+                            if i % every_nth:
+                                continue
+                            r = row.to_dict()
+                            r["frame_index"] = i
+                            r["frame_payload"] = bytes(
+                                frame.to_image().tobytes()[:1024]
+                            )
+                            rows.append(r)
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(process, schema=out_schema)

@@ -229,10 +229,17 @@ def collect_column_samples(
     could flip between runs on heterogeneous data.  orderBy + limit compiles
     to TakeOrderedAndProject — a per-partition top-n heap, no full sort
     shuffle — so this stays O(data) with O(n) driver transfer.
+
+    At 100 TB, pass ``sample_ratio`` to pre-thin with a deterministic
+    CONTENT-hash threshold (not ``.sample()``, whose draw depends on the
+    physical partitioning): the heap then sees only ~ratio of the rows, and
+    the surviving set — hence the inferred schema — is identical under any
+    repartitioning of the same data.
     """
     src = df.select(F.col(column).cast("string").alias("j")).where(F.col("j").isNotNull())
     if sample_ratio is not None:
-        src = src.sample(fraction=sample_ratio, seed=42)
+        bound = max(1, int(sample_ratio * 2**20))
+        src = src.where(F.pmod(F.xxhash64("j"), F.lit(2**20)) < bound)
     rows = src.orderBy(F.xxhash64("j"), "j").limit(sample_limit).collect()
     return [r["j"] for r in rows]
 

@@ -172,3 +172,37 @@ def test_split_scheme_seed_independence():
     b = {i for i in range(4000) if _py_hash(i, "s2") < hex_threshold(0.5)}
     inter = len(a & b) / 4000
     assert 0.2 < inter < 0.3
+
+
+def test_inference_is_partitioning_invariant(spark):
+    """VERDICT r01 #5: same data => same inferred schema, however the data is
+    partitioned or ordered.  The fixture mixes int-typed and double-typed
+    records with sample_limit far below the row count, so any
+    partition-order-dependent draw (the old bare limit(n)) would flip the
+    widened type between layouts."""
+    from kafka_connect_expand_json_transform_spark.schema_inference import (
+        infer_schema_for_column,
+    )
+
+    rows = [(i, '{"v": %s}' % (i if i % 19 else f"{i}.5")) for i in range(4000)]
+    base = spark.createDataFrame(rows, "id int, j string")
+    layouts = [
+        base.repartition(1),
+        base.repartition(32),
+        base.repartition(7, "id"),
+        base.orderBy("id"),
+        base.orderBy(base.id.desc()),
+        base.repartition(16).sortWithinPartitions("j"),
+    ]
+    schemas = {
+        str(infer_schema_for_column(df, "j", sample_limit=100)) for df in layouts
+    }
+    assert len(schemas) == 1, schemas
+    # the hash-threshold pre-thinning path is partitioning-invariant too
+    thinned = {
+        str(
+            infer_schema_for_column(df, "j", sample_limit=100, sample_ratio=0.25)
+        )
+        for df in layouts
+    }
+    assert len(thinned) == 1, thinned

@@ -173,10 +173,12 @@ def test_multimodal_plumbing(spark, docs):
     assert dict(frames.dtypes)["frame_payload"] == "binary"
 
 
-def test_multimodal_real_decode_is_stubbed(spark, docs):
+def test_multimodal_real_decode_rejects_non_images(spark, docs):
+    """fake=False is a REAL decode now (stdlib/PIL, test_codecs.py) — text
+    payloads are not images and must fail loudly, not hash-silently."""
     with_payload = multimodal.attach_binary_payload(docs.limit(1), "text")
     feats = multimodal.extract_image_features(with_payload, fake=False)
-    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+    with pytest.raises(Exception, match="cannot parse|cannot identify"):
         feats.collect()
 
 
