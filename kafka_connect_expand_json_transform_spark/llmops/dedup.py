@@ -134,19 +134,31 @@ def _pairs_from_keyed(keyed: DataFrame, id_col: str, max_bucket: int) -> DataFra
     collapses the whole cluster. The trade-off is that pairwise verification
     (Jaccard) then only checks members against the hub doc, relying on
     near-transitivity inside a giant bucket.
+
+    Both regimes are generated by ONE conditional expression over the bucket
+    aggregate (CASE is lazily evaluated per row).  The earlier small/big
+    filter + union shape referenced the aggregate twice, which re-evaluated
+    the ENTIRE upstream plan — scan, shingling, every MinHash — once per
+    branch: ~2x the whole signature cost at any scale.
     """
-    buckets = keyed.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
-    small = (
-        buckets.where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-        .select(F.explode(_pairs_expr(F.col("ids"))).alias("p"))
+    buckets = (
+        keyed.groupBy("band_key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select("ids", F.array_min("ids").alias("mn"))  # stage mn: O(n), not O(n^2)
+    )
+    star = F.transform(
+        F.filter(F.col("ids"), lambda y: y != F.col("mn")),
+        lambda y: F.struct(F.col("mn").alias("a"), y.alias("b")),
+    )
+    pairs_arr = F.when(F.size("ids") <= max_bucket, _pairs_expr(F.col("ids"))).otherwise(
+        star
+    )
+    return (
+        buckets.select(F.explode(pairs_arr).alias("p"))
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
     )
-    big = (
-        buckets.where(F.size("ids") > max_bucket)
-        .select(F.array_min("ids").alias("id_a"), F.explode("ids").alias("id_b"))
-        .where(F.col("id_a") != F.col("id_b"))
-    )
-    return small.unionByName(big).distinct()
 
 
 def _pairs_expr(ids: Column) -> Column:
@@ -173,9 +185,25 @@ def jaccard_on_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only (the verify step
     after LSH). Joins the shingle arrays in, intersects in-expression —
-    two broadcast-or-shuffle hash joins on ids, no explode."""
-    sh = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).select(
-        F.col(id_col), shingles_from_tokens("__toks", shingle_size).alias("sh")
+    two broadcast-or-shuffle hash joins on ids, no explode.
+
+    Shingles are computed ONLY for docs that appear in a pair (semi-join
+    first): candidates are a vanishing fraction of the corpus, so the verify
+    stage must never re-shingle all of it — and since the shingle frame is
+    referenced by both join sides, the pair-filtered result is checkpointed
+    once instead of being re-derived per side.  Callers should pass a
+    materialized ``pairs`` frame (it is referenced three times here).
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(ids, id_col, "left_semi")
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), shingles_from_tokens("__toks", shingle_size).alias("sh"))
+        .localCheckpoint()
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -206,10 +234,17 @@ def minhash_dedup(
     verify -> connected components -> keep the min-id doc per cluster.
     Returns the deduplicated DataFrame. ``hash_family='md5'`` makes every
     stage reproducible in ANSI SQL (the oracle-parity mode)."""
+    # Materialization points (the standard persist discipline for multi-pass
+    # pipelines): the signature table is the expensive scan-derived artifact
+    # and feeds banding; the candidate pairs are tiny and referenced three
+    # times by the verify stage.  Without these, every downstream action
+    # re-ran the full MinHash computation.
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_size, hash_family
-    )
-    cand = lsh_candidate_pairs(sigs, id_col, num_bands, num_hashes=num_hashes)
+    ).localCheckpoint()
+    cand = lsh_candidate_pairs(
+        sigs, id_col, num_bands, num_hashes=num_hashes
+    ).localCheckpoint()
     edges = (
         jaccard_on_pairs(df, cand, text_col, id_col, shingle_size)
         .where(F.col("jaccard") >= threshold)
