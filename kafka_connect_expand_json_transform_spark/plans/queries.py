@@ -5550,6 +5550,86 @@ def stream_stream_join_e2e(spark, sf_dir):
     return out.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
 
 
+
+
+_SQL_STREAM_EXPAND = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events GROUP BY event_type
+"""
+
+
+@query("stream_expand_props_e2e", _SQL_STREAM_EXPAND)
+def stream_expand_props_e2e(spark, sf_dir):
+    """The reference SMT's ACTUAL deployment shape end-to-end (ExpandJson.
+    java:32, readme.md:38-42): JSON expansion inside a running Structured
+    Streaming pipeline.  The stream cannot be sampled at plan time, so
+    ``expand_json_stream`` takes its inference sample from a batch snapshot
+    of the same data (the honest version of the reference's first-record
+    schema freeze, SURVEY §1.5) — then a complete-mode windowless aggregate
+    over the typed field equals the batch answer.  Scale: the expansion
+    itself stays a narrow per-record projection inside the micro-batch; only
+    the aggregate shuffles."""
+    from kafka_connect_expand_json_transform_spark.streaming.expand import (
+        expand_json_stream,
+    )
+
+    batch_snapshot = load_table(spark, sf_dir, "events")
+    stream, cleanup = _stream_table_source(spark, sf_dir, "events")
+    try:
+        expanded = expand_json_stream(
+            stream, fields=["props"], sample_df=batch_snapshot
+        )
+        agg = expanded.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("props.k").alias("sum_k"),
+            F.max("props.k").alias("max_k"),
+        )
+        out = _run_stream_to_memory(spark, agg, "sg_stream_expand", "complete")
+    finally:
+        cleanup()
+    return out
+
+_SQL_STREAM_STATIC_JOIN = """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1
+"""
+
+
+@query("stream_static_join_e2e", _SQL_STREAM_STATIC_JOIN)
+def stream_static_join_e2e(spark, sf_dir):
+    """T6's static half on a REAL stream: purchase events stream-join a
+    static customer dimension (the canonical enrichment topology), aggregated
+    per segment in complete mode; final state == the batch join.  Scale: the
+    static side is broadcast per micro-batch (no stream-side shuffle for the
+    join); only the aggregate shuffles on segment."""
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    stream, cleanup = _stream_table_source(spark, sf_dir, "events")
+    try:
+        joined = (
+            stream.where(F.col("event_type") == "purchase")
+            .join(cust, F.col("user_id") == F.col("c_custkey"))
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count("*").alias("n_events"),
+                dbl(F.sum(F.col("value").cast("decimal(10,2)"))).alias("sum_value"),
+            )
+        )
+        out = _run_stream_to_memory(spark, joined, "sg_stream_static", "complete")
+    finally:
+        cleanup()
+    return out
+
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
@@ -5582,7 +5662,7 @@ _DRIVER_WINDOW = [
     "asof_join_purchase_click",# R3 as-of join
     "grouping_sets",           # R5 grouping sets (SQL entry point)
     "window_rank_funcs",       # R6 ranking/analytic windows
-    "window_range_frame",      # R6 RANGE frames
+    "stream_expand_props_e2e",  # [REF] SMT deployment shape: expand inside a REAL stream
     "topk_per_group",          # R7 top-k per group
     "set_multiset_ops",        # R8 set ops incl. ALL variants
     # event-time windows: batch twins + real streaming e2e

@@ -473,3 +473,31 @@ def test_orders_date_pushdown_survives_ntz_normalization(spark):
     pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "o_orderdate" in pushed, pushed
     assert "LessThan(o_orderdate" in pushed, pushed
+
+
+def test_driver_window_composition():
+    """The driver's correctness gate checks the FIRST 50 registered queries
+    (VERDICT r01 #1).  Lock the curated window: every slot oracle-checkable,
+    spanning the [REF] expand core, streaming e2e, every UDF surface, and the
+    LLM-ops families — so a future registration can't silently push a family
+    back out of the hard signal."""
+    from kafka_connect_expand_json_transform_spark.plans.queries import (
+        _DRIVER_WINDOW,
+        ORACLES,
+        QUERIES,
+    )
+
+    first50 = list(QUERIES)[:50]
+    assert first50 == _DRIVER_WINDOW
+    missing_oracles = [n for n in first50 if n not in ORACLES]
+    assert not missing_oracles, missing_oracles
+    must_have = {
+        "expand_props_agg", "expand_key_side", "expand_nested_path",
+        "connect_config_pipeline", "stream_expand_props_e2e",
+        "stream_tumbling_agg_e2e", "stream_dedup_e2e", "stream_stateful_counts",
+        "stream_stream_join_e2e", "python_udf_sign", "pandas_udf_norms",
+        "udtf_sentences", "applyinpandas_centroid", "minhash_dedup_md5",
+        "kmeans_cluster_sizes", "pagerank_event_graph",
+        "triangle_count_part_graph", "scd2_user_state", "merge_upsert_orders",
+    }
+    assert must_have <= set(first50), must_have - set(first50)
