@@ -5629,6 +5629,45 @@ def stream_static_join_e2e(spark, sf_dir):
     return out
 
 
+_SQL_CUSTOM_DATASOURCE = """
+    WITH r AS (SELECT g AS i FROM generate_series(0, 4999) AS t(g))
+    SELECT 't' || CAST(i % 7 AS VARCHAR) AS tag,
+           COUNT(*) AS n,
+           CAST(SUM(i % 100) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT i % 50) AS BIGINT) AS n_uids
+    FROM r GROUP BY 1
+"""
+
+
+@query("custom_datasource_expand", _SQL_CUSTOM_DATASOURCE)
+def custom_datasource_expand(spark, sf_dir):
+    """Custom pure-Python connector end-to-end (SURVEY §2.2 sources): the
+    ``connect_records`` DataSource (sources/python_datasource.py — Spark 4's
+    Python DataSource API, the Spark-native analogue of writing a Kafka
+    Connect plugin) generates ConnectRecord tuples partition-parallel on the
+    executors; the value side is expanded exactly like a real topic and
+    aggregated.  Record i is a pure function of i, so DuckDB reproduces the
+    whole connector with generate_series arithmetic — a hard oracle over a
+    custom source.  Scale: slices generate locally (no driver
+    materialization); only the aggregate shuffles."""
+    from kafka_connect_expand_json_transform_spark.sources.kafka import (
+        expand_kafka_records,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.python_datasource import (
+        register,
+    )
+
+    register(spark)
+    rec = spark.read.format("connect_records").option("rows", 5000).load()
+    out = expand_kafka_records(rec, side="value")
+    uid = F.get_json_object("key", "$.uid").cast("int")
+    return out.groupBy(F.col("value.tag").alias("tag")).agg(
+        F.count("*").alias("n"),
+        F.sum("value.k").cast("bigint").alias("sum_k"),
+        F.count_distinct(uid).cast("bigint").alias("n_uids"),
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50

@@ -1,0 +1,97 @@
+"""The custom pure-Python ``connect_records`` DataSource (Spark 4 Python
+DataSource API — the Spark-native analogue of a Kafka Connect plugin,
+readme.md:16): batch partition-parallel generation, micro-batched streaming,
+and the expand pipeline over it."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_expand_json_transform_spark.sources.python_datasource import (
+    ConnectRecordsDataSource,
+    record_at,
+    register,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register(spark)
+    return spark
+
+
+def test_batch_read_deterministic(registered):
+    df = registered.read.format("connect_records").option("rows", 300).load()
+    assert df.count() == 300
+    assert df.columns == ["topic", "partition", "offset", "key", "value"]
+    # offsets are exactly 0..299, each row the pure function of its offset
+    rows = {r["offset"]: r for r in df.collect()}
+    assert sorted(rows) == list(range(300))
+    t, p, o, k, v = record_at(42, "synthetic", 8)
+    assert (rows[42]["partition"], rows[42]["key"], rows[42]["value"]) == (p, k, v)
+
+
+def test_batch_read_is_partition_parallel(registered):
+    df = (
+        registered.read.format("connect_records")
+        .option("rows", 1000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    # every slice generated on executors; no slice overlaps another
+    per_part = df.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    assert sorted(r["count"] for r in per_part) == [250, 250, 250, 250]
+
+
+def test_stream_read_microbatches_drain(registered, tmp_path):
+    import time
+
+    stream = (
+        registered.readStream.format("connect_records")
+        .option("rows", 1000)
+        .option("rowsPerBatch", 250)
+        .load()
+    )
+    # python stream readers don't support availableNow (single-batch
+    # fallback); drive micro-batches with the default trigger and stop once
+    # the bounded offset space drains
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pds_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if registered.table("pds_stream").count() >= 1000:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = registered.table("pds_stream")
+    assert got.count() == 1000
+    # drained across multiple micro-batches (rowsPerBatch admits <= 250 each)
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progress) >= 4
+    assert max(p["numInputRows"] for p in progress) <= 250
+    # offset space complete and duplicate-free across batches
+    assert got.select("offset").distinct().count() == 1000
+
+
+def test_expand_over_custom_source(registered):
+    from kafka_connect_expand_json_transform_spark.sources.kafka import (
+        expand_kafka_records,
+    )
+
+    rec = registered.read.format("connect_records").option("rows", 200).load()
+    out = expand_kafka_records(rec, side="value")
+    assert out.schema["value"].dataType.simpleString() == "struct<k:int,tag:string>"
+    assert out.where(F.col("value.k") == F.col("offset") % 100).count() == 200
+
+
+def test_datasource_name_and_schema():
+    assert ConnectRecordsDataSource.name() == "connect_records"
+    assert "offset bigint" in ConnectRecordsDataSource({}).schema()
