@@ -30,7 +30,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -141,3 +144,115 @@ class ConnectRecordsStreamReader(DataSourceStreamReader):
 def register(spark) -> None:
     """Idempotent registration of the connector with a SparkSession."""
     spark.dataSource.register(ConnectRecordsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Sink side: Connect plugins are sources AND sinks, so the Python-connector
+# story needs a writer too.  ``jsonl_sink`` writes any DataFrame as NDJSON
+# part files with a real two-phase commit: tasks write dot-prefixed .tmp
+# files (invisible to readers), the driver renames them into place on
+# commit and deletes them on abort — the same protocol object-store
+# committers use.  Local-FS paths here; a production variant swaps the
+# open/rename/delete calls for an object-store client, protocol unchanged.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    tmp_path: str
+    final_path: str
+    n_rows: int
+
+
+class _JsonLinesWriterBase:
+    def __init__(self, options, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+        self.path = path
+        self.overwrite = overwrite
+
+    def _write_slice(self, iterator, prefix: str) -> _WroteFile:
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        name = f"{prefix}part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, "." + name + ".tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(recursive=True), default=str) + "\n")
+                n += 1
+        return _WroteFile(tmp, os.path.join(self.path, name), n)
+
+    def _commit_all(self, messages) -> None:
+        import os
+
+        if self.overwrite:
+            keep = {m.final_path for m in messages}
+            for existing in os.listdir(self.path):
+                full = os.path.join(self.path, existing)
+                if existing.endswith(".jsonl") and full not in keep:
+                    os.remove(full)
+        for m in messages:
+            os.replace(m.tmp_path, m.final_path)  # atomic on POSIX
+
+    def _abort_all(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
+class JsonLinesWriter(_JsonLinesWriterBase, DataSourceWriter):
+    def write(self, iterator) -> _WroteFile:
+        return self._write_slice(iterator, "")
+
+    def commit(self, messages) -> None:
+        self._commit_all(messages)
+
+    def abort(self, messages) -> None:
+        self._abort_all(messages)
+
+
+class JsonLinesStreamWriter(_JsonLinesWriterBase, DataSourceStreamWriter):
+    """Per-epoch exactly-once: files are prefixed with the epoch id, so a
+    replayed epoch overwrites its own files instead of duplicating them."""
+
+    def write(self, iterator) -> _WroteFile:
+        from pyspark import TaskContext
+
+        epoch = TaskContext.get().getLocalProperty("streaming.sql.batchId") or "0"
+        return self._write_slice(iterator, f"epoch-{int(epoch):06d}-")
+
+    def commit(self, messages, batchId: int) -> None:
+        self._commit_all(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._abort_all(messages)
+
+
+class JsonLinesSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()`` (batch)
+    or ``df.writeStream.format("jsonl_sink")...`` (per-epoch commit)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonLinesWriter:
+        return JsonLinesWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> JsonLinesStreamWriter:
+        return JsonLinesStreamWriter(self.options, overwrite)
+
+
+def register_sink(spark) -> None:
+    """Idempotent registration of the NDJSON sink connector."""
+    spark.dataSource.register(JsonLinesSinkDataSource)

@@ -95,3 +95,90 @@ def test_expand_over_custom_source(registered):
 def test_datasource_name_and_schema():
     assert ConnectRecordsDataSource.name() == "connect_records"
     assert "offset bigint" in ConnectRecordsDataSource({}).schema()
+
+
+@pytest.fixture(scope="module")
+def sink_registered(spark):
+    from kafka_connect_expand_json_transform_spark.sources.python_datasource import (
+        register_sink,
+    )
+
+    register_sink(spark)
+    return spark
+
+
+def test_jsonl_sink_batch_roundtrip(sink_registered, tmp_path):
+    import os
+
+    spark = sink_registered
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("string").alias("grp"),
+        (F.col("id") * 2).alias("dbl"),
+    )
+    out = str(tmp_path / "out")
+    # python datasource writers accept only append/overwrite modes
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+    # two-phase commit finished: no .tmp remnants, only committed parts
+    names = os.listdir(out)
+    assert names and all(n.endswith(".jsonl") for n in names)
+    back = spark.read.schema("id bigint, grp string, dbl bigint").json(out)
+    assert back.count() == 100
+    assert back.agg(F.sum("id"), F.sum("dbl")).first() == df.agg(
+        F.sum("id"), F.sum("dbl")
+    ).first()
+
+
+def test_jsonl_sink_overwrite_replaces(sink_registered, tmp_path):
+    spark = sink_registered
+    out = str(tmp_path / "out2")
+    spark.range(50).write.format("jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    spark.range(10).write.format("jsonl_sink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.schema("id bigint").json(out)
+    assert back.count() == 10
+
+
+def test_jsonl_sink_streaming_epochs(sink_registered, tmp_path):
+    import os
+    import time
+
+    spark = sink_registered
+    stream = (
+        spark.readStream.format("connect_records")
+        .option("rows", 600)
+        .option("rowsPerBatch", 200)
+        .load()
+    )
+    out = str(tmp_path / "stream_out")
+    q = (
+        stream.select("offset", "value")
+        .writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            files = [n for n in os.listdir(out)] if os.path.exists(out) else []
+            done = [n for n in files if n.endswith(".jsonl")]
+            total = 0
+            for n in done:
+                with open(os.path.join(out, n)) as f:
+                    total += sum(1 for _ in f)
+            if total >= 600:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    back = spark.read.schema("offset bigint, value string").json(out)
+    assert back.count() == 600
+    assert back.select("offset").distinct().count() == 600
+    # per-epoch file naming: multiple epochs committed
+    epochs = {n.split("-")[1] for n in os.listdir(out) if n.startswith("epoch-")}
+    assert len(epochs) >= 3
