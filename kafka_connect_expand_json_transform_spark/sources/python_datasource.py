@@ -84,6 +84,12 @@ class ConnectRecordsDataSource(DataSource):
 
 
 class ConnectRecordsReader(DataSourceReader):
+    """Batch reader.  ``read`` yields ARROW RECORD BATCHES, not per-row
+    tuples: Python-source rows cross the Python/JVM boundary through Arrow
+    either way, but yielding a columnar batch per slice avoids the per-row
+    pickling hop — the pattern a high-volume production connector must use.
+    """
+
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
         self.topic = options.get("topic", "synthetic")
@@ -97,8 +103,25 @@ class ConnectRecordsReader(DataSourceReader):
         ]
 
     def read(self, partition: _Slice):
-        for i in range(partition.start, partition.end):
-            yield record_at(i, self.topic, self.num_partitions)
+        import pyarrow as pa
+
+        recs = [
+            record_at(i, self.topic, self.num_partitions)
+            for i in range(partition.start, partition.end)
+        ]
+        if not recs:
+            return
+        cols = list(zip(*recs))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[0], pa.string()),
+                pa.array(cols[1], pa.int32()),
+                pa.array(cols[2], pa.int64()),
+                pa.array(cols[3], pa.string()),
+                pa.array(cols[4], pa.string()),
+            ],
+            names=["topic", "partition", "offset", "key", "value"],
+        )
 
 
 class ConnectRecordsStreamReader(DataSourceStreamReader):
