@@ -5363,16 +5363,29 @@ def csv_json_roundtrip_agg(spark, sf_dir):
 def _run_stream_to_memory(spark, stream_df, name: str, output_mode: str):
     """Run a streaming frame into the memory sink with availableNow (process
     everything currently available, then stop) and return the result table.
-    availableNow + a single input file = one deterministic micro-batch."""
+    availableNow + a single input file = one deterministic micro-batch.
+
+    State partitions are sized to the stream for the run (8, restored
+    after): a streaming query instantiates one state store per shuffle
+    partition per stateful operator, so inheriting a batch-tuned global
+    (32 here, thousands on a real cluster) multiplies fixed state-store
+    setup/commit cost for no parallelism gain.  The same sizing decision —
+    state partitions ~ key cardinality x throughput, pinned at first
+    checkpoint — is the production knob at 100 TB."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.catalog.dropTempView(name)
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
