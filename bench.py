@@ -31,6 +31,21 @@ def main() -> int:
         load_table(spark, sf_dir, t).limit(1000).write.format("noop").mode(
             "overwrite"
         ).save()
+    # absorb first-use codegen for the dominant expression patterns
+    # (from_json + hash-agg + TakeOrderedAndProject) so the first timed query
+    # isn't charged the whole JVM compile bill
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    (
+        ev.withColumn("p", F.from_json(F.col("props"), "k int"))
+        .orderBy(F.xxhash64("props"))
+        .groupBy("event_type")
+        .agg(F.count("*"), F.sum("p.k"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
