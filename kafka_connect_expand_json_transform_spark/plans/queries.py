@@ -5672,7 +5672,16 @@ def custom_datasource_expand(spark, sf_dir):
 
     register(spark)
     rec = spark.read.format("connect_records").option("rows", 5000).load()
-    out = expand_kafka_records(rec, side="value")
+    # static schema, not sample inference: a production connector pipeline
+    # declares its payload contract, and inference would cost a second full
+    # pass through the Python source just to discover it
+    from pyspark.sql.types import IntegerType, StringType, StructField
+    from pyspark.sql.types import StructType as _St
+
+    payload = _St(
+        [StructField("k", IntegerType(), True), StructField("tag", StringType(), True)]
+    )
+    out = expand_kafka_records(rec, side="value", schema=payload)
     uid = F.get_json_object("key", "$.uid").cast("int")
     return out.groupBy(F.col("value.tag").alias("tag")).agg(
         F.count("*").alias("n"),
