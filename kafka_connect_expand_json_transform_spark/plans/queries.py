@@ -5690,6 +5690,65 @@ def custom_datasource_expand(spark, sf_dir):
     )
 
 
+_SQL_SCHEMA_EVOLUTION = """
+    WITH v1 AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             CAST(NULL AS VARCHAR) AS status
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(status, '<pre-evolution>') AS status,
+           COUNT(*) AS n,
+           CAST(SUM(price) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY 1
+"""
+
+
+@query("schema_evolution_merge", _SQL_SCHEMA_EVOLUTION)
+def schema_evolution_merge(spark, sf_dir):
+    """Parquet schema evolution (SURVEY §2.2 sources): a v1 snapshot written
+    before a column existed and a v2 snapshot written after are read as ONE
+    dataset via mergeSchema; rows from the old snapshot surface NULL for the
+    new column.  At 100 TB schema drift across partitions/days is the norm —
+    the merged read is the pattern that avoids rewriting history.  Scale:
+    footer-only schema reconciliation; data files are untouched, and column
+    pruning/pushdown still apply per file.  The result is materialized so
+    the temp snapshots can be deleted before the caller collects."""
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", money("o_totalprice").alias("price")
+    )
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        money("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_evolve_")
+    try:
+        v1.write.mode("overwrite").parquet(tmp + "/snap=v1")
+        v2.write.mode("overwrite").parquet(tmp + "/snap=v2")
+        merged = spark.read.option("mergeSchema", True).parquet(
+            tmp + "/snap=v1", tmp + "/snap=v2"
+        )
+        res = merged.groupBy(
+            F.coalesce(F.col("status"), F.lit("<pre-evolution>")).alias("status")
+        ).agg(
+            F.count("*").alias("n"),
+            dbl(F.sum("price")).alias("sum_price"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
