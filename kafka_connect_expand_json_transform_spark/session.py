@@ -52,6 +52,9 @@ def get_spark(
         # sources.batch.load_table re-asserts this for harness-owned
         # sessions that never went through get_spark
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # allow custom Python DataSources (sources/python_datasource.py) to
+        # receive pushed-down filters — off by default in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # local[N] packs driver + N executor threads into ONE JVM; the 1g
         # default heap starves 32 concurrent sort/join buffers long before
         # any real executor would (only effective for the process's first

@@ -94,13 +94,49 @@ class ConnectRecordsReader(DataSourceReader):
         self.rows = int(options.get("rows", 1000))
         self.topic = options.get("topic", "synthetic")
         self.num_partitions = int(options.get("numpartitions", 8))
+        self.lo, self.hi = 0, self.rows  # offset range, narrowed by pushdown
+
+    def pushFilters(self, filters):
+        """Predicate pushdown INTO the connector: range predicates on
+        ``offset`` narrow the generated slice range itself, so filtered rows
+        are never produced at all — the connector-boundary analogue of
+        parquet row-group skipping (offset is this source's monotonic
+        physical key, like a Kafka partition offset or a JDBC range column).
+        Everything else is returned for Spark to evaluate post-scan."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("offset",) and isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ):
+                v = int(f.value)
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, v)
+                    self.hi = min(self.hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                else:  # LessThanOrEqual
+                    self.hi = min(self.hi, v + 1)
+            else:
+                yield f  # not handled here; Spark evaluates it post-scan
 
     def partitions(self):
-        per = max(1, -(-self.rows // self.num_partitions))
+        lo, hi = self.lo, max(self.lo, self.hi)
+        per = max(1, -(-(hi - lo) // self.num_partitions))
         return [
-            _Slice(lo, min(lo + per, self.rows))
-            for lo in range(0, self.rows, per)
-        ]
+            _Slice(x, min(x + per, hi)) for x in range(lo, hi, per)
+        ] or [_Slice(lo, lo)]
 
     def read(self, partition: _Slice):
         import pyarrow as pa
@@ -165,7 +201,15 @@ class ConnectRecordsStreamReader(DataSourceStreamReader):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the connector with a SparkSession."""
+    """Idempotent registration of the connector with a SparkSession.
+
+    Python-source filter pushdown sits behind a conf flag (planner consults
+    it when the reader implements ``pushFilters``); enable it here so
+    harness-owned sessions get the pruned reads too."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # locked-down conf: get_spark sessions set it at build
     spark.dataSource.register(ConnectRecordsDataSource)
 
 

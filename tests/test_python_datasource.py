@@ -182,3 +182,34 @@ def test_jsonl_sink_streaming_epochs(sink_registered, tmp_path):
     # per-epoch file naming: multiple epochs committed
     epochs = {n.split("-")[1] for n in os.listdir(out) if n.startswith("epoch-")}
     assert len(epochs) >= 3
+
+
+def test_offset_filter_pushdown_narrows_generation(registered):
+    from kafka_connect_expand_json_transform_spark.sources.python_datasource import (
+        ConnectRecordsReader,
+    )
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan, StringContains
+
+    # unit: supported offset range predicates narrow the slice bounds and are
+    # consumed; anything else is returned for Spark to evaluate
+    r = ConnectRecordsReader({"rows": "1000"})
+    leftover = list(
+        r.pushFilters(
+            [GreaterThan(("offset",), 100), LessThan(("offset",), 200),
+             StringContains(("value",), "t3")]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["StringContains"]
+    assert (r.lo, r.hi) == (101, 200)
+    slices = r.partitions()
+    assert slices[0].start == 101 and slices[-1].end == 200
+    assert sum(s.end - s.start for s in slices) == 99
+
+    # e2e: results correct under pushdown, incl. the residual filter
+    df = registered.read.format("connect_records").option("rows", 1000).load()
+    got = df.where((F.col("offset") >= 990) & (F.col("offset") < 995)).collect()
+    assert sorted(r["offset"] for r in got) == [990, 991, 992, 993, 994]
+    eq = df.where(F.col("offset") == 7).collect()
+    assert len(eq) == 1 and eq[0]["partition"] == 7 % 8
+    empty = df.where(F.col("offset") > 5000).count()
+    assert empty == 0
