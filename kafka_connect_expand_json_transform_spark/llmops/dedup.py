@@ -443,3 +443,98 @@ def simhash_dedup_candidates(
     )
     keyed = sig.select(F.col(id_col), F.explode(bands).alias("band_key"))
     return _pairs_from_keyed(keyed, id_col, max_bucket)
+
+
+def dedup_against_corpus(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_size: int = 3,
+    hash_family: str = "xxhash",
+    near: bool = True,
+) -> DataFrame:
+    """INCREMENTAL dedup: drop incoming docs that duplicate the EXISTING
+    corpus — exact (normalized-text fingerprint) and, with ``near=True``,
+    MinHash-LSH near-duplicates — plus exact dups inside the batch itself.
+
+    This is the production shape at 100 TB: history is never rescanned as
+    text.  The corpus side only contributes fingerprints and MinHash
+    signatures — compact artifact tables a pipeline maintains incrementally
+    (append each accepted batch's signatures) — while candidate generation
+    is band-bucketed exactly like :func:`minhash_dedup`, so the
+    incoming-vs-corpus comparison is |bucket|-bounded, never |corpus|.
+    """
+    inc_fp = incoming.select(
+        F.col(id_col), md5_fingerprint(F.col(text_col)).alias("__fp")
+    )
+    corp_fp = corpus.select(md5_fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    # exact-vs-corpus, then exact-within-batch (keep min id per fingerprint)
+    fresh = inc_fp.join(corp_fp, "__fp", "left_anti")
+    keep_ids = (
+        fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    )
+    survivors = incoming.join(keep_ids, id_col, "left_semi")
+    if not near:
+        return survivors
+
+    sig_inc = minhash_signatures(
+        survivors, text_col, id_col, num_hashes, shingle_size, hash_family
+    ).localCheckpoint()
+    sig_corp = minhash_signatures(
+        corpus, text_col, id_col, num_hashes, shingle_size, hash_family
+    ).localCheckpoint()
+
+    def _bands(sig_df, out_id):
+        rpb = max(1, num_hashes // num_bands)
+        bands = F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[
+                        F.element_at(F.col("signature").cast("array<string>"), b * rpb + r + 1)
+                        for r in range(rpb)
+                    ],
+                )
+                for b in range(num_bands)
+            ]
+        )
+        return sig_df.select(
+            F.col(id_col).alias(out_id), F.explode(bands).alias("band_key")
+        )
+
+    cand = (
+        _bands(sig_inc, "__inc_id")
+        .join(_bands(sig_corp, "__corp_id"), "band_key")
+        .select("__inc_id", "__corp_id")
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sh(df, out_id):
+        return (
+            df.join(
+                cand.select(F.col(out_id).alias(id_col)).distinct(), id_col, "left_semi"
+            )
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+            .select(
+                F.col(id_col).alias(out_id),
+                shingles_from_tokens("__toks", shingle_size).alias(f"{out_id}_sh"),
+            )
+            .localCheckpoint()
+        )
+
+    inter = F.size(F.array_intersect("__inc_id_sh", "__corp_id_sh"))
+    union = F.size(F.array_union("__inc_id_sh", "__corp_id_sh"))
+    near_dupes = (
+        cand.join(_sh(survivors, "__inc_id"), "__inc_id")
+        .join(_sh(corpus, "__corp_id"), "__corp_id")
+        .where((inter / F.greatest(union, F.lit(1))) >= threshold)
+        .select(F.col("__inc_id").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(near_dupes, id_col, "left_anti")

@@ -5749,6 +5749,78 @@ def schema_evolution_merge(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _sql_side_shingles(name: str, pred: str) -> str:
+    return f"""
+    {name}_toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+      FROM documents WHERE {pred}),
+    {name}_sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM {name}_toks),
+    {name}_sig AS (SELECT doc_id, {_SQL_SIG16} AS sig FROM {name}_sh),
+    {name}_bands AS (SELECT doc_id, unnest({_SQL_BANDS4}) AS bk FROM {name}_sig)"""
+
+
+_SQL_INCREMENTAL_DEDUP = f"""
+    WITH
+    {_sql_side_shingles("inc", "doc_id % 2 = 1")},
+    {_sql_side_shingles("corp", "doc_id % 2 = 0")},
+    surv0 AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents WHERE doc_id % 2 = 1
+        AND md5({_SQL_NORM_TEXT}) NOT IN
+            (SELECT md5({_SQL_NORM_TEXT}) FROM documents WHERE doc_id % 2 = 0)
+      GROUP BY md5({_SQL_NORM_TEXT})),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS corp_id
+      FROM inc_bands a
+      JOIN surv0 s ON s.doc_id = a.doc_id
+      JOIN corp_bands b ON a.bk = b.bk),
+    near_drop AS (
+      SELECT DISTINCT inc_id FROM cand
+      JOIN inc_sh sa ON sa.doc_id = inc_id
+      JOIN corp_sh sb ON sb.doc_id = corp_id
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(greatest(len(list_distinct(sa.shingles || sb.shingles)), 1) AS DOUBLE) >= 0.8),
+    kept AS (SELECT doc_id FROM surv0
+             WHERE doc_id NOT IN (SELECT inc_id FROM near_drop))
+    SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1) AS n_incoming,
+           COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+    FROM kept
+"""
+
+
+@query("incremental_dedup_report", _SQL_INCREMENTAL_DEDUP)
+def incremental_dedup_report(spark, sf_dir):
+    """Incremental dedup against an EXISTING corpus (dedup.py
+    dedup_against_corpus): the odd-id half of documents arrives as a new
+    batch and is deduplicated against the even-id half — exact fingerprint
+    anti-join, exact within-batch, then MinHash-band candidates vs the
+    corpus verified by shingle Jaccard.  The production pattern at 100 TB:
+    history contributes only fingerprint/signature artifact tables, and the
+    incoming-vs-corpus comparison is band-bucket-bounded, never |corpus|.
+    md5 hash family here so every tier is DuckDB-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    kept = dedup.dedup_against_corpus(
+        incoming, corpus, "text", "doc_id", threshold=0.8, hash_family="md5"
+    )
+    totals = incoming.agg(F.count("*").alias("n_incoming"))
+    return totals.crossJoin(
+        kept.agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_kept_ids"),
+        )
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50

@@ -385,3 +385,33 @@ def test_cluster_blocked_pairs_subset_and_blob_recall(spark):
     exact = {(r["id_a"], r["id_b"])
              for r in similarity.cosine_pairs_above(rnd, 0.3).collect()}
     assert blocked <= exact
+
+
+def test_dedup_against_corpus_tiers(spark):
+    """Incremental dedup drops: exact copies of corpus docs, near-copies of
+    corpus docs, and exact dups within the incoming batch — keeps novel
+    docs and the first copy of batch-internal dups."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "completely unrelated corpus text about databases and engines")],
+        "doc_id int, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, base),                              # exact copy of corpus 0 -> drop
+            (3, base.replace("today", "tonight")),  # near-dup of corpus 0 -> drop
+            (5, "a genuinely novel incoming document with fresh content here"),
+            (7, "another brand new incoming doc talking about spark pipelines"),
+            (9, "another brand new incoming doc talking about spark pipelines"),  # batch dup of 7
+        ],
+        "doc_id int, text string",
+    )
+    kept = dedup.dedup_against_corpus(
+        incoming, corpus, "text", "doc_id", threshold=0.6, hash_family="md5"
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [5, 7]
+    # exact-only mode keeps the near-copy
+    kept_exact = dedup.dedup_against_corpus(
+        incoming, corpus, "text", "doc_id", near=False
+    )
+    assert sorted(r["doc_id"] for r in kept_exact.collect()) == [3, 5, 7]
