@@ -139,3 +139,70 @@ def test_spark_real_decode_rejects_unknown_bytes(spark):
     df = spark.createDataFrame([(1, b"definitely not an image")], "id int, payload binary")
     with pytest.raises(Exception, match="cannot parse|cannot identify"):
         multimodal.extract_image_features(df, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests: the codec layer is pure functions, so fuzz it
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, ch, data):
+    px = bytes(data.draw(st.binary(min_size=w * h * ch, max_size=w * h * ch)))
+    png = encode_png(w, h, ch, px)
+    assert sniff_mime(png) == "image/png"
+    assert image_dimensions(png) == (w, h)
+    rw, rh, rch, decoded = decode_png(png)
+    assert (rw, rh, rch) == (w, h, ch)
+    assert bytes(decoded) == px
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    tw=st.integers(1, 16),
+    th=st.integers(1, 16),
+)
+def test_png_resize_property(w, h, tw, th):
+    png, px = make_png(w, h, channels=3)
+    out = resize_png(png, tw, th)
+    rw, rh, rch, decoded = decode_png(out)
+    assert (rw, rh, rch) == (tw, th, 3)
+    # every output pixel is an exact copy of SOME input pixel (nearest)
+    src_pixels = {bytes(px[i * 3 : i * 3 + 3]) for i in range(w * h)}
+    for i in range(tw * th):
+        assert bytes(decoded[i * 3 : i * 3 + 3]) in src_pixels
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+)
+def test_wav_features_property(rate, samples):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    f = wav_features(buf.getvalue())
+    assert f["rate"] == rate and f["channels"] == 1
+    assert f["duration_s"] == pytest.approx(len(samples) / rate)
+    assert 0.0 <= f["rms"] <= f["peak"] <= 1.0 + 1e-9
+    assert 0.0 <= f["zcr"] <= 1.0
+    assert f["peak"] == pytest.approx(max(abs(s) for s in samples) / 32768.0)
