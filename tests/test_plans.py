@@ -80,6 +80,7 @@ _INTENTIONALLY_UNKEYED = {
     "set_multiset_ops",  # two scalar-subquery 1-row results combined
     "tfidf_top_terms",  # single-row corpus doc-count (IDF denominator)
     "triangle_count_part_graph",  # 1-row node/edge/triangle stats combined
+    "incremental_dedup_report",  # 1-row n_incoming total x 1-row kept stats
 }
 
 
