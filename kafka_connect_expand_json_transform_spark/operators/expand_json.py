@@ -171,12 +171,23 @@ def expand_json(
             if decimal_fidelity:
                 decimal_paths[f] = decimal_leaf_paths(samples)
 
+    root_names: dict[str, str | None] = {}
     if schema_name_prefix:
-        schemas = {f: assign_schema_names(dt, schema_name_prefix) for f, dt in schemas.items()}
+        named = {}
+        for f, dt in schemas.items():
+            named[f], root_names[f] = assign_schema_names(
+                dt, schema_name_prefix, with_root=True
+            )
+        schemas = named
 
     out = df
     for f in fields_to_expand:
         parsed = _parse_expr(F.col(f), schemas[f], mode)
+        if root_names.get(f):
+            # the root struct's generated name (numbered after its children,
+            # reference bottom-up order) rides as column metadata — the only
+            # place a root name can live on a top-level expanded column
+            parsed = parsed.alias(f, metadata={"connect.name": root_names[f]})
         # BigDecimal value fidelity (ExpandJson.java:212-213): from_json
         # funnels number tokens through a double even for string targets, so
         # decimal-derived string leaves are re-extracted through VariantType,

@@ -288,7 +288,7 @@ def decimal_leaf_paths(samples: Iterable[str | None]) -> list[str]:
     return sorted(paths)
 
 
-def assign_schema_names(dtype: DataType, prefix: str) -> DataType:
+def assign_schema_names(dtype: DataType, prefix: str, with_root: bool = False):
     """Carry the reference's generated struct-schema names as field metadata.
 
     The reference numbers each *distinct field list* ``prefix``, ``prefix2``,
@@ -296,6 +296,13 @@ def assign_schema_names(dtype: DataType, prefix: str) -> DataType:
     (ExpandJson.java:69-71, 233-245).  Spark ``StructType`` is anonymous, so
     the name rides in ``StructField.metadata["connect.name"]`` — functionally
     inert, reconstructable by an Avro/Schema-Registry sink (SURVEY.md §1.3).
+
+    ``with_root=True`` returns ``(walked, root_name)`` where ``root_name`` is
+    the name the ROOT struct itself receives — numbered after all its
+    children, matching the reference's bottom-up build order.  The root name
+    has no StructField of its own to ride on inside the type; ``expand_json``
+    attaches it as COLUMN metadata on top-level expanded columns (nested
+    ``withField`` rewrites cannot carry it — documented metadata-only limit).
     """
     names: dict[tuple, str] = {}
 
@@ -323,4 +330,8 @@ def assign_schema_names(dtype: DataType, prefix: str) -> DataType:
             return StructType(new_fields)
         return dt
 
-    return walk(dtype)
+    walked = walk(dtype)
+    if not with_root:
+        return walked
+    root = name_for(walked) if isinstance(walked, StructType) else None
+    return walked, root

@@ -170,3 +170,33 @@ def test_connect_config_guards(spark):
         from_connect_config(
             {"type": "com.github.joshuagrisham.kafka.connect.transforms.ExpandJson$Value"}
         )(structed)
+
+
+def test_key_side_field_mode(spark):
+    """ExpandJson$Key WITH a fields config: JSON-text fields inside a
+    schema'd KEY struct expand in place; the value side passes through
+    (the fourth quadrant of the reference's mode matrix — Key x schema'd)."""
+    key_obj = json.dumps({"meta": NESTED_JSON, "plain": 1})
+    wire = _wire_df(spark, [b"payload"] * 2, key_bytes=[key_obj.encode()] * 2)
+    converted = expand_json(
+        wire.withColumn("key", F.col("key").cast("string")), source_column="key"
+    )
+    out = from_connect_config(
+        {
+            "type": "com.github.joshuagrisham.kafka.connect.transforms.ExpandJson$Key",
+            "fields": "meta",
+            "schema.name.prefix": "test.KeyRecord",
+        }
+    )(converted)
+    kt = out.schema["key"].dataType
+    meta_t = kt["meta"].dataType
+    assert meta_t["numberValue"].dataType == IntegerType()
+    # generated names ride on struct-valued fields INSIDE the expansion; the
+    # expanded leaf's own root name has no containing field in the nested
+    # path (withField carries no metadata) — documented metadata-only limit
+    assert meta_t["level1"].metadata.get("connect.name", "").startswith("test.KeyRecord")
+    row = out.select(
+        "key.meta.level1.level2.level3Number", "key.plain", "value"
+    ).first()
+    assert row[0] == 24 and row[1] == 1
+    assert bytes(row[2]) == b"payload"

@@ -190,3 +190,22 @@ def test_bigdecimal_fidelity_end_to_end(spark):
     wout = expand_json(wide, fields=["payload"], decimal_fidelity=True)
     assert wout.schema["payload"].dataType["x"].dataType == StringType()
     assert wout.select("payload.x").first()[0] == str(float(HIGH_PRECISION))
+
+
+def test_root_schema_name_on_expanded_column(spark):
+    """The root struct's generated name (numbered AFTER its children —
+    reference bottom-up order, ExpandJson.java:233-245) rides as column
+    metadata on top-level expanded columns."""
+    from kafka_connect_expand_json_transform_spark.operators.expand_json import (
+        expand_json,
+    )
+
+    df = spark.createDataFrame([(NESTED_JSON,)], "payload string")
+    out = expand_json(df, fields=["payload"], schema_name_prefix="p.Rec")
+    field = out.schema["payload"]
+    # bottom-up: level2 -> p.Rec, level1 -> p.Rec2, root -> p.Rec3
+    assert field.dataType["level1"].dataType["level2"].dataType is not None
+    lvl1 = field.dataType["level1"]
+    assert lvl1.dataType["level2"].metadata["connect.name"] == "p.Rec"
+    assert lvl1.metadata["connect.name"] == "p.Rec2"
+    assert field.metadata["connect.name"] == "p.Rec3"
