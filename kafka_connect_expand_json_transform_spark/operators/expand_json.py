@@ -253,3 +253,45 @@ def expand_json_nested(
             parsed = _parse_expr(leaf, dtype, mode)
         out = out.withColumn(root, F.col(root).withField(rest, parsed))
     return out
+
+
+def expand_json_observed(
+    df: DataFrame,
+    fields: Sequence[str] | None = None,
+    source_column: str | None = None,
+    observation_name: str = "expand_json_metrics",
+    **kwargs,
+):
+    """``expand_json`` + single-pass parse observability.
+
+    PERMISSIVE mode nulls malformed records silently (the scale-friendly
+    choice — ExpandJson.java:169-171 raises per record instead), which
+    leaves pipelines blind to corruption rates.  This wraps the input with
+    ``DataFrame.observe`` so row and malformed counts are collected DURING
+    whatever action consumes the result — no second scan, no separate
+    quality job.  Returns ``(expanded_df, observation)``; read
+    ``observation.get`` after an action.
+
+    Malformedness is judged by ``try_parse_json`` on the original text
+    (NULL = invalid JSON) — exact, and evaluated once per row inside the
+    same whole-stage-codegen'd projection.  Batch only (``observe`` on
+    streaming frames requires the query-listener path instead).
+    """
+    from pyspark.sql import Observation
+
+    whole_value = not fields
+    targets = [source_column or "value"] if whole_value else list(fields)
+    obs = Observation(observation_name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for f in targets:
+        src = F.col(f).cast("string")
+        metrics.append(
+            F.sum(
+                F.when(src.isNotNull() & F.try_parse_json(src).isNull(), 1).otherwise(0)
+            ).alias(f"n_malformed_{f}")
+        )
+    observed = df.observe(obs, *metrics)
+    out = expand_json(
+        observed, fields=fields, source_column=source_column, **kwargs
+    )
+    return out, obs

@@ -5821,6 +5821,64 @@ def incremental_dedup_report(spark, sf_dir):
     )
 
 
+_SQL_STREAM_SESSION = """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), labeled AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sid, COUNT(*) AS n_events FROM labeled GROUP BY user_id, sid
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM sessions
+"""
+
+
+@query("stream_session_windows_e2e", _SQL_STREAM_SESSION)
+def stream_session_windows_e2e(spark, sf_dir):
+    """T3 on a REAL stream: watermarked session windows (30-minute gap) over
+    the events file stream, update-mode memory sink; one availableNow batch
+    merges every session to its final extent, so the emitted session set
+    equals the batch islands oracle.  The watermark outlives the fixture's
+    span so no session is evicted mid-merge (in production it bounds the
+    pending-session state)."""
+    from kafka_connect_expand_json_transform_spark.streaming.windows import (
+        session_window_agg,
+    )
+
+    stream, cleanup = _stream_table_source(spark, sf_dir, "events")
+    try:
+        sessions = session_window_agg(
+            stream,
+            "ts",
+            "30 minutes",
+            {"n_events": F.count("*")},
+            keys=["user_id"],
+            watermark="35 days",
+        )
+        # session-window streaming aggregations support append/complete only;
+        # complete emits the final merged session set (== the batch answer)
+        out = _run_stream_to_memory(
+            spark, sessions, "sg_stream_sessions", "complete"
+        )
+    finally:
+        cleanup()
+    return out.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50

@@ -280,3 +280,18 @@ def test_from_connect_config_field_mode_and_guards(spark):
     tk = from_connect_config({"type": "...ExpandJson$Key"})
     kdf = spark.createDataFrame([('"bare"', "v")], "key string, value string")
     assert tk(kdf).collect()[0]["key"] == "bare"
+
+
+def test_expand_json_observed_counts_malformed(spark):
+    """Single-pass parse metrics: malformed-record counts are collected by
+    the SAME job that consumes the expansion — no second scan."""
+    from kafka_connect_expand_json_transform_spark.operators.expand_json import (
+        expand_json_observed,
+    )
+
+    rows = [(i, '{"k": %d}' % i if i % 3 else 'x{"broken"') for i in range(12)]
+    df = spark.createDataFrame(rows, "id int, payload string")
+    out, obs = expand_json_observed(df, fields=["payload"])
+    got = out.where(F.col("payload.k").isNotNull()).count()  # the one action
+    assert got == 8  # 12 rows - 4 malformed (0,3,6,9)
+    assert obs.get == {"n_rows": 12, "n_malformed_payload": 4}
