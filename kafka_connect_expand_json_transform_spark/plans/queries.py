@@ -5879,6 +5879,49 @@ def stream_session_windows_e2e(spark, sf_dir):
     )
 
 
+_SQL_VARIANT_EXPLODE = """
+    WITH j AS (
+      SELECT json_object('user_id', user_id,
+                         'event_type', event_type,
+                         'k', CAST(json_extract_string(props, '$.k') AS INTEGER)) AS var
+      FROM events
+    )
+    SELECT k AS prop_key,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT json_extract_string(j.var, '$' || '.' || k)) AS BIGINT)
+             AS n_values
+    FROM j, UNNEST(json_keys(j.var)) AS u(k)
+    GROUP BY 1
+"""
+
+
+@query("variant_explode_props", _SQL_VARIANT_EXPLODE)
+def variant_explode_props(spark, sf_dir):
+    """Dynamic JSON-object-to-rows via the ``variant_explode`` TVF — the
+    Spark-native answer to per-record dynamic shapes (SURVEY §1.5's variant
+    strategy taken one step further: no schema at all, each object's keys
+    become rows).  Re-serializing the record through JSON text and exploding
+    the parsed Variant exercises the full dynamic path; the DuckDB oracle
+    replays it with json_keys + json_extract.  Scale: parse + explode are
+    narrow per-row generators; only the per-key aggregate shuffles (key
+    cardinality, not row cardinality)."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT v.key AS prop_key,
+               COUNT(*) AS n,
+               COUNT(DISTINCT try_variant_get(v.value, '$', 'string')) AS n_values
+        FROM (SELECT parse_json(to_json(named_struct(
+                 'user_id', user_id,
+                 'event_type', event_type,
+                 'k', CAST(get_json_object(props, '$.k') AS INT)))) AS var
+              FROM events) t,
+        LATERAL variant_explode(t.var) v
+        GROUP BY v.key
+        """
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
