@@ -29,6 +29,68 @@ class SplitSentences:
                 pos += 1
 
 
+
+
+class ExtractJsonKeys:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze``): output schema computed at plan
+    time from a literal argument — one string column per requested JSON key.
+
+    ``SELECT * FROM extract_json_keys(props, 'k,tag')`` yields columns
+    ``k, tag``.  This is the UDTF-side answer to per-record dynamic shapes:
+    the caller names the keys, the schema materializes to match — the same
+    plan-time-resolution philosophy as expand_json's sample strategy, but
+    driven by the query text instead of the data.  Values come back as raw
+    JSON-token text (unquoted strings, digit runs for numbers), matching
+    what json_extract_string returns in ANSI SQL oracles.
+    """
+
+    @staticmethod
+    def analyze(text, keys):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import StringType, StructType
+
+        if not keys.isConstantExpression or keys.value is None:
+            raise ValueError(
+                "extract_json_keys requires a literal key list, e.g. 'a,b'"
+            )
+        schema = StructType()
+        for k in str(keys.value).split(","):
+            k = k.strip()
+            if k:
+                schema = schema.add(k, StringType(), True)
+        if not schema.fields:
+            raise ValueError("extract_json_keys: no keys requested")
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, keys: str):  # noqa: D102 - Spark UDTF contract
+        import json as _json
+
+        names = [k.strip() for k in keys.split(",") if k.strip()]
+        if text is None:
+            yield tuple(None for _ in names)
+            return
+        try:
+            obj = _json.loads(text)
+        except ValueError:
+            yield tuple(None for _ in names)
+            return
+        if not isinstance(obj, dict):
+            yield tuple(None for _ in names)
+            return
+
+        def as_text(v):
+            if v is None:
+                return None
+            if isinstance(v, str):
+                return v
+            return _json.dumps(v, separators=(",", ":"))
+
+        yield tuple(as_text(obj.get(k)) for k in names)
+
+
 def register_udtfs(spark) -> None:
     """Make the UDTFs callable from SQL (``SELECT * FROM split_sentences(...)``)."""
+    from pyspark.sql.functions import udtf as _udtf
+
     spark.udtf.register("split_sentences", SplitSentences)
+    spark.udtf.register("extract_json_keys", _udtf(ExtractJsonKeys))

@@ -5922,6 +5922,32 @@ def variant_explode_props(spark, sf_dir):
     )
 
 
+_SQL_UDTF_POLY = """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+"""
+
+
+@query("udtf_extract_json_keys", _SQL_UDTF_POLY)
+def udtf_extract_json_keys(spark, sf_dir):
+    """Polymorphic UDTF (Spark 4 ``analyze``): the output schema is computed
+    at plan time from the literal key list — the UDTF-side answer to
+    per-record dynamic shapes (functions/udtf.py ExtractJsonKeys).  Values
+    surface as raw JSON-token text, so the oracle is plain json_extract."""
+    from kafka_connect_expand_json_transform_spark.functions.udtf import register_udtfs
+
+    register_testdata(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT CAST(e.k AS INT) % 10 AS k_mod, COUNT(*) AS n
+        FROM events, LATERAL extract_json_keys(events.props, 'k') e
+        GROUP BY 1
+        """
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50

@@ -295,3 +295,25 @@ def test_expand_json_observed_counts_malformed(spark):
     got = out.where(F.col("payload.k").isNotNull()).count()  # the one action
     assert got == 8  # 12 rows - 4 malformed (0,3,6,9)
     assert obs.get == {"n_rows": 12, "n_malformed_payload": 4}
+
+
+def test_polymorphic_udtf_schema_follows_key_list(spark):
+    """Spark 4 analyze()-based UDTF: the literal key list drives the output
+    schema; values are raw JSON-token text; missing keys and malformed rows
+    yield NULLs instead of dropping rows."""
+    from kafka_connect_expand_json_transform_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, '{"a": 5, "b": "hi", "c": {"d": 1}}'), (2, "not json"), (3, None)],
+        "id int, j string",
+    ).createOrReplaceTempView("poly_in")
+    out = spark.sql(
+        "SELECT t.id, e.* FROM poly_in t, LATERAL extract_json_keys(t.j, 'a,b,c,zz') e"
+    )
+    assert out.columns == ["id", "a", "b", "c", "zz"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert (rows[1]["a"], rows[1]["b"], rows[1]["c"], rows[1]["zz"]) == (
+        "5", "hi", '{"d":1}', None
+    )
+    assert rows[2]["a"] is None and rows[3]["a"] is None  # malformed / null rows kept
