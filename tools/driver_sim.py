@@ -1,0 +1,97 @@
+"""Simulate the driver's correctness gate exactly, before the driver does.
+
+Runs the FIRST 50 registered queries (the driver's CORRECTNESS window —
+VERDICT r01 #1) in a PLAIN SparkSession (none of get_spark's confs, like the
+harness) at sf0.01, compares each against its DuckDB oracle with the
+driver's discipline (row count + column names + order-insensitive values),
+and prints failures.  Run at round start after testdata regeneration and
+before shipping window changes:
+
+    python tools/driver_sim.py              # first 50 (the driver window)
+    python tools/driver_sim.py --all        # every oracle-checked query
+    python tools/driver_sim.py name1 name2  # specific queries
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+SF = "/root/testdata/sf0.01"
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    args = [a for a in sys.argv[1:]]
+    if args and args[0] == "--all":
+        names = [n for n in qs if n in oracles]
+    elif args:
+        names = args
+    else:
+        names = list(qs)[:50]
+
+    bad = []
+    for n in names:
+        if n not in oracles:
+            print(f"  (skip {n}: rows-only, no oracle)")
+            continue
+        try:
+            sdf = canon(qs[n](spark, SF).toPandas())
+            ddf = canon(con.execute(oracles[n]).fetchdf())
+            ok = len(sdf) == len(ddf) and list(sdf.columns) == list(ddf.columns)
+            if ok:
+                for c in sdf.columns:
+                    for x, y in zip(sdf[c].tolist(), ddf[c].tolist()):
+                        if not values_equal(x, y):
+                            ok = False
+                            break
+                    if not ok:
+                        break
+            if not ok:
+                bad.append((n, f"shape/value mismatch: spark={len(sdf)} duck={len(ddf)}"))
+        except Exception as ex:  # noqa: BLE001 - report, don't abort
+            bad.append((n, f"{type(ex).__name__}: {ex}"[:160]))
+    print(f"checked {len(names)} queries, failures: {len(bad)}")
+    for n, why in bad:
+        print(f"  FAIL {n}: {why}")
+    print("entry() rows:", entry_mod.entry(spark).count())
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
