@@ -5948,6 +5948,80 @@ def udtf_extract_json_keys(spark, sf_dir):
     )
 
 
+_SQL_SALTED_JOIN = """
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+"""
+
+
+@query("salted_join_agg", _SQL_SALTED_JOIN)
+def salted_join_agg(spark, sf_dir):
+    """Explicit skew-salted equi-join (operators/relational.py salted_join):
+    the left side is salted into 16 sub-keys and the right replicated per
+    bucket, spreading any hot key over 16 tasks — semantics identical to the
+    plain join, which is exactly what the plain-SQL oracle asserts.  Reach
+    for this when one key exceeds a task even after AQE's skew split."""
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        salted_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, on="o_custkey", salt_buckets=16)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"),
+        dbl(F.sum(money("o_totalprice"))).alias("sum_price"),
+    )
+
+
+_SQL_ZORDER_ROUNDTRIP = """
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_custkey <= 100 AND o_orderkey <= 5000
+"""
+
+
+@query("zorder_roundtrip_agg", _SQL_ZORDER_ROUNDTRIP)
+def zorder_roundtrip_agg(spark, sf_dir):
+    """Z-order data-skipping layout end-to-end (sources/batch.py
+    write_zorder_parquet): orders rewritten clustered on (o_custkey,
+    o_orderkey) via a rank-bucketed Morton interleave, re-read with a
+    two-column point-range predicate — row-group stats then skip most of
+    the file (asserted structurally in test_plans; HERE the value identity
+    with the unclustered oracle proves the rewrite is lossless).  The
+    result is materialized so the temp layout can be deleted."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources.batch import (
+        write_zorder_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="sg_zorder_")
+    try:
+        write_zorder_parquet(
+            orders, tmp + "/z", ["o_custkey", "o_orderkey"]
+        )
+        back = spark.read.parquet(tmp + "/z")
+        res = (
+            back.where((F.col("o_custkey") <= 100) & (F.col("o_orderkey") <= 5000))
+            .agg(
+                F.count("*").alias("n"),
+                dbl(F.sum(money("o_totalprice"))).alias("sum_price"),
+            )
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
