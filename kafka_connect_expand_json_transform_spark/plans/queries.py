@@ -6022,6 +6022,47 @@ def zorder_roundtrip_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_OBSERVED_METRICS = """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN NOT json_valid(CASE WHEN event_id % 10 = 0
+                                                  THEN 'x' || props ELSE props END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+           CAST(SUM(CASE WHEN json_valid(CASE WHEN event_id % 10 = 0
+                                              THEN 'x' || props ELSE props END)
+                         THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                    END) AS BIGINT) AS sum_k
+    FROM events
+"""
+
+
+@query("observed_expand_metrics", _SQL_OBSERVED_METRICS)
+def observed_expand_metrics(spark, sf_dir):
+    """Single-pass parse observability, value-checked: expand_json_observed
+    collects row/malformed counts via DataFrame.observe DURING the one job
+    that also computes the expansion aggregate — no second scan.  The query
+    returns (n_rows, n_malformed, sum_k) where the first two come from the
+    observation and the third from the aggregate the same action produced,
+    proving both sides of the single pass against the SQL oracle."""
+    from kafka_connect_expand_json_transform_spark.operators.expand_json import (
+        expand_json_observed,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rec = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.concat(F.lit("x"), "props"))
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    out, obs = expand_json_observed(rec, fields=["payload"])
+    sum_k = out.agg(F.sum("payload.k").cast("bigint").alias("s")).first()["s"]
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_malformed_payload"], sum_k)],
+        "n_rows bigint, n_malformed bigint, sum_k bigint",
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
