@@ -6065,6 +6065,221 @@ def observed_expand_metrics(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# [EXT] additional batch formats + wire-format breadth (round 2 session 2):
+# ORC source/sink, XML expansion (the reference's JSON SMT generalized to the
+# other text wire format Spark parses natively), URL parsing, and an
+# out-of-vocabulary curation report.  Avro is NOT covered: pyspark 4.1.2
+# ships from_avro/to_avro stubs but the spark-avro jar is an external module
+# absent from this container (AVRO_NOT_LOADED), and --packages needs network.
+# ---------------------------------------------------------------------------
+
+_SQL_ORC_ROUNDTRIP = """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag
+"""
+
+
+@query("orc_roundtrip_agg", _SQL_ORC_ROUNDTRIP)
+def orc_roundtrip_agg(spark, sf_dir):
+    """ORC batch source+sink round-trip (columnar-format breadth beyond
+    parquet): lineitem -> ORC files sorted by ship date within partitions ->
+    re-read with a date filter -> aggregate equals the parquet truth.  Money
+    rides as DECIMAL(12,2) and quantity as BIGINT so the round-trip is exact.
+    Scale: the re-read filter reaches the ORC reader as a pushed predicate
+    against the writer's sorted-stripe statistics — same data-skipping story
+    as write_sorted_parquet (sources/batch.py), on the other columnar format.
+    The small result is localCheckpoint-materialized so the temp files can be
+    deleted before the caller collects."""
+    import shutil
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        money("l_extendedprice").alias("price"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_orc_")
+    try:
+        li.sortWithinPartitions("l_shipdate").write.mode("overwrite").orc(tmp)
+        back = spark.read.orc(tmp).filter(F.col("l_shipdate") >= F.lit("1995-01-01"))
+        res = back.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"),
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+            dbl(F.sum("price")).alias("sum_price"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_XML_EXPAND = """
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * l_linenumber) AS BIGINT) AS sum_qxl
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("xml_expand_agg", _SQL_XML_EXPAND)
+def xml_expand_agg(spark, sf_dir):
+    """XML wire-format expansion — the reference's JSON SMT (ExpandJson.java)
+    generalized to the other self-describing text format Spark parses
+    natively: rows are serialized to an XML payload column, then expanded
+    back to typed columns with ``from_xml`` (struct path) AND ``xpath_long``
+    (the path-query API), and the aggregate over the re-extracted values must
+    equal the truth computed straight from the source columns (the oracle
+    never sees XML).  Both extraction APIs feed the result so a regression in
+    either breaks the hash.  Scale: from_xml/xpath are JVM expression-level
+    (no UDF), so expansion stays inside whole-stage codegen exactly like the
+    from_json path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    payload = li.select(
+        "l_returnflag",
+        F.concat(
+            F.lit("<li><q>"),
+            F.col("l_quantity").cast("bigint").cast("string"),
+            F.lit("</q><ln>"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("</ln></li>"),
+        ).alias("xml"),
+    )
+    parsed = payload.select(
+        "l_returnflag",
+        F.from_xml("xml", "q BIGINT, ln BIGINT").alias("s"),
+        F.xpath_long("xml", F.lit("/li/q")).alias("q_xpath"),
+    )
+    return parsed.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.sum("s.q").cast("bigint").alias("sum_qty"),
+        F.sum(F.col("q_xpath") * F.col("s.ln")).cast("bigint").alias("sum_qxl"),
+    )
+
+
+_SQL_PARSE_URL = """
+    WITH u AS (
+      SELECT 'cust' || CAST(c_custkey % 50 AS VARCHAR) || '.example.com' AS host,
+             '/n/' || CAST(c_nationkey AS VARCHAR) AS path,
+             c_mktsegment AS mkt
+      FROM customer
+    )
+    SELECT host,
+           COUNT(*) AS n,
+           COUNT(DISTINCT path) AS n_paths,
+           COUNT(DISTINCT mkt) AS n_segments
+    FROM u GROUP BY host ORDER BY host LIMIT 20
+"""
+
+
+@query("parse_url_funcs", _SQL_PARSE_URL)
+def parse_url_funcs(spark, sf_dir):
+    """URL parsing functions (parse_url HOST/PATH/QUERY) — web-corpus
+    curation staple (host-level dedup, per-domain caps, query stripping).
+    URLs are synthesized from customer columns, then every output column is
+    re-extracted FROM the URL string with parse_url; the oracle computes the
+    same columns straight from the source integers, so a parse_url divergence
+    breaks the hash.  Scale: parse_url is a JVM expression — host extraction
+    over 100 TB of crawl metadata never leaves codegen."""
+    c = load_table(spark, sf_dir, "customer")
+    urls = c.select(
+        F.concat(
+            F.lit("https://cust"),
+            (F.col("c_custkey") % 50).cast("string"),
+            F.lit(".example.com/n/"),
+            F.col("c_nationkey").cast("string"),
+            F.lit("?mkt="),
+            F.col("c_mktsegment"),
+        ).alias("url")
+    )
+    parsed = urls.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("mkt")).alias("mkt"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("path").alias("n_paths"),
+            F.countDistinct("mkt").alias("n_segments"),
+        )
+        .orderBy("host")
+        .limit(20)
+    )
+
+
+_SQL_OOV = """
+    WITH tok AS (
+      SELECT lang, t AS token
+      FROM (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+        FROM tok GROUP BY token
+      ) WHERE rn <= 500
+    )
+    SELECT tok.lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM tok LEFT JOIN vocab ON tok.token = vocab.token
+    GROUP BY tok.lang
+"""
+
+
+@query("oov_rate_report", _SQL_OOV)
+def oov_rate_report(spark, sf_dir):
+    """Out-of-vocabulary rate per language — the tokenizer-coverage check a
+    training-data pipeline runs before committing a corpus mix: build the
+    corpus's own top-500 vocabulary (count-desc, token-asc deterministic
+    tie-break), then measure the fraction of token occurrences outside it,
+    per language.  Exact integer numerator/denominator; one double division.
+    Scale: the vocabulary is top-k-bounded (500 rows) so the membership join
+    is a broadcast hash join against the full token stream — the token
+    explode is the only wide child and it aggregates map-side first."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    # top-k via TakeOrdered (per-partition k-heaps), NOT a global row_number
+    # window — a single-partition sort of every distinct token would be the
+    # 100 TB bottleneck; orderBy+limit keeps it a k-size merge on the driver
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(500)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "token", "left")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        (
+            dbl(F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)))
+            / dbl(F.count("*"))
+        ).alias("oov_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
 # Reorder the registries so those 50 slots hold one oracle-checkable
