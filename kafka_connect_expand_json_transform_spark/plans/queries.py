@@ -6279,6 +6279,136 @@ def oov_rate_report(spark, sf_dir):
     )
 
 
+_SQL_PART_PRUNED = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE event_type IN ('purchase', 'error')
+    GROUP BY event_type
+"""
+
+
+@query("partitioned_pruned_agg", _SQL_PART_PRUNED)
+def partitioned_pruned_agg(spark, sf_dir):
+    """Hive-style directory partitioning + partition-pruned re-read — the
+    value-checked twin of the DPP/pruning plan tests (test_plans.py): events
+    are written ``partitionBy(event_type)``, re-read with a partition-key
+    filter, and the aggregate must equal the truth from the unpartitioned
+    source.  The filter lands in the scan's PartitionFilters, so only 2 of 5
+    directories are listed — at 100 TB, directory pruning is the first and
+    cheapest data-skipping tier (before row-group stats or Z-order), and a
+    write layout that silently dropped or re-typed the partition column would
+    break the hash here.  Exact cents arithmetic; small result
+    localCheckpoint-materialized so the temp dirs can be deleted."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(8,2)") * 100).cast("bigint").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_part_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        back = spark.read.parquet(tmp).filter(
+            F.col("event_type").isin("purchase", "error")
+        )
+        res = back.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# EWMA with alpha = 1/2 over a trailing 16-row window: weight for lag i is
+# 2^(15-i), so numerator and denominator are exact int64 sums and the single
+# closing division is the only double — no float pow cross-engine risk.
+_EWMA_NUM = " + ".join(
+    f"COALESCE(LAG(cents, {i}) OVER w * {1 << (15 - i)}, 0)" for i in range(16)
+)
+_EWMA_DEN = " + ".join(
+    f"CASE WHEN LAG(cents, {i}) OVER w IS NOT NULL THEN {1 << (15 - i)} ELSE 0 END"
+    for i in range(16)
+)
+_SQL_EWMA = f"""
+    WITH p AS (
+      SELECT user_id, event_id,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT user_id, event_id, cents,
+             ({_EWMA_NUM}) AS num,
+             ({_EWMA_DEN}) AS den
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(num AS BIGINT) AS ewma_num,
+           CAST(den AS BIGINT) AS ewma_den,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma_cents
+    FROM e
+"""
+
+
+@query("ewma_purchase_values", _SQL_EWMA)
+def ewma_purchase_values(spark, sf_dir):
+    """Exponentially-weighted moving average (alpha = 1/2) of each user's
+    purchase values — the smoothing primitive behind drift dashboards and
+    trend features.  The infinite EWMA recurrence is not windowable, so this
+    is the standard truncated form over the trailing 16 observations, with
+    the one twist that makes it cross-engine exact: alpha = 1/2 turns every
+    weight (1-a)^i into the integer 2^(15-i), so numerator and denominator
+    are exact int64 window sums (16 LAG terms, all inside one window frame —
+    one shuffle on user_id, no self-join) and only the final ratio is a
+    double.  Scale: identical shape to any per-key trailing-window feature —
+    partitionBy(user) sort-within-partition, no global ordering."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("value").cast("decimal(8,2)") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    num = sum(
+        (
+            F.coalesce(F.lag("cents", i).over(w) * F.lit(1 << (15 - i)), F.lit(0))
+            for i in range(16)
+        ),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("cents", i).over(w).isNotNull(), F.lit(1 << (15 - i))).otherwise(0)
+            for i in range(16)
+        ),
+        start=F.lit(0),
+    )
+    e = p.select(
+        "user_id",
+        "event_id",
+        "cents",
+        num.cast("bigint").alias("ewma_num"),
+        den.cast("bigint").alias("ewma_den"),
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "cents",
+        "ewma_num",
+        "ewma_den",
+        (dbl(F.col("ewma_num")) / dbl(F.col("ewma_den"))).alias("ewma_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
