@@ -502,3 +502,69 @@ def test_driver_window_composition():
         "triangle_count_part_graph", "scd2_user_state", "merge_upsert_orders",
     }
     assert must_have <= set(first50), must_have - set(first50)
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """partitioned_pruned_agg's layout contract: a partition-key filter on a
+    partitionBy(event_type) dataset must land in the scan's PartitionFilters
+    (directory pruning at listing time), not in a post-scan Filter."""
+    from kafka_connect_expand_json_transform_spark.sources.batch import load_table
+
+    out = str(tmp_path / "ev_part")
+    load_table(spark, SF, "events").select("event_id", "event_type").write.partitionBy(
+        "event_type"
+    ).mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in pf and "purchase" in pf, pf
+
+
+def test_orc_reread_pushes_filter(spark, tmp_path):
+    """orc_roundtrip_agg's re-read contract: the ship-date predicate must
+    reach the ORC reader as a pushed filter (stripe-stat skipping on the
+    writer's sortWithinPartitions key)."""
+    from kafka_connect_expand_json_transform_spark.sources.batch import load_table
+
+    out = str(tmp_path / "li_orc")
+    load_table(spark, SF, "lineitem").select("l_shipdate", "l_returnflag").write.mode(
+        "overwrite"
+    ).orc(out)
+    back = spark.read.orc(out).filter(F.col("l_shipdate") >= F.lit("1995-01-01"))
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_oov_vocab_joins_broadcast(spark):
+    """The 500-row vocabulary must broadcast against the token stream —
+    a shuffled membership join would move every token occurrence twice."""
+    plan = plan_of(spark, "oov_rate_report")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_xml_and_url_expansion_stay_codegen(spark):
+    """from_xml/xpath/parse_url are JVM expressions: no Python evaluation
+    node may appear in either wire-format expansion plan."""
+    for name in ("xml_expand_agg", "parse_url_funcs"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_ewma_single_window_exchange(spark):
+    """All 16 LAG terms must share one window frame: exactly one
+    hashpartitioning exchange (on user_id), no self-join."""
+    plan = plan_of(spark, "ewma_purchase_values")
+    # formatted mode: "(n) Exchange" detail header appears once per node
+    assert plan.count(") Exchange") == 1, plan.count(") Exchange")
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+    assert plan.count(") Window") == 1, "all 16 lags must share one Window node"
