@@ -717,3 +717,46 @@ def test_read_csv_and_json_sources(spark, tmp_path):
 
     with _pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
         read_json(spark, json_path, schema="k int", mode="FAILFAST").collect()
+
+
+def test_bpe_merge_rounds_invariants(spark):
+    """Merging the top pair can only shrink any other pair's count (a new
+    pair that involves the merged symbol maps 1:1 onto occurrences of the
+    old triple), so the winning count must be non-increasing across rounds;
+    pairs must be distinct and weights positive."""
+    from kafka_connect_expand_json_transform_spark.plans.queries import QUERIES
+
+    rows = (
+        QUERIES["bpe_merge_rounds"](spark, "/root/testdata/sf0.001")
+        .orderBy("round")
+        .collect()
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    ns = [r["n_weighted"] for r in rows]
+    assert ns == sorted(ns, reverse=True), ns
+    assert all(n > 0 for n in ns)
+    pairs = [(r["pair_a"], r["pair_b"]) for r in rows]
+    assert len(set(pairs)) == 3, pairs
+
+
+def test_ewma_weight_arithmetic(spark):
+    """The bit-shift weights must telescope exactly: a full 16-deep window
+    has denominator 2^16 - 1; the first observation of a user is its own
+    EWMA (den = 2^15, num = cents * 2^15); every EWMA lies within the
+    user's observed [min, max] cents."""
+    from kafka_connect_expand_json_transform_spark.plans.queries import QUERIES
+
+    rows = QUERIES["ewma_purchase_values"](spark, "/root/testdata/sf0.001").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["event_id"])
+        first = rs[0]
+        assert first["ewma_den"] == 1 << 15
+        assert first["ewma_num"] == first["cents"] * (1 << 15)
+        for i, r in enumerate(rs):
+            if i >= 15:
+                assert r["ewma_den"] == (1 << 16) - 1
+            window = [x["cents"] for x in rs[max(0, i - 15) : i + 1]]
+            assert min(window) <= r["ewma_cents"] <= max(window), (u, i)
