@@ -6659,6 +6659,102 @@ def bpe_merge_rounds(spark, sf_dir):
     )
 
 
+def _sql_perceptron() -> str:
+    """Chained-CTE oracle for 3 batch-perceptron rounds (generated so the
+    per-round block is written once; the output SQL is fully literal)."""
+    head = """
+    WITH d AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 10000 AS x1,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS x2,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE -1 END AS y
+      FROM orders
+    ),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                  CAST(0 AS BIGINT) AS w2)
+    """
+    rounds = []
+    for r in (1, 2, 3):
+        p = f"w{r-1}"
+        rounds.append(f"""
+    m{r} AS (
+      SELECT d.*,
+             (SELECT w0 FROM {p}) + (SELECT w1 FROM {p}) * x1
+               + (SELECT w2 FROM {p}) * x2 AS margin
+      FROM d
+    ),
+    u{r} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_miscls,
+             CAST(COALESCE(SUM(y), 0) AS BIGINT) AS dw0,
+             CAST(COALESCE(SUM(y * x1), 0) AS BIGINT) AS dw1,
+             CAST(COALESCE(SUM(y * x2), 0) AS BIGINT) AS dw2
+      FROM m{r} WHERE y * margin <= 0
+    ),
+    w{r} AS (
+      SELECT (SELECT w0 FROM {p}) + (SELECT dw0 FROM u{r}) AS w0,
+             (SELECT w1 FROM {p}) + (SELECT dw1 FROM u{r}) AS w1,
+             (SELECT w2 FROM {p}) + (SELECT dw2 FROM u{r}) AS w2
+    )""")
+    tail = """
+    SELECT CAST(1 AS BIGINT) AS round, (SELECT n_miscls FROM u1) AS n_miscls,
+           w0, w1, w2 FROM w1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), (SELECT n_miscls FROM u2), w0, w1, w2 FROM w2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), (SELECT n_miscls FROM u3), w0, w1, w2 FROM w3
+    """
+    return head + "," + ",".join(rounds) + tail
+
+
+@query("perceptron_training_rounds", _sql_perceptron())
+def perceptron_training_rounds(spark, sf_dir):
+    """Distributed ML training, 3 batch-perceptron rounds value-checked —
+    the iterative-gradient pattern (kmeans/pagerank/BPE family) applied to
+    supervised learning, with the one design choice that makes training
+    bit-identical cross-engine: the perceptron update rule is pure integer
+    arithmetic (margin = w.x, update = sum of y*x over misclassified rows),
+    no sigmoid/exp to diverge in the last ulp.  Features: order total in
+    hundreds-of-dollars (exact cents // 10000) and order month; label:
+    urgent/high priority.  Scale: each round is ONE partial+final aggregate
+    over the fact table (map-side combine reduces to 4 int64s per task) and
+    moves a single 4-int row to the driver; weight literals are folded into
+    the next round's scan-side expression, so round count never grows state
+    or shuffle.  int64 headroom: |dw1| <= n * max_x1 (~9e10 at sf10),
+    margins <= w1 * x1 (~5e15 at sf10) — safe through sf100."""
+    o = load_table(spark, sf_dir, "orders").select(
+        # `div` = exact integer division (cents are positive: floor == trunc,
+        # matching DuckDB's `//`); `/` would detour through doubles
+        ((money("o_totalprice") * 100).cast("bigint"))
+        .alias("_cents"),
+        F.month("o_orderdate").cast("bigint").alias("x2"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(-1)
+        .alias("y"),
+    ).select(
+        F.expr("_cents div 10000").alias("x1"), "x2", "y"
+    )
+    w = [0, 0, 0]
+    out = []
+    for rnd in (1, 2, 3):
+        margin = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        mis = o.filter(F.col("y") * margin <= 0)
+        u = mis.agg(
+            F.count("*").cast("bigint").alias("n_miscls"),
+            F.coalesce(F.sum("y"), F.lit(0)).cast("bigint").alias("dw0"),
+            F.coalesce(F.sum(F.col("y") * F.col("x1")), F.lit(0))
+            .cast("bigint")
+            .alias("dw1"),
+            F.coalesce(F.sum(F.col("y") * F.col("x2")), F.lit(0))
+            .cast("bigint")
+            .alias("dw2"),
+        ).collect()[0]  # one 4-int row per round
+        w = [w[0] + u["dw0"], w[1] + u["dw1"], w[2] + u["dw2"]]
+        out.append((rnd, u["n_miscls"], w[0], w[1], w[2]))
+    return spark.createDataFrame(
+        out, "round bigint, n_miscls bigint, w0 bigint, w1 bigint, w2 bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
