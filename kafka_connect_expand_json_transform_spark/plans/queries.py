@@ -5821,6 +5821,51 @@ def incremental_dedup_report(spark, sf_dir):
     )
 
 
+_SQL_STREAM_SLIDING = """
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - k.k * 1800) AS TIMESTAMP)
+             AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM events, LATERAL (SELECT unnest(generate_series(0, 1)) AS k) k
+    GROUP BY 1, 2
+"""
+
+
+@query("stream_sliding_agg_e2e", _SQL_STREAM_SLIDING)
+def stream_sliding_agg_e2e(spark, sf_dir):
+    """T2's overlapping variant on a REAL stream: watermarked sliding-window
+    aggregate (1h window / 30min slide — each event feeds 2 windows),
+    complete-mode memory sink; final state equals the batch fan-out oracle.
+    Scale: state rows = windows x keys, i.e. duration/slide copies per
+    tumbling equivalent — the overlap factor IS the state multiplier, which
+    is why production slides should divide the window coarsely."""
+    from kafka_connect_expand_json_transform_spark.streaming.windows import (
+        sliding_window_agg,
+    )
+
+    stream, cleanup = _stream_table_source(spark, sf_dir, "events")
+    try:
+        agg = sliding_window_agg(
+            stream,
+            "ts",
+            "1 hour",
+            "30 minutes",
+            {
+                "n": F.count("*"),
+                "sum_value": dbl(F.sum(F.col("value").cast("decimal(10,2)"))),
+            },
+            keys=["event_type"],
+            watermark="1 hour",
+        )
+        out = _run_stream_to_memory(spark, agg, "sg_stream_sliding", "complete")
+    finally:
+        cleanup()
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
 _SQL_STREAM_SESSION = """
     WITH flagged AS (
       SELECT user_id, ts,
