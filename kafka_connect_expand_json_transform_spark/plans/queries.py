@@ -1412,8 +1412,33 @@ def neardup_jaccard_pairs(spark, sf_dir):
     )
 
 
-@query("embedding_dedup_pipeline")  # iterative connected components: rows-only
+@query(
+    "embedding_dedup_pipeline",
+    """
+    WITH RECURSIVE ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    edges AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))), 4) >= 0.95),
+    sym AS (SELECT id_a AS s, id_b AS d FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, e2.d FROM reach r JOIN sym e2 ON r.d = e2.s),
+    losers AS (SELECT DISTINCT s AS vec_id FROM reach GROUP BY s HAVING MIN(d) < s)
+    SELECT COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS sum_kept_ids
+    FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    """,
+)
 def embedding_dedup_pipeline(spark, sf_dir):
+    """Embedding near-dup removal end-to-end, value-checked: tiled-GEMM
+    cosine pairs at 0.95 (round-4 threshold — the same convention the
+    cosine_threshold_pairs oracle proves), pointer-jumping connected
+    components (recursive-CTE transitive closure on the DuckDB side), keep
+    the min-id survivor per cluster."""
     emb = load_table(spark, sf_dir, "embeddings")
     kept = dedup.embedding_dedup(emb, "embedding", "vec_id", threshold=0.95)
     return kept.agg(F.count("*").alias("n_kept"), F.sum("vec_id").alias("sum_kept_ids"))
