@@ -58,18 +58,24 @@ def curate(
     min_tokens: int = 5,
     near_dup_threshold: float = 0.8,
     with_report: bool = False,
+    hash_family: str = "xxhash",
 ):
     """Full curation pass. Returns the curated DataFrame, or
     ``(DataFrame, CurationReport)`` with per-stage counts when
     ``with_report=True`` (the report triggers one count per stage —
-    accounting is optional because it is not free).
+    accounting is optional because it is not free).  ``hash_family``
+    follows ``minhash_dedup``: xxhash (production, engine-specific) or md5
+    (bit-identical cross-engine, oracle-parity mode).
     """
     staged = quality_filter(df, text_col, min_quality, min_tokens)
     # lazy local checkpoint: the exact-dedup output feeds the MinHash stage
     # THREE times (signatures, Jaccard verify, final anti-join) — without it
     # the filter+groupBy+semi-join lineage re-executes per use
     exact = exact_dedup(staged, text_col, id_col).localCheckpoint(eager=False)
-    near = minhash_dedup(exact, text_col, id_col, threshold=near_dup_threshold)
+    near = minhash_dedup(
+        exact, text_col, id_col, threshold=near_dup_threshold,
+        hash_family=hash_family,
+    )
     if not with_report:
         return near
     report = CurationReport(

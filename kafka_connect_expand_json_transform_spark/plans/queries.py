@@ -1562,6 +1562,80 @@ def minhash_dedup_md5(spark, sf_dir):
     return kept.agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_kept_ids"))
 
 
+@query(
+    "curation_pipeline_md5",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text,
+        list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS rawtoks,
+        list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS lowtoks,
+        len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+        length(text) AS n_chars
+      FROM documents),
+    q AS (
+      SELECT doc_id, text, lowtoks FROM t
+      WHERE round(
+          0.4 * least(CAST(len(rawtoks) AS DOUBLE) / 20.0, 1.0)
+        + 0.3 * (CAST(len(list_distinct(lowtoks)) AS DOUBLE)
+                 / CAST(greatest(len(lowtoks), 1) AS DOUBLE))
+        + 0.2 * (CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE))
+        + 0.1 * least((CAST(len(list_filter(lowtoks,
+                         x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                       / CAST(greatest(len(lowtoks), 1) AS DOUBLE)) * 5.0, 1.0), 4) >= 0.5
+        AND len(rawtoks) >= 5),
+    ex AS (
+      SELECT q.doc_id, q.lowtoks FROM q
+      JOIN (SELECT MIN(doc_id) AS doc_id FROM q
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) k
+        ON q.doc_id = k.doc_id),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(lowtoks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(lowtoks) - 2),
+                         i -> lowtoks[i] || ' ' || lowtoks[i+1] || ' ' || lowtoks[i+2]))
+                  ELSE [array_to_string(lowtoks, ' ')] END AS shingles
+      FROM ex),
+    sig AS (SELECT doc_id, {_SQL_SIG16} AS sig FROM sh),
+    bands AS (SELECT doc_id, unnest({_SQL_BANDS4}) AS bk FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(greatest(len(list_distinct(sa.shingles || sb.shingles)), 1) AS DOUBLE) >= 0.8),
+    sym AS (SELECT id_a AS s, id_b AS d FROM verified
+            UNION SELECT id_b, id_a FROM verified),
+    reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s),
+    losers AS (SELECT DISTINCT s AS doc_id FROM reach GROUP BY s HAVING MIN(d) < s)
+    SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+    FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def curation_pipeline_md5(spark, sf_dir):
+    """The full curation composite in oracle-parity mode: quality filter
+    (composite score >= 0.5, >= 5 tokens) -> exact dedup (md5 fingerprint,
+    keep min id) -> MinHash-LSH near-dup with the md5 hash family -> kept-set
+    checksum.  Every stage of the chain — scoring, fingerprint grouping,
+    signatures, banding, Jaccard verification, connected components — is
+    value-checked in ONE recursive-CTE oracle; `curation_pipeline` (xxhash)
+    remains the production path."""
+    from kafka_connect_expand_json_transform_spark.llmops.curation import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curate(
+        docs, min_quality=0.5, min_tokens=5, near_dup_threshold=0.8,
+        hash_family="md5",
+    )
+    return kept.agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_kept_ids"))
+
+
 @query("minhash_dedup_pipeline")  # xxhash production path: rows-only
 def minhash_dedup_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
