@@ -1645,6 +1645,117 @@ def minhash_dedup_pipeline(spark, sf_dir):
     )
 
 
+@query(
+    "simhash_md5_pipeline",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    tokh AS (
+      SELECT doc_id, ('0x' || substr(md5(u.tok), 1, 15))::BIGINT AS h
+      FROM toks, LATERAL (SELECT unnest(t) AS tok) u
+      WHERE len(t) > 0),
+    votes AS (
+      SELECT doc_id, j.j AS j,
+             CAST(SUM(2 * ((h >> j.j) & 1) - 1) AS BIGINT) AS v
+      FROM tokh, LATERAL (SELECT unnest(generate_series(0, 59)) AS j) j
+      GROUP BY doc_id, j.j),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+                           ELSE 0 END) AS BIGINT) AS s
+      FROM votes GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b.b AS b, (s >> (15 * b.b)) & 32767 AS bk
+      FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+                                AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT id_a, id_b, bit_count(xor(sa.s, sb.s)) AS hamming
+      FROM cand JOIN sig sa ON sa.doc_id = id_a
+                JOIN sig sb ON sb.doc_id = id_b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN hamming <= 6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_close_pairs,
+           CAST(COALESCE(SUM(CASE WHEN hamming <= 6 THEN hamming ELSE 0 END), 0)
+                AS BIGINT) AS sum_close_hamming
+    FROM scored
+    """,
+)
+def simhash_md5_pipeline(spark, sf_dir):
+    """SimHash near-dup in oracle-parity mode — the md5 twin of
+    `simhash_candidates` (which keeps the xxhash64 + vectorized-numpy
+    production path): per-token 60-bit md5 hashes (top 15 hex digits — the
+    same integer in Spark's `conv` and DuckDB's '0x' cast), sign-vote
+    signature built entirely in JVM higher-order expressions, 4x15-bit
+    band blocking, Hamming-distance verification via `bit_count(a ^ b)`.
+    Candidate generation, banding, and verification are all value-checked.
+    Scale note: the interpreted 60-lambda vote is ~4x slower than the numpy
+    path (measured, dedup.py:simhash_signatures docstring) — this query is
+    the correctness tier; production uses the vectorized variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", TXT.tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    # codegen'd sign-vote: explode tokens, 60 bit-sums + token count as ONE
+    # partial+final hash aggregate (vote_j = 2*sum_j - n; the interpreted
+    # 60-lambda HOF formulation measured 17 s vs ~2 s for this shape)
+    tokh = toks.select(
+        "doc_id", F.explode("t").alias("tok")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    bit_sums = [
+        F.sum(F.expr(f"shiftright(h, {j}) & 1")).alias(f"b{j}") for j in range(60)
+    ]
+    votes = tokh.groupBy("doc_id").agg(*bit_sums, F.count("*").alias("n"))
+    sig_expr = " + ".join(
+        f"IF(2 * b{j} > n, shiftleft(1L, {j}), 0L)" for j in range(60)
+    )
+    sig = votes.select(
+        "doc_id", F.expr(sig_expr).alias("s")
+    ).localCheckpoint(eager=True)  # consumed by bands + two scoring joins
+    bands = sig.select(
+        "doc_id",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).select("doc_id", "b", F.expr("shiftright(s, b * 15) & 32767").alias("bk"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "b", "bk"
+    )
+    b = bands.select(F.col("doc_id").alias("id_b"), "b", "bk")
+    cand = (
+        a.join(b, ["b", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    scored = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(F.bit_count(F.expr("s_a ^ s_b")).alias("hamming"))
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("hamming") <= 6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_close_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("hamming") <= 6, F.col("hamming")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("sum_close_hamming"),
+    )
+
+
 @query("simhash_candidates")  # xxhash64-based: rows-only (engine-specific hash)
 def simhash_candidates(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
