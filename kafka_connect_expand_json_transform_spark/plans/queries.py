@@ -7010,6 +7010,136 @@ def perceptron_training_rounds(spark, sf_dir):
     )
 
 
+_SQL_CUSUM = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT day, cents,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
+             SUM(cents) OVER (ORDER BY day) AS cum,
+             COUNT(*) OVER () AS nd,
+             SUM(cents) OVER () AS total
+      FROM daily
+    ),
+    d AS (SELECT day, ABS(nd * cum - t * total) AS dev, nd, total FROM c)
+    SELECT CAST(day AS TIMESTAMP) AS changepoint_day,
+           CAST(dev AS BIGINT) AS dev_scaled,
+           CAST(nd AS BIGINT) AS n_days,
+           CAST(total AS BIGINT) AS total_cents
+    FROM d ORDER BY dev DESC, day LIMIT 1
+"""
+
+
+@query("cusum_changepoint", _SQL_CUSUM)
+def cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection over the daily revenue series: the day
+    maximizing |cumulative deviation from a uniform accumulation rate| —
+    the classic level-shift detector.  Integer discipline: the deviation
+    |cum_t - t*total/n| is maximized in the cross-multiplied form
+    |n*cum_t - t*total| (int64, headroom n_days * total_cents ~ 5e17 at
+    sf10), ties broken to the earliest day.  Scale: one groupBy collapses
+    the fact table to #days rows; the ordered window runs on that tiny
+    series."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum((money("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    wt = Window.orderBy("day")
+    wcum = wt.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = daily.select(
+        "day",
+        F.row_number().over(wt).alias("t"),
+        F.sum("cents").over(wcum).alias("cum"),
+        F.count("*").over(wall).alias("nd"),
+        F.sum("cents").over(wall).alias("total"),
+    )
+    d = c.select(
+        "day",
+        F.abs(F.col("nd") * F.col("cum") - F.col("t") * F.col("total")).alias("dev"),
+        "nd",
+        "total",
+    )
+    return (
+        d.orderBy(F.col("dev").desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").cast("timestamp").alias("changepoint_day"),
+            F.col("dev").cast("bigint").alias("dev_scaled"),
+            F.col("nd").cast("bigint").alias("n_days"),
+            F.col("total").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+_SQL_AUTOCORR = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT n AS x, LAG(n) OVER (ORDER BY day) AS y FROM daily
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM p WHERE y IS NOT NULL
+    )
+    SELECT np AS n_pairs, sx, sy, sxy, sxx, syy,
+           CAST(np * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(np * syy - sy * sy AS DOUBLE))) AS autocorr
+    FROM m
+"""
+
+
+@query("lag1_autocorrelation", _SQL_AUTOCORR)
+def lag1_autocorrelation(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily order-count series — the
+    seasonality/momentum screen run before fitting any forecast.  The
+    (x_t, x_{t-1}) pairs come from one LAG window over the #days-row
+    aggregate; all five moment sums are exact int64 (counts, not cents —
+    safe through sf1000), and the Pearson ratio is the only double.  Same
+    distributive-moment discipline as corr_matrix_lineitem."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    p = daily.select(
+        F.col("n").alias("x"), F.lag("n").over(Window.orderBy("day")).alias("y")
+    ).where(F.col("y").isNotNull())
+    m = p.agg(
+        F.count("*").cast("bigint").alias("np"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = dbl(F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = F.sqrt(dbl(F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"))) * F.sqrt(
+        dbl(F.col("np") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("np").alias("n_pairs"),
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        (num / den).alias("autocorr"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
