@@ -7140,6 +7140,56 @@ def lag1_autocorrelation(spark, sf_dir):
     )
 
 
+_SQL_COGROUP = """
+    SELECT c.c_custkey AS custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                                  AS BIGINT)), 0) AS BIGINT) AS total_cents,
+           CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acctbal_cents
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+"""
+
+
+@query("cogrouped_customer_orders", _SQL_COGROUP)
+def cogrouped_customer_orders(spark, sf_dir):
+    """``cogroup().applyInPandas`` — the two-sided Arrow UDF surface (the
+    missing sibling of applyInPandas/applyInPandasWithState): orders and
+    customers are co-partitioned by customer key and each key's two pandas
+    frames arrive in ONE Python call, the general escape hatch for custom
+    merge logic no join expresses (here: per-customer order rollup merged
+    with the account balance, chosen so a plain LEFT JOIN oracle can
+    value-check the plumbing exactly).  Scale: one co-shuffle on the key,
+    Arrow-batched both sides — same wire shape as a shuffled join; skew
+    rules are the join's too (a hot key serializes into one Python call)."""
+    import pandas as pd  # noqa: F811 - local name for the UDF closure
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", (money("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (money("c_acctbal") * 100).cast("bigint").alias("bal")
+    )
+
+    def merge(key, opdf, cpdf):
+        total = int(opdf["cents"].sum()) if len(opdf) else 0
+        bal = int(cpdf["bal"].iloc[0]) if len(cpdf) else 0
+        return pd.DataFrame(
+            [(int(key[0]), len(opdf), total, bal)],
+            columns=["custkey", "n_orders", "total_cents", "acctbal_cents"],
+        )
+
+    return (
+        o.groupby("o_custkey")
+        .cogroup(c.groupby("c_custkey"))
+        .applyInPandas(
+            merge,
+            "custkey bigint, n_orders bigint, total_cents bigint, "
+            "acctbal_cents bigint",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
