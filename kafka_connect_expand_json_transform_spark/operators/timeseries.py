@@ -48,7 +48,11 @@ def gap_fill(
     """Densify a rolled-up series: emit one row per key per ``step_seconds``
     bucket between that key's first and last observation, filling gaps per
     column: ``"zero"`` (0), ``"locf"`` (last observation carried forward),
-    ``"null"`` (leave missing).
+    ``"interp"`` (linear interpolation between the surrounding observations —
+    integer columns only: the interpolant is the exact integer division
+    ``(v0*(t1-t) + v1*(t-t0)) div (t1-t0)`` over epoch seconds, so results
+    are bit-identical cross-engine for non-negative values; boundary gaps
+    with no observation on one side stay NULL), ``"null"`` (leave missing).
 
     The spine is built from each key's own [min, max] bucket range via
     ``sequence()`` — no global calendar cross-join, so sparse keys stay
@@ -76,17 +80,57 @@ def gap_fill(
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.col(bucket_col).cast("long")
+    interp_cols: list[str] = []
     for c in value_cols:
         method = fill.get(c, "null")
         if method == "zero":
             out_cols.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
         elif method == "locf":
             out_cols.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
+        elif method == "interp":
+            # stage the surrounding OBSERVED (time, value) pairs — the slope
+            # must use observation buckets, not adjacent spine rows; both
+            # window passes share the one (keys, bucket) sort
+            obs_t = F.when(F.col(c).isNotNull(), t)
+            out_cols.append(F.col(c))
+            out_cols.append(F.last(F.col(c), ignorenulls=True).over(w).alias(f"__v0_{c}"))
+            out_cols.append(F.last(obs_t, ignorenulls=True).over(w).alias(f"__t0_{c}"))
+            out_cols.append(
+                F.first(F.col(c), ignorenulls=True).over(w_fwd).alias(f"__v1_{c}")
+            )
+            out_cols.append(F.first(obs_t, ignorenulls=True).over(w_fwd).alias(f"__t1_{c}"))
+            interp_cols.append(c)
         elif method == "null":
             out_cols.append(F.col(c))
         else:
             raise ValueError(f"unknown fill method {method!r} for column {c!r}")
-    return dense.select(*out_cols)
+    staged = dense.select(*out_cols)
+    if not interp_cols:
+        return staged
+    final_cols: list[Column] = [F.col(c) for c in key_cols] + [F.col(bucket_col)]
+    for c in value_cols:
+        if c in interp_cols:
+            # exact integer interpolation: `div` truncates == floor for the
+            # non-negative domain; boundary gaps (one side unobserved) -> NULL
+            final_cols.append(
+                F.coalesce(
+                    F.col(c),
+                    F.expr(
+                        f"(__v0_{c} * (__t1_{c} - CAST({bucket_col} AS LONG))"
+                        f" + __v1_{c} * (CAST({bucket_col} AS LONG) - __t0_{c}))"
+                        f" div (__t1_{c} - __t0_{c})"
+                    ),
+                ).alias(c)
+            )
+        else:
+            final_cols.append(F.col(c))
+    return staged.select(*final_cols)
 
 
 def interval_coverage(

@@ -7190,6 +7190,70 @@ def cogrouped_customer_orders(spark, sf_dir):
     )
 
 
+_SQL_GAPFILL_INTERP = """
+    WITH rolled AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+               FROM rolled GROUP BY 1),
+    spine AS (SELECT event_type,
+                     unnest(generate_series(lo, hi, INTERVAL 3600 SECOND)) AS bucket
+              FROM bounds),
+    dense AS (SELECT s.event_type, s.bucket, r.cents
+              FROM spine s LEFT JOIN rolled r
+                ON s.event_type = r.event_type AND s.bucket = r.bucket),
+    staged AS (
+      SELECT event_type, bucket, cents,
+             CAST(epoch(bucket) AS BIGINT) AS t,
+             last_value(cents IGNORE NULLS) OVER wb AS v0,
+             last_value(CASE WHEN cents IS NOT NULL
+                             THEN CAST(epoch(bucket) AS BIGINT) END IGNORE NULLS)
+               OVER wb AS t0,
+             first_value(cents IGNORE NULLS) OVER wf AS v1,
+             first_value(CASE WHEN cents IS NOT NULL
+                              THEN CAST(epoch(bucket) AS BIGINT) END IGNORE NULLS)
+               OVER wf AS t1
+      FROM dense
+      WINDOW wb AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, bucket,
+           COALESCE(cents,
+                    (v0 * (t1 - t) + v1 * (t - t0)) // (t1 - t0)) AS cents
+    FROM staged
+"""
+
+
+@query("gapfill_interp_events", _SQL_GAPFILL_INTERP)
+def gapfill_interp_events(spark, sf_dir):
+    """Gap fill by exact linear interpolation — the slope-aware companion to
+    LOCF (`gapfill_hourly_events`): a sparse hourly cents series (1% event
+    sample) is densified per key and every missing bucket takes
+    ``(v0*(t1-t) + v1*(t-t0)) div (t1-t0)`` between its surrounding
+    OBSERVED points — integer arithmetic over epoch seconds, bit-identical
+    cross-engine; leading/trailing gaps stay NULL.  Scale: same per-key
+    spine as LOCF (no global calendar), and both interpolation windows
+    reuse the one (key, bucket) sort."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    rolled = TS.bucket_rollup(
+        ev,
+        ["event_type"],
+        "ts",
+        [
+            F.sum((F.col("value").cast("decimal(8,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        ],
+        step="1 hour",
+    )
+    return TS.gap_fill(
+        rolled, ["event_type"], step_seconds=3600, fill={"cents": "interp"}
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -760,3 +760,22 @@ def test_ewma_weight_arithmetic(spark):
                 assert r["ewma_den"] == (1 << 16) - 1
             window = [x["cents"] for x in rs[max(0, i - 15) : i + 1]]
             assert min(window) <= r["ewma_cents"] <= max(window), (u, i)
+
+
+def test_gap_fill_interp_exact_and_boundaries(spark):
+    """Linear interpolation must hit the exact integer points between the
+    surrounding OBSERVED buckets (not adjacent spine rows), and leave
+    leading/trailing gaps NULL."""
+    from kafka_connect_expand_json_transform_spark.operators.timeseries import gap_fill
+
+    rolled = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 01:00:00", 100),
+            ("a", "2024-01-01 04:00:00", 400),   # 3h gap: 2 missing buckets
+            ("a", "2024-01-01 06:00:00", 100),   # then 1 missing bucket
+        ],
+        "k string, bucket string, cents long",
+    ).select("k", F.col("bucket").cast("timestamp").alias("bucket"), "cents")
+    out = gap_fill(rolled, ["k"], fill={"cents": "interp"})
+    rows = {r["bucket"].hour: r["cents"] for r in out.collect()}
+    assert rows == {1: 100, 2: 200, 3: 300, 4: 400, 5: 250, 6: 100}
