@@ -1203,6 +1203,52 @@ def pandas_udf_norms(spark, sf_dir):
 
 
 @query(
+    "map_in_arrow_dot",
+    """
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding::DOUBLE[],
+                x -> CAST(FLOOR(x * 10000) AS BIGINT)
+                     * CAST(FLOOR(x * 10000) AS BIGINT))) AS BIGINT)
+             AS qdot
+    FROM embeddings
+    """,
+)
+def map_in_arrow_dot(spark, sf_dir):
+    """``mapInArrow`` — the zero-copy tier below mapInPandas: batches arrive
+    as raw ``pyarrow.RecordBatch`` (no pandas conversion, no index
+    bookkeeping), the right surface when the Python side is itself
+    Arrow-native (Arrow compute, DuckDB, polars, a C extension).  Computes
+    the fixed-point self-dot-product of each embedding (floor(x*1e4) int64
+    — exact, same quantization as the k-means oracle) via numpy on the
+    Arrow buffers.  Scale: identical pipeline shape to mapInPandas — narrow,
+    partition-local, Arrow both directions — minus the pandas materialization
+    overhead per batch."""
+    import pyarrow as pa
+
+    def qdot(batches):
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids = tbl["vec_id"]
+            out = []
+            for vec in tbl["embedding"]:
+                q = np.floor(np.asarray(vec, dtype=np.float64) * 10000).astype(
+                    np.int64
+                )
+                out.append(int((q * q).sum()))
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": ids, "qdot": out},
+                schema=pa.schema(
+                    [pa.field("vec_id", pa.int64()), pa.field("qdot", pa.int64())]
+                ),
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("embedding")
+    )
+    return emb.mapInArrow(qdot, "vec_id bigint, qdot bigint")
+
+
+@query(
     "python_udf_sign",
     """
     SELECT doc_id,
