@@ -7300,6 +7300,92 @@ def gapfill_interp_events(spark, sf_dir):
     )
 
 
+_SQL_PIT = """
+    WITH o AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ),
+    dim AS (
+      SELECT user_id,
+             event_type AS state,
+             us AS valid_from_us,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id)
+                  AS BIGINT) AS version
+      FROM o WHERE prev IS NULL OR prev <> event_type
+    ),
+    facts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pit AS (
+      SELECT f.event_id, f.cents, d.state, d.version
+      FROM facts f JOIN dim d
+        ON d.user_id = f.user_id AND d.valid_from_us <= f.us
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY f.event_id
+                                 ORDER BY d.valid_from_us DESC) = 1
+    )
+    SELECT state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(version) AS BIGINT) AS version_checksum
+    FROM pit GROUP BY state
+"""
+
+
+@query("pit_join_purchases", _SQL_PIT)
+def pit_join_purchases(spark, sf_dir):
+    """Point-in-time (temporal) join — the feature-store correctness
+    primitive: each purchase is joined to the SCD2 dimension version that
+    was effective AT ITS EVENT TIME (never a later one — no leakage), then
+    rolled up by the state the user was in when they bought.  The engine
+    side runs it as an as-of join (union + ordered-window fill,
+    operators/relational.py:17 — ONE shuffle on user_id, no range-join
+    explosion); the oracle states the textbook formulation (range join +
+    QUALIFY latest-version-wins).  Purchases are themselves change events,
+    so every fact matches a version by construction; (user, ts) collisions
+    would make latest-wins ambiguous and are absent from the fixture by
+    generation."""
+    ev = load_table(spark, sf_dir, "events")
+    w0 = Window.partitionBy("user_id").orderBy(F.expr("unix_micros(ts)"), "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.lag("event_type").over(w0).alias("prev"),
+    )
+    c = o.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w1 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    dim = c.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("us").alias("valid_from_us"),
+        F.row_number().over(w1).cast("bigint").alias("version"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        (F.col("value").cast("decimal(8,2)") * 100).cast("bigint").alias("cents"),
+    )
+    j = asof_join(
+        facts,
+        dim,
+        on="user_id",
+        left_time="us",
+        right_time="valid_from_us",
+        direction="backward",
+    )
+    return j.groupBy("state").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum("version").cast("bigint").alias("version_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
