@@ -7210,24 +7210,43 @@ def cogrouped_customer_orders(spark, sf_dir):
     rules are the join's too (a hot key serializes into one Python call)."""
     import pandas as pd  # noqa: F811 - local name for the UDF closure
 
+    # cogroup on a HASH BUCKET, not the raw key: per-key cogroup means one
+    # Python call (and two pandas frames) per customer — measured 21 s for
+    # 15k keys at sf0.1, pure invocation overhead.  256 buckets amortize the
+    # call cost and the per-customer rollup vectorizes as a pandas groupby
+    # inside the UDF (0.7 s).  Same trick a real cluster needs: the shuffle
+    # key sets the TASK granularity, not the business grain.
     o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", (money("o_totalprice") * 100).cast("bigint").alias("cents")
+        "o_custkey",
+        (money("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_custkey") % 256).alias("bucket"),
     )
     c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", (money("c_acctbal") * 100).cast("bigint").alias("bal")
+        "c_custkey",
+        (money("c_acctbal") * 100).cast("bigint").alias("bal"),
+        (F.col("c_custkey") % 256).alias("bucket"),
     )
 
     def merge(key, opdf, cpdf):
-        total = int(opdf["cents"].sum()) if len(opdf) else 0
-        bal = int(cpdf["bal"].iloc[0]) if len(cpdf) else 0
+        if len(opdf):
+            agg = opdf.groupby("o_custkey")["cents"].agg(["count", "sum"])
+        else:
+            agg = pd.DataFrame(columns=["count", "sum"])
+        out = cpdf[["c_custkey", "bal"]].merge(
+            agg, left_on="c_custkey", right_index=True, how="left"
+        )
         return pd.DataFrame(
-            [(int(key[0]), len(opdf), total, bal)],
-            columns=["custkey", "n_orders", "total_cents", "acctbal_cents"],
+            {
+                "custkey": out["c_custkey"].astype("int64"),
+                "n_orders": out["count"].fillna(0).astype("int64"),
+                "total_cents": out["sum"].fillna(0).astype("int64"),
+                "acctbal_cents": out["bal"].astype("int64"),
+            }
         )
 
     return (
-        o.groupby("o_custkey")
-        .cogroup(c.groupby("c_custkey"))
+        o.groupby("bucket")
+        .cogroup(c.groupby("bucket"))
         .applyInPandas(
             merge,
             "custkey bigint, n_orders bigint, total_cents bigint, "
