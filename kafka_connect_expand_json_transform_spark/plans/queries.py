@@ -2285,6 +2285,88 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+@query(
+    "ivf_exact_topk",
+    _KMEANS_WITH
+    + """,
+    qc AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d3 WHERE vec_id < 3) WHERE rn <= 3
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT qc.query_id, a.vec_id,
+             round(list_dot_product(eq.v, ev.v) /
+                   (sqrt(list_dot_product(eq.v, eq.v))
+                    * sqrt(list_dot_product(ev.v, ev.v))), 4) AS cos_sim
+      FROM qc JOIN a3 a ON a.cid = qc.cid AND a.vec_id <> qc.query_id
+      JOIN e eq ON eq.vec_id = qc.query_id
+      JOIN e ev ON ev.vec_id = a.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def ivf_exact_topk(spark, sf_dir):
+    """IVF ANN in oracle-parity mode — the deterministic twin of
+    `ivf_ann_topk` (whose numpy-seeded centroids are engine-specific by
+    construction): cells come from the EXACT quantized k-means
+    (`kmeans_quantized`, the same algorithm the kmeans_cluster_sizes oracle
+    value-checks), each query probes its nprobe=3 nearest cells by exact
+    integer distance (ties to the lower cell id), and candidates are
+    reranked by round-4 cosine.  Cell ranking for the 3 query vectors is
+    computed driver-side from the k centroid ints (a 3x8 integer table —
+    the kmeans-centroid collect pattern); probing is a broadcast of 9
+    (query, cell) rows against the assigned corpus.  The ENTIRE index build
+    + probe + rerank chain hash-matches the chained-CTE SQL oracle."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = similarity.kmeans_quantized(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iters=3
+    )
+    qrows = (
+        emb.where(F.col("vec_id") < 3)
+        .select("vec_id", VEC.as_double("embedding").alias("v"))
+        .collect()
+    )
+    pairs = []
+    for r in qrows:
+        qv = [math.floor(x * 10_000) for x in r["v"]]  # engine quantization
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+            for cid, cv in centroids.items()
+        )
+        pairs += [(r["vec_id"], cid) for _, cid in dists[:3]]
+    cells = spark.createDataFrame(pairs, "query_id bigint, cid int")
+    cand = (
+        F.broadcast(cells)
+        .join(assigned, cells.cid == assigned.cluster)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), VEC.as_double("embedding").alias("__qv")
+    )
+    ev = emb.select("vec_id", VEC.as_double("embedding").alias("__cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(ev, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(VEC.cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+
+
 @query("lsh_ann_topk")  # approximate by construction: rows-only
 def lsh_ann_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
