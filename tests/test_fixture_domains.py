@@ -90,3 +90,24 @@ def test_psi_quantization_clear_of_integer_boundaries(ddb):
             f"bin {bin_}: ln(ratio)*1e6 = {q!r} is {dist:.2e} from an integer "
             "— floor() quantization could flip between engines"
         )
+
+
+def test_perceptron_feature_headroom(ddb):
+    """perceptron_training_rounds' int64 margins: x1 (totalprice in hundreds
+    of dollars) must stay small enough that w1*x1 after 3 rounds keeps
+    orders of magnitude below 2^63 (docstring bound assumes max_x1 ~ 6000)."""
+    (hi,) = ddb.execute(
+        "SELECT MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 10000)"
+        " FROM orders"
+    ).fetchone()
+    assert hi < 10_000, hi
+
+
+def test_ewma_cents_headroom(ddb):
+    """ewma_purchase_values' numerator: max cents * 2^16 must not overflow
+    (trivially true for the DECIMAL(8,2) domain, asserted so regeneration
+    drift can't break it silently)."""
+    (hi,) = ddb.execute(
+        "SELECT MAX(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)) FROM events"
+    ).fetchone()
+    assert hi * (1 << 16) < 2**62, hi

@@ -568,3 +568,16 @@ def test_ewma_single_window_exchange(spark):
     assert "hashpartitioning(user_id" in plan
     assert "Join" not in plan
     assert plan.count(") Window") == 1, "all 16 lags must share one Window node"
+
+
+def test_pit_join_is_asof_not_range_explosion(spark):
+    """The temporal join must plan as the as-of union+window trick — no
+    BroadcastNestedLoopJoin / CartesianProduct from the range predicate."""
+    plan = plan_of(spark, "pit_join_purchases")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cogroup_plans_flatmap_cogroup(spark):
+    plan = plan_of(spark, "cogrouped_customer_orders")
+    assert "FlatMapCoGroupsInPandas" in plan
