@@ -2367,6 +2367,123 @@ def ivf_exact_topk(spark, sf_dir):
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
 
 
+@query(
+    "lsh_md5_topk",
+    """
+    WITH signs AS (
+      SELECT t.t AS t, b.b AS b, d.d AS d,
+             CASE WHEN ('0x' || substr(md5(t.t || '_' || b.b || '_' || d.d), 1, 1))::INT
+                       % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(generate_series(0, 3)) AS t) t,
+           (SELECT unnest(generate_series(0, 3)) AS b) b,
+           (SELECT unnest(generate_series(0, 63)) AS d) d),
+    q AS (
+      SELECT vec_id, CAST(i.d AS INTEGER) AS d,
+             CAST(FLOOR(CAST(embedding[i.d + 1] AS DOUBLE) * 10000) AS BIGINT) AS x
+      FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 63)) AS d) i),
+    proj AS (
+      SELECT q.vec_id, signs.t, signs.b,
+             CAST(SUM(q.x * signs.s) AS BIGINT) AS p
+      FROM q JOIN signs ON signs.d = q.d
+      GROUP BY q.vec_id, signs.t, signs.b),
+    keys AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN p > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS bk
+      FROM proj GROUP BY vec_id, t),
+    cand AS (
+      SELECT DISTINCT qk.vec_id AS query_id, ck.vec_id
+      FROM keys qk JOIN keys ck ON qk.t = ck.t AND qk.bk = ck.bk
+      WHERE qk.vec_id < 3 AND ck.vec_id <> qk.vec_id),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             round(list_dot_product(eq.v, ev.v) /
+                   (sqrt(list_dot_product(eq.v, eq.v))
+                    * sqrt(list_dot_product(ev.v, ev.v))), 4) AS cos_sim
+      FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+                  JOIN e ev ON ev.vec_id = c.vec_id)
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def lsh_md5_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN in oracle-parity mode — the md5 twin of
+    `lsh_ann_topk` (whose numpy-seeded hyperplanes are engine-specific):
+    hyperplane components are ±1 derived from md5(table_bit_dim) parity (the
+    shared deterministic randomness both engines can compute), vectors are
+    fixed-point quantized (floor(x*1e4), the k-means convention) so every
+    projection is an EXACT int64 sum and bucket bits can never flip on a
+    float ulp.  4 tables x 4 bits; candidates share any table bucket with
+    the query; rerank is round-4 cosine top-5.  Scale: the sign table is a
+    1024-row broadcast against the posexploded corpus — projection is one
+    partial+final aggregate, the same shape at any corpus size; bucket join
+    fan-out is bounded by bucket occupancy exactly like the production LSH."""
+    import hashlib
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sign_rows = [
+        (
+            t,
+            b,
+            d,
+            1
+            if int(hashlib.md5(f"{t}_{b}_{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1,
+        )
+        for t in range(4)
+        for b in range(4)
+        for d in range(64)
+    ]
+    signs = spark.createDataFrame(sign_rows, "t int, b int, d int, s long")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                VEC.as_double("embedding"),
+                lambda x: F.floor(x * 10_000).cast("bigint"),
+            )
+        ).alias("d", "x"),
+    )
+    proj = (
+        q.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "t", "b")
+        .agg(F.sum(F.col("x") * F.col("s")).cast("bigint").alias("p"))
+    )
+    keys = proj.groupBy("vec_id", "t").agg(
+        F.sum(F.when(F.col("p") > 0, F.expr("shiftleft(1L, b)")).otherwise(0))
+        .cast("bigint")
+        .alias("bk")
+    )
+    qk = keys.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "t", "bk"
+    )
+    cand = (
+        F.broadcast(qk)
+        .join(keys, ["t", "bk"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), VEC.as_double("embedding").alias("__qv")
+    )
+    ev = emb.select("vec_id", VEC.as_double("embedding").alias("__cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(ev, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(VEC.cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+
+
 @query("lsh_ann_topk")  # approximate by construction: rows-only
 def lsh_ann_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
