@@ -7110,6 +7110,8 @@ def bpe_merge_rounds(spark, sf_dir):
     moves one 1-row TakeOrdered result to the driver (the kmeans-centroid
     pattern, operators/similarity.py) and the merge is a narrow expression —
     no shuffle grows with round count."""
+    from kafka_connect_expand_json_transform_spark.llmops.bpe import bpe_train
+
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("w"))
@@ -7119,41 +7121,7 @@ def bpe_merge_rounds(spark, sf_dir):
         .orderBy(F.col("f").desc(), "w")
         .limit(2000)
     )
-    seqs = words.select(
-        "f",
-        F.concat(F.lit("."), F.regexp_replace("w", "(.)", "$1.")).alias("seq"),
-    ).localCheckpoint(eager=True)  # 2000 rows; rounds re-consume it
-
-    out = []
-    for rnd in (1, 2, 3):
-        syms = seqs.select(
-            "f", F.filter(F.split("seq", "[.]"), lambda x: x != "").alias("s")
-        ).filter(F.size("s") > 1)
-        pairs = syms.select(
-            "f",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(s)-1),"
-                    " i -> struct(s[i-1] AS a, s[i] AS b))"
-                )
-            ).alias("p"),
-        )
-        best = (
-            pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("f").cast("bigint").alias("n"))
-            .orderBy(F.col("n").desc(), "a", "b")
-            .limit(1)
-            .collect()[0]  # 1 row to the driver per round, like k centroids
-        )
-        out.append((rnd, best["a"], best["b"], best["n"]))
-        seqs = seqs.select(
-            "f",
-            F.replace(
-                "seq",
-                F.lit(f".{best['a']}.{best['b']}."),
-                F.lit(f".{best['a']}{best['b']}."),
-            ).alias("seq"),
-        ).localCheckpoint(eager=True)
+    out = bpe_train(words, rounds=3)
     return spark.createDataFrame(
         out, "round bigint, pair_a string, pair_b string, n_weighted bigint"
     )

@@ -415,3 +415,35 @@ def test_dedup_against_corpus_tiers(spark):
         incoming, corpus, "text", "doc_id", near=False
     )
     assert sorted(r["doc_id"] for r in kept_exact.collect()) == [3, 5, 7]
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """Property test: the distributed BPE trainer must agree with a 30-line
+    pure-Python reference (same dotted representation, same adjacency
+    counting, same str.replace merge, same tie-break) on adversarial little
+    corpora — including repeated-letter words where overlapping-pair
+    counting and non-overlapping merging diverge if either side is sloppy."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_connect_expand_json_transform_spark.llmops.bpe import (
+        bpe_train,
+        bpe_train_reference,
+    )
+
+    words_strategy = st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=5),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(words_strategy)
+    def check(word_freqs):
+        df = spark.createDataFrame(
+            [(w, f) for w, f in word_freqs.items()], "w string, f long"
+        )
+        assert bpe_train(df, rounds=3) == bpe_train_reference(word_freqs, rounds=3)
+
+    check()
