@@ -7572,6 +7572,80 @@ def pit_join_purchases(spark, sf_dir):
     )
 
 
+_SQL_BIGRAM_XENT = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+      FROM documents),
+    big AS (
+      SELECT doc_id, lang, t[i] AS a, t[i+1] AS b
+      FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+      WHERE len(t) > 1),
+    cp AS (SELECT a, b, COUNT(*) AS c_ab FROM big GROUP BY a, b),
+    ch AS (SELECT a, SUM(c_ab) AS c_a FROM cp GROUP BY a),
+    scored AS (
+      SELECT big.doc_id, big.lang,
+             CAST(floor(ln(ch.c_a) * 1000000) AS BIGINT)
+               - CAST(floor(ln(cp.c_ab) * 1000000) AS BIGINT) AS xent_micro
+      FROM big JOIN cp ON cp.a = big.a AND cp.b = big.b
+               JOIN ch ON ch.a = big.a)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(xent_micro) AS BIGINT) AS xent_micro_total,
+           CAST(SUM(xent_micro) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_xent_nats
+    FROM scored GROUP BY lang
+"""
+
+
+@query("bigram_lm_xent", _SQL_BIGRAM_XENT)
+def bigram_lm_xent(spark, sf_dir):
+    """Bigram language-model cross-entropy per language — the LM-based
+    quality proxy a curation pipeline runs when no external model is
+    allowed: train bigram counts on the corpus itself, score every bigram
+    occurrence with -ln P(b|a) = ln c(a·) - ln c(a,b), aggregate per
+    language.  The transcendentals are quantized to integer micro-nats per
+    DISTINCT INTEGER COUNT (the token_entropy discipline — floor(ln(c)*1e6)
+    of an int, never of a ratio), so the sums are exact int64 in any order
+    and only the closing average divides.  Scale: counts are two
+    partial+final aggregates on (a,b)/(a); the score join shuffles the
+    bigram stream once on (a,b) — AQE broadcast-izes the count tables when
+    they fit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.lower(F.trim("text")), " "), lambda x: x != ""
+        ).alias("t"),
+    ).filter(F.size("t") > 1)
+    big = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-1),"
+                " i -> struct(t[i-1] AS a, t[i] AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", "p.a", "p.b")
+    cp = big.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ch = cp.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    lnq = lambda c: F.floor(F.log(c) * 1_000_000).cast("bigint")  # noqa: E731
+    scored = (
+        big.join(cp, ["a", "b"])
+        .join(ch, "a")
+        .select("lang", (lnq(F.col("c_a")) - lnq(F.col("c_ab"))).alias("xent_micro"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("xent_micro").cast("bigint").alias("xent_micro_total"),
+        (dbl(F.sum("xent_micro")) / (dbl(F.count("*")) * F.lit(1_000_000.0))).alias(
+            "avg_xent_nats"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -27,7 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="module")
 def ddb():
     con = duckdb.connect()
-    for t in ("orders", "events"):
+    for t in ("orders", "events", "documents"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t)}.parquet'")
     yield con
     con.close()
@@ -111,3 +111,35 @@ def test_ewma_cents_headroom(ddb):
         "SELECT MAX(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)) FROM events"
     ).fetchone()
     assert hi * (1 << 16) < 2**62, hi
+
+
+def test_bigram_ln_quantization_clear_of_integer_boundaries(ddb):
+    """bigram_lm_xent (and token_entropy) quantize floor(ln(c)*1e6) of
+    INTEGER counts: verify every distinct count value in the live fixture's
+    bigram tables sits well clear of a quantization boundary, so a JVM-vs-
+    libm last-ulp difference can never flip a micro-nat."""
+    import numpy as np
+
+    counts = [
+        r[0]
+        for r in ddb.execute(
+            """
+            WITH toks AS (
+              SELECT list_filter(string_split(lower(trim(text)), ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            big AS (
+              SELECT t[i] AS a, t[i+1] AS b
+              FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+              WHERE len(t) > 1),
+            cp AS (SELECT a, b, COUNT(*) AS c FROM big GROUP BY a, b),
+            ch AS (SELECT a, SUM(c) AS c FROM cp GROUP BY a)
+            SELECT DISTINCT c FROM cp UNION SELECT DISTINCT c FROM ch
+            """
+        ).fetchall()
+        if r[0] > 1
+    ]
+    q = np.log(np.array(counts, dtype=np.float64)) * 1e6
+    dist = np.abs(q - np.round(q))
+    worst = float(dist.min())
+    assert worst > 1e-5, f"ln(c)*1e6 within {worst:.2e} of an integer boundary"
