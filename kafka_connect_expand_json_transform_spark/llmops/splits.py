@@ -183,3 +183,36 @@ def weighted_sample(
         F.lpad(F.lower(F.hex(F.floor(w * F.lit(float(_HASH_SPACE))).cast("bigint"))), 8, "0")
     )
     return df.where(split_hash(id_col, seed) < thr)
+
+
+def upsample_repeat(
+    df: DataFrame,
+    factor: float,
+    id_col: str = "doc_id",
+    seed: str = "upsample",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic fractional upsampling — the data-recipe epoch knob
+    (`domain_mix` downsamples; recipes also say "repeat the math domain
+    2.25x"): every row appears ``floor(factor)`` times and one further time
+    with probability ``frac(factor)``, decided by the usual row-local
+    ``md5(id:seed)`` draw, so the SAME copies materialize on any cluster,
+    partitioning, or engine.  Narrow: ``explode(sequence)`` fan-out plus a
+    pure-function filter — no shuffle, no RNG state; the ``copy`` ordinal
+    rides along so downstream shuffles can decorrelate repeats."""
+    import math
+
+    if factor <= 0:
+        raise ValueError(f"factor must be positive, got {factor}")
+    whole = int(math.floor(factor))
+    frac = factor - whole
+    fanout = whole + (1 if frac > 0 else 0)
+    out = df.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(fanout))).alias(copy_col)
+    )
+    if frac > 0:
+        out = out.where(
+            (F.col(copy_col) <= whole)
+            | (split_hash(id_col, seed) < F.lit(hex_threshold(frac)))
+        )
+    return out

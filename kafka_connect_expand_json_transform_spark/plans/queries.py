@@ -7646,6 +7646,43 @@ def bigram_lm_xent(spark, sf_dir):
     )
 
 
+_SQL_UPSAMPLE = """
+    WITH up AS (
+      SELECT d.source, d.doc_id, c.c AS copy
+      FROM documents d, (SELECT unnest(generate_series(1, 3)) AS c) c
+      WHERE c.c <= 2
+         OR substr(md5(d.doc_id || ':upsample'), 1, 8) < '40000000'
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_base,
+           CAST(SUM(doc_id * copy) AS BIGINT) AS copy_checksum
+    FROM up GROUP BY source
+"""
+
+
+@query("upsample_repeat_docs", _SQL_UPSAMPLE)
+def upsample_repeat_docs(spark, sf_dir):
+    """Deterministic fractional upsampling at factor 2.25 — the data-recipe
+    epoch knob (`domain_mix` downsamples; recipes also say "repeat this
+    domain 2.25x"): every document appears twice, plus a third time iff its
+    md5(id:seed) draw falls under the 0.25 threshold — the same fixed-width
+    hex discipline as every split/sample operator, so the materialized
+    copies are identical on any cluster, partitioning, or engine.  The copy
+    ordinal is checksummed into the oracle compare.  Scale: a narrow
+    explode(sequence) fan-out + pure-function filter — no shuffle until the
+    consumer asks for one."""
+    from kafka_connect_expand_json_transform_spark.llmops.splits import upsample_repeat
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    up = upsample_repeat(docs, 2.25)
+    return up.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_base"),
+        F.sum(F.col("doc_id") * F.col("copy")).cast("bigint").alias("copy_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
