@@ -7683,6 +7683,97 @@ def upsample_repeat_docs(spark, sf_dir):
     )
 
 
+_SQL_TARGET_ENC = """
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM customer
+    ),
+    w AS (
+      SELECT c_custkey, c_mktsegment, cents,
+             SUM(cents) OVER (PARTITION BY c_mktsegment) AS seg_sum,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS seg_n
+      FROM c
+    )
+    SELECT c_custkey, c_mktsegment,
+           CAST(seg_sum - cents AS BIGINT) AS loo_num,
+           CAST(seg_n - 1 AS BIGINT) AS loo_den,
+           CAST(seg_sum - cents AS DOUBLE) / CAST(seg_n - 1 AS DOUBLE)
+             AS loo_encoding
+    FROM w
+"""
+
+
+@query("target_encoding_loo", _SQL_TARGET_ENC)
+def target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target encoding — the feature-engineering staple for
+    high-cardinality categoricals, in its leakage-safe form: each row's
+    segment is encoded by the mean target (account cents) of the OTHER rows
+    in its segment, (seg_sum - own)/(seg_n - 1).  Exact integer numerator
+    and denominator ride alongside the one double ratio so the hash compare
+    is ulp-proof.  Scale: one unbounded window per segment — a single
+    shuffle on the category key with map-side partials; the LOO subtraction
+    is row-local arithmetic, no self-join."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (money("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("c_mktsegment")
+    enc = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.sum("cents").over(w) - F.col("cents")).alias("loo_num"),
+        (F.count("*").over(w) - F.lit(1)).alias("loo_den"),
+    )
+    return enc.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("loo_num").cast("bigint").alias("loo_num"),
+        F.col("loo_den").cast("bigint").alias("loo_den"),
+        (dbl(F.col("loo_num")) / dbl(F.col("loo_den"))).alias("loo_encoding"),
+    )
+
+
+_SQL_FEATURE_HASH = """
+    WITH tok AS (
+      SELECT lang, t AS token
+      FROM (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    )
+    SELECT lang,
+           ('0x' || substr(md5(token), 1, 7))::BIGINT % 64 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+    FROM tok GROUP BY 1, 2
+"""
+
+
+@query("feature_hashing_counts", _SQL_FEATURE_HASH)
+def feature_hashing_counts(spark, sf_dir):
+    """The hashing trick — fixed-width bag-of-words vectorization without a
+    vocabulary table: every token maps to md5(token) % 64 (28-bit hex slice,
+    identical integer in Spark's conv and DuckDB's '0x' cast), giving
+    per-language 64-dimension count vectors in one aggregate.  This is how
+    a 100 TB corpus becomes a bounded-width feature matrix with NO
+    vocabulary build, no broadcast, no OOV problem — the collision rate is
+    the explicit trade, observable here via n_distinct_tokens per bucket.
+    Scale: narrow explode + one partial+final groupBy on (lang, bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 7), 16, 10).cast("bigint") % 64
+    ).alias("bucket")
+    return tok.groupBy("lang", bucket).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("token").cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
