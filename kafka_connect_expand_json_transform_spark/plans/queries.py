@@ -7774,6 +7774,137 @@ def feature_hashing_counts(spark, sf_dir):
     )
 
 
+_SQL_NB = """
+    WITH tok AS (
+      SELECT doc_id, lang, t AS token
+      FROM (SELECT doc_id, lang,
+                   unnest(string_split(lower(trim(text)), ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    langs AS (SELECT DISTINCT lang AS cand FROM documents),
+    cnt AS (SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY lang, token),
+    tot AS (SELECT lang, SUM(c) AS tl, COUNT(*) AS dummy FROM cnt GROUP BY lang),
+    vocab AS (SELECT COUNT(DISTINCT token) AS v FROM tok),
+    priors AS (SELECT lang, COUNT(DISTINCT doc_id) AS dl FROM tok GROUP BY lang),
+    ndocs AS (SELECT COUNT(DISTINCT doc_id) AS d FROM tok),
+    scored AS (
+      SELECT t.doc_id, t.lang, l.cand,
+             SUM(CAST(floor(ln(COALESCE(c.c, 0) + 1) * 1000000) AS BIGINT))
+               - COUNT(*) * (SELECT CAST(floor(ln(tl + v) * 1000000) AS BIGINT)
+                             FROM tot, vocab WHERE tot.lang = l.cand)
+               + (SELECT CAST(floor(ln(dl) * 1000000) AS BIGINT)
+                  FROM priors WHERE priors.lang = l.cand)
+               - (SELECT CAST(floor(ln(d) * 1000000) AS BIGINT) FROM ndocs)
+               AS score
+      FROM tok t
+      CROSS JOIN langs l
+      LEFT JOIN cnt c ON c.lang = l.cand AND c.token = t.token
+      GROUP BY t.doc_id, t.lang, l.cand
+    ),
+    pred AS (
+      SELECT doc_id, lang, cand AS predicted
+      FROM (SELECT doc_id, lang, cand, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cand) AS rn
+            FROM scored) WHERE rn = 1
+    )
+    SELECT lang AS actual, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, predicted
+"""
+
+
+@query("nb_lang_classifier", _SQL_NB)
+def nb_lang_classifier(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, trained and evaluated on
+    the corpus in one query — the third supervised-learning surface after
+    the perceptron and the LM scorer, with the same cross-engine discipline:
+    every log-probability is floor(ln(integer)*1e6) of a COUNT (Laplace
+    +1-smoothed token counts, class totals + vocab, document priors), so
+    per-class scores are exact int64 sums and argmax (score desc, lang asc)
+    can never flip on a float ulp.  Output is the language confusion matrix.
+    Scale: the scored stream is tokens x #classes — classes are a tiny
+    driver-collected dimension exploded as a literal array (narrow, no
+    cross join); token-class counts join on (class, token) with map-side
+    partials; at 100 TB the count tables are the only state and they are
+    vocabulary-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tok = tok.localCheckpoint(eager=True)  # feeds counts, priors, and scoring
+    lnq = lambda c: F.floor(F.log(c) * 1_000_000).cast("bigint")  # noqa: E731
+
+    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+    cnt = tok.groupBy(F.col("lang").alias("cand"), "token").agg(
+        F.count("*").alias("c")
+    )
+    v = tok.select("token").distinct().count()
+    tot = {
+        r["cand"]: r["tl"]
+        for r in cnt.groupBy("cand").agg(F.sum("c").alias("tl")).collect()
+    }
+    dl = {
+        r["lang"]: r["dl"]
+        for r in tok.groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("dl"))
+        .collect()
+    }
+    d = tok.select("doc_id").distinct().count()
+    import math
+
+    const = {  # per-class constants, exact ints computed once driver-side
+        lang: (
+            math.floor(math.log(tot[lang] + v) * 1_000_000),
+            math.floor(math.log(dl[lang]) * 1_000_000)
+            - math.floor(math.log(d) * 1_000_000),
+        )
+        for lang in langs
+    }
+    fan = tok.select(
+        "doc_id",
+        "lang",
+        "token",
+        F.explode(F.array(*[F.lit(x) for x in langs])).alias("cand"),
+    )
+    scored = (
+        fan.join(cnt, ["cand", "token"], "left")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(
+            F.sum(lnq(F.coalesce(F.col("c"), F.lit(0)) + 1)).alias("s"),
+            F.count("*").alias("nt"),
+        )
+    )
+    denom = F.create_map(
+        *[x for lang in langs for x in (F.lit(lang), F.lit(const[lang][0]))]
+    )
+    prior = F.create_map(
+        *[x for lang in langs for x in (F.lit(lang), F.lit(const[lang][1]))]
+    )
+    scored = scored.select(
+        "doc_id",
+        "lang",
+        "cand",
+        (
+            F.col("s")
+            - F.col("nt") * denom[F.col("cand")]
+            + prior[F.col("cand")]
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", F.col("cand").alias("predicted"))
+    )
+    return pred.groupBy(F.col("lang").alias("actual"), "predicted").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
