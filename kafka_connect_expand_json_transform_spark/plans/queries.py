@@ -7977,6 +7977,158 @@ def auc_order_priority(spark, sf_dir):
     )
 
 
+def _sql_perceptron_eval() -> str:
+    """The training oracle's CTE chain plus a round-4 classification pass."""
+    body = _sql_perceptron()
+    head = body[: body.index("\n    SELECT CAST(1 AS BIGINT)")]
+    return head + """,
+    m4 AS (
+      SELECT d.y,
+             CASE WHEN (SELECT w0 FROM w3) + (SELECT w1 FROM w3) * x1
+                       + (SELECT w2 FROM w3) * x2 > 0
+                  THEN 1 ELSE -1 END AS yhat
+      FROM d
+    ),
+    cm AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN y = -1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN y = 1 AND yhat = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN y = -1 AND yhat = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM m4
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fp, 0) AS DOUBLE) AS precision,
+           CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fn, 0) AS DOUBLE) AS recall
+    FROM cm
+    """
+
+
+@query("perceptron_eval_confusion", _sql_perceptron_eval())
+def perceptron_eval_confusion(spark, sf_dir):
+    """Model evaluation for the trained perceptron: rerun the 3 integer
+    training rounds, classify every order with the final weights (margin > 0
+    — note the asymmetry with training's miscls rule y*m <= 0), and report
+    the exact confusion counts with precision/recall as the only doubles.
+    The oracle replays the identical chained-CTE training then classifies in
+    a fourth pass — weights AND evaluation both value-checked.  Scale: one
+    extra narrow pass over the fact table with weight literals folded in."""
+    o = load_table(spark, sf_dir, "orders").select(
+        ((money("o_totalprice") * 100).cast("bigint")).alias("_cents"),
+        F.month("o_orderdate").cast("bigint").alias("x2"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(-1)
+        .alias("y"),
+    ).select(F.expr("_cents div 10000").alias("x1"), "x2", "y")
+    w = [0, 0, 0]
+    for _ in (1, 2, 3):
+        margin = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        u = (
+            o.filter(F.col("y") * margin <= 0)
+            .agg(
+                F.coalesce(F.sum("y"), F.lit(0)).cast("bigint").alias("dw0"),
+                F.coalesce(F.sum(F.col("y") * F.col("x1")), F.lit(0))
+                .cast("bigint")
+                .alias("dw1"),
+                F.coalesce(F.sum(F.col("y") * F.col("x2")), F.lit(0))
+                .cast("bigint")
+                .alias("dw2"),
+            )
+            .collect()[0]
+        )
+        w = [w[0] + u["dw0"], w[1] + u["dw1"], w[2] + u["dw2"]]
+    margin = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    yhat = F.when(margin > 0, 1).otherwise(-1)
+    cm = o.select("y", yhat.alias("yhat")).agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("y") == -1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == -1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when((F.col("y") == -1) & (F.col("yhat") == -1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (dbl(F.col("tp")) / dbl(F.nullif(F.col("tp") + F.col("fp"), F.lit(0)))).alias(
+            "precision"
+        ),
+        (dbl(F.col("tp")) / dbl(F.nullif(F.col("tp") + F.col("fn"), F.lit(0)))).alias(
+            "recall"
+        ),
+    )
+
+
+_SQL_CHI2 = """
+    WITH o AS (
+      SELECT c.c_mktsegment AS seg, od.o_orderpriority AS pri, COUNT(*) AS obs
+      FROM orders od JOIN customer c ON c.c_custkey = od.o_custkey
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT seg, pri, obs,
+             SUM(obs) OVER (PARTITION BY seg) AS r,
+             SUM(obs) OVER (PARTITION BY pri) AS c,
+             SUM(obs) OVER () AS n
+      FROM o
+    )
+    SELECT seg, pri,
+           CAST(obs AS BIGINT) AS observed,
+           CAST(obs * n - r * c AS BIGINT) AS dev_scaled,
+           CAST(obs * n - r * c AS DOUBLE) * CAST(obs * n - r * c AS DOUBLE)
+             / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+             AS chi2_term
+    FROM t
+"""
+
+
+@query("chi2_independence_cells", _SQL_CHI2)
+def chi2_independence_cells(spark, sf_dir):
+    """Chi-square test of independence (market segment x order priority),
+    reported per contingency cell: the deviation obs*N - row*col is exact
+    int64 (headroom obs*N ~ 9e12 at sf10), and each cell's chi2 term is a
+    fixed sequence of IEEE ops on those integers — bit-identical
+    cross-engine because no float SUM ever crosses cells (a global chi2
+    total would be order-dependent; consumers sum the 25 exact-int
+    dev_scaled values or the per-cell doubles as they see fit).  Scale: one
+    aggregate to the contingency table, three windows over its 25 rows."""
+    od = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        od.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                od.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"),
+                 F.col("o_orderpriority").alias("pri"))
+        .agg(F.count("*").alias("obs"))
+    )
+    t = o.select(
+        "seg",
+        "pri",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("seg")).alias("r"),
+        F.sum("obs").over(Window.partitionBy("pri")).alias("c"),
+        F.sum("obs").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    dev = F.col("obs") * F.col("n") - F.col("r") * F.col("c")
+    return t.select(
+        "seg",
+        "pri",
+        F.col("obs").cast("bigint").alias("observed"),
+        dev.cast("bigint").alias("dev_scaled"),
+        (dbl(dev) * dbl(dev) / (dbl(F.col("r")) * dbl(F.col("c")) * dbl(F.col("n"))))
+        .alias("chi2_term"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
