@@ -8129,6 +8129,99 @@ def chi2_independence_cells(spark, sf_dir):
     )
 
 
+_SQL_KM = """
+    WITH u AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS first_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS purch_us,
+             MAX(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT user_id,
+             CASE WHEN purch_us IS NOT NULL
+                  THEN (purch_us - first_us) // 86400000000
+                  ELSE (last_us - first_us) // 86400000000 END AS t_days,
+             CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS converted
+      FROM u
+    ),
+    ev AS (
+      SELECT t_days,
+             CAST(SUM(converted) AS BIGINT) AS d_i,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM d GROUP BY t_days
+    ),
+    risk AS (
+      SELECT t_days, d_i,
+             CAST(SUM(leaving) OVER (ORDER BY t_days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_i
+      FROM ev
+    )
+    SELECT t_days,
+           n_i AS n_risk,
+           d_i AS n_events,
+           CAST(SUM(CAST(floor(ln(n_i - d_i) * 1000000) AS BIGINT)
+                    - CAST(floor(ln(n_i) * 1000000) AS BIGINT))
+                OVER (ORDER BY t_days) AS BIGINT) AS log_s_micro
+    FROM risk WHERE d_i > 0 AND n_i > d_i
+"""
+
+
+@query("kaplan_meier_conversion", _SQL_KM)
+def kaplan_meier_conversion(spark, sf_dir):
+    """Kaplan-Meier survival curve for conversion latency (days from a
+    user's first event to first purchase, right-censored at their last
+    event) — the time-to-event estimator behind activation and churn
+    analyses, made cross-engine exact by the micro-nat discipline: each
+    factor ln((n_i - d_i)/n_i) is the difference of floor(ln(INTEGER)*1e6)
+    terms, so the cumulative log-survival is an exact int64 running sum
+    (consumers exp() it; the engine never compares a transcendental
+    OUTPUT).  Scale: one groupBy(user) collapses the event log; the at-risk
+    counts are a descending cumulative window over #distinct-durations
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("purch_us"),
+        F.max(us).alias("last_us"),
+    )
+    d = u.select(
+        F.when(
+            F.col("purch_us").isNotNull(),
+            F.expr("(purch_us - first_us) div 86400000000"),
+        )
+        .otherwise(F.expr("(last_us - first_us) div 86400000000"))
+        .alias("t_days"),
+        F.when(F.col("purch_us").isNotNull(), 1).otherwise(0).alias("converted"),
+    )
+    evt = d.groupBy("t_days").agg(
+        F.sum("converted").cast("bigint").alias("d_i"),
+        F.count("*").cast("bigint").alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.col("t_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = evt.select(
+        "t_days", "d_i", F.sum("leaving").over(w_desc).cast("bigint").alias("n_i")
+    )
+    lnq = lambda c: F.floor(F.log(c) * 1_000_000).cast("bigint")  # noqa: E731
+    w_asc = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.where((F.col("d_i") > 0) & (F.col("n_i") > F.col("d_i")))
+        .select(
+            "t_days",
+            F.col("n_i").alias("n_risk"),
+            F.col("d_i").alias("n_events"),
+            F.sum(lnq(F.col("n_i") - F.col("d_i")) - lnq(F.col("n_i")))
+            .over(w_asc)
+            .cast("bigint")
+            .alias("log_s_micro"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
