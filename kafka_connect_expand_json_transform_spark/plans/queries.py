@@ -8222,6 +8222,121 @@ def kaplan_meier_conversion(spark, sf_dir):
     )
 
 
+_SQL_WILSON = """
+    WITH s AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS k FROM s
+    )
+    SELECT n, k,
+           (CAST(k AS DOUBLE) + 1.9208) / (CAST(n AS DOUBLE) + 3.8416)
+             - (1.96 / (CAST(n AS DOUBLE) + 3.8416))
+               * sqrt(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                      / CAST(n AS DOUBLE) + 0.9604) AS wilson_lo,
+           (CAST(k AS DOUBLE) + 1.9208) / (CAST(n AS DOUBLE) + 3.8416)
+             + (1.96 / (CAST(n AS DOUBLE) + 3.8416))
+               * sqrt(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                      / CAST(n AS DOUBLE) + 0.9604) AS wilson_hi
+    FROM a
+"""
+
+
+@query("wilson_ci_conversion", _SQL_WILSON)
+def wilson_ci_conversion(spark, sf_dir):
+    """Wilson 95% confidence interval for the user conversion rate — the
+    small-sample-safe interval every experimentation dashboard should use
+    instead of the normal approximation.  n and k are exact ints from one
+    dedup-to-user aggregate; the interval is a fixed sequence of IEEE ops on
+    those two integers (z = 1.96 folded into literal constants 1.9208 =
+    z^2/2 and 3.8416 = z^2) with no float accumulation across rows, so both
+    engines produce bit-identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    )
+    a = s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    n, k = dbl(F.col("n")), dbl(F.col("k"))
+    center = (k + F.lit(1.9208)) / (n + F.lit(3.8416))
+    half = (F.lit(1.96) / (n + F.lit(3.8416))) * F.sqrt(
+        k * (n - k) / n + F.lit(0.9604)
+    )
+    return a.select(
+        "n", "k", (center - half).alias("wilson_lo"), (center + half).alias("wilson_hi")
+    )
+
+
+_SQL_ZIPF = """
+    WITH tok AS (
+      SELECT t AS token, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS t
+            FROM documents)
+      WHERE t <> '' GROUP BY t
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r
+      FROM tok
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(r) * 1000) AS BIGINT) AS x,
+             CAST(floor(ln(c) * 1000) AS BIGINT) AS y
+      FROM ranked WHERE r <= 1000
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT np AS n_points, sx, sy, sxy, sxx,
+           CAST(np * sxy - sx * sy AS DOUBLE)
+             / CAST(np * sxx - sx * sx AS DOUBLE) AS zipf_slope
+    FROM m
+"""
+
+
+@query("zipf_exponent", _SQL_ZIPF)
+def zipf_exponent(spark, sf_dir):
+    """Zipf power-law fit of the token frequency distribution — the corpus
+    health check (natural text slopes near -1; synthetic or boilerplate
+    corpora deviate): OLS of ln(freq) on ln(rank) over the top-1000 tokens,
+    with both logs quantized to integer MILLI-nats (floor(ln(int)*1e3) —
+    coarser than the micro-nat ops because the x*y moment sums must stay in
+    int64: (1.1e4)^2 * 1000 pts ~ 1e11, vs ~6e18 at micro precision).  All
+    five moments exact; one double division.  Ranking tie-break is
+    (count desc, token).  Scale: the rank window runs over the top-k slice
+    of an aggregated token table."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "token")
+    ranked = tok.withColumn("r", F.row_number().over(w)).where(F.col("r") <= 1000)
+    lnq3 = lambda c: F.floor(F.log(c) * 1_000).cast("bigint")  # noqa: E731
+    pts = ranked.select(lnq3(F.col("r")).alias("x"), lnq3(F.col("c")).alias("y"))
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("np"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = dbl(F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")) / dbl(
+        F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("np").alias("n_points"), "sx", "sy", "sxy", "sxx", slope.alias("zipf_slope")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -143,3 +143,31 @@ def test_bigram_ln_quantization_clear_of_integer_boundaries(ddb):
     dist = np.abs(q - np.round(q))
     worst = float(dist.min())
     assert worst > 1e-5, f"ln(c)*1e6 within {worst:.2e} of an integer boundary"
+
+
+def test_zipf_ln_quantization_clear_of_boundaries(ddb):
+    """zipf_exponent quantizes floor(ln(int)*1e3) of ranks 1..1000 and of
+    the top-1000 token counts: assert every argument is clear of a milli-nat
+    boundary (ln(1) = 0 is exactly representable and sits ON the boundary
+    with an exact value in both engines, so it is excluded)."""
+    import numpy as np
+
+    counts = [
+        r[0]
+        for r in ddb.execute(
+            """
+            SELECT c FROM (
+              SELECT COUNT(*) AS c,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS r
+              FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS t
+                    FROM documents) u
+              WHERE t <> '' GROUP BY t) WHERE r <= 1000
+            """
+        ).fetchall()
+    ]
+    args = np.array([x for x in (list(range(2, 1001)) + counts) if x > 1],
+                    dtype=np.float64)
+    q = np.log(args) * 1e3
+    dist = np.abs(q - np.round(q))
+    worst = float(dist.min())
+    assert worst > 1e-6, f"ln(x)*1e3 within {worst:.2e} of an integer boundary"
