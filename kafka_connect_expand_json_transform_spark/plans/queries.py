@@ -8337,6 +8337,43 @@ def zipf_exponent(spark, sf_dir):
     )
 
 
+_SQL_TTR = """
+    WITH tok AS (
+      SELECT source, t AS token
+      FROM (SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT token) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS type_token_ratio
+    FROM tok GROUP BY source
+"""
+
+
+@query("ttr_by_source", _SQL_TTR)
+def ttr_by_source(spark, sf_dir):
+    """Type-token ratio per source — the corpus-level lexical-diversity
+    screen (low TTR flags boilerplate/template-heavy sources before they
+    dilute a training mix; the per-document twin lives inside
+    quality_score's unique_token_ratio term).  Exact integer numerator and
+    denominator; one double ratio.  Scale: count-distinct shuffles tokens
+    once on (source, token) with map-side partial dedup — swap in the HLL
+    sketch (`hll_distinct_rollup`) when sources are hot."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    return tok.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("token").cast("bigint").alias("n_types"),
+        (dbl(F.countDistinct("token")) / dbl(F.count("*"))).alias("type_token_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
