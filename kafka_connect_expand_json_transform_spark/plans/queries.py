@@ -8374,6 +8374,94 @@ def ttr_by_source(spark, sf_dir):
     )
 
 
+# trunc-division both engines agree on: DuckDB `//` floors (wrong for
+# negatives) but abs()// is floor==trunc; Spark `div` truncates.
+_SGNDIV_SQL = "CAST(sign({x}) AS BIGINT) * (abs({x}) // {d})"
+
+
+_SQL_POWER_ITER = f"""
+    WITH q AS (
+      SELECT vec_id, CAST(i.d AS INTEGER) AS d,
+             CAST(FLOOR(CAST(embedding[i.d + 1] AS DOUBLE) * 10000) AS BIGINT) AS x
+      FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 63)) AS d) i),
+    g AS (
+      SELECT a.d AS d1, b.d AS d2, CAST(SUM(a.x * b.x) AS BIGINT) AS g
+      FROM q a JOIN q b ON a.vec_id = b.vec_id
+      GROUP BY a.d, b.d),
+    w1 AS (SELECT d1 AS d, CAST(SUM(g) AS BIGINT) AS w FROM g GROUP BY d1),
+    v1 AS (SELECT d, {_SGNDIV_SQL.format(x='w', d='67108864')} AS v FROM w1),
+    w2 AS (
+      SELECT g.d1 AS d, CAST(SUM(g.g * v1.v) AS BIGINT) AS w
+      FROM g JOIN v1 ON v1.d = g.d2 GROUP BY g.d1),
+    v2 AS (SELECT d, {_SGNDIV_SQL.format(x='w', d='17592186044416')} AS v FROM w2),
+    w3 AS (
+      SELECT g.d1 AS d, CAST(SUM(g.g * v2.v) AS BIGINT) AS w
+      FROM g JOIN v2 ON v2.d = g.d2 GROUP BY g.d1),
+    v3 AS (SELECT d, {_SGNDIV_SQL.format(x='w', d='17592186044416')} AS v FROM w3)
+    SELECT CAST(d AS INTEGER) AS dim, CAST(v AS BIGINT) AS v FROM v3
+"""
+
+
+@query("power_iteration_top_eigen", _SQL_POWER_ITER)
+def power_iteration_top_eigen(spark, sf_dir):
+    """Top principal direction of the embedding Gram matrix by 3 rounds of
+    power iteration — the PCA/spectral primitive, made cross-engine exact
+    the way the k-means/pagerank family is: vectors quantized to int
+    (floor(x*1e4)), the 64x64 Gram matrix is exact int64 sums, and each
+    iterate is rescaled by a TRUNCATING power-of-two division written as
+    sign(x)*(abs(x) div 2^k) so Spark's `div` and DuckDB's `//` agree on
+    negatives too.  Shift schedule (2^26, 2^44, 2^44) keeps every
+    matrix-vector product under int64 (|G| <= 2e11, |w| <= 2.6e18 worst
+    case).  Scale: the Gram matrix is a dim^2-row aggregate (one shuffle of
+    (d1,d2) partials); each iteration joins 4096 rows to 64 — constant-size
+    work per round regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                VEC.as_double("embedding"),
+                lambda x: F.floor(x * 10_000).cast("bigint"),
+            )
+        ).alias("d", "x"),
+    )
+    a = q.select("vec_id", F.col("d").alias("d1"), F.col("x").alias("x1"))
+    b = q.select("vec_id", F.col("d").alias("d2"), F.col("x").alias("x2"))
+    g = (
+        a.join(b, "vec_id")
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("g"))
+        .localCheckpoint(eager=True)  # 4096 rows; three iterations re-join it
+    )
+
+    def step(v_df, denom):
+        w = (
+            g.join(v_df.select(F.col("d").alias("d2"), "v"), "d2")
+            .groupBy(F.col("d1").alias("d"))
+            .agg(F.sum(F.col("g") * F.col("v")).cast("bigint").alias("w"))
+        )
+        return w.select(
+            "d",
+            (
+                F.signum("w").cast("bigint")
+                * F.expr(f"abs(w) div {denom}")
+            ).cast("bigint").alias("v"),
+        )
+
+    w1 = g.groupBy(F.col("d1").alias("d")).agg(
+        F.sum("g").cast("bigint").alias("w")
+    )
+    v1 = w1.select(
+        "d",
+        (F.signum("w").cast("bigint") * F.expr("abs(w) div 67108864"))
+        .cast("bigint")
+        .alias("v"),
+    )
+    v2 = step(v1, 17592186044416)
+    v3 = step(v2, 17592186044416)
+    return v3.select(F.col("d").cast("int").alias("dim"), F.col("v").cast("bigint").alias("v"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
