@@ -8462,6 +8462,62 @@ def power_iteration_top_eigen(spark, sf_dir):
     return v3.select(F.col("d").cast("int").alias("dim"), F.col("v").cast("bigint").alias("v"))
 
 
+_SQL_NULL_CENSUS = """
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_orderkey) AS c_o_orderkey,
+             COUNT(o_custkey) AS c_o_custkey,
+             COUNT(o_orderstatus) AS c_o_orderstatus,
+             COUNT(o_totalprice) AS c_o_totalprice,
+             COUNT(o_orderdate) AS c_o_orderdate,
+             COUNT(o_orderpriority) AS c_o_orderpriority
+      FROM orders
+    )
+    SELECT col,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(n - c AS BIGINT) AS n_nulls,
+           CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE) AS null_frac
+    FROM a, LATERAL (VALUES
+      ('o_orderkey', c_o_orderkey), ('o_custkey', c_o_custkey),
+      ('o_orderstatus', c_o_orderstatus), ('o_totalprice', c_o_totalprice),
+      ('o_orderdate', c_o_orderdate), ('o_orderpriority', c_o_orderpriority)
+    ) AS v(col, c)
+"""
+
+
+@query("null_census_orders", _SQL_NULL_CENSUS)
+def null_census_orders(spark, sf_dir):
+    """Per-column completeness census — the first profiling pass any
+    ingestion runs (the column-level twin of constraint_report's rule
+    checks): ONE scan computes COUNT(col) for every column (SQL COUNT skips
+    NULLs), then the wide single row unpivots to (column, n_rows, n_nulls,
+    null_frac) long form.  Scale: one partial+final aggregate, 6 int64s per
+    task — the unpivot is a 6-row stack of an already-1-row frame."""
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    o = load_table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count("*").alias("n"),
+        *[F.count(c).alias(f"c_{c}") for c in cols],
+    )
+    stack = ", ".join(f"'{c}', c_{c}" for c in cols)
+    long = a.select(
+        "n", F.expr(f"stack({len(cols)}, {stack}) AS (col, c)")
+    )
+    return long.select(
+        "col",
+        F.col("n").cast("bigint").alias("n_rows"),
+        (F.col("n") - F.col("c")).cast("bigint").alias("n_nulls"),
+        (dbl(F.col("n") - F.col("c")) / dbl(F.col("n"))).alias("null_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
