@@ -150,3 +150,60 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.count("*").cast("long").alias("n_edges"),
     ).crossJoin(deg.agg(F.count("*").cast("long").alias("n_nodes")))
     return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over an undirected
+    edge table: every node starts labeled with its own id; each round every
+    node adopts the most frequent label among its NEIGHBORS, ties broken by
+    the smallest label (Raghavan et al. 2007, made deterministic).  Returns
+    ``(node, label)`` after ``rounds`` synchronous updates.
+
+    Fully deterministic (frequency argmax with min-label tie-break, no random
+    visit order), so a chained-CTE SQL oracle reproduces every round exactly
+    — the community-detection twin of ``pagerank_int``.
+
+    Scale: each round is one join (edges ⋈ labels, both hash-partitioned on
+    the join key) + one partial-aggregated groupBy((node, label)) + one
+    groupBy(node) argmax via ``max(struct(count, -label))`` — a single-pass
+    aggregate, NOT a per-node sort window.  The undirected edge table is
+    materialized once (``localCheckpoint``) and its shuffle output reused
+    every round; labels checkpoint per round to bound lineage exactly like
+    the connected-components loop in ``llmops/dedup.py``.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = (
+        e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    if checkpoint:
+        und = und.localCheckpoint(eager=False)
+    labels = (
+        und.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        msgs = und.join(labels, und["s"] == labels["node"]).select(
+            F.col("d").alias("node"), "label"
+        )
+        votes = msgs.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

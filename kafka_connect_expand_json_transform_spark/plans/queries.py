@@ -8518,6 +8518,261 @@ def null_census_orders(spark, sf_dir):
     )
 
 
+# --- retrieval / communities / consolidation / calibration ------------------
+
+
+_SQL_BM25 = """
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     x -> x <> '') AS t
+                  FROM documents),
+    st AS (SELECT COUNT(*) AS nd, SUM(len(t)) AS tt FROM toks),
+    terms AS (SELECT doc_id, len(t) AS dlen, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, dlen, term, COUNT(*) AS c
+           FROM terms GROUP BY doc_id, dlen, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qt AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 3),
+    idf AS (SELECT term,
+                   CAST(FLOOR(LN(CAST(2 * nd + 2 AS DOUBLE)
+                                 / CAST(2 * df + 1 AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS idf_micro
+            FROM qt CROSS JOIN st),
+    sc AS (SELECT tf.doc_id,
+                  SUM((idf.idf_micro * 22 * tf.c * st.tt)
+                      // (10 * tf.c * st.tt + 3 * st.tt + 9 * tf.dlen * st.nd))
+                    AS score_micro
+           FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN st
+           GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(score_micro AS BIGINT) AS bm25_micro
+    FROM (SELECT doc_id, score_micro,
+                 ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rn
+          FROM sc)
+    WHERE rn <= 20
+"""
+
+
+@query("bm25_topk", _SQL_BM25)
+def bm25_topk(spark, sf_dir):
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus against its own
+    3 highest-df terms, top-20 docs — the ranking-function counterpart of
+    tfidf_top_terms and the scoring core of any corpus search / RAG recall
+    stage.  Exactness: both BM25 factors are restated over integers — the
+    Robertson IDF ln((N+1)/(df+0.5)) = ln((2N+2)/(2df+1)) is an integer
+    ratio quantized once per query term to micro-nats (floor(ln*1e6),
+    guarded clear of boundaries in test_fixture_domains), and the tf
+    saturation (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)) multiplies through
+    by 10*avgdl = 10*tt/nd into the pure-int64 ratio 22*c*tt /
+    (10*c*tt + 3*tt + 9*dlen*nd); per-doc scores are exact int64 sums.
+    int64 headroom: idf_micro*22*c*tt ~ 1e18 at sf10 (tt~5e7) — past that,
+    floor-divide tt to kilotokens, same shape.  Scale: tf/df are
+    partial-aggregated groupBys; the 3-term idf table broadcasts; the only
+    single-partition step is ranking |vocab| terms and the final top-20
+    (swap in approx heavy-hitters + per-partition pre-rank at real scale,
+    as approx_heavy_hitter_tokens does)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TXT.tokens(F.col("text")).alias("t"))
+    st = toks.agg(
+        F.count("*").alias("nd"), F.sum(F.size("t")).alias("tt")
+    )
+    terms = toks.select(
+        "doc_id", F.size("t").alias("dlen"), F.explode("t").alias("term")
+    )
+    tf = terms.groupBy("doc_id", "dlen", "term").agg(F.count("*").alias("c"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    wq = Window.orderBy(F.col("df").desc(), "term")
+    qt = dfreq.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= 3)
+    idf = qt.crossJoin(F.broadcast(st)).select(
+        "term",
+        F.floor(
+            F.log(dbl(F.lit(2) * F.col("nd") + 2) / dbl(F.lit(2) * F.col("df") + 1))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("idf_micro"),
+        "nd",
+        "tt",
+    )
+    sc = (
+        tf.join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf_micro * 22 * c * tt)"
+                " div (10 * c * tt + 3 * tt + 9 * dlen * nd)"
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").cast("bigint").alias("score_micro"))
+    )
+    wr = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    return (
+        sc.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", F.col("score_micro").alias("bm25_micro"))
+    )
+
+
+def _lpa_round(i: int) -> str:
+    p = i - 1
+    return f"""
+    m{i} AS (SELECT und.d AS node, l{p}.label AS label
+             FROM und JOIN l{p} ON und.s = l{p}.node),
+    v{i} AS (SELECT node, label, COUNT(*) AS c FROM m{i} GROUP BY node, label),
+    l{i} AS (SELECT node, label FROM
+               (SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rn
+                FROM v{i}) WHERE rn = 1)"""
+
+
+_SQL_LPA = (
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM op x JOIN op y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    und AS (SELECT a AS s, b AS d FROM e UNION SELECT b AS s, a AS d FROM e),
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM und),"""
+    + ",".join(_lpa_round(i) for i in (1, 2, 3))
+    + """
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l3 GROUP BY label
+    """
+)
+
+
+@query("label_prop_communities", _SQL_LPA)
+def label_prop_communities(spark, sf_dir):
+    """Community detection by synchronous label propagation (3 rounds,
+    deterministic frequency argmax with min-label tie-break) over the
+    part-co-purchase graph — the community twin of pagerank_event_graph
+    and triangle_count_part_graph, value-checked round-by-round via a
+    chained-CTE oracle.  Scale: see operators.graph.label_propagation —
+    per round one edges⋈labels join + one partial-aggregated vote groupBy
+    + one single-pass struct-argmax (no per-node sort window); the
+    undirected edge table is checkpointed once and its shuffle reused."""
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import _pairs_expr
+    from kafka_connect_expand_json_transform_spark.operators.graph import (
+        label_propagation,
+    )
+
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    edges = sets.select(F.explode(_pairs_expr(F.col("ps"))).alias("p")).select(
+        F.col("p.a").alias("src"), F.col("p.b").alias("dst")
+    )
+    labels = label_propagation(edges, rounds=3)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+
+
+_SQL_GOLDEN = f"""
+    WITH t AS (SELECT doc_id, source, text,
+                      md5({_SQL_NORM_TEXT}) AS ck
+               FROM documents)
+    SELECT ck,
+           CAST(MIN(doc_id) AS BIGINT) AS first_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MAX(len(text)) AS BIGINT) AS max_len,
+           CAST(MAX({{'ln': len(text), 'nid': -doc_id}}).nid * -1 AS BIGINT)
+             AS canonical_id
+    FROM t GROUP BY ck
+"""
+
+
+@query("golden_record_docs", _SQL_GOLDEN)
+def golden_record_docs(spark, sf_dir):
+    """Golden-record consolidation (entity-resolution survivorship): after
+    exact dedup clusters documents on the normalized-text fingerprint, emit
+    ONE consolidated record per cluster — survivor = the longest text, ties
+    to the smallest doc_id (the classic completeness-then-recency
+    survivorship rule), plus membership/source lineage counts.  The
+    downstream half of dedup_exact_stats: stats says how many dupes exist,
+    this materializes the canonical corpus.  Scale: a single hash-partitioned
+    groupBy on the 128-bit fingerprint; survivorship is max(struct(len,
+    -id)) — a one-pass partial-aggregatable argmax, no per-cluster sort
+    window and no join-back (the shuffle carries 16-byte keys + scalars,
+    never document text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("ln"),
+        TXT.md5_fingerprint(F.col("text")).alias("ck"),
+    )
+    return t.groupBy("ck").agg(
+        F.min("doc_id").cast("bigint").alias("first_id"),
+        F.count("*").cast("bigint").alias("n_members"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.max("ln").cast("bigint").alias("max_len"),
+        (
+            F.max(F.struct(F.col("ln"), (-F.col("doc_id")).alias("nid")))["nid"]
+            * -1
+        )
+        .cast("bigint")
+        .alias("canonical_id"),
+    )
+
+
+_SQL_CALIBRATION = """
+    WITH s AS (SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                        % 1000000 AS pred_micro,
+                      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+               FROM orders)
+    SELECT pred_micro // 100000 AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pred_micro) AS BIGINT) AS sum_pred_micro,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(pred_micro) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_pred,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate
+    FROM s GROUP BY 1
+"""
+
+
+@query("calibration_bins", _SQL_CALIBRATION)
+def calibration_bins(spark, sf_dir):
+    """Reliability-diagram calibration bins — the model-eval companion of
+    auc_order_priority: bucket a prediction score into deciles and compare
+    mean predicted probability against the empirical positive rate per bin
+    (label = order fully shipped).  The score here is a deterministic md5
+    surrogate (uniform in [0,1), independent of the label, so a correct run
+    shows every bin's pos_rate ~ the marginal rate — the known-answer shape
+    for a perfectly UNcalibrated random model); production swaps in a real
+    model-score column, the binning/aggregation shape is identical.  All
+    counts and score sums are exact int64 (15 hex digits = 60 bits, no
+    overflow); the two rates are single double divisions mirrored
+    operand-for-operand.  Scale: one scan, one 10-group partial-aggregated
+    groupBy — nothing else."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        (
+            F.expr("CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            % 1000000
+        ).alias("pred_micro"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy(F.expr("pred_micro div 100000").alias("bin")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pred_micro").cast("bigint").alias("sum_pred_micro"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    return g.select(
+        "bin",
+        "n",
+        "sum_pred_micro",
+        "n_pos",
+        (dbl(F.col("sum_pred_micro")) / (F.col("n") * F.lit(1000000.0))).alias(
+            "mean_pred"
+        ),
+        (dbl(F.col("n_pos")) / F.col("n")).alias("pos_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -171,3 +171,31 @@ def test_zipf_ln_quantization_clear_of_boundaries(ddb):
     dist = np.abs(q - np.round(q))
     worst = float(dist.min())
     assert worst > 1e-6, f"ln(x)*1e3 within {worst:.2e} of an integer boundary"
+
+
+def test_bm25_idf_quantization_clear_of_boundaries(ddb):
+    """bm25_topk quantizes floor(ln((2N+2)/(2df+1))*1e6) once per query
+    term (the 3 highest-df terms): assert each sits well clear of a
+    micro-nat boundary on the live fixture so JVM-vs-libm last-ulp drift
+    can never flip the quantized IDF between engines."""
+    rows = ddb.execute(
+        """
+        WITH toks AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                         x -> x <> '') AS t
+                      FROM documents),
+        st AS (SELECT COUNT(*) AS nd FROM toks),
+        tf AS (SELECT doc_id, term FROM (
+                 SELECT row_number() OVER () AS doc_id, unnest(t) AS term FROM toks)
+               GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+        SELECT df, (SELECT nd FROM st) FROM dfreq ORDER BY df DESC, term LIMIT 3
+        """
+    ).fetchall()
+    assert rows, "bm25 fixture produced no terms"
+    for df, nd in rows:
+        q = math.log((2 * nd + 2) / (2 * df + 1)) * 1e6
+        dist = abs(q - round(q))
+        assert dist > 1e-4, (
+            f"df={df}: ln((2N+2)/(2df+1))*1e6 = {q!r} is {dist:.2e} from an "
+            "integer — floor() quantization could flip between engines"
+        )

@@ -87,3 +87,56 @@ def test_triangle_count_matches_bruteforce_on_random_graphs(spark):
         df = spark.createDataFrame(edges, "src long, dst long")
         r = triangle_count(df).collect()[0]
         assert r.n_triangles == expected, (seed, r.n_triangles, expected)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 3-cliques joined by one bridge edge: after 3 deterministic
+    synchronous rounds the two communities remain distinct (clique A settles
+    on label 1; clique B settles on a single label of its own — the bridge
+    leaks node 3's id across as B's common label but never merges the two
+    groups).  Expected labels hand-traced round by round."""
+    from kafka_connect_expand_json_transform_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_label_propagation_matches_bruteforce(spark):
+    """Property check vs a pure-Python synchronous LPA (frequency argmax,
+    min-label tie-break) on small random graphs."""
+    import random
+    from collections import Counter
+
+    from kafka_connect_expand_json_transform_spark.operators.graph import (
+        label_propagation,
+    )
+
+    for seed in (7, 21):
+        rng = random.Random(seed)
+        n = 14
+        edges = sorted(
+            {
+                (a, b)
+                for _ in range(30)
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        und = {}
+        for a, b in edges:
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+        labels = {v: v for v in und}
+        for _ in range(3):
+            new = {}
+            for v, nbrs in und.items():
+                cnt = Counter(labels[u] for u in nbrs)
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            labels = new
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+        assert got == labels, (seed, got, labels)
