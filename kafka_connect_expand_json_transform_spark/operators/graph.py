@@ -207,3 +207,53 @@ def label_propagation(
         if checkpoint:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: object,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Unweighted BFS hop distances from ``source`` over an undirected edge
+    table, bounded to ``rounds`` relaxation rounds: returns ``(node, dist)``
+    for every node within ``rounds`` hops.  Each round applies the Bellman-
+    Ford relaxation dist(v) = min(dist(v), min_{u in N(v)} dist(u) + 1) —
+    fully deterministic integer arithmetic, so a chained-CTE SQL oracle
+    reproduces every round exactly (the traversal sibling of
+    ``pagerank_int`` / ``label_propagation``).
+
+    Scale: the frontier table is ≤|V| rows of two int64s; each round is one
+    edges⋈dist join + one partial-aggregated min groupBy.  A production BFS
+    would carry only the NEW frontier per round (delta iteration) — here the
+    whole reached set re-relaxes, which is identical for ≤3 rounds and keeps
+    the oracle a pure chained CTE; the delta variant is the same two
+    operators plus an anti-join.  Edges are checkpointed once and their
+    shuffle reused every round; dist checkpoints per round to bound lineage.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = (
+        e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    if checkpoint:
+        und = und.localCheckpoint(eager=False)
+    dist = und.sparkSession.createDataFrame(
+        [(source, 0)], "node long, dist long"
+    )
+    for _ in range(rounds):
+        relaxed = (
+            und.join(dist, und["s"] == dist["node"])
+            .select(F.col("d").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=False)
+    return dist

@@ -8773,6 +8773,141 @@ def calibration_bins(spark, sf_dir):
     )
 
 
+def _bfs_round(i: int) -> str:
+    p = i - 1
+    return f"""
+    d{i} AS (SELECT node, MIN(dist) AS dist FROM (
+               SELECT node, dist FROM d{p}
+               UNION ALL
+               SELECT und.d AS node, d{p}.dist + 1 AS dist
+               FROM und JOIN d{p} ON und.s = d{p}.node)
+             GROUP BY node)"""
+
+
+_SQL_BFS = (
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM op x JOIN op y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    und AS (SELECT a AS s, b AS d FROM e UNION SELECT b AS s, a AS d FROM e),
+    deg AS (SELECT s AS v, COUNT(*) AS dg FROM und GROUP BY s),
+    hub AS (SELECT v FROM deg ORDER BY dg DESC, v LIMIT 1),
+    d0 AS (SELECT v AS node, 0 AS dist FROM hub),"""
+    + ",".join(_bfs_round(i) for i in (1, 2, 3))
+    + """
+    SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d3 GROUP BY dist
+    """
+)
+
+
+@query("bfs_hops_part_graph", _SQL_BFS)
+def bfs_hops_part_graph(spark, sf_dir):
+    """Bounded BFS from the graph's highest-degree part (ties to the
+    smallest id): how many parts sit 0/1/2/3 co-purchase hops from the hub —
+    the reachability/traversal member of the graph family (pagerank = mass,
+    LPA = communities, triangles = closure, BFS = distance), value-checked
+    round-by-round via a chained-CTE Bellman-Ford oracle.  The hub argmax is
+    a single-row struct-max collect (bounded driver state, like k-means
+    centroids).  Scale: see operators.graph.bfs_hops — per round one
+    edges⋈dist join + one partial-aggregated MIN groupBy over ≤|V| rows of
+    two int64s."""
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import _pairs_expr
+    from kafka_connect_expand_json_transform_spark.operators.graph import bfs_hops
+
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    edges = sets.select(F.explode(_pairs_expr(F.col("ps"))).alias("p")).select(
+        F.col("p.a").alias("src"), F.col("p.b").alias("dst")
+    )
+    e = edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+    und = (
+        e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    deg = und.groupBy("s").agg(F.count("*").alias("dg"))
+    hub_row = deg.agg(
+        F.max(F.struct(F.col("dg"), (-F.col("s")).alias("nv"))).alias("m")
+    ).collect()[0]
+    hub = -hub_row.m.nv
+    dist = bfs_hops(edges, hub, rounds=3)
+    return dist.groupBy(F.col("dist").cast("bigint").alias("dist")).agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
+_SQL_ASSOC = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS nt FROM op),
+    ic AS (SELECT l_partkey AS item, COUNT(*) AS cnt FROM op GROUP BY l_partkey),
+    pr AS (SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS ab
+           FROM op x JOIN op y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+           GROUP BY 1, 2)
+    SELECT pr.a, pr.b,
+           CAST(pr.ab AS BIGINT) AS support_cnt,
+           CAST(pr.ab AS DOUBLE) / ia.cnt AS conf_a_to_b,
+           CAST(pr.ab AS DOUBLE) / ib.cnt AS conf_b_to_a,
+           CAST(pr.ab * n.nt AS DOUBLE) / CAST(ia.cnt * ib.cnt AS DOUBLE) AS lift
+    FROM pr
+    JOIN ic ia ON ia.item = pr.a
+    JOIN ic ib ON ib.item = pr.b
+    CROSS JOIN n
+    WHERE pr.ab >= 2
+"""
+
+
+@query("association_rules_parts", _SQL_ASSOC)
+def association_rules_parts(spark, sf_dir):
+    """Association-rule mining (market-basket) over order part-sets:
+    pairwise support, both directional confidences, and lift for every part
+    pair co-purchased in >= 2 orders — the Apriori-style 2-itemset pass that
+    powers co-retrieval / 'also-bought' curation.  Counts are exact int64;
+    the three ratios are single double divisions mirrored operand-for-
+    operand.  Scale: pair generation explodes C(k,2) inside each order's
+    collected part set (k <= ~17 per order, bounded like an LSH bucket —
+    item x item never appears in the plan), support is one partial-
+    aggregated groupBy on the pair key, and the item-count table
+    (|items| rows) broadcasts to attach both margins without a shuffle."""
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import _pairs_expr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    nt = op.agg(F.count_distinct("l_orderkey").alias("nt"))
+    ic = op.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("cnt")
+    )
+    sets = op.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pr = (
+        sets.select(F.explode(_pairs_expr(F.col("ps"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("ab"))
+        .where(F.col("ab") >= 2)
+    )
+    ia = ic.select(F.col("item").alias("a"), F.col("cnt").alias("ca"))
+    ib = ic.select(F.col("item").alias("b"), F.col("cnt").alias("cb"))
+    return (
+        pr.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "a",
+            "b",
+            F.col("ab").cast("bigint").alias("support_cnt"),
+            (dbl(F.col("ab")) / F.col("ca")).alias("conf_a_to_b"),
+            (dbl(F.col("ab")) / F.col("cb")).alias("conf_b_to_a"),
+            (dbl(F.col("ab") * F.col("nt")) / dbl(F.col("ca") * F.col("cb"))).alias(
+                "lift"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -140,3 +140,41 @@ def test_label_propagation_matches_bruteforce(spark):
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
         assert got == labels, (seed, got, labels)
+
+
+def test_bfs_hops_matches_bruteforce(spark):
+    """bfs_hops vs a pure-Python BFS truncated at 3 hops on small random
+    graphs (source = node 0, present in every graph by construction)."""
+    import random
+    from collections import deque
+
+    from kafka_connect_expand_json_transform_spark.operators.graph import bfs_hops
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        n = 12
+        edges = sorted(
+            {(0, rng.randrange(1, n))}
+            | {
+                (a, b)
+                for _ in range(20)
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        und = {}
+        for a, b in edges:
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+        expect = {0: 0}
+        q = deque([0])
+        while q:
+            v = q.popleft()
+            if expect[v] >= 3:
+                continue
+            for u in und[v]:
+                if u not in expect:
+                    expect[u] = expect[v] + 1
+                    q.append(u)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.dist for r in bfs_hops(df, 0, rounds=3).collect()}
+        assert got == expect, (seed, got, expect)
