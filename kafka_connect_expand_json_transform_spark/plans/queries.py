@@ -8999,6 +8999,96 @@ def ndcg_label_retrieval(spark, sf_dir):
     )
 
 
+# Reciprocal-rank-fusion weights in nano-units: floor(1e9 / (60 + rank)),
+# the standard RRF k=60.  Exact integers, embedded identically in both
+# engines (same discipline as the NDCG discounts — no per-engine division).
+_RRF_W = [1_000_000_000 // (60 + i) for i in range(1, 11)]
+_RRF_CASE = (
+    "CASE rank " + " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_RRF_W)) + " ELSE 0 END"
+)
+
+
+_SQL_RRF = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    r1 AS (SELECT * FROM (
+             SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                       ORDER BY round({_SQL_COS}, 4) DESC, b.vec_id)
+                      AS rank
+             FROM e a JOIN e b ON a.vec_id < 5 AND a.vec_id <> b.vec_id)
+           WHERE rank <= 10),
+    r2 AS (SELECT * FROM (
+             SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                       ORDER BY round(list_dot_product(a.v, b.v), 4)
+                                                  DESC, b.vec_id) AS rank
+             FROM e a JOIN e b ON a.vec_id < 5 AND a.vec_id <> b.vec_id)
+           WHERE rank <= 10),
+    u AS (SELECT query_id, vec_id, ({_RRF_CASE}) AS s FROM r1
+          UNION ALL
+          SELECT query_id, vec_id, ({_RRF_CASE}) AS s FROM r2),
+    f AS (SELECT query_id, vec_id, CAST(SUM(s) AS BIGINT) AS rrf_nano
+          FROM u GROUP BY query_id, vec_id)
+    SELECT query_id, vec_id, rrf_nano, rank FROM (
+      SELECT query_id, vec_id, rrf_nano,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_nano DESC, vec_id) AS rank
+      FROM f) WHERE rank <= 5
+"""
+
+
+@query("rrf_hybrid_fusion", _SQL_RRF)
+def rrf_hybrid_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (k=60) of two retrieval rankings — the
+    standard hybrid-search combiner (lexical + vector in production; here
+    cosine and raw-dot-product rankings, which disagree exactly where
+    vector norms differ): each ranker's top-10 contributes
+    floor(1e9/(60+rank)), fused scores are exact int64 sums, top-5 per
+    query with vec_id tie-break.  The RRF weights are Python-precomputed
+    integer literals identical in both engines — no per-engine division.
+    Scale: two broadcast-query scoring passes over the corpus (no corpus
+    shuffle), a 100-row-per-query fusion groupBy, and a top-k window over
+    <=20 candidates per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    r1 = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "vec_id", "rank"
+    )
+    q = queries.select("query_id", VEC.as_double("query_vec").alias("__qv"))
+    c = emb.select("vec_id", VEC.as_double("embedding").alias("__cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(VEC.dot(F.col("__qv"), F.col("__cv")), 4).alias("dp"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("dp").desc(), F.col("vec_id"))
+    r2 = (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank")
+    )
+    u = r1.unionByName(r2).select(
+        "query_id", "vec_id", F.expr(_RRF_CASE).alias("s")
+    )
+    f = u.groupBy("query_id", "vec_id").agg(
+        F.sum("s").cast("bigint").alias("rrf_nano")
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_nano").desc(), F.col("vec_id")
+    )
+    return (
+        f.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "rrf_nano", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
