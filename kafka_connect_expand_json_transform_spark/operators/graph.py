@@ -152,6 +152,32 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 
 
+def undirect(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Symmetrize an edge table to distinct undirected ``(s, d)`` rows, no
+    self-loops.  Dedup runs on the CANONICAL half only (least/greatest) and
+    the mirror is a narrow union afterwards — mirroring a distinct set stays
+    distinct, so the expensive shuffle sees half the rows the naive
+    union-then-distinct order would push through it.  With ``checkpoint``
+    the canonical half materializes once (``localCheckpoint``) so the union
+    does not compute the dedup twice and iterative callers reuse it."""
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.select(F.least(a, b).alias("s"), F.greatest(a, b).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    if checkpoint:
+        canon = canon.localCheckpoint(eager=False)
+    return canon.unionAll(
+        canon.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 3,
@@ -177,14 +203,7 @@ def label_propagation(
     every round; labels checkpoint per round to bound lineage exactly like
     the connected-components loop in ``llmops/dedup.py``.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    und = (
-        e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .where(F.col("s") != F.col("d"))
-        .distinct()
-    )
-    if checkpoint:
-        und = und.localCheckpoint(eager=False)
+    und = undirect(edges, src=src, dst=dst, checkpoint=checkpoint)
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()
@@ -216,6 +235,7 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     checkpoint: bool = True,
+    prebuilt_undirected: bool = False,
 ) -> DataFrame:
     """Unweighted BFS hop distances from ``source`` over an undirected edge
     table, bounded to ``rounds`` relaxation rounds: returns ``(node, dist)``
@@ -232,15 +252,16 @@ def bfs_hops(
     the oracle a pure chained CTE; the delta variant is the same two
     operators plus an anti-join.  Edges are checkpointed once and their
     shuffle reused every round; dist checkpoints per round to bound lineage.
+
+    ``prebuilt_undirected``: pass True when ``edges`` is ALREADY a distinct
+    symmetrized (s, d) table (e.g. from ``undirect``) — callers that also
+    need the undirected table for degree/hub selection reuse one build
+    instead of paying the symmetrize-dedup shuffle twice.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    und = (
-        e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .where(F.col("s") != F.col("d"))
-        .distinct()
-    )
-    if checkpoint:
-        und = und.localCheckpoint(eager=False)
+    if prebuilt_undirected:
+        und = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    else:
+        und = undirect(edges, src=src, dst=dst, checkpoint=checkpoint)
     dist = und.sparkSession.createDataFrame(
         [(source, 0)], "node long, dist long"
     )

@@ -8627,7 +8627,8 @@ def _lpa_round(i: int) -> str:
 
 _SQL_LPA = (
     """
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 5 = 0),
     e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
           FROM op x JOIN op y
             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
@@ -8650,7 +8651,11 @@ def label_prop_communities(spark, sf_dir):
     chained-CTE oracle.  Scale: see operators.graph.label_propagation —
     per round one edges⋈labels join + one partial-aggregated vote groupBy
     + one single-pass struct-argmax (no per-node sort window); the
-    undirected edge table is checkpointed once and its shuffle reused."""
+    undirected edge table is checkpointed once and its shuffle reused.
+    The correctness vehicle runs on a deterministic 20% order slice
+    (l_orderkey % 5 — 3 iterative rounds triple every edge join, and
+    triangle_count_part_graph already exercises the FULL graph build in
+    this suite; the xpath-slice precedent)."""
     from kafka_connect_expand_json_transform_spark.llmops.dedup import _pairs_expr
     from kafka_connect_expand_json_transform_spark.operators.graph import (
         label_propagation,
@@ -8658,6 +8663,7 @@ def label_prop_communities(spark, sf_dir):
 
     sets = (
         load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps"))
     )
@@ -8786,7 +8792,8 @@ def _bfs_round(i: int) -> str:
 
 _SQL_BFS = (
     """
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 5 = 0),
     e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
           FROM op x JOIN op y
             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
@@ -8812,30 +8819,32 @@ def bfs_hops_part_graph(spark, sf_dir):
     a single-row struct-max collect (bounded driver state, like k-means
     centroids).  Scale: see operators.graph.bfs_hops — per round one
     edges⋈dist join + one partial-aggregated MIN groupBy over ≤|V| rows of
-    two int64s."""
+    two int64s; the undirected table is built + checkpointed ONCE and
+    shared by degree/hub selection and the traversal.  Correctness vehicle
+    runs on the deterministic 20% order slice (see
+    label_prop_communities)."""
     from kafka_connect_expand_json_transform_spark.llmops.dedup import _pairs_expr
-    from kafka_connect_expand_json_transform_spark.operators.graph import bfs_hops
+    from kafka_connect_expand_json_transform_spark.operators.graph import (
+        bfs_hops,
+        undirect,
+    )
 
     sets = (
         load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps"))
     )
     edges = sets.select(F.explode(_pairs_expr(F.col("ps"))).alias("p")).select(
         F.col("p.a").alias("src"), F.col("p.b").alias("dst")
     )
-    e = edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
-    und = (
-        e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .where(F.col("s") != F.col("d"))
-        .distinct()
-    )
+    und = undirect(edges, checkpoint=True)
     deg = und.groupBy("s").agg(F.count("*").alias("dg"))
     hub_row = deg.agg(
         F.max(F.struct(F.col("dg"), (-F.col("s")).alias("nv"))).alias("m")
     ).collect()[0]
     hub = -hub_row.m.nv
-    dist = bfs_hops(edges, hub, rounds=3)
+    dist = bfs_hops(und, hub, rounds=3, src="s", dst="d", prebuilt_undirected=True)
     return dist.groupBy(F.col("dist").cast("bigint").alias("dist")).agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
