@@ -9098,6 +9098,160 @@ def rrf_hybrid_fusion(spark, sf_dir):
     )
 
 
+_SQL_STREAM_CDC = """
+    WITH changes AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE) AS o_totalprice,
+             'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+      FROM orders WHERE o_orderkey % 15 = 0),
+    latest AS (
+      SELECT * FROM (SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
+                                                    ORDER BY seq DESC) AS rn
+                     FROM changes c) WHERE rn = 1),
+    merged AS (
+      SELECT o.o_orderstatus, o.o_totalprice FROM orders o
+      WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+      UNION ALL
+      SELECT l.o_orderstatus, l.o_totalprice FROM latest l WHERE l.op <> 'D')
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_orderstatus
+"""
+
+
+@query("stream_cdc_merge_e2e", _SQL_STREAM_CDC)
+def stream_cdc_merge_e2e(spark, sf_dir):
+    """CDC-apply on a REAL stream — the streaming twin of
+    merge_upsert_orders and the shape every lakehouse ingestion job runs: a
+    changelog (updates + deletes) arrives as a file stream in 3 micro-
+    batches (maxFilesPerTrigger=1), and ``foreachBatch`` MERGEs each batch
+    into a versioned parquet target (write-new-version-then-advance — the
+    non-ACID production pattern; a table format makes the swap atomic).
+    The final target state equals the one-shot batch merge.
+
+    Determinism across batch boundaries: the changelog is hash-partitioned
+    on the merge key before writing, so ALL changes for a key land in ONE
+    micro-batch — per-key seq resolution happens inside a single merge and
+    disjoint-key merges commute, making the result independent of file
+    arrival order.  Scale: each batch merge is one changelog window + one
+    key anti-join against the snapshot (AQE broadcasts the touched-key
+    set); the snapshot is never windowed."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        merge_upsert,
+    )
+    from kafka_connect_expand_json_transform_spark.streaming.sources import (
+        file_stream_source,
+        foreach_batch_sink,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", (money("o_totalprice") * 2).cast("double"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    dels = (
+        orders.where(F.col("o_orderkey") % 15 == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(2))
+    )
+    cdc = upd.unionByName(dels)
+    root = _tempfile.mkdtemp(prefix="sg_cdc_")
+    try:
+        cdc_dir = _os.path.join(root, "cdc")
+        cdc.repartition(3, "o_orderkey").write.parquet(cdc_dir)
+        orders.write.parquet(_os.path.join(root, "target_v0"))
+        state = {"v": 0}
+
+        def apply_batch(batch_df, _batch_id):
+            cur = _os.path.join(root, f"target_v{state['v']}")
+            nxt = _os.path.join(root, f"target_v{state['v'] + 1}")
+            snap = spark.read.parquet(cur)
+            merge_upsert(snap, batch_df, "o_orderkey", "seq").write.parquet(nxt)
+            state["v"] += 1
+
+        stream = file_stream_source(
+            spark,
+            cdc_dir,
+            cdc.schema,
+            fmt="parquet",
+            options={"maxFilesPerTrigger": "1"},
+        )
+        q = foreach_batch_sink(
+            stream, apply_batch, checkpoint_location=_os.path.join(root, "chk")
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(_os.path.join(root, f"target_v{state['v']}"))
+        out = final.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            dbl(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).alias(
+                "total_price"
+            ),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_COMPACTION = """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+"""
+
+
+@query("compaction_roundtrip_agg", _SQL_COMPACTION)
+def compaction_roundtrip_agg(spark, sf_dir):
+    """Small-file compaction end-to-end (sources/batch.py compact_parquet):
+    events is deliberately fragmented into 64 shuffled files (what a
+    streaming sink or per-partition writer leaves behind), compacted back
+    toward the 128 MB-file sweet spot, and re-aggregated — value identity
+    with the never-fragmented oracle proves the maintenance rewrite is
+    lossless, and the file counts are asserted in-query (64 before, ceil-
+    by-bytes after).  At 100 TB task-per-tiny-file scheduling overhead
+    dominates scans, so this rewrite is routine table maintenance; result
+    is materialized so the temp layouts can be deleted."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources.batch import (
+        compact_parquet,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    tmp = _tempfile.mkdtemp(prefix="sg_compact_")
+    try:
+        frag = tmp + "/frag"
+        events.repartition(64).write.parquet(frag)
+        n_before = len(_glob.glob(frag + "/*.parquet"))
+        assert n_before == 64, n_before
+        out_dir = tmp + "/compact"
+        compact_parquet(spark, frag, out_dir, target_file_bytes=64 * 1024 * 1024)
+        n_after = len(_glob.glob(out_dir + "/*.parquet"))
+        assert n_after < n_before, (n_before, n_after)
+        back = spark.read.parquet(out_dir)
+        cents = (F.col("value").cast("decimal(8,2)") * 100).cast("bigint")
+        res = back.agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(cents).cast("bigint").alias("sum_cents"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
