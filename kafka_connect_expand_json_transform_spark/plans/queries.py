@@ -9252,6 +9252,138 @@ def compaction_roundtrip_agg(spark, sf_dir):
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _sql_cos2(x: str, y: str) -> str:
+    return (
+        f"round(list_dot_product({x}, {y}) / "
+        f"(sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y}))), 4)"
+    )
+
+
+_SQL_MMR = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cand AS (SELECT * FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.v AS v,
+             round({_SQL_COS}, 4) AS rel,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_SQL_COS}, 4) DESC, b.vec_id)
+               AS rank
+      FROM e a JOIN e b ON a.vec_id < 3 AND a.vec_id <> b.vec_id)
+      WHERE rank <= 8),
+    p1 AS (SELECT query_id, vec_id AS s1, v AS v1, rel / 2 AS sc1
+           FROM cand WHERE rank = 1),
+    c2 AS (SELECT c.query_id, c.vec_id, c.v, c.rel, p.v1, p.s1,
+                  c.rel / 2 - {_sql_cos2('c.v', 'p.v1')} / 2 AS sc
+           FROM cand c JOIN p1 p ON c.query_id = p.query_id
+           WHERE c.vec_id <> p.s1),
+    p2 AS (SELECT query_id, vec_id AS s2, v AS v2, sc AS sc2 FROM (
+             SELECT c2.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sc DESC, vec_id) AS rn
+             FROM c2) WHERE rn = 1),
+    c3 AS (SELECT c.query_id, c.vec_id,
+                  c.rel / 2 - GREATEST({_sql_cos2('c.v', 'p1.v1')},
+                                       {_sql_cos2('c.v', 'p2.v2')}) / 2 AS sc
+           FROM cand c
+           JOIN p1 ON c.query_id = p1.query_id
+           JOIN p2 ON c.query_id = p2.query_id
+           WHERE c.vec_id <> p1.s1 AND c.vec_id <> p2.s2),
+    p3 AS (SELECT query_id, vec_id AS s3, sc AS sc3 FROM (
+             SELECT c3.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sc DESC, vec_id) AS rn
+             FROM c3) WHERE rn = 1)
+    SELECT query_id, CAST(1 AS BIGINT) AS pick, s1 AS vec_id, sc1 AS mmr FROM p1
+    UNION ALL
+    SELECT query_id, CAST(2 AS BIGINT), s2, sc2 FROM p2
+    UNION ALL
+    SELECT query_id, CAST(3 AS BIGINT), s3, sc3 FROM p3
+"""
+
+
+@query("mmr_diversified_topk", _SQL_MMR)
+def mmr_diversified_topk(spark, sf_dir):
+    """Maximal-marginal-relevance diversification (lambda = 1/2, 3 greedy
+    picks from the cosine top-8 per query) — the re-ranking stage RAG
+    retrieval runs after recall to avoid returning 3 near-copies: each step
+    picks argmax of rel/2 - max-sim-to-picked/2 with vec_id tie-break.
+    Every similarity is the round-4 cosine both engines already hash-match;
+    /2 is an exact FP halving and both sides mirror the greedy recursion
+    CTE-for-CTE, so all three rounds value-match.  Scale: candidate
+    generation is the broadcast-query brute_force_topk pass; the greedy
+    loop touches <=8 rows per query per step (picked vectors broadcast),
+    which is why production MMR always runs on the RERANK set, never the
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.select("vec_id", VEC.as_double("embedding").alias("v"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cand = (
+        similarity.brute_force_topk(emb, queries, k=8)
+        .join(F.broadcast(ev), "vec_id")
+        .select("query_id", "vec_id", "v", F.col("cos_sim").alias("rel"), "rank")
+    )
+    p1 = cand.where(F.col("rank") == 1).select(
+        "query_id",
+        F.col("vec_id").alias("s1"),
+        F.col("v").alias("v1"),
+        (F.col("rel") / 2).alias("sc1"),
+    )
+    c2 = (
+        cand.join(F.broadcast(p1), "query_id")
+        .where(F.col("vec_id") != F.col("s1"))
+        .withColumn("sim1", F.round(VEC.cosine(F.col("v"), F.col("v1")), 4))
+        .withColumn("sc", F.col("rel") / 2 - F.col("sim1") / 2)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sc").desc(), "vec_id")
+    p2 = (
+        c2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("s2"),
+            F.col("v").alias("v2"),
+            F.col("sc").alias("sc2"),
+        )
+    )
+    c3 = (
+        cand.join(F.broadcast(p1.select("query_id", "s1", "v1")), "query_id")
+        .join(F.broadcast(p2.select("query_id", "s2", "v2")), "query_id")
+        .where((F.col("vec_id") != F.col("s1")) & (F.col("vec_id") != F.col("s2")))
+        .withColumn(
+            "sc",
+            F.col("rel") / 2
+            - F.greatest(
+                F.round(VEC.cosine(F.col("v"), F.col("v1")), 4),
+                F.round(VEC.cosine(F.col("v"), F.col("v2")), 4),
+            )
+            / 2,
+        )
+    )
+    p3 = (
+        c3.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("vec_id").alias("s3"), F.col("sc").alias("sc3"))
+    )
+    one = p1.select(
+        "query_id",
+        F.lit(1).cast("bigint").alias("pick"),
+        F.col("s1").alias("vec_id"),
+        F.col("sc1").alias("mmr"),
+    )
+    two = p2.select(
+        "query_id",
+        F.lit(2).cast("bigint").alias("pick"),
+        F.col("s2").alias("vec_id"),
+        F.col("sc2").alias("mmr"),
+    )
+    three = p3.select(
+        "query_id",
+        F.lit(3).cast("bigint").alias("pick"),
+        F.col("s3").alias("vec_id"),
+        F.col("sc3").alias("mmr"),
+    )
+    return one.unionByName(two).unionByName(three)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
