@@ -9384,6 +9384,97 @@ def mmr_diversified_topk(spark, sf_dir):
     return one.unionByName(two).unionByName(three)
 
 
+def _grid_cc_round(i: int) -> str:
+    p = i - 1
+    return f"""
+    g{i} AS (SELECT n.dst AS lid, MIN(g{p}.lab) AS lab
+             FROM nbr n JOIN g{p} ON n.src = g{p}.lid
+             GROUP BY n.dst)"""
+
+
+_SQL_GRID_DENSITY = (
+    """
+    WITH pts AS (SELECT CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) // 5000 AS gx,
+                        epoch_us(ts) // 3600000000 % 24 AS gy
+                 FROM events),
+    cells AS (SELECT gx, gy, COUNT(*) AS cnt FROM pts GROUP BY gx, gy),
+    mx AS (SELECT MAX(cnt) AS maxc FROM cells),
+    dense AS (SELECT gx, gy, cnt, gx * 32 + gy AS lid
+              FROM cells CROSS JOIN mx WHERE cnt * 20 >= maxc),
+    nbr AS (SELECT a.lid AS src, b.lid AS dst
+            FROM dense a
+            JOIN (SELECT unnest([-1, 0, 1]) AS ox) o1 ON TRUE
+            JOIN (SELECT unnest([-1, 0, 1]) AS oy) o2 ON TRUE
+            JOIN dense b ON b.gx = a.gx + o1.ox AND b.gy = a.gy + o2.oy),
+    g0 AS (SELECT lid, lid AS lab FROM dense),"""
+    + ",".join(_grid_cc_round(i) for i in (1, 2, 3))
+    + """
+    SELECT g3.lab AS cluster, COUNT(*) AS n_cells,
+           CAST(SUM(dense.cnt) AS BIGINT) AS n_points
+    FROM g3 JOIN dense ON dense.lid = g3.lid
+    GROUP BY g3.lab
+    """
+)
+
+
+@query("grid_density_clusters", _SQL_GRID_DENSITY)
+def grid_density_clusters(spark, sf_dir):
+    """Density-based clustering, DBSCAN's grid-cell restatement — the
+    density member of the clustering family (k-means = centroid, semantic
+    blocking = cluster-bounded pairs, THIS = arbitrary-shape dense
+    regions): events land in ($50-value-bin, hour-of-day) cells, cells at
+    >= 5% of the max density are core, and adjacent core cells merge by 3
+    rounds of min-label propagation (8-neighborhood + self via the (0,0)
+    offset, so each round relaxes own and neighbor labels in one MIN).
+    All integer arithmetic, value-checked round-by-round.  Scale: the
+    point->cell reduction is one partial-aggregated groupBy (the corpus
+    never leaves it); the neighborhood is an EQUI-join of the tiny dense-
+    cell table against its 9 shifted copies — no inequality/BNLJ join
+    exists in the plan, the standard trick for spatial adjacency at
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) div 5000").alias(
+            "gx"
+        ),
+        F.expr("unix_micros(ts) div 3600000000 % 24").alias("gy"),
+    )
+    cells = pts.groupBy("gx", "gy").agg(F.count("*").alias("cnt"))
+    mx = cells.agg(F.max("cnt").alias("maxc"))
+    dense = (
+        cells.crossJoin(F.broadcast(mx))
+        .where(F.col("cnt") * 20 >= F.col("maxc"))
+        .select("gx", "gy", "cnt", (F.col("gx") * 32 + F.col("gy")).alias("lid"))
+    )
+    offsets = spark.createDataFrame(
+        [(ox, oy) for ox in (-1, 0, 1) for oy in (-1, 0, 1)], "ox long, oy long"
+    )
+    shifted = dense.crossJoin(F.broadcast(offsets)).select(
+        F.col("lid").alias("src"),
+        (F.col("gx") + F.col("ox")).alias("nx"),
+        (F.col("gy") + F.col("oy")).alias("ny"),
+    )
+    nbr = shifted.join(
+        dense.select(F.col("gx").alias("nx"), F.col("gy").alias("ny"), F.col("lid").alias("dst")),
+        ["nx", "ny"],
+    ).select("src", "dst")
+    labels = dense.select("lid", F.col("lid").alias("lab"))
+    for _ in range(3):
+        labels = (
+            nbr.join(labels, nbr["src"] == labels["lid"])
+            .groupBy(F.col("dst").alias("lid"))
+            .agg(F.min("lab").alias("lab"))
+        )
+    return (
+        labels.join(dense.select("lid", "cnt"), "lid")
+        .groupBy(F.col("lab").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("cnt").cast("bigint").alias("n_points"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
