@@ -81,6 +81,12 @@ _INTENTIONALLY_UNKEYED = {
     "tfidf_top_terms",  # single-row corpus doc-count (IDF denominator)
     "triangle_count_part_graph",  # 1-row node/edge/triangle stats combined
     "incremental_dedup_report",  # 1-row n_incoming total x 1-row kept stats
+    "bm25_topk",  # 1-row corpus stats (N, total tokens) attached to idf/tf
+    "association_rules_parts",  # 1-row basket-count total (lift denominator)
+    "ndcg_label_retrieval",  # 5 query vectors broadcast against the corpus
+    "rrf_hybrid_fusion",  # 5 query vectors broadcast against the corpus
+    "mmr_diversified_topk",  # 3 query vectors + <=3-row picked sets broadcast
+    "grid_density_clusters",  # 1-row max-density + 9-row offset table broadcast
 }
 
 
