@@ -9475,6 +9475,121 @@ def grid_density_clusters(spark, sf_dir):
     )
 
 
+_SQL_READABILITY = f"""
+    WITH d AS (SELECT source,
+                      len(list_filter({_SQL_TOKS}, x -> x <> '')) AS words,
+                      len(regexp_split_to_array(text, '[.!?]+')) AS sentences,
+                      len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+               FROM documents),
+    s AS (SELECT source,
+                 CAST(SUM(words) AS BIGINT) AS w,
+                 CAST(SUM(sentences) AS BIGINT) AS s,
+                 CAST(SUM(syllables) AS BIGINT) AS y
+          FROM d GROUP BY source)
+    SELECT source, w AS n_words, s AS n_sentences, y AS n_syllables,
+           206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                   - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) AS flesch
+    FROM s
+"""
+
+
+@query("readability_by_source", _SQL_READABILITY)
+def readability_by_source(spark, sf_dir):
+    """Flesch reading-ease per corpus source — the readability member of the
+    text-quality family (quality scores, TTR, Zipf, entropy): word counts
+    from the shared tokenizer, sentences from terminal-punctuation splits,
+    syllables approximated by vowel-group runs (the standard heuristic).
+    All three counts aggregate as exact int64 per source and the Flesch
+    constants are literals, so the formula is two mirrored double
+    divisions on exact sums — no per-row float aggregation exists (an AVG
+    of per-doc scores would be FP-order-sensitive; sum-then-formula is
+    not).  Scale: one narrow regexp projection + one partial-aggregated
+    5-group groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(TXT.tokens(F.col("text"))).alias("words"),
+        F.size(F.split(F.col("text"), r"[.!?]+", -1)).alias("sentences"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).alias("syllables"),
+    )
+    s = d.groupBy("source").agg(
+        F.sum("words").cast("bigint").alias("w"),
+        F.sum("sentences").cast("bigint").alias("s"),
+        F.sum("syllables").cast("bigint").alias("y"),
+    )
+    return s.select(
+        "source",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("y").alias("n_syllables"),
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (dbl(F.col("w")) / dbl(F.col("s")))
+            - F.lit(84.6) * (dbl(F.col("y")) / dbl(F.col("w")))
+        ).alias("flesch"),
+    )
+
+
+_SQL_QNORM = """
+    WITH p AS (SELECT event_type, event_id,
+                      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+               FROM events),
+    g AS (SELECT event_type, cents,
+                 ntile(10) OVER (PARTITION BY event_type
+                                 ORDER BY cents, event_id) AS dec
+          FROM p),
+    gb AS (SELECT event_type, dec, MAX(cents) AS group_hi, COUNT(*) AS n
+           FROM g GROUP BY event_type, dec),
+    a AS (SELECT cents, ntile(10) OVER (ORDER BY cents, event_id) AS dec FROM p),
+    ab AS (SELECT dec, MAX(cents) AS global_hi FROM a GROUP BY dec)
+    SELECT gb.event_type, CAST(gb.dec AS BIGINT) AS decile,
+           CAST(gb.n AS BIGINT) AS n,
+           CAST(gb.group_hi AS BIGINT) AS group_hi_cents,
+           CAST(ab.global_hi AS BIGINT) AS global_hi_cents
+    FROM gb JOIN ab ON gb.dec = ab.dec
+"""
+
+
+@query("quantile_normalization_map", _SQL_QNORM)
+def quantile_normalization_map(spark, sf_dir):
+    """Per-group quantile-normalization mapping — the train/serve feature-
+    alignment table: each event type's value deciles (exact cents, ntile
+    with a full deterministic ordering) side by side with the global decile
+    boundaries, so a serving job can remap any group's distribution onto
+    the reference by decile lookup.  All int64-exact.  Scale: the per-group
+    ntile shuffles once on the group key; the GLOBAL ntile is the
+    documented single-partition sort (equidepth_histogram precedent) — at
+    real scale both swap for the mergeable quantile sketch already in the
+    suite, which is why the map keys on decile, not rank."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    wg = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    gb = (
+        p.select("event_type", "cents", F.ntile(10).over(wg).alias("dec"))
+        .groupBy("event_type", "dec")
+        .agg(F.max("cents").alias("group_hi"), F.count("*").alias("n"))
+    )
+    wa = Window.orderBy("cents", "event_id")
+    ab = (
+        p.select("cents", F.ntile(10).over(wa).alias("dec"))
+        .groupBy("dec")
+        .agg(F.max("cents").alias("global_hi"))
+    )
+    return gb.join(F.broadcast(ab), "dec").select(
+        "event_type",
+        F.col("dec").cast("bigint").alias("decile"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("group_hi").cast("bigint").alias("group_hi_cents"),
+        F.col("global_hi").cast("bigint").alias("global_hi_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
