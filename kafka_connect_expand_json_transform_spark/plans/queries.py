@@ -9590,6 +9590,85 @@ def quantile_normalization_map(spark, sf_dir):
     )
 
 
+_SQL_WELCH = """
+    WITH m AS (
+      SELECT
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT) END) AS s1,
+        SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT)
+                      * CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT) END) AS ss1,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+        SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT) END) AS s2,
+        SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT)
+                      * CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT) END) AS ss2
+      FROM events),
+    v AS (
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+             CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS v1,
+             CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+               / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS v2
+      FROM m)
+    SELECT n1, n2, m1 - m2 AS mean_diff_dollars,
+           (m1 - m2) / SQRT(v1 / n1 + v2 / n2) AS t_stat,
+           (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS welch_df
+    FROM v
+"""
+
+
+@query("welch_t_test_values", _SQL_WELCH)
+def welch_t_test_values(spark, sf_dir):
+    """Welch's unequal-variance t-test (click vs purchase event values) —
+    the two-sample-means member of the hypothesis-test family (z-test =
+    proportions, KS = distributions, chi-square = independence): all six
+    moments (n, Σdollars, Σdollars²) accumulate as exact int64 in one scan,
+    then mean/variance/t/Welch-Satterthwaite df are mirrored double
+    expressions on the single moment row — native stddev/var aggregates
+    are float-accumulation-order-dependent, this form is not.  values floor to whole DOLLARS (corr_matrix precedent) so Σx² stays far inside int64 — Spark's bigint SUM wraps silently where DuckDB promotes to HUGEINT, and dollar moments keep both exact through ~sf100; headroom guarded in test_fixture_domains.  Scale: one partial-
+    aggregated single-row global agg; everything after is constant
+    space."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT)")
+    is1 = F.col("event_type") == "click"
+    is2 = F.col("event_type") == "purchase"
+    m = ev.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(is1, cents)).alias("s1"),
+        F.sum(F.when(is1, cents * cents)).alias("ss1"),
+        F.sum(F.when(is2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(is2, cents)).alias("s2"),
+        F.sum(F.when(is2, cents * cents)).alias("ss2"),
+    )
+    n1d, n2d = dbl(F.col("n1")), dbl(F.col("n2"))
+    m1 = dbl(F.col("s1")) / n1d
+    m2 = dbl(F.col("s2")) / n2d
+    v1 = dbl(F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")) / (
+        n1d * dbl(F.col("n1") - 1)
+    )
+    v2 = dbl(F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2")) / (
+        n2d * dbl(F.col("n2") - 1)
+    )
+    se1, se2 = v1 / F.col("n1"), v2 / F.col("n2")
+    return m.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        (m1 - m2).alias("mean_diff_dollars"),
+        ((m1 - m2) / F.sqrt(se1 + se2)).alias("t_stat"),
+        (
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1))
+        ).alias("welch_df"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -199,3 +199,22 @@ def test_bm25_idf_quantization_clear_of_boundaries(ddb):
             f"df={df}: ln((2N+2)/(2df+1))*1e6 = {q!r} is {dist:.2e} from an "
             "integer — floor() quantization could flip between engines"
         )
+
+
+def test_welch_moment_headroom(ddb):
+    """welch_t_test_values' Σx² moment: per-group sum of squared floor-
+    dollar values must keep n*ss and s*s far inside int64 (Spark's bigint
+    SUM wraps silently where DuckDB promotes to HUGEINT)."""
+    rows = ddb.execute(
+        """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT)) AS s,
+               SUM(CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT)
+                   * CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT)) AS ss
+        FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+        """
+    ).fetchall()
+    assert rows
+    for et, n, s, ss in rows:
+        assert n * ss < 2**60, (et, n * ss)
+        assert s * s < 2**60, (et, s * s)
