@@ -579,3 +579,68 @@ def cluster_blocked_pairs(
         .where(F.col("cos_sim") >= F.lit(threshold))
         .select(F.col("cluster").alias("cluster_id"), "id_a", "id_b", "cos_sim")
     )
+
+
+def centroid_silhouette(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Per-point centroid silhouette inputs over the EXACT quantized k-means
+    (``kmeans_quantized``): returns ``(id, cluster, da, db)`` where ``da``
+    is the integer squared distance to the assigned (nearest) centroid and
+    ``db`` the distance to the nearest OTHER centroid.  The squared-distance
+    centroid variant of the silhouette index — deterministic end-to-end, so
+    the downstream score s = (db-da)/max(da,db) is oracle-checkable
+    (da <= db always, keeping the quantized ratio non-negative: trunc and
+    floor division agree).
+
+    Scale: one narrow Arrow-batch int64 matmul per row batch (centroids as
+    k x dim literals, the kmeans assignment shape) — no join, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    centroids, _ = kmeans_quantized(
+        df, id_col=id_col, vec_col=vec_col, k=k, iters=iters, scale=scale
+    )
+    cids = np.array(sorted(centroids), dtype="int64")
+    C = np.array([centroids[c] for c in sorted(centroids)], dtype="int64")
+    cnorm = (C * C).sum(axis=1)
+    xq = F.transform(
+        as_double(vec_col), lambda x: F.floor(x * F.lit(float(scale))).cast("long")
+    )
+
+    @pandas_udf("struct<cluster: int, da: long, db: long>")
+    def two_nearest(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster": pd.array([], dtype="int32"),
+                    "da": pd.array([], dtype="int64"),
+                    "db": pd.array([], dtype="int64"),
+                }
+            )
+        X = np.array(col.tolist(), dtype="int64")
+        D = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + cnorm[None, :]
+        j = D.argmin(axis=1)  # first minimum -> lowest cluster id on ties
+        da = D[np.arange(len(j)), j].copy()
+        D[np.arange(len(j)), j] = np.iinfo("int64").max
+        db = D.min(axis=1)
+        return pd.DataFrame(
+            {"cluster": cids[j].astype("int32"), "da": da, "db": db}
+        )
+
+    return (
+        df.select(F.col(id_col), xq.alias("__xq"))
+        .withColumn("__t", two_nearest("__xq"))
+        .select(
+            F.col(id_col),
+            F.col("__t.cluster").alias("cluster"),
+            F.col("__t.da").alias("da"),
+            F.col("__t.db").alias("db"),
+        )
+    )

@@ -9748,6 +9748,62 @@ def anova_event_values(spark, sf_dir):
     )
 
 
+@query(
+    "silhouette_kmeans_clusters",
+    _KMEANS_WITH
+    + """,
+    db AS (
+      SELECT d3.vec_id, MIN(d3.d) AS db
+      FROM d3 JOIN a3 ON d3.vec_id = a3.vec_id AND d3.cid <> a3.cid
+      GROUP BY d3.vec_id
+    ),
+    sil AS (
+      SELECT a3.cid, a3.d AS da, db.db,
+             (db.db - a3.d) * 1000000 // GREATEST(a3.d, db.db, 1) AS s_micro
+      FROM a3 JOIN db ON a3.vec_id = db.vec_id
+    )
+    SELECT cid AS cluster_id, COUNT(*) AS n,
+           CAST(SUM(s_micro) AS BIGINT) AS sum_s_micro,
+           CAST(SUM(s_micro) AS DOUBLE) / (COUNT(*) * 1000000.0)
+             AS mean_silhouette
+    FROM sil GROUP BY cid
+    """,
+)
+def silhouette_kmeans_clusters(spark, sf_dir):
+    """Centroid silhouette per k-means cluster — the cluster-QUALITY member
+    of the eval family (how well separated is each cluster, the metric that
+    picks k): s = (db - da) / max(da, db) on the exact integer squared
+    distances of the oracle-checked quantized k-means, where da is the
+    assigned-centroid distance and db the nearest-other-centroid distance.
+    da <= db by construction (assignment IS the argmin), so the micro-unit
+    quantized ratio is non-negative and trunc/floor division agree; per-
+    cluster sums are exact int64 and one mirrored double division yields
+    the mean.  Scale: distance computation is the same narrow Arrow-batch
+    int64 matmul as assignment (centroids as k x dim literals — no join);
+    the rest is a k-group partial-aggregated groupBy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sil = similarity.centroid_silhouette(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iters=3
+    )
+    s_micro = F.expr("(db - da) * 1000000 div greatest(da, db, 1)")
+    return (
+        sil.select(F.col("cluster").alias("cluster_id"), s_micro.alias("s_micro"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("s_micro").cast("bigint").alias("sum_s_micro"),
+        )
+        .select(
+            "cluster_id",
+            "n",
+            "sum_s_micro",
+            (dbl(F.col("sum_s_micro")) / (F.col("n") * F.lit(1000000.0))).alias(
+                "mean_silhouette"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
