@@ -9804,6 +9804,230 @@ def silhouette_kmeans_clusters(spark, sf_dir):
     )
 
 
+_SQL_TRIMMED = """
+    WITH x AS (SELECT event_type, event_id,
+                      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM x)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(cents) AS BIGINT) AS sum_kept_cents,
+           CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS trimmed_mean_cents
+    FROM r
+    WHERE rk > n // 20 AND rk <= n - n // 20
+    GROUP BY event_type
+"""
+
+
+@query("trimmed_mean_values", _SQL_TRIMMED)
+def trimmed_mean_values(spark, sf_dir):
+    """5%-two-sided trimmed mean per event type — the robust-location
+    member of the outlier family (IQR/MAD classify outliers; trimming
+    produces the estimate that ignores them).  Rank bounds are integer
+    (n div 20) over a fully deterministic ordering, kept cents sum exactly
+    as int64, one mirrored double division.  Scale: one shuffle on the
+    group key; the rank window and the aggregate reuse that exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = x.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    kept = r.where(
+        (F.col("rk") > F.expr("n div 20")) & (F.col("rk") <= F.col("n") - F.expr("n div 20"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("cents").cast("bigint").alias("sum_kept_cents"),
+        (dbl(F.sum("cents")) / F.count("*")).alias("trimmed_mean_cents"),
+    )
+
+
+_SQL_MANN_KENDALL = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      CAST(SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+                           AS BIGINT) AS v
+               FROM events GROUP BY 1),
+    s AS (SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                               WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+          FROM d a JOIN d b ON b.day > a.day),
+    n AS (SELECT COUNT(*) AS n FROM d),
+    ties AS (SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+             FROM (SELECT COUNT(*) AS t FROM d GROUP BY v HAVING COUNT(*) > 1)),
+    v18 AS (SELECT CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var18
+            FROM n CROSS JOIN ties)
+    SELECT CAST(n.n AS BIGINT) AS n_days, s.s_stat, v18.var18,
+           CASE WHEN s.s_stat > 0
+                  THEN CAST(s.s_stat - 1 AS DOUBLE)
+                       / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                WHEN s.s_stat < 0
+                  THEN CAST(s.s_stat + 1 AS DOUBLE)
+                       / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z_stat
+    FROM s CROSS JOIN n CROSS JOIN v18
+"""
+
+
+@query("mann_kendall_trend", _SQL_MANN_KENDALL)
+def mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall non-parametric trend test on the daily revenue series —
+    the rank-based companion of the OLS slope (no distribution assumption,
+    robust to outliers): S = sum of pairwise signs over the |days|-row
+    aggregate (the quadratic pair join is bounded by the TINY daily frame,
+    never raw events — the 'aggregate first' decomposition), the tie-
+    corrected variance is kept as the exact integer 18*Var, and the
+    continuity-corrected z is a mirrored piecewise double.  Scale: one
+    partial-aggregated groupBy(day) carries the corpus; everything after
+    runs on <=|days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = d.select(F.col("day").alias("da"), F.col("v").alias("va"))
+    b = d.select(F.col("day").alias("db_"), F.col("v").alias("vb"))
+    s = (
+        a.join(b, F.col("db_") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = d.agg(F.count("*").alias("n"))
+    ties = (
+        d.groupBy("v")
+        .agg(F.count("*").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            ).alias("tie_term")
+        )
+    )
+    v18 = n.crossJoin(ties).select(
+        "n",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+        )
+        .cast("bigint")
+        .alias("var18"),
+    )
+    sd = F.sqrt(dbl(F.col("var18")) / F.lit(18.0))
+    return (
+        s.crossJoin(v18)
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            "s_stat",
+            "var18",
+            F.when(F.col("s_stat") > 0, dbl(F.col("s_stat") - 1) / sd)
+            .when(F.col("s_stat") < 0, dbl(F.col("s_stat") + 1) / sd)
+            .otherwise(F.lit(0.0))
+            .alias("z_stat"),
+        )
+    )
+
+
+_SQL_MUTUAL_INFO = """
+    WITH x AS (SELECT event_type AS xf,
+                      CASE WHEN CAST(value AS DECIMAL(8,2)) > 100 THEN 1 ELSE 0 END
+                        AS yf
+               FROM events),
+    c AS (SELECT xf, yf, COUNT(*) AS nxy FROM x GROUP BY xf, yf),
+    m AS (SELECT xf, yf, nxy,
+                 SUM(nxy) OVER (PARTITION BY xf) AS nx,
+                 SUM(nxy) OVER (PARTITION BY yf) AS ny,
+                 SUM(nxy) OVER () AS nn
+          FROM c),
+    t AS (SELECT xf, yf, CAST(nxy AS BIGINT) AS nxy,
+                 CAST(nxy AS BIGINT)
+                   * CAST(FLOOR(LN(CAST(nn * nxy AS DOUBLE)
+                                   / CAST(nx * ny AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS term_micro,
+                 nn
+          FROM m)
+    SELECT xf AS event_type, yf AS converted, nxy, term_micro,
+           CAST(SUM(term_micro) OVER () AS DOUBLE)
+             / (CAST(MAX(nn) OVER () AS DOUBLE) * 1000000.0) AS mutual_info_nats
+    FROM t
+"""
+
+
+@query("mutual_information_report", _SQL_MUTUAL_INFO)
+def mutual_information_report(spark, sf_dir):
+    """Mutual information between event type and high-value conversion —
+    the feature-selection member of the eval family (which categorical
+    feature carries signal about the label): MI = (1/N) sum n_xy *
+    ln(N*n_xy / (n_x*n_y)) restated over exact int64 counts with the
+    micro-nat quantization (floor(ln*1e6) per CELL before the integer
+    summation — the token_entropy/PSI discipline; FLOOR is floor on both
+    engines even for the negative logs of under-represented cells, unlike
+    integer division).  Boundary clearance of every cell ratio is guarded
+    in test_fixture_domains.  Scale: one partial-aggregated groupBy to the
+    |X|x|Y| contingency table; the margins are windows over <=10 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        F.col("event_type").alias("xf"),
+        F.when(F.col("value").cast("decimal(8,2)") > 100, 1).otherwise(0).alias("yf"),
+    )
+    c = x.groupBy("xf", "yf").agg(F.count("*").alias("nxy"))
+    m = c.select(
+        "xf",
+        "yf",
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("xf")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("yf")).alias("ny"),
+        F.sum("nxy").over(Window.partitionBy()).alias("nn"),
+    )
+    t = m.select(
+        "xf",
+        "yf",
+        F.col("nxy").cast("bigint").alias("nxy"),
+        (
+            F.col("nxy").cast("bigint")
+            * F.floor(
+                F.log(dbl(F.col("nn") * F.col("nxy")) / dbl(F.col("nx") * F.col("ny")))
+                * 1000000
+            ).cast("bigint")
+        ).alias("term_micro"),
+        "nn",
+    )
+    wall = Window.partitionBy()
+    return t.select(
+        F.col("xf").alias("event_type"),
+        F.col("yf").alias("converted"),
+        "nxy",
+        "term_micro",
+        (
+            dbl(F.sum("term_micro").over(wall))
+            / (dbl(F.max("nn").over(wall)) * F.lit(1000000.0))
+        ).alias("mutual_info_nats"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -218,3 +218,32 @@ def test_welch_moment_headroom(ddb):
     for et, n, s, ss in rows:
         assert n * ss < 2**60, (et, n * ss)
         assert s * s < 2**60, (et, s * s)
+
+
+def test_mutual_info_ln_quantization_clear_of_boundaries(ddb):
+    """mutual_information_report quantizes floor(ln(N*nxy/(nx*ny))*1e6) per
+    contingency cell: assert every cell ratio on the live fixture sits well
+    clear of a micro-nat boundary (ratios can be < 1 — FLOOR of the negative
+    log is floor on both engines, but a boundary-adjacent value could still
+    flip on a last-ulp libm difference)."""
+    rows = ddb.execute(
+        """
+        WITH x AS (SELECT event_type AS xf,
+                          CASE WHEN CAST(value AS DECIMAL(8,2)) > 100
+                               THEN 1 ELSE 0 END AS yf
+                   FROM events),
+        c AS (SELECT xf, yf, COUNT(*) AS nxy FROM x GROUP BY xf, yf)
+        SELECT nxy,
+               SUM(nxy) OVER (PARTITION BY xf) AS nx,
+               SUM(nxy) OVER (PARTITION BY yf) AS ny,
+               SUM(nxy) OVER () AS nn
+        FROM c
+        """
+    ).fetchall()
+    assert rows
+    for nxy, nx, ny, nn in rows:
+        q = math.log((nn * nxy) / (nx * ny)) * 1e6
+        dist = abs(q - round(q))
+        assert dist > 1e-4, (
+            f"cell nxy={nxy}: ln-ratio*1e6 = {q!r} is {dist:.2e} from an integer"
+        )

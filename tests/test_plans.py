@@ -87,6 +87,8 @@ _INTENTIONALLY_UNKEYED = {
     "rrf_hybrid_fusion",  # 5 query vectors broadcast against the corpus
     "mmr_diversified_topk",  # 3 query vectors + <=3-row picked sets broadcast
     "grid_density_clusters",  # 1-row max-density + 9-row offset table broadcast
+    "mann_kendall_trend",  # |days|^2 pair join on the tiny daily aggregate
+    "anova_event_values",  # 1-row fold x 1-row global-moment attachment
 }
 
 
