@@ -10028,6 +10028,166 @@ def mutual_information_report(spark, sf_dir):
     )
 
 
+_SQL_SPEARMAN = """
+    WITH s AS (SELECT o_custkey AS ck,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+                        AS cents,
+                      COUNT(*) AS cnt
+               FROM orders GROUP BY 1),
+    r AS (SELECT ck,
+                 ROW_NUMBER() OVER (ORDER BY cents, ck) AS rx,
+                 ROW_NUMBER() OVER (ORDER BY cnt, ck) AS ry
+          FROM s),
+    d AS (SELECT COUNT(*) AS n,
+                 CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_customers, sd2 AS sum_d2,
+           1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
+             AS spearman_rho
+    FROM d
+"""
+
+
+@query("spearman_spend_orders", _SQL_SPEARMAN)
+def spearman_spend_orders(spark, sf_dir):
+    """Spearman rank correlation between customer spend and order count —
+    the rank-based companion of the Pearson matrix (monotone association,
+    outlier-robust): both rankings use a deterministic custkey tie-break so
+    ranks are exact permutation integers, sum-of-squared-rank-differences
+    accumulates as exact int64, and rho closes with mirrored double
+    arithmetic (6*sd2 and n^3 formed in double — int64 would wrap near
+    sf10).  Scale: the customer aggregate shuffles once; the two global
+    rankings are the documented single-partition step (swap for two-phase
+    per-partition pre-ranking at real scale, equidepth precedent)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(money("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    r = s.select(
+        F.row_number().over(Window.orderBy("cents", "ck")).alias("rx"),
+        F.row_number().over(Window.orderBy("cnt", "ck")).alias("ry"),
+    )
+    d = r.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("bigint")
+        .alias("sd2"),
+    )
+    nd = dbl(F.col("n"))
+    return d.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("sd2").alias("sum_d2"),
+        (
+            F.lit(1.0) - F.lit(6.0) * dbl(F.col("sd2")) / (nd * (nd * nd - F.lit(1.0)))
+        ).alias("spearman_rho"),
+    )
+
+
+_SQL_POSITION_ATTRIB = """
+    WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+                      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+               FROM events),
+    fp AS (SELECT user_id, us AS pus, eid AS pid, cents FROM (
+             SELECT user_id, us, event_id AS eid, cents,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id) AS rn
+             FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+    path AS (SELECT e.event_type, fp.cents,
+                    ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                       ORDER BY e.us, e.event_id) AS pos,
+                    COUNT(*) OVER (PARTITION BY e.user_id) AS k
+             FROM e JOIN fp ON e.user_id = fp.user_id
+             WHERE e.event_type <> 'purchase'
+               AND (e.us < fp.pus OR (e.us = fp.pus AND e.event_id < fp.pid))),
+    cr AS (SELECT event_type, cents,
+                  CASE WHEN k = 1 THEN 1000000
+                       WHEN k = 2 THEN 500000
+                       WHEN pos = 1
+                         THEN 400000 + (200000 - (k - 2) * (200000 // (k - 2)))
+                       WHEN pos = k THEN 400000
+                       ELSE 200000 // (k - 2) END AS ppm
+           FROM path)
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(cents * ppm) AS BIGINT) AS attributed_micro_cents,
+           CAST(SUM(cents * ppm) AS DOUBLE) / 100000000.0 AS attributed_revenue
+    FROM cr GROUP BY event_type
+"""
+
+
+@query("position_attribution", _SQL_POSITION_ATTRIB)
+def position_attribution(spark, sf_dir):
+    """Position-based (U-shaped 40/20/40) multi-touch attribution — the
+    multi-touch companion of last_touch_attribution: each user's first
+    purchase credits its revenue across the preceding touch path, 40% to
+    first and last touch, the middle 20% split evenly.  Credits are exact
+    integer parts-per-million of exact cents (floor split, remainder dust
+    deterministically assigned to the first touch), so channel sums are
+    exact int64 and close with one double division.  Scale: everything
+    partitions on user_id — the first-purchase window, the path window,
+    and the join all reuse that one shuffle; no self-join against the
+    purchase subset."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("us", "event_id")
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("us").alias("pus"),
+            F.col("event_id").alias("pid"),
+            F.col("cents").alias("pcents"),
+        )
+    )
+    path = (
+        e.where(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .where(
+            (F.col("us") < F.col("pus"))
+            | ((F.col("us") == F.col("pus")) & (F.col("event_id") < F.col("pid")))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "us",
+            "event_id",
+            F.col("pcents").alias("cents"),
+        )
+        .withColumn("pos", F.row_number().over(wp))
+        .withColumn("k", F.count("*").over(Window.partitionBy("user_id")))
+    )
+    ppm = F.expr(
+        "CASE WHEN k = 1 THEN 1000000"
+        " WHEN k = 2 THEN 500000"
+        " WHEN pos = 1 THEN 400000 + (200000 - (k - 2) * (200000 div (k - 2)))"
+        " WHEN pos = k THEN 400000"
+        " ELSE 200000 div (k - 2) END"
+    )
+    return (
+        path.select("event_type", "cents", ppm.alias("ppm"))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum(F.col("cents") * F.col("ppm")).cast("bigint").alias(
+                "attributed_micro_cents"
+            ),
+            (dbl(F.sum(F.col("cents") * F.col("ppm"))) / F.lit(100000000.0)).alias(
+                "attributed_revenue"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
