@@ -10188,6 +10188,96 @@ def position_attribution(spark, sf_dir):
     )
 
 
+_SQL_DATASET_CARD = f"""
+    WITH t AS (SELECT doc_id, lang, source,
+                      list_filter({_SQL_TOKS}, x -> x <> '') AS toks,
+                      md5({_SQL_NORM_TEXT}) AS fp
+               FROM documents),
+    tok AS (SELECT COUNT(*) AS n_tok, COUNT(DISTINCT term) AS vocab
+            FROM (SELECT unnest(toks) AS term FROM t)),
+    base AS (SELECT COUNT(*) AS n_docs,
+                    COUNT(DISTINCT fp) AS n_distinct,
+                    COUNT(DISTINCT lang) AS n_langs,
+                    COUNT(DISTINCT source) AS n_sources,
+                    CAST(SUM(len(toks)) AS BIGINT) AS sum_tokens
+             FROM t),
+    top_l AS (SELECT lang FROM t GROUP BY lang
+              ORDER BY COUNT(*) DESC, lang LIMIT 1)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_distinct AS BIGINT) AS n_distinct_texts,
+           CAST(n_docs - n_distinct AS BIGINT) AS n_exact_dupes,
+           CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS dup_rate,
+           sum_tokens AS n_tokens,
+           CAST((SELECT vocab FROM tok) AS BIGINT) AS vocab_size,
+           CAST(sum_tokens AS DOUBLE) / n_docs AS mean_tokens_per_doc,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           (SELECT lang FROM top_l) AS top_lang
+    FROM base
+"""
+
+
+@query("dataset_card_documents", _SQL_DATASET_CARD)
+def dataset_card_documents(spark, sf_dir):
+    """One-row dataset card for the documents corpus — the summary block a
+    data team publishes with a training set (docs, exact-dup rate on the
+    normalized fingerprint, token/vocab totals, language/source coverage,
+    dominant language): every number is an exact count off the shared
+    tokenizer/fingerprint definitions, the two rates are single mirrored
+    divisions.  Scale: one pass for the per-doc projections, one
+    partial-aggregated count-distinct pass for vocab (swap in the HLL
+    sketch tier for an approximate card at petabyte scale — the suite
+    carries both), and a 1-row assembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        TXT.tokens(F.col("text")).alias("toks"),
+        TXT.md5_fingerprint(F.col("text")).alias("fp"),
+    ).localCheckpoint(eager=False)
+    tok = t.select(F.explode("toks").alias("term")).agg(
+        F.count("*").alias("n_tok"), F.count_distinct("term").alias("vocab")
+    )
+    base = t.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("fp").alias("n_distinct"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum(F.size("toks")).cast("bigint").alias("sum_tokens"),
+    )
+    wl = Window.orderBy(F.col("c").desc(), "lang")
+    top_l = (
+        t.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    return (
+        base.crossJoin(F.broadcast(tok))
+        .crossJoin(F.broadcast(top_l))
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct_texts"),
+            (F.col("n_docs") - F.col("n_distinct"))
+            .cast("bigint")
+            .alias("n_exact_dupes"),
+            (dbl(F.col("n_docs") - F.col("n_distinct")) / F.col("n_docs")).alias(
+                "dup_rate"
+            ),
+            F.col("sum_tokens").alias("n_tokens"),
+            F.col("vocab").cast("bigint").alias("vocab_size"),
+            (dbl(F.col("sum_tokens")) / F.col("n_docs")).alias(
+                "mean_tokens_per_doc"
+            ),
+            F.col("n_langs").cast("bigint").alias("n_langs"),
+            F.col("n_sources").cast("bigint").alias("n_sources"),
+            "top_lang",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
