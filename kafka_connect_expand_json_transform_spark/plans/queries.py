@@ -10278,6 +10278,82 @@ def dataset_card_documents(spark, sf_dir):
     )
 
 
+def _kcore_round(i: int) -> str:
+    prev_e = "und" if i == 1 else f"e{i - 1}"
+    return f"""
+    k{i} AS (SELECT s AS v FROM {prev_e} GROUP BY s HAVING COUNT(*) >= 3),
+    e{i} AS (SELECT pe.s, pe.d FROM {prev_e} pe
+             JOIN k{i} a ON pe.s = a.v
+             JOIN k{i} b ON pe.d = b.v)"""
+
+
+_SQL_KCORE = (
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 5 = 0),
+    e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM op x JOIN op y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    und AS (SELECT a AS s, b AS d FROM e UNION SELECT b AS s, a AS d FROM e),"""
+    + ",".join(_kcore_round(i) for i in (1, 2, 3))
+    + """
+    SELECT CAST(1 AS BIGINT) AS round, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM k1
+    UNION ALL SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM k2
+    UNION ALL SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM k3
+    """
+)
+
+
+@query("kcore_part_graph", _SQL_KCORE)
+def kcore_part_graph(spark, sf_dir):
+    """3-core peeling of the part-co-purchase graph (3 rounds) — the
+    cohesion member of the graph family (degree pruning until every
+    surviving node keeps >= 3 surviving neighbors; the standard dense-
+    community preprocessing before expensive clique/community work).  Each
+    round is one degree groupBy + two semi-join-shaped filters of the edge
+    table against the survivor set, value-checked round-by-round.  Scale:
+    survivor sets are |V|-row single-column frames (AQE broadcasts them
+    when they shrink); the edge table checkpoints once and shrinks
+    monotonically; same 20% slice discipline as the other iterative graph
+    queries."""
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import _pairs_expr
+    from kafka_connect_expand_json_transform_spark.operators.graph import undirect
+
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    edges = sets.select(F.explode(_pairs_expr(F.col("ps"))).alias("p")).select(
+        F.col("p.a").alias("src"), F.col("p.b").alias("dst")
+    )
+    e = undirect(edges, checkpoint=True)
+    counts = []
+    for rnd in (1, 2, 3):
+        k = (
+            e.groupBy("s")
+            .agg(F.count("*").alias("dg"))
+            .where(F.col("dg") >= 3)
+            .select(F.col("s").alias("v"))
+        )
+        e = (
+            e.join(k.select(F.col("v").alias("s")), "s", "left_semi")
+            .join(k.select(F.col("v").alias("d")), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=False)
+        )
+        counts.append(
+            k.agg(F.count("*").cast("bigint").alias("n_nodes")).select(
+                F.lit(rnd).cast("bigint").alias("round"), "n_nodes"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
