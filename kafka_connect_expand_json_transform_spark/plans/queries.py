@@ -10381,7 +10381,8 @@ _DRIVER_WINDOW = [
     "hierarchy_ancestors",     # R10 recursive CTE
     "lateral_topn_customers",  # R10 LATERAL
     "join_full_outer",         # R2 outer join null semantics
-    "nullsafe_equijoin",       # R2 null-safe equality
+    "bm25_topk",               # retrieval/eval family (session-3; R2 null-safe
+                               # equality keeps oracle-parity + pytest coverage)
     "range_join_order_events", # R2 range/theta join
     "asof_join_purchase_click",# R3 as-of join
     "grouping_sets",           # R5 grouping sets (SQL entry point)
