@@ -47,9 +47,11 @@ def main() -> int:
         .save()
     )
 
+    import gc
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name, fn in QUERIES.items():
+    for i, (name, fn) in enumerate(QUERIES.items()):
         if only and name not in only:
             continue
         t0 = time.perf_counter()
@@ -58,6 +60,16 @@ def main() -> int:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001 - report, don't abort the suite
             failures[name] = f"{type(e).__name__}: {e}"[:200]
+        # Block-manager hygiene BETWEEN queries (outside the timed window):
+        # persisted frames (k-means bases) and localCheckpoint blocks from
+        # self-contained queries otherwise accumulate across the 200+ query
+        # run, and the growing heap showed up as uniformly elevated tail-end
+        # timings (259 s vs 183 s same-code runs). clearCache drops
+        # CacheManager entries; the periodic gc.collect releases Python-side
+        # RDD refs so the ContextCleaner can reap checkpoint blocks.
+        spark.catalog.clearCache()
+        if i % 10 == 9:
+            gc.collect()
 
     streaming = None
     if not only:
