@@ -89,6 +89,7 @@ _INTENTIONALLY_UNKEYED = {
     "grid_density_clusters",  # 1-row max-density + 9-row offset table broadcast
     "mann_kendall_trend",  # |days|^2 pair join on the tiny daily aggregate
     "anova_event_values",  # 1-row fold x 1-row global-moment attachment
+    "dataset_card_documents",  # 1-row vocab + 1-row top-lang card assembly
 }
 
 
