@@ -278,3 +278,62 @@ def bfs_hops(
         if checkpoint:
             dist = dist.localCheckpoint(eager=False)
     return dist
+
+
+def per_vertex_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle counts ``(v, n_tri)`` over an undirected edge
+    table — the local-structure companion of ``triangle_count`` (which
+    returns only the global total).  Same degree-oriented plan: orient
+    every edge low→high by (degree, id), collect out-neighbor lists, and
+    for each oriented edge (u, v) EXPLODE the intersection N+(u) ∩ N+(v) —
+    each element w closes exactly one triangle {u, v, w}, credited to all
+    three vertices by a 3-way union.  The explode materializes |triangles|
+    rows (bounded by the triangle count itself, not the wedge count);
+    out-degrees stay ~O(sqrt(m)) so no celebrity blowup.  Vertices in no
+    triangle are absent — callers LEFT-join and coalesce to 0."""
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    withdeg = e.join(
+        deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    lo_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    tris = (
+        oriented.join(
+            adj.select(F.col("lo").alias("lo"), F.col("nbrs").alias("nu")), "lo"
+        )
+        .join(
+            adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nv")),
+            "hi",
+            "left",
+        )
+        .select(
+            "lo",
+            "hi",
+            F.explode(
+                F.array_intersect(F.col("nu"), F.coalesce(F.col("nv"), F.array()))
+            ).alias("w"),
+        )
+    )
+    verts = (
+        tris.select(F.col("lo").alias("v"))
+        .unionAll(tris.select(F.col("hi").alias("v")))
+        .unionAll(tris.select(F.col("w").alias("v")))
+    )
+    return verts.groupBy("v").agg(F.count("*").cast("bigint").alias("n_tri"))

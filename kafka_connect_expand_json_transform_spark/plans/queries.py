@@ -10354,6 +10354,166 @@ def kcore_part_graph(spark, sf_dir):
     return out
 
 
+_SQL_LCC = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 5 = 0),
+    e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM op x JOIN op y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    und AS (SELECT a AS s, b AS d FROM e UNION SELECT b AS s, a AS d FROM e),
+    deg AS (SELECT s AS v, COUNT(*) AS d FROM und GROUP BY s),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+    pv AS (SELECT v, COUNT(*) AS t FROM (
+             SELECT x AS v FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+           GROUP BY v)
+    SELECT deg.v AS node, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(pv.t, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * COALESCE(pv.t, 0) AS DOUBLE)
+             / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0)) AS lcc
+    FROM deg LEFT JOIN pv ON pv.v = deg.v
+    WHERE deg.d >= 10
+"""
+
+
+@query("local_clustering_coefficients", _SQL_LCC)
+def local_clustering_coefficients(spark, sf_dir):
+    """Local clustering coefficient for every part with co-purchase degree
+    >= 10 — per-node closure (how clique-like is each hub's neighborhood),
+    complementing the global triangle total: lcc(v) = 2*tri(v) /
+    (d*(d-1)).  The engine credits triangles per vertex from the degree-
+    oriented intersection (operators.graph.per_vertex_triangles — the
+    explode materializes |triangles| rows, never the wedge set); the oracle
+    enumerates id-ordered triangles, and per-vertex counts are
+    orientation-invariant so the two agree exactly.  Degrees and triangle
+    counts are exact int64; lcc is one mirrored double expression.  Same
+    20% slice discipline as the other iterative/heavy graph queries."""
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import _pairs_expr
+    from kafka_connect_expand_json_transform_spark.operators.graph import (
+        per_vertex_triangles,
+        undirect,
+    )
+
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    edges = sets.select(F.explode(_pairs_expr(F.col("ps"))).alias("p")).select(
+        F.col("p.a").alias("src"), F.col("p.b").alias("dst")
+    )
+    edges = edges.localCheckpoint(eager=False)
+    und = undirect(edges)
+    deg = und.groupBy(F.col("s").alias("v")).agg(F.count("*").alias("d"))
+    pv = per_vertex_triangles(edges)
+    dd = dbl(F.col("d"))
+    return (
+        deg.join(pv, "v", "left")
+        .where(F.col("d") >= 10)
+        .select(
+            F.col("v").alias("node"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            (
+                dbl(F.lit(2) * F.coalesce(F.col("n_tri"), F.lit(0)))
+                / (dd * (dd - F.lit(1.0)))
+            ).alias("lcc"),
+        )
+    )
+
+
+_SQL_COLUMN_CHANGE = """
+    WITH newt AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 7 = 0 THEN '9-RECHECK'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders),
+    j AS (SELECT
+            CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                 THEN 1 ELSE 0 END AS c_totalprice,
+            CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                 THEN 1 ELSE 0 END AS c_orderpriority,
+            CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 THEN 1 ELSE 0 END AS c_orderstatus
+          FROM orders o JOIN newt n ON o.o_orderkey = n.o_orderkey),
+    a AS (SELECT COUNT(*) AS n, SUM(c_totalprice) AS s1,
+                 SUM(c_orderpriority) AS s2, SUM(c_orderstatus) AS s3
+          FROM j)
+    SELECT col, CAST(n AS BIGINT) AS n_rows, CAST(c AS BIGINT) AS n_changed,
+           CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS changed_frac
+    FROM a, LATERAL (VALUES
+      ('o_totalprice', s1), ('o_orderpriority', s2), ('o_orderstatus', s3)
+    ) AS v(col, c)
+"""
+
+
+@query("column_change_census", _SQL_COLUMN_CHANGE)
+def column_change_census(spark, sf_dir):
+    """Per-COLUMN snapshot-diff census — the column-grain companion of
+    dataset_diff_orders' row classification (which columns drifted between
+    two table versions, the check a schema-evolution or CDC pipeline runs
+    before declaring a migration clean): null-safe inequality flags per
+    column aggregate in ONE scan of the key join, then the wide single row
+    unpivots long (the null_census stack pattern).  Scale: one
+    key-partitioned join + a single-row agg; the unpivot is a 3-row stack
+    of an already-1-row frame."""
+    o = load_table(spark, sf_dir, "orders")
+    newt = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 10 == 0,
+            (money("o_totalprice") * 2).cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("n_totalprice"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("9-RECHECK"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("n_orderpriority"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("n_orderstatus"),
+    )
+    j = o.join(newt, "o_orderkey").select(
+        (~F.col("o_totalprice").eqNullSafe(F.col("n_totalprice")))
+        .cast("int")
+        .alias("c_totalprice"),
+        (~F.col("o_orderpriority").eqNullSafe(F.col("n_orderpriority")))
+        .cast("int")
+        .alias("c_orderpriority"),
+        (~F.col("o_orderstatus").eqNullSafe(F.col("n_orderstatus")))
+        .cast("int")
+        .alias("c_orderstatus"),
+    )
+    a = j.agg(
+        F.count("*").alias("n"),
+        F.sum("c_totalprice").alias("s1"),
+        F.sum("c_orderpriority").alias("s2"),
+        F.sum("c_orderstatus").alias("s3"),
+    )
+    long = a.select(
+        "n",
+        F.expr(
+            "stack(3, 'o_totalprice', s1, 'o_orderpriority', s2,"
+            " 'o_orderstatus', s3) AS (col, c)"
+        ),
+    )
+    return long.select(
+        "col",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("c").cast("bigint").alias("n_changed"),
+        (dbl(F.col("c")) / dbl(F.col("n"))).alias("changed_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -178,3 +178,44 @@ def test_bfs_hops_matches_bruteforce(spark):
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {r.node: r.dist for r in bfs_hops(df, 0, rounds=3).collect()}
         assert got == expect, (seed, got, expect)
+
+
+def test_per_vertex_triangles_known_graphs(spark):
+    from kafka_connect_expand_json_transform_spark.operators.graph import (
+        per_vertex_triangles,
+    )
+
+    # K4: every vertex is in C(3,2) = 3 triangles
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    got = {r.v: r.n_tri for r in per_vertex_triangles(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # bowtie: two triangles sharing vertex 2
+    bow = [(0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(bow, "src long, dst long")
+    got = {r.v: r.n_tri for r in per_vertex_triangles(df).collect()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1}
+    # path: no triangles -> empty result
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    assert per_vertex_triangles(df).count() == 0
+
+
+def test_per_vertex_triangles_sum_is_3x_global(spark):
+    """Σ_v tri(v) == 3 * global triangle count on random graphs."""
+    import random
+    from itertools import combinations
+
+    from kafka_connect_expand_json_transform_spark.operators.graph import (
+        per_vertex_triangles,
+        triangle_count,
+    )
+
+    for seed in (2, 9):
+        rng = random.Random(seed)
+        edges = [
+            (i, j) for i, j in combinations(range(12), 2) if rng.random() < 0.35
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        total = triangle_count(df).collect()[0].n_triangles
+        per_v = sum(r.n_tri for r in per_vertex_triangles(df).collect())
+        assert per_v == 3 * total, (seed, per_v, total)
