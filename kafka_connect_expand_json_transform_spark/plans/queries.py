@@ -10514,6 +10514,65 @@ def column_change_census(spark, sf_dir):
     )
 
 
+_SQL_AUDIENCE = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    pairs AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS nboth
+              FROM ut a JOIN ut b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1)
+    SELECT pairs.ta, pairs.tb,
+           CAST(pairs.nboth AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(pairs.nboth AS DOUBLE) / (sa.n + sb.n - pairs.nboth) AS jaccard
+    FROM pairs
+    JOIN sz sa ON sa.event_type = pairs.ta
+    JOIN sz sb ON sb.event_type = pairs.tb
+"""
+
+
+@query("audience_overlap_matrix", _SQL_AUDIENCE)
+def audience_overlap_matrix(spark, sf_dir):
+    """Audience-overlap matrix: exact Jaccard similarity between every pair
+    of event types' USER sets (who clicks also purchases?) — set similarity
+    on entities, the audience-segmentation twin of the document-level
+    n-gram Jaccard.  |A∩B| comes from a per-user type-pair expansion (each
+    user holds <= |types| rows, so the self-join fans out C(5,2) at most —
+    never user x user), margins attach by broadcast, and Jaccard is one
+    mirrored double division over exact int64 counts.  Scale: the distinct
+    and the pair count are partial-aggregated groupBys on (user, type) /
+    (type, type)."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint(eager=False)
+    a = ut.select("user_id", F.col("event_type").alias("ta"))
+    b = ut.select("user_id", F.col("event_type").alias("tb"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("nboth"))
+    )
+    sz = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = sz.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+    sb = sz.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .select(
+            "ta",
+            "tb",
+            F.col("nboth").cast("bigint").alias("n_both"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            (
+                dbl(F.col("nboth"))
+                / (F.col("na") + F.col("nb") - F.col("nboth"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
