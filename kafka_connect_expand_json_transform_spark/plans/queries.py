@@ -10573,6 +10573,92 @@ def audience_overlap_matrix(spark, sf_dir):
     )
 
 
+_SQL_EXPAND_MAP = """
+    WITH kv AS (SELECT k AS key,
+                       json_extract_string(props, '$."' || k || '"') AS val
+                FROM (SELECT props, unnest(json_keys(props)) AS k FROM events))
+    SELECT key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct_values,
+           CAST(SUM(CASE WHEN regexp_full_match(val, '-?[0-9]+')
+                         THEN CAST(val AS BIGINT) END) AS BIGINT) AS sum_int_values
+    FROM kv GROUP BY key
+"""
+
+
+@query("expand_map_longform", _SQL_EXPAND_MAP)
+def expand_map_longform(spark, sf_dir):
+    """Map-mode JSON expansion — the schema-FREE alternative to the
+    reference's struct inference (ExpandJson.java:191-258 fixes keys into
+    the schema; here dynamic keys become DATA): ``from_json`` to
+    ``map<string,string>``, explode to (key, value) long form, aggregate
+    per key.  This is the mode that survives heterogeneous per-record keys
+    without variant types or schema evolution — the long-form twin of
+    expand_props_agg.  Integer-valued entries are summed behind a shared
+    integer-regexp guard (string->int casting of non-integer text diverges
+    between engines; the guard makes the cast domain identical).  Scale: a
+    narrow codegen'd from_json + explode (fan-out = keys per record), one
+    partial-aggregated groupBy on key."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json(F.col("props"), "map<string,string>")).alias(
+            "key", "val"
+        )
+    )
+    return kv.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_distinct("val").cast("bigint").alias("n_distinct_values"),
+        F.sum(
+            F.when(
+                F.col("val").rlike("^-?[0-9]+$"), F.col("val").cast("bigint")
+            )
+        )
+        .cast("bigint")
+        .alias("sum_int_values"),
+    )
+
+
+_SQL_LOG2_HIST = """
+    WITH x AS (SELECT CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+               FROM events),
+    b AS (SELECT length(bin(cents)) AS bucket, cents FROM x)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(POWER(2.0, bucket - 1) AS BIGINT) AS lo_cents,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM b GROUP BY bucket
+"""
+
+
+@query("log2_histogram_values", _SQL_LOG2_HIST)
+def log2_histogram_values(spark, sf_dir):
+    """Power-of-two (HdrHistogram-style) value histogram — the log-scale
+    member of the histogram family (linear = histogram_totalprice,
+    equi-depth = equidepth_histogram): bucket = floor(log2(cents)) + 1
+    computed EXACTLY as length(bin(cents)) — the binary-string length, a
+    pure integer operation on both engines, so the log-bucketing contains
+    no transcendental at all (the standard latency-histogram shape, exact
+    at any magnitude).  Scale: one narrow projection + one ~64-group
+    partial-aggregated groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents")
+    )
+    b = x.select(F.length(F.bin("cents")).alias("bucket"), "cents")
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    ).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.pow(F.lit(2.0), F.col("bucket") - 1).cast("bigint").alias("lo_cents"),
+        "n",
+        "min_cents",
+        "max_cents",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
