@@ -10659,6 +10659,145 @@ def log2_histogram_values(spark, sf_dir):
     )
 
 
+_SQL_ASSORT = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM op x JOIN op y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    und AS (SELECT a AS s, b AS d FROM e UNION SELECT b AS s, a AS d FROM e),
+    deg AS (SELECT s AS v, COUNT(*) AS dg FROM und GROUP BY s),
+    xy AS (SELECT da.dg AS x, db.dg AS y
+           FROM und JOIN deg da ON und.s = da.v JOIN deg db ON und.d = db.v),
+    m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+          FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+    FROM m
+"""
+
+
+@query("degree_assortativity", _SQL_ASSORT)
+def degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the part-co-purchase graph — do hubs connect
+    to hubs? (Newman's r: the Pearson correlation of endpoint degrees over
+    the symmetrized edge list): all five moments accumulate as exact int64
+    in one pass over edges⋈degrees, one mirrored double expression closes
+    r — the graph twin of corr_matrix_lineitem's moment discipline.
+    Scale: degree table joins in twice on the edge endpoints (both
+    hash-partitioned); no iteration, full graph."""
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import _pairs_expr
+    from kafka_connect_expand_json_transform_spark.operators.graph import undirect
+
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    edges = sets.select(F.explode(_pairs_expr(F.col("ps"))).alias("p")).select(
+        F.col("p.a").alias("src"), F.col("p.b").alias("dst")
+    )
+    und = undirect(edges, checkpoint=True)
+    deg = und.groupBy(F.col("s").alias("v")).agg(F.count("*").alias("dg"))
+    xy = (
+        und.join(deg.select(F.col("v").alias("s"), F.col("dg").alias("x")), "s")
+        .join(deg.select(F.col("v").alias("d"), F.col("dg").alias("y")), "d")
+        .select("x", "y")
+    )
+    m = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        (
+            dbl(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(dbl(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+                * F.sqrt(dbl(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+            )
+        ).alias("assortativity"),
+    )
+
+
+_SQL_MARKOV_EVAL = """
+    WITH o AS (SELECT user_id, event_type,
+                      epoch_us(ts) // 86400000000 AS day,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev,
+                      lag(epoch_us(ts) // 86400000000)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pday
+               FROM events),
+    tr AS (SELECT prev AS cur, event_type AS nxt, pday FROM o
+           WHERE prev IS NOT NULL),
+    train AS (SELECT cur, nxt, COUNT(*) AS c FROM tr
+              WHERE pday % 5 <> 0 GROUP BY cur, nxt),
+    pred AS (SELECT cur, nxt AS predicted FROM (
+               SELECT cur, nxt,
+                      ROW_NUMBER() OVER (PARTITION BY cur
+                                         ORDER BY c DESC, nxt) AS rn
+               FROM train) WHERE rn = 1),
+    test AS (SELECT tr.cur, tr.nxt, pred.predicted FROM tr
+             JOIN pred ON pred.cur = tr.cur WHERE tr.pday % 5 = 0)
+    SELECT cur AS from_event, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS accuracy
+    FROM test GROUP BY cur, predicted
+"""
+
+
+@query("markov_eval_accuracy", _SQL_MARKOV_EVAL)
+def markov_eval_accuracy(spark, sf_dir):
+    """Train/evaluate a first-order Markov next-event model — the sequence-
+    model member of the eval family: transitions whose SOURCE event falls
+    on a day % 5 != 0 train the per-state argmax predictor (deterministic
+    count-then-min-label tie-break), the held-out 20% of days evaluate
+    top-1 accuracy per state.  The deterministic hash/modulo split is the
+    same leakage-free discipline as hash_split_counts; all counts exact
+    int64, accuracy one mirrored division.  Scale: one user_id window
+    builds transitions (the sessionization shuffle), train is a
+    |states|^2-row aggregate that broadcasts as the predictor, and eval is
+    a partial-aggregated groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    o = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+        F.lag(day).over(w).alias("pday"),
+    )
+    tr = o.where(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("cur"), F.col("event_type").alias("nxt"), "pday"
+    )
+    train = (
+        tr.where(F.col("pday") % 5 != 0)
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("c"))
+    )
+    wp = Window.partitionBy("cur").orderBy(F.col("c").desc(), "nxt")
+    pred = (
+        train.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    test = tr.where(F.col("pday") % 5 == 0).join(F.broadcast(pred), "cur")
+    hit = F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+    return test.groupBy(F.col("cur").alias("from_event"), "predicted").agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        (dbl(F.sum(hit)) / F.count("*")).alias("accuracy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
