@@ -10798,6 +10798,178 @@ def markov_eval_accuracy(spark, sf_dir):
     )
 
 
+_SQL_HT_ESTIMATE = """
+    WITH x AS (SELECT o_orderkey,
+                      CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        AS cents,
+                      ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                        % 10 AS bucket
+               FROM orders),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                 CAST(SUM(cents) AS BIGINT) AS sampled_cents
+          FROM x WHERE bucket = 0),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                 CAST(SUM(cents) AS BIGINT) AS total_cents
+          FROM x)
+    SELECT s.n_sampled, t.n_total,
+           CAST(s.sampled_cents * 10 AS BIGINT) AS ht_estimate_cents,
+           t.total_cents,
+           CAST(s.sampled_cents * 10 - t.total_cents AS DOUBLE)
+             / CAST(t.total_cents AS DOUBLE) AS relative_error
+    FROM s CROSS JOIN t
+"""
+
+
+@query("ht_estimator_report", _SQL_HT_ESTIMATE)
+def ht_estimator_report(spark, sf_dir):
+    """Horvitz-Thompson estimation from the deterministic hash sample — the
+    estimation half of the sampling family (the splits draw samples; this
+    shows what a 10% sample is FOR): every key with md5-bucket 0 has
+    inclusion probability 1/10, so the HT total is exactly
+    10 x sampled-cents (pure int64 — no float weights), reported against
+    the true total with one mirrored relative-error division.  The same
+    hash-threshold membership as hash_split_counts means the estimate is
+    reproducible across engines, partitionings, and reruns.  Scale: two
+    partial-aggregated single-row aggs over one scan each."""
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        (
+            F.expr(
+                "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            )
+            % 10
+        ).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    s = x.where(F.col("bucket") == 0).agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum("cents").cast("bigint").alias("sampled_cents"),
+    )
+    t = x.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "n_sampled",
+        "n_total",
+        (F.col("sampled_cents") * 10).cast("bigint").alias("ht_estimate_cents"),
+        "total_cents",
+        (
+            dbl(F.col("sampled_cents") * 10 - F.col("total_cents"))
+            / dbl(F.col("total_cents"))
+        ).alias("relative_error"),
+    )
+
+
+# Time-decay attribution weights: w(age) = floor(2^(-age/7) * 1e6) for ages
+# 0..30 days (7-day half-life), capped at 30 — computed ONCE here and
+# embedded as identical literals in both engines (the NDCG discipline).
+_DECAY_W = [int(_math.floor(2 ** (-a / 7) * 1_000_000)) for a in range(31)]
+_DECAY_CASE = (
+    "CASE LEAST(age, 30) "
+    + " ".join(f"WHEN {a} THEN {w}" for a, w in enumerate(_DECAY_W))
+    + " ELSE 0 END"
+)
+
+
+_SQL_TIME_DECAY_ATTRIB = f"""
+    WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+                      epoch_us(ts) // 86400000000 AS day,
+                      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+               FROM events),
+    fp AS (SELECT user_id, us AS pus, eid AS pid, day AS pdy, cents FROM (
+             SELECT user_id, us, event_id AS eid, day, cents,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id) AS rn
+             FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+    path AS (SELECT e.user_id, e.event_type, fp.cents,
+                    CAST(fp.pdy - e.day AS BIGINT) AS age
+             FROM e JOIN fp ON e.user_id = fp.user_id
+             WHERE e.event_type <> 'purchase'
+               AND (e.us < fp.pus OR (e.us = fp.pus AND e.event_id < fp.pid))),
+    wts AS (SELECT user_id, event_type, cents,
+                   ({_DECAY_CASE}) AS w
+            FROM path),
+    tot AS (SELECT user_id, SUM(w) AS sw FROM wts GROUP BY user_id),
+    cr AS (SELECT wts.event_type, wts.cents * wts.w // tot.sw AS share_cents
+           FROM wts JOIN tot ON wts.user_id = tot.user_id
+           WHERE tot.sw > 0)
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(share_cents) AS BIGINT) AS attributed_cents,
+           CAST(SUM(share_cents) AS DOUBLE) / 100.0 AS attributed_revenue
+    FROM cr GROUP BY event_type
+"""
+
+
+@query("time_decay_attribution", _SQL_TIME_DECAY_ATTRIB)
+def time_decay_attribution(spark, sf_dir):
+    """Time-decay multi-touch attribution (7-day half-life) — completing
+    the attribution family (last-touch, position-based/U-shaped, and now
+    recency-weighted): each touch before the user's first purchase gets
+    weight 2^(-age/7), quantized ONCE in Python to 31 integer micro-weight
+    literals embedded identically in both engines (ages cap at 30 days),
+    and the purchase's exact cents split proportionally by integer floor
+    division (Spark div == DuckDB // on non-negatives; the sub-cent floor
+    dust is deliberately unassigned and bounded by the touch count).
+    Scale: one user_id shuffle reused by the first-purchase window, the
+    path join, and the per-user weight total."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        day.alias("day"),
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("us", "event_id")
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("us").alias("pus"),
+            F.col("event_id").alias("pid"),
+            F.col("day").alias("pdy"),
+            F.col("cents").alias("pcents"),
+        )
+    )
+    path = (
+        e.where(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .where(
+            (F.col("us") < F.col("pus"))
+            | ((F.col("us") == F.col("pus")) & (F.col("event_id") < F.col("pid")))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("pcents").alias("cents"),
+            (F.col("pdy") - F.col("day")).cast("bigint").alias("age"),
+        )
+    )
+    wts = path.withColumn("w", F.expr(_DECAY_CASE))
+    tot = wts.groupBy("user_id").agg(F.sum("w").alias("sw"))
+    cr = (
+        wts.join(tot, "user_id")
+        .where(F.col("sw") > 0)
+        .select(
+            "event_type",
+            F.expr("cents * w div sw").alias("share_cents"),
+        )
+    )
+    return cr.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.sum("share_cents").cast("bigint").alias("attributed_cents"),
+        (dbl(F.sum("share_cents")) / F.lit(100.0)).alias("attributed_revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
