@@ -10970,6 +10970,127 @@ def time_decay_attribution(spark, sf_dir):
     )
 
 
+_SQL_RFM = """
+    WITH c AS (SELECT o_custkey AS ck,
+                      MAX(epoch_us(o_orderdate) // 86400000000) AS rday,
+                      COUNT(*) AS freq,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+                        AS cents
+               FROM orders GROUP BY 1),
+    q AS (SELECT ck, cents,
+                 ntile(5) OVER (ORDER BY rday, ck) AS r,
+                 ntile(5) OVER (ORDER BY freq, ck) AS f,
+                 ntile(5) OVER (ORDER BY cents, ck) AS m
+          FROM c)
+    SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS avg_cents
+    FROM q GROUP BY 1
+"""
+
+
+@query("rfm_segmentation", _SQL_RFM)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation — quintile scores on Recency (last order
+    day), Frequency (order count), and Monetary (exact cents), composed
+    into the classic 111..555 segment code, with per-segment counts and
+    exact revenue.  All three ntiles use fully deterministic orderings
+    (custkey tie-break); higher score = more recent / frequent / valuable.
+    Scale: one customer-grain groupBy carries the corpus; the three global
+    ntiles are the documented single-partition ranking step (two-phase
+    pre-rank or the quantile sketch at real scale — the SEGMENT logic is
+    unchanged either way)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(F.expr("unix_micros(o_orderdate) div 86400000000")).alias("rday"),
+        F.count("*").alias("freq"),
+        F.sum(money("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    q = c.select(
+        "cents",
+        F.ntile(5).over(Window.orderBy("rday", "ck")).alias("r"),
+        F.ntile(5).over(Window.orderBy("freq", "ck")).alias("f"),
+        F.ntile(5).over(Window.orderBy("cents", "ck")).alias("m"),
+    )
+    return q.groupBy(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("bigint")
+        .alias("rfm_segment")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        (dbl(F.sum("cents")) / F.count("*")).alias("avg_cents"),
+    )
+
+
+_SQL_COHORT_LTV = """
+    WITH e AS (SELECT user_id, event_type,
+                      epoch_us(ts) // 86400000000 AS day,
+                      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+               FROM events),
+    fd AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id),
+    rev AS (SELECT fd.first_day // 7 AS cohort_week,
+                   (e.day - fd.first_day) // 7 AS age_week,
+                   e.cents
+            FROM e JOIN fd ON e.user_id = fd.user_id
+            WHERE e.event_type = 'purchase'),
+    wk AS (SELECT cohort_week, age_week,
+                  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+           FROM rev GROUP BY cohort_week, age_week)
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(age_week AS BIGINT) AS age_week,
+           revenue_cents,
+           CAST(SUM(revenue_cents)
+                  OVER (PARTITION BY cohort_week ORDER BY age_week
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_revenue_cents
+    FROM wk
+"""
+
+
+@query("cohort_ltv_curves", _SQL_COHORT_LTV)
+def cohort_ltv_curves(spark, sf_dir):
+    """Cohort lifetime-value curves — the revenue companion of
+    cohort_retention: purchase revenue per signup-week cohort per weekly
+    age, with the cumulative-LTV running sum every growth team plots.
+    Exact cents end-to-end; the running window runs over the tiny
+    (cohorts x ages) aggregate, never raw events — the 'aggregate first,
+    window the result' decomposition.  Scale: first-day groupBy + one
+    keyed join + one partial-aggregated groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    fd = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    rev = (
+        e.where(F.col("event_type") == "purchase")
+        .join(fd, "user_id")
+        .select(
+            F.expr("first_day div 7").alias("cohort_week"),
+            F.expr("(day - first_day) div 7").alias("age_week"),
+            "cents",
+        )
+    )
+    wk = rev.groupBy("cohort_week", "age_week").agg(
+        F.sum("cents").cast("bigint").alias("revenue_cents")
+    )
+    run = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return wk.select(
+        F.col("cohort_week").cast("bigint").alias("cohort_week"),
+        F.col("age_week").cast("bigint").alias("age_week"),
+        "revenue_cents",
+        F.sum("revenue_cents").over(run).cast("bigint").alias("cum_revenue_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
