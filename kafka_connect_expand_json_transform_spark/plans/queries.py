@@ -11091,6 +11091,74 @@ def cohort_ltv_curves(spark, sf_dir):
     )
 
 
+_SQL_PK_UNIQUENESS = """
+    SELECT 'orders.o_orderkey' AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer.c_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'events.event_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents.doc_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT l_orderkey * 100 + l_linenumber) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 100 + l_linenumber)
+                AS BIGINT)
+    FROM lineitem
+"""
+
+
+@query("pk_uniqueness_report", _SQL_PK_UNIQUENESS)
+def pk_uniqueness_report(spark, sf_dir):
+    """Primary-key uniqueness audit across every keyed table — the ONE rule
+    type the expectation family didn't yet cover (constraint_report = row
+    domains, fk_orphans = referential, null_census = completeness, THIS =
+    entity identity), including the composite lineitem key packed into a
+    single int64 (linenumber < 100 by TPC-H construction).  Scale: each
+    table is one partial-aggregated count-distinct scan, independent of
+    the others (5 small scans, no join); swap HLL partials for the exact
+    distinct on petabyte keys — the report shape is unchanged."""
+    rows = []
+    for label, table, expr_ in [
+        ("orders.o_orderkey", "orders", F.col("o_orderkey")),
+        ("customer.c_custkey", "customer", F.col("c_custkey")),
+        ("events.event_id", "events", F.col("event_id")),
+        ("documents.doc_id", "documents", F.col("doc_id")),
+        (
+            "lineitem.(l_orderkey,l_linenumber)",
+            "lineitem",
+            F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+        ),
+    ]:
+        t = load_table(spark, sf_dir, table)
+        rows.append(
+            t.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.count_distinct(expr_).cast("bigint").alias("n_distinct"),
+                (F.count("*") - F.count_distinct(expr_))
+                .cast("bigint")
+                .alias("n_dup_rows"),
+            ).select(F.lit(label).alias("key"), "n_rows", "n_distinct", "n_dup_rows")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
