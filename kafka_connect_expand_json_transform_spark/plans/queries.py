@@ -11159,6 +11159,91 @@ def pk_uniqueness_report(spark, sf_dir):
     return out
 
 
+_SQL_CROSS_SOURCE_DUP = f"""
+    WITH fs AS (SELECT DISTINCT md5({_SQL_NORM_TEXT}) AS fp, source
+                FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+    FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+"""
+
+
+@query("cross_source_dup_matrix", _SQL_CROSS_SOURCE_DUP)
+def cross_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix — which corpus sources scraped the
+    same text (the provenance question behind every dedup decision: keep
+    one copy per corpus, or one per source?): distinct (fingerprint,
+    source) pairs self-join on the 16-byte fingerprint, so a text shared
+    by k sources contributes C(k,2) cells and the shuffle never carries
+    documents.  Scale: the distinct and the pair count are partial-
+    aggregated; fan-out is bounded by sources-per-text (<= |sources|), the
+    same bounded-bucket argument as the LSH band join."""
+    docs = load_table(spark, sf_dir, "documents")
+    fs = docs.select(
+        TXT.md5_fingerprint(F.col("text")).alias("fp"), "source"
+    ).distinct()
+    a = fs.select("fp", F.col("source").alias("source_a"))
+    b = fs.select("fp", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_texts"))
+    )
+
+
+_SQL_FANO = """
+    WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                      COUNT(*) AS c
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(c) AS BIGINT) AS s,
+                 CAST(SUM(c * c) AS BIGINT) AS ss
+          FROM d GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_daily,
+           CAST(n * ss - s * s AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_daily,
+           (CAST(n * ss - s * s AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS fano_factor
+    FROM m
+"""
+
+
+@query("fano_overdispersion_report", _SQL_FANO)
+def fano_overdispersion_report(spark, sf_dir):
+    """Fano factor (variance/mean of daily counts) per event type — the
+    burstiness / over-dispersion screen (a Poisson arrival process has
+    F ~ 1; F >> 1 flags bursty traffic, F < 1 regularized flows), the
+    arrival-process companion of the Mann-Kendall trend and CUSUM
+    changepoint.  Daily counts aggregate exactly; the count moments (n,
+    Σc, Σc²) are exact int64 over the tiny |days|×|types| frame and the
+    three ratios are mirrored doubles.  Scale: one partial-aggregated
+    groupBy carries the corpus; moments run on the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(F.count("*").alias("c"))
+    m = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    mean = dbl(F.col("s")) / dbl(F.col("n"))
+    var = dbl(F.col("n") * F.col("ss") - F.col("s") * F.col("s")) / (
+        dbl(F.col("n")) * dbl(F.col("n") - 1)
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        mean.alias("mean_daily"),
+        var.alias("var_daily"),
+        (var / mean).alias("fano_factor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
