@@ -11244,6 +11244,129 @@ def fano_overdispersion_report(spark, sf_dir):
     )
 
 
+_SQL_NGRAM_NOVELTY = f"""
+    WITH sh AS (SELECT doc_id, doc_id % 5 = 0 AS is_test, s FROM (
+                  SELECT doc_id,
+                         unnest(list_distinct(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                           AS s
+                  FROM (SELECT doc_id, list_filter({_SQL_TOKS}, x -> x <> '') AS toks
+                        FROM documents)
+                  WHERE len(toks) >= 3)),
+    train AS (SELECT DISTINCT s FROM sh WHERE NOT is_test),
+    test AS (SELECT sh.s, COUNT(*) AS n_docs FROM sh WHERE is_test GROUP BY sh.s),
+    j AS (SELECT test.s, test.n_docs,
+                 CASE WHEN train.s IS NULL THEN 1 ELSE 0 END AS novel
+          FROM test LEFT JOIN train ON test.s = train.s)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_grams,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           CAST(SUM(novel) AS DOUBLE) / COUNT(*) AS novelty_rate,
+           CAST(SUM(n_docs) AS BIGINT) AS n_test_gram_docs
+    FROM j
+"""
+
+
+@query("ngram_novelty_report", _SQL_NGRAM_NOVELTY)
+def ngram_novelty_report(spark, sf_dir):
+    """3-gram novelty of a held-out split against the training split — the
+    memorization/generalization screen (decontamination's mirror image:
+    decon asks 'is benchmark text in train?', novelty asks 'how much of
+    held-out text is NOT in train?'), the gram-level signal behind
+    train/test leakage audits.  Distinct shingles per doc come from the
+    shared shingle definition; the split is the deterministic doc_id
+    modulo.  Scale: the join keys on the shingle string after per-side
+    distinct/partial aggregation — at corpus scale swap the train side
+    for a bloom/minhash membership tier, same report shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", TXT.tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 3)
+    sh = staged.select(
+        "doc_id",
+        (F.col("doc_id") % 5 == 0).alias("is_test"),
+        F.explode(TXT.shingles_from_tokens("toks", 3)).alias("s"),
+    )
+    train = sh.where(~F.col("is_test")).select("s").distinct()
+    test = sh.where(F.col("is_test")).groupBy("s").agg(
+        F.count("*").alias("n_docs")
+    )
+    j = test.join(
+        train.select(F.col("s"), F.lit(1).alias("seen")), "s", "left"
+    ).select(
+        "n_docs", F.when(F.col("seen").isNull(), 1).otherwise(0).alias("novel")
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_test_grams"),
+        F.sum("novel").cast("bigint").alias("n_novel"),
+        (dbl(F.sum("novel")) / F.count("*")).alias("novelty_rate"),
+        F.sum("n_docs").cast("bigint").alias("n_test_gram_docs"),
+    )
+
+
+_SQL_NEYMAN = """
+    WITH x AS (SELECT event_type,
+                      CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT) AS v
+               FROM events),
+    m AS (SELECT event_type, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+          FROM x GROUP BY event_type),
+    t AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+                 CAST(n AS DOUBLE)
+                   * SQRT(CAST(n * ss - s * s AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS nh_sh
+          FROM m),
+    f AS (SELECT list_reduce(list(nh_sh ORDER BY event_type), (a, b) -> a + b)
+                   AS denom
+          FROM t)
+    SELECT t.event_type, t.n AS stratum_size,
+           t.nh_sh / f.denom AS allocation_share,
+           CAST(FLOOR(1000.0 * t.nh_sh / f.denom) AS BIGINT) AS n_of_1000
+    FROM t CROSS JOIN f
+"""
+
+
+@query("neyman_allocation_plan", _SQL_NEYMAN)
+def neyman_allocation_plan(spark, sf_dir):
+    """Neyman optimal sampling allocation (n_h proportional to N_h * S_h) for a
+    1000-unit stratified sample over event types — the DESIGN half of the
+    sampling family (Horvitz-Thompson estimates from a sample; Neyman
+    decides the sample): per-stratum moments are exact int64 floor-dollar
+    sums, each N_h*S_h is a mirrored double, and the unavoidable k-term
+    denominator uses the deterministic ordered fold (the ANOVA pattern,
+    second use), so shares match bit-for-bit; the integer seat count
+    floors at 1000 per mille.  Scale: one partial-aggregated moment scan;
+    everything after runs on k rows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.expr("CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT)")
+    m = ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    nh_sh = dbl(F.col("n")) * F.sqrt(
+        dbl(F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        / (dbl(F.col("n")) * dbl(F.col("n") - 1))
+    )
+    t = m.select(
+        "event_type", F.col("n").cast("bigint").alias("n"), nh_sh.alias("nh_sh")
+    )
+    f = t.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "nh_sh"))),
+            F.lit(0.0),
+            lambda acc, e: acc + e["nh_sh"],
+        ).alias("denom")
+    )
+    return t.crossJoin(F.broadcast(f)).select(
+        "event_type",
+        F.col("n").alias("stratum_size"),
+        (F.col("nh_sh") / F.col("denom")).alias("allocation_share"),
+        F.floor(F.lit(1000.0) * F.col("nh_sh") / F.col("denom"))
+        .cast("bigint")
+        .alias("n_of_1000"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
