@@ -11367,6 +11367,135 @@ def neyman_allocation_plan(spark, sf_dir):
     )
 
 
+_SQL_RECONCILE = f"""
+    WITH l AS (SELECT l_orderkey,
+                      CAST(SUM(CAST(FLOOR(({_SQL_CHARGE}) * 100) AS BIGINT))
+                           AS BIGINT) AS line_cents
+               FROM lineitem GROUP BY l_orderkey),
+    j AS (SELECT o.o_orderkey,
+                 CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS header_cents,
+                 l.line_cents
+          FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_without_lines,
+           CAST(SUM(CASE WHEN line_cents IS NOT NULL
+                          AND ABS(header_cents - line_cents) <= 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+           CAST(MAX(CASE WHEN line_cents IS NOT NULL
+                         THEN ABS(header_cents - line_cents) END) AS BIGINT)
+             AS max_abs_diff_cents
+    FROM j
+"""
+
+
+@query("order_reconciliation_report", _SQL_RECONCILE)
+def order_reconciliation_report(spark, sf_dir):
+    """Header-to-detail financial reconciliation: every order's stated
+    total against the exact-decimal sum of its line charges
+    (extendedprice x (1-discount) x (1+tax), the q1 charge expression) —
+    the audit every billing pipeline runs before closing the books.  Both
+    sides stay in exact integer cents through aggregation: each line's
+    DECIMAL charge FLOORS to cents before the sum (floor, not a scale-0
+    decimal cast — Spark rounds HALF_UP where DuckDB rounds HALF_EVEN on
+    exact half-cents, a divergence this query exposed live); the
+    tolerance is +-1 cent.  The synthetic fixture generates headers and
+    lines independently, so n_reconciled is expected near zero — the
+    OPERATOR is the deliverable, and the diff magnitudes are exact.
+    Scale: one partial-aggregated groupBy(l_orderkey) + one key join; the
+    report is a single-row agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                _disc_price()
+                * (F.lit(1) + rate("l_tax")).cast("decimal(4,2)")
+                * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("line_cents")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(l, o["o_orderkey"] == l["l_orderkey"], "left").select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "header_cents"
+        ),
+        "line_cents",
+    )
+    diff = F.abs(F.col("header_cents") - F.col("line_cents"))
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("line_cents").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_without_lines"),
+        F.sum(
+            F.when(F.col("line_cents").isNotNull() & (diff <= 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_reconciled"),
+        F.max(F.when(F.col("line_cents").isNotNull(), diff))
+        .cast("bigint")
+        .alias("max_abs_diff_cents"),
+    )
+
+
+_SQL_LARGEST_REMAINDER = """
+    WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+    t AS (SELECT event_type, n, SUM(n) OVER () AS total FROM c),
+    q AS (SELECT event_type, n,
+                 1000 * n // total AS fl,
+                 1000 * n % total AS rem,
+                 total
+          FROM t),
+    s AS (SELECT q.*,
+                 1000 - SUM(fl) OVER () AS leftover,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rk
+          FROM q)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS seats_of_1000
+    FROM s
+"""
+
+
+@query("largest_remainder_allocation", _SQL_LARGEST_REMAINDER)
+def largest_remainder_allocation(spark, sf_dir):
+    """Largest-remainder (Hamilton) proportional allocation of exactly
+    1000 units across event types by traffic share — the EXACT-total
+    counterpart of Neyman's floored per-mille (floors drop dust; Hamilton
+    hands the leftover seats to the largest integer remainders, so the
+    seats always sum to exactly 1000): floor = 1000*n div total and
+    remainder = 1000*n mod total are PURE int64, the remainder ranking
+    tie-breaks on the type name, and no float appears anywhere.  The
+    budget/sample/shard allocation primitive.  Scale: one partial-
+    aggregated groupBy; windows run over k rows."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    t = c.withColumn("total", F.sum("n").over(wall))
+    q = t.select(
+        "event_type",
+        "n",
+        F.expr("1000 * n div total").alias("fl"),
+        F.expr("1000 * n % total").alias("rem"),
+    )
+    s = q.withColumn("leftover", F.lit(1000) - F.sum("fl").over(wall)).withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("rem").desc(), "event_type"))
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        (
+            F.col("fl")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("seats_of_1000"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
