@@ -11496,6 +11496,130 @@ def largest_remainder_allocation(spark, sf_dir):
     )
 
 
+_SQL_WEIGHTED_MEDIAN = """
+    WITH x AS (SELECT l_returnflag AS flag,
+                      CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        AS cents,
+                      CAST(l_quantity AS BIGINT) AS w,
+                      l_orderkey, l_linenumber
+               FROM lineitem),
+    c AS (SELECT flag, cents, w,
+                 SUM(w) OVER (PARTITION BY flag
+                              ORDER BY cents, l_orderkey, l_linenumber
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+                 SUM(w) OVER (PARTITION BY flag) AS tw
+          FROM x)
+    SELECT flag, CAST(MIN(cents) AS BIGINT) AS weighted_median_cents,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cw >= tw GROUP BY flag
+"""
+
+
+@query("weighted_median_price", _SQL_WEIGHTED_MEDIAN)
+def weighted_median_price(spark, sf_dir):
+    """Quantity-weighted median line price per return flag — the weighted
+    order statistic (what price point does half the VOLUME trade below?),
+    distinct from the unweighted percentile family: a running weight sum
+    over a fully deterministic ordering, and the median is the first value
+    whose cumulative weight reaches half the total — the comparison
+    2*cw >= tw stays pure int64, no division at all.  Scale: one shuffle
+    on the group key shared by both windows and the aggregate; at real
+    scale the same statistic comes from the weighted quantile-sketch tier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    run = (
+        Window.partitionBy("flag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = x.select(
+        "flag",
+        "cents",
+        F.sum("w").over(run).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return (
+        c.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").cast("bigint").alias("weighted_median_cents"),
+            F.max("tw").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+_SQL_CHURN_LABELS = """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    fd AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id),
+    w1 AS (SELECT e.user_id,
+                  SUM(CASE WHEN e.day - fd.first_day < 7 THEN 1 ELSE 0 END)
+                    AS n_week1,
+                  MAX(CASE WHEN e.day - fd.first_day BETWEEN 7 AND 20
+                           THEN 1 ELSE 0 END) AS returned
+           FROM e JOIN fd ON e.user_id = fd.user_id
+           GROUP BY e.user_id),
+    b AS (SELECT LEAST(n_week1, 5) AS w1_bucket, returned FROM w1)
+    SELECT CAST(w1_bucket AS BIGINT) AS w1_activity_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(returned) AS BIGINT) AS n_returned,
+           CAST(SUM(returned) AS DOUBLE) / COUNT(*) AS retention_rate
+    FROM b GROUP BY 1
+"""
+
+
+@query("churn_label_table", _SQL_CHURN_LABELS)
+def churn_label_table(spark, sf_dir):
+    """Churn/retention label construction — the label-engineering op a
+    training pipeline runs before any model sees data: per user, week-1
+    activity (days 0-6 after first touch) and a 'returned in days 7-20'
+    binary label, rolled up to retention rate per activity bucket (the
+    classic activation-retention curve).  Windows are integer day
+    arithmetic off each user's first day, so labels are exact and
+    leakage-free by construction (features strictly precede the label
+    window).  Scale: two user-grain partial-aggregated groupBys sharing
+    one shuffle key; the rollup is a 6-group aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    fd = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    w1 = (
+        e.join(fd, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("day") - F.col("first_day") < 7, 1).otherwise(0)
+            ).alias("n_week1"),
+            F.max(
+                F.when(
+                    (F.col("day") - F.col("first_day") >= 7)
+                    & (F.col("day") - F.col("first_day") <= 20),
+                    1,
+                ).otherwise(0)
+            ).alias("returned"),
+        )
+    )
+    b = w1.select(
+        F.least(F.col("n_week1"), F.lit(5)).alias("w1_bucket"), "returned"
+    )
+    return b.groupBy(
+        F.col("w1_bucket").cast("bigint").alias("w1_activity_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("returned").cast("bigint").alias("n_returned"),
+        (dbl(F.sum("returned")) / F.count("*")).alias("retention_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
