@@ -11620,6 +11620,96 @@ def churn_label_table(spark, sf_dir):
     )
 
 
+_SQL_UTF8_WEIGHT = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(strlen(text)) AS DOUBLE) / CAST(SUM(length(text)) AS DOUBLE)
+             AS bytes_per_char
+    FROM documents GROUP BY lang
+"""
+
+
+@query("utf8_weight_report", _SQL_UTF8_WEIGHT)
+def utf8_weight_report(spark, sf_dir):
+    """UTF-8 byte weight per language — the encoding-aware corpus sizing a
+    tokenizer-budget plan needs (byte-level tokenizers pay bytes, not
+    characters; CJK/Cyrillic text runs 2-3 bytes/char): exact byte and
+    character totals per language, one mirrored ratio.  Scale: one narrow
+    projection + a |langs|-group partial-aggregated groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.octet_length("text")).cast("bigint").alias("n_bytes"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        (
+            dbl(F.sum(F.octet_length("text"))) / dbl(F.sum(F.length("text")))
+        ).alias("bytes_per_char"),
+    )
+
+
+_SQL_PARETO_LEVELS = """
+    WITH l1 AS (SELECT o_orderkey, o_totalprice FROM orders q
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM orders p
+                  WHERE p.o_totalprice >= q.o_totalprice
+                    AND p.o_orderdate <= q.o_orderdate
+                    AND (p.o_totalprice > q.o_totalprice
+                         OR p.o_orderdate < q.o_orderdate))),
+    rest AS (SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate FROM orders o
+             WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM l1)),
+    l2 AS (SELECT o_orderkey, o_totalprice FROM rest q
+           WHERE NOT EXISTS (
+             SELECT 1 FROM rest p
+             WHERE p.o_totalprice >= q.o_totalprice
+               AND p.o_orderdate <= q.o_orderdate
+               AND (p.o_totalprice > q.o_totalprice
+                    OR p.o_orderdate < q.o_orderdate)))
+    SELECT CAST(1 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM l1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT)
+    FROM l2
+"""
+
+
+@query("pareto_rank_levels", _SQL_PARETO_LEVELS)
+def pareto_rank_levels(spark, sf_dir):
+    """Non-dominated sorting, first two fronts (NSGA-style Pareto ranking:
+    peel the global skyline, then the skyline of the remainder) over orders
+    maximizing totalprice / minimizing orderdate — the multi-objective
+    ranking primitive behind trade-off exploration, built by running the
+    suffix-min skyline operator twice with an anti-join between (each peel
+    is the same two-shuffle plan as skyline_orders; the oracle states the
+    quadratic double NOT EXISTS).  Counts and cent sums exact.  Scale:
+    each front is |distinct x|-bounded; k fronts = k chained peels, each
+    cheap because fronts shrink the candidate set."""
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        skyline_2d,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    l1 = skyline_2d(o, "o_totalprice", "o_orderdate")
+    rest = o.join(l1.select("o_orderkey"), "o_orderkey", "left_anti")
+    l2 = skyline_2d(rest, "o_totalprice", "o_orderdate")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+
+    def level(df, lvl):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(cents).cast("bigint").alias("sum_cents"),
+        ).select(F.lit(lvl).cast("bigint").alias("level"), "n_rows", "sum_cents")
+
+    return level(l1, 1).unionByName(level(l2, 2))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
