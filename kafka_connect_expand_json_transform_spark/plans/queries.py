@@ -11710,6 +11710,111 @@ def pareto_rank_levels(spark, sf_dir):
     return level(l1, 1).unionByName(level(l2, 2))
 
 
+_SQL_TOP_PATHS = """
+    WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                      string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+               FROM events GROUP BY user_id, epoch_us(ts) // 86400000000)
+    SELECT path, n_days FROM (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_days,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rn
+      FROM p GROUP BY path) WHERE rn <= 10
+"""
+
+
+@query("top_event_paths", _SQL_TOP_PATHS)
+def top_event_paths(spark, sf_dir):
+    """Top-10 daily user journeys (the ordered event-type sequence each
+    user produces per day, e.g. 'view>click>purchase') — path/journey
+    mining, the sequence-grain sibling of the transition matrix.
+    Determinism: the path string is built from a SORTED struct array
+    ((ts, event_id) order — collect_list alone has NO ordering guarantee
+    across partitions, the classic silent nondeterminism), mirrored by the
+    oracle's ORDER BY inside string_agg.  Scale: one (user, day) groupBy
+    carries the corpus; the path-count rollup is partial-aggregated and
+    only the tiny distinct-path table reaches the top-k window."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    p = (
+        ev.select(
+            "user_id",
+            day.alias("day"),
+            F.struct(
+                F.expr("unix_micros(ts)").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            ).alias("s"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("s")), lambda x: x["et"]
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    c = p.groupBy("path").agg(F.count("*").cast("bigint").alias("n_days"))
+    w = Window.orderBy(F.col("n_days").desc(), "path")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("path", "n_days")
+    )
+
+
+_SQL_PURCHASE_CADENCE = """
+    WITH pu AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                       ts, event_id
+                FROM events WHERE event_type = 'purchase'),
+    g AS (SELECT user_id,
+                 day - lag(day) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS gap
+          FROM pu),
+    v AS (SELECT gap FROM g WHERE gap IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap) AS BIGINT) AS min_days,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+             AS median_days,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+             AS p90_days,
+           CAST(MAX(gap) AS BIGINT) AS max_days
+    FROM v
+"""
+
+
+@query("purchase_cadence_report", _SQL_PURCHASE_CADENCE)
+def purchase_cadence_report(spark, sf_dir):
+    """Repeat-purchase cadence: the distribution of whole-day gaps between
+    each user's consecutive purchases (min / median / p90 / max) — the
+    replenishment-cycle metric behind send-time and inventory planning.
+    Gaps are exact integer days from a deterministic per-user ordering;
+    discrete percentiles over integers are bit-exact cross-engine (the
+    percentile_disc_quantity discipline).  Scale: one user_id window
+    shuffle; the percentile runs over the scalar gap column with a
+    single-row result."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", day.alias("day"), "ts", "event_id")
+        .select((F.col("day") - F.lag("day").over(w)).alias("gap"))
+        .where(F.col("gap").isNotNull())
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_days"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)")
+        .cast("bigint")
+        .alias("median_days"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)")
+        .cast("bigint")
+        .alias("p90_days"),
+        F.max("gap").cast("bigint").alias("max_days"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
