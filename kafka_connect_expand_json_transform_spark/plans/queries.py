@@ -11815,6 +11815,145 @@ def purchase_cadence_report(spark, sf_dir):
     )
 
 
+_SQL_BRIER = """
+    WITH s AS (SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                        % 1000000 AS pred_micro,
+                      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+               FROM orders),
+    b AS (SELECT pred_micro // 100000 AS bin, COUNT(*) AS n,
+                 CAST(SUM(pred_micro) AS BIGINT) AS sp,
+                 CAST(SUM(y) AS BIGINT) AS sy
+          FROM s GROUP BY 1),
+    t AS (SELECT SUM(n) AS nn, CAST(SUM(sy) AS BIGINT) AS ty FROM b),
+    terms AS (SELECT b.bin,
+                     CAST(b.n AS DOUBLE)
+                       * (CAST(b.sp AS DOUBLE) / (b.n * 1000000.0)
+                          - CAST(b.sy AS DOUBLE) / b.n)
+                       * (CAST(b.sp AS DOUBLE) / (b.n * 1000000.0)
+                          - CAST(b.sy AS DOUBLE) / b.n) AS rel_t,
+                     CAST(b.n AS DOUBLE)
+                       * (CAST(b.sy AS DOUBLE) / b.n
+                          - CAST(t.ty AS DOUBLE) / t.nn)
+                       * (CAST(b.sy AS DOUBLE) / b.n
+                          - CAST(t.ty AS DOUBLE) / t.nn) AS res_t
+              FROM b CROSS JOIN t),
+    f AS (SELECT list_reduce(list(rel_t ORDER BY bin), (a, c) -> a + c) AS rel_s,
+                 list_reduce(list(res_t ORDER BY bin), (a, c) -> a + c) AS res_s
+          FROM terms)
+    SELECT CAST(t.nn AS BIGINT) AS n,
+           f.rel_s / t.nn AS reliability,
+           f.res_s / t.nn AS resolution,
+           (CAST(t.ty AS DOUBLE) / t.nn) * (1.0 - CAST(t.ty AS DOUBLE) / t.nn)
+             AS uncertainty
+    FROM f CROSS JOIN t
+"""
+
+
+@query("brier_decomposition", _SQL_BRIER)
+def brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score (reliability - resolution +
+    uncertainty) over the calibration bins — the scalar summary of the
+    reliability diagram (calibration_bins shows the curve; this scores
+    it): per-bin counts/sums are exact int64, each bin's reliability and
+    resolution term is a mirrored double, and the two unavoidable 10-term
+    float sums use the deterministic ordered fold (third use of the ANOVA
+    pattern).  Scale: one 10-group partial-aggregated groupBy; folds touch
+    10 elements."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        (
+            F.expr(
+                "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            )
+            % 1000000
+        ).alias("pred_micro"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy(F.expr("pred_micro div 100000").alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.sum("pred_micro").cast("bigint").alias("sp"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    t = b.agg(
+        F.sum("n").alias("nn"), F.sum("sy").cast("bigint").alias("ty")
+    )
+    pbar = dbl(F.col("sp")) / (F.col("n") * F.lit(1000000.0))
+    ybar = dbl(F.col("sy")) / F.col("n")
+    gbar = dbl(F.col("ty")) / F.col("nn")
+    terms = b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        (dbl(F.col("n")) * (pbar - ybar) * (pbar - ybar)).alias("rel_t"),
+        (dbl(F.col("n")) * (ybar - gbar) * (ybar - gbar)).alias("res_t"),
+    )
+    f = terms.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("bin", "rel_t"))),
+            F.lit(0.0),
+            lambda acc, e: acc + e["rel_t"],
+        ).alias("rel_s"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("bin", "res_t"))),
+            F.lit(0.0),
+            lambda acc, e: acc + e["res_t"],
+        ).alias("res_s"),
+    )
+    return f.crossJoin(F.broadcast(t)).select(
+        F.col("nn").cast("bigint").alias("n"),
+        (F.col("rel_s") / F.col("nn")).alias("reliability"),
+        (F.col("res_s") / F.col("nn")).alias("resolution"),
+        (
+            (dbl(F.col("ty")) / F.col("nn"))
+            * (F.lit(1.0) - dbl(F.col("ty")) / F.col("nn"))
+        ).alias("uncertainty"),
+    )
+
+
+_SQL_PEAK_CONCURRENCY = """
+    WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 600000000 AS e
+                FROM events),
+    pts AS (SELECT s AS t, 1 AS delta FROM iv
+            UNION ALL SELECT e AS t, -1 AS delta FROM iv),
+    sw AS (SELECT t, delta,
+                  SUM(delta) OVER (ORDER BY t, delta
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS conc
+           FROM pts)
+    SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+    FROM sw
+"""
+
+
+@query("peak_concurrency_report", _SQL_PEAK_CONCURRENCY)
+def peak_concurrency_report(spark, sf_dir):
+    """Peak concurrency by sweep line: the maximum number of
+    simultaneously-open 10-minute activity intervals across the corpus —
+    the capacity-planning number behind connection pools and autoscaling
+    (interval_coverage measures covered TIME; this measures simultaneous
+    LOAD).  The sweep orders +1/-1 boundary events by (t, delta) so an
+    end at time t processes BEFORE a start at t (half-open intervals never
+    double-count a touch), and the running sum is exact int64.  Scale: the
+    global ordered prefix sum is the documented single-partition step —
+    the production form partitions the sweep by day/shard and takes the
+    max of per-partition peaks seeded with carry-in counts (same two
+    operators + one broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    iv = ev.select(us.alias("s"), (us + F.lit(600_000_000)).alias("e"))
+    pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    run = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sw = pts.select(F.sum("delta").over(run).alias("conc"))
+    return sw.agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency"),
+        (F.count("*") / 2).cast("bigint").alias("n_intervals"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
