@@ -11954,6 +11954,130 @@ def peak_concurrency_report(spark, sf_dir):
     )
 
 
+_SQL_ROLLING_WAU = """
+    WITH du AS (SELECT DISTINCT user_id,
+                                epoch_us(ts) // 86400000000 AS day
+                FROM events),
+    span AS (SELECT MAX(day) AS max_day FROM du),
+    w AS (SELECT u.wd, du.user_id FROM du
+          CROSS JOIN span
+          JOIN LATERAL (SELECT unnest(generate_series(du.day, du.day + 6)) AS wd) u
+            ON TRUE
+          WHERE u.wd <= span.max_day)
+    SELECT CAST(wd AS BIGINT) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM w GROUP BY wd
+"""
+
+
+@query("rolling_wau_report", _SQL_ROLLING_WAU)
+def rolling_wau_report(spark, sf_dir):
+    """Rolling 7-day active users (WAU) per day — the sliding DISTINCT
+    window SQL cannot express directly (COUNT(DISTINCT) OVER a RANGE frame
+    is unsupported): each (user, active-day) pair EXPLODES into the 7
+    window-days it participates in, and WAU is then a plain per-day
+    count-distinct — the bounded fan-out rewrite (x7, the gap-fill /
+    interval-bin trick) that scales where a per-day self-join of the
+    activity table would not.  Trailing windows past the corpus end are
+    clipped so every reported day has a full observation.  Scale: the
+    distinct and the count-distinct are partial-aggregated; fan-out is a
+    narrow explode."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    span = du.agg(F.max("day").alias("max_day"))
+    w = (
+        du.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + 6)
+            ).alias("wd"),
+            "max_day",
+        )
+        .where(F.col("wd") <= F.col("max_day"))
+    )
+    return w.groupBy(F.col("wd").cast("bigint").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+
+
+_SQL_CUPED = """
+    WITH b AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0,
+                      MAX(epoch_us(ts) // 86400000000) AS d1
+               FROM events),
+    u AS (SELECT user_id,
+                 SUM(CASE WHEN epoch_us(ts) // 86400000000
+                               < (b.d0 + (b.d1 - b.d0 + 1) // 2)
+                          THEN CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT)
+                          ELSE 0 END) AS x,
+                 SUM(CASE WHEN epoch_us(ts) // 86400000000
+                               >= (b.d0 + (b.d1 - b.d0 + 1) // 2)
+                          THEN CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT)
+                          ELSE 0 END) AS y
+          FROM events CROSS JOIN b GROUP BY user_id),
+    m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+          FROM u)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS post_mean,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+           1.0 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS var_ratio
+    FROM m
+"""
+
+
+@query("cuped_adjusted_metric", _SQL_CUPED)
+def cuped_adjusted_metric(spark, sf_dir):
+    """CUPED variance reduction (Deng et al. 2013) for experimentation:
+    per-user pre-period spend (first half of the date span) as the
+    covariate X against post-period spend Y, theta = cov(X,Y)/var(X), and
+    the residual variance ratio 1 - rho^2 — the number that says how much
+    smaller an A/B test can be with pre-experiment data.  All five moments
+    are exact int64 floor-dollar sums (one scan, one user-grain groupBy);
+    theta and the ratio are mirrored double expressions.  int64 headroom:
+    n*sxy ~ 2e18 at sf0.1 with floor-dollar units — past ~sf0.5 floor to
+    tens of dollars (the gini ceiling discipline), same shape.  Scale: the
+    user-grain groupBy is the only corpus shuffle; moments partial-
+    aggregate to a single row."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    v = F.expr("CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT)")
+    b = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+    cut = F.col("d0") + F.expr("(d1 - d0 + 1) div 2")
+    u = (
+        ev.select("user_id", day.alias("day"), v.alias("v"))
+        .crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < cut, F.col("v")).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("day") >= cut, F.col("v")).otherwise(0)).alias("y"),
+        )
+    )
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    covn = dbl(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    varxn = dbl(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    varyn = dbl(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        (dbl(F.col("sy")) / dbl(F.col("n"))).alias("post_mean"),
+        (covn / varxn).alias("theta"),
+        (F.lit(1.0) - (covn * covn) / (varxn * varyn)).alias("var_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
