@@ -538,3 +538,73 @@ def dedup_against_corpus(
         .distinct()
     )
     return survivors.join(near_dupes, id_col, "left_anti")
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicate-span coverage — the exact-substring dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499), restated over fixed-width token
+    windows: the fraction of a document's token positions covered by at
+    least one ``span``-token window whose exact text occurs in >=
+    ``min_docs`` distinct documents.  Returns (id_col, n_tokens,
+    covered_tokens); callers derive coverage = covered/n and use it to trim
+    or drop boilerplate-heavy documents.
+
+    Plan shape (the suffix-array substitute that stays hash-partitioned):
+    tokens staged once, spans explode to (id, pos, md5(window)) and the
+    frame is localCheckpoint'ed because two consumers follow (at corpus
+    scale persist to disk or recompute — the stage is a narrow projection).
+    Shuffle #1 groups on the 16-byte span key with a partial-aggregated
+    distinct-doc count — keys move, text never does.  Duplicated keys join
+    back on the same key partitioning; coverage re-expands each hit to its
+    ``span`` positions and counts DISTINCT (id, pos) — shuffle #2, bounded
+    by span x hits, not span x corpus.  No all-pairs comparison exists in
+    the plan.  Fixed-width windows trade the suffix array's any-length
+    guarantee for mergeable, partition-invariant hash aggregation: any
+    duplicated run of >= span tokens is still fully covered (every window
+    inside the run is duplicated), shorter duplicates are ignored by
+    design.
+    """
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    base = toks.select(F.col(id_col), F.size("__t").cast("bigint").alias("n_tokens"))
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("__t") >= span,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - (span - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i, span))),
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        ).alias("__p0", "__g"),
+    ).localCheckpoint()
+    dup_keys = (
+        grams.groupBy("__g")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__g")
+    )
+    covered = (
+        grams.join(dup_keys, "__g")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__p0") + 1, F.col("__p0") + span)
+            ).alias("__pos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("covered_tokens"))
+    )
+    return base.join(covered, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("covered_tokens"),
+    )

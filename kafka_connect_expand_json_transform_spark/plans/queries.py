@@ -12079,6 +12079,178 @@ def cuped_adjusted_metric(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# [EXT] training-data pipeline pack: exact substring-dedup coverage
+# (Lee et al. 2022), temperature-based domain mixing, deterministic shard
+# manifests.
+# ---------------------------------------------------------------------------
+
+_SQL_SPAN_COV = """
+    WITH toks AS (SELECT doc_id, source,
+                         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     x -> x <> '') AS t
+                  FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(CASE WHEN len(t) >= 8
+                             THEN generate_series(1, len(t) - 7) ELSE [] END) AS pos,
+                      unnest(CASE WHEN len(t) >= 8
+                             THEN list_transform(generate_series(1, len(t) - 7),
+                                    i -> md5(array_to_string(t[i:i+7], ' ')))
+                             ELSE [] END) AS gk
+               FROM toks),
+         dup AS (SELECT gk FROM g GROUP BY gk HAVING COUNT(DISTINCT doc_id) >= 2),
+         covx AS (SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 7)) AS p
+                  FROM g JOIN dup ON g.gk = dup.gk),
+         cov AS (SELECT DISTINCT doc_id, p FROM covx),
+         cd AS (SELECT doc_id, COUNT(*) AS c FROM cov GROUP BY doc_id),
+         base AS (SELECT doc_id, source, len(t) AS n FROM toks)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS covered_tokens,
+           CAST(SUM(COALESCE(c, 0)) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS coverage
+    FROM base LEFT JOIN cd USING (doc_id)
+    GROUP BY source
+"""
+
+
+@query("dup_span_coverage", _SQL_SPAN_COV)
+def dup_span_coverage(spark, sf_dir):
+    """Exact substring-dedup coverage report (Lee et al. 2022,
+    arXiv:2107.06499) rolled up per source: the fraction of token positions
+    covered by an 8-token window that appears verbatim in >= 2 documents —
+    the signal used to trim boilerplate/duplicated spans before training.
+    Window keys are md5 (bit-identical cross-engine), so even the coverage
+    positions are oracle-checked.  Scale: see
+    ``dedup.duplicate_span_coverage`` — two hash shuffles (span keys, then
+    covered positions), no all-pairs anywhere; the per-source rollup adds a
+    broadcast-joinable (doc_id, source) attach and a 5-group agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = dedup.duplicate_span_coverage(
+        docs, "text", "doc_id", span=8, min_docs=2
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("covered_tokens").cast("bigint").alias("covered_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "covered_tokens",
+            (dbl(F.col("covered_tokens")) / dbl(F.col("total_tokens"))).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+_SQL_TEMP_MIX = """
+    WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+         q AS (SELECT source, n,
+                      CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+               FROM s),
+         t AS (SELECT source, n, w, SUM(w) OVER () AS tw, SUM(n) OVER () AS tn
+               FROM q)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(w AS BIGINT) AS weight_micro,
+           CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS p_sample,
+           CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) * CAST(tn AS DOUBLE)
+             / CAST(n AS DOUBLE) AS epochs_per_pass
+    FROM t
+"""
+
+
+@query("temperature_mix_plan", _SQL_TEMP_MIX)
+def temperature_mix_plan(spark, sf_dir):
+    """Temperature-based domain-mixing plan at tau=2 (the sqrt scaling used
+    by multilingual pretraining, exponent alpha = 1/tau = 0.5): per-source
+    sampling probability p_s proportional to sqrt(n_s), plus the implied
+    epochs_per_pass = p_s * N / n_s (how many times a small domain repeats
+    while the corpus is read once) — the number that flags over-repetition
+    of tiny domains before a run.  Cross-engine: IEEE sqrt is correctly
+    rounded in both engines (unlike ln/exp), so floor(sqrt(n)*1e6) is
+    bit-stable without the PSI-style quantization guard; the weight sum is
+    exact int64; the two ratios are mirrored double expressions.  For
+    arbitrary tau, exp(ln(n)/tau) needs the micro-nat quantization used by
+    psi_drift_report.  Scale: one corpus scan into a #sources-row agg;
+    window totals run over #sources rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count("*").alias("n"))
+    q = s.select(
+        "source",
+        "n",
+        F.floor(F.sqrt(dbl(F.col("n"))) * 1000000).cast("bigint").alias("w"),
+    )
+    wall = Window.partitionBy()
+    t = q.select(
+        "source",
+        "n",
+        "w",
+        F.sum("w").over(wall).alias("tw"),
+        F.sum("n").over(wall).alias("tn"),
+    )
+    return t.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("w").alias("weight_micro"),
+        (dbl(F.col("w")) / dbl(F.col("tw"))).alias("p_sample"),
+        (
+            dbl(F.col("w")) / dbl(F.col("tw")) * dbl(F.col("tn")) / dbl(F.col("n"))
+        ).alias("epochs_per_pass"),
+    )
+
+
+_SQL_SHARD_MANIFEST = """
+    WITH s AS (SELECT doc_id, n_chars,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 16 AS shard
+               FROM documents)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM s GROUP BY shard
+"""
+
+
+@query("shard_manifest", _SQL_SHARD_MANIFEST)
+def shard_manifest(spark, sf_dir):
+    """Deterministic training-shard manifest: shard = md5(doc_id) mod 16 —
+    reproducible across engines, cluster sizes, and partitionings (no RNG
+    state, same discipline as the hash splits), so every job slicing the
+    same corpus agrees on shard membership.  The manifest (docs + bytes per
+    shard) is the pre-write balance check: a skewed shard surfaces here as
+    a number, not as a straggler task at the end of a 100 TB write.  Scale:
+    one scan, a 16-group partial-aggregated groupBy; the write path is
+    ``repartition(shard)`` + partitionBy using the same expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+                " AS BIGINT)"
+            )
+            % 16
+        ).alias("shard"),
+    )
+    return s.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
 # Reorder the registries so those 50 slots hold one oracle-checkable

@@ -779,3 +779,60 @@ def test_gap_fill_interp_exact_and_boundaries(spark):
     out = gap_fill(rolled, ["k"], fill={"cents": "interp"})
     rows = {r["bucket"].hour: r["cents"] for r in out.collect()}
     assert rows == {1: 100, 2: 200, 3: 300, 4: 400, 5: 250, 6: 100}
+
+
+def test_duplicate_span_coverage_known_answer(spark):
+    """Two docs share one verbatim 8-token run inside longer unique text;
+    a third doc is all-unique. Exactly the shared run's positions count as
+    covered in both sharers, nothing else."""
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import (
+        duplicate_span_coverage,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(8))  # one 8-token window
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),            # 12 tokens, 8 covered
+        (2, f"{shared} omega psi chi phi"),                 # 12 tokens, 8 covered
+        (3, " ".join(f"uniq{i}" for i in range(12))),       # 12 tokens, 0 covered
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+        for r in duplicate_span_coverage(df, "text", "doc_id", span=8).collect()
+    }
+    assert got == {1: (12, 8), 2: (12, 8), 3: (12, 0)}
+
+
+def test_duplicate_span_coverage_overlapping_windows_union(spark):
+    """A 9-token duplicated run contains two overlapping duplicated 8-token
+    windows; coverage counts the union of positions (9), not 2 x 8."""
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import (
+        duplicate_span_coverage,
+    )
+
+    run = " ".join(f"r{i}" for i in range(9))
+    df = spark.createDataFrame(
+        [(1, f"{run} tail1 tail2"), (2, f"head1 {run}")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+        for r in duplicate_span_coverage(df, "text", "doc_id", span=8).collect()
+    }
+    assert got == {1: (11, 9), 2: (10, 9)}
+
+
+def test_duplicate_span_coverage_short_docs_ignored(spark):
+    """Docs shorter than the span emit no windows (never a descending
+    sequence artifact) but still report their token counts."""
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import (
+        duplicate_span_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+        for r in duplicate_span_coverage(df, "text", "doc_id", span=8).collect()
+    }
+    assert got == {1: (2, 0), 2: (2, 0)}

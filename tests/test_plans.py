@@ -90,6 +90,11 @@ _INTENTIONALLY_UNKEYED = {
     "mann_kendall_trend",  # |days|^2 pair join on the tiny daily aggregate
     "anova_event_values",  # 1-row fold x 1-row global-moment attachment
     "dataset_card_documents",  # 1-row vocab + 1-row top-lang card assembly
+    "ht_estimator_report",  # 1-row population total attached to 1-row sample
+    "neyman_allocation_plan",  # 1-row allocation denominator over strata
+    "brier_decomposition",  # 1-row global moments attached to 10 bins
+    "rolling_wau_report",  # 1-row max-day bound attached before window clip
+    "cuped_adjusted_metric",  # 1-row date-span midpoint attached to users
 }
 
 
