@@ -12250,6 +12250,191 @@ def shard_manifest(spark, sf_dir):
     )
 
 
+_SQL_DSIR = """
+    WITH tok AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(t), 1, 7))::BIGINT % 64 AS b
+      FROM (SELECT doc_id, source,
+                   unnest(string_split(lower(trim(text)), ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    tcnt AS (SELECT b, COUNT(*) AS c FROM tok WHERE source = 'src0' GROUP BY b),
+    rcnt AS (SELECT b, COUNT(*) AS c FROM tok WHERE source <> 'src0' GROUP BY b),
+    tt AS (SELECT SUM(c) AS s FROM tcnt),
+    rt AS (SELECT SUM(c) AS s FROM rcnt),
+    lw AS (SELECT bb.b,
+                  CAST(floor(ln(COALESCE(tc.c, 0) + 1) * 1000000) AS BIGINT)
+                - (SELECT CAST(floor(ln(s + 64) * 1000000) AS BIGINT) FROM tt)
+                - CAST(floor(ln(COALESCE(rc.c, 0) + 1) * 1000000) AS BIGINT)
+                + (SELECT CAST(floor(ln(s + 64) * 1000000) AS BIGINT) FROM rt)
+                  AS w
+           FROM (SELECT DISTINCT b FROM tok) bb
+           LEFT JOIN tcnt tc ON tc.b = bb.b
+           LEFT JOIN rcnt rc ON rc.b = bb.b),
+    per AS (SELECT t.doc_id, t.source, SUM(l.w) AS score
+            FROM tok t JOIN lw l ON l.b = t.b
+            GROUP BY t.doc_id, t.source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score) AS BIGINT) AS sum_score_micro,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_target_like,
+           CAST(SUM(score) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_logweight
+    FROM per GROUP BY source
+"""
+
+
+@query("dsir_importance_scores", _SQL_DSIR)
+def dsir_importance_scores(spark, sf_dir):
+    """Importance-resampling data selection (DSIR — Xie et al. 2023,
+    arXiv:2302.03169): per-document log importance weight
+    ln p_target(x) - ln p_raw(x) under hashed-unigram bag-of-words models
+    (the hashing trick, 64 buckets, Laplace +1), target = the src0 slice,
+    raw = everything else; rolled up per source with the count of
+    target-like docs (weight > 0) — the report that says which domains DSIR
+    would up-select toward the target distribution.  Cross-engine: every
+    log-probability is floor(ln(integer)*1e6) (the NB-classifier micro-nat
+    discipline; boundary clearance asserted in test_fixture_domains), the
+    two global normalizers are computed once driver-side, and each doc's
+    score is an exact int64 sum of per-bucket integer weights.  Scale: the
+    bucket weight table is 64 rows broadcast against the token stream —
+    no vocabulary build, no OOV, corpus read once; per-doc scores are one
+    partial-aggregated groupBy."""
+    import math as _math
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("t"), 1, 7), 16, 10).cast("bigint") % 64
+            ).alias("b"),
+        )
+        .localCheckpoint()  # feeds the two count tables and the scoring pass
+    )
+    lnq = lambda c: F.floor(F.log(c) * 1_000_000).cast("bigint")  # noqa: E731
+    tcnt = tok.where(F.col("source") == "src0").groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    rcnt = tok.where(F.col("source") != "src0").groupBy("b").agg(
+        F.count("*").alias("cr")
+    )
+    tt = tcnt.agg(F.sum("ct")).collect()[0][0]
+    rt = rcnt.agg(F.sum("cr")).collect()[0][0]
+    const = _math.floor(_math.log(rt + 64) * 1_000_000) - _math.floor(
+        _math.log(tt + 64) * 1_000_000
+    )
+    lw = (
+        tok.select("b")
+        .distinct()
+        .join(tcnt, "b", "left")
+        .join(rcnt, "b", "left")
+        .select(
+            "b",
+            (
+                lnq(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                - lnq(F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                + F.lit(const)
+            ).alias("w"),
+        )
+    )
+    per = (
+        tok.join(F.broadcast(lw), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").alias("score"))
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("score").cast("bigint").alias("sum_score_micro"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_target_like"),
+        (dbl(F.sum("score")) / (F.count("*") * F.lit(1000000.0))).alias(
+            "mean_logweight"
+        ),
+    )
+
+
+_SQL_KNN_EVAL = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (SELECT * FROM (
+        SELECT a.vec_id AS qid, a.label AS actual, b.label AS nl,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY round({_SQL_COS}, 4) DESC, b.vec_id)
+                 AS rank
+        FROM e a JOIN e b ON a.vec_id % 7 = 0 AND a.vec_id <> b.vec_id)
+      WHERE rank <= 5),
+    votes AS (SELECT qid, actual, nl, COUNT(*) AS c
+              FROM nn GROUP BY qid, actual, nl),
+    pred AS (SELECT qid, actual,
+                    (MAX({{'c': c, 'nl': -nl}})).nl * -1 AS predicted
+             FROM votes GROUP BY qid, actual)
+    SELECT actual AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS accuracy
+    FROM pred GROUP BY actual
+"""
+
+
+@query("knn_label_accuracy", _SQL_KNN_EVAL)
+def knn_label_accuracy(spark, sf_dir):
+    """k-NN classification eval over the embedding corpus: every 7th vector
+    is a held-out query, its 5 nearest neighbors (rounded cosine, id
+    tie-break) vote on its label (majority, min-label tie-break via the
+    max(struct) argmax), reported as per-label accuracy — the standard
+    embedding-quality probe next to the silhouette score and the recall
+    gates.  Scale: queries are a broadcast slice against one corpus scan
+    (same plan as cosine_topk); votes and argmax are partial-aggregated
+    groupBys on the tiny (query x label) stream.  At 100 TB the brute
+    scoring swaps for the LSH/IVF candidate tiers already in the suite —
+    the vote/argmax shape is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("actual"),
+    )
+    nn = similarity.brute_force_topk(
+        emb, q.select("query_id", "query_vec"), k=5
+    ).join(
+        F.broadcast(emb.select("vec_id", F.col("label").alias("nl"))), "vec_id"
+    ).join(F.broadcast(q.select("query_id", "actual")), "query_id")
+    votes = nn.groupBy("query_id", "actual", "nl").agg(F.count("*").alias("c"))
+    pred = votes.groupBy("query_id", "actual").agg(
+        (
+            F.max(F.struct(F.col("c").alias("c"), (-F.col("nl")).alias("nl")))[
+                "nl"
+            ]
+            * -1
+        ).alias("predicted")
+    )
+    return pred.groupBy(F.col("actual").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        (
+            dbl(
+                F.sum(
+                    F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0)
+                )
+            )
+            / F.count("*")
+        ).alias("accuracy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -247,3 +247,32 @@ def test_mutual_info_ln_quantization_clear_of_boundaries(ddb):
         assert dist > 1e-4, (
             f"cell nxy={nxy}: ln-ratio*1e6 = {q!r} is {dist:.2e} from an integer"
         )
+
+
+def test_dsir_ln_quantization_clear_of_boundaries(ddb):
+    """dsir_importance_scores quantizes floor(ln(int)*1e6) of Laplace-
+    smoothed hashed-unigram bucket counts (c+1) and the two global
+    normalizers (total+64): assert every argument on the live fixture sits
+    clear of a micro-nat boundary so JVM-vs-libm last-ulp drift can never
+    flip a bucket weight (ln(1)=0 is exact on both engines and excluded)."""
+    import numpy as np
+
+    rows = ddb.execute(
+        """
+        WITH tok AS (
+          SELECT source, ('0x' || substr(md5(t), 1, 7))::BIGINT % 64 AS b
+          FROM (SELECT source,
+                       unnest(string_split(lower(trim(text)), ' ')) AS t
+                FROM documents)
+          WHERE t <> ''),
+        tc AS (SELECT b, COUNT(*) AS c FROM tok WHERE source = 'src0' GROUP BY b),
+        rc AS (SELECT b, COUNT(*) AS c FROM tok WHERE source <> 'src0' GROUP BY b)
+        SELECT c + 1 FROM tc UNION SELECT c + 1 FROM rc
+        UNION SELECT SUM(c) + 64 FROM tc UNION SELECT SUM(c) + 64 FROM rc
+        """
+    ).fetchall()
+    args = np.array([r[0] for r in rows if r[0] and r[0] > 1], dtype=np.float64)
+    q = np.log(args) * 1e6
+    dist = np.abs(q - np.round(q))
+    worst = float(dist.min())
+    assert worst > 1e-5, f"ln(x)*1e6 within {worst:.2e} of an integer boundary"

@@ -95,6 +95,7 @@ _INTENTIONALLY_UNKEYED = {
     "brier_decomposition",  # 1-row global moments attached to 10 bins
     "rolling_wau_report",  # 1-row max-day bound attached before window clip
     "cuped_adjusted_metric",  # 1-row date-span midpoint attached to users
+    "knn_label_accuracy",  # held-out query slice broadcast against the corpus
 }
 
 
