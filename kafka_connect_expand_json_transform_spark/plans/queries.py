@@ -12666,6 +12666,165 @@ def minhash_estimator_calibration(spark, sf_dir):
     )
 
 
+_SQL_ATTRITION = f"""
+    WITH f AS (
+      SELECT doc_id,
+             md5({_SQL_NORM_TEXT}) AS fp,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')) AS ntok,
+             round(
+               0.4 * least(CAST(len(list_filter(string_split_regex(trim(text),
+                      '\\s+'), x -> x <> '')) AS DOUBLE) / 20.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(list_filter(string_split_regex(
+                      trim(lower(text)), '\\s+'), x -> x <> ''))) AS DOUBLE)
+                      / CAST(greatest(len(list_filter(string_split_regex(
+                      trim(lower(text)), '\\s+'), x -> x <> '')), 1) AS DOUBLE))
+             + 0.2 * (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                      / CAST(greatest(length(text), 1) AS DOUBLE))
+             + 0.1 * least((CAST(len(list_filter(list_filter(string_split_regex(
+                      trim(lower(text)), '\\s+'), x -> x <> ''),
+                      x -> x IN ('the','a','of','and','to','in','is','it')))
+                        AS DOUBLE)
+                      / CAST(greatest(len(list_filter(string_split_regex(
+                      trim(lower(text)), '\\s+'), x -> x <> '')), 1) AS DOUBLE))
+                      * 5.0, 1.0), 4) AS q
+      FROM documents),
+    g AS (SELECT doc_id, fp,
+                 CASE WHEN ntok >= 5 THEN 1 ELSE 0 END AS s1,
+                 CASE WHEN ntok >= 5 AND q >= 0.5 THEN 1 ELSE 0 END AS s2
+          FROM f),
+    k AS (SELECT doc_id, s1, s2,
+                 CASE WHEN s2 = 1
+                       AND doc_id = MIN(CASE WHEN s2 = 1 THEN doc_id END)
+                                      OVER (PARTITION BY fp)
+                      THEN 1 ELSE 0 END AS s3
+          FROM g),
+    a AS (SELECT COUNT(*) AS n0, SUM(s1) AS n1, SUM(s2) AS n2, SUM(s3) AS n3
+          FROM k)
+    SELECT CAST(0 AS BIGINT) AS stage, 'input' AS stage_name,
+           CAST(n0 AS BIGINT) AS n_surviving, CAST(0 AS BIGINT) AS n_dropped
+    FROM a
+    UNION ALL SELECT CAST(1 AS BIGINT), 'min_tokens', CAST(n1 AS BIGINT),
+                     CAST(n0 - n1 AS BIGINT) FROM a
+    UNION ALL SELECT CAST(2 AS BIGINT), 'quality', CAST(n2 AS BIGINT),
+                     CAST(n1 - n2 AS BIGINT) FROM a
+    UNION ALL SELECT CAST(3 AS BIGINT), 'exact_dedup', CAST(n3 AS BIGINT),
+                     CAST(n2 - n3 AS BIGINT) FROM a
+"""
+
+
+@query("curation_attrition_waterfall", _SQL_ATTRITION)
+def curation_attrition_waterfall(spark, sf_dir):
+    """Single-pass curation attrition waterfall: how many documents each
+    successive gate (token floor -> quality bar -> exact dedup) drops —
+    the accounting view of ``curation.curate`` WITHOUT its one-count-per-
+    stage driver round-trips.  All gates become flags in one scan; the
+    dedup-keeper flag is min(doc_id) over the fingerprint partition
+    restricted to quality survivors (dedup runs third, so keepers are
+    chosen among stage-2 survivors exactly as the staged pipeline would);
+    one aggregate and a 4-row unpivot close it.  Scale: one corpus scan +
+    one window shuffle on the 16-byte fingerprint — the count(*) per stage
+    of the naive approach each re-ran the full lineage."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        TXT.md5_fingerprint(F.col("text")).alias("fp"),
+        TXT.token_count("text").alias("ntok"),
+        TXT.quality_score("text").alias("q"),
+    )
+    g = f.select(
+        "doc_id",
+        "fp",
+        F.when(F.col("ntok") >= 5, 1).otherwise(0).alias("s1"),
+        F.when((F.col("ntok") >= 5) & (F.col("q") >= 0.5), 1)
+        .otherwise(0)
+        .alias("s2"),
+    )
+    wfp = Window.partitionBy("fp")
+    k = g.select(
+        "s1",
+        "s2",
+        F.when(
+            (F.col("s2") == 1)
+            & (
+                F.col("doc_id")
+                == F.min(
+                    F.when(F.col("s2") == 1, F.col("doc_id"))
+                ).over(wfp)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("s3"),
+    )
+    a = k.agg(
+        F.count("*").alias("n0"),
+        F.sum("s1").alias("n1"),
+        F.sum("s2").alias("n2"),
+        F.sum("s3").alias("n3"),
+    )
+    big = lambda c: c.cast("bigint")  # noqa: E731
+    stages = [
+        a.select(
+            big(F.lit(0)).alias("stage"),
+            F.lit("input").alias("stage_name"),
+            big(F.col("n0")).alias("n_surviving"),
+            big(F.lit(0)).alias("n_dropped"),
+        ),
+        a.select(
+            big(F.lit(1)).alias("stage"),
+            F.lit("min_tokens").alias("stage_name"),
+            big(F.col("n1")).alias("n_surviving"),
+            big(F.col("n0") - F.col("n1")).alias("n_dropped"),
+        ),
+        a.select(
+            big(F.lit(2)).alias("stage"),
+            F.lit("quality").alias("stage_name"),
+            big(F.col("n2")).alias("n_surviving"),
+            big(F.col("n1") - F.col("n2")).alias("n_dropped"),
+        ),
+        a.select(
+            big(F.lit(3)).alias("stage"),
+            F.lit("exact_dedup").alias("stage_name"),
+            big(F.col("n3")).alias("n_surviving"),
+            big(F.col("n2") - F.col("n3")).alias("n_dropped"),
+        ),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+_SQL_DUP_HISTOGRAM = f"""
+    WITH c AS (SELECT md5({_SQL_NORM_TEXT}) AS fp, COUNT(*) AS sz
+               FROM documents GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY sz
+"""
+
+
+@query("dup_cluster_size_histogram", _SQL_DUP_HISTOGRAM)
+def dup_cluster_size_histogram(spark, sf_dir):
+    """Duplicate-cluster size distribution: how many exact-duplicate
+    clusters exist at each multiplicity — the shape that distinguishes
+    "a few mass-replicated boilerplate docs" (one huge cluster) from
+    "pervasive pairwise duplication" (many size-2 clusters), which demand
+    different dedup responses.  Scale: groupBy the 16-byte fingerprint
+    (map-side combined), then a second tiny groupBy on cluster size —
+    text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy(TXT.md5_fingerprint(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("sz")
+    )
+    return c.groupBy(F.col("sz").cast("bigint").alias("cluster_size")).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("bigint").alias("n_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
