@@ -12825,6 +12825,200 @@ def dup_cluster_size_histogram(spark, sf_dir):
     )
 
 
+def _jl_sign_matrix(out_dim: int = 16, in_dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 random-projection matrix from md5 parity — computed
+    once in Python and embedded as identical literals in BOTH engines (the
+    universal-constant discipline), so neither engine hashes per row."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{k}_{j}".encode()).hexdigest()[:7], 16) % 2 == 0
+            else -1
+            for j in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+_JL_R = _jl_sign_matrix()
+_SQL_JL_R = "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in _JL_R) + "]"
+
+_SQL_JL_DISTORTION = f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings),
+    p AS (SELECT vec_id, qv,
+                 list_transform({_SQL_JL_R},
+                   row -> list_sum(list_transform(generate_series(1, 64),
+                            j -> row[j] * qv[j]))) AS pv
+          FROM q),
+    pairs AS (SELECT a.vec_id AS id_a, a.qv AS qa, a.pv AS pa,
+                     b.qv AS qb, b.pv AS pb
+              FROM p a JOIN p b ON b.vec_id = a.vec_id + 1),
+    d AS (SELECT id_a,
+                 list_sum(list_transform(generate_series(1, 64),
+                   j -> (qa[j] - qb[j]) * (qa[j] - qb[j]))) AS dorig,
+                 list_sum(list_transform(generate_series(1, 16),
+                   k -> (pa[k] - pb[k]) * (pa[k] - pb[k]))) AS dproj
+          FROM pairs),
+    r AS (SELECT id_a, dorig, dproj,
+                 CAST(dproj AS DOUBLE) / (16.0 * CAST(dorig AS DOUBLE)) AS ratio
+          FROM d WHERE dorig > 0)
+    SELECT LEAST(CAST(FLOOR(ratio * 10) AS BIGINT), 19) AS ratio_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(dorig) AS BIGINT) AS sum_d_orig,
+           CAST(SUM(dproj) AS BIGINT) AS sum_d_proj,
+           CAST(SUM(dproj) AS DOUBLE) / (16.0 * CAST(SUM(dorig) AS DOUBLE))
+             AS bucket_ratio
+    FROM r GROUP BY 1
+"""
+
+
+@query("jl_distortion_report", _SQL_JL_DISTORTION)
+def jl_distortion_report(spark, sf_dir):
+    """Johnson-Lindenstrauss distortion report for ±1 random projection
+    (Achlioptas 2003): embeddings quantized to exact milli-unit int64,
+    projected 64 -> 16 dims through a fixed sign matrix (md5-parity
+    literals embedded identically in both engines), and consecutive-id
+    pair distances compared before/after — the histogram of
+    d_proj / (16 * d_orig) says how much nearest-neighbor structure a 4x
+    cheaper index would keep.  Everything except the final ratios is exact
+    integer arithmetic; pairs join on consecutive ids (equi join, no
+    all-pairs).  Scale: projection is a narrow per-row fold; pair distances
+    shuffle once on the id; at corpus scale the same projection feeds the
+    LSH/IVF tiers as a preprocessing map."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        VEC.as_double("embedding"),
+        lambda x: F.floor(x * 1000).cast("bigint"),
+    )
+    q = emb.select("vec_id", qv.alias("qv"))
+    rmat = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in _JL_R]
+    )
+    p = q.select(
+        "vec_id",
+        "qv",
+        F.transform(
+            rmat,
+            lambda row: F.aggregate(
+                F.zip_with(row, F.col("qv"), lambda r, x: r.cast("bigint") * x),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        ).alias("pv"),
+    )
+    a = p.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("qv").alias("qa"),
+        F.col("pv").alias("pa"),
+    )
+    b = p.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("qv").alias("qb"),
+        F.col("pv").alias("pb"),
+    )
+    sq = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = a.join(b, "id_a").select(
+        "id_a",
+        sq(F.col("qa"), F.col("qb")).alias("dorig"),
+        sq(F.col("pa"), F.col("pb")).alias("dproj"),
+    )
+    r = d.where(F.col("dorig") > 0).select(
+        "dorig",
+        "dproj",
+        (dbl(F.col("dproj")) / (F.lit(16.0) * dbl(F.col("dorig")))).alias("ratio"),
+    )
+    return r.groupBy(
+        F.least(
+            F.floor(F.col("ratio") * 10).cast("bigint"), F.lit(19).cast("bigint")
+        ).alias("ratio_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("dorig").cast("bigint").alias("sum_d_orig"),
+        F.sum("dproj").cast("bigint").alias("sum_d_proj"),
+        (dbl(F.sum("dproj")) / (F.lit(16.0) * dbl(F.sum("dorig")))).alias(
+            "bucket_ratio"
+        ),
+    )
+
+
+_SQL_CURRICULUM = """
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')) AS ntok,
+             round(
+               0.4 * least(CAST(len(list_filter(string_split_regex(trim(text),
+                      '\\s+'), x -> x <> '')) AS DOUBLE) / 20.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(list_filter(string_split_regex(
+                      trim(lower(text)), '\\s+'), x -> x <> ''))) AS DOUBLE)
+                      / CAST(greatest(len(list_filter(string_split_regex(
+                      trim(lower(text)), '\\s+'), x -> x <> '')), 1) AS DOUBLE))
+             + 0.2 * (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                      / CAST(greatest(length(text), 1) AS DOUBLE))
+             + 0.1 * least((CAST(len(list_filter(list_filter(string_split_regex(
+                      trim(lower(text)), '\\s+'), x -> x <> ''),
+                      x -> x IN ('the','a','of','and','to','in','is','it')))
+                        AS DOUBLE)
+                      / CAST(greatest(len(list_filter(string_split_regex(
+                      trim(lower(text)), '\\s+'), x -> x <> '')), 1) AS DOUBLE))
+                      * 5.0, 1.0), 4) AS q
+      FROM documents),
+    r AS (SELECT doc_id, ntok, q,
+                 NTILE(4) OVER (ORDER BY q, doc_id) AS phase
+          FROM s)
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(SUM(CAST(FLOOR(q * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 10000.0) AS avg_quality
+    FROM r GROUP BY phase
+"""
+
+
+@query("curriculum_phases", _SQL_CURRICULUM)
+def curriculum_phases(spark, sf_dir):
+    """Curriculum-learning schedule: the corpus cut into 4 quality-ordered
+    phases (NTILE over the composite quality score, doc_id tie-break) with
+    per-phase document and token budgets — the table a trainer consumes to
+    ramp from noisy to clean data.  The mean quality per phase is exact:
+    the 4-decimal score scales to int64 tenth-milli units (round-half-up of
+    an identical double) before summation.  Scale: NTILE over a global
+    order is the one single-partition step — at corpus scale replace with
+    the two-pass quantile-cut (approx thresholds + filter) whose shape the
+    equidepth histogram query already demonstrates."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        TXT.token_count("text").alias("ntok"),
+        TXT.quality_score("text").alias("q"),
+    )
+    r = s.select(
+        "doc_id",
+        "ntok",
+        "q",
+        F.ntile(4).over(Window.orderBy("q", "doc_id")).alias("phase"),
+    )
+    return r.groupBy(F.col("phase").cast("bigint").alias("phase")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("sum_tokens"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        (
+            dbl(F.sum(F.floor(F.col("q") * 10000 + 0.5).cast("bigint")))
+            / (F.count("*") * F.lit(10000.0))
+        ).alias("avg_quality"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
