@@ -13019,6 +13019,143 @@ def curriculum_phases(spark, sf_dir):
     )
 
 
+_SQL_JOIN_SIZE = """
+    WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+         b AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1),
+         j AS (SELECT a.k, ca * cb AS prod FROM a JOIN b ON a.k = b.k)
+    SELECT CAST(SUM(prod) AS BIGINT) AS join_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+           CAST(MAX(prod) AS BIGINT) AS max_key_rows,
+           CAST(MAX(prod) AS DOUBLE) / CAST(SUM(prod) AS DOUBLE)
+             AS max_key_share
+    FROM j
+"""
+
+
+@query("join_size_estimate", _SQL_JOIN_SIZE)
+def join_size_estimate(spark, sf_dir):
+    """Join-size and skew pre-flight: |orders ⋈ lineitem| computed WITHOUT
+    executing the join — sum over shared keys of count_a(k) * count_b(k)
+    (exact for inner equi joins), plus the largest single key's share, the
+    number that says whether the real join needs salting/AQE skew handling
+    BEFORE anyone pays for it.  Scale: two partial-aggregated key-count
+    groupBys and a join of the (much smaller) count tables — the raw fact
+    tables are never joined; this is exactly the cardinality math a
+    cost-based optimizer does, exposed as a query."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("ca"))
+    b = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("cb"))
+    j = a.join(b, "k").select((F.col("ca") * F.col("cb")).alias("prod"))
+    return j.agg(
+        F.sum("prod").cast("bigint").alias("join_rows"),
+        F.count("*").cast("bigint").alias("n_join_keys"),
+        F.max("prod").cast("bigint").alias("max_key_rows"),
+        (dbl(F.max("prod")) / dbl(F.sum("prod"))).alias("max_key_share"),
+    )
+
+
+_SQL_BLOOM_FPR = """
+    WITH m AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+    bits AS (SELECT DISTINCT
+               ('0x' || substr(md5(CAST(key AS VARCHAR) || '#'
+                                   || CAST(i AS VARCHAR)), 1, 7))::BIGINT
+                 % 16384 AS pos
+             FROM m, unnest([0, 1, 2]) AS u(i)),
+    probes AS (SELECT DISTINCT c_custkey * 7 + 1000000007 AS key FROM customer
+               WHERE c_custkey * 7 + 1000000007 NOT IN (SELECT key FROM m)),
+    ph AS (SELECT p.key, COUNT(*) AS hits
+           FROM (SELECT key,
+                        ('0x' || substr(md5(CAST(key AS VARCHAR) || '#'
+                                            || CAST(i AS VARCHAR)), 1, 7))::BIGINT
+                          % 16384 AS pos
+                 FROM probes, unnest([0, 1, 2]) AS u(i)) p
+           JOIN bits b ON b.pos = p.pos
+           GROUP BY p.key)
+    SELECT CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_members,
+           CAST((SELECT COUNT(*) FROM probes) AS BIGINT) AS n_probes,
+           CAST((SELECT COUNT(*) FROM ph WHERE hits = 3) AS BIGINT)
+             AS n_false_positives,
+           CAST((SELECT COUNT(*) FROM ph WHERE hits = 3) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM probes) AS DOUBLE) AS empirical_fpr
+"""
+
+
+@query("bloom_fpr_calibration", _SQL_BLOOM_FPR)
+def bloom_fpr_calibration(spark, sf_dir):
+    """Bloom-filter calibration on live data: build a 16384-bit / 3-hash
+    membership filter over the order keys, probe it with a disjoint key set
+    (far-shifted customer keys, anti-joined to guarantee true non-membership),
+    and report the EMPIRICAL false-positive rate — the measured number to
+    hold against the (1-e^(-kn/m))^k design target before sizing the real
+    filter that will guard a 100 TB scan.  Hash positions are md5-derived
+    (bit-identical cross-engine), so even the bit array contents are
+    oracle-checked.  Scale: the bit set is ≤ m distinct ints (broadcast);
+    probes stream through one semi-join per hash — no quadratic step."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    three = F.array(F.lit(0), F.lit(1), F.lit(2))
+
+    def positions(df, key):
+        return df.select(
+            key.alias("key"), F.explode(three).alias("i")
+        ).select(
+            "key",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("key").cast("string"),
+                                F.lit("#"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 16384
+            ).alias("pos"),
+        )
+
+    m = o.select(F.col("o_orderkey").alias("key")).distinct()
+    bits = positions(m, F.col("key")).select("pos").distinct().localCheckpoint()
+    probes = (
+        c.select((F.col("c_custkey") * 7 + 1000000007).alias("key"))
+        .distinct()
+        .join(m, "key", "left_anti")
+        .localCheckpoint()
+    )
+    ph = (
+        positions(probes, F.col("key"))
+        .join(bits, "pos")
+        .groupBy("key")
+        .agg(F.count("*").alias("hits"))
+    )
+    nb = bits.agg(F.count("*").alias("n_bits_set"))
+    nm = m.agg(F.count("*").alias("n_members"))
+    np_ = probes.agg(F.count("*").alias("n_probes"))
+    nf = ph.where(F.col("hits") == 3).agg(F.count("*").alias("n_false_positives"))
+    return (
+        nb.crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            F.col("n_bits_set").cast("bigint").alias("n_bits_set"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("n_probes").cast("bigint").alias("n_probes"),
+            F.col("n_false_positives").cast("bigint").alias("n_false_positives"),
+            (dbl(F.col("n_false_positives")) / dbl(F.col("n_probes"))).alias(
+                "empirical_fpr"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

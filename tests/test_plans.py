@@ -96,6 +96,7 @@ _INTENTIONALLY_UNKEYED = {
     "rolling_wau_report",  # 1-row max-day bound attached before window clip
     "cuped_adjusted_metric",  # 1-row date-span midpoint attached to users
     "knn_label_accuracy",  # held-out query slice broadcast against the corpus
+    "bloom_fpr_calibration",  # four 1-row count aggregates assembled into one row
 }
 
 
