@@ -13156,6 +13156,127 @@ def bloom_fpr_calibration(spark, sf_dir):
     )
 
 
+_SQL_SEASONALITY = """
+    WITH d AS (SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+                      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+               FROM events WHERE event_type = 'purchase'),
+    g AS (SELECT dow, COUNT(*) AS n, SUM(cents) AS s FROM d GROUP BY dow),
+    t AS (SELECT dow, n, s, SUM(n) OVER () AS tn, SUM(s) OVER () AS ts FROM g)
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(n AS BIGINT) AS n_purchases,
+           CAST(s AS BIGINT) AS sum_cents,
+           (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)) AS seasonal_index,
+           CAST(n AS DOUBLE) * 7.0 / CAST(tn AS DOUBLE) AS volume_index
+    FROM t
+"""
+
+
+@query("seasonality_dow_index", _SQL_SEASONALITY)
+def seasonality_dow_index(spark, sf_dir):
+    """Day-of-week seasonal decomposition (classical multiplicative
+    seasonal index): per weekday, mean purchase value relative to the
+    global mean, and purchase volume relative to a uniform week — the
+    profile that feeds staffing/forecast adjustments and flags
+    day-of-week confounds in experiments.  Weekday is computed from epoch
+    days ((day + 3) mod 7, Monday = 0) in BOTH engines — never from
+    engine-native dayofweek(), whose 0-vs-1 base and week start differ
+    across engines.  All moments are exact int64 cents; the indices are
+    mirrored double expressions.  Scale: one scan, a 7-group agg, window
+    totals over 7 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.where(F.col("event_type") == "purchase").select(
+        ((F.expr("unix_micros(ts) div 86400000000") + 3) % 7).alias("dow"),
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    g = d.groupBy("dow").agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    wall = Window.partitionBy()
+    t = g.select(
+        "dow",
+        "n",
+        "s",
+        F.sum("n").over(wall).alias("tn"),
+        F.sum("s").over(wall).alias("ts"),
+    )
+    return t.select(
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("n").cast("bigint").alias("n_purchases"),
+        F.col("s").cast("bigint").alias("sum_cents"),
+        (
+            (dbl(F.col("s")) / dbl(F.col("n")))
+            / (dbl(F.col("ts")) / dbl(F.col("tn")))
+        ).alias("seasonal_index"),
+        (dbl(F.col("n")) * F.lit(7.0) / dbl(F.col("tn"))).alias("volume_index"),
+    )
+
+
+_SQL_SPLIT_LEAKAGE = f"""
+    WITH h AS (SELECT doc_id, md5({_SQL_NORM_TEXT}) AS fp,
+                      CASE WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8)
+                                < '{{t80}}' THEN 'train'
+                           WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8)
+                                < '{{t90}}' THEN 'val'
+                           ELSE 'test' END AS split
+               FROM documents),
+    g AS (SELECT fp,
+                 SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+                 SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+                 SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+          FROM h GROUP BY fp)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN (CASE WHEN n_train > 0 THEN 1 ELSE 0 END
+                             + CASE WHEN n_val > 0 THEN 1 ELSE 0 END
+                             + CASE WHEN n_test > 0 THEN 1 ELSE 0 END) > 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_clusters,
+           CAST(SUM(CASE WHEN n_train > 0 THEN n_test ELSE 0 END) AS BIGINT)
+             AS n_test_docs_leaked,
+           CAST(SUM(CASE WHEN n_train > 0 THEN n_val ELSE 0 END) AS BIGINT)
+             AS n_val_docs_leaked
+    FROM g
+"""
+
+
+@query(
+    "split_leakage_check",
+    _SQL_SPLIT_LEAKAGE.format(t80=_T80, t90=_T90),
+)
+def split_leakage_check(spark, sf_dir):
+    """Train/test leakage audit: exact-duplicate clusters that span the
+    hash splits — every test/val document whose verbatim text also sits in
+    train silently inflates eval numbers, and THIS is the check that
+    catches it before a run (the split is id-hash-based, so duplicated
+    TEXT under different ids crosses splits freely).  Output: duplicate
+    clusters, clusters spanning >1 split, and the leaked test/val doc
+    counts.  Scale: one scan, one groupBy on the 16-byte fingerprint
+    carrying three small counters, one single-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = SPLITS.hash_split(
+        docs, (("train", 0.8), ("val", 0.1), ("test", 0.1))
+    )
+    g = split.groupBy(TXT.md5_fingerprint(F.col("text")).alias("fp")).agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
+    spans = (
+        F.when(F.col("n_train") > 0, 1).otherwise(0)
+        + F.when(F.col("n_val") > 0, 1).otherwise(0)
+        + F.when(F.col("n_test") > 0, 1).otherwise(0)
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(F.when(spans > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaky_clusters"),
+        F.sum(F.when(F.col("n_train") > 0, F.col("n_test")).otherwise(0))
+        .cast("bigint")
+        .alias("n_test_docs_leaked"),
+        F.sum(F.when(F.col("n_train") > 0, F.col("n_val")).otherwise(0))
+        .cast("bigint")
+        .alias("n_val_docs_leaked"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
