@@ -13277,6 +13277,145 @@ def split_leakage_check(spark, sf_dir):
     )
 
 
+_SQL_DP_SENSITIVITY = """
+    WITH u AS (SELECT user_id, COUNT(*) AS c,
+                      SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)) AS s
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(c) AS BIGINT) AS true_count,
+           CAST(MAX(c) AS BIGINT) AS max_user_count,
+           CAST(SUM(LEAST(c, 10)) AS BIGINT) AS clipped_count,
+           CAST(SUM(c) - SUM(LEAST(c, 10)) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS count_clip_bias,
+           CAST(SUM(s) AS BIGINT) AS true_cents,
+           CAST(MAX(s) AS BIGINT) AS max_user_cents,
+           CAST(SUM(LEAST(s, 100000)) AS BIGINT) AS clipped_cents,
+           CAST(SUM(s) - SUM(LEAST(s, 100000)) AS DOUBLE)
+             / CAST(SUM(s) AS DOUBLE) AS cents_clip_bias
+    FROM u
+"""
+
+
+@query("dp_sensitivity_report", _SQL_DP_SENSITIVITY)
+def dp_sensitivity_report(spark, sf_dir):
+    """Differential-privacy calibration inputs: per-user L1 sensitivity of
+    the purchase count and purchase sum (the max single-user contribution
+    that sets the DP noise scale), plus the clipped aggregates at fixed
+    contribution bounds (10 events / 1000.00 per user) and their relative
+    clipping bias — the bias-vs-noise trade a DP release has to balance,
+    measured on the live data BEFORE any noise is drawn (noise itself is
+    RNG and stays out of a deterministic engine).  All quantities are
+    exact int64; the two bias ratios are mirrored double divisions.
+    Scale: one user-grain groupBy (partial-aggregated), one single-row
+    rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)")
+            ).alias("s"),
+        )
+    )
+    return u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("c").cast("bigint").alias("true_count"),
+        F.max("c").cast("bigint").alias("max_user_count"),
+        F.sum(F.least(F.col("c"), F.lit(10))).cast("bigint").alias("clipped_count"),
+        (
+            dbl(F.sum("c") - F.sum(F.least(F.col("c"), F.lit(10))))
+            / dbl(F.sum("c"))
+        ).alias("count_clip_bias"),
+        F.sum("s").cast("bigint").alias("true_cents"),
+        F.max("s").cast("bigint").alias("max_user_cents"),
+        F.sum(F.least(F.col("s"), F.lit(100000)))
+        .cast("bigint")
+        .alias("clipped_cents"),
+        (
+            dbl(F.sum("s") - F.sum(F.least(F.col("s"), F.lit(100000))))
+            / dbl(F.sum("s"))
+        ).alias("cents_clip_bias"),
+    )
+
+
+_SQL_LOO_INFLUENCE = """
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(FLOOR(round(
+               0.4 * least(CAST(len(list_filter(string_split_regex(trim(text),
+                      '\\s+'), x -> x <> '')) AS DOUBLE) / 20.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(list_filter(string_split_regex(
+                      trim(lower(text)), '\\s+'), x -> x <> ''))) AS DOUBLE)
+                      / CAST(greatest(len(list_filter(string_split_regex(
+                      trim(lower(text)), '\\s+'), x -> x <> '')), 1) AS DOUBLE))
+             + 0.2 * (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                      / CAST(greatest(length(text), 1) AS DOUBLE))
+             + 0.1 * least((CAST(len(list_filter(list_filter(string_split_regex(
+                      trim(lower(text)), '\\s+'), x -> x <> ''),
+                      x -> x IN ('the','a','of','and','to','in','is','it')))
+                        AS DOUBLE)
+                      / CAST(greatest(len(list_filter(string_split_regex(
+                      trim(lower(text)), '\\s+'), x -> x <> '')), 1) AS DOUBLE))
+                      * 5.0, 1.0), 4) * 10000 + 0.5) AS BIGINT) AS qm
+      FROM documents),
+    g AS (SELECT source, COUNT(*) AS n, SUM(qm) AS t FROM q GROUP BY source),
+    w AS (SELECT source, n, t, SUM(n) OVER () AS tn, SUM(t) OVER () AS tt
+          FROM g)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(tt AS DOUBLE) / (CAST(tn AS DOUBLE) * 10000.0)
+             AS mean_quality_all,
+           CAST(tt - t AS DOUBLE) / (CAST(tn - n AS DOUBLE) * 10000.0)
+             AS mean_quality_without,
+           CAST(tt - t AS DOUBLE) / (CAST(tn - n AS DOUBLE) * 10000.0)
+             - CAST(tt AS DOUBLE) / (CAST(tn AS DOUBLE) * 10000.0)
+             AS influence
+    FROM w
+"""
+
+
+@query("loo_source_influence", _SQL_LOO_INFLUENCE)
+def loo_source_influence(spark, sf_dir):
+    """Leave-one-out data valuation at the source grain: for each source,
+    the corpus mean quality WITHOUT it minus the mean WITH it — a negative
+    influence says the source drags the corpus down (the cheapest member
+    of the data-valuation family: exact for distributive metrics, no
+    retraining, and the triage signal before anything Shapley-shaped).
+    Quality scores scale to exact tenth-milli int64 before summation, so
+    the leave-one-out means are pure arithmetic on two window totals.
+    Scale: one scan, a #sources-row agg, window totals over #sources
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "source",
+        F.floor(TXT.quality_score("text") * 10000 + 0.5)
+        .cast("bigint")
+        .alias("qm"),
+    )
+    g = q.groupBy("source").agg(F.count("*").alias("n"), F.sum("qm").alias("t"))
+    wall = Window.partitionBy()
+    w = g.select(
+        "source",
+        "n",
+        "t",
+        F.sum("n").over(wall).alias("tn"),
+        F.sum("t").over(wall).alias("tt"),
+    )
+    mean_all = dbl(F.col("tt")) / (dbl(F.col("tn")) * F.lit(10000.0))
+    mean_wo = dbl(F.col("tt") - F.col("t")) / (
+        dbl(F.col("tn") - F.col("n")) * F.lit(10000.0)
+    )
+    return w.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        mean_all.alias("mean_quality_all"),
+        mean_wo.alias("mean_quality_without"),
+        (mean_wo - mean_all).alias("influence"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
