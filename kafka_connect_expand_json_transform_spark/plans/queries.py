@@ -13416,6 +13416,164 @@ def loo_source_influence(spark, sf_dir):
     )
 
 
+_SQL_SPAN_CORRUPTION = """
+    WITH toks AS (SELECT doc_id, source,
+                         len(list_filter(string_split_regex(trim(lower(text)),
+                                                            '\\s+'),
+                                         x -> x <> '')) AS n
+                  FROM documents),
+    starts AS (SELECT doc_id, i
+               FROM toks, unnest(CASE WHEN n > 0
+                                 THEN generate_series(1, n) ELSE [] END) AS u(i)
+               WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                          || CAST(i AS VARCHAR)), 1, 7))::BIGINT
+                      % 100) < 5),
+    mpos AS (SELECT DISTINCT s.doc_id, p
+             FROM starts s
+             JOIN toks t ON t.doc_id = s.doc_id,
+                  unnest(generate_series(s.i, LEAST(s.i + 2, t.n))) AS v(p)),
+    per AS (SELECT t.doc_id, t.source, t.n,
+                   (SELECT COUNT(*) FROM starts s WHERE s.doc_id = t.doc_id)
+                     AS n_spans,
+                   (SELECT COUNT(*) FROM mpos m WHERE m.doc_id = t.doc_id)
+                     AS n_masked
+            FROM toks t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           CAST(SUM(n_masked) AS BIGINT) AS masked_tokens,
+           CAST(SUM(n_masked) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS mask_ratio
+    FROM per GROUP BY source
+"""
+
+
+@query("span_corruption_plan", _SQL_SPAN_CORRUPTION)
+def span_corruption_plan(spark, sf_dir):
+    """T5-style span-corruption planning: deterministic mask-span starts
+    (md5(doc:position) lands in 5 of 100 buckets), spans of 3 tokens
+    clipped at the document end, masked positions counted as a UNION (two
+    overlapping spans never double-count) — the per-source mask-budget
+    report (sentinel count, masked-token ratio vs the ~15% target) that a
+    denoising pretraining run consumes; hash-determinism means every
+    engine, run, and partitioning agrees on the exact mask.  Scale: span
+    starts are a narrow explode + filter; the union re-expands only hit
+    positions (bounded by 3 x starts); all aggregation is
+    partial-combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", TXT.token_count("text").alias("n")
+    ).localCheckpoint()  # feeds starts and the final rollup
+    starts = (
+        toks.select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.when(
+                    F.col("n") > 0, F.sequence(F.lit(1), F.col("n"))
+                ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+            ).alias("i"),
+        )
+        .where(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+            < 5
+        )
+        .localCheckpoint()  # feeds the span count and the position union
+    )
+    mpos = (
+        starts.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.least(F.col("i") + 2, F.col("n")))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_masked"))
+    )
+    nspans = starts.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    per = (
+        toks.join(nspans, "doc_id", "left")
+        .join(mpos, "doc_id", "left")
+        .select(
+            "source",
+            "n",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+        )
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum("n_spans").cast("bigint").alias("n_spans"),
+        F.sum("n_masked").cast("bigint").alias("masked_tokens"),
+        (dbl(F.sum("n_masked")) / dbl(F.sum("n"))).alias("mask_ratio"),
+    )
+
+
+_SQL_PADDING = """
+    WITH t AS (SELECT doc_id,
+                      len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x <> '')) AS ntok
+               FROM documents),
+    b AS (SELECT doc_id, ntok, (ntok + 31) // 32 AS bucket
+          FROM t WHERE ntok > 0)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * 32 AS BIGINT) AS padded_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(bucket * 32 - ntok) AS BIGINT) AS pad_waste,
+           CAST(SUM(bucket * 32 - ntok) AS DOUBLE)
+             / CAST(SUM(bucket * 32) AS DOUBLE) AS waste_ratio
+    FROM b GROUP BY bucket
+"""
+
+
+@query("padding_efficiency_report", _SQL_PADDING)
+def padding_efficiency_report(spark, sf_dir):
+    """Length-bucketed batching efficiency: documents grouped into
+    32-token length buckets (each padded to the bucket ceiling) with the
+    padded-token waste per bucket — the report that quantifies how much
+    GPU time naive uniform-length batching would burn and why
+    length-grouped batching (or sequence packing, already in the suite)
+    pays for itself.  Exact integer arithmetic throughout.  Scale: one
+    scan, one partial-aggregated groupBy on the bucket id."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TXT.token_count("text").alias("ntok")).where(
+        F.col("ntok") > 0
+    )
+    b = t.select(
+        "ntok", F.expr("(ntok + 31) div 32").cast("bigint").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        (F.col("bucket") * 32).cast("bigint").alias("padded_len"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("sum_tokens"),
+        F.sum(F.col("bucket") * 32 - F.col("ntok"))
+        .cast("bigint")
+        .alias("pad_waste"),
+        (
+            dbl(F.sum(F.col("bucket") * 32 - F.col("ntok")))
+            / dbl(F.sum(F.col("bucket") * 32))
+        ).alias("waste_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
