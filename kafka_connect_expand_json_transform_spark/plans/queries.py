@@ -13574,6 +13574,161 @@ def padding_efficiency_report(spark, sf_dir):
     )
 
 
+_SQL_MIX_SHIFT = """
+    WITH s AS (
+      SELECT c.c_mktsegment AS segment,
+             SUM(CASE WHEN o.o_orderdate < TIMESTAMP '1996-01-01'
+                      THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN o.o_orderdate < TIMESTAMP '1996-01-01'
+                      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT) ELSE 0 END) AS s1,
+             SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01'
+                      THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01'
+                      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT) ELSE 0 END) AS s2
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1)
+    SELECT segment,
+           CAST(n1 AS BIGINT) AS n1, CAST(s1 AS BIGINT) AS s1_cents,
+           CAST(n2 AS BIGINT) AS n2, CAST(s2 AS BIGINT) AS s2_cents,
+           CAST(s2 - s1 AS DOUBLE) / 100.0 AS delta_dollars,
+           (CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0
+             AS volume_effect_dollars,
+           CAST(n2 AS DOUBLE)
+             * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0
+             AS rate_effect_dollars
+    FROM s
+"""
+
+
+@query("mix_shift_decomposition", _SQL_MIX_SHIFT)
+def mix_shift_decomposition(spark, sf_dir):
+    """Price/volume/mix decomposition (Laspeyres form) of the revenue
+    change between two periods, per market segment: volume effect =
+    Δorders x old average order value, rate effect = new orders x Δaverage
+    value — the standard BI answer to "did revenue move because we sold
+    MORE or because orders got BIGGER".  Every effect is a pure function
+    of that segment's four exact int64 aggregates (no cross-row float
+    sums anywhere); volume + rate = delta by construction.  Scale: one
+    fact scan against a broadcast dimension, a 5-group agg, narrow
+    arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    s = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.when(F.col("o_orderdate") < cut, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("o_orderdate") < cut, cents).otherwise(0)).alias(
+                "s1"
+            ),
+            F.sum(F.when(F.col("o_orderdate") >= cut, 1).otherwise(0)).alias(
+                "n2"
+            ),
+            F.sum(F.when(F.col("o_orderdate") >= cut, cents).otherwise(0)).alias(
+                "s2"
+            ),
+        )
+    )
+    r1 = dbl(F.col("s1")) / dbl(F.col("n1"))
+    r2 = dbl(F.col("s2")) / dbl(F.col("n2"))
+    return s.select(
+        "segment",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("s1").cast("bigint").alias("s1_cents"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("s2").cast("bigint").alias("s2_cents"),
+        (dbl(F.col("s2") - F.col("s1")) / F.lit(100.0)).alias("delta_dollars"),
+        ((dbl(F.col("n2")) - dbl(F.col("n1"))) * r1 / F.lit(100.0)).alias(
+            "volume_effect_dollars"
+        ),
+        (dbl(F.col("n2")) * (r2 - r1) / F.lit(100.0)).alias(
+            "rate_effect_dollars"
+        ),
+    )
+
+
+_SQL_SEASONAL_NAIVE = """
+    WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                      SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+                        AS cents
+               FROM events WHERE event_type IN ('purchase', 'click')
+               GROUP BY 1, 2),
+    f AS (SELECT event_type, day, cents,
+                 LAG(cents, 7) OVER (PARTITION BY event_type ORDER BY day)
+                   AS fc
+          FROM d),
+    e AS (SELECT event_type, cents, fc,
+                 ABS(cents - fc) AS ae,
+                 cents - fc AS err,
+                 CAST(FLOOR(CAST(ABS(cents - fc) AS DOUBLE) * 1000000
+                            / CAST(cents AS DOUBLE)) AS BIGINT) AS ape_micro
+          FROM f WHERE fc IS NOT NULL AND cents > 0)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(ae) AS BIGINT) AS sum_abs_err_cents,
+           CAST(SUM(err) AS BIGINT) AS sum_err_cents,
+           CAST(SUM(ae) AS DOUBLE) / (COUNT(*) * 100.0) AS mae_dollars,
+           CAST(SUM(ape_micro) AS DOUBLE) / (COUNT(*) * 10000.0) AS mape_pct
+    FROM e GROUP BY event_type
+"""
+
+
+@query("seasonal_naive_backtest", _SQL_SEASONAL_NAIVE)
+def seasonal_naive_backtest(spark, sf_dir):
+    """Forecast backtesting with the seasonal-naive baseline (predict each
+    day with the value 7 days earlier) — MAE, bias, and MAPE per event
+    type, the floor any real forecasting model must beat and the first
+    number a forecast review asks for.  Residuals are exact int64 cents;
+    MAPE quantizes each day's ratio to micro-units BEFORE summation (the
+    PSI discipline) so the cross-day sum stays integer.  Scale: one
+    daily-grain agg, one LAG window per event type, one rollup — all
+    partial-aggregated or single-shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = d.select(
+        "event_type", "cents", F.lag("cents", 7).over(w).alias("fc")
+    )
+    e = f.where(F.col("fc").isNotNull() & (F.col("cents") > 0)).select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("fc")).alias("ae"),
+        (F.col("cents") - F.col("fc")).alias("err"),
+        F.floor(
+            dbl(F.abs(F.col("cents") - F.col("fc")))
+            * 1000000
+            / dbl(F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("ape_micro"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days_scored"),
+        F.sum("ae").cast("bigint").alias("sum_abs_err_cents"),
+        F.sum("err").cast("bigint").alias("sum_err_cents"),
+        (dbl(F.sum("ae")) / (F.count("*") * F.lit(100.0))).alias("mae_dollars"),
+        (dbl(F.sum("ape_micro")) / (F.count("*") * F.lit(10000.0))).alias(
+            "mape_pct"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
