@@ -13729,6 +13729,192 @@ def seasonal_naive_backtest(spark, sf_dir):
     )
 
 
+_SQL_THEIL_SEN = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+                        AS cents
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    p AS (SELECT a.day AS da, b.day AS db,
+                 CAST(b.cents - a.cents AS DOUBLE)
+                   / CAST(b.day - a.day AS DOUBLE) AS slope
+          FROM d a JOIN d b ON a.day < b.day),
+    r AS (SELECT slope,
+                 ROW_NUMBER() OVER (ORDER BY slope, da, db) AS rn,
+                 COUNT(*) OVER () AS np
+          FROM p)
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
+           CAST(MAX(np) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos_slopes,
+           CAST(SUM(CASE WHEN slope < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg_slopes,
+           MAX(CASE WHEN rn = (np + 1) // 2 THEN slope END)
+             AS median_slope_cents_per_day
+    FROM r
+"""
+
+
+@query("theil_sen_trend", _SQL_THEIL_SEN)
+def theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend estimator over daily purchase revenue: the
+    median of all pairwise day-to-day slopes — the robust-regression twin
+    of the OLS revenue_trend_slope (a handful of outlier days cannot move
+    it) and the effect-size companion to Mann-Kendall's direction test.
+    Each slope is one IEEE division of exact int64 deltas (identical both
+    engines); the median is the lower-median picked by deterministic rank
+    (slope, day-pair) — no interpolation ambiguity.  Scale: pair
+    generation runs on the DAILY aggregate (|days|^2 tiny rows, like
+    Mann-Kendall), never on raw events; at years-of-days scale, sample
+    day pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    a = d.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = d.select(F.col("day").alias("db"), F.col("cents").alias("cb"))
+    p = a.join(b, F.col("da") < F.col("db")).select(
+        "da",
+        "db",
+        (dbl(F.col("cb") - F.col("ca")) / dbl(F.col("db") - F.col("da"))).alias(
+            "slope"
+        ),
+    )
+    wall = Window.partitionBy()
+    r = p.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope", "da", "db")).alias("rn"),
+        F.count("*").over(wall).alias("np"),
+    )
+    nd = d.agg(F.count("*").alias("n_days"))
+    agg = r.agg(
+        F.max("np").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("slope") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos_slopes"),
+        F.sum(F.when(F.col("slope") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg_slopes"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("np") + 1) / 2), F.col("slope")
+            )
+        ).alias("median_slope_cents_per_day"),
+    )
+    return agg.crossJoin(F.broadcast(nd)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        "n_pairs",
+        "n_pos_slopes",
+        "n_neg_slopes",
+        "median_slope_cents_per_day",
+    )
+
+
+_SQL_PMI = """
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(trim(lower(text)),
+                                                        '\\s+'),
+                                     x -> x <> '') AS t
+                  FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT SUM(c) AS n FROM uc),
+    big AS (SELECT t[i] AS a, t[i+1] AS b
+            FROM toks, unnest(CASE WHEN len(t) >= 2
+                              THEN generate_series(1, len(t) - 1)
+                              ELSE [] END) AS u(i)),
+    bc AS (SELECT a, b, COUNT(*) AS cab FROM big GROUP BY a, b),
+    nb AS (SELECT SUM(cab) AS n FROM bc),
+    s AS (SELECT bc.a, bc.b, bc.cab, ua.c AS ca, ub.c AS cb,
+                 CAST(bc.cab AS DOUBLE) * CAST(nu.n AS DOUBLE)
+                   * CAST(nu.n AS DOUBLE)
+                   / (CAST(nb.n AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                      * CAST(ub.c AS DOUBLE)) AS ratio
+          FROM bc
+          CROSS JOIN nu
+          CROSS JOIN nb
+          JOIN uc ua ON ua.w = bc.a
+          JOIN uc ub ON ub.w = bc.b
+          WHERE bc.cab >= 5),
+    r AS (SELECT a, b, cab, ca, cb, ratio,
+                 ROW_NUMBER() OVER (ORDER BY ratio DESC, a, b) AS rn
+          FROM s)
+    SELECT a || ' ' || b AS bigram,
+           CAST(cab AS BIGINT) AS n_bigram,
+           CAST(ca AS BIGINT) AS n_first,
+           CAST(cb AS BIGINT) AS n_second,
+           CAST(FLOOR(LN(ratio) * 1000000) AS BIGINT) AS pmi_micro
+    FROM r WHERE rn <= 20
+"""
+
+
+@query("pmi_top_bigrams", _SQL_PMI)
+def pmi_top_bigrams(spark, sf_dir):
+    """Pointwise mutual information — the top-20 most-associated bigrams
+    (collocations), the lexical-association step under phrase mining and
+    tokenizer-merge candidates.  Ranking uses the RAW ratio
+    p(ab)/(p(a)p(b)) — pure arithmetic on identical int64 counts, so the
+    order is bit-stable WITHOUT touching a transcendental; ln enters only
+    in the reported score, quantized to micro-nats (boundary clearance
+    asserted in test_fixture_domains).  Scale: two partial-aggregated
+    count tables; the bigram stream joins its two unigram margins by key;
+    the global totals are 1-row broadcasts; min-count 5 prunes the tail
+    before ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(TXT.tokens(F.col("text")).alias("t")).localCheckpoint()
+    uni = toks.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nu = uc.agg(F.sum("c").alias("n")).collect()[0][0]
+    big = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS a,"
+                    "             element_at(t, i + 1) AS b))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)"))
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bc = big.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    nb = bc.agg(F.sum("cab").alias("n")).collect()[0][0]
+    s = (
+        bc.where(F.col("cab") >= 5)
+        .join(uc.select(F.col("w").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uc.select(F.col("w").alias("b"), F.col("c").alias("cb")), "b")
+        .select(
+            "a",
+            "b",
+            "cab",
+            "ca",
+            "cb",
+            (
+                dbl(F.col("cab")) * F.lit(float(nu)) * F.lit(float(nu))
+                / (F.lit(float(nb)) * dbl(F.col("ca")) * dbl(F.col("cb")))
+            ).alias("ratio"),
+        )
+    )
+    r = s.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("ratio").desc(), "a", "b"))
+        .alias("rn"),
+    ).where(F.col("rn") <= 20)
+    return r.select(
+        F.concat_ws(" ", "a", "b").alias("bigram"),
+        F.col("cab").cast("bigint").alias("n_bigram"),
+        F.col("ca").cast("bigint").alias("n_first"),
+        F.col("cb").cast("bigint").alias("n_second"),
+        F.floor(F.log("ratio") * 1000000).cast("bigint").alias("pmi_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -276,3 +276,43 @@ def test_dsir_ln_quantization_clear_of_boundaries(ddb):
     dist = np.abs(q - np.round(q))
     worst = float(dist.min())
     assert worst > 1e-5, f"ln(x)*1e6 within {worst:.2e} of an integer boundary"
+
+
+def test_pmi_ln_quantization_clear_of_boundaries(ddb):
+    """pmi_top_bigrams quantizes floor(ln(ratio)*1e6) of the association
+    ratio for every bigram with count >= 5: assert each candidate ratio on
+    the live fixture sits clear of a micro-nat boundary so JVM-vs-libm
+    last-ulp drift can never flip a reported PMI (ranking itself uses the
+    raw ratio and is transcendental-free)."""
+    import numpy as np
+
+    rows = ddb.execute(
+        """
+        WITH toks AS (SELECT list_filter(string_split_regex(trim(lower(text)),
+                                                            '\\s+'),
+                                         x -> x <> '') AS t
+                      FROM documents),
+        uni AS (SELECT unnest(t) AS w FROM toks),
+        uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+        nu AS (SELECT SUM(c) AS n FROM uc),
+        big AS (SELECT t[i] AS a, t[i+1] AS b
+                FROM toks, unnest(CASE WHEN len(t) >= 2
+                                  THEN generate_series(1, len(t) - 1)
+                                  ELSE [] END) AS u(i)),
+        bc AS (SELECT a, b, COUNT(*) AS cab FROM big GROUP BY a, b),
+        nb AS (SELECT SUM(cab) AS n FROM bc)
+        SELECT CAST(bc.cab AS DOUBLE) * CAST(nu.n AS DOUBLE)
+                 * CAST(nu.n AS DOUBLE)
+               / (CAST(nb.n AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                  * CAST(ub.c AS DOUBLE))
+        FROM bc CROSS JOIN nu CROSS JOIN nb
+        JOIN uc ua ON ua.w = bc.a
+        JOIN uc ub ON ub.w = bc.b
+        WHERE bc.cab >= 5
+        """
+    ).fetchall()
+    ratios = np.array([r[0] for r in rows], dtype=np.float64)
+    q = np.log(ratios) * 1e6
+    dist = np.abs(q - np.round(q))
+    worst = float(dist.min())
+    assert worst > 1e-5, f"ln(ratio)*1e6 within {worst:.2e} of a boundary"

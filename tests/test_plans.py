@@ -97,6 +97,7 @@ _INTENTIONALLY_UNKEYED = {
     "cuped_adjusted_metric",  # 1-row date-span midpoint attached to users
     "knn_label_accuracy",  # held-out query slice broadcast against the corpus
     "bloom_fpr_calibration",  # four 1-row count aggregates assembled into one row
+    "theil_sen_trend",  # |days|^2 pair join on the tiny daily aggregate + 1-row attach
 }
 
 
