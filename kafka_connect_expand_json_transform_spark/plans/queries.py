@@ -13915,6 +13915,171 @@ def pmi_top_bigrams(spark, sf_dir):
     )
 
 
+_SQL_REBALANCE = """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT lang, n, MIN(n) OVER () AS minn FROM c),
+    h AS (SELECT d.doc_id, d.lang, m.n, m.minn,
+                 ('0x' || substr(md5(d.doc_id::VARCHAR || ':rebalance'),
+                                 1, 8))::BIGINT AS hv,
+                 CAST(FLOOR(CAST(m.minn AS DOUBLE) / CAST(m.n AS DOUBLE)
+                            * 4294967296.0) AS BIGINT) AS thr
+          FROM documents d JOIN m ON m.lang = d.lang)
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN hv < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN hv < thr THEN doc_id ELSE 0 END) AS BIGINT)
+             AS sum_kept_ids,
+           CAST(MAX(minn) AS BIGINT) AS target_per_lang
+    FROM h GROUP BY lang
+"""
+
+
+@query("rebalance_to_uniform", _SQL_REBALANCE)
+def rebalance_to_uniform(spark, sf_dir):
+    """Data-driven rebalancing: downsample every language to (about) the
+    smallest language's size with a deterministic hash draw — the keep
+    fraction is COMPUTED FROM the data (min count / stratum count), unlike
+    stratified_sample's caller-supplied fractions, so one query turns a
+    skewed corpus into a near-uniform mix reproducibly (membership is a
+    pure function of doc_id, never RNG or partitioning).  The threshold
+    compares the 32-bit hash integer against floor(fraction * 2^32) —
+    identical doubles, identical floor, both engines.  Scale: one count
+    agg broadcast back onto the scan; the filter is narrow."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    m = c.select(
+        "lang", "n", F.min("n").over(Window.partitionBy()).alias("minn")
+    )
+    h = docs.join(F.broadcast(m), "lang").select(
+        "lang",
+        "doc_id",
+        "n",
+        "minn",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rebalance"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv"),
+        F.floor(dbl(F.col("minn")) / dbl(F.col("n")) * F.lit(4294967296.0))
+        .cast("bigint")
+        .alias("thr"),
+    )
+    return h.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("hv") < F.col("thr"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("hv") < F.col("thr"), F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_kept_ids"),
+        F.max("minn").cast("bigint").alias("target_per_lang"),
+    )
+
+
+_SQL_RUNS_TEST = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+                        AS cents
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    mv AS (SELECT day, cents,
+                  cents - LAG(cents) OVER (ORDER BY day) AS diff
+           FROM d),
+    s AS (SELECT day,
+                 CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+          FROM mv WHERE diff IS NOT NULL AND diff <> 0),
+    r AS (SELECT sgn,
+                 CASE WHEN LAG(sgn) OVER (ORDER BY day) IS NULL
+                       OR LAG(sgn) OVER (ORDER BY day) <> sgn
+                      THEN 1 ELSE 0 END AS new_run
+          FROM s),
+    a AS (SELECT SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS n1,
+                 SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS n2,
+                 SUM(new_run) AS runs
+          FROM r)
+    SELECT CAST(n1 AS BIGINT) AS n_up,
+           CAST(n2 AS BIGINT) AS n_down,
+           CAST(runs AS BIGINT) AS n_runs,
+           1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / CAST(n1 + n2 AS DOUBLE) AS expected_runs,
+           (CAST(runs AS DOUBLE)
+            - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / CAST(n1 + n2 AS DOUBLE)))
+           / SQRT(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     - CAST(n1 + n2 AS DOUBLE))
+                  / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                     * CAST(n1 + n2 - 1 AS DOUBLE))) AS z_score
+    FROM a
+"""
+
+
+@query("runs_test_daily_revenue", _SQL_RUNS_TEST)
+def runs_test_daily_revenue(spark, sf_dir):
+    """Wald-Wolfowitz runs test on daily revenue moves: are up/down days
+    randomly ordered, or does the series trend/mean-revert?  Counts sign
+    runs among non-zero day-over-day moves (exact int64 cents, zero moves
+    excluded per the classical test), then the normal approximation
+    z-score from mirrored double expressions (sqrt is IEEE-exact both
+    engines).  Completes the nonparametric family next to Mann-Kendall
+    (monotone trend) and KS (distribution drift) — this one tests serial
+    RANDOMNESS.  Scale: daily grain after one partial-aggregated groupBy;
+    two tiny windows over |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    wd = Window.orderBy("day")
+    mv = d.select(
+        "day", (F.col("cents") - F.lag("cents").over(wd)).alias("diff")
+    )
+    s = mv.where(F.col("diff").isNotNull() & (F.col("diff") != 0)).select(
+        "day", F.when(F.col("diff") > 0, 1).otherwise(-1).alias("sgn")
+    )
+    r = s.select(
+        "sgn",
+        F.when(
+            F.lag("sgn").over(wd).isNull() | (F.lag("sgn").over(wd) != F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    a = r.agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).alias("n2"),
+        F.sum("new_run").alias("runs"),
+    )
+    n1, n2 = dbl(F.col("n1")), dbl(F.col("n2"))
+    nn = dbl(F.col("n1") + F.col("n2"))
+    exp_runs = F.lit(1.0) + F.lit(2.0) * n1 * n2 / nn
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - nn)
+        / (nn * nn * dbl(F.col("n1") + F.col("n2") - 1))
+    )
+    return a.select(
+        F.col("n1").cast("bigint").alias("n_up"),
+        F.col("n2").cast("bigint").alias("n_down"),
+        F.col("runs").cast("bigint").alias("n_runs"),
+        exp_runs.alias("expected_runs"),
+        ((dbl(F.col("runs")) - exp_runs) / F.sqrt(var)).alias("z_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
