@@ -14080,6 +14080,134 @@ def runs_test_daily_revenue(spark, sf_dir):
     )
 
 
+_SQL_EMB_DIM_STATS = """
+    WITH q AS (SELECT vec_id, i AS dim,
+                      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+                           AS BIGINT) AS v
+               FROM embeddings, unnest(generate_series(1, 64)) AS u(i))
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_milli,
+           CAST(SUM(v * v) AS BIGINT) AS sumsq_milli,
+           CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1000.0) AS mean,
+           CAST(COUNT(*) * SUM(v * v) - SUM(v) * SUM(v) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                * 1000000.0) AS variance
+    FROM q GROUP BY dim
+"""
+
+
+@query("embedding_dim_stats", _SQL_EMB_DIM_STATS)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (mean and population variance
+    from exact milli-quantized int64 moments) — the whitening /
+    standardization inputs, and the health check that flags dead or
+    dominating dimensions before they silently skew every cosine in an
+    ANN index.  Scale: one narrow explode (64 x rows), one
+    partial-aggregated groupBy on the dimension id — 64 output rows no
+    matter the corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(
+            F.transform(
+                VEC.as_double("embedding"),
+                lambda x: F.floor(x * 1000).cast("bigint"),
+            )
+        ).alias("d0", "v")
+    ).select((F.col("d0") + 1).alias("dim"), "v")
+    return q.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sum_milli"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sumsq_milli"),
+        (dbl(F.sum("v")) / (F.count("*") * F.lit(1000.0))).alias("mean"),
+        (
+            dbl(
+                F.count("*") * F.sum(F.col("v") * F.col("v"))
+                - F.sum("v") * F.sum("v")
+            )
+            / (dbl(F.count("*")) * dbl(F.count("*")) * F.lit(1000000.0))
+        ).alias("variance"),
+    )
+
+
+_SQL_EMB_NORM_OUTLIERS = """
+    WITH q AS (SELECT vec_id,
+                      list_sum(list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                             * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                        AS norm2
+               FROM embeddings),
+    m AS (SELECT COUNT(*) AS n, SUM(norm2) AS s, SUM(norm2 * norm2) AS ss
+          FROM q),
+    z AS (SELECT q.vec_id, q.norm2,
+                 (CAST(q.norm2 AS DOUBLE) - CAST(m.s AS DOUBLE)
+                    / CAST(m.n AS DOUBLE))
+                 / SQRT((CAST(m.n AS DOUBLE) * CAST(m.ss AS DOUBLE)
+                         - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                        / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE))) AS zs
+          FROM q CROSS JOIN m)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(norm2) AS BIGINT) AS min_norm2_milli,
+           CAST(MAX(norm2) AS BIGINT) AS max_norm2_milli,
+           CAST(SUM(CASE WHEN ABS(zs) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(SUM(CASE WHEN ABS(zs) > 3 THEN vec_id ELSE 0 END) AS BIGINT)
+             AS sum_outlier_ids
+    FROM z
+"""
+
+
+@query("embedding_norm_outliers", _SQL_EMB_NORM_OUTLIERS)
+def embedding_norm_outliers(spark, sf_dir):
+    """Embedding norm-outlier screen: vectors whose squared L2 norm sits
+    more than 3 standard deviations from the corpus mean — the vectors
+    that dominate un-normalized dot products and break ANN recall, caught
+    before indexing.  Norms are exact milli-quantized int64; the z-score
+    is a mirrored double expression over three exact moments (sqrt is
+    IEEE-exact), so even the outlier SET is oracle-checked.  Scale: one
+    narrow per-row fold, a 1-row moment aggregate broadcast back, a
+    single-row rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(
+                VEC.as_double("embedding"),
+                lambda x: F.floor(x * 1000).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v * v,
+        ).alias("norm2"),
+    )
+    m = q.agg(
+        F.count("*").alias("n"),
+        F.sum("norm2").alias("s"),
+        F.sum(F.col("norm2") * F.col("norm2")).alias("ss"),
+    )
+    z = q.crossJoin(F.broadcast(m)).select(
+        "vec_id",
+        "norm2",
+        (
+            (dbl(F.col("norm2")) - dbl(F.col("s")) / dbl(F.col("n")))
+            / F.sqrt(
+                (dbl(F.col("n")) * dbl(F.col("ss")) - dbl(F.col("s")) * dbl(F.col("s")))
+                / (dbl(F.col("n")) * dbl(F.col("n")))
+            )
+        ).alias("zs"),
+    )
+    return z.agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.min("norm2").cast("bigint").alias("min_norm2_milli"),
+        F.max("norm2").cast("bigint").alias("max_norm2_milli"),
+        F.sum(F.when(F.abs(F.col("zs")) > 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.sum(F.when(F.abs(F.col("zs")) > 3, F.col("vec_id")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_outlier_ids"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

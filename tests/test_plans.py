@@ -98,6 +98,7 @@ _INTENTIONALLY_UNKEYED = {
     "knn_label_accuracy",  # held-out query slice broadcast against the corpus
     "bloom_fpr_calibration",  # four 1-row count aggregates assembled into one row
     "theil_sen_trend",  # |days|^2 pair join on the tiny daily aggregate + 1-row attach
+    "embedding_norm_outliers",  # 1-row moment aggregate broadcast back to rows
 }
 
 
