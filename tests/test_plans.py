@@ -599,3 +599,42 @@ def test_pit_join_is_asof_not_range_explosion(spark):
 def test_cogroup_plans_flatmap_cogroup(spark):
     plan = plan_of(spark, "cogrouped_customer_orders")
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_dup_span_coverage_shuffles_hashes_not_text(spark):
+    """The span-dedup shuffle keys are md5 grams and (id, pos) ints — the
+    document text column must never appear in any Exchange's schema."""
+    plan = plan_of(spark, "dup_span_coverage")
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_cdc_chunk_window_partitioning_reused_by_chunk_groupby(spark):
+    """cdc_chunk_stats: the boundary-count window shuffles on doc_id and
+    the (doc_id, source, chunk_id) groupBy must reuse that clustering —
+    between the window and the final source rollup there is exactly ONE
+    hash exchange (subset-clustering, SCALE.md pattern 3)."""
+    plan = plan_of(spark, "cdc_chunk_stats")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    # doc_id window shuffle + final 5-group source rollup = 2; a third
+    # exchange would mean the chunk groupBy re-shuffled needlessly
+    assert n_exchanges <= 2, f"{n_exchanges} hash exchanges:\n{plan[:2000]}"
+
+
+def test_dsir_bucket_weights_broadcast_to_token_stream(spark):
+    """dsir_importance_scores: the 64-row bucket-weight table must attach
+    to the token stream by BroadcastHashJoin — a shuffled join there would
+    move the whole corpus token stream for a 64-row dimension."""
+    plan = plan_of(spark, "dsir_importance_scores")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rebalance_filter_is_narrow_after_broadcast(spark):
+    """rebalance_to_uniform: the per-stratum threshold attaches by
+    broadcast; the keep/drop decision itself adds no extra exchange beyond
+    the count agg and the final rollup."""
+    plan = plan_of(spark, "rebalance_to_uniform")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
