@@ -14208,6 +14208,245 @@ def embedding_norm_outliers(spark, sf_dir):
     )
 
 
+# O'Brien-Fleming two-sided boundaries for K=4 equally-spaced looks at
+# overall alpha=0.05: z_k = C_OBF * sqrt(K/k), C_OBF = 2.024 (standard
+# table value) — universal constants, computed once and embedded as
+# identical literals in BOTH engines (session-3 discipline).
+_OBF_K = 4
+_OBF_BOUNDS = [round(2.024 * (_OBF_K / k) ** 0.5, 6) for k in range(1, _OBF_K + 1)]
+
+_SQL_GROUP_SEQ = f"""
+    WITH span AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0,
+                         MAX(epoch_us(ts) // 86400000000) AS d1
+                  FROM events),
+    looks AS (SELECT k,
+                     (SELECT d0 + ((d1 - d0 + 1) * k) // 4 - 1 FROM span)
+                       AS cut,
+                     b
+              FROM (VALUES (1, {_OBF_BOUNDS[0]}), (2, {_OBF_BOUNDS[1]}),
+                           (3, {_OBF_BOUNDS[2]}), (4, {_OBF_BOUNDS[3]}))
+                   AS t(k, b)),
+    u AS (SELECT user_id,
+                 user_id % 2 AS variant,
+                 MIN(epoch_us(ts) // 86400000000) AS first_day,
+                 MIN(CASE WHEN event_type = 'purchase'
+                           AND CAST(value AS DECIMAL(8,2)) > 100
+                          THEN epoch_us(ts) // 86400000000 END) AS conv_day
+          FROM events GROUP BY user_id),
+    cell AS (SELECT l.k, l.b, u.variant,
+                    COUNT(*) AS n,
+                    SUM(CASE WHEN u.conv_day IS NOT NULL
+                              AND u.conv_day <= l.cut THEN 1 ELSE 0 END) AS c
+             FROM u JOIN looks l ON u.first_day <= l.cut
+             GROUP BY l.k, l.b, u.variant),
+    w AS (SELECT k, b,
+                 SUM(CASE WHEN variant = 0 THEN n ELSE 0 END) AS n0,
+                 SUM(CASE WHEN variant = 0 THEN c ELSE 0 END) AS c0,
+                 SUM(CASE WHEN variant = 1 THEN n ELSE 0 END) AS n1,
+                 SUM(CASE WHEN variant = 1 THEN c ELSE 0 END) AS c1
+          FROM cell GROUP BY k, b)
+    SELECT CAST(k AS BIGINT) AS look,
+           CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+           (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           / SQRT(CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+                  * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+             AS z_score,
+           b AS obf_boundary,
+           CAST(CASE WHEN ABS((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                   / SQRT(CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+                          * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                             / CAST(n0 + n1 AS DOUBLE))
+                          * (1.0 / CAST(n0 AS DOUBLE)
+                             + 1.0 / CAST(n1 AS DOUBLE)))) > b
+                THEN 1 ELSE 0 END AS BIGINT) AS crossed
+    FROM w
+"""
+
+
+@query("group_sequential_looks", _SQL_GROUP_SEQ)
+def group_sequential_looks(spark, sf_dir):
+    """Group-sequential interim analysis: the A/B conversion z-statistic
+    recomputed at 4 equally-spaced calendar looks against O'Brien-Fleming
+    stopping boundaries (wide early, ~2.02 at the final look) — the
+    peeking-safe monitoring schedule that naive repeated significance
+    testing is not.  Boundaries are universal constants embedded as
+    identical literals in both engines; look cutoffs are exact integer
+    day arithmetic; each look's z mirrors ab_test_conversion's pooled
+    form.  Scale: one user-grain groupBy; the look fan-out is x4 on USER
+    rows (not events); everything else is a 8-cell aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    span = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    ).collect()[0]
+    d0, d1 = span["d0"], span["d1"]
+    cuts = [d0 + ((d1 - d0 + 1) * k) // 4 - 1 for k in range(1, 5)]
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(day).alias("first_day"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value").cast("decimal(8,2)") > 100),
+                    day,
+                )
+            ).alias("conv_day"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    looks = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).alias("k"),
+                F.lit(int(cuts[k])).alias("cut"),
+                F.lit(float(_OBF_BOUNDS[k])).alias("b"),
+            )
+            for k in range(4)
+        ]
+    )
+    fan = (
+        u.select("variant", "first_day", "conv_day", F.explode(looks).alias("l"))
+        .where(F.col("first_day") <= F.col("l.cut"))
+        .select(
+            F.col("l.k").alias("k"),
+            F.col("l.b").alias("b"),
+            "variant",
+            F.when(
+                F.col("conv_day").isNotNull()
+                & (F.col("conv_day") <= F.col("l.cut")),
+                1,
+            )
+            .otherwise(0)
+            .alias("conv"),
+        )
+    )
+    w = fan.groupBy("k", "b").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias(
+            "c0"
+        ),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias(
+            "c1"
+        ),
+    )
+    n0, c0, n1, c1 = (dbl(F.col(x)) for x in ("n0", "c0", "n1", "c1"))
+    p = dbl(F.col("c0") + F.col("c1")) / dbl(F.col("n0") + F.col("n1"))
+    z = (c1 / n1 - c0 / n0) / F.sqrt(
+        p * (F.lit(1.0) - p) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    return w.select(
+        F.col("k").cast("bigint").alias("look"),
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("c0").cast("bigint").alias("conv_control"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("c1").cast("bigint").alias("conv_treat"),
+        z.alias("z_score"),
+        F.col("b").alias("obf_boundary"),
+        F.when(F.abs(z) > F.col("b"), 1).otherwise(0).cast("bigint").alias(
+            "crossed"
+        ),
+    )
+
+
+_SQL_UPLIFT = """
+    WITH span AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0,
+                         MAX(epoch_us(ts) // 86400000000) AS d1 FROM events),
+    u AS (SELECT user_id, user_id % 2 AS variant,
+                 SUM(CASE WHEN epoch_us(ts) // 86400000000
+                               < (SELECT d0 + (d1 - d0 + 1) // 2 FROM span)
+                          THEN 1 ELSE 0 END) AS pre_activity,
+                 MAX(CASE WHEN epoch_us(ts) // 86400000000
+                               >= (SELECT d0 + (d1 - d0 + 1) // 2 FROM span)
+                           AND event_type = 'purchase'
+                           AND CAST(value AS DECIMAL(8,2)) > 100
+                          THEN 1 ELSE 0 END) AS converted
+          FROM events GROUP BY user_id),
+    d AS (SELECT variant, converted,
+                 NTILE(10) OVER (ORDER BY pre_activity, user_id) AS decile
+          FROM u)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_control,
+           CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT)
+             AS conv_control,
+           CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_treat,
+           CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT)
+             AS conv_treat,
+           CASE WHEN SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) > 0
+                 AND SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) > 0
+                THEN CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                          AS DOUBLE)
+                     / CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                            AS DOUBLE)
+                   - CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                          AS DOUBLE)
+                     / CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                            AS DOUBLE)
+           END AS uplift
+    FROM d GROUP BY decile
+"""
+
+
+@query("uplift_by_activity_decile", _SQL_UPLIFT)
+def uplift_by_activity_decile(spark, sf_dir):
+    """Heterogeneous treatment effect: conversion uplift (treat - control)
+    within deciles of PRE-period activity — the report that says WHO an
+    experiment moved (dormant users? power users?) rather than the single
+    average ab_test_conversion reports.  Pre/post split at the date-span
+    midpoint (exact integer day arithmetic); deciles rank pre-activity
+    with a user-id tie-break so cell membership is deterministic; uplift
+    is a mirrored double difference of exact counts.  Scale: one
+    user-grain groupBy; NTILE's global order runs over USER rows — at
+    real scale swap for the two-pass quantile cut, same as
+    curriculum_phases."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    span = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1")).collect()[0]
+    cut = span["d0"] + (span["d1"] - span["d0"] + 1) // 2
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(day < cut, 1).otherwise(0)).alias("pre_activity"),
+            F.max(
+                F.when(
+                    (day >= cut)
+                    & (F.col("event_type") == "purchase")
+                    & (F.col("value").cast("decimal(8,2)") > 100),
+                    1,
+                ).otherwise(0)
+            ).alias("converted"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    d = u.select(
+        "variant",
+        "converted",
+        F.ntile(10).over(Window.orderBy("pre_activity", "user_id")).alias(
+            "decile"
+        ),
+    )
+    nc = F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+    cc = F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+    nt = F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+    ct = F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+    return d.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        nc.cast("bigint").alias("n_control"),
+        cc.cast("bigint").alias("conv_control"),
+        nt.cast("bigint").alias("n_treat"),
+        ct.cast("bigint").alias("conv_treat"),
+        F.when(
+            (nt > 0) & (nc > 0), dbl(ct) / dbl(nt) - dbl(cc) / dbl(nc)
+        ).alias("uplift"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
