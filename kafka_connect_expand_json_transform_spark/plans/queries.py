@@ -14447,6 +14447,217 @@ def uplift_by_activity_decile(spark, sf_dir):
     )
 
 
+# Holm step-down z thresholds for m=5 tests at two-sided alpha=0.05:
+# rank r's threshold is Phi^-1(1 - 0.025/(m-r+1)) — universal constants
+# from Python's statistics.NormalDist, embedded identically in both engines.
+_HOLM_Z = [2.575829, 2.497705, 2.39398, 2.241403, 1.959964]
+
+_SQL_HOLM = f"""
+    WITH s AS (SELECT c.c_mktsegment AS segment,
+                      COUNT(*) AS n,
+                      SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS c
+               FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+               GROUP BY 1),
+    t AS (SELECT segment, n, c, SUM(n) OVER () AS tn, SUM(c) OVER () AS tc
+          FROM s),
+    z AS (SELECT segment, n, c,
+                 (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(tc - c AS DOUBLE) / CAST(tn - n AS DOUBLE))
+                 / SQRT(CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE)
+                        * (1.0 - CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE))
+                        * (1.0 / CAST(n AS DOUBLE)
+                           + 1.0 / CAST(tn - n AS DOUBLE))) AS zs
+          FROM t),
+    r AS (SELECT segment, n, c, zs,
+                 ROW_NUMBER() OVER (ORDER BY ABS(zs) DESC, segment) AS rnk
+          FROM z),
+    thr AS (SELECT rnk, thr FROM (VALUES (1, {_HOLM_Z[0]}), (2, {_HOLM_Z[1]}),
+                                         (3, {_HOLM_Z[2]}), (4, {_HOLM_Z[3]}),
+                                         (5, {_HOLM_Z[4]})) AS v(rnk, thr)),
+    f AS (SELECT r.segment, r.n, r.c, r.zs, r.rnk, thr.thr,
+                 CASE WHEN ABS(r.zs) > thr.thr THEN 1 ELSE 0 END AS sig
+          FROM r JOIN thr ON thr.rnk = r.rnk)
+    SELECT segment,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(c AS BIGINT) AS n_final,
+           zs AS z_score,
+           CAST(rnk AS BIGINT) AS holm_rank,
+           thr AS holm_threshold,
+           CAST(MIN(sig) OVER (ORDER BY rnk
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS holm_rejected
+    FROM f
+"""
+
+
+@query("multiple_testing_report", _SQL_HOLM)
+def multiple_testing_report(spark, sf_dir):
+    """Holm step-down multiple-testing correction: each market segment's
+    order-finalization rate tested against the complement (two-proportion
+    z), ranked by |z|, and compared to rank-specific thresholds
+    Phi^-1(1 - alpha/2/(m-r+1)) embedded as shared literal constants —
+    the step-down stop (a failed rank kills all later rejections) is the
+    running MIN window.  This is the guard against the 1-in-20 false
+    positive every per-segment dashboard silently commits.  Scale: one
+    fact-vs-broadcast-dim agg; everything after runs on 5 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "c"
+            ),
+        )
+    )
+    wall = Window.partitionBy()
+    t = s.select(
+        "segment",
+        "n",
+        "c",
+        F.sum("n").over(wall).alias("tn"),
+        F.sum("c").over(wall).alias("tc"),
+    )
+    p_pool = dbl(F.col("tc")) / dbl(F.col("tn"))
+    zs = (
+        dbl(F.col("c")) / dbl(F.col("n"))
+        - dbl(F.col("tc") - F.col("c")) / dbl(F.col("tn") - F.col("n"))
+    ) / F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (
+            F.lit(1.0) / dbl(F.col("n"))
+            + F.lit(1.0) / dbl(F.col("tn") - F.col("n"))
+        )
+    )
+    z = t.select("segment", "n", "c", zs.alias("zs"))
+    r = z.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("zs")).desc(), "segment"))
+        .alias("rnk"),
+    )
+    thr = F.element_at(
+        F.array(*[F.lit(v) for v in _HOLM_Z]), F.col("rnk").cast("int")
+    )
+    f = r.select(
+        "*",
+        thr.alias("thr"),
+        F.when(F.abs(F.col("zs")) > thr, 1).otherwise(0).alias("sig"),
+    )
+    wrun = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    return f.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("c").cast("bigint").alias("n_final"),
+        F.col("zs").alias("z_score"),
+        F.col("rnk").cast("bigint").alias("holm_rank"),
+        F.col("thr").alias("holm_threshold"),
+        F.min("sig").over(wrun).cast("bigint").alias("holm_rejected"),
+    )
+
+
+_SQL_HEAPS = """
+    WITH nd AS (SELECT COUNT(*) AS nd FROM documents),
+    cuts AS (SELECT k, (SELECT (nd * k) // 10 FROM nd) AS cut
+             FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) AS v(k)),
+    toks AS (SELECT doc_id,
+                    unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                          '\\s+'),
+                                       x -> x <> '')) AS w
+             FROM documents),
+    dn AS (SELECT doc_id, COUNT(*) AS ntok FROM toks GROUP BY doc_id),
+    fo AS (SELECT w, MIN(doc_id) AS fd, COUNT(*) AS cnt FROM toks GROUP BY w),
+    pts AS (SELECT c.k,
+                   (SELECT SUM(ntok) FROM dn WHERE dn.doc_id < c.cut) AS nk,
+                   (SELECT COUNT(*) FROM fo WHERE fo.fd < c.cut) AS vk
+            FROM cuts c),
+    q AS (SELECT k, nk, vk,
+                 CAST(FLOOR(LN(CAST(nk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                 CAST(FLOOR(LN(CAST(vk AS DOUBLE)) * 1000000) AS BIGINT) AS y
+          FROM pts WHERE nk > 0 AND vk > 0),
+    m AS (SELECT COUNT(*) AS kk, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM q),
+    h AS (SELECT COUNT(*) AS vocab,
+                 SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS hapax
+          FROM fo)
+    SELECT CAST(m.kk AS BIGINT) AS n_points,
+           CAST((m.kk * m.sxy - m.sx * m.sy) AS DOUBLE)
+             / CAST((m.kk * m.sxx - m.sx * m.sx) AS DOUBLE) AS heaps_beta,
+           CAST(h.vocab AS BIGINT) AS vocab_size,
+           CAST(h.hapax AS BIGINT) AS hapax_count,
+           CAST(h.hapax AS DOUBLE) / CAST(h.vocab AS DOUBLE) AS hapax_ratio
+    FROM m CROSS JOIN h
+"""
+
+
+@query("heaps_law_fit", _SQL_HEAPS)
+def heaps_law_fit(spark, sf_dir):
+    """Heaps'-law vocabulary growth: V(n) ~ K·n^beta fitted by OLS over
+    ln-ln points at 10 document-prefix checkpoints, plus the hapax-
+    legomena ratio — together the lexical-diversity fingerprint that
+    predicts vocabulary blow-up (and OOV pressure) as a corpus scales.
+    The cumulative vocabulary is NOT a running distinct: each token's
+    FIRST document (one groupBy) makes V(cut) a simple conditional count.
+    ln arguments are quantized to micro-nats (boundary clearance asserted
+    in test_fixture_domains); the OLS moments are exact int64.  Scale:
+    two partial-aggregated groupBys over the token stream; the 10-point
+    fit is driver-trivial."""
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.count()
+    cuts = [(k, (nd * k) // 10) for k in range(1, 11)]
+    toks = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("w")
+    ).localCheckpoint()  # feeds per-doc counts and first-occurrence table
+    dn = toks.groupBy("doc_id").agg(F.count("*").alias("ntok"))
+    fo = toks.groupBy("w").agg(
+        F.min("doc_id").alias("fd"), F.count("*").alias("cnt")
+    ).localCheckpoint()  # feeds the prefix counts and the hapax rollup
+    lnq = lambda c: F.floor(F.log(dbl(c)) * 1_000_000).cast("bigint")  # noqa: E731
+    pts = []
+    for k, cut in cuts:
+        nk = dn.where(F.col("doc_id") < cut).agg(
+            F.coalesce(F.sum("ntok"), F.lit(0)).alias("nk")
+        )
+        vk = fo.where(F.col("fd") < cut).agg(F.count("*").alias("vk"))
+        pts.append(
+            nk.crossJoin(vk).select(
+                F.lit(k).alias("k"), F.col("nk"), F.col("vk")
+            )
+        )
+    allpts = pts[0]
+    for p in pts[1:]:
+        allpts = allpts.unionAll(p)
+    q = allpts.where((F.col("nk") > 0) & (F.col("vk") > 0)).select(
+        lnq(F.col("nk")).alias("x"), lnq(F.col("vk")).alias("y")
+    )
+    m = q.agg(
+        F.count("*").alias("kk"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    h = fo.agg(
+        F.count("*").alias("vocab"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("hapax"),
+    )
+    return m.crossJoin(F.broadcast(h)).select(
+        F.col("kk").cast("bigint").alias("n_points"),
+        (
+            dbl(F.col("kk") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / dbl(F.col("kk") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("heaps_beta"),
+        F.col("vocab").cast("bigint").alias("vocab_size"),
+        F.col("hapax").cast("bigint").alias("hapax_count"),
+        (dbl(F.col("hapax")) / dbl(F.col("vocab"))).alias("hapax_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -316,3 +316,36 @@ def test_pmi_ln_quantization_clear_of_boundaries(ddb):
     dist = np.abs(q - np.round(q))
     worst = float(dist.min())
     assert worst > 1e-5, f"ln(ratio)*1e6 within {worst:.2e} of a boundary"
+
+
+def test_heaps_ln_quantization_clear_of_boundaries(ddb):
+    """heaps_law_fit quantizes floor(ln(int)*1e6) of the 10 prefix token
+    totals and vocabulary sizes: assert each sits clear of a micro-nat
+    boundary on the live fixture."""
+    import numpy as np
+
+    rows = ddb.execute(
+        """
+        WITH nd AS (SELECT COUNT(*) AS nd FROM documents),
+        cuts AS (SELECT k, (SELECT (nd * k) // 10 FROM nd) AS cut
+                 FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10))
+                      AS v(k)),
+        toks AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                              '\\s+'),
+                                           x -> x <> '')) AS w
+                 FROM documents),
+        dn AS (SELECT doc_id, COUNT(*) AS ntok FROM toks GROUP BY doc_id),
+        fo AS (SELECT w, MIN(doc_id) AS fd FROM toks GROUP BY w)
+        SELECT (SELECT SUM(ntok) FROM dn WHERE dn.doc_id < c.cut) AS nk,
+               (SELECT COUNT(*) FROM fo WHERE fo.fd < c.cut) AS vk
+        FROM cuts c
+        """
+    ).fetchall()
+    args = np.array(
+        [v for r in rows for v in r if v and v > 1], dtype=np.float64
+    )
+    q = np.log(args) * 1e6
+    dist = np.abs(q - np.round(q))
+    worst = float(dist.min())
+    assert worst > 1e-5, f"ln(x)*1e6 within {worst:.2e} of a boundary"

@@ -99,6 +99,7 @@ _INTENTIONALLY_UNKEYED = {
     "bloom_fpr_calibration",  # four 1-row count aggregates assembled into one row
     "theil_sen_trend",  # |days|^2 pair join on the tiny daily aggregate + 1-row attach
     "embedding_norm_outliers",  # 1-row moment aggregate broadcast back to rows
+    "heaps_law_fit",  # ten 1-row prefix aggregates assembled into the OLS fit
 }
 
 
