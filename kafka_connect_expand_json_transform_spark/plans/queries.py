@@ -14658,6 +14658,65 @@ def heaps_law_fit(spark, sf_dir):
     )
 
 
+_SQL_TXLOG = """
+    SELECT CAST(0 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+"""
+
+
+@query("txlog_time_travel_agg", _SQL_TXLOG)
+def txlog_time_travel_agg(spark, sf_dir):
+    """Transactional-table time travel end-to-end: orders committed as two
+    txlog versions (even keys, then the odd-key remainder), then BOTH
+    snapshots aggregated — version 0 must still read exactly the first
+    commit after version 1 lands (immutable data files + log replay,
+    sources/txlog.py).  The oracle recomputes each snapshot from the raw
+    table, so the log's replay semantics are value-checked, not just
+    row-counted.  Scale: commits are plain parquet writes plus one tiny
+    JSON rename; snapshots are ordinary pruned parquet scans (pushdown
+    asserted in test_txlog)."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_q_")
+    try:
+        root = tmp + "/orders_t"
+        TX.append_table(o.where(F.col("o_orderkey") % 2 == 0), root)
+        TX.append_table(o.where(F.col("o_orderkey") % 2 != 0), root)
+
+        def snap(version, tag):
+            return TX.read_table(spark, root, version=version).agg(
+                F.max(F.lit(tag)).cast("bigint").alias("version"),
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+
+        out = snap(0, 0).unionAll(snap(None, 1))
+        # materialize before the tempdir vanishes: the driver compares
+        # collected rows, but the plan must not read deleted files later
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -9,6 +9,7 @@ from kafka_connect_expand_json_transform_spark.sources.batch import (
     write_sorted_parquet,
     write_zorder_parquet,
 )
+from kafka_connect_expand_json_transform_spark.sources import txlog
 from kafka_connect_expand_json_transform_spark.sources.kafka import (
     read_kafka_stream,
     write_kafka_stream,
@@ -26,4 +27,5 @@ __all__ = [
     "write_parquet",
     "write_sorted_parquet",
     "write_zorder_parquet",
+    "txlog",
 ]

@@ -1,0 +1,191 @@
+"""Minimal transactional-log table format ("txlog") — [EXT] versioned
+snapshots, time travel, and optimistic concurrency over plain parquet,
+the lakehouse-table-format story (Delta/Iceberg-shaped) reduced to its
+load-bearing core with no external jars.
+
+Layout::
+
+    <root>/
+      _log/00000000.json      one entry per committed version (monotonic)
+      _log/00000001.json
+      data/<uuid>.parquet/    one immutable parquet directory per commit
+
+Each log entry is ``{"version": n, "op": "append"|"overwrite",
+"files": [...], "schema": ddl}``.  Readers list ``_log``, take entries up
+to the requested version, and replay them: ``overwrite`` resets the file
+set, ``append`` extends it.  A snapshot is therefore just
+``spark.read.parquet(*files)`` — every Spark optimization (pushdown,
+pruning, AQE) applies untouched.
+
+ACID story (single filesystem):
+
+* **Atomic commit** — the entry is written to a temp name and
+  ``os.rename``'d into place; rename is atomic on POSIX, so readers see
+  either the full version or nothing.  Data files are written BEFORE the
+  log entry, so an uncommitted write is invisible garbage, never a
+  torn table.
+* **Optimistic concurrency** — the rename target embeds the version
+  number; two writers racing to commit the same version collide on the
+  existing file and the loser raises ``TxLogConflict`` (retry = re-read
+  latest, re-commit next version).  ``os.rename`` onto an existing path
+  silently succeeds on POSIX, so the loser is detected with an exclusive
+  ``O_CREAT | O_EXCL`` claim file instead.
+* **Schema enforcement** — appends must match the table's schema DDL
+  exactly; ``overwrite`` may change it.
+* **Time travel** — ``read_table(spark, root, version=k)`` replays only
+  entries ``<= k``; old data files are immutable so every historical
+  snapshot stays readable until a (not-implemented) vacuum.
+
+At 100 TB the log stays tiny (one small JSON per commit — listing cost is
+O(versions), compactable by checkpointing the replayed state, the same
+growth answer Delta's checkpoint files give); data-file immutability means
+concurrent readers never block writers.
+
+The reference has no table format at all (it is a stateless SMT,
+ExpandJson.java:32); this module exists for the mandated
+batch-source/sink surface at production scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+class TxLogConflict(RuntimeError):
+    """Another writer committed this version first — re-read and retry."""
+
+
+class TxLogSchemaMismatch(ValueError):
+    """Append schema differs from the table schema."""
+
+
+def _log_path(root: str) -> str:
+    return os.path.join(root, _LOG_DIR)
+
+
+def _entry_name(version: int) -> str:
+    return f"{version:08d}.json"
+
+
+def _list_entries(root: str) -> list[dict]:
+    log_dir = _log_path(root)
+    if not os.path.isdir(log_dir):
+        return []
+    names = sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
+    entries = []
+    for n in names:
+        path = os.path.join(log_dir, n)
+        # a zero-length file is another writer's exclusive claim whose
+        # content has not been published yet (os.replace is pending) —
+        # that version is not committed, so readers skip it
+        if os.path.getsize(path) == 0:
+            continue
+        with open(path) as f:
+            entries.append(json.load(f))
+    for i, e in enumerate(entries):
+        if e["version"] != i:
+            raise ValueError(
+                f"txlog corruption: expected version {i}, found {e['version']}"
+            )
+    return entries
+
+
+def latest_version(root: str) -> int | None:
+    """Highest committed version, or None for an empty/nonexistent table."""
+    entries = _list_entries(root)
+    return entries[-1]["version"] if entries else None
+
+
+def _replay(entries: list[dict], version: int | None) -> tuple[list[str], str | None]:
+    files: list[str] = []
+    schema = None
+    for e in entries:
+        if version is not None and e["version"] > version:
+            break
+        if e["op"] == "overwrite":
+            files = list(e["files"])
+        else:
+            files.extend(e["files"])
+        schema = e["schema"]
+    return files, schema
+
+
+def _commit(root: str, op: str, df: DataFrame, expected_version: int | None = None) -> int:
+    """Write df's data files, then atomically publish the next log entry."""
+    entries = _list_entries(root)
+    current = entries[-1]["version"] if entries else -1
+    if expected_version is not None and current != expected_version:
+        raise TxLogConflict(
+            f"expected to commit after version {expected_version}, table is at {current}"
+        )
+    if op == "append" and entries:
+        _, schema = _replay(entries, None)
+        if schema is not None and df.schema.simpleString() != schema:
+            raise TxLogSchemaMismatch(
+                f"append schema {df.schema.simpleString()} != table schema {schema}"
+            )
+    os.makedirs(_log_path(root), exist_ok=True)
+    rel = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
+    df.write.mode("overwrite").parquet(os.path.join(root, rel))
+
+    version = current + 1
+    entry = {
+        "version": version,
+        "op": op,
+        "files": [rel],
+        "schema": df.schema.simpleString(),
+    }
+    final = os.path.join(_log_path(root), _entry_name(version))
+    # exclusive claim: O_CREAT|O_EXCL makes the loser of a same-version race
+    # fail here (POSIX rename would silently clobber)
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise TxLogConflict(f"version {version} already committed") from exc
+    tmp = final + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.close(fd)
+    os.replace(tmp, final)  # atomic publish of the full content
+    return version
+
+
+def append_table(df: DataFrame, root: str, expected_version: int | None = None) -> int:
+    """Commit df as a new APPEND version; returns the committed version."""
+    return _commit(root, "append", df, expected_version)
+
+
+def overwrite_table(df: DataFrame, root: str, expected_version: int | None = None) -> int:
+    """Commit df as a new OVERWRITE version (may change schema)."""
+    return _commit(root, "overwrite", df, expected_version)
+
+
+def read_table(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Snapshot at ``version`` (default: latest). Plain parquet scan over
+    the replayed file set — pushdown/pruning/AQE all apply."""
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    if version is not None and version > entries[-1]["version"]:
+        raise ValueError(
+            f"version {version} not committed (latest {entries[-1]['version']})"
+        )
+    files, _ = _replay(entries, version)
+    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+
+
+def history(root: str) -> list[dict]:
+    """The commit log, oldest first (version/op/file counts)."""
+    return [
+        {"version": e["version"], "op": e["op"], "n_files": len(e["files"])}
+        for e in _list_entries(root)
+    ]
