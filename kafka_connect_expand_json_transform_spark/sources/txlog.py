@@ -189,3 +189,55 @@ def history(root: str) -> list[dict]:
         {"version": e["version"], "op": e["op"], "n_files": len(e["files"])}
         for e in _list_entries(root)
     ]
+
+
+def foreach_batch_sink(root: str):
+    """Exactly-once streaming sink: ``writeStream.foreachBatch(
+    foreach_batch_sink(root))``.
+
+    Structured Streaming replays a micro-batch after a crash with the SAME
+    batch id; the sink records each batch id in its commit entry and SKIPS
+    a batch it has already committed — the idempotent-sink half of the
+    exactly-once contract (the checkpoint provides the replay half).  This
+    is the txlog twin of Delta's transactional streaming sink."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        committed = {
+            e.get("batch_id") for e in _list_entries(root) if "batch_id" in e
+        }
+        if batch_id in committed:
+            return  # replayed batch: already durable, skip (idempotence)
+        entries = _list_entries(root)
+        current = entries[-1]["version"] if entries else -1
+        if entries:
+            _, schema = _replay(entries, None)
+            if schema is not None and batch_df.schema.simpleString() != schema:
+                raise TxLogSchemaMismatch(
+                    f"stream batch schema {batch_df.schema.simpleString()}"
+                    f" != table schema {schema}"
+                )
+        os.makedirs(_log_path(root), exist_ok=True)
+        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
+        batch_df.write.mode("overwrite").parquet(os.path.join(root, rel))
+        version = current + 1
+        entry = {
+            "version": version,
+            "op": "append",
+            "files": [rel],
+            "schema": batch_df.schema.simpleString(),
+            "batch_id": batch_id,
+        }
+        final = os.path.join(_log_path(root), _entry_name(version))
+        try:
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise TxLogConflict(f"version {version} already committed") from exc
+        tmp = final + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.close(fd)
+        os.replace(tmp, final)
+
+    return _sink

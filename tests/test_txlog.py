@@ -76,3 +76,78 @@ def test_snapshot_scan_keeps_pushdown(spark, tmp_path):
     df = txlog.read_table(spark, root).where(F.col("id") < 10)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "LessThan(id,10)" in plan
+
+
+def test_foreach_batch_sink_exactly_once_across_restart(spark, tmp_path):
+    """availableNow stream into the txlog sink, restarted after more input
+    arrives: every input row lands once; a REPLAYED batch id is skipped."""
+    import json as _json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id INT, v INT"
+
+    def write_input(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"id": i, "v": i * 2}) for i in rows)
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(txlog.foreach_batch_sink(root))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_input("b0.json", range(5))
+    run_once()
+    assert txlog.read_table(spark, root).count() == 5
+    write_input("b1.json", range(5, 12))
+    run_once()
+    assert txlog.read_table(spark, root).count() == 12
+    # simulate a crash-replay of the LAST batch: calling the sink again
+    # with an already-committed batch id must be a no-op
+    last = txlog.read_table(spark, root)
+    sink = txlog.foreach_batch_sink(root)
+    replay_df = spark.createDataFrame([(99, 198)], "id INT, v INT")
+    committed_ids = [
+        e.get("batch_id")
+        for e in txlog._list_entries(root)
+        if e.get("batch_id") is not None
+    ]
+    sink(replay_df, committed_ids[-1])
+    assert txlog.read_table(spark, root).count() == last.count()
+
+
+def test_txlog_cdc_apply_roundtrip(spark, tmp_path):
+    """MERGE-style CDC apply onto a txlog table: upserts + deletes land as
+    one overwrite commit; the pre-merge snapshot stays time-travelable."""
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id INT, s STRING"
+    )
+    txlog.append_table(base, root)
+    changes = spark.createDataFrame(
+        [(2, "B", "U", 1), (4, "d", "I", 2), (3, None, "D", 3)],
+        "id INT, s STRING, op STRING, seq INT",
+    )
+    snap = txlog.read_table(spark, root)
+    merged = merge_upsert(snap, changes, key_cols="id", order_col="seq").select(
+        "id", "s"
+    )
+    txlog.overwrite_table(merged, root)
+    got = {
+        (r["id"], r["s"]) for r in txlog.read_table(spark, root).collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
+    # version 0 still reads the pre-merge state
+    assert txlog.read_table(spark, root, version=0).count() == 3
