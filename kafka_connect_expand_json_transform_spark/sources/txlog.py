@@ -78,7 +78,13 @@ def _list_entries(root: str) -> list[dict]:
     log_dir = _log_path(root)
     if not os.path.isdir(log_dir):
         return []
-    names = sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
+    names = sorted(
+        n
+        for n in os.listdir(log_dir)
+        if n.endswith(".json")
+        and not n.endswith(".checkpoint.json")
+        and ".tmp." not in n
+    )
     entries = []
     for n in names:
         path = os.path.join(log_dir, n)
@@ -179,6 +185,12 @@ def read_table(spark: SparkSession, root: str, version: int | None = None) -> Da
         raise ValueError(
             f"version {version} not committed (latest {entries[-1]['version']})"
         )
+    floor = _read_floor(root)
+    target = entries[-1]["version"] if version is None else version
+    if target < floor:
+        raise ValueError(
+            f"version {target} was vacuumed (time-travel floor is {floor})"
+        )
     files, _ = _replay(entries, version)
     return spark.read.parquet(*[os.path.join(root, f) for f in files])
 
@@ -241,3 +253,114 @@ def foreach_batch_sink(root: str):
         os.replace(tmp, final)
 
     return _sink
+
+
+_CHECKPOINT_SUFFIX = ".checkpoint.json"
+_FLOOR_MARKER = "_vacuum_floor.json"
+
+
+def checkpoint_log(root: str) -> int:
+    """Write a read-optimization checkpoint of the replayed state at the
+    latest version: ``_log/<version>.checkpoint.json`` holds the full file
+    set, so readers replay from the newest checkpoint at or below their
+    target instead of from version 0 — the O(versions) listing answer
+    (Delta's checkpoint parquet, reduced to JSON).  Pure optimization:
+    entries are kept, time travel is unaffected."""
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    version = entries[-1]["version"]
+    files, schema = _replay(entries, version)
+    path = os.path.join(_log_path(root), f"{version:08d}{_CHECKPOINT_SUFFIX}")
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "files": files, "schema": schema}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return version
+
+
+def _latest_checkpoint(root: str, version: int | None) -> dict | None:
+    log_dir = _log_path(root)
+    if not os.path.isdir(log_dir):
+        return None
+    best = None
+    for n in sorted(os.listdir(log_dir)):
+        if not n.endswith(_CHECKPOINT_SUFFIX):
+            continue
+        v = int(n[: -len(_CHECKPOINT_SUFFIX)])
+        if version is None or v <= version:
+            best = os.path.join(log_dir, n)
+    if best is None:
+        return None
+    with open(best) as f:
+        return json.load(f)
+
+
+def read_table_from_checkpoint(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read that replays from the newest checkpoint <= version —
+    behaviorally identical to ``read_table`` (tested), listing-cost
+    O(versions since checkpoint)."""
+    cp = _latest_checkpoint(root, version)
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    if version is not None and version > entries[-1]["version"]:
+        raise ValueError(
+            f"version {version} not committed (latest {entries[-1]['version']})"
+        )
+    if cp is None:
+        return read_table(spark, root, version)
+    files = list(cp["files"])
+    for e in entries:
+        if e["version"] <= cp["version"]:
+            continue
+        if version is not None and e["version"] > version:
+            break
+        if e["op"] == "overwrite":
+            files = list(e["files"])
+        else:
+            files.extend(e["files"])
+    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+
+
+def vacuum(root: str, retain_versions: int = 1) -> dict:
+    """Delete data files unreferenced by the newest ``retain_versions``
+    snapshots and record the time-travel floor. Snapshots older than the
+    floor become unreadable (read_table raises); the newest ones are
+    untouched.  Returns {"floor": v, "deleted": n_files}."""
+    import shutil
+
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    latest = entries[-1]["version"]
+    floor = max(0, latest - retain_versions + 1)
+    keep: set[str] = set()
+    for v in range(floor, latest + 1):
+        files, _ = _replay(entries, v)
+        keep.update(files)
+    data_dir = os.path.join(root, _DATA_DIR)
+    deleted = 0
+    for n in os.listdir(data_dir):
+        rel = os.path.join(_DATA_DIR, n)
+        if rel not in keep:
+            shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+            deleted += 1
+    marker = os.path.join(root, _FLOOR_MARKER)
+    tmp = marker + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"floor": floor}, f)
+    os.replace(tmp, marker)
+    return {"floor": floor, "deleted": deleted}
+
+
+def _read_floor(root: str) -> int:
+    marker = os.path.join(root, _FLOOR_MARKER)
+    if not os.path.exists(marker):
+        return 0
+    with open(marker) as f:
+        return json.load(f)["floor"]

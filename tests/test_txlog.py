@@ -151,3 +151,32 @@ def test_txlog_cdc_apply_roundtrip(spark, tmp_path):
     assert got == {(1, "a"), (2, "B"), (4, "d")}
     # version 0 still reads the pre-merge state
     assert txlog.read_table(spark, root, version=0).count() == 3
+
+
+def test_checkpoint_read_equals_full_replay(spark, tmp_path):
+    """read_table_from_checkpoint must equal read_table at every version,
+    with and without commits after the checkpoint."""
+    root = str(tmp_path / "t")
+    txlog.append_table(_df(spark, 0, 10), root)
+    txlog.append_table(_df(spark, 10, 20), root)
+    cp_v = txlog.checkpoint_log(root)
+    assert cp_v == 1
+    txlog.append_table(_df(spark, 20, 25), root)  # post-checkpoint commit
+    txlog.overwrite_table(_df(spark, 100, 103), root)
+    for v in (0, 1, 2, 3, None):
+        a = txlog.read_table(spark, root, version=v).count()
+        b = txlog.read_table_from_checkpoint(spark, root, version=v).count()
+        assert a == b, (v, a, b)
+
+
+def test_vacuum_deletes_unreferenced_and_sets_floor(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append_table(_df(spark, 0, 10), root)      # v0
+    txlog.overwrite_table(_df(spark, 50, 55), root)  # v1: v0's file unreferenced
+    txlog.append_table(_df(spark, 55, 58), root)     # v2
+    out = txlog.vacuum(root, retain_versions=2)      # keep v1, v2
+    assert out["floor"] == 1 and out["deleted"] == 1
+    assert txlog.read_table(spark, root).count() == 8
+    assert txlog.read_table(spark, root, version=1).count() == 5
+    with pytest.raises(ValueError):
+        txlog.read_table(spark, root, version=0)  # below the floor
