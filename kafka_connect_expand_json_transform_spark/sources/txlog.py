@@ -147,6 +147,7 @@ def _commit(root: str, op: str, df: DataFrame, expected_version: int | None = No
         "op": op,
         "files": [rel],
         "schema": df.schema.simpleString(),
+        "schema_json": df.schema.json(),
     }
     final = os.path.join(_log_path(root), _entry_name(version))
     # exclusive claim: O_CREAT|O_EXCL makes the loser of a same-version race
@@ -237,6 +238,7 @@ def foreach_batch_sink(root: str):
             "op": "append",
             "files": [rel],
             "schema": batch_df.schema.simpleString(),
+            "schema_json": batch_df.schema.json(),
             "batch_id": batch_id,
         }
         final = os.path.join(_log_path(root), _entry_name(version))
@@ -364,3 +366,91 @@ def _read_floor(root: str) -> int:
         return 0
     with open(marker) as f:
         return json.load(f)["floor"]
+
+
+def register_stream_source(spark: SparkSession) -> None:
+    """Register the ``txlogstream`` Python DataSource: a STREAMING source
+    over a txlog table with transactional visibility — each micro-batch is
+    a range of COMMITTED versions; data files sitting in ``data/`` without
+    a published log entry (in-flight or crashed writers) are invisible, the
+    property a raw file stream over the directory cannot give.  Offsets
+    are committed versions, so restart resumes exactly after the last
+    batch.  Usage::
+
+        register_stream_source(spark)
+        spark.readStream.format("txlogstream").option("path", root).load()
+
+    Caveat (same as the other Python stream readers): availableNow is not
+    supported by the Python DataSource API — drive with a processing-time
+    trigger and stop when the cursor reaches the table head."""
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+    from pyspark.sql.types import StructType
+
+    @dataclass
+    class _VersionRange(InputPartition):
+        root: str
+        start: int  # exclusive
+        end: int  # inclusive
+
+    class TxLogStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.root = options["path"]
+
+        def initialOffset(self) -> dict:
+            return {"version": -1}
+
+        def latestOffset(self) -> dict:
+            v = latest_version(self.root)
+            return {"version": -1 if v is None else v}
+
+        def partitions(self, start: dict, end: dict):
+            return [
+                _VersionRange(self.root, int(start["version"]), int(end["version"]))
+            ]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            entries = _list_entries(partition.root)
+            for e in entries:
+                if not (partition.start < e["version"] <= partition.end):
+                    continue
+                for rel in e["files"]:
+                    table = pq.read_table(os.path.join(partition.root, rel))
+                    for batch in table.to_batches():
+                        yield from zip(*[c.to_pylist() for c in batch.columns])
+
+        def commit(self, end: dict) -> None:
+            pass
+
+        def stop(self) -> None:
+            pass
+
+    class TxLogStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "txlogstream"
+
+        def schema(self):
+            entries = _list_entries(self.options["path"])
+            if not entries:
+                raise FileNotFoundError(
+                    f"no txlog table at {self.options['path']}"
+                )
+            # latest entry carrying a schema_json wins (runs in the
+            # planning worker: StructType.fromJson needs no SparkContext)
+            for e in reversed(entries):
+                if "schema_json" in e:
+                    return StructType.fromJson(json.loads(e["schema_json"]))
+            raise ValueError("txlog table has no schema_json entries")
+
+        def streamReader(self, schema):
+            return TxLogStreamReader(self.options)
+
+    spark.dataSource.register(TxLogStreamSource)

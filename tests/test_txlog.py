@@ -180,3 +180,47 @@ def test_vacuum_deletes_unreferenced_and_sets_floor(spark, tmp_path):
     assert txlog.read_table(spark, root, version=1).count() == 5
     with pytest.raises(ValueError):
         txlog.read_table(spark, root, version=0)  # below the floor
+
+
+def test_stream_source_reads_only_committed_versions(spark, tmp_path):
+    """The txlogstream source sees committed versions only: an orphan
+    parquet directory in data/ (in-flight writer) contributes nothing, and
+    a second run after a new commit picks up exactly the delta."""
+    import time
+
+    root = str(tmp_path / "t")
+    txlog.append_table(_df(spark, 0, 10), root)
+    # orphan data files: written but never committed (crashed writer)
+    _df(spark, 900, 950).write.parquet(
+        os.path.join(root, "data", "orphan.parquet")
+    )
+    txlog.register_stream_source(spark)
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("txlogstream")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        # Python stream readers lack availableNow: wait until the head is
+        # consumed (no more available data), then stop
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.lastProgress is not None and not q.status["isDataAvailable"]:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    assert drain() == 10  # orphan rows invisible
+    txlog.append_table(_df(spark, 10, 17), root)
+    # restart against the same checkpoint: only the new version arrives
+    assert drain() == 17
