@@ -14717,6 +14717,77 @@ def txlog_time_travel_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_CSV_EXPAND = """
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders GROUP BY 1
+"""
+
+
+@query("csv_expand_agg", _SQL_CSV_EXPAND)
+def csv_expand_agg(spark, sf_dir):
+    """CSV wire-format expansion as an EXPRESSION (``from_csv``) — the
+    comma-separated sibling of the from_json core and from_xml: order rows
+    serialized to CSV lines, parsed back to a typed struct entirely inside
+    codegen, and aggregated.  The oracle computes the same aggregate from
+    the raw columns, so the serialize→parse round trip is value-checked to
+    be the identity — the property a CSV-bus ingestion path needs.  Scale:
+    pure narrow projection (no UDF, no shuffle before the final agg), same
+    plan class as expand_json."""
+    o = load_table(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").cast(
+            "string"
+        ),
+    )
+    parsed = F.from_csv(line, F.lit("k BIGINT, st STRING, cents BIGINT"))
+    p = o.select(parsed.alias("p"))
+    return p.groupBy(F.col("p.st").alias("status")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("p.cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+_SQL_STRMAP = """
+    SELECT upper(p_brand) AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+    FROM part GROUP BY 1
+"""
+
+
+@query("strmap_funcs", _SQL_STRMAP)
+def strmap_funcs(spark, sf_dir):
+    """Delimited key:value config-string parsing (``str_to_map``) plus the
+    map higher-order functions ``transform_values`` / ``map_keys`` — the
+    surface that ingests "k1:v1,k2:v2" config/tag payloads without a UDF.
+    Parts serialize to a tag string, parse back to a map, values
+    upper-cased via transform_values, and the brand tag drives the
+    aggregation; the oracle computes the identical result from the raw
+    columns, proving the parse+transform chain is lossless.  Scale:
+    narrow codegen projection, one partial-aggregated groupBy."""
+    p = load_table(spark, sf_dir, "part")
+    s = F.concat(
+        F.lit("brand:"), F.col("p_brand"), F.lit(",type:"), F.col("p_type")
+    )
+    m = F.str_to_map(s, F.lit(","), F.lit(":"))
+    upper_m = F.transform_values(m, lambda k, v: F.upper(v))
+    t = p.select(
+        F.element_at(upper_m, "brand").alias("brand"),
+        F.element_at(upper_m, "type").alias("ptype"),
+        F.size(F.map_keys(m)).alias("nkeys"),
+    ).where(F.col("nkeys") == 2)
+    return t.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.count_distinct("ptype").cast("bigint").alias("n_types"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
