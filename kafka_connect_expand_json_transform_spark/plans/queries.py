@@ -14976,6 +14976,95 @@ def shard_rebalance_cost(spark, sf_dir):
     )
 
 
+_SQL_EXPECTATIONS = """
+    WITH n AS (SELECT COUNT(*) AS n FROM orders),
+    checks AS (
+      SELECT 'custkey_not_null' AS expectation,
+             (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS v
+      UNION ALL
+      SELECT 'totalprice_range',
+             (SELECT COUNT(*) FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND (o_totalprice < 0 OR o_totalprice > 1000000))
+      UNION ALL
+      SELECT 'status_accepted',
+             (SELECT COUNT(*) FROM orders
+              WHERE o_orderstatus IS NOT NULL
+                AND o_orderstatus NOT IN ('F', 'O', 'P'))
+      UNION ALL
+      SELECT 'priority_format',
+             (SELECT COUNT(*) FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+      UNION ALL
+      SELECT 'orderkey_positive',
+             (SELECT COUNT(*) FROM orders WHERE NOT (o_orderkey > 0))
+      UNION ALL
+      SELECT 'orderkey_unique',
+             (SELECT COALESCE(SUM(c), 0) FROM (
+                SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+                HAVING COUNT(*) > 1))
+      UNION ALL
+      SELECT 'custkey_fk_customer',
+             (SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)))
+    SELECT expectation,
+           CAST(n.n AS BIGINT) AS n_rows,
+           CAST(v AS BIGINT) AS n_violations,
+           CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM checks CROSS JOIN n
+"""
+
+
+@query("expectations_report", _SQL_EXPECTATIONS)
+def expectations_report(spark, sf_dir):
+    """Declarative data-quality expectations (the dbt-tests contract
+    layer, operators/expectations.py): seven named checks over orders —
+    null, range, accepted values, regex format, custom predicate,
+    uniqueness, and referential integrity — evaluated with the in-scan
+    checks sharing ONE aggregation pass (asserted in
+    test_expectations.py), as a long-form gate report.  Scale: adding an
+    in-scan expectation is free (same scan); unique adds one key-count
+    job, foreign_key one reduced anti-join."""
+    from kafka_connect_expand_json_transform_spark.operators.expectations import (
+        Expectation,
+        evaluate,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    suite = [
+        Expectation("custkey_not_null", "not_null", "o_custkey"),
+        Expectation(
+            "totalprice_range",
+            "accepted_range",
+            "o_totalprice",
+            {"min": 0, "max": 1000000},
+        ),
+        Expectation(
+            "status_accepted",
+            "accepted_values",
+            "o_orderstatus",
+            {"values": ["F", "O", "P"]},
+        ),
+        Expectation(
+            "priority_format",
+            "regex_match",
+            "o_orderpriority",
+            {"pattern": "^[1-5]-"},
+        ),
+        Expectation("orderkey_positive", "predicate", None, {"sql": "o_orderkey > 0"}),
+        Expectation("orderkey_unique", "unique", "o_orderkey"),
+        Expectation(
+            "custkey_fk_customer",
+            "foreign_key",
+            "o_custkey",
+            {"ref": c, "ref_column": "c_custkey"},
+        ),
+    ]
+    return evaluate(o, suite)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

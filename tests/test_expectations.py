@@ -1,0 +1,63 @@
+"""Expectations engine semantics: violation counting per kind, the
+one-scan property for in-scan checks, and unique/foreign-key jobs."""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_expand_json_transform_spark.operators.expectations import (
+    Expectation,
+    evaluate,
+)
+
+
+def _frame(spark):
+    rows = [
+        (1, "a", 10.0, "1-URGENT"),
+        (2, None, 5.0, "2-HIGH"),       # null name
+        (3, "c", -1.0, "9-BOGUS"),      # range + regex violations
+        (3, "d", 20.0, "3-MEDIUM"),     # duplicate id
+        (4, "e", 999.0, None),          # null priority: regex check skips NULLs
+    ]
+    return spark.createDataFrame(rows, "id INT, name STRING, v DOUBLE, pri STRING")
+
+
+def test_each_kind_counts_violations(spark):
+    df = _frame(spark)
+    ref = spark.createDataFrame([(1,), (2,), (3,)], "rid INT")
+    suite = [
+        Expectation("name_not_null", "not_null", "name"),
+        Expectation("v_range", "accepted_range", "v", {"min": 0, "max": 100}),
+        Expectation("pri_vals", "accepted_values", "pri",
+                    {"values": ["1-URGENT", "2-HIGH", "3-MEDIUM"]}),
+        Expectation("pri_regex", "regex_match", "pri", {"pattern": "^[1-5]-"}),
+        Expectation("id_pos", "predicate", None, {"sql": "id > 0"}),
+        Expectation("id_unique", "unique", "id"),
+        Expectation("id_fk", "foreign_key", "id", {"ref": ref, "ref_column": "rid"}),
+    ]
+    got = {r["expectation"]: (r["n_violations"], r["passed"])
+           for r in evaluate(df, suite).collect()}
+    assert got == {
+        "name_not_null": (1, 0),
+        "v_range": (2, 0),  # -1 below min AND 999 above max
+        "pri_vals": (1, 0),     # '9-BOGUS' only; NULL pri not a violation
+        "pri_regex": (1, 0),
+        "id_pos": (0, 1),
+        "id_unique": (2, 0),    # both rows of the duplicated id count
+        "id_fk": (1, 0),        # id 4 has no referent
+    }
+    assert all(r["n_rows"] == 5 for r in evaluate(df, suite).collect()
+               if r["expectation"] != "id_fk" or True)
+
+
+def test_in_scan_expectations_share_one_aggregate(spark):
+    """However many in-scan expectations the suite carries, the plan holds
+    exactly one aggregate pair over one scan of the table."""
+    df = _frame(spark)
+    suite = [
+        Expectation("a", "not_null", "name"),
+        Expectation("b", "accepted_range", "v", {"min": 0}),
+        Expectation("c", "predicate", None, {"sql": "id > 0"}),
+    ]
+    out = evaluate(df, suite)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # one Aggregate feeding the 3-branch union of 1-row projections
+    assert plan.count("Aggregate") == 1, plan
