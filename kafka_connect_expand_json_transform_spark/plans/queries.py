@@ -15065,6 +15065,89 @@ def expectations_report(spark, sf_dir):
     return evaluate(o, suite)
 
 
+_SQL_SALT_ADVISOR = """
+    WITH a AS (SELECT o_custkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+         b AS (SELECT c_custkey AS k, COUNT(*) AS cb FROM customer GROUP BY 1),
+         j AS (SELECT a.k, a.ca * b.cb AS prod FROM a JOIN b ON a.k = b.k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(prod) AS BIGINT) AS max_key_rows,
+           quantile_cont(prod, 0.95) AS p95_key_rows,
+           CAST(CEIL(CAST(MAX(prod) AS DOUBLE) / quantile_cont(prod, 0.95))
+                AS BIGINT) AS recommended_salt
+    FROM j
+"""
+
+
+@query("salting_advisor", _SQL_SALT_ADVISOR)
+def salting_advisor(spark, sf_dir):
+    """Skew-salting advisor for the orders-customer join: the hottest
+    key's row contribution over the P95 contribution, ceil'd — the salt
+    factor that splits the pathological key into typical-sized pieces
+    (AQE handles moderate skew; this is the number for the keys it
+    can't).  Derived entirely from the key-count tables (the join itself
+    never runs); Spark's interpolated percentile and DuckDB's
+    quantile_cont are bit-identical on identical int inputs.  Scale: two
+    partial-aggregated key counts and a count-table join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count("*").alias("ca"))
+    b = c.groupBy(F.col("c_custkey").alias("k")).agg(F.count("*").alias("cb"))
+    j = a.join(b, "k").select((F.col("ca") * F.col("cb")).alias("prod"))
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("prod").cast("bigint").alias("max_key_rows"),
+        F.expr("percentile(prod, 0.95)").alias("p95_key_rows"),
+        F.ceil(dbl(F.max("prod")) / F.expr("percentile(prod, 0.95)"))
+        .cast("bigint")
+        .alias("recommended_salt"),
+    )
+
+
+_SQL_CLUSTER_PURITY = f"""
+    WITH h AS (SELECT md5({_SQL_NORM_TEXT}) AS fp, lang FROM documents),
+    g AS (SELECT fp, COUNT(*) AS sz, COUNT(DISTINCT lang) AS nl
+          FROM h GROUP BY fp HAVING COUNT(*) >= 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_multi_clusters,
+           CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS docs_in_clusters,
+           CAST(COALESCE(SUM(CASE WHEN nl = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS pure_clusters,
+           CAST(COALESCE(SUM(CASE WHEN nl = 1 THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             / GREATEST(COUNT(*), 1) AS purity
+    FROM g
+"""
+
+
+@query("dedup_cluster_purity", _SQL_CLUSTER_PURITY)
+def dedup_cluster_purity(spark, sf_dir):
+    """Dedup-cluster label purity: among exact-duplicate clusters with 2+
+    members, the fraction whose members all share one language — impure
+    clusters mean the fingerprint is collapsing across metadata
+    boundaries (e.g. translated or mislabeled copies) and a
+    metadata-aware dedup key is needed.  The external-validation twin of
+    the silhouette score: labels judge clusters instead of geometry.
+    Scale: one groupBy on the 16-byte fingerprint carrying two small
+    counters, one single-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.groupBy(TXT.md5_fingerprint(F.col("text")).alias("fp"))
+        .agg(
+            F.count("*").alias("sz"),
+            F.count_distinct("lang").alias("nl"),
+        )
+        .where(F.col("sz") >= 2)
+    )
+    pure = F.sum(F.when(F.col("nl") == 1, 1).otherwise(0))
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_multi_clusters"),
+        F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("docs_in_clusters"),
+        F.coalesce(pure, F.lit(0)).cast("bigint").alias("pure_clusters"),
+        (
+            dbl(F.coalesce(pure, F.lit(0)))
+            / F.greatest(F.count("*"), F.lit(1).cast("bigint"))
+        ).alias("purity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
