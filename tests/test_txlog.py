@@ -224,3 +224,31 @@ def test_stream_source_reads_only_committed_versions(spark, tmp_path):
     txlog.append_table(_df(spark, 10, 17), root)
     # restart against the same checkpoint: only the new version arrives
     assert drain() == 17
+
+
+def test_erasure_requires_vacuum_past_the_floor(spark, tmp_path):
+    """GDPR-style deletion semantics, documented by test: an overwrite
+    commit removes a user's rows from the CURRENT snapshot, but the data
+    survives in historical versions until vacuum moves the floor past
+    them and deletes the unreferenced files — 'delete' in a versioned
+    table is a two-step contract."""
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "keep"), (2, "erase-me"), (3, "keep")], "id INT, s STRING"
+    )
+    txlog.append_table(base, root)
+    txlog.overwrite_table(
+        txlog.read_table(spark, root).where(F.col("id") != 2), root
+    )
+    # current snapshot is clean, but history still holds the row
+    assert txlog.read_table(spark, root).count() == 2
+    assert (
+        txlog.read_table(spark, root, version=0)
+        .where(F.col("id") == 2)
+        .count()
+        == 1
+    )
+    out = txlog.vacuum(root, retain_versions=1)
+    assert out["deleted"] == 1  # version 0's file is physically gone
+    with pytest.raises(ValueError):
+        txlog.read_table(spark, root, version=0)
