@@ -15195,6 +15195,129 @@ def event_debounce_report(spark, sf_dir):
     )
 
 
+_SQL_LITTLES_LAW = """
+    WITH u AS (SELECT user_id,
+                      MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+               FROM events GROUP BY user_id),
+    s AS (SELECT COUNT(*) AS n,
+                 SUM(t1 - t0) AS sum_dur,
+                 MIN(t0) AS lo, MAX(t1) AS hi
+          FROM u)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(hi - lo AS BIGINT) AS span_us,
+           CAST(sum_dur AS BIGINT) AS sum_duration_us,
+           CAST(sum_dur AS DOUBLE) / CAST(hi - lo AS DOUBLE) AS avg_concurrent,
+           CAST(n AS DOUBLE) * 3600000000.0 / CAST(hi - lo AS DOUBLE)
+             AS arrivals_per_hour,
+           CAST(sum_dur AS DOUBLE) / (CAST(n AS DOUBLE) * 60000000.0)
+             AS avg_duration_min
+    FROM s
+"""
+
+
+@query("littles_law_check", _SQL_LITTLES_LAW)
+def littles_law_check(spark, sf_dir):
+    """Little's law observability triple (L = lambda x W) over user
+    activity spans: time-averaged concurrent users, arrival rate, and
+    mean activity duration, all from ONE user-grain aggregate of exact
+    microsecond intervals — the three numbers that let capacity planning
+    cross-check any two against the third (measured exactly, the law is
+    an identity).  Scale: one partial-aggregated groupBy on user, one
+    single-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts)")).alias("t0"),
+        F.max(F.expr("unix_micros(ts)")).alias("t1"),
+    )
+    s = u.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("t1") - F.col("t0")).alias("sum_dur"),
+        F.min("t0").alias("lo"),
+        F.max("t1").alias("hi"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        (F.col("hi") - F.col("lo")).cast("bigint").alias("span_us"),
+        F.col("sum_dur").cast("bigint").alias("sum_duration_us"),
+        (dbl(F.col("sum_dur")) / dbl(F.col("hi") - F.col("lo"))).alias(
+            "avg_concurrent"
+        ),
+        (
+            dbl(F.col("n")) * F.lit(3600000000.0) / dbl(F.col("hi") - F.col("lo"))
+        ).alias("arrivals_per_hour"),
+        (dbl(F.col("sum_dur")) / (dbl(F.col("n")) * F.lit(60000000.0))).alias(
+            "avg_duration_min"
+        ),
+    )
+
+
+_SQL_CVAR = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+                        AS cents
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    l AS (SELECT -(cents - LAG(cents) OVER (ORDER BY day)) AS loss
+          FROM d),
+    q AS (SELECT loss FROM l WHERE loss IS NOT NULL),
+    v AS (SELECT quantile_cont(CAST(loss AS DOUBLE), 0.95) AS var95 FROM q)
+    SELECT CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_days,
+           v.var95 / 100.0 AS var95_dollars,
+           CAST((SELECT COUNT(*) FROM q WHERE CAST(loss AS DOUBLE) >= v.var95)
+                AS BIGINT) AS n_tail,
+           (SELECT CAST(SUM(loss) AS DOUBLE)
+            FROM q WHERE CAST(loss AS DOUBLE) >= v.var95)
+             / ((SELECT COUNT(*) FROM q WHERE CAST(loss AS DOUBLE) >= v.var95)
+                * 100.0) AS cvar_dollars
+    FROM v
+"""
+
+
+@query("historical_cvar", _SQL_CVAR)
+def historical_cvar(spark, sf_dir):
+    """Historical Value-at-Risk and Conditional VaR (expected shortfall)
+    of daily revenue: the 95th percentile of day-over-day revenue DROPS
+    and the mean drop beyond it — the risk pair that a point forecast
+    hides.  Losses are exact int64 cents; VaR is the interpolated
+    percentile (bit-identical across engines on identical ints); the
+    tail mean is an exact integer sum over the >= VaR subset divided
+    once.  Scale: daily grain after one groupBy; percentile and tail run
+    over |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    l = d.select(
+        (-(F.col("cents") - F.lag("cents").over(Window.orderBy("day")))).alias(
+            "loss"
+        )
+    ).where(F.col("loss").isNotNull())
+    l = l.localCheckpoint()  # feeds the percentile and the tail subset
+    var95 = l.agg(F.expr("percentile(CAST(loss AS DOUBLE), 0.95)").alias("v"))
+    tail = l.crossJoin(F.broadcast(var95)).where(
+        dbl(F.col("loss")) >= F.col("v")
+    )
+    stats = tail.agg(
+        F.count("*").alias("n_tail"),
+        F.sum("loss").alias("tail_sum"),
+        F.max("v").alias("var95"),
+    )
+    n_days = l.agg(F.count("*").alias("n_days"))
+    return stats.crossJoin(F.broadcast(n_days)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        (F.col("var95") / F.lit(100.0)).alias("var95_dollars"),
+        F.col("n_tail").cast("bigint").alias("n_tail"),
+        (dbl(F.col("tail_sum")) / (F.col("n_tail") * F.lit(100.0))).alias(
+            "cvar_dollars"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -100,6 +100,7 @@ _INTENTIONALLY_UNKEYED = {
     "theil_sen_trend",  # |days|^2 pair join on the tiny daily aggregate + 1-row attach
     "embedding_norm_outliers",  # 1-row moment aggregate broadcast back to rows
     "heaps_law_fit",  # ten 1-row prefix aggregates assembled into the OLS fit
+    "historical_cvar",  # 1-row VaR threshold broadcast back to the loss rows
 }
 
 
