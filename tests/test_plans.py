@@ -101,6 +101,7 @@ _INTENTIONALLY_UNKEYED = {
     "embedding_norm_outliers",  # 1-row moment aggregate broadcast back to rows
     "heaps_law_fit",  # ten 1-row prefix aggregates assembled into the OLS fit
     "historical_cvar",  # 1-row VaR threshold broadcast back to the loss rows
+    "winsorized_mean_values",  # 1-row P05/P95 caps broadcast back to the rows
 }
 
 
