@@ -15480,6 +15480,87 @@ def column_storage_report(spark, sf_dir):
     )
 
 
+_SQL_LEAD_LAG = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS clicks,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS buys
+               FROM events WHERE event_type IN ('click', 'purchase')
+               GROUP BY 1),
+    lags AS (SELECT k FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3))
+                    AS v(k)),
+    p AS (SELECT l.k, a.clicks AS x, b.buys AS y
+          FROM lags l
+          JOIN d a ON TRUE
+          JOIN d b ON b.day = a.day + l.k),
+    m AS (SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM p GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS lag_days,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS ccf
+    FROM m
+"""
+
+
+@query("lead_lag_ccf", _SQL_LEAD_LAG)
+def lead_lag_ccf(spark, sf_dir):
+    """Cross-correlation function between daily clicks and purchases at
+    lags -3..+3 days — the lead-lag detector (does click volume PREDICT
+    purchases days later, or trail it?) that autocorrelation can't see
+    because it stays within one series.  Every Pearson term is an exact
+    int64 moment over the lag-joined daily table (equi join on day+k);
+    doubles appear only in the one mirrored closing expression.  Scale:
+    the daily aggregate is the only corpus shuffle; the 7-lag fan-out and
+    moments run on |days| x 7 tiny rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "clicks"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("buys"),
+        )
+        .localCheckpoint()  # both sides of the lag join
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("bigint").alias("k"))
+    a = d.select(F.col("day").alias("da"), F.col("clicks").alias("x"))
+    b = d.select(F.col("day").alias("db"), F.col("buys").alias("y"))
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("k"))
+        .select("k", "x", "y")
+    )
+    m = p.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.select(
+        F.col("k").cast("bigint").alias("lag_days"),
+        F.col("n").cast("bigint").alias("n_days"),
+        (
+            dbl(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(dbl(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+                * F.sqrt(
+                    dbl(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                )
+            )
+        ).alias("ccf"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

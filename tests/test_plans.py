@@ -102,6 +102,7 @@ _INTENTIONALLY_UNKEYED = {
     "heaps_law_fit",  # ten 1-row prefix aggregates assembled into the OLS fit
     "historical_cvar",  # 1-row VaR threshold broadcast back to the loss rows
     "winsorized_mean_values",  # 1-row P05/P95 caps broadcast back to the rows
+    "lead_lag_ccf",  # 7-row lag dimension broadcast against the daily aggregate
 }
 
 
