@@ -15561,6 +15561,121 @@ def lead_lag_ccf(spark, sf_dir):
     )
 
 
+_SQL_BURROWS_DELTA = """
+    WITH toks AS (SELECT source,
+                         unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                               '\\s+'),
+                                            x -> x <> '')) AS w
+                  FROM documents),
+    tot AS (SELECT source, COUNT(*) AS t FROM toks GROUP BY source),
+    top AS (SELECT w FROM (
+              SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS r
+              FROM toks GROUP BY w) WHERE r <= 20),
+    f AS (SELECT t.source, c.w,
+                 CAST(FLOOR(CAST(c.n AS DOUBLE) * 1000000
+                            / CAST(t.t AS DOUBLE)) AS BIGINT) AS ppm
+          FROM (SELECT source, w, COUNT(*) AS n
+                FROM toks JOIN top USING (w) GROUP BY source, w) c
+          JOIN tot t ON t.source = c.source),
+    m AS (SELECT w, COUNT(*) AS k, SUM(ppm) AS s, SUM(ppm * ppm) AS ss
+          FROM f GROUP BY w),
+    z AS (SELECT f.source, f.w,
+                 (CAST(f.ppm AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.k AS DOUBLE))
+                 / SQRT((CAST(m.k AS DOUBLE) * CAST(m.ss AS DOUBLE)
+                         - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                        / (CAST(m.k AS DOUBLE) * CAST(m.k AS DOUBLE))) AS zs
+          FROM f JOIN m ON m.w = f.w
+          WHERE m.k * m.ss - m.s * m.s > 0),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(FLOOR(ABS(a.zs - b.zs) * 1000000) AS BIGINT) AS term
+              FROM z a JOIN z b ON a.w = b.w AND a.source < b.source)
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(term) AS BIGINT) AS delta_micro_sum,
+           CAST(SUM(term) AS DOUBLE) / (COUNT(*) * 1000000.0) AS burrows_delta
+    FROM pairs GROUP BY src_a, src_b
+"""
+
+
+@query("burrows_delta_sources", _SQL_BURROWS_DELTA)
+def burrows_delta_sources(spark, sf_dir):
+    """Burrows' Delta stylometry between sources: each source's relative
+    frequency of the corpus' top-20 tokens, z-scored ACROSS sources per
+    token, and pairwise mean |z_a - z_b| — the classical
+    authorship/provenance distance that flags which sources write alike
+    (a mislabeled scrape shows up as an anomalously small delta).
+    Frequencies quantize to exact ppm int64; z-scores are mirrored double
+    expressions over exact 5-source moments; each pair term quantizes to
+    micro-units BEFORE summation so the 20-term sum is integer.  Scale:
+    token counts are partial-aggregated; everything after runs on
+    20 x sources tiny rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(TXT.tokens(F.col("text"))).alias("w")
+    ).localCheckpoint()  # feeds totals, the top-20 rank, and per-source counts
+    tot = toks.groupBy("source").agg(F.count("*").alias("t"))
+    top = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "w"))
+            .alias("r"),
+        )
+        .where(F.col("r") <= 20)
+        .select("w")
+    )
+    c = toks.join(F.broadcast(top), "w").groupBy("source", "w").agg(
+        F.count("*").alias("n")
+    )
+    f = c.join(tot, "source").select(
+        "source",
+        "w",
+        F.floor(dbl(F.col("n")) * 1000000 / dbl(F.col("t")))
+        .cast("bigint")
+        .alias("ppm"),
+    )
+    m = f.groupBy("w").agg(
+        F.count("*").alias("k"),
+        F.sum("ppm").alias("s"),
+        F.sum(F.col("ppm") * F.col("ppm")).alias("ss"),
+    )
+    varn = dbl(F.col("k") * F.col("ss") - F.col("s") * F.col("s"))
+    z = (
+        f.join(m, "w")
+        .where(F.col("k") * F.col("ss") - F.col("s") * F.col("s") > 0)
+        .select(
+            "source",
+            "w",
+            (
+                (dbl(F.col("ppm")) - dbl(F.col("s")) / dbl(F.col("k")))
+                / F.sqrt(varn / (dbl(F.col("k")) * dbl(F.col("k"))))
+            ).alias("zs"),
+        )
+    )
+    a = z.select(
+        F.col("w"), F.col("source").alias("src_a"), F.col("zs").alias("za")
+    )
+    b = z.select(
+        F.col("w"), F.col("source").alias("src_b"), F.col("zs").alias("zb")
+    )
+    pairs = a.join(b, "w").where(F.col("src_a") < F.col("src_b")).select(
+        "src_a",
+        "src_b",
+        F.floor(F.abs(F.col("za") - F.col("zb")) * 1000000)
+        .cast("bigint")
+        .alias("term"),
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("term").cast("bigint").alias("delta_micro_sum"),
+        (dbl(F.sum("term")) / (F.count("*") * F.lit(1000000.0))).alias(
+            "burrows_delta"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
