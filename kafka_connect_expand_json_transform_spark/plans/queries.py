@@ -15676,6 +15676,97 @@ def burrows_delta_sources(spark, sf_dir):
     )
 
 
+_SQL_IPF = """
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) AS t, COUNT(DISTINCT seg) AS nseg,
+                   COUNT(DISTINCT pri) AS npri FROM cells),
+    w0 AS (SELECT seg, pri, n, n * 1000000 AS w FROM cells),
+    r1 AS (SELECT w0.seg, w0.pri, w0.n,
+                  CAST(FLOOR(CAST(w0.w AS DOUBLE)
+                             * CAST((SELECT t * 1000000 // nseg FROM tot)
+                                    AS DOUBLE)
+                             / CAST(rs.s AS DOUBLE)) AS BIGINT) AS w
+           FROM w0 JOIN (SELECT seg, SUM(w) AS s FROM w0 GROUP BY seg) rs
+                  ON rs.seg = w0.seg),
+    c1 AS (SELECT r1.seg, r1.pri, r1.n,
+                  CAST(FLOOR(CAST(r1.w AS DOUBLE)
+                             * CAST((SELECT t * 1000000 // npri FROM tot)
+                                    AS DOUBLE)
+                             / CAST(cs.s AS DOUBLE)) AS BIGINT) AS w
+           FROM r1 JOIN (SELECT pri, SUM(w) AS s FROM r1 GROUP BY pri) cs
+                  ON cs.pri = r1.pri)
+    SELECT seg, pri,
+           CAST(n AS BIGINT) AS n,
+           CAST(w AS BIGINT) AS weight_micro,
+           CAST(w AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS raking_factor
+    FROM c1
+"""
+
+
+@query("ipf_raking_weights", _SQL_IPF)
+def ipf_raking_weights(spark, sf_dir):
+    """Survey raking / iterative proportional fitting: one row-round plus
+    one column-round of IPF reweights the (segment x priority) cell
+    counts toward uniform margins — the post-stratification weighting
+    every survey/experiment platform applies when its sample's mix
+    doesn't match the population's.  Weights are micro-unit int64 with
+    the scale multiply done in mirrored doubles and floored per round
+    (the fixed-point discipline that lets an ITERATIVE algorithm be
+    value-checked by a chained-CTE oracle, like the k-means rounds).
+    Scale: the corpus shuffle is the one cell aggregate; both IPF rounds
+    run on 25 cells + 5-row margin tables."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # three consumers: totals + two margin rounds
+    )
+    tot = cells.agg(
+        F.sum("n").alias("t"),
+        F.count_distinct("seg").alias("nseg"),
+        F.count_distinct("pri").alias("npri"),
+    ).collect()[0]
+    row_target = (tot["t"] * 1_000_000) // tot["nseg"]
+    col_target = (tot["t"] * 1_000_000) // tot["npri"]
+    w0 = cells.select("seg", "pri", "n", (F.col("n") * 1_000_000).alias("w"))
+    rs = w0.groupBy("seg").agg(F.sum("w").alias("s"))
+    r1 = w0.join(rs, "seg").select(
+        "seg",
+        "pri",
+        "n",
+        F.floor(dbl(F.col("w")) * F.lit(float(row_target)) / dbl(F.col("s")))
+        .cast("bigint")
+        .alias("w"),
+    )
+    cs = r1.groupBy("pri").agg(F.sum("w").alias("s"))
+    c1 = r1.join(cs, "pri").select(
+        "seg",
+        "pri",
+        "n",
+        F.floor(dbl(F.col("w")) * F.lit(float(col_target)) / dbl(F.col("s")))
+        .cast("bigint")
+        .alias("w"),
+    )
+    return c1.select(
+        "seg",
+        "pri",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("w").cast("bigint").alias("weight_micro"),
+        (dbl(F.col("w")) / (dbl(F.col("n")) * F.lit(1000000.0))).alias(
+            "raking_factor"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
