@@ -15767,6 +15767,190 @@ def ipf_raking_weights(spark, sf_dir):
     )
 
 
+# ln(k)*1e6 for the three R/S block sizes — universal constants
+import math as _math_mod
+
+_HURST_SIZES = [8, 16, 32]
+_HURST_LNK = {k: _math_mod.floor(_math_mod.log(k) * 1_000_000) for k in _HURST_SIZES}
+
+_SQL_HURST = f"""
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+                        AS x
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    i AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS idx FROM d),
+    f AS (SELECT s.k, i.idx // s.k AS blk, i.idx, i.x
+          FROM i CROSS JOIN (VALUES (8), (16), (32)) AS s(k)),
+    bs AS (SELECT k, blk, SUM(x) AS sb, COUNT(*) AS cnt
+           FROM f GROUP BY k, blk),
+    dv AS (SELECT f.k, f.blk, f.idx, f.k * f.x - bs.sb AS dev
+           FROM f JOIN bs ON bs.k = f.k AND bs.blk = f.blk
+           WHERE bs.cnt = f.k),
+    cm AS (SELECT k, blk, dev,
+                  SUM(dev) OVER (PARTITION BY k, blk ORDER BY idx
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+           FROM dv),
+    rb AS (SELECT k, blk,
+                  MAX(cum) - MIN(cum) AS r_scaled,
+                  SUM(dev * dev) AS sdev2
+           FROM cm GROUP BY k, blk),
+    q AS (SELECT k, blk,
+                 CAST(FLOOR(CAST(r_scaled AS DOUBLE) * SQRT(CAST(k AS DOUBLE))
+                            / SQRT(CAST(sdev2 AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS rs_micro
+          FROM rb WHERE sdev2 > 0),
+    pk AS (SELECT k, COUNT(*) AS nb, SUM(rs_micro) AS sq FROM q GROUP BY k),
+    pts AS (SELECT k,
+                   CAST(CASE WHEN k = 8 THEN {_HURST_LNK[8]}
+                             WHEN k = 16 THEN {_HURST_LNK[16]}
+                             ELSE {_HURST_LNK[32]} END AS BIGINT) AS lx,
+                   CAST(FLOOR(LN(CAST(sq AS DOUBLE)
+                                 / (CAST(nb AS DOUBLE) * 1000000.0))
+                              * 1000000) AS BIGINT) AS ly,
+                   nb, sq
+            FROM pk),
+    m AS (SELECT COUNT(*) AS np, SUM(lx) AS sx, SUM(ly) AS sy,
+                 SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+          FROM pts)
+    SELECT CAST((SELECT COUNT(*) FROM i) AS BIGINT) AS n_days,
+           CAST((SELECT sq FROM pts WHERE k = 8) AS DOUBLE)
+             / (CAST((SELECT nb FROM pts WHERE k = 8) AS DOUBLE) * 1000000.0)
+             AS mean_rs_8,
+           CAST((SELECT sq FROM pts WHERE k = 32) AS DOUBLE)
+             / (CAST((SELECT nb FROM pts WHERE k = 32) AS DOUBLE) * 1000000.0)
+             AS mean_rs_32,
+           CAST(m.np * m.sxy - m.sx * m.sy AS DOUBLE)
+             / CAST(m.np * m.sxx - m.sx * m.sx AS DOUBLE) AS hurst
+    FROM m
+"""
+
+
+@query("hurst_exponent_rs", _SQL_HURST)
+def hurst_exponent_rs(spark, sf_dir):
+    """Hurst exponent via rescaled-range (R/S) analysis of daily revenue:
+    mean R/S over full blocks of 8/16/32 days, ln-ln OLS slope = H — the
+    long-memory detector (H>0.5 trending, H<0.5 mean-reverting, 0.5 a
+    random walk) that completes the serial-structure family next to the
+    runs test and autocorrelation.  Block deviations scale by k so every
+    cumulative sum and squared sum is exact int64 (headroom to ~sf1 of
+    daily cents, the gini ceiling discipline); per-block R/S quantizes to
+    micro-units; ln enters once per block size (3 values, boundary
+    clearance asserted in test_fixture_domains) with ln(k) as literal
+    constants.  Scale: daily grain after one groupBy; the x3 block
+    fan-out and windows run on |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)")
+            ).alias("x")
+        )
+    )
+    i = d.select(
+        "x", (F.row_number().over(Window.orderBy("day")) - 1).alias("idx")
+    ).localCheckpoint()  # feeds the 3-size fan-out and the n_days count
+    sizes = spark.createDataFrame([(k,) for k in _HURST_SIZES], "k INT")
+    f = i.crossJoin(F.broadcast(sizes)).select(
+        "k", F.expr("idx div k").alias("blk"), "idx", "x"
+    )
+    bs = f.groupBy("k", "blk").agg(
+        F.sum("x").alias("sb"), F.count("*").alias("cnt")
+    )
+    dv = (
+        f.join(bs, ["k", "blk"])
+        .where(F.col("cnt") == F.col("k"))
+        .select("k", "blk", "idx", (F.col("k") * F.col("x") - F.col("sb")).alias("dev"))
+    )
+    wcum = (
+        Window.partitionBy("k", "blk")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cm = dv.select("k", "blk", "dev", F.sum("dev").over(wcum).alias("cum"))
+    rb = cm.groupBy("k", "blk").agg(
+        (F.max("cum") - F.min("cum")).alias("r_scaled"),
+        F.sum(F.col("dev") * F.col("dev")).alias("sdev2"),
+    )
+    q = rb.where(F.col("sdev2") > 0).select(
+        "k",
+        F.floor(
+            dbl(F.col("r_scaled"))
+            * F.sqrt(dbl(F.col("k")))
+            / F.sqrt(dbl(F.col("sdev2")))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("rs_micro"),
+    )
+    pk = q.groupBy("k").agg(
+        F.count("*").alias("nb"), F.sum("rs_micro").alias("sq")
+    )
+    lnk = F.element_at(
+        F.create_map(
+            *[
+                x
+                for k in _HURST_SIZES
+                for x in (F.lit(k), F.lit(_HURST_LNK[k]))
+            ]
+        ),
+        F.col("k"),
+    )
+    pts = pk.select(
+        "k",
+        "nb",
+        "sq",
+        lnk.cast("bigint").alias("lx"),
+        F.floor(
+            F.log(dbl(F.col("sq")) / (dbl(F.col("nb")) * F.lit(1000000.0)))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("ly"),
+    ).localCheckpoint()  # feeds the OLS moments and the per-k report columns
+    m = pts.agg(
+        F.count("*").alias("np"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    nd = i.agg(F.count("*").alias("n_days"))
+    # aggregates, not filtered selects: a missing block size must yield a
+    # NULL column (matching the oracle's scalar subquery), never zero rows
+    r8 = pts.agg(
+        F.max(
+            F.when(
+                F.col("k") == 8,
+                dbl(F.col("sq")) / (dbl(F.col("nb")) * F.lit(1000000.0)),
+            )
+        ).alias("mean_rs_8")
+    )
+    r32 = pts.agg(
+        F.max(
+            F.when(
+                F.col("k") == 32,
+                dbl(F.col("sq")) / (dbl(F.col("nb")) * F.lit(1000000.0)),
+            )
+        ).alias("mean_rs_32")
+    )
+    return (
+        m.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(r8))
+        .crossJoin(F.broadcast(r32))
+        .select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            "mean_rs_8",
+            "mean_rs_32",
+            (
+                dbl(F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / dbl(F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            ).alias("hurst"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -349,3 +349,47 @@ def test_heaps_ln_quantization_clear_of_boundaries(ddb):
     dist = np.abs(q - np.round(q))
     worst = float(dist.min())
     assert worst > 1e-5, f"ln(x)*1e6 within {worst:.2e} of a boundary"
+
+
+def test_hurst_ln_quantization_clear_of_boundaries(ddb):
+    """hurst_exponent_rs quantizes floor(ln(mean R/S)*1e6) once per block
+    size: recompute the three mean-R/S values on the live fixture and
+    assert each is clear of a micro-nat boundary."""
+    import numpy as np
+
+    rows = ddb.execute(
+        """
+        WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+                            AS x
+                   FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        i AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS idx FROM d),
+        f AS (SELECT s.k, i.idx // s.k AS blk, i.idx, i.x
+              FROM i CROSS JOIN (VALUES (8), (16), (32)) AS s(k)),
+        bs AS (SELECT k, blk, SUM(x) AS sb, COUNT(*) AS cnt
+               FROM f GROUP BY k, blk),
+        dv AS (SELECT f.k, f.blk, f.idx, f.k * f.x - bs.sb AS dev
+               FROM f JOIN bs ON bs.k = f.k AND bs.blk = f.blk
+               WHERE bs.cnt = f.k),
+        cm AS (SELECT k, blk, dev,
+                      SUM(dev) OVER (PARTITION BY k, blk ORDER BY idx
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+               FROM dv),
+        rb AS (SELECT k, blk, MAX(cum) - MIN(cum) AS r_scaled,
+                      SUM(dev * dev) AS sdev2
+               FROM cm GROUP BY k, blk),
+        q AS (SELECT k,
+                     CAST(FLOOR(CAST(r_scaled AS DOUBLE)
+                                * SQRT(CAST(k AS DOUBLE))
+                                / SQRT(CAST(sdev2 AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS rs_micro
+              FROM rb WHERE sdev2 > 0)
+        SELECT CAST(SUM(rs_micro) AS DOUBLE) / (COUNT(*) * 1000000.0)
+        FROM q GROUP BY k
+        """
+    ).fetchall()
+    vals = np.array([r[0] for r in rows], dtype=np.float64)
+    qv = np.log(vals) * 1e6
+    dist = np.abs(qv - np.round(qv))
+    worst = float(dist.min())
+    assert worst > 1e-5, f"ln(mean R/S)*1e6 within {worst:.2e} of a boundary"
