@@ -16137,6 +16137,209 @@ def eb_shrunk_rates(spark, sf_dir):
     )
 
 
+_SQL_KISH = """
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri, COUNT(*) AS n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) AS t, COUNT(DISTINCT seg) AS nseg,
+                   COUNT(DISTINCT pri) AS npri FROM cells),
+    w0 AS (SELECT seg, pri, n, n * 1000000 AS w FROM cells),
+    r1 AS (SELECT w0.seg, w0.pri, w0.n,
+                  CAST(FLOOR(CAST(w0.w AS DOUBLE)
+                             * CAST((SELECT t * 1000000 // nseg FROM tot)
+                                    AS DOUBLE)
+                             / CAST(rs.s AS DOUBLE)) AS BIGINT) AS w
+           FROM w0 JOIN (SELECT seg, SUM(w) AS s FROM w0 GROUP BY seg) rs
+                  ON rs.seg = w0.seg),
+    c1 AS (SELECT r1.seg, r1.pri, r1.n,
+                  CAST(FLOOR(CAST(r1.w AS DOUBLE)
+                             * CAST((SELECT t * 1000000 // npri FROM tot)
+                                    AS DOUBLE)
+                             / CAST(cs.s AS DOUBLE)) AS BIGINT) AS w
+           FROM r1 JOIN (SELECT pri, SUM(w) AS s FROM r1 GROUP BY pri) cs
+                  ON cs.pri = r1.pri),
+    u AS (SELECT n, CAST(w AS DOUBLE) / CAST(n AS DOUBLE) AS uw FROM c1),
+    m AS (SELECT SUM(n) AS nn,
+                 SUM(n * uw) AS sw,
+                 SUM(n * uw * uw) AS sww
+          FROM u)
+    SELECT CAST(nn AS BIGINT) AS n_units,
+           CAST(nn AS DOUBLE) * sww / (sw * sw) AS kish_deff,
+           CAST(nn AS DOUBLE) / (CAST(nn AS DOUBLE) * sww / (sw * sw))
+             AS effective_n
+    FROM m
+"""
+
+
+@query("kish_design_effect", _SQL_KISH)
+def kish_design_effect(spark, sf_dir):
+    """Kish design effect of the IPF raking weights: deff = n·Σw²/(Σw)²
+    over per-unit weights — the variance-inflation price of the
+    rebalancing that ipf_raking_weights buys, and the effective sample
+    size left after weighting (the number every weighted analysis must
+    quote instead of raw n).  Per-unit weights expand from the cell
+    weights analytically (n_cell copies of w_cell/n_cell — no row
+    explosion); sums are mirrored doubles of exact fixed-point inputs.
+    Scale: identical to the IPF query — one cell aggregate, 25-row
+    arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    tot = cells.agg(
+        F.sum("n").alias("t"),
+        F.count_distinct("seg").alias("nseg"),
+        F.count_distinct("pri").alias("npri"),
+    ).collect()[0]
+    row_target = (tot["t"] * 1_000_000) // tot["nseg"]
+    col_target = (tot["t"] * 1_000_000) // tot["npri"]
+    w0 = cells.select("seg", "pri", "n", (F.col("n") * 1_000_000).alias("w"))
+    rs = w0.groupBy("seg").agg(F.sum("w").alias("s"))
+    r1 = w0.join(rs, "seg").select(
+        "seg",
+        "pri",
+        "n",
+        F.floor(dbl(F.col("w")) * F.lit(float(row_target)) / dbl(F.col("s")))
+        .cast("bigint")
+        .alias("w"),
+    )
+    cs = r1.groupBy("pri").agg(F.sum("w").alias("s"))
+    c1 = r1.join(cs, "pri").select(
+        "n",
+        (
+            F.floor(
+                dbl(F.col("w")) * F.lit(float(col_target)) / dbl(F.col("s"))
+            )
+            .cast("bigint")
+            .cast("double")
+            / dbl(F.col("n"))
+        ).alias("uw"),
+    )
+    m = c1.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.col("n") * F.col("uw")).alias("sw"),
+        F.sum(F.col("n") * F.col("uw") * F.col("uw")).alias("sww"),
+    )
+    deff = dbl(F.col("nn")) * F.col("sww") / (F.col("sw") * F.col("sw"))
+    return m.select(
+        F.col("nn").cast("bigint").alias("n_units"),
+        deff.alias("kish_deff"),
+        (dbl(F.col("nn")) / deff).alias("effective_n"),
+    )
+
+
+_SQL_SMD = """
+    WITH u AS (SELECT user_id, user_id % 2 AS v,
+                      COUNT(*) AS n_events,
+                      SUM(CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT))
+                        AS dollars
+               FROM events GROUP BY user_id),
+    m AS (SELECT
+            SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n0,
+            SUM(CASE WHEN v = 0 THEN n_events ELSE 0 END) AS se0,
+            SUM(CASE WHEN v = 0 THEN n_events * n_events ELSE 0 END) AS sse0,
+            SUM(CASE WHEN v = 0 THEN dollars ELSE 0 END) AS sd0,
+            SUM(CASE WHEN v = 0 THEN dollars * dollars ELSE 0 END) AS ssd0,
+            SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n1,
+            SUM(CASE WHEN v = 1 THEN n_events ELSE 0 END) AS se1,
+            SUM(CASE WHEN v = 1 THEN n_events * n_events ELSE 0 END) AS sse1,
+            SUM(CASE WHEN v = 1 THEN dollars ELSE 0 END) AS sd1,
+            SUM(CASE WHEN v = 1 THEN dollars * dollars ELSE 0 END) AS ssd1
+          FROM u),
+    f AS (SELECT 'n_events' AS covariate,
+                 CAST(se1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(se0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_diff,
+                 (CAST(n1 * sse1 - se1 * se1 AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+                  + CAST(n0 * sse0 - se0 * se0 AS DOUBLE)
+                    / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))) / 2.0
+                   AS pooled_var
+          FROM m
+          UNION ALL
+          SELECT 'dollars',
+                 CAST(sd1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(sd0 AS DOUBLE) / CAST(n0 AS DOUBLE),
+                 (CAST(n1 * ssd1 - sd1 * sd1 AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+                  + CAST(n0 * ssd0 - sd0 * sd0 AS DOUBLE)
+                    / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))) / 2.0
+          FROM m)
+    SELECT covariate, mean_diff,
+           mean_diff / SQRT(pooled_var) AS smd
+    FROM f
+"""
+
+
+@query("smd_balance_report", _SQL_SMD)
+def smd_balance_report(spark, sf_dir):
+    """Covariate balance audit via standardized mean differences: per
+    pre-treatment covariate (event count, floor-dollar spend per user),
+    the treat-control mean gap over the pooled standard deviation —
+    |SMD| < 0.1 is the conventional "balanced" bar that randomization
+    checks and propensity matching both report before anyone reads the
+    outcome.  All moments are exact int64 from one user-grain scan;
+    mean_diff and SMD are mirrored double expressions.  Scale: one
+    groupBy(user), a 1-row moment aggregate, 2-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.expr("CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT)")
+            ).alias("dollars"),
+        )
+        .withColumn("v", F.col("user_id") % 2)
+    )
+    m = u.agg(
+        *[
+            F.sum(
+                F.when(F.col("v") == side, expr).otherwise(0)
+            ).alias(f"{name}{side}")
+            for side in (0, 1)
+            for name, expr in (
+                ("n", F.lit(1)),
+                ("se", F.col("n_events")),
+                ("sse", F.col("n_events") * F.col("n_events")),
+                ("sd", F.col("dollars")),
+                ("ssd", F.col("dollars") * F.col("dollars")),
+            )
+        ]
+    ).localCheckpoint()  # 1 row; two covariate branches must not re-scan
+
+    def cov_row(tag, s, ss):
+        mean_diff = dbl(F.col(f"{s}1")) / dbl(F.col("n1")) - dbl(
+            F.col(f"{s}0")
+        ) / dbl(F.col("n0"))
+        pooled = (
+            dbl(
+                F.col("n1") * F.col(f"{ss}1") - F.col(f"{s}1") * F.col(f"{s}1")
+            )
+            / (dbl(F.col("n1")) * dbl(F.col("n1") - 1))
+            + dbl(
+                F.col("n0") * F.col(f"{ss}0") - F.col(f"{s}0") * F.col(f"{s}0")
+            )
+            / (dbl(F.col("n0")) * dbl(F.col("n0") - 1))
+        ) / F.lit(2.0)
+        return m.select(
+            F.lit(tag).alias("covariate"),
+            mean_diff.alias("mean_diff"),
+            (mean_diff / F.sqrt(pooled)).alias("smd"),
+        )
+
+    return cov_row("n_events", "se", "sse").unionAll(
+        cov_row("dollars", "sd", "ssd")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
