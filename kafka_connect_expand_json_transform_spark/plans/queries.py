@@ -16340,6 +16340,63 @@ def smd_balance_report(spark, sf_dir):
     )
 
 
+_SQL_DYN_SESSION = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+                      CASE WHEN event_type = 'purchase'
+                           THEN 1800000000 ELSE 600000000 END AS gap
+               FROM events),
+    w AS (SELECT user_id, t, gap,
+                 MAX(t + gap) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_end
+          FROM e),
+    s AS (SELECT user_id, t, gap,
+                 SUM(CASE WHEN prev_end IS NULL OR t >= prev_end
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS sid
+          FROM w),
+    g AS (SELECT user_id, sid, COUNT(*) AS n_ev,
+                 MIN(t) AS st, MAX(t + gap) AS en
+          FROM s GROUP BY user_id, sid)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(SUM(en - st) AS BIGINT) AS sum_span_us,
+           CAST(SUM(n_ev) AS DOUBLE) / COUNT(*) AS events_per_session
+    FROM g
+"""
+
+
+@query("dynamic_session_windows", _SQL_DYN_SESSION)
+def dynamic_session_windows(spark, sf_dir):
+    """Session windows with a PER-EVENT dynamic gap (Spark 3.2+
+    ``session_window`` with a Column gap): purchases hold a session open
+    for 30 minutes, everything else for 10 — the engagement-weighted
+    sessionization static gaps can't express.  The oracle replays Spark's
+    merge rule in SQL (sessions merge while an event starts before the
+    running max of previous window ends), so the native operator's
+    semantics — not just its row count — are value-checked.  Scale: one
+    shuffle on user for the native session window; the oracle's
+    twin-window formulation shares the same single exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    g = ev.groupBy(
+        F.session_window("ts", gap).alias("sw"), "user_id"
+    ).agg(F.count("*").alias("n_ev"))
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.sum(
+            F.expr("unix_micros(sw.end) - unix_micros(sw.start)")
+        )
+        .cast("bigint")
+        .alias("sum_span_us"),
+        (dbl(F.sum("n_ev")) / F.count("*")).alias("events_per_session"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
