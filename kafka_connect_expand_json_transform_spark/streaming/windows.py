@@ -61,14 +61,16 @@ def sliding_window_agg(
 def session_window_agg(
     df: DataFrame,
     ts_col: str,
-    gap: str,
+    gap: str | Column,
     aggs: Mapping[str, Column],
     keys: Sequence[str] = (),
     watermark: str | None = None,
 ) -> DataFrame:
     """Dynamic-size session windows: events of a key merge while consecutive
-    gaps stay under ``gap``. Streaming requires a watermark (unbounded state
-    otherwise) — enforced here rather than left to a runtime error."""
+    gaps stay under ``gap`` — a duration string, or a Column expression for
+    PER-EVENT dynamic gaps (Spark 3.2+). Streaming requires a watermark
+    (unbounded state otherwise) — enforced here rather than left to a
+    runtime error."""
     if df.isStreaming and not watermark:
         raise ValueError("streaming session windows require a watermark")
     df = _with_watermark(df, ts_col, watermark)

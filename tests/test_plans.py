@@ -104,6 +104,7 @@ _INTENTIONALLY_UNKEYED = {
     "winsorized_mean_values",  # 1-row P05/P95 caps broadcast back to the rows
     "lead_lag_ccf",  # 7-row lag dimension broadcast against the daily aggregate
     "hurst_exponent_rs",  # 3-row size dimension + 1-row OLS/report attachments
+    "bloom_join_prefilter_report",  # four 1-row counts assembled into one row
 }
 
 

@@ -517,3 +517,22 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert len(rows) == 6
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3, 3, 4, 5]
+
+
+def test_session_window_dynamic_gap_streaming(spark, events_path):
+    """Per-event dynamic session gap (Column gap) in a REAL stream: alice
+    holds sessions open 30 minutes (so 10:00/10:05/10:30 merge into ONE
+    session), bob stays at 10 minutes (two sessions as before)."""
+    stream = file_stream_source(spark, events_path, EVENT_SCHEMA)
+    gap = F.when(F.col("user") == "alice", "30 minutes").otherwise("10 minutes")
+    agg = session_window_agg(
+        stream,
+        "ts",
+        gap,
+        {"n": F.count("*")},
+        keys=["user"],
+        watermark="1 minute",
+    )
+    out = run_to_table(spark, agg, output_mode="complete").collect()
+    per_user = sorted((r["user"], r["n"]) for r in out)
+    assert per_user == [("alice", 3), ("bob", 1), ("bob", 2)]
