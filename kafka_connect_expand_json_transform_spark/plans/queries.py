@@ -16509,6 +16509,120 @@ def bloom_join_prefilter_report(spark, sf_dir):
     )
 
 
+_SQL_DID = """
+    WITH span AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0,
+                         MAX(epoch_us(ts) // 86400000000) AS d1 FROM events),
+    e AS (SELECT user_id % 2 AS v,
+                 CASE WHEN epoch_us(ts) // 86400000000
+                           < (SELECT d0 + (d1 - d0 + 1) // 2 FROM span)
+                      THEN 0 ELSE 1 END AS post,
+                 epoch_us(ts) // 86400000000 AS day,
+                 CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT) AS d
+          FROM events WHERE event_type = 'purchase'),
+    cells AS (SELECT v, post, COUNT(*) AS n, SUM(d) AS s
+              FROM e GROUP BY v, post),
+    m AS (SELECT
+            MAX(CASE WHEN v = 0 AND post = 0
+                     THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS c_pre,
+            MAX(CASE WHEN v = 0 AND post = 1
+                     THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS c_post,
+            MAX(CASE WHEN v = 1 AND post = 0
+                     THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS t_pre,
+            MAX(CASE WHEN v = 1 AND post = 1
+                     THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS t_post
+          FROM cells),
+    pre AS (SELECT v, day, SUM(d) AS y FROM e WHERE post = 0 GROUP BY v, day),
+    sl AS (SELECT v, COUNT(*) AS k, SUM(day) AS sx, SUM(y) AS sy,
+                  SUM(day * y) AS sxy, SUM(day * day) AS sxx
+           FROM pre GROUP BY v),
+    tr AS (SELECT
+             MAX(CASE WHEN v = 0 THEN
+               CAST(k * sxy - sx * sy AS DOUBLE)
+               / CAST(k * sxx - sx * sx AS DOUBLE) END) AS c_slope,
+             MAX(CASE WHEN v = 1 THEN
+               CAST(k * sxy - sx * sy AS DOUBLE)
+               / CAST(k * sxx - sx * sx AS DOUBLE) END) AS t_slope
+           FROM sl)
+    SELECT m.c_pre AS control_pre_mean, m.c_post AS control_post_mean,
+           m.t_pre AS treat_pre_mean, m.t_post AS treat_post_mean,
+           (m.t_post - m.t_pre) - (m.c_post - m.c_pre) AS did_estimate,
+           tr.t_slope - tr.c_slope AS pre_trend_slope_gap
+    FROM m CROSS JOIN tr
+"""
+
+
+@query("did_estimate", _SQL_DID)
+def did_estimate(spark, sf_dir):
+    """Difference-in-differences over the date-span midpoint: the change
+    in treated mean purchase value minus the change in control — the
+    workhorse causal estimate when assignment isn't randomized in time —
+    PLUS the parallel-trends diagnostic (the gap between the two arms'
+    pre-period daily OLS slopes; a large gap invalidates the DiD
+    identification before anyone quotes the estimate).  All cell and
+    slope moments are exact int64 floor-dollars; the estimate and
+    diagnostic are mirrored double expressions.  Scale: one scan into a
+    4-cell aggregate plus a per-variant daily aggregate; slopes run on
+    |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    span = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1")).collect()[0]
+    cut = span["d0"] + (span["d1"] - span["d0"] + 1) // 2
+    e = ev.where(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("v"),
+        F.when(day < cut, 0).otherwise(1).alias("post"),
+        day.alias("day"),
+        F.expr("CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT)").alias("d"),
+    ).localCheckpoint()  # feeds the cell means and the pre-trend slopes
+    cells = e.groupBy("v", "post").agg(
+        F.count("*").alias("n"), F.sum("d").alias("s")
+    )
+
+    def cell(v, post):
+        return F.max(
+            F.when(
+                (F.col("v") == v) & (F.col("post") == post),
+                dbl(F.col("s")) / dbl(F.col("n")),
+            )
+        )
+
+    m = cells.agg(
+        cell(0, 0).alias("c_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(1, 1).alias("t_post"),
+    )
+    pre = (
+        e.where(F.col("post") == 0)
+        .groupBy("v", "day")
+        .agg(F.sum("d").alias("y"))
+    )
+    sl = pre.groupBy("v").agg(
+        F.count("*").alias("k"),
+        F.sum("day").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("day") * F.col("y")).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+    )
+    slope = dbl(F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / dbl(
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    tr = sl.agg(
+        F.max(F.when(F.col("v") == 0, slope)).alias("c_slope"),
+        F.max(F.when(F.col("v") == 1, slope)).alias("t_slope"),
+    )
+    return m.crossJoin(F.broadcast(tr)).select(
+        F.col("c_pre").alias("control_pre_mean"),
+        F.col("c_post").alias("control_post_mean"),
+        F.col("t_pre").alias("treat_pre_mean"),
+        F.col("t_post").alias("treat_post_mean"),
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did_estimate"),
+        (F.col("t_slope") - F.col("c_slope")).alias("pre_trend_slope_gap"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

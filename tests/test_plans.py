@@ -105,6 +105,7 @@ _INTENTIONALLY_UNKEYED = {
     "lead_lag_ccf",  # 7-row lag dimension broadcast against the daily aggregate
     "hurst_exponent_rs",  # 3-row size dimension + 1-row OLS/report attachments
     "bloom_join_prefilter_report",  # four 1-row counts assembled into one row
+    "did_estimate",  # 1-row cell means x 1-row pre-trend slopes
 }
 
 
