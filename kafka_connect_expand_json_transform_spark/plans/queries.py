@@ -16679,6 +16679,143 @@ def segment_migration_matrix(spark, sf_dir):
     )
 
 
+_SQL_LOGRANK = """
+    WITH u AS (SELECT user_id, user_id % 2 AS g,
+                      MIN(epoch_us(ts)) AS first_us,
+                      MIN(CASE WHEN event_type = 'purchase'
+                               THEN epoch_us(ts) END) AS purch_us,
+                      MAX(epoch_us(ts)) AS last_us
+               FROM events GROUP BY user_id),
+    d AS (SELECT g,
+                 CASE WHEN purch_us IS NOT NULL
+                      THEN (purch_us - first_us) // 86400000000
+                      ELSE (last_us - first_us) // 86400000000 END AS t,
+                 CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM u),
+    c AS (SELECT t, g, COUNT(*) AS leaving, SUM(ev) AS d_g
+          FROM d GROUP BY t, g),
+    grid AS (SELECT t, gg AS g
+             FROM (SELECT DISTINCT t FROM d) ts
+             CROSS JOIN (VALUES (0), (1)) AS v(gg)),
+    c0 AS (SELECT grid.t, grid.g,
+                  COALESCE(c.leaving, 0) AS leaving,
+                  COALESCE(c.d_g, 0) AS d_g
+           FROM grid LEFT JOIN c ON c.t = grid.t AND c.g = grid.g),
+    r AS (SELECT t, g, d_g,
+                 SUM(leaving) OVER (PARTITION BY g ORDER BY t DESC
+                                    ROWS UNBOUNDED PRECEDING) AS n_g
+          FROM c0),
+    p AS (SELECT t,
+                 SUM(CASE WHEN g = 1 THEN d_g ELSE 0 END) AS d1,
+                 SUM(d_g) AS dt,
+                 MAX(CASE WHEN g = 1 THEN n_g END) AS n1,
+                 SUM(n_g) AS nt
+          FROM r GROUP BY t),
+    q AS (SELECT t, d1, dt, n1, nt
+          FROM p WHERE dt > 0 AND nt > 1 AND n1 > 0 AND nt > n1),
+    s AS (SELECT SUM(d1) AS o1,
+                 SUM(CAST(FLOOR(CAST(dt * n1 AS DOUBLE) * 1000000
+                                / CAST(nt AS DOUBLE)) AS BIGINT)) AS e1_micro,
+                 SUM(CAST(FLOOR(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+                                * CAST(nt - n1 AS DOUBLE)
+                                * CAST(nt - dt AS DOUBLE)
+                                / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                                   * CAST(nt - 1 AS DOUBLE))
+                                * 1000000) AS BIGINT)) AS v_micro
+          FROM q)
+    SELECT CAST(o1 AS BIGINT) AS observed_treat,
+           CAST(e1_micro AS DOUBLE) / 1000000.0 AS expected_treat,
+           (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1000000.0)
+             * (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1000000.0)
+             / (CAST(v_micro AS DOUBLE) / 1000000.0) AS logrank_chi2
+    FROM s
+"""
+
+
+@query("logrank_test", _SQL_LOGRANK)
+def logrank_test(spark, sf_dir):
+    """Log-rank test between the two experiment arms' conversion-latency
+    curves — the hypothesis-test companion to the Kaplan-Meier estimator
+    (KM draws the curves; log-rank says whether they differ): at each
+    event time, observed-vs-expected treated conversions under the
+    pooled-risk null, chi-square with 1 df.  Per-time expectations and
+    variances are quantized to micro-units (floor of IEEE-identical
+    doubles over exact counts) so the cross-time sums are int64.  Scale:
+    one groupBy(user); at-risk counts are descending cumulative windows
+    over #distinct-durations rows."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("purch_us"),
+        F.max(us).alias("last_us"),
+    ).withColumn("g", F.col("user_id") % 2)
+    d = u.select(
+        "g",
+        F.when(
+            F.col("purch_us").isNotNull(),
+            F.expr("(purch_us - first_us) div 86400000000"),
+        )
+        .otherwise(F.expr("(last_us - first_us) div 86400000000"))
+        .alias("t"),
+        F.when(F.col("purch_us").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    c = d.groupBy("t", "g").agg(
+        F.count("*").alias("leaving"), F.sum("ev").alias("d_g")
+    )
+    grid = d.select("t").distinct().crossJoin(
+        F.broadcast(spark.range(2).select(F.col("id").alias("g")))
+    )
+    c0 = grid.join(c, ["t", "g"], "left").select(
+        "t",
+        "g",
+        F.coalesce("leaving", F.lit(0)).alias("leaving"),
+        F.coalesce("d_g", F.lit(0)).alias("d_g"),
+    )
+    wr = (
+        Window.partitionBy("g")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = c0.select("t", "g", "d_g", F.sum("leaving").over(wr).alias("n_g"))
+    p = r.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("d_g")).otherwise(0)).alias("d1"),
+        F.sum("d_g").alias("dt"),
+        F.max(F.when(F.col("g") == 1, F.col("n_g"))).alias("n1"),
+        F.sum("n_g").alias("nt"),
+    )
+    q = p.where(
+        (F.col("dt") > 0)
+        & (F.col("nt") > 1)
+        & (F.col("n1") > 0)
+        & (F.col("nt") > F.col("n1"))
+    ).select("t", "d1", "dt", "n1", "nt")
+    e1 = F.floor(
+        dbl(F.col("dt") * F.col("n1")) * 1000000 / dbl(F.col("nt"))
+    ).cast("bigint")
+    v = F.floor(
+        dbl(F.col("dt"))
+        * dbl(F.col("n1"))
+        * dbl(F.col("nt") - F.col("n1"))
+        * dbl(F.col("nt") - F.col("dt"))
+        / (dbl(F.col("nt")) * dbl(F.col("nt")) * dbl(F.col("nt") - 1))
+        * 1000000
+    ).cast("bigint")
+    s = q.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(e1).alias("e1_micro"),
+        F.sum(v).alias("v_micro"),
+    )
+    diff = dbl(F.col("o1")) - dbl(F.col("e1_micro")) / F.lit(1000000.0)
+    return s.select(
+        F.col("o1").cast("bigint").alias("observed_treat"),
+        (dbl(F.col("e1_micro")) / F.lit(1000000.0)).alias("expected_treat"),
+        (diff * diff / (dbl(F.col("v_micro")) / F.lit(1000000.0))).alias(
+            "logrank_chi2"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

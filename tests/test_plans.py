@@ -106,6 +106,7 @@ _INTENTIONALLY_UNKEYED = {
     "hurst_exponent_rs",  # 3-row size dimension + 1-row OLS/report attachments
     "bloom_join_prefilter_report",  # four 1-row counts assembled into one row
     "did_estimate",  # 1-row cell means x 1-row pre-trend slopes
+    "logrank_test",  # 2-row group dimension crossed with the time grid
 }
 
 
