@@ -107,6 +107,7 @@ _INTENTIONALLY_UNKEYED = {
     "bloom_join_prefilter_report",  # four 1-row counts assembled into one row
     "did_estimate",  # 1-row cell means x 1-row pre-trend slopes
     "logrank_test",  # 2-row group dimension crossed with the time grid
+    "variance_decomposition_daily",  # 1-row moments x 1-row dow between-SS
 }
 
 
