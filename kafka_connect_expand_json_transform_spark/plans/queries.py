@@ -17028,6 +17028,76 @@ def dedup_token_savings(spark, sf_dir):
     )
 
 
+_SQL_GROUP_SPLIT = f"""
+    WITH h AS (SELECT doc_id,
+                      md5({_SQL_NORM_TEXT}) AS fp,
+                      CASE WHEN substr(md5(md5({_SQL_NORM_TEXT}) || ':split'),
+                                       1, 8) < '{{t80}}' THEN 'train'
+                           WHEN substr(md5(md5({_SQL_NORM_TEXT}) || ':split'),
+                                       1, 8) < '{{t90}}' THEN 'val'
+                           ELSE 'test' END AS split
+               FROM documents),
+    g AS (SELECT fp,
+                 COUNT(DISTINCT split) AS nsplits,
+                 COUNT(*) AS members
+          FROM h GROUP BY fp),
+    leak AS (SELECT CAST(SUM(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_leaky_clusters
+             FROM g)
+    SELECT h.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(h.doc_id) AS BIGINT) AS sum_ids,
+           leak.n_leaky_clusters
+    FROM h CROSS JOIN leak
+    GROUP BY h.split, leak.n_leaky_clusters
+"""
+
+
+@query(
+    "group_aware_split_counts",
+    _SQL_GROUP_SPLIT.format(t80=_T80, t90=_T90),
+)
+def group_aware_split_counts(spark, sf_dir):
+    """Group-aware train/val/test split: the hash draw keys on the TEXT
+    FINGERPRINT instead of the doc id, so every exact-duplicate cluster
+    lands whole in one split — the constructive FIX for the leakage
+    split_leakage_check measures (its n_leaky_clusters is reported here
+    and must be 0 by construction; the GroupKFold idea as a pure hash
+    filter).  Membership stays a pure function of content — stable
+    across engines, partitionings, and runs.  Scale: one narrow
+    projection plus the same fingerprint groupBy the leakage audit
+    uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", TXT.md5_fingerprint(F.col("text")).alias("fp")
+    ).withColumn(
+        "split",
+        F.when(
+            SPLITS.split_hash("fp", "split") < F.lit(_T80), "train"
+        )
+        .when(SPLITS.split_hash("fp", "split") < F.lit(_T90), "val")
+        .otherwise("test"),
+    ).localCheckpoint()  # feeds the leakage check and the split rollup
+    leak = (
+        h.groupBy("fp")
+        .agg(F.count_distinct("split").alias("nsplits"))
+        .agg(
+            F.sum(F.when(F.col("nsplits") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaky_clusters")
+        )
+    )
+    return (
+        h.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "sum_ids", "n_leaky_clusters")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

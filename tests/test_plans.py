@@ -108,6 +108,7 @@ _INTENTIONALLY_UNKEYED = {
     "did_estimate",  # 1-row cell means x 1-row pre-trend slopes
     "logrank_test",  # 2-row group dimension crossed with the time grid
     "variance_decomposition_daily",  # 1-row moments x 1-row dow between-SS
+    "group_aware_split_counts",  # 1-row leakage count attached to 3 split rows
 }
 
 
