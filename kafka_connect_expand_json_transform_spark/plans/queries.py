@@ -17098,6 +17098,80 @@ def group_aware_split_counts(spark, sf_dir):
     )
 
 
+_SQL_HIGHER_MOMENTS = """
+    WITH v AS (SELECT event_type,
+                      CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT) AS d
+               FROM events),
+    s AS (SELECT event_type, COUNT(*) AS n, SUM(d) AS s1,
+                 SUM(d * d) AS s2, SUM(d * d * d) AS s3,
+                 SUM(d * d * d * d) AS s4
+          FROM v GROUP BY event_type),
+    m AS (SELECT event_type, n,
+                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                 CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                 CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                 CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+          FROM s)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           mu AS mean_dollars,
+           (r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu)
+             / ((r2 - mu * mu) * SQRT(r2 - mu * mu)) AS skewness,
+           (r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu)
+             / ((r2 - mu * mu) * (r2 - mu * mu)) - 3.0 AS excess_kurtosis
+    FROM m
+"""
+
+
+@query("higher_moments_report", _SQL_HIGHER_MOMENTS)
+def higher_moments_report(spark, sf_dir):
+    """Skewness and excess kurtosis per event type from exact integer
+    power sums — the distribution-shape pair that mean/variance hide
+    (heavy right tails and outlier-proneness drive clipping and transform
+    decisions).  Raw sums up to the 4th power stay in int64 (floor-dollar
+    domain, headroom asserted by the fixture-domain discipline); the
+    central-moment algebra runs in mirrored doubles, with x^1.5 written
+    as x·sqrt(x) (multiply and sqrt are exactly-rounded IEEE ops; pow is
+    a transcendental the engines may round differently) — both engines
+    evaluate the same IEEE expression tree.  Scale: one scan, one partial-aggregated groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT)").alias("d"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).alias("s3"),
+        F.sum(F.col("d") * F.col("d") * F.col("d") * F.col("d")).alias("s4"),
+    )
+    mu = dbl(F.col("s1")) / dbl(F.col("n"))
+    r2 = dbl(F.col("s2")) / dbl(F.col("n"))
+    r3 = dbl(F.col("s3")) / dbl(F.col("n"))
+    r4 = dbl(F.col("s4")) / dbl(F.col("n"))
+    var = r2 - mu * mu
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        mu.alias("mean_dollars"),
+        (
+            (r3 - F.lit(3.0) * mu * r2 + F.lit(2.0) * mu * mu * mu)
+            / (var * F.sqrt(var))
+        ).alias("skewness"),
+        (
+            (
+                r4
+                - F.lit(4.0) * mu * r3
+                + F.lit(6.0) * mu * mu * r2
+                - F.lit(3.0) * mu * mu * mu * mu
+            )
+            / (var * var)
+            - F.lit(3.0)
+        ).alias("excess_kurtosis"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
