@@ -17172,6 +17172,191 @@ def higher_moments_report(spark, sf_dir):
     )
 
 
+_SQL_PACF = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+                        AS y
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    l AS (SELECT day, y,
+                 LAG(y, 1) OVER (ORDER BY day) AS y1,
+                 LAG(y, 2) OVER (ORDER BY day) AS y2
+          FROM d),
+    p AS (SELECT y, y1, y2 FROM l WHERE y1 IS NOT NULL AND y2 IS NOT NULL),
+    m AS (SELECT COUNT(*) AS n, SUM(y) AS s0, SUM(y1) AS s1, SUM(y2) AS s2,
+                 SUM(y * y) AS s00, SUM(y1 * y1) AS s11, SUM(y2 * y2) AS s22,
+                 SUM(y * y1) AS s01, SUM(y * y2) AS s02, SUM(y1 * y2) AS s12
+          FROM p),
+    r AS (SELECT n,
+                 (CAST(n AS DOUBLE) * CAST(s01 AS DOUBLE)
+                    - CAST(s0 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(s00 AS DOUBLE)
+                         - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS r1,
+                 (CAST(n AS DOUBLE) * CAST(s02 AS DOUBLE)
+                    - CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(s00 AS DOUBLE)
+                         - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS r2
+          FROM m)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           r1 AS acf_lag1,
+           r2 AS acf_lag2,
+           (r2 - r1 * r1) / (1.0 - r1 * r1) AS pacf_lag2
+    FROM r
+"""
+
+
+@query("pacf_lag2", _SQL_PACF)
+def pacf_lag2(spark, sf_dir):
+    """Partial autocorrelation at lag 2 via Durbin-Levinson
+    (phi_22 = (r2 - r1^2)/(1 - r1^2)) over daily revenue — the AR-order
+    diagnostic next to lag1_autocorrelation: a large ACF(2) with a small
+    PACF(2) means one AR(1) term explains the 2-day memory.  The two
+    Pearson terms use exact int64 moments over the SAME trimmed window
+    (both lags non-null), so they share one denominator convention;
+    products of sums form in double per the overflow discipline.  Scale:
+    daily grain after one groupBy; windows and moments on |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)")
+            ).alias("y")
+        )
+    )
+    w = Window.orderBy("day")
+    l = d.select(
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+    )
+    p = l.where(F.col("y1").isNotNull() & F.col("y2").isNotNull())
+    m = p.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s0"),
+        F.sum("y1").alias("s1"),
+        F.sum("y2").alias("s2"),
+        F.sum(F.col("y") * F.col("y")).alias("s00"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+        F.sum(F.col("y2") * F.col("y2")).alias("s22"),
+        F.sum(F.col("y") * F.col("y1")).alias("s01"),
+        F.sum(F.col("y") * F.col("y2")).alias("s02"),
+        F.sum(F.col("y1") * F.col("y2")).alias("s12"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = dbl(F.col("n")) * dbl(F.col(sab)) - dbl(F.col(sa)) * dbl(
+            F.col(sb)
+        )
+        da = F.sqrt(
+            dbl(F.col("n")) * dbl(F.col(saa)) - dbl(F.col(sa)) * dbl(F.col(sa))
+        )
+        db = F.sqrt(
+            dbl(F.col("n")) * dbl(F.col(sbb)) - dbl(F.col(sb)) * dbl(F.col(sb))
+        )
+        return num / (da * db)
+
+    r1 = corr("s01", "s0", "s1", "s00", "s11")
+    r2 = corr("s02", "s0", "s2", "s00", "s22")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        r1.alias("acf_lag1"),
+        r2.alias("acf_lag2"),
+        ((r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)).alias("pacf_lag2"),
+    )
+
+
+_SQL_CONTAINMENT = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM toks),
+    sig AS (SELECT doc_id, {{sig16}} AS sig FROM sh),
+    bands AS (SELECT doc_id, unnest({{bands4}}) AS bk FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+    v AS (SELECT id_a, id_b,
+                 len(list_intersect(ha.shingles, hb.shingles)) AS ni,
+                 len(ha.shingles) AS na, len(hb.shingles) AS nb
+          FROM cand
+          JOIN sh ha ON ha.doc_id = id_a
+          JOIN sh hb ON hb.doc_id = id_b)
+    SELECT id_a, id_b,
+           CAST(ni AS BIGINT) AS n_shared,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(ni AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE) AS containment
+    FROM v
+    WHERE CAST(ni AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE) >= 0.9
+      AND CAST(ni AS DOUBLE)
+            / CAST(na + nb - ni AS DOUBLE) < 0.8
+"""
+
+
+@query(
+    "containment_pairs",
+    _SQL_CONTAINMENT.format(sig16=_SQL_SIG16, bands4=_SQL_BANDS4),
+)
+def containment_pairs(spark, sf_dir):
+    """Asymmetric containment detection: candidate pairs where the
+    SMALLER document's shingles sit ≥90% inside the larger one while
+    plain Jaccard stays under the 0.8 dedup bar — quotes, excerpts, and
+    doc-inside-doc relations that symmetric near-dup thresholds
+    structurally miss (containment = |A∩B|/min(|A|,|B|) vs Jaccard's
+    /|A∪B|).  Candidates ride the banded LSH join; ratios are identical
+    IEEE divisions of exact set sizes.  Scale: same bucketed plan as
+    MinHash verification, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, "text", "doc_id", num_hashes=16, hash_family="md5"
+    ).localCheckpoint()
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_bands=4)
+    sh = (
+        docs.select("doc_id", TXT.tokens(F.col("text")).alias("__toks"))
+        .select("doc_id", TXT.shingles_from_tokens("__toks", 3).alias("shset"))
+        .localCheckpoint()
+    )
+    v = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("shset").alias("ha")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("shset").alias("hb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ha", "hb")).alias("ni"),
+            F.size("ha").alias("na"),
+            F.size("hb").alias("nb"),
+        )
+    )
+    cont = dbl(F.col("ni")) / dbl(F.least(F.col("na"), F.col("nb")))
+    jac = dbl(F.col("ni")) / dbl(F.col("na") + F.col("nb") - F.col("ni"))
+    return v.where((cont >= 0.9) & (jac < 0.8)).select(
+        "id_a",
+        "id_b",
+        F.col("ni").cast("bigint").alias("n_shared"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        cont.alias("containment"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
