@@ -17357,6 +17357,93 @@ def containment_pairs(spark, sf_dir):
     )
 
 
+_SQL_SIMPSONS = """
+    WITH b AS (SELECT c.c_mktsegment AS segment,
+                      CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END AS hi,
+                      CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+               FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    seg AS (SELECT segment,
+                   SUM(CASE WHEN hi = 1 THEN 1 ELSE 0 END) AS n1,
+                   SUM(CASE WHEN hi = 1 THEN y ELSE 0 END) AS c1,
+                   SUM(CASE WHEN hi = 0 THEN 1 ELSE 0 END) AS n0,
+                   SUM(CASE WHEN hi = 0 THEN y ELSE 0 END) AS c0
+            FROM b GROUP BY segment),
+    agg AS (SELECT SUM(n1) AS n1, SUM(c1) AS c1, SUM(n0) AS n0, SUM(c0) AS c0
+            FROM seg),
+    segd AS (SELECT segment, n1, c1, n0, c0,
+                    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS seg_diff
+             FROM seg WHERE n1 > 0 AND n0 > 0),
+    aggd AS (SELECT CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS agg_diff
+             FROM agg)
+    SELECT s.segment,
+           CAST(s.n1 AS BIGINT) AS n_hi, CAST(s.c1 AS BIGINT) AS y_hi,
+           CAST(s.n0 AS BIGINT) AS n_lo, CAST(s.c0 AS BIGINT) AS y_lo,
+           s.seg_diff,
+           a.agg_diff,
+           CAST(CASE WHEN (s.seg_diff > 0) <> (a.agg_diff > 0)
+                THEN 1 ELSE 0 END AS BIGINT) AS sign_flip
+    FROM segd s CROSS JOIN aggd a
+"""
+
+
+@query("simpsons_paradox_check", _SQL_SIMPSONS)
+def simpsons_paradox_check(spark, sf_dir):
+    """Simpson's-paradox detector: the high-priority vs low-priority
+    finalization-rate gap computed in AGGREGATE and WITHIN every market
+    segment, with a flag per segment whose direction contradicts the
+    aggregate — the confounding alarm that says "stratify before you
+    conclude" (the aggregate mixes segment composition into the
+    comparison).  Rates are mirrored double divisions of exact counts;
+    sign comparisons act on identical doubles.  Scale: one fact scan
+    against a broadcast dim; everything after runs on 5+1 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    b = o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("hi"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    seg = b.groupBy("segment").agg(
+        F.sum(F.when(F.col("hi") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("hi") == 1, F.col("y")).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("hi") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("hi") == 0, F.col("y")).otherwise(0)).alias("c0"),
+    ).localCheckpoint()  # feeds per-segment rows and the aggregate row
+    agg = seg.agg(
+        F.sum("n1").alias("n1"),
+        F.sum("c1").alias("c1"),
+        F.sum("n0").alias("n0"),
+        F.sum("c0").alias("c0"),
+    )
+    rate_diff = dbl(F.col("c1")) / dbl(F.col("n1")) - dbl(F.col("c0")) / dbl(
+        F.col("n0")
+    )
+    segd = seg.where((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        "segment", "n1", "c1", "n0", "c0", rate_diff.alias("seg_diff")
+    )
+    aggd = agg.select(rate_diff.alias("agg_diff"))
+    return segd.crossJoin(F.broadcast(aggd)).select(
+        "segment",
+        F.col("n1").cast("bigint").alias("n_hi"),
+        F.col("c1").cast("bigint").alias("y_hi"),
+        F.col("n0").cast("bigint").alias("n_lo"),
+        F.col("c0").cast("bigint").alias("y_lo"),
+        "seg_diff",
+        "agg_diff",
+        F.when(
+            (F.col("seg_diff") > 0) != (F.col("agg_diff") > 0), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("sign_flip"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -109,6 +109,7 @@ _INTENTIONALLY_UNKEYED = {
     "logrank_test",  # 2-row group dimension crossed with the time grid
     "variance_decomposition_daily",  # 1-row moments x 1-row dow between-SS
     "group_aware_split_counts",  # 1-row leakage count attached to 3 split rows
+    "simpsons_paradox_check",  # 1-row aggregate gap attached to 5 segment rows
 }
 
 
