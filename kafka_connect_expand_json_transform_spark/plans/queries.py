@@ -12394,18 +12394,20 @@ def knn_label_accuracy(spark, sf_dir):
     tie-break) vote on its label (majority, min-label tie-break via the
     max(struct) argmax), reported as per-label accuracy — the standard
     embedding-quality probe next to the silhouette score and the recall
-    gates.  Scale: queries are a broadcast slice against one corpus scan
-    (same plan as cosine_topk); votes and argmax are partial-aggregated
-    groupBys on the tiny (query x label) stream.  At 100 TB the brute
-    scoring swaps for the LSH/IVF candidate tiers already in the suite —
-    the vote/argmax shape is unchanged."""
+    gates.  Scale: scoring runs in the GEMM tier (one numpy matmul per
+    Arrow batch + per-batch partial top-k, so the shuffle carries only
+    candidate rows — the 286-query fold tier measured 5.8 s vs ~1 s here);
+    votes and argmax are partial-aggregated groupBys on the tiny
+    (query x label) stream.  At 100 TB the brute scoring swaps for the
+    LSH/IVF candidate tiers already in the suite — the vote/argmax shape
+    is unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 7 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
         F.col("label").alias("actual"),
     )
-    nn = similarity.brute_force_topk(
+    nn = similarity.brute_force_topk_gemm(
         emb, q.select("query_id", "query_vec"), k=5
     ).join(
         F.broadcast(emb.select("vec_id", F.col("label").alias("nl"))), "vec_id"
@@ -17216,7 +17218,10 @@ def pacf_lag2(spark, sf_dir):
     PACF(2) means one AR(1) term explains the 2-day memory.  The two
     Pearson terms use exact int64 moments over the SAME trimmed window
     (both lags non-null), so they share one denominator convention;
-    products of sums form in double per the overflow discipline.  Scale:
+    products of sums form in double per the overflow discipline.  The raw
+    Σy² moment holds a DAILY cents total squared — linear in SF over a
+    fixed 30-day span, so int64 headroom runs out near ~sf10 (guarded by
+    test_fixture_domains); past that, floor y to dollars first.  Scale:
     daily grain after one groupBy; windows and moments on |days| rows."""
     ev = load_table(spark, sf_dir, "events")
     d = (
@@ -17481,7 +17486,7 @@ _DRIVER_WINDOW = [
     "topk_per_group",          # R7 top-k per group
     "set_multiset_ops",        # R8 set ops incl. ALL variants
     # event-time windows: batch twins + real streaming e2e
-    "window_tumbling",         # T2 batch twin
+    "iqr_outlier_report",      # profiling (VERDICT r01 must-include)
     "session_windows",         # T3 session windows
     "stream_tumbling_agg_e2e", # T1/T2 + S5 real stream
     "stream_dedup_e2e",        # T4 stateful dedup

@@ -220,6 +220,43 @@ def test_welch_moment_headroom(ddb):
         assert s * s < 2**60, (et, s * s)
 
 
+def test_higher_moments_fourth_power_headroom(ddb):
+    """higher_moments_report sums d^4 (floor-dollar events.value) in int64:
+    Spark's bigint SUM wraps silently where DuckDB promotes to HUGEINT, so
+    assert the live fixture's per-group fourth-power sum sits orders of
+    magnitude inside 2^62 (measured ~3e12 at sf0.1 vs 4.6e18 — the domain is
+    value<~1000 dollars, so headroom scales only linearly with row count)."""
+    rows = ddb.execute(
+        """
+        WITH v AS (SELECT event_type,
+                          CAST(FLOOR(CAST(value AS DECIMAL(8,2))) AS BIGINT) AS d
+                   FROM events)
+        SELECT event_type, SUM(d*d*d*d) FROM v GROUP BY 1
+        """
+    ).fetchall()
+    assert rows
+    for et, s4 in rows:
+        assert s4 < 2**55, (et, s4)  # 128x slack below the 2^62 cliff
+
+
+def test_pacf_daily_cents_square_headroom(ddb):
+    """pacf_lag2 (and the lag-1 ACF family) sums y^2 where y is a DAILY total
+    of purchase cents — y grows linearly with SF over a fixed 30-day span, so
+    y^2 grows quadratically: assert n*max(y)^2 stays inside 2^60 on the live
+    fixture (at sf0.1: ~4e14 vs 1.2e18; the docstrings document the ~sf10
+    ceiling where floor-to-dollars would be needed)."""
+    n, ymax = ddb.execute(
+        """
+        WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)) AS y
+                   FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT COUNT(*), MAX(y) FROM d
+        """
+    ).fetchone()
+    assert n and n > 2, n
+    assert n * ymax * ymax < 2**60, (n, ymax)
+
+
 def test_mutual_info_ln_quantization_clear_of_boundaries(ddb):
     """mutual_information_report quantizes floor(ln(N*nxy/(nx*ny))*1e6) per
     contingency cell: assert every cell ratio on the live fixture sits well
