@@ -262,6 +262,77 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def brute_force_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query — GEMM tier of
+    ``brute_force_topk`` for query slices big enough that the interpreted
+    per-pair fold dominates (measured ~5 s for 286 queries x 2k corpus at
+    sf0.1 vs <1 s here).
+
+    The bounded query slice is collected driver-side (the same bound the
+    IVF/LSH trainers use) and closed over a ``mapInPandas`` scorer: one
+    float64 numpy matmul per Arrow batch of the corpus, then a per-batch
+    PARTIAL top-k per query — any global top-k row under (cos desc, id asc)
+    is necessarily in its batch's top-k under the same order, so the shuffle
+    into the final window carries only ~(#batches x |Q| x k) candidate rows,
+    not |corpus| x |Q| scored pairs.  Values match the fold tier after
+    round(4): float64 GEMM differs from sequential summation only in the
+    last ulp (``cosine_pairs_above`` precedent).  At 100 TB the LSH/IVF
+    candidate tiers replace the full scan; this stays the rerank shape."""
+    qrows = queries.select(F.col(query_id_col), as_double(query_vec_col)).collect()
+    if not qrows:
+        return brute_force_topk(
+            corpus, queries, k, id_col, vec_col, query_id_col, query_vec_col,
+            exclude_self,
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    kk = int(k)
+    excl = bool(exclude_self)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sim = np.round(m @ qm.T, 4)  # (batch, |Q|)
+            if excl:
+                sim[ids[:, None] == qids[None, :]] = -np.inf
+            out_q, out_i, out_s = [], [], []
+            for j in range(len(qids)):
+                col = sim[:, j]
+                order = np.lexsort((ids, -col))[:kk]
+                keep = order[np.isfinite(col[order])]
+                out_q.append(np.full(len(keep), qids[j]))
+                out_i.append(ids[keep])
+                out_s.append(col[keep])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    c = corpus.select(F.col(id_col).alias("__id"), as_double(vec_col).alias("__v"))
+    cand = c.mapInPandas(
+        score, schema=f"{query_id_col} bigint, {id_col} bigint, cos_sim double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= kk)
+
+
 def cosine_pairs_above(
     corpus: DataFrame,
     threshold: float,
