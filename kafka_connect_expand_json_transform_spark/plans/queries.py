@@ -17449,6 +17449,136 @@ def simpsons_paradox_check(spark, sf_dir):
     )
 
 
+_SQL_VOCAB_COVERAGE = """
+    WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS t
+                 FROM documents),
+    tc AS (SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY t),
+    r AS (SELECT t, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk,
+                 CAST(SUM(c) OVER (ORDER BY c DESC, t
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum
+          FROM tc),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc),
+    th AS (SELECT unnest([50, 90, 95, 99]) AS pct),
+    hit AS (SELECT th.pct, tot.n,
+                   MIN({'rnk': CAST(r.rnk AS BIGINT), 'cum': r.cum}) AS h
+            FROM th, r, tot
+            WHERE r.cum * 100 >= th.pct * tot.n
+            GROUP BY th.pct, tot.n)
+    SELECT CAST(pct AS INTEGER) AS threshold_pct,
+           (h).rnk AS vocab_size,
+           (h).cum AS covered_tokens,
+           n AS total_tokens,
+           CAST((h).cum AS DOUBLE) / CAST(n AS DOUBLE) AS coverage
+    FROM hit
+"""
+
+
+@query("vocab_coverage_curve", _SQL_VOCAB_COVERAGE)
+def vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve — the tokenizer-design table: the smallest
+    frequency-ranked vocabulary (ties alphabetical) whose cumulative token
+    count reaches 50/90/95/99% of the corpus, with the exact covered-token
+    count at that cut.  The oracle ranks every TYPE and takes the min rank
+    past each threshold; the engine never builds a global per-type window —
+    it aggregates the COUNT-OF-COUNTS (distinct frequency values, a few
+    hundred rows at any corpus size), cumulative-sums over that tiny frame,
+    picks each threshold's frequency class, and lands the exact in-class
+    offset arithmetically: every type inside a class contributes the same
+    c, so m = ceil((pct*total - 100*prev_tokens) / (100*c)) reproduces the
+    per-type answer exactly — all int64, no floats until the final ratio.
+    Scale: two narrow aggregations; the only window runs over |distinct
+    counts| rows, which grows ~log-ishly, not with the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("t")
+    ).where(F.col("t") != "")
+    tc = tok.groupBy("t").agg(F.count("*").alias("c"))
+    cc = tc.groupBy("c").agg(F.count("*").alias("nt"))
+    w = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cls = cc.select(
+        "c",
+        "nt",
+        F.sum(F.col("c") * F.col("nt")).over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("nt").over(w).cast("bigint").alias("cum_types"),
+    )
+    tot = cc.agg((F.sum(F.col("c") * F.col("nt"))).cast("bigint").alias("n"))
+    th = spark.createDataFrame([(50,), (90,), (95,), (99,)], "pct int")
+    sat = cls.crossJoin(F.broadcast(tot)).join(
+        F.broadcast(th), F.col("cum_tokens") * 100 >= F.col("pct") * F.col("n")
+    )
+    # first satisfying class in c-descending order = the satisfying class
+    # with the LARGEST c (cum_tokens grows as c descends)
+    hit = sat.groupBy("pct", "n").agg(
+        F.max(
+            F.struct(
+                F.col("c"), F.col("nt"), F.col("cum_tokens"), F.col("cum_types")
+            )
+        ).alias("h")
+    )
+    prev_tokens = F.col("h.cum_tokens") - F.col("h.c") * F.col("h.nt")
+    prev_types = F.col("h.cum_types") - F.col("h.nt")
+    need = F.col("pct") * F.col("n") - F.lit(100) * prev_tokens  # >= 1 here
+    m = (need + F.lit(100) * F.col("h.c") - F.lit(1)) / (F.lit(100) * F.col("h.c"))
+    m = F.floor(m).cast("bigint")  # integer ceil-division
+    covered = (prev_tokens + m * F.col("h.c")).cast("bigint")
+    return hit.select(
+        F.col("pct").alias("threshold_pct"),
+        (prev_types + m).cast("bigint").alias("vocab_size"),
+        covered.alias("covered_tokens"),
+        F.col("n").alias("total_tokens"),
+        (dbl(covered) / dbl(F.col("n"))).alias("coverage"),
+    )
+
+
+_SQL_DIVISION = """
+    WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders)
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    HAVING COUNT(DISTINCT o.o_orderpriority) = (SELECT COUNT(*) FROM pr)
+"""
+
+
+@query("division_all_priorities", _SQL_DIVISION)
+def division_all_priorities(spark, sf_dir):
+    """Relational division — customers whose orders span EVERY order
+    priority that exists ("for-all" quantification, the classic operator
+    the join/semi-join family can't express directly).  The oracle states
+    it as count-distinct-equals-universe; the engine uses the same
+    set-cardinality reduction (a grouped count_distinct against a 1-row
+    broadcast universe count — the standard scale-out form; the textbook
+    double-NOT-EXISTS is quadratic and decorrelates to this exact plan).
+    Scale: one shuffle on the FK for the group-by; the universe side is a
+    tiny distinct broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    universe = orders.agg(
+        F.count_distinct("o_orderpriority").alias("n_all")
+    )
+    per = (
+        orders.join(
+            cust.select("c_custkey", "c_name"),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count_distinct("o_orderpriority").cast("bigint").alias("n_priorities"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(universe))
+        .where(F.col("n_priorities") == F.col("n_all"))
+        .drop("n_all")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
