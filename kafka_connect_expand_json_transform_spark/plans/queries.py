@@ -17579,6 +17579,101 @@ def division_all_priorities(spark, sf_dir):
     )
 
 
+_SQL_PREFIX_JACCARD = """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(lower(trim(text)), ' '),
+                                       x -> x <> '')) AS toks
+      FROM documents),
+    tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.toks, b.toks)) AS n_inter,
+             len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+               AS n_union
+      FROM tt a JOIN tt b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(FLOOR(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+                      * 1000000) AS BIGINT) AS jaccard_micro
+    FROM p WHERE 5 * n_inter >= 3 * n_union
+"""
+
+
+@query("prefix_filter_jaccard_pairs", _SQL_PREFIX_JACCARD)
+def prefix_filter_jaccard_pairs(spark, sf_dir):
+    """Set-similarity join with PREFIX FILTERING (All-Pairs / PPJoin
+    family, Bayardo et al. WWW'07) — exact token-set Jaccard >= 0.6 pairs,
+    threshold stated as the integer cross-product 5*|A∩B| >= 3*|A∪B| (no
+    float compare anywhere).  Differs from the inverted-index formulation
+    (`neardup_jaccard_pairs`, which joins on EVERY shared shingle): each
+    doc's distinct tokens are canonically ordered rarest-first (global
+    doc-frequency, ties alphabetical) and only the first
+    n - ceil(0.6*n) + 1 tokens are indexed — two sets with J >= tau MUST
+    share a prefix token (overlap >= ceil(tau*max(|A|,|B|)) makes the
+    standard prefix guarantee hold per side), so common tokens never
+    generate candidates.  A length-compatibility filter (3*|A| <= 5*|B|,
+    both ways) prunes the join further; survivors verify by exact
+    array_intersect.  The oracle is the brute-force quadratic — a
+    genuinely independent formulation.  Scale: posting lists exist only
+    for RARE-end prefix tokens, so list lengths are inverse-frequency
+    bounded — the candidate stream shrinks orders of magnitude below the
+    full inverted index; per-doc ordering is a doc-partitioned window,
+    never global."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrayed = (
+        docs.select(
+            "doc_id",
+            F.array_distinct(TXT.tokens(F.col("text"))).alias("toks"),
+        )
+        .where(F.size("toks") >= 1)
+        .localCheckpoint()  # consumed by the prefix build and both verify sides
+    )
+    ex = arrayed.select(
+        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("t")
+    )
+    freq = ex.groupBy("t").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("t").asc())
+    ranked = ex.join(freq, "t").withColumn("rnk", F.row_number().over(wdoc))
+    # prefix length n - ceil(0.6 n) + 1, with ceil(3n/5) = (3n+4) div 5
+    prefix = ranked.where(
+        F.col("rnk") <= F.col("n") - F.expr("(3 * n + 4) DIV 5") + F.lit(1)
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"), "t")
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("id_b"), F.col("n").alias("nb"), "t"
+            ),
+            "t",
+        )
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(3) * F.col("na") <= F.lit(5) * F.col("nb"))
+            & (F.lit(3) * F.col("nb") <= F.lit(5) * F.col("na"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = cand.join(
+        arrayed.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta")),
+        "id_a",
+    ).join(
+        arrayed.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return v.select(
+        "id_a",
+        "id_b",
+        inter.cast("bigint").alias("n_inter"),
+        F.floor(dbl(inter) / dbl(union) * 1000000).cast("bigint").alias(
+            "jaccard_micro"
+        ),
+    ).where(F.lit(5) * inter >= F.lit(3) * union)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
