@@ -447,3 +447,66 @@ def test_bpe_train_matches_pure_python_reference(spark):
         assert bpe_train(df, rounds=3) == bpe_train_reference(word_freqs, rounds=3)
 
     check()
+
+
+def test_gemm_topk_matches_fold_tier(spark, emb):
+    """brute_force_topk_gemm must return the identical (query, id, cos, rank)
+    rows as the interpreted-fold tier — the GEMM differs only in the last
+    ulp, erased by round(4)."""
+    queries = emb.where(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, similarity.brute_force_topk(emb, queries, k=3).collect()))
+    b = sorted(
+        map(tuple, similarity.brute_force_topk_gemm(emb, queries, k=3).collect())
+    )
+    assert a == b
+
+
+def test_prefix_filter_prunes_and_loses_nothing(spark, docs):
+    """The prefix filter's candidate set must (a) contain every true
+    Jaccard>=0.6 pair (no false negatives — also proven vs the brute-force
+    oracle in test_oracle_parity) and (b) be strictly smaller than the full
+    inverted index's candidate set on the fixture — the whole point of
+    indexing only the rare-end prefix."""
+    from kafka_connect_expand_json_transform_spark.plans.queries import (
+        prefix_filter_jaccard_pairs,
+    )
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    arrayed = (
+        docs.select("doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("toks"))
+        .where(F.size("toks") >= 1)
+    )
+    ex = arrayed.select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("t"))
+    full_cands = (
+        ex.select(F.col("doc_id").alias("id_a"), "t")
+        .join(ex.select(F.col("doc_id").alias("id_b"), "t"), "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    freq = ex.groupBy("t").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("t").asc())
+    prefix = (
+        ex.join(freq, "t")
+        .withColumn("rnk", F.row_number().over(wdoc))
+        .where(F.col("rnk") <= F.col("n") - F.expr("(3 * n + 4) DIV 5") + F.lit(1))
+    )
+    pref_cands = (
+        prefix.select(F.col("doc_id").alias("id_a"), "t")
+        .join(prefix.select(F.col("doc_id").alias("id_b"), "t"), "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    n_pref = pref_cands.count()
+    assert n_pref < full_cands, (n_pref, full_cands)
+    # every true pair is among the prefix candidates
+    true_pairs = prefix_filter_jaccard_pairs(spark, sf).select("id_a", "id_b")
+    missing = true_pairs.join(pref_cands, ["id_a", "id_b"], "left_anti").count()
+    assert missing == 0
