@@ -17495,7 +17495,9 @@ def vocab_coverage_curve(spark, sf_dir):
         F.explode(F.split(F.lower(F.trim("text")), " ")).alias("t")
     ).where(F.col("t") != "")
     tc = tok.groupBy("t").agg(F.count("*").alias("c"))
-    cc = tc.groupBy("c").agg(F.count("*").alias("nt"))
+    # two consumers (the class cumsum and the total) — materialize the tiny
+    # count-of-counts frame once so the corpus tokenize+count runs ONCE
+    cc = tc.groupBy("c").agg(F.count("*").alias("nt")).localCheckpoint()
     w = Window.orderBy(F.col("c").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
