@@ -110,6 +110,8 @@ _INTENTIONALLY_UNKEYED = {
     "variance_decomposition_daily",  # 1-row moments x 1-row dow between-SS
     "group_aware_split_counts",  # 1-row leakage count attached to 3 split rows
     "simpsons_paradox_check",  # 1-row aggregate gap attached to 5 segment rows
+    "vocab_coverage_curve",  # 1-row total + 4-row threshold table joined by an
+    # inequality over |distinct counts| rows — all sides bounded
 }
 
 
