@@ -2038,8 +2038,8 @@ def chunk_documents_sliding(spark, sf_dir):
       FROM events GROUP BY event_type
     )
     SELECT e.event_type, COUNT(*) AS n,
-           SUM(CASE WHEN e."value" < b.lo THEN 1 ELSE 0 END) AS n_low,
-           SUM(CASE WHEN e."value" > b.hi THEN 1 ELSE 0 END) AS n_high,
+           CAST(SUM(CASE WHEN e."value" < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN e."value" > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
            ANY_VALUE(b.lo) AS lo, ANY_VALUE(b.hi) AS hi
     FROM events e JOIN b USING (event_type)
     GROUP BY e.event_type

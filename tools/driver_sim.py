@@ -31,13 +31,35 @@ def canon(df):
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
 
+def _canon_scalar(v):
+    """Collapse container/library wrappers but KEEP the numeric type tag:
+    int stays int, float stays float — the driver hashes type-tagged exact
+    values, so 3 (Spark BIGINT) must NOT equal 3.0 (DuckDB HUGEINT→float64).
+    That exact looseness let the r02 window pass pre-flight while the driver
+    failed `iqr_outlier_report` (VERDICT r02 #2)."""
+    if hasattr(v, "item") and type(v).__module__ == "numpy":  # numpy scalar
+        v = v.item()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_scalar(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_scalar(x)) for k, x in v.items()))
+    return v
+
+
 def values_equal(a, b) -> bool:
+    a, b = _canon_scalar(a), _canon_scalar(b)
     if a is None and b is None:
         return True
+    if isinstance(a, float) != isinstance(b, float):
+        return False  # int-vs-float type mismatch fails, exactly like the driver hash
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        return a == b  # exact — no tolerance; the driver hashes exact doubles
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
     return a == b
 
 
