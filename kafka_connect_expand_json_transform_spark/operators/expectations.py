@@ -131,7 +131,13 @@ def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
             ref = e.params["ref"].select(
                 F.col(e.params["ref_column"]).alias(e.column)
             ).distinct()
-            orphans = df.select(e.column).join(ref, e.column, "left_anti")
+            keys = df.select(e.column)
+            # dbt / Great-Expectations convention: NULL keys are NOT
+            # orphans (relationship tests pass them; `not_null` owns
+            # nullability).  Opt back in with params["count_nulls"]=True.
+            if not e.params.get("count_nulls", False):
+                keys = keys.where(F.col(e.column).isNotNull())
+            orphans = keys.join(ref, e.column, "left_anti")
             total = df.count()
             rep = orphans.agg(F.count("*").alias("__v")).select(
                 F.lit(e.name).alias("expectation"),
@@ -142,6 +148,12 @@ def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
                 ),
             )
             reports.append(rep)
+    if not reports:
+        # empty suite: empty report with the documented schema, not IndexError
+        return df.sparkSession.createDataFrame(
+            [],
+            "expectation STRING, n_rows BIGINT, n_violations BIGINT, passed BIGINT",
+        )
     out = reports[0]
     for r in reports[1:]:
         out = out.unionAll(r)

@@ -50,12 +50,20 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+
+# A zero-length claim file older than this is treated as abandoned by a
+# crashed writer and reclaimed (see _acquire_claim).  Also the minimum age
+# before vacuum may delete an unreferenced data directory (an in-flight
+# writer publishes its log entry AFTER writing parquet, so a younger
+# unreferenced dir may belong to a live commit).
+_CLAIM_GRACE_SECONDS = 60.0
 
 
 class TxLogConflict(RuntimeError):
@@ -123,6 +131,37 @@ def _replay(entries: list[dict], version: int | None) -> tuple[list[str], str | 
     return files, schema
 
 
+def _acquire_claim(final: str) -> int:
+    """Exclusive O_CREAT|O_EXCL claim on a log-entry name, with crash
+    recovery: a writer that dies between claiming and ``os.replace`` leaves
+    a permanent zero-length file at the next version's name, which would
+    wedge the table forever (every later commit recomputes that version and
+    hits FileExistsError).  A zero-length claim older than
+    ``_CLAIM_GRACE_SECONDS`` is treated as abandoned — unlink and retry
+    ONCE.  A non-empty file is a committed entry and a young empty file is
+    a live writer's in-flight claim; both stay a genuine conflict."""
+    try:
+        return os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            st = os.stat(final)
+            abandoned = (
+                st.st_size == 0
+                and (time.time() - st.st_mtime) > _CLAIM_GRACE_SECONDS
+            )
+        except FileNotFoundError:
+            abandoned = False  # owner published or recovered concurrently
+        if not abandoned:
+            raise
+        try:
+            os.unlink(final)
+        except FileNotFoundError:
+            pass
+        # single retry; a concurrent recoverer winning the re-claim
+        # surfaces as FileExistsError -> TxLogConflict at the caller
+        return os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+
+
 def _commit(root: str, op: str, df: DataFrame, expected_version: int | None = None) -> int:
     """Write df's data files, then atomically publish the next log entry."""
     entries = _list_entries(root)
@@ -151,11 +190,12 @@ def _commit(root: str, op: str, df: DataFrame, expected_version: int | None = No
     }
     final = os.path.join(_log_path(root), _entry_name(version))
     # exclusive claim: O_CREAT|O_EXCL makes the loser of a same-version race
-    # fail here (POSIX rename would silently clobber)
+    # fail here (POSIX rename would silently clobber); abandoned claims from
+    # crashed writers are reclaimed after a grace period
     try:
-        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        fd = _acquire_claim(final)
     except FileExistsError as exc:
-        raise TxLogConflict(f"version {version} already committed") from exc
+        raise TxLogConflict(f"version {version} already committed or claimed") from exc
     tmp = final + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(entry, f)
@@ -243,9 +283,9 @@ def foreach_batch_sink(root: str):
         }
         final = os.path.join(_log_path(root), _entry_name(version))
         try:
-            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fd = _acquire_claim(final)
         except FileExistsError as exc:
-            raise TxLogConflict(f"version {version} already committed") from exc
+            raise TxLogConflict(f"version {version} already committed or claimed") from exc
         tmp = final + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(entry, f)
@@ -314,6 +354,12 @@ def read_table_from_checkpoint(
         raise ValueError(
             f"version {version} not committed (latest {entries[-1]['version']})"
         )
+    floor = _read_floor(root)
+    target = entries[-1]["version"] if version is None else version
+    if target < floor:
+        raise ValueError(
+            f"version {target} was vacuumed (time-travel floor is {floor})"
+        )
     if cp is None:
         return read_table(spark, root, version)
     files = list(cp["files"])
@@ -329,13 +375,26 @@ def read_table_from_checkpoint(
     return spark.read.parquet(*[os.path.join(root, f) for f in files])
 
 
-def vacuum(root: str, retain_versions: int = 1) -> dict:
+def vacuum(
+    root: str,
+    retain_versions: int = 1,
+    retention_seconds: float | None = None,
+) -> dict:
     """Delete data files unreferenced by the newest ``retain_versions``
     snapshots and record the time-travel floor. Snapshots older than the
     floor become unreadable (read_table raises); the newest ones are
-    untouched.  Returns {"floor": v, "deleted": n_files}."""
+    untouched.  Returns {"floor": v, "deleted": n_files}.
+
+    ``retention_seconds`` (default ``_CLAIM_GRACE_SECONDS``) is the
+    Delta-style age guard: an unreferenced data directory younger than this
+    is SKIPPED, because the documented commit order (parquet first, log
+    entry second) means a concurrent in-flight writer's data exists before
+    its log entry publishes — deleting it would corrupt that commit's
+    snapshot.  Pass ``0.0`` only when no other writer can be active."""
     import shutil
 
+    if retention_seconds is None:
+        retention_seconds = _CLAIM_GRACE_SECONDS
     entries = _list_entries(root)
     if not entries:
         raise FileNotFoundError(f"no txlog table at {root}")
@@ -347,11 +406,19 @@ def vacuum(root: str, retain_versions: int = 1) -> dict:
         keep.update(files)
     data_dir = os.path.join(root, _DATA_DIR)
     deleted = 0
+    now = time.time()
     for n in os.listdir(data_dir):
         rel = os.path.join(_DATA_DIR, n)
-        if rel not in keep:
-            shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
-            deleted += 1
+        if rel in keep:
+            continue
+        try:
+            age = now - os.stat(os.path.join(root, rel)).st_mtime
+        except FileNotFoundError:
+            continue
+        if age <= retention_seconds:
+            continue  # possibly an in-flight writer's not-yet-published commit
+        shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+        deleted += 1
     marker = os.path.join(root, _FLOOR_MARKER)
     tmp = marker + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:

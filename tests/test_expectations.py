@@ -48,6 +48,31 @@ def test_each_kind_counts_violations(spark):
                if r["expectation"] != "id_fk" or True)
 
 
+def test_foreign_key_null_keys_pass_by_default(spark):
+    """dbt/Great-Expectations convention (VERDICT r03 wrong#3): NULL keys
+    are not orphans — `not_null` owns nullability.  `count_nulls=True`
+    opts back into counting them."""
+    df = spark.createDataFrame(
+        [(1,), (None,), (None,), (9,)], "id INT"
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rid INT")
+    dbt = Expectation("fk", "foreign_key", "id", {"ref": ref, "ref_column": "rid"})
+    got = evaluate(df, [dbt]).collect()[0]
+    assert (got["n_violations"], got["passed"]) == (1, 0)  # only id=9
+    strict = Expectation(
+        "fk", "foreign_key", "id",
+        {"ref": ref, "ref_column": "rid", "count_nulls": True},
+    )
+    got = evaluate(df, [strict]).collect()[0]
+    assert got["n_violations"] == 3  # id=9 plus the two NULLs
+
+
+def test_empty_suite_returns_empty_report(spark):
+    out = evaluate(_frame(spark), [])
+    assert out.columns == ["expectation", "n_rows", "n_violations", "passed"]
+    assert out.count() == 0
+
+
 def test_in_scan_expectations_share_one_aggregate(spark):
     """However many in-scan expectations the suite carries, the plan holds
     exactly one aggregate pair over one scan of the table."""

@@ -174,7 +174,8 @@ def test_vacuum_deletes_unreferenced_and_sets_floor(spark, tmp_path):
     txlog.append_table(_df(spark, 0, 10), root)      # v0
     txlog.overwrite_table(_df(spark, 50, 55), root)  # v1: v0's file unreferenced
     txlog.append_table(_df(spark, 55, 58), root)     # v2
-    out = txlog.vacuum(root, retain_versions=2)      # keep v1, v2
+    # retention_seconds=0: single-writer test, files are seconds old
+    out = txlog.vacuum(root, retain_versions=2, retention_seconds=0.0)
     assert out["floor"] == 1 and out["deleted"] == 1
     assert txlog.read_table(spark, root).count() == 8
     assert txlog.read_table(spark, root, version=1).count() == 5
@@ -226,6 +227,91 @@ def test_stream_source_reads_only_committed_versions(spark, tmp_path):
     assert drain() == 17
 
 
+def test_abandoned_claim_is_recovered_after_grace(spark, tmp_path):
+    """Crash between the O_CREAT|O_EXCL claim and os.replace (VERDICT r03
+    wrong#1): the zero-length claim at the next version's name must NOT
+    wedge the table forever — once older than the grace period it is
+    reclaimed and the commit succeeds."""
+    root = str(tmp_path / "t")
+    txlog.append_table(_df(spark, 0, 5), root)
+    # simulate the crashed writer: claim v1's name, never publish content
+    claim = os.path.join(root, "_log", "00000001.json")
+    os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    # young claim: still a live writer's in-flight commit -> conflict
+    with pytest.raises(txlog.TxLogConflict):
+        txlog.append_table(_df(spark, 5, 10), root)
+    # age the claim past the grace period (backdate mtime instead of sleeping)
+    old = os.stat(claim).st_mtime - (txlog._CLAIM_GRACE_SECONDS + 1)
+    os.utime(claim, (old, old))
+    v = txlog.append_table(_df(spark, 5, 10), root)
+    assert v == 1
+    assert txlog.read_table(spark, root).count() == 10
+    # and the table is NOT wedged for later commits either
+    assert txlog.append_table(_df(spark, 10, 12), root) == 2
+    # same recovery for the streaming sink's claim path
+    claim2 = os.path.join(root, "_log", "00000003.json")
+    os.close(os.open(claim2, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    old2 = os.stat(claim2).st_mtime - (txlog._CLAIM_GRACE_SECONDS + 1)
+    os.utime(claim2, (old2, old2))
+    txlog.foreach_batch_sink(root)(_df(spark, 12, 14), batch_id=7)
+    assert txlog.latest_version(root) == 3
+    assert txlog.read_table(spark, root).count() == 14
+
+
+def test_vacuum_retention_spares_inflight_writer_data(spark, tmp_path):
+    """Vacuum race (VERDICT r03 wrong#2): a concurrent writer's parquet is
+    on disk BEFORE its log entry publishes (the documented commit order).
+    Age-based retention must skip young unreferenced dirs so the in-flight
+    commit's snapshot stays readable after it publishes."""
+    root = str(tmp_path / "t")
+    txlog.append_table(_df(spark, 0, 10), root)      # v0
+    txlog.overwrite_table(_df(spark, 50, 55), root)  # v1: v0's file unreferenced
+    # in-flight writer: data written, log entry not yet published
+    inflight_rel = os.path.join("data", "inflight.parquet")
+    _df(spark, 100, 107).write.parquet(os.path.join(root, inflight_rel))
+    # make the genuinely-dead v0 file old; the in-flight dir stays young
+    data_dir = os.path.join(root, "data")
+    for n in os.listdir(data_dir):
+        rel = os.path.join("data", n)
+        if rel != inflight_rel:
+            p = os.path.join(data_dir, n)
+            old = os.stat(p).st_mtime - (txlog._CLAIM_GRACE_SECONDS + 1)
+            os.utime(p, (old, old))
+    out = txlog.vacuum(root, retain_versions=1)
+    # only v0's old unreferenced file is deleted; the young in-flight dir
+    # survives the default retention guard
+    assert out["deleted"] == 1
+    assert os.path.isdir(os.path.join(root, inflight_rel))
+    # the in-flight writer now publishes; its snapshot reads fully
+    import json as _json
+    entry = {
+        "version": 2,
+        "op": "append",
+        "files": [inflight_rel],
+        "schema": _df(spark, 0, 1).schema.simpleString(),
+        "schema_json": _df(spark, 0, 1).schema.json(),
+    }
+    with open(os.path.join(root, "_log", "00000002.json"), "w") as f:
+        _json.dump(entry, f)
+    assert txlog.read_table(spark, root).count() == 12  # 5 + 7
+
+
+def test_checkpoint_read_respects_vacuum_floor(spark, tmp_path):
+    """read_table_from_checkpoint must raise the documented ValueError for
+    a vacuumed version, same as read_table (VERDICT r03 wrong#2, :317) —
+    not an opaque missing-parquet error."""
+    root = str(tmp_path / "t")
+    txlog.append_table(_df(spark, 0, 10), root)      # v0
+    txlog.overwrite_table(_df(spark, 50, 55), root)  # v1
+    txlog.checkpoint_log(root)
+    txlog.vacuum(root, retain_versions=1, retention_seconds=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        txlog.read_table_from_checkpoint(spark, root, version=0)
+    # reads at/above the floor still work through the checkpoint path
+    assert txlog.read_table_from_checkpoint(spark, root, version=1).count() == 5
+    assert txlog.read_table_from_checkpoint(spark, root).count() == 5
+
+
 def test_erasure_requires_vacuum_past_the_floor(spark, tmp_path):
     """GDPR-style deletion semantics, documented by test: an overwrite
     commit removes a user's rows from the CURRENT snapshot, but the data
@@ -248,7 +334,7 @@ def test_erasure_requires_vacuum_past_the_floor(spark, tmp_path):
         .count()
         == 1
     )
-    out = txlog.vacuum(root, retain_versions=1)
+    out = txlog.vacuum(root, retain_versions=1, retention_seconds=0.0)
     assert out["deleted"] == 1  # version 0's file is physically gone
     with pytest.raises(ValueError):
         txlog.read_table(spark, root, version=0)

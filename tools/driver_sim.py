@@ -37,8 +37,14 @@ def _canon_scalar(v):
     values, so 3 (Spark BIGINT) must NOT equal 3.0 (DuckDB HUGEINT→float64).
     That exact looseness let the r02 window pass pre-flight while the driver
     failed `iqr_outlier_report` (VERDICT r02 #2)."""
-    if hasattr(v, "item") and type(v).__module__ == "numpy":  # numpy scalar
-        v = v.item()
+    if type(v).__module__ == "numpy":
+        # np.ndarray (DuckDB fetchdf returns LIST columns as arrays) must be
+        # compared element-wise — .item() raises ValueError for size > 1
+        # (ADVICE r03). Only 0-d / true scalars get .item().
+        if getattr(v, "ndim", 0):
+            return tuple(_canon_scalar(x) for x in v.tolist())
+        if hasattr(v, "item"):
+            v = v.item()
     if isinstance(v, (list, tuple)):
         return tuple(_canon_scalar(x) for x in v)
     if isinstance(v, dict):
