@@ -30,7 +30,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO error, not NaN)
+    when either vector has zero norm — cosine is undefined there, and every
+    similarity tier treats NULL as "not a candidate" so degenerate vectors
+    rank identically (absent) in fold/GEMM/LSH/IVF paths."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def l2_distance(a: Column, b: Column) -> Column:
@@ -45,6 +49,8 @@ def l2_distance(a: Column, b: Column) -> Column:
 
 def normalize(a: Column) -> Column:
     """Unit-normalize; with pre-normalized vectors cosine becomes a plain
-    dot product — at 100 TB, normalize once at ingest, not per comparison."""
+    dot product — at 100 TB, normalize once at ingest, not per comparison.
+    Zero-norm input yields an all-NULL vector (try_divide), not an ANSI
+    divide-by-zero error."""
     n = norm(a)
-    return F.transform(a, lambda x: x / n)
+    return F.transform(a, lambda x: F.try_divide(x, n))

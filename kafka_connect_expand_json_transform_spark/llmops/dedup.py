@@ -445,9 +445,48 @@ def simhash_dedup_candidates(
     return _pairs_from_keyed(keyed, id_col, max_bucket)
 
 
+def corpus_artifacts(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+    hash_family: str = "xxhash",
+    near: bool = True,
+) -> dict[str, DataFrame]:
+    """The compact artifact tables :func:`dedup_against_corpus` needs from
+    history — computed ONCE per accepted batch and appended to artifact
+    storage, so later batches dedup against 100 TB of history without ever
+    rescanning its text:
+
+    - ``fingerprints``: distinct 16-byte exact-dup fingerprints
+    - ``signatures`` (near only): (id, MinHash signature array)
+    - ``shingles`` (near only): (id, shingle-hash array) for the verify
+      stage — read back |candidates|-bounded via a semi-join, never fully
+
+    Built with the same expressions as the text path, so artifact-fed
+    dedup is byte-identical to text-fed dedup (tested)."""
+    out = {
+        "fingerprints": corpus.select(
+            md5_fingerprint(F.col(text_col)).alias("__fp")
+        ).distinct()
+    }
+    if near:
+        out["signatures"] = minhash_signatures(
+            corpus, text_col, id_col, num_hashes, shingle_size, hash_family
+        )
+        out["shingles"] = corpus.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        ).select(
+            F.col(id_col),
+            shingles_from_tokens("__toks", shingle_size).alias("shingles"),
+        )
+    return out
+
+
 def dedup_against_corpus(
     incoming: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
@@ -456,22 +495,32 @@ def dedup_against_corpus(
     shingle_size: int = 3,
     hash_family: str = "xxhash",
     near: bool = True,
+    artifacts: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """INCREMENTAL dedup: drop incoming docs that duplicate the EXISTING
     corpus — exact (normalized-text fingerprint) and, with ``near=True``,
     MinHash-LSH near-duplicates — plus exact dups inside the batch itself.
 
     This is the production shape at 100 TB: history is never rescanned as
-    text.  The corpus side only contributes fingerprints and MinHash
-    signatures — compact artifact tables a pipeline maintains incrementally
-    (append each accepted batch's signatures) — while candidate generation
-    is band-bucketed exactly like :func:`minhash_dedup`, so the
-    incoming-vs-corpus comparison is |bucket|-bounded, never |corpus|.
+    text.  Pass ``artifacts=`` (from :func:`corpus_artifacts`, maintained
+    incrementally by appending each accepted batch's artifacts) and
+    ``corpus=None`` — the corpus side then contributes ONLY fingerprint /
+    signature / shingle tables.  Candidate generation is band-bucketed
+    exactly like :func:`minhash_dedup`, so the incoming-vs-corpus
+    comparison is |bucket|-bounded, never |corpus|; the verify stage reads
+    corpus shingles |candidates|-bounded through a semi-join.  Passing a
+    text ``corpus`` computes the same artifacts inline (identical results).
     """
+    if artifacts is None:
+        if corpus is None:
+            raise ValueError("pass either a text corpus or artifacts=")
+        artifacts = corpus_artifacts(
+            corpus, text_col, id_col, num_hashes, shingle_size, hash_family, near
+        )
     inc_fp = incoming.select(
         F.col(id_col), md5_fingerprint(F.col(text_col)).alias("__fp")
     )
-    corp_fp = corpus.select(md5_fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    corp_fp = artifacts["fingerprints"]
     # exact-vs-corpus, then exact-within-batch (keep min id per fingerprint)
     fresh = inc_fp.join(corp_fp, "__fp", "left_anti")
     keep_ids = (
@@ -484,9 +533,7 @@ def dedup_against_corpus(
     sig_inc = minhash_signatures(
         survivors, text_col, id_col, num_hashes, shingle_size, hash_family
     ).localCheckpoint()
-    sig_corp = minhash_signatures(
-        corpus, text_col, id_col, num_hashes, shingle_size, hash_family
-    ).localCheckpoint()
+    sig_corp = artifacts["signatures"].localCheckpoint()
 
     def _bands(sig_df, out_id):
         rpb = max(1, num_hashes // num_bands)
@@ -528,11 +575,26 @@ def dedup_against_corpus(
             .localCheckpoint()
         )
 
+    # corpus-side shingles come from the artifact table, |candidates|-bounded
+    corp_sh = (
+        artifacts["shingles"]
+        .join(
+            cand.select(F.col("__corp_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("__corp_id"),
+            F.col("shingles").alias("__corp_id_sh"),
+        )
+        .localCheckpoint()
+    )
+
     inter = F.size(F.array_intersect("__inc_id_sh", "__corp_id_sh"))
     union = F.size(F.array_union("__inc_id_sh", "__corp_id_sh"))
     near_dupes = (
         cand.join(_sh(survivors, "__inc_id"), "__inc_id")
-        .join(_sh(corpus, "__corp_id"), "__corp_id")
+        .join(corp_sh, "__corp_id")
         .where((inter / F.greatest(union, F.lit(1))) >= threshold)
         .select(F.col("__inc_id").alias(id_col))
         .distinct()
