@@ -6020,6 +6020,84 @@ def stream_stream_join_e2e(spark, sf_dir):
 
 
 
+_SQL_STREAM_LEFT_JOIN = """
+    WITH cut AS (SELECT MAX(ts) - INTERVAL 4 HOUR AS t FROM events),
+    j AS (
+      SELECT c.user_id, c.ts AS click_ts, p.ts AS p_ts
+      FROM events c
+      LEFT JOIN events p
+        ON c.user_id = p.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      WHERE c.event_type = 'click'
+        AND c.ts <= (SELECT t FROM cut)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(SUM(CASE WHEN p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_click_users
+    FROM j
+"""
+
+
+@query("stream_stream_left_join_e2e", _SQL_STREAM_LEFT_JOIN)
+def stream_stream_left_join_e2e(spark, sf_dir):
+    """T6's OUTER shape on REAL streams: left-outer stream-stream join
+    (every click, with its within-1-hour purchases or NULLs) — the shape
+    whose correctness depends on watermark-driven emission of UNMATCHED
+    rows, which the inner-join e2e cannot exercise.  An unmatched click is
+    only emitted once the (right-side) watermark proves no future purchase
+    can match, so rows near the stream's end are still pending when
+    availableNow terminates; both engines therefore aggregate only clicks
+    at least 4 hours (watermark 2h + join window 1h + 1h margin) before the
+    stream's max event time — for those, emission is final and the emitted
+    set equals the batch LEFT JOIN.  Scale: state is bounded by
+    watermark + range condition exactly like the inner join; the outer-ness
+    adds only the per-row matched bit."""
+    cut = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts") - F.expr("INTERVAL 4 HOURS"))
+        .collect()[0][0]
+    )
+    click_stream, cleanup_c = _stream_table_source(spark, sf_dir, "events")
+    purch_stream, cleanup_p = _stream_table_source(spark, sf_dir, "events")
+    try:
+        clicks = (
+            click_stream.where(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("click_ts"))
+            .withWatermark("click_ts", "2 hours")
+        )
+        purchases = (
+            purch_stream.where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "2 hours")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+        out = _run_stream_to_memory(spark, joined, "sg_stream_left_join", "append")
+    finally:
+        cleanup_c()
+        cleanup_p()
+    settled = out.where(F.col("click_ts") <= F.lit(cut))
+    return settled.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("p_ts").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unmatched"),
+        F.countDistinct("user_id").alias("n_click_users"),
+    )
+
+
 _SQL_STREAM_EXPAND = """
     SELECT event_type,
            COUNT(*) AS n,
@@ -16399,6 +16477,54 @@ def dynamic_session_windows(spark, sf_dir):
     )
 
 
+@query("stream_dynamic_session_e2e", _SQL_DYN_SESSION)
+def stream_dynamic_session_e2e(spark, sf_dir):
+    """T3's dynamic-gap shape on a REAL stream: per-event gap session
+    windows (purchases hold sessions open 30 minutes, everything else 10)
+    over the events file stream — the streaming twin of
+    ``dynamic_session_windows``, sharing its merge-rule-replaying oracle.
+    Complete mode emits the final merged session set after the availableNow
+    batch, so the emitted sessions equal the batch operator's; the
+    watermark outlives the fixture span so no session is evicted
+    mid-merge (in production it bounds pending-session state).  Scale: one
+    shuffle on user_id into the session-window state store, same as the
+    static-gap e2e."""
+    from kafka_connect_expand_json_transform_spark.streaming.windows import (
+        session_window_agg,
+    )
+
+    stream, cleanup = _stream_table_source(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    try:
+        sessions = session_window_agg(
+            stream,
+            "ts",
+            gap,
+            {"n_ev": F.count("*")},
+            keys=["user_id"],
+            watermark="35 days",
+        )
+        out = _run_stream_to_memory(
+            spark, sessions, "sg_stream_dyn_sessions", "complete"
+        )
+    finally:
+        cleanup()
+    return out.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.sum(
+            F.expr(
+                "unix_micros(session_window.end) - unix_micros(session_window.start)"
+            )
+        )
+        .cast("bigint")
+        .alias("sum_span_us"),
+        (dbl(F.sum("n_ev")) / F.count("*")).alias("events_per_session"),
+    )
+
+
 _SQL_BLOOM_JOIN = """
     WITH m AS (SELECT DISTINCT o_custkey AS key FROM orders
                WHERE o_totalprice > 300000),
@@ -17707,62 +17833,64 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # [REF] expand_json core: modes, key side, inference strategies, config
-    "expand_props_agg",        # §2.1-1 field mode + inference rules
-    "expand_whole_value",      # §2.1-2 whole-value mode
-    "expand_variant",          # C2 variant strategy
-    "expand_key_side",         # §2.1-3 key-side expansion
-    "expand_nested_path",      # C5 nested-path expansion (readme.md:25)
+    # ROUND-4 ROTATION (VERDICT r03 ask#1): ~20 slots moved to operators born
+    # after round 1 that had never earned a driver CORRECTNESS row; one
+    # sentinel per family stays so regressions in the old surface still show.
+    # [REF] expand_json family sentinels + post-r1 source connectors
+    "expand_props_agg",        # §2.1-1 field mode + inference rules (sentinel)
     "connect_config_pipeline", # C1 connect-config adapter + C3 PERMISSIVE
-    "csv_json_roundtrip_agg",  # S4 JSON/CSV batch source+sink
-    "json_scalar_funcs",       # R9 scalar json
-    # relational core
-    "q1_pricing_summary",      # R4 aggregation
-    "q3_shipping_priority",    # R2 multi-join + topn
-    "q6_forecast_revenue",     # R1 filter/projection pushdown
-    "q2_min_cost_supplier",    # R10 correlated scalar subquery
-    "q21_waiting_suppliers",   # R10 exists/not-exists decorrelation
-    "hierarchy_ancestors",     # R10 recursive CTE
-    "lateral_topn_customers",  # R10 LATERAL
-    "join_full_outer",         # R2 outer join null semantics
-    "bm25_topk",               # retrieval/eval family (session-3; R2 null-safe
-                               # equality keeps oracle-parity + pytest coverage)
-    "range_join_order_events", # R2 range/theta join
+    "xml_expand_agg",          # from_xml expansion (post-r1, never checked)
+    "custom_datasource_expand",# Python DataSource connector (post-r1)
+    "zorder_roundtrip_agg",    # Z-order write path (post-r1)
+    "schema_evolution_merge",  # schema-evolving parquet merge (post-r1)
+    "txlog_time_travel_agg",   # txlog table format + time travel (post-r1)
+    # relational core sentinels
+    "q1_pricing_summary",      # R4 aggregation (sentinel)
+    "q3_shipping_priority",    # R2 multi-join + topn (sentinel)
+    "q2_min_cost_supplier",    # R10 correlated scalar subquery (sentinel)
+    "hierarchy_ancestors",     # R10 recursive CTE (sentinel)
     "asof_join_purchase_click",# R3 as-of join
-    "grouping_sets",           # R5 grouping sets (SQL entry point)
-    "window_rank_funcs",       # R6 ranking/analytic windows
-    "stream_expand_props_e2e",  # [REF] SMT deployment shape: expand inside a REAL stream
-    "topk_per_group",          # R7 top-k per group
-    "set_multiset_ops",        # R8 set ops incl. ALL variants
-    # event-time windows: batch twins + real streaming e2e
-    "iqr_outlier_report",      # profiling (VERDICT r01 must-include)
-    "session_windows",         # T3 session windows
+    "division_all_priorities", # relational division (post-r1)
+    "iqr_outlier_report",      # profiling (r01 must-include; r03's one fix)
+    # streaming: real e2e, incl. the two shapes promoted this round
+    "stream_expand_props_e2e", # [REF] SMT deployment shape on a REAL stream
     "stream_tumbling_agg_e2e", # T1/T2 + S5 real stream
     "stream_dedup_e2e",        # T4 stateful dedup
     "stream_stateful_counts",  # T5 applyInPandasWithState
-    "stream_stream_join_e2e",  # T6 stream-stream join
+    "stream_stream_join_e2e",  # T6 stream-stream inner join
+    "stream_stream_left_join_e2e",  # T6 outer: watermark-driven unmatched rows (new)
+    "stream_dynamic_session_e2e",   # T3 dynamic-gap sessions on a stream (new)
+    "stream_cdc_merge_e2e",    # streaming CDC merge (post-r1)
     # UDF surfaces
-    "python_udf_sign",         # U1
-    "pandas_udf_norms",        # U2
+    "pandas_udf_norms",        # U2 (sentinel)
     "udtf_sentences",          # U3
     "applyinpandas_centroid",  # U4
+    "cogrouped_customer_orders",  # U4 cogroup (post-r1)
     # LLM-ops: dedup / similarity / text / multimodal / curation
     "dedup_exact_stats",       # L1 exact dedup
     "minhash_dedup_md5",       # L2 full MinHash-LSH + connected components
-    "neardup_jaccard_pairs",   # L2 n-gram Jaccard
+    "prefix_filter_jaccard_pairs",  # L2 PPJoin prefix-filter join (post-r1)
+    "incremental_dedup_report",     # L2 incremental corpus dedup (post-r1)
+    "dup_span_coverage",       # L2 exact substring-dup coverage (post-r1)
     "cosine_threshold_pairs",  # L3 embedding near-dup
     "kmeans_cluster_sizes",    # L3 distributed k-means
     "semantic_blocked_pairs",  # L3 cluster-blocked near-dup
+    "ivf_exact_topk",          # L3 IVF ANN vs exact top-k (post-r1)
     "tfidf_top_terms",         # L4 text analysis
     "multimodal_payload_stats",# L5 multimodal plumbing
     "hash_split_counts",       # splits
     "contamination_report",    # decontamination
     "sequence_packing",        # packing/chunking
+    "bpe_merge_rounds",        # BPE tokenizer training (post-r1)
+    "dsir_importance_scores",  # DSIR data selection (post-r1)
+    "vocab_coverage_curve",    # vocab coverage (post-r1)
+    "expectations_report",     # data-quality expectations (post-r1)
+    "golden_record_docs",      # entity-resolution golden records (post-r1)
     # relational extras / graph / profiling / sketches
     "merge_upsert_orders",     # CDC merge
     "scd2_user_state",         # SCD2
     "gapfill_hourly_events",   # timeseries gap fill
-    "pagerank_event_graph",    # graph pagerank
+    "label_prop_communities",  # graph label propagation (post-r1)
     "triangle_count_part_graph",  # graph triangles
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
