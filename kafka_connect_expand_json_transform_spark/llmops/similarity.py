@@ -643,8 +643,9 @@ def cluster_blocked_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 3,
+    target_cluster_size: int = 250,
 ) -> DataFrame:
     """Semantic-blocked near-dup candidates: k-means cluster the embeddings
     (``kmeans_quantized`` — exact, deterministic), then score cosine only
@@ -653,11 +654,20 @@ def cluster_blocked_pairs(
     that straddle a cluster boundary (the standard blocking trade-off; raise
     k for more pruning, lower it for more recall).
 
+    **k must scale with n.** A FIXED k makes Σ|cluster|² grow quadratically
+    as the corpus grows (measured in the sf1 smoke: 10× the vectors at k=8
+    was 21× the time; k=80 restored it — 104 s → 8 s, SCALE.md).  Pass
+    ``k=None`` to derive ``k = max(8, n // target_cluster_size)``, which
+    pins expected within-cluster work at ~n·target_cluster_size — linear in
+    n.  The oracle-checked query keeps an explicit k for determinism.
+
     Plan shape: clustering as in kmeans_quantized, one equi self-join on the
     cluster id (shuffled hash/SMJ, AQE-split on skewed clusters), cosine in
     codegen.  Fully deterministic, so even this blocked pipeline is
     value-checked against a SQL oracle (clustering CTE + pair join).
     """
+    if k is None:
+        k = max(8, corpus.count() // target_cluster_size)
     from kafka_connect_expand_json_transform_spark.functions.vectors import (
         as_double as _as_double,
     )

@@ -6336,9 +6336,11 @@ def incremental_dedup_report(spark, sf_dir):
     batch and is deduplicated against the even-id half — exact fingerprint
     anti-join, exact within-batch, then MinHash-band candidates vs the
     corpus verified by shingle Jaccard.  The production pattern at 100 TB:
-    history contributes only fingerprint/signature artifact tables, and the
-    incoming-vs-corpus comparison is band-bucket-bounded, never |corpus|.
-    md5 hash family here so every tier is DuckDB-reproducible."""
+    history contributes only fingerprint/signature/shingle artifact tables
+    (``corpus_artifacts`` builds them; ``artifacts=`` feeds them back,
+    byte-identical to this text path — test_dedup_against_saved_artifacts),
+    and the incoming-vs-corpus comparison is band-bucket-bounded, never
+    |corpus|.  md5 hash family here so every tier is DuckDB-reproducible."""
     docs = load_table(spark, sf_dir, "documents")
     incoming = docs.where(F.col("doc_id") % 2 == 1)
     corpus = docs.where(F.col("doc_id") % 2 == 0)

@@ -92,6 +92,32 @@ def test_psi_quantization_clear_of_integer_boundaries(ddb):
         )
 
 
+def test_gini_rank_moment_headroom(ddb):
+    """gini_customer_spend's s1 = SUM(rank * cents) per segment: Spark's
+    bigint SUM wraps silently where DuckDB promotes to HUGEINT, so assert
+    the worst-case bound n*(n+1)/2 * max_cents (global n >= any segment's
+    n) keeps orders of magnitude below 2^63 on the live fixture.  The
+    docstring's documented ceiling is ~sf30; this guard makes regeneration
+    drift (or an unexpectedly large sf) fail loudly instead of silently
+    diverging."""
+    n, mx = ddb.execute(
+        """
+        WITH s AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+                   AS cents
+          FROM orders GROUP BY 1
+        )
+        SELECT COUNT(*), MAX(cents) FROM s
+        """
+    ).fetchone()
+    worst_s1 = n * (n + 1) // 2 * mx
+    assert worst_s1 < 2**62, (
+        f"n={n}, max_cents={mx}: worst-case SUM(i*cents)={worst_s1} is within "
+        "2x of int64 wraparound — re-rank gini over dollars (cents DIV 100)"
+    )
+
+
 def test_perceptron_feature_headroom(ddb):
     """perceptron_training_rounds' int64 margins: x1 (totalprice in hundreds
     of dollars) must stay small enough that w1*x1 after 3 rounds keeps
