@@ -638,6 +638,68 @@ def kmeans_quantized(
     return centroids, assign(base).drop("__xq")
 
 
+def split_oversized_blocks(
+    labeled: DataFrame,
+    corpus: DataFrame,
+    max_cluster_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    target_cluster_size: int = 250,
+    max_levels: int = 3,
+) -> DataFrame:
+    """Hierarchically split oversized blocking clusters until every block is
+    at or under ``max_cluster_size`` (or ``max_levels`` is exhausted).
+
+    ``labeled`` is ``(id, block string)``; each level gathers the members of
+    every still-oversized block, runs ONE global ``kmeans_quantized`` over
+    that subset (k derived from the subset size — NOT one k-means per
+    block, which would be a driver-side loop over an unbounded cluster
+    list), and refines labels to ``parent.sub``.  Members of different
+    parents stay separated by the composite key even when they land in the
+    same sub-cluster, so a level never merges blocks — block sizes are
+    monotonically non-increasing and the within-block pair count Σ|b|² can
+    only shrink.
+
+    Scale shape per level: one broadcast semi-join to select oversized
+    members (the oversized *block id list* is small — at most n /
+    max_cluster_size entries), one k-means pass over that subset (narrow
+    assignment, k×dim-bounded update shuffle), one label join.  Levels are
+    bounded by ``max_levels``; a block of byte-identical vectors cannot be
+    split (k-means puts them in one cluster) and exits via the level cap
+    rather than looping.  Deterministic end-to-end (kmeans_quantized init
+    is the k smallest ids of the subset).
+    """
+    if max_cluster_size < 1:
+        raise ValueError(f"max_cluster_size must be >= 1, got {max_cluster_size}")
+    for _ in range(max_levels):
+        sizes = labeled.groupBy("block").agg(F.count("*").alias("__n"))
+        oversized = sizes.where(F.col("__n") > max_cluster_size).select("block")
+        over = labeled.join(F.broadcast(oversized), "block")
+        n_over = over.count()
+        if n_over == 0:
+            break
+        sub_k = max(2, n_over // target_cluster_size)
+        subset = over.select(id_col).join(corpus, id_col)
+        _, sub = kmeans_quantized(
+            subset, id_col=id_col, vec_col=vec_col, k=sub_k, iters=iters
+        )
+        refined = (
+            over.join(sub.select(id_col, F.col("cluster").alias("__sub")), id_col)
+            .select(
+                F.col(id_col),
+                F.concat_ws(".", "block", F.col("__sub").cast("string")).alias("block"),
+            )
+        )
+        labeled = (
+            labeled.join(F.broadcast(oversized), "block", "left_anti")
+            .select(id_col, "block")
+            .unionByName(refined)
+            .localCheckpoint(eager=True)  # bound lineage across levels
+        )
+    return labeled
+
+
 def cluster_blocked_pairs(
     corpus: DataFrame,
     threshold: float,
@@ -646,6 +708,7 @@ def cluster_blocked_pairs(
     k: int | None = 8,
     iters: int = 3,
     target_cluster_size: int = 250,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Semantic-blocked near-dup candidates: k-means cluster the embeddings
     (``kmeans_quantized`` — exact, deterministic), then score cosine only
@@ -660,6 +723,15 @@ def cluster_blocked_pairs(
     ``k=None`` to derive ``k = max(8, n // target_cluster_size)``, which
     pins expected within-cluster work at ~n·target_cluster_size — linear in
     n.  The oracle-checked query keeps an explicit k for determinism.
+
+    **Skewed clusters need splitting, not just more of them.** Auto-k fixes
+    the MEAN cluster size; a skewed embedding distribution still produces
+    individual mega-clusters whose |b|² dominates.  Pass
+    ``max_cluster_size`` to hierarchically re-cluster oversized blocks
+    (``split_oversized_blocks``) until every block fits — in that mode
+    ``cluster_id`` is the composite block path string (e.g. ``"3.1"``)
+    instead of an int, and the returned pairs are a subset of the unsplit
+    run's (splitting only prunes, never invents, candidates).
 
     Plan shape: clustering as in kmeans_quantized, one equi self-join on the
     cluster id (shuffled hash/SMJ, AQE-split on skewed clusters), cosine in
@@ -676,6 +748,17 @@ def cluster_blocked_pairs(
     )
 
     _, assigned = kmeans_quantized(corpus, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    if max_cluster_size is not None:
+        labeled = split_oversized_blocks(
+            assigned.select(id_col, F.col("cluster").cast("string").alias("block")),
+            corpus,
+            max_cluster_size,
+            id_col=id_col,
+            vec_col=vec_col,
+            iters=iters,
+            target_cluster_size=target_cluster_size,
+        )
+        assigned = labeled.select(id_col, F.col("block").alias("cluster"))
     tagged = assigned.select(id_col, "cluster").join(
         corpus.select(F.col(id_col), _as_double(vec_col).alias("__v")), id_col
     )

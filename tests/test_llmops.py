@@ -587,3 +587,49 @@ def test_prefix_filter_prunes_and_loses_nothing(spark, docs):
     true_pairs = prefix_filter_jaccard_pairs(spark, sf).select("id_a", "id_b")
     missing = true_pairs.join(pref_cands, ["id_a", "id_b"], "left_anti").count()
     assert missing == 0
+
+
+def test_split_oversized_blocks_caps_and_only_prunes(spark):
+    """Hierarchical splitting (SCALE.md round-4 finding): auto-k fixes the
+    MEAN cluster size but a skewed distribution still yields mega-clusters;
+    ``max_cluster_size`` must (a) cap every block, (b) never invent pairs —
+    the split run's output is a subset of the unsplit run's — and (c) stay
+    deterministic run-to-run."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # skew: one 60-point spread-out mega-blob + two tight 5-point blobs.
+    # k=3 clusters put ~60 points in one block — the Σ|b|² hot spot.
+    rows = [(i, (np.eye(6)[0] * 10 + rng.normal(0, 2.0, 6)).tolist()) for i in range(60)]
+    rows += [(100 + i, (np.eye(6)[2] * 10 + rng.normal(0, 0.01, 6)).tolist()) for i in range(5)]
+    rows += [(200 + i, (np.eye(6)[4] * 10 + rng.normal(0, 0.01, 6)).tolist()) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    labeled = similarity.split_oversized_blocks(
+        similarity.kmeans_quantized(df, k=3)[1]
+        .select("vec_id", F.col("cluster").cast("string").alias("block")),
+        df,
+        max_cluster_size=20,
+        target_cluster_size=10,
+    )
+    sizes = {r["block"]: r["n"] for r in
+             labeled.groupBy("block").agg(F.count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == 70  # no row lost or duplicated
+    assert max(sizes.values()) <= 20, sizes
+    assert any("." in b for b in sizes)  # the mega-block actually split
+
+    unsplit = {(r["id_a"], r["id_b"])
+               for r in similarity.cluster_blocked_pairs(df, 0.5, k=3).collect()}
+    split_df = similarity.cluster_blocked_pairs(
+        df, 0.5, k=3, max_cluster_size=20, target_cluster_size=10
+    )
+    assert dict(split_df.dtypes)["cluster_id"] == "string"  # composite path
+    split1 = {(r["id_a"], r["id_b"]) for r in split_df.collect()}
+    split2 = {(r["id_a"], r["id_b"])
+              for r in similarity.cluster_blocked_pairs(
+                  df, 0.5, k=3, max_cluster_size=20, target_cluster_size=10).collect()}
+    assert split1 == split2  # deterministic
+    assert split1 <= unsplit  # splitting only prunes
+    # the tight blobs were never oversized: their within-blob pairs survive
+    tight = {(a, b) for (a, b) in unsplit if a >= 100 and b >= 100}
+    assert tight and tight <= split1
