@@ -85,3 +85,68 @@ def curate(
         n_after_near_dedup=near.count(),
     )
     return near, report
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 80,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher-style quality-rule flags (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 heuristics, bounds re-parameterized for
+    the corpus at hand): one boolean column per rule plus ``gopher_pass``.
+
+    Every rule is an INTEGER comparison — rational thresholds are
+    cross-multiplied (mean word length in [3,7] becomes ``sum_len`` vs
+    ``3*n``/``7*n``; alpha fraction >= 4/5 becomes ``5*alpha < 4*n``) — so a
+    SQL oracle reproduces each flag bit-for-bit with no float ratio ever
+    crossing the engine boundary.
+
+    Rules: word count outside [min_words, max_words]; mean word length
+    outside [3, 7]; symbol-to-word ratio ('#' + '...') > 1/10; fraction of
+    words containing an alphabetic char < 4/5; fewer than
+    ``min_stopword_hits`` distinct stopwords (DEFAULT_STOPWORDS, the
+    list quality_score uses); unique-token fraction < 1/2 (the repetition
+    rule).
+
+    Plan shape: one narrow projection — the token array is staged once and
+    every rule reads the staged attribute (no re-tokenization per rule); no
+    shuffle, no UDF, pushes into the scan at any scale.
+    """
+    from kafka_connect_expand_json_transform_spark.functions.text import (
+        DEFAULT_STOPWORDS,
+        tokens,
+    )
+
+    staged = df.withColumn("__toks", tokens(text_col))
+    t = F.col("__toks")
+    c = F.col(text_col)
+    n = F.size(t)
+    sum_len = F.length(F.array_join(t, ""))
+    alpha_words = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    distinct_n = F.size(F.array_distinct(t))
+    sym = (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))) + (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("long")
+    stop_hits = None
+    for w in DEFAULT_STOPWORDS:
+        hit = F.array_contains(t, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    flags = {
+        "flag_word_count": (n < min_words) | (n > max_words),
+        "flag_mean_word_len": (sum_len < 3 * n) | (sum_len > 7 * n),
+        "flag_symbol_ratio": (10 * sym) > n,
+        "flag_alpha_ratio": (5 * alpha_words) < (4 * n),
+        "flag_stopwords": stop_hits < min_stopword_hits,
+        "flag_repetition": (2 * distinct_n) < n,
+    }
+    out = staged
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    no_flag = None
+    for name in flags:
+        cnd = ~F.col(name)
+        no_flag = cnd if no_flag is None else no_flag & cnd
+    return out.withColumn("gopher_pass", no_flag).drop("__toks")

@@ -17826,6 +17826,83 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
     ).where(F.lit(5) * inter >= F.lit(3) * union)
 
 
+@query(
+    "gopher_quality_report",
+    """
+    WITH toks AS (
+      SELECT source, text,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    m AS (
+      SELECT source,
+             len(t) AS n,
+             len(array_to_string(t, '')) AS sum_len,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+             len(list_distinct(t)) AS distinct_n,
+             (len(text) - len(replace(text, '#', '')))
+               + (len(text) - len(replace(text, '...', ''))) // 3 AS sym,
+             (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(t, 'a') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(t, 'in') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(t, 'is') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(t, 'it') THEN 1 ELSE 0 END) AS stop_hits
+      FROM toks),
+    f AS (
+      SELECT source,
+             (n < 20 OR n > 80) AS f_wc,
+             (sum_len < 3 * n OR sum_len > 7 * n) AS f_mwl,
+             (10 * sym > n) AS f_sym,
+             (5 * alpha_words < 4 * n) AS f_alpha,
+             (stop_hits < 2) AS f_stop,
+             (2 * distinct_n < n) AS f_rep
+      FROM m)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count,
+           CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_word_len,
+           CAST(SUM(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_ratio,
+           CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_ratio,
+           CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+           CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+           CAST(SUM(CASE WHEN NOT (f_wc OR f_mwl OR f_sym OR f_alpha
+                                   OR f_stop OR f_rep) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass
+    FROM f GROUP BY source
+    """,
+)
+def gopher_quality_report_q(spark, sf_dir):
+    """Per-source Gopher-rule violation census (Rae et al. 2021 §A1.1-style
+    heuristics): one row per document source with counts of documents
+    tripping each quality rule and of documents passing all of them.  Every
+    rule is an integer cross-multiplied comparison (see
+    ``curation.gopher_quality_flags``) so the DuckDB oracle reproduces each
+    flag exactly — the curation analogue of the reference's "inspect before
+    you transform" posture (readme.md:15)."""
+    from kafka_connect_expand_json_transform_spark.llmops.curation import (
+        gopher_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = gopher_quality_flags(docs)
+    pairs = [
+        ("flag_word_count", "n_word_count"),
+        ("flag_mean_word_len", "n_mean_word_len"),
+        ("flag_symbol_ratio", "n_symbol_ratio"),
+        ("flag_alpha_ratio", "n_alpha_ratio"),
+        ("flag_stopwords", "n_stopwords"),
+        ("flag_repetition", "n_repetition"),
+        ("gopher_pass", "n_pass"),
+    ]
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        *[F.sum(F.col(c).cast("bigint")).alias(a) for c, a in pairs],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

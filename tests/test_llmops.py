@@ -633,3 +633,32 @@ def test_split_oversized_blocks_caps_and_only_prunes(spark):
     # the tight blobs were never oversized: their within-blob pairs survive
     tight = {(a, b) for (a, b) in unsplit if a >= 100 and b >= 100}
     assert tight and tight <= split1
+
+
+def test_gopher_quality_flags_rule_semantics(spark):
+    """Each Gopher rule trips on a crafted document and stays quiet on a
+    clean one; the aggregate report is value-checked vs DuckDB in
+    test_oracle_parity (gopher_quality_report)."""
+    from kafka_connect_expand_json_transform_spark.llmops.curation import (
+        gopher_quality_flags,
+    )
+
+    clean = "the cat sat and looked out over the wide green field toward " \
+            "a tall old barn where birds often landed during warm summer " \
+            "days and sang until the light slowly faded away into night"
+    rows = [
+        (1, clean),                                     # passes everything
+        (2, "short text only"),                         # word count < 20
+        (3, " ".join(["a"] * 30)),                      # mean len < 3, repetition
+        (4, ("# " * 15) + " ".join(["the", "of", "word"] * 10)),  # symbols
+        (5, " ".join(["123", "456"] * 15)),             # alpha + stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["flag_word_count"] is True
+    assert got[3]["flag_mean_word_len"] and got[3]["flag_repetition"]
+    assert got[4]["flag_symbol_ratio"] is True
+    assert got[5]["flag_alpha_ratio"] and got[5]["flag_stopwords"]
+    for d in (2, 3, 4, 5):
+        assert got[d]["gopher_pass"] is False
