@@ -16,6 +16,12 @@ degrade explicitly:
 On a real cluster add ``--packages org.apache.spark:spark-avro_2.13:<ver>``
 and the same call sites light up; the plan shape is identical to the JSON
 core (narrow codegen projection, no UDF).
+
+When the jar is absent, the format is NOT unreachable: ``sources/avro_py``
+ships a pure-stdlib implementation of the Avro spec — container-file
+read/write as a Python DataSource (``avro_py``) and a wire-format
+``expand_avro_py`` (Arrow-batched mapInPandas) with this module's same
+PERMISSIVE/FAILFAST contract.  Slower than codegen, dependency-free.
 """
 
 from __future__ import annotations

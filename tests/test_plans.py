@@ -523,13 +523,19 @@ def test_driver_window_composition():
     assert first50 == _DRIVER_WINDOW
     missing_oracles = [n for n in first50 if n not in ORACLES]
     assert not missing_oracles, missing_oracles
+    # round-4 rotation (VERDICT r03 ask#1): sentinels for the old surface plus
+    # the post-r1 operators that had never earned a driver CORRECTNESS row
     must_have = {
-        "expand_props_agg", "expand_key_side", "expand_nested_path",
-        "connect_config_pipeline", "stream_expand_props_e2e",
+        "expand_props_agg", "connect_config_pipeline", "xml_expand_agg",
+        "custom_datasource_expand", "txlog_time_travel_agg",
+        "schema_evolution_merge", "stream_expand_props_e2e",
         "stream_tumbling_agg_e2e", "stream_dedup_e2e", "stream_stateful_counts",
-        "stream_stream_join_e2e", "python_udf_sign", "pandas_udf_norms",
-        "udtf_sentences", "applyinpandas_centroid", "minhash_dedup_md5",
-        "kmeans_cluster_sizes", "pagerank_event_graph",
+        "stream_stream_join_e2e", "stream_stream_left_join_e2e",
+        "stream_dynamic_session_e2e", "stream_cdc_merge_e2e",
+        "pandas_udf_norms", "udtf_sentences", "applyinpandas_centroid",
+        "cogrouped_customer_orders", "minhash_dedup_md5",
+        "prefix_filter_jaccard_pairs", "incremental_dedup_report",
+        "kmeans_cluster_sizes", "bpe_merge_rounds", "label_prop_communities",
         "triangle_count_part_graph", "scd2_user_state", "merge_upsert_orders",
     }
     assert must_have <= set(first50), must_have - set(first50)
