@@ -778,6 +778,57 @@ def cluster_blocked_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = 8,
+    iters: int = 3,
+    target_cluster_size: int = 250,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): drop all but one document per
+    SEMANTIC duplicate group.  Pipeline: cluster-blocked cosine pairs
+    (``cluster_blocked_pairs`` — Σ|cluster|², never n²) -> connected
+    components over the pair graph (min-label + pointer jumping,
+    ``dedup.connected_components``) -> keep the min-id representative of
+    each component.  Returns the surviving corpus rows with their original
+    columns.
+
+    The MinHash dedup twin for the EMBEDDING modality: same graph
+    machinery, different similarity signal — near-dups that share no
+    n-grams (paraphrases, translations scored by a multilingual encoder)
+    only this pass catches.  Deterministic end-to-end (exact quantized
+    k-means + exact cosine rounding), so the full chain is value-checked
+    against a recursive-CTE SQL oracle (`semantic_dedup_survivors`).
+
+    Scale: the pair graph is orders of magnitude smaller than the corpus
+    (bounded by blocked candidates above threshold); CC shuffles the edge
+    table, the final keep is one left_anti join on id.  Pass
+    ``max_cluster_size`` to split skewed mega-clusters first (SCALE.md).
+    """
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import (
+        connected_components,
+    )
+
+    pairs = cluster_blocked_pairs(
+        corpus,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        iters=iters,
+        target_cluster_size=target_cluster_size,
+        max_cluster_size=max_cluster_size,
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    losers = comp.where(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")
+
+
 def centroid_silhouette(
     df: DataFrame,
     id_col: str = "vec_id",

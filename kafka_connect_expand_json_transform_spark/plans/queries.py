@@ -2261,6 +2261,51 @@ def semantic_blocked_pairs(spark, sf_dir):
 
 
 @query(
+    "semantic_dedup_survivors",
+    "WITH RECURSIVE "
+    + _KMEANS_WITH.split("WITH", 1)[1]
+    + """,
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    prs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN e ea ON ea.vec_id = x.vec_id
+      JOIN e eb ON eb.vec_id = y.vec_id
+      WHERE round(list_dot_product(ea.v, eb.v) /
+                  (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+                  4) >= 0.4),
+    sym AS (SELECT id_a AS s, id_b AS d FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+    reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, e2.d FROM reach r JOIN sym e2 ON r.d = e2.s),
+    losers AS (SELECT s AS vec_id FROM reach GROUP BY s HAVING MIN(d) < s)
+    SELECT label,
+           COUNT(*) AS n_survivors,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_survivor_ids
+    FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    GROUP BY label
+    """,
+)
+def semantic_dedup_survivors(spark, sf_dir):
+    """SemDeDup over the embedding corpus (Abbas et al. 2023): cluster-
+    blocked cosine pairs at 0.4 -> connected components -> keep the min-id
+    representative per semantic-dup group; survivors counted per label.
+    The MinHash pipeline's embedding-modality twin — catches paraphrase
+    near-dups that share no n-grams — and, like it, value-checked END TO
+    END (Lloyd rounds + pair graph + iterative CC) against a recursive-CTE
+    oracle, not rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = similarity.semantic_dedup(emb, threshold=0.4, k=8, iters=3)
+    return kept.groupBy("label").agg(
+        F.count("*").alias("n_survivors"),
+        F.sum("vec_id").cast("bigint").alias("sum_survivor_ids"),
+    )
+
+
+@query(
     "embedding_centroids",
     """
     SELECT label, CAST(i.pos AS INTEGER) AS pos, COUNT(*) AS n,
