@@ -17925,6 +17925,51 @@ def avro_roundtrip_agg(spark, sf_dir):
 
 
 @query(
+    "avro_wire_expand_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_parsed,
+           CAST(SUM(CASE WHEN event_id % 10 <> 0
+                         THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def avro_wire_expand_agg(spark, sf_dir):
+    """Avro WIRE-FORMAT expansion end-to-end without the spark-avro jar:
+    events.props -> typed struct -> binary Avro datums (stdlib encoder) ->
+    10% poisoned with truncated bytes -> ``expand_avro_py`` in PERMISSIVE
+    mode (malformed -> NULL struct, the reference's DataException posture
+    re-expressed — ExpandJson.java:169-171) -> per-type parse accounting.
+    The oracle models the corruption arithmetically (event_id % 10), so
+    encode->corrupt->decode->aggregate is value-checked end to end."""
+    from kafka_connect_expand_json_transform_spark.sources.avro_py import (
+        expand_avro_py,
+        to_avro_py_column_rows,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", "event_type", F.from_json("props", "k long").alias("payload")
+    )
+    ser, schema_json = to_avro_py_column_rows(parsed, "payload")
+    poisoned = ser.withColumn(
+        "payload",
+        F.when(F.col("event_id") % 10 == 0, F.lit(b"\x81")).otherwise(
+            F.col("payload")
+        ),
+    )
+    out = expand_avro_py(poisoned, "payload", schema_json, mode="PERMISSIVE")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("payload.k").alias("n_parsed"),
+        F.coalesce(F.sum("payload.k"), F.lit(0)).cast("bigint").alias("sum_k"),
+    )
+
+
+@query(
     "gopher_quality_report",
     """
     WITH toks AS (

@@ -32,6 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -257,6 +258,35 @@ class AvroWriter(DataSourceWriter):
                 pass
 
 
+class AvroStreamWriter(AvroWriter, DataSourceStreamWriter):
+    """Streaming sink variant: files carry the epoch id, so a replayed
+    micro-batch overwrites its own files instead of duplicating them —
+    exactly-once with the checkpoint (the jsonl_sink protocol)."""
+
+    def write(self, iterator) -> _WroteAvro:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        epoch = ctx.getLocalProperty("streaming.sql.batchId") or "0"
+        name = (
+            f"epoch-{int(epoch):06d}-part-{ctx.partitionId():05d}-"
+            f"{ctx.taskAttemptId()}.avro"
+        )
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, "." + name + ".tmp")
+        names = [f.name for f in self.spark_schema.fields]
+        rows = (dict(zip(names, row)) for row in iterator)
+        n = C.write_container(tmp, self.avro_schema, rows)
+        return _WroteAvro(tmp, os.path.join(self.path, name), n)
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        for m in messages:
+            os.replace(m.tmp_path, m.final_path)
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        super().abort(messages)
+
+
 class AvroPyDataSource(DataSource):
     """``spark.read.format("avro_py").load(dir)`` /
     ``df.write.format("avro_py").mode("overwrite").save(dir)`` after
@@ -285,6 +315,9 @@ class AvroPyDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> AvroWriter:
         return AvroWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> AvroStreamWriter:
+        return AvroStreamWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

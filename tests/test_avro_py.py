@@ -128,3 +128,33 @@ def test_wire_expand_permissive_and_failfast(spark):
 def test_schema_mapping_rejects_multi_branch_unions():
     with pytest.raises(ValueError, match="unions"):
         A.avro_to_spark_type(["null", "long", "string"])
+
+
+def test_streaming_avro_sink_exactly_once_files(spark, tmp_path):
+    """writeStream -> avro_py: a real micro-batch run lands epoch-prefixed
+    container files via the two-phase commit, and the re-read equals the
+    batch input."""
+    A.register(spark)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.range(200).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("grp")
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        stream.writeStream.format("avro_py")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".avro")]
+    assert files and all(f.startswith("epoch-") for f in files)
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    back = spark.read.format("avro_py").option("path", out).load()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
