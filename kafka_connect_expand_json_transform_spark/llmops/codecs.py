@@ -11,7 +11,9 @@ the formats the standard library can honestly handle:
   * full PNG pixel decode / re-encode / nearest-neighbor resize — zlib
     inflate + scanline unfiltering per the PNG spec (8-bit gray / gray+alpha
     / RGB / RGBA, non-interlaced: the overwhelmingly common case);
-  * WAV audio features — stdlib ``wave`` framing + PCM amplitude statistics.
+  * WAV audio features — stdlib ``wave`` framing + PCM amplitude statistics;
+  * MJPEG/AVI video frame extraction — RIFF container walking; each movi
+    chunk is a complete JPEG, so frame sampling needs no pixel codec.
 
 ``llmops.multimodal`` prefers PIL / soundfile when importable and falls back
 here, so the same pipeline code runs real decodes in this container and
@@ -47,6 +49,8 @@ def sniff_mime(raw: bytes) -> str:
         return "image/bmp"
     if raw.startswith(b"RIFF") and raw[8:12] == b"WAVE":
         return "audio/wav"
+    if raw.startswith(b"RIFF") and raw[8:12] == b"AVI ":
+        return "video/x-msvideo"
     return "application/octet-stream"
 
 
@@ -277,3 +281,85 @@ def wav_features(raw: bytes) -> dict:
         "mean": mean / full_scale,
         "n_frames": n_frames,
     }
+
+
+# --- AVI / MJPEG (RIFF container walking — no pixel codec needed) -----------
+#
+# Motion-JPEG inside AVI is the one video format the stdlib can honestly
+# handle: the RIFF container is documented chunk framing (fourcc + u32le
+# size), and each '##dc'/'##db' chunk in the 'movi' list IS a complete JPEG
+# image — so frame extraction is container walking plus the JPEG header
+# parsing this module already does.  Other codecs (H.264 etc.) still require
+# PyAV and stay gated.
+
+
+def avi_mjpeg_frames(raw: bytes) -> list[bytes]:
+    """Extract the video frame payloads (JPEG bytes) from an MJPEG AVI.
+    Raises ValueError if the payload is not a RIFF/AVI container."""
+    if not (raw.startswith(b"RIFF") and raw[8:12] == b"AVI "):
+        raise ValueError("not a RIFF/AVI container")
+    frames: list[bytes] = []
+
+    def walk(buf: memoryview, start: int, end: int, in_movi: bool) -> None:
+        pos = start
+        while pos + 8 <= end:
+            fourcc = bytes(buf[pos : pos + 4])
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = pos + 8
+            if fourcc == b"LIST":
+                list_type = bytes(buf[body : body + 4])
+                walk(buf, body + 4, body + size, in_movi or list_type == b"movi")
+            elif in_movi and fourcc[2:4] in (b"dc", b"db"):
+                frames.append(bytes(buf[body : body + size]))
+            pos = body + size + (size & 1)  # chunks are word-aligned
+
+    mv = memoryview(raw)
+    walk(mv, 12, min(len(raw), 8 + struct.unpack("<I", raw[4:8])[0]), False)
+    return frames
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 25
+) -> bytes:
+    """Assemble JPEG frames into a minimal standards-shaped MJPEG AVI
+    (RIFF / hdrl(avih, strl(strh 'vids'/'MJPG', strf BITMAPINFOHEADER)) /
+    movi with '00dc' chunks / idx1).  Deterministic bytes for fixed input."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    us_per_frame = 1_000_000 // fps
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I", us_per_frame, max_bytes * fps, 0, 0x10, len(frames), 0, 1,
+        max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<10I4H", 0, 0, 0, 1, fps, 0, len(frames), max_bytes,
+                      0xFFFFFFFF, 0, 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"movi"
+    offsets = []
+    for f in frames:
+        offsets.append(len(movi_body))
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, len(f))
+            for off, f in zip(offsets, frames)
+        ),
+    )
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -292,6 +292,8 @@ def sample_frames(
     )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kafka_connect_expand_json_transform_spark.llmops import codecs
+
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
@@ -303,15 +305,26 @@ def sample_frames(
                         r["frame_index"] = i * every_nth
                         r["frame_payload"] = raw[:16]
                         rows.append(r)
+                elif codecs.sniff_mime(raw) == "video/x-msvideo":
+                    # REAL stdlib path: MJPEG-in-AVI frames are complete
+                    # JPEGs — container walking, no pixel codec needed
+                    for i, jpeg in enumerate(codecs.avi_mjpeg_frames(raw)):
+                        if i % every_nth:
+                            continue
+                        r = row.to_dict()
+                        r["frame_index"] = i
+                        r["frame_payload"] = jpeg
+                        rows.append(r)
                 else:
                     try:
                         import io as _io
 
-                        import av  # optional dep: the only real video path
+                        import av  # optional dep: all non-MJPEG-AVI codecs
                     except ImportError as exc:
                         raise NotImplementedError(
-                            "video decode requires PyAV (no stdlib codec "
-                            "exists); install 'av' or use fake=True"
+                            "video decode beyond MJPEG/AVI requires PyAV "
+                            "(no stdlib codec exists); install 'av' or use "
+                            "fake=True"
                         ) from exc
                     with av.open(_io.BytesIO(raw)) as container:
                         for i, frame in enumerate(container.decode(video=0)):

@@ -18072,7 +18072,7 @@ _DRIVER_WINDOW = [
     "q2_min_cost_supplier",    # R10 correlated scalar subquery (sentinel)
     "hierarchy_ancestors",     # R10 recursive CTE (sentinel)
     "asof_join_purchase_click",# R3 as-of join
-    "division_all_priorities", # relational division (post-r1)
+    "avro_roundtrip_agg",      # pure-Python Avro container source/sink (new r4)
     "iqr_outlier_report",      # profiling (r01 must-include; r03's one fix)
     # streaming: real e2e, incl. the two shapes promoted this round
     "stream_expand_props_e2e", # [REF] SMT deployment shape on a REAL stream
@@ -18096,7 +18096,7 @@ _DRIVER_WINDOW = [
     "dup_span_coverage",       # L2 exact substring-dup coverage (post-r1)
     "cosine_threshold_pairs",  # L3 embedding near-dup
     "kmeans_cluster_sizes",    # L3 distributed k-means
-    "semantic_blocked_pairs",  # L3 cluster-blocked near-dup
+    "semantic_dedup_survivors",# L3 SemDeDup: blocked pairs + CC + keep-one (new r4)
     "ivf_exact_topk",          # L3 IVF ANN vs exact top-k (post-r1)
     "tfidf_top_terms",         # L4 text analysis
     "multimodal_payload_stats",# L5 multimodal plumbing

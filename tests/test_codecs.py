@@ -206,3 +206,44 @@ def test_wav_features_property(rate, samples):
     assert 0.0 <= f["rms"] <= f["peak"] <= 1.0 + 1e-9
     assert 0.0 <= f["zcr"] <= 1.0
     assert f["peak"] == pytest.approx(max(abs(s) for s in samples) / 32768.0)
+
+
+def _fake_jpeg(w, h, tag):
+    # structurally valid JPEG: SOI + SOF0 carrying dims + payload tag + EOI
+    import struct as _s
+    sof = b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+    return b"\xff\xd8" + sof + tag + b"\xff\xd9"
+
+
+def test_avi_mjpeg_container_roundtrip():
+    from kafka_connect_expand_json_transform_spark.llmops import codecs as K
+
+    frames = [_fake_jpeg(32, 24, bytes([i])) for i in range(5)]
+    avi = K.encode_avi_mjpeg(frames, 32, 24, fps=10)
+    assert K.sniff_mime(avi) == "video/x-msvideo"
+    assert K.avi_mjpeg_frames(avi) == frames
+    assert K.image_dimensions(frames[0]) == (32, 24)
+    # odd-sized frames exercise RIFF word alignment
+    odd = [_fake_jpeg(8, 8, b"\x01\x02\x03")]
+    assert K.avi_mjpeg_frames(K.encode_avi_mjpeg(odd, 8, 8)) == odd
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="RIFF/AVI"):
+        K.avi_mjpeg_frames(b"\x89PNG not an avi")
+
+
+def test_sample_frames_real_mjpeg_avi(spark):
+    """sample_frames(fake=False) is REAL for MJPEG/AVI: the extracted frame
+    payloads are the container's JPEGs, every_nth applies to the frame
+    index, and non-AVI video still degrades to the PyAV gate."""
+    from kafka_connect_expand_json_transform_spark.llmops import codecs as K
+    from kafka_connect_expand_json_transform_spark.llmops import multimodal
+
+    frames = [_fake_jpeg(16, 16, bytes([i])) for i in range(6)]
+    avi = K.encode_avi_mjpeg(frames, 16, 16)
+    df = spark.createDataFrame([(1, avi)], "vid_id long, payload binary")
+    out = multimodal.sample_frames(df, "payload", every_nth=2, fake=False)
+    got = sorted(
+        (r["frame_index"], bytes(r["frame_payload"])) for r in out.collect()
+    )
+    assert got == [(0, frames[0]), (2, frames[2]), (4, frames[4])]
