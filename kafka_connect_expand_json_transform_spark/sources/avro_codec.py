@@ -378,6 +378,63 @@ def read_header(f) -> tuple[dict, str, bytes]:
     return schema, codec, sync
 
 
+def iter_blocks(f, schema, codec: str, sync: bytes, named: dict, stop_before=None):
+    """Yield decoded rows from consecutive blocks at the file's current
+    position.  ``stop_before``: stop when a block STARTS at or past this
+    offset (the Avro split rule — the caller owns the +16 sync-overlap
+    arithmetic)."""
+    while True:
+        block_start = f.tell()
+        if stop_before is not None and block_start >= stop_before:
+            return
+        first = f.read(1)
+        if not first:
+            return
+        # re-join the first byte with the varint stream
+        head = bytearray(first)
+        while head[-1] & 0x80:
+            head += f.read(1)
+        n_rows = Decoder(bytes(head)).read_long()
+        size_head = bytearray(f.read(1))
+        while size_head[-1] & 0x80:
+            size_head += f.read(1)
+        n_bytes = Decoder(bytes(size_head)).read_long()
+        data = f.read(n_bytes)
+        if codec == "deflate":
+            data = zlib.decompress(data, wbits=-15)
+        marker = f.read(16)
+        if marker != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+        dec = Decoder(data)
+        for _ in range(n_rows):
+            yield decode_value(dec, schema, named)
+
+
+def seek_to_sync(f, sync: bytes, start: int) -> int | None:
+    """Position ``f`` just after the first sync marker found at offset >=
+    ``start``; returns that block-start offset or None if no marker follows.
+    A marker STRADDLING ``start`` is deliberately not matched — the split
+    arithmetic (claim blocks starting < end + 16) assigns its block to the
+    previous split, so contiguous splits neither lose nor duplicate rows."""
+    f.seek(start)
+    overlap = len(sync) - 1
+    chunk_size = 1 << 20
+    base = start
+    prev_tail = b""
+    while True:
+        chunk = f.read(chunk_size)
+        if not chunk:
+            return None
+        buf = prev_tail + chunk
+        hit = buf.find(sync)
+        if hit != -1:
+            block_start = base - len(prev_tail) + hit + len(sync)
+            f.seek(block_start)
+            return block_start
+        prev_tail = buf[-overlap:]
+        base += len(chunk)
+
+
 def read_container(source: str | io.BufferedIOBase):
     """Yield decoded rows (dicts for records) from a container file —
     block-streaming, never the whole file in memory."""
@@ -387,28 +444,24 @@ def read_container(source: str | io.BufferedIOBase):
         schema, codec, sync = read_header(f)
         named: dict = {}
         collect_named(schema, named)
-        while True:
-            first = f.read(1)
-            if not first:
-                return
-            # re-join the first byte with the varint stream
-            head = bytearray(first)
-            while head[-1] & 0x80:
-                head += f.read(1)
-            n_rows = Decoder(bytes(head)).read_long()
-            size_head = bytearray(f.read(1))
-            while size_head[-1] & 0x80:
-                size_head += f.read(1)
-            n_bytes = Decoder(bytes(size_head)).read_long()
-            data = f.read(n_bytes)
-            if codec == "deflate":
-                data = zlib.decompress(data, wbits=-15)
-            marker = f.read(16)
-            if marker != sync:
-                raise ValueError("sync marker mismatch (corrupt block)")
-            dec = Decoder(data)
-            for _ in range(n_rows):
-                yield decode_value(dec, schema, named)
+        yield from iter_blocks(f, schema, codec, sync, named)
     finally:
         if own:
             f.close()
+
+
+def read_container_split(path: str, start: int, end: int):
+    """Yield rows of the split [start, end) of a container file, per the
+    Avro split contract: position at the first block boundary at or after
+    ``start`` (the header for split 0, else the next sync marker) and claim
+    every block that starts before ``end + 16`` — contiguous splits
+    covering [0, filesize) together read every row exactly once."""
+    with open(path, "rb") as f:
+        schema, codec, sync = read_header(f)
+        named: dict = {}
+        collect_named(schema, named)
+        header_end = f.tell()
+        if start > header_end:
+            if seek_to_sync(f, sync, start) is None:
+                return
+        yield from iter_blocks(f, schema, codec, sync, named, stop_before=end + 16)

@@ -176,6 +176,8 @@ def _to_row_tuple(value, dt: T.DataType):
 @dataclass
 class _AvroFile(InputPartition):
     path: str
+    start: int = 0
+    end: int = -1  # -1: whole file
 
 
 def _list_files(path: str) -> list[str]:
@@ -191,21 +193,42 @@ def _list_files(path: str) -> list[str]:
 
 
 class AvroReader(DataSourceReader):
+    """Per-file tasks by default; ``.option("split_mb", n)`` additionally
+    splits every file into n-MiB byte ranges resolved to block boundaries
+    via sync-marker scanning (the Avro split contract: a split claims every
+    block starting before ``end + 16``, so contiguous splits read each row
+    exactly once) — the same intra-file parallelism parquet row-groups
+    give, for the case of few huge container files."""
+
     def __init__(self, options, schema: StructType):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("avro_py requires a load path")
+        self.split_bytes = int(float(options.get("split_mb", 0)) * (1 << 20)) or None
         self.spark_schema = schema
 
     def partitions(self):
         files = _list_files(self.path)
         if not files:
             raise FileNotFoundError(f"no .avro files under {self.path}")
-        return [_AvroFile(p) for p in files]
+        if not self.split_bytes:
+            return [_AvroFile(p) for p in files]
+        parts = []
+        for p in files:
+            size = os.path.getsize(p)
+            start = 0
+            while start < size:
+                parts.append(_AvroFile(p, start, min(start + self.split_bytes, size)))
+                start += self.split_bytes
+        return parts
 
     def read(self, partition: _AvroFile):
         dt = self.spark_schema
-        for rec in C.read_container(partition.path):
+        if partition.end < 0:
+            rows = C.read_container(partition.path)
+        else:
+            rows = C.read_container_split(partition.path, partition.start, partition.end)
+        for rec in rows:
             yield tuple(_to_row_tuple(rec[f.name], f.dataType) for f in dt.fields)
 
 

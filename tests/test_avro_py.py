@@ -158,3 +158,37 @@ def test_streaming_avro_sink_exactly_once_files(spark, tmp_path):
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
     back = spark.read.format("avro_py").option("path", out).load()
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_split_reads_cover_exactly_once_pure_codec(tmp_path):
+    """Contiguous byte-range splits over one container file read every row
+    exactly once, at any split size (incl. sizes smaller than a block,
+    splits landing mid-block, and a split past the last sync)."""
+    sch = {"type": "record", "name": "S", "fields": [
+        {"name": "i", "type": "long"}, {"name": "s", "type": "string"}]}
+    p = str(tmp_path / "s.avro")
+    rows = [{"i": i, "s": f"row-{i:05d}" * 3} for i in range(5000)]
+    C.write_container(p, sch, iter(rows), block_rows=100)
+    import os
+    size = os.path.getsize(p)
+    for n_splits in (1, 2, 3, 7, 40):
+        step = (size + n_splits - 1) // n_splits
+        got = []
+        for k in range(n_splits):
+            got.extend(C.read_container_split(p, k * step, min((k + 1) * step, size)))
+        assert got == rows, (n_splits, len(got))
+
+
+def test_split_reads_through_datasource(spark, tmp_path):
+    A.register(spark)
+    out = str(tmp_path / "one_big")
+    import os
+    os.makedirs(out)
+    sch = {"type": "record", "name": "B", "fields": [{"name": "i", "type": "long"}]}
+    C.write_container(os.path.join(out, "big.avro"), sch,
+                      ({"i": i} for i in range(20000)), block_rows=200)
+    whole = spark.read.format("avro_py").option("path", out).load()
+    split = (spark.read.format("avro_py").option("path", out)
+             .option("split_mb", "0.01").load())
+    assert split.rdd.getNumPartitions() > whole.rdd.getNumPartitions()
+    assert sorted(r["i"] for r in split.collect()) == list(range(20000))
