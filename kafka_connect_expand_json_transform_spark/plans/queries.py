@@ -17879,7 +17879,7 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_avro,
            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_urgent
-    FROM orders GROUP BY o_orderstatus
+    FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_orderstatus
     """,
 )
 def avro_roundtrip_agg(spark, sf_dir):
@@ -17899,12 +17899,19 @@ def avro_roundtrip_agg(spark, sf_dir):
     from kafka_connect_expand_json_transform_spark.sources import avro_py
 
     avro_py.register(spark)
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_orderpriority",
-        money("o_totalprice").alias("price"),
-        "o_orderdate",
+    # deterministic 10% slice: the pure-Python codec is the correctness
+    # tier (the jar is the production path) — validate the trip on a bounded
+    # sample instead of paying per-row Python for the full table in bench
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            money("o_totalprice").alias("price"),
+            "o_orderdate",
+        )
     )
     tmp = tempfile.mkdtemp(prefix="sg_avro_rt_")
     try:
