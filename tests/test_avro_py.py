@@ -192,3 +192,38 @@ def test_split_reads_through_datasource(spark, tmp_path):
              .option("split_mb", "0.01").load())
     assert split.rdd.getNumPartitions() > whole.rdd.getNumPartitions()
     assert sorted(r["i"] for r in split.collect()) == list(range(20000))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_REC = {"type": "record", "name": "P", "fields": [
+    {"name": "n", "type": "long"},
+    {"name": "s", "type": ["null", "string"]},
+    {"name": "f", "type": "double"},
+    {"name": "b", "type": "bytes"},
+    {"name": "arr", "type": {"type": "array", "items": "long"}},
+    {"name": "m", "type": {"type": "map", "values": ["null", "string"]}},
+]}
+
+_row = st.fixed_dictionaries({
+    "n": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "s": st.none() | st.text(max_size=40),
+    "f": st.floats(allow_nan=False),  # NaN != NaN breaks equality, not codec
+    "b": st.binary(max_size=40),
+    "arr": st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=8),
+    "m": st.dictionaries(st.text(max_size=8), st.none() | st.text(max_size=8),
+                         max_size=4),
+})
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_row, max_size=25))
+def test_container_roundtrip_property(rows):
+    """Any value of a composite record schema survives the container
+    round-trip bit-exactly: full-range zig-zag longs, unicode strings,
+    empty arrays/maps, null branches, both codecs."""
+    buf = io.BytesIO()
+    C.write_container(buf, _REC, iter(rows), codec="deflate", block_rows=7)
+    buf.seek(0)
+    assert list(C.read_container(buf)) == rows
