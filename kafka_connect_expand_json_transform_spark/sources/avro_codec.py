@@ -355,21 +355,33 @@ def read_header(f) -> tuple[dict, str, bytes]:
     """Read the container header; returns (schema, codec, sync_marker)."""
     if f.read(4) != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
-    # the metadata map is small; decode it from a buffered chunk grown on demand
+    # metadata is usually tiny but the embedded schema can be arbitrarily
+    # large — decode from a buffer grown on demand (IndexError = ran off the
+    # end of the current probe, not a corrupt file)
     buf = f.read(1 << 16)
-    dec = Decoder(buf)
-    meta = {}
     while True:
-        n = dec.read_long()
-        if n == 0:
-            break
-        if n < 0:
-            dec.read_long()
-            n = -n
-        for _ in range(n):
-            k = dec.read_bytes().decode()
-            meta[k] = dec.read_bytes()
-    sync = dec.read_fixed(16)
+        dec = Decoder(buf)
+        meta = {}
+        try:
+            while True:
+                n = dec.read_long()
+                if n == 0:
+                    break
+                if n < 0:
+                    dec.read_long()
+                    n = -n
+                for _ in range(n):
+                    k = dec.read_bytes().decode()
+                    meta[k] = dec.read_bytes()
+            sync = dec.read_fixed(16)
+            if len(sync) == 16:
+                break
+        except IndexError:
+            pass
+        more = f.read(len(buf))
+        if not more:
+            raise ValueError("truncated Avro header")
+        buf += more
     f.seek(dec.pos - len(buf), io.SEEK_CUR)  # rewind unread tail
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()

@@ -227,3 +227,17 @@ def test_container_roundtrip_property(rows):
     C.write_container(buf, _REC, iter(rows), codec="deflate", block_rows=7)
     buf.seek(0)
     assert list(C.read_container(buf)) == rows
+
+
+def test_header_larger_than_probe_buffer():
+    """A schema bigger than the 64 KiB header probe grows the buffer instead
+    of silently truncating the metadata."""
+    fields = [{"name": f"field_{i:04d}_padpadpadpadpadpad", "type": "long"}
+              for i in range(3000)]
+    sch = {"type": "record", "name": "Wide", "fields": fields}
+    row = {f["name"]: i for i, f in enumerate(fields)}
+    buf = io.BytesIO()
+    C.write_container(buf, sch, iter([row]))
+    assert buf.tell() > (1 << 16)
+    buf.seek(0)
+    assert list(C.read_container(buf)) == [row]
