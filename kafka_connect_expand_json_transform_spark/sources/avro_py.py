@@ -264,6 +264,7 @@ class AvroWriter(DataSourceWriter):
         return _WroteAvro(tmp, os.path.join(self.path, name), n)
 
     def commit(self, messages) -> None:
+        os.makedirs(self.path, exist_ok=True)  # zero-task writes still commit
         if self.overwrite:
             keep = {m.final_path for m in messages}
             for existing in os.listdir(self.path):
