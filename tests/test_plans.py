@@ -657,3 +657,27 @@ def test_rebalance_filter_is_narrow_after_broadcast(spark):
     plan = plan_of(spark, "rebalance_to_uniform")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_report_is_one_scan_one_shuffle_no_python(spark):
+    """gopher_quality_flags' contract: all six rules compile into ONE narrow
+    projection over one scan — the only Exchange is the final per-source
+    aggregation, and no Python/Arrow eval node appears (rules are pure JVM
+    expressions over the staged token array)."""
+    import re
+
+    plan = plan_of(spark, "gopher_quality_report")
+    # formatted mode lists each node in the tree AND the details section —
+    # count the numbered detail headers, one per physical node
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Python" not in plan and "Arrow" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_semantic_dedup_survivors_no_corpus_rescan_blowup(spark):
+    """semantic_dedup's keep step must be a LEFT ANTI join on the id (one
+    corpus-sized side), never a rebuild of the pair pipeline per branch."""
+    plan = plan_of(spark, "semantic_dedup_survivors")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
