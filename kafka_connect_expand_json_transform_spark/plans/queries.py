@@ -14844,6 +14844,67 @@ def txlog_time_travel_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query(
+    "txlog_skipping_agg",
+    """
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders, m
+    WHERE o_orderkey >= mx // 4 AND o_orderkey < mx // 2
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_skipping_agg(spark, sf_dir):
+    """txlog data skipping end-to-end: orders committed as four disjoint
+    key-range versions (each commit records per-part-file footer min/max in
+    its log entry), then a key-range predicate read via
+    ``read_table_pruned`` — files whose stats prove non-overlap are never
+    handed to Spark (pytest asserts the pruning count; test_txlog), and the
+    residual filter makes the result bit-identical to the unpruned read,
+    which the oracle recomputes from the raw table.  The lakehouse
+    data-skipping answer: at 100 TB the min/max sidecar turns a
+    full-table listing into reading only the overlapping files."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="txlog_skip_q_")
+    try:
+        root = tmp + "/orders_ranges"
+        bounds = [0, mx // 4, mx // 2, (3 * mx) // 4, mx + 1]
+        for lo, hi in zip(bounds, bounds[1:]):
+            TX.append_table(
+                o.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+                .coalesce(2),
+                root,
+            )
+        pruned = TX.read_table_pruned(
+            spark,
+            root,
+            [("o_orderkey", ">=", mx // 4), ("o_orderkey", "<", mx // 2)],
+        )
+        out = pruned.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_CSV_EXPAND = """
     SELECT o_orderstatus AS status,
            CAST(COUNT(*) AS BIGINT) AS n,

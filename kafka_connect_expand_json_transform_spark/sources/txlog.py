@@ -187,6 +187,8 @@ def _commit(root: str, op: str, df: DataFrame, expected_version: int | None = No
         "files": [rel],
         "schema": df.schema.simpleString(),
         "schema_json": df.schema.json(),
+        # footer min/max per part file -> read_table_pruned's data skipping
+        "stats": _collect_part_stats(root, rel),
     }
     final = os.path.join(_log_path(root), _entry_name(version))
     # exclusive claim: O_CREAT|O_EXCL makes the loser of a same-version race
@@ -204,6 +206,152 @@ def _commit(root: str, op: str, df: DataFrame, expected_version: int | None = No
     os.close(fd)
     os.replace(tmp, final)  # atomic publish of the full content
     return version
+
+
+def _collect_part_stats(root: str, rel_dir: str) -> dict:
+    """Per-part-file column min/max from the parquet FOOTERS (KBs per file,
+    no data read) for the commit's stats sidecar — the Delta/Iceberg data-
+    skipping answer.  Only flat int/float/str/bool columns are recorded
+    (nested and binary stats are skipped; absence of stats means a file is
+    never pruned, so partial coverage stays correct)."""
+    import glob as _glob
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # stats are an optimization, never a requirement
+        return {}
+    out: dict = {}
+    for part in sorted(_glob.glob(os.path.join(root, rel_dir, "*.parquet"))):
+        try:
+            md = pq.ParquetFile(part).metadata
+        except Exception:
+            continue
+        cols: dict = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                if "." in name:
+                    continue
+                mn, mx = st.min, st.max
+                if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                    continue
+                if name in cols:
+                    cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
+                else:
+                    cols[name] = [mn, mx]
+        if cols:
+            out[os.path.relpath(part, root)] = cols
+    return out
+
+
+_SKIP_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _part_survives(stats: dict | None, where: list[tuple]) -> bool:
+    """False only when the footer range PROVES no row can match — unknown
+    columns/types keep the file (pruning is an optimization, the residual
+    filter owns correctness)."""
+    if not stats:
+        return True
+    for col, op, lit in where:
+        rng = stats.get(col)
+        if not rng:
+            continue
+        mn, mx = rng
+        if isinstance(lit, bool) or not isinstance(lit, (int, float, str)):
+            continue
+        if isinstance(mn, str) != isinstance(lit, str):
+            continue
+        if op == "=" and (lit < mn or lit > mx):
+            return False
+        if op == ">" and mx <= lit:
+            return False
+        if op == ">=" and mx < lit:
+            return False
+        if op == "<" and mn >= lit:
+            return False
+        if op == "<=" and mn > lit:
+            return False
+    return True
+
+
+def _skip_plan(root: str, version: int | None, where: list[tuple]):
+    """(surviving_abs_parts, n_total_parts, schema_json) for a pruned read."""
+    import glob as _glob
+
+    for col, op, lit in where:
+        if op not in _SKIP_OPS:
+            raise ValueError(f"unsupported skip op {op!r} (use one of {_SKIP_OPS})")
+    entries = _list_entries(root)
+    files, _ = _replay(entries, version)
+    all_stats: dict = {}
+    for e in entries:
+        all_stats.update(e.get("stats") or {})
+    schema_json = next(
+        (e["schema_json"] for e in reversed(entries)
+         if version is None or e["version"] <= version), None
+    )
+    parts, survivors = [], []
+    for d in files:
+        for p in sorted(_glob.glob(os.path.join(root, d, "*.parquet"))):
+            parts.append(p)
+            if _part_survives(all_stats.get(os.path.relpath(p, root)), where):
+                survivors.append(p)
+    return survivors, len(parts), schema_json
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    root: str,
+    where: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with footer-stats data skipping: ``where`` is a list of
+    conjunctive ``(column, op, literal)`` predicates (op in ``= < <= > >=``);
+    part files whose committed min/max range proves no match are never
+    handed to Spark.  The same predicates are ALWAYS applied as real
+    filters afterward, so the result is bit-identical to
+    ``read_table(...).where(...)`` — skipping is purely an I/O saving
+    (at 100 TB, the difference between touching every part file's footer
+    and touching three of them is the point of keeping stats in the log).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    # reuse read_table's floor/version validation, then re-plan with stats
+    read_table(spark, root, version)
+    survivors, _, schema_json = _skip_plan(root, version, where)
+    if survivors:
+        df = spark.read.parquet(*survivors)
+    else:
+        stored = StructType.fromJson(json.loads(schema_json))
+        # parquet reads surface every column nullable; match that shape so
+        # the all-pruned frame unions/compares cleanly with a real read
+        df = spark.createDataFrame(
+            [], StructType([f.__class__(f.name, f.dataType, True) for f in stored.fields])
+        )
+    ops = {
+        "=": lambda c, v: F.col(c) == v,
+        "<": lambda c, v: F.col(c) < v,
+        "<=": lambda c, v: F.col(c) <= v,
+        ">": lambda c, v: F.col(c) > v,
+        ">=": lambda c, v: F.col(c) >= v,
+    }
+    for col, op, lit in where:
+        df = df.where(ops[op](col, lit))
+    return df
+
+
+def skipping_report(root: str, where: list[tuple], version: int | None = None) -> dict:
+    """{'files_total': n, 'files_read': m} for a pruned read — the
+    observability hook tests use to PROVE pruning happened."""
+    survivors, total, _ = _skip_plan(root, version, where)
+    return {"files_total": total, "files_read": len(survivors)}
 
 
 def append_table(df: DataFrame, root: str, expected_version: int | None = None) -> int:

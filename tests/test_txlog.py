@@ -338,3 +338,37 @@ def test_erasure_requires_vacuum_past_the_floor(spark, tmp_path):
     assert out["deleted"] == 1  # version 0's file is physically gone
     with pytest.raises(ValueError):
         txlog.read_table(spark, root, version=0)
+
+
+def test_data_skipping_prunes_files_and_preserves_results(spark, tmp_path):
+    """Footer-stats data skipping: disjoint-range appends give per-file
+    min/max that prove non-overlap, skipping_report shows files pruned,
+    and the pruned read is row-identical to the unpruned filtered read —
+    including the all-pruned empty case (parquet-nullable schema)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    for lo in (0, 1000, 2000):
+        df = spark.range(lo, lo + 1000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("s"), F.col("id").cast("string")).alias("s"),
+        ).coalesce(2)
+        txlog.append_table(df, root)
+    where = [("k", ">=", 1200), ("k", "<", 1800)]
+    rep = txlog.skipping_report(root, where)
+    assert rep["files_total"] == 6 and rep["files_read"] == 2, rep
+    pruned = txlog.read_table_pruned(spark, root, where)
+    plain = txlog.read_table(spark, root).where(
+        (F.col("k") >= 1200) & (F.col("k") < 1800)
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, plain.collect()))
+    # stats prove emptiness -> zero files handed to Spark, schema still real
+    assert txlog.skipping_report(root, [("k", ">", 10**6)])["files_read"] == 0
+    empty = txlog.read_table_pruned(spark, root, [("k", ">", 10**6)])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "s"]
+    # string-range predicate prunes too; type-mismatched literal never prunes
+    assert txlog.skipping_report(root, [("s", "=", "zzz")])["files_read"] == 0
+    assert txlog.skipping_report(root, [("k", "=", "not-an-int")])["files_read"] == 6
+    # residual filter owns correctness: a predicate stats can't prove is applied
+    assert txlog.read_table_pruned(spark, root, [("k", "=", 1500)]).count() == 1
