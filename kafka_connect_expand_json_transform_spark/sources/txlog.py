@@ -392,6 +392,28 @@ def history(root: str) -> list[dict]:
     ]
 
 
+def compact_table(
+    spark: SparkSession, root: str, target_files: int = 1
+) -> int:
+    """Rewrite the LATEST snapshot as one OVERWRITE version with
+    ``target_files`` part files — the small-file compaction answer
+    (Delta OPTIMIZE-shaped) inside the log's own transaction protocol:
+    the compacted commit carries ``expected_version`` optimistic
+    concurrency (a writer landing mid-compaction wins; the compaction
+    loses with ``TxLogConflict`` instead of silently dropping its rows),
+    pre-compaction versions stay time-travel readable (immutable files),
+    and vacuum reclaims the small files once the floor passes them.
+    Returns the committed version."""
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    current = entries[-1]["version"]
+    snap = read_table(spark, root)
+    return overwrite_table(
+        snap.coalesce(target_files), root, expected_version=current
+    )
+
+
 def foreach_batch_sink(root: str):
     """Exactly-once streaming sink: ``writeStream.foreachBatch(
     foreach_batch_sink(root))``.

@@ -372,3 +372,30 @@ def test_data_skipping_prunes_files_and_preserves_results(spark, tmp_path):
     assert txlog.skipping_report(root, [("k", "=", "not-an-int")])["files_read"] == 6
     # residual filter owns correctness: a predicate stats can't prove is applied
     assert txlog.read_table_pruned(spark, root, [("k", "=", 1500)]).count() == 1
+
+
+def test_compact_table_preserves_rows_and_time_travel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "c")
+    for lo in (0, 500, 1000):
+        txlog.append_table(
+            spark.range(lo, lo + 500).select(F.col("id").alias("k")).coalesce(2),
+            root,
+        )
+    before = sorted(r["k"] for r in txlog.read_table(spark, root).collect())
+    v = txlog.compact_table(spark, root, target_files=1)
+    assert v == 3
+    h = txlog.history(root)
+    assert h[-1]["op"] == "overwrite"
+    after = sorted(r["k"] for r in txlog.read_table(spark, root).collect())
+    assert after == before
+    # compacted snapshot is one part file
+    import glob, os
+    latest_dir = txlog._list_entries(root)[-1]["files"][0]
+    assert len(glob.glob(os.path.join(root, latest_dir, "*.parquet"))) == 1
+    # pre-compaction versions stay readable
+    assert txlog.read_table(spark, root, version=1).count() == 1000
+    # data skipping still works on the compacted table (stats recorded)
+    rep = txlog.skipping_report(root, [("k", "<", 100)])
+    assert rep["files_total"] == 1 and rep["files_read"] == 1
