@@ -392,6 +392,29 @@ def history(root: str) -> list[dict]:
     ]
 
 
+def delete_where(spark: SparkSession, root: str, predicate) -> tuple[int, int]:
+    """Row-level DELETE as a copy-on-write OVERWRITE version (the Delta/
+    Iceberg CoW answer): rows matching ``predicate`` (a Column or SQL
+    string) are dropped by rewriting the survivors under the log's
+    optimistic-concurrency protocol — a concurrent commit wins and the
+    delete raises ``TxLogConflict`` rather than resurrecting rows.
+    Returns ``(version, n_deleted)``.  Deleted rows remain visible to
+    time travel until vacuum passes the pre-delete versions — true
+    erasure is delete + vacuum, as the erasure test documents."""
+    from pyspark.sql import functions as F
+
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    current = entries[-1]["version"]
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    snap = read_table(spark, root)
+    survivors = snap.where(~cond | cond.isNull())  # NULL predicate = keep
+    n_deleted = snap.where(cond).count()
+    version = overwrite_table(survivors, root, expected_version=current)
+    return version, n_deleted
+
+
 def compact_table(
     spark: SparkSession, root: str, target_files: int = 1
 ) -> int:

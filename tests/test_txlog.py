@@ -399,3 +399,30 @@ def test_compact_table_preserves_rows_and_time_travel(spark, tmp_path):
     # data skipping still works on the compacted table (stats recorded)
     rep = txlog.skipping_report(root, [("k", "<", 100)])
     assert rep["files_total"] == 1 and rep["files_read"] == 1
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "d")
+    txlog.append_table(
+        spark.range(100).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 10 == 0, F.lit(None).cast("int"))
+            .otherwise((F.col("id") % 3).cast("int")).alias("grp"),
+        ),
+        root,
+    )
+    # grp=1 rows: id%3==1 (33 ids) minus the id%10==0 NULL overrides (3)
+    v, n = txlog.delete_where(spark, root, "grp = 1")
+    assert v == 1 and n == 30
+    kept = txlog.read_table(spark, root)
+    assert kept.count() == 70
+    assert kept.where(F.col("grp") == 1).count() == 0
+    # NULL-predicate rows are never deleted (three-valued logic: keep)
+    assert kept.where(F.col("grp").isNull()).count() == 10
+    # time travel still sees the pre-delete snapshot until vacuum
+    assert txlog.read_table(spark, root, version=0).count() == 100
+    # SQL-string and Column predicates agree
+    v2, n2 = txlog.delete_where(spark, root, F.col("k") < 5)
+    assert n2 == txlog.read_table(spark, root, version=1).where("k < 5").count()
