@@ -415,6 +415,42 @@ def delete_where(spark: SparkSession, root: str, predicate) -> tuple[int, int]:
     return version, n_deleted
 
 
+def update_where(
+    spark: SparkSession, root: str, predicate, assignments: dict
+) -> tuple[int, int]:
+    """Row-level UPDATE as a copy-on-write OVERWRITE version:
+    ``assignments`` maps column name -> Column/SQL-string expression,
+    applied only where ``predicate`` holds (three-valued logic: NULL
+    predicate rows are untouched).  Same concurrency story as
+    ``delete_where``.  Returns ``(version, n_updated)``."""
+    from pyspark.sql import functions as F
+
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    current = entries[-1]["version"]
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    snap = read_table(spark, root)
+    for col in assignments:
+        if col not in snap.columns:
+            raise ValueError(f"unknown column {col!r} in update assignments")
+    n_updated = snap.where(cond).count()
+    updated = snap.select(
+        *[
+            F.when(
+                cond,
+                F.expr(assignments[c]) if isinstance(assignments[c], str)
+                else assignments[c],
+            ).otherwise(F.col(c)).cast(snap.schema[c].dataType).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in snap.columns
+        ]
+    )
+    version = overwrite_table(updated, root, expected_version=current)
+    return version, n_updated
+
+
 def compact_table(
     spark: SparkSession, root: str, target_files: int = 1
 ) -> int:

@@ -426,3 +426,26 @@ def test_delete_where_copy_on_write(spark, tmp_path):
     # SQL-string and Column predicates agree
     v2, n2 = txlog.delete_where(spark, root, F.col("k") < 5)
     assert n2 == txlog.read_table(spark, root, version=1).where("k < 5").count()
+
+
+def test_update_where_copy_on_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "u")
+    txlog.append_table(
+        spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        root,
+    )
+    v, n = txlog.update_where(spark, root, "k >= 40", {"v": "v + 1"})
+    assert v == 1 and n == 10
+    got = {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}
+    assert got[40] == 401 and got[39] == 390 and len(got) == 50
+    # schema preserved (cast back to the column's type), history is overwrite
+    assert txlog.read_table(spark, root).schema == txlog.read_table(
+        spark, root, version=0
+    ).schema
+    assert txlog.history(root)[-1]["op"] == "overwrite"
+    with pytest.raises(ValueError, match="unknown column"):
+        txlog.update_where(spark, root, "k = 1", {"nope": "1"})
