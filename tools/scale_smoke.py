@@ -40,6 +40,7 @@ HEAVY = [
     "triangle_count_part_graph",
     "label_prop_communities",
     "pagerank_event_graph",
+    "semantic_dedup_survivors",  # round-4: blocked pairs + CC + keep-one
 ]
 
 # (table, [key columns to offset per copy])
