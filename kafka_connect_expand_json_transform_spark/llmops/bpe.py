@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_train", "bpe_train_reference"]
+__all__ = ["bpe_train", "bpe_train_reference", "bpe_encode", "bpe_encode_reference"]
 
 
 def bpe_train(
@@ -105,3 +105,45 @@ def bpe_train_reference(
             merged[m] = merged.get(m, 0) + f
         seqs = merged
     return out
+
+
+def bpe_encode(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "w",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a FIXED, already-learned merge table to a word frame — the
+    tokenizer-application half of BPE (``bpe_train`` is the construction
+    half; in production you train once and encode 100 TB with the frozen
+    table, exactly this shape).
+
+    Adds ``seq_col``: the '.'-delimited segmentation (``.st.r.e.am.`` for
+    symbols ``st|r|e|am``) and ``n_symbols``.  Merges apply in table order,
+    each as ONE literal ``replace`` of ``.a.b.`` -> ``.ab.`` — the same
+    leftmost non-overlapping dialect ``bpe_train`` used while learning the
+    table, so encode(train corpus) reproduces the trainer's final state.
+    Later merges may consume earlier merge outputs (``(m, er)`` after
+    ``(e, r)``) — table order is the rank order.
+
+    Scale (100 TB): the whole encode is a chain of ``len(merges)`` literal
+    string replaces — pure whole-stage-codegen expressions, zero shuffle,
+    zero Python in the hot path.  Words must match ``^[a-z]+$``
+    (caller-filtered), so the '.' delimiter cannot collide.
+    """
+    seq = F.concat(F.lit("."), F.regexp_replace(word_col, "(.)", "$1."))
+    for a, b in merges:
+        seq = F.replace(seq, F.lit(f".{a}.{b}."), F.lit(f".{a}{b}."))
+    return words.withColumn(seq_col, seq).withColumn(
+        "n_symbols",
+        F.size(F.filter(F.split(seq_col, "[.]"), lambda x: x != "")).cast("bigint"),
+    )
+
+
+def bpe_encode_reference(word: str, merges: list[tuple[str, str]]) -> str:
+    """Pure-Python twin of ``bpe_encode`` (property-test reference): same
+    dotted representation, same ordered leftmost non-overlapping replaces."""
+    seq = f".{'.'.join(word)}."
+    for a, b in merges:
+        seq = seq.replace(f".{a}.{b}.", f".{a}{b}.")
+    return seq

@@ -670,3 +670,84 @@ def duplicate_span_coverage(
         "n_tokens",
         F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("covered_tokens"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    para_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup with document recomposition — [EXT]
+    (Wenzek et al. 2020 §3.1: hash every paragraph, keep ONE occurrence
+    corpus-wide, drop the rest, re-assemble each document from its surviving
+    paragraphs).  The fixture corpus has no newlines, so a "paragraph" here
+    is a fixed non-overlapping ``para_tokens``-token segment — the unit is a
+    parameter; the operator (global first-occurrence keep + recompose) is
+    the CCNet algorithm.
+
+    Returns one row per input document:
+    ``(id_col, n_paras, n_kept, kept_text)`` where ``kept_text`` is the
+    space-joined surviving paragraphs in original order ('' if every
+    paragraph of the document was a duplicate of an earlier one).
+
+    Winner = lexicographic min ``(doc_id, pidx)`` per paragraph md5 —
+    deterministic, engine-independent.
+
+    Scale (100 TB): paragraphs stay rows (one explode, no all-pairs);
+    winner selection is a groupBy on the 16-byte md5 with a min-struct
+    aggregate — map-side partial combine absorbs mega-duplicated paragraphs
+    (the boilerplate-header skew case) BEFORE the shuffle, which a
+    row_number window could not; the keep-join back is hash-partitioned on
+    the same key, so it reuses the aggregate's clustering.  The recompose
+    groupBy shuffles only surviving paragraph text keyed by doc id.
+    """
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    paras = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.ceil(F.size("__t") / F.lit(float(para_tokens))).cast("int"),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice("__t", (i - F.lit(1)) * para_tokens + 1, para_tokens)
+                ),
+            )
+        ).alias("__i0", "ptext"),
+    ).select(
+        F.col(id_col),
+        (F.col("__i0") + 1).alias("pidx"),
+        "ptext",
+        F.md5("ptext").alias("__h"),
+    )
+    winners = paras.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pidx"))).alias("__w")
+    )
+    kept_flag = paras.join(winners, "__h").select(
+        F.col(id_col),
+        "pidx",
+        "ptext",
+        (
+            (F.col("__w")[id_col] == F.col(id_col))
+            & (F.col("__w.pidx") == F.col("pidx"))
+        ).alias("__keep"),
+    )
+    return kept_flag.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_paras"),
+        F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("pidx", "ptext"))
+                    )
+                ),
+                lambda s: s["ptext"],
+            ),
+        ).alias("kept_text"),
+    )

@@ -18114,6 +18114,113 @@ def gopher_quality_report_q(spark, sf_dir):
     )
 
 
+_SQL_PARA_DEDUP = """
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     x -> x <> '') AS t
+                  FROM documents),
+    paras AS (SELECT doc_id, CAST(i AS INTEGER) AS pidx,
+                     array_to_string(t[(i-1)*32 + 1 : (i-1)*32 + 32], ' ') AS ptext
+              FROM toks,
+                   unnest(generate_series(1, CAST(ceil(len(t) / 32.0) AS BIGINT)))
+                     AS u(i)),
+    keyed AS (SELECT doc_id, pidx, ptext, md5(ptext) AS h FROM paras),
+    flagged AS (SELECT doc_id, pidx, ptext,
+                       (ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pidx)) = 1
+                         AS keep
+                FROM keyed)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN ptext END, ' ' ORDER BY pidx),
+                    '') AS kept_text
+    FROM flagged GROUP BY doc_id
+"""
+
+
+@query("paragraph_dedup_recompose", _SQL_PARA_DEDUP)
+def paragraph_dedup_recompose(spark, sf_dir):
+    """CCNet paragraph-level dedup (Wenzek et al. 2020 §3.1): hash every
+    32-token paragraph, keep exactly one occurrence corpus-wide (first by
+    (doc_id, pidx)), recompose each document from its survivors.  The full
+    recomposed text of all 500+ documents is value-checked against the SQL
+    oracle — the strongest possible check of the keep/drop decisions.
+    Cross-engine: paragraph keys are md5; the winner rule is an exact
+    lexicographic min.  Scale: see ``dedup.paragraph_dedup`` — min-struct
+    groupBy on the 16-byte hash (map-side combine absorbs boilerplate
+    mega-duplicates pre-shuffle), keep-join reuses that clustering, and the
+    oracle's row_number window is deliberately NOT the Spark plan (a window
+    cannot partial-aggregate a skewed key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup(docs, para_tokens=32)
+
+
+# Frozen production-tokenizer artifact for `bpe_encode_static`: the first 8
+# merges bpe-trained on this corpus family, applied as a FIXED table (the
+# encode op's contract is "apply this table", so the query stays correct even
+# if the driver regenerates testdata).  (m, er) consumes (e, r)'s output —
+# exercises merge-on-merged ranking.
+_BPE_STATIC_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
+
+
+def _bpe_replace_chain_sql(expr: str) -> str:
+    for a, b in _BPE_STATIC_MERGES:
+        expr = f"REPLACE({expr}, '.{a}.{b}.', '.{a}{b}.')"
+    return expr
+
+
+_BPE_SEQ_SQL = _bpe_replace_chain_sql(
+    "('.' || regexp_replace(w, '(.)', '\\1.', 'g'))"
+)
+
+_SQL_BPE_ENCODE = f"""
+    WITH freq AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS f
+                  FROM (SELECT unnest(list_filter(
+                                 string_split_regex(trim(lower(text)), '\\s+'),
+                                 x -> x <> '')) AS tok
+                        FROM documents)
+                  WHERE regexp_matches(tok, '^[a-z]+$')
+                  GROUP BY tok
+                  ORDER BY f DESC, w LIMIT 50),
+    enc AS (SELECT w, f, {_BPE_SEQ_SQL} AS seq
+            FROM freq)
+    SELECT w, f, seq,
+           CAST(len(list_filter(string_split(seq, '.'), x -> x <> '')) AS BIGINT)
+             AS n_symbols
+    FROM enc
+"""
+
+
+@query("bpe_encode_static", _SQL_BPE_ENCODE)
+def bpe_encode_static(spark, sf_dir):
+    """Tokenizer APPLICATION: encode the corpus's top-50 word vocabulary with
+    a frozen 8-merge BPE table (``_BPE_STATIC_MERGES``) — the production
+    shape where a tokenizer is trained once and then applied to 100 TB.
+    Each merge is one literal replace of ``.a.b.`` -> ``.ab.`` in the
+    trainer's own dotted dialect (``bpe.bpe_train``), so the oracle is a
+    chain of 8 nested REPLACEs — segmentation strings and symbol counts
+    value-checked exactly.  Scale: the encode chain is pure whole-stage
+    codegen (zero shuffle, zero Python); the only shuffles are the word
+    count and the 50-row TakeOrdered."""
+    from kafka_connect_expand_json_transform_spark.llmops.bpe import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(TXT.tokens(F.col("text"))).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+        .orderBy(F.col("f").desc(), "w")
+        .limit(50)
+    )
+    return bpe_encode(freq, _BPE_STATIC_MERGES, word_col="w").select(
+        "w", "f", "seq", "n_symbols"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -662,3 +662,88 @@ def test_gopher_quality_flags_rule_semantics(spark):
     assert got[5]["flag_alpha_ratio"] and got[5]["flag_stopwords"]
     for d in (2, 3, 4, 5):
         assert got[d]["gopher_pass"] is False
+
+
+def test_bpe_encode_matches_pure_python_reference(spark):
+    """Property test: the expression-chain encoder must agree with its
+    pure-Python twin on adversarial words (repeated letters hit the
+    leftmost non-overlapping replace dialect) under a merge table that
+    includes a merge-on-merged entry."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_connect_expand_json_transform_spark.llmops.bpe import (
+        bpe_encode,
+        bpe_encode_reference,
+    )
+
+    merges = [("a", "b"), ("b", "a"), ("ab", "a"), ("a", "ab")]
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.text(alphabet="ab", min_size=1, max_size=8),
+                    min_size=1, max_size=8, unique=True))
+    def check(words):
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        got = {r["w"]: (r["seq"], r["n_symbols"])
+               for r in bpe_encode(df, merges).collect()}
+        for w in words:
+            seq = bpe_encode_reference(w, merges)
+            n = len([s for s in seq.split(".") if s])
+            assert got[w] == (seq, n), w
+
+    check()
+
+
+def test_bpe_encode_reproduces_trainer_final_state(spark):
+    """encode(corpus, merges learned by bpe_train on that corpus) must land
+    every word exactly where the trainer's own replace loop left it —
+    the train/encode consistency contract in bpe_encode's docstring."""
+    from kafka_connect_expand_json_transform_spark.llmops.bpe import (
+        bpe_encode,
+        bpe_train,
+        bpe_train_reference,
+    )
+
+    word_freqs = {"stream": 5, "streams": 3, "steam": 2, "meter": 4, "ere": 6}
+    df = spark.createDataFrame(list(word_freqs.items()), "w string, f long")
+    learned = bpe_train(df, rounds=4)
+    merges = [(a, b) for _, a, b, _ in learned]
+    # trainer twin's final seqs, replayed merge by merge
+    seqs = {f".{'.'.join(w)}.": w for w in word_freqs}
+    final = {}
+    for seq, w in seqs.items():
+        s = seq
+        for a, b in merges:
+            s = s.replace(f".{a}.{b}.", f".{a}{b}.")
+        final[w] = s
+    got = {r["w"]: r["seq"] for r in bpe_encode(df, merges).collect()}
+    assert got == final
+    assert bpe_train_reference(word_freqs, rounds=4) == learned
+
+
+def test_paragraph_dedup_keeps_first_and_recomposes(spark):
+    """Hand-built corpus: doc 1 owns paragraphs A B; doc 2 repeats A then
+    has C; doc 3 is A B again (fully duplicated).  With 2-token paragraphs
+    the survivors must be exactly first-occurrence, in original order, and
+    doc 3 must recompose to ''."""
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),          # paras: "aa bb"(A) "cc dd"(B)
+            (2, "aa bb ee ff"),          # paras: A(dup) "ee ff"(C)
+            (3, "aa bb cc dd"),          # paras: A(dup) B(dup)
+            (4, "gg"),                   # short tail paragraph survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["kept_text"])
+        for r in paragraph_dedup(docs, para_tokens=2).collect()
+    }
+    assert out == {
+        1: (2, 2, "aa bb cc dd"),
+        2: (2, 1, "ee ff"),
+        3: (2, 0, ""),
+        4: (1, 1, "gg"),
+    }
