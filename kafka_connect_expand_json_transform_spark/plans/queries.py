@@ -18244,7 +18244,9 @@ _DRIVER_WINDOW = [
     # relational core sentinels
     "q1_pricing_summary",      # R4 aggregation (sentinel)
     "q3_shipping_priority",    # R2 multi-join + topn (sentinel)
-    "q2_min_cost_supplier",    # R10 correlated scalar subquery (sentinel)
+    "bpe_encode_static",       # frozen-table BPE encode, pure codegen (new r4;
+                               # R10's correlated-subquery rep q2 rotated out
+                               # after three green driver rows r01-r03)
     "hierarchy_ancestors",     # R10 recursive CTE (sentinel)
     "asof_join_purchase_click",# R3 as-of join
     "avro_roundtrip_agg",      # pure-Python Avro container source/sink (new r4)
@@ -18264,7 +18266,9 @@ _DRIVER_WINDOW = [
     "applyinpandas_centroid",  # U4
     "cogrouped_customer_orders",  # U4 cogroup (post-r1)
     # LLM-ops: dedup / similarity / text / multimodal / curation
-    "dedup_exact_stats",       # L1 exact dedup
+    "paragraph_dedup_recompose",  # L1 CCNet paragraph dedup + recompose (new
+                               # r4; dedup_exact_stats rotated out after three
+                               # green driver rows — family keeps 4 slots)
     "minhash_dedup_md5",       # L2 full MinHash-LSH + connected components
     "prefix_filter_jaccard_pairs",  # L2 PPJoin prefix-filter join (post-r1)
     "incremental_dedup_report",     # L2 incremental corpus dedup (post-r1)

@@ -537,6 +537,8 @@ def test_driver_window_composition():
         "prefix_filter_jaccard_pairs", "incremental_dedup_report",
         "kmeans_cluster_sizes", "bpe_merge_rounds", "label_prop_communities",
         "triangle_count_part_graph", "scd2_user_state", "merge_upsert_orders",
+        # round-4 late additions, swapped in for driver-proven r01-r03 slots
+        "paragraph_dedup_recompose", "bpe_encode_static",
     }
     assert must_have <= set(first50), must_have - set(first50)
 
