@@ -18221,6 +18221,93 @@ def bpe_encode_static(spark, sf_dir):
     )
 
 
+_SQL_TXLOG_MERGE = """
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ),
+    base AS (SELECT * FROM o WHERE o_orderkey % 10 < 3),
+    src AS (
+        SELECT o_orderkey, o_orderpriority, cents + 100 AS cents,
+               o_orderkey % 10 = 1 AS is_delete
+        FROM o WHERE o_orderkey % 10 IN (0, 1, 5)
+    ),
+    final AS (
+        SELECT CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.o_orderpriority ELSE t.o_orderpriority
+               END AS prio,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.cents ELSE t.cents
+               END AS cents
+        FROM base t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        WHERE s.is_delete IS NOT TRUE
+        UNION ALL
+        SELECT s.o_orderpriority AS prio, s.cents
+        FROM src s
+        WHERE NOT EXISTS (SELECT 1 FROM base t
+                          WHERE t.o_orderkey = s.o_orderkey)
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY 1
+"""
+
+
+@query("txlog_merge_upsert", _SQL_TXLOG_MERGE)
+def txlog_merge_upsert(spark, sf_dir):
+    """MERGE INTO end-to-end on the txlog table format — the CDC-upsert
+    completion of the DML set (append/overwrite/delete/update/compact/
+    merge, sources/txlog.py ``merge_into``): a base snapshot (keys with
+    ``k % 10 < 3``) merged with a CDC batch carrying updates (``% 10 = 0``,
+    price bumped one dollar), tombstones (``% 10 = 1``, matched-delete via
+    ``delete_when="s.is_delete"``), and fresh rows (``% 10 = 5``,
+    not-matched-insert).  The post-merge snapshot is aggregated per
+    priority; the oracle recomputes the same final state with a
+    LEFT JOIN + NOT EXISTS, so all three MERGE clauses are value-checked,
+    not just row-counted.  Scale: one equi-join shuffle on the merge key
+    (small CDC batches broadcast) + a CoW rewrite, Delta MERGE's shape;
+    the footer-stats anti-pruning refinement is documented in the API."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_merge_q_")
+    try:
+        root = tmp + "/orders_m"
+        TX.append_table(o.where(F.col("o_orderkey") % 10 < 3), root)
+        src = o.where((F.col("o_orderkey") % 10).isin(0, 1, 5)).select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("cents") + 100).alias("cents"),
+            (F.col("o_orderkey") % 10 == 1).alias("is_delete"),
+        )
+        TX.merge_into(
+            spark, root, src, ["o_orderkey"], delete_when="s.is_delete"
+        )
+        out = (
+            TX.read_table(spark, root)
+            .groupBy(F.col("o_orderpriority"))
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

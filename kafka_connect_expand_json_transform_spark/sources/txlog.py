@@ -451,6 +451,118 @@ def update_where(
     return version, n_updated
 
 
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    on: list[str],
+    *,
+    update: dict | str | None = "all",
+    delete_when=None,
+    insert: bool = True,
+) -> tuple[int, dict]:
+    """MERGE INTO (Delta-parity upsert) as one copy-on-write OVERWRITE
+    version: equi-match target rows against ``source`` on the ``on`` key
+    columns, then per clause —
+
+    * matched + ``delete_when`` (Column / SQL string over the joined
+      ``t.*`` / ``s.*`` namespaces) → row deleted;
+    * matched otherwise → ``update`` applied: ``"all"`` replaces every
+      non-key target column that the source also carries with the source
+      value; a dict maps target column → Column / SQL expression (again
+      over ``t.`` / ``s.``); ``None`` keeps the target row untouched;
+    * source-only → inserted when ``insert`` (source columns missing from
+      the target schema are ignored; target columns missing from the
+      source come in as NULL);
+    * target-only → kept.
+
+    Like Delta, a source with duplicate keys would make a matched target
+    row ambiguous, so it raises ``ValueError`` up front.  Three-valued
+    logic: a NULL ``delete_when`` means keep-and-update, mirroring SQL
+    MERGE's WHEN ... AND <cond> clauses.  Concurrency is the log's
+    optimistic protocol — the rewrite commits with ``expected_version``,
+    so a concurrent writer wins and the merge raises ``TxLogConflict``.
+    Returns ``(version, {"inserted": i, "updated": u, "deleted": d})``.
+
+    Scale: one shuffle equi-join on the merge keys (a small CDC batch
+    broadcasts); the rewrite is full-table CoW, same as Delta MERGE
+    without file-level pruning — at 100 TB the refinement is to
+    anti-prune untouched files via the footer stats the log already
+    records (``_skip_plan``) and rewrite only the matched ones."""
+    from pyspark.sql import functions as F
+
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    current = entries[-1]["version"]
+    snap = read_table(spark, root)
+    for k in on:
+        if k not in snap.columns or k not in source.columns:
+            raise ValueError(f"merge key {k!r} missing from target or source")
+    if source.groupBy(*on).count().where(F.col("count") > 1).limit(1).count():
+        raise ValueError("source has duplicate merge keys; matched rows ambiguous")
+
+    t = snap.withColumn("_in_t", F.lit(True)).alias("t")
+    s = source.withColumn("_in_s", F.lit(True)).alias("s")
+    joined = t.join(
+        s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on], "full_outer"
+    )
+    matched = F.coalesce(F.col("t._in_t"), F.lit(False)) & F.coalesce(
+        F.col("s._in_s"), F.lit(False)
+    )
+    s_only = F.coalesce(F.col("s._in_s"), F.lit(False)) & ~F.coalesce(
+        F.col("t._in_t"), F.lit(False)
+    )
+    if delete_when is None:
+        delc = F.lit(False)
+    else:
+        delc = F.expr(delete_when) if isinstance(delete_when, str) else delete_when
+    delc = F.coalesce(delc, F.lit(False))
+
+    if update == "all":
+        assignments = {
+            c: F.col(f"s.{c}")
+            for c in snap.columns
+            if c not in on and c in source.columns
+        }
+    elif update is None:
+        assignments = {}
+    else:
+        for c in update:
+            if c not in snap.columns:
+                raise ValueError(f"unknown column {c!r} in merge update assignments")
+        assignments = {
+            c: F.expr(v) if isinstance(v, str) else v for c, v in update.items()
+        }
+
+    counts = joined.agg(
+        F.sum((matched & delc).cast("long")).alias("deleted"),
+        F.sum((matched & ~delc).cast("long")).alias(
+            "updated" if assignments else "matched_kept"
+        ),
+        F.sum((s_only & F.lit(insert)).cast("long")).alias("inserted"),
+    ).first()
+    stats = {
+        "inserted": counts["inserted"] or 0,
+        "updated": (counts["updated"] if assignments else 0) or 0,
+        "deleted": counts["deleted"] or 0,
+    }
+
+    kept = joined.where(~(matched & delc) & ~(s_only & F.lit(not insert)))
+    out_cols = []
+    for c in snap.columns:
+        dt = snap.schema[c].dataType
+        insert_val = (
+            F.col(f"s.{c}") if c in source.columns or c in on else F.lit(None)
+        )
+        col = F.when(s_only, insert_val)
+        if c in assignments:
+            col = col.when(matched, assignments[c])
+        out_cols.append(col.otherwise(F.col(f"t.{c}")).cast(dt).alias(c))
+    version = overwrite_table(kept.select(*out_cols), root, expected_version=current)
+    return version, stats
+
+
 def compact_table(
     spark: SparkSession, root: str, target_files: int = 1
 ) -> int:

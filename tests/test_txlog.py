@@ -449,3 +449,83 @@ def test_update_where_copy_on_write(spark, tmp_path):
     assert txlog.history(root)[-1]["op"] == "overwrite"
     with pytest.raises(ValueError, match="unknown column"):
         txlog.update_where(spark, root, "k = 1", {"nope": "1"})
+
+
+def test_merge_into_all_three_clauses(spark, tmp_path):
+    root = str(tmp_path / "m")
+    txlog.append_table(
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v")),
+        root,
+    )
+    # updates k=0..2 (v -> k*100), tombstone k=3, inserts k=20..21
+    src = spark.createDataFrame(
+        [(0, 0, False), (1, 100, False), (2, 200, False),
+         (3, None, True), (20, 2000, False), (21, 2100, False)],
+        "k long, v long, is_delete boolean",
+    )
+    version, stats = txlog.merge_into(
+        spark, root, src, ["k"], delete_when="s.is_delete"
+    )
+    assert version == 1
+    assert stats == {"inserted": 2, "updated": 3, "deleted": 1}
+    got = {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}
+    assert got[0] == 0 and got[1] == 100 and got[2] == 200  # updated
+    assert 3 not in got  # deleted
+    assert got[20] == 2000 and got[21] == 2100  # inserted
+    assert got[9] == 90 and len(got) == 11  # target-only kept
+    # pre-merge snapshot still time-travels
+    assert txlog.read_table(spark, root, version=0).count() == 10
+    # extra source-only column (is_delete) never leaks into the target schema
+    assert txlog.read_table(spark, root).columns == ["k", "v"]
+
+
+def test_merge_into_update_dict_and_insert_false(spark, tmp_path):
+    root = str(tmp_path / "m2")
+    txlog.append_table(
+        spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v")),
+        root,
+    )
+    src = spark.createDataFrame([(1, 7), (99, 7)], "k long, delta long")
+    # dict assignments may reference BOTH namespaces; unmatched source dropped
+    _, stats = txlog.merge_into(
+        spark, root, src, ["k"], update={"v": "t.v + s.delta"}, insert=False
+    )
+    assert stats == {"inserted": 0, "updated": 1, "deleted": 0}
+    got = {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}
+    assert got[1] == 17 and got[2] == 20 and len(got) == 5
+
+    # update=None keeps matched target rows byte-identical (insert-only merge)
+    src2 = spark.createDataFrame([(1, 1111), (50, 500)], "k long, v long")
+    _, stats2 = txlog.merge_into(spark, root, src2, ["k"], update=None)
+    assert stats2 == {"inserted": 1, "updated": 0, "deleted": 0}
+    got2 = {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}
+    assert got2[1] == 17 and got2[50] == 500
+
+
+def test_merge_into_guards(spark, tmp_path):
+    root = str(tmp_path / "m3")
+    txlog.append_table(
+        spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v")), root
+    )
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        txlog.merge_into(spark, root, dup, ["k"])
+    with pytest.raises(ValueError, match="missing from target or source"):
+        txlog.merge_into(
+            spark, root, spark.createDataFrame([(1,)], "z long"), ["z"]
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        txlog.merge_into(
+            spark,
+            root,
+            spark.createDataFrame([(1, 1)], "k long, v long"),
+            ["k"],
+            update={"nope": "1"},
+        )
+    # NULL delete_when means keep-and-update (three-valued logic)
+    src = spark.createDataFrame(
+        [(1, 42, None)], "k long, v long, flag boolean"
+    )
+    _, stats = txlog.merge_into(spark, root, src, ["k"], delete_when="s.flag")
+    assert stats == {"inserted": 0, "updated": 1, "deleted": 0}
+    assert {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}[1] == 42
