@@ -150,3 +150,92 @@ def gopher_quality_flags(
         cnd = ~F.col(name)
         no_flag = cnd if no_flag is None else no_flag & cnd
     return out.withColumn("gopher_pass", no_flag).drop("__toks")
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    line_words: int = 16,
+    min_line_words: int = 5,
+    line_blockword: str = "slow",
+    page_blockword: str = "dup",
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """Per-document C4-style LINE-level cleanup census (Raffel et al. 2020
+    §2.2), re-parameterized for this corpus the same way
+    ``dedup.paragraph_dedup`` is: the corpus carries no newlines or
+    punctuation (FIXTURES.md), so fixed ``line_words``-token windows stand
+    in for lines, ``line_blockword`` for C4's drop-lines-with-"javascript"
+    rule, and ``page_blockword`` for its drop-pages-with-"lorem ipsum"
+    rule.  C4's rule set, one column each:
+
+    * a line survives iff it has >= ``min_line_words`` words (C4's
+      terminal-punctuation/short-line rule) AND does not contain
+      ``line_blockword``;
+    * a page survives iff it does not contain ``page_blockword`` AND keeps
+      >= ``min_kept_lines`` lines (C4's "at least 3 sentences" rule).
+
+    Adds: ``n_lines``, ``n_short_lines``, ``n_blockword_lines``,
+    ``n_kept_lines``, ``kept_words``, ``flag_page_blocklist``,
+    ``flag_few_lines``, ``c4_keep``.  All counters are integers, so a SQL
+    oracle reproduces them exactly.
+
+    Plan shape: tokenize once, window/filter/count entirely inside array
+    HOFs over the staged token column — zero explode, zero shuffle, zero
+    Python; the per-document line array is bounded by doc length /
+    ``line_words`` so lambda-interpretation cost stays negligible next to
+    the scan (the interpreted-HOF caveat only bites on per-bit vote
+    shapes)."""
+    from kafka_connect_expand_json_transform_spark.functions.text import tokens
+
+    staged = df.withColumn("__toks", tokens(text_col))
+    t = F.col("__toks")
+    n = F.size(t)
+    n_lines = F.ceil(n / F.lit(line_words)).cast("int")
+    lines = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.slice(t, i * line_words + 1, line_words),
+        ),
+    ).otherwise(F.expr("array()").cast("array<array<string>>"))
+    staged = staged.withColumn("__lines", lines)
+    L = F.col("__lines")
+    long_enough = lambda x: F.size(x) >= min_line_words  # noqa: E731
+    kept = F.filter(
+        L, lambda x: long_enough(x) & ~F.array_contains(x, line_blockword)
+    )
+    out = (
+        staged.withColumn("n_lines", F.size(L).cast("bigint"))
+        .withColumn(
+            "n_short_lines",
+            F.size(F.filter(L, lambda x: ~long_enough(x))).cast("bigint"),
+        )
+        .withColumn(
+            "n_blockword_lines",
+            F.size(
+                F.filter(
+                    L,
+                    lambda x: long_enough(x) & F.array_contains(x, line_blockword),
+                )
+            ).cast("bigint"),
+        )
+        .withColumn("__kept", kept)
+        .withColumn("n_kept_lines", F.size(F.col("__kept")).cast("bigint"))
+        .withColumn(
+            "kept_words",
+            F.aggregate(
+                F.col("__kept"), F.lit(0), lambda acc, x: acc + F.size(x)
+            ).cast("bigint"),
+        )
+        .withColumn("flag_page_blocklist", F.array_contains(t, page_blockword))
+        .withColumn(
+            "flag_few_lines",
+            ~F.array_contains(t, page_blockword)
+            & (F.size(F.col("__kept")) < min_kept_lines),
+        )
+    )
+    return out.withColumn(
+        "c4_keep",
+        ~F.col("flag_page_blocklist") & ~F.col("flag_few_lines"),
+    ).drop("__toks", "__lines", "__kept")

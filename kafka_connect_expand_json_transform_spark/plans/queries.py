@@ -18221,6 +18221,90 @@ def bpe_encode_static(spark, sf_dir):
     )
 
 
+_SQL_C4_CENSUS = r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    ls AS (
+      SELECT source, t,
+             [t[(i-1)*16 + 1 : (i-1)*16 + 16]
+              for i in generate_series(1, CAST(ceil(len(t) / 16.0) AS BIGINT))]
+               AS lines
+      FROM toks),
+    m AS (
+      SELECT source,
+             len(lines) AS n_lines,
+             len(list_filter(lines, L -> len(L) < 5)) AS n_short,
+             len(list_filter(lines,
+                             L -> len(L) >= 5 AND list_contains(L, 'slow')))
+               AS n_block,
+             list_filter(lines,
+                         L -> len(L) >= 5 AND NOT list_contains(L, 'slow'))
+               AS kept,
+             list_contains(t, 'dup') AS page_block
+      FROM ls),
+    f AS (
+      SELECT source, n_lines, n_short, n_block,
+             COALESCE(list_sum([len(L) for L in kept]), 0) AS kept_words,
+             page_block,
+             (NOT page_block AND len(kept) < 3) AS few_lines,
+             (NOT page_block AND len(kept) >= 3) AS keep
+      FROM m)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(n_short) AS BIGINT) AS n_short_lines,
+           CAST(SUM(n_block) AS BIGINT) AS n_blockword_lines,
+           CAST(SUM(CASE WHEN page_block THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pages_blocklist,
+           CAST(SUM(CASE WHEN few_lines THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pages_few_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pages_kept,
+           CAST(SUM(CASE WHEN keep THEN kept_words ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM f GROUP BY source
+"""
+
+
+@query("c4_line_filter_census", _SQL_C4_CENSUS)
+def c4_line_filter_census(spark, sf_dir):
+    """Per-source C4 cleanup census (Raffel et al. 2020 §2.2) — the
+    LINE-level complement to the page-level ``gopher_quality_report``:
+    16-token windows stand in for lines (the corpus carries no newlines,
+    same re-parameterization as ``paragraph_dedup_recompose``), short and
+    blockword lines are dropped, pages die on a blocklist hit or on
+    keeping fewer than 3 lines, and the census counts every rule's
+    victims plus the surviving token mass.  All counters are integer, so
+    the DuckDB oracle reproduces them bit-for-bit.  Scale: the whole rule
+    set runs inside array HOFs over one staged tokenization — zero
+    explode/shuffle/Python before the final per-source aggregation."""
+    from kafka_connect_expand_json_transform_spark.llmops.curation import (
+        c4_line_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = c4_line_filter(docs)
+    return c.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum("n_short_lines").cast("bigint").alias("n_short_lines"),
+        F.sum("n_blockword_lines").cast("bigint").alias("n_blockword_lines"),
+        F.sum(F.col("flag_page_blocklist").cast("bigint")).alias(
+            "n_pages_blocklist"
+        ),
+        F.sum(F.col("flag_few_lines").cast("bigint")).alias("n_pages_few_lines"),
+        F.sum(F.col("c4_keep").cast("bigint")).alias("n_pages_kept"),
+        F.sum(
+            F.when(F.col("c4_keep"), F.col("kept_words")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+
+
 _SQL_TXLOG_MERGE = """
     WITH o AS (
         SELECT o_orderkey, o_orderpriority,

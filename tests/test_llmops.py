@@ -747,3 +747,42 @@ def test_paragraph_dedup_keeps_first_and_recomposes(spark):
         3: (2, 0, ""),
         4: (1, 1, "gg"),
     }
+
+
+def test_c4_line_filter_rule_semantics(spark):
+    """Hand-built docs hit each C4 rule exactly once; the per-source census
+    is oracle-checked in test_oracle_parity (c4_line_filter_census)."""
+    from kafka_connect_expand_json_transform_spark.llmops.curation import c4_line_filter
+
+    lw = 4  # small lines so the fixtures stay readable
+    docs = spark.createDataFrame(
+        [
+            # 3 clean 4-word lines -> kept page
+            (0, "a b c d e f g h i j k l"),
+            # blockword kills line 1; only 2 kept lines -> few_lines
+            (1, "a slow c d e f g h i j k l"),
+            # page blockword -> dropped outright (few_lines NOT also set)
+            (2, "dup b c d e f g h i j k l"),
+            # 13 words: tail line has 1 word -> short, 3 kept -> kept page
+            (3, "a b c d e f g h i j k l m"),
+            # empty text -> zero lines, few_lines
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in c4_line_filter(
+            docs, line_words=lw, min_line_words=3, min_kept_lines=3
+        ).collect()
+    }
+    assert got[0]["n_lines"] == 3 and got[0]["c4_keep"]
+    assert got[0]["kept_words"] == 12 and got[0]["n_kept_lines"] == 3
+    assert got[1]["n_blockword_lines"] == 1 and got[1]["flag_few_lines"]
+    assert not got[1]["c4_keep"]
+    assert got[2]["flag_page_blocklist"] and not got[2]["flag_few_lines"]
+    assert not got[2]["c4_keep"]
+    assert got[3]["n_lines"] == 4 and got[3]["n_short_lines"] == 1
+    assert got[3]["c4_keep"] and got[3]["kept_words"] == 12
+    assert got[4]["n_lines"] == 0 and got[4]["flag_few_lines"]
+    assert not got[4]["c4_keep"]
