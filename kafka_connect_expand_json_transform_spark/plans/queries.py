@@ -18221,6 +18221,94 @@ def bpe_encode_static(spark, sf_dir):
     )
 
 
+_SQL_CCNET_PPL = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+      FROM documents),
+    w AS (SELECT doc_id, lang, unnest(t) AS w FROM toks WHERE len(t) > 0),
+    cw AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM w),
+    scored AS (
+      SELECT w.doc_id, w.lang,
+             CAST(floor(ln(tot.n) * 1000000) AS BIGINT)
+               - CAST(floor(ln(cw.c) * 1000000) AS BIGINT) AS s
+      FROM w JOIN cw ON cw.w = w.w, tot),
+    per_doc AS (
+      SELECT doc_id, lang, COUNT(*) AS n_words, SUM(s) AS micro,
+             CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS score
+      FROM scored GROUP BY doc_id, lang),
+    bucketed AS (
+      SELECT lang, n_words, micro,
+             NTILE(3) OVER (PARTITION BY lang ORDER BY score, doc_id) AS b
+      FROM per_doc)
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(micro) AS BIGINT) AS xent_micro_total,
+           CAST(SUM(micro) AS DOUBLE)
+             / (CAST(SUM(n_words) AS DOUBLE) * 1000000.0) AS avg_xent_nats
+    FROM bucketed GROUP BY lang, b
+"""
+
+
+@query("ccnet_perplexity_buckets", _SQL_CCNET_PPL)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet's perplexity bucketing (Wenzek et al. 2020 §4.3): score every
+    document with a language model trained on the corpus itself (unigram
+    here — the in-repo stand-in for CCNet's external KenLM), then split
+    each language into head/middle/tail TERTILES of per-word cross-entropy
+    — the curation knob that keeps "head" for training and discards or
+    down-weights "tail".  Transcendentals follow the bigram_lm_xent
+    discipline: floor(ln(count)*1e6) of INTEGER counts only (fixture-domain
+    guarded), summed exactly in int64; the per-doc score is one IEEE
+    division of identical integers, so ranks — and therefore NTILE buckets
+    with doc_id tie-breaks — are engine-identical.  Scale: one word-count
+    aggregate, one broadcast-able count join, and a per-language window;
+    at 100 TB the tertile thresholds would come from a sampled quantile
+    sketch instead of a full sort, but the census contract is the same."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split(F.lower(F.trim("text")), " "), lambda x: x != "").alias(
+            "t"
+        ),
+    ).filter(F.size("t") > 0)
+    w = toks.select("doc_id", "lang", F.explode("t").alias("w"))
+    cw = w.groupBy("w").agg(F.count("*").alias("c"))
+    tot = w.agg(F.count("*").alias("n"))
+    lnq = lambda c: F.floor(F.log(c) * 1_000_000).cast("bigint")  # noqa: E731
+    scored = (
+        w.join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "lang", (lnq(F.col("n")) - lnq(F.col("c"))).alias("s"))
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_words"),
+        F.sum("s").alias("micro"),
+        (dbl(F.sum("s")) / dbl(F.count("*"))).alias("score"),
+    )
+    b = F.ntile(3).over(Window.partitionBy("lang").orderBy("score", "doc_id"))
+    bucketed = per_doc.select("lang", "n_words", "micro", b.alias("b"))
+    return bucketed.groupBy(
+        "lang",
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("micro").cast("bigint").alias("xent_micro_total"),
+        (
+            dbl(F.sum("micro")) / (dbl(F.sum("n_words")) * F.lit(1_000_000.0))
+        ).alias("avg_xent_nats"),
+    )
+
+
 _SQL_C4_CENSUS = r"""
     WITH toks AS (
       SELECT source,

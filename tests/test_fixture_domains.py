@@ -456,3 +456,31 @@ def test_hurst_ln_quantization_clear_of_boundaries(ddb):
     dist = np.abs(qv - np.round(qv))
     worst = float(dist.min())
     assert worst > 1e-5, f"ln(mean R/S)*1e6 within {worst:.2e} of a boundary"
+
+
+def test_ccnet_unigram_ln_quantization_clear_of_boundaries(ddb):
+    """ccnet_perplexity_buckets quantizes floor(ln(c)*1e6) of the corpus's
+    distinct unigram counts and of the total word count: verify every such
+    integer sits well clear of a micro-nat boundary on the live fixture, so
+    JVM-vs-libm last-ulp drift can never flip a per-word surprisal."""
+    import numpy as np
+
+    counts = [
+        r[0]
+        for r in ddb.execute(
+            """
+            WITH toks AS (
+              SELECT list_filter(string_split(lower(trim(text)), ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            w AS (SELECT unnest(t) AS w FROM toks WHERE len(t) > 0)
+            SELECT DISTINCT COUNT(*) AS c FROM w GROUP BY w
+            UNION SELECT COUNT(*) FROM w
+            """
+        ).fetchall()
+        if r[0] > 1
+    ]
+    q = np.log(np.array(counts, dtype=np.float64)) * 1e6
+    dist = np.abs(q - np.round(q))
+    worst = float(dist.min())
+    assert worst > 1e-5, f"ln(c)*1e6 within {worst:.2e} of an integer boundary"
