@@ -112,6 +112,8 @@ _INTENTIONALLY_UNKEYED = {
     "simpsons_paradox_check",  # 1-row aggregate gap attached to 5 segment rows
     "vocab_coverage_curve",  # 1-row total + 4-row threshold table joined by an
     # inequality over |distinct counts| rows — all sides bounded
+    "ccnet_perplexity_buckets",  # 1-row corpus word-count total (the ln N
+    # surprisal term) broadcast onto the word stream
 }
 
 
