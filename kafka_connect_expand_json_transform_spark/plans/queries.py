@@ -18221,6 +18221,66 @@ def bpe_encode_static(spark, sf_dir):
     )
 
 
+_SQL_BINARYFILE = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           TRUE AS sha_match
+    FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+"""
+
+
+@query("binaryfile_source_stats", _SQL_BINARYFILE)
+def binaryfile_source_stats(spark, sf_dir):
+    """The ``binaryFile`` SOURCE end-to-end — Spark's whole-file media
+    connector (one row per file: path/modificationTime/length/content), the
+    ingestion path every multimodal pipeline starts from: a bounded 20-doc
+    fixture slice is materialized as one file per document (driver-side
+    test scaffolding — at scale the media files already exist), read back
+    through ``multimodal.read_binary_files`` with a ``pathGlobFilter``, and
+    every blob is verified byte-for-byte (length + sha256 against the
+    source text re-encoded in-engine).  The oracle recomputes the byte
+    lengths with ``octet_length(encode(text))``, so the file round-trip is
+    value-checked, not just counted.  Scale: binaryFile splits by FILE
+    (one row per blob, sized by ``spark.sql.files.maxPartitionBytes``) and
+    the glob pushes into the listing — the metadata-filter-before-decode
+    posture multimodal.py documents."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.llmops.multimodal import (
+        read_binary_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = docs.orderBy("doc_id").limit(20)
+    rows = fixture.collect()  # bounded: exactly 20 rows at any SF
+    tmp = tempfile.mkdtemp(prefix="binfiles_q_")
+    try:
+        for r in rows:
+            with open(f"{tmp}/doc_{r['doc_id']}.bin", "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        bf = read_binary_files(spark, tmp, glob="*.bin")
+        parsed = bf.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+            F.sha2("content", 256).alias("sha_file"),
+        )
+        out = parsed.join(fixture, "doc_id").select(
+            "doc_id",
+            "n_bytes",
+            (F.sha2(F.encode(F.col("text"), "UTF-8"), 256) == F.col("sha_file")).alias(
+                "sha_match"
+            ),
+        )
+        collected = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(collected, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_CCNET_PPL = """
     WITH toks AS (
       SELECT doc_id, lang,
