@@ -504,9 +504,12 @@ def merge_into(
 
     t = snap.withColumn("_in_t", F.lit(True)).alias("t")
     s = source.withColumn("_in_s", F.lit(True)).alias("s")
+    # one equi-join, two consumers (clause stats + the CoW rewrite): lazy
+    # localCheckpoint so the stats action materializes it and the rewrite
+    # reads the materialized result instead of re-running the join
     joined = t.join(
         s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on], "full_outer"
-    )
+    ).localCheckpoint(eager=False)
     matched = F.coalesce(F.col("t._in_t"), F.lit(False)) & F.coalesce(
         F.col("s._in_s"), F.lit(False)
     )
