@@ -18221,6 +18221,87 @@ def bpe_encode_static(spark, sf_dir):
     )
 
 
+_SQL_STREAM_TXLOG = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderkey % 30 IN (0, 1)
+    GROUP BY o_orderstatus
+"""
+
+
+@query("stream_txlog_source_e2e", _SQL_STREAM_TXLOG)
+def stream_txlog_source_e2e(spark, sf_dir):
+    """The txlog STREAMING SOURCE end-to-end with transactional visibility
+    value-checked: two committed versions stream through the
+    ``txlogstream`` Python DataSource into a memory sink, while an ORPHAN
+    parquet directory (an in-flight writer that never published a log
+    entry) sits in ``data/`` — the oracle aggregates exactly the two
+    committed slices, so a single leaked orphan row fails the hash.  This
+    is the property a raw file stream over the directory cannot give and
+    the reason the source reads the LOG, not the listing.  Python stream
+    readers lack availableNow, so the query drives a processing-time
+    trigger and stops once the cursor reaches the table head (the
+    documented drain pattern).  Scale: each micro-batch is a committed
+    version range; at 100 TB the read path would hand Spark the parquet
+    file list per version instead of row-iterating in Python — the offset
+    protocol (versions as offsets, exactly-once restart) is the part that
+    carries."""
+    import shutil
+    import tempfile
+    import time
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_stream_q_")
+    name = "sg_stream_txlog"
+    try:
+        root = tmp + "/orders_s"
+        TX.append_table(o.where(F.col("o_orderkey") % 30 == 0), root)
+        TX.append_table(o.where(F.col("o_orderkey") % 30 == 1), root)
+        # in-flight writer: data files with no published log entry
+        o.where(F.col("o_orderkey") % 30 == 2).write.parquet(
+            root + "/data/orphan.parquet"
+        )
+        TX.register_stream_source(spark)
+        spark.catalog.dropTempView(name)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                spark.readStream.format("txlogstream")
+                .option("path", root)
+                .load()
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if q.lastProgress is not None and not q.status["isDataAvailable"]:
+                    break
+                time.sleep(0.25)
+            q.stop()
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return spark.table(name).groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_BINARYFILE = """
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -18607,9 +18688,16 @@ _DRIVER_WINDOW = [
     "expectations_report",     # data-quality expectations (post-r1)
     "golden_record_docs",      # entity-resolution golden records (post-r1)
     # relational extras / graph / profiling / sketches
-    "merge_upsert_orders",     # CDC merge
+    "txlog_merge_upsert",      # MERGE INTO on the txlog table format (new
+                               # r4; plain relational merge_upsert_orders
+                               # rotated out after three green driver rows —
+                               # the txlog variant exercises a superset)
     "scd2_user_state",         # SCD2
-    "gapfill_hourly_events",   # timeseries gap fill
+    "ccnet_perplexity_buckets",# quality-census family's first window row
+                               # (new r4; gapfill_hourly_events rotated out
+                               # after three green driver rows) — the highest
+                               # cross-engine-risk new op (ln quantization +
+                               # NTILE), exactly what the hard gate is for
     "label_prop_communities",  # graph label propagation (post-r1)
     "triangle_count_part_graph",  # graph triangles
 ]

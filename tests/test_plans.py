@@ -538,9 +538,10 @@ def test_driver_window_composition():
         "cogrouped_customer_orders", "minhash_dedup_md5",
         "prefix_filter_jaccard_pairs", "incremental_dedup_report",
         "kmeans_cluster_sizes", "bpe_merge_rounds", "label_prop_communities",
-        "triangle_count_part_graph", "scd2_user_state", "merge_upsert_orders",
+        "triangle_count_part_graph", "scd2_user_state", "txlog_merge_upsert",
         # round-4 late additions, swapped in for driver-proven r01-r03 slots
         "paragraph_dedup_recompose", "bpe_encode_static",
+        "ccnet_perplexity_buckets",
     }
     assert must_have <= set(first50), must_have - set(first50)
 
