@@ -18221,6 +18221,154 @@ def bpe_encode_static(spark, sf_dir):
     )
 
 
+_SQL_MATRYOSHKA = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    t AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+    fr AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_SQL_COS}, 4) DESC, b.vec_id)
+               AS rank
+      FROM e a JOIN e b ON a.vec_id < 3 AND a.vec_id <> b.vec_id),
+    tr AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_SQL_COS}, 4) DESC, b.vec_id)
+               AS rank
+      FROM t a JOIN t b ON a.vec_id < 3 AND a.vec_id <> b.vec_id)
+    SELECT f.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(t2.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(t2.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM (SELECT * FROM fr WHERE rank <= 10) f
+    LEFT JOIN (SELECT * FROM tr WHERE rank <= 10) t2
+      ON f.query_id = t2.query_id AND f.vec_id = t2.vec_id
+    GROUP BY f.query_id
+"""
+
+
+@query("matryoshka_recall_report", _SQL_MATRYOSHKA)
+def matryoshka_recall_report(spark, sf_dir):
+    """Matryoshka-style truncated-dimension retrieval evaluation (Kusupati
+    et al. 2022, public): exact top-10 under the FULL 64-dim cosine vs
+    top-10 under the first-16-dims-only cosine, recall@10 per query — the
+    measurement that decides whether a cheap low-dim prefix index can
+    front a 100 TB embedding store (search the 16-dim prefix, re-rank
+    survivors at full width).  Both rankings ride ``brute_force_topk``
+    (staged norms below the broadcast join, round-to-4 + id tie-breaks),
+    so the whole evaluation is engine-exact and value-checked.  Scale:
+    two broadcast top-k passes (queries broadcast, corpus never shuffles)
+    + one tiny overlap join on (query, neighbor)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full = similarity.brute_force_topk(emb, queries, k=10)
+    t_emb = emb.select(
+        "vec_id", F.slice(VEC.as_double("embedding"), 1, 16).alias("embedding")
+    )
+    t_q = queries.select(
+        "query_id", F.slice(VEC.as_double("query_vec"), 1, 16).alias("query_vec")
+    )
+    trunc = similarity.brute_force_topk(t_emb, t_q, k=10)
+    overlap = (
+        full.select("query_id", "vec_id")
+        .join(trunc.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__n_overlap"))
+    )
+    return (
+        full.groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("__n_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            (
+                dbl(F.coalesce(F.col("__n_overlap"), F.lit(0))) / F.lit(10.0)
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+_SQL_SQ8_RECALL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    t AS (SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor(x * 127) AS DOUBLE)) AS v
+          FROM embeddings),
+    fr AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_SQL_COS}, 4) DESC, b.vec_id)
+               AS rank
+      FROM e a JOIN e b ON a.vec_id < 3 AND a.vec_id <> b.vec_id),
+    tr AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_SQL_COS}, 4) DESC, b.vec_id)
+               AS rank
+      FROM t a JOIN t b ON a.vec_id < 3 AND a.vec_id <> b.vec_id)
+    SELECT f.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(t2.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(t2.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM (SELECT * FROM fr WHERE rank <= 10) f
+    LEFT JOIN (SELECT * FROM tr WHERE rank <= 10) t2
+      ON f.query_id = t2.query_id AND f.vec_id = t2.vec_id
+    GROUP BY f.query_id
+"""
+
+
+@query("sq8_recall_report", _SQL_SQ8_RECALL)
+def sq8_recall_report(spark, sf_dir):
+    """Scalar-quantization (int8) retrieval evaluation — the memory-side
+    twin of ``matryoshka_recall_report``: quantize every component to
+    ``floor(x*127)`` (the 8-bit code an SQ index stores, 8x smaller than
+    float64), rank by quantized cosine, and measure recall@10 against the
+    exact full-precision top-10.  ``floor`` of identical doubles is
+    engine-exact (no round-half ambiguity), the quantized dot is a fold
+    over exact small integers, so the entire evaluation value-checks.
+    Scale: same two broadcast top-k passes as matryoshka — at 100 TB the
+    quantized codes are what fits in executor memory; this report is the
+    accuracy audit that licenses the compression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full = similarity.brute_force_topk(emb, queries, k=10)
+    sq = lambda c: F.transform(  # noqa: E731
+        VEC.as_double(c), lambda x: F.floor(x * 127).cast("double")
+    )
+    t_emb = emb.select("vec_id", sq("embedding").alias("embedding"))
+    t_q = queries.select("query_id", sq("query_vec").alias("query_vec"))
+    trunc = similarity.brute_force_topk(t_emb, t_q, k=10)
+    overlap = (
+        full.select("query_id", "vec_id")
+        .join(trunc.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__n_overlap"))
+    )
+    return (
+        full.groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("__n_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            (
+                dbl(F.coalesce(F.col("__n_overlap"), F.lit(0))) / F.lit(10.0)
+            ).alias("recall_at_10"),
+        )
+    )
+
+
 _SQL_STREAM_TXLOG = """
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,

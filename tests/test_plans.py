@@ -114,6 +114,9 @@ _INTENTIONALLY_UNKEYED = {
     # inequality over |distinct counts| rows — all sides bounded
     "ccnet_perplexity_buckets",  # 1-row corpus word-count total (the ln N
     # surprisal term) broadcast onto the word stream
+    "matryoshka_recall_report",  # 3 query vectors broadcast against the
+    # corpus, twice (full-width and 16-dim prefix rankings)
+    "sq8_recall_report",  # same shape, int8-quantized ranking vs exact
 }
 
 
