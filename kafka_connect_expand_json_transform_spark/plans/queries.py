@@ -18221,6 +18221,62 @@ def bpe_encode_static(spark, sf_dir):
     )
 
 
+_SQL_LDIV = """
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN CAST(c_acctbal AS DECIMAL(12,2)) < 0 THEN 'debt'
+                  WHEN CAST(c_acctbal AS DECIMAL(12,2)) < 5000 THEN 'low'
+                  ELSE 'high' END AS sens
+      FROM customer),
+    g AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS n, COUNT(DISTINCT sens) AS l
+      FROM s GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_classes,
+           CAST(SUM(CASE WHEN l < 2 THEN n ELSE 0 END) AS BIGINT)
+             AS n_exposed_rows
+    FROM g
+"""
+
+
+@query("l_diversity_report", _SQL_LDIV)
+def l_diversity_report(spark, sf_dir):
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    attribute-disclosure companion to ``k_anonymity_report``: k-anonymity
+    stops re-identification, but a class whose members all share one
+    SENSITIVE value (here an account-balance bucket) still leaks it.  Per
+    quasi-identifier class (nation x segment), count distinct sensitive
+    values; report the dataset's l (the worst class), classes with l < 2,
+    and the rows they expose.  Scale: same two-level aggregate shape as
+    k_anonymity_report — the distinct count rides the partial aggregate,
+    row-level data never leaves the first combine."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    s = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(bal < 0, "debt").when(bal < 5000, "low").otherwise("high").alias(
+            "sens"
+        ),
+    )
+    g = s.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n"), F.countDistinct("sens").alias("l")
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("l").cast("bigint").alias("l_diversity"),
+        F.sum(F.when(F.col("l") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_classes"),
+        F.sum(F.when(F.col("l") < 2, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_exposed_rows"),
+    )
+
+
 _SQL_MATRYOSHKA = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     t AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
