@@ -18221,6 +18221,95 @@ def bpe_encode_static(spark, sf_dir):
     )
 
 
+_SQL_TCLOSE = """
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN CAST(c_acctbal AS DECIMAL(12,2)) < 0 THEN 0
+                  WHEN CAST(c_acctbal AS DECIMAL(12,2)) < 5000 THEN 1
+                  ELSE 2 END AS sens
+      FROM customer),
+    cl AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_class,
+             SUM(CASE WHEN sens = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN sens <= 1 THEN 1 ELSE 0 END) AS n01
+      FROM s GROUP BY 1, 2),
+    g AS (
+      SELECT COUNT(*) AS n_total,
+             SUM(CASE WHEN sens = 0 THEN 1 ELSE 0 END) AS g0,
+             SUM(CASE WHEN sens <= 1 THEN 1 ELSE 0 END) AS g01
+      FROM s),
+    emd AS (
+      SELECT n_class, n_total,
+             ABS(n0 * n_total - g0 * n_class)
+               + ABS(n01 * n_total - g01 * n_class) AS emd_scaled
+      FROM cl, g)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN 5 * emd_scaled > 2 * n_class * n_total
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+           CAST(MAX(CAST(emd_scaled AS DOUBLE)
+                    / (CAST(n_class AS DOUBLE) * CAST(n_total AS DOUBLE)
+                       * 2.0)) AS DOUBLE) AS t_closeness
+    FROM emd
+"""
+
+
+@query("t_closeness_report", _SQL_TCLOSE)
+def t_closeness_report(spark, sf_dir):
+    """t-closeness audit (Li et al. 2007) — the third rung of the privacy
+    ladder after ``k_anonymity_report`` and ``l_diversity_report``: a class
+    can be k-anonymous AND l-diverse yet still leak if its sensitive-value
+    DISTRIBUTION diverges from the table's (the skewness attack).  Per
+    quasi-identifier class, the ordered-category earth-mover distance of
+    the balance-bucket distribution vs the global one — with m=3 ordered
+    categories this is two cumulative terms, cross-multiplied to exact
+    integers (|ccum_i*N - gcum_i*n_c|); the t <= 0.2 violation test is the
+    integer comparison 5*EMD_scaled > 2*n_c*N, so the census never
+    compares floats.  Reported t is one IEEE division at the end.  Scale:
+    one partial+final aggregate on the quasi-identifier key plus a 1-row
+    global attachment — key_skew_report's shape."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    s = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(bal < 0, 0).when(bal < 5000, 1).otherwise(2).alias("sens"),
+    )
+    cl = s.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n_class"),
+        F.sum((F.col("sens") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("sens") <= 1).cast("long")).alias("n01"),
+    )
+    g = s.agg(
+        F.count("*").alias("n_total"),
+        F.sum((F.col("sens") == 0).cast("long")).alias("g0"),
+        F.sum((F.col("sens") <= 1).cast("long")).alias("g01"),
+    )
+    emd = cl.crossJoin(F.broadcast(g)).select(
+        "n_class",
+        "n_total",
+        (
+            F.abs(F.col("n0") * F.col("n_total") - F.col("g0") * F.col("n_class"))
+            + F.abs(
+                F.col("n01") * F.col("n_total") - F.col("g01") * F.col("n_class")
+            )
+        ).alias("emd_scaled"),
+    )
+    return emd.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum(
+            (
+                5 * F.col("emd_scaled") > 2 * F.col("n_class") * F.col("n_total")
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_violating_classes"),
+        F.max(
+            dbl(F.col("emd_scaled"))
+            / (dbl(F.col("n_class")) * dbl(F.col("n_total")) * F.lit(2.0))
+        ).alias("t_closeness"),
+    )
+
+
 _SQL_LDIV = """
     WITH s AS (
       SELECT c_nationkey, c_mktsegment,

@@ -117,6 +117,7 @@ _INTENTIONALLY_UNKEYED = {
     "matryoshka_recall_report",  # 3 query vectors broadcast against the
     # corpus, twice (full-width and 16-dim prefix rankings)
     "sq8_recall_report",  # same shape, int8-quantized ranking vs exact
+    "t_closeness_report",  # 1-row global distribution attached per class
 }
 
 

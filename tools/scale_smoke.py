@@ -41,6 +41,8 @@ HEAVY = [
     "label_prop_communities",
     "pagerank_event_graph",
     "semantic_dedup_survivors",  # round-4: blocked pairs + CC + keep-one
+    "txlog_merge_upsert",  # round-4 late: full-outer merge + CoW rewrite
+    "ccnet_perplexity_buckets",  # round-4 late: word explode + NTILE window
 ]
 
 # (table, [key columns to offset per copy])
