@@ -18221,6 +18221,62 @@ def bpe_encode_static(spark, sf_dir):
     )
 
 
+_SQL_STREAM_MULTIBATCH = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+"""
+
+
+@query("stream_multibatch_agg_e2e", _SQL_STREAM_MULTIBATCH)
+def stream_multibatch_agg_e2e(spark, sf_dir):
+    """Stateful aggregation ACROSS micro-batches — the state-store property
+    the single-file e2e queries can't show (availableNow over one file is
+    ONE batch; partial counts never have to survive a batch boundary):
+    events are written as three separate files, ``maxFilesPerTrigger=1``
+    forces availableNow to take three micro-batches, and the complete-mode
+    aggregate must carry per-key state across all three to equal the batch
+    oracle.  A state store that dropped or double-counted between batches
+    fails the hash (the multi-batch count is asserted in
+    test_streaming).  Scale: same one-shuffle agg as the batch plan; state
+    rows = |keys| per partition, the incremental-processing contract that
+    makes a 100 TB backfill restartable in file-sized steps."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_stream_mb_")
+    try:
+        src = tmp + "/files"
+        ev.repartition(3).write.parquet(src)
+        from kafka_connect_expand_json_transform_spark.streaming.sources import (
+            file_stream_source,
+        )
+
+        stream = file_stream_source(
+            spark,
+            src,
+            ev.schema,
+            fmt="parquet",
+            options={"maxFilesPerTrigger": "1"},
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        out = _run_stream_to_memory(spark, agg, "sg_stream_multibatch", "complete")
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_TCLOSE = """
     WITH s AS (
       SELECT c_nationkey, c_mktsegment,

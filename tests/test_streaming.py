@@ -536,3 +536,37 @@ def test_session_window_dynamic_gap_streaming(spark, events_path):
     out = run_to_table(spark, agg, output_mode="complete").collect()
     per_user = sorted((r["user"], r["n"]) for r in out)
     assert per_user == [("alice", 3), ("bob", 1), ("bob", 2)]
+
+
+def test_multibatch_agg_actually_runs_multiple_batches(spark, tmp_path):
+    """stream_multibatch_agg_e2e's premise: maxFilesPerTrigger=1 over three
+    files + availableNow must take >= 3 micro-batches, with the complete-mode
+    aggregate carrying state across every boundary."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "files")
+    spark.range(300).select(
+        (F.col("id") % 3).alias("k"), F.lit(1).alias("one")
+    ).repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("k long, one int")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        stream.groupBy("k")
+        .agg(F.sum("one").alias("n"))
+        .writeStream.format("memory")
+        .queryName("sg_mb_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = q.recentProgress
+    assert len([p for p in batches if p["numInputRows"] > 0]) >= 3, [
+        (p["batchId"], p["numInputRows"]) for p in batches
+    ]
+    got = {r["k"]: r["n"] for r in spark.table("sg_mb_test").collect()}
+    assert got == {0: 100, 1: 100, 2: 100}
