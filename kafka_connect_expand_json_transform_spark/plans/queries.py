@@ -1270,6 +1270,32 @@ def python_udf_sign(spark, sf_dir):
 
 
 @query(
+    "arrow_udf_parity",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+    FROM documents
+    """,
+)
+def arrow_udf_parity(spark, sf_dir):
+    """The Spark 4 Arrow-optimized Python UDF (``@udf(useArrow=True)``) —
+    same per-row Python function as ``python_udf_sign`` but serialized over
+    Arrow batches instead of pickled rows (the migration knob between the
+    row-at-a-time U1 path and full pandas UDFs): identical results, ~2-5x
+    less ser/de overhead, still one Python call per row.  Covered so a user
+    migrating UDFs sees all three rungs (classic -> Arrow-optimized ->
+    pandas) value-checked against the same oracle."""
+    from pyspark.sql.functions import udf
+
+    @udf("string", useArrow=True)
+    def parity(text: str) -> str:
+        return "even" if len(text) % 2 == 0 else "odd"
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", parity("text").alias("parity"))
+
+
+@query(
     "udtf_sentences",
     """
     WITH parts AS (
