@@ -529,3 +529,32 @@ def test_merge_into_guards(spark, tmp_path):
     _, stats = txlog.merge_into(spark, root, src, ["k"], delete_when="s.flag")
     assert stats == {"inserted": 0, "updated": 1, "deleted": 0}
     assert {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}[1] == 42
+
+
+def test_merge_into_loses_to_concurrent_commit(spark, tmp_path):
+    """merge_into's concurrency claim: the CoW rewrite commits with
+    expected_version, so a writer landing mid-merge wins and the merge
+    raises TxLogConflict instead of silently dropping the winner's rows."""
+    import unittest.mock as mock
+
+    root = str(tmp_path / "mc")
+    txlog.append_table(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("v")), root
+    )
+    src = spark.createDataFrame([(1, 9)], "k long, v int")
+
+    real_overwrite = txlog.overwrite_table
+
+    def racing_overwrite(df, r, expected_version=None):
+        # a concurrent writer publishes between the merge's read and commit
+        txlog.append_table(
+            spark.createDataFrame([(100, 1)], "k long, v int"), r
+        )
+        return real_overwrite(df, r, expected_version=expected_version)
+
+    with mock.patch.object(txlog, "overwrite_table", racing_overwrite):
+        with pytest.raises(txlog.TxLogConflict):
+            txlog.merge_into(spark, root, src, ["k"])
+    # the winner's row survives; the merge's rewrite never landed
+    got = {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}
+    assert got[100] == 1 and got[1] == 1 and len(got) == 6
