@@ -18247,6 +18247,72 @@ def bpe_encode_static(spark, sf_dir):
     )
 
 
+_SQL_TXLOG_CDF = """
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ),
+    base AS (SELECT * FROM o WHERE k % 10 < 3)
+    SELECT CAST(1 AS BIGINT) AS _commit_version, 'delete' AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM base WHERE k % 10 = 1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete',
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM base WHERE k % 10 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'insert',
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(cents + 100) AS BIGINT)
+    FROM base WHERE k % 10 = 0
+"""
+
+
+@query("txlog_change_feed_agg", _SQL_TXLOG_CDF)
+def txlog_change_feed_agg(spark, sf_dir):
+    """Change data feed over the txlog table (Delta CDF's ``table_changes``
+    shape, ``txlog.read_changes``): version 1 is a row-level DELETE
+    (keys ``% 10 = 1``), version 2 a row-level UPDATE (keys ``% 10 = 0``,
+    +100 cents); the feed over (0, 2] must contain exactly the delete
+    rows, then the update's delete(preimage) + insert(postimage) pair —
+    counts AND cent sums per (version, change type) are value-checked, so
+    a diff that leaked an untouched row or lost a preimage fails the
+    hash.  Scale: the append path reads only the commit's own files; the
+    overwrite diff is two full-width exceptAll shuffles per version —
+    the documented retrofit cost, with write-time change files as the
+    production refinement."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_cdf_q_")
+    try:
+        root = tmp + "/orders_c"
+        TX.append_table(o.where(F.col("k") % 10 < 3), root)
+        TX.delete_where(spark, root, "k % 10 = 1")
+        TX.update_where(spark, root, "k % 10 = 0", {"cents": "cents + 100"})
+        out = (
+            TX.read_changes(spark, root, 0, 2)
+            .groupBy("_commit_version", "_change_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_STREAM_MULTIBATCH = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,

@@ -566,6 +566,74 @@ def merge_into(
     return version, stats
 
 
+def read_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change data feed (Delta CDF's ``table_changes`` re-expressed for the
+    log): every row-level change in versions ``(from_version, to_version]``,
+    tagged ``_change_type`` ('insert' / 'delete') and ``_commit_version``.
+    APPEND commits are read directly from their own files (no diff — the
+    appended rows ARE the change set); OVERWRITE commits (the CoW form of
+    DELETE / UPDATE / MERGE / compaction) are diffed against the previous
+    snapshot with multiset ``exceptAll`` both ways, so an UPDATE surfaces
+    as its delete(preimage) + insert(postimage) pair.  Rows identical
+    before and after (compaction, untouched rows) produce no change rows.
+
+    Scale: the append path is a plain pruned scan of the commit's files;
+    the overwrite diff is two full-width shuffles per version — honest for
+    a retrofit reader.  The production refinement (what Delta actually
+    does) is to WRITE change files at commit time from the merge/delete
+    join that already knows the touched rows; this reader is the
+    no-extra-write fallback and the semantics oracle for one."""
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    latest = entries[-1]["version"]
+    if to_version is None:
+        to_version = latest
+    if not (0 <= from_version <= to_version <= latest):
+        raise ValueError(
+            f"bad change range ({from_version}, {to_version}]; latest {latest}"
+        )
+    floor = _read_floor(root)
+    if from_version < floor:
+        raise ValueError(
+            f"version {from_version} was vacuumed (time-travel floor is {floor})"
+        )
+    from pyspark.sql import functions as F
+
+    by_version = {e["version"]: e for e in entries}
+    parts = []
+
+    def tag(df: DataFrame, ctype: str, version: int) -> DataFrame:
+        return df.select(
+            "*",
+            F.lit(ctype).alias("_change_type"),
+            F.lit(version).cast("bigint").alias("_commit_version"),
+        )
+
+    for v in range(from_version + 1, to_version + 1):
+        e = by_version[v]
+        if e["op"] == "append":
+            appended = spark.read.parquet(
+                *[os.path.join(root, f) for f in e["files"]]
+            )
+            parts.append(tag(appended, "insert", v))
+        else:
+            prev = read_table(spark, root, version=v - 1)
+            cur = read_table(spark, root, version=v)
+            parts.append(tag(cur.exceptAll(prev), "insert", v))
+            parts.append(tag(prev.exceptAll(cur), "delete", v))
+    if not parts:
+        schema = read_table(spark, root, version=from_version).schema
+        empty = spark.createDataFrame([], schema)
+        return tag(empty, "insert", from_version).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def compact_table(
     spark: SparkSession, root: str, target_files: int = 1
 ) -> int:

@@ -558,3 +558,46 @@ def test_merge_into_loses_to_concurrent_commit(spark, tmp_path):
     # the winner's row survives; the merge's rewrite never landed
     got = {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}
     assert got[100] == 1 and got[1] == 1 and len(got) == 6
+
+
+def test_read_changes_append_and_overwrite_paths(spark, tmp_path):
+    root = str(tmp_path / "cdf")
+    txlog.append_table(
+        spark.range(4).select(F.col("id").alias("k"), F.lit(1).alias("v")), root
+    )
+    txlog.append_table(
+        spark.createDataFrame([(10, 1)], "k long, v int"), root
+    )  # v1: append -> pure inserts, read from the commit's own files
+    txlog.delete_where(spark, root, "k = 0")  # v2: overwrite diff
+    txlog.update_where(spark, root, "k = 1", {"v": "v + 5"})  # v3: pre+post pair
+
+    ch = txlog.read_changes(spark, root, 0).collect()
+    got = sorted((r["_commit_version"], r["_change_type"], r["k"], r["v"]) for r in ch)
+    assert got == [
+        (1, "insert", 10, 1),
+        (2, "delete", 0, 1),
+        (3, "delete", 1, 1),
+        (3, "insert", 1, 6),
+    ]
+    # sub-range (1, 2]: only the delete
+    sub = txlog.read_changes(spark, root, 1, 2).collect()
+    assert [(r["_change_type"], r["k"]) for r in sub] == [("delete", 0)]
+    # empty range (3, 3] -> zero rows, schema intact
+    empty = txlog.read_changes(spark, root, 3, 3)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "v", "_change_type", "_commit_version"}
+    with pytest.raises(ValueError, match="bad change range"):
+        txlog.read_changes(spark, root, 2, 99)
+    # compaction produces NO change rows (identical multiset before/after)
+    txlog.compact_table(spark, root)
+    assert txlog.read_changes(spark, root, 3, 4).count() == 0
+
+
+def test_read_changes_respects_vacuum_floor(spark, tmp_path):
+    root = str(tmp_path / "cdfv")
+    for lo in (0, 5, 10):
+        txlog.append_table(_df(spark, lo, lo + 5), root)
+    txlog.checkpoint_log(root)
+    txlog.vacuum(root, retain_versions=1, retention_seconds=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        txlog.read_changes(spark, root, 0)
