@@ -19062,6 +19062,85 @@ def txlog_merge_upsert(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query("stream_txlog_merge_e2e", _SQL_TXLOG_MERGE)
+def stream_txlog_merge_e2e(spark, sf_dir):
+    """STREAMING MERGE into the ACID table format — the missing atomic half
+    of ``stream_cdc_merge_e2e`` (whose docstring says "a table format makes
+    the swap atomic"; this is that table format): the same
+    update/tombstone/insert changelog as ``txlog_merge_upsert`` arrives as
+    a file stream in three micro-batches (maxFilesPerTrigger=1), and
+    ``foreachBatch`` runs ``txlog.merge_into`` per batch — each batch is
+    one optimistic-concurrency CoW commit, per-key changes are
+    class-disjoint so batch merges commute, and a retried batch re-merges
+    idempotently (the second insert of the same key MATCHES and updates to
+    the same values).  The final snapshot equals the one-shot batch MERGE:
+    the oracle is byte-identical to ``txlog_merge_upsert``'s.  Scale: the
+    Delta streaming-merge ingestion shape — per-batch equi-join + CoW
+    rewrite under the log's transaction protocol."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+    from kafka_connect_expand_json_transform_spark.streaming.sources import (
+        file_stream_source,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_smerge_q_")
+    try:
+        root = tmp + "/orders_sm"
+        TX.append_table(o.where(F.col("o_orderkey") % 10 < 3), root)
+        cdc = o.where((F.col("o_orderkey") % 10).isin(0, 1, 5)).select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("cents") + 100).alias("cents"),
+            (F.col("o_orderkey") % 10 == 1).alias("is_delete"),
+        )
+        src_dir = tmp + "/changelog"
+        cdc.repartition(3).write.parquet(src_dir)
+        stream = file_stream_source(
+            spark,
+            src_dir,
+            cdc.schema,
+            fmt="parquet",
+            options={"maxFilesPerTrigger": "1"},
+        )
+
+        def apply_batch(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            TX.merge_into(
+                spark, root, batch_df, ["o_orderkey"], delete_when="s.is_delete"
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            TX.read_table(spark, root)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
