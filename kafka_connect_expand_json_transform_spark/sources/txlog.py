@@ -566,6 +566,25 @@ def merge_into(
     return version, stats
 
 
+def restore_table(spark: SparkSession, root: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION (Delta parity): commit the old snapshot's
+    rows as a NEW OVERWRITE version — history is never rewritten (the
+    restored-over versions stay time-travel readable until vacuum), the
+    restore itself is one more entry in the log, and a concurrent writer
+    beats it via the optimistic protocol (``TxLogConflict``).  Returns the
+    committed version.  Scale: a restore re-commits the snapshot's rows
+    (CoW); the zero-copy refinement — re-pointing the new log entry at the
+    old version's still-live files — needs only a log-entry format that
+    records file references across versions, which this one already has;
+    kept CoW here so vacuum's unreferenced-file accounting stays trivial."""
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    current = entries[-1]["version"]
+    snap = read_table(spark, root, version=version)
+    return overwrite_table(snap, root, expected_version=current)
+
+
 def read_changes(
     spark: SparkSession, root: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:

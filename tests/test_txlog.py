@@ -601,3 +601,22 @@ def test_read_changes_respects_vacuum_floor(spark, tmp_path):
     txlog.vacuum(root, retain_versions=1, retention_seconds=0)
     with pytest.raises(ValueError, match="vacuumed"):
         txlog.read_changes(spark, root, 0)
+
+
+def test_restore_table_recommits_old_snapshot(spark, tmp_path):
+    root = str(tmp_path / "rst")
+    txlog.append_table(_df(spark, 0, 5), root)  # v0
+    txlog.append_table(_df(spark, 5, 9), root)  # v1
+    txlog.delete_where(spark, root, "id < 3")  # v2
+    v = txlog.restore_table(spark, root, 0)
+    assert v == 3
+    got = sorted(r["id"] for r in txlog.read_table(spark, root).collect())
+    assert got == [0, 1, 2, 3, 4]  # v0's exact rows
+    # history preserved: the restored-over v2 still time-travels
+    assert txlog.read_table(spark, root, version=2).count() == 6
+    # the restore shows in the change feed as the snapshot diff
+    ch = txlog.read_changes(spark, root, 2, 3)
+    types = {r["_change_type"] for r in ch.collect()}
+    assert types == {"insert", "delete"}
+    with pytest.raises(ValueError):
+        txlog.restore_table(spark, root, 99)
