@@ -19062,6 +19062,78 @@ def txlog_merge_upsert(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_EPOCH_SHUFFLE = """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 4 AS shard,
+             md5('e1:' || CAST(doc_id AS VARCHAR)) AS r1,
+             md5('e2:' || CAST(doc_id AS VARCHAR)) AS r2
+      FROM documents),
+    p AS (
+      SELECT doc_id, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY r1, doc_id) AS p1,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY r2, doc_id) AS p2
+      FROM s)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id * p1) AS BIGINT) AS order_checksum_e1,
+           CAST(SUM(doc_id * p2) AS BIGINT) AS order_checksum_e2,
+           CAST(SUM(CASE WHEN p1 = p2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same_position
+    FROM p GROUP BY shard
+"""
+
+
+@query("epoch_shuffle_order", _SQL_EPOCH_SHUFFLE)
+def epoch_shuffle_order(spark, sf_dir):
+    """Deterministic EPOCH SHUFFLE — the training-loader contract that a
+    100 TB corpus is re-permuted every epoch without any RNG state: within
+    each md5 shard, epoch e's order is ORDER BY md5('e{e}:' || doc_id)
+    (ties broken by id), so every worker, restart, and engine agrees on
+    the exact sequence, and different epochs give independent
+    permutations.  Value-checked by position checksums (Σ id·pos) for two
+    epochs plus the same-position collision count — a loader that forgot
+    to re-seed between epochs shows up as p1 == p2 everywhere.  Scale:
+    rank-within-shard is a per-shard sort of (hash, id) pairs — at the
+    target scale each shard sorts independently (the repartition-by-shard
+    write), never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = lambda seed: F.md5(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")))  # noqa: E731
+    s = docs.select(
+        "doc_id",
+        (
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+                " AS BIGINT)"
+            )
+            % 4
+        ).alias("shard"),
+        h("e1").alias("r1"),
+        h("e2").alias("r2"),
+    )
+    w1 = Window.partitionBy("shard").orderBy("r1", "doc_id")
+    w2 = Window.partitionBy("shard").orderBy("r2", "doc_id")
+    p = s.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w1).alias("p1"),
+        F.row_number().over(w2).alias("p2"),
+    )
+    return p.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("doc_id") * F.col("p1")).cast("bigint").alias(
+            "order_checksum_e1"
+        ),
+        F.sum(F.col("doc_id") * F.col("p2")).cast("bigint").alias(
+            "order_checksum_e2"
+        ),
+        F.sum((F.col("p1") == F.col("p2")).cast("long"))
+        .cast("bigint")
+        .alias("n_same_position"),
+    )
+
+
 @query("stream_txlog_merge_e2e", _SQL_TXLOG_MERGE)
 def stream_txlog_merge_e2e(spark, sf_dir):
     """STREAMING MERGE into the ACID table format — the missing atomic half
