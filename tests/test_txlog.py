@@ -620,3 +620,20 @@ def test_restore_table_recommits_old_snapshot(spark, tmp_path):
     assert types == {"insert", "delete"}
     with pytest.raises(ValueError):
         txlog.restore_table(spark, root, 99)
+
+
+def test_merge_into_composite_keys(spark, tmp_path):
+    root = str(tmp_path / "mk")
+    txlog.append_table(
+        spark.createDataFrame(
+            [(1, "a", 10), (1, "b", 20), (2, "a", 30)], "k1 long, k2 string, v long"
+        ),
+        root,
+    )
+    src = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 200)], "k1 long, k2 string, v long"
+    )
+    _, stats = txlog.merge_into(spark, root, src, ["k1", "k2"])
+    assert stats == {"inserted": 1, "updated": 1, "deleted": 0}
+    got = {(r["k1"], r["k2"]): r["v"] for r in txlog.read_table(spark, root).collect()}
+    assert got == {(1, "a"): 100, (1, "b"): 20, (2, "a"): 30, (2, "b"): 200}
