@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_CHANGES_DIR = "_changes"
 
 # A zero-length claim file older than this is treated as abandoned by a
 # crashed writer and reclaimed (see _acquire_claim).  Also the minimum age
@@ -460,6 +461,7 @@ def merge_into(
     update: dict | str | None = "all",
     delete_when=None,
     insert: bool = True,
+    capture_changes: bool = True,
 ) -> tuple[int, dict]:
     """MERGE INTO (Delta-parity upsert) as one copy-on-write OVERWRITE
     version: equi-match target rows against ``source`` on the ``on`` key
@@ -534,6 +536,11 @@ def merge_into(
         for c in update:
             if c not in snap.columns:
                 raise ValueError(f"unknown column {c!r} in merge update assignments")
+            if c in on:
+                raise ValueError(
+                    f"merge update may not assign key column {c!r} (a key "
+                    "rewrite is a delete+insert, not an update)"
+                )
         assignments = {
             c: F.expr(v) if isinstance(v, str) else v for c, v in update.items()
         }
@@ -563,7 +570,37 @@ def merge_into(
             col = col.when(matched, assignments[c])
         out_cols.append(col.otherwise(F.col(f"t.{c}")).cast(dt).alias(c))
     version = overwrite_table(kept.select(*out_cols), root, expected_version=current)
+    if capture_changes:
+        # WRITE-TIME change capture (the production CDF path — touched rows
+        # only, vs read_changes' full-snapshot diff fallback).  Written
+        # AFTER the commit under the committed version's name: a crash in
+        # between loses only the change file, and read_changes falls back
+        # to the diff for that version — self-healing, never wrong.
+        tcols = [F.col(f"t.{c}").alias(c) for c in snap.columns]
+        del_pre = joined.where(matched & delc).select(*tcols)
+        if assignments:
+            upd_pre = joined.where(matched & ~delc).select(*tcols)
+            upd_post = joined.where(matched & ~delc).select(*out_cols)
+            # no-op assignments (post == pre) are NOT changes; per-group
+            # multiset except keeps capture identical to the snapshot diff
+            eff_pre = upd_pre.exceptAll(upd_post)
+            eff_post = upd_post.exceptAll(upd_pre)
+        else:
+            eff_pre = del_pre.limit(0)
+            eff_post = del_pre.limit(0)
+        ins = joined.where(s_only & F.lit(insert)).select(*out_cols)
+        changes = (
+            del_pre.withColumn("_change_type", F.lit("delete"))
+            .unionByName(eff_pre.withColumn("_change_type", F.lit("delete")))
+            .unionByName(eff_post.withColumn("_change_type", F.lit("insert")))
+            .unionByName(ins.withColumn("_change_type", F.lit("insert")))
+        )
+        changes.write.mode("overwrite").parquet(_changes_path(root, version))
     return version, stats
+
+
+def _changes_path(root: str, version: int) -> str:
+    return os.path.join(root, _CHANGES_DIR, f"{version:08d}.parquet")
 
 
 def restore_table(spark: SparkSession, root: str, version: int) -> int:
@@ -592,10 +629,11 @@ def read_changes(
     log): every row-level change in versions ``(from_version, to_version]``,
     tagged ``_change_type`` ('insert' / 'delete') and ``_commit_version``.
     APPEND commits are read directly from their own files (no diff — the
-    appended rows ARE the change set); OVERWRITE commits (the CoW form of
-    DELETE / UPDATE / MERGE / compaction) are diffed against the previous
-    snapshot with multiset ``exceptAll`` both ways, so an UPDATE surfaces
-    as its delete(preimage) + insert(postimage) pair.  Rows identical
+    appended rows ARE the change set); OVERWRITE commits prefer the
+    write-time change file ``merge_into`` captures (touched rows only) and
+    fall back to diffing against the previous snapshot with multiset
+    ``exceptAll`` both ways, so an UPDATE surfaces as its
+    delete(preimage) + insert(postimage) pair on either path.  Rows identical
     before and after (compaction, untouched rows) produce no change rows.
 
     Scale: the append path is a plain pruned scan of the commit's files;
@@ -638,6 +676,14 @@ def read_changes(
                 *[os.path.join(root, f) for f in e["files"]]
             )
             parts.append(tag(appended, "insert", v))
+        elif os.path.isdir(_changes_path(root, v)):
+            # write-time captured changes (merge_into): touched rows only
+            ch = spark.read.parquet(_changes_path(root, v))
+            parts.append(
+                ch.select(
+                    "*", F.lit(v).cast("bigint").alias("_commit_version")
+                )
+            )
         else:
             prev = read_table(spark, root, version=v - 1)
             cur = read_table(spark, root, version=v)
@@ -850,6 +896,16 @@ def vacuum(
             continue  # possibly an in-flight writer's not-yet-published commit
         shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
         deleted += 1
+    ch_dir = os.path.join(root, _CHANGES_DIR)
+    if os.path.isdir(ch_dir):
+        for n in os.listdir(ch_dir):
+            try:
+                v = int(n.split(".")[0])
+            except ValueError:
+                continue
+            if v < floor:
+                shutil.rmtree(os.path.join(ch_dir, n), ignore_errors=True)
+                deleted += 1
     marker = os.path.join(root, _FLOOR_MARKER)
     tmp = marker + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:

@@ -637,3 +637,62 @@ def test_merge_into_composite_keys(spark, tmp_path):
     assert stats == {"inserted": 1, "updated": 1, "deleted": 0}
     got = {(r["k1"], r["k2"]): r["v"] for r in txlog.read_table(spark, root).collect()}
     assert got == {(1, "a"): 100, (1, "b"): 20, (2, "a"): 30, (2, "b"): 200}
+
+
+def test_merge_capture_equals_diff_fallback(spark, tmp_path):
+    """Write-time change capture must be byte-identical to the snapshot-diff
+    fallback — including excluding no-op updates — and a missing change file
+    (crash between commit and capture) heals via the diff path."""
+    import os as _os
+    import shutil as _shutil
+
+    root = str(tmp_path / "cap")
+    txlog.append_table(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ),
+        root,
+    )
+    # update k=1 (real change), k=2 (NO-OP: same value), delete k=3, insert k=9
+    src = spark.createDataFrame(
+        [(1, 11, False), (2, 20, False), (3, None, True), (9, 90, False)],
+        "k long, v long, is_delete boolean",
+    )
+    version, _ = txlog.merge_into(spark, root, src, ["k"], delete_when="s.is_delete")
+    cpath = txlog._changes_path(root, version)
+    assert _os.path.isdir(cpath)
+
+    def feed():
+        return sorted(
+            (r["_change_type"], r["k"], r["v"])
+            for r in txlog.read_changes(spark, root, 0).collect()
+        )
+
+    captured = feed()
+    # no-op update on k=2 must NOT appear on either path
+    assert captured == [
+        ("delete", 1, 10),
+        ("delete", 3, 30),
+        ("insert", 1, 11),
+        ("insert", 9, 90),
+    ]
+    _shutil.rmtree(cpath)  # simulate the crash-before-capture window
+    assert feed() == captured  # diff fallback, identical rows
+
+    # vacuum reclaims change files below the floor
+    version2, _ = txlog.merge_into(
+        spark, root, spark.createDataFrame([(1, 12)], "k long, v long"), ["k"]
+    )
+    txlog.checkpoint_log(root)
+    txlog.vacuum(root, retain_versions=1, retention_seconds=0)
+    assert not _os.path.isdir(txlog._changes_path(root, version2 - 1))
+
+
+def test_merge_update_may_not_assign_keys(spark, tmp_path):
+    root = str(tmp_path / "keyas")
+    txlog.append_table(
+        spark.createDataFrame([(1, 10)], "k long, v long"), root
+    )
+    src = spark.createDataFrame([(1, 99)], "k long, v long")
+    with pytest.raises(ValueError, match="may not assign key column"):
+        txlog.merge_into(spark, root, src, ["k"], update={"k": "s.k + 1"})
