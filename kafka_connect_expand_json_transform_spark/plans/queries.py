@@ -19062,6 +19062,104 @@ def txlog_merge_upsert(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_STREAM_CDF = """
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ),
+    base AS (SELECT * FROM o WHERE k % 10 < 3),
+    feed AS (
+        SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+               COUNT(*) AS n, SUM(cents) AS sum_cents
+        FROM base
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'delete', COUNT(*), SUM(cents)
+        FROM base WHERE k % 10 IN (0, 1)
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'insert', COUNT(*), SUM(cents + 100)
+        FROM base WHERE k % 10 = 0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'insert', COUNT(*), SUM(cents + 100)
+        FROM (SELECT * FROM o WHERE k % 10 = 5)
+    )
+    SELECT _commit_version, _change_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
+    FROM feed GROUP BY 1, 2
+"""
+
+
+@query("stream_txlog_cdf_e2e", _SQL_STREAM_CDF)
+def stream_txlog_cdf_e2e(spark, sf_dir):
+    """STREAMING change data feed (Delta ``readChangeFeed`` parity, the
+    ``txlogcdf`` Python DataSource): version 0 (append) streams as insert
+    rows, version 1 (a MERGE with updates + tombstones + inserts) streams
+    its write-time captured change file — update preimage/postimage pairs,
+    tombstone deletes, and fresh inserts all arrive as change ROWS, which
+    is what a downstream CDC consumer (index refresh, cache invalidation,
+    replica apply) actually subscribes to.  Aggregated per (version,
+    change type) and value-checked against the arithmetic oracle.  Note
+    the two 'insert' rows for version 1 (update postimages vs fresh rows)
+    are a single group in the feed — the oracle splits them only to stay
+    readable; counts and sums are summed per group on both sides via the
+    final GROUP BY.  Scale: offsets are committed versions; each batch
+    reads only the captured change files — never a snapshot diff on the
+    stream path."""
+    import shutil
+    import tempfile
+    import time
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_cdfstream_q_")
+    name = "sg_stream_cdf"
+    try:
+        root = tmp + "/orders_cf"
+        TX.append_table(o.where(F.col("k") % 10 < 3), root)
+        src = o.where((F.col("k") % 10).isin(0, 1, 5)).select(
+            "k",
+            (F.col("cents") + 100).alias("cents"),
+            (F.col("k") % 10 == 1).alias("is_delete"),
+        )
+        TX.merge_into(spark, root, src, ["k"], delete_when="s.is_delete")
+        TX.register_cdf_stream_source(spark)
+        spark.catalog.dropTempView(name)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                spark.readStream.format("txlogcdf")
+                .option("path", root)
+                .load()
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if q.lastProgress is not None and not q.status["isDataAvailable"]:
+                    break
+                time.sleep(0.25)
+            q.stop()
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return spark.table(name).groupBy("_commit_version", "_change_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_EPOCH_SHUFFLE = """
     WITH s AS (
       SELECT doc_id,

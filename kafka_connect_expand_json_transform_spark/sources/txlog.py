@@ -1008,3 +1008,127 @@ def register_stream_source(spark: SparkSession) -> None:
             return TxLogStreamReader(self.options)
 
     spark.dataSource.register(TxLogStreamSource)
+
+
+def register_cdf_stream_source(spark: SparkSession) -> None:
+    """Register the ``txlogcdf`` Python DataSource: the STREAMING change
+    data feed (Delta's ``readChangeFeed`` shape) — each micro-batch is the
+    row-level changes of a committed version range, schema = table columns
+    + ``_change_type`` + ``_commit_version``.  APPEND versions stream
+    their own files tagged 'insert'; OVERWRITE versions stream the
+    write-time change file ``merge_into`` captures.  An overwrite with NO
+    captured changes (crashed capture, or plain overwrite/compaction)
+    raises with a pointer to the batch ``read_changes`` diff fallback —
+    silently dropping changes is never an option for a CDC consumer.
+    Offsets are committed versions, same restart contract as
+    ``txlogstream``.  Usage::
+
+        register_cdf_stream_source(spark)
+        spark.readStream.format("txlogcdf").option("path", root).load()
+    """
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    @dataclass
+    class _CdfRange(InputPartition):
+        root: str
+        start: int  # exclusive
+        end: int  # inclusive
+        col_names: tuple
+
+    class TxLogCdfReader(DataSourceStreamReader):
+        def __init__(self, options, col_names):
+            self.root = options["path"]
+            self.col_names = tuple(col_names)
+
+        def initialOffset(self) -> dict:
+            return {"version": -1}
+
+        def latestOffset(self) -> dict:
+            v = latest_version(self.root)
+            return {"version": -1 if v is None else v}
+
+        def partitions(self, start: dict, end: dict):
+            return [
+                _CdfRange(
+                    self.root,
+                    int(start["version"]),
+                    int(end["version"]),
+                    self.col_names,
+                )
+            ]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            base_cols = [
+                c
+                for c in partition.col_names
+                if c not in ("_change_type", "_commit_version")
+            ]
+            entries = _list_entries(partition.root)
+            for e in entries:
+                v = e["version"]
+                if not (partition.start < v <= partition.end):
+                    continue
+                if e["op"] == "append":
+                    for rel in e["files"]:
+                        t = pq.read_table(os.path.join(partition.root, rel))
+                        cols = [t.column(c).to_pylist() for c in base_cols]
+                        for row in zip(*cols):
+                            yield row + ("insert", v)
+                else:
+                    cpath = _changes_path(partition.root, v)
+                    if not os.path.isdir(cpath):
+                        raise ValueError(
+                            f"overwrite version {v} has no captured change "
+                            "file; stream requires write-time capture "
+                            "(merge_into) — use read_changes for the batch "
+                            "diff fallback"
+                        )
+                    t = pq.read_table(cpath)
+                    cols = [
+                        t.column(c).to_pylist() for c in base_cols + ["_change_type"]
+                    ]
+                    for row in zip(*cols):
+                        yield row + (v,)
+
+        def commit(self, end: dict) -> None:
+            pass
+
+        def stop(self) -> None:
+            pass
+
+    class TxLogCdfSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "txlogcdf"
+
+        def schema(self):
+            entries = _list_entries(self.options["path"])
+            if not entries:
+                raise FileNotFoundError(
+                    f"no txlog table at {self.options['path']}"
+                )
+            for e in reversed(entries):
+                if "schema_json" in e:
+                    base = StructType.fromJson(json.loads(e["schema_json"]))
+                    return StructType(
+                        list(base.fields)
+                        + [
+                            StructField("_change_type", StringType(), False),
+                            StructField("_commit_version", LongType(), False),
+                        ]
+                    )
+            raise ValueError("txlog table has no schema_json entries")
+
+        def streamReader(self, schema):
+            return TxLogCdfReader(self.options, [f.name for f in schema.fields])
+
+    spark.dataSource.register(TxLogCdfSource)

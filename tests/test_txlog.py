@@ -696,3 +696,81 @@ def test_merge_update_may_not_assign_keys(spark, tmp_path):
     src = spark.createDataFrame([(1, 99)], "k long, v long")
     with pytest.raises(ValueError, match="may not assign key column"):
         txlog.merge_into(spark, root, src, ["k"], update={"k": "s.k + 1"})
+
+
+def test_cdf_stream_source_streams_captured_changes(spark, tmp_path):
+    """txlogcdf streams append versions as inserts and merge versions from
+    their captured change files; an uncaptured overwrite fails loudly."""
+    import time
+
+    root = str(tmp_path / "cdfs")
+    txlog.append_table(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), root
+    )
+    txlog.merge_into(
+        spark,
+        root,
+        spark.createDataFrame([(1, 11, False), (2, None, True), (9, 90, False)],
+                              "k long, v long, is_delete boolean"),
+        ["k"],
+        delete_when="s.is_delete",
+    )
+    txlog.register_cdf_stream_source(spark)
+
+    def drain(q):
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.lastProgress is not None and not q.status["isDataAvailable"]:
+                break
+            time.sleep(0.25)
+        q.stop()
+        q.awaitTermination()
+
+    q = (
+        spark.readStream.format("txlogcdf")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("sg_cdf_test")
+        .outputMode("append")
+        .start()
+    )
+    drain(q)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in spark.table("sg_cdf_test").collect()
+    )
+    assert got == [
+        (0, "insert", 1, 10),
+        (0, "insert", 2, 20),
+        (1, "delete", 1, 10),
+        (1, "delete", 2, 20),
+        (1, "insert", 1, 11),
+        (1, "insert", 9, 90),
+    ]
+    # matches the batch feed exactly over the shared range (0, latest]
+    batch = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in txlog.read_changes(spark, root, 0).collect()
+    )
+    assert [g for g in got if g[0] >= 1] == batch
+
+    # an overwrite WITHOUT captured changes must fail the stream, not drop rows
+    txlog.compact_table(spark, root)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q2 = (
+        spark.readStream.format("txlogcdf")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("sg_cdf_test2")
+        .outputMode("append")
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="no captured change"):
+        try:
+            drain(q2)
+        except Exception:
+            raise
+        q2.awaitTermination()
