@@ -163,15 +163,24 @@ def _acquire_claim(final: str) -> int:
         return os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
 
 
-def _commit(root: str, op: str, df: DataFrame, expected_version: int | None = None) -> int:
-    """Write df's data files, then atomically publish the next log entry."""
+def _commit(
+    root: str,
+    op: str,
+    df: DataFrame,
+    expected_version: int | None = None,
+    extra_files: list[str] | None = None,
+) -> int:
+    """Write df's data files, then atomically publish the next log entry.
+    ``extra_files`` carries already-committed (immutable) data dirs into
+    the new version's file set unrewritten — the partial-CoW path
+    file-pruned MERGE uses; the df schema must then match the table's."""
     entries = _list_entries(root)
     current = entries[-1]["version"] if entries else -1
     if expected_version is not None and current != expected_version:
         raise TxLogConflict(
             f"expected to commit after version {expected_version}, table is at {current}"
         )
-    if op == "append" and entries:
+    if (op == "append" or extra_files) and entries:
         _, schema = _replay(entries, None)
         if schema is not None and df.schema.simpleString() != schema:
             raise TxLogSchemaMismatch(
@@ -185,7 +194,7 @@ def _commit(root: str, op: str, df: DataFrame, expected_version: int | None = No
     entry = {
         "version": version,
         "op": op,
-        "files": [rel],
+        "files": list(extra_files or []) + [rel],
         "schema": df.schema.simpleString(),
         "schema_json": df.schema.json(),
         # footer min/max per part file -> read_table_pruned's data skipping
@@ -360,9 +369,15 @@ def append_table(df: DataFrame, root: str, expected_version: int | None = None) 
     return _commit(root, "append", df, expected_version)
 
 
-def overwrite_table(df: DataFrame, root: str, expected_version: int | None = None) -> int:
-    """Commit df as a new OVERWRITE version (may change schema)."""
-    return _commit(root, "overwrite", df, expected_version)
+def overwrite_table(
+    df: DataFrame,
+    root: str,
+    expected_version: int | None = None,
+    extra_files: list[str] | None = None,
+) -> int:
+    """Commit df as a new OVERWRITE version (may change schema, unless
+    ``extra_files`` carries prior data dirs along — then it must not)."""
+    return _commit(root, "overwrite", df, expected_version, extra_files)
 
 
 def read_table(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
@@ -462,6 +477,7 @@ def merge_into(
     delete_when=None,
     insert: bool = True,
     capture_changes: bool = True,
+    prune_files: bool = True,
 ) -> tuple[int, dict]:
     """MERGE INTO (Delta-parity upsert) as one copy-on-write OVERWRITE
     version: equi-match target rows against ``source`` on the ``on`` key
@@ -503,6 +519,51 @@ def merge_into(
             raise ValueError(f"merge key {k!r} missing from target or source")
     if source.groupBy(*on).count().where(F.col("count") > 1).limit(1).count():
         raise ValueError("source has duplicate merge keys; matched rows ambiguous")
+
+    # FILE PRUNING (partial CoW — the Delta MERGE refinement): data dirs
+    # whose footer stats PROVE they hold no key in the source's key range
+    # are carried into the new version unrewritten; only overlapping dirs
+    # go through the join.  Sound because a pruned dir can contain no
+    # matched row (its rows are exactly the "target-only -> kept" clause)
+    # and clause stats over the touched subset equal the global stats.
+    # Gated to integer first-keys: parquet string min/max may be truncated.
+    reused_dirs: list[str] = []
+    if prune_files:
+        k0 = on[0]
+        mm = source.agg(
+            F.min(F.col(k0)).alias("lo"), F.max(F.col(k0)).alias("hi")
+        ).first()
+        if (
+            mm["lo"] is not None
+            and isinstance(mm["lo"], int)
+            and isinstance(mm["hi"], int)
+            and not isinstance(mm["lo"], bool)
+        ):
+            import glob as _glob
+
+            all_stats: dict = {}
+            for e in entries:
+                all_stats.update(e.get("stats") or {})
+            where = [(k0, ">=", mm["lo"]), (k0, "<=", mm["hi"])]
+            cur_files, _ = _replay(entries, None)
+            touched_dirs: list[str] = []
+            for d in cur_files:
+                parts = sorted(_glob.glob(os.path.join(root, d, "*.parquet")))
+                touched = not parts  # unreadable/empty dir: never prune
+                for pth in parts:
+                    st = all_stats.get(os.path.relpath(pth, root))
+                    if st is None and _part_is_empty(pth):
+                        continue  # zero rows: provably unmatched
+                    if _part_survives(st, where):
+                        touched = True
+                        break
+                (touched_dirs if touched else reused_dirs).append(d)
+            if reused_dirs and touched_dirs:
+                snap = spark.read.parquet(
+                    *[os.path.join(root, d) for d in touched_dirs]
+                )
+            elif reused_dirs:
+                snap = snap.limit(0)  # nothing overlaps: merge is insert-only
 
     t = snap.withColumn("_in_t", F.lit(True)).alias("t")
     s = source.withColumn("_in_s", F.lit(True)).alias("s")
@@ -569,7 +630,12 @@ def merge_into(
         if c in assignments:
             col = col.when(matched, assignments[c])
         out_cols.append(col.otherwise(F.col(f"t.{c}")).cast(dt).alias(c))
-    version = overwrite_table(kept.select(*out_cols), root, expected_version=current)
+    version = overwrite_table(
+        kept.select(*out_cols),
+        root,
+        expected_version=current,
+        extra_files=reused_dirs or None,
+    )
     if capture_changes:
         # WRITE-TIME change capture (the production CDF path — touched rows
         # only, vs read_changes' full-snapshot diff fallback).  Written
@@ -601,6 +667,18 @@ def merge_into(
 
 def _changes_path(root: str, version: int) -> str:
     return os.path.join(root, _CHANGES_DIR, f"{version:08d}.parquet")
+
+
+def _part_is_empty(path: str) -> bool:
+    """True only when the parquet FOOTER proves the part holds zero rows
+    (stats sidecars skip empty parts, so they look 'unknown' to the
+    pruner).  Any read problem returns False — never prune on doubt."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows == 0
+    except Exception:
+        return False
 
 
 def restore_table(spark: SparkSession, root: str, version: int) -> int:

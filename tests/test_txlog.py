@@ -545,12 +545,12 @@ def test_merge_into_loses_to_concurrent_commit(spark, tmp_path):
 
     real_overwrite = txlog.overwrite_table
 
-    def racing_overwrite(df, r, expected_version=None):
+    def racing_overwrite(df, r, expected_version=None, **kw):
         # a concurrent writer publishes between the merge's read and commit
         txlog.append_table(
             spark.createDataFrame([(100, 1)], "k long, v int"), r
         )
-        return real_overwrite(df, r, expected_version=expected_version)
+        return real_overwrite(df, r, expected_version=expected_version, **kw)
 
     with mock.patch.object(txlog, "overwrite_table", racing_overwrite):
         with pytest.raises(txlog.TxLogConflict):
@@ -774,3 +774,67 @@ def test_cdf_stream_source_streams_captured_changes(spark, tmp_path):
         except Exception:
             raise
         q2.awaitTermination()
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """File-pruned MERGE: data dirs provably outside the source key range
+    are carried into the new version UNREWRITTEN (same rel path in the new
+    entry), results identical to the full rewrite."""
+    root = str(tmp_path / "mp")
+    # three key-range commits (like a partitioned ingest)
+    for lo in (0, 100, 200):
+        txlog.append_table(
+            spark.range(lo, lo + 50).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            root,
+        )
+    pre_files = set(txlog._list_entries(root)[-1]["files"])
+    all_files = [f for e in txlog._list_entries(root) for f in e["files"]]
+    # source touches ONLY the middle range
+    src = spark.createDataFrame([(110, 1), (120, 2), (130, None)],
+                                "k long, v long")
+    version, stats = txlog.merge_into(spark, root, src, ["k"])
+    assert stats == {"inserted": 0, "updated": 3, "deleted": 0}
+    entry = txlog._list_entries(root)[-1]
+    assert entry["version"] == version and entry["op"] == "overwrite"
+    reused = [f for f in entry["files"] if f in all_files]
+    assert len(reused) == 2, entry["files"]  # ranges 0-49 and 200-249 carried
+    # snapshot correct: updated rows changed, pruned rows untouched
+    got = {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}
+    assert got[110] == 1 and got[120] == 2 and got[130] is None
+    assert got[0] == 0 and got[249] == 2490 and len(got) == 150
+    # identical to the unpruned rewrite
+    root2 = str(tmp_path / "mp2")
+    for lo in (0, 100, 200):
+        txlog.append_table(
+            spark.range(lo, lo + 50).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            root2,
+        )
+    txlog.merge_into(spark, root2, src, ["k"], prune_files=False)
+    got2 = {r["k"]: r["v"] for r in txlog.read_table(spark, root2).collect()}
+    assert got == got2
+    # change feed identical on both paths too
+    ch = sorted((r["_change_type"], r["k"]) for r in
+                txlog.read_changes(spark, root, version - 1, version).collect())
+    ch2 = sorted((r["_change_type"], r["k"]) for r in
+                 txlog.read_changes(spark, root2, version - 1, version).collect())
+    assert ch == ch2
+
+
+def test_merge_prune_insert_only_when_nothing_overlaps(spark, tmp_path):
+    root = str(tmp_path / "mpi")
+    txlog.append_table(
+        spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v")), root
+    )
+    src = spark.createDataFrame([(1000, 5)], "k long, v int")
+    _, stats = txlog.merge_into(spark, root, src, ["k"])
+    assert stats == {"inserted": 1, "updated": 0, "deleted": 0}
+    got = {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}
+    assert got[1000] == 5 and len(got) == 11
+    # the original dir was carried over, not rewritten
+    entry = txlog._list_entries(root)[-1]
+    first = txlog._list_entries(root)[0]["files"][0]
+    assert first in entry["files"]
