@@ -408,7 +408,9 @@ def history(root: str) -> list[dict]:
     ]
 
 
-def delete_where(spark: SparkSession, root: str, predicate) -> tuple[int, int]:
+def delete_where(
+    spark: SparkSession, root: str, predicate, prune_hint: list[tuple] | None = None
+) -> tuple[int, int]:
     """Row-level DELETE as a copy-on-write OVERWRITE version (the Delta/
     Iceberg CoW answer): rows matching ``predicate`` (a Column or SQL
     string) are dropped by rewriting the survivors under the log's
@@ -416,7 +418,17 @@ def delete_where(spark: SparkSession, root: str, predicate) -> tuple[int, int]:
     delete raises ``TxLogConflict`` rather than resurrecting rows.
     Returns ``(version, n_deleted)``.  Deleted rows remain visible to
     time travel until vacuum passes the pre-delete versions — true
-    erasure is delete + vacuum, as the erasure test documents."""
+    erasure is delete + vacuum, as the erasure test documents.
+
+    ``prune_hint`` turns the rewrite into PARTIAL CoW: skip-tuples
+    ``[(col, op, lit), ...]`` that every predicate-matching row provably
+    satisfies (i.e. the predicate IMPLIES them — e.g. predicate
+    ``k >= 100 AND k < 200 AND status = 'X'`` admits hint
+    ``[("k", ">=", 100), ("k", "<", 200)]``).  Data dirs whose footer
+    stats refute the hint contain no matching rows and carry into the new
+    version unrewritten.  A hint the predicate does NOT imply silently
+    resurrects rows — the contract is the caller's to honor, so pass one
+    only when it is mechanically derived from the predicate."""
     from pyspark.sql import functions as F
 
     entries = _list_entries(root)
@@ -425,20 +437,37 @@ def delete_where(spark: SparkSession, root: str, predicate) -> tuple[int, int]:
     current = entries[-1]["version"]
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     snap = read_table(spark, root)
+    reused_dirs: list[str] = []
+    if prune_hint:
+        touched_dirs, reused_dirs = _prune_dirs(root, entries, prune_hint)
+        if reused_dirs and touched_dirs:
+            snap = spark.read.parquet(
+                *[os.path.join(root, d) for d in touched_dirs]
+            )
+        elif reused_dirs:
+            snap = snap.limit(0)  # nothing can match: no-op rewrite
     survivors = snap.where(~cond | cond.isNull())  # NULL predicate = keep
     n_deleted = snap.where(cond).count()
-    version = overwrite_table(survivors, root, expected_version=current)
+    version = overwrite_table(
+        survivors, root, expected_version=current,
+        extra_files=reused_dirs or None,
+    )
     return version, n_deleted
 
 
 def update_where(
-    spark: SparkSession, root: str, predicate, assignments: dict
+    spark: SparkSession,
+    root: str,
+    predicate,
+    assignments: dict,
+    prune_hint: list[tuple] | None = None,
 ) -> tuple[int, int]:
     """Row-level UPDATE as a copy-on-write OVERWRITE version:
     ``assignments`` maps column name -> Column/SQL-string expression,
     applied only where ``predicate`` holds (three-valued logic: NULL
     predicate rows are untouched).  Same concurrency story as
-    ``delete_where``.  Returns ``(version, n_updated)``."""
+    ``delete_where``; same partial-CoW ``prune_hint`` contract (the
+    predicate must imply the hint)."""
     from pyspark.sql import functions as F
 
     entries = _list_entries(root)
@@ -447,6 +476,15 @@ def update_where(
     current = entries[-1]["version"]
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     snap = read_table(spark, root)
+    reused_dirs: list[str] = []
+    if prune_hint:
+        touched_dirs, reused_dirs = _prune_dirs(root, entries, prune_hint)
+        if reused_dirs and touched_dirs:
+            snap = spark.read.parquet(
+                *[os.path.join(root, d) for d in touched_dirs]
+            )
+        elif reused_dirs:
+            snap = snap.limit(0)  # nothing can match: no-op rewrite
     for col in assignments:
         if col not in snap.columns:
             raise ValueError(f"unknown column {col!r} in update assignments")
@@ -463,7 +501,10 @@ def update_where(
             for c in snap.columns
         ]
     )
-    version = overwrite_table(updated, root, expected_version=current)
+    version = overwrite_table(
+        updated, root, expected_version=current,
+        extra_files=reused_dirs or None,
+    )
     return version, n_updated
 
 
@@ -539,25 +580,8 @@ def merge_into(
             and isinstance(mm["hi"], int)
             and not isinstance(mm["lo"], bool)
         ):
-            import glob as _glob
-
-            all_stats: dict = {}
-            for e in entries:
-                all_stats.update(e.get("stats") or {})
             where = [(k0, ">=", mm["lo"]), (k0, "<=", mm["hi"])]
-            cur_files, _ = _replay(entries, None)
-            touched_dirs: list[str] = []
-            for d in cur_files:
-                parts = sorted(_glob.glob(os.path.join(root, d, "*.parquet")))
-                touched = not parts  # unreadable/empty dir: never prune
-                for pth in parts:
-                    st = all_stats.get(os.path.relpath(pth, root))
-                    if st is None and _part_is_empty(pth):
-                        continue  # zero rows: provably unmatched
-                    if _part_survives(st, where):
-                        touched = True
-                        break
-                (touched_dirs if touched else reused_dirs).append(d)
+            touched_dirs, reused_dirs = _prune_dirs(root, entries, where)
             if reused_dirs and touched_dirs:
                 snap = spark.read.parquet(
                     *[os.path.join(root, d) for d in touched_dirs]
@@ -667,6 +691,35 @@ def merge_into(
 
 def _changes_path(root: str, version: int) -> str:
     return os.path.join(root, _CHANGES_DIR, f"{version:08d}.parquet")
+
+
+def _prune_dirs(
+    root: str, entries: list[dict], where: list[tuple]
+) -> tuple[list[str], list[str]]:
+    """Split the current snapshot's data dirs into (touched, reused) for a
+    partial-CoW rewrite: a dir lands in ``reused`` only when every part
+    file's footer stats PROVE no row can satisfy ``where`` (zero-row parts
+    count as proven).  Unknown stats -> touched; never prune on doubt."""
+    import glob as _glob
+
+    all_stats: dict = {}
+    for e in entries:
+        all_stats.update(e.get("stats") or {})
+    cur_files, _ = _replay(entries, None)
+    touched_dirs: list[str] = []
+    reused_dirs: list[str] = []
+    for d in cur_files:
+        parts = sorted(_glob.glob(os.path.join(root, d, "*.parquet")))
+        touched = not parts  # unreadable/empty dir: never prune
+        for pth in parts:
+            st = all_stats.get(os.path.relpath(pth, root))
+            if st is None and _part_is_empty(pth):
+                continue  # zero rows: provably unmatched
+            if _part_survives(st, where):
+                touched = True
+                break
+        (touched_dirs if touched else reused_dirs).append(d)
+    return touched_dirs, reused_dirs
 
 
 def _part_is_empty(path: str) -> bool:

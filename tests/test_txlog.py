@@ -838,3 +838,43 @@ def test_merge_prune_insert_only_when_nothing_overlaps(spark, tmp_path):
     entry = txlog._list_entries(root)[-1]
     first = txlog._list_entries(root)[0]["files"][0]
     assert first in entry["files"]
+
+
+def test_delete_and_update_prune_hints(spark, tmp_path):
+    root = str(tmp_path / "dh")
+    for lo in (0, 100, 200):
+        txlog.append_table(
+            spark.range(lo, lo + 50).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            root,
+        )
+    all_dirs = [f for e in txlog._list_entries(root) for f in e["files"]]
+    v, n = txlog.delete_where(
+        spark, root, "k >= 100 AND k < 110",
+        prune_hint=[("k", ">=", 100), ("k", "<", 110)],
+    )
+    assert n == 10
+    entry = txlog._list_entries(root)[-1]
+    assert sum(1 for f in entry["files"] if f in all_dirs) == 2  # two reused
+    assert txlog.read_table(spark, root).count() == 140
+
+    v2, n2 = txlog.update_where(
+        spark, root, "k >= 200", {"v": "v + 1"}, prune_hint=[("k", ">=", 200)]
+    )
+    assert n2 == 50
+    got = {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}
+    assert got[200] == 2001 and got[0] == 0 and len(got) == 140
+    # identical to unpruned semantics
+    root2 = str(tmp_path / "dh2")
+    for lo in (0, 100, 200):
+        txlog.append_table(
+            spark.range(lo, lo + 50).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            root2,
+        )
+    txlog.delete_where(spark, root2, "k >= 100 AND k < 110")
+    txlog.update_where(spark, root2, "k >= 200", {"v": "v + 1"})
+    got2 = {r["k"]: r["v"] for r in txlog.read_table(spark, root2).collect()}
+    assert got == got2
