@@ -245,6 +245,35 @@ def compact_parquet(
     return n
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 4):
+    """The Morton-curve sort key ``write_zorder_parquet`` clusters by, as a
+    reusable Column (txlog's OPTIMIZE ZORDER path shares it): per column,
+    approxQuantile rank buckets (skew-proof), bucketed via a static sum of
+    ``2^bits`` codegen comparisons, bits interleaved into one long."""
+    if not cols or len(cols) < 2:
+        raise ValueError("z-order needs >= 2 columns (use write_sorted_parquet for 1)")
+    nb = 1 << bits
+    probs = [i / nb for i in range(1, nb)]
+    bounds_per_col = df.stat.approxQuantile(cols, probs, 0.001)
+
+    buckets = []
+    for c, bounds in zip(cols, bounds_per_col):
+        uniq = sorted(set(bounds))
+        b = None
+        for x in uniq:
+            ind = F.when(F.col(c) > F.lit(x), 1).otherwise(0)
+            b = ind if b is None else b + ind
+        buckets.append((b if b is not None else F.lit(0)).cast("long"))
+
+    ncols = len(cols)
+    z = F.lit(0).cast("long")
+    for i, b in enumerate(buckets):
+        for j in range(bits):
+            bit = F.shiftright(b, j).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, j * ncols + (ncols - 1 - i))
+    return z
+
+
 def write_zorder_parquet(
     df: DataFrame,
     path: str,
@@ -272,29 +301,7 @@ def write_zorder_parquet(
     Numeric columns only (ranks need an ordering approxQuantile supports);
     NULLs land in bucket 0.
     """
-    if not cols or len(cols) < 2:
-        raise ValueError("z-order needs >= 2 columns (use write_sorted_parquet for 1)")
-    nb = 1 << bits
-    probs = [i / nb for i in range(1, nb)]
-    bounds_per_col = df.stat.approxQuantile(cols, probs, 0.001)
-
-    buckets = []
-    for c, bounds in zip(cols, bounds_per_col):
-        uniq = sorted(set(bounds))
-        b = None
-        for x in uniq:
-            ind = F.when(F.col(c) > F.lit(x), 1).otherwise(0)
-            b = ind if b is None else b + ind
-        buckets.append((b if b is not None else F.lit(0)).cast("long"))
-
-    ncols = len(cols)
-    z = F.lit(0).cast("long")
-    for i, b in enumerate(buckets):
-        for j in range(bits):
-            bit = F.shiftright(b, j).bitwiseAND(F.lit(1))
-            z = z + F.shiftleft(bit, j * ncols + (ncols - 1 - i))
-
-    zdf = df.withColumn("__z", z)
+    zdf = df.withColumn("__z", zorder_key(df, cols, bits))
     part = (
         zdf.repartitionByRange(n_files, "__z")
         if n_files

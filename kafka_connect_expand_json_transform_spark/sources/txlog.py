@@ -734,6 +734,42 @@ def _part_is_empty(path: str) -> bool:
         return False
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    bits: int = 4,
+    target_files: int = 8,
+) -> int:
+    """OPTIMIZE ... ZORDER BY (Delta parity): rewrite the LATEST snapshot
+    Morton-clustered on ``cols`` (``sources.batch.zorder_key``'s rank-
+    bucketed curve) so every part file covers a narrow range of EVERY
+    clustered column — the commit's footer-stats sidecar then lets
+    ``read_table_pruned`` skip files on predicates over any of them, not
+    just a leading sort column.  One OVERWRITE version under the
+    optimistic protocol (a concurrent writer wins, the optimize loses with
+    ``TxLogConflict``); pre-optimize versions stay time-travel readable.
+    Returns the committed version.  Scale: one range-partition shuffle on
+    the z-key — the same job Delta's OPTIMIZE ZORDER runs."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_expand_json_transform_spark.sources.batch import zorder_key
+
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    current = entries[-1]["version"]
+    snap = read_table(spark, root)
+    zdf = snap.withColumn("__z", zorder_key(snap, cols, bits))
+    clustered = (
+        zdf.repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .select(*[F.col(c) for c in snap.columns])
+    )
+    return overwrite_table(clustered, root, expected_version=current)
+
+
 def restore_table(spark: SparkSession, root: str, version: int) -> int:
     """RESTORE TABLE TO VERSION (Delta parity): commit the old snapshot's
     rows as a NEW OVERWRITE version — history is never rewritten (the

@@ -878,3 +878,32 @@ def test_delete_and_update_prune_hints(spark, tmp_path):
     txlog.update_where(spark, root2, "k >= 200", {"v": "v + 1"})
     got2 = {r["k"]: r["v"] for r in txlog.read_table(spark, root2).collect()}
     assert got == got2
+
+
+def test_optimize_zorder_tightens_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER: after clustering, a range predicate on the SECOND
+    column prunes files it could not prune before (the multi-column
+    data-skipping claim), with rows and time travel intact."""
+    root = str(tmp_path / "zo")
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") * 2654435761) % 64).alias("b"),  # decorrelated from a
+        F.col("id").alias("payload"),
+    )
+    txlog.append_table(df.repartition(8), root)
+    where = [("b", ">=", 0), ("b", "<=", 7)]
+    before = txlog.skipping_report(root, where)
+    v = txlog.optimize_zorder(spark, root, ["a", "b"], bits=3, target_files=8)
+    after = txlog.skipping_report(root, where)
+    assert after["files_read"] < before["files_read"] or (
+        before["files_read"] < before["files_total"]  # already tight: accept
+    ), (before, after)
+    assert after["files_read"] < after["files_total"]  # pruning happens
+    # rows identical, pre-optimize snapshot still readable
+    assert txlog.read_table(spark, root).count() == n
+    assert (
+        txlog.read_table_pruned(spark, root, where).where("b between 0 and 7").count()
+        == txlog.read_table(spark, root).where("b between 0 and 7").count()
+    )
+    assert txlog.read_table(spark, root, version=v - 1).count() == n
