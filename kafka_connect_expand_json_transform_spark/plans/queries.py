@@ -19160,6 +19160,59 @@ def stream_txlog_cdf_e2e(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_TXLOG_ZORDER = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events
+    WHERE user_id >= 100 AND user_id < 200
+      AND CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) < 20000
+    GROUP BY event_type
+"""
+
+
+@query("txlog_zorder_skipping_agg", _SQL_TXLOG_ZORDER)
+def txlog_zorder_skipping_agg(spark, sf_dir):
+    """OPTIMIZE ZORDER end-to-end on the txlog table: events committed
+    unclustered, rewritten Morton-clustered on (user_id, cents) via
+    ``txlog.optimize_zorder``, then a two-column range predicate read
+    through ``read_table_pruned`` — files whose post-optimize footer
+    stats refute EITHER column are skipped (the multi-column skipping
+    claim; pytest asserts the pruning count improves), and the residual
+    filter makes the result bit-identical to the raw-table oracle.  The
+    lakehouse clustering answer at 100 TB: one range-partition shuffle on
+    the z-key buys file-level pruning on every clustered column."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_zorder_q_")
+    try:
+        root = tmp + "/events_z"
+        TX.append_table(ev.repartition(8), root)
+        TX.optimize_zorder(spark, root, ["user_id", "cents"], bits=3)
+        pruned = TX.read_table_pruned(
+            spark,
+            root,
+            [("user_id", ">=", 100), ("user_id", "<", 200), ("cents", "<", 20000)],
+        )
+        out = pruned.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_EPOCH_SHUFFLE = """
     WITH s AS (
       SELECT doc_id,
