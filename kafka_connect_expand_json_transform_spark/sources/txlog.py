@@ -31,7 +31,9 @@ ACID story (single filesystem):
   silently succeeds on POSIX, so the loser is detected with an exclusive
   ``O_CREAT | O_EXCL`` claim file instead.
 * **Schema enforcement** — appends must match the table's schema DDL
-  exactly; ``overwrite`` may change it.
+  exactly (or WIDEN it with ``allow_add_columns``: new columns appended,
+  existing ones unchanged; reads pin the log's latest schema so old files
+  null-fill); ``overwrite`` may change it freely.
 * **Time travel** — ``read_table(spark, root, version=k)`` replays only
   entries ``<= k``; old data files are immutable so every historical
   snapshot stays readable until a (not-implemented) vacuum.
@@ -169,6 +171,7 @@ def _commit(
     df: DataFrame,
     expected_version: int | None = None,
     extra_files: list[str] | None = None,
+    allow_add_columns: bool = False,
 ) -> int:
     """Write df's data files, then atomically publish the next log entry.
     ``extra_files`` carries already-committed (immutable) data dirs into
@@ -183,9 +186,14 @@ def _commit(
     if (op == "append" or extra_files) and entries:
         _, schema = _replay(entries, None)
         if schema is not None and df.schema.simpleString() != schema:
-            raise TxLogSchemaMismatch(
-                f"append schema {df.schema.simpleString()} != table schema {schema}"
-            )
+            if not (
+                op == "append"
+                and allow_add_columns
+                and _is_widening(schema, df.schema.simpleString())
+            ):
+                raise TxLogSchemaMismatch(
+                    f"append schema {df.schema.simpleString()} != table schema {schema}"
+                )
     os.makedirs(_log_path(root), exist_ok=True)
     rel = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
     df.write.mode("overwrite").parquet(os.path.join(root, rel))
@@ -216,6 +224,30 @@ def _commit(
     os.close(fd)
     os.replace(tmp, final)  # atomic publish of the full content
     return version
+
+
+def _is_widening(old_simple: str, new_simple: str) -> bool:
+    """True when ``new`` = ``old`` + appended columns (names+types of the
+    existing prefix unchanged) — the only append-time evolution allowed."""
+    def fields(simple: str) -> list[str]:
+        inner = simple[len("struct<"):-1] if simple.startswith("struct<") else simple
+        out, depth, cur = [], 0, ""
+        for ch in inner:
+            if ch == "," and depth == 0:
+                out.append(cur)
+                cur = ""
+                continue
+            if ch in "<([":
+                depth += 1
+            elif ch in ">)]":
+                depth -= 1
+            cur += ch
+        if cur:
+            out.append(cur)
+        return out
+
+    of, nf = fields(old_simple), fields(new_simple)
+    return len(nf) > len(of) and nf[: len(of)] == of
 
 
 def _collect_part_stats(root: str, rel_dir: str) -> dict:
@@ -364,9 +396,22 @@ def skipping_report(root: str, where: list[tuple], version: int | None = None) -
     return {"files_total": total, "files_read": len(survivors)}
 
 
-def append_table(df: DataFrame, root: str, expected_version: int | None = None) -> int:
-    """Commit df as a new APPEND version; returns the committed version."""
-    return _commit(root, "append", df, expected_version)
+def append_table(
+    df: DataFrame,
+    root: str,
+    expected_version: int | None = None,
+    allow_add_columns: bool = False,
+) -> int:
+    """Commit df as a new APPEND version; returns the committed version.
+    With ``allow_add_columns`` the append may WIDEN the schema (new
+    columns appended; existing columns must keep name+type) — the
+    mergeSchema-style evolution Delta allows on append.  Reads pin the
+    LOG's latest schema, so pre-evolution files null-fill the new columns
+    (the parquet reader's missing-column semantics), and time travel to an
+    old version still serves the old schema."""
+    return _commit(
+        root, "append", df, expected_version, allow_add_columns=allow_add_columns
+    )
 
 
 def overwrite_table(
@@ -397,7 +442,21 @@ def read_table(spark: SparkSession, root: str, version: int | None = None) -> Da
             f"version {target} was vacuumed (time-travel floor is {floor})"
         )
     files, _ = _replay(entries, version)
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    target_entries = [
+        e for e in entries if version is None or e["version"] <= version
+    ]
+    schema_json = next(
+        (e["schema_json"] for e in reversed(target_entries) if "schema_json" in e),
+        None,
+    )
+    reader = spark.read
+    if schema_json is not None:
+        # the LOG owns the schema (Delta's rule): pre-evolution files
+        # null-fill appended columns; footer inference is never consulted
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    return reader.parquet(*[os.path.join(root, f) for f in files])
 
 
 def history(root: str) -> list[dict]:

@@ -907,3 +907,34 @@ def test_optimize_zorder_tightens_skipping(spark, tmp_path):
         == txlog.read_table(spark, root).where("b between 0 and 7").count()
     )
     assert txlog.read_table(spark, root, version=v - 1).count() == n
+
+
+def test_append_schema_evolution_widening(spark, tmp_path):
+    """allow_add_columns: appends may WIDEN the schema; reads pin the LOG's
+    latest schema so pre-evolution files null-fill the new column, and time
+    travel to a pre-evolution version serves the old schema."""
+    root = str(tmp_path / "se")
+    txlog.append_table(
+        spark.createDataFrame([(1, 10)], "k long, v long"), root
+    )
+    wide = spark.createDataFrame([(2, 20, "x")], "k long, v long, tag string")
+    with pytest.raises(txlog.TxLogSchemaMismatch):
+        txlog.append_table(wide, root)  # widening needs the explicit flag
+    v = txlog.append_table(wide, root, allow_add_columns=True)
+    assert v == 1
+    got = {r["k"]: (r["v"], r["tag"]) for r in txlog.read_table(spark, root).collect()}
+    assert got == {1: (10, None), 2: (20, "x")}  # old rows null-fill
+    # time travel: version 0 still has the ORIGINAL two-column schema
+    assert txlog.read_table(spark, root, version=0).columns == ["k", "v"]
+    # reordered or retyped columns are NOT widening
+    with pytest.raises(txlog.TxLogSchemaMismatch):
+        txlog.append_table(
+            spark.createDataFrame([(3, "y", 30)], "k long, tag string, v long"),
+            root,
+            allow_add_columns=True,
+        )
+    # further appends must match the WIDENED schema
+    txlog.append_table(
+        spark.createDataFrame([(4, 40, None)], "k long, v long, tag string"), root
+    )
+    assert txlog.read_table(spark, root).count() == 3
