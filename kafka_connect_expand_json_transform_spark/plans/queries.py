@@ -19160,6 +19160,66 @@ def stream_txlog_cdf_e2e(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_TXLOG_EVOLVE = """
+    WITH o AS (
+        SELECT o_orderkey AS k, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN k % 4 = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS sum_new_col_cents,
+           CAST(SUM(CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nullfilled
+    FROM o WHERE k % 4 < 2 GROUP BY o_orderstatus
+"""
+
+
+@query("txlog_schema_evolution_agg", _SQL_TXLOG_EVOLVE)
+def txlog_schema_evolution_agg(spark, sf_dir):
+    """Append-time SCHEMA EVOLUTION on the txlog table: version 0 carries
+    (k, status), version 1 appends with an EXTRA cents column under
+    ``allow_add_columns`` — the read pins the log's widened schema, so
+    version-0 rows null-fill cents (counted) while version-1 rows carry
+    real values (summed); both facets are value-checked against the raw
+    table.  The Delta append-evolution contract: schema is log-owned,
+    old files are never rewritten."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_evolve_q_")
+    try:
+        root = tmp + "/orders_e"
+        TX.append_table(o.where(F.col("k") % 4 == 0).drop("cents"), root)
+        TX.append_table(
+            o.where(F.col("k") % 4 == 1), root, allow_add_columns=True
+        )
+        snap = TX.read_table(spark, root)
+        out = snap.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_new_col_cents"),
+            F.sum(F.col("cents").isNull().cast("long"))
+            .cast("bigint")
+            .alias("n_nullfilled"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_TXLOG_ZORDER = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
