@@ -793,6 +793,26 @@ def _part_is_empty(path: str) -> bool:
         return False
 
 
+def with_retries(fn, max_retries: int = 3):
+    """Run a write transaction under optimistic-concurrency RETRY (the loop
+    every Delta writer wraps commits in): call ``fn()``; on
+    ``TxLogConflict`` call it again — ``fn`` must RE-READ the table each
+    attempt (every DML helper here does: they list entries and take the
+    latest version inside the call), so a retry merges against the
+    winner's state instead of replaying a stale snapshot.  Raises the last
+    conflict after ``max_retries`` failed attempts.  Returns ``fn()``'s
+    result.  Semantic conflict detection (append-vs-append commute, so
+    don't even retry — just re-commit) is the refinement; blind retry of
+    an idempotent-by-construction transaction is the sound default."""
+    last: TxLogConflict | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return fn()
+        except TxLogConflict as exc:
+            last = exc
+    raise last
+
+
 def optimize_zorder(
     spark: SparkSession,
     root: str,

@@ -938,3 +938,41 @@ def test_append_schema_evolution_widening(spark, tmp_path):
         spark.createDataFrame([(4, 40, None)], "k long, v long, tag string"), root
     )
     assert txlog.read_table(spark, root).count() == 3
+
+
+def test_with_retries_remerges_after_conflict(spark, tmp_path):
+    """with_retries: a merge that loses to a concurrent commit re-reads and
+    re-merges against the winner's state — both writers' effects land."""
+    import unittest.mock as mock
+
+    root = str(tmp_path / "wr")
+    txlog.append_table(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("v")), root
+    )
+    src = spark.createDataFrame([(1, 9)], "k long, v int")
+
+    real_overwrite = txlog.overwrite_table
+    raced = {"done": False}
+
+    def racing_overwrite(df, r, expected_version=None, **kw):
+        if not raced["done"]:
+            raced["done"] = True  # interleave exactly one concurrent commit
+            txlog.append_table(
+                spark.createDataFrame([(100, 7)], "k long, v int"), r
+            )
+        return real_overwrite(df, r, expected_version=expected_version, **kw)
+
+    with mock.patch.object(txlog, "overwrite_table", racing_overwrite):
+        version, stats = txlog.with_retries(
+            lambda: txlog.merge_into(spark, root, src, ["k"])
+        )
+    assert stats["updated"] == 1
+    got = {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}
+    assert got[1] == 9 and got[100] == 7 and len(got) == 6  # both effects
+
+    # exhausted retries re-raise the conflict
+    def always_conflict():
+        raise txlog.TxLogConflict("always")
+
+    with pytest.raises(txlog.TxLogConflict):
+        txlog.with_retries(always_conflict, max_retries=2)
