@@ -603,10 +603,12 @@ def merge_into(
     Returns ``(version, {"inserted": i, "updated": u, "deleted": d})``.
 
     Scale: one shuffle equi-join on the merge keys (a small CDC batch
-    broadcasts); the rewrite is full-table CoW, same as Delta MERGE
-    without file-level pruning — at 100 TB the refinement is to
-    anti-prune untouched files via the footer stats the log already
-    records (``_skip_plan``) and rewrite only the matched ones."""
+    broadcasts).  With ``prune_files`` (default) the rewrite is PARTIAL
+    CoW: data dirs whose footer stats prove no source key can live there
+    carry into the new version unrewritten, so a narrow-range merge on a
+    wide table rewrites only the overlapping files.  ``capture_changes``
+    (default) also writes the touched rows as a per-version change file —
+    the CDF path ``read_changes`` and the ``txlogcdf`` stream prefer."""
     from pyspark.sql import functions as F
 
     entries = _list_entries(root)
