@@ -36,7 +36,8 @@ ACID story (single filesystem):
   null-fill); ``overwrite`` may change it freely.
 * **Time travel** — ``read_table(spark, root, version=k)`` replays only
   entries ``<= k``; old data files are immutable so every historical
-  snapshot stays readable until a (not-implemented) vacuum.
+  snapshot stays readable until ``vacuum`` passes it (the floor marker
+  then turns reads of reclaimed versions into a clear ``ValueError``).
 
 At 100 TB the log stays tiny (one small JSON per commit — listing cost is
 O(versions), compactable by checkpointing the replayed state, the same
