@@ -19160,6 +19160,51 @@ def stream_txlog_cdf_e2e(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_SCHEMA_NAMES = """
+    SELECT 'payload' AS path, 'com.example.rec3' AS connect_name
+    UNION ALL SELECT 'payload.a', 'com.example.rec'
+    UNION ALL SELECT 'payload.b', 'com.example.rec'
+    UNION ALL SELECT 'payload.c', 'com.example.rec2'
+"""
+
+
+@query("schema_name_metadata_report", _SQL_SCHEMA_NAMES)
+def schema_name_metadata_report(spark, sf_dir):
+    """The reference's generated struct-schema NAMES (ExpandJson.java:69-71,
+    233-245), driver-checkable: a literal nested payload is expanded with
+    ``schema_name_prefix``, and every ``connect.name`` metadata entry in
+    the result schema is read back out as DATA — distinct field lists
+    numbered bottom-up with dedup ({"x"} shared by ``a`` and ``b`` gets
+    ONE name, ``c``'s {"y"} the next, the root numbered after all its
+    children) exactly as the reference's schema cache does.  This promotes
+    the metadata path from pytest-only to the driver's value gate; the
+    array-element limit (no metadata slot on ArrayType elements) stays a
+    documented gap.  Scale: plan-time metadata, zero data movement."""
+    from kafka_connect_expand_json_transform_spark.operators.expand_json import (
+        expand_json,
+    )
+    from pyspark.sql.types import ArrayType, StructType
+
+    payload = '{"a":{"x":1},"b":{"x":2},"c":{"y":"s"},"arr":[{"x":3}]}'
+    df = spark.range(1).select(F.lit(payload).alias("payload"))
+    out = expand_json(df, fields=["payload"], schema_name_prefix="com.example.rec")
+
+    def walk(prefix, dt, md=None):
+        rows = []
+        if md and "connect.name" in md:
+            rows.append((prefix, md["connect.name"]))
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                rows += walk(prefix + "." + f.name, f.dataType, f.metadata)
+        elif isinstance(dt, ArrayType):
+            rows += walk(prefix + "[]", dt.elementType)
+        return rows
+
+    fld = out.schema["payload"]
+    rows = walk("payload", fld.dataType, fld.metadata)
+    return spark.createDataFrame(rows, "path string, connect_name string")
+
+
 _SQL_TXLOG_EVOLVE = """
     WITH o AS (
         SELECT o_orderkey AS k, o_orderstatus,
