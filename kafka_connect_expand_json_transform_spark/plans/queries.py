@@ -19160,6 +19160,75 @@ def stream_txlog_cdf_e2e(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_STATESTORE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_state,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+"""
+
+
+@query("statestore_reader_agg", _SQL_STATESTORE)
+def statestore_reader_agg(spark, sf_dir):
+    """The STATE STORE READER (``spark.read.format("statestore")``, the
+    Spark 4 state data source) — streaming-state observability: after a
+    watermarkless complete-mode aggregate checkpoints, its per-key state
+    rows are read back as an ordinary batch DataFrame and must equal the
+    batch GROUP BY — the debugging workflow for 'what does my stateful
+    operator actually hold' without replaying the stream.  Scale: the
+    reader lists one state-store directory per shuffle partition; state
+    rows = |keys|, never the input."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="statestore_q_")
+    name = "sg_statestore"
+    try:
+        src = tmp + "/in"
+        ev.write.parquet(src)
+        spark.catalog.dropTempView(name)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                spark.readStream.format("parquet")
+                .schema(ev.schema)
+                .load(src)
+                .groupBy("event_type")
+                .agg(
+                    F.count("*").alias("n_state"),
+                    F.sum("cents").alias("sum_cents"),
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", tmp + "/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        state = spark.read.format("statestore").load(tmp + "/ckpt")
+        # the state value struct carries the PHYSICAL aggregate buffer
+        # (internal names `count`/`sum`), not the query's output aliases —
+        # exactly what "inspect the raw state" means
+        out = state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("bigint").alias("n_state"),
+            F.col("value.sum").cast("bigint").alias("sum_cents"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_SCHEMA_NAMES = """
     SELECT 'payload' AS path, 'com.example.rec3' AS connect_name
     UNION ALL SELECT 'payload.a', 'com.example.rec'
