@@ -501,7 +501,8 @@ def delete_where(
     if prune_hint:
         touched_dirs, reused_dirs = _prune_dirs(root, entries, prune_hint)
         if reused_dirs and touched_dirs:
-            snap = spark.read.parquet(
+            # pinned to the log schema (see merge_into: evolution x pruning)
+            snap = spark.read.schema(snap.schema).parquet(
                 *[os.path.join(root, d) for d in touched_dirs]
             )
         elif reused_dirs:
@@ -540,7 +541,8 @@ def update_where(
     if prune_hint:
         touched_dirs, reused_dirs = _prune_dirs(root, entries, prune_hint)
         if reused_dirs and touched_dirs:
-            snap = spark.read.parquet(
+            # pinned to the log schema (see merge_into: evolution x pruning)
+            snap = spark.read.schema(snap.schema).parquet(
                 *[os.path.join(root, d) for d in touched_dirs]
             )
         elif reused_dirs:
@@ -645,7 +647,11 @@ def merge_into(
             where = [(k0, ">=", mm["lo"]), (k0, "<=", mm["hi"])]
             touched_dirs, reused_dirs = _prune_dirs(root, entries, where)
             if reused_dirs and touched_dirs:
-                snap = spark.read.parquet(
+                # pin the subset read to the LOG's schema: a widened table
+                # whose touched dirs all predate the evolution must still
+                # rewrite (and null-fill) at full width, or the commit's
+                # schema check would refuse the partial rewrite
+                snap = spark.read.schema(snap.schema).parquet(
                     *[os.path.join(root, d) for d in touched_dirs]
                 )
             elif reused_dirs:

@@ -976,3 +976,29 @@ def test_with_retries_remerges_after_conflict(spark, tmp_path):
 
     with pytest.raises(txlog.TxLogConflict):
         txlog.with_retries(always_conflict, max_retries=2)
+
+
+def test_merge_prunes_across_schema_evolution(spark, tmp_path):
+    """Evolution x pruning: when every touched dir predates a widening
+    append, the partial rewrite must still run at the LOG's full width
+    (null-filling the new column) instead of refusing the commit."""
+    root = str(tmp_path / "mpe")
+    txlog.append_table(
+        spark.range(0, 50).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+        root,
+    )
+    txlog.append_table(
+        spark.range(1000, 1050).select(
+            F.col("id").alias("k"), F.lit(2).alias("v"), F.lit("t").alias("tag")
+        ),
+        root,
+        allow_add_columns=True,
+    )
+    # source touches ONLY the pre-evolution range
+    src = spark.createDataFrame([(10, 99)], "k long, v long")
+    version, stats = txlog.merge_into(spark, root, src, ["k"])
+    assert stats == {"inserted": 0, "updated": 1, "deleted": 0}
+    entry = txlog._list_entries(root)[-1]
+    assert len(entry["files"]) == 2  # post-evolution dir carried over
+    got = {r["k"]: (r["v"], r["tag"]) for r in txlog.read_table(spark, root).collect()}
+    assert got[10] == (99, None) and got[1000] == (2, "t") and len(got) == 100
