@@ -1177,6 +1177,19 @@ def _read_floor(root: str) -> int:
         return json.load(f)["floor"]
 
 
+def _named_columns(table, names: list[str]) -> list[list]:
+    """Column lists extracted from a pyarrow table BY NAME in the given
+    order, null-filling columns the file predates (schema evolution) —
+    positional extraction would mis-map pre-evolution files."""
+    out = []
+    for c in names:
+        if c in table.column_names:
+            out.append(table.column(c).to_pylist())
+        else:
+            out.append([None] * table.num_rows)
+    return out
+
+
 def register_stream_source(spark: SparkSession) -> None:
     """Register the ``txlogstream`` Python DataSource: a STREAMING source
     over a txlog table with transactional visibility — each micro-batch is
@@ -1206,10 +1219,12 @@ def register_stream_source(spark: SparkSession) -> None:
         root: str
         start: int  # exclusive
         end: int  # inclusive
+        col_names: tuple
 
     class TxLogStreamReader(DataSourceStreamReader):
-        def __init__(self, options):
+        def __init__(self, options, col_names):
             self.root = options["path"]
+            self.col_names = tuple(col_names)
 
         def initialOffset(self) -> dict:
             return {"version": -1}
@@ -1220,7 +1235,12 @@ def register_stream_source(spark: SparkSession) -> None:
 
         def partitions(self, start: dict, end: dict):
             return [
-                _VersionRange(self.root, int(start["version"]), int(end["version"]))
+                _VersionRange(
+                    self.root,
+                    int(start["version"]),
+                    int(end["version"]),
+                    self.col_names,
+                )
             ]
 
         def read(self, partition):
@@ -1232,8 +1252,11 @@ def register_stream_source(spark: SparkSession) -> None:
                     continue
                 for rel in e["files"]:
                     table = pq.read_table(os.path.join(partition.root, rel))
-                    for batch in table.to_batches():
-                        yield from zip(*[c.to_pylist() for c in batch.columns])
+                    # map by NAME against the log schema (never file column
+                    # position): pre-evolution files null-fill widened columns
+                    yield from zip(
+                        *_named_columns(table, list(partition.col_names))
+                    )
 
         def commit(self, end: dict) -> None:
             pass
@@ -1260,7 +1283,7 @@ def register_stream_source(spark: SparkSession) -> None:
             raise ValueError("txlog table has no schema_json entries")
 
         def streamReader(self, schema):
-            return TxLogStreamReader(self.options)
+            return TxLogStreamReader(self.options, [f.name for f in schema.fields])
 
     spark.dataSource.register(TxLogStreamSource)
 
@@ -1335,8 +1358,7 @@ def register_cdf_stream_source(spark: SparkSession) -> None:
                 if e["op"] == "append":
                     for rel in e["files"]:
                         t = pq.read_table(os.path.join(partition.root, rel))
-                        cols = [t.column(c).to_pylist() for c in base_cols]
-                        for row in zip(*cols):
+                        for row in zip(*_named_columns(t, base_cols)):
                             yield row + ("insert", v)
                 else:
                     cpath = _changes_path(partition.root, v)
@@ -1348,10 +1370,9 @@ def register_cdf_stream_source(spark: SparkSession) -> None:
                             "diff fallback"
                         )
                     t = pq.read_table(cpath)
-                    cols = [
-                        t.column(c).to_pylist() for c in base_cols + ["_change_type"]
-                    ]
-                    for row in zip(*cols):
+                    for row in zip(
+                        *_named_columns(t, base_cols + ["_change_type"])
+                    ):
                         yield row + (v,)
 
         def commit(self, end: dict) -> None:

@@ -1002,3 +1002,45 @@ def test_merge_prunes_across_schema_evolution(spark, tmp_path):
     assert len(entry["files"]) == 2  # post-evolution dir carried over
     got = {r["k"]: (r["v"], r["tag"]) for r in txlog.read_table(spark, root).collect()}
     assert got[10] == (99, None) and got[1000] == (2, "t") and len(got) == 100
+
+
+def test_stream_sources_nullfill_across_evolution(spark, tmp_path):
+    """Both Python stream readers map parquet columns BY NAME against the
+    log schema: pre-evolution append versions stream with the widened
+    schema, null-filling the new column (positional mapping would shear)."""
+    import time
+
+    root = str(tmp_path / "sev")
+    txlog.append_table(
+        spark.createDataFrame([(1, 10)], "k long, v long"), root
+    )
+    txlog.append_table(
+        spark.createDataFrame([(2, 20, "x")], "k long, v long, tag string"),
+        root,
+        allow_add_columns=True,
+    )
+    txlog.register_stream_source(spark)
+
+    def drain(q):
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.lastProgress is not None and not q.status["isDataAvailable"]:
+                break
+            time.sleep(0.25)
+        q.stop()
+        q.awaitTermination()
+
+    q = (
+        spark.readStream.format("txlogstream")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("sg_sev")
+        .outputMode("append")
+        .start()
+    )
+    drain(q)
+    got = sorted(
+        (r["k"], r["v"], r["tag"]) for r in spark.table("sg_sev").collect()
+    )
+    assert got == [(1, 10, None), (2, 20, "x")]
