@@ -43,6 +43,8 @@ HEAVY = [
     "semantic_dedup_survivors",  # round-4: blocked pairs + CC + keep-one
     "txlog_merge_upsert",  # round-4 late: full-outer merge + CoW rewrite
     "ccnet_perplexity_buckets",  # round-4 late: word explode + NTILE window
+    "txlog_change_feed_agg",  # round-4 late: capture-backed CDF over CoW DML
+    "stream_txlog_merge_e2e",  # round-4 late: 3 micro-batch ACID merges
 ]
 
 # (table, [key columns to offset per copy])
