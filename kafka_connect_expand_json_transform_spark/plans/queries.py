@@ -19160,6 +19160,124 @@ def stream_txlog_cdf_e2e(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_DOMAIN_REWEIGHT = """
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+      FROM documents),
+    w AS (SELECT source, unnest(t) AS w FROM toks WHERE len(t) > 0),
+    cw AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM w),
+    scored AS (
+      SELECT w.source,
+             CAST(floor(ln(tot.n) * 1000000) AS BIGINT)
+               - CAST(floor(ln(cw.c) * 1000000) AS BIGINT) AS s
+      FROM w JOIN cw ON cw.w = w.w, tot),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_words, SUM(s) AS micro
+      FROM scored GROUP BY source),
+    g AS (SELECT SUM(n_words) AS nw, SUM(micro) AS mt FROM per_src),
+    ex AS (
+      SELECT p.source, p.n_words,
+             GREATEST(CAST(0 AS BIGINT),
+                      p.micro * g.nw - g.mt * p.n_words) AS e
+      FROM per_src p, g),
+    et AS (SELECT SUM(e) AS te, COUNT(*) AS k FROM ex),
+    q AS (
+      SELECT ex.source, ex.n_words, ex.e, et.te, et.k,
+             CASE WHEN et.te > 0 THEN 1000000 * ex.e // et.te
+                  ELSE 1000000 // et.k END AS fl,
+             CASE WHEN et.te > 0 THEN 1000000 * ex.e % et.te
+                  ELSE 0 END AS rem
+      FROM ex, et),
+    r AS (
+      SELECT *, 1000000 - SUM(fl) OVER () AS leftover,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q)
+    SELECT source,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(e AS BIGINT) AS excess_scaled,
+           CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS weight_ppm
+    FROM r
+"""
+
+
+@query("domain_reweighting_plan", _SQL_DOMAIN_REWEIGHT)
+def domain_reweighting_plan(spark, sf_dir):
+    """Excess-loss domain reweighting (the DoReMi-shaped curation knob,
+    Xie et al. 2023, linear-proportional variant): per-source unigram
+    cross-entropy EXCESS over the corpus average — cross-multiplied to
+    pure int64 (``micro_s * N_total - micro_total * n_s``, clamped at 0)
+    so no float ratio ever crosses the engine boundary — then a
+    parts-per-million training-weight allocation by largest remainder
+    (sums to exactly 1e6; all-equal corpora fall back to uniform).
+    Harder-than-average domains get up-weighted, the data-mixing answer
+    when a proxy model's losses are the signal.  Headroom: the cross
+    product stays under 2^62 for corpora to ~10M words per source
+    (fixture-guarded); beyond that, pre-divide micro to whole nats.
+    Scale: one word-count aggregate + one count join, k-row windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.filter(F.split(F.lower(F.trim("text")), " "), lambda x: x != "").alias(
+            "t"
+        ),
+    ).filter(F.size("t") > 0)
+    w = toks.select("source", F.explode("t").alias("w"))
+    cw = w.groupBy("w").agg(F.count("*").alias("c"))
+    tot = w.agg(F.count("*").alias("n"))
+    lnq = lambda c: F.floor(F.log(c) * 1_000_000).cast("bigint")  # noqa: E731
+    scored = (
+        w.join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("source", (lnq(F.col("n")) - lnq(F.col("c"))).alias("s"))
+    )
+    per_src = scored.groupBy("source").agg(
+        F.count("*").alias("n_words"), F.sum("s").alias("micro")
+    )
+    g = per_src.agg(
+        F.sum("n_words").alias("nw"), F.sum("micro").alias("mt")
+    )
+    ex = per_src.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_words",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.col("micro") * F.col("nw") - F.col("mt") * F.col("n_words"),
+        ).alias("e"),
+    )
+    wall = Window.partitionBy()
+    q = (
+        ex.withColumn("te", F.sum("e").over(wall))
+        .withColumn("k", F.count("*").over(wall))
+        .select(
+            "source",
+            "n_words",
+            "e",
+            F.when(
+                F.col("te") > 0, F.expr("1000000 * e div te")
+            )
+            .otherwise(F.expr("1000000 div k"))
+            .alias("fl"),
+            F.when(F.col("te") > 0, F.expr("1000000 * e % te"))
+            .otherwise(F.lit(0))
+            .alias("rem"),
+        )
+    )
+    r = q.withColumn("leftover", F.lit(1_000_000) - F.sum("fl").over(wall)).withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("rem").desc(), "source"))
+    )
+    return r.select(
+        "source",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("e").cast("bigint").alias("excess_scaled"),
+        (F.col("fl") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )
+
+
 _SQL_STATESTORE = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_state,

@@ -484,3 +484,28 @@ def test_ccnet_unigram_ln_quantization_clear_of_boundaries(ddb):
     dist = np.abs(q - np.round(q))
     worst = float(dist.min())
     assert worst > 1e-5, f"ln(c)*1e6 within {worst:.2e} of an integer boundary"
+
+
+def test_domain_reweighting_cross_product_headroom(ddb):
+    """domain_reweighting_plan forms micro_s * N_total in int64: assert the
+    live fixture keeps it far under 2^62 so regeneration growth can't wrap
+    it silently (the documented ~10M-words-per-source ceiling)."""
+    (worst,) = ddb.execute(
+        """
+        WITH toks AS (
+          SELECT source,
+                 list_filter(string_split(lower(trim(text)), ' '),
+                             x -> x <> '') AS t
+          FROM documents),
+        w AS (SELECT source, unnest(t) AS w FROM toks WHERE len(t) > 0),
+        cw AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+        tot AS (SELECT COUNT(*) AS n FROM w),
+        per_src AS (
+          SELECT w.source,
+                 SUM(CAST(floor(ln(tot.n) * 1000000) AS BIGINT)
+                     - CAST(floor(ln(cw.c) * 1000000) AS BIGINT)) AS micro
+          FROM w JOIN cw ON cw.w = w.w, tot GROUP BY w.source)
+        SELECT MAX(micro) * (SELECT MAX(n) FROM tot) FROM per_src
+        """
+    ).fetchone()
+    assert worst < 2**62, worst

@@ -118,6 +118,8 @@ _INTENTIONALLY_UNKEYED = {
     # corpus, twice (full-width and 16-dim prefix rankings)
     "sq8_recall_report",  # same shape, int8-quantized ranking vs exact
     "t_closeness_report",  # 1-row global distribution attached per class
+    "domain_reweighting_plan",  # 1-row word total + 1-row global moments
+    # attached to the word stream / per-source rows
 }
 
 
