@@ -1044,3 +1044,28 @@ def test_stream_sources_nullfill_across_evolution(spark, tmp_path):
         (r["k"], r["v"], r["tag"]) for r in spark.table("sg_sev").collect()
     )
     assert got == [(1, 10, None), (2, 20, "x")]
+
+
+def test_checkpoint_covers_partial_cow_file_sets(spark, tmp_path):
+    """A log checkpoint taken after a file-pruned merge must replay the
+    mixed file set (reused dirs + rewrite dir) identically to full replay."""
+    root = str(tmp_path / "ckp")
+    for lo in (0, 100):
+        txlog.append_table(
+            spark.range(lo, lo + 50).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            root,
+        )
+    txlog.merge_into(
+        spark, root, spark.createDataFrame([(110, 1)], "k long, v long"), ["k"]
+    )
+    entry = txlog._list_entries(root)[-1]
+    assert len(entry["files"]) == 2  # pruned: one reused dir + one rewrite
+    txlog.checkpoint_log(root)
+    full = {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}
+    ck = {
+        r["k"]: r["v"]
+        for r in txlog.read_table_from_checkpoint(spark, root).collect()
+    }
+    assert full == ck and ck[110] == 1 and len(ck) == 100
