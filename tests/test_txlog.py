@@ -1069,3 +1069,26 @@ def test_checkpoint_covers_partial_cow_file_sets(spark, tmp_path):
         for r in txlog.read_table_from_checkpoint(spark, root).collect()
     }
     assert full == ck and ck[110] == 1 and len(ck) == 100
+
+
+def test_vacuum_keeps_dirs_reused_by_partial_cow(spark, tmp_path):
+    """Vacuum must keep a data dir that an OLD version created but the NEW
+    (post-pruned-merge) version still references — and reclaim only the
+    truly unreferenced rewrite inputs."""
+    root = str(tmp_path / "vpc")
+    for lo in (0, 100):
+        txlog.append_table(
+            spark.range(lo, lo + 50).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            root,
+        )
+    txlog.merge_into(
+        spark, root, spark.createDataFrame([(110, 1)], "k long, v long"), ["k"]
+    )
+    txlog.checkpoint_log(root)
+    txlog.vacuum(root, retain_versions=1, retention_seconds=0)
+    got = {r["k"]: r["v"] for r in txlog.read_table(spark, root).collect()}
+    assert got[110] == 1 and got[0] == 0 and len(got) == 100
+    with pytest.raises(ValueError, match="vacuumed"):
+        txlog.read_table(spark, root, version=0)
