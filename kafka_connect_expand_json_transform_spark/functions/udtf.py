@@ -88,9 +88,34 @@ class ExtractJsonKeys:
         yield tuple(as_text(obj.get(k)) for k in names)
 
 
+@udtf(returnType="event_type: string, n: long, sum_cents: long")
+class PartitionStats:
+    """TABLE-argument UDTF (Spark 4): consumed as
+    ``SELECT * FROM partition_stats(TABLE(t) PARTITION BY event_type)`` —
+    the planner feeds each partition's rows to ONE instance (eval per row,
+    terminate once), the polymorphic-input side of the UDTF surface that
+    scalar-argument UDTFs can't show.  Input rows need ``event_type`` and
+    integer ``cents``; the running state is two int64s per instance."""
+
+    def __init__(self):
+        self._key = None
+        self._n = 0
+        self._sum = 0
+
+    def eval(self, row):
+        self._key = row["event_type"]
+        self._n += 1
+        self._sum += row["cents"]
+
+    def terminate(self):
+        if self._n:
+            yield self._key, self._n, self._sum
+
+
 def register_udtfs(spark) -> None:
     """Make the UDTFs callable from SQL (``SELECT * FROM split_sentences(...)``)."""
     from pyspark.sql.functions import udtf as _udtf
 
     spark.udtf.register("split_sentences", SplitSentences)
     spark.udtf.register("extract_json_keys", _udtf(ExtractJsonKeys))
+    spark.udtf.register("partition_stats", PartitionStats)

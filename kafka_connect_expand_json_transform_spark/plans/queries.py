@@ -19160,6 +19160,42 @@ def stream_txlog_cdf_e2e(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_UDTF_TABLE_ARG = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+"""
+
+
+@query("udtf_table_partition_stats", _SQL_UDTF_TABLE_ARG)
+def udtf_table_partition_stats(spark, sf_dir):
+    """TABLE-argument UDTF with PARTITION BY (the Spark 4 polymorphic-input
+    tier of U3): ``partition_stats(TABLE(t) PARTITION BY event_type)``
+    hands each event type's rows to one UDTF instance — the planner
+    shuffles on the partition key, eval streams the partition, terminate
+    emits one summary row — and the result must equal the plain GROUP BY.
+    This is the API a user reaches for when per-group logic genuinely
+    needs imperative state but still wants planner-managed partitioning
+    (the SQL-callable sibling of applyInPandas).  Scale: one shuffle on
+    the key; per-instance state is two int64s."""
+    from kafka_connect_expand_json_transform_spark.functions.udtf import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    ev.createOrReplaceTempView("sg_udtf_events")
+    return spark.sql(
+        "SELECT event_type, n, sum_cents "
+        "FROM partition_stats(TABLE(sg_udtf_events) PARTITION BY event_type)"
+    )
+
+
 _SQL_DOMAIN_REWEIGHT = """
     WITH toks AS (
       SELECT source,
