@@ -19160,6 +19160,50 @@ def stream_txlog_cdf_e2e(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_SCRIPTING = """
+    SELECT CAST(SUM(cnt) AS BIGINT) AS cumulative_count,
+           CAST(5 AS INTEGER) AS n_steps
+    FROM (
+      SELECT COUNT(*) AS cnt
+      FROM orders, (SELECT unnest(generate_series(0, 4)) AS i) s
+      WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= 50000 * s.i
+      GROUP BY s.i
+    )
+"""
+
+
+@query("sql_scripting_cumulative", _SQL_SCRIPTING)
+def sql_scripting_cumulative(spark, sf_dir):
+    """Spark 4 SQL SCRIPTING + parameterized SQL + IDENTIFIER clause in one
+    pipeline: a BEGIN..END script DECLAREs accumulators, WHILE-loops five
+    threshold steps, each step running a scalar subquery against a table
+    named through ``IDENTIFIER(:tbl)`` with a ``:base`` parameter marker —
+    the procedural-SQL surface (control flow + session variables + safe
+    dynamic identifiers) that migrations from stored-procedure warehouses
+    ask for first.  The oracle recomputes the threshold sweep with a
+    generate_series cross join.  Scale: each iteration is an ordinary
+    pushed-down scan-aggregate; the loop is driver-side control flow over
+    5 scalar results, never a data-sized collect."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE acc BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 0;
+          WHILE i < 5 DO
+            SET acc = acc + (
+              SELECT COUNT(*) FROM IDENTIFIER(:tbl)
+              WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= :base * i
+            );
+            SET i = i + 1;
+          END WHILE;
+          SELECT acc AS cumulative_count, i AS n_steps;
+        END
+        """,
+        args={"tbl": "orders", "base": 50000},
+    )
+
+
 _SQL_UDTF_TABLE_ARG = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
