@@ -19160,6 +19160,49 @@ def stream_txlog_cdf_e2e(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_SQLUDF = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    * 9 // 10) AS BIGINT) AS sum_disc_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+"""
+
+
+@query("sql_udf_pipeline", _SQL_SQLUDF)
+def sql_udf_pipeline(spark, sf_dir):
+    """SQL-language UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``): a SCALAR
+    SQL function (integer discount arithmetic — inlined by the analyzer,
+    so it costs nothing at 100 TB, unlike a Python UDF) composed with a
+    TABLE-valued SQL function (status-filtered orders, parameter in the
+    WHERE clause) — the warehouse-migration surface where business logic
+    lives in SQL functions, not application code.  The oracle inlines
+    both definitions.  Scale: the analyzer substitutes the function
+    bodies before optimization, so pushdown/pruning see straight through
+    them — asserted by the result equality itself."""
+    register_testdata(spark, sf_dir)
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS sg_disc_cents")
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS sg_orders_by_status")
+    spark.sql(
+        "CREATE TEMPORARY FUNCTION sg_disc_cents(cents BIGINT) "
+        "RETURNS BIGINT RETURN cents * 9 DIV 10"
+    )
+    spark.sql(
+        "CREATE TEMPORARY FUNCTION sg_orders_by_status(st STRING) "
+        "RETURNS TABLE(o_orderpriority STRING, cents BIGINT) RETURN "
+        "SELECT o_orderpriority, "
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents "
+        "FROM orders WHERE o_orderstatus = st"
+    )
+    return spark.sql(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(sg_disc_cents(cents)) AS BIGINT) AS sum_disc_cents "
+        "FROM sg_orders_by_status('F') GROUP BY o_orderpriority"
+    )
+
+
 _SQL_SCRIPTING = """
     SELECT CAST(SUM(cnt) AS BIGINT) AS cumulative_count,
            CAST(5 AS INTEGER) AS n_steps
