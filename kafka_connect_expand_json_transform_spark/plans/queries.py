@@ -20,6 +20,7 @@ Every Spark query aliases its output columns to exactly the oracle's names.
 from __future__ import annotations
 
 from collections.abc import Callable
+from typing import Iterator  # module-level: pandas-UDF type hints resolve here
 
 import numpy as np
 import pandas as pd
@@ -1203,6 +1204,38 @@ def pandas_udf_norms(spark, sf_dir):
 
 
 @query(
+    "pandas_udf_iter_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def pandas_udf_iter_norms(spark, sf_dir):
+    """ITERATOR-form pandas UDF (``Iterator[pd.Series] -> Iterator[
+    pd.Series]``) — the U2 tier for expensive per-executor initialization
+    (model weights, tokenizer tables): setup cost is paid ONCE per
+    partition before the batch loop, not per Arrow batch.  Here the
+    'model' is a unit scale factor so the math — and the oracle — is
+    byte-identical to ``pandas_udf_norms``; what this row certifies is
+    the iterator protocol itself (same results, same plan shape, one
+    init per partition)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2_norm_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        scale = np.float64(1.0)  # stand-in for load-once state
+        for vecs in batches:
+            m = np.stack(vecs.to_numpy()) * scale
+            yield pd.Series(np.round(np.sqrt((m * m).sum(axis=1)), 4))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", l2_norm_iter(VEC.as_double("embedding")).alias("l2_norm")
+    )
+
+
+@query(
     "map_in_arrow_dot",
     """
     SELECT vec_id,
@@ -1349,6 +1382,56 @@ def applyinpandas_centroid(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     label_type = emb.schema["label"].dataType.simpleString()
     return emb.groupBy("label").applyInPandas(
+        centroid, schema=f"label {label_type}, n bigint, mean_dim0 double"
+    )
+
+
+@query(
+    "applyinarrow_centroid",
+    """
+    SELECT label, COUNT(*) AS n,
+           round(CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE), 4) AS DECIMAL(12,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS mean_dim0
+    FROM embeddings GROUP BY label
+    """,
+)
+def applyinarrow_centroid(spark, sf_dir):
+    """Grouped ``applyInArrow`` (the zero-copy RecordBatch tier of U4,
+    sibling of ``map_in_arrow_dot``): per-group aggregation consuming raw
+    ``pyarrow.Table`` — no pandas conversion at all, the path for groups
+    whose processing is already Arrow-native (feather buffers, Arrow
+    compute kernels).  Same decimal-exact accumulation as the
+    applyInPandas twin, so the oracle is identical — the row certifies
+    the Arrow protocol, not new math."""
+    import pyarrow as pa
+
+    def centroid(table: pa.Table) -> pa.Table:
+        from decimal import Decimal
+
+        emb_col = table.column("embedding").to_pylist()
+        vals = [Decimal(str(round(float(v[0]), 4))) for v in emb_col]
+        total = sum(vals, Decimal(0))
+        n = len(vals)
+        # Arrow is exact about types: carry the input label type through
+        out_schema = pa.schema(
+            [
+                ("label", table.schema.field("label").type),
+                ("n", pa.int64()),
+                ("mean_dim0", pa.float64()),
+            ]
+        )
+        return pa.table(
+            {
+                "label": [table.column("label")[0].as_py()],
+                "n": [n],
+                "mean_dim0": [round(float(total) / n, 4)],
+            },
+            schema=out_schema,
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    label_type = emb.schema["label"].dataType.simpleString()
+    return emb.groupBy("label").applyInArrow(
         centroid, schema=f"label {label_type}, n bigint, mean_dim0 double"
     )
 
