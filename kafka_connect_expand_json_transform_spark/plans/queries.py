@@ -19243,6 +19243,91 @@ def stream_txlog_cdf_e2e(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_TRANSPOSE = """
+    WITH m AS (
+      SELECT o_orderpriority AS p,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS s
+      FROM orders GROUP BY 1)
+    SELECT 'n_orders' AS key,
+           (SELECT n FROM m WHERE p = '1-URGENT') AS "1-URGENT",
+           (SELECT n FROM m WHERE p = '2-HIGH') AS "2-HIGH",
+           (SELECT n FROM m WHERE p = '3-MEDIUM') AS "3-MEDIUM",
+           (SELECT n FROM m WHERE p = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+           (SELECT n FROM m WHERE p = '5-LOW') AS "5-LOW"
+    UNION ALL
+    SELECT 'sum_cents',
+           (SELECT s FROM m WHERE p = '1-URGENT'),
+           (SELECT s FROM m WHERE p = '2-HIGH'),
+           (SELECT s FROM m WHERE p = '3-MEDIUM'),
+           (SELECT s FROM m WHERE p = '4-NOT SPECIFIED'),
+           (SELECT s FROM m WHERE p = '5-LOW')
+"""
+
+
+@query("transpose_priority_metrics", _SQL_TRANSPOSE)
+def transpose_priority_metrics(spark, sf_dir):
+    """``DataFrame.transpose`` (Spark 4): metrics-per-priority flipped to
+    priorities-per-metric — the report-building pivot whose OUTPUT COLUMN
+    NAMES come from data (the five priority values), with the index
+    column keyed by former column names.  The oracle rebuilds the
+    transposed frame with per-cell scalar subqueries, so both the
+    reshaping and the values check.  Scale: transpose collects the key
+    column to name the output — bounded here by the 5-value priority
+    domain; a high-cardinality key is the documented anti-pattern
+    (use pivot with explicit values instead)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        )
+        .cast("long")
+        .alias("sum_cents"),
+    )
+    return agg.transpose("o_orderpriority")
+
+
+_SQL_SESSION_VARS = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= 100000
+    GROUP BY o_orderpriority
+"""
+
+
+@query("session_vars_execute_immediate", _SQL_SESSION_VARS)
+def session_vars_execute_immediate(spark, sf_dir):
+    """SQL session VARIABLES + EXECUTE IMMEDIATE (Spark 4): a DECLAREd
+    variable holds the query TEXT, ``SET VAR`` mutates a threshold
+    variable referenced inside it, and ``EXECUTE IMMEDIATE ... USING``
+    binds a positional parameter — the dynamic-SQL triad warehouse
+    migrations rely on (safe string-free parameter binding instead of
+    f-string SQL injection).  The oracle inlines the final statement.
+    Scale: EXECUTE IMMEDIATE plans the inner statement exactly like
+    static SQL — pushdown and pruning are unaffected."""
+    register_testdata(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE sg_min_cents DECIMAL(12,2) DEFAULT 0"
+    )
+    spark.sql("SET VAR sg_min_cents = 100000")
+    spark.sql("DECLARE OR REPLACE VARIABLE sg_stmt STRING")
+    spark.sql(
+        "SET VAR sg_stmt = 'SELECT o_orderpriority, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) "
+        "AS BIGINT) AS sum_cents "
+        "FROM IDENTIFIER(?) "
+        "WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= sg_min_cents "
+        "GROUP BY o_orderpriority'"
+    )
+    return spark.sql("EXECUTE IMMEDIATE sg_stmt USING 'orders'")
+
+
 _SQL_SQLUDF = """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
