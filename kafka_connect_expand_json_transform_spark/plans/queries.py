@@ -7598,6 +7598,66 @@ _SQL_COGROUP = """
 """
 
 
+@query("cogrouped_arrow_orders", _SQL_COGROUP)
+def cogrouped_arrow_orders(spark, sf_dir):
+    """``cogroup().applyInArrow`` — the zero-pandas tier of the two-sided
+    UDF surface: each bucket's two sides arrive as raw ``pyarrow.Table``s
+    and the rollup+merge runs entirely on Arrow compute kernels
+    (``group_by`` + hash ``join``), the path for cogroup logic that never
+    needs pandas semantics.  Same bucket-amortized shuffle and the same
+    LEFT-JOIN oracle as the pandas twin — this row certifies the Arrow
+    cogroup protocol end-to-end."""
+    import pyarrow as pa
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (money("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_custkey") % 256).alias("bucket"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (money("c_acctbal") * 100).cast("bigint").alias("bal"),
+        (F.col("c_custkey") % 256).alias("bucket"),
+    )
+
+    def merge(left: pa.Table, right: pa.Table) -> pa.Table:
+        agg = (
+            left.select(["o_custkey", "cents"])
+            .group_by("o_custkey")
+            .aggregate([("cents", "count"), ("cents", "sum")])
+        )
+        joined = right.select(["c_custkey", "bal"]).join(
+            agg, keys="c_custkey", right_keys="o_custkey", join_type="left outer"
+        )
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "custkey": joined.column("c_custkey").cast(pa.int64()),
+                "n_orders": pc.fill_null(
+                    joined.column("cents_count"), 0
+                ).cast(pa.int64()),
+                "total_cents": pc.fill_null(
+                    joined.column("cents_sum"), 0
+                ).cast(pa.int64()),
+                "acctbal_cents": joined.column("bal").cast(pa.int64()),
+            }
+        )
+
+    return (
+        c.groupBy("bucket")
+        .cogroup(o.groupBy("bucket"))
+        .applyInArrow(
+            # cogroup binds args in cogroup order: (customer side, orders side)
+            lambda cust_t, ord_t: merge(ord_t, cust_t),
+            schema=(
+                "custkey bigint, n_orders bigint, "
+                "total_cents bigint, acctbal_cents bigint"
+            ),
+        )
+    )
+
+
 @query("cogrouped_customer_orders", _SQL_COGROUP)
 def cogrouped_customer_orders(spark, sf_dir):
     """``cogroup().applyInPandas`` — the two-sided Arrow UDF surface (the
