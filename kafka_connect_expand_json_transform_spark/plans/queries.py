@@ -19303,6 +19303,40 @@ def stream_txlog_cdf_e2e(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_COLLATION = """
+    SELECT lower(c_mktsegment) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1
+"""
+
+
+@query("collation_insensitive_group", _SQL_COLLATION)
+def collation_insensitive_group(spark, sf_dir):
+    """String COLLATIONS (Spark 4): the market segment is case-diversified
+    by key parity (half the rows lowercased — a 10-way plain GROUP BY),
+    then grouped under ``COLLATE UTF8_LCASE``, which must merge the case
+    variants back to the 5 true segments — locale-correct case
+    insensitivity in the ENGINE's comparator (joins, group-bys, DISTINCT)
+    instead of lower() rewrites scattered through queries.  The group
+    representative under a collation is arrival-order-dependent, so the
+    output projects lower() of it; the oracle is the classic lower()
+    grouping.  Scale: collated grouping hashes the collation key —
+    same shuffle shape as any GROUP BY."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower(F.col("c_mktsegment"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_cased")
+    )
+    c.createOrReplaceTempView("sg_coll_customer")
+    return spark.sql(
+        "SELECT lower(k) AS segment, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM (SELECT seg_cased COLLATE UTF8_LCASE AS k "
+        "      FROM sg_coll_customer) GROUP BY k"
+    )
+
+
 _SQL_TRANSPOSE = """
     WITH m AS (
       SELECT o_orderpriority AS p,
