@@ -195,6 +195,7 @@ def _commit(
                 raise TxLogSchemaMismatch(
                     f"append schema {df.schema.simpleString()} != table schema {schema}"
                 )
+    _enforce_constraints(root, df)  # CHECK constraints gate every commit
     os.makedirs(_log_path(root), exist_ok=True)
     rel = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
     df.write.mode("overwrite").parquet(os.path.join(root, rel))
@@ -800,6 +801,63 @@ def _part_is_empty(path: str) -> bool:
         return pq.ParquetFile(path).metadata.num_rows == 0
     except Exception:
         return False
+
+
+class TxLogConstraintViolation(ValueError):
+    """A write contained rows failing a CHECK constraint — nothing commits."""
+
+
+def _constraints_path(root: str) -> str:
+    return os.path.join(root, "_constraints.json")
+
+
+def _read_constraints(root: str) -> dict:
+    path = _constraints_path(root)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def set_check_constraint(root: str, name: str, expr: str) -> None:
+    """Attach a CHECK constraint (Delta parity: ``ALTER TABLE ... ADD
+    CONSTRAINT ... CHECK``): every subsequent commit — append, overwrite,
+    and therefore all CoW DML — validates its data against ``expr`` (a SQL
+    boolean over the table's columns) BEFORE publishing; a violating batch
+    raises ``TxLogConstraintViolation`` and nothing commits.  Constraints
+    live in an atomically-replaced sidecar (table-level metadata, not
+    versioned — time travel reads old DATA, constraints govern new
+    WRITES, same as Delta).  NULL results pass (SQL CHECK three-valued
+    convention; pair with a NOT NULL check when that matters)."""
+    cons = _read_constraints(root)
+    cons[name] = expr
+    tmp = _constraints_path(root) + f".tmp.{uuid.uuid4().hex}"
+    os.makedirs(root, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(cons, f)
+    os.replace(tmp, _constraints_path(root))
+
+
+def drop_check_constraint(root: str, name: str) -> None:
+    """Remove a CHECK constraint; unknown names raise KeyError."""
+    cons = _read_constraints(root)
+    del cons[name]
+    tmp = _constraints_path(root) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(cons, f)
+    os.replace(tmp, _constraints_path(root))
+
+
+def _enforce_constraints(root: str, df: DataFrame) -> None:
+    from pyspark.sql import functions as F
+
+    for name, expr in _read_constraints(root).items():
+        cond = F.expr(expr)
+        bad = df.where(~cond & cond.isNotNull()).limit(1).count()
+        if bad:
+            raise TxLogConstraintViolation(
+                f"write violates CHECK constraint {name!r}: {expr}"
+            )
 
 
 def with_retries(fn, max_retries: int = 3):

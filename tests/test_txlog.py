@@ -1092,3 +1092,42 @@ def test_vacuum_keeps_dirs_reused_by_partial_cow(spark, tmp_path):
     assert got[110] == 1 and got[0] == 0 and len(got) == 100
     with pytest.raises(ValueError, match="vacuumed"):
         txlog.read_table(spark, root, version=0)
+
+
+def test_check_constraints_gate_all_commit_paths(spark, tmp_path):
+    """CHECK constraints (sidecar metadata): violating appends, updates,
+    and merges all raise BEFORE publishing; NULL results pass (SQL CHECK
+    convention); drop lifts the gate."""
+    root = str(tmp_path / "cc")
+    txlog.append_table(
+        spark.createDataFrame([(1, 10)], "k long, v long"), root
+    )
+    txlog.set_check_constraint(root, "v_positive", "v > 0")
+    with pytest.raises(txlog.TxLogConstraintViolation, match="v_positive"):
+        txlog.append_table(
+            spark.createDataFrame([(2, -5)], "k long, v long"), root
+        )
+    assert txlog.latest_version(root) == 0  # nothing committed
+    # the CoW DML paths commit via overwrite -> also gated
+    with pytest.raises(txlog.TxLogConstraintViolation):
+        txlog.update_where(spark, root, "k = 1", {"v": "-1"})
+    with pytest.raises(txlog.TxLogConstraintViolation):
+        txlog.merge_into(
+            spark, root,
+            spark.createDataFrame([(1, -9)], "k long, v long"), ["k"],
+        )
+    # NULL passes (three-valued CHECK), valid rows pass
+    txlog.append_table(
+        spark.createDataFrame([(3, None)], "k long, v long"), root
+    )
+    txlog.append_table(
+        spark.createDataFrame([(4, 40)], "k long, v long"), root
+    )
+    assert txlog.read_table(spark, root).count() == 3
+    txlog.drop_check_constraint(root, "v_positive")
+    txlog.append_table(
+        spark.createDataFrame([(5, -50)], "k long, v long"), root
+    )
+    assert txlog.read_table(spark, root).count() == 4
+    with pytest.raises(KeyError):
+        txlog.drop_check_constraint(root, "nope")
