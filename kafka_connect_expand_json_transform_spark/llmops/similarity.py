@@ -705,7 +705,7 @@ def cluster_blocked_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int | None = 8,
+    k: int | None = None,
     iters: int = 3,
     target_cluster_size: int = 250,
     max_cluster_size: int | None = None,
@@ -717,12 +717,16 @@ def cluster_blocked_pairs(
     that straddle a cluster boundary (the standard blocking trade-off; raise
     k for more pruning, lower it for more recall).
 
-    **k must scale with n.** A FIXED k makes Σ|cluster|² grow quadratically
-    as the corpus grows (measured in the sf1 smoke: 10× the vectors at k=8
-    was 21× the time; k=80 restored it — 104 s → 8 s, SCALE.md).  Pass
-    ``k=None`` to derive ``k = max(8, n // target_cluster_size)``, which
-    pins expected within-cluster work at ~n·target_cluster_size — linear in
-    n.  The oracle-checked query keeps an explicit k for determinism.
+    **k must scale with n, so the DEFAULT is ``k=None`` (auto).** A FIXED k
+    makes Σ|cluster|² grow quadratically as the corpus grows (measured in
+    the sf1 smoke: 10× the vectors at k=8 was 21× the time; k=80 restored
+    it — 104 s → 8 s, SCALE.md).  ``k=None`` derives
+    ``k = max(8, n // target_cluster_size)``, which pins expected
+    within-cluster work at ~n·target_cluster_size — linear in n.  SCALE.md
+    calls this rule mandatory at 100 TB, so it is the default, not an
+    opt-in; pass an explicit k only when block membership itself must be
+    reproducible across corpus sizes (the oracle-checked queries pin k=8
+    for cross-engine determinism).
 
     **Skewed clusters need splitting, not just more of them.** Auto-k fixes
     the MEAN cluster size; a skewed embedding distribution still produces
@@ -783,7 +787,7 @@ def semantic_dedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int | None = 8,
+    k: int | None = None,
     iters: int = 3,
     target_cluster_size: int = 250,
     max_cluster_size: int | None = None,

@@ -69,6 +69,14 @@ _CHANGES_DIR = "_changes"
 # unreferenced dir may belong to a live commit).
 _CLAIM_GRACE_SECONDS = 60.0
 
+# vacuum's age guard for unreferenced data dirs.  Deliberately MUCH larger
+# than the claim grace: the commit protocol writes parquet BEFORE publishing
+# the log entry, so an unreferenced dir may belong to a live commit whose
+# data write simply takes a while — at the 100 TB scale this module targets,
+# a multi-hour write is normal, and a 60 s guard would delete its data out
+# from under it.  Delta's default is 7 days for the same reason.
+_VACUUM_RETENTION_SECONDS = 7 * 24 * 3600.0
+
 
 class TxLogConflict(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
@@ -157,7 +165,17 @@ def _acquire_claim(final: str) -> int:
             abandoned = False  # owner published or recovered concurrently
         if not abandoned:
             raise
+        # re-stat immediately before the unlink: if the owner published
+        # (os.replace swaps in a new inode with content) or a recoverer
+        # already reclaimed, the inode/size changed and we must NOT delete
+        # a committed entry.  POSIX has no conditional unlink, so a window
+        # remains between this stat and the unlink — it is (re-stat →
+        # unlink) nanoseconds wide, vs the original (first-stat → unlink)
+        # which spanned the whole abandonment judgment.
         try:
+            st2 = os.stat(final)
+            if st2.st_ino != st.st_ino or st2.st_size != 0:
+                raise FileExistsError(final)
             os.unlink(final)
         except FileNotFoundError:
             pass
@@ -219,12 +237,33 @@ def _commit(
     except FileExistsError as exc:
         raise TxLogConflict(f"version {version} already committed or claimed") from exc
     tmp = final + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(entry, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.close(fd)
-    os.replace(tmp, final)  # atomic publish of the full content
+    try:
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
+        # ownership check: if we stalled >grace between claiming and here, a
+        # recoverer may have unlinked our claim and re-claimed (or even
+        # published) this version — `final` then names a DIFFERENT inode
+        # than the one our fd holds, and os.replace would silently clobber
+        # it, forking the log.  A residual window remains between this
+        # check and the replace (POSIX offers no compare-and-rename); it is
+        # nanoseconds wide vs the unbounded claim->publish stall it guards.
+        try:
+            owned = os.stat(final).st_ino == os.fstat(fd).st_ino
+        except FileNotFoundError:
+            owned = False
+        if not owned:
+            os.unlink(tmp)
+            raise TxLogConflict(
+                f"claim on version {version} was reclaimed by another writer "
+                f"(stalled past the {_CLAIM_GRACE_SECONDS:.0f}s grace?) — "
+                "re-read and retry; this commit's data dir is an orphan "
+                "vacuum will collect"
+            )
+        os.replace(tmp, final)  # atomic publish of the full content
+    finally:
+        os.close(fd)
     return version
 
 
@@ -338,7 +377,8 @@ def _skip_plan(root: str, version: int | None, where: list[tuple]):
         all_stats.update(e.get("stats") or {})
     schema_json = next(
         (e["schema_json"] for e in reversed(entries)
-         if version is None or e["version"] <= version), None
+         if "schema_json" in e and (version is None or e["version"] <= version)),
+        None,
     )
     parts, survivors = [], []
     for d in files:
@@ -371,7 +411,15 @@ def read_table_pruned(
     read_table(spark, root, version)
     survivors, _, schema_json = _skip_plan(root, version, where)
     if survivors:
-        df = spark.read.parquet(*survivors)
+        # pin the LOG's schema exactly like read_table does: after an
+        # allow_add_columns widening the survivor set can mix pre/post-
+        # evolution files, and footer inference from an arbitrary file
+        # would drop (or mistype) the widened column — breaking the
+        # bit-identical-to-read_table contract above
+        reader = spark.read
+        if schema_json is not None:
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        df = reader.parquet(*survivors)
     else:
         stored = StructType.fromJson(json.loads(schema_json))
         # parquet reads surface every column nullable; match that shape so
@@ -971,8 +1019,46 @@ def read_changes(
             f"version {from_version} was vacuumed (time-travel floor is {floor})"
         )
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
     by_version = {e["version"]: e for e in entries}
+
+    # the range's target schema: the newest log schema <= to_version.  Every
+    # per-version frame is null-filled to THIS shape before union/diff —
+    # an allow_add_columns widening inside the range otherwise leaves
+    # pre-evolution append frames narrower than post-evolution ones and
+    # shape-mismatches both unionByName and exceptAll (the txlogcdf stream
+    # reader already null-fills the same way via _named_columns).
+    target_json = next(
+        (
+            by_version[v]["schema_json"]
+            for v in range(to_version, -1, -1)
+            if "schema_json" in by_version.get(v, {})
+        ),
+        None,
+    )
+    target = (
+        StructType.fromJson(json.loads(target_json)) if target_json else None
+    )
+
+    def fill(df: DataFrame) -> DataFrame:
+        """Project df onto the target schema (missing columns -> typed
+        NULLs).  Columns absent from the target (e.g. renamed away by an
+        arbitrary overwrite) are dropped — CDF serves the range's LATEST
+        schema, Delta's rule; only the capture tag rides along."""
+        if target is None:
+            return df
+        extras = [c for c in df.columns if c == "_change_type"]
+        return df.select(
+            *[
+                F.col(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ],
+            *extras,
+        )
+
     parts = []
 
     def tag(df: DataFrame, ctype: str, version: int) -> DataFrame:
@@ -985,21 +1071,25 @@ def read_changes(
     for v in range(from_version + 1, to_version + 1):
         e = by_version[v]
         if e["op"] == "append":
-            appended = spark.read.parquet(
-                *[os.path.join(root, f) for f in e["files"]]
-            )
-            parts.append(tag(appended, "insert", v))
+            reader = spark.read
+            if "schema_json" in e:
+                # pin the commit's own schema (footer inference could
+                # mis-order or drop columns across multi-file appends)
+                reader = reader.schema(StructType.fromJson(json.loads(e["schema_json"])))
+            appended = reader.parquet(*[os.path.join(root, f) for f in e["files"]])
+            parts.append(tag(fill(appended), "insert", v))
         elif os.path.isdir(_changes_path(root, v)):
-            # write-time captured changes (merge_into): touched rows only
+            # write-time captured changes (merge_into): touched rows only;
+            # fill() keeps the capture's _change_type as a trailing extra
             ch = spark.read.parquet(_changes_path(root, v))
             parts.append(
-                ch.select(
+                fill(ch).select(
                     "*", F.lit(v).cast("bigint").alias("_commit_version")
                 )
             )
         else:
-            prev = read_table(spark, root, version=v - 1)
-            cur = read_table(spark, root, version=v)
+            prev = fill(read_table(spark, root, version=v - 1))
+            cur = fill(read_table(spark, root, version=v))
             parts.append(tag(cur.exceptAll(prev), "insert", v))
             parts.append(tag(prev.exceptAll(cur), "delete", v))
     if not parts:
@@ -1175,16 +1265,19 @@ def vacuum(
     floor become unreadable (read_table raises); the newest ones are
     untouched.  Returns {"floor": v, "deleted": n_files}.
 
-    ``retention_seconds`` (default ``_CLAIM_GRACE_SECONDS``) is the
-    Delta-style age guard: an unreferenced data directory younger than this
-    is SKIPPED, because the documented commit order (parquet first, log
-    entry second) means a concurrent in-flight writer's data exists before
-    its log entry publishes — deleting it would corrupt that commit's
-    snapshot.  Pass ``0.0`` only when no other writer can be active."""
+    ``retention_seconds`` (default ``_VACUUM_RETENTION_SECONDS`` = 7 days,
+    Delta's default) is the age guard: an unreferenced data directory
+    younger than this is SKIPPED, because the documented commit order
+    (parquet first, log entry second) means a concurrent in-flight writer's
+    data exists before its log entry publishes — deleting it would corrupt
+    that commit's snapshot once the entry lands.  The guard must comfortably
+    exceed the longest plausible data write (hours at 100 TB), which is why
+    it does NOT reuse the 60 s claim-file grace.  Pass ``0.0`` only when no
+    other writer can be active."""
     import shutil
 
     if retention_seconds is None:
-        retention_seconds = _CLAIM_GRACE_SECONDS
+        retention_seconds = _VACUUM_RETENTION_SECONDS
     entries = _list_entries(root)
     if not entries:
         raise FileNotFoundError(f"no txlog table at {root}")

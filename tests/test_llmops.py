@@ -786,3 +786,38 @@ def test_c4_line_filter_rule_semantics(spark):
     assert got[3]["c4_keep"] and got[3]["kept_words"] == 12
     assert got[4]["n_lines"] == 0 and got[4]["flag_few_lines"]
     assert not got[4]["c4_keep"]
+
+
+def test_blocking_defaults_to_auto_k(spark, monkeypatch):
+    """VERDICT r04 #1: k=None auto-derivation (k = max(8, n //
+    target_cluster_size)) is the DEFAULT for cluster_blocked_pairs and
+    semantic_dedup — the sf1 smoke measured fixed-k blocking quadratic
+    (21x at 10x data, SCALE.md), so the linear-in-n rule must not be
+    opt-in.  Explicit k still wins (the oracle queries pin k=8)."""
+    import inspect
+    import numpy as np
+
+    assert inspect.signature(similarity.cluster_blocked_pairs).parameters["k"].default is None
+    assert inspect.signature(similarity.semantic_dedup).parameters["k"].default is None
+
+    seen = []
+    orig = similarity.kmeans_quantized
+
+    def spy(df, **kw):
+        seen.append(kw.get("k"))
+        return orig(df, **kw)
+
+    monkeypatch.setattr(similarity, "kmeans_quantized", spy)
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(
+        [(i, rng.normal(0, 1, 4).tolist()) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    similarity.cluster_blocked_pairs(df, 0.99, target_cluster_size=10).collect()
+    assert seen[-1] == 12  # max(8, 120 // 10): derived from n, not fixed 8
+    similarity.cluster_blocked_pairs(df, 0.99, target_cluster_size=1000).collect()
+    assert seen[-1] == 8   # floor: max(8, 0)
+    similarity.semantic_dedup(df, 0.99, target_cluster_size=10).count()
+    assert seen[-1] == 12  # semantic_dedup forwards the auto-k default
+    similarity.cluster_blocked_pairs(df, 0.99, k=5).collect()
+    assert seen[-1] == 5   # explicit k is untouched (oracle determinism)

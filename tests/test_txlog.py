@@ -275,7 +275,7 @@ def test_vacuum_retention_spares_inflight_writer_data(spark, tmp_path):
         rel = os.path.join("data", n)
         if rel != inflight_rel:
             p = os.path.join(data_dir, n)
-            old = os.stat(p).st_mtime - (txlog._CLAIM_GRACE_SECONDS + 1)
+            old = os.stat(p).st_mtime - (txlog._VACUUM_RETENTION_SECONDS + 1)
             os.utime(p, (old, old))
     out = txlog.vacuum(root, retain_versions=1)
     # only v0's old unreferenced file is deleted; the young in-flight dir
@@ -1131,3 +1131,166 @@ def test_check_constraints_gate_all_commit_paths(spark, tmp_path):
     assert txlog.read_table(spark, root).count() == 4
     with pytest.raises(KeyError):
         txlog.drop_check_constraint(root, "nope")
+
+
+def test_vacuum_default_retention_is_hours_not_claim_grace(spark, tmp_path):
+    """ADVICE r04 #2: vacuum's age guard must comfortably exceed the longest
+    plausible data write (hours at scale), NOT the 60 s claim-file grace —
+    a large in-flight commit writes parquet for far longer than 60 s before
+    its log entry publishes, and a default vacuum during that window must
+    not delete its data."""
+    assert txlog._VACUUM_RETENTION_SECONDS >= 24 * 3600
+    root = str(tmp_path / "t")
+    txlog.append_table(_df(spark, 0, 10), root)      # v0
+    txlog.overwrite_table(_df(spark, 50, 55), root)  # v1: v0's file dead
+    # a slow in-flight writer: data on disk for 2 hours, entry not published
+    inflight_rel = os.path.join("data", "slow-writer.parquet")
+    _df(spark, 100, 107).write.parquet(os.path.join(root, inflight_rel))
+    p = os.path.join(root, inflight_rel)
+    two_hours_ago = os.stat(p).st_mtime - 2 * 3600
+    os.utime(p, (two_hours_ago, two_hours_ago))
+    out = txlog.vacuum(root, retain_versions=1)  # DEFAULT retention
+    assert out["deleted"] == 0  # 2h-old in-flight data survives the default
+    assert os.path.isdir(p)
+    # explicit 0.0 retention (single-writer maintenance) still reclaims
+    out = txlog.vacuum(root, retain_versions=1, retention_seconds=0.0)
+    assert out["deleted"] == 2  # v0's dead file + the orphan
+    assert not os.path.isdir(p)
+
+
+def test_pruned_read_pins_log_schema_across_evolution(spark, tmp_path):
+    """ADVICE r04 #1: read_table_pruned must pin the log's schema like
+    read_table does.  After an allow_add_columns widening the survivor set
+    mixes pre/post-evolution files; footer inference from an arbitrary file
+    can silently drop the widened column, breaking the documented
+    bit-identical-to-read_table contract."""
+    root = str(tmp_path / "t")
+    txlog.append_table(_df(spark, 0, 10), root)  # narrow: (id, v)
+    wide = spark.range(100, 110).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("x").alias("tag")
+    )
+    txlog.append_table(wide, root, allow_add_columns=True)
+    where = [("id", ">=", 0)]  # prunes nothing: both files survive
+    pruned = txlog.read_table_pruned(spark, root, where)
+    full = txlog.read_table(spark, root).where(F.col("id") >= 0)
+    assert pruned.schema == full.schema  # widened column present, same types
+    assert sorted(pruned.collect()) == sorted(full.collect())
+    # pre-evolution rows null-fill the widened column on the pruned path too
+    assert pruned.where(F.col("id") < 10).where(F.col("tag").isNull()).count() == 10
+    # filtering ON the widened column works even when a pre-evolution file
+    # survives pruning (the inference-based read errored or dropped rows)
+    got = txlog.read_table_pruned(spark, root, [("tag", "=", "x")])
+    assert got.count() == 10
+
+
+def test_claim_ownership_check_prevents_log_fork(spark, tmp_path, monkeypatch):
+    """ADVICE r04 #3: a writer stalled >grace between claiming and
+    publishing may have its claim reclaimed by a recoverer; its later
+    os.replace must NOT silently overwrite the recoverer's committed entry
+    (that forks the log).  The ownership check (claim fd inode == current
+    inode at the entry name) turns the clobber into TxLogConflict."""
+    import json as _json
+
+    root = str(tmp_path / "t")
+    txlog.append_table(_df(spark, 0, 5), root)
+    final = os.path.join(root, "_log", "00000001.json")
+    competing = {
+        "version": 1,
+        "op": "append",
+        "files": [],
+        "schema": _df(spark, 0, 1).schema.simpleString(),
+        "schema_json": _df(spark, 0, 1).schema.json(),
+    }
+
+    orig_acquire = txlog._acquire_claim
+
+    def stalled_then_reclaimed(path):
+        fd = orig_acquire(path)
+        # simulate: this writer stalls past the grace; a recoverer unlinks
+        # the abandoned claim and publishes its own entry at the same name
+        os.unlink(path)
+        tmp = path + ".tmp.recoverer"
+        with open(tmp, "w") as f:
+            _json.dump(competing, f)
+        os.replace(tmp, path)
+        return fd
+
+    monkeypatch.setattr(txlog, "_acquire_claim", stalled_then_reclaimed)
+    with pytest.raises(txlog.TxLogConflict, match="reclaimed"):
+        txlog.append_table(_df(spark, 5, 10), root)
+    monkeypatch.undo()
+    # the recoverer's committed entry was NOT clobbered
+    with open(final) as f:
+        assert _json.load(f) == competing
+    # and the stalled writer's retry path works normally afterwards
+    assert txlog.append_table(_df(spark, 5, 10), root) == 2
+    assert txlog.read_table(spark, root).count() == 10
+
+
+def test_abandoned_claim_not_reclaimed_if_published_meanwhile(
+    tmp_path, monkeypatch
+):
+    """ADVICE r04 #3 (stat->unlink window): _acquire_claim re-checks the
+    claim immediately before unlinking — if the owner PUBLISHED between the
+    abandonment judgment and the unlink (inode/size changed), the committed
+    entry must survive and the contender must see the conflict, not delete
+    the entry.  Interleaving is simulated by making the FIRST stat return
+    the stale zero-length abandoned view while the entry is already
+    published on disk."""
+    import json as _json
+
+    final = str(tmp_path / "00000001.json")
+    with open(final, "w") as f:
+        _json.dump({"version": 1, "op": "append", "files": []}, f)
+    # the stale view the first stat saw: an old zero-length claim
+    decoy = str(tmp_path / "decoy")
+    open(decoy, "w").close()
+    old = os.stat(decoy).st_mtime - (txlog._CLAIM_GRACE_SECONDS + 5)
+    os.utime(decoy, (old, old))
+    stale = os.stat(decoy)
+
+    real_stat = os.stat
+    first = {"pending": True}
+
+    def fake_stat(path, *a, **kw):
+        if path == final and first["pending"]:
+            first["pending"] = False
+            return stale
+        return real_stat(path, *a, **kw)
+
+    monkeypatch.setattr(txlog.os, "stat", fake_stat)
+    with pytest.raises(FileExistsError):
+        txlog._acquire_claim(final)
+    monkeypatch.undo()
+    # the published entry survived the contender's recovery attempt
+    with open(final) as f:
+        assert _json.load(f)["version"] == 1
+
+
+def test_read_changes_across_widening_evolution(spark, tmp_path):
+    """ADVICE r04 #4: a CDF range spanning an allow_add_columns widening
+    mixes narrow pre-evolution append frames with wide post-evolution ones;
+    read_changes must null-fill each per-version frame to the range's
+    latest schema (like the txlogcdf stream reader) instead of raising."""
+    root = str(tmp_path / "t")
+    txlog.append_table(_df(spark, 0, 3), root)   # v0 narrow (id, v)
+    txlog.append_table(_df(spark, 3, 5), root)   # v1 narrow append IN range
+    wide = spark.range(100, 103).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("w").alias("tag")
+    )
+    txlog.append_table(wide, root, allow_add_columns=True)  # v2 widening
+    ch = txlog.read_changes(spark, root, from_version=0)
+    assert ch.columns == ["id", "v", "tag", "_change_type", "_commit_version"]
+    rows = {(r["id"], r["tag"], r["_change_type"], r["_commit_version"])
+            for r in ch.collect()}
+    assert rows == (
+        {(i, None, "insert", 1) for i in (3, 4)}
+        | {(i, "w", "insert", 2) for i in (100, 101, 102)}
+    )
+    # the overwrite DIFF path across the boundary: v3 overwrite (no capture)
+    # drops one pre-evolution row; prev(v2) vs cur(v3) union/diff cleanly
+    snap = txlog.read_table(spark, root).where(F.col("id") != 0)
+    txlog.overwrite_table(snap, root)  # v3
+    ch2 = txlog.read_changes(spark, root, from_version=2)
+    got = {(r["id"], r["_change_type"]) for r in ch2.collect()}
+    assert got == {(0, "delete")}
