@@ -16517,9 +16517,13 @@ _SQL_KISH = """
            FROM r1 JOIN (SELECT pri, SUM(w) AS s FROM r1 GROUP BY pri) cs
                   ON cs.pri = r1.pri),
     u AS (SELECT n, CAST(w AS DOUBLE) / CAST(n AS DOUBLE) AS uw FROM c1),
+    -- float sums fold the SAME sorted term list on both engines: plain
+    -- SUM() order is engine-dependent and diverges in the last ulp
     m AS (SELECT SUM(n) AS nn,
-                 SUM(n * uw) AS sw,
-                 SUM(n * uw * uw) AS sww
+                 list_reduce(list(n * uw ORDER BY n * uw),
+                             (a, b) -> a + b) AS sw,
+                 list_reduce(list(n * uw * uw ORDER BY n * uw * uw),
+                             (a, b) -> a + b) AS sww
           FROM u)
     SELECT CAST(nn AS BIGINT) AS n_units,
            CAST(nn AS DOUBLE) * sww / (sw * sw) AS kish_deff,
@@ -16580,10 +16584,15 @@ def kish_design_effect(spark, sf_dir):
             / dbl(F.col("n"))
         ).alias("uw"),
     )
+    # ~25 cells: fold the sorted term lists so the float summation order is
+    # bit-identical to the oracle's list_reduce (exact-compare gate)
+    fold = lambda c: F.aggregate(  # noqa: E731
+        F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
     m = c1.agg(
         F.sum("n").alias("nn"),
-        F.sum(F.col("n") * F.col("uw")).alias("sw"),
-        F.sum(F.col("n") * F.col("uw") * F.col("uw")).alias("sww"),
+        fold(F.col("n") * F.col("uw")).alias("sw"),
+        fold(F.col("n") * F.col("uw") * F.col("uw")).alias("sww"),
     )
     deff = dbl(F.col("nn")) * F.col("sww") / (F.col("sw") * F.col("sw"))
     return m.select(
@@ -20050,76 +20059,70 @@ def stream_txlog_merge_e2e(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # ROUND-4 ROTATION (VERDICT r03 ask#1): ~20 slots moved to operators born
-    # after round 1 that had never earned a driver CORRECTNESS row; one
-    # sentinel per family stays so regressions in the old surface still show.
-    # [REF] expand_json family sentinels + post-r1 source connectors
+    # ROUND-5 ROTATION (VERDICT r04 ask#2): 21 slots with >=3 green driver
+    # rows rotate out to never-checked families (txlog CDF/zorder/evolution/
+    # streaming, SQL scripting surface, Arrow UDF tier, state-store reader,
+    # graph pack 2, curation census); one sentinel per family stays so
+    # regressions in the proven surface still show.  All 21 incoming names
+    # pre-flighted via driver_sim at sf0.01 (and the stateful txlog streams
+    # at sf0.1 too, ask#6) before landing here.
+    # [REF] expand_json family sentinels + source connectors
     "expand_props_agg",        # §2.1-1 field mode + inference rules (sentinel)
-    "connect_config_pipeline", # C1 connect-config adapter + C3 PERMISSIVE
-    "xml_expand_agg",          # from_xml expansion (post-r1, never checked)
-    "custom_datasource_expand",# Python DataSource connector (post-r1)
-    "zorder_roundtrip_agg",    # Z-order write path (post-r1)
-    "schema_evolution_merge",  # schema-evolving parquet merge (post-r1)
-    "txlog_time_travel_agg",   # txlog table format + time travel (post-r1)
-    # relational core sentinels
+    "xml_expand_agg",          # from_xml expansion (2 driver rows)
+    "custom_datasource_expand",# Python DataSource connector (1 row)
+    "zorder_roundtrip_agg",    # Z-order write path (1 row)
+    "schema_evolution_merge",  # schema-evolving parquet merge (1 row)
+    "binaryfile_source_stats", # L5/S-family binaryFile source (NEW in window)
+    # txlog lakehouse: DML + CDF + skipping + evolution + streaming
+    "txlog_time_travel_agg",   # snapshot + time travel (1 row)
+    "txlog_merge_upsert",      # MERGE INTO (1 row)
+    "txlog_change_feed_agg",   # CDF read_changes (NEW)
+    "txlog_zorder_skipping_agg",  # OPTIMIZE ZORDER + footer-stats skip (NEW)
+    "txlog_schema_evolution_agg", # widening append + log-owned schema (NEW)
+    "stream_txlog_source_e2e", # txlogstream streaming source (NEW)
+    "stream_txlog_merge_e2e",  # per-micro-batch ACID merge (NEW)
+    "stream_txlog_cdf_e2e",    # txlogcdf streaming CDF source (NEW)
+    # relational core + modern SQL surface
     "q1_pricing_summary",      # R4 aggregation (sentinel)
-    "q3_shipping_priority",    # R2 multi-join + topn (sentinel)
-    "bpe_encode_static",       # frozen-table BPE encode, pure codegen (new r4;
-                               # R10's correlated-subquery rep q2 rotated out
-                               # after three green driver rows r01-r03)
-    "hierarchy_ancestors",     # R10 recursive CTE (sentinel)
-    "asof_join_purchase_click",# R3 as-of join
-    "avro_roundtrip_agg",      # pure-Python Avro container source/sink (new r4)
+    "bpe_encode_static",       # frozen-table BPE encode, pure codegen (1 row)
+    "avro_roundtrip_agg",      # pure-Python Avro container source/sink (1 row)
     "iqr_outlier_report",      # profiling (r01 must-include; r03's one fix)
-    # streaming: real e2e, incl. the two shapes promoted this round
+    "sql_scripting_cumulative",# X3 BEGIN/WHILE + :params + IDENTIFIER (NEW)
+    "sql_udf_pipeline",        # X4 CREATE FUNCTION scalar+table-valued (NEW)
+    "session_vars_execute_immediate",  # X5 session vars + EXECUTE IMMEDIATE (NEW)
+    "transpose_priority_metrics",      # X6 DataFrame.transpose (NEW)
+    "collation_insensitive_group",     # X6 UTF8_LCASE collation grouping (NEW)
+    # streaming: e2e sentinels + the Spark-4 state surface
     "stream_expand_props_e2e", # [REF] SMT deployment shape on a REAL stream
-    "stream_tumbling_agg_e2e", # T1/T2 + S5 real stream
-    "stream_dedup_e2e",        # T4 stateful dedup
-    "stream_stateful_counts",  # T5 applyInPandasWithState
-    "stream_stream_join_e2e",  # T6 stream-stream inner join
-    "stream_stream_left_join_e2e",  # T6 outer: watermark-driven unmatched rows (new)
-    "stream_dynamic_session_e2e",   # T3 dynamic-gap sessions on a stream (new)
-    "stream_cdc_merge_e2e",    # streaming CDC merge (post-r1)
-    # UDF surfaces
-    "pandas_udf_norms",        # U2 (sentinel)
-    "udtf_sentences",          # U3
-    "applyinpandas_centroid",  # U4
-    "cogrouped_customer_orders",  # U4 cogroup (post-r1)
-    # LLM-ops: dedup / similarity / text / multimodal / curation
-    "paragraph_dedup_recompose",  # L1 CCNet paragraph dedup + recompose (new
-                               # r4; dedup_exact_stats rotated out after three
-                               # green driver rows — family keeps 4 slots)
-    "minhash_dedup_md5",       # L2 full MinHash-LSH + connected components
-    "prefix_filter_jaccard_pairs",  # L2 PPJoin prefix-filter join (post-r1)
-    "incremental_dedup_report",     # L2 incremental corpus dedup (post-r1)
-    "dup_span_coverage",       # L2 exact substring-dup coverage (post-r1)
-    "cosine_threshold_pairs",  # L3 embedding near-dup
-    "kmeans_cluster_sizes",    # L3 distributed k-means
-    "semantic_dedup_survivors",# L3 SemDeDup: blocked pairs + CC + keep-one (new r4)
-    "ivf_exact_topk",          # L3 IVF ANN vs exact top-k (post-r1)
-    "tfidf_top_terms",         # L4 text analysis
-    "multimodal_payload_stats",# L5 multimodal plumbing
-    "hash_split_counts",       # splits
-    "contamination_report",    # decontamination
-    "sequence_packing",        # packing/chunking
-    "bpe_merge_rounds",        # BPE tokenizer training (post-r1)
-    "dsir_importance_scores",  # DSIR data selection (post-r1)
-    "vocab_coverage_curve",    # vocab coverage (post-r1)
-    "expectations_report",     # data-quality expectations (post-r1)
-    "golden_record_docs",      # entity-resolution golden records (post-r1)
-    # relational extras / graph / profiling / sketches
-    "txlog_merge_upsert",      # MERGE INTO on the txlog table format (new
-                               # r4; plain relational merge_upsert_orders
-                               # rotated out after three green driver rows —
-                               # the txlog variant exercises a superset)
-    "scd2_user_state",         # SCD2
-    "ccnet_perplexity_buckets",# quality-census family's first window row
-                               # (new r4; gapfill_hourly_events rotated out
-                               # after three green driver rows) — the highest
-                               # cross-engine-risk new op (ln quantization +
-                               # NTILE), exactly what the hard gate is for
-    "label_prop_communities",  # graph label propagation (post-r1)
-    "triangle_count_part_graph",  # graph triangles
+    "stream_stream_left_join_e2e",  # T6 outer join w/ watermark eviction (1 row)
+    "stream_dynamic_session_e2e",   # T3 dynamic-gap sessions (1 row)
+    "stream_cdc_merge_e2e",    # streaming CDC merge (1 row)
+    "statestore_reader_agg",   # X7 state-store-as-batch reader (NEW)
+    # UDF surfaces: the Arrow tier earns its first driver rows
+    "cogrouped_customer_orders",  # U4 cogroup applyInPandas (1 row)
+    "udtf_table_partition_stats", # U3 UDTF TABLE arg + PARTITION BY (NEW)
+    "pandas_udf_iter_norms",   # U2 iterator-form pandas UDF (NEW)
+    "applyinarrow_centroid",   # U4 applyInArrow (NEW)
+    "arrow_udf_parity",        # U1 Arrow-optimized python UDF vs plain (NEW)
+    # LLM-ops: dedup / similarity / text / curation
+    "paragraph_dedup_recompose",  # L1 CCNet paragraph dedup + recompose (1 row)
+    "prefix_filter_jaccard_pairs",  # L2 PPJoin prefix-filter join (1 row)
+    "incremental_dedup_report",     # L2 incremental corpus dedup (1 row)
+    "dup_span_coverage",       # L2 exact substring-dup coverage (1 row)
+    "semantic_dedup_survivors",# L3 SemDeDup: blocked pairs + CC + keep-one (1 row)
+    "ivf_exact_topk",          # L3 IVF ANN vs exact top-k (1 row)
+    "ccnet_perplexity_buckets",# L4 perplexity quality census (1 row)
+    "c4_line_filter_census",   # L4 C4 line-level filter census (NEW)
+    "bpe_merge_rounds",        # BPE tokenizer training (1 row)
+    "dsir_importance_scores",  # DSIR data selection (1 row)
+    "vocab_coverage_curve",    # vocab coverage / splits family rep (1 row)
+    "expectations_report",     # data-quality expectations (1 row)
+    "golden_record_docs",      # entity-resolution golden records (1 row)
+    # graph pack 2: the traversal/centrality ops' first driver rows
+    "label_prop_communities",  # graph label propagation (1 row)
+    "pagerank_event_graph",    # PageRank (NEW)
+    "bfs_hops_part_graph",     # BFS hop counts (NEW)
+    "kcore_part_graph",        # k-core decomposition (NEW)
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 

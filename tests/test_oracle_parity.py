@@ -8,13 +8,23 @@ Runs at sf0.001 by default for speed; set SPARK_GRAFT_TEST_SF_DIR to
 
 import math
 import os
+import sys
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+from driver_sim import values_equal as driver_values_equal  # noqa: E402
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# Queries exempted from the driver-exact float compare (VERDICT r04 #3: the
+# default gate must be AS STRICT as the driver's hash — a 1e-9 tolerance here
+# let r02's iqr_outlier_report pass pytest while the driver failed it).
+# Every entry needs a comment saying WHY exactness is impossible for it.
+_TOLERANT: set[str] = set()
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -39,14 +49,19 @@ def canon(df):
     return df
 
 
-def values_equal(a, b) -> bool:
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
+def values_equal(a, b, tolerant: bool = False) -> bool:
+    """Driver-exact by default (tools/driver_sim.values_equal: type-tagged,
+    no float tolerance — the driver hashes exact doubles).  ``tolerant``
+    applies a 1e-9 relative tolerance, ONLY for names in _TOLERANT."""
+    if tolerant:
+        if a is None and b is None:
             return True
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
-    return a == b
+        if isinstance(a, float) and isinstance(b, float):
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        return a == b
+    return driver_values_equal(a, b)
 
 
 ORACLE_QUERIES = sorted(entry_mod.oracle_sql().keys())
@@ -65,10 +80,11 @@ def test_query_matches_oracle(spark, ddb, name):
         f"{name}: columns {list(spark_df.columns)} != {list(duck_df.columns)}"
     )
     mismatches = []
+    tolerant = name in _TOLERANT
     for col in spark_df.columns:
         sv, dv = spark_df[col].tolist(), duck_df[col].tolist()
         for i, (x, y) in enumerate(zip(sv, dv)):
-            if not values_equal(x, y):
+            if not values_equal(x, y, tolerant=tolerant):
                 mismatches.append((col, i, x, y))
                 if len(mismatches) > 5:
                     break

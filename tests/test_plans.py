@@ -531,23 +531,30 @@ def test_driver_window_composition():
     assert first50 == _DRIVER_WINDOW
     missing_oracles = [n for n in first50 if n not in ORACLES]
     assert not missing_oracles, missing_oracles
-    # round-4 rotation (VERDICT r03 ask#1): sentinels for the old surface plus
-    # the post-r1 operators that had never earned a driver CORRECTNESS row
+    # round-5 rotation (VERDICT r04 ask#2): sentinels for the proven surface
+    # plus the never-driver-checked families earning their first rows
     must_have = {
-        "expand_props_agg", "connect_config_pipeline", "xml_expand_agg",
-        "custom_datasource_expand", "txlog_time_travel_agg",
-        "schema_evolution_merge", "stream_expand_props_e2e",
-        "stream_tumbling_agg_e2e", "stream_dedup_e2e", "stream_stateful_counts",
-        "stream_stream_join_e2e", "stream_stream_left_join_e2e",
+        # sentinels kept from prior rounds
+        "expand_props_agg", "q1_pricing_summary", "stream_expand_props_e2e",
+        "xml_expand_agg", "custom_datasource_expand", "txlog_time_travel_agg",
+        "schema_evolution_merge", "stream_stream_left_join_e2e",
         "stream_dynamic_session_e2e", "stream_cdc_merge_e2e",
-        "pandas_udf_norms", "udtf_sentences", "applyinpandas_centroid",
-        "cogrouped_customer_orders", "minhash_dedup_md5",
+        "cogrouped_customer_orders", "paragraph_dedup_recompose",
         "prefix_filter_jaccard_pairs", "incremental_dedup_report",
-        "kmeans_cluster_sizes", "bpe_merge_rounds", "label_prop_communities",
-        "triangle_count_part_graph", "scd2_user_state", "txlog_merge_upsert",
-        # round-4 late additions, swapped in for driver-proven r01-r03 slots
-        "paragraph_dedup_recompose", "bpe_encode_static",
-        "ccnet_perplexity_buckets",
+        "semantic_dedup_survivors", "ivf_exact_topk", "bpe_merge_rounds",
+        "label_prop_communities", "txlog_merge_upsert",
+        "ccnet_perplexity_buckets", "bpe_encode_static", "iqr_outlier_report",
+        # round-5 first-driver-row families
+        "txlog_change_feed_agg", "txlog_zorder_skipping_agg",
+        "txlog_schema_evolution_agg", "stream_txlog_source_e2e",
+        "stream_txlog_merge_e2e", "stream_txlog_cdf_e2e",
+        "statestore_reader_agg", "sql_scripting_cumulative",
+        "sql_udf_pipeline", "session_vars_execute_immediate",
+        "transpose_priority_metrics", "collation_insensitive_group",
+        "udtf_table_partition_stats", "pandas_udf_iter_norms",
+        "applyinarrow_centroid", "arrow_udf_parity", "pagerank_event_graph",
+        "bfs_hops_part_graph", "kcore_part_graph", "c4_line_filter_census",
+        "binaryfile_source_stats",
     }
     assert must_have <= set(first50), must_have - set(first50)
 

@@ -23,7 +23,9 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-SF = "/root/testdata/sf0.01"
+# the driver gate runs at sf0.01; override to pre-flight stateful queries at
+# other scales too (VERDICT r04 ask#6: sf0.01 AND sf0.1 before windowing)
+SF = os.environ.get("SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon(df):
