@@ -605,14 +605,23 @@ def kmeans_quantized(
                 return pd.DataFrame({"cluster": pd.array([], dtype="int32"),
                                      "dist": pd.array([], dtype="int64")})
             X = np.array(xq.tolist(), dtype="int64")
-            D = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + cnorm[None, :]
-            j = D.argmin(axis=1)  # first minimum -> lowest cluster id on ties
-            return pd.DataFrame(
-                {
-                    "cluster": cids[j].astype("int32"),
-                    "dist": D[np.arange(len(j)), j],
-                }
-            )
+            # chunk rows so the rows×k distance matrix stays ~32 MB: with
+            # auto-k (k ∝ n) a full 10k-row Arrow batch would materialize
+            # rows×k int64 — hundreds of MB per concurrently-running task
+            # at 100 TB scale — for an argmin that never needs it all at once
+            step = max(1, 4_000_000 // max(1, len(cids)))
+            outs = []
+            for lo in range(0, len(X), step):
+                Xc = X[lo:lo + step]
+                D = (Xc * Xc).sum(axis=1)[:, None] - 2 * (Xc @ C.T) + cnorm[None, :]
+                j = D.argmin(axis=1)  # first minimum -> lowest cluster id on ties
+                outs.append(pd.DataFrame(
+                    {
+                        "cluster": cids[j].astype("int32"),
+                        "dist": D[np.arange(len(j)), j],
+                    }
+                ))
+            return pd.concat(outs, ignore_index=True)
 
         return frame.withColumn("__best", nearest("__xq")).select(
             F.col(id_col),

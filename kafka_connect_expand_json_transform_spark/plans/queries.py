@@ -6756,6 +6756,72 @@ def zorder_roundtrip_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_VARIANT_SHREDDED = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type
+"""
+
+
+@query("variant_shredded_roundtrip_agg", _SQL_VARIANT_SHREDDED)
+def variant_shredded_roundtrip_agg(spark, sf_dir):
+    """VariantType SHREDDED parquet round trip (VERDICT r04 ask#8): props
+    parsed to a variant column, WRITTEN to parquet with
+    ``spark.sql.variant.writeShredding.enabled`` +
+    ``inferShreddingSchema`` (common paths stored as typed parquet
+    subcolumns alongside the binary), then read back with
+    ``spark.sql.variant.pushVariantIntoScan`` so ``variant_get`` becomes a
+    plain typed column read — the filter lands in PushedFilters and
+    ReadSchema narrows to ``v:struct<0:bigint>`` (asserted structurally in
+    test_plans).  At 100 TB this is the difference between scanning opaque
+    variant binaries and parquet-native column pruning + row-group
+    skipping on semi-structured data.  Value-identity with the JSON oracle
+    proves the shred/unshred is lossless."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_variant_")
+    confs = {
+        "spark.sql.variant.writeShredding.enabled": "true",
+        "spark.sql.variant.inferShreddingSchema": "true",
+        "spark.sql.variant.pushVariantIntoScan": "true",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        ev.write.mode("overwrite").parquet(tmp + "/v")
+        back = spark.read.parquet(tmp + "/v")
+        kcol = F.variant_get("v", "$.k", "bigint")
+        res = (
+            back.where(kcol >= 50)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(kcol).cast("bigint").alias("sum_k"),
+            )
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_OBSERVED_METRICS = """
     SELECT COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN NOT json_valid(CASE WHEN event_id % 10 = 0

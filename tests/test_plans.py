@@ -699,3 +699,49 @@ def test_semantic_dedup_survivors_no_corpus_rescan_blowup(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_variant_shredded_read_pushes_into_scan(spark, tmp_path):
+    """variant_shredded_roundtrip_agg's layout contract: with shredded
+    write + pushVariantIntoScan, a variant_get over a written-back variant
+    column becomes a typed subcolumn read — the filter lands in
+    PushedFilters and ReadSchema narrows to the shredded field instead of
+    the opaque binary."""
+    out = str(tmp_path / "var")
+    saved = {}
+    confs = {
+        "spark.sql.variant.writeShredding.enabled": "true",
+        "spark.sql.variant.inferShreddingSchema": "true",
+        "spark.sql.variant.pushVariantIntoScan": "true",
+    }
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = spark.range(20).select(
+            F.col("id"),
+            F.parse_json(F.concat(F.lit('{"k": '), F.col("id") * 3, F.lit("}"))).alias("v"),
+        )
+        df.write.mode("overwrite").parquet(out)
+        back = spark.read.parquet(out)
+        k = F.variant_get("v", "$.k", "bigint")
+        q = back.select("id", k.alias("k")).where(F.col("k") > 6)
+        plan = q._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+        assert "GreaterThan(v." in pushed, pushed
+        # only the shredded bigint subcolumn is read, not the variant binary
+        rs = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "struct<0:bigint>" in rs.replace("`", ""), rs
+        assert "variant" not in rs, rs
+        assert q.count() == 17
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -118,6 +118,19 @@ def main() -> int:
         print(f"generation: {time.monotonic() - t0:.1f}s", flush=True)
 
     qs = entry_mod.queries()
+
+    # pseudo-query: the SCALE-SAFE auto-k blocking path (k=None derives
+    # k ∝ n).  The registered semantic_blocked_pairs query pins k=8 for
+    # oracle determinism — at 10-100x data that fixed k IS the measured
+    # quadratic cliff, so the smoke must probe the default/auto path too.
+    def _semantic_blocked_autok(spark, sf_dir):
+        from kafka_connect_expand_json_transform_spark.llmops import similarity
+        from kafka_connect_expand_json_transform_spark.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.cluster_blocked_pairs(emb, threshold=0.4, iters=3)
+
+    qs = dict(qs, semantic_blocked_autok=_semantic_blocked_autok)
     names = [a for a in sys.argv[1:] if not a.startswith("--")] or HEAVY
     timings, failures = {}, {}
     for name in names:
