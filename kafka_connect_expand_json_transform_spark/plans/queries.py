@@ -20116,6 +20116,181 @@ def stream_txlog_merge_e2e(spark, sf_dir):
 
 
 
+_SQL_BITMAP_DISTINCT = """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+@query("bitmap_distinct_rollup", _SQL_BITMAP_DISTINCT)
+def bitmap_distinct_rollup(spark, sf_dir):
+    """EXACT distinct counting via mergeable bitmaps (Spark 3.5 bitmap
+    aggregates) — the exact-tier twin of `hll_distinct_rollup`: per
+    (status, priority, bucket) partial bitmaps
+    (``bitmap_construct_agg(bitmap_bit_position(v))`` keyed by
+    ``bitmap_bucket_number(v)``), then OR-merged up to per-status counts
+    with ``bitmap_or_agg``/``bitmap_count``.  At 100 TB the two-level
+    shape is the point: the expensive pass persists kilobyte bitmap
+    partials once, and every later rollup re-aggregates BITMAPS (union is
+    associative), never re-touching rows — exact COUNT(DISTINCT) without
+    the classic re-shuffle-the-world re-aggregation.  The oracle is plain
+    COUNT(DISTINCT), proving the bitmap algebra loses nothing."""
+    orders = load_table(spark, sf_dir, "orders")
+    partials = (
+        orders.groupBy(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.bitmap_bucket_number("o_custkey").alias("bucket"),
+        ).agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm")
+        )
+    )
+    merged = partials.groupBy("o_orderstatus", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_customers")
+    )
+
+
+_SQL_DOMAIN_CAP = """
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             source || CAST(doc_id % 7 AS VARCHAR) || '.org' AS domain
+      FROM documents),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id)
+                      AS rn
+          FROM u)
+    SELECT domain,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_kept
+    FROM r GROUP BY domain
+"""
+
+
+@query("url_domain_cap_census", _SQL_DOMAIN_CAP)
+def url_domain_cap_census(spark, sf_dir):
+    """FineWeb/RefinedWeb-style URL-domain curation: parse the document
+    URL's host (``parse_url(..., 'HOST')`` — JVM-side, no UDF), reduce to
+    the registered domain, and cap each domain at 20 documents (first by
+    doc_id) — the standard web-corpus defense against one crawl-heavy
+    domain dominating the training mix.  URLs are synthesized
+    deterministically from (source, doc_id) since the fixture carries no
+    URL column; the ORACLE rebuilds the same registered domain by string
+    concat, so the value check proves the parse_url+regexp path extracts
+    exactly what was encoded.  Scale shape: one narrow projection, one
+    per-domain window (WindowGroupLimit-eligible rank), one aggregate —
+    the per-domain cap shuffles on the domain key only."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit(".org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm=x"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    regdom = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    r = (
+        docs.select("doc_id", "n_chars", regdom.alias("domain"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    kept = F.col("rn") <= 20
+    return r.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("chars_kept"),
+    )
+
+
+_SQL_FERTILITY = f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(list_filter({_SQL_TOKS}, x -> x <> ''))) AS BIGINT)
+             AS total_words,
+           CAST(SUM(len(regexp_extract_all(
+                    text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE)
+             / CAST(SUM(len(regexp_extract_all(
+                    text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS DOUBLE)
+             AS chars_per_token
+    FROM documents
+    GROUP BY lang
+"""
+
+
+@query("tokenizer_fertility_report", _SQL_FERTILITY)
+def tokenizer_fertility_report(spark, sf_dir):
+    """Tokenizer fertility by language — the compression-ratio census every
+    multilingual data recipe needs before fixing a token budget: characters
+    per (BPE-ish) token and the word/token ratio per lang.  High fertility
+    languages consume more of the context window per character; mixes are
+    usually rebalanced on TOKENS, not documents, and this report is the
+    conversion table.  Integer sums (chars, words, tokens) are exact; the
+    single double division is performed identically on both engines.
+    Scale: one narrow regexp_count projection (JVM regex, no UDF) and one
+    partial-aggregated groupBy on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(TXT.token_count("text")).cast("bigint").alias("total_words"),
+        F.sum(TXT.bpe_ish_token_count("text")).cast("bigint").alias("total_tokens"),
+        (
+            dbl(F.sum("n_chars"))
+            / dbl(F.sum(TXT.bpe_ish_token_count("text")))
+        ).alias("chars_per_token"),
+    )
+
+
+_SQL_AES_ROUNDTRIP = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(LENGTH(c_name)) AS BIGINT) AS name_chars
+    FROM customer
+    GROUP BY c_mktsegment
+"""
+
+
+@query("aes_roundtrip_report", _SQL_AES_ROUNDTRIP)
+def aes_roundtrip_report(spark, sf_dir):
+    """Column-level PII encryption round trip: ``aes_encrypt`` the
+    customer name (AES-128-GCM, per-row random IV — ciphertexts are
+    IRREVERSIBLY distinct run to run, which is the security property),
+    then ``aes_decrypt`` and aggregate over the RECOVERED plaintext; the
+    oracle aggregates the original column, so value identity proves the
+    trip is lossless.  The governed-lake pattern at scale: encrypt once at
+    ingest with a per-column key, decrypt in the engine (JVM codegen, no
+    UDF) only inside authorized queries.  The ciphertext!=plaintext
+    property is asserted in test_relational (an inline assert_true column
+    would be pruned here — Catalyst drops unreferenced projections)."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.lit("0123456789abcdef")  # 16-byte demo key (AES-128)
+    enc = cust.select(
+        "c_mktsegment",
+        F.aes_encrypt(F.col("c_name").cast("binary"), key).alias("ct"),
+    )
+    dec = enc.select(
+        "c_mktsegment",
+        F.aes_decrypt(F.col("ct"), key).cast("string").alias("name"),
+    )
+    return dec.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("name")).cast("bigint").alias("name_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

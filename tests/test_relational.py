@@ -337,3 +337,32 @@ def test_skyline_matches_bruteforce_on_random_inputs(spark):
         df = spark.createDataFrame(pts, "g string, x long, y long")
         got = sorted((r.g, r.x, r.y) for r in skyline_2d(df, "x", "y", ["g"]).collect())
         assert got == expected, (seed, got, expected)
+
+
+def test_aes_roundtrip_lossless_and_ciphertext_differs(spark):
+    """aes_roundtrip_report's security property, asserted where Catalyst
+    can't prune it: GCM ciphertext never equals (or embeds) the plaintext,
+    two encryptions of the same value differ (random IV), and decrypt
+    recovers the plaintext exactly."""
+    from pyspark.sql import functions as F
+
+    key = F.lit("0123456789abcdef")
+    df = spark.createDataFrame(
+        [("Customer#000000001",), ("Customer#000000002",)], "name string"
+    )
+    enc = df.select(
+        "name", F.aes_encrypt(F.col("name").cast("binary"), key).alias("ct")
+    )
+    rows = enc.collect()
+    for r in rows:
+        assert bytes(r["ct"]) != r["name"].encode()
+        assert r["name"].encode() not in bytes(r["ct"])
+    # per-EXECUTION random IV: a second run of the same plan yields
+    # different ciphertexts (identical expressions within one plan are
+    # CSE'd by Catalyst, so the comparison must span executions)
+    rows2 = enc.collect()
+    assert [bytes(r["ct"]) for r in rows] != [bytes(r["ct"]) for r in rows2]
+    back = enc.select(
+        "name", F.aes_decrypt("ct", key).cast("string").alias("dec")
+    )
+    assert all(r["name"] == r["dec"] for r in back.collect())
