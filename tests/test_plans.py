@@ -745,3 +745,48 @@ def test_variant_shredded_read_pushes_into_scan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """write_parquet(bucket_by=...)'s 100 TB contract: two tables bucketed
+    on the join key join WITHOUT an Exchange on either side — the bucket
+    layout IS the shuffle, paid once at write time and amortized over
+    every later join on that key."""
+    import uuid
+
+    from kafka_connect_expand_json_transform_spark.sources.batch import (
+        load_table,
+        write_parquet,
+    )
+
+    sfx = uuid.uuid4().hex[:8]
+    ta, tb = f"bkt_orders_{sfx}", f"bkt_cust_{sfx}"
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    # at sf0.001 the dim fits the broadcast threshold and AQE would pick
+    # BHJ (reading "Bucketed: false (disabled by query planner)") — disable
+    # broadcast so the test sees the shape 100 TB would see, where neither
+    # side broadcasts and bucketing is what removes the shuffle
+    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_parquet(orders, str(tmp_path / "a"), bucket_by=(8, ["o_custkey"]), table_name=ta)
+        write_parquet(
+            cust.withColumnRenamed("c_custkey", "o_custkey"),
+            str(tmp_path / "b"),
+            bucket_by=(8, ["o_custkey"]),
+            table_name=tb,
+        )
+        joined = spark.table(ta).join(spark.table(tb), "o_custkey")
+        joined.collect()  # AQE finalizes the plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: zero shuffles
+        # contrast: the same join from plain parquet shuffles both sides
+        plain = orders.join(cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in pplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

@@ -1294,3 +1294,96 @@ def test_read_changes_across_widening_evolution(spark, tmp_path):
     ch2 = txlog.read_changes(spark, root, from_version=2)
     got = {(r["id"], r["_change_type"]) for r in ch2.collect()}
     assert got == {(0, "delete")}
+
+
+def test_concurrent_appenders_all_land_exactly_once(spark, tmp_path):
+    """Optimistic-concurrency stress for the commit path (exercises the
+    round-5 ownership check under REAL thread interleaving): 8 threads
+    each append their own disjoint range under with_retries; every commit
+    must land exactly once, versions must be contiguous, and the final
+    snapshot must hold exactly the union of all rows."""
+    import threading
+
+    root = str(tmp_path / "t")
+    txlog.append_table(_df(spark, 0, 5), root)  # v0
+    n_threads, per = 8, 10
+    errors = []
+
+    def worker(i):
+        lo = 100 + i * per
+        try:
+            txlog.with_retries(
+                lambda: txlog.append_table(_df(spark, lo, lo + per), root),
+                max_retries=n_threads * 3,
+            )
+        except Exception as exc:  # noqa: BLE001 — collected for the assert
+            errors.append((i, repr(exc)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert txlog.latest_version(root) == n_threads  # contiguous versions
+    got = sorted(r["id"] for r in txlog.read_table(spark, root).collect())
+    want = sorted(
+        list(range(0, 5))
+        + [100 + i * per + j for i in range(n_threads) for j in range(per)]
+    )
+    assert got == want  # exactly once: no loss, no duplication
+
+
+def test_cdf_replay_reconstructs_any_snapshot(spark, tmp_path):
+    """read_changes' semantic contract over a MIXED op sequence (appends,
+    widening append, captured merge, diff-fallback overwrite): applying
+    the change feed (from_version=v) onto snapshot(v) reproduces
+    snapshot(latest) exactly, for EVERY v — insert rows are added, delete
+    rows removed, multiset semantics."""
+    from collections import Counter
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, i * 2) for i in range(6)], "k long, v long")
+    txlog.append_table(base, root)                                    # v0
+    txlog.append_table(
+        spark.createDataFrame([(10, 20), (11, 22)], "k long, v long"), root
+    )                                                                 # v1
+    wide = spark.createDataFrame([(20, 40, "w")], "k long, v long, tag string")
+    txlog.append_table(wide, root, allow_add_columns=True)            # v2
+    txlog.merge_into(                                                 # v3 (captured)
+        spark,
+        root,
+        spark.createDataFrame([(1, 99, "m"), (30, 60, "m")], "k long, v long, tag string"),
+        ["k"],
+    )
+    snap = txlog.read_table(spark, root).where(F.col("k") != 10)
+    txlog.overwrite_table(snap, root)                                 # v4 (diff path)
+
+    latest = txlog.latest_version(root)
+    cols = txlog.read_table(spark, root).columns
+    final = Counter(
+        tuple(r[c] for c in cols) for r in txlog.read_table(spark, root).collect()
+    )
+    for v in range(latest + 1):
+        start = Counter(
+            tuple(r[c] for c in cols)
+            for r in txlog.read_table(spark, root, version=v)
+            .select(  # null-fill pre-evolution snapshots to the final shape
+                *[
+                    F.col(c) if c in txlog.read_table(spark, root, version=v).columns
+                    else F.lit(None).cast("string").alias(c)
+                    for c in cols
+                ]
+            )
+            .collect()
+        )
+        ch = txlog.read_changes(spark, root, from_version=v)
+        for r in ch.collect():
+            key = tuple(r[c] for c in cols)
+            if r["_change_type"] == "insert":
+                start[key] += 1
+            else:
+                start[key] -= 1
+                if start[key] == 0:
+                    del start[key]
+        assert start == final, f"replay from v{v} diverged"
