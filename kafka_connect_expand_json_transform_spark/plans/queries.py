@@ -20291,6 +20291,106 @@ def aes_roundtrip_report(spark, sf_dir):
     )
 
 
+_SQL_UTF8_REPAIR = """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_invalid,
+           CAST(SUM(n_chars + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS chars_after_repair
+    FROM documents
+    GROUP BY source
+"""
+
+
+@query("utf8_repair_census", _SQL_UTF8_REPAIR)
+def utf8_repair_census(spark, sf_dir):
+    """Mojibake triage for web-crawl text (Spark 4 UTF-8 validity
+    surface): ``is_valid_utf8`` flags byte-corrupted documents and
+    ``make_valid_utf8`` repairs them by substituting U+FFFD — the standard
+    first pass over crawl dumps before any tokenizer sees the bytes (an
+    invalid sequence crashes or silently skews downstream tokenization).
+    Corruption is INJECTED deterministically (a trailing 0xFF byte on
+    doc_id % 5 == 0, spliced below string level via a binary cast), so the
+    oracle can state the expected validity and post-repair lengths as pure
+    arithmetic — the value check proves the validity test flags exactly
+    the corrupted rows and the repair adds exactly one replacement char.
+    Scale: narrow projection, JVM-side validation, one groupBy(source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corrupt = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text").cast("binary"), F.lit(b"\xff")).cast("string"),
+    ).otherwise(F.col("text"))
+    d = docs.select(
+        "source",
+        F.is_valid_utf8(corrupt).alias("ok"),
+        F.length(F.make_valid_utf8(corrupt)).alias("len_repaired"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((~F.col("ok")).cast("bigint")).alias("n_invalid"),
+        F.sum("len_repaired").cast("bigint").alias("chars_after_repair"),
+    )
+
+
+# Luhn unrolled for a fixed 12-digit candidate: from the RIGHT, double
+# every second digit (positions 1,3,5,...), subtract 9 when the double
+# exceeds 9, and require the total to be divisible by 10.  The same
+# integer arithmetic runs on both engines; the Spark query additionally
+# cross-checks the engine's builtin luhn_check against it.
+def _luhn_sql_terms(num_expr: str) -> str:
+    terms = []
+    for i in range(12):
+        d = f"(({num_expr}) // CAST(POW(10, {i}) AS BIGINT)) % 10"
+        if i % 2 == 1:
+            terms.append(f"(CASE WHEN 2*({d}) > 9 THEN 2*({d}) - 9 ELSE 2*({d}) END)")
+        else:
+            terms.append(f"({d})")
+    return " + ".join(terms)
+
+
+_SQL_PII_LUHN = f"""
+    WITH c AS (
+      SELECT source,
+             (doc_id * 37 + 11) % 1000000000000 AS cand
+      FROM documents),
+    v AS (SELECT source,
+                 CASE WHEN ({_luhn_sql_terms('cand')}) % 10 = 0
+                      THEN 1 ELSE 0 END AS ok
+          FROM c)
+    SELECT source,
+           COUNT(*) AS n_candidates,
+           CAST(SUM(ok) AS BIGINT) AS n_luhn_valid
+    FROM v GROUP BY source
+"""
+
+
+@query("pii_luhn_census", _SQL_PII_LUHN)
+def pii_luhn_census(spark, sf_dir):
+    """Credit-card-shaped PII triage: digit-run candidates are cheap to
+    regex but ~90% of random digit runs are NOT valid card numbers —
+    ``luhn_check`` (the ISO/IEC 7812 checksum, a Spark 3.5 builtin) cuts
+    the false positives an order of magnitude before any human/redaction
+    step.  Candidates are synthesized deterministically from doc_id
+    (12-digit zero-padded), and the ORACLE computes the Luhn sum from
+    first principles (unrolled digit arithmetic), so the value check
+    verifies Spark's builtin against the spec digit-for-digit.  Scale:
+    pure codegen projection + one groupBy(source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # luhn_check has no pyspark.sql.functions binding in 4.1 — SQL expr
+    d = docs.select(
+        "source",
+        F.expr(
+            "luhn_check(lpad(CAST((doc_id * 37 + 11) % 1000000000000 "
+            "AS STRING), 12, '0'))"
+        ).alias("ok"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.col("ok").cast("bigint")).alias("n_luhn_valid"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
