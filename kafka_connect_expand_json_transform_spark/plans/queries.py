@@ -20391,6 +20391,92 @@ def pii_luhn_census(spark, sf_dir):
     )
 
 
+_SQL_INCR_AGG = """
+    WITH o AS (
+        SELECT o_orderkey AS k, o_orderpriority AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ),
+    base AS (SELECT * FROM o WHERE k % 10 < 5),
+    after AS (
+        SELECT k, g,
+               CASE WHEN k % 10 = 0 THEN cents + 100 ELSE cents END AS cents
+        FROM base WHERE k % 10 <> 1
+        UNION ALL
+        SELECT k, g, cents FROM o WHERE k % 10 = 5
+    )
+    SELECT g, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM after GROUP BY g
+"""
+
+
+@query("incremental_agg_maintenance", _SQL_INCR_AGG)
+def incremental_agg_maintenance(spark, sf_dir):
+    """Materialized-aggregate maintenance from the change feed — the
+    canonical CDF consumer: a per-priority (count, cent-sum) table is
+    materialized at version 0, then the base table takes a DELETE, an
+    UPDATE, and an APPEND, and the aggregate is brought current by
+    applying ONLY ``read_changes`` deltas (insert rows add, delete rows
+    subtract — sum/count are self-inverting merges), never rescanning the
+    base.  The oracle recomputes the final aggregate from scratch, so the
+    value check proves delta-maintenance equals recompute.  At 100 TB this
+    is the difference between an O(changes) refresh and an O(table) one —
+    the reason CDF exists."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_incr_agg_")
+    try:
+        root = tmp + "/orders_m"
+        TX.append_table(o.where(F.col("k") % 10 < 5), root)  # v0
+        agg0 = (
+            TX.read_table(spark, root, version=0)
+            .groupBy("g")
+            .agg(F.count("*").alias("n0"), F.sum("cents").alias("s0"))
+            .localCheckpoint(eager=True)  # the materialized aggregate
+        )
+        TX.delete_where(spark, root, "k % 10 = 1")                       # v1
+        TX.update_where(spark, root, "k % 10 = 0", {"cents": "cents + 100"})  # v2
+        TX.append_table(o.where(F.col("k") % 10 == 5), root)             # v3
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = (
+            TX.read_changes(spark, root, from_version=0)
+            .groupBy("g")
+            .agg(
+                F.sum(sign).alias("dn"),
+                F.sum(sign * F.col("cents")).alias("ds"),
+            )
+        )
+        out = (
+            agg0.join(delta, "g", "full_outer")
+            .select(
+                "g",
+                (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+                .cast("bigint")
+                .alias("n"),
+                (F.coalesce("s0", F.lit(0)) + F.coalesce("ds", F.lit(0)))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .where(F.col("n") > 0)
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
