@@ -790,3 +790,62 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_join_hints_are_respected(spark):
+    """Join-strategy hints — the manual override lane when statistics lie
+    at scale: BROADCAST forces BHJ even over the threshold logic,
+    SHUFFLE_HASH forces SHJ, MERGE forces SMJ."""
+    from kafka_connect_expand_json_transform_spark.sources.batch import load_table
+
+    o = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, SF, "customer").select("c_custkey")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "merge": "SortMergeJoin",
+    }
+    for hint, op in cases.items():
+        j = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert op in plan, (hint, plan)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling — the runtime answer to hot keys: a join
+    where one key holds ~100x the median partition size gets its oversized
+    partitions SPLIT at runtime (the SMJ is marked skew=true), instead of
+    one straggler task dominating the stage wall-clock."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # one hot key (0) with ~200k rows; 200 cold keys with ~100 each
+        left = spark.range(220_000).select(
+            F.when(F.col("id") < 200_000, F.lit(0))
+            .otherwise(F.col("id") % 200)
+            .alias("k"),
+            (F.col("id") * 7).alias("payload"),
+        )
+        right = spark.range(200).select(F.col("id").alias("k"), F.lit("d").alias("tag"))
+        j = left.join(right, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
