@@ -20494,11 +20494,16 @@ _DRIVER_WINDOW = [
     # pre-flighted via driver_sim at sf0.01 (and the stateful txlog streams
     # at sf0.1 too, ask#6) before landing here.
     # [REF] expand_json family sentinels + source connectors
+    # (five 1-green slots also rotated out in favor of round-5-born queries
+    # so the window carries >=25 first-row names: zorder_roundtrip_agg ->
+    # txlog_zorder_skipping_agg covers the zorder surface,
+    # schema_evolution_merge -> txlog_schema_evolution_agg covers evolution,
+    # dup_span_coverage / dsir_importance_scores / bpe_encode_static keep
+    # family siblings in-window and stay oracle-parity-gated locally)
     "expand_props_agg",        # §2.1-1 field mode + inference rules (sentinel)
     "xml_expand_agg",          # from_xml expansion (2 driver rows)
     "custom_datasource_expand",# Python DataSource connector (1 row)
-    "zorder_roundtrip_agg",    # Z-order write path (1 row)
-    "schema_evolution_merge",  # schema-evolving parquet merge (1 row)
+    "variant_shredded_roundtrip_agg",  # shredded variant parquet trip (NEW r5)
     "binaryfile_source_stats", # L5/S-family binaryFile source (NEW in window)
     # txlog lakehouse: DML + CDF + skipping + evolution + streaming
     "txlog_time_travel_agg",   # snapshot + time travel (1 row)
@@ -20509,9 +20514,10 @@ _DRIVER_WINDOW = [
     "stream_txlog_source_e2e", # txlogstream streaming source (NEW)
     "stream_txlog_merge_e2e",  # per-micro-batch ACID merge (NEW)
     "stream_txlog_cdf_e2e",    # txlogcdf streaming CDF source (NEW)
+    "incremental_agg_maintenance",  # CDF-delta materialized-agg refresh (NEW r5)
     # relational core + modern SQL surface
     "q1_pricing_summary",      # R4 aggregation (sentinel)
-    "bpe_encode_static",       # frozen-table BPE encode, pure codegen (1 row)
+    "bitmap_distinct_rollup",  # exact distinct via mergeable bitmaps (NEW r5)
     "avro_roundtrip_agg",      # pure-Python Avro container source/sink (1 row)
     "iqr_outlier_report",      # profiling (r01 must-include; r03's one fix)
     "sql_scripting_cumulative",# X3 BEGIN/WHILE + :params + IDENTIFIER (NEW)
@@ -20535,13 +20541,13 @@ _DRIVER_WINDOW = [
     "paragraph_dedup_recompose",  # L1 CCNet paragraph dedup + recompose (1 row)
     "prefix_filter_jaccard_pairs",  # L2 PPJoin prefix-filter join (1 row)
     "incremental_dedup_report",     # L2 incremental corpus dedup (1 row)
-    "dup_span_coverage",       # L2 exact substring-dup coverage (1 row)
+    "url_domain_cap_census",   # L4 FineWeb-style per-domain doc cap (NEW r5)
     "semantic_dedup_survivors",# L3 SemDeDup: blocked pairs + CC + keep-one (1 row)
     "ivf_exact_topk",          # L3 IVF ANN vs exact top-k (1 row)
     "ccnet_perplexity_buckets",# L4 perplexity quality census (1 row)
     "c4_line_filter_census",   # L4 C4 line-level filter census (NEW)
     "bpe_merge_rounds",        # BPE tokenizer training (1 row)
-    "dsir_importance_scores",  # DSIR data selection (1 row)
+    "utf8_repair_census",      # L4 mojibake triage (Spark 4 utf8 funcs, NEW r5)
     "vocab_coverage_curve",    # vocab coverage / splits family rep (1 row)
     "expectations_report",     # data-quality expectations (1 row)
     "golden_record_docs",      # entity-resolution golden records (1 row)

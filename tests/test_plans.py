@@ -537,13 +537,13 @@ def test_driver_window_composition():
         # sentinels kept from prior rounds
         "expand_props_agg", "q1_pricing_summary", "stream_expand_props_e2e",
         "xml_expand_agg", "custom_datasource_expand", "txlog_time_travel_agg",
-        "schema_evolution_merge", "stream_stream_left_join_e2e",
+        "stream_stream_left_join_e2e",
         "stream_dynamic_session_e2e", "stream_cdc_merge_e2e",
         "cogrouped_customer_orders", "paragraph_dedup_recompose",
         "prefix_filter_jaccard_pairs", "incremental_dedup_report",
         "semantic_dedup_survivors", "ivf_exact_topk", "bpe_merge_rounds",
         "label_prop_communities", "txlog_merge_upsert",
-        "ccnet_perplexity_buckets", "bpe_encode_static", "iqr_outlier_report",
+        "ccnet_perplexity_buckets", "iqr_outlier_report",
         # round-5 first-driver-row families
         "txlog_change_feed_agg", "txlog_zorder_skipping_agg",
         "txlog_schema_evolution_agg", "stream_txlog_source_e2e",
@@ -555,6 +555,10 @@ def test_driver_window_composition():
         "applyinarrow_centroid", "arrow_udf_parity", "pagerank_event_graph",
         "bfs_hops_part_graph", "kcore_part_graph", "c4_line_filter_census",
         "binaryfile_source_stats",
+        # round-5-born queries windowed immediately (first rows)
+        "variant_shredded_roundtrip_agg", "incremental_agg_maintenance",
+        "bitmap_distinct_rollup", "url_domain_cap_census",
+        "utf8_repair_census",
     }
     assert must_have <= set(first50), must_have - set(first50)
 
