@@ -20477,6 +20477,78 @@ def incremental_agg_maintenance(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_BLOOM_SKIP = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderkey % 977 = 3 AND o_orderkey % 10 < 5
+    GROUP BY o_orderpriority
+"""
+
+
+@query("txlog_bloom_point_lookups", _SQL_BLOOM_SKIP)
+def txlog_bloom_point_lookups(spark, sf_dir):
+    """Bloom-filter data skipping end-to-end (Delta bloom index parity,
+    ``txlog.set_bloom_columns``): orders committed hash-scattered across
+    part files — every file's o_orderkey min/max covers ~the whole domain,
+    so RANGE stats cannot prune a point lookup — then a batch of needle
+    probes (keys ``% 977 = 3``) runs through ``read_table_pruned`` with
+    one equality predicate per probe; each probe touches only the files
+    whose bloom admits the key (pytest asserts the pruning count).  The
+    needle-in-100TB case: id probes on unclustered data go from
+    read-everything to read-one-file for a kilobyte of sidecar per file.
+    The probed union is value-checked against the raw-table oracle."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_bloom_q_")
+    try:
+        root = tmp + "/orders_b"
+        TX.set_bloom_columns(root, ["o_orderkey"], m_bits=32768, k_hashes=3)
+        TX.append_table(o.where(F.col("o_orderkey") % 10 < 5).repartition(8), root)
+        keys = sorted(
+            r["o_orderkey"]
+            for r in o.select("o_orderkey")
+            .where((F.col("o_orderkey") % 977 == 3) & (F.col("o_orderkey") % 10 < 5))
+            .collect()
+        )
+        # per-probe pruning is pure Python over the log sidecar (no Spark
+        # job per needle); the surviving file UNION is then read once —
+        # the batch-probe shape a lookup service would use
+        survivors: set = set()
+        total, sum_read = 0, 0
+        for k in keys:
+            surv, total, _ = TX._skip_plan(root, None, [("o_orderkey", "=", k)])
+            survivors.update(surv)
+            sum_read += len(surv)
+        # blooms must prune the per-probe reads below the read-everything
+        # baseline (each probe admits ~1 of the 8 hash-scattered files,
+        # which range stats alone never could)
+        assert sum_read < len(keys) * total, (sum_read, len(keys), total)
+        probed = spark.read.parquet(*sorted(survivors)).where(
+            F.col("o_orderkey").isin(keys)
+        )
+        out = probed.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -228,6 +228,11 @@ def _commit(
         # footer min/max per part file -> read_table_pruned's data skipping
         "stats": _collect_part_stats(root, rel),
     }
+    # per-file bloom filters for the configured columns (equality pruning
+    # on high-cardinality keys the min/max range can't help with)
+    blooms = _build_part_blooms(root, rel)
+    if blooms:
+        entry["bloom"] = blooms
     final = os.path.join(_log_path(root), _entry_name(version))
     # exclusive claim: O_CREAT|O_EXCL makes the loser of a same-version race
     # fail here (POSIX rename would silently clobber); abandoned claims from
@@ -335,10 +340,17 @@ def _collect_part_stats(root: str, rel_dir: str) -> dict:
 _SKIP_OPS = ("=", "<", "<=", ">", ">=")
 
 
-def _part_survives(stats: dict | None, where: list[tuple]) -> bool:
-    """False only when the footer range PROVES no row can match — unknown
-    columns/types keep the file (pruning is an optimization, the residual
-    filter owns correctness)."""
+def _part_survives(
+    stats: dict | None, where: list[tuple], bloom: dict | None = None
+) -> bool:
+    """False only when the footer range (or a bloom, for equality) PROVES
+    no row can match — unknown columns/types keep the file (pruning is an
+    optimization, the residual filter owns correctness)."""
+    if bloom:
+        for col, op, lit in where:
+            b = bloom.get(col)
+            if op == "=" and b is not None and not _bloom_may_contain(b, lit):
+                return False
     if not stats:
         return True
     for col, op, lit in where:
@@ -373,8 +385,10 @@ def _skip_plan(root: str, version: int | None, where: list[tuple]):
     entries = _list_entries(root)
     files, _ = _replay(entries, version)
     all_stats: dict = {}
+    all_blooms: dict = {}
     for e in entries:
         all_stats.update(e.get("stats") or {})
+        all_blooms.update(e.get("bloom") or {})
     schema_json = next(
         (e["schema_json"] for e in reversed(entries)
          if "schema_json" in e and (version is None or e["version"] <= version)),
@@ -384,7 +398,8 @@ def _skip_plan(root: str, version: int | None, where: list[tuple]):
     for d in files:
         for p in sorted(_glob.glob(os.path.join(root, d, "*.parquet"))):
             parts.append(p)
-            if _part_survives(all_stats.get(os.path.relpath(p, root)), where):
+            rel_p = os.path.relpath(p, root)
+            if _part_survives(all_stats.get(rel_p), where, all_blooms.get(rel_p)):
                 survivors.append(p)
     return survivors, len(parts), schema_json
 
@@ -820,8 +835,10 @@ def _prune_dirs(
     import glob as _glob
 
     all_stats: dict = {}
+    all_blooms: dict = {}
     for e in entries:
         all_stats.update(e.get("stats") or {})
+        all_blooms.update(e.get("bloom") or {})
     cur_files, _ = _replay(entries, None)
     touched_dirs: list[str] = []
     reused_dirs: list[str] = []
@@ -829,10 +846,11 @@ def _prune_dirs(
         parts = sorted(_glob.glob(os.path.join(root, d, "*.parquet")))
         touched = not parts  # unreadable/empty dir: never prune
         for pth in parts:
-            st = all_stats.get(os.path.relpath(pth, root))
+            rel_p = os.path.relpath(pth, root)
+            st = all_stats.get(rel_p)
             if st is None and _part_is_empty(pth):
                 continue  # zero rows: provably unmatched
-            if _part_survives(st, where):
+            if _part_survives(st, where, all_blooms.get(rel_p)):
                 touched = True
                 break
         (touched_dirs if touched else reused_dirs).append(d)
@@ -853,6 +871,127 @@ def _part_is_empty(path: str) -> bool:
 
 class TxLogConstraintViolation(ValueError):
     """A write contained rows failing a CHECK constraint — nothing commits."""
+
+
+def _bloom_config_path(root: str) -> str:
+    return os.path.join(root, "_bloom.json")
+
+
+def _read_bloom_config(root: str) -> dict:
+    path = _bloom_config_path(root)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def set_bloom_columns(
+    root: str, cols: list[str], m_bits: int = 8192, k_hashes: int = 3
+) -> None:
+    """Enable per-part-file BLOOM FILTER indexes for ``cols`` (Delta's
+    bloom filter index / Iceberg's bloom write-property, re-expressed for
+    the log): every subsequent commit scans ONLY the configured columns of
+    the files it just wrote (a single-column pyarrow read) and stores an
+    ``m_bits``-bit bloom per (file, column) in the commit's stats sidecar.
+    ``read_table_pruned`` then prunes files on EQUALITY predicates the
+    footer min/max range can't help with — the high-cardinality,
+    unclustered point-lookup case (needle-in-100TB id probes) where a
+    min/max range covers everything but the bloom proves absence.
+
+    False-positive rate ~ (1 - e^(-k*n/m))^k; the default 8192 bits / 3
+    hashes holds ~1% FPR to ~850 distinct values per file — size m to the
+    expected per-file cardinality.  A false positive only costs a wasted
+    read (the residual filter owns correctness); absence of a bloom means
+    the file is never bloom-pruned.  Config is table-level metadata in an
+    atomically-replaced sidecar, like CHECK constraints: time travel reads
+    old data, the config governs new WRITES (files committed before the
+    config have no blooms and are simply never bloom-pruned)."""
+    if m_bits < 8 or m_bits % 8:
+        raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    cfg = {"cols": list(cols), "m": int(m_bits), "k": int(k_hashes)}
+    os.makedirs(root, exist_ok=True)
+    tmp = _bloom_config_path(root) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(cfg, f)
+    os.replace(tmp, _bloom_config_path(root))
+
+
+def _bloom_positions(value, k: int, m: int) -> list[int]:
+    """k bit positions for a value — stable across processes (md5-based,
+    no PYTHONHASHSEED dependence).  Ints and strings only; the value's
+    type tag is part of the key so 1 and '1' don't collide."""
+    import hashlib
+
+    tag = "i" if isinstance(value, int) else "s"
+    out = []
+    for i in range(k):
+        h = hashlib.md5(f"{tag}:{value}#{i}".encode()).hexdigest()
+        out.append(int(h[:15], 16) % m)
+    return out
+
+
+def _build_part_blooms(root: str, rel_dir: str) -> dict:
+    """{rel_part_path: {col: {'m':, 'k':, 'bits': base64}}} for the part
+    files just written, per the table's bloom config.  Reads ONLY the
+    configured columns (columnar projection), so the commit-time cost is
+    bounded by the indexed columns, not the row width."""
+    import base64
+    import glob as _glob
+
+    cfg = _read_bloom_config(root)
+    if not cfg or not cfg.get("cols"):
+        return {}
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # blooms are an optimization, never a requirement
+        return {}
+    m, k = cfg["m"], cfg["k"]
+    out: dict = {}
+    for part in sorted(_glob.glob(os.path.join(root, rel_dir, "*.parquet"))):
+        try:
+            pf = pq.ParquetFile(part)
+            present = [c for c in cfg["cols"] if c in pf.schema_arrow.names]
+            if not present:
+                continue
+            table = pf.read(columns=present)
+        except Exception:
+            continue
+        per_col: dict = {}
+        for c in present:
+            bits = bytearray(m // 8)
+            ok = True
+            for v in table.column(c).to_pylist():
+                if v is None:
+                    continue
+                if isinstance(v, bool) or not isinstance(v, (int, str)):
+                    ok = False  # unsupported type: no bloom for this column
+                    break
+                for pos in _bloom_positions(v, k, m):
+                    bits[pos // 8] |= 1 << (pos % 8)
+            if ok:
+                per_col[c] = {
+                    "m": m,
+                    "k": k,
+                    "bits": base64.b64encode(bytes(bits)).decode(),
+                }
+        if per_col:
+            out[os.path.relpath(part, root)] = per_col
+    return out
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """True unless the bloom PROVES the value absent (all-k-bits test)."""
+    import base64
+
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return True
+    bits = base64.b64decode(bloom["bits"])
+    for pos in _bloom_positions(value, bloom["k"], bloom["m"]):
+        if not (bits[pos // 8] >> (pos % 8)) & 1:
+            return False
+    return True
 
 
 def _constraints_path(root: str) -> str:

@@ -1387,3 +1387,63 @@ def test_cdf_replay_reconstructs_any_snapshot(spark, tmp_path):
                 if start[key] == 0:
                     del start[key]
         assert start == final, f"replay from v{v} diverged"
+
+
+def test_bloom_skipping_prunes_high_cardinality_equality(spark, tmp_path):
+    """Bloom-filter data skipping (round 5): ids hash-scattered across part
+    files make every file's min/max range cover the whole domain — range
+    stats prune NOTHING on a point lookup — but the per-file bloom proves
+    absence and prunes.  Pruned read stays bit-identical to the full
+    read + filter (blooms only ever skip provably-absent files)."""
+    root = str(tmp_path / "t")
+    txlog.set_bloom_columns(root, ["id"], m_bits=8192, k_hashes=3)
+    # repartition(4) hash-distributes ids: each file spans ~the full range
+    df = spark.range(1000).select("id", (F.col("id") * 3).alias("v")).repartition(4)
+    txlog.append_table(df, root)
+    rep_all = txlog.skipping_report(root, [("id", ">=", 0)])
+    assert rep_all["files_total"] == 4
+
+    # min/max alone cannot prune a point lookup on scattered ids...
+    entries = txlog._list_entries(root)
+    stats = {}
+    blooms = {}
+    for e in entries:
+        stats.update(e.get("stats") or {})
+        blooms.update(e.get("bloom") or {})
+    assert all(
+        s["id"][0] < 250 and s["id"][1] > 750 for s in stats.values()
+    ), stats  # every file covers most of the domain
+    assert set(blooms) == set(stats)  # a bloom was recorded per file
+
+    # ...but the bloom prunes to (at most, FPR) the one file holding id=417
+    rep = txlog.skipping_report(root, [("id", "=", 417)])
+    assert rep["files_read"] < rep["files_total"]
+    got = txlog.read_table_pruned(spark, root, [("id", "=", 417)])
+    assert [(r["id"], r["v"]) for r in got.collect()] == [(417, 1251)]
+    # absent value: every file bloom-proves absence (deterministic hashes)
+    assert txlog.skipping_report(root, [("id", "=", 10**9)])["files_read"] == 0
+    assert txlog.read_table_pruned(spark, root, [("id", "=", 10**9)]).count() == 0
+
+    # range predicates ignore blooms (k-bit test is equality-only): every
+    # hash-scattered file has max > 500, so nothing can prune this
+    assert txlog.skipping_report(root, [("id", ">", 500)])["files_read"] == 4
+
+
+def test_bloom_string_column_and_unconfigured_files(spark, tmp_path):
+    """String-key blooms prune; files committed BEFORE the config carry no
+    bloom and are never bloom-pruned (partial coverage stays correct)."""
+    root = str(tmp_path / "t")
+    # overlapping name ranges so the min/max stats CANNOT prune the probe
+    pre = spark.createDataFrame([("alpha", 1), ("omega", 2)], "name string, v int")
+    txlog.append_table(pre.coalesce(1), root)  # v0: before any bloom config
+    txlog.set_bloom_columns(root, ["name"])
+    post = spark.createDataFrame([("beta", 3), ("zeta", 4)], "name string, v int")
+    txlog.append_table(post.coalesce(1), root)  # v1: bloom recorded
+    # 'epsilon' is absent but inside BOTH files' ranges: v1's file
+    # bloom-prunes, v0's (committed pre-config, no bloom) survives
+    rep = txlog.skipping_report(root, [("name", "=", "epsilon")])
+    assert rep == {"files_total": 2, "files_read": 1}
+    assert txlog.read_table_pruned(spark, root, [("name", "=", "epsilon")]).count() == 0
+    # present value reads correctly through the bloom path
+    got = txlog.read_table_pruned(spark, root, [("name", "=", "beta")])
+    assert [(r["name"], r["v"]) for r in got.collect()] == [("beta", 3)]
