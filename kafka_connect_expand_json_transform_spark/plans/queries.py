@@ -20549,6 +20549,71 @@ def txlog_bloom_point_lookups(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_CLONE_BRANCH = """
+    WITH o AS (
+        SELECT o_orderkey AS k, o_orderpriority AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ),
+    branch AS (
+        SELECT * FROM o WHERE k % 10 < 5 AND k % 10 <> 1
+        UNION ALL
+        SELECT * FROM o WHERE k % 10 = 7
+    )
+    SELECT g, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM branch GROUP BY g
+"""
+
+
+@query("txlog_clone_branch_agg", _SQL_CLONE_BRANCH)
+def txlog_clone_branch_agg(spark, sf_dir):
+    """Zero-copy table branching (``txlog.clone_table`` — Delta SHALLOW
+    CLONE parity): the base table is branched without moving a byte (the
+    clone's first commit just references the snapshot's immutable files),
+    then the BRANCH diverges — a CoW delete and an append, both landing
+    under the branch's own root — while the source must stay bit-for-bit
+    untouched (asserted).  The corpus-experiment workflow at 100 TB:
+    fork, filter, re-mix, and measure on a branch for the cost of a log
+    entry, not a copy.  The branch aggregate is value-checked against an
+    oracle expressing the same divergence over the raw table."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_clone_q_")
+    try:
+        src = tmp + "/base"
+        dst = tmp + "/branch"
+        TX.append_table(o.where(F.col("k") % 10 < 5), src)
+        base_count = TX.read_table(spark, src).count()
+        TX.clone_table(spark, src, dst, shallow=True)
+        TX.delete_where(spark, dst, "k % 10 = 1")
+        TX.append_table(o.where(F.col("k") % 10 == 7), dst)
+        # branching contract: the source is untouched by the divergence
+        assert TX.read_table(spark, src).count() == base_count
+        assert TX.latest_version(src) == 0
+        out = (
+            TX.read_table(spark, dst)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -233,6 +233,13 @@ def _commit(
     blooms = _build_part_blooms(root, rel)
     if blooms:
         entry["bloom"] = blooms
+    _publish_entry(root, version, entry)
+    return version
+
+
+def _publish_entry(root: str, version: int, entry: dict) -> None:
+    """Atomically publish ``entry`` as the log file for ``version`` under
+    the exclusive-claim protocol (shared by _commit and clone_table)."""
     final = os.path.join(_log_path(root), _entry_name(version))
     # exclusive claim: O_CREAT|O_EXCL makes the loser of a same-version race
     # fail here (POSIX rename would silently clobber); abandoned claims from
@@ -269,7 +276,6 @@ def _commit(
         os.replace(tmp, final)  # atomic publish of the full content
     finally:
         os.close(fd)
-    return version
 
 
 def _is_widening(old_simple: str, new_simple: str) -> bool:
@@ -1122,6 +1128,87 @@ def restore_table(spark: SparkSession, root: str, version: int) -> int:
     return overwrite_table(snap, root, expected_version=current)
 
 
+def clone_table(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+    shallow: bool = True,
+) -> int:
+    """CLONE TABLE (Delta parity) — table branching for corpus experiments:
+    ``shallow=True`` commits a ZERO-COPY entry in ``dst_root`` whose file
+    set points at the source snapshot's (immutable) data dirs by absolute
+    path — no data moves, the clone is writable immediately (its own CoW
+    DML writes land under dst; the source is never touched), and the
+    source's stats/bloom sidecars carry over so pruned reads work on the
+    clone.  ``shallow=False`` (deep) re-materializes the snapshot's rows
+    into dst-owned files.
+
+    The documented shallow-clone hazard is Delta's too: the clone
+    REFERENCES source files, so a ``vacuum`` on the SOURCE that drops the
+    cloned version's files breaks the clone (the clone's own vacuum is
+    safe — it only ever deletes under its own data/ dir).  Deep-clone (or
+    compact the clone, which rewrites it onto its own files) to sever the
+    dependency.  Returns the committed version in dst (0 for a fresh
+    clone target; cloning ONTO an existing table is an overwrite commit
+    under the same optimistic protocol as every other write)."""
+    entries = _list_entries(src_root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {src_root}")
+    # floor/version validation exactly as a read would apply
+    read_table(spark, src_root, version)
+    if not shallow:
+        snap = read_table(spark, src_root, version)
+        return overwrite_table(snap, dst_root)
+    files, schema = _replay(entries, version)
+    target_entries = [
+        e for e in entries if version is None or e["version"] <= version
+    ]
+    schema_json = next(
+        (e["schema_json"] for e in reversed(target_entries) if "schema_json" in e),
+        None,
+    )
+    abs_dirs = [
+        d if os.path.isabs(d) else os.path.join(src_root, d) for d in files
+    ]
+    # carry the source's skipping sidecars over, re-keyed to dst-relative
+    # part paths (that's how _skip_plan looks them up)
+    src_stats: dict = {}
+    src_blooms: dict = {}
+    for e in target_entries:
+        src_stats.update(e.get("stats") or {})
+        src_blooms.update(e.get("bloom") or {})
+    stats: dict = {}
+    blooms: dict = {}
+    live = set(files)
+    for key, val in src_stats.items():
+        d = os.path.dirname(key)
+        if d in live:
+            abs_part = key if os.path.isabs(key) else os.path.join(src_root, key)
+            stats[os.path.relpath(abs_part, dst_root)] = val
+    for key, val in src_blooms.items():
+        d = os.path.dirname(key)
+        if d in live:
+            abs_part = key if os.path.isabs(key) else os.path.join(src_root, key)
+            blooms[os.path.relpath(abs_part, dst_root)] = val
+    dst_entries = _list_entries(dst_root)
+    dst_version = (dst_entries[-1]["version"] if dst_entries else -1) + 1
+    entry = {
+        "version": dst_version,
+        "op": "overwrite",
+        "files": abs_dirs,
+        "schema": schema,
+        "stats": stats,
+    }
+    if schema_json is not None:
+        entry["schema_json"] = schema_json
+    if blooms:
+        entry["bloom"] = blooms
+    os.makedirs(_log_path(dst_root), exist_ok=True)
+    _publish_entry(dst_root, dst_version, entry)
+    return dst_version
+
+
 def read_changes(
     spark: SparkSession, root: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:
@@ -1429,7 +1516,10 @@ def vacuum(
     data_dir = os.path.join(root, _DATA_DIR)
     deleted = 0
     now = time.time()
-    for n in os.listdir(data_dir):
+    # a fresh shallow clone references only foreign (source-owned) files
+    # and has no local data dir yet; vacuum only ever deletes under its
+    # OWN data/ — foreign references are never its to collect
+    for n in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
         rel = os.path.join(_DATA_DIR, n)
         if rel in keep:
             continue

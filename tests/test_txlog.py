@@ -1447,3 +1447,52 @@ def test_bloom_string_column_and_unconfigured_files(spark, tmp_path):
     # present value reads correctly through the bloom path
     got = txlog.read_table_pruned(spark, root, [("name", "=", "beta")])
     assert [(r["name"], r["v"]) for r in got.collect()] == [("beta", 3)]
+
+
+def test_shallow_clone_zero_copy_branching(spark, tmp_path):
+    """clone_table(shallow=True): zero-copy branch of a snapshot — no data
+    files move, the clone reads the source's files by absolute reference,
+    is immediately writable (its CoW writes land under ITS root, the
+    source never changes), carries the source's bloom sidecar, and its
+    own vacuum never touches source files."""
+    import glob
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "branch")
+    txlog.set_bloom_columns(src, ["id"])
+    txlog.append_table(_df(spark, 0, 100).repartition(2), src)   # v0
+    txlog.append_table(_df(spark, 100, 120), src)                # v1
+    v = txlog.clone_table(spark, src, dst, version=0, shallow=True)
+    assert v == 0
+    # zero-copy: the clone owns no data files yet
+    assert glob.glob(os.path.join(dst, "data", "*")) == []
+    assert txlog.read_table(spark, dst).count() == 100  # v0 snapshot only
+    # bloom sidecar carried over: absent-key probe prunes everything
+    assert txlog.skipping_report(dst, [("id", "=", 10**9)])["files_read"] == 0
+    # the branch diverges without touching the source
+    txlog.append_table(_df(spark, 500, 505), dst)
+    txlog.delete_where(spark, dst, "id < 10")
+    assert txlog.read_table(spark, dst).count() == 95  # 100 - 10 + 5
+    assert txlog.read_table(spark, src).count() == 120  # source untouched
+    assert txlog.read_table(spark, src, version=0).count() == 100
+    # the clone's vacuum deletes only under ITS data dir
+    n_src_files = len(glob.glob(os.path.join(src, "data", "*")))
+    txlog.vacuum(dst, retain_versions=1, retention_seconds=0.0)
+    assert len(glob.glob(os.path.join(src, "data", "*"))) == n_src_files
+    assert txlog.read_table(spark, dst).count() == 95
+
+
+def test_deep_clone_severs_source_dependency(spark, tmp_path):
+    """clone_table(shallow=False) re-materializes the snapshot into
+    dst-owned files: vacuuming the SOURCE past the cloned version cannot
+    break a deep clone (the documented shallow-clone hazard, severed)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "deep")
+    txlog.append_table(_df(spark, 0, 50), src)       # v0
+    txlog.overwrite_table(_df(spark, 900, 903), src)  # v1: v0 dead
+    # deep-clone v0 BEFORE the source vacuums it away
+    txlog.clone_table(spark, src, dst, version=0, shallow=False)
+    txlog.vacuum(src, retain_versions=1, retention_seconds=0.0)
+    with pytest.raises(ValueError):
+        txlog.read_table(spark, src, version=0)  # gone at the source...
+    assert txlog.read_table(spark, dst).count() == 50  # ...alive in the clone
