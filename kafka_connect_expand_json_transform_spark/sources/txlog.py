@@ -1109,23 +1109,61 @@ def optimize_zorder(
     return overwrite_table(clustered, root, expected_version=current)
 
 
-def restore_table(spark: SparkSession, root: str, version: int) -> int:
-    """RESTORE TABLE TO VERSION (Delta parity): commit the old snapshot's
-    rows as a NEW OVERWRITE version — history is never rewritten (the
-    restored-over versions stay time-travel readable until vacuum), the
-    restore itself is one more entry in the log, and a concurrent writer
-    beats it via the optimistic protocol (``TxLogConflict``).  Returns the
-    committed version.  Scale: a restore re-commits the snapshot's rows
-    (CoW); the zero-copy refinement — re-pointing the new log entry at the
-    old version's still-live files — needs only a log-entry format that
-    records file references across versions, which this one already has;
-    kept CoW here so vacuum's unreferenced-file accounting stays trivial."""
+def restore_table(
+    spark: SparkSession, root: str, version: int, materialize: bool = False
+) -> int:
+    """RESTORE TABLE TO VERSION (Delta parity): commit a NEW OVERWRITE
+    version whose file set IS the old snapshot's — history is never
+    rewritten (the restored-over versions stay time-travel readable until
+    vacuum), the restore itself is one more entry in the log, and a
+    concurrent writer beats it via the optimistic protocol
+    (``TxLogConflict``).  Returns the committed version.
+
+    Default is ZERO-COPY: the new entry re-points at the old version's
+    still-live immutable files (stats/bloom sidecars carried over), so
+    restoring a 100 TB table costs one log entry — vacuum's keep-set is
+    computed by replaying the retained versions, so re-referenced dirs
+    are automatically protected.  ``materialize=True`` re-commits the
+    snapshot's ROWS into fresh files instead (CoW) — use it when the old
+    files are about to be vacuumed away or live on decommissioned
+    storage."""
     entries = _list_entries(root)
     if not entries:
         raise FileNotFoundError(f"no txlog table at {root}")
     current = entries[-1]["version"]
+    # floor/version validation exactly as a read would apply
     snap = read_table(spark, root, version=version)
-    return overwrite_table(snap, root, expected_version=current)
+    if materialize:
+        return overwrite_table(snap, root, expected_version=current)
+    files, schema = _replay(entries, version)
+    target_entries = [e for e in entries if e["version"] <= version]
+    schema_json = next(
+        (e["schema_json"] for e in reversed(target_entries) if "schema_json" in e),
+        None,
+    )
+    stats: dict = {}
+    blooms: dict = {}
+    live = set(files)
+    for e in target_entries:
+        for key, val in (e.get("stats") or {}).items():
+            if os.path.dirname(key) in live:
+                stats[key] = val
+        for key, val in (e.get("bloom") or {}).items():
+            if os.path.dirname(key) in live:
+                blooms[key] = val
+    entry = {
+        "version": current + 1,
+        "op": "overwrite",
+        "files": list(files),
+        "schema": schema,
+        "stats": stats,
+    }
+    if schema_json is not None:
+        entry["schema_json"] = schema_json
+    if blooms:
+        entry["bloom"] = blooms
+    _publish_entry(root, current + 1, entry)
+    return current + 1
 
 
 def clone_table(

@@ -1496,3 +1496,31 @@ def test_deep_clone_severs_source_dependency(spark, tmp_path):
     with pytest.raises(ValueError):
         txlog.read_table(spark, src, version=0)  # gone at the source...
     assert txlog.read_table(spark, dst).count() == 50  # ...alive in the clone
+
+
+def test_restore_default_is_zero_copy_and_vacuum_safe(spark, tmp_path):
+    """Round-5 refinement: restore re-points at the old version's files
+    (no data rewrite — restoring 100 TB costs one log entry); vacuum's
+    replay-based keep-set protects the re-referenced dirs; stats carry
+    over so pruned reads still skip; materialize=True still rewrites."""
+    import glob
+
+    root = str(tmp_path / "rz")
+    txlog.append_table(_df(spark, 0, 100).coalesce(1), root)     # v0
+    txlog.overwrite_table(_df(spark, 500, 503).coalesce(1), root)  # v1
+    n_files_before = len(glob.glob(os.path.join(root, "data", "*")))
+    v = txlog.restore_table(spark, root, 0)  # zero-copy default
+    assert v == 2
+    # no new data files were written
+    assert len(glob.glob(os.path.join(root, "data", "*"))) == n_files_before
+    assert sorted(r["id"] for r in txlog.read_table(spark, root).collect()) == list(range(100))
+    # vacuum keeps the re-referenced v0 dir (it backs the newest snapshot)
+    out = txlog.vacuum(root, retain_versions=1, retention_seconds=0.0)
+    assert out["deleted"] == 1  # only v1's orphaned overwrite file
+    assert txlog.read_table(spark, root).count() == 100
+    # stats carried over: pruned read still value-correct and skipping
+    assert txlog.skipping_report(root, [("id", ">", 10**6)])["files_read"] == 0
+    # materialize=True writes fresh files (the CoW escape hatch)
+    v = txlog.restore_table(spark, root, 2, materialize=True)
+    assert v == 3
+    assert len(glob.glob(os.path.join(root, "data", "*"))) > 1
