@@ -77,6 +77,10 @@ _CLAIM_GRACE_SECONDS = 60.0
 # from under it.  Delta's default is 7 days for the same reason.
 _VACUUM_RETENTION_SECONDS = 7 * 24 * 3600.0
 
+# publish retries for commuting appends (data written once, log entry
+# re-pointed at the next version on a claim conflict)
+_APPEND_COMMIT_RETRIES = 5
+
 
 class TxLogConflict(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
@@ -192,35 +196,50 @@ def _commit(
     extra_files: list[str] | None = None,
     allow_add_columns: bool = False,
 ) -> int:
-    """Write df's data files, then atomically publish the next log entry.
-    ``extra_files`` carries already-committed (immutable) data dirs into
-    the new version's file set unrewritten — the partial-CoW path
-    file-pruned MERGE uses; the df schema must then match the table's."""
-    entries = _list_entries(root)
-    current = entries[-1]["version"] if entries else -1
-    if expected_version is not None and current != expected_version:
-        raise TxLogConflict(
-            f"expected to commit after version {expected_version}, table is at {current}"
-        )
-    if (op == "append" or extra_files) and entries:
-        _, schema = _replay(entries, None)
-        if schema is not None and df.schema.simpleString() != schema:
-            if not (
-                op == "append"
-                and allow_add_columns
-                and _is_widening(schema, df.schema.simpleString())
-            ):
-                raise TxLogSchemaMismatch(
-                    f"append schema {df.schema.simpleString()} != table schema {schema}"
-                )
+    """Write df's data files ONCE, then atomically publish the next log
+    entry.  ``extra_files`` carries already-committed (immutable) data
+    dirs into the new version's file set unrewritten — the partial-CoW
+    path file-pruned MERGE uses; the df schema must then match the
+    table's.
+
+    Plain appends (no expected_version, no carried files) RETRY the
+    log-entry publish on a version-claim conflict without rewriting the
+    data: appends commute, the data dir is immutable once written, and at
+    scale re-running a terabyte write because another appender won the
+    version race is the difference between a cheap retry loop and a
+    wasted stage (Delta's commit protocol makes the same distinction).
+    DML/overwrite paths do NOT auto-retry — they read the table first, so
+    a conflict means their snapshot is stale and the CALLER must re-read
+    (``with_retries``)."""
+
+    def validate(entries: list[dict]) -> int:
+        current = entries[-1]["version"] if entries else -1
+        if expected_version is not None and current != expected_version:
+            raise TxLogConflict(
+                f"expected to commit after version {expected_version}, "
+                f"table is at {current}"
+            )
+        if (op == "append" or extra_files) and entries:
+            _, schema = _replay(entries, None)
+            if schema is not None and df.schema.simpleString() != schema:
+                if not (
+                    op == "append"
+                    and allow_add_columns
+                    and _is_widening(schema, df.schema.simpleString())
+                ):
+                    raise TxLogSchemaMismatch(
+                        f"append schema {df.schema.simpleString()} != "
+                        f"table schema {schema}"
+                    )
+        return current
+
+    current = validate(_list_entries(root))
     _enforce_constraints(root, df)  # CHECK constraints gate every commit
     os.makedirs(_log_path(root), exist_ok=True)
     rel = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
     df.write.mode("overwrite").parquet(os.path.join(root, rel))
 
-    version = current + 1
     entry = {
-        "version": version,
         "op": op,
         "files": list(extra_files or []) + [rel],
         "schema": df.schema.simpleString(),
@@ -233,8 +252,25 @@ def _commit(
     blooms = _build_part_blooms(root, rel)
     if blooms:
         entry["bloom"] = blooms
-    _publish_entry(root, version, entry)
-    return version
+
+    commutes = op == "append" and not extra_files and expected_version is None
+    attempts = _APPEND_COMMIT_RETRIES if commutes else 0
+    for attempt in range(attempts + 1):
+        version = current + 1
+        entry["version"] = version
+        try:
+            _publish_entry(root, version, entry)
+            return version
+        except TxLogConflict:
+            if attempt >= attempts:
+                raise
+            # another writer claimed this version: re-read, re-validate the
+            # schema against the (possibly evolved) table, re-point the
+            # SAME data dir at the next slot.  Backoff lets an in-flight
+            # claimer publish instead of busy-spinning on its claim.
+            time.sleep(min(0.05 * (attempt + 1), 0.2))
+            current = validate(_list_entries(root))
+    raise AssertionError("unreachable")  # pragma: no cover
 
 
 def _publish_entry(root: str, version: int, entry: dict) -> None:
@@ -1425,18 +1461,8 @@ def foreach_batch_sink(root: str):
             "schema_json": batch_df.schema.json(),
             "batch_id": batch_id,
         }
-        final = os.path.join(_log_path(root), _entry_name(version))
-        try:
-            fd = _acquire_claim(final)
-        except FileExistsError as exc:
-            raise TxLogConflict(f"version {version} already committed or claimed") from exc
-        tmp = final + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.close(fd)
-        os.replace(tmp, final)
+        # shared claim-protocol publisher: same ownership check as _commit
+        _publish_entry(root, version, entry)
 
     return _sink
 

@@ -1203,28 +1203,44 @@ def test_claim_ownership_check_prevents_log_fork(spark, tmp_path, monkeypatch):
     }
 
     orig_acquire = txlog._acquire_claim
+    fired = {"n": 0}
 
     def stalled_then_reclaimed(path):
         fd = orig_acquire(path)
-        # simulate: this writer stalls past the grace; a recoverer unlinks
-        # the abandoned claim and publishes its own entry at the same name
-        os.unlink(path)
-        tmp = path + ".tmp.recoverer"
-        with open(tmp, "w") as f:
-            _json.dump(competing, f)
-        os.replace(tmp, path)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # simulate: this writer stalls past the grace; a recoverer
+            # unlinks the abandoned claim and publishes its own entry at
+            # the same name (one-shot — the recoverer acted once)
+            os.unlink(path)
+            tmp = path + ".tmp.recoverer"
+            with open(tmp, "w") as f:
+                _json.dump(competing, f)
+            os.replace(tmp, path)
         return fd
 
     monkeypatch.setattr(txlog, "_acquire_claim", stalled_then_reclaimed)
-    with pytest.raises(txlog.TxLogConflict, match="reclaimed"):
-        txlog.append_table(_df(spark, 5, 10), root)
-    monkeypatch.undo()
-    # the recoverer's committed entry was NOT clobbered
-    with open(final) as f:
-        assert _json.load(f) == competing
-    # and the stalled writer's retry path works normally afterwards
+    # a commuting append RETRIES past the reclaimed claim: the competing
+    # v1 entry survives and the append lands as v2 (same data dir)
     assert txlog.append_table(_df(spark, 5, 10), root) == 2
+    monkeypatch.undo()
+    with open(final) as f:
+        assert _json.load(f) == competing  # the recoverer was NOT clobbered
     assert txlog.read_table(spark, root).count() == 10
+
+    # a NON-commuting commit (overwrite reads the table first) surfaces
+    # the ownership conflict to the caller instead of auto-retrying
+    fired["n"] = 0
+    monkeypatch.setattr(txlog, "_acquire_claim", stalled_then_reclaimed)
+    competing["version"] = 3
+    with pytest.raises(txlog.TxLogConflict, match="reclaimed"):
+        txlog.overwrite_table(_df(spark, 50, 52), root)
+    monkeypatch.undo()
+    with open(os.path.join(root, "_log", "00000003.json")) as f:
+        assert _json.load(f)["version"] == 3  # recoverer's entry intact
+    # the conflicted writer re-reads and retries normally afterwards
+    assert txlog.overwrite_table(_df(spark, 50, 52), root) == 4
+    assert txlog.read_table(spark, root).count() == 2
 
 
 def test_abandoned_claim_not_reclaimed_if_published_meanwhile(
@@ -1332,6 +1348,12 @@ def test_concurrent_appenders_all_land_exactly_once(spark, tmp_path):
         + [100 + i * per + j for i in range(n_threads) for j in range(per)]
     )
     assert got == want  # exactly once: no loss, no duplication
+    # commuting-append retry (round 5): each append wrote its data dir
+    # exactly ONCE — a version-claim conflict re-points the same dir at
+    # the next slot instead of rewriting, so no orphan dirs accumulate
+    import glob
+
+    assert len(glob.glob(os.path.join(root, "data", "*"))) == n_threads + 1
 
 
 def test_cdf_replay_reconstructs_any_snapshot(spark, tmp_path):
