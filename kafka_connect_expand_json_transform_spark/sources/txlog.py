@@ -1402,6 +1402,39 @@ def read_changes(
     return out
 
 
+def maintain_table(
+    spark: SparkSession,
+    root: str,
+    max_files: int = 64,
+    target_files: int = 8,
+) -> int | None:
+    """Auto-compaction trigger (Delta's optimizeWrite/autoCompact shape):
+    compact ONLY when the live snapshot's part-file count exceeds
+    ``max_files`` — the maintenance call a streaming ingest loop makes
+    after each batch, cheap enough to call every time (a file count from
+    the log + glob when below threshold).  Returns the compaction's
+    committed version, or None when no compaction was needed.  Losing the
+    optimistic race to a concurrent writer is SAFE to ignore here
+    (compaction is pure maintenance; the next call re-evaluates), so a
+    ``TxLogConflict`` from the inner commit is swallowed and None
+    returned."""
+    import glob as _glob
+
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    files, _ = _replay(entries, None)
+    n_parts = sum(
+        len(_glob.glob(os.path.join(root, d, "*.parquet"))) for d in files
+    )
+    if n_parts <= max_files:
+        return None
+    try:
+        return compact_table(spark, root, target_files=target_files)
+    except TxLogConflict:
+        return None  # a concurrent writer won; next maintenance re-evaluates
+
+
 def compact_table(
     spark: SparkSession, root: str, target_files: int = 1
 ) -> int:

@@ -1546,3 +1546,26 @@ def test_restore_default_is_zero_copy_and_vacuum_safe(spark, tmp_path):
     v = txlog.restore_table(spark, root, 2, materialize=True)
     assert v == 3
     assert len(glob.glob(os.path.join(root, "data", "*"))) > 1
+
+
+def test_maintain_table_compacts_only_past_threshold(spark, tmp_path):
+    """maintain_table: the per-batch maintenance hook — no-op below
+    max_files (cheap to call every batch), one compaction commit above,
+    rows and history preserved."""
+    root = str(tmp_path / "t")
+    for i in range(6):
+        txlog.append_table(_df(spark, i * 10, i * 10 + 10).repartition(4), root)
+    assert txlog.maintain_table(spark, root, max_files=64) is None  # 24 files
+    v = txlog.maintain_table(spark, root, max_files=10, target_files=2)
+    assert v == 6  # compaction committed as the next version
+    import glob
+
+    files, _ = txlog._replay(txlog._list_entries(root), None)
+    n_parts = sum(
+        len(glob.glob(os.path.join(root, d, "*.parquet"))) for d in files
+    )
+    assert n_parts <= 2
+    assert txlog.read_table(spark, root).count() == 60
+    assert txlog.read_table(spark, root, version=5).count() == 60  # history
+    # already compact: calling again is a no-op
+    assert txlog.maintain_table(spark, root, max_files=10) is None
