@@ -20614,6 +20614,81 @@ def txlog_clone_branch_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_STREAM_INGEST_MAINT = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+"""
+
+
+@query("stream_txlog_ingest_maintenance_e2e", _SQL_STREAM_INGEST_MAINT)
+def stream_txlog_ingest_maintenance_e2e(spark, sf_dir):
+    """The full streaming-ingest loop a production table runs: a
+    multi-micro-batch stream (maxFilesPerTrigger=1 over 3 files) lands in
+    the txlog table through the exactly-once ``foreach_batch_sink``, and
+    EVERY batch is followed by the ``maintain_table`` auto-compaction
+    hook — so small-file growth is bounded DURING ingest, not by a
+    separate nightly job — while history and exactly-once are preserved
+    (compaction commits interleave with batch commits in the same log).
+    The final snapshot aggregate must equal the batch oracle: a
+    compaction that lost or duplicated rows mid-ingest fails the hash."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+    from kafka_connect_expand_json_transform_spark.streaming.sources import (
+        file_stream_source,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_ingest_maint_")
+    try:
+        root = tmp + "/events_t"
+        src_dir = tmp + "/in"
+        ev.repartition(3).write.parquet(src_dir)
+        stream = file_stream_source(
+            spark,
+            src_dir,
+            ev.schema,
+            fmt="parquet",
+            options={"maxFilesPerTrigger": "1"},
+        )
+        sink = TX.foreach_batch_sink(root)
+
+        def ingest_and_maintain(batch_df, batch_id):
+            sink(batch_df, batch_id)
+            # bounded small files during ingest: compact past 2 live files
+            TX.maintain_table(spark, root, max_files=2, target_files=1)
+
+        q = (
+            stream.writeStream.foreachBatch(ingest_and_maintain)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # at least one auto-compaction actually interleaved with ingest
+        assert any(e["op"] == "overwrite" for e in TX._list_entries(root))
+        out = (
+            TX.read_table(spark, root)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
