@@ -1569,3 +1569,28 @@ def test_maintain_table_compacts_only_past_threshold(spark, tmp_path):
     assert txlog.read_table(spark, root, version=5).count() == 60  # history
     # already compact: calling again is a no-op
     assert txlog.maintain_table(spark, root, max_files=10) is None
+
+
+def test_bloom_no_false_negatives_and_calibrated_fpr():
+    """Bloom core property (pure Python, no Spark): every inserted value
+    tests positive (zero false negatives — the correctness-critical half),
+    and the false-positive rate on absent probes is within 3x of the
+    (1 - e^(-kn/m))^k theory line (the efficiency half)."""
+    import base64
+    import math
+
+    m, k, n = 8192, 3, 800
+    bits = bytearray(m // 8)
+    for v in range(n):
+        for pos in txlog._bloom_positions(v, k, m):
+            bits[pos // 8] |= 1 << (pos % 8)
+    bloom = {"m": m, "k": k, "bits": base64.b64encode(bytes(bits)).decode()}
+    assert all(txlog._bloom_may_contain(bloom, v) for v in range(n))
+    probes = 5000
+    fp = sum(
+        txlog._bloom_may_contain(bloom, 10_000_000 + i) for i in range(probes)
+    )
+    theory = (1 - math.exp(-k * n / m)) ** k
+    assert fp / probes < 3 * theory, (fp / probes, theory)
+    # type-tagged hashing: int 7 and str '7' do not alias
+    assert txlog._bloom_positions(7, k, m) != txlog._bloom_positions("7", k, m)
