@@ -20689,6 +20689,94 @@ def stream_txlog_ingest_maintenance_e2e(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query("stream_incremental_dedup_e2e")  # rows-only: survivor identity is
+# arrival-order semantics (first batch wins), not a SQL-expressible set —
+# the batch-equivalence value check lives in
+# tests/test_streaming.py::test_stream_incremental_dedup_matches_sequential
+def stream_incremental_dedup_e2e(spark, sf_dir):
+    """Streaming incremental corpus dedup — the training-ingest loop at
+    100 TB: each micro-batch of new documents is deduped (exact + MinHash
+    near) against the ARTIFACT TABLES of everything accepted so far
+    (``dedup_against_corpus``; history's text is never rescanned),
+    survivors are appended to the corpus, and THEIR artifacts
+    (fingerprints / signatures / shingles) are appended to artifact
+    storage for the next batch.  Batches are deterministic (doc_id % 3,
+    files mtime-ordered) so the run is reproducible; the per-source
+    survivor counts are the returned report."""
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import (
+        corpus_artifacts,
+        dedup_against_corpus,
+    )
+    from kafka_connect_expand_json_transform_spark.streaming.sources import (
+        file_stream_source,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    tmp = tempfile.mkdtemp(prefix="sg_stream_dedup_")
+    try:
+        watch = tmp + "/in"
+        _os.makedirs(watch)
+        # deterministic batches: doc_id % 3, one file each, mtime-ordered
+        for b in range(3):
+            stage = tmp + f"/stage{b}"
+            docs.where(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(stage)
+            part = next(
+                p for p in sorted(_os.listdir(stage)) if p.endswith(".parquet")
+            )
+            dst = _os.path.join(watch, f"b{b}.parquet")
+            _os.rename(_os.path.join(stage, part), dst)
+            t = _time.time() - 300 + b * 10
+            _os.utime(dst, (t, t))
+        kept_dir = tmp + "/kept"
+        art_dirs = {k: tmp + f"/art_{k}" for k in ("fingerprints", "signatures", "shingles")}
+
+        def apply_batch(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            if _os.path.isdir(art_dirs["fingerprints"]):
+                arts = {k: spark.read.parquet(d) for k, d in art_dirs.items()}
+                kept = dedup_against_corpus(
+                    batch_df, None, "text", "doc_id", artifacts=arts
+                )
+            else:  # first batch: dedup only within itself
+                empty = spark.createDataFrame([], batch_df.schema)
+                kept = dedup_against_corpus(batch_df, empty, "text", "doc_id")
+            kept = kept.localCheckpoint(eager=True)  # one materialization
+            kept.write.mode("append").parquet(kept_dir)
+            new_arts = corpus_artifacts(kept, "text", "doc_id")
+            for k, d in art_dirs.items():
+                new_arts[k].write.mode("append").parquet(d)
+
+        stream = file_stream_source(
+            spark,
+            watch,
+            docs.schema,
+            fmt="parquet",
+            options={"maxFilesPerTrigger": "1"},
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(kept_dir)
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_kept"))
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -570,3 +570,52 @@ def test_multibatch_agg_actually_runs_multiple_batches(spark, tmp_path):
     ]
     got = {r["k"]: r["n"] for r in spark.table("sg_mb_test").collect()}
     assert got == {0: 100, 1: 100, 2: 100}
+
+
+def test_stream_incremental_dedup_matches_sequential(spark):
+    """The streaming incremental-dedup loop (stream_incremental_dedup_e2e:
+    per-micro-batch dedup_against_corpus over artifact tables appended
+    batch-by-batch) must produce exactly the survivors of applying the
+    SAME batches sequentially in plain batch mode — the streaming harness
+    adds delivery, not semantics."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_expand_json_transform_spark.llmops.dedup import (
+        corpus_artifacts,
+        dedup_against_corpus,
+    )
+    from kafka_connect_expand_json_transform_spark.plans.queries import QUERIES
+    from kafka_connect_expand_json_transform_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+
+    # sequential reference: same doc_id % 3 batches, artifacts appended
+    kept_counts: dict = {}
+    arts = None
+    for b in range(3):
+        batch = docs.where(F.col("doc_id") % 3 == b)
+        if arts is None:
+            empty = spark.createDataFrame([], batch.schema)
+            kept = dedup_against_corpus(batch, empty, "text", "doc_id")
+        else:
+            kept = dedup_against_corpus(
+                batch, None, "text", "doc_id", artifacts=arts
+            )
+        kept = kept.localCheckpoint(eager=True)
+        new = corpus_artifacts(kept, "text", "doc_id")
+        if arts is None:
+            arts = new
+        else:
+            arts = {
+                k: arts[k].unionByName(new[k]).localCheckpoint(eager=True)
+                for k in arts
+            }
+        for r in kept.groupBy("source").count().collect():
+            kept_counts[r["source"]] = kept_counts.get(r["source"], 0) + r["count"]
+
+    streamed = {
+        (r["source"], r["n_kept"])
+        for r in QUERIES["stream_incremental_dedup_e2e"](spark, sf).collect()
+    }
+    assert streamed == set(kept_counts.items())
