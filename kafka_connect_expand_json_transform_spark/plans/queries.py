@@ -20777,6 +20777,37 @@ def stream_incremental_dedup_e2e(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# GROUP BY ALL / ORDER BY ALL / star-EXCEPT — the modern SQL sugar tier.
+# Spark spells column exclusion `* EXCEPT (...)`, DuckDB `* EXCLUDE (...)`;
+# everything else is shared text.
+_SPARK_SQL_GROUP_ALL = """
+    SELECT o_orderstatus,
+           substr(o_orderpriority, 1, 1) AS pri,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM (SELECT * EXCEPT (o_orderdate, o_custkey) FROM orders)
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query(
+    "group_by_all_sugar",
+    _SPARK_SQL_GROUP_ALL.replace("* EXCEPT (", "* EXCLUDE ("),
+)
+def group_by_all_sugar(spark, sf_dir):
+    """GROUP BY ALL + ORDER BY ALL + ``SELECT * EXCEPT`` — the
+    analyst-ergonomics sugar tier (Spark 3.4+/4.x), run through
+    ``spark.sql`` so the ANALYZER's grouping-column inference is the
+    engine under test: ALL must resolve to exactly the non-aggregate
+    output expressions (including the computed ``pri``), and the star
+    exclusion must prune the scan (column pruning shows only 4 columns
+    read).  Same text runs on DuckDB modulo its EXCLUDE spelling."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(_SPARK_SQL_GROUP_ALL)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
