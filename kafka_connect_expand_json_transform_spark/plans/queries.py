@@ -20808,6 +20808,65 @@ def group_by_all_sugar(spark, sf_dir):
     return spark.sql(_SPARK_SQL_GROUP_ALL)
 
 
+_SQL_TYPE_WIDENING = """
+    WITH o AS (
+        SELECT o_orderkey AS k, o_orderpriority AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT g,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN k % 10 < 3 THEN cents ELSE cents * 1000 END)
+                AS BIGINT) AS sum_cents
+    FROM o WHERE k % 10 < 5 GROUP BY g
+"""
+
+
+@query("txlog_type_widening_agg", _SQL_TYPE_WIDENING)
+def txlog_type_widening_agg(spark, sf_dir):
+    """Type-widening schema evolution (Delta parity,
+    ``allow_widen_types``): the table starts with INT cents, then an
+    append promotes the column to BIGINT (values * 1000 overflow int32) —
+    NO file is rewritten; the parquet reader upcasts the pre-evolution
+    int32 files to the log-owned bigint schema on read, and the final
+    aggregate over both generations is value-checked against the oracle.
+    At 100 TB this is the difference between a metadata commit and
+    rewriting every historical file when a counter outgrows its type."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_widen_q_")
+    try:
+        root = tmp + "/orders_w"
+        narrow = o.where(F.col("k") % 10 < 3).select(
+            "k", "g", F.col("cents").cast("int").alias("cents")
+        )
+        TX.append_table(narrow, root)  # v0: int cents
+        wide = o.where((F.col("k") % 10 >= 3) & (F.col("k") % 10 < 5)).select(
+            "k", "g", (F.col("cents") * 1000).alias("cents")  # bigint
+        )
+        TX.append_table(wide, root, allow_widen_types=True)  # v1: promoted
+        snap = TX.read_table(spark, root)
+        assert dict(snap.dtypes)["cents"] == "bigint"
+        out = snap.groupBy("g").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

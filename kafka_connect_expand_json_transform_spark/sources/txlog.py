@@ -195,6 +195,7 @@ def _commit(
     expected_version: int | None = None,
     extra_files: list[str] | None = None,
     allow_add_columns: bool = False,
+    allow_widen_types: bool = False,
 ) -> int:
     """Write df's data files ONCE, then atomically publish the next log
     entry.  ``extra_files`` carries already-committed (immutable) data
@@ -222,11 +223,19 @@ def _commit(
         if (op == "append" or extra_files) and entries:
             _, schema = _replay(entries, None)
             if schema is not None and df.schema.simpleString() != schema:
-                if not (
-                    op == "append"
-                    and allow_add_columns
-                    and _is_widening(schema, df.schema.simpleString())
-                ):
+                ok = op == "append" and (
+                    (allow_add_columns or allow_widen_types)
+                    and _is_widening(
+                        schema,
+                        df.schema.simpleString(),
+                        widen_types=allow_widen_types,
+                    )
+                )
+                # (a NARROWER-typed batch against an already-widened table
+                # is the writer's job to cast up front — accepting it here
+                # would stamp the entry with the narrow schema and regress
+                # the log-owned read schema, Delta rejects it too)
+                if not ok:
                     raise TxLogSchemaMismatch(
                         f"append schema {df.schema.simpleString()} != "
                         f"table schema {schema}"
@@ -314,28 +323,68 @@ def _publish_entry(root: str, version: int, entry: dict) -> None:
         os.close(fd)
 
 
-def _is_widening(old_simple: str, new_simple: str) -> bool:
-    """True when ``new`` = ``old`` + appended columns (names+types of the
-    existing prefix unchanged) — the only append-time evolution allowed."""
-    def fields(simple: str) -> list[str]:
-        inner = simple[len("struct<"):-1] if simple.startswith("struct<") else simple
-        out, depth, cur = [], 0, ""
-        for ch in inner:
-            if ch == "," and depth == 0:
-                out.append(cur)
-                cur = ""
-                continue
-            if ch in "<([":
-                depth += 1
-            elif ch in ">)]":
-                depth -= 1
-            cur += ch
-        if cur:
+def _fields(simple: str) -> list[str]:
+    inner = simple[len("struct<"):-1] if simple.startswith("struct<") else simple
+    out, depth, cur = [], 0, ""
+    for ch in inner:
+        if ch == "," and depth == 0:
             out.append(cur)
-        return out
+            cur = ""
+            continue
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        cur += ch
+    if cur:
+        out.append(cur)
+    return out
 
-    of, nf = fields(old_simple), fields(new_simple)
-    return len(nf) > len(of) and nf[: len(of)] == of
+
+# safe type promotions Spark 4's parquet reader performs when the read
+# schema is wider than the file (probed: int32 files read as bigint /
+# double, float as double, decimal at higher precision) — Delta's type
+# widening set, integer-family + float->double + decimal precision growth
+_TYPE_WIDENING = {
+    "tinyint": {"smallint", "int", "bigint", "double"},
+    "smallint": {"int", "bigint", "double"},
+    "int": {"bigint", "double"},
+    "float": {"double"},
+}
+
+
+def _type_widens(old_t: str, new_t: str) -> bool:
+    if old_t == new_t:
+        return True
+    if new_t in _TYPE_WIDENING.get(old_t, ()):
+        return True
+    if old_t.startswith("decimal(") and new_t.startswith("decimal("):
+        op, os_ = map(int, old_t[len("decimal("):-1].split(","))
+        np, ns = map(int, new_t[len("decimal("):-1].split(","))
+        return ns == os_ and np >= op  # same scale, precision may grow
+    return False
+
+
+def _is_widening(
+    old_simple: str, new_simple: str, widen_types: bool = False
+) -> bool:
+    """True when ``new`` = ``old`` + appended columns, with the existing
+    prefix's names unchanged and each type either identical or (with
+    ``widen_types``) safely promotable (``_TYPE_WIDENING`` — the reader
+    upcasts old files to the log's wider schema, so no rewrite)."""
+    of, nf = _fields(old_simple), _fields(new_simple)
+    if len(nf) < len(of):
+        return False
+    if len(nf) == len(of) and not widen_types:
+        return False
+    for o, n in zip(of, nf):
+        oname, _, otype = o.partition(":")
+        nname, _, ntype = n.partition(":")
+        if oname != nname:
+            return False
+        if otype != ntype and not (widen_types and _type_widens(otype, ntype)):
+            return False
+    return True
 
 
 def _collect_part_stats(root: str, rel_dir: str) -> dict:
@@ -361,13 +410,19 @@ def _collect_part_stats(root: str, rel_dir: str) -> dict:
             row_group = md.row_group(rg)
             for ci in range(row_group.num_columns):
                 col = row_group.column(ci)
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
+                try:
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                except Exception:
+                    continue  # e.g. pyarrow can't extract decimal stats
                 name = col.path_in_schema
                 if "." in name:
                     continue
-                mn, mx = st.min, st.max
+                try:
+                    mn, mx = st.min, st.max
+                except Exception:
+                    continue  # pyarrow can't CAST stats for some types (decimal)
                 if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
                     continue
                 if name in cols:
@@ -508,16 +563,26 @@ def append_table(
     root: str,
     expected_version: int | None = None,
     allow_add_columns: bool = False,
+    allow_widen_types: bool = False,
 ) -> int:
     """Commit df as a new APPEND version; returns the committed version.
     With ``allow_add_columns`` the append may WIDEN the schema (new
     columns appended; existing columns must keep name+type) — the
-    mergeSchema-style evolution Delta allows on append.  Reads pin the
-    LOG's latest schema, so pre-evolution files null-fill the new columns
-    (the parquet reader's missing-column semantics), and time travel to an
+    mergeSchema-style evolution Delta allows on append.  With
+    ``allow_widen_types`` existing columns may additionally PROMOTE to a
+    safely wider type (int family upward, float→double, decimal precision
+    growth — Delta's type widening): no file is rewritten, because the
+    parquet reader upcasts pre-evolution files to the log-owned wider
+    schema on read.  Reads pin the LOG's latest schema, so pre-evolution
+    files null-fill new columns and upcast widened ones; time travel to an
     old version still serves the old schema."""
     return _commit(
-        root, "append", df, expected_version, allow_add_columns=allow_add_columns
+        root,
+        "append",
+        df,
+        expected_version,
+        allow_add_columns=allow_add_columns,
+        allow_widen_types=allow_widen_types,
     )
 
 

@@ -1594,3 +1594,54 @@ def test_bloom_no_false_negatives_and_calibrated_fpr():
     assert fp / probes < 3 * theory, (fp / probes, theory)
     # type-tagged hashing: int 7 and str '7' do not alias
     assert txlog._bloom_positions(7, k, m) != txlog._bloom_positions("7", k, m)
+
+
+def test_append_type_widening_evolution(spark, tmp_path):
+    """allow_widen_types: an append may promote column types (int->bigint,
+    float->double, decimal precision growth) without rewriting history —
+    the reader upcasts pre-evolution files to the log-owned wider schema;
+    unsafe changes (narrowing, string->int) still raise."""
+    root = str(tmp_path / "t")
+    narrow = spark.range(5).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("float").alias("v"),
+        F.col("id").cast("decimal(5,2)").alias("d"),
+    )
+    txlog.append_table(narrow, root)  # v0 narrow
+    wide = spark.range(5, 8).select(
+        (F.col("id") * 10**10).alias("k"),  # bigint: overflows int
+        F.col("id").cast("double").alias("v"),
+        F.col("id").cast("decimal(12,2)").alias("d"),
+    )
+    with pytest.raises(txlog.TxLogSchemaMismatch):
+        txlog.append_table(wide, root)  # not allowed silently
+    v = txlog.append_table(wide, root, allow_widen_types=True)
+    assert v == 1
+    got = txlog.read_table(spark, root)
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "bigint", "double", "decimal(12,2)"
+    ]
+    assert got.count() == 8
+    # pre-evolution rows upcast losslessly
+    assert got.where(F.col("k") == 3).select("v").first()["v"] == 3.0
+    # time travel still serves the old narrow schema
+    old = txlog.read_table(spark, root, version=0)
+    assert [f.dataType.simpleString() for f in old.schema.fields] == [
+        "int", "float", "decimal(5,2)"
+    ]
+    # widening + a new column in one append (both flags)
+    wider = spark.range(8, 9).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        F.col("id").cast("decimal(12,2)").alias("d"),
+        F.lit("x").alias("tag"),
+    )
+    txlog.append_table(wider, root, allow_add_columns=True, allow_widen_types=True)
+    assert txlog.read_table(spark, root).count() == 9
+    # narrowing is rejected even with the flag
+    with pytest.raises(txlog.TxLogSchemaMismatch):
+        txlog.append_table(narrow, root, allow_widen_types=True)
+    # unsafe promotion (bigint -> int would be required) rejected
+    assert not txlog._type_widens("bigint", "int")
+    assert not txlog._type_widens("string", "int")
+    assert not txlog._type_widens("decimal(12,2)", "decimal(12,4)")  # scale change
