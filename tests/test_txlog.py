@@ -1645,3 +1645,35 @@ def test_append_type_widening_evolution(spark, tmp_path):
     assert not txlog._type_widens("bigint", "int")
     assert not txlog._type_widens("string", "int")
     assert not txlog._type_widens("decimal(12,2)", "decimal(12,4)")  # scale change
+
+
+def test_stream_source_coerces_across_type_widening(spark, tmp_path):
+    """txlogstream across an allow_widen_types promotion: pre-evolution
+    int/float values coerce to the log-owned bigint/double schema through
+    the Python DataSource row path — no reader crash, no value drift."""
+    import time
+
+    root = str(tmp_path / "t")
+    narrow = spark.range(5).select(
+        F.col("id").cast("int").alias("k"), F.col("id").cast("float").alias("v")
+    )
+    txlog.append_table(narrow, root)
+    wide = spark.range(5, 8).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    txlog.append_table(wide, root, allow_widen_types=True)
+    txlog.register_stream_source(spark)
+    got = []
+    q = (
+        spark.readStream.format("txlogstream")
+        .option("path", root)
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and len(got) < 8:
+        time.sleep(1)
+    q.stop()
+    assert sorted((r["k"], r["v"]) for r in got) == [(i, float(i)) for i in range(8)]
