@@ -140,6 +140,17 @@ def bpe_encode(
     )
 
 
+def bpe_decode(
+    encoded: DataFrame, seq_col: str = "seq", word_col: str = "decoded"
+) -> DataFrame:
+    """Invert ``bpe_encode``: concatenate the segmentation's symbols back
+    into the word (BPE is lossless by construction — symbols partition the
+    byte string, so decode is delimiter removal).  One codegen
+    ``replace``; the round-trip ``decode(encode(w)) == w`` is
+    property-tested for every merge table."""
+    return encoded.withColumn(word_col, F.replace(F.col(seq_col), F.lit("."), F.lit("")))
+
+
 def bpe_encode_reference(word: str, merges: list[tuple[str, str]]) -> str:
     """Pure-Python twin of ``bpe_encode`` (property-test reference): same
     dotted representation, same ordered leftmost non-overlapping replaces."""

@@ -821,3 +821,27 @@ def test_blocking_defaults_to_auto_k(spark, monkeypatch):
     assert seen[-1] == 12  # semantic_dedup forwards the auto-k default
     similarity.cluster_blocked_pairs(df, 0.99, k=5).collect()
     assert seen[-1] == 5   # explicit k is untouched (oracle determinism)
+
+
+def test_bpe_roundtrip_decode_inverts_encode(spark):
+    """BPE losslessness: decode(encode(w)) == w for EVERY merge table —
+    the contract that lets a 100 TB corpus be stored tokenized."""
+    import random
+
+    from kafka_connect_expand_json_transform_spark.llmops.bpe import (
+        bpe_decode,
+        bpe_encode,
+        bpe_train,
+    )
+
+    rng = random.Random(5)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 12)))
+             for _ in range(200)]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    trained = bpe_train(df.withColumn("f", F.lit(1)), rounds=8, word_col="w")
+    merges = [(a, b) for _, a, b, _ in trained]
+    out = bpe_decode(bpe_encode(df, merges))
+    assert all(r["w"] == r["decoded"] for r in out.collect())
+    # and with an empty merge table (pure character segmentation)
+    out0 = bpe_decode(bpe_encode(df, []))
+    assert all(r["w"] == r["decoded"] for r in out0.collect())
