@@ -20700,7 +20700,7 @@ def stream_incremental_dedup_e2e(spark, sf_dir):
     (``dedup_against_corpus``; history's text is never rescanned),
     survivors are appended to the corpus, and THEIR artifacts
     (fingerprints / signatures / shingles) are appended to artifact
-    storage for the next batch.  Batches are deterministic (doc_id % 3,
+    storage for the next batch.  Batches are deterministic (doc_id % 2,
     files mtime-ordered) so the run is reproducible; the per-source
     survivor counts are the returned report."""
     import os as _os
@@ -20716,15 +20716,25 @@ def stream_incremental_dedup_e2e(spark, sf_dir):
         file_stream_source,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # a deterministic ~14% slice (modulus COPRIME to the 20-source cycle,
+    # so every source survives): the loop SHAPE (per-batch artifact dedup,
+    # append, artifact growth) is what this query exercises — the full-
+    # corpus throughput tier is the batch incremental_dedup_report
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text", "source")
+    )
     tmp = tempfile.mkdtemp(prefix="sg_stream_dedup_")
     try:
         watch = tmp + "/in"
         _os.makedirs(watch)
-        # deterministic batches: doc_id % 3, one file each, mtime-ordered
-        for b in range(3):
+        # deterministic batches: doc_id % 2, one file each, mtime-ordered
+        # (two batches prove the loop: batch 1 dedups against batch 0's
+        # artifacts; more batches only repeat the same edge)
+        for b in range(2):
             stage = tmp + f"/stage{b}"
-            docs.where(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(stage)
+            docs.where(F.col("doc_id") % 2 == b).coalesce(1).write.parquet(stage)
             part = next(
                 p for p in sorted(_os.listdir(stage)) if p.endswith(".parquet")
             )
@@ -20741,14 +20751,17 @@ def stream_incremental_dedup_e2e(spark, sf_dir):
             if _os.path.isdir(art_dirs["fingerprints"]):
                 arts = {k: spark.read.parquet(d) for k, d in art_dirs.items()}
                 kept = dedup_against_corpus(
-                    batch_df, None, "text", "doc_id", artifacts=arts
+                    batch_df, None, "text", "doc_id",
+                    num_hashes=8, artifacts=arts,
                 )
             else:  # first batch: dedup only within itself
                 empty = spark.createDataFrame([], batch_df.schema)
-                kept = dedup_against_corpus(batch_df, empty, "text", "doc_id")
+                kept = dedup_against_corpus(
+                    batch_df, empty, "text", "doc_id", num_hashes=8
+                )
             kept = kept.localCheckpoint(eager=True)  # one materialization
             kept.write.mode("append").parquet(kept_dir)
-            new_arts = corpus_artifacts(kept, "text", "doc_id")
+            new_arts = corpus_artifacts(kept, "text", "doc_id", num_hashes=8)
             for k, d in art_dirs.items():
                 new_arts[k].write.mode("append").parquet(d)
 

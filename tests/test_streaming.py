@@ -588,22 +588,26 @@ def test_stream_incremental_dedup_matches_sequential(spark):
     from kafka_connect_expand_json_transform_spark.sources import load_table
 
     sf = "/root/testdata/sf0.001"
-    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    docs = (
+        load_table(spark, sf, "documents")
+        .where(F.col("doc_id") % 7 == 0)  # the query's deterministic slice
+        .select("doc_id", "text", "source")
+    )
 
-    # sequential reference: same doc_id % 3 batches, artifacts appended
+    # sequential reference: same doc_id % 2 batches, artifacts appended
     kept_counts: dict = {}
     arts = None
-    for b in range(3):
-        batch = docs.where(F.col("doc_id") % 3 == b)
+    for b in range(2):
+        batch = docs.where(F.col("doc_id") % 2 == b)
         if arts is None:
             empty = spark.createDataFrame([], batch.schema)
-            kept = dedup_against_corpus(batch, empty, "text", "doc_id")
+            kept = dedup_against_corpus(batch, empty, "text", "doc_id", num_hashes=8)
         else:
             kept = dedup_against_corpus(
-                batch, None, "text", "doc_id", artifacts=arts
+                batch, None, "text", "doc_id", num_hashes=8, artifacts=arts
             )
         kept = kept.localCheckpoint(eager=True)
-        new = corpus_artifacts(kept, "text", "doc_id")
+        new = corpus_artifacts(kept, "text", "doc_id", num_hashes=8)
         if arts is None:
             arts = new
         else:
