@@ -20880,6 +20880,90 @@ def txlog_type_widening_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_SMT_CHAIN = """
+    WITH rec AS (
+        SELECT event_id, event_type, user_id,
+               strftime(ts, '%Y-%m-%d') AS day
+        FROM events
+        WHERE event_id % 20 <> 0  -- tombstones dropped by the Filter SMT
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT day) AS n_days,
+           CAST(MAX(event_id) AS INTEGER) AS max_eid,
+           CAST(SUM(0) AS BIGINT) AS sum_uid_masked,
+           COUNT(*) AS n_routed
+    FROM rec GROUP BY event_type
+"""
+
+
+@query("connect_smt_chain_pipeline", _SQL_SMT_CHAIN)
+def connect_smt_chain_pipeline(spark, sf_dir):
+    """A REALISTIC Kafka Connect transform chain (the configs deployments
+    wrap around the reference's ExpandJson, readme.md:38-42) run verbatim
+    through ``connect_transform_chain``: RegexRouter (topic rewrite) ->
+    InsertField (capture the ROUTED topic — declaration order matters) ->
+    TimestampConverter (epoch-ms ts -> day string, in place) -> MaskField
+    (user_id PII to zero) -> Cast (event_id int64 -> int32) -> ValueToKey
+    + ExtractField$Key (key := event_type) -> Filter dropping tombstones
+    via the RecordIsTombstone predicate.  The whole chain is ONE codegen
+    projection + one filter (plan-asserted in test_connect_smt); the final
+    aggregate value-checks routing, masking, casting, conversion, and the
+    tombstone drop in one hash."""
+    from kafka_connect_expand_json_transform_spark.operators.connect_smt import (
+        connect_transform_chain,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rec = ev.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.when(F.col("event_id") % 20 == 0, F.lit(None)).otherwise(  # tombstones
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                F.col("user_id"),
+                (F.unix_micros("ts") / F.lit(1000)).cast("bigint").alias("ts"),
+            )
+        ).alias("value"),
+        F.lit("events-raw").alias("topic"),
+        (F.col("event_id") % 8).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        (F.unix_micros("ts") / F.lit(1000)).cast("bigint").alias("timestamp"),
+    )
+    chain = connect_transform_chain({
+        "transforms": "drop,route,ins,tconv,mask,cast,v2k,exk",
+        "predicates": "tomb",
+        "predicates.tomb.type": "org.apache.kafka.connect.transforms.predicates.RecordIsTombstone",
+        "transforms.drop.type": "org.apache.kafka.connect.transforms.Filter",
+        "transforms.drop.predicate": "tomb",
+        "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+        "transforms.route.regex": "(.*)-raw",
+        "transforms.route.replacement": "$1-clean",
+        "transforms.ins.type": "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.ins.topic.field": "src_topic!",
+        "transforms.tconv.type": "org.apache.kafka.connect.transforms.TimestampConverter$Value",
+        "transforms.tconv.field": "ts",
+        "transforms.tconv.target.type": "string",
+        "transforms.tconv.format": "yyyy-MM-dd",
+        "transforms.mask.type": "org.apache.kafka.connect.transforms.MaskField$Value",
+        "transforms.mask.fields": "user_id",
+        "transforms.cast.type": "org.apache.kafka.connect.transforms.Cast$Value",
+        "transforms.cast.spec": "event_id:int32",
+        "transforms.v2k.type": "org.apache.kafka.connect.transforms.ValueToKey",
+        "transforms.v2k.fields": "event_type",
+        "transforms.exk.type": "org.apache.kafka.connect.transforms.ExtractField$Key",
+        "transforms.exk.field": "event_type",
+    })
+    out = chain(rec)
+    return out.groupBy(F.col("key").alias("event_type")).agg(
+        F.count("*").alias("n"),
+        F.count_distinct("value.ts").alias("n_days"),
+        F.max("value.event_id").alias("max_eid"),
+        F.sum("value.user_id").cast("bigint").alias("sum_uid_masked"),
+        F.sum((F.col("topic") == "events-clean").cast("int")).cast("bigint").alias("n_routed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -1,0 +1,226 @@
+"""Kafka Connect standard-SMT parity (operators/connect_smt.py): each
+transform's public semantics on Kafka-wire-shaped records, plus full
+connector-config chain parsing with predicates — the configs a reference
+deployment chains AROUND ExpandJson (readme.md:38-42)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_expand_json_transform_spark.operators.connect_smt import (
+    connect_transform_chain,
+)
+
+
+def _records(spark):
+    rows = [
+        (str(i), (i, f"t{i % 2}", 100 + i, float(i) * 1.5), "orders-raw",
+         i % 4, i, 1_700_000_000_000 + i * 1000, {"trace": f"x{i}"})
+        for i in range(6)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "key string, value struct<id:bigint, typ:string, uid:bigint, amt:double>, "
+        "topic string, partition int, offset bigint, timestamp bigint, "
+        "headers map<string,string>",
+    )
+
+
+def _chain(config):
+    return connect_transform_chain(config)
+
+
+def test_extract_hoist_roundtrip(spark):
+    df = _records(spark)
+    out = _chain({
+        "transforms": "ex",
+        "transforms.ex.type": "org.apache.kafka.connect.transforms.ExtractField$Value",
+        "transforms.ex.field": "typ",
+    })(df)
+    assert dict(out.dtypes)["value"] == "string"
+    back = _chain({
+        "transforms": "h",
+        "transforms.h.type": "org.apache.kafka.connect.transforms.HoistField$Value",
+        "transforms.h.field": "typ",
+    })(out)
+    assert [f.name for f in back.schema["value"].dataType.fields] == ["typ"]
+    assert back.where(F.col("value.typ") == "t0").count() == 3
+
+
+def test_flatten_nested_struct(spark):
+    df = spark.createDataFrame(
+        [((1, (2, "x")),)],
+        "value struct<a:int, b:struct<c:int, d:string>>",
+    ).withColumn("topic", F.lit("t"))
+    out = _chain({
+        "transforms": "f",
+        "transforms.f.type": "org.apache.kafka.connect.transforms.Flatten$Value",
+        "transforms.f.delimiter": "_",
+    })(df)
+    assert [f.name for f in out.schema["value"].dataType.fields] == ["a", "b_c", "b_d"]
+    r = out.select("value.*").first()
+    assert (r["a"], r["b_c"], r["b_d"]) == (1, 2, "x")
+
+
+def test_cast_field_and_whole_value(spark):
+    df = _records(spark)
+    out = _chain({
+        "transforms": "c",
+        "transforms.c.type": "org.apache.kafka.connect.transforms.Cast$Value",
+        "transforms.c.spec": "id:int32,uid:string",
+    })(df)
+    dt = {f.name: f.dataType.simpleString() for f in out.schema["value"].dataType.fields}
+    assert dt["id"] == "int" and dt["uid"] == "string"
+    # whole-value cast on a schemaless (atomic) side
+    out2 = _chain({
+        "transforms": "k",
+        "transforms.k.type": "org.apache.kafka.connect.transforms.Cast$Key",
+        "transforms.k.spec": "int64",
+    })(df)
+    assert dict(out2.dtypes)["key"] == "bigint"
+
+
+def test_replace_mask_insert(spark):
+    df = _records(spark)
+    out = _chain({
+        "transforms": "r,m,i",
+        "transforms.r.type": "org.apache.kafka.connect.transforms.ReplaceField$Value",
+        "transforms.r.exclude": "amt",
+        "transforms.r.renames": "typ:event_type",
+        "transforms.m.type": "org.apache.kafka.connect.transforms.MaskField$Value",
+        "transforms.m.fields": "uid",
+        "transforms.i.type": "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.i.static.field": "pipeline",
+        "transforms.i.static.value": "v1",
+        "transforms.i.topic.field": "src_topic!",
+        "transforms.i.offset.field": "src_offset?",
+    })(df)
+    names = [f.name for f in out.schema["value"].dataType.fields]
+    assert names == ["id", "event_type", "uid", "pipeline", "src_topic", "src_offset"]
+    r = out.first()
+    assert r["value"]["uid"] == 0  # zero-value mask
+    assert r["value"]["pipeline"] == "v1"
+    assert r["value"]["src_topic"] == "orders-raw"
+    assert r["value"]["src_offset"] == r["offset"]
+    # masking with an explicit replacement literal
+    out2 = _chain({
+        "transforms": "m",
+        "transforms.m.type": "org.apache.kafka.connect.transforms.MaskField$Value",
+        "transforms.m.fields": "typ",
+        "transforms.m.replacement": "REDACTED",
+    })(df)
+    assert out2.first()["value"]["typ"] == "REDACTED"
+
+
+def test_timestamp_converter_all_targets(spark):
+    df = spark.createDataFrame(
+        [((1, 1_700_000_000_000),)], "value struct<id:int, ts:bigint>"
+    ).withColumn("topic", F.lit("t"))
+    base = {
+        "transforms": "t",
+        "transforms.t.type": "org.apache.kafka.connect.transforms.TimestampConverter$Value",
+        "transforms.t.field": "ts",
+    }
+    s = _chain({**base, "transforms.t.target.type": "string",
+                "transforms.t.format": "yyyy-MM-dd"})(df)
+    assert s.first()["value"]["ts"] == "2023-11-14"
+    u = _chain({**base, "transforms.t.target.type": "Timestamp"})(df)
+    assert dict(
+        (f.name, f.dataType.simpleString())
+        for f in u.schema["value"].dataType.fields
+    )["ts"] == "timestamp"
+    back = _chain({**base, "transforms.t.target.type": "unix"})(u)
+    assert back.first()["value"]["ts"] == 1_700_000_000_000  # lossless round trip
+
+
+def test_regexrouter_value_to_key_and_filter_predicates(spark):
+    df = _records(spark)
+    # 1 tombstone record
+    df = df.withColumn(
+        "value", F.when(F.col("offset") == 5, F.lit(None)).otherwise(F.col("value"))
+    )
+    out = _chain({
+        "transforms": "route,v2k,drop",
+        "predicates": "tomb",
+        "predicates.tomb.type": "org.apache.kafka.connect.transforms.predicates.RecordIsTombstone",
+        "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+        "transforms.route.regex": "(.*)-raw",
+        "transforms.route.replacement": "$1-clean",
+        "transforms.v2k.type": "org.apache.kafka.connect.transforms.ValueToKey",
+        "transforms.v2k.fields": "typ",
+        "transforms.drop.type": "org.apache.kafka.connect.transforms.Filter",
+        "transforms.drop.predicate": "tomb",
+    })(df)
+    assert out.count() == 5  # tombstone dropped
+    assert out.select("topic").distinct().collect()[0]["topic"] == "orders-clean"
+    assert out.where(F.col("key.typ") == "t0").count() == 3
+    # per-transform predicate GATES an SMT (negate honored)
+    gated = _chain({
+        "transforms": "m",
+        "predicates": "is_t",
+        "predicates.is_t.type": "org.apache.kafka.connect.transforms.predicates.TopicNameMatches",
+        "predicates.is_t.pattern": "orders-.*",
+        "transforms.m.type": "org.apache.kafka.connect.transforms.MaskField$Value",
+        "transforms.m.fields": "uid",
+        "transforms.m.predicate": "is_t",
+        "transforms.m.negate": "true",
+    })(_records(spark))
+    # negate=true: topic DOES match, so the mask must NOT apply
+    assert gated.agg(F.sum("value.uid")).first()[0] == sum(100 + i for i in range(6))
+    # HasHeaderKey
+    hdr = _chain({
+        "transforms": "drop",
+        "predicates": "h",
+        "predicates.h.type": "org.apache.kafka.connect.transforms.predicates.HasHeaderKey",
+        "predicates.h.name": "trace",
+        "transforms.drop.type": "org.apache.kafka.connect.transforms.Filter",
+        "transforms.drop.predicate": "h",
+    })(_records(spark))
+    assert hdr.count() == 0  # every record carries the trace header
+
+
+def test_chain_order_and_config_errors(spark):
+    df = _records(spark)
+    # route BEFORE insert captures the routed topic — declaration order
+    out = _chain({
+        "transforms": "route,i",
+        "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+        "transforms.route.regex": "(.*)-raw",
+        "transforms.route.replacement": "$1-clean",
+        "transforms.i.type": "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.i.topic.field": "src_topic",
+    })(df)
+    assert out.first()["value"]["src_topic"] == "orders-clean"
+    with pytest.raises(ValueError, match="unsupported SMT"):
+        _chain({
+            "transforms": "x",
+            "transforms.x.type": "org.apache.kafka.connect.transforms.Nope$Value",
+        })(df)
+    with pytest.raises(ValueError, match="struct"):
+        _chain({
+            "transforms": "e",
+            "transforms.e.type": "org.apache.kafka.connect.transforms.ExtractField$Key",
+            "transforms.e.field": "z",
+        })(df)  # key is schemaless: Connect's DataException contract
+
+
+def test_chain_compiles_to_one_projection(spark):
+    """Scale contract: a long SMT chain is plan-time column rewriting —
+    one Project over the scan, no shuffle, no UDF."""
+    df = _records(spark)
+    out = _chain({
+        "transforms": "r,m,i,c,route",
+        "transforms.r.type": "org.apache.kafka.connect.transforms.ReplaceField$Value",
+        "transforms.r.renames": "typ:event_type",
+        "transforms.m.type": "org.apache.kafka.connect.transforms.MaskField$Value",
+        "transforms.m.fields": "uid",
+        "transforms.i.type": "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.i.topic.field": "src_topic",
+        "transforms.c.type": "org.apache.kafka.connect.transforms.Cast$Value",
+        "transforms.c.spec": "id:int32",
+        "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+        "transforms.route.regex": "(.*)-raw",
+        "transforms.route.replacement": "$1-x",
+    })(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("Project") <= 1, plan
