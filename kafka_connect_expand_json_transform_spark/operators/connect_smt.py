@@ -240,6 +240,24 @@ def _apply_one(df: DataFrame, type_name: str, cfg: dict, predicate=None) -> Data
         key = F.struct(*[F.col(f"value.{f}").alias(f) for f in fields])
         return df.withColumn("key", guarded(key, F.col("key")))
 
+    if base == "InsertHeader":
+        hdr = F.coalesce(
+            F.col("headers"),
+            F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")),
+        )
+        added = F.map_concat(
+            F.map_filter(hdr, lambda k, v: k != F.lit(cfg["header"])),
+            F.create_map(F.lit(cfg["header"]), F.lit(cfg["value.literal"])),
+        )
+        return df.withColumn("headers", guarded(added, F.col("headers")))
+
+    if base == "DropHeaders":
+        names = [s.strip() for s in cfg["headers"].split(",") if s.strip()]
+        dropped = F.map_filter(
+            F.col("headers"), lambda k, v: ~k.isin(*names)
+        )
+        return df.withColumn("headers", guarded(dropped, F.col("headers")))
+
     if base == "Filter":
         if predicate is None:
             raise ValueError("Filter SMT requires a predicate")

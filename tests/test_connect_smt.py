@@ -224,3 +224,25 @@ def test_chain_compiles_to_one_projection(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("Project") <= 1, plan
+
+
+def test_insert_and_drop_headers(spark):
+    df = _records(spark)
+    out = _chain({
+        "transforms": "ih,dh",
+        "transforms.ih.type": "org.apache.kafka.connect.transforms.InsertHeader",
+        "transforms.ih.header": "lineage",
+        "transforms.ih.value.literal": "smt-v1",
+        "transforms.dh.type": "org.apache.kafka.connect.transforms.DropHeaders",
+        "transforms.dh.headers": "trace",
+    })(df)
+    h = out.first()["headers"]
+    assert h == {"lineage": "smt-v1"}  # trace dropped, lineage added
+    # InsertHeader REPLACES an existing key (Connect overwrite semantics)
+    out2 = _chain({
+        "transforms": "ih",
+        "transforms.ih.type": "org.apache.kafka.connect.transforms.InsertHeader",
+        "transforms.ih.header": "trace",
+        "transforms.ih.value.literal": "override",
+    })(df)
+    assert out2.first()["headers"]["trace"] == "override"
