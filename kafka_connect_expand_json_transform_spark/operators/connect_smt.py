@@ -240,6 +240,18 @@ def _apply_one(df: DataFrame, type_name: str, cfg: dict, predicate=None) -> Data
         key = F.struct(*[F.col(f"value.{f}").alias(f) for f in fields])
         return df.withColumn("key", guarded(key, F.col("key")))
 
+    if base == "SetSchemaMetadata":
+        # Connect sets the record schema's name/version; Spark's analogue
+        # is column metadata (same channel the ExpandJson schema-name
+        # prefix rides, schema_inference.py) — predicate gating n/a for
+        # metadata (plan-time property, not a row value)
+        meta = {}
+        if cfg.get("schema.name"):
+            meta["connect.schema.name"] = cfg["schema.name"]
+        if cfg.get("schema.version"):
+            meta["connect.schema.version"] = int(cfg["schema.version"])
+        return df.withMetadata(side, meta)
+
     if base == "InsertHeader":
         hdr = F.coalesce(
             F.col("headers"),

@@ -246,3 +246,16 @@ def test_insert_and_drop_headers(spark):
         "transforms.ih.value.literal": "override",
     })(df)
     assert out2.first()["headers"]["trace"] == "override"
+
+
+def test_set_schema_metadata(spark):
+    df = _records(spark)
+    out = _chain({
+        "transforms": "s",
+        "transforms.s.type": "org.apache.kafka.connect.transforms.SetSchemaMetadata$Value",
+        "transforms.s.schema.name": "com.example.Order",
+        "transforms.s.schema.version": "3",
+    })(df)
+    meta = out.schema["value"].metadata
+    assert meta["connect.schema.name"] == "com.example.Order"
+    assert meta["connect.schema.version"] == 3
