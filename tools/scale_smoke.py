@@ -45,6 +45,11 @@ HEAVY = [
     "ccnet_perplexity_buckets",  # round-4 late: word explode + NTILE window
     "txlog_change_feed_agg",  # round-4 late: capture-backed CDF over CoW DML
     "stream_txlog_merge_e2e",  # round-4 late: 3 micro-batch ACID merges
+    "stream_incremental_dedup_e2e",  # round-5: per-batch artifact dedup loop
+    "txlog_bloom_point_lookups",  # round-5: per-file blooms, 78-needle batch
+    "txlog_clone_branch_agg",  # round-5: zero-copy branch + CoW divergence
+    "incremental_agg_maintenance",  # round-5: CDF-delta aggregate refresh
+    "connect_smt_chain_pipeline",  # round-5: 8-SMT codegen chain
 ]
 
 # (table, [key columns to offset per copy])
