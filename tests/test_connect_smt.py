@@ -259,3 +259,27 @@ def test_set_schema_metadata(spark):
     meta = out.schema["value"].metadata
     assert meta["connect.schema.name"] == "com.example.Order"
     assert meta["connect.schema.version"] == 3
+
+
+def test_chain_dispatches_expandjson_with_downstream_smts(spark):
+    """The reference's SMT inside a standard chain (its actual deployment
+    shape): ExpandJson$Value parses the JSON value, then ExtractField +
+    RegexRouter consume the EXPANDED struct — the chain crosses from the
+    reference transform into the stock set seamlessly."""
+    df = spark.createDataFrame(
+        [(str(i), '{"k": %d, "tag": "t%d"}' % (i * 10, i % 2), "ev-raw")
+         for i in range(4)],
+        "key string, value string, topic string",
+    )
+    out = _chain({
+        "transforms": "expand,ex,route",
+        "transforms.expand.type":
+            "com.github.joshuagrisham.kafka.connect.transforms.ExpandJson$Value",
+        "transforms.ex.type": "org.apache.kafka.connect.transforms.ExtractField$Value",
+        "transforms.ex.field": "k",
+        "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+        "transforms.route.regex": "(.*)-raw",
+        "transforms.route.replacement": "$1-parsed",
+    })(df)
+    rows = sorted((r["value"], r["topic"]) for r in out.collect())
+    assert rows == [(0, "ev-parsed"), (10, "ev-parsed"), (20, "ev-parsed"), (30, "ev-parsed")]
