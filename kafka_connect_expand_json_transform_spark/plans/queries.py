@@ -20964,6 +20964,66 @@ def connect_smt_chain_pipeline(spark, sf_dir):
     )
 
 
+_SQL_STREAM_SMT_CHAIN = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(0) AS BIGINT) AS sum_uid_masked,
+           COUNT(*) AS n_routed
+    FROM events
+    WHERE event_id % 20 <> 0
+    GROUP BY event_type
+"""
+
+
+@query("stream_smt_chain_e2e", _SQL_STREAM_SMT_CHAIN)
+def stream_smt_chain_e2e(spark, sf_dir):
+    """The Connect SMT chain on a REAL STREAM — the runtime the configs
+    were written for: tombstone Filter, RegexRouter, MaskField, and
+    ValueToKey applied per micro-batch (the whole chain is a stateless
+    projection + filter, so it is trivially stream-safe — no watermark, no
+    state), then a complete-mode aggregate equals the batch oracle.  This
+    is the reference's deployment story generalized: a connector's entire
+    ``transforms=`` line moves onto Structured Streaming unchanged."""
+    from kafka_connect_expand_json_transform_spark.operators.connect_smt import (
+        connect_transform_chain,
+    )
+
+    stream, cleanup = _stream_table_source(spark, sf_dir, "events")
+    try:
+        rec = stream.select(
+            F.col("event_id").cast("string").alias("key"),
+            F.when(F.col("event_id") % 20 == 0, F.lit(None)).otherwise(
+                F.struct(F.col("event_type"), F.col("user_id"))
+            ).alias("value"),
+            F.lit("events-raw").alias("topic"),
+        )
+        chain = connect_transform_chain({
+            "transforms": "drop,route,mask,v2k",
+            "predicates": "tomb",
+            "predicates.tomb.type": "org.apache.kafka.connect.transforms.predicates.RecordIsTombstone",
+            "transforms.drop.type": "org.apache.kafka.connect.transforms.Filter",
+            "transforms.drop.predicate": "tomb",
+            "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+            "transforms.route.regex": "(.*)-raw",
+            "transforms.route.replacement": "$1-clean",
+            "transforms.mask.type": "org.apache.kafka.connect.transforms.MaskField$Value",
+            "transforms.mask.fields": "user_id",
+            "transforms.v2k.type": "org.apache.kafka.connect.transforms.ValueToKey",
+            "transforms.v2k.fields": "event_type",
+        })
+        agg = chain(rec).groupBy(F.col("key.event_type").alias("event_type")).agg(
+            F.count("*").alias("n"),
+            F.sum("value.user_id").cast("bigint").alias("sum_uid_masked"),
+            F.sum((F.col("topic") == "events-clean").cast("int"))
+            .cast("bigint")
+            .alias("n_routed"),
+        )
+        out = _run_stream_to_memory(spark, agg, "sg_stream_smt", "complete")
+    finally:
+        cleanup()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
