@@ -296,6 +296,59 @@ def _build_predicate(type_name: str, cfg: dict, negate: bool):
     return pred
 
 
+def split_dlq(
+    df: DataFrame,
+    ok: Column,
+    dlq_topic: str,
+    stage: str = "transform",
+    context_headers: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Kafka Connect's dead-letter-queue error handling
+    (``errors.tolerance=all`` + ``errors.deadletterqueue.topic.name`` +
+    ``...context.headers.enable``), re-expressed for a DataFrame pipeline:
+    rows failing ``ok`` are ROUTED, not dropped and not fatal — the DLQ
+    frame keeps the ORIGINAL record re-topiced to ``dlq_topic``, with
+    Connect's ``__connect.errors.*`` context headers (original topic /
+    partition / offset and the failing stage) merged into ``headers`` so
+    an operator can replay after a fix.  Returns ``(good, dlq)``.
+
+    At 100 TB this is the poison-pill contract: one bad record costs one
+    row in a side output, never a dead executor or a dead job — and
+    unlike PERMISSIVE-null it keeps the EVIDENCE.  Both frames come from
+    one filter each over the same scan (Catalyst reuses the upstream
+    plan; persist upstream if it is expensive and both sides are
+    consumed)."""
+    good = df.where(ok)
+    bad = df.where(~F.coalesce(ok, F.lit(False)))
+    ctx = {
+        "__connect.errors.topic": F.col("topic"),
+        "__connect.errors.stage": F.lit(stage),
+    }
+    if "partition" in df.columns:
+        ctx["__connect.errors.partition"] = F.col("partition").cast("string")
+    if "offset" in df.columns:
+        ctx["__connect.errors.offset"] = F.col("offset").cast("string")
+    dlq = bad
+    if context_headers:
+        # headers FIRST (they must capture the ORIGINAL topic), then route
+        pairs = []
+        for k, v in ctx.items():
+            pairs.extend([F.lit(k), v.cast("string")])
+        ctx_map = F.create_map(*pairs)
+        if "headers" in df.columns:
+            base = F.coalesce(
+                F.col("headers"),
+                F.map_from_arrays(
+                    F.array().cast("array<string>"), F.array().cast("array<string>")
+                ),
+            )
+            dlq = dlq.withColumn("headers", F.map_concat(base, ctx_map))
+        else:
+            dlq = dlq.withColumn("headers", ctx_map)
+    dlq = dlq.withColumn("topic", F.lit(dlq_topic))
+    return good, dlq
+
+
 def connect_transform_chain(config: dict):
     """Parse a FULL Kafka Connect connector config's transform surface —
     ``transforms=a,b,c`` + ``transforms.<alias>.<prop>`` +

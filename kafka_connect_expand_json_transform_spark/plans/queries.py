@@ -21024,6 +21024,74 @@ def stream_smt_chain_e2e(spark, sf_dir):
     return out
 
 
+_SQL_DLQ = """
+    WITH rec AS (
+        SELECT event_type,
+               json_valid(CASE WHEN event_id % 10 = 0 THEN 'x' || props
+                               ELSE props END) AS ok,
+               CASE WHEN json_valid(CASE WHEN event_id % 10 = 0
+                                         THEN 'x' || props ELSE props END)
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k
+        FROM events
+    )
+    SELECT 'good' AS bucket, event_type AS grp,
+           COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM rec WHERE ok GROUP BY event_type
+    UNION ALL
+    SELECT 'dlq', 'events-dlq', COUNT(*), CAST(NULL AS BIGINT)
+    FROM rec WHERE NOT ok
+"""
+
+
+@query("connect_dlq_pipeline", _SQL_DLQ)
+def connect_dlq_pipeline(spark, sf_dir):
+    """Kafka Connect's error-handling contract end-to-end
+    (``errors.tolerance=all`` + dead-letter queue,
+    ``operators.connect_smt.split_dlq``): 10% of records are corrupted,
+    ExpandJson parses PERMISSIVE, failing records are ROUTED to the DLQ
+    topic with ``__connect.errors.*`` context headers (original topic +
+    failing stage) while good records aggregate normally — one report
+    value-checks both sides: per-type sums over the survivors AND the DLQ
+    census keyed by its routed topic.  The poison-pill answer with
+    EVIDENCE: nothing dropped, nothing fatal, everything replayable."""
+    from kafka_connect_expand_json_transform_spark.operators.connect_smt import (
+        split_dlq,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.kafka import (
+        from_connect_config,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rec = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 10 == 0, F.concat(F.lit("x"), "props"))
+        .otherwise(F.col("props"))
+        .alias("value"),
+        F.lit("events-raw").alias("topic"),
+    )
+    expanded = from_connect_config(
+        {"type": "com.github.joshuagrisham.kafka.connect.transforms.ExpandJson$Value"}
+    )(rec, mode="PERMISSIVE")
+    # PERMISSIVE parse failure = null FIELDS (the struct survives so the
+    # record shape is stable); every well-formed fixture record carries k
+    good, dlq = split_dlq(
+        expanded, F.col("value.k").isNotNull(), "events-dlq", stage="expand-json"
+    )
+    good_rep = good.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count("*").alias("n"), F.sum("value.k").cast("bigint").alias("sum_k")
+    ).select(F.lit("good").alias("bucket"), "grp", "n", "sum_k")
+    dlq_rep = dlq.where(
+        # the context headers actually carry the original topic + stage
+        (F.col("headers")["__connect.errors.topic"] == "events-raw")
+        & (F.col("headers")["__connect.errors.stage"] == "expand-json")
+    ).groupBy(F.col("topic").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.lit(None).cast("bigint").alias("sum_k"),
+    ).select(F.lit("dlq").alias("bucket"), "grp", "n", "sum_k")
+    return good_rep.unionByName(dlq_rep)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

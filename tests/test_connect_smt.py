@@ -283,3 +283,32 @@ def test_chain_dispatches_expandjson_with_downstream_smts(spark):
     })(df)
     rows = sorted((r["value"], r["topic"]) for r in out.collect())
     assert rows == [(0, "ev-parsed"), (10, "ev-parsed"), (20, "ev-parsed"), (30, "ev-parsed")]
+
+
+def test_split_dlq_routes_with_context_headers(spark):
+    """errors.tolerance=all + DLQ: failing rows are routed (original
+    record, re-topiced, __connect.errors.* context headers), good rows
+    pass; nothing is dropped or fatal."""
+    from kafka_connect_expand_json_transform_spark.operators.connect_smt import (
+        split_dlq,
+    )
+
+    df = _records(spark)
+    good, dlq = split_dlq(
+        df, F.col("value.id") % 2 == 0, "orders-dlq", stage="expand-json"
+    )
+    assert good.count() == 3 and dlq.count() == 3
+    assert good.count() + dlq.count() == df.count()  # nothing lost
+    r = dlq.first()
+    assert r["topic"] == "orders-dlq"
+    h = r["headers"]
+    assert h["__connect.errors.topic"] == "orders-raw"  # original kept
+    assert h["__connect.errors.stage"] == "expand-json"
+    assert h["__connect.errors.offset"] == str(r["offset"])
+    assert "trace" in h  # pre-existing headers preserved
+    # a NULL condition row (three-valued logic) lands in the DLQ, not limbo
+    df2 = df.withColumn(
+        "value", F.when(F.col("offset") == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+    g2, d2 = split_dlq(df2, F.col("value.id") % 2 == 0, "dlq")
+    assert g2.count() + d2.count() == df2.count()
