@@ -21101,6 +21101,15 @@ def connect_dlq_pipeline(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
+    # ROUND-6 ROTATION CANDIDATES (never driver-checked, born round 5):
+    # connect_smt_chain_pipeline, connect_dlq_pipeline, stream_smt_chain_e2e,
+    # txlog_bloom_point_lookups, txlog_clone_branch_agg,
+    # txlog_type_widening_agg, stream_txlog_ingest_maintenance_e2e,
+    # group_by_all_sugar, tokenizer_fertility_report, aes_roundtrip_report,
+    # pii_luhn_census — plus the r4-born still-unchecked families
+    # (gopher_quality_report, domain_reweighting_plan, cogrouped_arrow_orders,
+    # map_in_arrow_dot, matryoshka/sq8 recall, l_diversity/t_closeness).
+    #
     # ROUND-5 ROTATION (VERDICT r04 ask#2): 21 slots with >=3 green driver
     # rows rotate out to never-checked families (txlog CDF/zorder/evolution/
     # streaming, SQL scripting surface, Arrow UDF tier, state-store reader,
