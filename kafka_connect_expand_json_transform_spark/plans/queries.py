@@ -21151,6 +21151,67 @@ def sql_ddl_roundtrip_agg(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+_SQL_DYN_PART_OVERWRITE = """
+    WITH e AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents + 100
+                         ELSE cents END) AS BIGINT) AS sum_cents
+    FROM e GROUP BY event_type
+"""
+
+
+@query("dynamic_partition_overwrite_agg", _SQL_DYN_PART_OVERWRITE)
+def dynamic_partition_overwrite_agg(spark, sf_dir):
+    """Dynamic partition overwrite — the classic idempotent-ETL idiom:
+    ``INSERT OVERWRITE`` with ``partitionOverwriteMode=dynamic`` replaces
+    ONLY the partitions present in the incoming data (here: the
+    'purchase' partition gets re-processed rows, +100 cents) while every
+    other partition's files are untouched — re-running a day's load can
+    never clobber the rest of the table.  STATIC mode (the default) would
+    have dropped all other partitions; the value check proves exactly the
+    one partition changed.  At 100 TB this is partition-pruned rewrite:
+    touched directories only."""
+    import uuid as _uuid
+
+    register_testdata(spark, sf_dir)
+    t = f"sg_dynpart_{_uuid.uuid4().hex[:8]}"
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.sql(
+            f"""CREATE TABLE {t} (cents BIGINT) USING parquet
+                PARTITIONED BY (event_type STRING)"""
+        )
+        spark.sql(
+            f"""INSERT INTO {t}
+                SELECT CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT),
+                       event_type
+                FROM events"""
+        )
+        # idempotent re-load of ONE partition with corrected values
+        spark.sql(
+            f"""INSERT OVERWRITE TABLE {t}
+                SELECT CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) + 100,
+                       event_type
+                FROM events WHERE event_type = 'purchase'"""
+        )
+        out = spark.sql(
+            f"""SELECT event_type, COUNT(*) AS n,
+                       CAST(SUM(cents) AS BIGINT) AS sum_cents
+                FROM {t} GROUP BY event_type"""
+        )
+        rows = out.collect()  # materialize before DROP
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).
