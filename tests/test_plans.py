@@ -853,3 +853,40 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_overwrite_touches_one_partition(spark, tmp_path):
+    """dynamic_partition_overwrite_agg's layout contract: INSERT OVERWRITE
+    in dynamic mode rewrites ONLY the partitions present in the incoming
+    data — the other partitions keep their exact original files (same
+    names), proving re-loads are partition-pruned rewrites."""
+    import glob
+    import uuid
+
+    t = f"sg_dynpart_test_{uuid.uuid4().hex[:8]}"
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.sql(
+            f"""CREATE TABLE {t} (v BIGINT) USING parquet
+                PARTITIONED BY (p STRING)
+                LOCATION '{tmp_path / "t"}'"""
+        )
+        spark.sql(f"INSERT INTO {t} VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+        before = {
+            p: sorted(glob.glob(str(tmp_path / "t" / f"p={p}" / "*.parquet")))
+            for p in ("a", "b", "c")
+        }
+        spark.sql(f"INSERT OVERWRITE TABLE {t} VALUES (20, 'b')")
+        after = {
+            p: sorted(glob.glob(str(tmp_path / "t" / f"p={p}" / "*.parquet")))
+            for p in ("a", "b", "c")
+        }
+        assert after["a"] == before["a"]  # untouched: identical files
+        assert after["c"] == before["c"]
+        assert after["b"] != before["b"]  # rewritten
+        got = {(r["p"], r["v"]) for r in spark.table(t).collect()}
+        assert got == {("a", 1), ("b", 20), ("c", 3)}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
