@@ -242,6 +242,7 @@ def _commit(
                     )
         return current
 
+    df = _apply_generated(root, df)  # generated columns materialize/validate
     current = validate(_list_entries(root))
     _enforce_constraints(root, df)  # CHECK constraints gate every commit
     os.makedirs(_log_path(root), exist_ok=True)
@@ -1099,6 +1100,56 @@ def _bloom_may_contain(bloom: dict, value) -> bool:
         if not (bits[pos // 8] >> (pos % 8)) & 1:
             return False
     return True
+
+
+def _generated_path(root: str) -> str:
+    return os.path.join(root, "_generated.json")
+
+
+def _read_generated(root: str) -> dict:
+    path = _generated_path(root)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def set_generated_column(root: str, name: str, expr: str) -> None:
+    """GENERATED ALWAYS AS (expr) — Delta's generated columns: every
+    subsequent commit MATERIALIZES ``name`` from ``expr`` (a SQL
+    expression over the batch's columns) when the writer omits it, and
+    VALIDATES it when the writer provides it (a mismatch raises
+    ``TxLogConstraintViolation`` — silently diverging from the generation
+    expression is the bug this feature exists to prevent).  The usual use
+    is a derived partition/skipping key (``date_trunc('day', ts)``,
+    ``substr(id, 1, 2)``): writers never compute it by hand, footer stats
+    on it prune reads.  Config is table-level metadata, atomically
+    replaced, like CHECK constraints."""
+    gen = _read_generated(root)
+    gen[name] = expr
+    os.makedirs(root, exist_ok=True)
+    tmp = _generated_path(root) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(gen, f)
+    os.replace(tmp, _generated_path(root))
+
+
+def _apply_generated(root: str, df: DataFrame) -> DataFrame:
+    """Materialize missing generated columns; validate provided ones."""
+    from pyspark.sql import functions as F
+
+    gen = _read_generated(root)
+    for name, expr in gen.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+        else:
+            bad = df.where(~F.col(name).eqNullSafe(F.expr(expr))).limit(1).count()
+            if bad:
+                raise TxLogConstraintViolation(
+                    f"generated column {name!r} does not match its "
+                    f"generation expression {expr!r} for at least one row"
+                )
+    return df
 
 
 def _constraints_path(root: str) -> str:

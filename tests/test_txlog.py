@@ -1677,3 +1677,34 @@ def test_stream_source_coerces_across_type_widening(spark, tmp_path):
         time.sleep(1)
     q.stop()
     assert sorted((r["k"], r["v"]) for r in got) == [(i, float(i)) for i in range(8)]
+
+
+def test_generated_columns_materialize_and_validate(spark, tmp_path):
+    """GENERATED ALWAYS AS: omitted -> materialized from the expression at
+    every commit path; provided-but-wrong -> TxLogConstraintViolation;
+    provided-and-right -> accepted. Footer stats on the generated column
+    drive pruning like any other."""
+    root = str(tmp_path / "t")
+    txlog.set_generated_column(root, "bucket", "id % 4")
+    txlog.append_table(spark.range(8).select("id"), root)  # omitted
+    got = txlog.read_table(spark, root)
+    assert got.columns == ["id", "bucket"]
+    assert {(r["id"], r["bucket"]) for r in got.collect()} == {
+        (i, i % 4) for i in range(8)
+    }
+    # provided and consistent: accepted (schema now includes bucket)
+    ok = spark.range(8, 10).select("id", (F.col("id") % 4).alias("bucket"))
+    txlog.append_table(ok, root)
+    # provided but diverging: rejected before anything commits
+    bad = spark.range(10, 12).select("id", F.lit(99).alias("bucket"))
+    with pytest.raises(txlog.TxLogConstraintViolation, match="bucket"):
+        txlog.append_table(bad, root)
+    assert txlog.read_table(spark, root).count() == 10
+    # the CoW DML paths regenerate too (delete rewrites through _commit)
+    txlog.delete_where(spark, root, "bucket = 1")
+    left = txlog.read_table(spark, root)
+    assert left.where(F.col("bucket") == 1).count() == 0
+    assert left.count() == 7  # ids 1,5,9 dropped
+    # pruning works on the generated key (equality via footer stats)
+    rep = txlog.skipping_report(root, [("bucket", "=", 99)])
+    assert rep["files_read"] < rep["files_total"] or rep["files_read"] == 0
