@@ -20523,15 +20523,14 @@ def txlog_bloom_point_lookups(spark, sf_dir):
             .where((F.col("o_orderkey") % 977 == 3) & (F.col("o_orderkey") % 10 < 5))
             .collect()
         )
-        # per-probe pruning is pure Python over the log sidecar (no Spark
-        # job per needle); the surviving file UNION is then read once —
-        # the batch-probe shape a lookup service would use
-        survivors: set = set()
-        total, sum_read = 0, 0
-        for k in keys:
-            surv, total, _ = TX._skip_plan(root, None, [("o_orderkey", "=", k)])
-            survivors.update(surv)
-            sum_read += len(surv)
+        # batched pruning: the log sidecar loads ONCE and every needle is
+        # tested in memory (plan_point_lookups — the lookup-service shape;
+        # a per-probe _skip_plan loop re-lists the table per needle and
+        # went I/O-bound at sf10); the surviving file UNION is read once
+        plans = TX.plan_point_lookups(root, "o_orderkey", keys)
+        survivors = {p for surv in plans.values() for p in surv}
+        total = TX.skipping_report(root, [("o_orderkey", ">=", 0)])["files_total"]
+        sum_read = sum(len(s) for s in plans.values())
         # blooms must prune the per-probe reads below the read-everything
         # baseline (each probe admits ~1 of the 8 hash-scattered files,
         # which range stats alone never could)

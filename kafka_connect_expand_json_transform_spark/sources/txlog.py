@@ -552,6 +552,41 @@ def read_table_pruned(
     return df
 
 
+def plan_point_lookups(
+    root: str, col: str, keys: list, version: int | None = None
+) -> dict:
+    """Batch the pruning plan for MANY equality probes on one column —
+    the lookup-service shape: the log sidecar (entries, stats, blooms,
+    part list) is loaded ONCE and every key is tested against it in
+    memory, instead of re-listing the table per probe (which is what made
+    a naive 7.8k-needle loop I/O-bound at sf10).  Returns
+    ``{key: [surviving absolute part paths]}``; reading the union of the
+    values with a ``col IN keys`` residual filter is bit-identical to
+    per-key pruned reads."""
+    import glob as _glob
+
+    entries = _list_entries(root)
+    files, _ = _replay(entries, version)
+    all_stats: dict = {}
+    all_blooms: dict = {}
+    for e in entries:
+        all_stats.update(e.get("stats") or {})
+        all_blooms.update(e.get("bloom") or {})
+    parts = []
+    for d in files:
+        for p in sorted(_glob.glob(os.path.join(root, d, "*.parquet"))):
+            rel_p = os.path.relpath(p, root)
+            parts.append((p, all_stats.get(rel_p), all_blooms.get(rel_p)))
+    out: dict = {}
+    for k in keys:
+        out[k] = [
+            p
+            for p, st, bl in parts
+            if _part_survives(st, [(col, "=", k)], bl)
+        ]
+    return out
+
+
 def skipping_report(root: str, where: list[tuple], version: int | None = None) -> dict:
     """{'files_total': n, 'files_read': m} for a pruned read — the
     observability hook tests use to PROVE pruning happened."""
