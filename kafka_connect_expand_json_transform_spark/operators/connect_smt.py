@@ -107,6 +107,16 @@ def _apply_one(df: DataFrame, type_name: str, cfg: dict, predicate=None) -> Data
             from_connect_config,
         )
 
+        if predicate is not None:
+            # Gating ExpandJson per record is unrepresentable in one typed
+            # column (matching rows become a struct, others keep the raw
+            # string) — fail at plan time, the config-validation contract.
+            raise ValueError(
+                f"{smt}: per-transform 'predicate' is not supported on "
+                "ExpandJson — a gated expansion would mix expanded-struct "
+                "and raw rows in one column; route with Filter/split_dlq "
+                "upstream instead"
+            )
         return from_connect_config({"type": type_name, **cfg})(df)
 
     if base == "ExtractField":
@@ -214,7 +224,12 @@ def _apply_one(df: DataFrame, type_name: str, cfg: dict, predicate=None) -> Data
         else:
             ts = src.cast("timestamp")
         if target == "unix":
-            out_col = (F.unix_micros(ts) / F.lit(1000)).cast("bigint")  # epoch ms
+            # epoch ms, FLOOR-rounded like Connect's Date.getTime() (pre-1970
+            # values round down, not toward zero).  (um - pmod(um,1000)) is an
+            # exact multiple of 1000 in bigint, so the division is exact —
+            # no lossy double intermediate, no truncation-toward-zero.
+            um = F.unix_micros(ts)
+            out_col = ((um - F.pmod(um, F.lit(1000))) / F.lit(1000)).cast("bigint")
         elif target == "string":
             out_col = F.date_format(ts, fmt or "yyyy-MM-dd HH:mm:ss")
         elif target == "Date":
@@ -229,9 +244,14 @@ def _apply_one(df: DataFrame, type_name: str, cfg: dict, predicate=None) -> Data
         return df.withColumn(side, guarded(out_col, F.col(side)))
 
     if base == "RegexRouter":
-        routed = F.regexp_replace(
-            F.col("topic"), cfg["regex"], cfg["replacement"]
-        )
+        # Connect's RegexRouter rewrites only when the pattern matches the
+        # ENTIRE topic (Pattern.matches, then replaceFirst); a partial
+        # match is a no-op.  Anchor both the gate and the rewrite.
+        anchored = f"^(?:{cfg['regex']})$"
+        routed = F.when(
+            F.col("topic").rlike(anchored),
+            F.regexp_replace(F.col("topic"), anchored, cfg["replacement"]),
+        ).otherwise(F.col("topic"))
         return df.withColumn("topic", guarded(routed, F.col("topic")))
 
     if base == "ValueToKey":

@@ -174,9 +174,14 @@ def expand_json(
     root_names: dict[str, str | None] = {}
     if schema_name_prefix:
         named = {}
-        for f, dt in schemas.items():
+        # ONE shared name map across all fields of this call: the
+        # reference's generatedSchemaNames/schemaNameIndex are instance
+        # state (ExpandJson.java:69-71, 238), so a second field's structs
+        # continue the numbering and dedup against the first field's.
+        shared_names: dict = {}
+        for f in fields_to_expand:
             named[f], root_names[f] = assign_schema_names(
-                dt, schema_name_prefix, with_root=True
+                schemas[f], schema_name_prefix, with_root=True, names=shared_names
             )
         schemas = named
 

@@ -20531,6 +20531,13 @@ def txlog_bloom_point_lookups(spark, sf_dir):
         survivors = {p for surv in plans.values() for p in surv}
         total = TX.skipping_report(root, [("o_orderkey", ">=", 0)])["files_total"]
         sum_read = sum(len(s) for s in plans.values())
+        if not keys or not survivors:
+            # tiny scale factors can leave the needle predicate with no
+            # matches (or blooms pruning every file) — same no-survivors
+            # contract as read_table_pruned: empty result, stable schema
+            return spark.createDataFrame(
+                [], "o_orderpriority string, n bigint, sum_cents bigint"
+            )
         # blooms must prune the per-probe reads below the read-everything
         # baseline (each probe admits ~1 of the 8 hash-scattered files,
         # which range stats alone never could)

@@ -288,7 +288,12 @@ def decimal_leaf_paths(samples: Iterable[str | None]) -> list[str]:
     return sorted(paths)
 
 
-def assign_schema_names(dtype: DataType, prefix: str, with_root: bool = False):
+def assign_schema_names(
+    dtype: DataType,
+    prefix: str,
+    with_root: bool = False,
+    names: dict | None = None,
+):
     """Carry the reference's generated struct-schema names as field metadata.
 
     The reference numbers each *distinct field list* ``prefix``, ``prefix2``,
@@ -303,8 +308,16 @@ def assign_schema_names(dtype: DataType, prefix: str, with_root: bool = False):
     has no StructField of its own to ride on inside the type; ``expand_json``
     attaches it as COLUMN metadata on top-level expanded columns (nested
     ``withField`` rewrites cannot carry it — documented metadata-only limit).
+
+    ``names`` lets a caller share ONE name map (counter + dedup state)
+    across several calls: the reference's ``generatedSchemaNames`` /
+    ``schemaNameIndex`` are INSTANCE fields shared across all configured
+    fields (ExpandJson.java:69-71, 238), so with ``fields=[a,b]`` field
+    b's structs continue numbering from — and dedup against — field a's.
+    ``expand_json`` passes one dict for the whole call.
     """
-    names: dict[tuple, str] = {}
+    if names is None:
+        names = {}
 
     def key_of(st: StructType) -> tuple:
         return tuple((f.name, f.dataType.simpleString()) for f in st.fields)

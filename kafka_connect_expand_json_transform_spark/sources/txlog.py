@@ -229,6 +229,7 @@ def _commit(
                         schema,
                         df.schema.simpleString(),
                         widen_types=allow_widen_types,
+                        add_columns=allow_add_columns,
                     )
                 )
                 # (a NARROWER-typed batch against an already-widened table
@@ -367,14 +368,22 @@ def _type_widens(old_t: str, new_t: str) -> bool:
 
 
 def _is_widening(
-    old_simple: str, new_simple: str, widen_types: bool = False
+    old_simple: str,
+    new_simple: str,
+    widen_types: bool = False,
+    add_columns: bool = False,
 ) -> bool:
-    """True when ``new`` = ``old`` + appended columns, with the existing
-    prefix's names unchanged and each type either identical or (with
-    ``widen_types``) safely promotable (``_TYPE_WIDENING`` — the reader
-    upcasts old files to the log's wider schema, so no rewrite)."""
+    """True when ``new`` = ``old`` + appended columns (requires
+    ``add_columns``), with the existing prefix's names unchanged and each
+    type either identical or (with ``widen_types``) safely promotable
+    (``_TYPE_WIDENING`` — the reader upcasts old files to the log's wider
+    schema, so no rewrite).  The two evolution kinds are separate opt-ins:
+    ``allow_widen_types`` alone never authorizes new columns, and
+    ``allow_add_columns`` alone never authorizes type promotion."""
     of, nf = _fields(old_simple), _fields(new_simple)
     if len(nf) < len(of):
+        return False
+    if len(nf) > len(of) and not add_columns:
         return False
     if len(nf) == len(of) and not widen_types:
         return False

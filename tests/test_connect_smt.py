@@ -312,3 +312,59 @@ def test_split_dlq_routes_with_context_headers(spark):
     )
     g2, d2 = split_dlq(df2, F.col("value.id") % 2 == 0, "dlq")
     assert g2.count() + d2.count() == df2.count()
+
+
+def test_regexrouter_full_match_only(spark):
+    """Connect's RegexRouter rewrites only when the regex matches the
+    ENTIRE topic (Pattern.matches + replaceFirst); a partial match is a
+    no-op — 'foo'->'bar' on topic 'xfooy' must NOT become 'xbary'."""
+    df = spark.createDataFrame([(1,)], "id int").withColumn("topic", F.lit("xfooy"))
+    out = _chain({
+        "transforms": "route",
+        "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+        "transforms.route.regex": "foo",
+        "transforms.route.replacement": "bar",
+    })(df)
+    assert out.first()["topic"] == "xfooy"  # partial match -> unchanged
+    full = _chain({
+        "transforms": "route",
+        "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+        "transforms.route.regex": "xfooy",
+        "transforms.route.replacement": "bar",
+    })(df)
+    assert full.first()["topic"] == "bar"  # full match -> rewritten
+
+
+def test_timestamp_converter_unix_pre1970_floor(spark):
+    """target.type=unix floors (Connect's exact integer ms): a pre-1970
+    timestamp at -1 ms must come back as -1, not truncate toward zero."""
+    df = spark.createDataFrame(
+        [((1, -1),), ((2, -12_345),), ((3, 1_700_000_000_001),)],
+        "value struct<id:int, ts:bigint>",
+    ).withColumn("topic", F.lit("t"))
+    base = {
+        "transforms": "t",
+        "transforms.t.type": "org.apache.kafka.connect.transforms.TimestampConverter$Value",
+        "transforms.t.field": "ts",
+    }
+    ts = _chain({**base, "transforms.t.target.type": "Timestamp"})(df)
+    back = _chain({**base, "transforms.t.target.type": "unix"})(ts)
+    got = {r["value"]["id"]: r["value"]["ts"] for r in back.collect()}
+    assert got == {1: -1, 2: -12_345, 3: 1_700_000_000_001}
+
+
+def test_expandjson_predicate_rejected_at_parse_time(spark):
+    """A per-transform predicate on ExpandJson is unrepresentable (the
+    expanded column cannot mix struct and raw rows) — the chain must fail
+    at plan time, Connect's fail-at-startup contract, never silently
+    expand everything."""
+    df = _records(spark)
+    with pytest.raises(ValueError, match="predicate.*ExpandJson|ExpandJson.*predicate"):
+        _chain({
+            "transforms": "e",
+            "predicates": "tomb",
+            "predicates.tomb.type": "org.apache.kafka.connect.transforms.predicates.RecordIsTombstone",
+            "transforms.e.type": "com.github.joshuagrisham.kafka.connect.transforms.ExpandJson$Value",
+            "transforms.e.sourceFields": "typ",
+            "transforms.e.predicate": "tomb",
+        })(df)

@@ -209,3 +209,40 @@ def test_root_schema_name_on_expanded_column(spark):
     assert lvl1.dataType["level2"].metadata["connect.name"] == "p.Rec"
     assert lvl1.metadata["connect.name"] == "p.Rec2"
     assert field.metadata["connect.name"] == "p.Rec3"
+
+
+def test_schema_names_shared_across_fields(spark):
+    """The reference's generatedSchemaNames/schemaNameIndex are INSTANCE
+    fields shared across all configured fields (ExpandJson.java:69-71,
+    238): with fields=[a,b], field b's structs continue numbering from —
+    and dedup against — field a's."""
+    from kafka_connect_expand_json_transform_spark.operators.expand_json import (
+        expand_json,
+    )
+
+    df = spark.createDataFrame(
+        [('{"x": {"p": 1}}', '{"y": {"q": "s"}}')], "a string, b string"
+    )
+    out = expand_json(df, fields=["a", "b"], schema_name_prefix="p.Rec")
+    sa, sb = out.schema["a"], out.schema["b"]
+    # field a: inner struct {p:bigint} -> p.Rec, root {x:...} -> p.Rec2
+    assert sa.dataType["x"].metadata["connect.name"] == "p.Rec"
+    assert sa.metadata["connect.name"] == "p.Rec2"
+    # field b CONTINUES the numbering: {q:string} -> p.Rec3, root -> p.Rec4
+    assert sb.dataType["y"].metadata["connect.name"] == "p.Rec3"
+    assert sb.metadata["connect.name"] == "p.Rec4"
+    # identical field lists across fields SHARE a name (dedup across fields)
+    df2 = spark.createDataFrame(
+        [('{"x": {"p": 1}}', '{"x": {"p": 2}}')], "a string, b string"
+    )
+    out2 = expand_json(df2, fields=["a", "b"], schema_name_prefix="p.Rec")
+    assert (
+        out2.schema["a"].dataType["x"].metadata["connect.name"]
+        == out2.schema["b"].dataType["x"].metadata["connect.name"]
+        == "p.Rec"
+    )
+    assert (
+        out2.schema["a"].metadata["connect.name"]
+        == out2.schema["b"].metadata["connect.name"]
+        == "p.Rec2"
+    )

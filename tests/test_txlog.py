@@ -1708,3 +1708,27 @@ def test_generated_columns_materialize_and_validate(spark, tmp_path):
     # pruning works on the generated key (equality via footer stats)
     rep = txlog.skipping_report(root, [("bucket", "=", 99)])
     assert rep["files_read"] < rep["files_total"] or rep["files_read"] == 0
+
+
+def test_evolution_opt_ins_are_separate(spark, tmp_path):
+    """allow_widen_types alone must NOT authorize column ADDITION, and
+    allow_add_columns alone must NOT authorize type promotion — each
+    evolution kind requires its own explicit opt-in."""
+    root = str(tmp_path / "sep")
+    txlog.append_table(spark.createDataFrame([(1, 10)], "k long, v int"), root)
+    extra = spark.createDataFrame([(2, 20, "x")], "k long, v int, tag string")
+    with pytest.raises(txlog.TxLogSchemaMismatch):
+        txlog.append_table(extra, root, allow_widen_types=True)  # add needs its flag
+    promoted = spark.createDataFrame([(3, 30)], "k long, v long")
+    with pytest.raises(txlog.TxLogSchemaMismatch):
+        txlog.append_table(promoted, root, allow_add_columns=True)  # widen needs its flag
+    # with the RIGHT flag each succeeds
+    txlog.append_table(promoted, root, allow_widen_types=True)
+    txlog.append_table(
+        spark.createDataFrame([(4, 40, "y")], "k long, v long, tag string"),
+        root,
+        allow_add_columns=True,
+    )
+    got = txlog.read_table(spark, root)
+    assert got.count() == 3 and got.schema["v"].dataType.simpleString() == "bigint"
+    assert got.columns == ["k", "v", "tag"]
