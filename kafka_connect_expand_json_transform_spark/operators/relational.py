@@ -423,3 +423,65 @@ def skyline_2d(
         (F.col("__sm").isNull() | (F.col("__sm") > y)) & (F.col("__ymin") == y)
     )
     return joined.where(not_dominated).drop("__ymin", "__sm")
+
+
+def exact_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_by: list,
+    out: str = "bucket",
+    num_ranges: int = 64,
+) -> DataFrame:
+    """Exact NTILE over a TOTAL order without the single-partition window
+    (``Window.orderBy`` with no partition moves every row to one task —
+    the scale-killer ``WindowExec: No Partition Defined`` warns about).
+
+    Two-phase range-partitioned rank, the distributed-sort decomposition:
+
+      1. ``repartitionByRange`` on the ordering key splits the total order
+         into ``num_ranges`` contiguous, disjoint ranges (sampled
+         boundaries; any boundary choice yields the same final index).
+      2. Per-range row counts (a ``num_ranges``-row aggregate) prefix-sum
+         to the range's global start offset — the only unpartitioned
+         window left runs over ``num_ranges`` rows, never the data.
+      3. ``row_number`` PARTITIONED by range gives the within-range rank
+         in parallel; global 1-based index = offset + local rank.
+      4. The NTILE formula on the index: the first ``N % n`` buckets get
+         ``ceil(N/n)`` rows, the rest ``floor(N/n)`` — bit-identical to
+         ``F.ntile(n).over(Window.orderBy(...))`` when the ordering is a
+         total order (callers here always carry a unique-key tie-break).
+
+    ``order_by`` is a list of Columns (use ``F.col(c).desc()`` for
+    descending).  Equal keys always land in one range (ranges are
+    key-disjoint intervals), so tie behavior matches the global window's.
+    At 100 TB: one range shuffle + one tiny agg — no single-task sort.
+    """
+    ranged = df.repartitionByRange(num_ranges, *order_by).withColumn(
+        "__rng", F.spark_partition_id()
+    )
+    cnt = ranged.groupBy("__rng").agg(F.count("*").alias("__c"))
+    w_off = Window.orderBy("__rng").rowsBetween(Window.unboundedPreceding, -1)
+    off = cnt.select(
+        "__rng",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__c").over(Window.partitionBy()).alias("__n_total"),
+    )
+    rn = F.row_number().over(Window.partitionBy("__rng").orderBy(*order_by))
+    idx = ranged.withColumn("__rn", rn).join(F.broadcast(off), "__rng")
+
+    def _intdiv(a: Column, b: Column) -> Column:
+        # positive-int floor division without a double intermediate
+        return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+    i = (F.col("__off") + F.col("__rn")).cast("bigint")
+    n = F.lit(n_buckets).cast("bigint")
+    total = F.col("__n_total").cast("bigint")
+    base = _intdiv(total, n)  # floor(N/n)
+    rem = F.pmod(total, n)  # first `rem` buckets take base+1 rows
+    big = base + 1
+    bucket = F.when(
+        i <= rem * big, _intdiv(i + big - 1, big)
+    ).otherwise(rem + _intdiv(i - rem * big + base - 1, base))
+    return idx.withColumn(out, bucket.cast("int")).drop(
+        "__rng", "__rn", "__off", "__n_total"
+    )

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from kafka_connect_expand_json_transform_spark.operators.expand_json import expand_json
 from kafka_connect_expand_json_transform_spark.operators.relational import (
     asof_join,
+    exact_ntile,
     top_k_per_group,
 )
 from kafka_connect_expand_json_transform_spark.functions import text as TXT
@@ -4457,15 +4458,17 @@ def daily_new_cumulative_users(spark, sf_dir):
     """,
 )
 def equidepth_histogram(spark, sf_dir):
-    """Equi-depth (quantile-bucket) histogram via ntile with a deterministic
-    key tie-break — the exact twin of the sketch-based quantile_rollup. The
-    global sort is the honest cost of exactness here (ntile needs a total
-    order); the sketch path is the 100 TB variant, this is the small-table /
-    verification variant. Doubles are only MIN/MAX'd."""
+    """Equi-depth (quantile-bucket) histogram — exact NTILE via the
+    two-phase range-partitioned rank (``exact_ntile``: range shuffle +
+    per-range offsets + partitioned row_number), bit-identical to the
+    global-window ntile the ORACLE runs, without its single-partition
+    sort.  Doubles are only MIN/MAX'd."""
     o = load_table(spark, sf_dir, "orders")
-    t = o.select(
-        "o_totalprice",
-        F.ntile(8).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bucket"),
+    t = exact_ntile(
+        o.select("o_totalprice", "o_orderkey"),
+        8,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        out="bucket",
     )
     return t.groupBy("bucket").agg(
         F.count("*").alias("n"),
@@ -5494,16 +5497,17 @@ def decile_lift_customers(spark, sf_dir):
     custkey tie-break), NTILE(10), and report each decile's share of total
     revenue: the standard model-evaluation / campaign-targeting report
     ("top decile carries X% of value").  Shares are exact-int ratios cast
-    to double once.  Scale: groupBy(custkey), then a global NTILE — at
-    cluster scale replace with a two-phase range-partitioned rank; the
-    aggregate output is 10 rows."""
+    to double once.  Scale: groupBy(custkey), then the two-phase
+    range-partitioned exact NTILE (``exact_ntile`` — no single-partition
+    sort at customer grain); the aggregate output is 10 rows."""
     o = load_table(spark, sf_dir, "orders")
     s = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.sum(money("o_totalprice") * 100).cast("bigint").alias("cents"),
         F.count("*").alias("n_orders"),
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("ck"))
-    d = s.select("ck", "cents", "n_orders", F.ntile(10).over(w).alias("decile"))
+    d = exact_ntile(
+        s, 10, [F.col("cents").desc(), F.col("ck")], out="decile"
+    ).select("ck", "cents", "n_orders", "decile")
     g = d.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.sum("n_orders").alias("n_orders"),
@@ -9919,10 +9923,10 @@ def quantile_normalization_map(spark, sf_dir):
     with a full deterministic ordering) side by side with the global decile
     boundaries, so a serving job can remap any group's distribution onto
     the reference by decile lookup.  All int64-exact.  Scale: the per-group
-    ntile shuffles once on the group key; the GLOBAL ntile is the
-    documented single-partition sort (equidepth_histogram precedent) — at
-    real scale both swap for the mergeable quantile sketch already in the
-    suite, which is why the map keys on decile, not rank."""
+    ntile shuffles once on the group key; the GLOBAL ntile is the two-phase
+    range-partitioned exact rank (``exact_ntile`` — no single-partition
+    sort at event grain); a mergeable quantile sketch is the approximate
+    alternative, which is why the map keys on decile, not rank."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.select(
         "event_type",
@@ -9935,9 +9939,8 @@ def quantile_normalization_map(spark, sf_dir):
         .groupBy("event_type", "dec")
         .agg(F.max("cents").alias("group_hi"), F.count("*").alias("n"))
     )
-    wa = Window.orderBy("cents", "event_id")
     ab = (
-        p.select("cents", F.ntile(10).over(wa).alias("dec"))
+        exact_ntile(p, 10, [F.col("cents"), F.col("event_id")], out="dec")
         .groupBy("dec")
         .agg(F.max("cents").alias("global_hi"))
     )
@@ -11357,22 +11360,20 @@ def rfm_segmentation(spark, sf_dir):
     into the classic 111..555 segment code, with per-segment counts and
     exact revenue.  All three ntiles use fully deterministic orderings
     (custkey tie-break); higher score = more recent / frequent / valuable.
-    Scale: one customer-grain groupBy carries the corpus; the three global
-    ntiles are the documented single-partition ranking step (two-phase
-    pre-rank or the quantile sketch at real scale — the SEGMENT logic is
-    unchanged either way)."""
+    Scale: one customer-grain groupBy carries the corpus; each quintile
+    score is the two-phase range-partitioned exact NTILE (``exact_ntile``
+    — range shuffle + partitioned rank, never a single-partition sort at
+    customer grain; the SEGMENT logic is unchanged)."""
     o = load_table(spark, sf_dir, "orders")
     c = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.max(F.expr("unix_micros(o_orderdate) div 86400000000")).alias("rday"),
         F.count("*").alias("freq"),
         F.sum(money("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    q = c.select(
-        "cents",
-        F.ntile(5).over(Window.orderBy("rday", "ck")).alias("r"),
-        F.ntile(5).over(Window.orderBy("freq", "ck")).alias("f"),
-        F.ntile(5).over(Window.orderBy("cents", "ck")).alias("m"),
-    )
+    q = exact_ntile(c, 5, [F.col("rday"), F.col("ck")], out="r")
+    q = exact_ntile(q, 5, [F.col("freq"), F.col("ck")], out="f")
+    q = exact_ntile(q, 5, [F.col("cents"), F.col("ck")], out="m")
+    q = q.select("cents", "r", "f", "m")
     return q.groupBy(
         (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
         .cast("bigint")
@@ -13354,22 +13355,16 @@ def curriculum_phases(spark, sf_dir):
     per-phase document and token budgets — the table a trainer consumes to
     ramp from noisy to clean data.  The mean quality per phase is exact:
     the 4-decimal score scales to int64 tenth-milli units (round-half-up of
-    an identical double) before summation.  Scale: NTILE over a global
-    order is the one single-partition step — at corpus scale replace with
-    the two-pass quantile-cut (approx thresholds + filter) whose shape the
-    equidepth histogram query already demonstrates."""
+    an identical double) before summation.  Scale: the phase cut is the
+    two-phase range-partitioned exact NTILE (``exact_ntile`` — no
+    single-partition sort at document grain)."""
     docs = load_table(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id",
         TXT.token_count("text").alias("ntok"),
         TXT.quality_score("text").alias("q"),
     )
-    r = s.select(
-        "doc_id",
-        "ntok",
-        "q",
-        F.ntile(4).over(Window.orderBy("q", "doc_id")).alias("phase"),
-    )
+    r = exact_ntile(s, 4, [F.col("q"), F.col("doc_id")], out="phase")
     return r.groupBy(F.col("phase").cast("bigint").alias("phase")).agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("ntok").cast("bigint").alias("sum_tokens"),
@@ -14765,9 +14760,8 @@ def uplift_by_activity_decile(spark, sf_dir):
     midpoint (exact integer day arithmetic); deciles rank pre-activity
     with a user-id tie-break so cell membership is deterministic; uplift
     is a mirrored double difference of exact counts.  Scale: one
-    user-grain groupBy; NTILE's global order runs over USER rows — at
-    real scale swap for the two-pass quantile cut, same as
-    curriculum_phases."""
+    user-grain groupBy, then the two-phase range-partitioned exact NTILE
+    (``exact_ntile`` — no single-partition sort at user grain)."""
     ev = load_table(spark, sf_dir, "events")
     day = F.expr("unix_micros(ts) div 86400000000")
     span = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1")).collect()[0]
@@ -14787,13 +14781,9 @@ def uplift_by_activity_decile(spark, sf_dir):
         )
         .withColumn("variant", F.col("user_id") % 2)
     )
-    d = u.select(
-        "variant",
-        "converted",
-        F.ntile(10).over(Window.orderBy("pre_activity", "user_id")).alias(
-            "decile"
-        ),
-    )
+    d = exact_ntile(
+        u, 10, [F.col("pre_activity"), F.col("user_id")], out="decile"
+    ).select("variant", "converted", "decile")
     nc = F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
     cc = F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
     nt = F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))

@@ -366,3 +366,32 @@ def test_aes_roundtrip_lossless_and_ciphertext_differs(spark):
         "name", F.aes_decrypt("ct", key).cast("string").alias("dec")
     )
     assert all(r["name"] == r["dec"] for r in back.collect())
+
+
+def test_exact_ntile_matches_global_window(spark):
+    """exact_ntile (range-partitioned two-phase rank) is bit-identical to
+    F.ntile over the single-partition global window for any total order —
+    ties, descending keys, and N < n_buckets included."""
+    from pyspark.sql import Window
+
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        exact_ntile,
+    )
+
+    rows = [(i, (i * 37) % 11, f"k{i:04d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id int, v int, k string")  # heavy ties on v
+    for n, order in [
+        (7, [F.col("v"), F.col("k")]),
+        (10, [F.col("v").desc(), F.col("k")]),
+        (3, [F.col("k").desc()]),
+    ]:
+        got = exact_ntile(df, n, order, out="b", num_ranges=8)
+        exp = df.withColumn("b", F.ntile(n).over(Window.orderBy(*order)))
+        assert (
+            got.select("id", "b").exceptAll(exp.select("id", "b")).count() == 0
+            and exp.select("id", "b").exceptAll(got.select("id", "b")).count() == 0
+        ), (n, order)
+    # N < n_buckets: each row its own bucket, numbered 1..N
+    tiny = spark.createDataFrame([(3,), (1,), (2,)], "x int")
+    got = {r["x"]: r["b"] for r in exact_ntile(tiny, 10, [F.col("x")], out="b").collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
