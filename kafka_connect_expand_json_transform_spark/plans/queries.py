@@ -6381,6 +6381,103 @@ def custom_datasource_expand(spark, sf_dir):
     )
 
 
+_SQL_KAFKA_WIRE = """
+    WITH r AS (SELECT g AS i FROM generate_series(0, 5999) AS t(g))
+    SELECT 't' || CAST(i % 7 AS VARCHAR) AS tag,
+           COUNT(*) AS n,
+           CAST(SUM(i % 100) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT i % 50) AS BIGINT) AS n_uids,
+           CAST(SUM(i) AS BIGINT) AS sum_offsets
+    FROM r GROUP BY 1
+"""
+
+
+@query("kafka_wire_pipeline", _SQL_KAFKA_WIRE)
+def kafka_wire_pipeline(spark, sf_dir):
+    """The full Kafka deployment path WITHOUT a broker (VERDICT r05 ask#5;
+    reference host environment ExpandJson.java:32, readme.md:38-42): the
+    ``connect_records`` Python DataSource plays the topic, its records are
+    FRAMED as the exact bytes Spark's Kafka source would deliver — binary
+    key/value carrying Connect JsonConverter ``schemas.enable=true``
+    envelopes (``{"schema": ..., "payload": ...}``) plus topic/partition/
+    offset/timestamp/timestampType — then decoded the way JsonConverter
+    would (envelope schema validated, payload extracted), expanded through
+    ``from_connect_config`` with readme-style connector properties, and
+    aggregated.  Record i is a pure function of i, so DuckDB reproduces
+    the whole wire trip with generate_series arithmetic.  Scale: framing/
+    decoding are narrow codegen'd projections over the partition-parallel
+    source; only the final aggregate shuffles."""
+    from kafka_connect_expand_json_transform_spark.sources.kafka import (
+        from_connect_config,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.python_datasource import (
+        register,
+    )
+
+    register(spark)
+    rec = spark.read.format("connect_records").option("rows", 6000).load()
+    # frame as Kafka wire bytes: JsonConverter schemas.enable=true envelopes
+    val_env = F.concat(
+        F.lit(
+            '{"schema":{"type":"struct","fields":'
+            '[{"field":"someJsonTextField","type":"string"}]},"payload":'
+        ),
+        F.to_json(F.struct(F.col("value").alias("someJsonTextField"))),
+        F.lit("}"),
+    )
+    key_env = F.concat(
+        F.lit(
+            '{"schema":{"type":"struct","fields":'
+            '[{"field":"uid","type":"int32"}]},"payload":'
+        ),
+        F.col("key"),
+        F.lit("}"),
+    )
+    wire = rec.select(
+        F.encode(key_env, "UTF-8").alias("key"),
+        F.encode(val_env, "UTF-8").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        F.timestamp_millis(F.lit(1704110400000) + F.col("offset") * 1000).alias(
+            "timestamp"
+        ),
+        F.lit(0).alias("timestampType"),
+    )
+    # converter step (JsonConverter role): bytes -> envelope -> typed side;
+    # the envelope's declared schema is VALIDATED, not assumed
+    vstr = F.col("value").cast("string")
+    converted = wire.where(
+        F.get_json_object(vstr, "$.schema.fields[0].field")
+        == F.lit("someJsonTextField")
+    ).withColumn(
+        "value",
+        F.struct(
+            F.get_json_object(vstr, "$.payload.someJsonTextField").alias(
+                "someJsonTextField"
+            )
+        ),
+    )
+    # the reference readme's deployment shape: fields config on a schema'd
+    # value, JSON text expanded in place
+    out = from_connect_config(
+        {
+            "type": "com.github.joshuagrisham.kafka.connect.transforms.ExpandJson$Value",
+            "fields": "someJsonTextField",
+            "schema.name.prefix": "com.github.joshuagrisham.kafka.test.MyJsonRecord",
+        }
+    )(converted)
+    uid = F.get_json_object(F.col("key").cast("string"), "$.payload.uid").cast("int")
+    return out.groupBy(
+        F.col("value.someJsonTextField.tag").alias("tag")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value.someJsonTextField.k").cast("bigint").alias("sum_k"),
+        F.count_distinct(uid).cast("bigint").alias("n_uids"),
+        F.sum("offset").cast("bigint").alias("sum_offsets"),
+    )
+
+
 _SQL_SCHEMA_EVOLUTION = """
     WITH v1 AS (
       SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
@@ -21217,85 +21314,74 @@ def dynamic_partition_overwrite_agg(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # ROUND-6 ROTATION CANDIDATES (never driver-checked, born round 5):
-    # connect_smt_chain_pipeline, connect_dlq_pipeline, stream_smt_chain_e2e,
-    # txlog_bloom_point_lookups, txlog_clone_branch_agg,
-    # txlog_type_widening_agg, stream_txlog_ingest_maintenance_e2e,
-    # group_by_all_sugar, tokenizer_fertility_report, aes_roundtrip_report,
-    # pii_luhn_census — plus the r4-born still-unchecked families
-    # (gopher_quality_report, domain_reweighting_plan, cogrouped_arrow_orders,
-    # map_in_arrow_dot, matryoshka/sq8 recall, l_diversity/t_closeness).
-    #
-    # ROUND-5 ROTATION (VERDICT r04 ask#2): 21 slots with >=3 green driver
-    # rows rotate out to never-checked families (txlog CDF/zorder/evolution/
-    # streaming, SQL scripting surface, Arrow UDF tier, state-store reader,
-    # graph pack 2, curation census); one sentinel per family stays so
-    # regressions in the proven surface still show.  All 21 incoming names
-    # pre-flighted via driver_sim at sf0.01 (and the stateful txlog streams
-    # at sf0.1 too, ask#6) before landing here.
-    # [REF] expand_json family sentinels + source connectors
-    # (five 1-green slots also rotated out in favor of round-5-born queries
-    # so the window carries >=25 first-row names: zorder_roundtrip_agg ->
-    # txlog_zorder_skipping_agg covers the zorder surface,
-    # schema_evolution_merge -> txlog_schema_evolution_agg covers evolution,
-    # dup_span_coverage / dsir_importance_scores / bpe_encode_static keep
-    # family siblings in-window and stay oracle-parity-gated locally)
-    "expand_props_agg",        # §2.1-1 field mode + inference rules (sentinel)
-    "xml_expand_agg",          # from_xml expansion (2 driver rows)
-    "custom_datasource_expand",# Python DataSource connector (1 row)
-    "variant_shredded_roundtrip_agg",  # shredded variant parquet trip (NEW r5)
-    "binaryfile_source_stats", # L5/S-family binaryFile source (NEW in window)
-    # txlog lakehouse: DML + CDF + skipping + evolution + streaming
-    "txlog_time_travel_agg",   # snapshot + time travel (1 row)
-    "txlog_merge_upsert",      # MERGE INTO (1 row)
-    "txlog_change_feed_agg",   # CDF read_changes (NEW)
-    "txlog_zorder_skipping_agg",  # OPTIMIZE ZORDER + footer-stats skip (NEW)
-    "txlog_schema_evolution_agg", # widening append + log-owned schema (NEW)
-    "stream_txlog_source_e2e", # txlogstream streaming source (NEW)
-    "stream_txlog_merge_e2e",  # per-micro-batch ACID merge (NEW)
-    "stream_txlog_cdf_e2e",    # txlogcdf streaming CDF source (NEW)
-    "incremental_agg_maintenance",  # CDF-delta materialized-agg refresh (NEW r5)
+    # ROUND-6 ROTATION (VERDICT r05 ask#1): 23 slots rotate to names that
+    # have NEVER had a driver CORRECTNESS row (252 unchecked after r05) —
+    # the text-analysis five, dedup/minhash band internals, session/static
+    # stream e2e, pit join, the expand observability/variant pair, the
+    # round-5-born Connect-SMT / txlog-bloom/clone/widening families, the
+    # crypto/PII/tokenizer censuses, the new kafka_wire_pipeline ([REF]
+    # wire-format gap, ask#5), and rfm_segmentation proving the new
+    # exact_ntile two-phase rank path (ask#2).  27 sentinels stay: one per
+    # proven family (every rotated-out name keeps >=2 green rows and a
+    # family sibling in-window or in tests/test_oracle_parity.py).
+    # [REF] expand core + source connectors
+    "expand_props_agg",        # §2.1-1 field mode + inference (sentinel, 5 rows)
+    "observed_expand_metrics", # §2.1-8 observe()-based parse metrics (FIRST ROW)
+    "variant_explode_props",   # variant per-record typing + explode (FIRST ROW)
+    "kafka_wire_pipeline",     # Kafka-framed envelope bytes e2e (NEW r6, ask#5)
+    "variant_shredded_roundtrip_agg",  # shredded variant parquet trip (1 row)
+    "binaryfile_source_stats", # binaryFile source (1 row)
+    # Connect SMT surface (round-5-born, first driver rows)
+    "connect_smt_chain_pipeline",  # 13-SMT chain from connector props (FIRST ROW)
+    "connect_dlq_pipeline",        # DLQ split + context headers (FIRST ROW)
+    "stream_smt_chain_e2e",        # SMT chain on a real stream (FIRST ROW)
+    # txlog lakehouse: 1-row names stay, round-5-born earn first rows
+    "txlog_change_feed_agg",   # CDF read_changes (1 row)
+    "txlog_zorder_skipping_agg",  # OPTIMIZE ZORDER + footer-stats skip (1 row)
+    "txlog_schema_evolution_agg", # widening append + log-owned schema (1 row)
+    "txlog_bloom_point_lookups",  # per-file blooms, batched needles (FIRST ROW)
+    "txlog_clone_branch_agg",     # zero-copy branch + CoW divergence (FIRST ROW)
+    "txlog_type_widening_agg",    # type-promotion evolution (FIRST ROW)
+    "stream_txlog_source_e2e", # txlogstream streaming source (1 row)
+    "stream_txlog_merge_e2e",  # per-micro-batch ACID merge (1 row)
+    "stream_txlog_cdf_e2e",    # txlogcdf streaming CDF source (1 row)
+    "incremental_agg_maintenance",  # CDF-delta materialized-agg refresh (1 row)
     # relational core + modern SQL surface
-    "q1_pricing_summary",      # R4 aggregation (sentinel)
-    "bitmap_distinct_rollup",  # exact distinct via mergeable bitmaps (NEW r5)
-    "avro_roundtrip_agg",      # pure-Python Avro container source/sink (1 row)
-    "iqr_outlier_report",      # profiling (r01 must-include; r03's one fix)
-    "sql_scripting_cumulative",# X3 BEGIN/WHILE + :params + IDENTIFIER (NEW)
-    "sql_udf_pipeline",        # X4 CREATE FUNCTION scalar+table-valued (NEW)
-    "session_vars_execute_immediate",  # X5 session vars + EXECUTE IMMEDIATE (NEW)
-    "transpose_priority_metrics",      # X6 DataFrame.transpose (NEW)
-    "collation_insensitive_group",     # X6 UTF8_LCASE collation grouping (NEW)
-    # streaming: e2e sentinels + the Spark-4 state surface
-    "stream_expand_props_e2e", # [REF] SMT deployment shape on a REAL stream
-    "stream_stream_left_join_e2e",  # T6 outer join w/ watermark eviction (1 row)
-    "stream_dynamic_session_e2e",   # T3 dynamic-gap sessions (1 row)
-    "stream_cdc_merge_e2e",    # streaming CDC merge (1 row)
-    "statestore_reader_agg",   # X7 state-store-as-batch reader (NEW)
-    # UDF surfaces: the Arrow tier earns its first driver rows
-    "cogrouped_customer_orders",  # U4 cogroup applyInPandas (1 row)
-    "udtf_table_partition_stats", # U3 UDTF TABLE arg + PARTITION BY (NEW)
-    "pandas_udf_iter_norms",   # U2 iterator-form pandas UDF (NEW)
-    "applyinarrow_centroid",   # U4 applyInArrow (NEW)
-    "arrow_udf_parity",        # U1 Arrow-optimized python UDF vs plain (NEW)
-    # LLM-ops: dedup / similarity / text / curation
-    "paragraph_dedup_recompose",  # L1 CCNet paragraph dedup + recompose (1 row)
-    "prefix_filter_jaccard_pairs",  # L2 PPJoin prefix-filter join (1 row)
-    "incremental_dedup_report",     # L2 incremental corpus dedup (1 row)
-    "url_domain_cap_census",   # L4 FineWeb-style per-domain doc cap (NEW r5)
-    "semantic_dedup_survivors",# L3 SemDeDup: blocked pairs + CC + keep-one (1 row)
-    "ivf_exact_topk",          # L3 IVF ANN vs exact top-k (1 row)
-    "ccnet_perplexity_buckets",# L4 perplexity quality census (1 row)
-    "c4_line_filter_census",   # L4 C4 line-level filter census (NEW)
-    "bpe_merge_rounds",        # BPE tokenizer training (1 row)
-    "utf8_repair_census",      # L4 mojibake triage (Spark 4 utf8 funcs, NEW r5)
-    "vocab_coverage_curve",    # vocab coverage / splits family rep (1 row)
-    "expectations_report",     # data-quality expectations (1 row)
-    "golden_record_docs",      # entity-resolution golden records (1 row)
-    # graph pack 2: the traversal/centrality ops' first driver rows
-    "label_prop_communities",  # graph label propagation (1 row)
-    "pagerank_event_graph",    # PageRank (NEW)
-    "bfs_hops_part_graph",     # BFS hop counts (NEW)
-    "kcore_part_graph",        # k-core decomposition (NEW)
+    "q1_pricing_summary",      # R4 aggregation (sentinel, 5 rows)
+    "pit_join_purchases",      # R2 point-in-time join (FIRST ROW)
+    "rfm_segmentation",        # exact_ntile two-phase rank x3 (FIRST ROW, ask#2)
+    "bitmap_distinct_rollup",  # exact distinct via mergeable bitmaps (1 row)
+    "sql_scripting_cumulative",# X3 BEGIN/WHILE + :params + IDENTIFIER (1 row)
+    "sql_udf_pipeline",        # X4 CREATE FUNCTION scalar+table-valued (1 row)
+    "session_vars_execute_immediate",  # X5 session vars + EXEC IMMEDIATE (1 row)
+    "transpose_priority_metrics",      # X6 DataFrame.transpose (1 row)
+    "collation_insensitive_group",     # X6 UTF8_LCASE collation (1 row)
+    # streaming e2e: never-checked session/static join + state surface
+    "stream_session_windows_e2e",  # T3 session windows on a real stream (FIRST ROW)
+    "stream_static_join_e2e",      # T6 stream-static broadcast join (FIRST ROW)
+    "statestore_reader_agg",   # X7 state-store-as-batch reader (1 row)
+    # UDF surfaces
+    "udtf_table_partition_stats", # U3 UDTF TABLE arg + PARTITION BY (1 row)
+    "pandas_udf_iter_norms",   # U2 iterator-form pandas UDF (1 row)
+    "applyinarrow_centroid",   # U4 applyInArrow (1 row)
+    "arrow_udf_parity",        # U1 Arrow-optimized python UDF vs plain (1 row)
+    # LLM-ops: dedup internals + the never-checked text-analysis family
+    "dedup_exact_keep_min",    # L1 exact dedup keep-min semi-join (FIRST ROW)
+    "minhash_band_candidates", # L2 banded MinHash candidate stage (FIRST ROW)
+    "langid_distribution",     # L4 n-gram language ID census (FIRST ROW)
+    "text_quality_by_lang",    # L4 quality scoring by language (FIRST ROW)
+    "token_counts",            # L4 whitespace+BPE-ish token census (FIRST ROW)
+    "doc_fingerprints",        # L1 rolling-hash fingerprints (FIRST ROW)
+    "winnowing_fingerprints",  # L1 winnowing fingerprint selection (FIRST ROW)
+    "tokenizer_fertility_report",  # BPE fertility census (FIRST ROW)
+    "pii_luhn_census",         # L4 Luhn-checked PII census (FIRST ROW)
+    "aes_roundtrip_report",    # crypto column round-trip (FIRST ROW)
+    "url_domain_cap_census",   # L4 FineWeb per-domain doc cap (1 row)
+    "c4_line_filter_census",   # L4 C4 line-level filter census (1 row)
+    "utf8_repair_census",      # L4 mojibake triage (1 row)
+    # graph pack
+    "bfs_hops_part_graph",     # BFS hop counts (1 row)
+    "kcore_part_graph",        # k-core decomposition (1 row)
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 

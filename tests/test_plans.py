@@ -531,34 +531,35 @@ def test_driver_window_composition():
     assert first50 == _DRIVER_WINDOW
     missing_oracles = [n for n in first50 if n not in ORACLES]
     assert not missing_oracles, missing_oracles
-    # round-5 rotation (VERDICT r04 ask#2): sentinels for the proven surface
-    # plus the never-driver-checked families earning their first rows
+    # round-6 rotation (VERDICT r05 ask#1): 27 sentinels for the proven
+    # surface plus 23 never-driver-checked names earning their first rows
     must_have = {
         # sentinels kept from prior rounds
-        "expand_props_agg", "q1_pricing_summary", "stream_expand_props_e2e",
-        "xml_expand_agg", "custom_datasource_expand", "txlog_time_travel_agg",
-        "stream_stream_left_join_e2e",
-        "stream_dynamic_session_e2e", "stream_cdc_merge_e2e",
-        "cogrouped_customer_orders", "paragraph_dedup_recompose",
-        "prefix_filter_jaccard_pairs", "incremental_dedup_report",
-        "semantic_dedup_survivors", "ivf_exact_topk", "bpe_merge_rounds",
-        "label_prop_communities", "txlog_merge_upsert",
-        "ccnet_perplexity_buckets", "iqr_outlier_report",
-        # round-5 first-driver-row families
+        "expand_props_agg", "q1_pricing_summary",
+        "variant_shredded_roundtrip_agg", "binaryfile_source_stats",
         "txlog_change_feed_agg", "txlog_zorder_skipping_agg",
         "txlog_schema_evolution_agg", "stream_txlog_source_e2e",
         "stream_txlog_merge_e2e", "stream_txlog_cdf_e2e",
-        "statestore_reader_agg", "sql_scripting_cumulative",
-        "sql_udf_pipeline", "session_vars_execute_immediate",
-        "transpose_priority_metrics", "collation_insensitive_group",
+        "incremental_agg_maintenance", "bitmap_distinct_rollup",
+        "sql_scripting_cumulative", "sql_udf_pipeline",
+        "session_vars_execute_immediate", "transpose_priority_metrics",
+        "collation_insensitive_group", "statestore_reader_agg",
         "udtf_table_partition_stats", "pandas_udf_iter_norms",
-        "applyinarrow_centroid", "arrow_udf_parity", "pagerank_event_graph",
-        "bfs_hops_part_graph", "kcore_part_graph", "c4_line_filter_census",
-        "binaryfile_source_stats",
-        # round-5-born queries windowed immediately (first rows)
-        "variant_shredded_roundtrip_agg", "incremental_agg_maintenance",
-        "bitmap_distinct_rollup", "url_domain_cap_census",
-        "utf8_repair_census",
+        "applyinarrow_centroid", "arrow_udf_parity",
+        "url_domain_cap_census", "c4_line_filter_census",
+        "utf8_repair_census", "bfs_hops_part_graph", "kcore_part_graph",
+        # round-6 first-driver-row names
+        "observed_expand_metrics", "variant_explode_props",
+        "kafka_wire_pipeline", "connect_smt_chain_pipeline",
+        "connect_dlq_pipeline", "stream_smt_chain_e2e",
+        "txlog_bloom_point_lookups", "txlog_clone_branch_agg",
+        "txlog_type_widening_agg", "pit_join_purchases",
+        "rfm_segmentation", "stream_session_windows_e2e",
+        "stream_static_join_e2e", "dedup_exact_keep_min",
+        "minhash_band_candidates", "langid_distribution",
+        "text_quality_by_lang", "token_counts", "doc_fingerprints",
+        "winnowing_fingerprints", "tokenizer_fertility_report",
+        "pii_luhn_census", "aes_roundtrip_report",
     }
     assert must_have <= set(first50), must_have - set(first50)
 
