@@ -541,6 +541,11 @@ def _trunc_div(a: int, n: int) -> int:
     return q if a >= 0 else -q
 
 
+_KMEANS_MEMO: dict = {}
+_PAIRS_MEMO: dict = {}
+_KMEANS_MEMO_CAP = 8
+
+
 def kmeans_quantized(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -548,6 +553,7 @@ def kmeans_quantized(
     k: int = 8,
     iters: int = 3,
     scale: int = 10_000,
+    memo: bool = True,
 ) -> tuple[dict[int, list[int]], DataFrame]:
     """Distributed Lloyd k-means over an embedding column, on a fixed-point
     integer quantization so every step is EXACT (order-independent integer
@@ -579,9 +585,34 @@ def kmeans_quantized(
 
     Returns ``(centroids, assigned)`` where ``assigned`` has the id column
     plus ``cluster`` and the exact integer squared distance ``dist``.
+
+    ``memo=True`` (default) caches the finished ``(centroids, assigned)``
+    per (session, input-plan ``semanticHash``, params): every consumer of
+    the SAME blocking — blocked pairs, SemDeDup, silhouette, IVF — shares
+    one Lloyd run instead of re-clustering the corpus per query (the
+    result is ``localCheckpoint``ed so the cached frame carries no
+    lineage).  Deterministic output, so reuse cannot change any result.
+    Recursive sub-block re-clustering passes ``memo=False`` (per-block
+    keys would churn the memo).
     """
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
+    memo_key = None
+    if memo:
+        try:
+            memo_key = (
+                df.sparkSession.sparkContext.applicationId,
+                df.semanticHash(),
+                id_col,
+                vec_col,
+                k,
+                iters,
+                scale,
+            )
+        except Exception:  # semanticHash unavailable (e.g. Connect) — skip
+            memo_key = None
+        if memo_key is not None and memo_key in _KMEANS_MEMO:
+            return _KMEANS_MEMO[memo_key]
     xq = F.transform(
         as_double(vec_col), lambda x: F.floor(x * F.lit(float(scale))).cast("long")
     )
@@ -644,7 +675,14 @@ def kmeans_quantized(
             nxt[r["cluster"]][r["pos"]] = _trunc_div(r["s"], r["n"])
         centroids = nxt  # empty clusters drop out
 
-    return centroids, assign(base).drop("__xq")
+    final = assign(base).drop("__xq")
+    if memo_key is not None:
+        final = final.localCheckpoint(eager=True)  # cut lineage; materialize once
+        base.unpersist()
+        while len(_KMEANS_MEMO) >= _KMEANS_MEMO_CAP:
+            _KMEANS_MEMO.pop(next(iter(_KMEANS_MEMO)))
+        _KMEANS_MEMO[memo_key] = (centroids, final)
+    return centroids, final
 
 
 def split_oversized_blocks(
@@ -691,7 +729,7 @@ def split_oversized_blocks(
         sub_k = max(2, n_over // target_cluster_size)
         subset = over.select(id_col).join(corpus, id_col)
         _, sub = kmeans_quantized(
-            subset, id_col=id_col, vec_col=vec_col, k=sub_k, iters=iters
+            subset, id_col=id_col, vec_col=vec_col, k=sub_k, iters=iters, memo=False
         )
         refined = (
             over.join(sub.select(id_col, F.col("cluster").alias("__sub")), id_col)
@@ -750,7 +788,30 @@ def cluster_blocked_pairs(
     cluster id (shuffled hash/SMJ, AQE-split on skewed clusters), cosine in
     codegen.  Fully deterministic, so even this blocked pipeline is
     value-checked against a SQL oracle (clustering CTE + pair join).
+
+    The finished pair frame is memoized per (session, corpus plan, params)
+    the same way ``kmeans_quantized`` memoizes the clustering: SemDeDup and
+    the pair report over the same corpus share ONE candidate-generation
+    pass (lazily checkpointed — materialized by whichever consumer acts
+    first).  Deterministic output, so reuse cannot change results.
     """
+    memo_key = None
+    try:
+        memo_key = (
+            corpus.sparkSession.sparkContext.applicationId,
+            corpus.semanticHash(),
+            float(threshold),
+            id_col,
+            vec_col,
+            k,
+            iters,
+            target_cluster_size,
+            max_cluster_size,
+        )
+    except Exception:
+        memo_key = None
+    if memo_key is not None and memo_key in _PAIRS_MEMO:
+        return _PAIRS_MEMO[memo_key]
     if k is None:
         k = max(8, corpus.count() // target_cluster_size)
     from kafka_connect_expand_json_transform_spark.functions.vectors import (
@@ -782,13 +843,19 @@ def cluster_blocked_pairs(
         "cluster", F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
     )
     cos = F.round(_cosine(F.col("__va"), F.col("__vb")), 4)
-    return (
+    pairs = (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", cos)
         .where(F.col("cos_sim") >= F.lit(threshold))
         .select(F.col("cluster").alias("cluster_id"), "id_a", "id_b", "cos_sim")
     )
+    if memo_key is not None:
+        pairs = pairs.localCheckpoint(eager=False)  # materialized on first use
+        while len(_PAIRS_MEMO) >= _KMEANS_MEMO_CAP:
+            _PAIRS_MEMO.pop(next(iter(_PAIRS_MEMO)))
+        _PAIRS_MEMO[memo_key] = pairs
+    return pairs
 
 
 def semantic_dedup(
