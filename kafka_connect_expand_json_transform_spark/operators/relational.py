@@ -485,3 +485,73 @@ def exact_ntile(
     return idx.withColumn(out, bucket.cast("int")).drop(
         "__rng", "__rn", "__off", "__n_total"
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    phi: float,
+    k: int | None = None,
+) -> DataFrame:
+    """Exact φ-heavy hitters (all values with frequency ≥ ``phi`` · N) via
+    the two-phase Misra-Gries decomposition — the hot-key detector that
+    never shuffles the raw data on the value column.
+
+    Phase 1 runs a Misra-Gries summary with ``k`` counters INSIDE each
+    partition (``mapInPandas`` — one pass, O(k) memory per task, no
+    shuffle): any value with global frequency > N/(k+1) is guaranteed to
+    survive in at least one partition's summary, so with the default
+    ``k = ceil(2/phi)`` the union of partition summaries is a SUPERSET of
+    every φ-heavy value.  Phase 2 exactly recounts ONLY the candidates
+    (broadcast semi-join + one partial-aggregated groupBy over the
+    candidate rows) and filters ``count >= ceil(phi * N)`` — output is
+    EXACT, so a plain GROUP BY/HAVING oracle reproduces it bit-for-bit.
+
+    At 100 TB: phase 1 is a narrow scan; phase 2 touches only rows whose
+    value is a candidate (at most ~partitions·k distinct values).  The
+    all-values groupBy this replaces is exactly the shuffle that dies on
+    skew — here the skewed key IS the thing being looked for, and it never
+    leaves its partition until it has been reduced to a count.
+    """
+    import math
+
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    if k is None:
+        k = max(1, math.ceil(2.0 / phi))
+
+    def summarize(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts(dropna=True).items():
+                c = int(c)
+                if v in counters:
+                    counters[v] += c
+                elif len(counters) < k:
+                    counters[v] = c
+                else:
+                    # decrement-all by the min: batch form of MG's evict
+                    dec = min(c, min(counters.values()))
+                    counters = {
+                        key: cnt - dec for key, cnt in counters.items() if cnt > dec
+                    }
+                    if c > dec and len(counters) < k:
+                        counters[v] = c - dec
+        if counters:
+            yield pd.DataFrame({col: list(counters.keys())})
+
+    cand_schema = df.select(col).schema
+    candidates = (
+        df.select(col).mapInPandas(summarize, cand_schema).distinct()
+    )
+    n_total = df.count()
+    threshold = math.ceil(phi * n_total)
+    recounted = (
+        df.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= F.lit(threshold))
+    )
+    return recounted

@@ -13486,6 +13486,49 @@ _SQL_JOIN_SIZE = """
 """
 
 
+_SQL_HEAVY_HITTERS = """
+    WITH keyed AS (
+      SELECT CASE WHEN o_custkey % 100 < 3
+                  THEN 'hot_' || CAST(o_custkey % 100 AS VARCHAR)
+                  ELSE 'cust_' || CAST(o_custkey AS VARCHAR) END AS key
+      FROM orders)
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM keyed
+    GROUP BY key
+    HAVING COUNT(*) >= CEIL(0.005 * (SELECT COUNT(*) FROM orders))
+"""
+
+
+@query("heavy_hitters_hot_keys", _SQL_HEAVY_HITTERS)
+def heavy_hitters_hot_keys(spark, sf_dir):
+    """Exact φ-heavy hitters via two-phase Misra-Gries (``heavy_hitters``):
+    per-partition O(k)-memory summaries (mapInPandas, no shuffle of the raw
+    column) union to a guaranteed candidate SUPERSET, then only candidates
+    are exactly recounted — the hot-key detector whose whole point is that
+    the skewed key never enters a groupBy until it is already a count.
+    Skew is synthesized deterministically (3% of orders collapse onto 3
+    hot buckets over a ~|customers| tail domain); output is exact, so a
+    plain GROUP BY/HAVING oracle reproduces it bit-for-bit.  At 100 TB
+    this replaces the full-column groupBy that dies on precisely the keys
+    being hunted."""
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        heavy_hitters,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.when(
+            F.col("o_custkey") % 100 < 3,
+            F.concat(F.lit("hot_"), (F.col("o_custkey") % 100).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cust_"), F.col("o_custkey").cast("string")))
+        .alias("key")
+    )
+    return heavy_hitters(keyed, "key", phi=0.005).select(
+        "key", F.col("cnt").cast("bigint").alias("cnt")
+    )
+
+
 @query("join_size_estimate", _SQL_JOIN_SIZE)
 def join_size_estimate(spark, sf_dir):
     """Join-size and skew pre-flight: |orders ⋈ lineitem| computed WITHOUT

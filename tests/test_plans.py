@@ -891,3 +891,51 @@ def test_dynamic_partition_overwrite_touches_one_partition(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_runtime_bloom_filter_join_injection(spark, tmp_path):
+    """Runtime row-level bloom filtering (Spark's runtime.bloomFilter
+    optimizer rule): a shuffle join whose creation side carries a selective
+    filter injects BloomFilterMightContain on the application side's scan —
+    rows that cannot match are dropped BEFORE the shuffle.  At 100 TB this
+    is the difference between shuffling the full fact table and shuffling
+    the ~matching slice; assert the rule actually fires on this engine's
+    join shape so a Spark upgrade can't silently drop it."""
+    big = spark.range(0, 200_000).withColumn("k", F.col("id") % 1000)
+    small = (
+        spark.range(0, 1000)
+        .withColumn("k", F.col("id"))
+        .withColumn("flag", F.col("id") % 50)
+    )
+    bp, sp = str(tmp_path / "big"), str(tmp_path / "small")
+    big.write.parquet(bp)
+    small.write.parquet(sp)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        joined = spark.read.parquet(bp).join(
+            spark.read.parquet(sp).where(F.col("flag") == 7), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+        assert "might_contain" in plan or "bloomfilter" in plan, plan[:2000]
+        assert joined.count() == 200_000 // 1000 * (1000 // 50)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

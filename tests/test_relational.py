@@ -395,3 +395,34 @@ def test_exact_ntile_matches_global_window(spark):
     tiny = spark.createDataFrame([(3,), (1,), (2,)], "x int")
     got = {r["x"]: r["b"] for r in exact_ntile(tiny, 10, [F.col("x")], out="b").collect()}
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    """Two-phase Misra-Gries == naive groupBy/HAVING exactly, across
+    partitionings (the per-partition summary is a candidate superset; the
+    recount makes the output exact regardless of arrival order)."""
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        heavy_hitters,
+    )
+
+    # 3 heavy keys (~10% each) over a 500-key tail, adversarial interleave
+    rows = []
+    for i in range(3000):
+        if i % 10 < 3:
+            rows.append((f"hot_{i % 10}",))
+        else:
+            rows.append((f"tail_{i % 500}",))
+    df = spark.createDataFrame(rows, "key string")
+    for frame in (df.repartition(32), df.coalesce(1), df.repartition(7, "key")):
+        got = {(r["key"], r["cnt"]) for r in heavy_hitters(frame, "key", 0.05).collect()}
+        exp = {
+            (r["key"], r["cnt"])
+            for r in df.groupBy("key")
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= 150)  # ceil(0.05 * 3000)
+            .collect()
+        }
+        assert got == exp and len(exp) == 3
+    # phi validation
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, "key", 0.0)
