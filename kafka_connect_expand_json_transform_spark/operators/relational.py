@@ -425,6 +425,84 @@ def skyline_2d(
     return joined.where(not_dominated).drop("__ymin", "__sm")
 
 
+def _global_order_index(
+    df: DataFrame, order_by: list, num_ranges: int
+) -> DataFrame:
+    """Shared phase-1/2 of the two-phase global-order family: range-shuffle
+    on the ordering key, per-range counts prefix-summed to start offsets (a
+    ``num_ranges``-row window, never the data), partitioned ``row_number``
+    within ranges.  Adds ``__gidx`` (exact 1-based global index over the
+    total order) and ``__n_total``; caller must drop both."""
+    ranged = df.repartitionByRange(num_ranges, *order_by).withColumn(
+        "__rng", F.spark_partition_id()
+    )
+    cnt = ranged.groupBy("__rng").agg(F.count("*").alias("__c"))
+    w_off = Window.orderBy("__rng").rowsBetween(Window.unboundedPreceding, -1)
+    off = cnt.select(
+        "__rng",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__c").over(Window.partitionBy()).alias("__n_total"),
+    )
+    rn = F.row_number().over(Window.partitionBy("__rng").orderBy(*order_by))
+    return (
+        ranged.withColumn("__rn", rn)
+        .join(F.broadcast(off), "__rng")
+        .withColumn("__gidx", (F.col("__off") + F.col("__rn")).cast("bigint"))
+        .drop("__rng", "__rn", "__off")
+    )
+
+
+def exact_row_number(
+    df: DataFrame,
+    order_by: list,
+    out: str = "rn",
+    num_ranges: int = 64,
+) -> DataFrame:
+    """Exact global ``row_number`` over a TOTAL order without the
+    single-partition window — the two-phase range-partitioned rank
+    (see :func:`exact_ntile` for the decomposition).  Callers must order
+    by a total order (unique tie-break key) for a deterministic result."""
+    return (
+        _global_order_index(df, order_by, num_ranges)
+        .withColumn(out, F.col("__gidx"))
+        .drop("__gidx", "__n_total")
+    )
+
+
+def exact_running_sum(
+    df: DataFrame,
+    order_by: list,
+    value_col: str,
+    out: str = "running_sum",
+    num_ranges: int = 64,
+) -> DataFrame:
+    """Exact global running sum (UNBOUNDED PRECEDING .. CURRENT ROW over a
+    total order) without the single-partition window: per-range value
+    totals prefix-sum to range offsets (``num_ranges`` rows), then a
+    PARTITIONED cumulative sum inside each range adds its offset — the
+    classic distributed prefix-sum.  The timeline-sweep decomposition for
+    event-grain running state at 100 TB."""
+    ranged = df.repartitionByRange(num_ranges, *order_by).withColumn(
+        "__rng", F.spark_partition_id()
+    )
+    tot = ranged.groupBy("__rng").agg(F.sum(value_col).alias("__t"))
+    w_off = Window.orderBy("__rng").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "__rng", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__soff")
+    )
+    w_in = (
+        Window.partitionBy("__rng")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn("__cs", F.sum(value_col).over(w_in))
+        .join(F.broadcast(off), "__rng")
+        .withColumn(out, F.col("__soff") + F.col("__cs"))
+        .drop("__rng", "__cs", "__soff")
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     n_buckets: int,
@@ -456,24 +534,13 @@ def exact_ntile(
     key-disjoint intervals), so tie behavior matches the global window's.
     At 100 TB: one range shuffle + one tiny agg — no single-task sort.
     """
-    ranged = df.repartitionByRange(num_ranges, *order_by).withColumn(
-        "__rng", F.spark_partition_id()
-    )
-    cnt = ranged.groupBy("__rng").agg(F.count("*").alias("__c"))
-    w_off = Window.orderBy("__rng").rowsBetween(Window.unboundedPreceding, -1)
-    off = cnt.select(
-        "__rng",
-        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
-        F.sum("__c").over(Window.partitionBy()).alias("__n_total"),
-    )
-    rn = F.row_number().over(Window.partitionBy("__rng").orderBy(*order_by))
-    idx = ranged.withColumn("__rn", rn).join(F.broadcast(off), "__rng")
+    idx = _global_order_index(df, order_by, num_ranges)
 
     def _intdiv(a: Column, b: Column) -> Column:
         # positive-int floor division without a double intermediate
         return ((a - F.pmod(a, b)) / b).cast("bigint")
 
-    i = (F.col("__off") + F.col("__rn")).cast("bigint")
+    i = F.col("__gidx")
     n = F.lit(n_buckets).cast("bigint")
     total = F.col("__n_total").cast("bigint")
     base = _intdiv(total, n)  # floor(N/n)
@@ -482,9 +549,7 @@ def exact_ntile(
     bucket = F.when(
         i <= rem * big, _intdiv(i + big - 1, big)
     ).otherwise(rem + _intdiv(i - rem * big + base - 1, base))
-    return idx.withColumn(out, bucket.cast("int")).drop(
-        "__rng", "__rn", "__off", "__n_total"
-    )
+    return idx.withColumn(out, bucket.cast("int")).drop("__gidx", "__n_total")
 
 
 def heavy_hitters(

@@ -10517,18 +10517,20 @@ def spearman_spend_orders(spark, sf_dir):
     ranks are exact permutation integers, sum-of-squared-rank-differences
     accumulates as exact int64, and rho closes with mirrored double
     arithmetic (6*sd2 and n^3 formed in double — int64 would wrap near
-    sf10).  Scale: the customer aggregate shuffles once; the two global
-    rankings are the documented single-partition step (swap for two-phase
-    per-partition pre-ranking at real scale, equidepth precedent)."""
+    sf10).  Scale: the customer aggregate shuffles once; both global
+    rankings are the two-phase range-partitioned exact rank
+    (``exact_row_number`` — no single-partition sort at customer grain)."""
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        exact_row_number,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     s = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.sum(money("o_totalprice") * 100).cast("bigint").alias("cents"),
         F.count("*").alias("cnt"),
     )
-    r = s.select(
-        F.row_number().over(Window.orderBy("cents", "ck")).alias("rx"),
-        F.row_number().over(Window.orderBy("cnt", "ck")).alias("ry"),
-    )
+    r = exact_row_number(s, [F.col("cents"), F.col("ck")], out="rx")
+    r = exact_row_number(r, [F.col("cnt"), F.col("ck")], out="ry").select("rx", "ry")
     d = r.agg(
         F.count("*").alias("n"),
         F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
@@ -12392,20 +12394,22 @@ def peak_concurrency_report(spark, sf_dir):
     LOAD).  The sweep orders +1/-1 boundary events by (t, delta) so an
     end at time t processes BEFORE a start at t (half-open intervals never
     double-count a touch), and the running sum is exact int64.  Scale: the
-    global ordered prefix sum is the documented single-partition step —
-    the production form partitions the sweep by day/shard and takes the
-    max of per-partition peaks seeded with carry-in counts (same two
-    operators + one broadcast)."""
+    sweep is the two-phase distributed prefix sum (``exact_running_sum``
+    — per-range totals carry in as offsets, cumulative sums stay
+    partitioned; no single-partition sort at boundary-event grain)."""
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        exact_running_sum,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     us = F.expr("unix_micros(ts)")
     iv = ev.select(us.alias("s"), (us + F.lit(600_000_000)).alias("e"))
     pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
         iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
     )
-    run = Window.orderBy("t", "delta").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sw = pts.select(F.sum("delta").over(run).alias("conc"))
+    sw = exact_running_sum(
+        pts, [F.col("t"), F.col("delta")], "delta", out="conc"
+    ).select("conc")
     return sw.agg(
         F.max("conc").cast("bigint").alias("peak_concurrency"),
         (F.count("*") / 2).cast("bigint").alias("n_intervals"),
@@ -17264,9 +17268,9 @@ def segment_migration_matrix(spark, sf_dir):
     the save-list) that point-in-time segmentation can't show.  Quartile
     membership is deterministic (activity count, user_id tie-break); the
     sum of member ids makes the CELL CONTENTS oracle-checked, not just
-    their sizes.  Scale: one user-grain groupBy; the two NTILEs run over
-    user rows — swap for the two-pass quantile cut at real scale, as
-    curriculum_phases documents."""
+    their sizes.  Scale: one user-grain groupBy; both quartile cuts are
+    the two-phase range-partitioned exact NTILE (``exact_ntile`` — no
+    single-partition sort at user grain)."""
     ev = load_table(spark, sf_dir, "events")
     day = F.expr("unix_micros(ts) div 86400000000")
     span = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1")).collect()[0]
@@ -17275,11 +17279,9 @@ def segment_migration_matrix(spark, sf_dir):
         F.sum(F.when(day < cut, 1).otherwise(0)).alias("pre_n"),
         F.sum(F.when(day >= cut, 1).otherwise(0)).alias("post_n"),
     )
-    q = u.select(
-        "user_id",
-        F.ntile(4).over(Window.orderBy("pre_n", "user_id")).alias("q_pre"),
-        F.ntile(4).over(Window.orderBy("post_n", "user_id")).alias("q_post"),
-    )
+    q = exact_ntile(u, 4, [F.col("pre_n"), F.col("user_id")], out="q_pre")
+    q = exact_ntile(q, 4, [F.col("post_n"), F.col("user_id")], out="q_post")
+    q = q.select("user_id", "q_pre", "q_post")
     return q.groupBy(
         F.col("q_pre").cast("bigint").alias("q_pre"),
         F.col("q_post").cast("bigint").alias("q_post"),

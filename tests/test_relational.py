@@ -426,3 +426,31 @@ def test_heavy_hitters_exact_vs_naive(spark):
     # phi validation
     with pytest.raises(ValueError, match="phi"):
         heavy_hitters(df, "key", 0.0)
+
+
+def test_exact_row_number_and_running_sum_match_global_window(spark):
+    """exact_row_number / exact_running_sum (two-phase range-partitioned
+    forms) match the single-partition global window bit-for-bit."""
+    from pyspark.sql import Window
+
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        exact_row_number,
+        exact_running_sum,
+    )
+
+    rows = [((i * 17) % 23, i, (i % 7) - 3) for i in range(400)]
+    df = spark.createDataFrame(rows, "v int, id int, delta int")
+    order = [F.col("v"), F.col("id")]
+    got_rn = exact_row_number(df.repartition(16), order, out="rn")
+    exp_rn = df.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+    assert (
+        got_rn.select("id", "rn").exceptAll(exp_rn.select("id", "rn")).count() == 0
+        and exp_rn.select("id", "rn").exceptAll(got_rn.select("id", "rn")).count() == 0
+    )
+    got_cs = exact_running_sum(df.repartition(16), order, "delta", out="cs")
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    exp_cs = df.withColumn("cs", F.sum("delta").over(w))
+    assert (
+        got_cs.select("id", "cs").exceptAll(exp_cs.select("id", "cs")).count() == 0
+        and exp_cs.select("id", "cs").exceptAll(got_cs.select("id", "cs")).count() == 0
+    )
