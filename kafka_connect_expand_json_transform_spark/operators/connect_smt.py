@@ -254,6 +254,78 @@ def _apply_one(df: DataFrame, type_name: str, cfg: dict, predicate=None) -> Data
         ).otherwise(F.col("topic"))
         return df.withColumn("topic", guarded(routed, F.col("topic")))
 
+    if base == "TimestampRouter":
+        # Connect's TimestampRouter: topic := topic.format with ${topic} and
+        # ${timestamp} (record timestamp through SimpleDateFormat).  Java
+        # SimpleDateFormat patterns used here (yyyyMMdd etc.) are the same
+        # tokens Spark's date_format accepts.
+        fmt = cfg.get("topic.format", "${topic}-${timestamp}")
+        ts_fmt = cfg.get("timestamp.format", "yyyyMMdd")
+        ts_dt = df.schema["timestamp"].dataType
+        ts_col = (
+            F.timestamp_millis(F.col("timestamp").cast("bigint"))
+            if isinstance(ts_dt, (T.LongType, T.IntegerType))
+            else F.col("timestamp")
+        )  # Kafka record timestamps are epoch ms
+        stamped = F.date_format(ts_col, ts_fmt)
+        parts: list[Column] = []
+        rest = fmt
+        while rest:
+            i_t, i_s = rest.find("${topic}"), rest.find("${timestamp}")
+            nxt = min(x for x in (i_t, i_s, len(rest)) if x >= 0)
+            if nxt > 0:
+                parts.append(F.lit(rest[:nxt]))
+                rest = rest[nxt:]
+                continue
+            if rest.startswith("${topic}"):
+                parts.append(F.col("topic"))
+                rest = rest[len("${topic}") :]
+            else:
+                parts.append(stamped)
+                rest = rest[len("${timestamp}") :]
+        routed = F.concat(*parts) if parts else F.lit("")
+        return df.withColumn("topic", guarded(routed, F.col("topic")))
+
+    if base == "HeaderFrom":
+        # Connect's HeaderFrom$Key/$Value: copy or move record fields into
+        # headers (operation=copy|move); moved fields leave the side struct.
+        dt = _require_struct(df, side, smt)
+        fields = [s.strip() for s in cfg["fields"].split(",") if s.strip()]
+        headers = [s.strip() for s in cfg["headers"].split(",") if s.strip()]
+        if len(fields) != len(headers):
+            raise ValueError(
+                f"{smt}: 'fields' and 'headers' must be the same length "
+                "(Connect validates this at startup)"
+            )
+        operation = cfg.get("operation", "copy")
+        base_hdr = (
+            F.coalesce(
+                F.col("headers"),
+                F.map_from_arrays(
+                    F.array().cast("array<string>"), F.array().cast("array<string>")
+                ),
+            )
+            if "headers" in df.columns
+            else F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            )
+        )
+        pairs = []
+        for fname, hname in zip(fields, headers):
+            pairs.extend(
+                [F.lit(hname), F.col(f"{side}.{fname}").cast("string")]
+            )
+        stripped = F.map_filter(base_hdr, lambda k, v: ~k.isin(headers))
+        new_hdr = F.map_concat(stripped, F.create_map(*pairs))
+        out = df.withColumn(
+            "headers", guarded(new_hdr, base_hdr) if "headers" in df.columns else new_hdr
+        )
+        if operation == "move":
+            keep = [f.name for f in dt.fields if f.name not in set(fields)]
+            rebuilt = F.struct(*[F.col(f"{side}.{n}").alias(n) for n in keep])
+            out = out.withColumn(side, guarded(rebuilt, F.col(side)))
+        return out
+
     if base == "ValueToKey":
         fields = [s.strip() for s in cfg["fields"].split(",") if s.strip()]
         _require_struct(df, "value", smt)

@@ -368,3 +368,48 @@ def test_expandjson_predicate_rejected_at_parse_time(spark):
             "transforms.e.sourceFields": "typ",
             "transforms.e.predicate": "tomb",
         })(df)
+
+
+def test_timestamp_router_and_header_from(spark):
+    """TimestampRouter (topic := format with ${topic}/${timestamp}) and
+    HeaderFrom (copy/move record fields into headers) — the last two
+    transforms of the standard Connect SMT set."""
+    df = _records(spark)
+    routed = _chain({
+        "transforms": "tr",
+        "transforms.tr.type": "org.apache.kafka.connect.transforms.TimestampRouter",
+        "transforms.tr.topic.format": "${topic}-${timestamp}",
+        "transforms.tr.timestamp.format": "yyyyMMdd",
+    })(df)
+    topics = {r["topic"] for r in routed.select("topic").distinct().collect()}
+    assert all(t.startswith("orders-raw-20") and len(t) == len("orders-raw-YYYYMMDD")
+               for t in topics), topics
+    # HeaderFrom copy: header added, field kept
+    copied = _chain({
+        "transforms": "hf",
+        "transforms.hf.type": "org.apache.kafka.connect.transforms.HeaderFrom$Value",
+        "transforms.hf.fields": "typ",
+        "transforms.hf.headers": "record-type",
+        "transforms.hf.operation": "copy",
+    })(df)
+    r = copied.first()
+    assert r["headers"]["record-type"] == r["value"]["typ"]
+    assert "typ" in [f.name for f in copied.schema["value"].dataType.fields]
+    assert "trace" in r["headers"]  # pre-existing headers preserved
+    # HeaderFrom move: field leaves the struct
+    moved = _chain({
+        "transforms": "hf",
+        "transforms.hf.type": "org.apache.kafka.connect.transforms.HeaderFrom$Value",
+        "transforms.hf.fields": "typ",
+        "transforms.hf.headers": "record-type",
+        "transforms.hf.operation": "move",
+    })(df)
+    assert "typ" not in [f.name for f in moved.schema["value"].dataType.fields]
+    assert moved.first()["headers"]["record-type"] is not None
+    with pytest.raises(ValueError, match="same length"):
+        _chain({
+            "transforms": "hf",
+            "transforms.hf.type": "org.apache.kafka.connect.transforms.HeaderFrom$Value",
+            "transforms.hf.fields": "typ,uid",
+            "transforms.hf.headers": "only-one",
+        })(df)
