@@ -15,7 +15,9 @@ Implemented (public semantics per the Kafka Connect documentation —
   * ``MaskField$Value`` — zero-value (or literal replacement) masking
   * ``InsertField$Value`` — static / topic / partition / offset / timestamp
   * ``TimestampConverter$Value`` — unix ms <-> Timestamp <-> formatted string
-  * ``RegexRouter`` — topic rewrite (Java regex, $1 group refs)
+  * ``TimestampRouter`` — topic := ``${topic}``/``${timestamp}`` format
+  * ``HeaderFrom$Key/$Value`` — copy/move record fields into headers
+  * ``RegexRouter`` — topic rewrite (Java regex, $1 group refs, full-match)
   * ``ValueToKey`` — key := struct of named value fields
   * ``Filter`` + predicates ``TopicNameMatches`` / ``RecordIsTombstone`` /
     ``HasHeaderKey`` (with ``negate``)
