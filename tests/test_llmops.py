@@ -817,6 +817,14 @@ def test_blocking_defaults_to_auto_k(spark, monkeypatch):
     assert seen[-1] == 12  # max(8, 120 // 10): derived from n, not fixed 8
     similarity.cluster_blocked_pairs(df, 0.99, target_cluster_size=1000).collect()
     assert seen[-1] == 8   # floor: max(8, 0)
+    # identical (corpus, params) now HITS the blocked-pairs memo — the
+    # shared candidate stage never re-clusters...
+    n_calls = len(seen)
+    similarity.semantic_dedup(df, 0.99, target_cluster_size=10).count()
+    assert len(seen) == n_calls  # memo reuse, no new Lloyd run
+    # ...and with the memo cleared, semantic_dedup forwards auto-k
+    similarity._PAIRS_MEMO.clear()
+    similarity._KMEANS_MEMO.clear()
     similarity.semantic_dedup(df, 0.99, target_cluster_size=10).count()
     assert seen[-1] == 12  # semantic_dedup forwards the auto-k default
     similarity.cluster_blocked_pairs(df, 0.99, k=5).collect()
