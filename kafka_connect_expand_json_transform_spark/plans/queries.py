@@ -20687,6 +20687,58 @@ def txlog_bloom_point_lookups(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_MOR_DELETE = """
+    SELECT o_orderpriority AS g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 1) AND NOT (o_orderkey % 10 >= 8)
+    GROUP BY 1
+"""
+
+
+@query("txlog_mor_delete_agg", _SQL_MOR_DELETE)
+def txlog_mor_delete_agg(spark, sf_dir):
+    """Merge-on-read DELETE via deletion vectors (``txlog.delete_where_mor``
+    — Delta deletion-vectors parity): two stacked needle deletes write only
+    (file, row-index) position sidecars — ZERO data rewrite, one log entry
+    each — and every read anti-joins the vectors against the scan's
+    ``_metadata`` row identity.  The surviving aggregate is value-checked
+    against an oracle expressing the same logical deletes over the raw
+    table.  The 100 TB trade Delta exposes and this log mirrors: CoW pays
+    a terabyte rewrite at write time, MoR pays a kilobyte sidecar plus a
+    broadcast anti-join per read, and compaction materializes the vectors
+    back to clean files."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_mor_q_")
+    try:
+        root = tmp + "/orders_mor"
+        TX.append_table(o.repartition(4), root)
+        _, n1 = TX.delete_where_mor(spark, root, "o_orderkey % 7 = 1")
+        _, n2 = TX.delete_where_mor(spark, root, "o_orderkey % 10 >= 8")
+        snap = TX.read_table(spark, root)
+        out = snap.groupBy("g").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_CLONE_BRANCH = """
     WITH o AS (
         SELECT o_orderkey AS k, o_orderpriority AS g,

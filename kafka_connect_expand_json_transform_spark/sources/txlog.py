@@ -61,6 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _CHANGES_DIR = "_changes"
+_DV_DIR = "_dv"
 
 # A zero-length claim file older than this is treated as abandoned by a
 # crashed writer and reclaimed (see _acquire_claim).  Also the minimum age
@@ -145,6 +146,55 @@ def _replay(entries: list[dict], version: int | None) -> tuple[list[str], str | 
             files.extend(e["files"])
         schema = e["schema"]
     return files, schema
+
+
+def _replay_dvs(entries: list[dict], version: int | None) -> list[str]:
+    """Deletion-vector dirs live at ``version``.  DVs ACCUMULATE across all
+    ops (never reset on overwrite): a DV row names an immutable part file
+    by absolute path, so vectors on files a CoW rewrite dropped simply
+    stop matching, while vectors on carried (``extra_files``) dirs keep
+    applying — exactly the correct semantics with zero bookkeeping."""
+    dvs: list[str] = []
+    for e in entries:
+        if version is not None and e["version"] > version:
+            break
+        if e.get("dv_reset"):
+            # RESTORE/CLONE pin the target snapshot's exact DV set — a
+            # post-target MoR delete must not leak through the restore
+            dvs = list(e.get("dv_files", []))
+        else:
+            dvs.extend(e.get("dv_files", []))
+    return dvs
+
+
+def _apply_dvs(
+    spark: SparkSession, root: str, df: DataFrame, dv_dirs: list[str]
+) -> DataFrame:
+    """Merge-on-read: anti-join the (file, pos) deletion vectors against the
+    scan's ``_metadata`` row identity.  The DV table is kilobytes per
+    deleted batch and broadcast; the scan itself is untouched — this is
+    the read-path half of Delta's deletion vectors."""
+    from pyspark.sql import functions as F
+
+    paths = [d if os.path.isabs(d) else os.path.join(root, d) for d in dv_dirs]
+    dv = (
+        spark.read.schema("file string, pos bigint")
+        .parquet(*paths)
+        .withColumnRenamed("file", "__dv_file")
+        .withColumnRenamed("pos", "__dv_pos")
+    )
+    cols = df.columns
+    tagged = df.select(
+        "*",
+        F.col("_metadata.file_path").alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    )
+    kept = tagged.join(
+        F.broadcast(dv),
+        (F.col("__f") == F.col("__dv_file")) & (F.col("__p") == F.col("__dv_pos")),
+        "left_anti",
+    )
+    return kept.select(*cols)
 
 
 def _acquire_claim(final: str) -> int:
@@ -258,6 +308,14 @@ def _commit(
         # footer min/max per part file -> read_table_pruned's data skipping
         "stats": _collect_part_stats(root, rel),
     }
+    if op == "overwrite" and not extra_files:
+        # a FULL rewrite severs every deletion vector: its rows came from a
+        # DV-applied read and its files are fresh, so dropping the DV set
+        # here is what makes compaction MATERIALIZE MoR deletes (reads stop
+        # paying the anti-join).  Partial CoW (extra_files) keeps
+        # accumulating — carried dirs still need their vectors.
+        entry["dv_reset"] = True
+        entry["dv_files"] = []
     # per-file bloom filters for the configured columns (equality pruning
     # on high-cardinality keys the min/max range can't help with)
     blooms = _build_part_blooms(root, rel)
@@ -542,6 +600,11 @@ def read_table_pruned(
         if schema_json is not None:
             reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
         df = reader.parquet(*survivors)
+        dv_dirs = _replay_dvs(_list_entries(root), version)
+        if dv_dirs:
+            # merge-on-read deletes apply to the pruned scan too — skipping
+            # must stay bit-identical to read_table(...).where(...)
+            df = _apply_dvs(spark, root, df, dv_dirs)
     else:
         stored = StructType.fromJson(json.loads(schema_json))
         # parquet reads surface every column nullable; match that shape so
@@ -673,7 +736,11 @@ def read_table(spark: SparkSession, root: str, version: int | None = None) -> Da
         from pyspark.sql.types import StructType
 
         reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
-    return reader.parquet(*[os.path.join(root, f) for f in files])
+    df = reader.parquet(*[os.path.join(root, f) for f in files])
+    dv_dirs = _replay_dvs(entries, version)
+    if dv_dirs:
+        df = _apply_dvs(spark, root, df, dv_dirs)
+    return df
 
 
 def history(root: str) -> list[dict]:
@@ -730,6 +797,100 @@ def delete_where(
         extra_files=reused_dirs or None,
     )
     return version, n_deleted
+
+
+def delete_where_mor(
+    spark: SparkSession, root: str, predicate
+) -> tuple[int, int]:
+    """Row-level DELETE as MERGE-ON-READ deletion vectors (Delta deletion
+    vectors parity) — the write-cheap twin of :func:`delete_where`'s
+    copy-on-write: instead of rewriting the survivors, the matching rows'
+    physical positions ``(part file, row index)`` are written as a tiny DV
+    sidecar and the commit is one log entry referencing it (``files`` is
+    empty — no data moves).  Every read path (``read_table``,
+    ``read_table_pruned``, time travel) anti-joins the accumulated DVs
+    against the scan's ``_metadata`` row identity, so the deleted rows
+    vanish logically while the immutable part files stay untouched.
+
+    At 100 TB this is the difference between a kilobyte write and a
+    terabyte rewrite for a needle delete: CoW pays at write time (clean
+    files, no read overhead), MoR pays a broadcast anti-join per read —
+    Delta exposes both for exactly this trade-off, and so does this log.
+    Compaction (``compact_table``/``maintain_table``) MATERIALIZES the
+    deletes automatically: it rewrites from a DV-applied read, after which
+    the old vectors match nothing.  The deleted rows are captured as a
+    write-time change file, so ``read_changes`` serves the delete without
+    snapshot diffing.  Returns ``(version, n_deleted)``.
+
+    Scale caveats, documented honestly: DV row identity is the absolute
+    part-file path ``_metadata`` reports, so vectors survive zero-copy
+    clones/restores (same files, same paths) but not a physical file move;
+    and heavy MoR churn grows the read-side anti-join — compact to reset,
+    exactly as Delta recommends."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    current = entries[-1]["version"]
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    files, schema_simple = _replay(entries, None)
+    schema_json = next(
+        (e["schema_json"] for e in reversed(entries) if "schema_json" in e), None
+    )
+    reader = spark.read
+    if schema_json is not None:
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    scan = reader.parquet(*[os.path.join(root, f) for f in files])
+    data_cols = scan.columns
+    tagged = scan.select(
+        "*",
+        F.col("_metadata.file_path").alias("__dvf"),
+        F.col("_metadata.row_index").alias("__dvp"),
+    )
+    prior = _replay_dvs(entries, None)
+    if prior:
+        dv_prior = (
+            spark.read.schema("file string, pos bigint")
+            .parquet(*[d if os.path.isabs(d) else os.path.join(root, d) for d in prior])
+            .withColumnRenamed("file", "__pf")
+            .withColumnRenamed("pos", "__pp")
+        )
+        tagged = tagged.join(
+            F.broadcast(dv_prior),
+            (F.col("__dvf") == F.col("__pf")) & (F.col("__dvp") == F.col("__pp")),
+            "left_anti",
+        )
+    matched = tagged.where(cond).localCheckpoint(eager=True)  # one scan, 3 uses
+    n_deleted = matched.count()
+    rel_dv = os.path.join(_DV_DIR, uuid.uuid4().hex + ".parquet")
+    matched.select(
+        F.col("__dvf").alias("file"), F.col("__dvp").cast("bigint").alias("pos")
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, rel_dv))
+    # write-time CDF capture: the deleted rows ARE the change set
+    ch_dir = _changes_path(root, current + 1)
+    matched.select(*data_cols).withColumn(
+        "_change_type", F.lit("delete")
+    ).write.mode("overwrite").parquet(ch_dir)
+    entry = {
+        "version": current + 1,
+        "op": "delete_mor",
+        "files": [],
+        "dv_files": [rel_dv],
+        "schema": schema_simple,
+    }
+    if schema_json is not None:
+        entry["schema_json"] = schema_json
+    try:
+        _publish_entry(root, current + 1, entry)
+    except TxLogConflict:
+        shutil.rmtree(os.path.join(root, rel_dv), ignore_errors=True)
+        shutil.rmtree(ch_dir, ignore_errors=True)
+        raise
+    return current + 1, n_deleted
 
 
 def update_where(
@@ -1353,6 +1514,10 @@ def restore_table(
         "files": list(files),
         "schema": schema,
         "stats": stats,
+        # pin the restored snapshot's DV set: a MoR delete committed AFTER
+        # `version` must not keep erasing rows from the restored files
+        "dv_reset": True,
+        "dv_files": _replay_dvs(entries, version),
     }
     if schema_json is not None:
         entry["schema_json"] = schema_json
@@ -1433,6 +1598,14 @@ def clone_table(
         "files": abs_dirs,
         "schema": schema,
         "stats": stats,
+        # carry the source snapshot's DV set by absolute path (the clone
+        # references the same immutable files, so the same vectors apply);
+        # reset so a clone ONTO an existing table drops the target's DVs
+        "dv_reset": True,
+        "dv_files": [
+            d if os.path.isabs(d) else os.path.join(src_root, d)
+            for d in _replay_dvs(entries, version)
+        ],
     }
     if schema_json is not None:
         entry["schema_json"] = schema_json
@@ -1798,6 +1971,25 @@ def vacuum(
             if v < floor:
                 shutil.rmtree(os.path.join(ch_dir, n), ignore_errors=True)
                 deleted += 1
+    # deletion-vector sidecars: keep every DV any retained snapshot replays
+    # (same rule as data dirs; foreign/absolute references are never ours
+    # to collect, and young orphans get the in-flight-writer age guard)
+    keep_dv: set[str] = set()
+    for v in range(floor, latest + 1):
+        keep_dv.update(_replay_dvs(entries, v))
+    dv_root = os.path.join(root, _DV_DIR)
+    for n in os.listdir(dv_root) if os.path.isdir(dv_root) else []:
+        rel = os.path.join(_DV_DIR, n)
+        if rel in keep_dv or os.path.join(root, rel) in keep_dv:
+            continue
+        try:
+            age = now - os.stat(os.path.join(root, rel)).st_mtime
+        except FileNotFoundError:
+            continue
+        if age <= retention_seconds:
+            continue
+        shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+        deleted += 1
     marker = os.path.join(root, _FLOOR_MARKER)
     tmp = marker + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:

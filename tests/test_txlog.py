@@ -1732,3 +1732,72 @@ def test_evolution_opt_ins_are_separate(spark, tmp_path):
     got = txlog.read_table(spark, root)
     assert got.count() == 3 and got.schema["v"].dataType.simpleString() == "bigint"
     assert got.columns == ["k", "v", "tag"]
+
+
+def test_delete_where_mor_deletion_vectors(spark, tmp_path):
+    """Merge-on-read DELETE (deletion vectors): rows vanish logically with
+    NO data rewrite; time travel sees them; the vectors compose across
+    deletes; compaction materializes them; pruned reads stay bit-identical."""
+    import glob as _glob
+
+    root = str(tmp_path / "mor")
+    txlog.append_table(
+        spark.range(0, 100).selectExpr("id AS k", "id % 10 AS g"), root
+    )
+    files_before = set(_glob.glob(os.path.join(root, "data", "*", "*.parquet")))
+    v, n = txlog.delete_where_mor(spark, root, "k % 10 = 3")
+    assert (v, n) == (1, 10)
+    files_after = set(_glob.glob(os.path.join(root, "data", "*", "*.parquet")))
+    assert files_before == files_after  # no data rewrite — that's the point
+    got = txlog.read_table(spark, root)
+    assert got.count() == 90 and got.where("k % 10 = 3").count() == 0
+    # time travel: pre-delete snapshot still serves the deleted rows
+    assert txlog.read_table(spark, root, version=0).count() == 100
+    # vectors COMPOSE: second MoR delete stacks on the first
+    v2, n2 = txlog.delete_where_mor(spark, root, "k < 5")
+    assert n2 == 4  # k=3 already deleted by the first vector
+    assert txlog.read_table(spark, root).count() == 86
+    # CDF: the delete is capture-backed (no snapshot diff)
+    ch = txlog.read_changes(spark, root, 0, 1)
+    assert ch.where("_change_type = 'delete'").count() == 10
+    # pruned read stays bit-identical to read_table().where(...)
+    pruned = txlog.read_table_pruned(spark, root, [("k", ">=", 0)])
+    assert pruned.count() == 86
+    # compaction MATERIALIZES the vectors: rows stay gone, files rewritten
+    cv = txlog.compact_table(spark, root)
+    assert txlog.read_table(spark, root).count() == 86
+    assert txlog.read_table(spark, root, version=cv).where("k < 5").count() == 0
+    # post-compaction appends are not shadowed by stale vectors
+    txlog.append_table(
+        spark.createDataFrame([(3, 3), (4, 4)], "k bigint, g bigint"), root
+    )
+    assert txlog.read_table(spark, root).where("k in (3, 4)").count() == 2
+
+
+def test_restore_resets_deletion_vectors(spark, tmp_path):
+    """RESTORE to a pre-delete version pins that snapshot's DV set — a
+    later MoR delete must not keep erasing rows through the restore."""
+    root = str(tmp_path / "morr")
+    txlog.append_table(spark.range(0, 50).selectExpr("id AS k"), root)
+    txlog.delete_where_mor(spark, root, "k >= 40")  # v1
+    assert txlog.read_table(spark, root).count() == 40
+    rv = txlog.restore_table(spark, root, version=0)  # zero-copy restore
+    assert txlog.read_table(spark, root, version=rv).count() == 50  # rows back
+    # and a restore to the POST-delete version keeps the vector
+    rv2 = txlog.restore_table(spark, root, version=1)
+    assert txlog.read_table(spark, root, version=rv2).count() == 40
+
+
+def test_clone_carries_deletion_vectors(spark, tmp_path):
+    """A shallow clone of a MoR-deleted snapshot serves the same logical
+    rows (vectors reference the same immutable absolute files)."""
+    src = str(tmp_path / "morsrc")
+    dst = str(tmp_path / "mordst")
+    txlog.append_table(spark.range(0, 30).selectExpr("id AS k"), src)
+    txlog.delete_where_mor(spark, src, "k % 3 = 0")
+    txlog.clone_table(spark, src, dst)
+    assert txlog.read_table(spark, dst).count() == 20
+    # the clone's own MoR delete never touches the source
+    txlog.delete_where_mor(spark, dst, "k = 1")
+    assert txlog.read_table(spark, dst).count() == 19
+    assert txlog.read_table(spark, src).count() == 20
