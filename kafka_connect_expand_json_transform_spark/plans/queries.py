@@ -20739,6 +20739,57 @@ def txlog_mor_delete_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_MOR_UPDATE = """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderpriority AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               + CASE WHEN o_orderkey % 11 = 2 THEN 5 ELSE 0 END AS cents
+      FROM orders)
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o GROUP BY g
+"""
+
+
+@query("txlog_mor_update_agg", _SQL_MOR_UPDATE)
+def txlog_mor_update_agg(spark, sf_dir):
+    """Merge-on-read UPDATE (``txlog.update_where_mor`` — Delta DV-backed
+    UPDATE parity): the touched rows' positions are deletion-vectored out
+    of their untouched files and the postimages append as a fresh dir, in
+    ONE atomic log entry — write cost O(touched rows), never O(touched
+    files).  The updated aggregate is value-checked against an oracle
+    applying the same SET arithmetic to the raw table."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_moru_q_")
+    try:
+        root = tmp + "/orders_moru"
+        TX.append_table(o.repartition(4), root)
+        TX.update_where_mor(spark, root, {"cents": "cents + 5"}, "k % 11 = 2")
+        out = (
+            TX.read_table(spark, root)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_CLONE_BRANCH = """
     WITH o AS (
         SELECT o_orderkey AS k, o_orderpriority AS g,

@@ -832,6 +832,42 @@ def delete_where_mor(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    matched, data_cols, schema_simple, schema_json, current = _mor_matched(
+        spark, root, predicate
+    )
+    n_deleted = matched.count()
+    rel_dv = _write_dv(root, matched)
+    # write-time CDF capture: the deleted rows ARE the change set
+    ch_dir = _changes_path(root, current + 1)
+    matched.select(*data_cols).withColumn(
+        "_change_type", F.lit("delete")
+    ).write.mode("overwrite").parquet(ch_dir)
+    entry = {
+        "version": current + 1,
+        "op": "delete_mor",
+        "files": [],
+        "dv_files": [rel_dv],
+        "schema": schema_simple,
+    }
+    if schema_json is not None:
+        entry["schema_json"] = schema_json
+    try:
+        _publish_entry(root, current + 1, entry)
+    except TxLogConflict:
+        shutil.rmtree(os.path.join(root, rel_dv), ignore_errors=True)
+        shutil.rmtree(ch_dir, ignore_errors=True)
+        raise
+    return current + 1, n_deleted
+
+
+def _mor_matched(spark: SparkSession, root: str, predicate):
+    """Shared MoR scan: the current snapshot WITH ``_metadata`` row
+    identity, prior deletion vectors already anti-joined, filtered to the
+    predicate and checkpointed (the matched set is consumed by the DV
+    write, the CDF capture, and the count)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
     entries = _list_entries(root)
     if not entries:
         raise FileNotFoundError(f"no txlog table at {root}")
@@ -864,33 +900,82 @@ def delete_where_mor(
             (F.col("__dvf") == F.col("__pf")) & (F.col("__dvp") == F.col("__pp")),
             "left_anti",
         )
-    matched = tagged.where(cond).localCheckpoint(eager=True)  # one scan, 3 uses
-    n_deleted = matched.count()
+    matched = tagged.where(cond).localCheckpoint(eager=True)
+    return matched, data_cols, schema_simple, schema_json, current
+
+
+def _write_dv(root: str, matched: DataFrame) -> str:
+    from pyspark.sql import functions as F
+
     rel_dv = os.path.join(_DV_DIR, uuid.uuid4().hex + ".parquet")
     matched.select(
         F.col("__dvf").alias("file"), F.col("__dvp").cast("bigint").alias("pos")
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, rel_dv))
-    # write-time CDF capture: the deleted rows ARE the change set
+    return rel_dv
+
+
+def update_where_mor(
+    spark: SparkSession, root: str, set_exprs: dict, predicate
+) -> tuple[int, int]:
+    """Row-level UPDATE as merge-on-read: the matching rows' positions are
+    deletion-vectored OUT of their untouched files and their POSTIMAGES
+    (with ``set_exprs`` — ``{column: SQL expr}`` — applied) are appended as
+    a fresh data dir, both in ONE atomic log entry (``op=update_mor``:
+    ``files`` carries the postimage dir, ``dv_files`` the vector — a
+    reader replaying the log can never see the delete without the insert
+    or vice versa).  This is Delta's DV-backed UPDATE: write cost is
+    O(touched rows), not O(touched files); generated columns and CHECK
+    constraints gate the postimage like any commit.  CDF captures
+    preimage-delete + postimage-insert pairs at write time.  Returns
+    ``(version, n_updated)``."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    matched, data_cols, _, schema_json, current = _mor_matched(
+        spark, root, predicate
+    )
+    n_updated = matched.count()
+    post = matched.select(*data_cols)
+    dtypes = {f.name: f.dataType for f in post.schema.fields}
+    for col, expr in set_exprs.items():
+        if col not in data_cols:
+            raise ValueError(f"unknown column {col!r} in set_exprs")
+        # cast to the column's EXISTING type (Delta's UPDATE rule): a SET
+        # expression never evolves the table schema as a side effect
+        post = post.withColumn(
+            col,
+            (F.expr(expr) if isinstance(expr, str) else expr).cast(dtypes[col]),
+        )
+    post = post.select(*data_cols)  # original order
+    post = _apply_generated(root, post)
+    _enforce_constraints(root, post)
+    rel_dv = _write_dv(root, matched)
+    rel_data = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
+    post.write.mode("overwrite").parquet(os.path.join(root, rel_data))
     ch_dir = _changes_path(root, current + 1)
-    matched.select(*data_cols).withColumn(
+    pre_ch = matched.select(*data_cols).withColumn(
         "_change_type", F.lit("delete")
-    ).write.mode("overwrite").parquet(ch_dir)
+    )
+    post_ch = post.withColumn("_change_type", F.lit("insert"))
+    pre_ch.unionByName(post_ch).write.mode("overwrite").parquet(ch_dir)
     entry = {
         "version": current + 1,
-        "op": "delete_mor",
-        "files": [],
+        "op": "update_mor",
+        "files": [rel_data],
         "dv_files": [rel_dv],
-        "schema": schema_simple,
+        "schema": post.schema.simpleString(),
+        "schema_json": post.schema.json(),
+        "stats": _collect_part_stats(root, rel_data),
     }
-    if schema_json is not None:
-        entry["schema_json"] = schema_json
     try:
         _publish_entry(root, current + 1, entry)
     except TxLogConflict:
         shutil.rmtree(os.path.join(root, rel_dv), ignore_errors=True)
+        shutil.rmtree(os.path.join(root, rel_data), ignore_errors=True)
         shutil.rmtree(ch_dir, ignore_errors=True)
         raise
-    return current + 1, n_deleted
+    return current + 1, n_updated
 
 
 def update_where(

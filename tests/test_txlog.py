@@ -1801,3 +1801,36 @@ def test_clone_carries_deletion_vectors(spark, tmp_path):
     txlog.delete_where_mor(spark, dst, "k = 1")
     assert txlog.read_table(spark, dst).count() == 19
     assert txlog.read_table(spark, src).count() == 20
+
+
+def test_update_where_mor_atomic_dv_plus_postimage(spark, tmp_path):
+    """MoR UPDATE: one atomic commit carries the deletion vector AND the
+    postimage append — rows change in place logically, untouched files
+    physically; CDF serves preimage/postimage pairs; set exprs never
+    evolve the schema."""
+    root = str(tmp_path / "moru")
+    txlog.append_table(
+        spark.range(0, 60).selectExpr("id AS k", "CAST(id * 10 AS INT) AS v"), root
+    )
+    ver, n = txlog.update_where_mor(spark, root, {"v": "v + 1"}, "k % 6 = 0")
+    assert (ver, n) == (1, 10)
+    got = txlog.read_table(spark, root)
+    assert got.count() == 60  # an update never changes cardinality
+    assert got.where("k % 6 = 0 AND v = k * 10 + 1").count() == 10
+    assert got.where("k % 6 <> 0 AND v = k * 10").count() == 50
+    # schema pinned: the int column stayed int despite the bigint-ish expr
+    assert got.schema["v"].dataType.simpleString() == "int"
+    # time travel to the pre-update snapshot
+    assert txlog.read_table(spark, root, version=0).where("v = 1").count() == 0
+    # CDF: preimage delete + postimage insert, captured (no diff fallback)
+    ch = txlog.read_changes(spark, root, 0, 1)
+    assert ch.where("_change_type = 'delete'").count() == 10
+    assert ch.where("_change_type = 'insert' AND v % 10 = 1").count() == 10
+    # MoR update stacks on a MoR delete and vice versa
+    txlog.delete_where_mor(spark, root, "k = 0")
+    v3, n3 = txlog.update_where_mor(spark, root, {"v": "0"}, "k = 6")
+    assert n3 == 1
+    final = txlog.read_table(spark, root)
+    assert final.count() == 59 and final.where("k = 6").first()["v"] == 0
+    with pytest.raises(ValueError, match="unknown column"):
+        txlog.update_where_mor(spark, root, {"nope": "1"}, "k = 1")
