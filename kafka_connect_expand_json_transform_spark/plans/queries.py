@@ -20248,6 +20248,93 @@ def stream_txlog_merge_e2e(spark, sf_dir):
 
 
 
+_SQL_STREAM_MOR = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderkey % 10 < 5 AND o_orderkey % 10 NOT IN (1, 3)
+    GROUP BY o_orderpriority
+"""
+
+
+@query("stream_txlog_mor_e2e", _SQL_STREAM_MOR)
+def stream_txlog_mor_e2e(spark, sf_dir):
+    """STREAMING deletion requests against the ACID table via
+    MERGE-ON-READ vectors — the GDPR/right-to-erasure ingestion shape: a
+    file stream of delete-key batches (maxFilesPerTrigger=1) drives
+    ``foreachBatch`` -> ``txlog.delete_where_mor`` per micro-batch; each
+    batch is one atomic log entry carrying a kilobyte position sidecar —
+    the 100 TB table is NEVER rewritten by the stream.  A replayed batch
+    is idempotent by construction: its rows are already vectored out, so
+    the prior-DV anti-join makes the re-delete match nothing.  The final
+    snapshot aggregate equals the batch oracle.  (True physical erasure
+    remains compact + vacuum, as the CoW delete documents — the vectors
+    make the rows unreadable immediately at streaming cost.)  Per-batch
+    key sets are collected to build the predicate — bounded by the
+    deletion-request batch, not the table."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+    from kafka_connect_expand_json_transform_spark.streaming.sources import (
+        file_stream_source,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_smor_q_")
+    try:
+        root = tmp + "/orders_smor"
+        TX.append_table(o.where(F.col("o_orderkey") % 10 < 5).repartition(4), root)
+        requests = o.where((F.col("o_orderkey") % 10).isin(1, 3)).select(
+            F.col("o_orderkey").alias("k")
+        )
+        src_dir = tmp + "/requests"
+        requests.repartition(2).write.parquet(src_dir)
+        stream = file_stream_source(
+            spark,
+            src_dir,
+            requests.schema,
+            fmt="parquet",
+            options={"maxFilesPerTrigger": "1"},
+        )
+
+        def apply_batch(batch_df, batch_id):
+            keys = [r["k"] for r in batch_df.select("k").collect()]
+            if not keys:
+                return
+            TX.delete_where_mor(
+                spark, root, F.col("o_orderkey").isin(keys)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            TX.read_table(spark, root)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_BITMAP_DISTINCT = """
     SELECT o_orderstatus,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers

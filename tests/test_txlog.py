@@ -1834,3 +1834,33 @@ def test_update_where_mor_atomic_dv_plus_postimage(spark, tmp_path):
     assert final.count() == 59 and final.where("k = 6").first()["v"] == 0
     with pytest.raises(ValueError, match="unknown column"):
         txlog.update_where_mor(spark, root, {"nope": "1"}, "k = 1")
+
+
+def test_mor_read_plan_is_broadcast_anti_join(spark, tmp_path):
+    """The MoR read path must stay a BROADCAST left-anti against the tiny
+    DV table — never a shuffle of the scan on (file, pos), and never a
+    nested loop."""
+    root = str(tmp_path / "morplan")
+    txlog.append_table(spark.range(0, 1000).selectExpr("id AS k"), root)
+    txlog.delete_where_mor(spark, root, "k % 97 = 0")
+    df = txlog.read_table(spark, root)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert df.count() == 1000 - 11  # ceil(1000/97) = 11 multiples incl. 0
+
+
+def test_vacuum_collects_orphaned_dv_dirs(spark, tmp_path):
+    """Vacuum reclaims DV dirs no retained snapshot replays (post-
+    compaction vectors), under the same age guard as data dirs."""
+    import glob as _glob
+
+    root = str(tmp_path / "morvac")
+    txlog.append_table(spark.range(0, 40).selectExpr("id AS k"), root)
+    txlog.delete_where_mor(spark, root, "k >= 30")
+    assert len(_glob.glob(os.path.join(root, "_dv", "*"))) == 1
+    txlog.compact_table(spark, root)  # materializes; severs the vector
+    # retain only the compacted snapshot; age guard off (no other writers)
+    txlog.vacuum(root, retain_versions=1, retention_seconds=0.0)
+    assert _glob.glob(os.path.join(root, "_dv", "*")) == []  # orphan collected
+    assert txlog.read_table(spark, root).count() == 30  # rows stay gone
