@@ -19359,6 +19359,56 @@ _SQL_TXLOG_MERGE = """
 """
 
 
+@query("txlog_mor_merge_agg", _SQL_TXLOG_MERGE)
+def txlog_mor_merge_agg(spark, sf_dir):
+    """MERGE-ON-READ MERGE (``txlog.merge_into_mor`` — Delta's low-shuffle
+    DV merge): identical clause semantics and oracle as the CoW
+    ``txlog_merge_upsert`` — updates (``% 10 = 0``), tombstones
+    (``% 10 = 1``), inserts (``% 10 = 5``) — but the physical write is one
+    atomic entry carrying the deletion vector + one postimage/insert dir:
+    the unmatched bulk of the table is never rewritten.  The write-hot
+    ingest path at 100 TB; CoW remains the read-hot path (same trade
+    Delta documents).  Value-checked against the same LEFT JOIN +
+    NOT EXISTS oracle."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_mormerge_q_")
+    try:
+        root = tmp + "/orders_mm"
+        TX.append_table(o.where(F.col("o_orderkey") % 10 < 3).repartition(4), root)
+        src = o.where((F.col("o_orderkey") % 10).isin(0, 1, 5)).select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("cents") + 100).alias("cents"),
+            (F.col("o_orderkey") % 10 == 1).alias("is_delete"),
+        )
+        TX.merge_into_mor(
+            spark, root, src, ["o_orderkey"], delete_when="s.is_delete"
+        )
+        out = (
+            TX.read_table(spark, root)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query("txlog_merge_upsert", _SQL_TXLOG_MERGE)
 def txlog_merge_upsert(spark, sf_dir):
     """MERGE INTO end-to-end on the txlog table format — the CDC-upsert

@@ -1219,6 +1219,159 @@ def merge_into(
     return version, stats
 
 
+def merge_into_mor(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    on: list[str],
+    *,
+    update: dict | str | None = "all",
+    delete_when=None,
+    insert: bool = True,
+) -> tuple[int, dict]:
+    """MERGE INTO as MERGE-ON-READ — Delta's low-shuffle/DV merge: matched
+    target rows are deletion-vectored OUT of their untouched files and
+    their postimages (plus the source-only inserts) append as one fresh
+    data dir, all in ONE atomic log entry (``op=merge_mor``).  The
+    UNMATCHED target rows — at 100 TB, ~all of them — are never read past
+    the join, never rewritten, never shuffled: write cost is O(touched +
+    inserted rows), vs the CoW merge's O(overlapping files), with the
+    same clause semantics as :func:`merge_into` (``update`` = "all" /
+    dict / None; ``delete_when``; ``insert``), the same duplicate-key
+    guard, and write-time CDF capture.  Reads pay the accumulated-DV
+    anti-join until a compaction materializes.  Choose CoW
+    (``merge_into``) for read-hot tables and MoR for write-hot ingest —
+    the same trade Delta documents.  Returns ``(version, {"inserted": i,
+    "updated": u, "deleted": d})``."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    for k in on:
+        if k not in source.columns:
+            raise ValueError(f"merge key {k!r} missing from source")
+    if source.groupBy(*on).count().where(F.col("count") > 1).limit(1).count():
+        raise ValueError("source has duplicate merge keys; matched rows ambiguous")
+    tagged, data_cols, _, _, current = _mor_matched(spark, root, F.lit(True))
+    for k in on:
+        if k not in data_cols:
+            raise ValueError(f"merge key {k!r} missing from target")
+    dtypes = {
+        f.name: f.dataType for f in tagged.select(*data_cols).schema.fields
+    }
+    t = tagged.alias("t")
+    s = source.alias("s")
+    m = t.join(
+        s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on], "inner"
+    ).localCheckpoint(eager=False)
+    if delete_when is None:
+        delc = F.lit(False)
+    else:
+        delc = F.expr(delete_when) if isinstance(delete_when, str) else delete_when
+    delc = F.coalesce(delc, F.lit(False))
+    if update == "all":
+        assignments = {
+            c: F.col(f"s.{c}")
+            for c in data_cols
+            if c not in on and c in source.columns
+        }
+    elif update is None:
+        assignments = {}
+    else:
+        for c in update:
+            if c not in data_cols:
+                raise ValueError(f"unknown column {c!r} in merge update assignments")
+            if c in on:
+                raise ValueError(
+                    f"merge update may not assign key column {c!r} (a key "
+                    "rewrite is a delete+insert, not an update)"
+                )
+        assignments = {
+            c: F.expr(v) if isinstance(v, str) else v for c, v in update.items()
+        }
+    # rows leaving their files: deletes always; updates only when there is
+    # something to assign (update=None keeps matched rows IN PLACE — they
+    # are not vectored, the zero-write no-op)
+    vec_cond = delc | F.lit(bool(assignments))
+    vec_rows = m.where(vec_cond)
+    agg = m.agg(
+        F.sum(delc.cast("long")).alias("deleted"),
+        F.sum((~delc).cast("long")).alias("matched_kept_or_updated"),
+    ).first()
+    n_deleted = agg["deleted"] or 0
+    n_updated = (agg["matched_kept_or_updated"] or 0) if assignments else 0
+    tcols = [F.col(f"t.{c}").alias(c) for c in data_cols]
+    post = m.where(~delc).select(
+        *[
+            (assignments[c].cast(dtypes[c]) if c in assignments else F.col(f"t.{c}"))
+            .alias(c)
+            for c in data_cols
+        ]
+    ) if assignments else m.where(F.lit(False)).select(*tcols)
+    ins = (
+        source.join(tagged.select(*on), on, "left_anti").select(
+            *[
+                (F.col(c) if c in source.columns else F.lit(None))
+                .cast(dtypes[c])
+                .alias(c)
+                for c in data_cols
+            ]
+        )
+        if insert
+        else None
+    )
+    n_inserted = ins.count() if ins is not None else 0
+    new_rows = post if ins is None else post.unionByName(ins)
+    new_rows = _apply_generated(root, new_rows)
+    _enforce_constraints(root, new_rows)
+    rel_dv = _write_dv(root, vec_rows)
+    rel_data = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
+    new_rows.write.mode("overwrite").parquet(os.path.join(root, rel_data))
+    ch_dir = _changes_path(root, current + 1)
+    # capture LOGICAL changes (merge_into's contract): a no-op assignment
+    # is physically vectored + re-appended, but pre == post pairs cancel in
+    # the snapshot diff, so they are excluded from the capture too
+    del_pre = m.where(delc).select(*tcols)
+    if assignments:
+        upd_pre = m.where(~delc).select(*tcols)
+        eff_pre = upd_pre.exceptAll(post)
+        eff_post = post.exceptAll(upd_pre)
+    else:
+        eff_pre = del_pre.limit(0)
+        eff_post = del_pre.limit(0)
+    changes = (
+        del_pre.withColumn("_change_type", F.lit("delete"))
+        .unionByName(eff_pre.withColumn("_change_type", F.lit("delete")))
+        .unionByName(eff_post.withColumn("_change_type", F.lit("insert")))
+    )
+    if ins is not None:
+        changes = changes.unionByName(
+            ins.withColumn("_change_type", F.lit("insert"))
+        )
+    changes.write.mode("overwrite").parquet(ch_dir)
+    entry = {
+        "version": current + 1,
+        "op": "merge_mor",
+        "files": [rel_data],
+        "dv_files": [rel_dv],
+        "schema": new_rows.schema.simpleString(),
+        "schema_json": new_rows.schema.json(),
+        "stats": _collect_part_stats(root, rel_data),
+    }
+    try:
+        _publish_entry(root, current + 1, entry)
+    except TxLogConflict:
+        shutil.rmtree(os.path.join(root, rel_dv), ignore_errors=True)
+        shutil.rmtree(os.path.join(root, rel_data), ignore_errors=True)
+        shutil.rmtree(ch_dir, ignore_errors=True)
+        raise
+    return current + 1, {
+        "inserted": n_inserted,
+        "updated": n_updated,
+        "deleted": n_deleted,
+    }
+
+
 def _changes_path(root: str, version: int) -> str:
     return os.path.join(root, _CHANGES_DIR, f"{version:08d}.parquet")
 

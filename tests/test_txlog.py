@@ -1864,3 +1864,65 @@ def test_vacuum_collects_orphaned_dv_dirs(spark, tmp_path):
     txlog.vacuum(root, retain_versions=1, retention_seconds=0.0)
     assert _glob.glob(os.path.join(root, "_dv", "*")) == []  # orphan collected
     assert txlog.read_table(spark, root).count() == 30  # rows stay gone
+
+
+def test_merge_into_mor_clauses_match_cow_merge(spark, tmp_path):
+    """MoR MERGE == CoW MERGE on the same inputs (clause semantics,
+    counts, final snapshot) — only the physical write differs: MoR leaves
+    the untouched files alone and commits DV + one new dir atomically."""
+    import glob as _glob
+
+    def build(root):
+        txlog.append_table(
+            spark.range(0, 50).selectExpr("id AS k", "CAST(id AS INT) AS v"),
+            root,
+        )
+
+    src = spark.createDataFrame(
+        [(10, 1000, False), (20, 2000, False), (30, 0, True), (99, 9900, False)],
+        "k bigint, v int, dead boolean",
+    )
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    build(cow)
+    build(mor)
+    _, cow_stats = txlog.merge_into(
+        spark, cow, src.drop("dead"), ["k"],
+        delete_when="s.k = 30", update="all",
+    )
+    files_before = set(_glob.glob(os.path.join(mor, "data", "*", "*.parquet")))
+    _, mor_stats = txlog.merge_into_mor(
+        spark, mor, src.drop("dead"), ["k"],
+        delete_when="s.k = 30", update="all",
+    )
+    assert mor_stats == cow_stats == {"inserted": 1, "updated": 2, "deleted": 1}
+    # original files untouched (one NEW dir appended for postimages+inserts)
+    assert files_before <= set(
+        _glob.glob(os.path.join(mor, "data", "*", "*.parquet"))
+    )
+    a = {(r["k"], r["v"]) for r in txlog.read_table(spark, cow).collect()}
+    b = {(r["k"], r["v"]) for r in txlog.read_table(spark, mor).collect()}
+    assert a == b and (99, 9900) in b and (10, 1000) in b
+    assert not any(k == 30 for k, _ in b)
+    # CDF: logical changes only, same multiset as the CoW capture
+    cow_ch = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in txlog.read_changes(spark, cow, 0, 1).collect()
+    }
+    mor_ch = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in txlog.read_changes(spark, mor, 0, 1).collect()
+    }
+    assert mor_ch == cow_ch
+    # update=None: matched rows stay IN PLACE (not vectored), inserts land
+    root3 = str(tmp_path / "mor3")
+    build(root3)
+    _, st3 = txlog.merge_into_mor(
+        spark, root3, src.drop("dead").where("k <> 30"), ["k"], update=None
+    )
+    assert st3 == {"inserted": 1, "updated": 0, "deleted": 0}
+    got3 = {(r["k"], r["v"]) for r in txlog.read_table(spark, root3).collect()}
+    assert (10, 10) in got3 and (99, 9900) in got3  # target kept, insert in
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        txlog.merge_into_mor(
+            spark, root3, src.unionByName(src).drop("dead"), ["k"]
+        )
