@@ -21591,6 +21591,173 @@ def dynamic_partition_overwrite_agg(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+_SQL_TIMEOUT_SESSIONS = """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), labeled AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, sid, COUNT(*) AS n_events, MAX(ts) AS s_end
+      FROM labeled GROUP BY user_id, sid
+    ), emitted AS (
+      SELECT user_id, n_events
+      FROM (SELECT user_id, sid, n_events, s_end,
+                   MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+            FROM sess) s, mx
+      WHERE sid < max_sid
+         OR epoch_ms(s_end) + 1800000 < epoch_ms(m) - 60000
+    )
+    SELECT CAST(n_events AS BIGINT) AS n_events,
+           COUNT(*) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM emitted GROUP BY 1
+"""
+
+
+@query("stream_timeout_sessions_e2e", _SQL_TIMEOUT_SESSIONS)
+def stream_timeout_sessions_e2e(spark, sf_dir):
+    """Event-time TIMER emission on a REAL stream — the arbitrary-state
+    capability the windowed operators can't express: per-user gap sessions
+    (30 min) via ``applyInPandasWithState`` with
+    ``GroupStateTimeout.EventTimeTimeout``; a session closed by a later
+    event emits immediately, and the trailing open session emits only when
+    the state store's event-time timer fires (measured Spark 4.1 semantics:
+    ``end + gap < watermark``, strict — the final no-data micro-batch after
+    availableNow drains the data advances the watermark to ``max(ts) -
+    delay`` and fires the eligible timers).  Users whose last session ends
+    within (gap + delay) of the corpus max NEVER emit it — the oracle
+    encodes exactly that closure rule, so the value hash proves both the
+    sessionization and the timer boundary.  Scale: one shuffle on user_id
+    per batch; state is one open-session triple per live key (closed
+    sessions leave the store at emission)."""
+    from kafka_connect_expand_json_transform_spark.streaming.stateful import (
+        timeout_sessions,
+    )
+
+    stream, cleanup = _stream_table_source(spark, sf_dir, "events")
+    try:
+        sessions = timeout_sessions(
+            stream.select("user_id", "ts"),
+            key="user_id",
+            ts_col="ts",
+            gap_ms=1_800_000,
+            watermark_delay="1 minute",
+        )
+        out = _run_stream_to_memory(
+            spark, sessions, "sg_stream_timeout_sessions", "append"
+        )
+    finally:
+        cleanup()
+    return out.groupBy("n_events").agg(
+        F.count("*").alias("n_sessions"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+_SQL_MOR_COMPACT = """
+    SELECT o_orderpriority AS g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderkey % 10 < 5 AND NOT (o_orderkey % 7 = 1)
+    GROUP BY 1
+"""
+
+
+@query("txlog_mor_compact_agg", _SQL_MOR_COMPACT)
+def txlog_mor_compact_agg(spark, sf_dir):
+    """Merge-on-read lifecycle COMPLETION (Delta's ``OPTIMIZE`` after DV
+    churn): a needle ``delete_where_mor`` leaves a deletion-vector sidecar
+    that every read must anti-join — then ``compact_table`` rewrites from
+    the DV-applied snapshot and RESETS the vector set (``dv_reset`` in the
+    log entry), so post-compaction reads pay zero anti-join while the
+    pre-compaction version stays time-travel readable with its vectors
+    pinned.  The query asserts the replayed DV set is empty after
+    compaction and value-checks the compacted aggregate against the raw
+    oracle.  At 100 TB this is the MoR hygiene loop: accumulate kilobyte
+    vectors through the day, materialize them in one scheduled rewrite."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_morc_q_")
+    try:
+        root = tmp + "/orders_morc"
+        TX.append_table(o.where(F.col("o_orderkey") % 10 < 5).repartition(4), root)
+        TX.delete_where_mor(spark, root, "o_orderkey % 7 = 1")
+        assert TX._replay_dvs(TX._list_entries(root), None), "DV expected pre-compact"
+        TX.compact_table(spark, root, target_files=2)
+        # compaction MATERIALIZED the vectors: replay carries none forward
+        assert not TX._replay_dvs(TX._list_entries(root), None), "DV must reset"
+        snap = TX.read_table(spark, root)
+        out = snap.groupBy("g").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_PIPE_SYNTAX = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_qty_cents
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_pipe_syntax_agg", _SQL_PIPE_SYNTAX)
+def sql_pipe_syntax_agg(spark, sf_dir):
+    """SQL pipe syntax (Spark 4's ``|>`` operators, SPARK-49555): the q1
+    pricing summary re-expressed as a linear pipeline — ``FROM |> WHERE |>
+    EXTEND |> AGGREGATE ... GROUP BY |> SELECT |> ORDER BY`` — each stage
+    consuming the previous stage's table.  Pure parser surface: Catalyst
+    lowers the pipe plan to the identical logical plan as the nested-SQL
+    form (same pushdown, partial aggregation, whole-stage codegen), so it
+    is value-checked against the standard-SQL oracle.  Money arithmetic in
+    exact bigint cents on both engines."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> EXTEND CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    AS price_cents,
+                  CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    AS qty_cents
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+                     CAST(SUM(qty_cents) AS BIGINT) AS sum_qty_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, sum_price_cents, sum_qty_cents
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (CORRECTNESS_r{N}.json checks the FIRST 50
 # registered queries, in registration order — VERDICT r01 "What's wrong" #1).

@@ -87,6 +87,103 @@ def running_aggregate(
     )
 
 
+def timeout_sessions(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_ms: int,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Gap-based sessionization with EVENT-TIME TIMEOUT emission — the
+    stateful-timer capability ``session_window`` cannot express (it emits on
+    its own schedule; this operator owns the timer): per key, events within
+    ``gap_ms`` of the session's end extend it, an event at or past the gap
+    closes it (emitted immediately), and the trailing OPEN session is closed
+    by the state store's event-time timer when the watermark passes
+    ``end + gap`` (``GroupStateTimeout.EventTimeTimeout`` +
+    ``state.setTimeoutTimestamp``; measured semantics on Spark 4.1: a timer
+    fires iff ``timer_ts < watermark``, strict, including in the final
+    no-data micro-batch a watermark advance schedules).  Sessions whose
+    timer never passes the final watermark stay in state, unemitted — the
+    exactly-once contract for readers is "a session row is emitted once,
+    when it provably cannot grow".
+
+    The reference is stateless per record (ExpandJson.java:96-129); this is
+    the [EXT] arbitrary-state surface mandated by SURVEY §2.2.  Scale: one
+    shuffle on ``key`` per batch; state is one (start, end, n) triple per
+    OPEN session — closed sessions leave the store immediately, so state
+    size is bounded by live keys, not history.  Timestamps are handled as
+    int64 epoch-ms (floor from Spark's micros), matching the watermark's
+    own ms arithmetic exactly.
+
+    Emits ``(key, session_start_ms, n_events)`` rows in append mode.
+    """
+    out_schema = StructType(
+        [
+            StructField(key, df.schema[key].dataType, True),
+            StructField("session_start_ms", LongType(), False),
+            StructField("n_events", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType(), False),
+            StructField("end_ms", LongType(), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+
+    def update(k, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            start_ms, _end_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {key: [k[0]], "session_start_ms": [start_ms], "n_events": [n]}
+            )
+            return
+        # unit-proof epoch-ms floor: Arrow may hand datetime64[ns] or [us]
+        chunks = [
+            pd.Series(p[ts_col].values.astype("datetime64[ms]").astype("int64"))
+            for p in pdfs
+            if len(p)
+        ]
+        ts = pd.concat(chunks).sort_values().to_numpy() if chunks else []
+        if len(ts) == 0:  # defensive: no data, keep state as-is
+            return
+        # seed with the open session from state (batches arrive in event-time
+        # order under the watermark; an older-than-open-session straggler
+        # would need the closed session back — that row is gap-late by
+        # definition and the watermark already excluded it)
+        if state.exists:
+            start_ms, end_ms, n = state.get
+        else:
+            start_ms, end_ms, n = int(ts[0]), int(ts[0]), 0
+        closed = []
+        for t in ts:
+            t = int(t)
+            if t - end_ms < gap_ms:  # extends the open session
+                end_ms = max(end_ms, t)
+                n += 1
+            else:  # gap reached: the open session is final — emit it
+                closed.append((start_ms, n))
+                start_ms, end_ms, n = t, t, 1
+        state.update((start_ms, end_ms, n))
+        state.setTimeoutTimestamp(end_ms + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key: [k[0]] * len(closed),
+                    "session_start_ms": [c[0] for c in closed],
+                    "n_events": [c[1] for c in closed],
+                }
+            )
+
+    watermarked = df.withWatermark(ts_col, watermark_delay)
+    return watermarked.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def running_aggregate_tws(
     df: DataFrame,
     keys: Sequence[str],

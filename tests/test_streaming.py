@@ -623,3 +623,61 @@ def test_stream_incremental_dedup_matches_sequential(spark):
         for r in QUERIES["stream_incremental_dedup_e2e"](spark, sf).collect()
     }
     assert streamed == set(kept_counts.items())
+
+
+def test_timeout_sessions_event_time_timer_boundary(spark, tmp_path):
+    """timeout_sessions (EventTimeTimeout): a session closed by a later
+    event emits immediately; the trailing open session emits iff its timer
+    ``end + gap`` is STRICTLY below the final watermark ``max(ts) - delay``
+    (measured Spark 4.1 semantics, fired by the trailing no-data
+    micro-batch); a timer exactly AT the watermark must not fire."""
+    import datetime
+
+    from kafka_connect_expand_json_transform_spark.streaming.stateful import (
+        timeout_sessions,
+    )
+
+    def dt(ms):
+        return datetime.datetime.fromtimestamp(
+            ms / 1000, datetime.timezone.utc
+        ).replace(tzinfo=None)
+
+    # gap 60 s, delay 60 s, max ts 1000 s -> final watermark 940 s:
+    # an open session fires iff end_ms + 60_000 < 940_000, i.e. end < 880 s
+    rows = [
+        ("closed_by_event", dt(100_000)),  # closed by the 200 s event
+        ("closed_by_event", dt(200_000)),  # open; 260 < 940 -> timer fires
+        ("boundary_lt", dt(879_999)),      # timer 939_999 < 940_000 -> fires
+        ("boundary_eq", dt(880_000)),      # timer 940_000 == wm -> must NOT
+        ("merge", dt(500_000)),            # same session as 500.03 s
+        ("merge", dt(500_030)),            # open; 560.03 < 940 -> fires, n=2
+        ("anchor", dt(1_000_000)),         # sets max ts; 1060 > 940 -> stays
+    ]
+    src = tmp_path / "timer_src"
+    src.mkdir()
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.parquet(stage)
+    import glob as _glob
+    import shutil as _shutil
+
+    _shutil.copyfile(
+        _glob.glob(stage + "/part-*.parquet")[0], str(src / "b0.parquet")
+    )
+    stream = (
+        spark.readStream.schema("user string, ts timestamp")
+        .parquet(str(src))
+    )
+    sessions = timeout_sessions(
+        stream, key="user", ts_col="ts", gap_ms=60_000, watermark_delay="60 seconds"
+    )
+    out = run_to_table(spark, sessions, "append")
+    got = {
+        (r["user"], r["session_start_ms"], r["n_events"]) for r in out.collect()
+    }
+    assert got == {
+        ("closed_by_event", 100_000, 1),
+        ("closed_by_event", 200_000, 1),
+        ("boundary_lt", 879_999, 1),
+        ("merge", 500_000, 2),
+    }
