@@ -21591,6 +21591,72 @@ def dynamic_partition_overwrite_agg(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+_SQL_SQ8 = """
+    WITH q AS (SELECT vec_id, i AS dim,
+                      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                           AS BIGINT) AS v
+               FROM embeddings, unnest(generate_series(1, 64)) AS u(i)),
+    st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM q GROUP BY dim),
+    enc AS (SELECT q.dim, v, mn, (mx - mn + 256) // 256 AS step
+            FROM q JOIN st ON q.dim = st.dim),
+    dec AS (SELECT dim, step, (v - mn) // step AS code,
+                   abs(v - (mn + ((v - mn) // step) * step + step // 2))
+                     AS err
+            FROM enc)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(step) AS BIGINT) AS step_micro,
+           CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes,
+           CAST(MAX(err) AS BIGINT) AS max_abs_err_micro,
+           CAST(SUM(err) AS BIGINT) AS sum_abs_err_micro
+    FROM dec GROUP BY 1
+"""
+
+
+@query("embedding_sq8_census", _SQL_SQ8)
+def embedding_sq8_census(spark, sf_dir):
+    """INT8 scalar quantization (the FAISS ``SQ8`` storage tier — Jegou
+    2011's uniform-per-dimension baseline): each dimension learns its own
+    (min, step) from the corpus, values encode to one byte
+    ``code = (v - min) div step`` and decode to the cell midpoint — a 4x
+    storage cut for an ANN index with a provable per-value error bound of
+    ``step/2``.  Everything runs in exact micro-unit int64 arithmetic
+    (``floor(x * 1e6)``, the kmeans_quantized idiom) so the census —
+    per-dimension code occupancy and reconstruction-error moments — is
+    value-checked bit-for-bit against the oracle.  Scale: one narrow
+    explode, one 64-row stats aggregate broadcast back, one final 64-row
+    aggregate; nothing driver-side, no shuffle wider than the dimension
+    count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(
+            F.transform(
+                VEC.as_double("embedding"),
+                lambda x: F.floor(x * 1000000).cast("bigint"),
+            )
+        ).alias("d0", "v")
+    ).select((F.col("d0") + 1).cast("bigint").alias("dim"), "v")
+    st = q.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    enc = q.join(F.broadcast(st), "dim").withColumn(
+        "step", F.expr("(mx - mn + 256) DIV 256")
+    )
+    dec = enc.select(
+        "dim",
+        "step",
+        F.expr("(v - mn) DIV step").alias("code"),
+        F.expr("abs(v - (mn + ((v - mn) DIV step) * step + step DIV 2))").alias(
+            "err"
+        ),
+    )
+    return dec.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("step").cast("bigint").alias("step_micro"),
+        F.count_distinct("code").cast("bigint").alias("n_codes"),
+        F.max("err").cast("bigint").alias("max_abs_err_micro"),
+        F.sum("err").cast("bigint").alias("sum_abs_err_micro"),
+    )
+
+
 _SQL_TIMEOUT_SESSIONS = """
     WITH mx AS (SELECT MAX(ts) AS m FROM events),
     flagged AS (
