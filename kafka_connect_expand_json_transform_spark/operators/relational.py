@@ -392,6 +392,38 @@ def refresh_aggregate(
     return base_agg.unionByName(delta_agg).groupBy(*keys).agg(*remerge)
 
 
+def delta_join_refresh(
+    mv: DataFrame,
+    left_old: DataFrame,
+    left_delta: DataFrame,
+    right_old: DataFrame,
+    right_delta: DataFrame,
+    on,
+    select_cols: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for an inner JOIN view (the bilinear
+    delta rule): given the materialized view ``mv = L_old |><| R_old`` and
+    insert-only deltas, the refreshed view is
+
+        mv  U  (dL |><| R_old)  U  (L_old |><| dR)  U  (dL |><| dR)
+
+    The four terms partition the new pair space exactly (each output pair's
+    membership is determined by which side of the old/delta split its two
+    inputs fall on), so the result equals the from-scratch join — without
+    ever re-joining L_old with R_old.  Deltas are BROADCAST (small by
+    definition), so a refresh costs one scan of each base side probed by a
+    broadcast hash join plus one delta-delta join — at 100 TB, O(new data)
+    instead of the O(table-shuffle) recompute.  Complements
+    :func:`refresh_aggregate` (the aggregate half of IVM).  Deletes/updates
+    need signed multiplicities (the CDF consumer in
+    ``incremental_agg_maintenance`` shows that shape); this operator is the
+    insert-only fast path every streaming ingest hits."""
+    t1 = F.broadcast(left_delta).join(right_old, on).select(*select_cols)
+    t2 = left_old.join(F.broadcast(right_delta), on).select(*select_cols)
+    t3 = F.broadcast(left_delta).join(right_delta, on).select(*select_cols)
+    return mv.unionByName(t1).unionByName(t2).unionByName(t3)
+
+
 def skyline_2d(
     df: DataFrame,
     x_col: str,

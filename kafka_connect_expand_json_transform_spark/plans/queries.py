@@ -21591,6 +21591,128 @@ def dynamic_partition_overwrite_agg(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+_SQL_INCR_ZORDER = """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM e
+    WHERE user_id >= 100 AND user_id < 200 AND cents < 20000
+    GROUP BY event_type
+"""
+
+
+@query("txlog_incremental_zorder_agg", _SQL_INCR_ZORDER)
+def txlog_incremental_zorder_agg(spark, sf_dir):
+    """Incremental OPTIMIZE ZORDER (liquid-clustering maintenance): wave 1
+    is committed and Morton-clustered, wave 2 lands as a plain append, and
+    ``optimize_zorder_incremental`` re-clusters ONLY wave 2 — the query
+    asserts every wave-1 clustered dir rides into the new version
+    byte-untouched (same relative paths in the log entry).  A two-column
+    range predicate then reads through ``read_table_pruned`` across BOTH
+    clustered generations and the aggregate is value-checked against the
+    raw oracle.  At 100 TB this replaces the O(table) nightly re-sort with
+    an O(new data) pass — Delta's incremental OPTIMIZE contract."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+        (F.crc32(F.col("event_id").cast("string")) % 3).alias("wave"),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_zoinc_q_")
+    try:
+        root = tmp + "/events_zi"
+        base = ev.where(F.col("wave") != 0).drop("wave")
+        TX.append_table(base.repartition(4), root)
+        zv = TX.optimize_zorder(spark, root, ["user_id", "cents"], bits=3)
+        zfiles = set(TX._list_entries(root)[zv]["files"])
+        TX.append_table(ev.where(F.col("wave") == 0).drop("wave").repartition(2), root)
+        iv = TX.optimize_zorder_incremental(
+            spark, root, ["user_id", "cents"], bits=3, target_files=2
+        )
+        entry = TX._list_entries(root)[iv]
+        assert set(entry["files"]) & zfiles == zfiles, "clustered dirs rewritten"
+        pruned = TX.read_table_pruned(
+            spark,
+            root,
+            [("user_id", ">=", 100), ("user_id", "<", 200), ("cents", "<", 20000)],
+        )
+        out = pruned.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_INCR_JOIN = """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@query("incremental_join_maintenance", _SQL_INCR_JOIN)
+def incremental_join_maintenance(spark, sf_dir):
+    """Materialized JOIN-view maintenance by the bilinear delta rule — the
+    other half of incremental view maintenance (`incremental_agg_maintenance`
+    covers aggregates): for MV = O |><| C and insert deltas dO, dC, the
+    refresh is  MV' = MV  U  (dO |><| C_old)  U  (O_old |><| dC)  U
+    (dO |><| dC) — the four terms partition the new pair space exactly, so
+    the refreshed view is value-checked against the from-scratch join
+    oracle.  The base view is materialized once (localCheckpoint); the
+    refresh never re-joins O_old with C_old.  At 100 TB the delta terms are
+    BROADCAST probes (dO and dC are small by definition), so a refresh
+    costs one scan of each base side probed by a broadcast delta — never
+    the O(|O| x |C|-shuffle) recompute.  Both delta joins here broadcast
+    the delta side, plan-shape consistent with that story."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o_old = o.where(F.col("o_orderkey") % 10 < 7)
+    d_o = o.where(F.col("o_orderkey") % 10 >= 7)
+    c_old = c.where(F.col("c_custkey") % 10 < 8)
+    d_c = c.where(F.col("c_custkey") % 10 >= 8)
+
+    from kafka_connect_expand_json_transform_spark.operators.relational import (
+        delta_join_refresh,
+    )
+
+    join_cond = F.col("o_custkey") == F.col("c_custkey")
+    sel = ["o_orderkey", "c_custkey", "c_mktsegment", "cents"]
+    mv0 = o_old.join(c_old, join_cond).select(*sel)
+    mv0 = mv0.localCheckpoint(eager=True)  # the materialized base view
+
+    refreshed = delta_join_refresh(mv0, o_old, d_o, c_old, d_c, join_cond, sel)
+    return refreshed.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
 _SQL_SQ8 = """
     WITH q AS (SELECT vec_id, i AS dim,
                       CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)

@@ -246,6 +246,7 @@ def _commit(
     extra_files: list[str] | None = None,
     allow_add_columns: bool = False,
     allow_widen_types: bool = False,
+    entry_extra: dict | None = None,
 ) -> int:
     """Write df's data files ONCE, then atomically publish the next log
     entry.  ``extra_files`` carries already-committed (immutable) data
@@ -321,6 +322,8 @@ def _commit(
     blooms = _build_part_blooms(root, rel)
     if blooms:
         entry["bloom"] = blooms
+    if entry_extra:
+        entry.update(entry_extra)  # caller-owned markers (e.g. zorder spec)
 
     commutes = op == "append" and not extra_files and expected_version is None
     attempts = _APPEND_COMMIT_RETRIES if commutes else 0
@@ -699,10 +702,13 @@ def overwrite_table(
     root: str,
     expected_version: int | None = None,
     extra_files: list[str] | None = None,
+    entry_extra: dict | None = None,
 ) -> int:
     """Commit df as a new OVERWRITE version (may change schema, unless
     ``extra_files`` carries prior data dirs along — then it must not)."""
-    return _commit(root, "overwrite", df, expected_version, extra_files)
+    return _commit(
+        root, "overwrite", df, expected_version, extra_files, entry_extra=entry_extra
+    )
 
 
 def read_table(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
@@ -1701,7 +1707,90 @@ def optimize_zorder(
         .drop("__z")
         .select(*[F.col(c) for c in snap.columns])
     )
-    return overwrite_table(clustered, root, expected_version=current)
+    return overwrite_table(
+        clustered,
+        root,
+        expected_version=current,
+        entry_extra={"zorder": {"cols": list(cols), "bits": bits}},
+    )
+
+
+def optimize_zorder_incremental(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    bits: int = 4,
+    target_files: int = 4,
+) -> int:
+    """Incremental OPTIMIZE ZORDER (the liquid-clustering maintenance
+    shape): re-cluster ONLY the data committed since the last ZORDER
+    commit; the already-clustered dirs ride into the new version as
+    ``extra_files``, byte-untouched.  At 100 TB this is the difference
+    between re-sorting the whole table every maintenance cycle (the full
+    ``optimize_zorder``, O(table)) and an O(new data) incremental pass —
+    exactly Delta's incremental OPTIMIZE contract: previously optimized
+    files are never rewritten, new files are clustered among themselves,
+    and footer-stats/bloom skipping works across both generations because
+    every commit carries its own sidecars.
+
+    Falls back to the full rewrite when the table has never been
+    ZORDER-committed; raises ``ValueError`` when ``cols`` differ from the
+    recorded clustering spec (mixed clustering keys would silently break
+    the narrow-range-per-file property skipping relies on).  New data is
+    read with the log-owned schema and with deletion vectors applied, so
+    the incremental rewrite also MATERIALIZES any MoR deletes that landed
+    on the new dirs (vectors on carried dirs keep applying — the entry
+    keeps the accumulated DV set).  Returns the committed version; returns
+    the current version unchanged when there is nothing new to cluster."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from kafka_connect_expand_json_transform_spark.sources.batch import zorder_key
+
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    current = entries[-1]["version"]
+    zentry = next((e for e in reversed(entries) if e.get("zorder")), None)
+    if zentry is None:
+        return optimize_zorder(spark, root, cols, bits, target_files)
+    spec = zentry["zorder"]
+    if list(spec["cols"]) != list(cols) or spec["bits"] != bits:
+        raise ValueError(
+            f"table is clustered on {spec['cols']} (bits={spec['bits']}); "
+            f"incremental optimize with {cols} (bits={bits}) would mix "
+            "clustering keys — run the full optimize_zorder to re-cluster"
+        )
+    clustered_set = set(zentry["files"])
+    files_now, _ = _replay(entries, None)
+    keep = [f for f in files_now if f in clustered_set]
+    new_dirs = [f for f in files_now if f not in clustered_set]
+    if not new_dirs:
+        return current  # nothing unclustered: no-op, no commit
+    schema_json = next(
+        (e["schema_json"] for e in reversed(entries) if "schema_json" in e), None
+    )
+    reader = spark.read
+    if schema_json is not None:
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    df = reader.parquet(*[os.path.join(root, f) for f in new_dirs])
+    dv_dirs = _replay_dvs(entries, None)
+    if dv_dirs:
+        df = _apply_dvs(spark, root, df, dv_dirs)
+    zdf = df.withColumn("__z", zorder_key(df, cols, bits))
+    clustered_new = (
+        zdf.repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .select(*[F.col(c) for c in df.columns])
+    )
+    return overwrite_table(
+        clustered_new,
+        root,
+        expected_version=current,
+        extra_files=keep,
+        entry_extra={"zorder": {"cols": list(cols), "bits": bits}},
+    )
 
 
 def restore_table(

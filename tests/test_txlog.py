@@ -1926,3 +1926,45 @@ def test_merge_into_mor_clauses_match_cow_merge(spark, tmp_path):
         txlog.merge_into_mor(
             spark, root3, src.unionByName(src).drop("dead"), ["k"]
         )
+
+
+def test_optimize_zorder_incremental_never_rewrites_clustered_files(spark, tmp_path):
+    """Incremental OPTIMIZE ZORDER: only data committed since the last
+    ZORDER commit is rewritten; the clustered dirs are carried into the new
+    version unrewritten (same relative paths), MoR deletes on the new dirs
+    are materialized by the rewrite, a repeat call is a no-op, and a
+    different clustering spec is rejected."""
+    root = str(tmp_path / "zoi")
+    n = 2048
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") * 2654435761) % 64).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    txlog.append_table(mk(0, n).repartition(4), root)                    # v0
+    zv = txlog.optimize_zorder(spark, root, ["a", "b"], bits=3, target_files=4)
+    zfiles = set(txlog._list_entries(root)[zv]["files"])
+    txlog.append_table(mk(n, n + 512).repartition(2), root)              # new wave
+    txlog.delete_where_mor(spark, root, f"payload >= {n + 500}")         # 12 rows
+    with pytest.raises(ValueError):
+        txlog.optimize_zorder_incremental(spark, root, ["a"], bits=3)
+    iv = txlog.optimize_zorder_incremental(
+        spark, root, ["a", "b"], bits=3, target_files=2
+    )
+    entry = txlog._list_entries(root)[iv]
+    carried = set(entry["files"]) & zfiles
+    assert carried == zfiles  # every clustered dir rides along untouched
+    assert len(set(entry["files"]) - zfiles) == 1  # one fresh clustered dir
+    # the rewrite materialized the new-wave MoR delete; totals are right
+    assert txlog.read_table(spark, root).count() == n + 500
+    # skipping still prunes on the second column across BOTH generations
+    rep = txlog.skipping_report(root, [("b", ">=", 0), ("b", "<=", 7)])
+    assert rep["files_read"] < rep["files_total"]
+    # nothing new since: no-op, version unchanged
+    assert txlog.optimize_zorder_incremental(spark, root, ["a", "b"], bits=3) == iv
+    # never clustered -> falls back to the full rewrite path
+    root2 = str(tmp_path / "zoi2")
+    txlog.append_table(mk(0, 256).repartition(2), root2)
+    fv = txlog.optimize_zorder_incremental(spark, root2, ["a", "b"], bits=3)
+    assert txlog._list_entries(root2)[fv].get("zorder")
+    assert txlog.read_table(spark, root2).count() == 256
