@@ -21955,7 +21955,14 @@ def sql_pipe_syntax_agg(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # ROUND-6 ROTATION (VERDICT r05 ask#1): 23 slots rotate to names that
+    # ROUND-6 ROTATION (VERDICT r05 ask#1) + mid-round refresh: 23 slots
+    # rotated to never-checked names at round start; 7 more slots then
+    # swapped to the round-6-session-born capabilities (MoR deletion
+    # vectors + compaction, event-time timer sessions, SQL pipe syntax,
+    # SQ8 quantization, incremental ZORDER, delta-join IVM) — every
+    # rotated-out name keeps >=1 green driver row and a family sibling
+    # in-window or in tests/test_oracle_parity.py.
+    # Original round-start note: 23 slots rotate to names that
     # have NEVER had a driver CORRECTNESS row (252 unchecked after r05) —
     # the text-analysis five, dedup/minhash band internals, session/static
     # stream e2e, pit join, the expand observability/variant pair, the
@@ -21977,8 +21984,8 @@ _DRIVER_WINDOW = [
     "connect_dlq_pipeline",        # DLQ split + context headers (FIRST ROW)
     "stream_smt_chain_e2e",        # SMT chain on a real stream (FIRST ROW)
     # txlog lakehouse: 1-row names stay, round-5-born earn first rows
-    "txlog_change_feed_agg",   # CDF read_changes (1 row)
-    "txlog_zorder_skipping_agg",  # OPTIMIZE ZORDER + footer-stats skip (1 row)
+    "stream_timeout_sessions_e2e",  # event-time TIMER emission (NEW r6 session)
+    "txlog_incremental_zorder_agg",  # INCREMENTAL zorder maintenance (NEW r6)
     "txlog_schema_evolution_agg", # widening append + log-owned schema (1 row)
     "txlog_bloom_point_lookups",  # per-file blooms, batched needles (FIRST ROW)
     "txlog_clone_branch_agg",     # zero-copy branch + CoW divergence (FIRST ROW)
@@ -21995,7 +22002,7 @@ _DRIVER_WINDOW = [
     "sql_scripting_cumulative",# X3 BEGIN/WHILE + :params + IDENTIFIER (1 row)
     "sql_udf_pipeline",        # X4 CREATE FUNCTION scalar+table-valued (1 row)
     "session_vars_execute_immediate",  # X5 session vars + EXEC IMMEDIATE (1 row)
-    "transpose_priority_metrics",      # X6 DataFrame.transpose (1 row)
+    "incremental_join_maintenance",    # bilinear delta-join IVM (NEW r6)
     "collation_insensitive_group",     # X6 UTF8_LCASE collation (1 row)
     # streaming e2e: never-checked session/static join + state surface
     "stream_session_windows_e2e",  # T3 session windows on a real stream (FIRST ROW)
@@ -22003,9 +22010,9 @@ _DRIVER_WINDOW = [
     "statestore_reader_agg",   # X7 state-store-as-batch reader (1 row)
     # UDF surfaces
     "udtf_table_partition_stats", # U3 UDTF TABLE arg + PARTITION BY (1 row)
-    "pandas_udf_iter_norms",   # U2 iterator-form pandas UDF (1 row)
+    "embedding_sq8_census",    # INT8 scalar-quantization codebook (NEW r6)
     "applyinarrow_centroid",   # U4 applyInArrow (1 row)
-    "arrow_udf_parity",        # U1 Arrow-optimized python UDF vs plain (1 row)
+    "sql_pipe_syntax_agg",     # Spark 4 SQL pipe operators |> (NEW r6 session)
     # LLM-ops: dedup internals + the never-checked text-analysis family
     "dedup_exact_keep_min",    # L1 exact dedup keep-min semi-join (FIRST ROW)
     "minhash_band_candidates", # L2 banded MinHash candidate stage (FIRST ROW)
@@ -22021,8 +22028,8 @@ _DRIVER_WINDOW = [
     "c4_line_filter_census",   # L4 C4 line-level filter census (1 row)
     "utf8_repair_census",      # L4 mojibake triage (1 row)
     # graph pack
-    "bfs_hops_part_graph",     # BFS hop counts (1 row)
-    "kcore_part_graph",        # k-core decomposition (1 row)
+    "txlog_mor_delete_agg",    # MoR deletion vectors (NEW r6, first row)
+    "txlog_mor_compact_agg",   # MoR lifecycle: DV -> compact reset (NEW r6)
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 
