@@ -6017,10 +6017,17 @@ def _stream_table_source(spark, sf_dir: str, table: str):
 
     schema = load_table(spark, sf_dir, table).schema
     tmp = _tempfile.mkdtemp(prefix=f"sg_stream_{table}_")
-    _os.symlink(
-        _os.path.abspath(_os.path.join(sf_dir, f"{table}.parquet")),
-        _os.path.join(tmp, f"{table}.parquet"),
-    )
+    src = _os.path.abspath(_os.path.join(sf_dir, f"{table}.parquet"))
+    if _os.path.isdir(src):
+        # multi-part table (e.g. the sf1 smoke replicas): the file stream
+        # source does NOT recurse into subdirectories, so symlinking the
+        # directory itself silently streams ZERO rows — link each part
+        # file into the flat temp dir instead
+        for part in sorted(_os.listdir(src)):
+            if part.endswith(".parquet"):
+                _os.symlink(_os.path.join(src, part), _os.path.join(tmp, part))
+    else:
+        _os.symlink(src, _os.path.join(tmp, f"{table}.parquet"))
     stream = file_stream_source(spark, tmp, schema, fmt="parquet")
     return stream, (lambda: _shutil.rmtree(tmp, ignore_errors=True))
 
