@@ -46,6 +46,14 @@ def main() -> int:
         .mode("overwrite")
         .save()
     )
+    # absorb the Python-worker pool spin-up (daemon fork + Arrow serde init):
+    # otherwise the FIRST python-touching query in registration order is
+    # charged ~5 s of process startup that belongs to the session, not the
+    # query (kafka_wire_pipeline at window position 3 was reading 6-7 s while
+    # its warm twin runs ~1 s)
+    ev.limit(64).mapInPandas(lambda it: it, ev.schema).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     import gc
 

@@ -6465,6 +6465,11 @@ def kafka_wire_pipeline(spark, sf_dir):
             )
         ),
     )
+    # stage ONCE before the lineage branches: expand's plan-time schema
+    # inference and the final aggregate each execute this frame, and the
+    # python-datasource read + JSON envelope wrangling is the expensive
+    # part (un-staged this query ran 6-7 s; the 6000-row frame is KBs)
+    converted = converted.localCheckpoint(eager=True)
     # the reference readme's deployment shape: fields config on a schema'd
     # value, JSON text expanded in place
     out = from_connect_config(
@@ -21596,6 +21601,60 @@ def dynamic_partition_overwrite_agg(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+_SQL_SR_WIRE = """
+    WITH r AS (SELECT g AS i FROM generate_series(0, 5999) AS t(g))
+    SELECT 't' || CAST(i % 7 AS VARCHAR) AS tag,
+           COUNT(*) AS n,
+           CAST(SUM(i % 100) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT i % 50) AS BIGINT) AS n_uids
+    FROM r GROUP BY 1
+"""
+
+
+@query("schema_registry_wire_pipeline", _SQL_SR_WIRE)
+def schema_registry_wire_pipeline(spark, sf_dir):
+    """Confluent Schema Registry wire format end-to-end, broker-less (the
+    AvroConverter deployment the reference's Connect host commonly pairs
+    with): records are ENCODED to spec-conformant wire bytes — magic byte
+    0x00, 4-byte big-endian schema id, bare Avro binary datum (pure-stdlib
+    ``avro_codec``, zigzag varints golden-byte-tested) — then DECODED back
+    through a registry lookup that fail-fasts on unknown ids, and
+    aggregated.  Record i is a pure function of i, so DuckDB reproduces the
+    whole produce->consume trip with generate_series arithmetic; a value
+    mismatch means the framing or the datum codec corrupted a field.
+    Scale: both sides are Arrow-batched ``mapInPandas`` (one Python call
+    per batch), narrow until the final aggregate shuffle."""
+    from kafka_connect_expand_json_transform_spark.sources.kafka import (
+        confluent_frame_udf,
+        confluent_unframe_udf,
+    )
+
+    avro_schema = {
+        "type": "record",
+        "name": "MyRegistryRecord",
+        "namespace": "com.example",
+        "fields": [
+            {"name": "uid", "type": "int"},
+            {"name": "k", "type": "int"},
+            {"name": "tag", "type": "string"},
+        ],
+    }
+    src = spark.range(0, 6000).select(
+        (F.col("id") % 50).cast("int").alias("uid"),
+        (F.col("id") % 100).cast("int").alias("k"),
+        F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("tag"),
+    )
+    wire = src.mapInPandas(confluent_frame_udf(7, avro_schema), "wire binary")
+    back = wire.mapInPandas(
+        confluent_unframe_udf({7: avro_schema}), "uid int, k int, tag string"
+    )
+    return back.groupBy("tag").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.count_distinct("uid").cast("bigint").alias("n_uids"),
+    )
 
 
 _SQL_INCR_ZORDER = """

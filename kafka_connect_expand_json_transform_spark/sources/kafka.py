@@ -190,3 +190,78 @@ def from_connect_config(config: dict):
         )
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# Confluent Schema Registry wire format (public spec: one magic byte 0x00,
+# a 4-byte big-endian schema id, then the bare Avro binary datum).  The
+# reference's deployment commonly pairs Connect with Avro + Schema Registry;
+# no registry service exists in this container, so the "registry" is a
+# caller-supplied {schema_id: avro_schema} dict — the FRAMING and the datum
+# codec are the real, spec-conformant parts (pure-stdlib avro_codec).
+# ---------------------------------------------------------------------------
+
+
+def confluent_frame_udf(schema_id: int, avro_schema: dict):
+    """Return a ``mapInPandas``-ready function encoding struct rows into
+    Confluent-framed Avro wire bytes (column ``wire`` binary).  Arrow-
+    batched: one Python invocation per batch, avro_codec per row (the datum
+    encoder is allocation-light); at scale this is the produce-side framing
+    Connect's AvroConverter performs."""
+    import struct as _struct
+
+    import pandas as pd
+
+    from kafka_connect_expand_json_transform_spark.sources import avro_codec as AC
+
+    fields = [f["name"] for f in avro_schema["fields"]]
+    prefix = b"\x00" + _struct.pack(">I", schema_id)
+
+    def frame(batches):
+        named: dict = {}
+        AC.collect_named(avro_schema, named)
+        for pdf in batches:
+            out = []
+            for row in pdf[fields].itertuples(index=False):
+                buf = bytearray()
+                AC.encode_value(buf, avro_schema, dict(zip(fields, row)), named)
+                out.append(prefix + bytes(buf))
+            yield pd.DataFrame({"wire": out})
+
+    return frame
+
+
+def confluent_unframe_udf(registry: dict[int, dict]):
+    """Return a ``mapInPandas``-ready function decoding Confluent-framed
+    Avro wire bytes back into columns (the consume-side AvroConverter
+    role): validates the magic byte, resolves the 4-byte schema id against
+    ``registry`` (unknown ids raise — the fail-fast a real deserializer
+    performs), and decodes the bare datum with the pure-stdlib codec.
+    Output columns follow the registry schema's field order."""
+    import struct as _struct
+
+    import pandas as pd
+
+    from kafka_connect_expand_json_transform_spark.sources import avro_codec as AC
+
+    def unframe(batches):
+        named_by_id: dict[int, dict] = {}
+        for pdf in batches:
+            rows = []
+            for wire in pdf["wire"]:
+                w = bytes(wire)
+                if not w or w[0] != 0:
+                    raise ValueError(f"bad magic byte {w[:1]!r} (want 0x00)")
+                sid = _struct.unpack(">I", w[1:5])[0]
+                if sid not in registry:
+                    raise KeyError(f"schema id {sid} not in registry")
+                schema = registry[sid]
+                if sid not in named_by_id:
+                    named: dict = {}
+                    AC.collect_named(schema, named)
+                    named_by_id[sid] = named
+                dec = AC.Decoder(w[5:])
+                rows.append(AC.decode_value(dec, schema, named_by_id[sid]))
+            yield pd.DataFrame(rows)
+
+    return unframe

@@ -200,3 +200,40 @@ def test_key_side_field_mode(spark):
     ).first()
     assert row[0] == 24 and row[1] == 1
     assert bytes(row[2]) == b"payload"
+
+
+def test_confluent_wire_format_golden_bytes_and_failfast():
+    """Confluent Schema Registry framing (public spec): magic byte 0x00 +
+    4-byte big-endian schema id + bare Avro datum.  Golden bytes pin the
+    zigzag varint encoding; a bad magic byte and an unregistered schema id
+    must fail fast like a real deserializer."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from kafka_connect_expand_json_transform_spark.sources.kafka import (
+        confluent_frame_udf,
+        confluent_unframe_udf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "Rec",
+        "fields": [
+            {"name": "uid", "type": "int"},
+            {"name": "k", "type": "int"},
+            {"name": "tag", "type": "string"},
+        ],
+    }
+    pdf = pd.DataFrame({"uid": [3, 49], "k": [7, 99], "tag": ["t0", "t6"]})
+    framed = pd.concat(list(confluent_frame_udf(42, schema)([pdf])))
+    w0 = bytes(framed["wire"].iloc[0])
+    assert w0[0] == 0 and int.from_bytes(w0[1:5], "big") == 42
+    # datum for row 0: zigzag(3)=6, zigzag(7)=14, 't0' = len-zigzag(2)=4 + utf8
+    assert w0[5:] == bytes([6, 14, 4]) + b"t0"
+    back = pd.concat(list(confluent_unframe_udf({42: schema})([framed])))
+    assert back.to_dict("records") == pdf.to_dict("records")
+    with _pytest.raises(KeyError):
+        list(confluent_unframe_udf({99: schema})([framed]))
+    bad = pd.DataFrame({"wire": [b"\x01" + w0[1:]]})
+    with _pytest.raises(ValueError):
+        list(confluent_unframe_udf({42: schema})([bad]))
