@@ -72,6 +72,7 @@ def expand_json(
     schema_name_prefix: str | None = None,
     first_element_only: bool = True,
     decimal_fidelity: bool = False,
+    rescued_data_column: str | None = None,
 ) -> DataFrame:
     """Expand JSON-text column(s) into typed nested structures.
 
@@ -105,6 +106,17 @@ def expand_json(
         are parsed as exact decimals, so high-precision decimal text keeps
         every digit in a string field instead of rounding through a double
         (the analogue of Jackson's USE_BIG_DECIMAL_FOR_FLOATS).
+    rescued_data_column
+        [EXT] ingestion-robustness option (the lakehouse ``_rescued_data``
+        convention): top-level JSON keys present in a RECORD but absent
+        from the RESOLVED schema — schema drift after a sampled/static
+        freeze — are captured in a ``map<string,string>`` column (values
+        as their JSON text) instead of being silently dropped by
+        ``from_json``'s schema projection.  One rescue column per expanded
+        object-rooted field: named exactly ``rescued_data_column`` for a
+        single field, ``{field}{rescued_data_column}`` each when several
+        fields expand.  NULL when nothing was rescued; non-object roots
+        (arrays/scalars) have no top-level keys to drift and get none.
     """
     if infer not in ("sample", "static", "variant"):
         raise ValueError(f"unknown inference strategy: {infer!r}")
@@ -205,6 +217,21 @@ def expand_json(
                 "string",
             )
             parsed = exact if path == "" else parsed.withField(path, exact)
+        if rescued_data_column and isinstance(schemas[f], StructType):
+            known = [fld.name for fld in schemas[f].fields]
+            all_pairs = F.from_json(
+                F.col(f).cast("string"), "map<string,string>", {"mode": "PERMISSIVE"}
+            )
+            unknown = F.map_filter(
+                all_pairs, lambda k, _v: ~k.isin(*known) if known else F.lit(True)
+            )
+            rescued = F.when(F.size(F.map_keys(unknown)) > 0, unknown)
+            name = (
+                rescued_data_column
+                if len(fields_to_expand) == 1
+                else f"{f}{rescued_data_column}"
+            )
+            out = out.withColumn(name, rescued)
         out = out.withColumn(f, parsed)
     return out
 

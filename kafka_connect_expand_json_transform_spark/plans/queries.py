@@ -21603,6 +21603,78 @@ def dynamic_partition_overwrite_agg(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+_SQL_RESCUED = """
+    WITH e AS (
+      SELECT event_id AS i, event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    ), r AS (
+      SELECT 'ab_bucket' AS key, event_type AS value FROM e WHERE i % 5 = 0
+      UNION ALL
+      SELECT 'meta', '{"v":' || CAST(i % 3 AS VARCHAR) || '}' FROM e WHERE i % 5 = 0
+      UNION ALL
+      SELECT 'score', CAST(i % 100 AS VARCHAR) || '.5' FROM e WHERE i % 5 = 1
+    )
+    SELECT key, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS n_values
+    FROM r GROUP BY key
+"""
+
+
+@query("expand_rescued_drift", _SQL_RESCUED)
+def expand_rescued_drift(spark, sf_dir):
+    """Schema-drift rescue on the core expand operator (the lakehouse
+    ``_rescued_data`` convention): records carry top-level keys the
+    RESOLVED schema does not know about — an A/B tag, a nested meta blob,
+    a float score, synthesized deterministically from event_id — and
+    ``expand_json(rescued_data_column=...)`` captures every drifted
+    (key, JSON-text value) pair in a map column instead of letting
+    ``from_json``'s projection silently drop them.  The exploded rescue
+    pairs are value-checked against an oracle that reconstructs the same
+    pairs arithmetically, so a single lost or mangled key fails the hash.
+    Scale: the rescue is one extra codegen'd map projection on the same
+    narrow pass — no second parse job, no shuffle until the census."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("i"),
+        "event_type",
+        F.get_json_object("props", "$.k").alias("k"),
+    )
+    j = (
+        F.when(
+            F.col("i") % 5 == 0,
+            F.concat(
+                F.lit('{"k":'), F.col("k"),
+                F.lit(',"ab_bucket":"'), F.col("event_type"),
+                F.lit('","meta":{"v":'), (F.col("i") % 3).cast("string"),
+                F.lit("}}"),
+            ),
+        )
+        .when(
+            F.col("i") % 5 == 1,
+            F.concat(
+                F.lit('{"k":'), F.col("k"),
+                F.lit(',"score":'), (F.col("i") % 100).cast("string"),
+                F.lit(".5}"),
+            ),
+        )
+        .otherwise(F.concat(F.lit('{"k":'), F.col("k"), F.lit("}")))
+    )
+    out = expand_json(
+        ev.withColumn("j", j),
+        fields=["j"],
+        infer="static",
+        schema={"j": StructType([StructField("k", IntegerType())])},
+        rescued_data_column="_rescued_data",
+    )
+    pairs = out.select(F.explode("_rescued_data").alias("key", "value"))
+    return pairs.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("value").cast("bigint").alias("n_values"),
+    )
+
+
 _SQL_SR_WIRE = """
     WITH r AS (SELECT g AS i FROM generate_series(0, 5999) AS t(g))
     SELECT 't' || CAST(i % 7 AS VARCHAR) AS tag,

@@ -317,3 +317,48 @@ def test_polymorphic_udtf_schema_follows_key_list(spark):
         "5", "hi", '{"d":1}', None
     )
     assert rows[2]["a"] is None and rows[3]["a"] is None  # malformed / null rows kept
+
+
+def test_rescued_data_column_captures_schema_drift(spark):
+    """rescued_data_column: keys in the record but not in the RESOLVED
+    schema land in a map<string,string> (values as JSON text) instead of
+    being dropped by from_json's projection; NULL when nothing drifted;
+    multi-field mode prefixes the column names."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 1}'),
+            (2, '{"k": 2, "extra": "x", "nested": {"n": 3}}'),
+            (3, '{"k": 3, "num": 4.5}'),
+        ],
+        "id int, j string",
+    )
+    schema = StructType([StructField("k", IntegerType())])
+    out = expand_json(
+        df, fields=["j"], infer="static", schema={"j": schema},
+        rescued_data_column="_rescued_data",
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["_rescued_data"] is None  # nothing drifted
+    assert rows[2]["_rescued_data"] == {"extra": "x", "nested": '{"n":3}'}
+    assert rows[3]["_rescued_data"] == {"num": "4.5"}
+    assert rows[2]["j"]["k"] == 2  # the schema'd side is untouched
+    # multi-field: one rescue column per expanded field, field-prefixed
+    df2 = spark.createDataFrame([(1, '{"a": 1, "x": 2}', '{"b": 1, "y": 3}')],
+                                "id int, p string, q string")
+    s2 = {"p": StructType([StructField("a", IntegerType())]),
+          "q": StructType([StructField("b", IntegerType())])}
+    out2 = expand_json(df2, fields=["p", "q"], infer="static", schema=s2,
+                       rescued_data_column="_rescued")
+    r2 = out2.collect()[0]
+    assert r2["p_rescued"] == {"x": "2"} and r2["q_rescued"] == {"y": "3"}
+    # sampled inference that froze a narrow schema still rescues later keys
+    narrow = spark.createDataFrame(
+        [(1, '{"k": 1}')] * 5 + [(2, '{"k": 2, "late": "z"}')], "id int, j string"
+    )
+    out3 = expand_json(narrow, fields=["j"], rescued_data_column="_rescued_data")
+    got = [r["_rescued_data"] for r in out3.where("id = 2").collect()]
+    # sample saw the wide record too (tiny frame) OR rescued it — either
+    # way the key is never silently lost
+    assert got[0] == {"late": "z"} or "late" in out3.schema["j"].dataType.names
