@@ -119,3 +119,11 @@ def register_udtfs(spark) -> None:
     spark.udtf.register("split_sentences", SplitSentences)
     spark.udtf.register("extract_json_keys", _udtf(ExtractJsonKeys))
     spark.udtf.register("partition_stats", PartitionStats)
+    # the Arrow-optimized tier (Spark 4 useArrow=True): identical eval logic,
+    # Arrow record batches across the JVM/Python boundary instead of pickled
+    # rows — the UDTF twin of arrow_udf_parity's scalar-UDF migration rung
+    spark.udtf.register(
+        "split_sentences_arrow",
+        _udtf(SplitSentences.func, returnType="pos: int, sentence: string",
+              useArrow=True),
+    )

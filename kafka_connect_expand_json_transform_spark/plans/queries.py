@@ -21603,6 +21603,46 @@ def dynamic_partition_overwrite_agg(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+_SQL_UDTF_ARROW = """
+    WITH d AS (
+      SELECT source,
+             list_filter(list_transform(string_split(text, '.'), x -> trim(x)),
+                         x -> x <> '') AS ss
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_sentences,
+           CAST(SUM(i - 1) AS BIGINT) AS sum_pos,
+           CAST(SUM(length(ss[i])) AS BIGINT) AS sum_chars
+    FROM d, unnest(generate_series(1, len(ss))) AS u(i)
+    GROUP BY source
+"""
+
+
+@query("udtf_arrow_parity", _SQL_UDTF_ARROW)
+def udtf_arrow_parity(spark, sf_dir):
+    """Arrow-optimized UDTF (Spark 4 ``udtf(..., useArrow=True)``): the same
+    sentence-splitting eval as ``split_sentences`` but with Arrow record
+    batches across the JVM/Python boundary instead of pickled rows — the
+    UDTF rung of the same migration ladder ``arrow_udf_parity`` documents
+    for scalar UDFs.  Value-checked against the unnest oracle, so the
+    Arrow path must produce row-identical fan-out."""
+    from kafka_connect_expand_json_transform_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__udtfa_docs")
+    return spark.sql(
+        """
+        SELECT d.source,
+               COUNT(*) AS n_sentences,
+               CAST(SUM(s.pos) AS BIGINT) AS sum_pos,
+               CAST(SUM(length(s.sentence)) AS BIGINT) AS sum_chars
+        FROM __udtfa_docs d, LATERAL split_sentences_arrow(d.text) s
+        GROUP BY d.source
+        """
+    )
+
+
 _SQL_RESCUED = """
     WITH e AS (
       SELECT event_id AS i, event_type,
