@@ -21603,6 +21603,66 @@ def dynamic_partition_overwrite_agg(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+_SQL_PARTITIONED = """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM e
+    WHERE event_type = 'purchase' AND NOT (user_id % 7 = 2) AND cents < 20000
+    GROUP BY 1
+"""
+
+
+@query("txlog_partitioned_pruning_agg", _SQL_PARTITIONED)
+def txlog_partitioned_pruning_agg(spark, sf_dir):
+    """Hive-partitioned txlog table end-to-end: events committed
+    ``partition_by=["event_type"]`` (partition values ride the stats
+    sidecar as exact per-file [v, v] ranges), a MoR needle delete lands a
+    deletion vector across the partition dirs, and an equality predicate
+    on the partition column reads through ``read_table_pruned`` — whole
+    partitions are pruned by the same machinery that prunes on footer
+    stats (the query asserts files_read < files_total), the vectors apply
+    per partition scan, and the aggregate is value-checked against the raw
+    oracle.  At 100 TB this is the first-tier layout lever: a predicate on
+    the partition key touches one directory subtree, before footer stats
+    or blooms even run."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_part_q_")
+    try:
+        root = tmp + "/events_pt"
+        TX.append_table(ev.repartition(4), root, partition_by=["event_type"])
+        TX.delete_where_mor(spark, root, "user_id % 7 = 2")
+        rep = TX.skipping_report(root, [("event_type", "=", "purchase")])
+        assert rep["files_read"] < rep["files_total"], rep
+        pruned = TX.read_table_pruned(
+            spark,
+            root,
+            [("event_type", "=", "purchase"), ("cents", "<", 20000)],
+        )
+        out = pruned.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_UDTF_ARROW = """
     WITH d AS (
       SELECT source,

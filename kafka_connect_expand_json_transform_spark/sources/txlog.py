@@ -247,6 +247,7 @@ def _commit(
     allow_add_columns: bool = False,
     allow_widen_types: bool = False,
     entry_extra: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write df's data files ONCE, then atomically publish the next log
     entry.  ``extra_files`` carries already-committed (immutable) data
@@ -295,20 +296,47 @@ def _commit(
         return current
 
     df = _apply_generated(root, df)  # generated columns materialize/validate
-    current = validate(_list_entries(root))
+    existing_entries = _list_entries(root)
+    current = validate(existing_entries)
+    # hive partitioning is TABLE-CONSTANT: a new spec on a partitioned
+    # table (or vice versa) would break unified reads mid-history
+    table_parts = _table_partition_by(existing_entries)
+    if partition_by is not None and table_parts is not None and list(
+        partition_by
+    ) != table_parts:
+        raise ValueError(
+            f"table is partitioned by {table_parts}; cannot commit with "
+            f"partition_by={list(partition_by)}"
+        )
+    eff_parts = list(partition_by) if partition_by is not None else table_parts
+    if eff_parts:
+        missing_p = [c for c in eff_parts if c not in df.columns]
+        if missing_p:
+            raise ValueError(f"partition columns not in DataFrame: {missing_p}")
     _enforce_constraints(root, df)  # CHECK constraints gate every commit
     os.makedirs(_log_path(root), exist_ok=True)
     rel = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
-    df.write.mode("overwrite").parquet(os.path.join(root, rel))
+    writer = df.write.mode("overwrite")
+    if eff_parts:
+        writer = writer.partitionBy(*eff_parts)
+    writer.parquet(os.path.join(root, rel))
 
+    part_dtypes = (
+        {c: df.schema[c].dataType.simpleString() for c in eff_parts}
+        if eff_parts
+        else None
+    )
     entry = {
         "op": op,
         "files": list(extra_files or []) + [rel],
         "schema": df.schema.simpleString(),
         "schema_json": df.schema.json(),
         # footer min/max per part file -> read_table_pruned's data skipping
-        "stats": _collect_part_stats(root, rel),
+        # (hive partition values injected as exact [v, v] ranges)
+        "stats": _collect_part_stats(root, rel, part_dtypes),
     }
+    if eff_parts:
+        entry["partition_by"] = eff_parts
     if op == "overwrite" and not extra_files:
         # a FULL rewrite severs every deletion vector: its rows came from a
         # DV-applied read and its files are fresh, so dropping the DV set
@@ -458,7 +486,46 @@ def _is_widening(
     return True
 
 
-def _collect_part_stats(root: str, rel_dir: str) -> dict:
+def _table_partition_by(entries: list[dict]) -> list[str] | None:
+    """The table's hive-partitioning columns, or None.  Partitioning is
+    TABLE-CONSTANT (validated at commit), so the first marker wins."""
+    for e in entries:
+        if e.get("partition_by"):
+            return list(e["partition_by"])
+    return None
+
+
+def _partition_values_from_path(rel_under_dir: str, dtypes: dict) -> dict:
+    """Parse hive ``col=value`` segments of a part file's path into typed
+    values per the table schema (int/float coerced; strings unquoted).
+    ``__HIVE_DEFAULT_PARTITION__`` (null) yields no entry — a file with an
+    unknown partition value is simply never pruned on that column."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in rel_under_dir.split(os.sep)[:-1]:
+        if "=" not in seg:
+            continue
+        col, raw = seg.split("=", 1)
+        if col not in dtypes or raw == "__HIVE_DEFAULT_PARTITION__":
+            continue
+        val = unquote(raw)
+        t = dtypes[col]
+        try:
+            if t in ("tinyint", "smallint", "int", "bigint"):
+                out[col] = int(val)
+            elif t in ("float", "double"):
+                out[col] = float(val)
+            else:
+                out[col] = val
+        except ValueError:
+            continue
+    return out
+
+
+def _collect_part_stats(
+    root: str, rel_dir: str, partition_dtypes: dict | None = None
+) -> dict:
     """Per-part-file column min/max from the parquet FOOTERS (KBs per file,
     no data read) for the commit's stats sidecar — the Delta/Iceberg data-
     skipping answer.  Only flat int/float/str/bool columns are recorded
@@ -471,7 +538,12 @@ def _collect_part_stats(root: str, rel_dir: str) -> dict:
     except ImportError:  # stats are an optimization, never a requirement
         return {}
     out: dict = {}
-    for part in sorted(_glob.glob(os.path.join(root, rel_dir, "*.parquet"))):
+    base = os.path.join(root, rel_dir)
+    # recursive: hive-partitioned dirs nest part files under col=value
+    # segments; '**' also matches zero directories, so flat layouts work
+    for part in sorted(
+        _glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True)
+    ):
         try:
             md = pq.ParquetFile(part).metadata
         except Exception:
@@ -500,6 +572,15 @@ def _collect_part_stats(root: str, rel_dir: str) -> dict:
                     cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
                 else:
                     cols[name] = [mn, mx]
+        if partition_dtypes:
+            # hive partition values are EXACT per-file ranges [v, v]: the
+            # whole existing pruning stack (read_table_pruned, point-lookup
+            # planner, skipping_report) gets partition pruning for free
+            rel_under = os.path.relpath(part, base)
+            for col, v in _partition_values_from_path(
+                rel_under, partition_dtypes
+            ).items():
+                cols[col] = [v, v]
         if cols:
             out[os.path.relpath(part, root)] = cols
     return out
@@ -564,7 +645,9 @@ def _skip_plan(root: str, version: int | None, where: list[tuple]):
     )
     parts, survivors = [], []
     for d in files:
-        for p in sorted(_glob.glob(os.path.join(root, d, "*.parquet"))):
+        for p in sorted(
+            _glob.glob(os.path.join(root, d, "**", "*.parquet"), recursive=True)
+        ):
             parts.append(p)
             rel_p = os.path.relpath(p, root)
             if _part_survives(all_stats.get(rel_p), where, all_blooms.get(rel_p)):
@@ -593,21 +676,52 @@ def read_table_pruned(
     # reuse read_table's floor/version validation, then re-plan with stats
     read_table(spark, root, version)
     survivors, _, schema_json = _skip_plan(root, version, where)
+    entries = _list_entries(root)
+    part_cols = _table_partition_by(entries)
     if survivors:
         # pin the LOG's schema exactly like read_table does: after an
         # allow_add_columns widening the survivor set can mix pre/post-
         # evolution files, and footer inference from an arbitrary file
         # would drop (or mistype) the widened column — breaking the
         # bit-identical-to-read_table contract above
-        reader = spark.read
-        if schema_json is not None:
-            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
-        df = reader.parquet(*survivors)
-        dv_dirs = _replay_dvs(_list_entries(root), version)
-        if dv_dirs:
-            # merge-on-read deletes apply to the pruned scan too — skipping
-            # must stay bit-identical to read_table(...).where(...)
-            df = _apply_dvs(spark, root, df, dv_dirs)
+        stored = (
+            StructType.fromJson(json.loads(schema_json))
+            if schema_json is not None
+            else None
+        )
+        dv_dirs = _replay_dvs(entries, version)
+        if part_cols:
+            # surviving part FILES under hive dirs do not contain the
+            # partition columns — group by data dir and read with that
+            # dir as basePath so discovery derives them per file
+            from functools import reduce
+
+            by_dir: dict[str, list[str]] = {}
+            for p in survivors:
+                rel_p = os.path.relpath(p, root)
+                d = rel_p.split(os.sep)[0] + os.sep + rel_p.split(os.sep)[1]
+                by_dir.setdefault(d, []).append(p)
+            frames = []
+            for d, parts in by_dir.items():
+                reader = spark.read.option("basePath", os.path.join(root, d))
+                if stored is not None:
+                    reader = reader.schema(stored)
+                fr = reader.parquet(*parts)
+                if dv_dirs:
+                    fr = _apply_dvs(spark, root, fr, dv_dirs)
+                frames.append(fr)
+            df = reduce(lambda a, b: a.unionByName(b), frames)
+            if stored is not None:
+                df = df.select(*[f.name for f in stored.fields])
+        else:
+            reader = spark.read
+            if stored is not None:
+                reader = reader.schema(stored)
+            df = reader.parquet(*survivors)
+            if dv_dirs:
+                # merge-on-read deletes apply to the pruned scan too —
+                # skipping must stay bit-identical to read_table().where()
+                df = _apply_dvs(spark, root, df, dv_dirs)
     else:
         stored = StructType.fromJson(json.loads(schema_json))
         # parquet reads surface every column nullable; match that shape so
@@ -649,7 +763,9 @@ def plan_point_lookups(
         all_blooms.update(e.get("bloom") or {})
     parts = []
     for d in files:
-        for p in sorted(_glob.glob(os.path.join(root, d, "*.parquet"))):
+        for p in sorted(
+            _glob.glob(os.path.join(root, d, "**", "*.parquet"), recursive=True)
+        ):
             rel_p = os.path.relpath(p, root)
             parts.append((p, all_stats.get(rel_p), all_blooms.get(rel_p)))
     out: dict = {}
@@ -675,6 +791,7 @@ def append_table(
     expected_version: int | None = None,
     allow_add_columns: bool = False,
     allow_widen_types: bool = False,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit df as a new APPEND version; returns the committed version.
     With ``allow_add_columns`` the append may WIDEN the schema (new
@@ -686,7 +803,14 @@ def append_table(
     parquet reader upcasts pre-evolution files to the log-owned wider
     schema on read.  Reads pin the LOG's latest schema, so pre-evolution
     files null-fill new columns and upcast widened ones; time travel to an
-    old version still serves the old schema."""
+    old version still serves the old schema.
+
+    ``partition_by`` (first commit only — table-constant thereafter, and
+    inherited automatically by every later write incl. DML rewrites and
+    compaction) lays data out hive-style (``col=value`` dirs); partition
+    values ride the stats sidecar as exact per-file ranges, so
+    ``read_table_pruned``/``skipping_report`` prune whole partitions with
+    the same machinery that prunes on footer stats."""
     return _commit(
         root,
         "append",
@@ -694,6 +818,7 @@ def append_table(
         expected_version,
         allow_add_columns=allow_add_columns,
         allow_widen_types=allow_widen_types,
+        partition_by=partition_by,
     )
 
 
@@ -736,12 +861,35 @@ def read_table(spark: SparkSession, root: str, version: int | None = None) -> Da
         None,
     )
     reader = spark.read
+    stored = None
     if schema_json is not None:
         # the LOG owns the schema (Delta's rule): pre-evolution files
         # null-fill appended columns; footer inference is never consulted
         from pyspark.sql.types import StructType
 
-        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        stored = StructType.fromJson(json.loads(schema_json))
+        reader = reader.schema(stored)
+    part_cols = _table_partition_by(entries)
+    if part_cols:
+        # hive-partitioned dirs: Spark's partition discovery rejects a
+        # multi-dir scan (the uuid dir segments conflict), so each data
+        # dir scans on its own (discovery derives the partition columns
+        # per dir) and the scans union; DVs apply PER SCAN because the
+        # _metadata row identity only exists on scan-backed frames
+        from functools import reduce
+
+        dv_dirs = _replay_dvs(entries, version)
+        frames = []
+        for f in files:
+            fr = reader.parquet(os.path.join(root, f))
+            if dv_dirs:
+                fr = _apply_dvs(spark, root, fr, dv_dirs)
+            frames.append(fr)
+        df = reduce(lambda a, b: a.unionByName(b), frames)
+        if stored is not None:
+            # discovery appends partition columns last; restore log order
+            df = df.select(*[f.name for f in stored.fields])
+        return df
     df = reader.parquet(*[os.path.join(root, f) for f in files])
     dv_dirs = _replay_dvs(entries, version)
     if dv_dirs:
@@ -1506,7 +1654,9 @@ def _build_part_blooms(root: str, rel_dir: str) -> dict:
         return {}
     m, k = cfg["m"], cfg["k"]
     out: dict = {}
-    for part in sorted(_glob.glob(os.path.join(root, rel_dir, "*.parquet"))):
+    for part in sorted(
+        _glob.glob(os.path.join(root, rel_dir, "**", "*.parquet"), recursive=True)
+    ):
         try:
             pf = pq.ParquetFile(part)
             present = [c for c in cfg["cols"] if c in pf.schema_arrow.names]
@@ -2144,7 +2294,11 @@ def foreach_batch_sink(root: str):
                 )
         os.makedirs(_log_path(root), exist_ok=True)
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
-        batch_df.write.mode("overwrite").parquet(os.path.join(root, rel))
+        part_cols = _table_partition_by(entries)
+        writer = batch_df.write.mode("overwrite")
+        if part_cols:  # partitioned tables stay partitioned under streaming
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(os.path.join(root, rel))
         version = current + 1
         entry = {
             "version": version,
@@ -2154,6 +2308,8 @@ def foreach_batch_sink(root: str):
             "schema_json": batch_df.schema.json(),
             "batch_id": batch_id,
         }
+        if part_cols:
+            entry["partition_by"] = part_cols
         # shared claim-protocol publisher: same ownership check as _commit
         _publish_entry(root, version, entry)
 

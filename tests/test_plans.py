@@ -531,23 +531,23 @@ def test_driver_window_composition():
     assert first50 == _DRIVER_WINDOW
     missing_oracles = [n for n in first50 if n not in ORACLES]
     assert not missing_oracles, missing_oracles
-    # round-6 rotation (VERDICT r05 ask#1): 27 sentinels for the proven
-    # surface plus 23 never-driver-checked names earning their first rows
+    # round-6 rotation (VERDICT r05 ask#1) + mid-round refresh: sentinels
+    # for the proven surface, 23 never-driver-checked names from the round
+    # start, and 7 slots swapped to the round-6-session-born capabilities
     must_have = {
         # sentinels kept from prior rounds
         "expand_props_agg", "q1_pricing_summary",
         "variant_shredded_roundtrip_agg", "binaryfile_source_stats",
-        "txlog_change_feed_agg", "txlog_zorder_skipping_agg",
         "txlog_schema_evolution_agg", "stream_txlog_source_e2e",
         "stream_txlog_merge_e2e", "stream_txlog_cdf_e2e",
         "incremental_agg_maintenance", "bitmap_distinct_rollup",
         "sql_scripting_cumulative", "sql_udf_pipeline",
-        "session_vars_execute_immediate", "transpose_priority_metrics",
+        "session_vars_execute_immediate",
         "collation_insensitive_group", "statestore_reader_agg",
-        "udtf_table_partition_stats", "pandas_udf_iter_norms",
-        "applyinarrow_centroid", "arrow_udf_parity",
+        "udtf_table_partition_stats",
+        "applyinarrow_centroid",
         "url_domain_cap_census", "c4_line_filter_census",
-        "utf8_repair_census", "bfs_hops_part_graph", "kcore_part_graph",
+        "utf8_repair_census",
         # round-6 first-driver-row names
         "observed_expand_metrics", "variant_explode_props",
         "kafka_wire_pipeline", "connect_smt_chain_pipeline",
@@ -560,6 +560,11 @@ def test_driver_window_composition():
         "text_quality_by_lang", "token_counts", "doc_fingerprints",
         "winnowing_fingerprints", "tokenizer_fertility_report",
         "pii_luhn_census", "aes_roundtrip_report",
+        # round-6-session capabilities earning first rows (7 swaps)
+        "stream_timeout_sessions_e2e", "txlog_incremental_zorder_agg",
+        "sql_pipe_syntax_agg", "embedding_sq8_census",
+        "incremental_join_maintenance", "txlog_mor_delete_agg",
+        "txlog_mor_compact_agg",
     }
     assert must_have <= set(first50), must_have - set(first50)
 

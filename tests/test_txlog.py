@@ -1968,3 +1968,57 @@ def test_optimize_zorder_incremental_never_rewrites_clustered_files(spark, tmp_p
     fv = txlog.optimize_zorder_incremental(spark, root2, ["a", "b"], bits=3)
     assert txlog._list_entries(root2)[fv].get("zorder")
     assert txlog.read_table(spark, root2).count() == 256
+
+
+def test_partitioned_table_pruning_and_dml(spark, tmp_path):
+    """Hive-partitioned txlog tables: partition values ride the stats
+    sidecar as exact per-file ranges, so the existing skipping machinery
+    prunes whole partitions; DML rewrites and MoR vectors inherit the
+    layout; a conflicting partition spec is rejected."""
+    root = str(tmp_path / "pt")
+    df = spark.range(0, 400).selectExpr(
+        "id AS k", "CAST(id % 4 AS STRING) AS g", "id * 2 AS v"
+    )
+    txlog.append_table(df, root, partition_by=["g"])
+    got = txlog.read_table(spark, root)
+    assert got.columns == ["k", "g", "v"]  # log order, not discovery order
+    assert got.count() == 400 and got.where("g = '2'").count() == 100
+    # a second append INHERITS the partitioning (no explicit arg)
+    txlog.append_table(
+        spark.range(400, 500).selectExpr(
+            "id AS k", "CAST(id % 4 AS STRING) AS g", "id * 2 AS v"
+        ),
+        root,
+    )
+    assert txlog.read_table(spark, root).count() == 500
+    # partition pruning through the stats sidecar: g='1' reads only its dirs
+    rep = txlog.skipping_report(root, [("g", "=", "1")])
+    assert rep["files_read"] < rep["files_total"], rep
+    pruned = txlog.read_table_pruned(spark, root, [("g", "=", "1"), ("k", "<", 100)])
+    assert pruned.count() == 25
+    assert pruned.columns == ["k", "g", "v"]
+    # conflicting spec rejected; flat table cannot silently gain partitions
+    with pytest.raises(ValueError):
+        txlog.append_table(df, root, partition_by=["v"])
+    # CoW DELETE rewrites stay partitioned and correct
+    txlog.delete_where(spark, root, "k % 10 = 0")
+    assert txlog.read_table(spark, root).count() == 450
+    # MoR delete: vectors apply per-scan across the partition dirs
+    _, n = txlog.delete_where_mor(spark, root, "g = '3' AND k < 40")
+    assert n == 10
+    snap = txlog.read_table(spark, root)
+    assert snap.count() == 440 and snap.where("g = '3' AND k < 40").count() == 0
+    # pruned read stays bit-identical under vectors
+    p2 = txlog.read_table_pruned(spark, root, [("g", "=", "3")])
+    assert p2.count() == snap.where("g = '3'").count()
+    # time travel to the pre-delete snapshot
+    assert txlog.read_table(spark, root, version=1).count() == 500
+    # compaction keeps the layout and materializes the vectors
+    txlog.compact_table(spark, root)
+    assert txlog.read_table(spark, root).count() == 440
+    import glob as _glob
+
+    last = txlog._list_entries(root)[-1]
+    assert last.get("partition_by") == ["g"]
+    nested = _glob.glob(os.path.join(root, last["files"][-1], "g=*", "*.parquet"))
+    assert nested, "compacted dir must be hive-partitioned"
