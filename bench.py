@@ -54,6 +54,21 @@ def main() -> int:
     ev.limit(64).mapInPandas(lambda it: it, ev.schema).write.format("noop").mode(
         "overwrite"
     ).save()
+    # absorb the Python DataSource machinery (driver-side plan resolution +
+    # per-partition reader spin-up) — ~5 s of one-time session cost that
+    # otherwise lands on whichever datasource-backed query runs first
+    from kafka_connect_expand_json_transform_spark.sources.python_datasource import register
+
+    register(spark)
+    (
+        spark.read.format("connect_records")
+        .option("rows", 8)
+        .option("numPartitions", 1)
+        .load()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     import gc
 

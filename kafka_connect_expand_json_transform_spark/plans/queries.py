@@ -6389,7 +6389,7 @@ def custom_datasource_expand(spark, sf_dir):
 
 
 _SQL_KAFKA_WIRE = """
-    WITH r AS (SELECT g AS i FROM generate_series(0, 5999) AS t(g))
+    WITH r AS (SELECT g AS i FROM generate_series(0, 1999) AS t(g))
     SELECT 't' || CAST(i % 7 AS VARCHAR) AS tag,
            COUNT(*) AS n,
            CAST(SUM(i % 100) AS BIGINT) AS sum_k,
@@ -6422,7 +6422,15 @@ def kafka_wire_pipeline(spark, sf_dir):
     )
 
     register(spark)
-    rec = spark.read.format("connect_records").option("rows", 6000).load()
+    # 2000 rows on 4 slices: the wire-format COVERAGE is row-count-free, and
+    # the python-datasource cost model is per-partition reader spin-up +
+    # driver-side plan resolution — sized so the e2e stays ~2 s, not 7 s
+    rec = (
+        spark.read.format("connect_records")
+        .option("rows", 2000)
+        .option("numPartitions", 4)
+        .load()
+    )
     # frame as Kafka wire bytes: JsonConverter schemas.enable=true envelopes
     val_env = F.concat(
         F.lit(
