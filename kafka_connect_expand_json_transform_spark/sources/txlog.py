@@ -2532,11 +2532,13 @@ def register_stream_source(spark: SparkSession) -> None:
         start: int  # exclusive
         end: int  # inclusive
         col_names: tuple
+        col_types: tuple  # simpleString per column, aligned with col_names
 
     class TxLogStreamReader(DataSourceStreamReader):
-        def __init__(self, options, col_names):
+        def __init__(self, options, col_names, col_types):
             self.root = options["path"]
             self.col_names = tuple(col_names)
+            self.col_types = tuple(col_types)
 
         def initialOffset(self) -> dict:
             return {"version": -1}
@@ -2552,18 +2554,44 @@ def register_stream_source(spark: SparkSession) -> None:
                     int(start["version"]),
                     int(end["version"]),
                     self.col_names,
+                    self.col_types,
                 )
             ]
 
         def read(self, partition):
+            import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
+            arrow_by_simple = {
+                "string": pa.string(), "bigint": pa.int64(),
+                "int": pa.int32(), "smallint": pa.int16(),
+                "tinyint": pa.int8(), "double": pa.float64(),
+                "float": pa.float32(), "boolean": pa.bool_(),
+            }
             entries = _list_entries(partition.root)
+            part_cols = set(_table_partition_by(entries) or ())
             for e in entries:
                 if not (partition.start < e["version"] <= partition.end):
                     continue
                 for rel in e["files"]:
                     table = pq.read_table(os.path.join(partition.root, rel))
+                    if part_cols:
+                        # hive partition columns come back dictionary-encoded
+                        # with INFERRED types (g=1 infers int32); cast them
+                        # to the LOG schema's type so rows match the stream
+                        for c in part_cols & set(table.column_names):
+                            idx = table.column_names.index(c)
+                            simple = dict(
+                                zip(partition.col_names, partition.col_types)
+                            ).get(c, "string")
+                            target = arrow_by_simple.get(simple, pa.string())
+                            arr = table.column(idx)
+                            if pa.types.is_dictionary(arr.type):
+                                arr = pc.cast(arr, arr.type.value_type)
+                            if arr.type != target:
+                                arr = pc.cast(arr, target)
+                            table = table.set_column(idx, c, arr)
                     # map by NAME against the log schema (never file column
                     # position): pre-evolution files null-fill widened columns
                     yield from zip(
@@ -2595,7 +2623,11 @@ def register_stream_source(spark: SparkSession) -> None:
             raise ValueError("txlog table has no schema_json entries")
 
         def streamReader(self, schema):
-            return TxLogStreamReader(self.options, [f.name for f in schema.fields])
+            return TxLogStreamReader(
+                self.options,
+                [f.name for f in schema.fields],
+                [f.dataType.simpleString() for f in schema.fields],
+            )
 
     spark.dataSource.register(TxLogStreamSource)
 

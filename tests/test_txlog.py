@@ -2022,3 +2022,41 @@ def test_partitioned_table_pruning_and_dml(spark, tmp_path):
     assert last.get("partition_by") == ["g"]
     nested = _glob.glob(os.path.join(root, last["files"][-1], "g=*", "*.parquet"))
     assert nested, "compacted dir must be hive-partitioned"
+
+
+def test_stream_source_over_partitioned_table(spark, tmp_path):
+    """txlogstream over a hive-partitioned table: pyarrow discovers the
+    partition column with an INFERRED dictionary type (numeric-looking
+    values infer int32), and the reader must cast it back to the LOG
+    schema's type so the streamed rows equal the batch snapshot."""
+    import time
+
+    root = str(tmp_path / "pts")
+    # numeric-LOOKING string partition values: the inference trap
+    df = spark.range(0, 60).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS g", "id * 2 AS v"
+    )
+    txlog.append_table(df, root, partition_by=["g"])
+    txlog.register_stream_source(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txlogstream")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if q.lastProgress is not None and not q.status["isDataAvailable"]:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    assert dict(got.dtypes)["g"] == "string"
+    assert got.where("g = '2'").count() == 20
