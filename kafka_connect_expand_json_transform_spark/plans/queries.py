@@ -21611,6 +21611,126 @@ def dynamic_partition_overwrite_agg(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+_SQL_FUZZY_JOIN = """
+    WITH names AS (
+      SELECT p_name AS name, COUNT(*) AS n_parts
+      FROM part GROUP BY p_name
+    ),
+    corrupted AS (
+      SELECT name,
+             CASE WHEN length(name) % 3 = 0 THEN
+               -- second deletion on the once-deleted string
+               (SELECT substr(s, 1, ascii(substr(s, length(s), 1))
+                                   % (length(s) - 1))
+                       || substr(s, ascii(substr(s, length(s), 1))
+                                   % (length(s) - 1) + 2)
+                FROM (SELECT substr(name, 1, (length(name)
+                               + ascii(substr(name, 1, 1))) % length(name))
+                          || substr(name, (length(name)
+                               + ascii(substr(name, 1, 1))) % length(name) + 2)
+                          AS s))
+             ELSE
+               substr(name, 1, (length(name) + ascii(substr(name, 1, 1)))
+                               % length(name))
+               || substr(name, (length(name) + ascii(substr(name, 1, 1)))
+                               % length(name) + 2)
+             END AS dirty
+      FROM names
+    ),
+    grams_d AS (
+      SELECT DISTINCT dirty, substr(dirty, i, 3) AS gram
+      FROM corrupted, unnest(generate_series(1, length(dirty) - 2)) AS u(i)
+    ),
+    grams_o AS (
+      SELECT DISTINCT name, substr(name, i, 3) AS gram
+      FROM names, unnest(generate_series(1, length(name) - 2)) AS u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT d.dirty, o.name
+      FROM grams_d d JOIN grams_o o USING (gram)
+    ),
+    verified AS (
+      SELECT dirty, name, levenshtein(dirty, name) AS dist
+      FROM cand WHERE levenshtein(dirty, name) <= 2
+    )
+    SELECT dist,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(n.n_parts) AS BIGINT) AS n_part_rows
+    FROM verified v JOIN names n USING (name)
+    GROUP BY dist
+"""
+
+
+@query("fuzzy_join_part_names", _SQL_FUZZY_JOIN)
+def fuzzy_join_part_names(spark, sf_dir):
+    """Blocked fuzzy (edit-distance) join — the record-linkage primitive:
+    corrupted name variants (1-2 deterministic character deletions derived
+    from the name itself, so both engines corrupt identically) are matched
+    back to the clean catalog by 3-gram BLOCKING + Levenshtein VERIFY at
+    distance <= 2.  The join runs at the DISTINCT-name grain (the
+    collapse-to-distinct discipline — candidates scale with vocabulary,
+    not row count) and fans counts back through the name->rows join.  At
+    100 TB the shape is the standard similarity-join plan: explode q-grams,
+    equi-join on the gram (never an all-pairs cross), verify only the
+    blocked candidates.  Both the blocking and the verify are replicated
+    exactly in the oracle, so the value hash proves Spark's levenshtein
+    against DuckDB's."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").alias("n_parts"))
+        .localCheckpoint(eager=True)  # two consumers: corrupt side + counts
+    )
+    once = F.concat(
+        F.expr("substr(name, 1, (length(name) + ascii(substr(name, 1, 1))) % length(name))"),
+        F.expr("substr(name, (length(name) + ascii(substr(name, 1, 1))) % length(name) + 2)"),
+    )
+    twice = F.expr(
+        "concat(substr(once, 1, ascii(substr(once, length(once), 1)) % (length(once) - 1)),"
+        " substr(once, ascii(substr(once, length(once), 1)) % (length(once) - 1) + 2))"
+    )
+    corrupted = (
+        names.select("name", once.alias("once"))
+        .select(
+            "name",
+            F.when(F.length("name") % 3 == 0, twice).otherwise(F.col("once")).alias(
+                "dirty"
+            ),
+        )
+        .select("dirty")
+    )
+    def grams(df, col):
+        return df.select(
+            col,
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length({col}) - 2),"
+                        f" i -> substr({col}, i, 3))"
+                    )
+                )
+            ).alias("gram"),
+        )
+
+    cand = (
+        grams(corrupted, "dirty")
+        .join(grams(names.select("name"), "name"), "gram")
+        .select("dirty", "name")
+        .distinct()
+    )
+    verified = cand.withColumn("dist", F.levenshtein("dirty", "name")).where(
+        F.col("dist") <= 2
+    )
+    return (
+        verified.join(names, "name")
+        .groupBy("dist")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("n_parts").cast("bigint").alias("n_part_rows"),
+        )
+    )
+
+
 _SQL_PARTITIONED = """
     WITH e AS (
       SELECT user_id, event_type,
