@@ -2300,6 +2300,11 @@ def foreach_batch_sink(root: str):
             writer = writer.partitionBy(*part_cols)
         writer.parquet(os.path.join(root, rel))
         version = current + 1
+        part_dtypes = (
+            {c: batch_df.schema[c].dataType.simpleString() for c in part_cols}
+            if part_cols
+            else None
+        )
         entry = {
             "version": version,
             "op": "append",
@@ -2307,6 +2312,8 @@ def foreach_batch_sink(root: str):
             "schema": batch_df.schema.simpleString(),
             "schema_json": batch_df.schema.json(),
             "batch_id": batch_id,
+            # streamed batches get the same skipping sidecar as batch commits
+            "stats": _collect_part_stats(root, rel, part_dtypes),
         }
         if part_cols:
             entry["partition_by"] = part_cols

@@ -2060,3 +2060,41 @@ def test_stream_source_over_partitioned_table(spark, tmp_path):
     assert got.count() == 60
     assert dict(got.dtypes)["g"] == "string"
     assert got.where("g = '2'").count() == 20
+
+
+def test_foreach_batch_sink_inherits_partitioning(spark, tmp_path):
+    """The exactly-once streaming sink keeps a partitioned table
+    partitioned: batches land hive-laid-out, the entry carries the
+    partition marker, and partition-key pruning spans batch and stream
+    generations."""
+    import glob as _glob
+    import json as _json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    root = str(tmp_path / "ptable")
+    txlog.append_table(
+        spark.createDataFrame([(0, "a", 0)], "id int, g string, v int"),
+        root,
+        partition_by=["g"],
+    )
+    (src / "b0.json").write_text(
+        "\n".join(
+            _json.dumps({"id": i, "g": "ab"[i % 2], "v": i * 2})
+            for i in range(1, 9)
+        )
+    )
+    stream = spark.readStream.schema("id int, g string, v int").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(txlog.foreach_batch_sink(root))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert txlog.read_table(spark, root).count() == 9
+    last = txlog._list_entries(root)[-1]
+    assert last.get("partition_by") == ["g"]
+    assert _glob.glob(os.path.join(root, last["files"][-1], "g=*", "*.parquet"))
+    rep_pruned = txlog.read_table_pruned(spark, root, [("g", "=", "b")])
+    assert rep_pruned.count() == 4
