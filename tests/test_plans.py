@@ -944,3 +944,21 @@ def test_runtime_bloom_filter_join_injection(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_delta_join_refresh_broadcasts_both_deltas(spark):
+    """incremental_join_maintenance's physical contract: every delta term
+    joins as a BroadcastHashJoin (the deltas are small by definition) and
+    no term degenerates to a cartesian — the O(new data) refresh claim."""
+    plan = plan_of(spark, "incremental_join_maintenance")
+    assert plan.count("BroadcastHashJoin") >= 3, plan.count("BroadcastHashJoin")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_join_blocks_on_grams_no_cartesian(spark):
+    """fuzzy_join_part_names must candidate-generate through the 3-gram
+    equi-join — never an all-pairs nested loop over the name sets."""
+    plan = plan_of(spark, "fuzzy_join_part_names")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -2098,3 +2098,47 @@ def test_foreach_batch_sink_inherits_partitioning(spark, tmp_path):
     assert _glob.glob(os.path.join(root, last["files"][-1], "g=*", "*.parquet"))
     rep_pruned = txlog.read_table_pruned(spark, root, [("g", "=", "b")])
     assert rep_pruned.count() == 4
+
+
+def test_partitioned_and_flat_tables_are_semantically_identical(spark, tmp_path):
+    """Layout-independence property: the SAME operation sequence (append,
+    CoW delete, MoR delete, MoR update, compact) on a flat and a
+    hive-partitioned table yields row-identical snapshots at every
+    version — partitioning is a physical layout choice, never a semantics
+    change."""
+    def mk(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS g",
+            "CAST(id * 7 AS BIGINT) AS v"
+        )
+
+    roots = {}
+    for kind, part in (("flat", None), ("hive", ["g"])):
+        root = str(tmp_path / kind)
+        roots[kind] = root
+        txlog.append_table(mk(0, 300), root, partition_by=part)          # v0
+        txlog.append_table(mk(300, 400), root)                           # v1
+        txlog.delete_where(spark, root, "k % 11 = 0")                    # v2
+        txlog.delete_where_mor(spark, root, "k % 13 = 1")                # v3
+        txlog.update_where_mor(spark, root, {"v": "v + 1"}, "k % 17 = 2")  # v4
+        txlog.compact_table(spark, root, target_files=2)                 # v5
+
+    for version in range(6):
+        rows = {}
+        for kind, root in roots.items():
+            rows[kind] = sorted(
+                (r["k"], r["g"], r["v"])
+                for r in txlog.read_table(spark, root, version=version).collect()
+            )
+        assert rows["flat"] == rows["hive"], f"diverged at version {version}"
+    # pruned reads agree with each other and with the full-scan filter
+    where = [("g", "=", "1"), ("k", ">=", 50)]
+    flat_p = sorted(
+        (r["k"], r["v"])
+        for r in txlog.read_table_pruned(spark, roots["flat"], where).collect()
+    )
+    hive_p = sorted(
+        (r["k"], r["v"])
+        for r in txlog.read_table_pruned(spark, roots["hive"], where).collect()
+    )
+    assert flat_p == hive_p
