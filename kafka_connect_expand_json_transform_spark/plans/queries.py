@@ -21611,6 +21611,122 @@ def dynamic_partition_overwrite_agg(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+_SQL_FIM = """
+    WITH d AS (
+      SELECT doc_id, source, trim(text) AS t, length(trim(text)) AS L,
+             ('0x' || substr(md5('f1:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h1,
+             ('0x' || substr(md5('f2:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h2,
+             ('0x' || substr(md5('f3:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h3
+      FROM documents
+    ),
+    cut AS (
+      SELECT doc_id, source, t, L,
+             (L >= 2 AND h3 % 10 < 9) AS fim,
+             1 + (h1 % GREATEST(L - 1, 1)) AS p1,
+             h2 AS h2
+      FROM d
+    ),
+    spans AS (
+      SELECT doc_id, source, L, fim,
+             CASE WHEN fim THEN substr(t, 1, p1) END AS prefix,
+             CASE WHEN fim
+                  THEN substr(t, p1 + 1, h2 % (L - p1 + 1)) END AS middle,
+             CASE WHEN fim
+                  THEN substr(t, p1 + 1 + (h2 % (L - p1 + 1))) END AS suffix,
+             (doc_id % 2 = 0) AS psm
+      FROM cut
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN fim THEN 1 ELSE 0 END) AS BIGINT) AS n_fim,
+           CAST(SUM(CASE WHEN fim AND psm THEN 1 ELSE 0 END) AS BIGINT) AS n_psm,
+           CAST(SUM(CASE WHEN fim THEN length(prefix) ELSE 0 END) AS BIGINT)
+             AS prefix_chars,
+           CAST(SUM(CASE WHEN fim THEN length(middle) ELSE 0 END) AS BIGINT)
+             AS middle_chars,
+           CAST(SUM(CASE WHEN fim THEN length(suffix) ELSE 0 END) AS BIGINT)
+             AS suffix_chars,
+           CAST(SUM(CASE WHEN fim AND length(middle) > 0
+                         THEN ascii(substr(middle, 1, 1)) ELSE 0 END) AS BIGINT)
+             AS middle_head_checksum
+    FROM spans GROUP BY source
+"""
+
+
+@query("fim_transform_plan", _SQL_FIM)
+def fim_transform_plan(spark, sf_dir):
+    """Fill-in-the-middle transformation planning (Bavarian 2022, the
+    code-LLM data-prep step): each document deterministically splits into
+    (prefix, middle, suffix) at two md5-derived character cuts, 90% of
+    docs get FIM'd (the standard fim_rate), and mode assignment (PSM vs
+    SPM) is a deterministic coin.  The census checks split-boundary
+    EXACTNESS across engines: prefix+middle+suffix character totals must
+    reconstruct the corpus, and the middle-head ascii checksum catches any
+    off-by-one in the substring arithmetic.  Scale: one narrow codegen
+    projection — the same shape the real transform (emitting the
+    re-ordered strings) runs, no shuffle until the census."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = lambda tag: F.conv(
+        F.substring(F.md5(F.concat(F.lit(tag + ":"), F.col("doc_id").cast("string"))), 1, 7),
+        16, 10,
+    ).cast("bigint")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.trim("text").alias("t"),
+        F.length(F.trim("text")).alias("L"),
+        h("f1").alias("h1"),
+        h("f2").alias("h2"),
+        h("f3").alias("h3"),
+    )
+    cut = d.select(
+        "doc_id",
+        "source",
+        "t",
+        "L",
+        ((F.col("L") >= 2) & (F.col("h3") % 10 < 9)).alias("fim"),
+        (F.lit(1) + F.col("h1") % F.greatest(F.col("L") - 1, F.lit(1))).alias("p1"),
+        "h2",
+    )
+    spans = cut.select(
+        "source",
+        "fim",
+        (F.col("doc_id") % 2 == 0).alias("psm"),
+        F.when(F.col("fim"), F.expr("substr(t, 1, p1)")).alias("prefix"),
+        F.when(
+            F.col("fim"), F.expr("substr(t, p1 + 1, h2 % (L - p1 + 1))")
+        ).alias("middle"),
+        F.when(
+            F.col("fim"), F.expr("substr(t, p1 + 1 + (h2 % (L - p1 + 1)), L)")
+        ).alias("suffix"),
+    )
+    z = F.lit(0)
+    return spans.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("fim"), 1).otherwise(0)).cast("bigint").alias("n_fim"),
+        F.sum(F.when(F.col("fim") & F.col("psm"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_psm"),
+        F.sum(F.when(F.col("fim"), F.length("prefix")).otherwise(z))
+        .cast("bigint")
+        .alias("prefix_chars"),
+        F.sum(F.when(F.col("fim"), F.length("middle")).otherwise(z))
+        .cast("bigint")
+        .alias("middle_chars"),
+        F.sum(F.when(F.col("fim"), F.length("suffix")).otherwise(z))
+        .cast("bigint")
+        .alias("suffix_chars"),
+        F.sum(
+            F.when(
+                F.col("fim") & (F.length("middle") > 0),
+                F.ascii(F.substring("middle", 1, 1)),
+            ).otherwise(z)
+        )
+        .cast("bigint")
+        .alias("middle_head_checksum"),
+    )
+
+
 _SQL_FUZZY_JOIN = """
     WITH names AS (
       SELECT p_name AS name, COUNT(*) AS n_parts
