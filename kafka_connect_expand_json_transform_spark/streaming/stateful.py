@@ -141,40 +141,45 @@ def timeout_sessions(
                 {key: [k[0]], "session_start_ms": [start_ms], "n_events": [n]}
             )
             return
+        import numpy as np
+
         # unit-proof epoch-ms floor: Arrow may hand datetime64[ns] or [us]
         chunks = [
-            pd.Series(p[ts_col].values.astype("datetime64[ms]").astype("int64"))
+            p[ts_col].values.astype("datetime64[ms]").astype("int64")
             for p in pdfs
             if len(p)
         ]
-        ts = pd.concat(chunks).sort_values().to_numpy() if chunks else []
-        if len(ts) == 0:  # defensive: no data, keep state as-is
+        if not chunks:  # defensive: no data, keep state as-is
             return
+        ts = np.sort(np.concatenate(chunks))
+        # VECTORIZED sessionization (the per-row python loop measured
+        # ~21-31 us/row at the sf1/sf10 smokes — 314 s for 10 M rows; the
+        # numpy split is the same semantics at array speed): a session
+        # break sits wherever the inter-event gap reaches gap_ms
+        starts = np.flatnonzero(np.diff(ts) >= gap_ms) + 1  # segment starts
+        bounds = np.concatenate(([0], starts, [len(ts)]))
+        seg_start = ts[bounds[:-1]]
+        seg_n = np.diff(bounds)
         # seed with the open session from state (batches arrive in event-time
         # order under the watermark; an older-than-open-session straggler
         # would need the closed session back — that row is gap-late by
         # definition and the watermark already excluded it)
         if state.exists:
-            start_ms, end_ms, n = state.get
-        else:
-            start_ms, end_ms, n = int(ts[0]), int(ts[0]), 0
-        closed = []
-        for t in ts:
-            t = int(t)
-            if t - end_ms < gap_ms:  # extends the open session
-                end_ms = max(end_ms, t)
-                n += 1
-            else:  # gap reached: the open session is final — emit it
-                closed.append((start_ms, n))
-                start_ms, end_ms, n = t, t, 1
-        state.update((start_ms, end_ms, n))
-        state.setTimeoutTimestamp(end_ms + gap_ms)
-        if closed:
+            start_ms, end_ms, n0 = state.get
+            if int(ts[0]) - end_ms < gap_ms:  # first segment extends it
+                seg_start[0] = start_ms
+                seg_n[0] += n0
+            else:  # the stored open session closes ahead of every segment
+                seg_start = np.concatenate(([start_ms], seg_start))
+                seg_n = np.concatenate(([n0], seg_n))
+        state.update((int(seg_start[-1]), int(ts[-1]), int(seg_n[-1])))
+        state.setTimeoutTimestamp(int(ts[-1]) + gap_ms)
+        if len(seg_start) > 1:  # all but the trailing open session are final
             yield pd.DataFrame(
                 {
-                    key: [k[0]] * len(closed),
-                    "session_start_ms": [c[0] for c in closed],
-                    "n_events": [c[1] for c in closed],
+                    key: [k[0]] * (len(seg_start) - 1),
+                    "session_start_ms": seg_start[:-1],
+                    "n_events": seg_n[:-1],
                 }
             )
 
