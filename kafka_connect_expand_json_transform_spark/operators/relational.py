@@ -418,9 +418,14 @@ def delta_join_refresh(
     need signed multiplicities (the CDF consumer in
     ``incremental_agg_maintenance`` shows that shape); this operator is the
     insert-only fast path every streaming ingest hits."""
-    t1 = F.broadcast(left_delta).join(right_old, on).select(*select_cols)
+    # broadcast the RIGHT (dimension) side of every term: left is the fact
+    # table by convention, and "small delta" is a workload property, not a
+    # plan guarantee — a reprocessing day where dL is 30% of the facts must
+    # not force a fact-side broadcast.  dR and R_old are dimension-sized;
+    # AQE still upgrades a genuinely tiny dL on its own.
+    t1 = left_delta.join(F.broadcast(right_old), on).select(*select_cols)
     t2 = left_old.join(F.broadcast(right_delta), on).select(*select_cols)
-    t3 = F.broadcast(left_delta).join(right_delta, on).select(*select_cols)
+    t3 = left_delta.join(F.broadcast(right_delta), on).select(*select_cols)
     return mv.unionByName(t1).unionByName(t2).unionByName(t3)
 
 
