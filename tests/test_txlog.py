@@ -2142,3 +2142,27 @@ def test_partitioned_and_flat_tables_are_semantically_identical(spark, tmp_path)
         for r in txlog.read_table_pruned(spark, roots["hive"], where).collect()
     )
     assert flat_p == hive_p
+
+
+def test_change_feed_on_partitioned_table(spark, tmp_path):
+    """read_changes over a hive-partitioned table: capture-backed DML
+    changes and snapshot-diff appends both serve the partition column with
+    its log-schema type."""
+    root = str(tmp_path / "ptcdf")
+    txlog.append_table(
+        spark.range(0, 60).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS g", "id * 2 AS v"
+        ),
+        root,
+        partition_by=["g"],
+    )
+    txlog.delete_where_mor(spark, root, "k % 10 = 4")            # v1: capture
+    txlog.update_where(spark, root, "k % 10 = 5", {"v": "v + 1"})  # v2
+    ch = txlog.read_changes(spark, root, from_version=0)  # versions 1..head
+    assert dict(ch.dtypes)["g"] == "string"
+    assert ch.where("_change_type = 'delete' AND k % 10 = 4").count() == 6
+    # the update contributes preimage+postimage rows (or insert/delete
+    # pairs depending on capture mode) — postimages must carry the bump
+    post = ch.where("_change_type IN ('update_postimage', 'insert') AND k % 10 = 5")
+    assert post.count() == 6
+    assert post.where("v % 2 = 1").count() == 6  # v+1 on even v -> odd
