@@ -2166,3 +2166,23 @@ def test_change_feed_on_partitioned_table(spark, tmp_path):
     post = ch.where("_change_type IN ('update_postimage', 'insert') AND k % 10 = 5")
     assert post.count() == 6
     assert post.where("v % 2 = 1").count() == 6  # v+1 on even v -> odd
+
+
+def test_partition_by_generated_column(spark, tmp_path):
+    """The Delta-classic layout: GENERATED ALWAYS AS day-bucket column +
+    hive partitioning on it — writers never compute the partition key by
+    hand, and a day-equality read prunes to one directory subtree."""
+    root = str(tmp_path / "ptg")
+    txlog.set_generated_column(root, "day", "CAST(date_trunc('DAY', ts) AS DATE)")
+    df = spark.range(0, 96).selectExpr(
+        "id AS k",
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0)"
+        " AS ts",
+    )
+    txlog.append_table(df, root, partition_by=["day"])  # day materialized
+    got = txlog.read_table(spark, root)
+    assert got.count() == 96 and dict(got.dtypes)["day"] == "date"
+    rep = txlog.skipping_report(root, [("day", "=", "2026-01-02")])
+    assert rep["files_read"] < rep["files_total"], rep
+    pruned = txlog.read_table_pruned(spark, root, [("day", "=", "2026-01-02")])
+    assert pruned.count() == 24
