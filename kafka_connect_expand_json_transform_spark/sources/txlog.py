@@ -741,6 +741,75 @@ def read_table_pruned(
     return df
 
 
+def read_point_lookups(
+    spark: SparkSession, root: str, col: str, keys: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Execute a batched point-lookup plan: the union of every key's
+    surviving part files, read ONCE with a ``col IN keys`` residual filter
+    — bit-identical to per-key pruned reads, partition-layout-safe (on a
+    hive-partitioned table the surviving files are grouped by data dir and
+    read with that dir as ``basePath`` so the partition columns
+    materialize; reading the bare file paths would silently drop them).
+    Empty plans return an empty frame with the log schema.  Deletion
+    vectors apply per scan, exactly as ``read_table`` does."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    plans = plan_point_lookups(root, col, keys, version)
+    survivors = sorted({p for surv in plans.values() for p in surv})
+    schema_json = next(
+        (e["schema_json"] for e in reversed(entries)
+         if "schema_json" in e and (version is None or e["version"] <= version)),
+        None,
+    )
+    stored = (
+        StructType.fromJson(json.loads(schema_json))
+        if schema_json is not None
+        else None
+    )
+    if not survivors:
+        if stored is None:
+            raise ValueError("empty plan and no schema to shape the result")
+        nullable = StructType(
+            [f.__class__(f.name, f.dataType, True) for f in stored.fields]
+        )
+        return spark.createDataFrame([], nullable)
+    dv_dirs = _replay_dvs(entries, version)
+    part_cols = _table_partition_by(entries)
+    if part_cols:
+        by_dir: dict[str, list[str]] = {}
+        for p in survivors:
+            rel_p = os.path.relpath(p, root)
+            d = os.sep.join(rel_p.split(os.sep)[:2])
+            by_dir.setdefault(d, []).append(p)
+        frames = []
+        for d, parts in by_dir.items():
+            reader = spark.read.option("basePath", os.path.join(root, d))
+            if stored is not None:
+                reader = reader.schema(stored)
+            fr = reader.parquet(*parts)
+            if dv_dirs:
+                fr = _apply_dvs(spark, root, fr, dv_dirs)
+            frames.append(fr)
+        df = reduce(lambda a, b: a.unionByName(b), frames)
+        if stored is not None:
+            df = df.select(*[f.name for f in stored.fields])
+    else:
+        reader = spark.read
+        if stored is not None:
+            reader = reader.schema(stored)
+        df = reader.parquet(*survivors)
+        if dv_dirs:
+            df = _apply_dvs(spark, root, df, dv_dirs)
+    return df.where(F.col(col).isin(list(keys)))
+
+
 def plan_point_lookups(
     root: str, col: str, keys: list, version: int | None = None
 ) -> dict:

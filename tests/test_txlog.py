@@ -2186,3 +2186,36 @@ def test_partition_by_generated_column(spark, tmp_path):
     assert rep["files_read"] < rep["files_total"], rep
     pruned = txlog.read_table_pruned(spark, root, [("day", "=", "2026-01-02")])
     assert pruned.count() == 24
+
+
+def test_read_point_lookups_partition_safe(spark, tmp_path):
+    """read_point_lookups: batched needle probes read the survivor union
+    once, bit-identical to a full-scan filter — including on a
+    hive-partitioned table (bare file paths would drop the partition
+    column) and after a MoR delete (vectors apply)."""
+    for kind, part in (("flat", None), ("hive", ["g"])):
+        root = str(tmp_path / kind)
+        txlog.set_bloom_columns(root, ["k"], m_bits=8192, k_hashes=3)
+        txlog.append_table(
+            spark.range(0, 500).selectExpr(
+                "id AS k", "CAST(id % 4 AS STRING) AS g", "id * 3 AS v"
+            ).repartition(8),
+            root,
+            partition_by=part,
+        )
+        txlog.delete_where_mor(spark, root, "k = 77")
+        keys = [7, 77, 123, 456, 999999]
+        got = sorted(
+            (r["k"], r["g"], r["v"])
+            for r in txlog.read_point_lookups(spark, root, "k", keys).collect()
+        )
+        want = sorted(
+            (r["k"], r["g"], r["v"])
+            for r in txlog.read_table(spark, root)
+            .where(F.col("k").isin(keys))
+            .collect()
+        )
+        assert got == want and (77, "1", 231) not in got, (kind, got)
+    # empty plan: stable schema, zero rows
+    empty = txlog.read_point_lookups(spark, str(tmp_path / "flat"), "k", [10**9])
+    assert empty.count() == 0 and empty.columns == ["k", "g", "v"]
