@@ -20832,9 +20832,9 @@ def txlog_bloom_point_lookups(spark, sf_dir):
         # baseline (each probe admits ~1 of the 8 hash-scattered files,
         # which range stats alone never could)
         assert sum_read < len(keys) * total, (sum_read, len(keys), total)
-        probed = spark.read.parquet(*sorted(survivors)).where(
-            F.col("o_orderkey").isin(keys)
-        )
+        # the library's one-call form of this read (survivor union + IN
+        # residual, partition-safe, DV-correct)
+        probed = TX.read_point_lookups(spark, root, "o_orderkey", keys)
         out = probed.groupBy("o_orderpriority").agg(
             F.count("*").cast("bigint").alias("n"),
             F.sum("cents").cast("bigint").alias("sum_cents"),
