@@ -21611,6 +21611,77 @@ def dynamic_partition_overwrite_agg(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+_SQL_WAP = """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderpriority AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT g, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o
+    WHERE k % 10 < 4 OR k % 10 = 7
+    GROUP BY g
+"""
+
+
+@query("txlog_wap_pipeline", _SQL_WAP)
+def txlog_wap_pipeline(spark, sf_dir):
+    """Write-audit-publish (Iceberg WAP) end-to-end: the base table takes a
+    clean batch through ``write_audit_publish`` (staged files audited by
+    the expectations suite BEFORE the log entry publishes), then a
+    corrupted batch (negated cents) is REJECTED — its staged files are
+    discarded, no version lands, and no reader ever saw them.  The final
+    aggregate is value-checked against an oracle containing the base plus
+    only the passing batch: the hash fails if rejected rows leaked or
+    passing rows were lost.  At 100 TB this is audit-before-visibility:
+    quality gates run on the staged files with zero rollback window."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.operators.expectations import (
+        Expectation,
+    )
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    suite = [
+        Expectation("cents_nonneg", "predicate", params={"sql": "cents >= 0"}),
+        Expectation("k_not_null", "not_null", column="k"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="txlog_wap_q_")
+    try:
+        root = tmp + "/orders_wap"
+        TX.append_table(o.where(F.col("k") % 10 < 4), root)
+        v, report = TX.write_audit_publish(
+            spark, o.where(F.col("k") % 10 == 7), root, suite
+        )
+        assert v == 1 and all(r["passed"] == 1 for r in report), report
+        corrupted = o.where(F.col("k") % 10 == 9).withColumn(
+            "cents", -F.col("cents") - 1
+        )
+        try:
+            TX.write_audit_publish(spark, corrupted, root, suite)
+            raise AssertionError("corrupted batch must be rejected")
+        except TX.TxLogConstraintViolation:
+            pass  # staged files discarded, no version published
+        assert TX.latest_version(root) == 1
+        snap = TX.read_table(spark, root)
+        out = snap.groupBy("g").agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_FIM = """
     WITH d AS (
       SELECT doc_id, source, trim(text) AS t, length(trim(text)) AS L,

@@ -741,6 +741,96 @@ def read_table_pruned(
     return df
 
 
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    expectations: list,
+) -> tuple[int, list]:
+    """Write-audit-publish (Iceberg's WAP pattern) as a first-class commit
+    path: the batch's data files land in ``data/`` WITHOUT a published log
+    entry — the committed-versions-only reader contract makes them
+    invisible to every concurrent reader — then the data-quality suite
+    (``operators.expectations``) runs against the STAGED files, and only a
+    fully-passing audit publishes the entry (with the usual stats/bloom
+    sidecars and partition inheritance).  A failing audit deletes the
+    staged dir and raises ``TxLogConstraintViolation`` naming the failed
+    checks: bad data never becomes a version, so there is no rollback
+    window and no reader ever retracts.  At 100 TB this is the difference
+    between auditing before visibility and racing a DELETE against
+    downstream consumers.  Publish uses the commuting-append retry (the
+    staged dir is immutable; a version-claim conflict re-points it).
+
+    Returns ``(version, audit_report_rows)``."""
+    import shutil
+
+    from kafka_connect_expand_json_transform_spark.operators.expectations import (
+        evaluate,
+    )
+
+    entries = _list_entries(root)
+    table_parts = _table_partition_by(entries)
+    df = _apply_generated(root, df)
+    if entries:
+        _, schema = _replay(entries, None)
+        if schema is not None and df.schema.simpleString() != schema:
+            raise TxLogSchemaMismatch(
+                f"WAP batch schema {df.schema.simpleString()} != table "
+                f"schema {schema}"
+            )
+    _enforce_constraints(root, df)
+    os.makedirs(_log_path(root), exist_ok=True)
+    rel = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
+    writer = df.write.mode("overwrite")
+    if table_parts:
+        writer = writer.partitionBy(*table_parts)
+    writer.parquet(os.path.join(root, rel))
+
+    # AUDIT the staged files themselves (not the caller's plan): what was
+    # actually written is what gets validated
+    reader = spark.read.schema(df.schema)
+    staged = reader.parquet(os.path.join(root, rel)).select(*df.columns)
+    report = evaluate(staged, expectations).collect()
+    failed = [r["expectation"] for r in report if r["passed"] == 0]
+    if failed:
+        shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+        raise TxLogConstraintViolation(
+            f"WAP audit failed, staged files discarded: {failed}"
+        )
+
+    part_dtypes = (
+        {c: df.schema[c].dataType.simpleString() for c in table_parts}
+        if table_parts
+        else None
+    )
+    entry = {
+        "op": "append",
+        "files": [rel],
+        "schema": df.schema.simpleString(),
+        "schema_json": df.schema.json(),
+        "stats": _collect_part_stats(root, rel, part_dtypes),
+    }
+    blooms = _build_part_blooms(root, rel)
+    if blooms:
+        entry["bloom"] = blooms
+    if table_parts:
+        entry["partition_by"] = table_parts
+    current = entries[-1]["version"] if entries else -1
+    for attempt in range(_APPEND_COMMIT_RETRIES + 1):
+        version = current + 1
+        entry["version"] = version
+        try:
+            _publish_entry(root, version, entry)
+            return version, report
+        except TxLogConflict:
+            if attempt >= _APPEND_COMMIT_RETRIES:
+                raise
+            time.sleep(min(0.05 * (attempt + 1), 0.2))
+            latest = _list_entries(root)
+            current = latest[-1]["version"] if latest else -1
+    raise AssertionError("unreachable")
+
+
 def read_point_lookups(
     spark: SparkSession, root: str, col: str, keys: list,
     version: int | None = None,

@@ -2219,3 +2219,47 @@ def test_read_point_lookups_partition_safe(spark, tmp_path):
     # empty plan: stable schema, zero rows
     empty = txlog.read_point_lookups(spark, str(tmp_path / "flat"), "k", [10**9])
     assert empty.count() == 0 and empty.columns == ["k", "g", "v"]
+
+
+def test_write_audit_publish_gates_visibility(spark, tmp_path):
+    """WAP: a failing audit discards the staged files and publishes NO
+    version (readers never see them); a passing audit publishes with the
+    usual sidecars; partition layout is inherited."""
+    from kafka_connect_expand_json_transform_spark.operators.expectations import (
+        Expectation,
+    )
+
+    root = str(tmp_path / "wap")
+    txlog.append_table(
+        spark.range(0, 50).selectExpr(
+            "id AS k", "CAST(id % 2 AS STRING) AS g", "id * 2 AS v"
+        ),
+        root,
+        partition_by=["g"],
+    )
+    suite = [
+        Expectation("v_nonneg", "predicate", params={"sql": "v >= 0"}),
+        Expectation("k_not_null", "not_null", column="k"),
+    ]
+    import glob as _glob
+
+    n_dirs_before = len(_glob.glob(os.path.join(root, "data", "*.parquet")))
+    bad = spark.range(50, 60).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS g", "id * -1 AS v"
+    )
+    with pytest.raises(txlog.TxLogConstraintViolation, match="v_nonneg"):
+        txlog.write_audit_publish(spark, bad, root, suite)
+    # no version published, staged dir discarded, readers unaffected
+    assert txlog.latest_version(root) == 0
+    assert len(_glob.glob(os.path.join(root, "data", "*.parquet"))) == n_dirs_before
+    assert txlog.read_table(spark, root).count() == 50
+    good = spark.range(50, 60).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS g", "id * 2 AS v"
+    )
+    v, report = txlog.write_audit_publish(spark, good, root, suite)
+    assert v == 1 and all(r["passed"] == 1 for r in report)
+    assert txlog.read_table(spark, root).count() == 60
+    entry = txlog._list_entries(root)[v]
+    assert entry.get("partition_by") == ["g"] and entry.get("stats")
+    # partition pruning works on the WAP-published files too
+    assert txlog.read_table_pruned(spark, root, [("g", "=", "1")]).count() == 30
