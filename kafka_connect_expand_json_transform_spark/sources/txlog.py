@@ -2482,6 +2482,88 @@ def foreach_batch_sink(root: str):
     return _sink
 
 
+def foreach_batch_wap_sink(root: str, expectations: list):
+    """Quality-gated exactly-once streaming sink — WAP per micro-batch:
+    each batch's files stage invisibly, the expectations suite audits
+    them, and a clean audit publishes the append entry (same idempotent
+    batch-id skip as ``foreach_batch_sink``).  A FAILING audit discards
+    the staged files and publishes an ``op=audit_reject`` entry carrying
+    the batch id and the failed check names: the rejection itself is part
+    of the table's history (an audit trail a monitoring query can read),
+    it contributes no files to any snapshot, and the recorded batch id
+    makes the skip exactly-once too — a crash-replay of a rejected batch
+    is recognized and not re-audited.  The poisoned data never becomes a
+    version; downstream readers only ever see audited rows."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        from kafka_connect_expand_json_transform_spark.operators.expectations import (
+            evaluate,
+        )
+
+        entries = _list_entries(root)
+        committed = {e.get("batch_id") for e in entries if "batch_id" in e}
+        if batch_id in committed:
+            return  # replayed batch (published OR rejected): durable, skip
+        current = entries[-1]["version"] if entries else -1
+        if entries:
+            _, schema = _replay(entries, None)
+            if schema is not None and batch_df.schema.simpleString() != schema:
+                raise TxLogSchemaMismatch(
+                    f"stream batch schema {batch_df.schema.simpleString()}"
+                    f" != table schema {schema}"
+                )
+        part_cols = _table_partition_by(entries)
+        os.makedirs(_log_path(root), exist_ok=True)
+        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
+        writer = batch_df.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(os.path.join(root, rel))
+        spark = batch_df.sparkSession
+        staged = (
+            spark.read.schema(batch_df.schema)
+            .parquet(os.path.join(root, rel))
+            .select(*batch_df.columns)
+        )
+        report = evaluate(staged, expectations).collect()
+        failed = [r["expectation"] for r in report if r["passed"] == 0]
+        version = current + 1
+        if failed:
+            shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+            entry = {
+                "version": version,
+                "op": "audit_reject",
+                "files": [],
+                "schema": batch_df.schema.simpleString(),
+                "schema_json": batch_df.schema.json(),
+                "batch_id": batch_id,
+                "failed_expectations": failed,
+            }
+            _publish_entry(root, version, entry)
+            return
+        part_dtypes = (
+            {c: batch_df.schema[c].dataType.simpleString() for c in part_cols}
+            if part_cols
+            else None
+        )
+        entry = {
+            "version": version,
+            "op": "append",
+            "files": [rel],
+            "schema": batch_df.schema.simpleString(),
+            "schema_json": batch_df.schema.json(),
+            "batch_id": batch_id,
+            "stats": _collect_part_stats(root, rel, part_dtypes),
+        }
+        if part_cols:
+            entry["partition_by"] = part_cols
+        _publish_entry(root, version, entry)
+
+    return _sink
+
+
 _CHECKPOINT_SUFFIX = ".checkpoint.json"
 _FLOOR_MARKER = "_vacuum_floor.json"
 
