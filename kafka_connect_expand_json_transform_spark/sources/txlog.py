@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -307,6 +308,14 @@ def _commit(
         raise ValueError(
             f"table is partitioned by {table_parts}; cannot commit with "
             f"partition_by={list(partition_by)}"
+        )
+    # the vice-versa direction: an UNPARTITIONED table with committed
+    # history must not silently gain partitioning mid-history (time travel
+    # to pre-marker versions would route through the wrong read path)
+    if partition_by is not None and table_parts is None and existing_entries:
+        raise ValueError(
+            "table has unpartitioned committed history; cannot introduce "
+            f"partition_by={list(partition_by)} mid-history"
         )
     eff_parts = list(partition_by) if partition_by is not None else table_parts
     if eff_parts:
@@ -828,6 +837,19 @@ def write_audit_publish(
             time.sleep(min(0.05 * (attempt + 1), 0.2))
             latest = _list_entries(root)
             current = latest[-1]["version"] if latest else -1
+            # mirror _commit's validate-on-retry: a concurrent
+            # allow_add_columns append may have evolved the table schema,
+            # and publishing this entry's narrower schema would regress the
+            # log-owned read schema
+            if latest:
+                _, evolved = _replay(latest, None)
+                if evolved is not None and df.schema.simpleString() != evolved:
+                    shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+                    raise TxLogSchemaMismatch(
+                        f"WAP batch schema {df.schema.simpleString()} != "
+                        f"evolved table schema {evolved} (concurrent commit "
+                        "during publish retry); staged files discarded"
+                    )
     raise AssertionError("unreachable")
 
 
@@ -1028,6 +1050,20 @@ def read_table(spark: SparkSession, root: str, version: int | None = None) -> Da
 
         stored = StructType.fromJson(json.loads(schema_json))
         reader = reader.schema(stored)
+    if not files:
+        # possible since audit_reject: a table whose only batches were
+        # rejected replays to zero files but still records schema_json —
+        # return the empty frame (nullable, matching parquet-read shape)
+        # instead of a zero-path spark.read.parquet() error
+        if stored is None:
+            raise ValueError(
+                f"txlog table at {root} replays to zero files and no entry "
+                "records schema_json"
+            )
+        nullable = StructType(
+            [f.__class__(f.name, f.dataType, True) for f in stored.fields]
+        )
+        return spark.createDataFrame([], nullable)
     part_cols = _table_partition_by(entries)
     if part_cols:
         # hive-partitioned dirs: Spark's partition discovery rejects a
@@ -2816,7 +2852,17 @@ def register_stream_source(spark: SparkSession) -> None:
                 "int": pa.int32(), "smallint": pa.int16(),
                 "tinyint": pa.int8(), "double": pa.float64(),
                 "float": pa.float32(), "boolean": pa.bool_(),
+                "date": pa.date32(),
+                # Spark's Arrow interchange uses microsecond precision
+                "timestamp": pa.timestamp("us"),
+                "timestamp_ntz": pa.timestamp("us"),
             }
+
+            def arrow_target(simple: str):
+                m = re.fullmatch(r"decimal\((\d+),(\d+)\)", simple)
+                if m:
+                    return pa.decimal128(int(m.group(1)), int(m.group(2)))
+                return arrow_by_simple.get(simple, pa.string())
             entries = _list_entries(partition.root)
             part_cols = set(_table_partition_by(entries) or ())
             for e in entries:
@@ -2833,7 +2879,7 @@ def register_stream_source(spark: SparkSession) -> None:
                             simple = dict(
                                 zip(partition.col_names, partition.col_types)
                             ).get(c, "string")
-                            target = arrow_by_simple.get(simple, pa.string())
+                            target = arrow_target(simple)
                             arr = table.column(idx)
                             if pa.types.is_dictionary(arr.type):
                                 arr = pc.cast(arr, arr.type.value_type)

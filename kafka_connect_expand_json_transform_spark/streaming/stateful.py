@@ -152,6 +152,26 @@ def timeout_sessions(
         if not chunks:  # defensive: no data, keep state as-is
             return
         ts = np.sort(np.concatenate(chunks))
+        # seed with the open session from state.  An IN-WATERMARK straggler
+        # micro-batch may carry events at or before the stored session's
+        # end (multi-batch streams don't deliver per-key batches in
+        # event-time order) — those merge into the open session by
+        # min(start) and must never move the stored end (or its timer)
+        # backwards, and they must not participate in the gap-diff (a
+        # straggler inside the covered span would manufacture breaks the
+        # session already bridges)
+        start_merged, n_merged = None, 0
+        if state.exists:
+            start_ms, end_ms, n0 = state.get
+            inside = int(np.searchsorted(ts, end_ms, side="right"))
+            n_merged = n0 + inside
+            start_merged = min(start_ms, int(ts[0])) if inside else start_ms
+            ts = ts[inside:]
+            if len(ts) == 0:
+                # pure straggler batch: absorbed; end and timer unchanged
+                state.update((start_merged, end_ms, n_merged))
+                state.setTimeoutTimestamp(end_ms + gap_ms)
+                return
         # VECTORIZED sessionization (the per-row python loop measured
         # ~21-31 us/row at the sf1/sf10 smokes — 314 s for 10 M rows; the
         # numpy split is the same semantics at array speed): a session
@@ -160,18 +180,13 @@ def timeout_sessions(
         bounds = np.concatenate(([0], starts, [len(ts)]))
         seg_start = ts[bounds[:-1]]
         seg_n = np.diff(bounds)
-        # seed with the open session from state (batches arrive in event-time
-        # order under the watermark; an older-than-open-session straggler
-        # would need the closed session back — that row is gap-late by
-        # definition and the watermark already excluded it)
-        if state.exists:
-            start_ms, end_ms, n0 = state.get
+        if start_merged is not None:
             if int(ts[0]) - end_ms < gap_ms:  # first segment extends it
-                seg_start[0] = start_ms
-                seg_n[0] += n0
+                seg_start[0] = start_merged
+                seg_n[0] += n_merged
             else:  # the stored open session closes ahead of every segment
-                seg_start = np.concatenate(([start_ms], seg_start))
-                seg_n = np.concatenate(([n0], seg_n))
+                seg_start = np.concatenate(([start_merged], seg_start))
+                seg_n = np.concatenate(([n_merged], seg_n))
         state.update((int(seg_start[-1]), int(ts[-1]), int(seg_n[-1])))
         state.setTimeoutTimestamp(int(ts[-1]) + gap_ms)
         if len(seg_start) > 1:  # all but the trailing open session are final

@@ -681,3 +681,61 @@ def test_timeout_sessions_event_time_timer_boundary(spark, tmp_path):
         ("boundary_lt", 879_999, 1),
         ("merge", 500_000, 2),
     }
+
+
+def test_timeout_sessions_in_watermark_straggler_merges(spark, tmp_path):
+    """Multi-batch streams do NOT deliver per-key batches in event-time
+    order: an in-watermark straggler whose timestamps predate the stored
+    open session's end must merge into it WITHOUT moving the stored end
+    (or its timer) backwards — a moved-back end would mis-split the next
+    batch into a spurious new session (ADVICE r6)."""
+    import datetime
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from kafka_connect_expand_json_transform_spark.streaming.stateful import (
+        timeout_sessions,
+    )
+
+    def dt(ms):
+        return datetime.datetime.fromtimestamp(
+            ms / 1000, datetime.timezone.utc
+        ).replace(tzinfo=None)
+
+    # gap 60 s, delay 60 s.  b0 opens a's session [100s..105s] (wm -> 45s);
+    # b1 is a PURE straggler at 102s (inside the stored span, in-watermark);
+    # b2's 164s is within gap of the TRUE end 105s (59s) but NOT of the
+    # straggler's 102s (62s) -- the unfixed code moved end back to 102s and
+    # split here.  z@4000s anchors the final watermark to 3940s so a's
+    # timer (164s + 60s = 224s) fires.
+    batches = [
+        [("a", dt(100_000)), ("a", dt(105_000))],
+        [("a", dt(102_000))],
+        [("a", dt(164_000)), ("z", dt(4_000_000))],
+    ]
+    src = tmp_path / "straggler_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "user string, ts timestamp").coalesce(
+            1
+        ).write.parquet(stage)
+        dest = str(src / f"b{i}.parquet")
+        _shutil.copyfile(_glob.glob(stage + "/part-*.parquet")[0], dest)
+        _os.utime(dest, (1_000_000 + i * 10, 1_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema("user string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sessions = timeout_sessions(
+        stream, key="user", ts_col="ts", gap_ms=60_000,
+        watermark_delay="60 seconds",
+    )
+    out = run_to_table(spark, sessions, "append")
+    got = {
+        (r["user"], r["session_start_ms"], r["n_events"]) for r in out.collect()
+    }
+    # one merged session: 100s + 105s + straggler 102s + 164s extension
+    assert got == {("a", 100_000, 4)}

@@ -2263,3 +2263,154 @@ def test_write_audit_publish_gates_visibility(spark, tmp_path):
     assert entry.get("partition_by") == ["g"] and entry.get("stats")
     # partition pruning works on the WAP-published files too
     assert txlog.read_table_pruned(spark, root, [("g", "=", "1")]).count() == 30
+
+
+def test_unpartitioned_history_cannot_gain_partitioning(spark, tmp_path):
+    """Partition constancy is BOTH directions: a partitioned table rejects a
+    conflicting spec, and an UNPARTITIONED table with committed history
+    rejects a later partition_by (a mid-history marker would reroute reads
+    — including time travel to pre-marker versions — through the
+    partitioned path)."""
+    root = str(tmp_path / "flat")
+    txlog.append_table(
+        spark.range(0, 10).selectExpr("id AS k", "CAST(id % 2 AS STRING) AS g"),
+        root,
+    )
+    with pytest.raises(ValueError, match="unpartitioned committed history"):
+        txlog.append_table(
+            spark.range(10, 20).selectExpr(
+                "id AS k", "CAST(id % 2 AS STRING) AS g"
+            ),
+            root,
+            partition_by=["g"],
+        )
+    # the table stays flat and readable
+    assert txlog.read_table(spark, root).count() == 10
+    assert txlog._table_partition_by(txlog._list_entries(root)) is None
+
+
+def test_stream_source_over_date_partitioned_table(spark, tmp_path):
+    """txlogstream over a DATE-partitioned table: hive discovery hands the
+    partition column back as strings; the reader must build the Arrow
+    target from the LOG schema (date32) so streamed rows type-match the
+    batch snapshot (ADVICE r6: only string/int partitions were covered)."""
+    import time
+
+    root = str(tmp_path / "dts")
+    df = spark.range(0, 30).selectExpr(
+        "id AS k",
+        "DATE_ADD(DATE'2026-01-01', CAST(id % 3 AS INT)) AS d",
+        "id * 2 AS v",
+    )
+    txlog.append_table(df, root, partition_by=["d"])
+    txlog.register_stream_source(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txlogstream")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if q.lastProgress is not None and not q.status["isDataAvailable"]:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    assert dict(got.dtypes)["d"] == "date"
+    import datetime
+
+    assert got.where(F.col("d") == datetime.date(2026, 1, 2)).count() == 10
+    # streamed rows equal the batch snapshot exactly
+    assert (
+        got.exceptAll(txlog.read_table(spark, root)).count() == 0
+        and txlog.read_table(spark, root).exceptAll(got).count() == 0
+    )
+
+
+def test_wap_publish_retry_revalidates_evolved_schema(spark, tmp_path):
+    """A WAP publish racing a concurrent allow_add_columns append must NOT
+    commit its narrower schema after the conflict retry (it would regress
+    the log-owned read schema) — the retry re-validates against the
+    re-listed entries, discards the staged files, and raises."""
+    import glob as _glob
+    import unittest.mock as mock
+
+    from kafka_connect_expand_json_transform_spark.operators.expectations import (
+        Expectation,
+    )
+
+    root = str(tmp_path / "wapr")
+    txlog.append_table(
+        spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"), root
+    )
+    suite = [Expectation("k_not_null", "not_null", column="k")]
+    evolved = spark.range(10, 20).selectExpr(
+        "id AS k", "id * 2 AS v", "CAST(id AS STRING) AS extra"
+    )
+    narrow = spark.range(20, 30).selectExpr("id AS k", "id * 2 AS v")
+    orig_publish = txlog._publish_entry
+    state = {"raced": False}
+
+    def racy_publish(r, version, entry):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent widening append wins this version number
+            with mock.patch.object(txlog, "_publish_entry", orig_publish):
+                txlog.append_table(evolved, root, allow_add_columns=True)
+            raise txlog.TxLogConflict("raced")
+        return orig_publish(r, version, entry)
+
+    with mock.patch.object(txlog, "_publish_entry", racy_publish):
+        with pytest.raises(txlog.TxLogSchemaMismatch, match="evolved"):
+            txlog.write_audit_publish(spark, narrow, root, suite)
+    # the concurrent append is the table's latest version; the WAP batch's
+    # staged files are gone and nothing regressed the read schema
+    assert txlog.latest_version(root) == 1
+    assert txlog.read_table(spark, root).columns == ["k", "v", "extra"]
+    files, _ = txlog._replay(txlog._list_entries(root), None)
+    on_disk = {
+        os.path.relpath(p, root)
+        for p in _glob.glob(os.path.join(root, "data", "*.parquet"))
+    }
+    assert on_disk == set(files)  # no orphaned staged dir
+
+
+def test_foreach_batch_wap_sink_rejects_and_reads_empty(spark, tmp_path):
+    """foreach_batch_wap_sink: a failing audit publishes an op=audit_reject
+    entry (history records the rejection, zero files contribute), and
+    read_table over a table whose ONLY batch was rejected returns an empty
+    frame shaped by the recorded schema_json — not a zero-path scan error."""
+    from kafka_connect_expand_json_transform_spark.operators.expectations import (
+        Expectation,
+    )
+
+    root = str(tmp_path / "wapsink")
+    suite = [Expectation("v_nonneg", "predicate", params={"sql": "v >= 0"})]
+    sink = txlog.foreach_batch_wap_sink(root, suite)
+    bad = spark.range(0, 5).selectExpr("id AS k", "id * -1 AS v")
+    sink(bad, 0)
+    entries = txlog._list_entries(root)
+    assert [e["op"] for e in entries] == ["audit_reject"]
+    assert entries[0]["failed_expectations"] == ["v_nonneg"]
+    # replay yields zero files but schema_json shapes the empty read
+    got = txlog.read_table(spark, root)
+    assert got.columns == ["k", "v"] and got.count() == 0
+    # replaying the same batch id is an exactly-once no-op (stays rejected)
+    sink(bad, 0)
+    assert len(txlog._list_entries(root)) == 1
+    # a clean batch then publishes normally on top of the rejection
+    good = spark.range(0, 5).selectExpr("id AS k", "id * 2 AS v")
+    sink(good, 1)
+    assert txlog.read_table(spark, root).count() == 5
+    assert [e["op"] for e in txlog._list_entries(root)] == [
+        "audit_reject",
+        "append",
+    ]
