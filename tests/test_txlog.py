@@ -2414,3 +2414,123 @@ def test_foreach_batch_wap_sink_rejects_and_reads_empty(spark, tmp_path):
         "audit_reject",
         "append",
     ]
+
+
+def test_distributed_bloom_build_matches_serial(spark, tmp_path):
+    """The executor-side bloom build (JVM md5 positions + applyInPandas
+    bitset packing) must produce BIT-IDENTICAL sidecars to the serial
+    pyarrow path — same md5 positions means sidecars from either writer
+    interoperate.  Covers int + string columns, nulls, negative ints, and
+    an all-null file column (all-zero bloom)."""
+    import os as _os
+
+    root = str(tmp_path / "bl")
+    txlog.set_bloom_columns(root, ["k", "s"], m_bits=2048, k_hashes=3)
+    df = spark.range(0, 500).selectExpr(
+        "CAST(id - 250 AS BIGINT) AS k",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE CONCAT('u-', id) END AS s",
+        "id * 2 AS v",
+    ).repartition(4)
+    # force the DISTRIBUTED path (500 rows sit under the size-adaptive
+    # dispatch threshold, which would keep the serial loop)
+    _os.environ["SPARK_GRAFT_BLOOM_DIST_THRESHOLD"] = "0"
+    txlog.append_table(df, root)
+    # the committed entry used the distributed path (spark passed)
+    entry = txlog._list_entries(root)[0]
+    got = entry["bloom"]
+    assert got, "no blooms recorded"
+    rel_dir = os.path.dirname(next(iter(got)))
+    import glob as _glob
+
+    parts = sorted(
+        _glob.glob(os.path.join(root, rel_dir, "**", "*.parquet"), recursive=True)
+    )
+    serial = txlog._build_part_blooms_serial(
+        root, parts, txlog._read_bloom_config(root)
+    )
+    assert got == serial
+    # an all-null indexed column still writes an all-zero bloom
+    import base64
+
+    allnull = spark.createDataFrame(
+        [(None, None, 1)], "k bigint, s string, v bigint"
+    ).coalesce(1)
+    try:
+        txlog.append_table(allnull, root)
+    finally:
+        del _os.environ["SPARK_GRAFT_BLOOM_DIST_THRESHOLD"]
+    e1 = txlog._list_entries(root)[1]["bloom"]
+    (only,) = e1.values()
+    assert set(only) == {"k", "s"}
+    for c in ("k", "s"):
+        assert base64.b64decode(only[c]["bits"]) == bytes(2048 // 8)
+    serial1 = txlog._build_part_blooms_serial(
+        root,
+        sorted(
+            _glob.glob(
+                os.path.join(root, os.path.dirname(next(iter(e1))), "**", "*.parquet"),
+                recursive=True,
+            )
+        ),
+        txlog._read_bloom_config(root),
+    )
+    assert e1 == serial1
+
+
+def test_commit_backend_seam_object_store_semantics(spark, tmp_path):
+    """The atomic-claim primitive is a swappable seam (VERDICT r6 #2): an
+    object-store-style backend — pure put-if-absent, no tmp file, no
+    claim recovery — drives the SAME commit machinery: appends land,
+    same-version races surface TxLogConflict, and the commuting-append
+    retry resolves them.  This is the conditional-PUT mapping the 100 TB
+    deployment swaps in (S3 If-None-Match / GCS generation-match)."""
+
+    class PutIfAbsentBackend(txlog.CommitBackend):
+        def __init__(self):
+            self.puts = 0
+
+        def publish(self, path, payload):
+            self.puts += 1
+            if os.path.exists(path):  # the conditional-PUT precondition
+                raise txlog.TxLogConflict(f"precondition failed: {path}")
+            tmp = path + ".obj"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.rename(tmp, path)
+
+    backend = PutIfAbsentBackend()
+    prev = txlog.set_commit_backend(backend)
+    try:
+        root = str(tmp_path / "obj")
+        assert txlog.append_table(_df(spark, 0, 5), root) == 0
+        assert txlog.append_table(_df(spark, 5, 10), root) == 1
+        assert backend.puts == 2
+        assert txlog.read_table(spark, root).count() == 10
+        # a lost race: competing entry already at the next version name —
+        # the commuting append retries onto the version after it
+        competing = os.path.join(root, "_log", "00000002.json")
+        import json as _json
+
+        with open(competing, "w") as f:
+            _json.dump(
+                {
+                    "version": 2,
+                    "op": "append",
+                    "files": [],
+                    "schema": _df(spark, 0, 1).schema.simpleString(),
+                    "schema_json": _df(spark, 0, 1).schema.json(),
+                },
+                f,
+            )
+        assert txlog.append_table(_df(spark, 10, 15), root) == 3
+        # a NON-commuting commit surfaces the conflict instead
+        with open(os.path.join(root, "_log", "00000004.json"), "w") as f:
+            _json.dump(
+                {"version": 4, "op": "append", "files": [],
+                 "schema": _df(spark, 0, 1).schema.simpleString(),
+                 "schema_json": _df(spark, 0, 1).schema.json()}, f,
+            )
+        with pytest.raises(txlog.TxLogConflict):
+            txlog.append_table(_df(spark, 15, 20), root, expected_version=3)
+    finally:
+        txlog.set_commit_backend(prev)
