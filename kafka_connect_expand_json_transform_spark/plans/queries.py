@@ -6498,6 +6498,129 @@ def kafka_wire_pipeline(spark, sf_dir):
     )
 
 
+_SQL_KAFKA_WIRE_SINK = """
+    WITH r AS (SELECT g AS i FROM generate_series(0, 1999) AS t(g))
+    SELECT 't' || CAST(i % 7 AS VARCHAR) AS tag,
+           COUNT(*) AS n,
+           CAST(SUM(i % 100) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT i % 50) AS BIGINT) AS n_uids,
+           CAST(SUM(i) AS BIGINT) AS sum_offsets
+    FROM r GROUP BY 1
+"""
+
+
+@query("kafka_wire_sink_roundtrip", _SQL_KAFKA_WIRE_SINK)
+def kafka_wire_sink_roundtrip(spark, sf_dir):
+    """The SINK direction of the wire-format loop (VERDICT r06 ask#5 —
+    `kafka_wire_pipeline` proves bytes -> decode -> expand; this proves the
+    inverse, the last non-broker [REF] hop: ExpandJson returns records TO
+    the pipeline, ExpandJson.java:103,128, and the framework's converter
+    re-serializes them to the broker).  Records from the
+    ``connect_records`` source are EXPANDED (`from_connect_config`, the
+    SMT role), then the producer-side JsonConverter role runs in reverse:
+    the expanded struct is re-enveloped as ``schemas.enable=true`` wire
+    bytes (schema node derived from the struct type + to_json payload),
+    framed with its kafka coordinates, and written through the
+    two-phase-commit ``jsonl_sink`` (tasks stage dot-tmp files, the driver
+    renames on commit — bytes carried base64, NDJSON is a text format).
+    The files are then RE-READ, unframed (envelope schema VALIDATED field
+    by field, payload extracted), and aggregated — record i is a pure
+    function of i, so DuckDB reproduces the whole produce/consume loop
+    with generate_series arithmetic.  Scale: every step is a narrow
+    codegen'd projection over the partition-parallel source; the 2PC sink
+    commits one rename per task; only the final aggregate shuffles."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources.kafka import (
+        expand_kafka_records,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.python_datasource import (
+        register,
+        register_sink,
+    )
+    from pyspark.sql.types import IntegerType, StringType, StructField
+    from pyspark.sql.types import StructType as _St
+
+    register(spark)
+    register_sink(spark)
+    rec = (
+        spark.read.format("connect_records")
+        .option("rows", 2000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    payload = _St(
+        [StructField("k", IntegerType(), True), StructField("tag", StringType(), True)]
+    )
+    # the SMT role: expand the topic's JSON value into a typed struct
+    expanded = expand_kafka_records(rec, side="value", schema=payload)
+    # producer-side JsonConverter role (reverse): struct -> envelope bytes.
+    # The schema node is what JsonConverter derives from the Connect
+    # Schema ExpandJson built (KIP-301 rules: int32 for int, string for
+    # text) — the bytes a sink task hands the broker.
+    val_env = F.concat(
+        F.lit(
+            '{"schema":{"type":"struct","fields":'
+            '[{"field":"k","type":"int32"},{"field":"tag","type":"string"}]},'
+            '"payload":'
+        ),
+        F.to_json(F.col("value")),
+        F.lit("}"),
+    )
+    key_env = F.concat(
+        F.lit(
+            '{"schema":{"type":"struct","fields":'
+            '[{"field":"uid","type":"int32"}]},"payload":'
+        ),
+        F.col("key"),
+        F.lit("}"),
+    )
+    framed = expanded.select(
+        F.base64(F.encode(key_env, "UTF-8")).alias("key_b64"),
+        F.base64(F.encode(val_env, "UTF-8")).alias("value_b64"),
+        "topic",
+        "partition",
+        "offset",
+    )
+    tmp = tempfile.mkdtemp(prefix="kafka_wire_sink_q_")
+    try:
+        framed.write.format("jsonl_sink").option("path", tmp).mode("append").save()
+        # consumer side: re-read the framed records, unframe, validate
+        back = spark.read.schema(
+            "key_b64 string, value_b64 string, topic string, "
+            "partition bigint, offset bigint"
+        ).json(tmp)
+        vstr = F.decode(F.unbase64("value_b64"), "UTF-8")
+        kstr = F.decode(F.unbase64("key_b64"), "UTF-8")
+        ok = (
+            (F.get_json_object(vstr, "$.schema.type") == F.lit("struct"))
+            & (F.get_json_object(vstr, "$.schema.fields[0].field") == F.lit("k"))
+            & (F.get_json_object(vstr, "$.schema.fields[0].type") == F.lit("int32"))
+            & (F.get_json_object(vstr, "$.schema.fields[1].field") == F.lit("tag"))
+        )
+        out = (
+            back.where(ok)
+            .select(
+                F.get_json_object(vstr, "$.payload.tag").alias("tag"),
+                F.get_json_object(vstr, "$.payload.k").cast("int").alias("k"),
+                F.get_json_object(kstr, "$.payload.uid").cast("int").alias("uid"),
+                "offset",
+            )
+            .groupBy("tag")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("k").cast("bigint").alias("sum_k"),
+                F.count_distinct("uid").cast("bigint").alias("n_uids"),
+                F.sum("offset").cast("bigint").alias("sum_offsets"),
+            )
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_SCHEMA_EVOLUTION = """
     WITH v1 AS (
       SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
@@ -19554,13 +19677,25 @@ def stream_txlog_cdf_e2e(spark, sf_dir):
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
-            q = (
+            # aggregate INSIDE the stream (complete mode): the consumer
+            # materializes the rollup, never raw change rows — a raw
+            # memory sink collects data-scale rows on the driver (the
+            # sf10 probe measured that collect at ~50 s for 10.5 M rows
+            # vs ~9 s with the aggregate in-stream; SCALE.md round 7)
+            agg = (
                 spark.readStream.format("txlogcdf")
                 .option("path", root)
                 .load()
-                .writeStream.format("memory")
+                .groupBy("_commit_version", "_change_type")
+                .agg(
+                    F.count("*").cast("bigint").alias("n"),
+                    F.sum("cents").cast("bigint").alias("sum_cents"),
+                )
+            )
+            q = (
+                agg.writeStream.format("memory")
                 .queryName(name)
-                .outputMode("append")
+                .outputMode("complete")
                 .start()
             )
             deadline = time.time() + 120
@@ -19572,10 +19707,7 @@ def stream_txlog_cdf_e2e(spark, sf_dir):
             q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-        return spark.table(name).groupBy("_commit_version", "_change_type").agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.sum("cents").cast("bigint").alias("sum_cents"),
-        )
+        return spark.table(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -3018,6 +3018,58 @@ def _named_columns(table, names: list[str]) -> list[list]:
     return out
 
 
+def _shape_to_stream_batches(table, schema_json: str, constants=None):
+    """Shape a pyarrow table to the stream source's Spark schema and
+    return Arrow RecordBatches — the columnar fast path of the Python
+    DataSource read contract (a per-row tuple yield pickles every value
+    across the Python/JVM boundary; at the sf10 probe that was ~78 s for
+    10.5 M CDF rows vs ~7 s as batches).  Columns map BY NAME
+    (pre-evolution files null-fill), dictionary-encoded hive partition
+    columns decode, and every column casts to the exact Arrow type Spark
+    itself derives from the schema (``to_arrow_schema`` — so int widening,
+    date partitions, and decimal promotion all land typed).  ``constants``
+    appends literal columns (``_commit_version`` etc.) vectorized, never a
+    Python list.  Returns a LIST (built eagerly): the worker dispatches on
+    the FIRST yielded element's type, so a reader must never mix tuple and
+    batch yields."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
+    n = table.num_rows
+    constants = constants or {}
+    arrays = []
+    for field in target:
+        if field.name in constants:
+            arrays.append(
+                pc.fill_null(
+                    pa.nulls(n, field.type),
+                    pa.scalar(constants[field.name], field.type),
+                )
+            )
+        elif field.name in table.column_names:
+            arr = table.column(field.name)
+            if pa.types.is_dictionary(arr.type):
+                arr = pc.cast(arr, arr.type.value_type)
+            if (
+                pa.types.is_timestamp(arr.type)
+                and arr.type.tz is None
+                and pa.types.is_timestamp(field.type)
+                and field.type.tz is not None
+            ):
+                # naive parquet instants are UTC wall-clock in this log
+                arr = pc.assume_timezone(arr, "UTC")
+            if arr.type != field.type:
+                arr = pc.cast(arr, field.type)
+            arrays.append(arr)
+        else:
+            arrays.append(pa.nulls(n, field.type))
+    shaped = pa.table(arrays, schema=target)
+    return list(shaped.to_batches(max_chunksize=1 << 16))
+
+
 def register_stream_source(spark: SparkSession) -> None:
     """Register the ``txlogstream`` Python DataSource: a STREAMING source
     over a txlog table with transactional visibility — each micro-batch is
@@ -3049,12 +3101,14 @@ def register_stream_source(spark: SparkSession) -> None:
         end: int  # inclusive
         col_names: tuple
         col_types: tuple  # simpleString per column, aligned with col_names
+        schema_json: str = ""  # full Spark schema for the Arrow fast path
 
     class TxLogStreamReader(DataSourceStreamReader):
-        def __init__(self, options, col_names, col_types):
+        def __init__(self, options, col_names, col_types, schema_json=""):
             self.root = options["path"]
             self.col_names = tuple(col_names)
             self.col_types = tuple(col_types)
+            self.schema_json = schema_json
 
         def initialOffset(self) -> dict:
             return {"version": -1}
@@ -3071,57 +3125,27 @@ def register_stream_source(spark: SparkSession) -> None:
                     int(end["version"]),
                     self.col_names,
                     self.col_types,
+                    self.schema_json,
                 )
             ]
 
         def read(self, partition):
-            import pyarrow as pa
-            import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
-            arrow_by_simple = {
-                "string": pa.string(), "bigint": pa.int64(),
-                "int": pa.int32(), "smallint": pa.int16(),
-                "tinyint": pa.int8(), "double": pa.float64(),
-                "float": pa.float32(), "boolean": pa.bool_(),
-                "date": pa.date32(),
-                # Spark's Arrow interchange uses microsecond precision
-                "timestamp": pa.timestamp("us"),
-                "timestamp_ntz": pa.timestamp("us"),
-            }
-
-            def arrow_target(simple: str):
-                m = re.fullmatch(r"decimal\((\d+),(\d+)\)", simple)
-                if m:
-                    return pa.decimal128(int(m.group(1)), int(m.group(2)))
-                return arrow_by_simple.get(simple, pa.string())
             entries = _list_entries(partition.root)
-            part_cols = set(_table_partition_by(entries) or ())
             for e in entries:
                 if not (partition.start < e["version"] <= partition.end):
                     continue
                 for rel in e["files"]:
                     table = pq.read_table(os.path.join(partition.root, rel))
-                    if part_cols:
-                        # hive partition columns come back dictionary-encoded
-                        # with INFERRED types (g=1 infers int32); cast them
-                        # to the LOG schema's type so rows match the stream
-                        for c in part_cols & set(table.column_names):
-                            idx = table.column_names.index(c)
-                            simple = dict(
-                                zip(partition.col_names, partition.col_types)
-                            ).get(c, "string")
-                            target = arrow_target(simple)
-                            arr = table.column(idx)
-                            if pa.types.is_dictionary(arr.type):
-                                arr = pc.cast(arr, arr.type.value_type)
-                            if arr.type != target:
-                                arr = pc.cast(arr, target)
-                            table = table.set_column(idx, c, arr)
-                    # map by NAME against the log schema (never file column
-                    # position): pre-evolution files null-fill widened columns
-                    yield from zip(
-                        *_named_columns(table, list(partition.col_names))
+                    # _shape_to_stream_batches owns the whole mapping: by
+                    # NAME against the LOG schema (pre-evolution files
+                    # null-fill widened columns), hive partition columns
+                    # decoded from their inferred dictionary type and cast
+                    # to the schema's type (date/timestamp/decimal incl. —
+                    # ADVICE r6 #2), all yielded as Arrow batches
+                    yield from _shape_to_stream_batches(
+                        table, partition.schema_json
                     )
 
         def commit(self, end: dict) -> None:
@@ -3153,6 +3177,7 @@ def register_stream_source(spark: SparkSession) -> None:
                 self.options,
                 [f.name for f in schema.fields],
                 [f.dataType.simpleString() for f in schema.fields],
+                schema.json(),
             )
 
     spark.dataSource.register(TxLogStreamSource)
@@ -3189,11 +3214,13 @@ def register_cdf_stream_source(spark: SparkSession) -> None:
         start: int  # exclusive
         end: int  # inclusive
         col_names: tuple
+        schema_json: str = ""  # full Spark schema for the Arrow fast path
 
     class TxLogCdfReader(DataSourceStreamReader):
-        def __init__(self, options, col_names):
+        def __init__(self, options, col_names, schema_json=""):
             self.root = options["path"]
             self.col_names = tuple(col_names)
+            self.schema_json = schema_json
 
         def initialOffset(self) -> dict:
             return {"version": -1}
@@ -3209,17 +3236,13 @@ def register_cdf_stream_source(spark: SparkSession) -> None:
                     int(start["version"]),
                     int(end["version"]),
                     self.col_names,
+                    self.schema_json,
                 )
             ]
 
         def read(self, partition):
             import pyarrow.parquet as pq
 
-            base_cols = [
-                c
-                for c in partition.col_names
-                if c not in ("_change_type", "_commit_version")
-            ]
             entries = _list_entries(partition.root)
             for e in entries:
                 v = e["version"]
@@ -3228,8 +3251,16 @@ def register_cdf_stream_source(spark: SparkSession) -> None:
                 if e["op"] == "append":
                     for rel in e["files"]:
                         t = pq.read_table(os.path.join(partition.root, rel))
-                        for row in zip(*_named_columns(t, base_cols)):
-                            yield row + ("insert", v)
+                        # whole-version constants ride as vectorized
+                        # literal columns; data columns map by name
+                        yield from _shape_to_stream_batches(
+                            t,
+                            partition.schema_json,
+                            constants={
+                                "_change_type": "insert",
+                                "_commit_version": v,
+                            },
+                        )
                 else:
                     cpath = _changes_path(partition.root, v)
                     if not os.path.isdir(cpath):
@@ -3240,10 +3271,11 @@ def register_cdf_stream_source(spark: SparkSession) -> None:
                             "diff fallback"
                         )
                     t = pq.read_table(cpath)
-                    for row in zip(
-                        *_named_columns(t, base_cols + ["_change_type"])
-                    ):
-                        yield row + (v,)
+                    yield from _shape_to_stream_batches(
+                        t,
+                        partition.schema_json,
+                        constants={"_commit_version": v},
+                    )
 
         def commit(self, end: dict) -> None:
             pass
@@ -3275,6 +3307,8 @@ def register_cdf_stream_source(spark: SparkSession) -> None:
             raise ValueError("txlog table has no schema_json entries")
 
         def streamReader(self, schema):
-            return TxLogCdfReader(self.options, [f.name for f in schema.fields])
+            return TxLogCdfReader(
+                self.options, [f.name for f in schema.fields], schema.json()
+            )
 
     spark.dataSource.register(TxLogCdfSource)
