@@ -22640,81 +22640,72 @@ def sql_pipe_syntax_agg(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # ROUND-6 ROTATION (VERDICT r05 ask#1) + mid-round refresh: 23 slots
-    # rotated to never-checked names at round start; 7 more slots then
-    # swapped to the round-6-session-born capabilities (MoR deletion
-    # vectors + compaction, event-time timer sessions, SQL pipe syntax,
-    # SQ8 quantization, incremental ZORDER, delta-join IVM) — every
-    # rotated-out name keeps >=1 green driver row and a family sibling
-    # in-window or in tests/test_oracle_parity.py.
-    # Original round-start note: 23 slots rotate to names that
-    # have NEVER had a driver CORRECTNESS row (252 unchecked after r05) —
-    # the text-analysis five, dedup/minhash band internals, session/static
-    # stream e2e, pit join, the expand observability/variant pair, the
-    # round-5-born Connect-SMT / txlog-bloom/clone/widening families, the
-    # crypto/PII/tokenizer censuses, the new kafka_wire_pipeline ([REF]
-    # wire-format gap, ask#5), and rfm_segmentation proving the new
-    # exact_ntile two-phase rank path (ask#2).  27 sentinels stay: one per
-    # proven family (every rotated-out name keeps >=2 green rows and a
-    # family sibling in-window or in tests/test_oracle_parity.py).
-    # [REF] expand core + source connectors
-    "expand_props_agg",        # §2.1-1 field mode + inference (sentinel, 5 rows)
-    "observed_expand_metrics", # §2.1-8 observe()-based parse metrics (FIRST ROW)
-    "variant_explode_props",   # variant per-record typing + explode (FIRST ROW)
-    "kafka_wire_pipeline",     # Kafka-framed envelope bytes e2e (NEW r6, ask#5)
-    "variant_shredded_roundtrip_agg",  # shredded variant parquet trip (1 row)
-    "binaryfile_source_stats", # binaryFile source (1 row)
-    # Connect SMT surface (round-5-born, first driver rows)
-    "connect_smt_chain_pipeline",  # 13-SMT chain from connector props (FIRST ROW)
-    "connect_dlq_pipeline",        # DLQ split + context headers (FIRST ROW)
-    "stream_smt_chain_e2e",        # SMT chain on a real stream (FIRST ROW)
-    # txlog lakehouse: 1-row names stay, round-5-born earn first rows
-    "stream_timeout_sessions_e2e",  # event-time TIMER emission (NEW r6 session)
-    "txlog_incremental_zorder_agg",  # INCREMENTAL zorder maintenance (NEW r6)
-    "txlog_schema_evolution_agg", # widening append + log-owned schema (1 row)
-    "txlog_bloom_point_lookups",  # per-file blooms, batched needles (FIRST ROW)
-    "txlog_clone_branch_agg",     # zero-copy branch + CoW divergence (FIRST ROW)
-    "txlog_type_widening_agg",    # type-promotion evolution (FIRST ROW)
-    "stream_txlog_source_e2e", # txlogstream streaming source (1 row)
-    "stream_txlog_merge_e2e",  # per-micro-batch ACID merge (1 row)
-    "stream_txlog_cdf_e2e",    # txlogcdf streaming CDF source (1 row)
-    "incremental_agg_maintenance",  # CDF-delta materialized-agg refresh (1 row)
+    # ROUND-7 ROTATION (VERDICT r06 ask#1): 32 slots rotate to names that
+    # have NEVER had a driver CORRECTNESS row (241 unchecked after r06) —
+    # the ENTIRE TPC-H pack 2 (the subquery-decorrelation showcase had
+    # zero driver rows), the round-6-born txlog MoR/WAP/partitioned names,
+    # the five unchecked streaming e2e, both wire-format directions
+    # (incl. the new kafka_wire_sink_roundtrip, ask#5), and five headline
+    # LLM-ops/format names.  18 sentinels stay — one per proven family;
+    # every rotated-out name keeps >=1 green driver row and a family
+    # sibling in-window or in tests/test_oracle_parity.py.
+    # [REF] expand core + wire formats + connectors
+    "expand_props_agg",        # §2.1-1 field mode + inference (sentinel)
+    "expand_rescued_drift",    # _rescued_data schema-drift column (FIRST ROW)
+    "variant_explode_props",   # variant per-record typing (sentinel, 1 row)
+    "kafka_wire_pipeline",     # wire format, CONSUME direction (1 row)
+    "kafka_wire_sink_roundtrip",  # wire format, PRODUCE direction (NEW r7, ask#5)
+    "schema_registry_wire_pipeline",  # Confluent wire format (FIRST ROW)
+    "connect_smt_chain_pipeline",  # SMT chain sentinel (1 row)
+    "binaryfile_source_stats", # binaryFile / multimodal sentinel (2 rows)
+    "orc_roundtrip_agg",       # ORC source/sink roundtrip (FIRST ROW)
+    # TPC-H pack 2 — all 15 earn their first driver rows (ask#1)
+    "q4_order_priority",       # EXISTS decorrelation (FIRST ROW)
+    "q7_volume_shipping",      # multi-join + disjunctive nation pairs (FIRST ROW)
+    "q8_market_share",         # 8-table join + conditional share (FIRST ROW)
+    "q9_product_profit",       # LIKE filter + profit arithmetic (FIRST ROW)
+    "q11_important_parts",     # scalar-subquery HAVING threshold (FIRST ROW)
+    "q12_late_shipments",      # CASE aggregation on dates (FIRST ROW)
+    "q13_customer_distribution",  # left join + count distribution (FIRST ROW)
+    "q14_promo_revenue",       # conditional ratio (FIRST ROW)
+    "q15_top_supplier",        # view/CTE + max-equality join (FIRST ROW)
+    "q16_supplier_part_cnt",   # NOT IN subquery + distinct count (FIRST ROW)
+    "q17_small_quantity_revenue",  # correlated avg subquery (FIRST ROW)
+    "q18_large_volume_customers",  # IN over grouped HAVING (FIRST ROW)
+    "q19_disjunctive_revenue", # 3-arm OR predicate pushdown (FIRST ROW)
+    "q20_dominant_suppliers",  # nested correlated subqueries (FIRST ROW)
+    "q22_dormant_customers",   # anti-join + scalar avg subquery (FIRST ROW)
+    # txlog lakehouse: round-6-born names earn first rows; live sentinels
+    "txlog_mor_merge_agg",     # MoR MERGE (DV + postimage atomic) (FIRST ROW)
+    "txlog_mor_update_agg",    # MoR UPDATE via deletion vectors (FIRST ROW)
+    "txlog_wap_pipeline",      # write-audit-publish gate (FIRST ROW)
+    "txlog_partitioned_pruning_agg",  # hive layout + stats pruning (FIRST ROW)
+    "txlog_skipping_agg",      # footer-stats file skipping (FIRST ROW)
+    "txlog_bloom_point_lookups",  # blooms — DISTRIBUTED build this round (1 row)
+    "stream_txlog_cdf_e2e",    # CDF stream — Arrow-batch reader this round (1 row)
+    # streaming e2e: the five never-checked names
+    "stream_multibatch_agg_e2e",  # 3 micro-batches, watermark close (FIRST ROW)
+    "stream_sliding_agg_e2e",  # sliding windows on a real stream (FIRST ROW)
+    "stream_txlog_ingest_maintenance_e2e",  # ingest+compact loop (FIRST ROW)
+    "stream_txlog_mor_e2e",    # stream over MoR snapshots (FIRST ROW)
+    "dynamic_session_windows",  # dynamic-gap session windows (FIRST ROW)
+    "stream_timeout_sessions_e2e",  # timer sessions — straggler fix r7 (1 row)
     # relational core + modern SQL surface
-    "q1_pricing_summary",      # R4 aggregation (sentinel, 5 rows)
-    "pit_join_purchases",      # R2 point-in-time join (FIRST ROW)
-    "rfm_segmentation",        # exact_ntile two-phase rank x3 (FIRST ROW, ask#2)
-    "bitmap_distinct_rollup",  # exact distinct via mergeable bitmaps (1 row)
-    "sql_scripting_cumulative",# X3 BEGIN/WHILE + :params + IDENTIFIER (1 row)
-    "sql_udf_pipeline",        # X4 CREATE FUNCTION scalar+table-valued (1 row)
-    "session_vars_execute_immediate",  # X5 session vars + EXEC IMMEDIATE (1 row)
-    "incremental_join_maintenance",    # bilinear delta-join IVM (NEW r6)
-    "collation_insensitive_group",     # X6 UTF8_LCASE collation (1 row)
-    # streaming e2e: never-checked session/static join + state surface
-    "stream_session_windows_e2e",  # T3 session windows on a real stream (FIRST ROW)
-    "stream_static_join_e2e",      # T6 stream-static broadcast join (FIRST ROW)
-    "statestore_reader_agg",   # X7 state-store-as-batch reader (1 row)
+    "q1_pricing_summary",      # R4 aggregation (sentinel)
+    "pit_join_purchases",      # R2 as-of/point-in-time join (1 row)
+    "rfm_segmentation",        # exact_ntile two-phase rank (1 row)
+    "sql_pipe_syntax_agg",     # Spark 4 SQL pipe operators |> (1 row)
+    "incremental_agg_maintenance",  # CDF-delta IVM sentinel (2 rows)
+    "statestore_reader_agg",   # X7 state-store-as-batch reader (2 rows)
     # UDF surfaces
-    "udtf_table_partition_stats", # U3 UDTF TABLE arg + PARTITION BY (1 row)
-    "embedding_sq8_census",    # INT8 scalar-quantization codebook (NEW r6)
-    "applyinarrow_centroid",   # U4 applyInArrow (1 row)
-    "sql_pipe_syntax_agg",     # Spark 4 SQL pipe operators |> (NEW r6 session)
-    # LLM-ops: dedup internals + the never-checked text-analysis family
-    "dedup_exact_keep_min",    # L1 exact dedup keep-min semi-join (FIRST ROW)
-    "minhash_band_candidates", # L2 banded MinHash candidate stage (FIRST ROW)
-    "langid_distribution",     # L4 n-gram language ID census (FIRST ROW)
-    "text_quality_by_lang",    # L4 quality scoring by language (FIRST ROW)
-    "token_counts",            # L4 whitespace+BPE-ish token census (FIRST ROW)
-    "doc_fingerprints",        # L1 rolling-hash fingerprints (FIRST ROW)
-    "winnowing_fingerprints",  # L1 winnowing fingerprint selection (FIRST ROW)
-    "tokenizer_fertility_report",  # BPE fertility census (FIRST ROW)
-    "pii_luhn_census",         # L4 Luhn-checked PII census (FIRST ROW)
-    "aes_roundtrip_report",    # crypto column round-trip (FIRST ROW)
-    "url_domain_cap_census",   # L4 FineWeb per-domain doc cap (1 row)
-    "c4_line_filter_census",   # L4 C4 line-level filter census (1 row)
-    "utf8_repair_census",      # L4 mojibake triage (1 row)
-    # graph pack
-    "txlog_mor_delete_agg",    # MoR deletion vectors (NEW r6, first row)
-    "txlog_mor_compact_agg",   # MoR lifecycle: DV -> compact reset (NEW r6)
+    "udtf_table_partition_stats",  # U3 UDTF TABLE + PARTITION BY (2 rows)
+    # LLM-ops: headline chains earn first rows; family sentinels stay
+    "simhash_md5_pipeline",    # SimHash near-dup chain, md5 twin (FIRST ROW)
+    "minhash_band_candidates", # banded candidate stage (sentinel, 1 row)
+    "curation_pipeline_md5",   # headline curation chain, md5 twin (FIRST ROW)
+    "lsh_md5_topk",            # LSH ANN with deterministic md5 twin (FIRST ROW)
+    "embedding_sq8_census",    # INT8 scalar quantization (1 row)
+    "langid_distribution",     # text-analysis family sentinel (1 row)
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 

@@ -531,40 +531,39 @@ def test_driver_window_composition():
     assert first50 == _DRIVER_WINDOW
     missing_oracles = [n for n in first50 if n not in ORACLES]
     assert not missing_oracles, missing_oracles
-    # round-6 rotation (VERDICT r05 ask#1) + mid-round refresh: sentinels
-    # for the proven surface, 23 never-driver-checked names from the round
-    # start, and 7 slots swapped to the round-6-session-born capabilities
+    # round-7 rotation (VERDICT r06 ask#1): 18 family sentinels + 32
+    # never-driver-checked names (all 15 TPC-H pack 2, the round-6-born
+    # txlog MoR/WAP/partitioned names, the 5 unchecked streaming e2e,
+    # both wire-format directions, 5 headline LLM-ops/format names)
     must_have = {
-        # sentinels kept from prior rounds
-        "expand_props_agg", "q1_pricing_summary",
-        "variant_shredded_roundtrip_agg", "binaryfile_source_stats",
-        "txlog_schema_evolution_agg", "stream_txlog_source_e2e",
-        "stream_txlog_merge_e2e", "stream_txlog_cdf_e2e",
-        "incremental_agg_maintenance", "bitmap_distinct_rollup",
-        "sql_scripting_cumulative", "sql_udf_pipeline",
-        "session_vars_execute_immediate",
-        "collation_insensitive_group", "statestore_reader_agg",
-        "udtf_table_partition_stats",
-        "applyinarrow_centroid",
-        "url_domain_cap_census", "c4_line_filter_census",
-        "utf8_repair_census",
-        # round-6 first-driver-row names
-        "observed_expand_metrics", "variant_explode_props",
-        "kafka_wire_pipeline", "connect_smt_chain_pipeline",
-        "connect_dlq_pipeline", "stream_smt_chain_e2e",
-        "txlog_bloom_point_lookups", "txlog_clone_branch_agg",
-        "txlog_type_widening_agg", "pit_join_purchases",
-        "rfm_segmentation", "stream_session_windows_e2e",
-        "stream_static_join_e2e", "dedup_exact_keep_min",
+        # family sentinels (every one has >=1 green driver row)
+        "expand_props_agg", "variant_explode_props", "kafka_wire_pipeline",
+        "connect_smt_chain_pipeline", "binaryfile_source_stats",
+        "txlog_bloom_point_lookups", "stream_txlog_cdf_e2e",
+        "stream_timeout_sessions_e2e", "q1_pricing_summary",
+        "pit_join_purchases", "rfm_segmentation", "sql_pipe_syntax_agg",
+        "incremental_agg_maintenance", "statestore_reader_agg",
+        "udtf_table_partition_stats", "embedding_sq8_census",
         "minhash_band_candidates", "langid_distribution",
-        "text_quality_by_lang", "token_counts", "doc_fingerprints",
-        "winnowing_fingerprints", "tokenizer_fertility_report",
-        "pii_luhn_census", "aes_roundtrip_report",
-        # round-6-session capabilities earning first rows (7 swaps)
-        "stream_timeout_sessions_e2e", "txlog_incremental_zorder_agg",
-        "sql_pipe_syntax_agg", "embedding_sq8_census",
-        "incremental_join_maintenance", "txlog_mor_delete_agg",
-        "txlog_mor_compact_agg",
+        # TPC-H pack 2 — first driver rows
+        "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q11_important_parts", "q12_late_shipments",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_supplier_part_cnt",
+        "q17_small_quantity_revenue", "q18_large_volume_customers",
+        "q19_disjunctive_revenue", "q20_dominant_suppliers",
+        "q22_dormant_customers",
+        # txlog round-6-born — first driver rows
+        "txlog_mor_merge_agg", "txlog_mor_update_agg", "txlog_wap_pipeline",
+        "txlog_partitioned_pruning_agg", "txlog_skipping_agg",
+        # streaming e2e — first driver rows
+        "stream_multibatch_agg_e2e", "stream_sliding_agg_e2e",
+        "stream_txlog_ingest_maintenance_e2e", "stream_txlog_mor_e2e",
+        "dynamic_session_windows",
+        # wire formats + LLM-ops/format — first driver rows
+        "kafka_wire_sink_roundtrip", "schema_registry_wire_pipeline",
+        "expand_rescued_drift", "orc_roundtrip_agg",
+        "simhash_md5_pipeline", "curation_pipeline_md5", "lsh_md5_topk",
     }
     assert must_have <= set(first50), must_have - set(first50)
 
