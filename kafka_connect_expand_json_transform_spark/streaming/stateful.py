@@ -87,6 +87,50 @@ def running_aggregate(
     )
 
 
+def _merge_sessionize(ts, gap_ms: int, stored):
+    """The sessionization core shared by ``timeout_sessions`` (aPWS) and
+    ``timeout_sessions_tws`` (transformWithStateInPandas) — one
+    implementation, so the two APIs cannot drift semantically.
+
+    ``ts``: sorted int64 epoch-ms numpy array; ``stored``: the open
+    session ``(start_ms, end_ms, n)`` or None.  Returns
+    ``(closed_starts, closed_ns, open_state)`` where the arrays hold the
+    sessions this batch CLOSED and ``open_state`` is the new trailing open
+    session.  In-watermark stragglers at or before the stored end merge by
+    min(start) without moving the end backwards and without participating
+    in the gap-diff (see timeout_sessions' docstring)."""
+    import numpy as np
+
+    start_merged = None
+    if stored is not None:
+        start_ms, end_ms, n0 = stored
+        inside = int(np.searchsorted(ts, end_ms, side="right"))
+        n_merged = n0 + inside
+        start_merged = min(start_ms, int(ts[0])) if inside else start_ms
+        ts = ts[inside:]
+        if len(ts) == 0:
+            # pure straggler batch: absorbed; end (and timer) unchanged
+            empty = np.empty(0, dtype=np.int64)
+            return empty, empty, (start_merged, end_ms, n_merged)
+    # VECTORIZED sessionization (the per-row python loop measured
+    # ~21-31 us/row at the sf1/sf10 smokes — 314 s for 10 M rows; the
+    # numpy split is the same semantics at array speed): a session break
+    # sits wherever the inter-event gap reaches gap_ms
+    starts = np.flatnonzero(np.diff(ts) >= gap_ms) + 1  # segment starts
+    bounds = np.concatenate(([0], starts, [len(ts)]))
+    seg_start = ts[bounds[:-1]]
+    seg_n = np.diff(bounds)
+    if start_merged is not None:
+        if int(ts[0]) - end_ms < gap_ms:  # first segment extends it
+            seg_start[0] = start_merged
+            seg_n[0] += n_merged
+        else:  # the stored open session closes ahead of every segment
+            seg_start = np.concatenate(([start_merged], seg_start))
+            seg_n = np.concatenate(([n_merged], seg_n))
+    open_state = (int(seg_start[-1]), int(ts[-1]), int(seg_n[-1]))
+    return seg_start[:-1], seg_n[:-1], open_state
+
+
 def timeout_sessions(
     df: DataFrame,
     key: str,
@@ -152,49 +196,22 @@ def timeout_sessions(
         if not chunks:  # defensive: no data, keep state as-is
             return
         ts = np.sort(np.concatenate(chunks))
-        # seed with the open session from state.  An IN-WATERMARK straggler
-        # micro-batch may carry events at or before the stored session's
-        # end (multi-batch streams don't deliver per-key batches in
-        # event-time order) — those merge into the open session by
-        # min(start) and must never move the stored end (or its timer)
-        # backwards, and they must not participate in the gap-diff (a
-        # straggler inside the covered span would manufacture breaks the
-        # session already bridges)
-        start_merged, n_merged = None, 0
-        if state.exists:
-            start_ms, end_ms, n0 = state.get
-            inside = int(np.searchsorted(ts, end_ms, side="right"))
-            n_merged = n0 + inside
-            start_merged = min(start_ms, int(ts[0])) if inside else start_ms
-            ts = ts[inside:]
-            if len(ts) == 0:
-                # pure straggler batch: absorbed; end and timer unchanged
-                state.update((start_merged, end_ms, n_merged))
-                state.setTimeoutTimestamp(end_ms + gap_ms)
-                return
-        # VECTORIZED sessionization (the per-row python loop measured
-        # ~21-31 us/row at the sf1/sf10 smokes — 314 s for 10 M rows; the
-        # numpy split is the same semantics at array speed): a session
-        # break sits wherever the inter-event gap reaches gap_ms
-        starts = np.flatnonzero(np.diff(ts) >= gap_ms) + 1  # segment starts
-        bounds = np.concatenate(([0], starts, [len(ts)]))
-        seg_start = ts[bounds[:-1]]
-        seg_n = np.diff(bounds)
-        if start_merged is not None:
-            if int(ts[0]) - end_ms < gap_ms:  # first segment extends it
-                seg_start[0] = start_merged
-                seg_n[0] += n_merged
-            else:  # the stored open session closes ahead of every segment
-                seg_start = np.concatenate(([start_merged], seg_start))
-                seg_n = np.concatenate(([n_merged], seg_n))
-        state.update((int(seg_start[-1]), int(ts[-1]), int(seg_n[-1])))
-        state.setTimeoutTimestamp(int(ts[-1]) + gap_ms)
-        if len(seg_start) > 1:  # all but the trailing open session are final
+        # _merge_sessionize owns the semantics: gap-diff segmentation plus
+        # the in-watermark straggler merge (events at or before the stored
+        # end merge by min(start), never move the end/timer backwards, and
+        # never manufacture breaks the session already bridges)
+        stored = tuple(state.get) if state.exists else None
+        closed_starts, closed_ns, open_state = _merge_sessionize(
+            ts, gap_ms, stored
+        )
+        state.update(open_state)
+        state.setTimeoutTimestamp(open_state[1] + gap_ms)
+        if len(closed_starts):  # all but the trailing open session are final
             yield pd.DataFrame(
                 {
-                    key: [k[0]] * (len(seg_start) - 1),
-                    "session_start_ms": seg_start[:-1],
-                    "n_events": seg_n[:-1],
+                    key: [k[0]] * len(closed_starts),
+                    "session_start_ms": closed_starts,
+                    "n_events": closed_ns,
                 }
             )
 
@@ -283,4 +300,114 @@ def running_aggregate_tws(
         outputStructType=out_schema,
         outputMode=output_mode,
         timeMode="None",
+    )
+
+
+def timeout_sessions_tws(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_ms: int,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """:func:`timeout_sessions` on the Spark-4-native
+    ``transformWithStateInPandas`` API (VERDICT r06 ask#7 — the migration
+    twin; aPWS workloads are headed to TWS).  Identical semantics by
+    construction: both call :func:`_merge_sessionize` for the straggler-
+    safe gap segmentation; the only API-specific code is the state/timer
+    wiring — TWS exposes FIRST-CLASS named timers (``registerTimer`` /
+    ``deleteTimer`` per key) instead of aPWS's single implicit timeout
+    timestamp, so the open session's timer is explicitly re-pointed as the
+    session extends.
+
+    Same environment needs as :func:`running_aggregate_tws`: the RocksDB
+    state-store provider and ``google.protobuf`` (the TWS state server's
+    protocol) — environments without them keep :func:`timeout_sessions`,
+    which is dependency-free.  Emits ``(key, session_start_ms, n_events)``
+    in append mode, timer-closed like the aPWS twin."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key, df.schema[key].dataType, True),
+            StructField("session_start_ms", LongType(), False),
+            StructField("n_events", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType(), False),
+            StructField("end_ms", LongType(), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("open_session", state_schema)
+
+        def handleInputRows(self, k, rows, timerValues):
+            import numpy as np
+
+            chunks = [
+                p[ts_col].values.astype("datetime64[ms]").astype("int64")
+                for p in rows
+                if len(p)
+            ]
+            if not chunks:
+                return
+            ts = np.sort(np.concatenate(chunks))
+            stored = (
+                tuple(self._state.get()) if self._state.exists() else None
+            )
+            closed_starts, closed_ns, open_state = _merge_sessionize(
+                ts, gap_ms, stored
+            )
+            # re-point the key's session timer at the (possibly extended)
+            # open session's close; TWS timers are explicit, so the stale
+            # one is deleted rather than overwritten
+            if stored is not None:
+                self._handle.deleteTimer(stored[1] + gap_ms)
+            self._handle.registerTimer(open_state[1] + gap_ms)
+            self._state.update(open_state)
+            if len(closed_starts):
+                yield pd.DataFrame(
+                    {
+                        key: [k[0]] * len(closed_starts),
+                        "session_start_ms": closed_starts,
+                        "n_events": closed_ns,
+                    }
+                )
+
+        def handleExpiredTimer(self, k, timerValues, expiredTimerInfo):
+            if not self._state.exists():
+                return
+            start_ms, end_ms, n = self._state.get()
+            # only the LIVE timer (end + gap) closes the session; a stale
+            # timer that survived a crash between delete and re-register
+            # must not emit a still-growing session early
+            if expiredTimerInfo.getExpiryTimeInMs() < end_ms + gap_ms:
+                return
+            self._state.clear()
+            yield pd.DataFrame(
+                {
+                    key: [k[0]],
+                    "session_start_ms": [start_ms],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    watermarked = df.withWatermark(ts_col, watermark_delay)
+    return watermarked.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=Sessionizer(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
     )

@@ -739,3 +739,142 @@ def test_timeout_sessions_in_watermark_straggler_merges(spark, tmp_path):
     }
     # one merged session: 100s + 105s + straggler 102s + 164s extension
     assert got == {("a", 100_000, 4)}
+
+
+def test_merge_sessionize_core_boundaries():
+    """The sessionization core both timer-session operators share
+    (_merge_sessionize): gap breaks, stored-session extension, straggler
+    absorption, and the never-move-end-backwards guarantee — unit-tested
+    directly so the TWS twin (env-gated e2e) rides proven semantics."""
+    import numpy as np
+
+    from kafka_connect_expand_json_transform_spark.streaming.stateful import (
+        _merge_sessionize,
+    )
+
+    gap = 60_000
+
+    def run(ts, stored):
+        s, n, open_state = _merge_sessionize(
+            np.asarray(ts, dtype=np.int64), gap, stored
+        )
+        return list(s), list(n), open_state
+
+    # no state: two sessions split at the gap, trailing one stays open
+    assert run([0, 1_000, 61_000, 62_000, 200_000], None) == (
+        [0, 61_000],
+        [2, 2],
+        (200_000, 200_000, 1),
+    )
+    # boundary: a gap of EXACTLY gap_ms closes (>= semantics)
+    assert run([0, 60_000], None) == ([0], [1], (60_000, 60_000, 1))
+    assert run([0, 59_999], None) == ([], [], (0, 59_999, 2))
+    # stored session extended by the first segment
+    assert run([150_000], (100_000, 105_000, 2)) == (
+        [],
+        [],
+        (100_000, 150_000, 3),
+    )
+    # stored session closed ahead of a far-away segment
+    assert run([400_000], (100_000, 105_000, 2)) == (
+        [100_000],
+        [2],
+        (400_000, 400_000, 1),
+    )
+    # pure straggler: absorbed, end unchanged (timer must not move back)
+    assert run([102_000], (100_000, 105_000, 2)) == (
+        [],
+        [],
+        (100_000, 105_000, 3),
+    )
+    # straggler BEFORE the stored start widens the session by min(start)
+    assert run([95_000], (100_000, 105_000, 2)) == (
+        [],
+        [],
+        (95_000, 105_000, 3),
+    )
+    # straggler + in-gap extension in one batch: no spurious split (the
+    # 62s diff between 102s and 164s is bridged by the stored end 105s)
+    assert run([102_000, 164_000], (100_000, 105_000, 2)) == (
+        [],
+        [],
+        (100_000, 164_000, 4),
+    )
+
+
+@pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="transformWithStateInPandas's state server needs google.protobuf, "
+    "not installed in this container",
+)
+def test_timeout_sessions_tws_parity(spark, tmp_path):
+    """timeout_sessions_tws (transformWithStateInPandas + explicit
+    event-time timers) must emit exactly what the applyInPandasWithState
+    twin emits on the timer boundary cases — both ride _merge_sessionize,
+    so this checks the TWS timer wiring."""
+    import datetime
+    import glob as _glob
+    import shutil as _shutil
+
+    from kafka_connect_expand_json_transform_spark.streaming.stateful import (
+        timeout_sessions,
+        timeout_sessions_tws,
+    )
+
+    def dt(ms):
+        return datetime.datetime.fromtimestamp(
+            ms / 1000, datetime.timezone.utc
+        ).replace(tzinfo=None)
+
+    rows = [
+        ("closed_by_event", dt(100_000)),
+        ("closed_by_event", dt(200_000)),
+        ("boundary_lt", dt(879_999)),
+        ("boundary_eq", dt(880_000)),
+        ("merge", dt(500_000)),
+        ("merge", dt(500_030)),
+        ("anchor", dt(1_000_000)),
+    ]
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        outputs = []
+        for i, op in enumerate((timeout_sessions, timeout_sessions_tws)):
+            src = tmp_path / f"tws_src_{i}"
+            src.mkdir()
+            stage = str(tmp_path / f"stage_{i}")
+            spark.createDataFrame(rows, "user string, ts timestamp").coalesce(
+                1
+            ).write.parquet(stage)
+            _shutil.copyfile(
+                _glob.glob(stage + "/part-*.parquet")[0],
+                str(src / "b0.parquet"),
+            )
+            stream = spark.readStream.schema("user string, ts timestamp").parquet(
+                str(src)
+            )
+            sessions = op(
+                stream,
+                key="user",
+                ts_col="ts",
+                gap_ms=60_000,
+                watermark_delay="60 seconds",
+            )
+            out = run_to_table(spark, sessions, "append")
+            outputs.append(
+                {
+                    (r["user"], r["session_start_ms"], r["n_events"])
+                    for r in out.collect()
+                }
+            )
+        assert outputs[0] == outputs[1]
+        assert outputs[0] == {
+            ("closed_by_event", 100_000, 1),
+            ("closed_by_event", 200_000, 1),
+            ("boundary_lt", 879_999, 1),
+            ("merge", 500_000, 2),
+        }
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
