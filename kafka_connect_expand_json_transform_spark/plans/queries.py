@@ -21080,6 +21080,67 @@ def txlog_mor_update_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_COLUMN_MAPPING = """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderpriority AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM orders)
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents
+    FROM o WHERE k % 19 <> 3 GROUP BY g
+"""
+
+
+@query("txlog_column_mapping_agg", _SQL_COLUMN_MAPPING)
+def txlog_column_mapping_agg(spark, sf_dir):
+    """COLUMN MAPPING end-to-end (Delta rename/drop-without-rewrite
+    parity, ``txlog.rename_column``/``drop_column``): half the orders
+    commit under the original column name, a metadata-only RENAME
+    re-keys ``cents -> price_cents`` (zero files rewritten — the entry
+    carries no data), the other half appends under the NEW name (writing
+    the same physical column), a MoR delete speaks the new name, and the
+    renamed aggregate is value-checked against the raw-table oracle.  At
+    100 TB a rename is one KB log entry instead of rewriting every file
+    that mentions the column; reads project files by the column's
+    immutable PHYSICAL name and alias back (mapping rides `_replay_
+    mapping`, stats/bloom sidecars stay keyed physical so pruning still
+    answers logical predicates)."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_cmap_q_")
+    try:
+        root = tmp + "/orders_cm"
+        TX.append_table(o.where(F.col("k") % 2 == 0).repartition(4), root)
+        TX.rename_column(root, "cents", "price_cents")
+        TX.append_table(
+            o.where(F.col("k") % 2 == 1)
+            .withColumnRenamed("cents", "price_cents")
+            .repartition(4),
+            root,
+        )
+        TX.delete_where_mor(spark, root, "k % 19 = 3")
+        snap = TX.read_table(spark, root)
+        out = snap.groupBy("g").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("price_cents").cast("bigint").alias("sum_price_cents"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_CLONE_BRANCH = """
     WITH o AS (
         SELECT o_orderkey AS k, o_orderpriority AS g,
@@ -22652,7 +22713,7 @@ _DRIVER_WINDOW = [
     # [REF] expand core + wire formats + connectors
     "expand_props_agg",        # §2.1-1 field mode + inference (sentinel)
     "expand_rescued_drift",    # _rescued_data schema-drift column (FIRST ROW)
-    "variant_explode_props",   # variant per-record typing (sentinel, 1 row)
+    "txlog_column_mapping_agg",  # metadata-only RENAME/DROP (NEW r7, FIRST ROW)
     "kafka_wire_pipeline",     # wire format, CONSUME direction (1 row)
     "kafka_wire_sink_roundtrip",  # wire format, PRODUCE direction (NEW r7, ask#5)
     "schema_registry_wire_pipeline",  # Confluent wire format (FIRST ROW)

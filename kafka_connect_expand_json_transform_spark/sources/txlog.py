@@ -294,17 +294,39 @@ def _commit(
                         f"append schema {df.schema.simpleString()} != "
                         f"table schema {schema}"
                     )
+                if ok and allow_add_columns:
+                    # column mapping: a NEW column's physical name is its
+                    # logical name — it may not shadow a live physical of
+                    # another column or resurrect a dropped column's
+                    # physical from pre-drop files (Delta's column-id rule)
+                    m = _replay_mapping(entries)
+                    taken = set(m.values()) | _retired_physicals(entries)
+                    old_names = {f.split(":", 1)[0] for f in _fields(schema)}
+                    clash = [
+                        c
+                        for c in df.columns
+                        if c not in old_names and c in taken
+                    ]
+                    if clash:
+                        raise ValueError(
+                            f"new column(s) {clash} reuse a physical column "
+                            "name still present in committed files (renamed "
+                            "or dropped); pick a different name"
+                        )
         return current
 
     df = _apply_generated(root, df)  # generated columns materialize/validate
     existing_entries = _list_entries(root)
     current = validate(existing_entries)
     # hive partitioning is TABLE-CONSTANT: a new spec on a partitioned
-    # table (or vice versa) would break unified reads mid-history
+    # table (or vice versa) would break unified reads mid-history.
+    # (Entries record PHYSICAL partition names; the caller speaks logical —
+    # translate before comparing.)
     table_parts = _table_partition_by(existing_entries)
-    if partition_by is not None and table_parts is not None and list(
-        partition_by
-    ) != table_parts:
+    _m0 = _replay_mapping(existing_entries)
+    if partition_by is not None and table_parts is not None and [
+        _m0.get(c, c) for c in partition_by
+    ] != table_parts:
         raise ValueError(
             f"table is partitioned by {table_parts}; cannot commit with "
             f"partition_by={list(partition_by)}"
@@ -318,21 +340,35 @@ def _commit(
             f"partition_by={list(partition_by)} mid-history"
         )
     eff_parts = list(partition_by) if partition_by is not None else table_parts
-    if eff_parts:
-        missing_p = [c for c in eff_parts if c not in df.columns]
+    # column mapping: entries record PHYSICAL partition names (they match
+    # the immutable hive dirs); the caller speaks logical — translate
+    mapping = _m0
+    inv = {v: k for k, v in mapping.items()}
+    eff_parts_logical = [inv.get(c, c) for c in eff_parts] if eff_parts else eff_parts
+    if eff_parts_logical:
+        missing_p = [c for c in eff_parts_logical if c not in df.columns]
         if missing_p:
             raise ValueError(f"partition columns not in DataFrame: {missing_p}")
     _enforce_constraints(root, df)  # CHECK constraints gate every commit
     os.makedirs(_log_path(root), exist_ok=True)
     rel = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
-    writer = df.write.mode("overwrite")
-    if eff_parts:
-        writer = writer.partitionBy(*eff_parts)
+    eff_parts_phys = (
+        [mapping.get(c, c) for c in eff_parts_logical]
+        if eff_parts_logical
+        else eff_parts_logical
+    )
+    # files store PHYSICAL column names (rename/drop never rewrite them)
+    writer = _select_physical(df, mapping).write.mode("overwrite")
+    if eff_parts_phys:
+        writer = writer.partitionBy(*eff_parts_phys)
     writer.parquet(os.path.join(root, rel))
 
     part_dtypes = (
-        {c: df.schema[c].dataType.simpleString() for c in eff_parts}
-        if eff_parts
+        {
+            mapping.get(c, c): df.schema[c].dataType.simpleString()
+            for c in eff_parts_logical
+        }
+        if eff_parts_logical
         else None
     )
     entry = {
@@ -341,11 +377,12 @@ def _commit(
         "schema": df.schema.simpleString(),
         "schema_json": df.schema.json(),
         # footer min/max per part file -> read_table_pruned's data skipping
-        # (hive partition values injected as exact [v, v] ranges)
+        # (hive partition values injected as exact [v, v] ranges; stats are
+        # keyed by PHYSICAL column names, matching the files)
         "stats": _collect_part_stats(root, rel, part_dtypes),
     }
-    if eff_parts:
-        entry["partition_by"] = eff_parts
+    if eff_parts_phys:
+        entry["partition_by"] = eff_parts_phys
     if op == "overwrite" and not extra_files:
         # a FULL rewrite severs every deletion vector: its rows came from a
         # DV-applied read and its files are fresh, so dropping the DV set
@@ -556,6 +593,210 @@ def _table_partition_by(entries: list[dict]) -> list[str] | None:
     return None
 
 
+def _replay_mapping(entries: list[dict], version: int | None = None) -> dict:
+    """COLUMN MAPPING (Delta's rename/drop-without-rewrite, re-expressed
+    for the log): the logical->physical column-name map at ``version``.
+    Physical names are what the parquet files store — fixed at a column's
+    first commit, never rewritten; ``rename_column`` re-keys the logical
+    name over the same physical column, ``drop_column`` removes the
+    logical key (the physical column stays in old files, unprojected).
+    Identity pairs are omitted, so ``{}`` means the table was never
+    renamed and every path skips the translation entirely."""
+    mapping: dict = {}
+    for e in entries:
+        if version is not None and e["version"] > version:
+            break
+        if e["op"] == "rename_column":
+            frm, to = e["rename"]["from"], e["rename"]["to"]
+            mapping[to] = mapping.pop(frm, frm)
+        elif e["op"] == "drop_column":
+            mapping.pop(e["drop"], None)
+    return {k: v for k, v in mapping.items() if k != v}
+
+
+def _retired_physicals(entries: list[dict]) -> set:
+    """Physical column names that live inside committed files but are no
+    longer (or never again safely) projectable: the physicals of dropped
+    columns.  A new logical column may not take one of these names — the
+    by-physical-name projection would resurrect the dropped column's stale
+    values from pre-drop files."""
+    mapping: dict = {}
+    retired: set = set()
+    for e in entries:
+        if e["op"] == "rename_column":
+            frm, to = e["rename"]["from"], e["rename"]["to"]
+            mapping[to] = mapping.pop(frm, frm)
+        elif e["op"] == "drop_column":
+            col = e["drop"]
+            retired.add(mapping.pop(col, col))
+    return retired
+
+
+def _phys_struct(stored, mapping: dict):
+    """The stored (logical) StructType with field names translated to
+    physical — the schema the parquet files actually carry."""
+    if not mapping:
+        return stored
+    return type(stored)(
+        [
+            f.__class__(mapping.get(f.name, f.name), f.dataType, f.nullable)
+            for f in stored.fields
+        ]
+    )
+
+
+def _select_logical(df: DataFrame, stored, mapping: dict) -> DataFrame:
+    """Rename a physical-named frame back to the logical schema's names
+    and order."""
+    from pyspark.sql import functions as F
+
+    if not mapping:
+        return df.select(*[f.name for f in stored.fields])
+    return df.select(
+        *[
+            F.col(mapping.get(f.name, f.name)).alias(f.name)
+            for f in stored.fields
+        ]
+    )
+
+
+def _select_physical(df: DataFrame, mapping: dict) -> DataFrame:
+    """Rename a logical-named frame to physical column names for writing."""
+    from pyspark.sql import functions as F
+
+    if not mapping:
+        return df
+    return df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+
+
+def _read_dirs_pinned(spark, root: str, entries: list[dict], dirs, stored):
+    """Read specific data dirs pinned to the log's LOGICAL schema: files
+    store PHYSICAL names (column mapping), so the scan projects the
+    physical struct and aliases back."""
+    m = _replay_mapping(entries)
+    df = spark.read.schema(_phys_struct(stored, m)).parquet(
+        *[os.path.join(root, d) for d in dirs]
+    )
+    return _select_logical(df, stored, m) if m else df
+
+
+def _current_logical_schema(entries: list[dict]):
+    from pyspark.sql.types import StructType
+
+    schema_json = next(
+        (e["schema_json"] for e in reversed(entries) if "schema_json" in e),
+        None,
+    )
+    if schema_json is None:
+        raise ValueError("txlog table has no schema_json entries")
+    return StructType.fromJson(json.loads(schema_json))
+
+
+def _guard_metadata_refs(root: str, col: str, action: str) -> None:
+    """Refuse a rename/drop whose target is referenced by table-level
+    metadata evaluated by NAME (generated-column exprs, CHECK constraints,
+    partitioning is handled separately) — the expressions would silently
+    break.  Delta guards the same way (constraint/generated dependencies
+    block RENAME/DROP)."""
+    for name, expr in _read_generated(root).items():
+        if name == col or re.search(rf"\b{re.escape(col)}\b", expr):
+            raise ValueError(
+                f"cannot {action} column {col!r}: generated column "
+                f"{name!r} references it (drop the generated column first)"
+            )
+    for name, expr in _read_constraints(root).items():
+        if re.search(rf"\b{re.escape(col)}\b", expr):
+            raise ValueError(
+                f"cannot {action} column {col!r}: CHECK constraint "
+                f"{name!r} references it (drop the constraint first)"
+            )
+
+
+def rename_column(root: str, old: str, new: str) -> int:
+    """Metadata-only RENAME COLUMN (Delta column-mapping parity): publishes
+    an ``op=rename_column`` log entry carrying the new logical schema — NO
+    file is rewritten, because reads project files by the column's
+    PHYSICAL name (fixed at first commit) and alias to the logical name.
+    Time travel to pre-rename versions serves the old name; appends after
+    the rename take the new name and write the same physical column.  At
+    100 TB this is the difference between an O(1) metadata commit and
+    rewriting every file that mentions the column."""
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    stored = _current_logical_schema(entries)
+    names = [f.name for f in stored.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} to rename (have {names})")
+    if new in names:
+        raise ValueError(f"rename target {new!r} already exists")
+    mapping = _replay_mapping(entries)
+    phys_in_use = {mapping.get(n, n) for n in names}
+    if new in phys_in_use or new in _retired_physicals(entries):
+        raise ValueError(
+            f"rename target {new!r} collides with a physical column name "
+            "still present in committed files"
+        )
+    _guard_metadata_refs(root, old, "rename")
+    new_struct = type(stored)(
+        [
+            f.__class__(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in stored.fields
+        ]
+    )
+    version = entries[-1]["version"] + 1
+    entry = {
+        "version": version,
+        "op": "rename_column",
+        "files": [],
+        "rename": {"from": old, "to": new},
+        "schema": new_struct.simpleString(),
+        "schema_json": new_struct.json(),
+    }
+    _publish_entry(root, version, entry)
+    return version
+
+
+def drop_column(root: str, col: str) -> int:
+    """Metadata-only DROP COLUMN: publishes an ``op=drop_column`` entry
+    whose schema excludes the column — the physical column stays inside
+    committed files (time travel still serves it) but is never projected
+    again, and vacuuming history is what physically forgets it.  The
+    dropped column's PHYSICAL name is retired: a later
+    ``allow_add_columns`` append may not reuse it (the projection would
+    resurrect stale values from pre-drop files), matching Delta's
+    column-id semantics."""
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    stored = _current_logical_schema(entries)
+    names = [f.name for f in stored.fields]
+    if col not in names:
+        raise ValueError(f"no column {col!r} to drop (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the table's only column")
+    mapping = _replay_mapping(entries)
+    table_parts = _table_partition_by(entries) or []
+    if mapping.get(col, col) in table_parts:
+        raise ValueError(
+            f"cannot drop partition column {col!r} (the hive layout "
+            "depends on it)"
+        )
+    _guard_metadata_refs(root, col, "drop")
+    new_struct = type(stored)([f for f in stored.fields if f.name != col])
+    version = entries[-1]["version"] + 1
+    entry = {
+        "version": version,
+        "op": "drop_column",
+        "files": [],
+        "drop": col,
+        "schema": new_struct.simpleString(),
+        "schema_json": new_struct.json(),
+    }
+    _publish_entry(root, version, entry)
+    return version
+
+
 def _partition_values_from_path(rel_under_dir: str, dtypes: dict) -> dict:
     """Parse hive ``col=value`` segments of a part file's path into typed
     values per the table schema (int/float coerced; strings unquoted).
@@ -693,6 +934,9 @@ def _skip_plan(root: str, version: int | None, where: list[tuple]):
         if op not in _SKIP_OPS:
             raise ValueError(f"unsupported skip op {op!r} (use one of {_SKIP_OPS})")
     entries = _list_entries(root)
+    # stats/blooms are keyed by PHYSICAL column names; callers speak logical
+    _m = _replay_mapping(entries, version)
+    where = [(_m.get(c, c), op, lit) for (c, op, lit) in where]
     files, _ = _replay(entries, version)
     all_stats: dict = {}
     all_blooms: dict = {}
@@ -750,6 +994,8 @@ def read_table_pruned(
             if schema_json is not None
             else None
         )
+        mapping = _replay_mapping(entries, version)
+        phys = _phys_struct(stored, mapping) if stored is not None else None
         dv_dirs = _replay_dvs(entries, version)
         if part_cols:
             # surviving part FILES under hive dirs do not contain the
@@ -765,24 +1011,26 @@ def read_table_pruned(
             frames = []
             for d, parts in by_dir.items():
                 reader = spark.read.option("basePath", os.path.join(root, d))
-                if stored is not None:
-                    reader = reader.schema(stored)
+                if phys is not None:
+                    reader = reader.schema(phys)
                 fr = reader.parquet(*parts)
                 if dv_dirs:
                     fr = _apply_dvs(spark, root, fr, dv_dirs)
                 frames.append(fr)
             df = reduce(lambda a, b: a.unionByName(b), frames)
             if stored is not None:
-                df = df.select(*[f.name for f in stored.fields])
+                df = _select_logical(df, stored, mapping)
         else:
             reader = spark.read
-            if stored is not None:
-                reader = reader.schema(stored)
+            if phys is not None:
+                reader = reader.schema(phys)
             df = reader.parquet(*survivors)
             if dv_dirs:
                 # merge-on-read deletes apply to the pruned scan too —
                 # skipping must stay bit-identical to read_table().where()
                 df = _apply_dvs(spark, root, df, dv_dirs)
+            if stored is not None and mapping:
+                df = _select_logical(df, stored, mapping)
     else:
         stored = StructType.fromJson(json.loads(schema_json))
         # parquet reads surface every column nullable; match that shape so
@@ -842,15 +1090,21 @@ def write_audit_publish(
     _enforce_constraints(root, df)
     os.makedirs(_log_path(root), exist_ok=True)
     rel = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
-    writer = df.write.mode("overwrite")
+    # column mapping: staged files store PHYSICAL names like any commit;
+    # table_parts is already physical (entries record it that way)
+    mapping = _replay_mapping(entries)
+    writer = _select_physical(df, mapping).write.mode("overwrite")
     if table_parts:
         writer = writer.partitionBy(*table_parts)
     writer.parquet(os.path.join(root, rel))
 
     # AUDIT the staged files themselves (not the caller's plan): what was
-    # actually written is what gets validated
-    reader = spark.read.schema(df.schema)
-    staged = reader.parquet(os.path.join(root, rel)).select(*df.columns)
+    # actually written is what gets validated — read physical, rename back
+    # so the expectations speak logical names
+    reader = spark.read.schema(_phys_struct(df.schema, mapping))
+    staged = _select_logical(
+        reader.parquet(os.path.join(root, rel)), df.schema, mapping
+    )
     report = evaluate(staged, expectations).collect()
     failed = [r["expectation"] for r in report if r["passed"] == 0]
     if failed:
@@ -859,8 +1113,12 @@ def write_audit_publish(
             f"WAP audit failed, staged files discarded: {failed}"
         )
 
+    inv = {v: k for k, v in mapping.items()}
     part_dtypes = (
-        {c: df.schema[c].dataType.simpleString() for c in table_parts}
+        {
+            c: df.schema[inv.get(c, c)].dataType.simpleString()
+            for c in table_parts
+        }
         if table_parts
         else None
     )
@@ -937,6 +1195,8 @@ def read_point_lookups(
         if schema_json is not None
         else None
     )
+    mapping = _replay_mapping(entries, version)
+    phys = _phys_struct(stored, mapping) if stored is not None else None
     if not survivors:
         if stored is None:
             raise ValueError("empty plan and no schema to shape the result")
@@ -955,22 +1215,25 @@ def read_point_lookups(
         frames = []
         for d, parts in by_dir.items():
             reader = spark.read.option("basePath", os.path.join(root, d))
-            if stored is not None:
-                reader = reader.schema(stored)
+            if phys is not None:
+                reader = reader.schema(phys)
             fr = reader.parquet(*parts)
             if dv_dirs:
                 fr = _apply_dvs(spark, root, fr, dv_dirs)
             frames.append(fr)
         df = reduce(lambda a, b: a.unionByName(b), frames)
         if stored is not None:
-            df = df.select(*[f.name for f in stored.fields])
+            df = _select_logical(df, stored, mapping)
     else:
         reader = spark.read
-        if stored is not None:
-            reader = reader.schema(stored)
+        if phys is not None:
+            reader = reader.schema(phys)
         df = reader.parquet(*survivors)
         if dv_dirs:
             df = _apply_dvs(spark, root, df, dv_dirs)
+        if stored is not None and mapping:
+            df = _select_logical(df, stored, mapping)
+    # the residual filter speaks LOGICAL (the frame was renamed back)
     return df.where(F.col(col).isin(list(keys)))
 
 
@@ -988,6 +1251,8 @@ def plan_point_lookups(
     import glob as _glob
 
     entries = _list_entries(root)
+    # stats/blooms are keyed by PHYSICAL column names
+    col = _replay_mapping(entries, version).get(col, col)
     files, _ = _replay(entries, version)
     all_stats: dict = {}
     all_blooms: dict = {}
@@ -1095,13 +1360,16 @@ def read_table(spark: SparkSession, root: str, version: int | None = None) -> Da
     )
     reader = spark.read
     stored = None
+    # column mapping: files carry PHYSICAL names; read with the physical
+    # schema, alias back to logical at the end ({} = never renamed)
+    mapping = _replay_mapping(entries, version)
     if schema_json is not None:
         # the LOG owns the schema (Delta's rule): pre-evolution files
         # null-fill appended columns; footer inference is never consulted
         from pyspark.sql.types import StructType
 
         stored = StructType.fromJson(json.loads(schema_json))
-        reader = reader.schema(stored)
+        reader = reader.schema(_phys_struct(stored, mapping))
     if not files:
         # possible since audit_reject: a table whose only batches were
         # rejected replays to zero files but still records schema_json —
@@ -1135,12 +1403,15 @@ def read_table(spark: SparkSession, root: str, version: int | None = None) -> Da
         df = reduce(lambda a, b: a.unionByName(b), frames)
         if stored is not None:
             # discovery appends partition columns last; restore log order
-            df = df.select(*[f.name for f in stored.fields])
+            # and logical names
+            df = _select_logical(df, stored, mapping)
         return df
     df = reader.parquet(*[os.path.join(root, f) for f in files])
     dv_dirs = _replay_dvs(entries, version)
     if dv_dirs:
         df = _apply_dvs(spark, root, df, dv_dirs)
+    if stored is not None and mapping:
+        df = _select_logical(df, stored, mapping)
     return df
 
 
@@ -1185,10 +1456,9 @@ def delete_where(
     if prune_hint:
         touched_dirs, reused_dirs = _prune_dirs(root, entries, prune_hint)
         if reused_dirs and touched_dirs:
-            # pinned to the log schema (see merge_into: evolution x pruning)
-            snap = spark.read.schema(snap.schema).parquet(
-                *[os.path.join(root, d) for d in touched_dirs]
-            )
+            # pinned to the log schema (see merge_into: evolution x pruning;
+            # column mapping: files store physical names)
+            snap = _read_dirs_pinned(spark, root, entries, touched_dirs, snap.schema)
         elif reused_dirs:
             snap = snap.limit(0)  # nothing can match: no-op rewrite
     survivors = snap.where(~cond | cond.isNull())  # NULL predicate = keep
@@ -1278,13 +1548,24 @@ def _mor_matched(spark: SparkSession, root: str, predicate):
     schema_json = next(
         (e["schema_json"] for e in reversed(entries) if "schema_json" in e), None
     )
+    mapping = _replay_mapping(entries)
     reader = spark.read
+    stored = None
     if schema_json is not None:
-        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        stored = StructType.fromJson(json.loads(schema_json))
+        reader = reader.schema(_phys_struct(stored, mapping))
     scan = reader.parquet(*[os.path.join(root, f) for f in files])
-    data_cols = scan.columns
+    # logical column names for the predicate and every consumer; the
+    # _metadata row identity rides alongside (column mapping: the scan
+    # itself is physical-named)
+    data_cols = (
+        [f.name for f in stored.fields] if stored is not None else scan.columns
+    )
     tagged = scan.select(
-        "*",
+        *[
+            F.col(mapping.get(c, c)).alias(c)
+            for c in data_cols
+        ],
         F.col("_metadata.file_path").alias("__dvf"),
         F.col("_metadata.row_index").alias("__dvp"),
     )
@@ -1353,7 +1634,9 @@ def update_where_mor(
     _enforce_constraints(root, post)
     rel_dv = _write_dv(root, matched)
     rel_data = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
-    post.write.mode("overwrite").parquet(os.path.join(root, rel_data))
+    _select_physical(post, _replay_mapping(_list_entries(root))).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, rel_data))
     ch_dir = _changes_path(root, current + 1)
     pre_ch = matched.select(*data_cols).withColumn(
         "_change_type", F.lit("delete")
@@ -1404,10 +1687,9 @@ def update_where(
     if prune_hint:
         touched_dirs, reused_dirs = _prune_dirs(root, entries, prune_hint)
         if reused_dirs and touched_dirs:
-            # pinned to the log schema (see merge_into: evolution x pruning)
-            snap = spark.read.schema(snap.schema).parquet(
-                *[os.path.join(root, d) for d in touched_dirs]
-            )
+            # pinned to the log schema (see merge_into: evolution x pruning;
+            # column mapping: files store physical names)
+            snap = _read_dirs_pinned(spark, root, entries, touched_dirs, snap.schema)
         elif reused_dirs:
             snap = snap.limit(0)  # nothing can match: no-op rewrite
     for col in assignments:
@@ -1514,8 +1796,8 @@ def merge_into(
                 # whose touched dirs all predate the evolution must still
                 # rewrite (and null-fill) at full width, or the commit's
                 # schema check would refuse the partial rewrite
-                snap = spark.read.schema(snap.schema).parquet(
-                    *[os.path.join(root, d) for d in touched_dirs]
+                snap = _read_dirs_pinned(
+                    spark, root, entries, touched_dirs, snap.schema
                 )
             elif reused_dirs:
                 snap = snap.limit(0)  # nothing overlaps: merge is insert-only
@@ -1727,7 +2009,9 @@ def merge_into_mor(
     _enforce_constraints(root, new_rows)
     rel_dv = _write_dv(root, vec_rows)
     rel_data = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
-    new_rows.write.mode("overwrite").parquet(os.path.join(root, rel_data))
+    _select_physical(new_rows, _replay_mapping(_list_entries(root))).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, rel_data))
     ch_dir = _changes_path(root, current + 1)
     # capture LOGICAL changes (merge_into's contract): a no-op assignment
     # is physically vectored + re-appended, but pre == post pairs cancel in
@@ -1786,6 +2070,9 @@ def _prune_dirs(
     count as proven).  Unknown stats -> touched; never prune on doubt."""
     import glob as _glob
 
+    # stats/blooms are keyed by PHYSICAL column names; callers speak logical
+    _m = _replay_mapping(entries)
+    where = [(_m.get(c, c), op, lit) for (c, op, lit) in where]
     all_stats: dict = {}
     all_blooms: dict = {}
     for e in entries:
@@ -2347,13 +2634,18 @@ def optimize_zorder_incremental(
     schema_json = next(
         (e["schema_json"] for e in reversed(entries) if "schema_json" in e), None
     )
+    mapping = _replay_mapping(entries)
     reader = spark.read
+    stored = None
     if schema_json is not None:
-        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        stored = StructType.fromJson(json.loads(schema_json))
+        reader = reader.schema(_phys_struct(stored, mapping))
     df = reader.parquet(*[os.path.join(root, f) for f in new_dirs])
     dv_dirs = _replay_dvs(entries, None)
     if dv_dirs:
         df = _apply_dvs(spark, root, df, dv_dirs)
+    if stored is not None and mapping:
+        df = _select_logical(df, stored, mapping)
     zdf = df.withColumn("__z", zorder_key(df, cols, bits))
     clustered_new = (
         zdf.repartitionByRange(target_files, "__z")
@@ -2578,20 +2870,28 @@ def read_changes(
         StructType.fromJson(json.loads(target_json)) if target_json else None
     )
 
-    def fill(df: DataFrame) -> DataFrame:
-        """Project df onto the target schema (missing columns -> typed
-        NULLs).  Columns absent from the target (e.g. renamed away by an
-        arbitrary overwrite) are dropped — CDF serves the range's LATEST
-        schema, Delta's rule; only the capture tag rides along."""
+    latest_map = _replay_mapping(entries, to_version)
+
+    def fill(df: DataFrame, v: int) -> DataFrame:
+        """Project df (logical names AT VERSION v) onto the range's target
+        schema (missing columns -> typed NULLs).  Renamed columns map by
+        PHYSICAL identity — a rename inside the range serves its values
+        under the range's LATEST name (Delta's column-mapping CDF rule);
+        columns truly absent from the target are dropped; only the capture
+        tag rides along."""
         if target is None:
             return df
+        v_map = _replay_mapping(entries, v)
+        # physical name -> df's logical-at-v column holding it
+        by_phys = {v_map.get(c, c): c for c in df.columns}
         extras = [c for c in df.columns if c == "_change_type"]
         return df.select(
             *[
-                F.col(f.name)
-                if f.name in df.columns
+                F.col(by_phys[phys]).alias(f.name)
+                if phys in by_phys
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in target.fields
+                for phys in [latest_map.get(f.name, f.name)]
             ],
             *extras,
         )
@@ -2611,22 +2911,37 @@ def read_changes(
             reader = spark.read
             if "schema_json" in e:
                 # pin the commit's own schema (footer inference could
-                # mis-order or drop columns across multi-file appends)
-                reader = reader.schema(StructType.fromJson(json.loads(e["schema_json"])))
-            appended = reader.parquet(*[os.path.join(root, f) for f in e["files"]])
-            parts.append(tag(fill(appended), "insert", v))
+                # mis-order or drop columns across multi-file appends);
+                # column mapping: the files store PHYSICAL names
+                v_stored = StructType.fromJson(json.loads(e["schema_json"]))
+                v_map = _replay_mapping(entries, v)
+                reader = reader.schema(_phys_struct(v_stored, v_map))
+                appended = _select_logical(
+                    reader.parquet(
+                        *[os.path.join(root, f) for f in e["files"]]
+                    ),
+                    v_stored,
+                    v_map,
+                )
+            else:
+                appended = reader.parquet(
+                    *[os.path.join(root, f) for f in e["files"]]
+                )
+            parts.append(tag(fill(appended, v), "insert", v))
         elif os.path.isdir(_changes_path(root, v)):
             # write-time captured changes (merge_into): touched rows only;
             # fill() keeps the capture's _change_type as a trailing extra
             ch = spark.read.parquet(_changes_path(root, v))
             parts.append(
-                fill(ch).select(
+                fill(ch, v).select(
                     "*", F.lit(v).cast("bigint").alias("_commit_version")
                 )
             )
+        elif e["op"] in ("rename_column", "drop_column"):
+            continue  # metadata-only: zero row changes
         else:
-            prev = fill(read_table(spark, root, version=v - 1))
-            cur = fill(read_table(spark, root, version=v))
+            prev = fill(read_table(spark, root, version=v - 1), v - 1)
+            cur = fill(read_table(spark, root, version=v), v)
             parts.append(tag(cur.exceptAll(prev), "insert", v))
             parts.append(tag(prev.exceptAll(cur), "delete", v))
     if not parts:
@@ -2721,14 +3036,19 @@ def foreach_batch_sink(root: str):
                 )
         os.makedirs(_log_path(root), exist_ok=True)
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
-        part_cols = _table_partition_by(entries)
-        writer = batch_df.write.mode("overwrite")
+        part_cols = _table_partition_by(entries)  # physical (entry-recorded)
+        mapping = _replay_mapping(entries)
+        inv = {v: k for k, v in mapping.items()}
+        writer = _select_physical(batch_df, mapping).write.mode("overwrite")
         if part_cols:  # partitioned tables stay partitioned under streaming
             writer = writer.partitionBy(*part_cols)
         writer.parquet(os.path.join(root, rel))
         version = current + 1
         part_dtypes = (
-            {c: batch_df.schema[c].dataType.simpleString() for c in part_cols}
+            {
+                c: batch_df.schema[inv.get(c, c)].dataType.simpleString()
+                for c in part_cols
+            }
             if part_cols
             else None
         )
@@ -2782,18 +3102,21 @@ def foreach_batch_wap_sink(root: str, expectations: list):
                     f"stream batch schema {batch_df.schema.simpleString()}"
                     f" != table schema {schema}"
                 )
-        part_cols = _table_partition_by(entries)
+        part_cols = _table_partition_by(entries)  # physical (entry-recorded)
+        mapping = _replay_mapping(entries)
         os.makedirs(_log_path(root), exist_ok=True)
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex + ".parquet")
-        writer = batch_df.write.mode("overwrite")
+        writer = _select_physical(batch_df, mapping).write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(os.path.join(root, rel))
         spark = batch_df.sparkSession
-        staged = (
-            spark.read.schema(batch_df.schema)
-            .parquet(os.path.join(root, rel))
-            .select(*batch_df.columns)
+        staged = _select_logical(
+            spark.read.schema(_phys_struct(batch_df.schema, mapping)).parquet(
+                os.path.join(root, rel)
+            ),
+            batch_df.schema,
+            mapping,
         )
         report = evaluate(staged, expectations).collect()
         failed = [r["expectation"] for r in report if r["passed"] == 0]
@@ -2811,8 +3134,12 @@ def foreach_batch_wap_sink(root: str, expectations: list):
             }
             _publish_entry(root, version, entry)
             return
+        inv = {v: k for k, v in mapping.items()}
         part_dtypes = (
-            {c: batch_df.schema[c].dataType.simpleString() for c in part_cols}
+            {
+                c: batch_df.schema[inv.get(c, c)].dataType.simpleString()
+                for c in part_cols
+            }
             if part_cols
             else None
         )
@@ -2907,7 +3234,18 @@ def read_table_from_checkpoint(
             files = list(e["files"])
         else:
             files.extend(e["files"])
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    mapping = _replay_mapping(entries, version)
+    if not mapping:
+        return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    # column mapping: files store physical names; serve the logical schema
+    target_entries = [
+        e for e in entries if version is None or e["version"] <= version
+    ]
+    stored = _current_logical_schema(target_entries)
+    df = spark.read.schema(_phys_struct(stored, mapping)).parquet(
+        *[os.path.join(root, f) for f in files]
+    )
+    return _select_logical(df, stored, mapping)
 
 
 def vacuum(
@@ -3018,7 +3356,7 @@ def _named_columns(table, names: list[str]) -> list[list]:
     return out
 
 
-def _shape_to_stream_batches(table, schema_json: str, constants=None):
+def _shape_to_stream_batches(table, schema_json: str, constants=None, mapping=None):
     """Shape a pyarrow table to the stream source's Spark schema and
     return Arrow RecordBatches — the columnar fast path of the Python
     DataSource read contract (a per-row tuple yield pickles every value
@@ -3040,8 +3378,15 @@ def _shape_to_stream_batches(table, schema_json: str, constants=None):
     target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
     n = table.num_rows
     constants = constants or {}
+    mapping = mapping or {}
     arrays = []
     for field in target:
+        # column mapping: data files store PHYSICAL names; CDF change
+        # captures store logical names — resolve physical first, then
+        # logical (rename guards keep the two namespaces disjoint)
+        src = mapping.get(field.name, field.name)
+        if src not in table.column_names and field.name in table.column_names:
+            src = field.name
         if field.name in constants:
             arrays.append(
                 pc.fill_null(
@@ -3049,8 +3394,8 @@ def _shape_to_stream_batches(table, schema_json: str, constants=None):
                     pa.scalar(constants[field.name], field.type),
                 )
             )
-        elif field.name in table.column_names:
-            arr = table.column(field.name)
+        elif src in table.column_names:
+            arr = table.column(src)
             if pa.types.is_dictionary(arr.type):
                 arr = pc.cast(arr, arr.type.value_type)
             if (
@@ -3133,6 +3478,7 @@ def register_stream_source(spark: SparkSession) -> None:
             import pyarrow.parquet as pq
 
             entries = _list_entries(partition.root)
+            col_map = _replay_mapping(entries, partition.end)
             for e in entries:
                 if not (partition.start < e["version"] <= partition.end):
                     continue
@@ -3140,12 +3486,13 @@ def register_stream_source(spark: SparkSession) -> None:
                     table = pq.read_table(os.path.join(partition.root, rel))
                     # _shape_to_stream_batches owns the whole mapping: by
                     # NAME against the LOG schema (pre-evolution files
-                    # null-fill widened columns), hive partition columns
-                    # decoded from their inferred dictionary type and cast
-                    # to the schema's type (date/timestamp/decimal incl. —
+                    # null-fill widened columns; renamed columns resolve by
+                    # PHYSICAL name), hive partition columns decoded from
+                    # their inferred dictionary type and cast to the
+                    # schema's type (date/timestamp/decimal incl. —
                     # ADVICE r6 #2), all yielded as Arrow batches
                     yield from _shape_to_stream_batches(
-                        table, partition.schema_json
+                        table, partition.schema_json, mapping=col_map
                     )
 
         def commit(self, end: dict) -> None:
@@ -3244,15 +3591,19 @@ def register_cdf_stream_source(spark: SparkSession) -> None:
             import pyarrow.parquet as pq
 
             entries = _list_entries(partition.root)
+            col_map = _replay_mapping(entries, partition.end)
             for e in entries:
                 v = e["version"]
                 if not (partition.start < v <= partition.end):
                     continue
+                if e["op"] in ("rename_column", "drop_column"):
+                    continue  # metadata-only: zero row changes
                 if e["op"] == "append":
                     for rel in e["files"]:
                         t = pq.read_table(os.path.join(partition.root, rel))
                         # whole-version constants ride as vectorized
                         # literal columns; data columns map by name
+                        # (renamed columns resolve by physical name)
                         yield from _shape_to_stream_batches(
                             t,
                             partition.schema_json,
@@ -3260,6 +3611,7 @@ def register_cdf_stream_source(spark: SparkSession) -> None:
                                 "_change_type": "insert",
                                 "_commit_version": v,
                             },
+                            mapping=col_map,
                         )
                 else:
                     cpath = _changes_path(partition.root, v)
@@ -3275,6 +3627,7 @@ def register_cdf_stream_source(spark: SparkSession) -> None:
                         t,
                         partition.schema_json,
                         constants={"_commit_version": v},
+                        mapping=col_map,
                     )
 
         def commit(self, end: dict) -> None:

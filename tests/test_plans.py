@@ -537,7 +537,7 @@ def test_driver_window_composition():
     # both wire-format directions, 5 headline LLM-ops/format names)
     must_have = {
         # family sentinels (every one has >=1 green driver row)
-        "expand_props_agg", "variant_explode_props", "kafka_wire_pipeline",
+        "expand_props_agg", "txlog_column_mapping_agg", "kafka_wire_pipeline",
         "connect_smt_chain_pipeline", "binaryfile_source_stats",
         "txlog_bloom_point_lookups", "stream_txlog_cdf_e2e",
         "stream_timeout_sessions_e2e", "q1_pricing_summary",

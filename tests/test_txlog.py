@@ -2534,3 +2534,264 @@ def test_commit_backend_seam_object_store_semantics(spark, tmp_path):
             txlog.append_table(_df(spark, 15, 20), root, expected_version=3)
     finally:
         txlog.set_commit_backend(prev)
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    """Column mapping (Delta rename parity): RENAME publishes one metadata
+    entry — the data files are byte-untouched — reads serve the new name,
+    time travel serves the old, and appends speak the new name while
+    writing the SAME physical column."""
+    import glob as _glob
+
+    root = str(tmp_path / "cm")
+    txlog.append_table(
+        spark.range(0, 20).selectExpr("id AS k", "id * 2 AS v"), root
+    )
+    files_before = sorted(_glob.glob(os.path.join(root, "data", "**", "*"),
+                                     recursive=True))
+    mtimes_before = [os.path.getmtime(p) for p in files_before]
+    v = txlog.rename_column(root, "v", "val")
+    assert v == 1
+    assert txlog._list_entries(root)[1]["files"] == []  # no data written
+    files_after = sorted(_glob.glob(os.path.join(root, "data", "**", "*"),
+                                    recursive=True))
+    assert files_after == files_before
+    assert [os.path.getmtime(p) for p in files_after] == mtimes_before
+    got = txlog.read_table(spark, root)
+    assert got.columns == ["k", "val"]
+    assert got.agg(F.sum("val")).first()[0] == sum(2 * k for k in range(20))
+    assert txlog.read_table(spark, root, version=0).columns == ["k", "v"]
+    # appends speak the NEW name; the OLD name is a schema mismatch
+    txlog.append_table(
+        spark.range(20, 30).selectExpr("id AS k", "id * 2 AS val"), root
+    )
+    assert txlog.read_table(spark, root).count() == 30
+    with pytest.raises(txlog.TxLogSchemaMismatch):
+        txlog.append_table(
+            spark.range(0, 5).selectExpr("id AS k", "id * 2 AS v"), root
+        )
+
+
+def test_drop_column_retires_physical_name(spark, tmp_path):
+    """DROP COLUMN is metadata-only; the dropped column's physical name is
+    RETIRED — re-adding it would resurrect stale values from pre-drop
+    files, so the add-columns path refuses it (Delta's column-id rule);
+    a genuinely new name is fine, and a rename may not land on a retired
+    or live physical name either."""
+    root = str(tmp_path / "cd")
+    txlog.append_table(
+        spark.range(0, 10).selectExpr(
+            "id AS k", "id * 2 AS v", "CAST(id AS STRING) AS s"
+        ),
+        root,
+    )
+    txlog.rename_column(root, "v", "val")
+    txlog.drop_column(root, "s")
+    got = txlog.read_table(spark, root)
+    assert got.columns == ["k", "val"]
+    # time travel still serves the dropped column
+    assert txlog.read_table(spark, root, version=0).columns == ["k", "v", "s"]
+    with pytest.raises(ValueError, match="physical column name"):
+        txlog.append_table(
+            spark.range(10, 15).selectExpr(
+                "id AS k", "id * 2 AS val", "CAST(id AS STRING) AS s"
+            ),
+            root,
+            allow_add_columns=True,
+        )
+    # 'v' is val's live physical — a new column may not shadow it either
+    with pytest.raises(ValueError, match="physical column name"):
+        txlog.append_table(
+            spark.range(10, 15).selectExpr(
+                "id AS k", "id * 2 AS val", "id AS v"
+            ),
+            root,
+            allow_add_columns=True,
+        )
+    txlog.append_table(
+        spark.range(10, 15).selectExpr(
+            "id AS k", "id * 2 AS val", "CAST(id AS STRING) AS note"
+        ),
+        root,
+        allow_add_columns=True,
+    )
+    got = txlog.read_table(spark, root)
+    assert got.columns == ["k", "val", "note"]
+    assert got.where("note IS NOT NULL").count() == 5
+    with pytest.raises(ValueError, match="physical"):
+        txlog.rename_column(root, "note", "s")
+    with pytest.raises(ValueError, match="physical"):
+        txlog.rename_column(root, "note", "v")
+    assert len(txlog.read_table(spark, root).columns) == 3
+
+
+def test_column_mapping_pruning_and_blooms(spark, tmp_path):
+    """Stats/bloom sidecars are keyed by PHYSICAL names; pruning and point
+    lookups on the renamed (logical) name still skip files."""
+    root = str(tmp_path / "cp")
+    txlog.set_bloom_columns(root, ["k"], m_bits=8192, k_hashes=3)
+    txlog.append_table(
+        spark.range(0, 400).selectExpr("id AS k", "id * 2 AS v").repartition(4),
+        root,
+    )
+    txlog.rename_column(root, "k", "key")
+    txlog.append_table(
+        spark.range(400, 800)
+        .selectExpr("id AS key", "id * 2 AS v")
+        .repartition(4),
+        root,
+    )
+    rep = txlog.skipping_report(root, [("key", "=", 600)])
+    assert rep["files_read"] < rep["files_total"]
+    got = txlog.read_table_pruned(spark, root, [("key", "=", 600)])
+    assert [(r["key"], r["v"]) for r in got.collect()] == [(600, 1200)]
+    pl = txlog.read_point_lookups(spark, root, "key", [3, 403])
+    assert sorted(r["key"] for r in pl.collect()) == [3, 403]
+
+
+def test_column_mapping_dml(spark, tmp_path):
+    """CoW and MoR DML on a renamed table: predicates/assignments speak
+    the logical name; postimage files land physical-named so the whole
+    history reads uniformly."""
+    root = str(tmp_path / "cdml")
+    txlog.append_table(
+        spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v"), root
+    )
+    txlog.rename_column(root, "v", "val")
+    _, n_del = txlog.delete_where_mor(spark, root, "k % 7 = 1")
+    assert n_del == 15
+    _, n_upd = txlog.update_where_mor(spark, root, {"val": "val + 1000"}, "k % 5 = 0")
+    assert n_upd > 0
+    got = txlog.read_table(spark, root)
+    expect = sum(
+        2 * k + (1000 if k % 5 == 0 else 0) for k in range(100) if k % 7 != 1
+    )
+    assert got.agg(F.sum("val")).first()[0] == expect
+    # CoW merge with the logical name
+    src = spark.range(95, 110).selectExpr("id AS k", "id * 100 AS val")
+    txlog.merge_into(spark, root, src, ["k"])
+    got = txlog.read_table(spark, root)
+    assert got.where("k >= 95").agg(F.sum("val")).first()[0] == sum(
+        100 * k for k in range(95, 110)
+    )
+    # the CDF range serves everything under the LATEST name, renames
+    # contribute zero change rows
+    ch = txlog.read_changes(spark, root, 0, txlog.latest_version(root))
+    assert ch.columns == ["k", "val", "_change_type", "_commit_version"]
+    assert ch.where("_commit_version = 1").count() == 0
+
+
+def test_column_mapping_partitioned(spark, tmp_path):
+    """Renaming a hive PARTITION column is metadata-only too: the physical
+    ``col=value`` dirs never change, later appends pass the new logical
+    name, and partition pruning answers logical predicates."""
+    root = str(tmp_path / "cpart")
+    txlog.append_table(
+        spark.range(0, 60).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS g", "id * 2 AS v"
+        ),
+        root,
+        partition_by=["g"],
+    )
+    txlog.rename_column(root, "g", "grp")
+    txlog.append_table(
+        spark.range(60, 120).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS grp", "id * 2 AS v"
+        ),
+        root,
+        partition_by=["grp"],
+    )
+    got = txlog.read_table(spark, root)
+    assert got.columns == ["k", "grp", "v"]
+    assert got.count() == 120 and got.where("grp = '1'").count() == 40
+    assert txlog.read_table_pruned(spark, root, [("grp", "=", "2")]).count() == 40
+    rep = txlog.skipping_report(root, [("grp", "=", "2")])
+    assert rep["files_read"] < rep["files_total"]
+    with pytest.raises(ValueError, match="partition column"):
+        txlog.drop_column(root, "grp")
+
+
+def test_column_mapping_streams(spark, tmp_path):
+    """txlogstream and txlogcdf across a rename: physical-named files
+    resolve through the mapping, rename entries stream zero change rows."""
+    import time
+
+    root = str(tmp_path / "cstr")
+    txlog.append_table(
+        spark.range(0, 30).selectExpr("id AS k", "id * 2 AS v"), root
+    )
+    txlog.rename_column(root, "v", "val")
+    txlog.append_table(
+        spark.range(30, 60).selectExpr("id AS k", "id * 2 AS val"), root
+    )
+    txlog.update_where_mor(spark, root, {"val": "val + 1"}, "k = 5")
+    txlog.register_stream_source(spark)
+    txlog.register_cdf_stream_source(spark)
+
+    def drain(q):
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.lastProgress is not None and not q.status["isDataAvailable"]:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txlogstream")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    drain(q)
+    got = spark.read.parquet(out)
+    # append-only stream contract: the MoR update's POSTIMAGE row streams
+    # as a new append; the DV'd-out preimage (already streamed from v0)
+    # is never retracted — same as Delta's streaming source over updates
+    assert got.columns == ["k", "val"] and got.count() == 61
+    assert (
+        got.agg(F.sum("val")).first()[0]
+        == sum(2 * k for k in range(60)) + (2 * 5 + 1)
+    )
+    q = (
+        spark.readStream.format("txlogcdf")
+        .option("path", root)
+        .load()
+        .groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("cm_cdf")
+        .outputMode("complete")
+        .start()
+    )
+    drain(q)
+    rows = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in spark.table("cm_cdf").collect()
+    }
+    assert rows == {(0, "insert"): 30, (2, "insert"): 30,
+                    (3, "delete"): 1, (3, "insert"): 1}
+
+
+def test_column_mapping_guards(spark, tmp_path):
+    """Rename/drop refuse when table metadata references the column by
+    name (generated columns, CHECK constraints) and degenerate drops."""
+    root = str(tmp_path / "cg")
+    txlog.set_check_constraint(root, "v_nonneg", "v >= 0")
+    txlog.append_table(
+        spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"), root
+    )
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        txlog.rename_column(root, "v", "value")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        txlog.drop_column(root, "v")
+    txlog.drop_check_constraint(root, "v_nonneg")
+    txlog.rename_column(root, "v", "value")  # now fine
+    txlog.drop_column(root, "value")
+    with pytest.raises(ValueError, match="only column"):
+        txlog.drop_column(root, "k")
