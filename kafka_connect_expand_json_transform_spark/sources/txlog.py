@@ -317,6 +317,9 @@ def _commit(
 
     df = _apply_generated(root, df)  # generated columns materialize/validate
     existing_entries = _list_entries(root)
+    # identity column: fill NULL rows from the versioned high-water mark
+    # BEFORE schema validation (the fill may add the column)
+    df, identity_hwm = _apply_identity(root, df, existing_entries)
     current = validate(existing_entries)
     # hive partitioning is TABLE-CONSTANT: a new spec on a partitioned
     # table (or vice versa) would break unified reads mid-history.
@@ -396,10 +399,21 @@ def _commit(
     blooms = _build_part_blooms(root, rel, spark=df.sparkSession)
     if blooms:
         entry["bloom"] = blooms
+    if identity_hwm is not None:
+        entry["identity_hwm"] = identity_hwm
     if entry_extra:
         entry.update(entry_extra)  # caller-owned markers (e.g. zorder spec)
 
-    commutes = op == "append" and not extra_files and expected_version is None
+    # an identity-assigning commit must NOT auto-retry a version conflict:
+    # a concurrent identity commit may have advanced the watermark, and
+    # re-pointing the same data dir would collide ids — surface the
+    # conflict so with_retries re-reads and re-assigns
+    commutes = (
+        op == "append"
+        and not extra_files
+        and expected_version is None
+        and identity_hwm is None
+    )
     attempts = _APPEND_COMMIT_RETRIES if commutes else 0
     for attempt in range(attempts + 1):
         version = current + 1
@@ -507,7 +521,24 @@ def set_commit_backend(backend: CommitBackend) -> CommitBackend:
 
 def _publish_entry(root: str, version: int, entry: dict) -> None:
     """Atomically publish ``entry`` as the log file for ``version`` via the
-    commit backend (shared by _commit, WAP, and clone_table)."""
+    commit backend (shared by _commit, WAP, and clone_table).
+
+    Every entry is stamped with an IN-COMMIT TIMESTAMP (Delta's
+    inCommitTimestamp): ``ts`` is wall-clock at publish, clamped to be
+    strictly greater than the previous version's — so ``TIMESTAMP AS OF``
+    resolution is well-defined even under clock skew between writers (the
+    log's version order IS the time order, Delta's rule)."""
+    if "ts" not in entry:
+        ts = time.time()
+        prev = os.path.join(_log_path(root), _entry_name(version - 1))
+        try:
+            with open(prev) as f:
+                prev_ts = json.load(f).get("ts")
+            if prev_ts is not None and ts <= prev_ts:
+                ts = prev_ts + 1e-3
+        except (FileNotFoundError, ValueError):
+            pass
+        entry["ts"] = ts
     final = os.path.join(_log_path(root), _entry_name(version))
     _commit_backend.publish(final, json.dumps(entry).encode())
 
@@ -1416,11 +1447,45 @@ def read_table(spark: SparkSession, root: str, version: int | None = None) -> Da
 
 
 def history(root: str) -> list[dict]:
-    """The commit log, oldest first (version/op/file counts)."""
+    """The commit log, oldest first (version/op/file counts + the
+    in-commit timestamp when the entry records one)."""
     return [
-        {"version": e["version"], "op": e["op"], "n_files": len(e["files"])}
+        {
+            "version": e["version"],
+            "op": e["op"],
+            "n_files": len(e["files"]),
+            **({"ts": e["ts"]} if "ts" in e else {}),
+        }
         for e in _list_entries(root)
     ]
+
+
+def version_at_timestamp(root: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose in-commit
+    timestamp is <= ``ts`` (Delta's rule).  Raises when ``ts`` predates
+    the table (nothing existed to read) or when no entry records a
+    timestamp.  Entries written before in-commit timestamps existed
+    count as ts=-inf (always eligible), so old tables resolve to their
+    newest un-stamped version when ``ts`` predates the first stamp."""
+    entries = _list_entries(root)
+    if not entries:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    best = None
+    for e in entries:
+        if e.get("ts", float("-inf")) <= ts:
+            best = e["version"]
+    if best is None:
+        first = entries[0].get("ts")
+        raise ValueError(
+            f"timestamp {ts} predates the table (first commit at {first})"
+        )
+    return best
+
+
+def read_table_as_of(spark: SparkSession, root: str, ts: float) -> DataFrame:
+    """``SELECT ... TIMESTAMP AS OF`` (Delta parity): snapshot at the
+    newest version committed at or before epoch-seconds ``ts``."""
+    return read_table(spark, root, version=version_at_timestamp(root, ts))
 
 
 def delete_where(
@@ -2463,6 +2528,112 @@ def _apply_generated(root: str, df: DataFrame) -> DataFrame:
                     f"generation expression {expr!r} for at least one row"
                 )
     return df
+
+
+def _identity_path(root: str) -> str:
+    return os.path.join(root, "_identity.json")
+
+
+def _read_identity(root: str) -> dict:
+    path = _identity_path(root)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def set_identity_column(root: str, name: str, start: int = 1, step: int = 1) -> None:
+    """GENERATED BY DEFAULT AS IDENTITY (Delta identity-column parity):
+    every subsequent commit fills the column's NULL rows (and creates the
+    column when absent) with unique monotonically-increasing values
+    ``start + k*step``; explicitly provided non-null values pass through
+    untouched — which is exactly what lets MERGE re-write existing rows
+    without reassigning their ids while its fresh INSERT rows get new
+    ones.  The high-water mark rides each commit's log entry
+    (``identity_hwm``), so it is versioned, crash-safe, and advanced
+    transactionally with the data; like Delta, values are unique and
+    increasing but NOT gap-free (a failed commit abandons its claimed
+    range).  An identity-assigning commit never auto-retries a version
+    conflict — two appends racing the same watermark would collide ids —
+    the conflict surfaces and ``with_retries`` re-reads and re-assigns."""
+    if step == 0:
+        raise ValueError("identity step must be non-zero")
+    cfg = {"col": name, "start": int(start), "step": int(step)}
+    os.makedirs(root, exist_ok=True)
+    tmp = _identity_path(root) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(cfg, f)
+    os.replace(tmp, _identity_path(root))
+
+
+def _identity_hwm(entries: list[dict], cfg: dict) -> int:
+    """The next unassigned identity value: the newest recorded watermark,
+    else the configured start."""
+    for e in reversed(entries):
+        if "identity_hwm" in e:
+            return e["identity_hwm"]
+    return cfg["start"]
+
+
+def _apply_identity(root: str, df: DataFrame, entries: list[dict]):
+    """Fill the identity column's NULL rows with fresh values and return
+    ``(df, new_hwm)`` — ``new_hwm`` is None when nothing was assigned.
+
+    Scale: global contiguous indexes are assigned with the distributed
+    zipWithIndex shape — one bounded per-partition COUNT aggregate (rows
+    collected = #partitions, never data), cumulative offsets broadcast in
+    the closure, and one mapInPandas pass that numbers each partition's
+    rows locally.  No single-partition window, no driver-side data."""
+    cfg = _read_identity(root)
+    if not cfg:
+        return df, None
+    from pyspark.sql import functions as F
+
+    col, step = cfg["col"], cfg["step"]
+    hwm = _identity_hwm(entries, cfg)
+    if col in df.columns:
+        need = df.where(F.col(col).isNull())
+        have = df.where(F.col(col).isNotNull())
+    else:
+        need = df.withColumn(col, F.lit(None).cast("bigint"))
+        have = None
+    # freeze the partitioning: both passes (count + number) must see the
+    # SAME rows per partition id
+    need = need.localCheckpoint(eager=True)
+    n_by_pid = {
+        r["pid"]: r["n"]
+        for r in need.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(n_by_pid.values())
+    if total == 0:
+        return df, None
+    offsets, acc = {}, 0
+    for pid in sorted(n_by_pid):
+        offsets[pid] = acc
+        acc += n_by_pid[pid]
+
+    cols = need.columns
+    idx = cols.index(col)
+
+    def assign(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pos = offsets.get(pid, 0)
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf[cols[idx]] = [hwm + step * (pos + i) for i in range(n)]
+            pos += n
+            yield pdf
+
+    assigned = need.mapInPandas(assign, need.schema)
+    out = assigned if have is None else have.unionByName(assigned)
+    return out, hwm + step * total
 
 
 def _constraints_path(root: str) -> str:

@@ -2795,3 +2795,115 @@ def test_column_mapping_guards(spark, tmp_path):
     txlog.drop_column(root, "value")
     with pytest.raises(ValueError, match="only column"):
         txlog.drop_column(root, "k")
+
+
+def test_in_commit_timestamps_and_timestamp_as_of(spark, tmp_path):
+    """Every published entry carries an in-commit timestamp, strictly
+    monotonic across versions even if the wall clock runs backwards
+    (Delta's inCommitTimestamp rule: version order IS time order);
+    TIMESTAMP AS OF resolves to the newest version at-or-before."""
+    import time as _time
+    import unittest.mock as mock
+
+    root = str(tmp_path / "ts")
+    txlog.append_table(_df(spark, 0, 5), root)
+    t0 = txlog.history(root)[0]["ts"]
+    # a writer with a SKEWED-BACKWARD clock still publishes a later ts
+    with mock.patch.object(txlog.time, "time", return_value=t0 - 100.0):
+        txlog.append_table(_df(spark, 5, 10), root)
+    h = txlog.history(root)
+    assert h[1]["ts"] > h[0]["ts"]
+    _time.sleep(0.01)
+    txlog.append_table(_df(spark, 10, 20), root)
+    h = txlog.history(root)
+    assert [e["ts"] for e in h] == sorted(e["ts"] for e in h)
+    # resolution: between v1 and v2 -> v1; before v0 -> error; now -> v2
+    mid = (h[1]["ts"] + h[2]["ts"]) / 2
+    assert txlog.version_at_timestamp(root, mid) == 1
+    assert txlog.version_at_timestamp(root, _time.time() + 1) == 2
+    with pytest.raises(ValueError, match="predates"):
+        txlog.version_at_timestamp(root, h[0]["ts"] - 1)
+    assert txlog.read_table_as_of(spark, root, mid).count() == 10
+    # an entry written before in-commit timestamps (no ts key) counts as
+    # always-eligible, so legacy tables still resolve
+    import json as _json
+
+    legacy = os.path.join(root, "_log", "00000001.json")
+    with open(legacy) as f:
+        e1 = _json.load(f)
+    del e1["ts"]
+    with open(legacy, "w") as f:
+        _json.dump(e1, f)
+    assert txlog.version_at_timestamp(root, h[0]["ts"] + 1e-9) == 1
+
+
+def test_identity_column_assignment(spark, tmp_path):
+    """GENERATED BY DEFAULT AS IDENTITY: NULL rows (or a missing column)
+    fill with unique increasing start + k*step values; explicit values
+    pass through; the high-water mark rides the log entry so later
+    commits continue where the last one stopped; MERGE keeps existing
+    ids and assigns fresh ones to its inserts."""
+    root = str(tmp_path / "idt")
+    txlog.set_identity_column(root, "rid", start=100, step=10)
+    txlog.append_table(
+        spark.range(0, 7).selectExpr("id AS k", "id * 2 AS v").repartition(3),
+        root,
+    )
+    got = txlog.read_table(spark, root)
+    rids = sorted(r["rid"] for r in got.collect())
+    assert rids == [100 + 10 * i for i in range(7)]
+    assert txlog._list_entries(root)[-1]["identity_hwm"] == 170
+    # second append continues from the watermark
+    txlog.append_table(
+        spark.range(7, 10).selectExpr("id AS k", "id * 2 AS v"), root
+    )
+    rids = sorted(r["rid"] for r in txlog.read_table(spark, root).collect())
+    assert rids == [100 + 10 * i for i in range(10)]
+    # explicit values pass through; only the NULL rows are assigned
+    mixed = spark.createDataFrame(
+        [(50, 100, 9999), (51, 102, None)], "k bigint, v bigint, rid bigint"
+    )
+    txlog.append_table(mixed, root)
+    got = {r["k"]: r["rid"] for r in txlog.read_table(spark, root).collect()}
+    assert got[50] == 9999 and got[51] == 200
+    assert txlog._list_entries(root)[-1]["identity_hwm"] == 210
+    # MERGE: matched rows keep their ids, inserted rows get fresh ones
+    rid_k0 = txlog.read_table(spark, root).where("k = 0").first()["rid"]
+    src = spark.createDataFrame(
+        [(0, 1000), (777, 1234)], "k bigint, v bigint"
+    ).selectExpr("k", "v", "CAST(NULL AS BIGINT) AS rid")
+    # update only v: the matched row carries its EXISTING rid through the
+    # rewrite (a null source rid never erases it)
+    txlog.merge_into(
+        spark, root, src, ["k"], update={"v": F.col("s.v")}
+    )
+    got = {r["k"]: (r["v"], r["rid"]) for r in txlog.read_table(spark, root).collect()}
+    assert got[0] == (1000, rid_k0)  # kept id
+    assert got[777][0] == 1234 and got[777][1] == 210  # fresh id
+    # identity commits do NOT auto-retry version conflicts (id collision
+    # risk): a conflict-once publish makes a plain append retry and land,
+    # but an identity-assigning append must surface the conflict
+    import unittest.mock as mock
+
+    orig_publish = txlog._publish_entry
+    state = {"raced": False}
+
+    def conflict_once(r, v, e):
+        if not state["raced"]:
+            state["raced"] = True
+            raise txlog.TxLogConflict("raced")
+        return orig_publish(r, v, e)
+
+    with mock.patch.object(txlog, "_publish_entry", conflict_once):
+        with pytest.raises(txlog.TxLogConflict):
+            txlog.append_table(
+                spark.range(90, 95).selectExpr("id AS k", "id * 2 AS v"),
+                root,
+            )
+    # the same conflict on a NON-identity table is absorbed by the
+    # commuting-append retry
+    root2 = str(tmp_path / "noid")
+    txlog.append_table(_df(spark, 0, 5), root2)
+    state["raced"] = False
+    with mock.patch.object(txlog, "_publish_entry", conflict_once):
+        assert txlog.append_table(_df(spark, 5, 10), root2) == 1
