@@ -21,6 +21,8 @@ Implemented (public semantics per the Kafka Connect documentation —
   * ``ValueToKey`` — key := struct of named value fields
   * ``Filter`` + predicates ``TopicNameMatches`` / ``RecordIsTombstone`` /
     ``HasHeaderKey`` (with ``negate``)
+  * ``ExtractNewRecordState`` — Debezium's unwrap SMT (the change-event
+    envelope -> row state; tombstone/delete handling, ``add.fields``)
 
 plus the reference's own ``ExpandJson$Key/$Value`` (dispatched to
 ``sources.kafka.from_connect_config``).  Records are the Kafka-wire shape
@@ -368,6 +370,76 @@ def _apply_one(df: DataFrame, type_name: str, cfg: dict, predicate=None) -> Data
         if predicate is None:
             raise ValueError("Filter SMT requires a predicate")
         return df.where(~predicate(df))
+
+    if base == "ExtractNewRecordState":
+        # Debezium's unwrap SMT (io.debezium.transforms.ExtractNewRecordState,
+        # public Debezium 2.x docs) — THE transform real CDC deployments
+        # chain in front of ExpandJson-style SMTs: collapse the change-event
+        # envelope {before, after, source, op, ts_ms} to the row state.
+        #   drop.tombstones (true): remove null-value tombstone records
+        #   delete.handling.mode: drop (default) — remove op='d' records;
+        #     rewrite — keep them, take state from `before`, add a string
+        #     __deleted true/false field; none — keep them with null value
+        #   add.fields: comma list of envelope/source paths copied into the
+        #     flattened value as __<path with . -> _> (alias via `path:name`)
+        if predicate is not None:
+            # type-changing like ExpandJson: a gated unwrap would mix
+            # envelope and row-state structs in one column — config error
+            raise ValueError(
+                f"{smt}: per-transform 'predicate' is not supported on "
+                "ExtractNewRecordState — the unwrap changes the value type; "
+                "route with Filter/split_dlq upstream instead"
+            )
+        dt = _require_struct(df, "value", smt)
+        names = {f.name for f in dt.fields}
+        for req in ("after", "op"):
+            if req not in names:
+                raise ValueError(
+                    f"{smt}: value is not a Debezium envelope (missing "
+                    f"'{req}' field); got {dt.simpleString()}"
+                )
+        after_t = dt["after"].dataType
+        if not isinstance(after_t, T.StructType):
+            raise ValueError(f"{smt}: envelope 'after' must be a struct")
+        mode = cfg.get("delete.handling.mode", "drop")
+        if mode not in ("drop", "rewrite", "none"):
+            raise ValueError(f"{smt}: unknown delete.handling.mode {mode!r}")
+        if str(cfg.get("drop.tombstones", "true")).lower() == "true":
+            df = df.where(F.col("value").isNotNull())
+        if mode == "drop":
+            df = df.where(
+                F.col("value").isNull() | (F.col("value.op") != F.lit("d"))
+            )
+        v = F.col("value")
+        is_delete = v.getField("op") == F.lit("d")
+        if mode == "rewrite" and "before" in names:
+            state = F.when(is_delete, v.getField("before")).otherwise(
+                v.getField("after")
+            )
+        else:
+            state = v.getField("after")
+        cols = [state.getField(f.name).alias(f.name) for f in after_t.fields]
+        for spec in str(cfg.get("add.fields", "")).split(","):
+            spec = spec.strip()
+            if not spec:
+                continue
+            path, _, alias = spec.partition(":")
+            name = alias.strip() or "__" + path.replace(".", "_")
+            add = v
+            for part in path.split("."):
+                add = add.getField(part)
+            cols.append(add.alias(name))
+        if mode == "rewrite":
+            cols.append(
+                F.when(is_delete, F.lit("true"))
+                .otherwise(F.lit("false"))
+                .alias("__deleted")
+            )
+        new_value = F.struct(*cols)
+        if mode == "none":
+            new_value = F.when(~is_delete, new_value)
+        new_value = F.when(v.isNull(), F.lit(None)).otherwise(new_value)
+        return df.withColumn("value", new_value)
 
     raise ValueError(f"unsupported SMT type {type_name!r}")
 

@@ -22337,6 +22337,152 @@ def schema_registry_wire_pipeline(spark, sf_dir):
     )
 
 
+_SQL_DEBEZIUM = """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             o_orderstatus AS status
+      FROM orders
+    ), final AS (
+      SELECT k, custkey, cents + 500 AS cents, status FROM o WHERE k % 4 = 0
+      UNION ALL
+      SELECT k, custkey, cents, status FROM o WHERE k % 4 = 2
+      UNION ALL
+      SELECT k, custkey, cents + 100 AS cents, status FROM o WHERE k % 4 = 3
+    )
+    SELECT status, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_cust
+    FROM final GROUP BY status
+"""
+
+
+@query("debezium_cdc_apply", _SQL_DEBEZIUM)
+def debezium_cdc_apply(spark, sf_dir):
+    """Debezium CDC end-to-end, broker-less — the canonical Kafka Connect
+    SOURCE pipeline the reference's SMT runs inside: change events are
+    SERIALIZED to the public Debezium envelope ({before, after, source,
+    op, ts_ms} as JSON text, debezium.io record structure), DECODED with
+    ``from_debezium`` (one codegen from_json), UNWRAPPED by the
+    ``ExtractNewRecordState`` SMT via a verbatim ``transforms=unwrap``
+    connector config (rewrite mode: deletes keep their ``before`` state +
+    __deleted), REDUCED to the last change per key (key-partitioned rank —
+    a stale early update per 20th key must lose), and APPLIED to a txlog
+    table with one MERGE (delete where op='d', upsert otherwise; the new
+    ``insert_when`` clause keeps absent-key deletes no-ops).  The final
+    table state is value-checked against a DuckDB oracle that derives the
+    same end state arithmetically — a wrong op route, a lost delete, or a
+    stale-update win flips the hash.  Scale: decode+unwrap are narrow; the
+    reduce and the merge share the table-key shuffle; merge is partial CoW
+    (file-pruned), so a 100 TB table pays for the touched key range."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kafka_connect_expand_json_transform_spark.operators.connect_smt import (
+        connect_transform_chain,
+    )
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+    from kafka_connect_expand_json_transform_spark.sources.debezium import (
+        apply_cdc,
+        from_debezium,
+    )
+
+    row_schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("custkey", LongType()),
+            StructField("cents", LongType()),
+            StructField("status", StringType()),
+        ]
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+    def row(cents_col):
+        return F.struct(
+            F.col("k"), F.col("custkey"), cents_col.alias("cents"), F.col("status")
+        )
+
+    null_row = F.lit(None).cast(row_schema.simpleString())
+
+    def envelope(before, after, op, ts, lsn):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.struct(
+                    F.lit("postgresql").alias("connector"),
+                    F.lit("shop").alias("db"),
+                    F.lit("orders").alias("table"),
+                    ts.alias("ts_ms"),
+                    lsn.alias("lsn"),
+                ).alias("source"),
+                F.lit(op).alias("op"),
+                ts.alias("ts_ms"),
+            )
+        )
+
+    k = F.col("k")
+    upd = o.where(k % 4 == 0).select(
+        envelope(row(F.col("cents")), row(F.col("cents") + 500), "u",
+                 k + 2_000_000, k * 2).alias("value")
+    )
+    # a STALE earlier update for every 20th key — the reduce must drop it
+    stale = o.where(k % 20 == 0).select(
+        envelope(row(F.col("cents")), row(F.col("cents") + 999), "u",
+                 k + 1_500_000, k * 2 - 1).alias("value")
+    )
+    dels = o.where(k % 4 == 1).select(
+        envelope(row(F.col("cents")), null_row, "d",
+                 k + 3_000_000, k * 2).alias("value")
+    )
+    crea = o.where(k % 4 == 3).select(
+        envelope(null_row, row(F.col("cents") + 100), "c",
+                 k + 1_000_000, k * 2).alias("value")
+    )
+    events = upd.unionAll(stale).unionAll(dels).unionAll(crea)
+
+    unwrap = connect_transform_chain(
+        {
+            "transforms": "unwrap",
+            "transforms.unwrap.type": "io.debezium.transforms.ExtractNewRecordState",
+            "transforms.unwrap.delete.handling.mode": "rewrite",
+            "transforms.unwrap.add.fields": "op,ts_ms,source.lsn",
+        }
+    )
+    changes = (
+        unwrap(from_debezium(events, row_schema))
+        .select("value.*")
+        .withColumnRenamed("__source_lsn", "__lsn")
+    )
+
+    tmp = tempfile.mkdtemp(prefix="debezium_cdc_q_")
+    try:
+        root = tmp + "/orders_cdc"
+        TX.append_table(o.where(k % 4 != 3), root)
+        apply_cdc(spark, root, changes, ["k"])
+        return (
+            TX.read_table(spark, root)
+            .groupBy("status")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+                F.count_distinct("custkey").cast("bigint").alias("n_cust"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_PB_WIRE = """
     WITH r AS (SELECT g AS i FROM generate_series(0, 5999) AS t(g))
     SELECT 't' || CAST(i % 7 AS VARCHAR) AS tag,
@@ -22784,6 +22930,7 @@ _DRIVER_WINDOW = [
     "kafka_wire_sink_roundtrip",  # wire format, PRODUCE direction (NEW r7, ask#5)
     "schema_registry_wire_pipeline",  # Confluent wire format (FIRST ROW)
     "protobuf_wire_pipeline",  # ProtobufConverter wire format (NEW r7 session 2)
+    "debezium_cdc_apply",      # Debezium envelope->unwrap->MERGE (NEW r7 session 2)
     "connect_smt_chain_pipeline",  # SMT chain sentinel (1 row)
     "binaryfile_source_stats", # binaryFile / multimodal sentinel (2 rows)
     "orc_roundtrip_agg",       # ORC source/sink roundtrip (FIRST ROW)
@@ -22823,9 +22970,9 @@ _DRIVER_WINDOW = [
     "pit_join_purchases",      # R2 as-of/point-in-time join (1 row)
     "rfm_segmentation",        # exact_ntile two-phase rank (1 row)
     "sql_pipe_syntax_agg",     # Spark 4 SQL pipe operators |> (1 row)
-    "statestore_reader_agg",   # X7 state-store-as-batch reader (2 rows)
-    # rotated out for the session-2 adds: incremental_agg_maintenance (2
-    # green rows, family covered by stream_txlog_cdf_e2e in-window)
+    # rotated out for the session-2 adds: incremental_agg_maintenance and
+    # statestore_reader_agg (2 green rows each; families covered in-window
+    # by stream_txlog_cdf_e2e and the stream_* e2e block)
     # UDF surfaces
     "udtf_table_partition_stats",  # U3 UDTF TABLE + PARTITION BY (2 rows)
     # LLM-ops: headline chains earn first rows; family sentinels stay

@@ -1789,6 +1789,7 @@ def merge_into(
     update: dict | str | None = "all",
     delete_when=None,
     insert: bool = True,
+    insert_when=None,
     capture_changes: bool = True,
     prune_files: bool = True,
 ) -> tuple[int, dict]:
@@ -1802,9 +1803,12 @@ def merge_into(
       non-key target column that the source also carries with the source
       value; a dict maps target column → Column / SQL expression (again
       over ``t.`` / ``s.``); ``None`` keeps the target row untouched;
-    * source-only → inserted when ``insert`` (source columns missing from
-      the target schema are ignored; target columns missing from the
-      source come in as NULL);
+    * source-only → inserted when ``insert`` and, if given, the
+      ``insert_when`` condition (Column / SQL over ``s.*`` — SQL MERGE's
+      ``WHEN NOT MATCHED AND <cond>``; a CDC apply uses it to make
+      deletes of absent keys a no-op instead of resurrecting the row);
+      source columns missing from the target schema are ignored; target
+      columns missing from the source come in as NULL;
     * target-only → kept.
 
     Like Delta, a source with duplicate keys would make a matched target
@@ -1886,6 +1890,11 @@ def merge_into(
     else:
         delc = F.expr(delete_when) if isinstance(delete_when, str) else delete_when
     delc = F.coalesce(delc, F.lit(False))
+    if insert_when is None:
+        ins_cond = F.lit(insert)
+    else:
+        insw = F.expr(insert_when) if isinstance(insert_when, str) else insert_when
+        ins_cond = F.lit(insert) & F.coalesce(insw, F.lit(False))
 
     if update == "all":
         assignments = {
@@ -1913,7 +1922,7 @@ def merge_into(
         F.sum((matched & ~delc).cast("long")).alias(
             "updated" if assignments else "matched_kept"
         ),
-        F.sum((s_only & F.lit(insert)).cast("long")).alias("inserted"),
+        F.sum((s_only & ins_cond).cast("long")).alias("inserted"),
     ).first()
     stats = {
         "inserted": counts["inserted"] or 0,
@@ -1921,7 +1930,7 @@ def merge_into(
         "deleted": counts["deleted"] or 0,
     }
 
-    kept = joined.where(~(matched & delc) & ~(s_only & F.lit(not insert)))
+    kept = joined.where(~(matched & delc) & ~(s_only & ~ins_cond))
     out_cols = []
     for c in snap.columns:
         dt = snap.schema[c].dataType
@@ -1956,7 +1965,7 @@ def merge_into(
         else:
             eff_pre = del_pre.limit(0)
             eff_post = del_pre.limit(0)
-        ins = joined.where(s_only & F.lit(insert)).select(*out_cols)
+        ins = joined.where(s_only & ins_cond).select(*out_cols)
         changes = (
             del_pre.withColumn("_change_type", F.lit("delete"))
             .unionByName(eff_pre.withColumn("_change_type", F.lit("delete")))
