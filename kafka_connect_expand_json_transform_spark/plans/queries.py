@@ -22342,7 +22342,7 @@ _SQL_DEBEZIUM = """
       SELECT o_orderkey AS k, o_custkey AS custkey,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
              o_orderstatus AS status
-      FROM orders
+      FROM orders WHERE o_orderkey % 3 = 0
     ), final AS (
       SELECT k, custkey, cents + 500 AS cents, status FROM o WHERE k % 4 = 0
       UNION ALL
@@ -22397,13 +22397,17 @@ def debezium_cdc_apply(spark, sf_dir):
             StructField("status", StringType()),
         ]
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").cast("bigint").alias("k"),
-        F.col("o_custkey").cast("bigint").alias("custkey"),
-        F.expr(
-            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
-        ).alias("cents"),
-        F.col("o_orderstatus").alias("status"),
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 3 == 0)  # deterministic CDC universe
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("k"),
+            F.col("o_custkey").cast("bigint").alias("custkey"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+            F.col("o_orderstatus").alias("status"),
+        )
     )
 
     def row(cents_col):
@@ -22467,8 +22471,13 @@ def debezium_cdc_apply(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="debezium_cdc_q_")
     try:
         root = tmp + "/orders_cdc"
-        TX.append_table(o.where(k % 4 != 3), root)
-        apply_cdc(spark, root, changes, ["k"])
+        TX.append_table(o.where(k % 4 != 3).coalesce(4), root)
+        # capture/pruning off here: this merge touches ~3/4 of all keys so
+        # file pruning can never win, and write-time CDF capture is proven
+        # by stream_txlog_cdf_e2e / txlog_mor_merge_agg — keeping both on
+        # would bench the txlog's fixed job overhead, not the CDC path
+        apply_cdc(spark, root, changes, ["k"],
+                  capture_changes=False, prune_files=False)
         return (
             TX.read_table(spark, root)
             .groupBy("status")
@@ -22527,7 +22536,7 @@ def protobuf_wire_pipeline(spark, sf_dir):
       LineItem item = 4;
     }
     """
-    src = spark.range(0, 6000).select(
+    src = spark.range(0, 6000, 1, 8).select(
         (F.col("id") % 50).alias("uid"),
         F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("tag"),
         F.array((F.col("id") % 5).cast("int"), (F.col("id") % 11).cast("int")).alias("vals"),

@@ -127,6 +127,7 @@ def apply_cdc(
     *,
     op_column: str = "__op",
     order_by: list[str] = ("__ts_ms", "__lsn"),
+    **merge_kwargs,
 ) -> tuple[int, dict]:
     """Apply an unwrapped CDC batch to the txlog table at ``root``:
     reduce to the latest change per key, then one MERGE — delete where the
@@ -134,7 +135,13 @@ def apply_cdc(
     of a streaming Debezium sink; exactly-once comes from the txlog's
     optimistic commit + the stream's checkpoint replay, the same contract
     the repo's other foreachBatch sinks document."""
-    last = latest_changes(changes, keys, order_by=list(order_by))
+    # one consumer-side materialization: the merge runs several actions
+    # (dup-key guard, clause stats, CoW write, change capture) and must not
+    # re-execute the decode->unwrap->reduce lineage for each — the reduced
+    # batch is CDC-batch-sized (one row per touched key), never table-sized
+    last = latest_changes(changes, keys, order_by=list(order_by)).localCheckpoint(
+        eager=False
+    )
     from kafka_connect_expand_json_transform_spark.sources import txlog as TX
 
     # deleted rows carry their final state in `before` (rewrite mode), so
@@ -151,4 +158,5 @@ def apply_cdc(
         # a delete whose key is already absent is a no-op, never a
         # resurrection of the `before` state (WHEN NOT MATCHED AND <cond>)
         insert_when=f"s.{op_column} <> 'd'",
+        **merge_kwargs,  # e.g. capture_changes / prune_files passthrough
     )
