@@ -22492,6 +22492,177 @@ def debezium_cdc_apply(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_STREAM_DEBEZIUM = """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 15 = 0
+    ), final AS (
+      SELECT k, custkey, cents + 500 AS cents, status FROM o WHERE k % 4 = 0
+      UNION ALL
+      SELECT k, custkey, cents, status FROM o WHERE k % 4 = 2
+      UNION ALL
+      SELECT k, custkey, cents + 100 AS cents, status FROM o WHERE k % 4 = 3
+    )
+    SELECT status, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_cust
+    FROM final GROUP BY status
+"""
+
+
+@query("stream_debezium_cdc_e2e", _SQL_STREAM_DEBEZIUM)
+def stream_debezium_cdc_e2e(spark, sf_dir):
+    """STREAMING Debezium ingestion end-to-end — the deployment shape the
+    batch ``debezium_cdc_apply`` stands in for: raw envelope JSON arrives
+    as a real Structured Streaming source in two micro-batches
+    (maxFilesPerTrigger=1, the broker-less stand-in for the Kafka topic),
+    and ``foreachBatch`` runs decode -> ExtractNewRecordState unwrap ->
+    ``apply_cdc`` per batch — each micro-batch is one optimistic CoW MERGE
+    commit, so a replayed batch re-applies idempotently (same key, same
+    final values) and the log's expected_version serializes them.  Each
+    key carries exactly ONE change event, so batch merges commute and the
+    final snapshot is deterministic under any file order; it is
+    value-checked against the same arithmetic oracle as the batch twin.
+    Scale: the Debezium->lakehouse sink every CDC deployment runs —
+    per-batch key-ranged merges against a 100 TB table touch only the
+    batch's key range (file-pruned partial CoW)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kafka_connect_expand_json_transform_spark.operators.connect_smt import (
+        connect_transform_chain,
+    )
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+    from kafka_connect_expand_json_transform_spark.sources.debezium import (
+        apply_cdc,
+        from_debezium,
+    )
+    from kafka_connect_expand_json_transform_spark.streaming.sources import (
+        file_stream_source,
+    )
+
+    row_schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("custkey", LongType()),
+            StructField("cents", LongType()),
+            StructField("status", StringType()),
+        ]
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 15 == 0)
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("k"),
+            F.col("o_custkey").cast("bigint").alias("custkey"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+
+    def row(cents_col):
+        return F.struct(
+            F.col("k"), F.col("custkey"), cents_col.alias("cents"), F.col("status")
+        )
+
+    null_row = F.lit(None).cast(row_schema.simpleString())
+
+    def envelope(before, after, op, ts, lsn):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.struct(
+                    F.lit("postgresql").alias("connector"),
+                    F.lit("shop").alias("db"),
+                    F.lit("orders").alias("table"),
+                    ts.alias("ts_ms"),
+                    lsn.alias("lsn"),
+                ).alias("source"),
+                F.lit(op).alias("op"),
+                ts.alias("ts_ms"),
+            )
+        )
+
+    k = F.col("k")
+    upd = o.where(k % 4 == 0).select(
+        envelope(row(F.col("cents")), row(F.col("cents") + 500), "u",
+                 k + 2_000_000, k * 2).alias("value")
+    )
+    dels = o.where(k % 4 == 1).select(
+        envelope(row(F.col("cents")), null_row, "d",
+                 k + 3_000_000, k * 2).alias("value")
+    )
+    crea = o.where(k % 4 == 3).select(
+        envelope(null_row, row(F.col("cents") + 100), "c",
+                 k + 1_000_000, k * 2).alias("value")
+    )
+    events = upd.unionAll(dels).unionAll(crea)
+
+    unwrap = connect_transform_chain(
+        {
+            "transforms": "unwrap",
+            "transforms.unwrap.type": "io.debezium.transforms.ExtractNewRecordState",
+            "transforms.unwrap.delete.handling.mode": "rewrite",
+            "transforms.unwrap.add.fields": "op,ts_ms,source.lsn",
+        }
+    )
+
+    tmp = tempfile.mkdtemp(prefix="debezium_stream_q_")
+    try:
+        root = tmp + "/orders_cdc"
+        TX.append_table(o.where(k % 4 != 3).coalesce(4), root)
+        src_dir = tmp + "/topic"
+        events.repartition(2).write.parquet(src_dir)
+        stream = file_stream_source(
+            spark,
+            src_dir,
+            events.schema,
+            fmt="parquet",
+            options={"maxFilesPerTrigger": "1"},
+        )
+
+        def apply_batch(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            changes = (
+                unwrap(from_debezium(batch_df, row_schema))
+                .select("value.*")
+                .withColumnRenamed("__source_lsn", "__lsn")
+            )
+            # reduce=False: one event per key per batch by construction
+            # (the merge's dup-key guard still enforces it)
+            apply_cdc(spark, root, changes, ["k"], reduce=False,
+                      capture_changes=False, prune_files=False)
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            TX.read_table(spark, root)
+            .groupBy("status")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+                F.count_distinct("custkey").cast("bigint").alias("n_cust"),
+            )
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_PB_WIRE = """
     WITH r AS (SELECT g AS i FROM generate_series(0, 5999) AS t(g))
     SELECT 't' || CAST(i % 7 AS VARCHAR) AS tag,

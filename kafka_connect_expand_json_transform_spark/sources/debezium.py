@@ -127,6 +127,7 @@ def apply_cdc(
     *,
     op_column: str = "__op",
     order_by: list[str] = ("__ts_ms", "__lsn"),
+    reduce: bool = True,
     **merge_kwargs,
 ) -> tuple[int, dict]:
     """Apply an unwrapped CDC batch to the txlog table at ``root``:
@@ -134,14 +135,18 @@ def apply_cdc(
     surviving op is 'd', upsert otherwise.  This is the foreachBatch body
     of a streaming Debezium sink; exactly-once comes from the txlog's
     optimistic commit + the stream's checkpoint replay, the same contract
-    the repo's other foreachBatch sinks document."""
+    the repo's other foreachBatch sinks document.  ``reduce=False`` skips
+    the per-key rank when the producer guarantees one event per key per
+    batch (e.g. a compacted topic); the merge's duplicate-key guard still
+    fail-fasts if that promise is broken."""
+    last = changes
+    if reduce:
+        last = latest_changes(changes, keys, order_by=list(order_by))
     # one consumer-side materialization: the merge runs several actions
     # (dup-key guard, clause stats, CoW write, change capture) and must not
     # re-execute the decode->unwrap->reduce lineage for each — the reduced
     # batch is CDC-batch-sized (one row per touched key), never table-sized
-    last = latest_changes(changes, keys, order_by=list(order_by)).localCheckpoint(
-        eager=False
-    )
+    last = last.localCheckpoint(eager=False)
     from kafka_connect_expand_json_transform_spark.sources import txlog as TX
 
     # deleted rows carry their final state in `before` (rewrite mode), so
