@@ -198,6 +198,12 @@ def _decode_scalar(reader: Reader, ftype: str):
     raise ValueError(f"not a scalar type: {ftype}")
 
 
+def _entry_name(field_name: str) -> str:
+    """The spec's implicit map entry message name: field name to
+    CamelCase + 'Entry' (``foo_bar`` -> ``FooBarEntry``)."""
+    return "".join(p.capitalize() for p in field_name.split("_")) + "Entry"
+
+
 def _default(ftype: str):
     if ftype in ("string",):
         return ""
@@ -223,6 +229,16 @@ def encode_message(desc: dict, value: dict, types: dict) -> bytes:
     for field in desc["fields"]:
         name, ftype, num = field["name"], field["type"], field["number"]
         v = value.get(name)
+        if field.get("map"):
+            if not v:
+                continue
+            entry = types[field["type_name"]]
+            for mk in sorted(v):  # key-sorted: deterministic wire bytes
+                sub = encode_message(entry, {"key": mk, "value": v[mk]}, types)
+                write_uvarint(buf, (num << 3) | WIRETYPE_LEN)
+                write_uvarint(buf, len(sub))
+                buf += sub
+            continue
         if field.get("repeated"):
             if v is None or len(v) == 0:  # len(): numpy arrays lack truthiness
                 continue
@@ -274,7 +290,10 @@ def decode_message(data: bytes | memoryview, desc: dict, types: dict) -> dict:
             r.skip(wt)
             continue
         name, ftype = field["name"], field["type"]
-        if field.get("repeated"):
+        if field.get("map"):
+            entry = decode_message(r.read_len(), types[field["type_name"]], types)
+            out.setdefault(name, {})[entry["key"]] = entry["value"]
+        elif field.get("repeated"):
             acc = out.setdefault(name, [])
             if ftype == "message":
                 acc.append(decode_message(r.read_len(), types[field["type_name"]], types))
@@ -290,7 +309,10 @@ def decode_message(data: bytes | memoryview, desc: dict, types: dict) -> dict:
             out[name] = _decode_scalar(r, ftype)  # last-one-wins per spec
     for f in desc["fields"]:
         if f["name"] not in out:
-            out[f["name"]] = [] if f.get("repeated") else _default(f["type"])
+            if f.get("map"):
+                out[f["name"]] = {}
+            else:
+                out[f["name"]] = [] if f.get("repeated") else _default(f["type"])
     return out
 
 
@@ -312,8 +334,12 @@ def parse_proto(text: str) -> dict:
     """Parse a proto3 ``.proto`` subset into ``{fully.qualified.Name:
     descriptor}``.  Supported: ``syntax``/``package``/``option`` headers,
     nested ``message``/``enum``, ``repeated``/``optional`` labels,
-    ``reserved``, comments.  Unsupported (raises): ``oneof``, ``map<>``,
-    ``extend``, ``service``, proto2 ``required``/``group``."""
+    ``map<K,V>`` (desugared to the spec's implicit repeated ``*Entry``
+    message; decoded to a Python dict, encoded key-sorted for
+    deterministic bytes), ``oneof`` (members become singular fields of the
+    parent — wire-identical per spec; last-one-wins on decode),
+    ``reserved``, comments.  Unsupported (raises): ``extend``,
+    ``service``, proto2 ``required``/``group``."""
     toks = [t for t in _TOKEN.findall(text) if not t.startswith(("//", "/*"))]
     pos = 0
     types: dict[str, dict] = {}
@@ -375,7 +401,67 @@ def parse_proto(text: str) -> dict:
             if t in ("option", "reserved"):
                 skip_statement()
                 continue
-            if t in ("oneof", "map", "extend", "group", "required", "service"):
+            if t == "oneof":
+                # wire-identical to singular member fields (spec: "oneof
+                # fields are like regular fields except ...") — flatten
+                take()
+                take()  # oneof name (no descriptor-level meaning here)
+                take("{")
+                while peek() != "}":
+                    if peek() == "option":
+                        skip_statement()
+                        continue
+                    oftype = take()
+                    ofname = take()
+                    take("=")
+                    ofnum = int(take())
+                    if peek() == "[":
+                        while take() != "]":
+                            pass
+                    take(";")
+                    fields.append(
+                        {"name": ofname, "number": ofnum, "repeated": False,
+                         "type": oftype if oftype in _SCALARS else None,
+                         "type_ref": None if oftype in _SCALARS else oftype,
+                         "scope": fq}
+                    )
+                take("}")
+                continue
+            if t == "map":
+                # map<K,V> name = N; == repeated message NameEntry
+                # {K key = 1; V value = 2;} (spec "Maps" backward compat)
+                take()
+                take("<")
+                ktype = take()
+                take(",")
+                vtype = take()
+                take(">")
+                mname = take()
+                take("=")
+                mnum = int(take())
+                take(";")
+                if ktype not in _SCALARS or ktype in ("float", "double", "bytes"):
+                    raise ValueError(f"invalid map key type {ktype!r}")
+                entry_fq = f"{fq}.{_entry_name(mname)}"
+                types[entry_fq] = {
+                    "kind": "message",
+                    "name": entry_fq,
+                    "fields": [
+                        {"name": "key", "number": 1, "repeated": False,
+                         "type": ktype, "type_ref": None, "scope": fq},
+                        {"name": "value", "number": 2, "repeated": False,
+                         "type": vtype if vtype in _SCALARS else None,
+                         "type_ref": None if vtype in _SCALARS else vtype,
+                         "scope": fq},
+                    ],
+                }
+                fields.append(
+                    {"name": mname, "number": mnum, "repeated": True,
+                     "map": True, "type": None, "type_ref": _entry_name(mname),
+                     "scope": fq}
+                )
+                continue
+            if t in ("extend", "group", "required", "service"):
                 raise ValueError(f"proto construct not supported by this subset: {t}")
             repeated = False
             if t in ("repeated", "optional"):

@@ -149,10 +149,58 @@ def test_enum_and_repeated_message_roundtrip():
 
 
 def test_parser_rejects_unsupported_constructs():
-    with pytest.raises(ValueError, match="oneof"):
-        PC.parse_proto('syntax = "proto3"; message M { oneof o { int32 a = 1; } }')
+    with pytest.raises(ValueError, match="extend"):
+        PC.parse_proto('syntax = "proto3"; extend M { int32 a = 100; }')
     with pytest.raises(ValueError, match="proto3"):
         PC.parse_proto('syntax = "proto2"; message M { required int32 a = 1; }')
+
+
+MAP_ONEOF = """
+syntax = "proto3";
+message Rec {
+  map<string, int32> attrs = 1;
+  map<int32, Rec2> subs = 2;
+  oneof payload {
+    string text = 3;
+    int64 num = 4;
+  }
+}
+message Rec2 { int32 v = 1; }
+"""
+
+
+def test_map_roundtrip_and_deterministic_bytes():
+    types = PC.parse_proto(MAP_ONEOF)
+    rec = types["Rec"]
+    v = {"attrs": {"b": 2, "a": 1}, "subs": {7: {"v": 9}}}
+    enc = PC.encode_message(rec, v, types)
+    # key-sorted encode: {"b":..,"a":..} and {"a":..,"b":..} byte-identical
+    assert enc == PC.encode_message(rec, {"attrs": {"a": 1, "b": 2},
+                                          "subs": {7: {"v": 9}}}, types)
+    dec = PC.decode_message(enc, rec, types)
+    assert dec["attrs"] == {"a": 1, "b": 2}
+    assert dec["subs"] == {7: {"v": 9}}
+    # spec desugaring: one LEN entry per pair, submessage {key=1, value=2}
+    assert enc.startswith(bytes([0x0A]))  # field 1, wire type LEN
+
+
+def test_map_empty_default_and_key_type_guard():
+    types = PC.parse_proto(MAP_ONEOF)
+    rec = types["Rec"]
+    assert PC.decode_message(b"", rec, types)["attrs"] == {}
+    with pytest.raises(ValueError, match="map key"):
+        PC.parse_proto('syntax = "proto3"; message M { map<double, int32> m = 1; }')
+
+
+def test_oneof_members_are_plain_fields_last_wins():
+    types = PC.parse_proto(MAP_ONEOF)
+    rec = types["Rec"]
+    enc_text = PC.encode_message(rec, {"text": "hi"}, types)
+    assert PC.decode_message(enc_text, rec, types)["text"] == "hi"
+    # wire with BOTH set: last one wins per field; both decode independently
+    enc_num = PC.encode_message(rec, {"num": 42}, types)
+    both = PC.decode_message(enc_text + enc_num, rec, types)
+    assert both["text"] == "hi" and both["num"] == 42
 
 
 def test_parser_scope_resolution_and_top_level_order():
