@@ -23,6 +23,9 @@ Implemented (public semantics per the Kafka Connect documentation —
     ``HasHeaderKey`` (with ``negate``)
   * ``ExtractNewRecordState`` — Debezium's unwrap SMT (the change-event
     envelope -> row state; tombstone/delete handling, ``add.fields``)
+  * ``EventRouter`` — Debezium's outbox-pattern router (outbox change
+    events -> domain events: routed topic, aggregate key, payload value,
+    additional header/envelope placements, append-only contract)
 
 plus the reference's own ``ExpandJson$Key/$Value`` (dispatched to
 ``sources.kafka.from_connect_config``).  Records are the Kafka-wire shape
@@ -440,6 +443,129 @@ def _apply_one(df: DataFrame, type_name: str, cfg: dict, predicate=None) -> Data
             new_value = F.when(~is_delete, new_value)
         new_value = F.when(v.isNull(), F.lit(None)).otherwise(new_value)
         return df.withColumn("value", new_value)
+
+    if base == "EventRouter":
+        # Debezium's outbox-pattern router (io.debezium.transforms.outbox.
+        # EventRouter, public docs "Outbox Event Router"): change events
+        # from an insert-only OUTBOX table become domain events —
+        #   topic := route.topic.replacement with ${routedByValue} =
+        #     after.<route.by.field>   (defaults: outbox.event.<aggregatetype>)
+        #   key   := after.<table.field.event.key>      (default aggregateid)
+        #   value := after.<table.field.event.payload>  (default payload)
+        # table.fields.additional.placement copies outbox columns into
+        # headers ("f:header[:alias]") or into the value envelope
+        # ("f:envelope[:alias]" — the value becomes {payload, ...extras}).
+        # Only create/snapshot-read events route; deletes/tombstones (the
+        # commit-log janitor's rows) are dropped, updates are refused —
+        # an outbox table is append-only by contract.
+        if predicate is not None:
+            raise ValueError(
+                f"{smt}: per-transform 'predicate' is not supported on "
+                "EventRouter — the routing changes key/value/topic types; "
+                "route with Filter/split_dlq upstream instead"
+            )
+        dt = _require_struct(df, "value", smt)
+        names = {f.name for f in dt.fields}
+        for req in ("after", "op"):
+            if req not in names:
+                raise ValueError(
+                    f"{smt}: value is not a Debezium envelope (missing "
+                    f"'{req}'); route the raw outbox table through "
+                    "from_debezium first"
+                )
+        after_t = dt["after"].dataType
+        if not isinstance(after_t, T.StructType):
+            raise ValueError(f"{smt}: envelope 'after' must be a struct")
+        route_by = cfg.get("route.by.field", "aggregatetype")
+        topic_tpl = cfg.get("route.topic.replacement", "outbox.event.${routedByValue}")
+        key_field = cfg.get("table.field.event.key", "aggregateid")
+        payload_field = cfg.get("table.field.event.payload", "payload")
+        after_names = {f.name for f in after_t.fields}
+        for f_ in (route_by, key_field, payload_field):
+            if f_ not in after_names:
+                raise ValueError(
+                    f"{smt}: outbox column {f_!r} missing from the after "
+                    f"state {after_t.simpleString()}"
+                )
+        # append-only contract (Debezium table.op.invalid.behavior): the
+        # default skips invalid ops like the real SMT's "warn"; "error"/
+        # "fatal" inject a row-level raise_error so the contract also
+        # holds on streams (no driver-side probe action)
+        behavior = cfg.get("table.op.invalid.behavior", "warn")
+        is_invalid = F.col("value").isNotNull() & ~F.col("value.op").isin(
+            "c", "r", "d"
+        )
+        if behavior in ("error", "fatal"):
+            df = df.withColumn(
+                "value",
+                F.when(
+                    is_invalid,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(f"{smt}: outbox table must be append-only; got op="),
+                            F.col("value.op"),
+                        )
+                    ).cast(dt),
+                ).otherwise(F.col("value")),
+            )
+        elif behavior != "warn":
+            raise ValueError(f"{smt}: unknown table.op.invalid.behavior {behavior!r}")
+        routed = df.where(
+            F.col("value").isNotNull() & F.col("value.op").isin("c", "r")
+        )
+        after = F.col("value.after")
+        pre, _, post = topic_tpl.partition("${routedByValue}")
+        topic = F.concat(F.lit(pre), after.getField(route_by).cast("string"),
+                         F.lit(post))
+        value_cols = []
+        hdr_pairs = []
+        for spec in str(cfg.get("table.fields.additional.placement", "")).split(","):
+            spec = spec.strip()
+            if not spec:
+                continue
+            parts = spec.split(":")
+            fname, place = parts[0], parts[1]
+            alias = parts[2] if len(parts) > 2 else fname
+            if fname not in after_names:
+                raise ValueError(f"{smt}: additional field {fname!r} not in after")
+            if place == "header":
+                hdr_pairs.append((alias, after.getField(fname).cast("string")))
+            elif place == "envelope":
+                value_cols.append(after.getField(fname).alias(alias))
+            else:
+                raise ValueError(f"{smt}: unknown placement {place!r}")
+        payload = after.getField(payload_field)
+        new_value = (
+            F.struct(payload.alias(payload_field), *value_cols)
+            if value_cols
+            else payload
+        )
+        out = routed
+        if hdr_pairs:
+            # headers first: their exprs read value.after, which the value
+            # rewrite below replaces
+            new_hdrs = F.map_from_arrays(
+                F.array(*[F.lit(hk) for hk, _ in hdr_pairs]),
+                F.array(*[c for _, c in hdr_pairs]),
+            )
+            if "headers" in df.columns:
+                hdr = F.coalesce(
+                    F.col("headers"),
+                    F.map_from_arrays(
+                        F.array().cast("array<string>"),
+                        F.array().cast("array<string>"),
+                    ),
+                )
+                ks = [hk for hk, _ in hdr_pairs]
+                new_hdrs = F.map_concat(
+                    F.map_filter(hdr, lambda hk, _v: ~hk.isin(*ks)), new_hdrs
+                )
+            out = out.withColumn("headers", new_hdrs)
+        return (
+            out.withColumn("topic", topic)
+            .withColumn("key", after.getField(key_field).cast("string"))
+            .withColumn("value", new_value)
+        )
 
     raise ValueError(f"unsupported SMT type {type_name!r}")
 

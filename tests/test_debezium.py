@@ -197,3 +197,89 @@ def test_envelope_schema_shape():
     env = debezium_envelope_schema(ROW_SCHEMA)
     assert [f.name for f in env.fields] == ["before", "after", "source", "op", "ts_ms"]
     assert env["before"].dataType == ROW_SCHEMA
+
+OUTBOX_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("aggregatetype", T.StringType()),
+        T.StructField("aggregateid", T.LongType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+
+def _outbox_frame(spark, ops=("c", "c", "r", "d")):
+    rows = []
+    for i, op in enumerate(ops):
+        after = (None if op == "d" else
+                 {"id": f"ev{i}", "aggregatetype": "order" if i % 2 == 0 else "customer",
+                  "aggregateid": 100 + i, "type": "Created",
+                  "payload": json.dumps({"amount": 10 * i, "note": f"n{i}"})})
+        rows.append((json.dumps({
+            "before": None, "after": after,
+            "source": {"connector": "postgresql", "db": "shop",
+                       "table": "outbox", "ts_ms": 1000 + i, "lsn": i},
+            "op": op, "ts_ms": 1000 + i,
+        }), "shop.outbox",
+            {"trace": f"t{i}"}))
+    df = spark.createDataFrame(
+        rows, "value string, topic string, headers map<string,string>"
+    )
+    return from_debezium(df, OUTBOX_SCHEMA)
+
+
+def _router(cfg_extra=None):
+    cfg = {
+        "transforms": "outbox",
+        "transforms.outbox.type": "io.debezium.transforms.outbox.EventRouter",
+    }
+    cfg.update(cfg_extra or {})
+    return connect_transform_chain(cfg)
+
+
+def test_event_router_defaults(spark):
+    out = _router()(_outbox_frame(spark))
+    rows = out.select("topic", "key", "value").collect()
+    assert len(rows) == 3  # the delete (janitor row) is dropped
+    assert {r.topic for r in rows} == {"outbox.event.order", "outbox.event.customer"}
+    assert {r.key for r in rows} == {"100", "101", "102"}
+    assert all(json.loads(r.value)["amount"] == 10 * i
+               for i, r in zip((0, 1, 2), sorted(rows, key=lambda r: r.key)))
+
+
+def test_event_router_placements_and_template(spark):
+    out = _router({
+        "transforms.outbox.route.topic.replacement": "domain.${routedByValue}.events",
+        "transforms.outbox.table.fields.additional.placement":
+            "id:header:eventId,type:envelope:eventType",
+    })(_outbox_frame(spark))
+    r = out.where(F.col("key") == "100").first()
+    assert r.topic == "domain.order.events"
+    assert r.headers["eventId"] == "ev0"
+    assert r.headers["trace"] == "t0"  # pre-existing headers preserved
+    assert r.value.eventType == "Created"
+    assert json.loads(r.value.payload)["amount"] == 0
+
+
+def test_event_router_refuses_updates_in_error_mode(spark):
+    df = _outbox_frame(spark, ops=("c", "u"))
+    out = _router({
+        "transforms.outbox.table.op.invalid.behavior": "error",
+    })(df)
+    with pytest.raises(Exception, match="append-only"):
+        out.collect()
+    # default (warn) skips silently
+    assert _router()(df).count() == 1
+
+
+def test_event_router_then_expand_json_chain(spark):
+    # the outbox payoff: routed payload JSON -> the reference's ExpandJson
+    out = connect_transform_chain({
+        "transforms": "outbox,expand",
+        "transforms.outbox.type": "io.debezium.transforms.outbox.EventRouter",
+        "transforms.expand.type":
+            "com.github.joshuagrisham.kafka.connect.transforms.ExpandJson$Value",
+    })(_outbox_frame(spark))
+    got = out.select(F.col("value.amount").alias("a")).orderBy("a").collect()
+    assert [r.a for r in got] == [0, 10, 20]
