@@ -22611,7 +22611,7 @@ _SQL_OUTBOX = """
     WITH e AS (
       SELECT event_id, event_type, user_id,
              CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
-      FROM events
+      FROM events WHERE event_id % 2 = 0
     )
     SELECT 'outbox.event.' || event_type AS topic,
            COUNT(*) AS n,
@@ -22654,11 +22654,15 @@ def outbox_route_expand_agg(spark, sf_dir):
             StructField("payload", StringType()),
         ]
     )
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("event_id").cast("bigint").alias("event_id"),
-        "event_type",
-        F.col("user_id").cast("bigint").alias("user_id"),
-        F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "event_type",
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").alias("cents"),
+        )
     )
     payload = F.concat(
         F.lit('{"amount":'), F.col("cents").cast("string"),
