@@ -199,14 +199,81 @@ def delta_history(path: str) -> list[dict]:
     return out
 
 
+def _version_at_timestamp(path: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose commitInfo
+    timestamp is <= the bound (Delta's own rule; before-first-commit is an
+    error there too)."""
+    hist = delta_history(path)  # newest first
+    eligible = [h["version"] for h in hist
+                if h["timestamp"] is not None and h["timestamp"] <= timestamp_ms]
+    if not eligible:
+        raise ValueError(
+            f"timestamp {timestamp_ms} predates the first commit of {path}"
+        )
+    return max(eligible)
+
+
+def _stats_keep(add: dict, where: list[tuple], part_cols: list[str],
+                phys_of: dict) -> bool:
+    """File-skipping on the add action's stats JSON (minValues/maxValues)
+    and partitionValues — keep when the predicate MAY match (missing or
+    type-mismatched stats keep the file: pruning must stay sound)."""
+    stats = add.get("stats")
+    mins = maxs = {}
+    if stats:
+        try:
+            s = json.loads(stats) if isinstance(stats, str) else stats
+            mins, maxs = s.get("minValues") or {}, s.get("maxValues") or {}
+        except (ValueError, TypeError):
+            mins = maxs = {}
+    pv = add.get("partitionValues") or {}
+    for col, op, val in where:
+        key = phys_of.get(col, col)
+        if col in part_cols:
+            got = pv.get(key)
+            if got is None:
+                continue
+            lo = hi = got
+            val = str(val)
+        else:
+            lo, hi = mins.get(key), maxs.get(key)
+        try:
+            if op == "=" and lo is not None and hi is not None and not (lo <= val <= hi):
+                return False
+            if op in ("<", "<=") and lo is not None and not (
+                lo < val if op == "<" else lo <= val
+            ):
+                return False
+            if op in (">", ">=") and hi is not None and not (
+                hi > val if op == ">" else hi >= val
+            ):
+                return False
+        except TypeError:
+            continue  # incomparable stat type: keep, sound
+    return True
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
-    """Snapshot (or VERSION AS OF) read of a Delta table without the
-    delta-spark jar.  One parquet scan over the live files; partitioned
-    tables re-inject partition columns via a broadcast file->values map
-    joined on ``_metadata.file_path`` (partition pruning then happens in
-    Catalyst exactly as for any dimension filter)."""
+    """Snapshot (or VERSION AS OF / TIMESTAMP AS OF) read of a Delta table
+    without the delta-spark jar.  One parquet scan over the live files;
+    partitioned tables re-inject partition columns via a broadcast
+    file->values map joined on ``_metadata.file_path`` (partition pruning
+    then happens in Catalyst exactly as for any dimension filter).
+    ``where=[(col, op, val)]`` additionally skips files whose add-action
+    stats (minValues/maxValues) or partitionValues prove no match — the
+    log-level data skipping Delta clients perform; the returned frame is
+    NOT filtered (callers apply their own predicate, which Catalyst pushes
+    into the pruned scan)."""
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass version= or timestamp_ms=, not both")
+    if timestamp_ms is not None:
+        version = _version_at_timestamp(path, timestamp_ms)
     files, meta, _, _ = _replay(path, version)
     logical = _schema(meta)
     part_cols = list(meta.get("partitionColumns") or [])
@@ -215,6 +282,13 @@ def read_delta(
     by_logical = {f.name: f for f in logical.fields}
     phys_of = {f.name: (_physical_name(f) if mode == "name" else f.name)
                for f in logical.fields}
+
+    if where:
+        files = {
+            rel: add
+            for rel, add in files.items()
+            if _stats_keep(add, where, part_cols, phys_of)
+        }
 
     data_fields = [f for f in logical.fields if f.name not in part_cols]
     read_schema = T.StructType(

@@ -180,3 +180,49 @@ def test_unsupported_features_fail_closed(spark, tmp_path):
     ])
     with pytest.raises(DeltaProtocolUnsupported, match="deletionVectors"):
         read_delta(spark, root)
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    root = _plain_table(tmp_path)  # commits at ts 1000 and 2000
+    old = read_delta(spark, root, timestamp_ms=1500)
+    assert sorted(r.id for r in old.collect()) == [1, 2, 3]
+    now = read_delta(spark, root, timestamp_ms=99999)
+    assert sorted(r.id for r in now.collect()) == [1, 2, 4]
+    with pytest.raises(ValueError, match="predates"):
+        read_delta(spark, root, timestamp_ms=5)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, root, version=0, timestamp_ms=1500)
+
+
+def test_stats_file_skipping(spark, tmp_path):
+    root = str(tmp_path / "sk")
+    _write_part(root, "lo.parquet", {"id": [1, 2], "v": ["a", "b"]}, PLAIN)
+    _write_part(root, "hi.parquet", {"id": [100, 200], "v": ["c", "d"]}, PLAIN)
+    _write_part(root, "nostats.parquet", {"id": [300], "v": ["e"]}, PLAIN)
+    lo_add = _add("lo.parquet")
+    lo_add["add"]["stats"] = json.dumps(
+        {"numRecords": 2, "minValues": {"id": 1}, "maxValues": {"id": 2}})
+    hi_add = _add("hi.parquet")
+    hi_add["add"]["stats"] = json.dumps(
+        {"numRecords": 2, "minValues": {"id": 100}, "maxValues": {"id": 200}})
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("id", "long"), ("v", "string")]),
+        lo_add, hi_add, _add("nostats.parquet"),
+    ])
+    # pruning keeps hi + the stats-less file (sound), drops lo
+    df = read_delta(spark, root, where=[("id", ">=", 100)])
+    assert sorted(r.id for r in df.collect()) == [100, 200, 300]
+    # partition-value pruning path
+    root2 = str(tmp_path / "skp")
+    data = pa.schema([("id", pa.int64())])
+    _write_part(root2, "day=2026-01-01/f1.parquet", {"id": [1]}, data)
+    _write_part(root2, "day=2026-01-02/f2.parquet", {"id": [2]}, data)
+    _commit(root2, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("id", "long"), ("day", "date")], partition_cols=["day"]),
+        _add("day=2026-01-01/f1.parquet", {"day": "2026-01-01"}),
+        _add("day=2026-01-02/f2.parquet", {"day": "2026-01-02"}),
+    ])
+    df2 = read_delta(spark, root2, where=[("day", "=", "2026-01-02")])
+    assert [r.id for r in df2.collect()] == [2]
