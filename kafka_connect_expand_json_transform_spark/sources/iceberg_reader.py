@@ -157,7 +157,36 @@ def iceberg_snapshots(path: str) -> list[dict]:
     return sorted(out, key=lambda s: -(s["timestamp_ms"] or 0))
 
 
-def _live_files(path: str, meta: dict, snapshot_id: int | None) -> list[str]:
+def _partition_keep(entry_partition, where: list[tuple]) -> bool:
+    """Identity-partition pruning on the manifest entry's ``partition``
+    struct (spec: data files carry their partition tuple).  Keep when the
+    predicate MAY match; missing fields keep the file (sound)."""
+    pv = entry_partition or {}
+    if isinstance(pv, list):  # arrow/avro map round-trip
+        pv = dict(pv)
+    for col, op, val in where:
+        got = pv.get(col)
+        if got is None:
+            continue
+        try:
+            if op == "=" and got != val:
+                return False
+            if op == "<" and not (got < val):
+                return False
+            if op == "<=" and not (got <= val):
+                return False
+            if op == ">" and not (got > val):
+                return False
+            if op == ">=" and not (got >= val):
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def _live_files(
+    path: str, meta: dict, snapshot_id: int | None, where: list[tuple] | None = None
+) -> list[str]:
     snaps = meta.get("snapshots", [])
     if not snaps:
         return []
@@ -186,17 +215,26 @@ def _live_files(path: str, meta: dict, snapshot_id: int | None) -> list[str]:
             fmt = str(df_.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise IcebergUnsupported(f"data file format {fmt} not supported")
+            if where and not _partition_keep(df_.get("partition"), where):
+                continue
             files.append(_resolve(path, location, df_["file_path"]))
     return sorted(set(files))
 
 
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot (or time-travel) read of an Iceberg table without the
     iceberg-spark runtime: metadata.json -> manifest list -> manifests ->
     one parquet scan over the live data files, schema pinned from the
-    table's current Iceberg schema."""
+    table's current Iceberg schema.  ``where=[(col, op, val)]`` prunes
+    files at the manifest level on identity partition values (the
+    planning-time skip Iceberg clients perform); the returned frame is NOT
+    filtered — callers apply their own predicate, which Catalyst pushes
+    into the already-pruned scan."""
     meta = _read_metadata(path)
     if meta.get("format-version", 1) not in (1, 2):
         raise IcebergUnsupported(
@@ -205,7 +243,7 @@ def read_iceberg(
     schema = _spark_type(
         {"type": "struct", "fields": _current_schema(meta)["fields"]}
     )
-    files = _live_files(path, meta, snapshot_id)
+    files = _live_files(path, meta, snapshot_id, where)
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)

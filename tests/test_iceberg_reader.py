@@ -193,3 +193,63 @@ def test_schema_mapping_nested_and_decimal():
     assert t["kv"].dataType == T.MapType(T.StringType(), T.LongType(), True)
     with pytest.raises(IcebergUnsupported):
         _spark_type("geography")
+
+
+def test_identity_partition_pruning(spark, tmp_path):
+    root = str(tmp_path / "part")
+    loc = "file://" + root
+    os.makedirs(root + "/metadata")
+    os.makedirs(root + "/data")
+    sch = pa.schema([("id", pa.int64()), ("day", pa.string())])
+    pq.write_table(pa.table({"id": [1], "day": ["d1"]}, schema=sch),
+                   root + "/data/p1.parquet")
+    pq.write_table(pa.table({"id": [2], "day": ["d2"]}, schema=sch),
+                   root + "/data/p2.parquet")
+    entry = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": [
+                            {"name": "day", "type": "string"}]}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}},
+        ],
+    }
+    AC.write_container(root + "/metadata/m.avro", entry, [
+        {"status": 1, "data_file": {
+            "content": 0, "file_path": f"{loc}/data/p1.parquet",
+            "file_format": "parquet", "partition": {"day": "d1"},
+            "record_count": 1, "file_size_in_bytes": 1}},
+        {"status": 1, "data_file": {
+            "content": 0, "file_path": f"{loc}/data/p2.parquet",
+            "file_format": "parquet", "partition": {"day": "d2"},
+            "record_count": 1, "file_size_in_bytes": 1}},
+    ], codec="null")
+    AC.write_container(root + "/metadata/sl.avro", MLIST, [
+        {"manifest_path": f"{loc}/metadata/m.avro",
+         "manifest_length": 1, "content": 0}], codec="null")
+    meta = {
+        "format-version": 2, "table-uuid": "0000", "location": loc,
+        "current-snapshot-id": 1,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {"id": 2, "name": "day", "required": False, "type": "string"},
+        ]}],
+        "current-schema-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1000,
+                       "summary": {"operation": "append"},
+                       "manifest-list": f"{loc}/metadata/sl.avro"}],
+    }
+    with open(root + "/metadata/v1.metadata.json", "w") as fh:
+        json.dump(meta, fh)
+    full = read_iceberg(spark, root)
+    assert sorted(r.id for r in full.collect()) == [1, 2]
+    pruned = read_iceberg(spark, root, where=[("day", "=", "d2")])
+    assert [r.id for r in pruned.collect()] == [2]
+    assert pruned.inputFiles() == [f for f in full.inputFiles() if "p2" in f]
