@@ -22607,6 +22607,103 @@ def delta_interop_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_HUDI_INTEROP = """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT 'c1' AS snapshot, status, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o GROUP BY status
+    UNION ALL
+    SELECT 'latest' AS snapshot, status, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN k % 2 = 0 THEN cents + 100 ELSE cents END)
+                AS BIGINT) AS sum_cents
+    FROM o GROUP BY status
+"""
+
+
+@query("hudi_interop_agg", _SQL_HUDI_INTEROP)
+def hudi_interop_agg(spark, sf_dir):
+    """Apache Hudi COPY_ON_WRITE interop — the third open table format,
+    read without the hudi-spark bundle: a table is laid down per the
+    public timeline/file-group docs (commit 1 writes the even- and
+    odd-key file groups; commit 2 REWRITES the even group's file slice
+    with updated cents — the CoW update), and read at both instants via
+    the timeline walk.  The newest-slice-per-file-group resolution is the
+    whole correctness surface: picking the stale slice, double-reading
+    both slices, or leaking ``_hoodie_*`` meta columns flips the value
+    hash or schema.  Scale: the timeline is O(commits) small JSON; only
+    the live slice LIST reaches the planner, then one parquet scan."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        read_hudi,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    c1, c2 = "20260101000000000", "20260102000000000"
+    tmp = tempfile.mkdtemp(prefix="hudi_interop_q_")
+    try:
+        root = tmp + "/orders_hudi"
+        os.makedirs(root + "/.hoodie")
+        with open(root + "/.hoodie/hoodie.properties", "w") as fh:
+            fh.write("hoodie.table.name=orders\n"
+                     "hoodie.table.type=COPY_ON_WRITE\n")
+
+        def stage(df, rel, commit):
+            d = tmp + "/stage_" + os.path.basename(rel)
+            df.withColumn("_hoodie_commit_time", F.lit(commit)).coalesce(
+                1
+            ).write.parquet(d)
+            os.makedirs(os.path.dirname(root + "/" + rel), exist_ok=True)
+            os.rename(glob.glob(d + "/part-*.parquet")[0], root + "/" + rel)
+
+        k = F.col("k")
+        stage(o.where(k % 2 == 0), f"p/fge_0-0-0_{c1}.parquet", c1)
+        stage(o.where(k % 2 == 1), f"p/fgo_0-0-0_{c1}.parquet", c1)
+        stage(
+            o.where(k % 2 == 0).withColumn("cents", F.col("cents") + 100),
+            f"p/fge_0-0-0_{c2}.parquet", c2,
+        )
+
+        def commit(instant, stats):
+            with open(root + f"/.hoodie/{instant}.commit", "w") as fh:
+                _json.dump({"partitionToWriteStats": stats}, fh)
+
+        commit(c1, {"p": [
+            {"fileId": "fge", "path": f"p/fge_0-0-0_{c1}.parquet"},
+            {"fileId": "fgo", "path": f"p/fgo_0-0-0_{c1}.parquet"},
+        ]})
+        commit(c2, {"p": [
+            {"fileId": "fge", "path": f"p/fge_0-0-0_{c2}.parquet"},
+        ]})
+
+        def census(df, tag):
+            return df.groupBy("status").agg(
+                F.count("*").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            ).select(F.lit(tag).alias("snapshot"), "status", "n", "sum_cents")
+
+        out = census(read_hudi(spark, root, as_of_instant=c1), "c1").unionByName(
+            census(read_hudi(spark, root), "latest")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_ICEBERG_INTEROP = """
     WITH o AS (
       SELECT o_orderkey AS k, o_orderstatus AS status,

@@ -1,0 +1,89 @@
+"""Pure-Python Hudi COPY_ON_WRITE reader (sources/hudi_reader.py):
+file-slice resolution (newest slice per file group), time travel by
+instant, meta-column handling, timeline listing, and the fail-closed
+rules — against a table hand-written per the public hudi.apache.org
+timeline/file-layout docs (no hudi bundle exists in this container)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+    HudiUnsupported,
+    hudi_timeline,
+    read_hudi,
+)
+
+C1, C2 = "20260101000000000", "20260102000000000"
+
+
+def _props(root, ttype="COPY_ON_WRITE"):
+    os.makedirs(os.path.join(root, ".hoodie"), exist_ok=True)
+    with open(os.path.join(root, ".hoodie", "hoodie.properties"), "w") as fh:
+        fh.write(f"hoodie.table.name=t\nhoodie.table.type={ttype}\n")
+
+
+def _data(root, rel, ids, commit):
+    p = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    pq.write_table(pa.table({
+        "_hoodie_commit_time": [commit] * len(ids),
+        "id": ids, "v": [f"v{i}" for i in ids],
+    }), p)
+
+
+def _commit(root, instant, partition_stats):
+    with open(os.path.join(root, ".hoodie", f"{instant}.commit"), "w") as fh:
+        json.dump({"partitionToWriteStats": partition_stats}, fh)
+
+
+def _table(tmp_path, ttype="COPY_ON_WRITE"):
+    root = str(tmp_path / "hudi")
+    _props(root, ttype)
+    # c1: file groups fg1 + fg2; c2 rewrites fg1's slice (CoW update)
+    _data(root, f"p/fg1_0-0-0_{C1}.parquet", [1, 2], C1)
+    _data(root, f"p/fg2_0-0-0_{C1}.parquet", [3], C1)
+    _data(root, f"p/fg1_0-0-0_{C2}.parquet", [1, 2, 9], C2)
+    _commit(root, C1, {"p": [
+        {"fileId": "fg1", "path": f"p/fg1_0-0-0_{C1}.parquet"},
+        {"fileId": "fg2", "path": f"p/fg2_0-0-0_{C1}.parquet"},
+    ]})
+    _commit(root, C2, {"p": [
+        {"fileId": "fg1", "path": f"p/fg1_0-0-0_{C2}.parquet"},
+    ]})
+    return root
+
+
+def test_latest_slice_per_file_group(spark, tmp_path):
+    root = _table(tmp_path)
+    df = read_hudi(spark, root)
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3, 9]
+    assert not [c for c in df.columns if c.startswith("_hoodie_")]
+    kept = read_hudi(spark, root, keep_meta=True)
+    assert "_hoodie_commit_time" in kept.columns
+
+
+def test_time_travel_by_instant(spark, tmp_path):
+    root = _table(tmp_path)
+    old = read_hudi(spark, root, as_of_instant=C1)
+    assert sorted(r.id for r in old.collect()) == [1, 2, 3]
+    with pytest.raises(ValueError, match="predates"):
+        read_hudi(spark, root, as_of_instant="19990101000000000")
+
+
+def test_timeline_newest_first(tmp_path):
+    root = _table(tmp_path)
+    assert [c["instant"] for c in hudi_timeline(root)] == [C2, C1]
+
+
+def test_mor_and_replacecommit_fail_closed(spark, tmp_path):
+    root = _table(tmp_path, ttype="MERGE_ON_READ")
+    with pytest.raises(HudiUnsupported, match="MERGE_ON_READ"):
+        read_hudi(spark, root)
+    root2 = _table(tmp_path / "r")
+    open(os.path.join(root2, ".hoodie", f"{C2}1.replacecommit"), "w").close()
+    with pytest.raises(HudiUnsupported, match="replacecommit"):
+        read_hudi(spark, root2)
