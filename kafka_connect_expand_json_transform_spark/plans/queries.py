@@ -22607,6 +22607,78 @@ def delta_interop_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_UNIFORM = """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT 'v0' AS snapshot, status, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o GROUP BY status
+    UNION ALL
+    SELECT 'v1' AS snapshot, status, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o WHERE k % 3 <> 0 GROUP BY status
+"""
+
+
+@query("txlog_uniform_export_agg", _SQL_UNIFORM)
+def txlog_uniform_export_agg(spark, sf_dir):
+    """UniForm-style dual-format metadata — the interop loop CLOSED in
+    both directions: a native txlog table (seeded from orders, then a
+    copy-on-write DELETE) is exported as a ``_delta_log`` over the SAME
+    data files (zero bytes copied), and both exported Delta versions are
+    read back through the independent ``delta_reader`` and censused.  The
+    incremental second export must diff correctly (removes for the
+    rewritten CoW file, adds for the new one) or v1's hash flips; v0 must
+    still time-travel to the pre-delete state or ITS hash flips.  Scale:
+    the export is O(live files) metadata — the one-copy-of-data,
+    N-format-trees economics Delta UniForm ships."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        read_delta,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.uniform import (
+        export_delta,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog_uniform_q_")
+    try:
+        root = tmp + "/orders_uniform"
+        TX.append_table(o.coalesce(2), root)
+        assert export_delta(root) == 0
+        TX.delete_where(spark, root, "k % 3 = 0")
+        assert export_delta(root) == 1
+
+        def census(df, tag):
+            return df.groupBy("status").agg(
+                F.count("*").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            ).select(F.lit(tag).alias("snapshot"), "status", "n", "sum_cents")
+
+        out = census(read_delta(spark, root, version=0), "v0").unionByName(
+            census(read_delta(spark, root), "v1")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_HUDI_INTEROP = """
     WITH o AS (
       SELECT o_orderkey AS k, o_orderstatus AS status,
