@@ -22620,6 +22620,10 @@ _SQL_UNIFORM = """
     SELECT 'v1' AS snapshot, status, COUNT(*) AS n,
            CAST(SUM(cents) AS BIGINT) AS sum_cents
     FROM o WHERE k % 3 <> 0 GROUP BY status
+    UNION ALL
+    SELECT 'v1_iceberg' AS snapshot, status, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o WHERE k % 3 <> 0 GROUP BY status
 """
 
 
@@ -22671,8 +22675,20 @@ def txlog_uniform_export_agg(spark, sf_dir):
                 F.sum("cents").cast("bigint").alias("sum_cents"),
             ).select(F.lit(tag).alias("snapshot"), "status", "n", "sum_cents")
 
-        out = census(read_delta(spark, root, version=0), "v0").unionByName(
-            census(read_delta(spark, root), "v1")
+        # the SAME table also exported as an Iceberg snapshot (the
+        # one-copy-of-data, N-format-trees contract, both trees checked)
+        from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+            read_iceberg,
+        )
+        from kafka_connect_expand_json_transform_spark.sources.uniform import (
+            export_iceberg,
+        )
+
+        export_iceberg(root)
+        out = (
+            census(read_delta(spark, root, version=0), "v0")
+            .unionByName(census(read_delta(spark, root), "v1"))
+            .unionByName(census(read_iceberg(spark, root), "v1_iceberg"))
         )
         return out.localCheckpoint()
     finally:

@@ -14,6 +14,10 @@ Delta's add-action contract, so the export is METADATA-ONLY:
   adds/removes only (no change -> no new version, returns the existing
   one).  The Delta schemaString is the txlog's log-owned schema
   (Spark's StructType JSON — the exact format Delta uses).
+* ``export_iceberg(root)`` — the symmetric Iceberg metadata tree:
+  ``metadata/vN.metadata.json`` + Avro manifest list + manifest, written
+  by the repo's own stdlib Avro codec; each export is a new snapshot, so
+  Iceberg time travel across exports works.
 
 Fail-closed (metadata-only export cannot represent these; a wrong export
 would corrupt every downstream Delta reader):
@@ -34,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time as _time
 
 from pyspark.sql import types as T
@@ -160,3 +165,194 @@ def export_delta(root: str) -> int:
         raise TX.TxLogConflict(f"concurrent Delta export at version {version}")
     os.replace(tmp, final)
     return version
+
+
+# --- Iceberg export (the symmetric metadata tree) ----------------------------
+
+
+def _iceberg_type(dt: T.DataType):
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    raise UniformExportUnsupported(
+        f"no Iceberg mapping for Spark type {dt.simpleString()}"
+    )
+
+
+def _iceberg_schema(struct: T.StructType) -> dict:
+    counter = [0]
+
+    def next_id():
+        counter[0] += 1
+        return counter[0]
+
+    def conv(dt):
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "struct",
+                "fields": [
+                    {"id": next_id(), "name": f.name, "required": False,
+                     "type": conv(f.dataType)}
+                    for f in dt.fields
+                ],
+            }
+        if isinstance(dt, T.ArrayType):
+            return {"type": "list", "element-id": next_id(),
+                    "element": conv(dt.elementType),
+                    "element-required": not dt.containsNull}
+        if isinstance(dt, T.MapType):
+            return {"type": "map", "key-id": next_id(), "key": conv(dt.keyType),
+                    "value-id": next_id(), "value": conv(dt.valueType),
+                    "value-required": not dt.valueContainsNull}
+        return _iceberg_type(dt)
+
+    fields = []
+    for f in struct.fields:
+        fid = next_id()
+        fields.append({"id": fid, "name": f.name, "required": False,
+                       "type": conv(f.dataType)})
+    return {"schema-id": 0, "type": "struct", "fields": fields}, counter[0]
+
+
+_ICE_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": "long"},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+            ]}},
+    ],
+}
+_ICE_MLIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def export_iceberg(root: str) -> int:
+    """Export the txlog table's current snapshot as the next Iceberg
+    snapshot beside it (``metadata/`` tree; Avro manifests written by the
+    repo's stdlib codec) over the same data files; returns the snapshot
+    id.  Each export writes one full manifest of the live file set
+    (status 1 = newly added vs the previous exported snapshot, 0 =
+    carried — the layout an Iceberg manifest-compaction produces), so
+    time travel across exports works in any Iceberg reader.  Same
+    fail-closed guards as ``export_delta``."""
+    from kafka_connect_expand_json_transform_spark.sources import avro_codec as AC
+    from kafka_connect_expand_json_transform_spark.sources import iceberg_reader as IR
+
+    _entries, tx_version, rel_files, schema_ddl = _txlog_state(root)
+    current = _expand_parquet(root, rel_files)
+
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    try:
+        prev_meta = IR._read_metadata(root)
+        prev_files = {
+            os.path.relpath(f, root)
+            for f in IR._live_files(root, prev_meta, None)
+        }
+        prev_snaps = prev_meta.get("snapshots", [])
+        meta_version = 1 + max(
+            int(m.group(1))
+            for n in os.listdir(meta_dir)
+            for m in [re.match(r"^v(\d+)\.metadata\.json$", n)]
+            if m
+        )
+    except FileNotFoundError:
+        prev_files, prev_snaps, meta_version = set(), [], 1
+    if prev_snaps and prev_files == set(current):
+        return prev_snaps[-1]["snapshot-id"]
+
+    snap_id = len(prev_snaps) + 1
+    loc = "file://" + os.path.abspath(root)
+    manifest_rel = f"metadata/uniform-m{snap_id}.avro"
+    AC.write_container(
+        os.path.join(root, manifest_rel), _ICE_ENTRY_SCHEMA,
+        [
+            {"status": 0 if rel in prev_files else 1, "snapshot_id": snap_id,
+             "data_file": {"content": 0, "file_path": f"{loc}/{rel}",
+                           "file_format": "parquet", "record_count": 0,
+                           "file_size_in_bytes": current[rel]}}
+            for rel in sorted(current)
+        ],
+        codec="null",
+    )
+    mlist_rel = f"metadata/uniform-snap-{snap_id}-list.avro"
+    AC.write_container(
+        os.path.join(root, mlist_rel), _ICE_MLIST_SCHEMA,
+        [{"manifest_path": f"{loc}/{manifest_rel}",
+          "manifest_length": os.path.getsize(os.path.join(root, manifest_rel)),
+          "partition_spec_id": 0, "content": 0, "added_snapshot_id": snap_id}],
+        codec="null",
+    )
+    struct = T._parse_datatype_string(schema_ddl)
+    schema, last_col_id = _iceberg_schema(struct)
+    now_ms = int(_time.time() * 1000)
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"txlog-uniform-{os.path.basename(os.path.abspath(root))}",
+        "location": loc,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_col_id,
+        "last-sequence-number": snap_id,
+        "schemas": [schema],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {"txlog.version": str(tx_version)},
+        "current-snapshot-id": snap_id,
+        "snapshots": [*prev_snaps, {
+            "snapshot-id": snap_id,
+            "sequence-number": snap_id,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "append" if not prev_snaps else "overwrite"},
+            "manifest-list": f"{loc}/{mlist_rel}",
+            "schema-id": 0,
+        }],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    final = os.path.join(meta_dir, f"v{meta_version}.metadata.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    if os.path.exists(final):
+        os.remove(tmp)
+        raise TX.TxLogConflict(f"concurrent Iceberg export at v{meta_version}")
+    os.replace(tmp, final)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(meta_version))
+    return snap_id

@@ -71,3 +71,25 @@ def test_refusals(spark, tmp_path):
     TX.append_table(df, root3, partition_by=["day"])
     with pytest.raises(UniformExportUnsupported, match="partitioned"):
         export_delta(root3)
+
+
+def test_export_iceberg_and_read_back(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        read_iceberg,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.uniform import (
+        export_iceberg,
+    )
+
+    root = _seed(spark, tmp_path, "ice")
+    assert export_iceberg(root) == 1
+    native = {(r.k, r.v, r.x) for r in TX.read_table(spark, root).collect()}
+    assert {(r.k, r.v, r.x) for r in read_iceberg(spark, root).collect()} == native
+    # CoW DML then incremental export -> a second snapshot
+    TX.delete_where(spark, root, "k >= 15")
+    assert export_iceberg(root) == 2
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) == list(range(15))
+    # Iceberg time travel back to the pre-delete snapshot
+    assert read_iceberg(spark, root, snapshot_id=1).count() == 20
+    # no change -> same snapshot id
+    assert export_iceberg(root) == 2
