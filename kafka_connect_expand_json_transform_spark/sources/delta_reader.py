@@ -177,6 +177,130 @@ def _physical_name(field: T.StructField) -> str:
     return field.metadata.get("delta.columnMapping.physicalName", field.name)
 
 
+def register_delta_stream_source(spark: SparkSession) -> None:
+    """Register the ``deltastream`` Python DataSource: STREAM a Delta
+    table's committed versions without the delta-spark jar — each
+    micro-batch is a range of Delta versions, offsets are version numbers
+    (exactly-once restart from the checkpoint), and only PUBLISHED commits
+    are visible (the same transactional-visibility property the
+    ``txlogstream`` source documents).  Usage::
+
+        register_delta_stream_source(spark)
+        spark.readStream.format("deltastream").option("path", root).load()
+
+    Contract (Delta's own streaming-source rule): a version containing
+    ``remove`` actions aborts the stream unless ``ignoreChanges=true`` is
+    set, in which case its ``add`` files are re-streamed (consumers
+    downstream must dedup) — silently skipping rewrites would lose data.
+    Partitioned and column-mapped tables are refused (their adds need
+    value re-injection / renames the row stream does not perform yet).
+    Caveat shared with every Python stream reader: availableNow is not
+    supported — drive a processing-time trigger and stop at the head."""
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    @dataclass
+    class _DeltaRange(InputPartition):
+        root: str
+        start: int  # exclusive
+        end: int  # inclusive
+        schema_json: str
+        ignore_changes: bool
+
+    class DeltaStreamReader(DataSourceStreamReader):
+        def __init__(self, options, schema_json):
+            self.root = options["path"]
+            self.schema_json = schema_json
+            self.ignore_changes = (
+                str(options.get("ignoreChanges", "false")).lower() == "true"
+            )
+
+        def initialOffset(self) -> dict:
+            return {"version": -1}
+
+        def latestOffset(self) -> dict:
+            commits, _ = _list_log(self.root)
+            return {"version": max(commits) if commits else -1}
+
+        def partitions(self, start: dict, end: dict):
+            return [
+                _DeltaRange(
+                    self.root, int(start["version"]), int(end["version"]),
+                    self.schema_json, self.ignore_changes,
+                )
+            ]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            from kafka_connect_expand_json_transform_spark.sources.txlog import (
+                _shape_to_stream_batches,
+            )
+
+            commits, _ = _list_log(partition.root)
+            for v in range(partition.start + 1, partition.end + 1):
+                if v not in commits:
+                    continue
+                adds, has_remove = [], False
+                with open(commits[v], encoding="utf-8") as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        a = json.loads(line)
+                        if a.get("add"):
+                            adds.append(a["add"]["path"])
+                        elif a.get("remove"):
+                            has_remove = True
+                if has_remove and not partition.ignore_changes:
+                    raise ValueError(
+                        f"Delta version {v} contains remove actions (an "
+                        "update/delete rewrite); set ignoreChanges=true to "
+                        "re-stream its adds, or start after it"
+                    )
+                for rel in adds:
+                    table = pq.read_table(os.path.join(partition.root, rel))
+                    yield from _shape_to_stream_batches(
+                        table, partition.schema_json
+                    )
+
+        def commit(self, end: dict) -> None:
+            pass
+
+        def stop(self) -> None:
+            pass
+
+    class DeltaStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "deltastream"
+
+        def schema(self):
+            _files, meta, _proto, _v = _replay(self.options["path"], None)
+            if meta.get("partitionColumns"):
+                raise DeltaProtocolUnsupported(
+                    "deltastream does not support partitioned tables yet"
+                )
+            mode = (meta.get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            )
+            if mode != "none":
+                raise DeltaProtocolUnsupported(
+                    "deltastream does not support column mapping yet"
+                )
+            return _schema(meta)
+
+        def streamReader(self, schema):
+            return DeltaStreamReader(self.options, schema.json())
+
+    spark.dataSource.register(DeltaStreamSource)
+
+
 def delta_history(path: str) -> list[dict]:
     """DESCRIBE HISTORY: one dict per commit (version, timestamp,
     operation) from the commitInfo actions, newest first."""

@@ -226,3 +226,74 @@ def test_stats_file_skipping(spark, tmp_path):
     ])
     df2 = read_delta(spark, root2, where=[("day", "=", "2026-01-02")])
     assert [r.id for r in df2.collect()] == [2]
+
+
+def _drain(q, seconds=60, expect_error=False):
+    import time as _t
+    deadline = _t.time() + seconds
+    while _t.time() < deadline:
+        if q.exception() is not None:
+            break
+        if q.lastProgress is not None and not q.status["isDataAvailable"]:
+            break
+        _t.sleep(0.25)
+    q.stop()
+    try:
+        q.awaitTermination()
+    except Exception:
+        if not expect_error:
+            raise
+
+
+def test_deltastream_appends_and_remove_contract(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        register_delta_stream_source,
+    )
+
+    root = str(tmp_path / "ds")
+    _write_part(root, "a.parquet", {"id": [1, 2], "v": ["a", "b"]}, PLAIN)
+    _write_part(root, "b.parquet", {"id": [3], "v": ["c"]}, PLAIN)
+    _commit(root, 0, [
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("id", "long"), ("v", "string")]),
+        _add("a.parquet"),
+    ])
+    _commit(root, 1, [
+        {"commitInfo": {"timestamp": 2000, "operation": "WRITE"}},
+        _add("b.parquet"),
+    ])
+    register_delta_stream_source(spark)
+    name = "sg_deltastream_t"
+    q = (
+        spark.readStream.format("deltastream").option("path", root).load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+    )
+    _drain(q)
+    assert sorted(r.id for r in spark.table(name).collect()) == [1, 2, 3]
+
+    # a rewrite version aborts by default, re-streams with ignoreChanges
+    _write_part(root, "a2.parquet", {"id": [1, 2], "v": ["A", "B"]}, PLAIN)
+    _commit(root, 2, [
+        _add("a2.parquet"),
+        {"remove": {"path": "a.parquet", "deletionTimestamp": 3000,
+                    "dataChange": True}},
+    ])
+    q2 = (
+        spark.readStream.format("deltastream").option("path", root).load()
+        .writeStream.format("memory").queryName(name + "2")
+        .outputMode("append").start()
+    )
+    _drain(q2, expect_error=True)
+    assert q2.exception() is not None  # remove action -> stream error
+    q3 = (
+        spark.readStream.format("deltastream").option("path", root)
+        .option("ignoreChanges", "true").load()
+        .writeStream.format("memory").queryName(name + "3")
+        .outputMode("append").start()
+    )
+    _drain(q3)
+    assert sorted(r.v for r in spark.table(name + "3").collect()) == [
+        "A", "B", "a", "b", "c"
+    ]
