@@ -297,3 +297,61 @@ def test_deltastream_appends_and_remove_contract(spark, tmp_path):
     assert sorted(r.v for r in spark.table(name + "3").collect()) == [
         "A", "B", "a", "b", "c"
     ]
+
+
+def test_change_data_feed_read(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        read_delta_changes,
+    )
+
+    root = str(tmp_path / "cdf")
+    _write_part(root, "a.parquet", {"id": [1, 2], "v": ["a", "b"]}, PLAIN)
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("id", "long"), ("v", "string")]),
+        _add("a.parquet"),
+    ])
+    # v1: an update captured as cdc pre/post images + the rewrite actions
+    cdc_schema = pa.schema([("id", pa.int64()), ("v", pa.string()),
+                            ("_change_type", pa.string())])
+    _write_part(root, "_change_data/c1.parquet",
+                {"id": [2, 2], "v": ["b", "B"],
+                 "_change_type": ["update_preimage", "update_postimage"]},
+                cdc_schema)
+    _write_part(root, "a2.parquet", {"id": [1, 2], "v": ["a", "B"]}, PLAIN)
+    _commit(root, 1, [
+        {"cdc": {"path": "_change_data/c1.parquet", "partitionValues": {},
+                 "size": 1, "dataChange": False}},
+        _add("a2.parquet"),
+        {"remove": {"path": "a.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+    ])
+    ch = read_delta_changes(spark, root, 0)
+    got = {(r.id, r.v, r["_change_type"], r["_commit_version"])
+           for r in ch.collect()}
+    assert got == {
+        (1, "a", "insert", 0), (2, "b", "insert", 0),
+        (2, "b", "update_preimage", 1), (2, "B", "update_postimage", 1),
+    }
+    only_v1 = read_delta_changes(spark, root, 1)
+    assert only_v1.count() == 2
+
+    # a rewrite version without cdc actions is unrecoverable -> refuse
+    root2 = str(tmp_path / "cdf2")
+    _write_part(root2, "a.parquet", {"id": [1], "v": ["a"]}, PLAIN)
+    _write_part(root2, "b.parquet", {"id": [9], "v": ["z"]}, PLAIN)
+    _commit(root2, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("id", "long"), ("v", "string")]),
+        _add("a.parquet"),
+    ])
+    _commit(root2, 1, [
+        _add("b.parquet"),
+        {"remove": {"path": "a.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+    ])
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        DeltaProtocolUnsupported,
+    )
+    with pytest.raises(DeltaProtocolUnsupported, match="unrecoverable"):
+        read_delta_changes(spark, root2, 0).collect()
