@@ -536,15 +536,19 @@ def test_driver_window_composition():
     # txlog MoR/WAP/partitioned names, the 5 unchecked streaming e2e,
     # both wire-format directions, 5 headline LLM-ops/format names)
     must_have = {
-        # family sentinels (every one has >=1 green driver row)
+        # family sentinels (every one has >=1 green driver row); the
+        # session-2 rotation swapped five multi-row sentinels for the new
+        # capabilities (protobuf wire, Debezium CDC, outbox chain, Delta +
+        # Iceberg interop) — each evicted family keeps an in-window
+        # representative or >=2 green rows in history
         "expand_props_agg", "txlog_column_mapping_agg", "kafka_wire_pipeline",
-        "connect_smt_chain_pipeline", "binaryfile_source_stats",
+        "protobuf_wire_pipeline", "debezium_cdc_apply",
+        "outbox_route_expand_agg", "delta_interop_agg", "iceberg_interop_agg",
         "txlog_bloom_point_lookups", "stream_txlog_cdf_e2e",
         "stream_timeout_sessions_e2e", "q1_pricing_summary",
         "pit_join_purchases", "rfm_segmentation", "sql_pipe_syntax_agg",
-        "incremental_agg_maintenance", "statestore_reader_agg",
         "udtf_table_partition_stats", "embedding_sq8_census",
-        "minhash_band_candidates", "langid_distribution",
+        "langid_distribution",
         # TPC-H pack 2 — first driver rows
         "q4_order_priority", "q7_volume_shipping", "q8_market_share",
         "q9_product_profit", "q11_important_parts", "q12_late_shipments",
