@@ -295,14 +295,21 @@ def export_iceberg(root: str) -> int:
 
     snap_id = len(prev_snaps) + 1
     loc = "file://" + os.path.abspath(root)
+    import pyarrow.parquet as _pq
+
     manifest_rel = f"metadata/uniform-m{snap_id}.avro"
     AC.write_container(
         os.path.join(root, manifest_rel), _ICE_ENTRY_SCHEMA,
         [
             {"status": 0 if rel in prev_files else 1, "snapshot_id": snap_id,
-             "data_file": {"content": 0, "file_path": f"{loc}/{rel}",
-                           "file_format": "parquet", "record_count": 0,
-                           "file_size_in_bytes": current[rel]}}
+             "data_file": {
+                 "content": 0, "file_path": f"{loc}/{rel}",
+                 "file_format": "parquet",
+                 # honest counts from the parquet footer (one footer read
+                 # per file, O(files)): Iceberg planners trust record_count
+                 "record_count": _pq.ParquetFile(
+                     os.path.join(root, rel)).metadata.num_rows,
+                 "file_size_in_bytes": current[rel]}}
             for rel in sorted(current)
         ],
         codec="null",
