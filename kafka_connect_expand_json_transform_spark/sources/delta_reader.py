@@ -297,9 +297,10 @@ def register_delta_stream_source(spark: SparkSession) -> None:
             self.ignore_changes = (
                 str(options.get("ignoreChanges", "false")).lower() == "true"
             )
+            self.starting_version = int(options.get("startingVersion", 0))
 
         def initialOffset(self) -> dict:
-            return {"version": -1}
+            return {"version": self.starting_version - 1}
 
         def latestOffset(self) -> dict:
             commits, _ = _list_log(self.root)
@@ -323,7 +324,14 @@ def register_delta_stream_source(spark: SparkSession) -> None:
             commits, _ = _list_log(partition.root)
             for v in range(partition.start + 1, partition.end + 1):
                 if v not in commits:
-                    continue
+                    # fail-closed: a gap means the commit was vacuumed past
+                    # a checkpoint — silently skipping it would LOSE its
+                    # rows from the stream
+                    raise ValueError(
+                        f"Delta commit {v} is missing from the log "
+                        "(vacuumed past a checkpoint?); restart with "
+                        "startingVersion pointing at an existing commit"
+                    )
                 adds, has_remove = [], False
                 with open(commits[v], encoding="utf-8") as fh:
                     for line in fh:

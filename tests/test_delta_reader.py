@@ -355,3 +355,34 @@ def test_change_data_feed_read(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolUnsupported, match="unrecoverable"):
         read_delta_changes(spark, root2, 0).collect()
+
+
+def test_deltastream_starting_version_and_gap_fail_closed(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        register_delta_stream_source,
+    )
+
+    root = str(tmp_path / "dsv")
+    _write_part(root, "a.parquet", {"id": [1], "v": ["a"]}, PLAIN)
+    _write_part(root, "b.parquet", {"id": [2], "v": ["b"]}, PLAIN)
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("id", "long"), ("v", "string")]),
+        _add("a.parquet"),
+    ])
+    _commit(root, 1, [_add("b.parquet")])
+    register_delta_stream_source(spark)
+    # startingVersion=1 skips version 0 by POLICY (not by gap)
+    q = (
+        spark.readStream.format("deltastream").option("path", root)
+        .option("startingVersion", "1").load()
+        .writeStream.format("memory").queryName("sg_dsv1")
+        .outputMode("append").start()
+    )
+    _drain(q)
+    assert [r.id for r in spark.table("sg_dsv1").collect()] == [2]
+    # a vacuumed gap fails CLOSED instead of losing rows — surfaced at
+    # schema resolution (the replay sees the hole before any batch runs)
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(Exception, match="missing commit"):
+        spark.readStream.format("deltastream").option("path", root).load()
