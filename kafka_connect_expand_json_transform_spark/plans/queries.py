@@ -22607,6 +22607,78 @@ def delta_interop_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_STREAM_DELTA_SINK = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderkey % 20 = 0
+    GROUP BY o_orderstatus
+"""
+
+
+@query("stream_delta_sink_e2e", _SQL_STREAM_DELTA_SINK)
+def stream_delta_sink_e2e(spark, sf_dir):
+    """STREAMING INTO a Delta table without the delta-spark jar, with the
+    EXACTLY-ONCE replay contract value-checked: an orders changelog
+    arrives as a file stream in two micro-batches, ``foreachBatch`` runs
+    the pure-Python ``delta_append`` with Delta's ``txn`` action (appId +
+    batchId — the public idempotent-writer recipe), then batch 0 is
+    REPLAYED manually (the checkpoint-crash shape) — the txn watermark
+    must make the replay a no-op, or the doubled rows flip the oracle
+    hash.  The final table is read back through the independent
+    ``delta_reader``.  Scale: one parquet write + one conditional
+    metadata PUT per batch — the commit economics every Delta streaming
+    sink pays; replays cost a log scan, never a data write."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        read_delta,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_streaming_sink,
+    )
+    from kafka_connect_expand_json_transform_spark.streaming.sources import (
+        file_stream_source,
+    )
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 20 == 0
+    ).select(
+        "o_orderstatus",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_sink_q_")
+    try:
+        root = tmp + "/orders_dsink"
+        src_dir = tmp + "/in"
+        o.repartition(2).write.parquet(src_dir)
+        stream = file_stream_source(
+            spark, src_dir, o.schema, fmt="parquet",
+            options={"maxFilesPerTrigger": "1"},
+        )
+        sink = delta_streaming_sink(root, "orders-ingest")
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # checkpoint-crash replay of batch 0: the txn watermark dedups it
+        sink(o.limit(50), 0)
+        out = read_delta(spark, root).groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_STREAM_DELTA = """
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,

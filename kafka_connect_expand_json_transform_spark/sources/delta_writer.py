@@ -1,0 +1,169 @@
+"""Pure-Python Delta Lake APPEND writer — the produce direction of the
+jar-free Delta story (reader: ``delta_reader``; dual-format export:
+``uniform``), per the public delta.io PROTOCOL.md:
+
+* ``delta_append(df, root, txn=None)`` — commit the DataFrame as the next
+  Delta version of a standalone Delta table (creating the table with
+  protocol + metaData on first write).  Appends only: schema must match
+  the table's exactly (the Delta append contract without mergeSchema).
+  Concurrency is optimistic — the commit file is claimed with an
+  exclusive create, so a racing writer loses cleanly and retries against
+  the new head, never clobbers.
+* ``txn=(app_id, version)`` writes Delta's ``txn`` action — the
+  IDEMPOTENT-WRITER contract streaming sinks use: a commit whose
+  ``(appId, version)`` is already recorded at or above ``version`` is
+  SKIPPED (returns the current head), so a replayed micro-batch lands
+  exactly once.
+* ``delta_streaming_sink(root, app_id)`` — the foreachBatch body wiring
+  batchId into ``txn``: restart-safe streaming ingestion INTO a Delta
+  table, the same exactly-once shape the repo's txlog foreachBatch sinks
+  document (checkpoint replays the batch, the txn action dedups it).
+
+Scale: one parquet write per batch plus one conditional metadata PUT —
+the same commit economics every Delta writer pays; data files land once
+under unique version-scoped names and are never rewritten by appends.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time as _time
+
+from pyspark.sql import DataFrame
+
+from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+    _list_log,
+    _log_dir,
+    _replay,
+)
+
+
+class DeltaCommitConflict(RuntimeError):
+    """A concurrent writer claimed this Delta version first; re-read the
+    head and retry."""
+
+
+def _latest_txn_version(path: str, app_id: str) -> int | None:
+    """The highest ``txn`` version recorded for ``app_id`` across the
+    commit JSONs (the idempotence watermark)."""
+    commits, _ = _list_log(path)
+    latest = None
+    for v in sorted(commits):
+        with open(commits[v], encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                t = a.get("txn")
+                if t and t.get("appId") == app_id:
+                    tv = int(t["version"])
+                    latest = tv if latest is None else max(latest, tv)
+    return latest
+
+
+def delta_append(
+    df: DataFrame,
+    root: str,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Append ``df`` as the next version of the Delta table at ``root``
+    (creating it on first write); returns the committed version.  With
+    ``txn=(app_id, version)``, an already-recorded version is a no-op
+    returning the current head — the exactly-once replay contract."""
+    from pyspark.sql import types as T
+
+    exists = os.path.isdir(_log_dir(root))
+    if exists:
+        _files, meta, _proto, head = _replay(root, None)
+        if meta.get("partitionColumns"):
+            raise ValueError("delta_append does not support partitioned tables")
+        table_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        if [
+            (f.name, f.dataType.simpleString()) for f in table_schema.fields
+        ] != [(f.name, f.dataType.simpleString()) for f in df.schema.fields]:
+            raise ValueError(
+                f"append schema {df.schema.simpleString()} != table schema "
+                f"{table_schema.simpleString()}"
+            )
+        if txn is not None:
+            seen = _latest_txn_version(root, txn[0])
+            if seen is not None and seen >= int(txn[1]):
+                return head  # replayed batch: exactly-once no-op
+        version = head + 1
+    else:
+        version = 0
+
+    # attempt-unique file names: a STALE writer racing a committed version
+    # must never collide with (and clobber) that version's data files —
+    # its uniquely-named orphans stay invisible and are unlinked on loss
+    nonce = _time.time_ns()
+    stage = os.path.join(root, f"_stage_{nonce}")
+    df.write.mode("overwrite").parquet(stage)
+    adds, placed = [], []
+    try:
+        parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+        now_ms = int(_time.time() * 1000)
+        for i, p in enumerate(parts):
+            rel = f"part-v{version:05d}-{nonce}-{i:05d}.parquet"
+            os.rename(p, os.path.join(root, rel))
+            placed.append(rel)
+            adds.append(
+                {"add": {"path": rel, "partitionValues": {},
+                         "size": os.path.getsize(os.path.join(root, rel)),
+                         "modificationTime": now_ms, "dataChange": True}}
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    actions = [{"commitInfo": {"timestamp": now_ms, "operation": "WRITE",
+                               "engineInfo": "kafka-connect-expand-json-transform-spark delta_append"}}]
+    if version == 0:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append({"metaData": {
+            "id": f"delta-append-{os.path.basename(os.path.abspath(root))}",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(df.schema.jsonValue()),
+            "partitionColumns": [], "configuration": {},
+            "createdTime": now_ms,
+        }})
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1]),
+                                "lastUpdated": now_ms}})
+    actions.extend(adds)
+
+    os.makedirs(_log_dir(root), exist_ok=True)
+    final = os.path.join(_log_dir(root), f"{version:020d}.json")
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        # a concurrent writer won this version; this attempt's data files
+        # were never referenced by any add action — unlink them
+        for rel in placed:
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
+        raise DeltaCommitConflict(f"version {version} already committed") from e
+    with os.fdopen(fd, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    return version
+
+
+def delta_streaming_sink(root: str, app_id: str):
+    """foreachBatch body for exactly-once streaming ingestion into a Delta
+    table: ``batchId`` rides the ``txn`` action, so checkpoint replays
+    dedup (the public Delta idempotent-writer recipe)."""
+
+    def apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        delta_append(batch_df, root, txn=(app_id, int(batch_id)))
+
+    return apply
