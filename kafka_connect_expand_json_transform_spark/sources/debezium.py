@@ -106,7 +106,13 @@ def latest_changes(
     ``add.fields`` metadata like __ts_ms/__lsn) to the LAST change per key
     — the reduce every CDC-apply performs so one merge sees one row per
     key.  Key-partitioned ``row_number`` (shuffles on the table key, the
-    same partitioning the merge join consumes); never a global sort."""
+    same partitioning the merge join consumes); never a global sort.
+
+    Determinism contract: ``order_by`` must TOTALLY order each key's
+    changes — include the source's position column (Debezium's ``lsn`` /
+    binlog position, which real connectors guarantee unique per source)
+    as the final key; rows tied on every order_by column are broken
+    arbitrarily and would make the surviving row engine-dependent."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*keys).orderBy(
