@@ -221,11 +221,23 @@ def _live_files(
     return sorted(set(files))
 
 
+def snapshot_as_of(path: str, timestamp_ms: int) -> int:
+    """Iceberg's timestamp time travel rule: the newest snapshot whose
+    timestamp-ms is <= the bound (before-first-snapshot is an error there
+    too)."""
+    snaps = iceberg_snapshots(path)  # newest first
+    for s in snaps:
+        if s["timestamp_ms"] is not None and s["timestamp_ms"] <= timestamp_ms:
+            return s["snapshot_id"]
+    raise ValueError(f"timestamp {timestamp_ms} predates the first snapshot")
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     where: list[tuple] | None = None,
+    as_of_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Snapshot (or time-travel) read of an Iceberg table without the
     iceberg-spark runtime: metadata.json -> manifest list -> manifests ->
@@ -235,6 +247,10 @@ def read_iceberg(
     planning-time skip Iceberg clients perform); the returned frame is NOT
     filtered — callers apply their own predicate, which Catalyst pushes
     into the already-pruned scan."""
+    if snapshot_id is not None and as_of_timestamp_ms is not None:
+        raise ValueError("pass snapshot_id= or as_of_timestamp_ms=, not both")
+    if as_of_timestamp_ms is not None:
+        snapshot_id = snapshot_as_of(path, as_of_timestamp_ms)
     meta = _read_metadata(path)
     if meta.get("format-version", 1) not in (1, 2):
         raise IcebergUnsupported(

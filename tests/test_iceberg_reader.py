@@ -253,3 +253,15 @@ def test_identity_partition_pruning(spark, tmp_path):
     pruned = read_iceberg(spark, root, where=[("day", "=", "d2")])
     assert [r.id for r in pruned.collect()] == [2]
     assert pruned.inputFiles() == [f for f in full.inputFiles() if "p2" in f]
+
+
+def test_as_of_timestamp(spark, tmp_path):
+    root = _table(tmp_path)  # snapshots at ts 1000 and 2000
+    old = read_iceberg(spark, root, as_of_timestamp_ms=1500)
+    assert sorted(r.id for r in old.collect()) == [1, 2, 3]
+    now = read_iceberg(spark, root, as_of_timestamp_ms=99999)
+    assert sorted(r.id for r in now.collect()) == [1, 2, 4]
+    with pytest.raises(ValueError, match="predates"):
+        read_iceberg(spark, root, as_of_timestamp_ms=5)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(spark, root, snapshot_id=1, as_of_timestamp_ms=1500)
