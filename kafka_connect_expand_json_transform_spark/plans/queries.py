@@ -22607,6 +22607,93 @@ def delta_interop_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_STREAM_ICEBERG = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderkey % 25 IN (0, 12)
+    GROUP BY o_orderstatus
+"""
+
+
+@query("stream_iceberg_source_e2e", _SQL_STREAM_ICEBERG)
+def stream_iceberg_source_e2e(spark, sf_dir):
+    """STREAMING FROM an Iceberg table without the iceberg-spark runtime —
+    and the whole dual-format pipeline in one motion: a native txlog table
+    takes two appends, each UniForm-EXPORTED as an Iceberg snapshot (Avro
+    manifests from the stdlib codec), and the ``icebergstream`` source
+    streams the snapshots as micro-batches into a memory sink.  Offsets
+    are snapshot-log positions (exactly-once restart); an overwrite
+    snapshot aborts the stream unless ignoreChanges, Iceberg's own
+    streaming-read contract (tested in test_iceberg_reader.py).  The
+    census is value-checked against arithmetic — a snapshot streamed
+    twice, skipped, or mis-manifested flips the hash.  Scale: each batch
+    is the files one snapshot ADDED; the manifest walk is planner
+    metadata, the rows ship as Arrow batches."""
+    import shutil
+    import tempfile
+    import time
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        register_iceberg_stream_source,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.uniform import (
+        export_iceberg,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderstatus",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_stream_q_")
+    name = "sg_stream_iceberg"
+    try:
+        root = tmp + "/orders_is"
+        TX.append_table(
+            o.where(F.col("k") % 25 == 0).drop("k").coalesce(2), root
+        )
+        export_iceberg(root)
+        TX.append_table(
+            o.where(F.col("k") % 25 == 12).drop("k").coalesce(2), root
+        )
+        export_iceberg(root)
+        register_iceberg_stream_source(spark)
+        spark.catalog.dropTempView(name)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                spark.readStream.format("icebergstream")
+                .option("path", root)
+                .load()
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if q.lastProgress is not None and not q.status["isDataAvailable"]:
+                    break
+                time.sleep(0.25)
+            q.stop()
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = spark.table(name).groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_STREAM_DELTA_SINK = """
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,

@@ -232,6 +232,128 @@ def snapshot_as_of(path: str, timestamp_ms: int) -> int:
     raise ValueError(f"timestamp {timestamp_ms} predates the first snapshot")
 
 
+def _snapshot_appended_files(path: str, meta: dict, snap: dict,
+                             ignore_changes: bool) -> list[str]:
+    """Data files ADDED by one snapshot (manifest entries with status=1
+    and the snapshot's id).  A snapshot that also deletes entries is a
+    rewrite — refused unless ``ignore_changes`` (its adds re-stream)."""
+    location = meta.get("location", path)
+    added: list[str] = []
+    saw_delete = False
+    mlist = _resolve(path, location, snap["manifest-list"])
+    for mrow in AC.read_container(mlist):
+        if mrow.get("content", 0) == 1:
+            raise IcebergUnsupported("v2 delete manifests are not supported")
+        manifest = _resolve(path, location, mrow["manifest_path"])
+        for entry in AC.read_container(manifest):
+            if entry["status"] == 2:
+                saw_delete = True
+                continue
+            if entry["status"] == 1 and entry.get(
+                "snapshot_id", snap["snapshot-id"]
+            ) == snap["snapshot-id"]:
+                df_ = entry["data_file"]
+                added.append(_resolve(path, location, df_["file_path"]))
+    op = (snap.get("summary") or {}).get("operation", "append")
+    if (saw_delete or op not in ("append",)) and not ignore_changes:
+        raise ValueError(
+            f"snapshot {snap['snapshot-id']} is a {op} with deleted entries; "
+            "set ignoreChanges=true to re-stream its adds, or start after it"
+        )
+    return sorted(set(added))
+
+
+def register_iceberg_stream_source(spark: SparkSession) -> None:
+    """Register the ``icebergstream`` Python DataSource: STREAM an Iceberg
+    table's committed snapshots without the iceberg-spark runtime — the
+    twin of ``delta_reader.register_delta_stream_source``.  Offsets are
+    positions in the table's snapshot log (ordered by sequence), so a
+    restart resumes after the last streamed snapshot; each micro-batch is
+    the data files ADDED by the new snapshots.  Overwrite/delete
+    snapshots abort the stream unless ``ignoreChanges=true`` (their adds
+    re-stream; consumers dedup) — the same contract Iceberg's own
+    streaming read documents.  availableNow is unsupported (Python
+    DataSource limit): drive a processing-time trigger to the head."""
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    @dataclass
+    class _SnapRange(InputPartition):
+        root: str
+        start: int  # exclusive index into the ordered snapshot list
+        end: int  # inclusive
+        schema_json: str
+        ignore_changes: bool
+
+    def _ordered_snapshots(path: str) -> list[dict]:
+        meta = _read_metadata(path)
+        return sorted(meta.get("snapshots", []),
+                      key=lambda s: s.get("sequence-number",
+                                          s.get("timestamp-ms", 0)))
+
+    class IcebergStreamReader(DataSourceStreamReader):
+        def __init__(self, options, schema_json):
+            self.root = options["path"]
+            self.schema_json = schema_json
+            self.ignore_changes = (
+                str(options.get("ignoreChanges", "false")).lower() == "true"
+            )
+
+        def initialOffset(self) -> dict:
+            return {"pos": 0}
+
+        def latestOffset(self) -> dict:
+            return {"pos": len(_ordered_snapshots(self.root))}
+
+        def partitions(self, start: dict, end: dict):
+            return [_SnapRange(self.root, int(start["pos"]), int(end["pos"]),
+                               self.schema_json, self.ignore_changes)]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            from kafka_connect_expand_json_transform_spark.sources.txlog import (
+                _shape_to_stream_batches,
+            )
+
+            meta = _read_metadata(partition.root)
+            snaps = _ordered_snapshots(partition.root)
+            for snap in snaps[partition.start : partition.end]:
+                for f in _snapshot_appended_files(
+                    partition.root, meta, snap, partition.ignore_changes
+                ):
+                    yield from _shape_to_stream_batches(
+                        pq.read_table(f), partition.schema_json
+                    )
+
+        def commit(self, end: dict) -> None:
+            pass
+
+        def stop(self) -> None:
+            pass
+
+    class IcebergStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "icebergstream"
+
+        def schema(self):
+            meta = _read_metadata(self.options["path"])
+            return _spark_type(
+                {"type": "struct", "fields": _current_schema(meta)["fields"]}
+            )
+
+        def streamReader(self, schema):
+            return IcebergStreamReader(self.options, schema.json())
+
+    spark.dataSource.register(IcebergStreamSource)
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,

@@ -345,7 +345,10 @@ def export_iceberg(root: str) -> int:
             "snapshot-id": snap_id,
             "sequence-number": snap_id,
             "timestamp-ms": now_ms,
-            "summary": {"operation": "append" if not prev_snaps else "overwrite"},
+            # honest operation label: a pure append (no files dropped)
+            # keeps streaming readers alive; a CoW rewrite is an overwrite
+            "summary": {"operation": "append"
+                        if prev_files <= set(current) else "overwrite"},
             "manifest-list": f"{loc}/{mlist_rel}",
             "schema-id": 0,
         }],

@@ -265,3 +265,49 @@ def test_as_of_timestamp(spark, tmp_path):
         read_iceberg(spark, root, as_of_timestamp_ms=5)
     with pytest.raises(ValueError, match="not both"):
         read_iceberg(spark, root, snapshot_id=1, as_of_timestamp_ms=1500)
+
+
+def _drain(q, seconds=60, expect_error=False):
+    import time as _t
+    deadline = _t.time() + seconds
+    while _t.time() < deadline:
+        if q.exception() is not None:
+            break
+        if q.lastProgress is not None and not q.status["isDataAvailable"]:
+            break
+        _t.sleep(0.25)
+    q.stop()
+    try:
+        q.awaitTermination()
+    except Exception:
+        if not expect_error:
+            raise
+
+
+def test_icebergstream_appends_and_overwrite_contract(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        register_iceberg_stream_source,
+    )
+
+    # _table: snapshot 1 appends a+b; snapshot 2 deletes b, adds c
+    root = _table(tmp_path)
+    register_iceberg_stream_source(spark)
+    q = (
+        spark.readStream.format("icebergstream").option("path", root).load()
+        .writeStream.format("memory").queryName("sg_icestream")
+        .outputMode("append").start()
+    )
+    _drain(q, expect_error=True)
+    # snapshot 2 is an overwrite with deleted entries -> abort by default
+    assert q.exception() is not None
+    q2 = (
+        spark.readStream.format("icebergstream").option("path", root)
+        .option("ignoreChanges", "true").load()
+        .writeStream.format("memory").queryName("sg_icestream2")
+        .outputMode("append").start()
+    )
+    _drain(q2)
+    # snapshot 1 adds ids 1,2,3; snapshot 2 re-streams only its ADDED file
+    assert sorted(r.id for r in spark.table("sg_icestream2").collect()) == [
+        1, 2, 3, 4
+    ]
