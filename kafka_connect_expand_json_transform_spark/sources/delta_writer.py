@@ -156,6 +156,95 @@ def delta_append(
     return version
 
 
+def delta_delete_where(spark, root: str, predicate: str) -> tuple[int, int]:
+    """Copy-on-write DELETE on a Delta table, jar-free: one pass finds the
+    files that CONTAIN matching rows (``_metadata.file_path`` grain), only
+    those files are rewritten without the matches, and one commit removes
+    the affected files and adds their survivors — untouched files carry
+    over by not being mentioned, Delta's partial-CoW economics.  Returns
+    ``(version, rows_deleted)``; a predicate matching nothing is a no-op
+    returning the current head.  Unpartitioned, unmapped tables only
+    (the guards ``delta_append`` applies)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    files, meta, _proto, head = _replay(root, None)
+    if meta.get("partitionColumns"):
+        raise ValueError("delta_delete_where does not support partitioned tables")
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "none":
+        raise ValueError("delta_delete_where does not support column mapping")
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if not files:
+        return head, 0
+    abs_of = {os.path.abspath(os.path.join(root, rel)): rel for rel in files}
+    snap = spark.read.schema(schema).parquet(
+        *[os.path.join(root, rel) for rel in sorted(files)]
+    ).withColumn(
+        "__f", F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/+", "/")
+    )
+    hits = (
+        snap.where(predicate)
+        .groupBy("__f")
+        .count()
+        .collect()
+    )
+    if not hits:
+        return head, 0
+    n_deleted = sum(r["count"] for r in hits)
+    affected = sorted(abs_of[r["__f"]] for r in hits)
+
+    nonce = _time.time_ns()
+    now_ms = int(_time.time() * 1000)
+    version = head + 1
+    actions = [{"commitInfo": {"timestamp": now_ms, "operation": "DELETE",
+                               "operationParameters": {"predicate": predicate}}}]
+    placed = []
+    for i, rel in enumerate(affected):
+        survivors = (
+            spark.read.schema(schema)
+            .parquet(os.path.join(root, rel))
+            .where(f"NOT ({predicate})")
+        )
+        stage = os.path.join(root, f"_stage_{nonce}_{i}")
+        survivors.coalesce(1).write.mode("overwrite").parquet(stage)
+        try:
+            parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+            if parts and survivors.limit(1).count():
+                new_rel = f"part-v{version:05d}-{nonce}-{i:05d}.parquet"
+                os.rename(parts[0], os.path.join(root, new_rel))
+                placed.append(new_rel)
+                actions.append(
+                    {"add": {"path": new_rel, "partitionValues": {},
+                             "size": os.path.getsize(os.path.join(root, new_rel)),
+                             "modificationTime": now_ms, "dataChange": True}}
+                )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+    actions.extend(
+        {"remove": {"path": rel, "deletionTimestamp": now_ms,
+                    "dataChange": True}}
+        for rel in affected
+    )
+    final = os.path.join(_log_dir(root), f"{version:020d}.json")
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        for rel in placed:
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
+        raise DeltaCommitConflict(f"version {version} already committed") from e
+    with os.fdopen(fd, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    return version, n_deleted
+
+
 def delta_streaming_sink(root: str, app_id: str):
     """foreachBatch body for exactly-once streaming ingestion into a Delta
     table: ``batchId`` rides the ``txn`` action, so checkpoint replays

@@ -103,3 +103,30 @@ def test_streaming_sink_exactly_once(spark, tmp_path):
     # replay batch 0 manually (the checkpoint-crash shape): no duplicates
     delta_streaming_sink(root, "ingest")(_df(spark, 0, 20), 0)
     assert read_delta(spark, root).count() == 60
+
+
+def test_delete_where_partial_cow(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_delete_where,
+    )
+
+    root = str(tmp_path / "d")
+    delta_append(_df(spark, 0, 10).coalesce(1), root)    # file A: 0-9
+    delta_append(_df(spark, 10, 20).coalesce(1), root)   # file B: 10-19
+    version, n = delta_delete_where(spark, root, "k >= 15")
+    assert (version, n) == (2, 5)
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == list(range(15))
+    # partial CoW: file A is untouched (still referenced by its old name)
+    import json as _json
+    last = open(os.path.join(root, "_delta_log", f"{2:020d}.json")).read()
+    acts = [_json.loads(x) for x in last.strip().splitlines()]
+    removed = {a["remove"]["path"] for a in acts if "remove" in a}
+    assert len(removed) == 1 and all("v00001" in p for p in removed)
+    # time travel still sees the pre-delete rows
+    assert read_delta(spark, root, version=1).count() == 20
+    # no-op predicate -> head unchanged
+    assert delta_delete_where(spark, root, "k > 999") == (2, 0)
+    # deleting a whole file leaves no survivor add
+    v3, n3 = delta_delete_where(spark, root, "k < 10")
+    assert (v3, n3) == (3, 10)
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == list(range(10, 15))
