@@ -165,6 +165,24 @@ def delta_delete_where(spark, root: str, predicate: str) -> tuple[int, int]:
     ``(version, rows_deleted)``; a predicate matching nothing is a no-op
     returning the current head.  Unpartitioned, unmapped tables only
     (the guards ``delta_append`` applies)."""
+    return _delta_cow(spark, root, predicate, None)
+
+
+def delta_update_where(
+    spark, root: str, predicate: str, assignments: dict[str, str]
+) -> tuple[int, int]:
+    """Copy-on-write UPDATE on a Delta table, jar-free: the same
+    file-pruned rewrite as ``delta_delete_where``, but matching rows are
+    kept with the SET ``assignments`` (column -> SQL expression over the
+    row) applied.  Returns ``(version, rows_updated)``."""
+    if not assignments:
+        raise ValueError("update needs at least one assignment")
+    return _delta_cow(spark, root, predicate, assignments)
+
+
+def _delta_cow(
+    spark, root: str, predicate: str, assignments: dict[str, str] | None
+) -> tuple[int, int]:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -198,20 +216,29 @@ def delta_delete_where(spark, root: str, predicate: str) -> tuple[int, int]:
     nonce = _time.time_ns()
     now_ms = int(_time.time() * 1000)
     version = head + 1
-    actions = [{"commitInfo": {"timestamp": now_ms, "operation": "DELETE",
+    op = "DELETE" if assignments is None else "UPDATE"
+    actions = [{"commitInfo": {"timestamp": now_ms, "operation": op,
                                "operationParameters": {"predicate": predicate}}}]
     placed = []
     for i, rel in enumerate(affected):
-        survivors = (
-            spark.read.schema(schema)
-            .parquet(os.path.join(root, rel))
-            .where(f"NOT ({predicate})")
-        )
+        file_df = spark.read.schema(schema).parquet(os.path.join(root, rel))
+        if assignments is None:
+            rewritten = file_df.where(f"NOT ({predicate})")
+        else:
+            cond = F.expr(predicate)
+            rewritten = file_df.select(
+                *[
+                    (F.when(cond, F.expr(assignments[c.name]))
+                     .otherwise(F.col(c.name)).cast(c.dataType).alias(c.name)
+                     if c.name in assignments else F.col(c.name))
+                    for c in schema.fields
+                ]
+            )
         stage = os.path.join(root, f"_stage_{nonce}_{i}")
-        survivors.coalesce(1).write.mode("overwrite").parquet(stage)
+        rewritten.coalesce(1).write.mode("overwrite").parquet(stage)
         try:
             parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
-            if parts and survivors.limit(1).count():
+            if parts and rewritten.limit(1).count():
                 new_rel = f"part-v{version:05d}-{nonce}-{i:05d}.parquet"
                 os.rename(parts[0], os.path.join(root, new_rel))
                 placed.append(new_rel)

@@ -130,3 +130,23 @@ def test_delete_where_partial_cow(spark, tmp_path):
     v3, n3 = delta_delete_where(spark, root, "k < 10")
     assert (v3, n3) == (3, 10)
     assert sorted(r.k for r in read_delta(spark, root).collect()) == list(range(10, 15))
+
+
+def test_update_where_partial_cow(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_update_where,
+    )
+
+    root = str(tmp_path / "u")
+    delta_append(_df(spark, 0, 10).coalesce(1), root)
+    delta_append(_df(spark, 10, 20).coalesce(1), root)
+    version, n = delta_update_where(spark, root, "k >= 15", {"v": "v + 1000"})
+    assert (version, n) == (2, 5)
+    got = {r.k: r.v for r in read_delta(spark, root).collect()}
+    assert got[16] == 16 * 2 + 1000 and got[4] == 8 and len(got) == 20
+    # untouched file carries over; time travel sees pre-update values
+    assert {r.v for r in read_delta(spark, root, version=1).collect()} == {
+        i * 2 for i in range(20)
+    }
+    with pytest.raises(ValueError, match="assignment"):
+        delta_update_where(spark, root, "k = 1", {})
