@@ -101,6 +101,55 @@ def _live_slices(path: str, as_of_instant: str | None) -> list[str]:
     return sorted(os.path.join(path, rel) for _, rel in latest.values())
 
 
+def read_hudi_incremental(
+    spark: SparkSession,
+    path: str,
+    begin_instant: str,
+    end_instant: str | None = None,
+    keep_meta: bool = False,
+) -> DataFrame:
+    """Hudi's INCREMENTAL query mode without the bundle (the public
+    ``hoodie.datasource.query.type=incremental`` semantics): rows WRITTEN
+    by commits in ``(begin_instant, end_instant]``.  CoW slices contain
+    carried rows beside the new ones, so the slice read is filtered on
+    ``_hoodie_commit_time`` — exactly what the native incremental relation
+    does.  Reads only the file groups the range's commits touched."""
+    from pyspark.sql import functions as F
+
+    commits = hudi_timeline(path)  # newest first
+    end = end_instant or (commits[0]["instant"] if commits else "")
+    in_range = [c for c in commits
+                if str(begin_instant) < c["instant"] <= str(end)]
+    touched: set[str] = set()
+    for c in in_range:
+        with open(c["path"], encoding="utf-8") as fh:
+            meta = json.load(fh)
+        for stats in (meta.get("partitionToWriteStats") or {}).values():
+            touched.update(st["fileId"] for st in stats)
+    if not touched:
+        raise ValueError(
+            f"no commits in ({begin_instant}, {end}] touched any file group"
+        )
+    # newest slice per touched file group, as of the range end
+    latest: dict[str, str] = {}
+    for c in [c for c in commits if c["instant"] <= str(end)]:
+        with open(c["path"], encoding="utf-8") as fh:
+            meta = json.load(fh)
+        for stats in (meta.get("partitionToWriteStats") or {}).values():
+            for st in stats:
+                if st["fileId"] in touched and st["fileId"] not in latest:
+                    latest[st["fileId"]] = st["path"]
+    df = spark.read.parquet(
+        *sorted(os.path.join(path, rel) for rel in latest.values())
+    ).where(
+        (F.col("_hoodie_commit_time") > str(begin_instant))
+        & (F.col("_hoodie_commit_time") <= str(end))
+    )
+    if not keep_meta:
+        df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
+    return df
+
+
 def read_hudi(
     spark: SparkSession,
     path: str,

@@ -87,3 +87,32 @@ def test_mor_and_replacecommit_fail_closed(spark, tmp_path):
     open(os.path.join(root2, ".hoodie", f"{C2}1.replacecommit"), "w").close()
     with pytest.raises(HudiUnsupported, match="replacecommit"):
         read_hudi(spark, root2)
+
+
+def test_incremental_query_mode(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        read_hudi_incremental,
+    )
+
+    # _table: c1 writes fg1=[1,2] + fg2=[3]; c2 rewrites fg1 as [1,2,9]
+    # with commit-time tags, so rows written BY c2 are exactly fg1's c2
+    # slice rows tagged C2 — but the fixture tags ALL slice rows with the
+    # slice's commit, matching CoW reality only for the NEW row; emulate
+    # properly: build a slice where carried rows keep their original tag
+    root = str(tmp_path / "hinc")
+    _props(root)
+    _data(root, f"p/fg1_0-0-0_{C1}.parquet", [1, 2], C1)
+    p = os.path.join(root, f"p/fg1_0-0-0_{C2}.parquet")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    pq.write_table(pa.table({
+        "_hoodie_commit_time": [C1, C1, C2],  # carried rows keep c1's tag
+        "id": [1, 2, 9], "v": ["v1", "v2", "v9"],
+    }), p)
+    _commit(root, C1, {"p": [
+        {"fileId": "fg1", "path": f"p/fg1_0-0-0_{C1}.parquet"}]})
+    _commit(root, C2, {"p": [
+        {"fileId": "fg1", "path": f"p/fg1_0-0-0_{C2}.parquet"}]})
+    inc = read_hudi_incremental(spark, root, begin_instant=C1)
+    assert [(r.id, r.v) for r in inc.collect()] == [(9, "v9")]
+    with pytest.raises(ValueError, match="no commits"):
+        read_hudi_incremental(spark, root, begin_instant=C2)
