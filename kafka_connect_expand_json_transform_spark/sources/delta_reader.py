@@ -332,6 +332,10 @@ def register_delta_stream_source(spark: SparkSession) -> None:
                         "(vacuumed past a checkpoint?); restart with "
                         "startingVersion pointing at an existing commit"
                     )
+                # dataChange=false actions are pure rearrangement
+                # (compaction / OPTIMIZE): the real Delta streaming source
+                # skips them entirely — streaming their adds would duplicate
+                # rows, and their removes must not abort the stream
                 adds, has_remove = [], False
                 with open(commits[v], encoding="utf-8") as fh:
                     for line in fh:
@@ -339,9 +343,11 @@ def register_delta_stream_source(spark: SparkSession) -> None:
                         if not line:
                             continue
                         a = json.loads(line)
-                        if a.get("add"):
+                        if a.get("add") and a["add"].get("dataChange", True):
                             adds.append(a["add"]["path"])
-                        elif a.get("remove"):
+                        elif a.get("remove") and a["remove"].get(
+                            "dataChange", True
+                        ):
                             has_remove = True
                 if has_remove and not partition.ignore_changes:
                     raise ValueError(
@@ -423,8 +429,33 @@ def _version_at_timestamp(path: str, timestamp_ms: int) -> int:
     return max(eligible)
 
 
+def _typed_partition_value(raw, dtype: T.DataType | None):
+    """Parse a Delta ``partitionValues`` string to the column's logical
+    type (PROTOCOL.md "Partition Value Serialization") so range predicates
+    compare numerically: with lexicographic string compare, ``n > 9``
+    would wrongly prune a file whose partition value is ``"10"``."""
+    import datetime
+    import decimal
+
+    if raw is None or dtype is None or isinstance(raw, (int, float)):
+        return raw
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(raw)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    if isinstance(dtype, T.DecimalType):
+        return decimal.Decimal(raw)
+    if isinstance(dtype, T.BooleanType):
+        return str(raw).lower() == "true"
+    if isinstance(dtype, T.DateType):
+        return datetime.date.fromisoformat(str(raw))
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return datetime.datetime.fromisoformat(str(raw))
+    return raw
+
+
 def _stats_keep(add: dict, where: list[tuple], part_cols: list[str],
-                phys_of: dict) -> bool:
+                phys_of: dict, types_of: dict | None = None) -> bool:
     """File-skipping on the add action's stats JSON (minValues/maxValues)
     and partitionValues — keep when the predicate MAY match (missing or
     type-mismatched stats keep the file: pruning must stay sound)."""
@@ -437,14 +468,20 @@ def _stats_keep(add: dict, where: list[tuple], part_cols: list[str],
         except (ValueError, TypeError):
             mins = maxs = {}
     pv = add.get("partitionValues") or {}
+    types_of = types_of or {}
     for col, op, val in where:
         key = phys_of.get(col, col)
         if col in part_cols:
             got = pv.get(key)
             if got is None:
                 continue
-            lo = hi = got
-            val = str(val)
+            dtype = types_of.get(col)
+            try:
+                lo = hi = _typed_partition_value(got, dtype)
+                if isinstance(val, str) and not isinstance(dtype, T.StringType):
+                    val = _typed_partition_value(val, dtype)
+            except (ValueError, TypeError, ArithmeticError):
+                continue  # unparseable partition value: keep, sound
         else:
             lo, hi = mins.get(key), maxs.get(key)
         try:
@@ -494,10 +531,11 @@ def read_delta(
                for f in logical.fields}
 
     if where:
+        types_of = {f.name: f.dataType for f in logical.fields}
         files = {
             rel: add
             for rel, add in files.items()
-            if _stats_keep(add, where, part_cols, phys_of)
+            if _stats_keep(add, where, part_cols, phys_of, types_of)
         }
 
     data_fields = [f for f in logical.fields if f.name not in part_cols]

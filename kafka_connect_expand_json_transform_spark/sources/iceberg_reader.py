@@ -267,8 +267,11 @@ def register_iceberg_stream_source(spark: SparkSession) -> None:
     """Register the ``icebergstream`` Python DataSource: STREAM an Iceberg
     table's committed snapshots without the iceberg-spark runtime — the
     twin of ``delta_reader.register_delta_stream_source``.  Offsets are
-    positions in the table's snapshot log (ordered by sequence), so a
-    restart resumes after the last streamed snapshot; each micro-batch is
+    the LAST-STREAMED SNAPSHOT-ID (not a positional index: snapshot
+    expiry or a metadata rewrite shifts positions, so a positional
+    checkpoint could silently skip or replay snapshots); the id is
+    resolved against the snapshot log at read time and the read fails
+    closed if that snapshot has been expired.  Each micro-batch is
     the data files ADDED by the new snapshots.  Overwrite/delete
     snapshots abort the stream unless ``ignoreChanges=true`` (their adds
     re-stream; consumers dedup) — the same contract Iceberg's own
@@ -285,16 +288,33 @@ def register_iceberg_stream_source(spark: SparkSession) -> None:
     @dataclass
     class _SnapRange(InputPartition):
         root: str
-        start: int  # exclusive index into the ordered snapshot list
-        end: int  # inclusive
+        start_id: int | None  # last snapshot-id already streamed (exclusive)
+        end_id: int | None  # last snapshot-id of this batch (inclusive)
         schema_json: str
         ignore_changes: bool
 
     def _ordered_snapshots(path: str) -> list[dict]:
         meta = _read_metadata(path)
-        return sorted(meta.get("snapshots", []),
-                      key=lambda s: s.get("sequence-number",
-                                          s.get("timestamp-ms", 0)))
+        snaps = list(meta.get("snapshots", []))
+        # sequence-number and timestamp-ms live on different scales —
+        # mixing them as one sort key interleaves wrongly when only some
+        # snapshots carry sequence-number (v1->v2 upgraded tables)
+        if snaps and all("sequence-number" in s for s in snaps):
+            return sorted(
+                snaps,
+                key=lambda s: (s["sequence-number"], s.get("timestamp-ms", 0)),
+            )
+        return sorted(snaps, key=lambda s: s.get("timestamp-ms", 0))
+
+    def _resolve_pos(snaps: list[dict], snapshot_id: int) -> int:
+        for i, s in enumerate(snaps):
+            if s["snapshot-id"] == snapshot_id:
+                return i
+        raise ValueError(
+            f"snapshot {snapshot_id} is no longer in the table's snapshot "
+            "log (expired?); exactly-once resume is impossible — restart "
+            "the stream from a fresh checkpoint"
+        )
 
     class IcebergStreamReader(DataSourceStreamReader):
         def __init__(self, options, schema_json):
@@ -305,14 +325,22 @@ def register_iceberg_stream_source(spark: SparkSession) -> None:
             )
 
         def initialOffset(self) -> dict:
-            return {"pos": 0}
+            return {"snapshot_id": None}
 
         def latestOffset(self) -> dict:
-            return {"pos": len(_ordered_snapshots(self.root))}
+            snaps = _ordered_snapshots(self.root)
+            return {
+                "snapshot_id": snaps[-1]["snapshot-id"] if snaps else None
+            }
 
         def partitions(self, start: dict, end: dict):
-            return [_SnapRange(self.root, int(start["pos"]), int(end["pos"]),
-                               self.schema_json, self.ignore_changes)]
+            return [
+                _SnapRange(
+                    self.root, start.get("snapshot_id"),
+                    end.get("snapshot_id"), self.schema_json,
+                    self.ignore_changes,
+                )
+            ]
 
         def read(self, partition):
             import pyarrow.parquet as pq
@@ -321,9 +349,14 @@ def register_iceberg_stream_source(spark: SparkSession) -> None:
                 _shape_to_stream_batches,
             )
 
+            if partition.end_id is None:
+                return
             meta = _read_metadata(partition.root)
             snaps = _ordered_snapshots(partition.root)
-            for snap in snaps[partition.start : partition.end]:
+            lo = (0 if partition.start_id is None
+                  else _resolve_pos(snaps, partition.start_id) + 1)
+            hi = _resolve_pos(snaps, partition.end_id) + 1
+            for snap in snaps[lo:hi]:
                 for f in _snapshot_appended_files(
                     partition.root, meta, snap, partition.ignore_changes
                 ):

@@ -15,9 +15,11 @@ directly on the stdlib:
 * the four live wire types — VARINT(0), I64(1), LEN(2), I32(5) — with
   unknown-field skipping on decode (forward compatibility, same contract
   protobuf runtimes give);
-* proto3 presence semantics: zero-valued scalars are omitted on encode and
-  default-filled on decode; repeated scalars are PACKED by default (and the
-  decoder accepts both packed and unpacked encodings, per spec);
+* proto3 presence semantics: zero-valued implicit-presence scalars are
+  omitted on encode and default-filled on decode, while ``optional``
+  (explicit-presence) fields emit set-to-default values and decode absent
+  as None; repeated scalars are PACKED by default (and the decoder accepts
+  both packed and unpacked encodings, per spec);
 * nested messages, enums (ints on the wire), ``string``/``bytes``,
   fixed32/64 + float/double (IEEE little-endian);
 * a proto3 ``.proto`` text subset parser (message/enum/nested/repeated/
@@ -268,8 +270,11 @@ def encode_message(desc: dict, value: dict, types: dict) -> bytes:
             write_uvarint(buf, len(sub))
             buf += sub
             continue
-        if v is None or v == _default(ftype):
-            continue  # proto3: defaults are absence
+        if v is None:
+            continue
+        if v == _default(ftype) and not field.get("optional"):
+            continue  # proto3 implicit presence: defaults are absence
+        # explicit-presence (optional) fields emit set-to-default values
         write_uvarint(buf, (num << 3) | _SCALAR_WIRETYPE[ftype])
         _encode_scalar(buf, ftype, v)
     return bytes(buf)
@@ -311,8 +316,12 @@ def decode_message(data: bytes | memoryview, desc: dict, types: dict) -> dict:
         if f["name"] not in out:
             if f.get("map"):
                 out[f["name"]] = {}
+            elif f.get("repeated"):
+                out[f["name"]] = []
+            elif f.get("optional"):
+                out[f["name"]] = None  # explicit presence: absent != default
             else:
-                out[f["name"]] = [] if f.get("repeated") else _default(f["type"])
+                out[f["name"]] = _default(f["type"])
     return out
 
 
@@ -463,9 +472,14 @@ def parse_proto(text: str) -> dict:
                 continue
             if t in ("extend", "group", "required", "service"):
                 raise ValueError(f"proto construct not supported by this subset: {t}")
-            repeated = False
+            repeated = optional = False
             if t in ("repeated", "optional"):
                 repeated = t == "repeated"
+                # proto3 'optional' = explicit presence: an absent field is
+                # distinguishable from one set to its default, so the
+                # encoder must emit set-to-default values and the decoder
+                # must report absence as None (not default-fill)
+                optional = t == "optional"
                 take()
             ftype = take()
             fname = take()
@@ -477,6 +491,7 @@ def parse_proto(text: str) -> dict:
             take(";")
             fields.append(
                 {"name": fname, "number": fnum, "repeated": repeated,
+                 "optional": optional,
                  "type": ftype if ftype in _SCALARS else None,
                  "type_ref": None if ftype in _SCALARS else ftype,
                  "scope": fq}

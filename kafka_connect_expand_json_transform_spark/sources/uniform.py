@@ -156,14 +156,20 @@ def export_delta(root: str) -> int:
     log_dir = os.path.join(root, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
     final = os.path.join(log_dir, f"{version:020d}.json")
-    tmp = final + ".tmp"
-    with open(tmp, "w") as fh:
+    # O_CREAT|O_EXCL claims the version atomically (the exists+replace
+    # dance is a TOCTOU race: two concurrent exports can both pass the
+    # check and one silently overwrites the other's commit)
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise TX.TxLogConflict(
+            f"concurrent Delta export at version {version}"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
-    if os.path.exists(final):
-        os.remove(tmp)
-        raise TX.TxLogConflict(f"concurrent Delta export at version {version}")
-    os.replace(tmp, final)
+        fh.flush()
+        os.fsync(fh.fileno())
     return version
 
 
@@ -356,13 +362,18 @@ def export_iceberg(root: str) -> int:
         "metadata-log": [],
     }
     final = os.path.join(meta_dir, f"v{meta_version}.metadata.json")
-    tmp = final + ".tmp"
-    with open(tmp, "w") as fh:
+    # atomic O_CREAT|O_EXCL claim — same race-free contract as the Delta
+    # export above (and as Iceberg's own rename-if-absent commit)
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise TX.TxLogConflict(
+            f"concurrent Iceberg export at v{meta_version}"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
         json.dump(meta, fh)
-    if os.path.exists(final):
-        os.remove(tmp)
-        raise TX.TxLogConflict(f"concurrent Iceberg export at v{meta_version}")
-    os.replace(tmp, final)
+        fh.flush()
+        os.fsync(fh.fileno())
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(meta_version))
     return snap_id

@@ -386,3 +386,77 @@ def test_deltastream_starting_version_and_gap_fail_closed(spark, tmp_path):
     os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
     with pytest.raises(Exception, match="missing commit"):
         spark.readStream.format("deltastream").option("path", root).load()
+
+
+def test_partition_range_pruning_numeric(spark, tmp_path):
+    # ADVICE r7 #1: partitionValues are strings on disk; range predicates
+    # must compare in the column's LOGICAL type — lexicographically,
+    # "10" > "9" is false and the n=10 file was wrongly pruned.
+    root = str(tmp_path / "numpart")
+    data = pa.schema([("id", pa.int64())])
+    _write_part(root, "n=9/f1.parquet", {"id": [1]}, data)
+    _write_part(root, "n=10/f2.parquet", {"id": [2]}, data)
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("id", "long"), ("n", "long")], partition_cols=["n"]),
+        _add("n=9/f1.parquet", {"n": "9"}),
+        _add("n=10/f2.parquet", {"n": "10"}),
+    ])
+    assert [r.id for r in read_delta(spark, root, where=[("n", ">", 9)]).collect()] == [2]
+    assert [r.id for r in read_delta(spark, root, where=[("n", "<=", 9)]).collect()] == [1]
+    # a string-typed predicate value is coerced to the column type too
+    assert [r.id for r in read_delta(spark, root, where=[("n", ">", "9")]).collect()] == [2]
+    # equality still prunes
+    assert [r.id for r in read_delta(spark, root, where=[("n", "=", 10)]).collect()] == [2]
+
+
+def test_typed_partition_value_parsing():
+    import datetime
+    import decimal
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        _typed_partition_value,
+    )
+    from pyspark.sql import types as T
+
+    assert _typed_partition_value("10", T.LongType()) == 10
+    assert _typed_partition_value("1.5", T.DoubleType()) == 1.5
+    assert _typed_partition_value("1.50", T.DecimalType(5, 2)) == decimal.Decimal("1.50")
+    assert _typed_partition_value("true", T.BooleanType()) is True
+    assert _typed_partition_value("2026-01-02", T.DateType()) == datetime.date(2026, 1, 2)
+    assert _typed_partition_value("x", T.StringType()) == "x"
+    assert _typed_partition_value(None, T.LongType()) is None
+
+
+def test_deltastream_skips_datachange_false_compaction(spark, tmp_path):
+    # ADVICE r7 #2: an OPTIMIZE/compaction commit (dataChange=false) must
+    # neither abort the stream nor re-stream its rewritten adds.
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        register_delta_stream_source,
+    )
+
+    root = str(tmp_path / "dcf")
+    _write_part(root, "a.parquet", {"id": [1, 2], "v": ["a", "b"]}, PLAIN)
+    _write_part(root, "compacted.parquet", {"id": [1, 2], "v": ["a", "b"]}, PLAIN)
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("id", "long"), ("v", "string")]),
+        _add("a.parquet"),
+    ])
+    _commit(root, 1, [
+        {"commitInfo": {"timestamp": 2000, "operation": "OPTIMIZE"}},
+        {"add": {"path": "compacted.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": False}},
+        {"remove": {"path": "a.parquet", "deletionTimestamp": 2000,
+                    "dataChange": False}},
+    ])
+    register_delta_stream_source(spark)
+    q = (
+        spark.readStream.format("deltastream").option("path", root).load()
+        .writeStream.format("memory").queryName("sg_ds_dcf")
+        .outputMode("append").start()
+    )
+    _drain(q)
+    assert q.exception() is None  # no abort on the rearrangement commit
+    # only commit 0's rows; the compacted file is NOT re-streamed
+    assert sorted(r.id for r in spark.table("sg_ds_dcf").collect()) == [1, 2]

@@ -311,3 +311,139 @@ def test_icebergstream_appends_and_overwrite_contract(spark, tmp_path):
     assert sorted(r.id for r in spark.table("sg_icestream2").collect()) == [
         1, 2, 3, 4
     ]
+
+
+def _append_only_table(tmp_path):
+    """Two append snapshots: snap 1 adds a.parquet (ids 1,2), snap 2 adds
+    b.parquet (id 3).  Older manifests appear with status=0 (existing) in
+    later manifest lists, per the spec."""
+    root = str(tmp_path / "iceb_app")
+    loc = "file://" + root
+    os.makedirs(root + "/metadata")
+    os.makedirs(root + "/data")
+    sch = pa.schema([("id", pa.int64()), ("v", pa.string())])
+    pq.write_table(pa.table({"id": [1, 2], "v": ["x", "y"]}, schema=sch),
+                   f"{root}/data/a.parquet")
+    pq.write_table(pa.table({"id": [3], "v": ["z"]}, schema=sch),
+                   f"{root}/data/b.parquet")
+    pq.write_table(pa.table({"id": [4], "v": ["w"]}, schema=sch),
+                   f"{root}/data/c.parquet")
+
+    def data_file(name):
+        return {"content": 0, "file_path": f"{loc}/data/{name}.parquet",
+                "file_format": "parquet", "record_count": 1,
+                "file_size_in_bytes": 1}
+
+    def manifest(name, entries):
+        p = f"{root}/metadata/{name}.avro"
+        AC.write_container(p, ENTRY_V2, entries, codec="null")
+        return p
+
+    manifest("m1", [{"status": 1, "data_file": data_file("a")}])
+    manifest("m2", [{"status": 1, "data_file": data_file("b")}])
+    manifest("m2e", [{"status": 0, "data_file": data_file("a")},
+                     {"status": 1, "data_file": data_file("b")}])
+    manifest("m3", [{"status": 1, "data_file": data_file("c")}])
+
+    def mlist(name, manifests):
+        p = f"{root}/metadata/{name}.avro"
+        AC.write_container(p, MLIST, [
+            {"manifest_path": f"{loc}/metadata/{m}.avro",
+             "manifest_length": 1, "content": 0}
+            for m in manifests
+        ], codec="null")
+        return p
+
+    mlist("snap-1-list", ["m1"])
+    mlist("snap-2-list", ["m2e", "m2"][1:2])  # only NEW manifest carries status=1
+    mlist("snap-3-list", ["m3"])
+
+    def snap(sid, ts, mname):
+        return {"snapshot-id": sid, "sequence-number": sid,
+                "timestamp-ms": ts, "summary": {"operation": "append"},
+                "manifest-list": f"{loc}/metadata/{mname}.avro",
+                "schema-id": 0}
+
+    def write_meta(version, snaps, current):
+        meta = {
+            "format-version": 2, "table-uuid": "0001", "location": loc,
+            "current-snapshot-id": current,
+            "snapshots": snaps,
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": FIELDS}],
+            "current-schema-id": 0,
+        }
+        with open(f"{root}/metadata/v{version}.metadata.json", "w") as fh:
+            json.dump(meta, fh)
+        with open(root + "/metadata/version-hint.text", "w") as fh:
+            fh.write(str(version))
+
+    s1, s2, s3 = snap(101, 1000, "snap-1-list"), snap(202, 2000, "snap-2-list"), \
+        snap(303, 3000, "snap-3-list")
+    write_meta(1, [s1, s2], 202)
+    return root, write_meta, (s1, s2, s3)
+
+
+def test_icebergstream_snapshot_id_offsets_survive_expiry(spark, tmp_path):
+    # ADVICE r7 #3: offsets are snapshot IDS resolved against the log at
+    # read time — expiring an already-streamed old snapshot between
+    # restarts must not skip or replay anything; expiring the LAST
+    # streamed snapshot fails closed instead of guessing.
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        register_iceberg_stream_source,
+    )
+
+    root, write_meta, (s1, s2, s3) = _append_only_table(tmp_path)
+    register_iceberg_stream_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")  # file sink: supports checkpoint recovery
+
+    def run(expect_error=False):
+        q = (
+            spark.readStream.format("icebergstream").option("path", root)
+            .load()
+            .writeStream.format("json").option("path", out)
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+        )
+        _drain(q, expect_error=expect_error)
+        return q
+
+    def sunk_ids():
+        return sorted(r.id for r in spark.read.json(out).collect())
+
+    q = run()
+    assert q.exception() is None
+    assert sunk_ids() == [1, 2, 3]
+
+    # expire snapshot 1 AND add snapshot 3 — a positional offset (2 snaps
+    # streamed) would now point past snapshot 3 and silently skip it
+    write_meta(2, [s2, s3], 303)
+    q2 = run()
+    assert q2.exception() is None
+    # resumed AFTER snapshot 202 by id: exactly snapshot 303's file is
+    # appended — no skip (4 present), no replay (no duplicate 3)
+    assert sunk_ids() == [1, 2, 3, 4]
+
+    # expire the last-streamed snapshot (303): resume must fail closed
+    write_meta(3, [s2], 202)
+    q3 = run(expect_error=True)
+    assert q3.exception() is not None
+    assert "expired" in str(q3.exception()).lower() or "no longer" in str(
+        q3.exception()
+    )
+
+
+def test_ordered_snapshots_mixed_sequence_numbers(tmp_path):
+    # ADVICE r7 #3 (second half): when only SOME snapshots carry
+    # sequence-number (v1->v2 upgrade), ordering falls back to
+    # timestamp-ms for all — never interleaves the two scales.
+    root, write_meta, (s1, s2, s3) = _append_only_table(tmp_path)
+    s1b = dict(s1)
+    del s1b["sequence-number"]  # v1-era snapshot: no sequence-number
+    write_meta(2, [s3, s1b, s2], 303)
+
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        _read_metadata,
+    )
+    meta = _read_metadata(root)
+    snaps = sorted(meta["snapshots"], key=lambda s: s.get("timestamp-ms", 0))
+    assert [s["snapshot-id"] for s in snaps] == [101, 202, 303]

@@ -261,3 +261,30 @@ def test_roundtrip_property(a, s, b, d, flag, x):
     dec = PC.decode_message(PC.encode_message(outer, v, types), outer, types)
     for k, want in v.items():
         assert dec[k] == want
+
+
+def test_proto3_optional_explicit_presence():
+    # ADVICE r7 #5: 'optional' fields have EXPLICIT presence — a
+    # set-to-default value must be emitted on the wire, and an absent
+    # field must decode as None (distinguishable from the default), the
+    # same contract real protobuf runtimes honor.
+    proto = """
+    syntax = "proto3";
+    message M {
+      int32 a = 1;
+      optional int32 b = 2;
+      optional string s = 3;
+    }
+    """
+    types = PC.parse_proto(proto)
+    desc = types["M"]
+    data = PC.encode_message(desc, {"a": 0, "b": 0, "s": ""}, types)
+    # b and s are emitted even though default-valued (a is implicit: omitted)
+    assert data == bytes([0x10, 0x00, 0x1A, 0x00])
+    assert PC.decode_message(data, desc, types) == {"a": 0, "b": 0, "s": ""}
+    # absent optional decodes as None, not the default
+    assert PC.encode_message(desc, {"a": 0}, types) == b""
+    assert PC.decode_message(b"", desc, types) == {"a": 0, "b": None, "s": None}
+    # full round-trip of a set optional keeps its value
+    data2 = PC.encode_message(desc, {"a": 5, "b": None, "s": "x"}, types)
+    assert PC.decode_message(data2, desc, types) == {"a": 5, "b": None, "s": "x"}

@@ -93,3 +93,45 @@ def test_export_iceberg_and_read_back(spark, tmp_path):
     assert read_iceberg(spark, root, snapshot_id=1).count() == 20
     # no change -> same snapshot id
     assert export_iceberg(root) == 2
+
+
+def test_export_commit_claim_is_atomic(spark, tmp_path, monkeypatch):
+    # ADVICE r7 #4: the version file is claimed with O_CREAT|O_EXCL — a
+    # loser whose state read raced a winner's commit gets TxLogConflict
+    # and NEVER clobbers the winner (the old exists-check + os.replace
+    # was a TOCTOU race where both passed the check).
+    from kafka_connect_expand_json_transform_spark.sources import uniform as U
+
+    root = _seed(spark, tmp_path, "race")
+    assert export_delta(root) == 0  # the winner commits version 0
+    marker = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    with open(marker) as fh:
+        winner = fh.read()
+    # the loser computed its version from a PRE-commit view of the log
+    monkeypatch.setattr(U, "_delta_replayed", lambda r: (None, set()))
+    with pytest.raises(TX.TxLogConflict):
+        U.export_delta(root)
+    with open(marker) as fh:
+        assert fh.read() == winner  # never overwritten
+
+    from kafka_connect_expand_json_transform_spark.sources.uniform import (
+        export_iceberg,
+    )
+
+    assert export_iceberg(root) == 1  # winner writes v1.metadata.json
+    imarker = os.path.join(root, "metadata", "v1.metadata.json")
+    with open(imarker) as fh:
+        iwinner = fh.read()
+    # loser's stale view: no previous metadata -> also targets v1
+    monkeypatch.setattr(
+        U.IR if hasattr(U, "IR") else __import__(
+            "kafka_connect_expand_json_transform_spark.sources.iceberg_reader",
+            fromlist=["_read_metadata"],
+        ),
+        "_read_metadata",
+        lambda r: (_ for _ in ()).throw(FileNotFoundError(r)),
+    )
+    with pytest.raises(TX.TxLogConflict):
+        U.export_iceberg(root)
+    with open(imarker) as fh:
+        assert fh.read() == iwinner
