@@ -29,6 +29,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import time as _time
 
@@ -46,12 +47,78 @@ class DeltaCommitConflict(RuntimeError):
     head and retry."""
 
 
+def _footer_stats(path: str) -> str | None:
+    """Delta add-action ``stats`` JSON (numRecords/minValues/maxValues)
+    from the parquet FOOTER — no data read.  Emitting stats at write time
+    is what makes the reader's ``where=`` log-level skipping (and the CoW
+    writer's candidate pruning) work on this writer's own tables.  Columns
+    without min/max in EVERY row group are omitted (skipping must stay
+    sound); nested columns are skipped."""
+    import datetime
+    import decimal
+
+    import pyarrow.parquet as pq
+
+    def _plain(v):
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except OSError:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    covered: set[str] = set()
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue
+            st = col.statistics
+            lo = _plain(st.min) if st is not None and st.has_min_max else None
+            hi = _plain(st.max) if st is not None and st.has_min_max else None
+            if lo is None or hi is None:
+                dropped.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            if name in covered:
+                mins[name] = min(mins[name], lo)
+                maxs[name] = max(maxs[name], hi)
+            else:
+                mins[name], maxs[name] = lo, hi
+                covered.add(name)
+    out = {"numRecords": md.num_rows}
+    if mins:
+        out["minValues"], out["maxValues"] = mins, maxs
+    return json.dumps(out)
+
+
+#: (abs root, app_id) -> (highest commit version scanned, latest txn seen).
+#: Commit JSONs are immutable once written, so the scan can resume where
+#: it left off — without this a long-running streaming sink re-reads the
+#: ENTIRE commit history on every micro-batch (O(history) driver I/O).
+_TXN_WATERMARKS: dict[tuple[str, str], tuple[int, int | None]] = {}
+
+
 def _latest_txn_version(path: str, app_id: str) -> int | None:
     """The highest ``txn`` version recorded for ``app_id`` across the
-    commit JSONs (the idempotence watermark)."""
+    commit JSONs (the idempotence watermark); incremental across calls."""
+    key = (os.path.abspath(path), app_id)
+    scanned, latest = _TXN_WATERMARKS.get(key, (-1, None))
     commits, _ = _list_log(path)
-    latest = None
-    for v in sorted(commits):
+    new = sorted(v for v in commits if v > scanned)
+    for v in new:
         with open(commits[v], encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
@@ -62,6 +129,8 @@ def _latest_txn_version(path: str, app_id: str) -> int | None:
                 if t and t.get("appId") == app_id:
                     tv = int(t["version"])
                     latest = tv if latest is None else max(latest, tv)
+    if new:
+        _TXN_WATERMARKS[key] = (new[-1], latest)
     return latest
 
 
@@ -111,11 +180,14 @@ def delta_append(
             rel = f"part-v{version:05d}-{nonce}-{i:05d}.parquet"
             os.rename(p, os.path.join(root, rel))
             placed.append(rel)
-            adds.append(
-                {"add": {"path": rel, "partitionValues": {},
-                         "size": os.path.getsize(os.path.join(root, rel)),
-                         "modificationTime": now_ms, "dataChange": True}}
-            )
+            full = os.path.join(root, rel)
+            add = {"path": rel, "partitionValues": {},
+                   "size": os.path.getsize(full),
+                   "modificationTime": now_ms, "dataChange": True}
+            stats = _footer_stats(full)
+            if stats:
+                add["stats"] = stats
+            adds.append({"add": add})
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
@@ -180,11 +252,40 @@ def delta_update_where(
     return _delta_cow(spark, root, predicate, assignments)
 
 
+_HINT_TERM = re.compile(
+    r"^\s*`?(\w+)`?\s*(<=|>=|=|<|>)\s*"
+    r"(?:(-?\d+(?:\.\d+)?)|'((?:[^']|'')*)')\s*$"
+)
+
+
+def _predicate_hints(predicate: str) -> list[tuple]:
+    """Extract conjunctive ``col op literal`` terms from a SQL predicate
+    for log-level file skipping (each parsed term may prune a file on its
+    add-action stats; unparsed terms are simply not used — pruning stays
+    sound because hints only ever SKIP files whose stats prove no match).
+    An OR at the top level defeats conjunct splitting, so it yields no
+    hints at all."""
+    hints = []
+    for term in re.split(r"(?i)\s+AND\s+", predicate):
+        m = _HINT_TERM.match(term)
+        if not m:
+            continue
+        col, op, num, s = m.groups()
+        val = (float(num) if num and "." in num else int(num)) \
+            if num is not None else s.replace("''", "'")
+        hints.append((col, op, val))
+    return hints
+
+
 def _delta_cow(
     spark, root: str, predicate: str, assignments: dict[str, str] | None
 ) -> tuple[int, int]:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        _stats_keep,
+    )
 
     files, meta, _proto, head = _replay(root, None)
     if meta.get("partitionColumns"):
@@ -196,18 +297,31 @@ def _delta_cow(
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     if not files:
         return head, 0
-    abs_of = {os.path.abspath(os.path.join(root, rel)): rel for rel in files}
+
+    # log-level candidate pruning: files whose add-action stats prove the
+    # predicate cannot match are never even scanned (the reader's own
+    # skipping, reused on the write path)
+    hints = _predicate_hints(predicate)
+    if hints:
+        phys = {f.name: f.name for f in schema.fields}
+        candidates = {
+            rel: add for rel, add in files.items()
+            if _stats_keep(add, hints, [], phys)
+        }
+    else:
+        candidates = dict(files)
+    if not candidates:
+        return head, 0
+
+    abs_of = {os.path.abspath(os.path.join(root, rel)): rel
+              for rel in candidates}
     snap = spark.read.schema(schema).parquet(
-        *[os.path.join(root, rel) for rel in sorted(files)]
+        *[os.path.join(root, rel) for rel in sorted(candidates)]
     ).withColumn(
         "__f", F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/+", "/")
     )
-    hits = (
-        snap.where(predicate)
-        .groupBy("__f")
-        .count()
-        .collect()
-    )
+    # bounded collect: one row per file that CONTAINS a match
+    hits = snap.where(predicate).groupBy("__f").count().collect()
     if not hits:
         return head, 0
     n_deleted = sum(r["count"] for r in hits)
@@ -219,36 +333,53 @@ def _delta_cow(
     op = "DELETE" if assignments is None else "UPDATE"
     actions = [{"commitInfo": {"timestamp": now_ms, "operation": op,
                                "operationParameters": {"predicate": predicate}}}]
+
+    # ONE Spark job rewrites every affected file's survivors (a CoW
+    # rewrite has no file-to-file mapping obligation — the new files are
+    # just the union of survivors, Delta's own rewrite economics); the
+    # old per-file coalesce(1) loop was O(affected files) sequential
+    # driver-orchestrated jobs plus a second evaluation per file
+    survivors = spark.read.schema(schema).parquet(
+        *[os.path.join(root, rel) for rel in affected]
+    )
+    if assignments is None:
+        rewritten = survivors.where(f"NOT ({predicate})")
+    else:
+        cond = F.expr(predicate)
+        rewritten = survivors.select(
+            *[
+                (F.when(cond, F.expr(assignments[c.name]))
+                 .otherwise(F.col(c.name)).cast(c.dataType).alias(c.name)
+                 if c.name in assignments else F.col(c.name))
+                for c in schema.fields
+            ]
+        )
+    stage = os.path.join(root, f"_stage_{nonce}")
+    rewritten.write.mode("overwrite").parquet(stage)
     placed = []
-    for i, rel in enumerate(affected):
-        file_df = spark.read.schema(schema).parquet(os.path.join(root, rel))
-        if assignments is None:
-            rewritten = file_df.where(f"NOT ({predicate})")
-        else:
-            cond = F.expr(predicate)
-            rewritten = file_df.select(
-                *[
-                    (F.when(cond, F.expr(assignments[c.name]))
-                     .otherwise(F.col(c.name)).cast(c.dataType).alias(c.name)
-                     if c.name in assignments else F.col(c.name))
-                    for c in schema.fields
-                ]
-            )
-        stage = os.path.join(root, f"_stage_{nonce}_{i}")
-        rewritten.coalesce(1).write.mode("overwrite").parquet(stage)
-        try:
-            parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
-            if parts and rewritten.limit(1).count():
-                new_rel = f"part-v{version:05d}-{nonce}-{i:05d}.parquet"
-                os.rename(parts[0], os.path.join(root, new_rel))
-                placed.append(new_rel)
-                actions.append(
-                    {"add": {"path": new_rel, "partitionValues": {},
-                             "size": os.path.getsize(os.path.join(root, new_rel)),
-                             "modificationTime": now_ms, "dataChange": True}}
-                )
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
+    try:
+        import pyarrow.parquet as _pq
+
+        for i, p in enumerate(sorted(glob.glob(
+            os.path.join(stage, "part-*.parquet")
+        ))):
+            # footer-only row count (no second plan evaluation): empty
+            # task outputs are dropped instead of committed as dead files
+            if _pq.ParquetFile(p).metadata.num_rows == 0:
+                continue
+            new_rel = f"part-v{version:05d}-{nonce}-{i:05d}.parquet"
+            os.rename(p, os.path.join(root, new_rel))
+            placed.append(new_rel)
+            full = os.path.join(root, new_rel)
+            add = {"path": new_rel, "partitionValues": {},
+                   "size": os.path.getsize(full),
+                   "modificationTime": now_ms, "dataChange": True}
+            stats = _footer_stats(full)
+            if stats:
+                add["stats"] = stats
+            actions.append({"add": add})
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     actions.extend(
         {"remove": {"path": rel, "deletionTimestamp": now_ms,
                     "dataChange": True}}
