@@ -22607,6 +22607,123 @@ def delta_interop_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_DELTA_DV = """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o WHERE k % 7 <> 3 GROUP BY status
+"""
+
+
+@query("delta_dv_read_agg", _SQL_DELTA_DV)
+def delta_dv_read_agg(spark, sf_dir):
+    """Delta DELETION-VECTOR read — the merge-on-read half of modern Delta
+    (DVs are default-on in current writers, so this is the first feature a
+    real table exercises): orders land in two sorted files, rows with
+    ``k % 7 = 3`` are marked deleted by RoaringBitmapArray bitmaps — one
+    file carries an on-disk DV (storageType 'p', PROTOCOL.md framing:
+    size/bitmap/CRC-32), the other an INLINE Z85 descriptor ('i') — and
+    the pure-Python reader applies both as a broadcast (file, row_index)
+    anti-join against ``_metadata``.  Value-checked against arithmetic: a
+    mis-decoded container, wrong row-index base, or unapplied DV flips the
+    hash.  Scale: the scan is untouched (no rewrite); planner cost is
+    O(DV cardinality) — deleted-not-yet-compacted rows, the bound every
+    DV reader pays; fixture DV positions are computed once per file via a
+    fixture-scale sort (the table build, not the read path)."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        inline_dv_descriptor,
+        read_delta,
+        write_dv_file,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_dv_q_")
+    try:
+        root = tmp + "/orders_dv"
+        os.makedirs(root + "/_delta_log")
+
+        def stage(df, rel):
+            d = tmp + "/stage_" + rel
+            df.coalesce(1).sortWithinPartitions("k").write.parquet(d)
+            os.rename(glob.glob(d + "/part-*.parquet")[0], root + "/" + rel)
+
+        even = o.where(F.col("k") % 2 == 0)
+        odd = o.where(F.col("k") % 2 == 1)
+        stage(even, "f-even.parquet")
+        stage(odd, "f-odd.parquet")
+
+        def dv_positions(df):
+            # row_number over the same sort the file was written with;
+            # fixture-scale collect (the deleted-position list)
+            pos = df.select(
+                "k",
+                (F.row_number().over(Window.orderBy("k")) - 1).alias("p"),
+            )
+            return [r.p for r in pos.where(F.col("k") % 7 == 3).collect()]
+
+        dv_even = write_dv_file(root, dv_positions(even))
+        dv_odd = inline_dv_descriptor(dv_positions(odd))
+
+        schema_string = _json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "status", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "cents", "type": "long", "nullable": True,
+                 "metadata": {}},
+            ],
+        })
+        with open(root + f"/_delta_log/{0:020d}.json", "w") as fh:
+            for a in [
+                {"commitInfo": {"timestamp": 1000, "operation": "DELETE"}},
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["deletionVectors"],
+                              "writerFeatures": ["deletionVectors"]}},
+                {"metaData": {"id": "orders-dv",
+                              "format": {"provider": "parquet", "options": {}},
+                              "schemaString": schema_string,
+                              "partitionColumns": [], "configuration": {}}},
+                {"add": {"path": "f-even.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0, "dataChange": True,
+                         "deletionVector": dv_even}},
+                {"add": {"path": "f-odd.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0, "dataChange": True,
+                         "deletionVector": dv_odd}},
+            ]:
+                fh.write(_json.dumps(a) + "\n")
+
+        return (
+            read_delta(spark, root)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_STREAM_ICEBERG = """
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,

@@ -14,7 +14,10 @@ same capability tier delta-rs offers:
   operation) DESCRIBE HISTORY returns;
 * column mapping mode ``name`` supported (files carry physical names; the
   reader translates physical->logical at plan time — the same trade
-  txlog's column mapping documents); deletion vectors and other
+  txlog's column mapping documents);
+* deletion vectors supported on the snapshot read path (Z85 descriptors +
+  RoaringBitmapArray bitmaps decoded per PROTOCOL.md, applied as a
+  broadcast (file, row_index) anti-join — the txlog MoR shape); other
   unsupported reader features are REFUSED with the protocol's own
   fail-closed rule (PROTOCOL.md "Reader Requirements"), never silently
   mis-read.
@@ -46,7 +49,9 @@ _MULTI_CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet$")
 
 #: reader features this implementation actually honors (PROTOCOL.md:
 #: unsupported features MUST fail the read, not degrade)
-_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "vacuumProtocolCheck"}
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping", "timestampNtz", "vacuumProtocolCheck", "deletionVectors",
+}
 
 
 class DeltaProtocolUnsupported(RuntimeError):
@@ -177,6 +182,261 @@ def _physical_name(field: T.StructField) -> str:
     return field.metadata.get("delta.columnMapping.physicalName", field.name)
 
 
+# --- deletion vectors (PROTOCOL.md "Deletion Vectors") -----------------------
+#
+# A DV marks rows of an immutable parquet file as deleted without rewriting
+# it (merge-on-read).  On disk it is a 64-bit roaring bitmap of row indexes
+# in the RoaringFormatSpec "portable" layout (github.com/RoaringBitmap/
+# RoaringFormatSpec, public) prefixed by Delta's magic number; descriptors
+# ride the add action (storageType u/i/p, Z85-encoded UUID or inline data
+# per PROTOCOL.md "Deletion Vector Descriptor Schema").  The read path is
+# the same anti-join the txlog's own MoR uses (txlog._apply_dvs): scan
+# untouched, (file, row_index) pairs broadcast against _metadata.
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    ".-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+_ROARING_ARRAY_MAGIC = 1681511377  # delta's RoaringBitmapArray portable magic
+
+
+def _z85_decode(s: str) -> bytes:
+    """Z85 decode (ZeroMQ spec 32, the alphabet Delta's Base85Codec uses):
+    5 chars -> one big-endian uint32."""
+    if len(s) % 5:
+        raise ValueError(f"Z85 length {len(s)} is not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i:i + 5]:
+            v = v * 85 + _Z85_INDEX[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _z85_encode(b: bytes) -> str:
+    """Z85 encode with zero-padding to the 4-byte block size (the raw
+    length rides the descriptor's sizeInBytes)."""
+    b = b + b"\x00" * (-len(b) % 4)
+    out = []
+    for i in range(0, len(b), 4):
+        v = int.from_bytes(b[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_ALPHABET[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _roaring_array_bytes(positions) -> bytes:
+    """Serialize sorted 64-bit row indexes as Delta's RoaringBitmapArray
+    portable bytes (inverse of ``_roaring_array_positions``): array
+    containers up to the 4096-cardinality threshold, bitset containers
+    above it (the standard portable encoding rule)."""
+    import struct
+
+    by_high: dict[int, dict[int, list[int]]] = {}
+    for p in sorted(set(int(x) for x in positions)):
+        low = p & 0xFFFFFFFF
+        by_high.setdefault(p >> 32, {}).setdefault(low >> 16, []).append(
+            low & 0xFFFF
+        )
+    out = bytearray(struct.pack("<iq", _ROARING_ARRAY_MAGIC, len(by_high)))
+    for high in sorted(by_high):
+        containers = by_high[high]
+        size = len(containers)
+        out += struct.pack("<I", high)
+        bm = bytearray(struct.pack("<II", 12346, size))
+        for k in sorted(containers):
+            bm += struct.pack("<HH", k, len(containers[k]) - 1)
+        # offset header (always present for the no-run cookie)
+        off = 8 + 4 * size + 4 * size
+        bodies = []
+        for k in sorted(containers):
+            vals = containers[k]
+            if len(vals) > 4096:
+                words = [0] * 1024
+                for v in vals:
+                    words[v >> 6] |= 1 << (v & 63)
+                body = struct.pack("<1024Q", *words)
+            else:
+                body = struct.pack(f"<{len(vals)}H", *vals)
+            bodies.append(body)
+        for body in bodies:
+            bm += struct.pack("<I", off)
+            off += len(body)
+        for body in bodies:
+            bm += body
+        out += bm
+    return bytes(out)
+
+
+def write_dv_file(root: str, positions, rel: str | None = None) -> dict:
+    """Write a deletion-vector FILE (PROTOCOL.md framing: version byte,
+    then int32-BE size + bitmap + int32-BE CRC-32) and return the add
+    action ``deletionVector`` descriptor referencing it (storageType 'p'
+    relative to nothing — an absolute path — unless ``rel`` is given, in
+    which case a table-relative UUID name is used with storageType 'u'
+    semantics via an explicit path).  Test/fixture-grade writer: one DV
+    per file."""
+    import uuid as _uuid
+    import zlib
+
+    data = _roaring_array_bytes(positions)
+    name = rel or f"deletion_vector_{_uuid.uuid4()}.bin"
+    p = os.path.join(root, name)
+    with open(p, "wb") as fh:
+        fh.write(b"\x01")
+        fh.write(len(data).to_bytes(4, "big"))
+        fh.write(data)
+        fh.write((zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big"))
+    return {
+        "storageType": "p", "pathOrInlineDv": p, "offset": 1,
+        "sizeInBytes": len(data), "cardinality": len(set(positions)),
+    }
+
+
+def inline_dv_descriptor(positions) -> dict:
+    """An inline ('i') deletion-vector descriptor for small bitmaps."""
+    data = _roaring_array_bytes(positions)
+    return {
+        "storageType": "i", "pathOrInlineDv": _z85_encode(data),
+        "sizeInBytes": len(data), "cardinality": len(set(positions)),
+    }
+
+
+def _roaring32_positions(mv: memoryview, pos: int) -> tuple[list[int], int]:
+    """Decode ONE 32-bit RoaringBitmap in the standard portable format
+    (RoaringFormatSpec): returns (sorted values, next offset).  Handles all
+    three container kinds (array / bitset / run)."""
+    import struct
+
+    (cookie,) = struct.unpack_from("<I", mv, pos)
+    pos += 4
+    if (cookie & 0xFFFF) == 12347:  # SERIAL_COOKIE: run containers present
+        size = (cookie >> 16) + 1
+        nbytes = (size + 7) // 8
+        run_flags = bytes(mv[pos:pos + nbytes])
+        pos += nbytes
+
+        def has_run(i: int) -> bool:
+            return bool((run_flags[i // 8] >> (i % 8)) & 1)
+    elif cookie == 12346:  # SERIAL_COOKIE_NO_RUNCONTAINER
+        (size,) = struct.unpack_from("<I", mv, pos)
+        pos += 4
+
+        def has_run(i: int) -> bool:
+            return False
+    else:
+        raise ValueError(f"bad roaring cookie {cookie}")
+    keys, cards = [], []
+    for _ in range(size):
+        k, cm1 = struct.unpack_from("<HH", mv, pos)
+        pos += 4
+        keys.append(k)
+        cards.append(cm1 + 1)
+    if cookie == 12346 or size >= 4:
+        pos += 4 * size  # offset header; containers follow in key order
+    out: list[int] = []
+    for i in range(size):
+        base = keys[i] << 16
+        card = cards[i]
+        if has_run(i):
+            (n_runs,) = struct.unpack_from("<H", mv, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", mv, pos)
+                pos += 4
+                out.extend(range(base + start, base + start + length + 1))
+        elif card > 4096:  # bitset container: 1024 x 8-byte words
+            words = struct.unpack_from("<1024Q", mv, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    out.append(base + wi * 64 + ((w & -w).bit_length() - 1))
+                    w &= w - 1
+        else:  # array container
+            vals = struct.unpack_from(f"<{card}H", mv, pos)
+            pos += 2 * card
+            out.extend(base + v for v in vals)
+    return out, pos
+
+
+def _roaring_array_positions(data: bytes) -> list[int]:
+    """Decode Delta's RoaringBitmapArray 'portable' serialization: magic
+    int32 LE + number-of-bitmaps int64 LE + per bitmap (key int32 LE +
+    standard 32-bit portable bitmap), per the RoaringFormatSpec 64-bit
+    portable layout.  Values are (key << 32) | low32 row indexes."""
+    import struct
+
+    mv = memoryview(data)
+    (magic,) = struct.unpack_from("<i", mv, 0)
+    if magic != _ROARING_ARRAY_MAGIC:
+        raise ValueError(f"bad RoaringBitmapArray magic {magic}")
+    (n,) = struct.unpack_from("<q", mv, 4)
+    pos = 12
+    out: list[int] = []
+    for _ in range(n):
+        (key,) = struct.unpack_from("<I", mv, pos)
+        pos += 4
+        lows, pos = _roaring32_positions(mv, pos)
+        out.extend((key << 32) | v for v in lows)
+    return out
+
+
+def _dv_deleted_positions(root: str, dv: dict) -> list[int]:
+    """Resolve a deletion-vector descriptor to its deleted row indexes.
+    storageType 'u' = UUID-named file under the table (prefix + 20-char
+    Z85 UUID), 'p' = absolute path, 'i' = inline Z85 data.  On-disk DV
+    framing per PROTOCOL.md: at ``offset``, int32 BE data size, the
+    serialized bitmap, int32 BE CRC-32 of the data."""
+    import zlib
+
+    st = dv.get("storageType")
+    if st == "i":
+        # Z85 works in 4-byte blocks; the writer zero-pads, sizeInBytes
+        # carries the true data length
+        data = _z85_decode(dv["pathOrInlineDv"])
+        if dv.get("sizeInBytes") is not None:
+            data = data[:int(dv["sizeInBytes"])]
+    else:
+        if st == "u":
+            enc = dv["pathOrInlineDv"]
+            import uuid as _uuid
+
+            prefix, tail = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=_z85_decode(tail))
+            p = os.path.join(root, *([prefix] if prefix else []),
+                             f"deletion_vector_{u}.bin")
+        elif st == "p":
+            p = dv["pathOrInlineDv"]
+        else:
+            raise DeltaProtocolUnsupported(
+                f"deletion vector storageType {st!r} not supported"
+            )
+        with open(p, "rb") as fh:
+            fh.seek(int(dv["offset"]))
+            size = int.from_bytes(fh.read(4), "big")
+            data = fh.read(size)
+            crc = int.from_bytes(fh.read(4), "big")
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"deletion vector checksum mismatch in {p}")
+    expected = dv.get("sizeInBytes")
+    if expected is not None and len(data) != int(expected):
+        raise ValueError(
+            f"deletion vector size {len(data)} != descriptor {expected}"
+        )
+    positions = _roaring_array_positions(data)
+    card = dv.get("cardinality")
+    if card is not None and len(positions) != int(card):
+        raise ValueError(
+            f"deletion vector cardinality {len(positions)} != {card}"
+        )
+    return positions
+
+
 def read_delta_changes(
     spark: SparkSession,
     path: str,
@@ -217,6 +477,10 @@ def read_delta_changes(
                 if a.get("cdc"):
                     cdcs.append(a["cdc"]["path"])
                 elif a.get("add") and a["add"].get("dataChange", True):
+                    if a["add"].get("deletionVector"):
+                        # a DV add soft-deletes rows: without cdc files its
+                        # pre/post images are as unrecoverable as a rewrite
+                        data_removed = True
                     adds.append(a["add"]["path"])
                 elif a.get("remove") and a["remove"].get("dataChange", True):
                     data_removed = True
@@ -344,6 +608,16 @@ def register_delta_stream_source(spark: SparkSession) -> None:
                             continue
                         a = json.loads(line)
                         if a.get("add") and a["add"].get("dataChange", True):
+                            if a["add"].get("deletionVector"):
+                                # re-streaming a DV-bearing add WITHOUT
+                                # applying its bitmap would resurrect the
+                                # deleted rows — fail closed
+                                raise ValueError(
+                                    f"Delta version {v} adds a deletion-"
+                                    "vector file; streaming DV commits is "
+                                    "not supported — use read_delta for "
+                                    "snapshot reads"
+                                )
                             adds.append(a["add"]["path"])
                         elif a.get("remove") and a["remove"].get(
                             "dataChange", True
@@ -547,13 +821,55 @@ def read_delta(
             [T.StructField(f.name, f.dataType, True) for f in logical.fields]
         ))
 
+    # deletion vectors: decode each add's bitmap into (file, row_index)
+    # pairs.  Planner cost is O(total DV cardinality) — the not-yet-
+    # compacted deleted-row count, the same bound delta-rs pays; the data
+    # scan itself stays untouched (merge-on-read anti-join below).
+    dv_rows: list[tuple[str, int]] = []
+    for rel, add in files.items():
+        dv = add.get("deletionVector")
+        if dv:
+            ap = os.path.abspath(os.path.join(path, rel))
+            dv_rows.extend((ap, p) for p in _dv_deleted_positions(path, dv))
+
     paths = [os.path.join(path, f) for f in sorted(files)]
-    df = spark.read.schema(read_schema).parquet(*paths)
-    # physical -> logical rename (column mapping 'name': files keep the
-    # physical name forever; the translation is plan-time, zero movement)
-    df = df.select(
-        *[F.col(phys_of[f.name]).alias(f.name) for f in data_fields]
-    ) if mode == "name" else df
+    if part_cols or dv_rows:
+        df = spark.read.schema(read_schema).parquet(*paths).withColumn(
+            # scheme-normalized: Spark renders local URIs as file:/x, the
+            # map keys are plain absolute paths
+            "__file",
+            F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/+", "/"),
+        )
+        if dv_rows:
+            df = df.withColumn("__pos", F.col("_metadata.row_index"))
+        extra = ["__file", *(["__pos"] if dv_rows else [])]
+        if mode == "name":
+            df = df.select(
+                *extra,
+                *[F.col(phys_of[f.name]).alias(f.name) for f in data_fields],
+            )
+        if dv_rows:
+            dv_df = spark.createDataFrame(
+                dv_rows,
+                T.StructType([
+                    T.StructField("__dv_file", T.StringType(), False),
+                    T.StructField("__dv_pos", T.LongType(), False),
+                ]),
+            )
+            df = df.join(
+                F.broadcast(dv_df),
+                (F.col("__file") == F.col("__dv_file"))
+                & (F.col("__pos") == F.col("__dv_pos")),
+                "left_anti",
+            )
+    else:
+        df = spark.read.schema(read_schema).parquet(*paths)
+        if mode == "name":
+            # physical -> logical rename (column mapping 'name': files keep
+            # the physical name forever; plan-time, zero movement)
+            df = df.select(
+                *[F.col(phys_of[f.name]).alias(f.name) for f in data_fields]
+            )
 
     if part_cols:
         rows = []
@@ -569,17 +885,6 @@ def read_delta(
             + [T.StructField(f"__pv_{c}", T.StringType(), True) for c in part_cols]
         )
         pv_df = spark.createDataFrame(rows, map_schema)
-        df = spark.read.schema(read_schema).parquet(*paths).withColumn(
-            # scheme-normalized: Spark renders local URIs as file:/x, the
-            # map keys are plain absolute paths
-            "__file",
-            F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/+", "/"),
-        )
-        if mode == "name":
-            df = df.select(
-                "__file",
-                *[F.col(phys_of[f.name]).alias(f.name) for f in data_fields],
-            )
         df = df.join(F.broadcast(pv_df), "__file").select(
             *[f.name for f in data_fields],
             *[

@@ -295,6 +295,12 @@ def _delta_cow(
     ) != "none":
         raise ValueError("delta_delete_where does not support column mapping")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if any(add.get("deletionVector") for add in files.values()):
+        # the CoW scan reads files fully; ignoring their DVs would apply
+        # the DML to already-deleted rows (and resurrect them on rewrite)
+        raise ValueError(
+            "delta DML does not support deletion-vector tables"
+        )
     if not files:
         return head, 0
 

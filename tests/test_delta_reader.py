@@ -170,16 +170,27 @@ def test_column_mapping_name_mode(spark, tmp_path):
 
 
 def test_unsupported_features_fail_closed(spark, tmp_path):
-    root = str(tmp_path / "dv")
+    root = str(tmp_path / "v2c")
     _write_part(root, "f.parquet", {"id": [1], "v": ["a"]}, PLAIN)
     _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"]}},
+        _meta([("id", "long"), ("v", "string")]),
+        _add("f.parquet"),
+    ])
+    with pytest.raises(DeltaProtocolUnsupported, match="v2Checkpoint"):
+        read_delta(spark, root)
+    # deletionVectors is a SUPPORTED reader feature since round 8: a
+    # DV-feature table with no actual DVs reads normally
+    root2 = str(tmp_path / "dvok")
+    _write_part(root2, "f.parquet", {"id": [1], "v": ["a"]}, PLAIN)
+    _commit(root2, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["deletionVectors"]}},
         _meta([("id", "long"), ("v", "string")]),
         _add("f.parquet"),
     ])
-    with pytest.raises(DeltaProtocolUnsupported, match="deletionVectors"):
-        read_delta(spark, root)
+    assert read_delta(spark, root2).count() == 1
 
 
 def test_timestamp_as_of(spark, tmp_path):
@@ -460,3 +471,196 @@ def test_deltastream_skips_datachange_false_compaction(spark, tmp_path):
     assert q.exception() is None  # no abort on the rearrangement commit
     # only commit 0's rows; the compacted file is NOT re-streamed
     assert sorted(r.id for r in spark.table("sg_ds_dcf").collect()) == [1, 2]
+
+
+# --- deletion vectors ---------------------------------------------------------
+
+import struct as _struct
+
+from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+    _Z85_ALPHABET,
+    _roaring_array_positions,
+    _z85_decode,
+)
+
+
+def _z85_encode(b: bytes) -> str:
+    b = b + b"\x00" * (-len(b) % 4)  # zero-pad to the 4-byte block size
+    out = []
+    for i in range(0, len(b), 4):
+        v = int.from_bytes(b[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_ALPHABET[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _roar32_array(values):
+    """One 32-bit roaring bitmap, array containers, cookie 12346."""
+    by_key = {}
+    for v in sorted(values):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    size = len(by_key)
+    out = bytearray(_struct.pack("<II", 12346, size))
+    for k in sorted(by_key):
+        out += _struct.pack("<HH", k, len(by_key[k]) - 1)
+    off = 8 + 4 * size + 4 * size
+    for k in sorted(by_key):
+        out += _struct.pack("<I", off)
+        off += 2 * len(by_key[k])
+    for k in sorted(by_key):
+        out += _struct.pack(f"<{len(by_key[k])}H", *sorted(by_key[k]))
+    return bytes(out)
+
+
+def _dv_array_bytes(positions, roar32=_roar32_array):
+    """Delta RoaringBitmapArray portable bytes for 64-bit positions."""
+    by_high = {}
+    for p in sorted(positions):
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    out = bytearray(_struct.pack("<iq", 1681511377, len(by_high)))
+    for h in sorted(by_high):
+        out += _struct.pack("<I", h)
+        out += roar32(by_high[h])
+    return bytes(out)
+
+
+def test_roaring_decode_array_and_multi_key():
+    vals = [0, 5, 70000, (3 << 32) | 7]
+    assert sorted(_roaring_array_positions(_dv_array_bytes(vals))) == sorted(vals)
+
+
+def test_roaring_decode_bitset_container():
+    vals = list(range(5000))  # card > 4096 -> bitset container
+    words = [0] * 1024
+    for v in vals:
+        words[v >> 6] |= 1 << (v & 63)
+    bm = (_struct.pack("<II", 12346, 1) + _struct.pack("<HH", 0, 4999)
+          + _struct.pack("<I", 16) + _struct.pack("<1024Q", *words))
+    data = _struct.pack("<iqI", 1681511377, 1, 0) + bm
+    assert _roaring_array_positions(data) == vals
+
+
+def test_roaring_decode_run_container():
+    # cookie 12347, one run container covering 10..20
+    bm = (_struct.pack("<I", 12347) + bytes([0x01])
+          + _struct.pack("<HH", 0, 10)       # key 0, card-1 = 10
+          + _struct.pack("<H", 1)            # 1 run
+          + _struct.pack("<HH", 10, 10))     # start 10, length-1 = 10
+    data = _struct.pack("<iqI", 1681511377, 1, 0) + bm
+    assert _roaring_array_positions(data) == list(range(10, 21))
+
+
+def test_z85_roundtrip():
+    raw = bytes(range(16))
+    assert _z85_decode(_z85_encode(raw)) == raw
+    with pytest.raises(ValueError, match="multiple of 5"):
+        _z85_decode("abc")
+
+
+def _dv_table(root, dv_descriptor):
+    """Delta table with one 5-row file whose rows 1 and 3 are DV-deleted."""
+    _write_part(root, "a.parquet",
+                {"id": [10, 11, 12, 13, 14], "v": list("abcde")}, PLAIN)
+    add = _add("a.parquet")
+    add["add"]["deletionVector"] = dv_descriptor
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta([("id", "long"), ("v", "string")]),
+        add,
+    ])
+
+
+def test_read_delta_inline_deletion_vector(spark, tmp_path):
+    root = str(tmp_path / "dvi")
+    data = _dv_array_bytes([1, 3])
+    _dv_table(root, {"storageType": "i", "pathOrInlineDv": _z85_encode(data),
+                     "sizeInBytes": len(data), "cardinality": 2})
+    got = sorted((r.id, r.v) for r in read_delta(spark, root).collect())
+    assert got == [(10, "a"), (12, "c"), (14, "e")]
+
+
+def test_read_delta_uuid_file_deletion_vector(spark, tmp_path):
+    import uuid as _uuid
+    import zlib
+
+    root = str(tmp_path / "dvu")
+    data = _dv_array_bytes([1, 3])
+    u = _uuid.UUID(int=0x1234567890ABCDEF1234567890ABCDEF)
+    framed = (b"\x01" + len(data).to_bytes(4, "big") + data
+              + (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big"))
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(framed)
+    _dv_table(root, {"storageType": "u",
+                     "pathOrInlineDv": _z85_encode(u.bytes),
+                     "offset": 1, "sizeInBytes": len(data), "cardinality": 2})
+    got = sorted(r.id for r in read_delta(spark, root).collect())
+    assert got == [10, 12, 14]
+    # corrupt the checksum -> fail closed
+    framed_bad = framed[:-4] + b"\x00\x00\x00\x00"
+    with open(os.path.join(root, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(framed_bad)
+    with pytest.raises(ValueError, match="checksum"):
+        read_delta(spark, root).collect()
+
+
+def test_dv_guards_on_stream_cdf_and_dml(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        read_delta_changes,
+        register_delta_stream_source,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_delete_where,
+    )
+
+    root = str(tmp_path / "dvg")
+    data = _dv_array_bytes([1])
+    _dv_table(root, {"storageType": "i", "pathOrInlineDv": _z85_encode(data),
+                     "sizeInBytes": len(data), "cardinality": 1})
+    # CDF: a DV add without cdc files is unrecoverable -> refused
+    with pytest.raises(DeltaProtocolUnsupported, match="cdc"):
+        read_delta_changes(spark, root, 0)
+    # DML on a DV table -> refused (would resurrect deleted rows)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        delta_delete_where(spark, root, "id = 10")
+    # stream -> fails closed on the DV add
+    register_delta_stream_source(spark)
+    q = (
+        spark.readStream.format("deltastream").option("path", root).load()
+        .writeStream.format("memory").queryName("sg_dv_stream")
+        .outputMode("append").start()
+    )
+    _drain(q, expect_error=True)
+    assert q.exception() is not None and "deletion" in str(q.exception())
+
+
+def test_module_dv_encoder_roundtrip_and_cross_check():
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        _roaring_array_bytes,
+    )
+
+    # module encode -> module decode, incl. the bitset threshold crossing
+    for vals in ([1, 3], list(range(5000)), [0, 70000, (2 << 32) | 9],
+                 list(range(4096)), list(range(4097))):
+        assert _roaring_array_positions(_roaring_array_bytes(vals)) == sorted(
+            set(vals)
+        )
+    # cross-check vs the test-local independent encoder (array containers)
+    assert _roaring_array_bytes([1, 3, 70000]) == _dv_array_bytes([1, 3, 70000])
+
+
+def test_read_delta_pathtype_dv_via_write_dv_file(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        write_dv_file,
+    )
+
+    root = str(tmp_path / "dvp")
+    os.makedirs(root, exist_ok=True)
+    desc = write_dv_file(root, [0, 4])
+    _dv_table(root, desc)
+    assert sorted(r.id for r in read_delta(spark, root).collect()) == [11, 12, 13]
