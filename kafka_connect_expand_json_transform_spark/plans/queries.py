@@ -22724,6 +22724,165 @@ def delta_dv_read_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_ICEBERG_PD = """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o WHERE k % 9 <> 5 GROUP BY status
+"""
+
+
+@query("iceberg_pos_delete_agg", _SQL_ICEBERG_PD)
+def iceberg_pos_delete_agg(spark, sf_dir):
+    """Iceberg v2 POSITION-DELETE read (merge-on-read): orders land in two
+    sorted data files; a delete manifest (manifest-list content=1) points
+    at a position-delete parquet — the spec's reserved (file_path, pos)
+    schema — marking ``k % 9 = 5`` rows deleted, and the reader applies
+    it as a broadcast anti-join against ``_metadata`` (the same shape as
+    the Delta deletion-vector path).  Metadata tree hand-laid per the
+    public iceberg.apache.org spec (Avro manifests via the stdlib codec).
+    Value-checked against arithmetic: an unapplied or mis-targeted delete
+    file flips the hash.  Scale: planner walks O(manifests); the delete
+    rows stay a distributed frame (never collected), broadcast because
+    not-yet-compacted deletes are small next to data."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from kafka_connect_expand_json_transform_spark.sources import (
+        avro_codec as AC,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        read_iceberg,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_pd_q_")
+    try:
+        root = tmp + "/orders_iceberg"
+        loc = "file://" + root
+        os.makedirs(root + "/metadata")
+        os.makedirs(root + "/data")
+
+        def stage(df, rel):
+            import glob as _glob
+
+            d = tmp + "/stage_" + rel
+            df.coalesce(1).sortWithinPartitions("k").write.parquet(d)
+            os.rename(_glob.glob(d + "/part-*.parquet")[0],
+                      root + "/data/" + rel)
+
+        even = o.where(F.col("k") % 2 == 0)
+        odd = o.where(F.col("k") % 2 == 1)
+        stage(even, "f-even.parquet")
+        stage(odd, "f-odd.parquet")
+
+        # position-delete parquet: spec reserved schema (file_path, pos);
+        # positions from the same fixture-scale sort the files were
+        # written with — distributed write, never collected
+        def dels(df, rel):
+            return df.select(
+                F.lit(f"{loc}/data/{rel}").alias("file_path"),
+                (F.row_number().over(Window.orderBy("k")) - 1)
+                .cast("bigint").alias("pos"),
+                "k",
+            ).where(F.col("k") % 9 == 5).drop("k")
+
+        dels(even, "f-even.parquet").unionAll(
+            dels(odd, "f-odd.parquet")
+        ).coalesce(1).write.parquet(tmp + "/stage_pd")
+        import glob as _glob
+
+        os.rename(_glob.glob(tmp + "/stage_pd/part-*.parquet")[0],
+                  root + "/data/pd-1.parquet")
+
+        entry_schema = {
+            "type": "record", "name": "manifest_entry", "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "r2", "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ]}},
+            ],
+        }
+        mlist_schema = {
+            "type": "record", "name": "manifest_file", "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "content", "type": "int"},
+            ],
+        }
+
+        def data_file(rel, content=0):
+            return {"content": content,
+                    "file_path": f"{loc}/data/{rel}",
+                    "file_format": "parquet",
+                    "record_count": 1, "file_size_in_bytes": 1}
+
+        AC.write_container(root + "/metadata/md.avro", entry_schema, [
+            {"status": 1, "data_file": data_file("f-even.parquet")},
+            {"status": 1, "data_file": data_file("f-odd.parquet")},
+        ], codec="null")
+        AC.write_container(root + "/metadata/mdel.avro", entry_schema, [
+            {"status": 1, "data_file": data_file("pd-1.parquet", content=1)},
+        ], codec="null")
+        AC.write_container(root + "/metadata/snap-1-list.avro", mlist_schema, [
+            {"manifest_path": f"{loc}/metadata/md.avro",
+             "manifest_length": 1, "content": 0},
+            {"manifest_path": f"{loc}/metadata/mdel.avro",
+             "manifest_length": 1, "content": 1},
+        ], codec="null")
+        meta = {
+            "format-version": 2, "table-uuid": "orders-pd", "location": loc,
+            "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+                           "timestamp-ms": 1000,
+                           "summary": {"operation": "overwrite"},
+                           "manifest-list":
+                               f"{loc}/metadata/snap-1-list.avro"}],
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "status", "required": False,
+                 "type": "string"},
+                {"id": 3, "name": "cents", "required": False, "type": "long"},
+            ]}],
+            "current-schema-id": 0,
+        }
+        with open(root + "/metadata/v1.metadata.json", "w") as fh:
+            _json.dump(meta, fh)
+        with open(root + "/metadata/version-hint.text", "w") as fh:
+            fh.write("1")
+
+        return (
+            read_iceberg(spark, root)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_STREAM_ICEBERG = """
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,

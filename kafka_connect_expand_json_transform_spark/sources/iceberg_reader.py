@@ -26,9 +26,12 @@ metadata tree is walked with PUBLIC structures only:
   whose current schema names are absent from the files rather than
   returning nulls — parquet's missing-column null-fill is detectable by
   the caller via a count of an always-required field);
-* format-version 2 row-level DELETE FILES are refused fail-closed (a
-  merge-on-read table silently read without applying deletes would be
-  WRONG, the same rule delta_reader applies to deletion vectors).
+* format-version 2 POSITION delete files are APPLIED on the snapshot read
+  (merge-on-read: broadcast (file_path, pos) anti-join against
+  ``_metadata``, the same shape as delta_reader's deletion vectors);
+  EQUALITY delete files are refused fail-closed (they need sequence-
+  number-ordered predicate evaluation — silently skipping them would be
+  WRONG).
 
 Scale: manifest lists/manifests are block-streamed through the stdlib
 Avro codec; only the live-file LIST materializes on the planner (the same
@@ -184,12 +187,18 @@ def _partition_keep(entry_partition, where: list[tuple]) -> bool:
     return True
 
 
-def _live_files(
+def _snapshot_files(
     path: str, meta: dict, snapshot_id: int | None, where: list[tuple] | None = None
-) -> list[str]:
+) -> tuple[list[str], list[str]]:
+    """(data files, POSITION-delete files) live at the snapshot.  Equality
+    deletes (data_file content=2) are refused fail-closed — applying them
+    needs sequence-number-ordered predicate evaluation this reader does
+    not implement; position deletes name their target file by exact path
+    (paths are unique, spec "Position Delete Files"), so stale entries
+    simply stop matching."""
     snaps = meta.get("snapshots", [])
     if not snaps:
-        return []
+        return [], []
     if snapshot_id is None:
         snapshot_id = meta["current-snapshot-id"]
     snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
@@ -197,28 +206,49 @@ def _live_files(
         raise ValueError(f"snapshot {snapshot_id} not in table metadata")
     location = meta.get("location", path)
     files: list[str] = []
+    deletes: list[str] = []
     mlist = _resolve(path, location, snap["manifest-list"])
     for mrow in AC.read_container(mlist):
-        if mrow.get("content", 0) == 1:
-            raise IcebergUnsupported(
-                "table has v2 row-level delete manifests; reading without "
-                "applying deletes would be wrong — use an Iceberg-native "
-                "reader or compact the table first"
-            )
+        is_delete_manifest = mrow.get("content", 0) == 1
         manifest = _resolve(path, location, mrow["manifest_path"])
         for entry in AC.read_container(manifest):
             if entry["status"] == 2:  # DELETED
                 continue
             df_ = entry["data_file"]
-            if df_.get("content", 0) != 0:
-                raise IcebergUnsupported("delete data_file content in manifest")
+            content = df_.get("content", 1 if is_delete_manifest else 0)
             fmt = str(df_.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise IcebergUnsupported(f"data file format {fmt} not supported")
-            if where and not _partition_keep(df_.get("partition"), where):
-                continue
-            files.append(_resolve(path, location, df_["file_path"]))
-    return sorted(set(files))
+            if content == 0:
+                if is_delete_manifest:
+                    raise IcebergUnsupported(
+                        "data entry inside a delete manifest"
+                    )
+                if where and not _partition_keep(df_.get("partition"), where):
+                    continue
+                files.append(_resolve(path, location, df_["file_path"]))
+            elif content == 1:  # position deletes
+                deletes.append(_resolve(path, location, df_["file_path"]))
+            else:
+                raise IcebergUnsupported(
+                    "equality delete files are not supported; compact the "
+                    "table or use an Iceberg-native reader"
+                )
+    return sorted(set(files)), sorted(set(deletes))
+
+
+def _live_files(
+    path: str, meta: dict, snapshot_id: int | None, where: list[tuple] | None = None
+) -> list[str]:
+    """Data files live at the snapshot — REFUSES tables carrying delete
+    files (callers that can apply them use ``_snapshot_files``)."""
+    files, deletes = _snapshot_files(path, meta, snapshot_id, where)
+    if deletes:
+        raise IcebergUnsupported(
+            "table has v2 row-level delete files; this path cannot apply "
+            "them — read through read_iceberg (position deletes supported)"
+        )
+    return files
 
 
 def snapshot_as_of(path: str, timestamp_ms: int) -> int:
@@ -401,7 +431,12 @@ def read_iceberg(
     files at the manifest level on identity partition values (the
     planning-time skip Iceberg clients perform); the returned frame is NOT
     filtered — callers apply their own predicate, which Catalyst pushes
-    into the already-pruned scan."""
+    into the already-pruned scan.  v2 POSITION deletes are applied as a
+    broadcast (file_path, pos) anti-join against ``_metadata`` — the
+    merge-on-read the spec mandates, same shape as delta_reader's
+    deletion vectors; equality deletes are refused fail-closed."""
+    from pyspark.sql import functions as F
+
     if snapshot_id is not None and as_of_timestamp_ms is not None:
         raise ValueError("pass snapshot_id= or as_of_timestamp_ms=, not both")
     if as_of_timestamp_ms is not None:
@@ -414,7 +449,52 @@ def read_iceberg(
     schema = _spark_type(
         {"type": "struct", "fields": _current_schema(meta)["fields"]}
     )
-    files = _live_files(path, meta, snapshot_id, where)
+    files, deletes = _snapshot_files(path, meta, snapshot_id, where)
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    df = spark.read.schema(schema).parquet(*files)
+    if not deletes:
+        return df
+    # position-delete files: (file_path, pos) parquet per the spec's
+    # reserved schema (field ids 2147483546/2147483545); the target path
+    # is the WRITER's URI — re-root it the same way _resolve re-roots
+    # manifest paths so relocated tables stay consistent
+    location = meta.get("location", path)
+    loc_norm = re.sub(r"^[a-z]+:/+", "/", location.rstrip("/"))
+    abs_root = os.path.abspath(path)
+    dels = (
+        spark.read.schema("file_path string, pos bigint").parquet(*deletes)
+        .withColumn(
+            "file_path",
+            F.regexp_replace(F.col("file_path"), "^[a-z]+:/+", "/"),
+        )
+    )
+    if loc_norm != abs_root:
+        n = len(loc_norm)
+        dels = dels.withColumn(
+            "file_path",
+            F.when(
+                F.col("file_path").startswith(loc_norm + "/"),
+                F.concat(F.lit(abs_root),
+                         F.expr(f"substring(file_path, {n + 1})")),
+            ).otherwise(F.col("file_path")),
+        )
+    cols = df.columns
+    kept = (
+        df.select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-z]+:/+", "/"
+            ).alias("__f"),
+            F.col("_metadata.row_index").alias("__p"),
+        )
+        .join(
+            F.broadcast(
+                dels.withColumnRenamed("file_path", "__df")
+                .withColumnRenamed("pos", "__dp")
+            ),
+            (F.col("__f") == F.col("__df")) & (F.col("__p") == F.col("__dp")),
+            "left_anti",
+        )
+    )
+    return kept.select(*cols)

@@ -447,3 +447,68 @@ def test_ordered_snapshots_mixed_sequence_numbers(tmp_path):
     meta = _read_metadata(root)
     snaps = sorted(meta["snapshots"], key=lambda s: s.get("timestamp-ms", 0))
     assert [s["snapshot-id"] for s in snaps] == [101, 202, 303]
+
+
+def test_position_deletes_applied(spark, tmp_path):
+    # v2 merge-on-read: a delete manifest's position-delete files remove
+    # (file_path, pos) rows from the scan; equality deletes still refuse.
+    root = str(tmp_path / "iceb_pd")
+    loc = "file://" + root
+    os.makedirs(root + "/metadata")
+    os.makedirs(root + "/data")
+    sch = pa.schema([("id", pa.int64()), ("v", pa.string())])
+    pq.write_table(pa.table({"id": [1, 2], "v": ["x", "y"]}, schema=sch),
+                   f"{root}/data/a.parquet")
+    pq.write_table(pa.table({"id": [3, 4], "v": ["z", "w"]}, schema=sch),
+                   f"{root}/data/b.parquet")
+    # position-delete parquet per the spec's reserved schema: drop a[0], b[1]
+    pq.write_table(
+        pa.table({
+            "file_path": [f"{loc}/data/a.parquet", f"{loc}/data/b.parquet"],
+            "pos": [0, 1],
+        }, schema=pa.schema([("file_path", pa.string()), ("pos", pa.int64())])),
+        f"{root}/data/pd-1.parquet",
+    )
+
+    def data_file(name, content=0):
+        return {"content": content, "file_path": f"{loc}/data/{name}.parquet",
+                "file_format": "parquet", "record_count": 1,
+                "file_size_in_bytes": 1}
+
+    AC.write_container(f"{root}/metadata/md.avro", ENTRY_V2, [
+        {"status": 1, "data_file": data_file("a")},
+        {"status": 1, "data_file": data_file("b")},
+    ], codec="null")
+    AC.write_container(f"{root}/metadata/mdel.avro", ENTRY_V2, [
+        {"status": 1, "data_file": data_file("pd-1", content=1)},
+    ], codec="null")
+    AC.write_container(f"{root}/metadata/snap-1-list.avro", MLIST, [
+        {"manifest_path": f"{loc}/metadata/md.avro", "manifest_length": 1,
+         "content": 0},
+        {"manifest_path": f"{loc}/metadata/mdel.avro", "manifest_length": 1,
+         "content": 1},
+    ], codec="null")
+    meta = {
+        "format-version": 2, "table-uuid": "0002", "location": loc,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+                       "timestamp-ms": 1000,
+                       "summary": {"operation": "overwrite"},
+                       "manifest-list": f"{loc}/metadata/snap-1-list.avro"}],
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": FIELDS}],
+        "current-schema-id": 0,
+    }
+    with open(root + "/metadata/v1.metadata.json", "w") as fh:
+        json.dump(meta, fh)
+    with open(root + "/metadata/version-hint.text", "w") as fh:
+        fh.write("1")
+
+    got = sorted(r.id for r in read_iceberg(spark, root).collect())
+    assert got == [2, 3]
+
+    # equality deletes (content=2) refuse fail-closed
+    AC.write_container(f"{root}/metadata/mdel.avro", ENTRY_V2, [
+        {"status": 1, "data_file": data_file("pd-1", content=2)},
+    ], codec="null")
+    with pytest.raises(IcebergUnsupported, match="equality"):
+        read_iceberg(spark, root)
