@@ -10671,7 +10671,9 @@ def spearman_spend_orders(spark, sf_dir):
     s = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.sum(money("o_totalprice") * 100).cast("bigint").alias("cents"),
         F.count("*").alias("cnt"),
-    )
+    ).localCheckpoint()  # each chained exact rank SAMPLES its input for
+    # range bounds then scans it again — without this the orders
+    # aggregation lineage executes ~4x (2 ranks x sample+scan)
     r = exact_row_number(s, [F.col("cents"), F.col("ck")], out="rx")
     r = exact_row_number(r, [F.col("cnt"), F.col("ck")], out="ry").select("rx", "ry")
     d = r.agg(

@@ -241,7 +241,12 @@ def compact_parquet(
             if f.endswith(".parquet")
         )
     n = max(1, math.ceil(total / target_file_bytes))
-    spark.read.parquet(in_path).repartition(n).write.mode("overwrite").parquet(out_path)
+    # coalesce, not repartition: bin-packing small files needs no row
+    # redistribution, so the full-table shuffle repartition() would pay is
+    # pure waste — each output task just concatenates a bin of input
+    # files (the same no-shuffle economics Delta's OPTIMIZE bin-packing
+    # uses when it is not re-clustering)
+    spark.read.parquet(in_path).coalesce(n).write.mode("overwrite").parquet(out_path)
     return n
 
 
