@@ -22323,7 +22323,11 @@ def schema_registry_wire_pipeline(spark, sf_dir):
             {"name": "tag", "type": "string"},
         ],
     }
-    src = spark.range(0, 6000).select(
+    # 4 partitions, not the default 32: a 6000-row fixture through TWO
+    # chained mapInPandas stages at 32 partitions is 64 near-empty Python
+    # tasks — pure worker-dispatch overhead (the same sizing fix
+    # kafka_wire_pipeline got in round 6)
+    src = spark.range(0, 6000, numPartitions=4).select(
         (F.col("id") % 50).cast("int").alias("uid"),
         (F.col("id") % 100).cast("int").alias("k"),
         F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("tag"),

@@ -24,13 +24,14 @@ same capability tier delta-rs offers:
 
 Log replay: JSON commits after the newest eligible checkpoint are parsed
 on the planner (each commit is one transaction's actions — small by
-construction); single-part ``*.checkpoint.parquet`` files are read via
-pyarrow column-projected to the ``add``/``remove``/``metaData``/
-``protocol`` structs.  The materialized state is the snapshot FILE LIST —
-O(live files), the same planner bound every Delta reader pays (delta-rs,
-Delta Spark's state reconstruction); the data itself never touches the
-planner.  Multi-part checkpoints and v2 checkpoint manifests are refused
-honestly (they only appear on tables whose writers opted into them).
+construction); ``*.checkpoint.parquet`` files — single-part or
+multi-part (``V.checkpoint.P.N.parquet``, all parts required, incomplete
+sets refused) — are read via pyarrow column-projected to the ``add``/
+``remove``/``metaData``/``protocol`` structs.  The materialized state is
+the snapshot FILE LIST — O(live files), the same planner bound every
+Delta reader pays (delta-rs, Delta Spark's state reconstruction); the
+data itself never touches the planner.  v2 checkpoint manifests are
+refused honestly (they only appear on tables whose writers opted in).
 """
 
 from __future__ import annotations
@@ -45,7 +46,9 @@ from pyspark.sql import types as T
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
-_MULTI_CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet$")
+_MULTI_CKPT_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
 
 #: reader features this implementation actually honors (PROTOCOL.md:
 #: unsupported features MUST fail the read, not degrade)
@@ -62,9 +65,14 @@ def _log_dir(path: str) -> str:
     return os.path.join(path, "_delta_log")
 
 
-def _list_log(path: str) -> tuple[dict[int, str], dict[int, str]]:
+def _list_log(path: str) -> tuple[dict[int, str], dict[int, list[str]]]:
+    """(commit JSONs by version, checkpoint PART LISTS by version).  A
+    single-part checkpoint is a one-element list; a multi-part checkpoint
+    (``V.checkpoint.P.N.parquet``) contributes its parts in part order
+    and is refused INCOMPLETE (missing parts would silently drop state)."""
     commits: dict[int, str] = {}
-    ckpts: dict[int, str] = {}
+    ckpts: dict[int, list[str]] = {}
+    multi: dict[int, dict[int, tuple[int, str]]] = {}
     log = _log_dir(path)
     if not os.path.isdir(log):
         raise FileNotFoundError(f"no Delta log at {log}")
@@ -75,13 +83,24 @@ def _list_log(path: str) -> tuple[dict[int, str], dict[int, str]]:
             continue
         m = _CKPT_RE.match(name)
         if m:
-            ckpts[int(m.group(1))] = os.path.join(log, name)
+            ckpts[int(m.group(1))] = [os.path.join(log, name)]
             continue
-        if _MULTI_CKPT_RE.match(name):
+        m = _MULTI_CKPT_RE.match(name)
+        if m:
+            v, part, nparts = (int(m.group(1)), int(m.group(2)),
+                               int(m.group(3)))
+            multi.setdefault(v, {})[part] = (nparts, os.path.join(log, name))
+    for v, parts in multi.items():
+        nparts = {n for n, _p in parts.values()}
+        if len(nparts) != 1 or set(parts) != set(range(1, nparts.pop() + 1)):
             raise DeltaProtocolUnsupported(
-                "multi-part checkpoints are not supported by this reader; "
-                "re-checkpoint the table single-part or use delta-spark"
+                f"multi-part checkpoint at version {v} is incomplete "
+                f"(found parts {sorted(parts)})"
             )
+        # a single-part checkpoint at the same version wins (either is
+        # complete; prefer the one-file read)
+        ckpts.setdefault(v, [p for _n, p in
+                             (parts[i] for i in sorted(parts))])
     if not commits and not ckpts:
         raise FileNotFoundError(f"empty Delta log at {log}")
     return commits, ckpts
@@ -120,7 +139,8 @@ def _replay(path: str, version: int | None):
     base = max((v for v in ckpts if v <= target), default=None)
     actions = []
     if base is not None:
-        actions.extend(_checkpoint_actions(ckpts[base]))
+        for part in ckpts[base]:
+            actions.extend(_checkpoint_actions(part))
         start = base + 1
     else:
         start = 0

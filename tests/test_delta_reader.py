@@ -664,3 +664,55 @@ def test_read_delta_pathtype_dv_via_write_dv_file(spark, tmp_path):
     desc = write_dv_file(root, [0, 4])
     _dv_table(root, desc)
     assert sorted(r.id for r in read_delta(spark, root).collect()) == [11, 12, 13]
+
+
+def test_multipart_checkpoint_replay(spark, tmp_path):
+    # V.checkpoint.P.N.parquet: all parts together form the checkpoint;
+    # an incomplete part set is refused (silently dropping a part would
+    # lose state).
+    root = _plain_table(tmp_path)
+    log = os.path.join(root, "_delta_log")
+    add_t = pa.struct([("path", pa.string()),
+                       ("partitionValues", pa.map_(pa.string(), pa.string())),
+                       ("size", pa.int64()), ("modificationTime", pa.int64()),
+                       ("dataChange", pa.bool_())])
+    meta_t = pa.struct([("id", pa.string()), ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string()))])
+    proto_t = pa.struct([("minReaderVersion", pa.int32()),
+                         ("minWriterVersion", pa.int32())])
+    meta_v = {"id": "test-table",
+              "schemaString": _schema_string([("id", "long"), ("v", "string")]),
+              "partitionColumns": []}
+
+    def part_table(rows):
+        return pa.table(
+            {"add": pa.array([r.get("add") for r in rows], add_t),
+             "metaData": pa.array([r.get("metaData") for r in rows], meta_t),
+             "protocol": pa.array([r.get("protocol") for r in rows], proto_t)}
+        )
+
+    def add_row(path):
+        return {"add": {"path": path, "partitionValues": [], "size": 1,
+                        "modificationTime": 0, "dataChange": True}}
+
+    # part 1: one add + metaData; part 2: the other add + protocol
+    pq.write_table(part_table([add_row("part-a.parquet"),
+                               {"metaData": meta_v}]),
+                   os.path.join(log, f"{1:020d}.checkpoint."
+                                     f"{1:010d}.{2:010d}.parquet"))
+    pq.write_table(part_table([add_row("part-c.parquet"),
+                               {"protocol": {"minReaderVersion": 1,
+                                             "minWriterVersion": 2}}]),
+                   os.path.join(log, f"{1:020d}.checkpoint."
+                                     f"{2:010d}.{2:010d}.parquet"))
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    _write_part(root, "part-d.parquet", {"id": [9], "v": ["z"]}, PLAIN)
+    _commit(root, 2, [_add("part-d.parquet")])
+    assert sorted(r.id for r in read_delta(spark, root).collect()) == [1, 2, 4, 9]
+
+    # drop part 2 -> incomplete -> refused
+    os.remove(os.path.join(log, f"{1:020d}.checkpoint."
+                                f"{2:010d}.{2:010d}.parquet"))
+    with pytest.raises(DeltaProtocolUnsupported, match="incomplete"):
+        read_delta(spark, root)
