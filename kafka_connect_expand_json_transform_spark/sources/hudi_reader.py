@@ -15,13 +15,18 @@ instant <= T.
   time travel by instant (instants are ``yyyyMMddHHmmssSSS`` strings and
   order lexically); Hudi meta columns (``_hoodie_*``) are dropped by
   default (``keep_meta=True`` keeps them);
-* ``hudi_timeline(path)`` — completed commits, newest first.
+* ``hudi_timeline(path)`` — completed commits, newest first;
+* ``replacecommit`` instants (clustering / insert_overwrite) are APPLIED:
+  their ``partitionToReplaceFileIds`` kill all OLDER slices of the
+  replaced file groups while the replacecommit's own new files stay
+  visible — the timeline semantics hudi.apache.org documents; time
+  travel to an instant before the replacement still sees the replaced
+  groups.
 
-Fail-closed (the same rule the Delta/Iceberg readers apply): MERGE_ON_READ
-tables (unmerged ``.log`` deltas would be silently missing), and
-``replacecommit`` instants (clustering/insert-overwrite replace file
-groups wholesale; reading without applying the replacement would double
-rows) raise instead of mis-reading.
+Fail-closed (the same rule the Delta/Iceberg readers apply):
+MERGE_ON_READ tables (unmerged ``.log`` deltas in Hudi's binary
+HoodieLogFormat would be silently missing; parsing that format is out of
+scope for this reader) raise instead of mis-reading.
 
 Scale: the timeline is O(commits) small JSON files; only the live
 file-slice LIST reaches the planner — the bound every Hudi client's file
@@ -36,7 +41,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-_COMMIT_RE = re.compile(r"^(\d+)\.commit$")
+_COMMIT_RE = re.compile(r"^(\d+)\.(commit|replacecommit)$")
 
 
 class HudiUnsupported(RuntimeError):
@@ -63,21 +68,34 @@ def _properties(path: str) -> dict:
 
 
 def hudi_timeline(path: str) -> list[dict]:
-    """Completed commit instants, newest first (the time-travel index)."""
+    """Completed commit + replacecommit instants, newest first (the
+    time-travel index).  Each entry carries ``kind`` ('commit' or
+    'replacecommit')."""
     d = _hoodie_dir(path)
     out = []
     for name in os.listdir(d):
-        if name.endswith(".replacecommit"):
-            raise HudiUnsupported(
-                "table has replacecommit instants (clustering / "
-                "insert_overwrite replace file groups); this reader cannot "
-                "apply replacements — use a Hudi-native reader"
-            )
         m = _COMMIT_RE.match(name)
         if m:
-            out.append({"instant": m.group(1),
+            out.append({"instant": m.group(1), "kind": m.group(2),
                         "path": os.path.join(d, name)})
     return sorted(out, key=lambda c: c["instant"], reverse=True)
+
+
+def _load_instant(path: str) -> dict:
+    """Parse a completed instant's JSON; a zero-length file is an
+    in-flight/incomplete instant — its writes are not committed, so it
+    contributes nothing."""
+    if os.path.getsize(path) == 0:
+        return {}
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _replaced_ids(meta: dict) -> set[str]:
+    out: set[str] = set()
+    for ids in (meta.get("partitionToReplaceFileIds") or {}).values():
+        out.update(ids)
+    return out
 
 
 def _live_slices(path: str, as_of_instant: str | None) -> list[str]:
@@ -90,14 +108,18 @@ def _live_slices(path: str, as_of_instant: str | None) -> list[str]:
             )
         commits = eligible
     latest: dict[str, tuple[str, str]] = {}  # fileId -> (instant, rel path)
+    replaced: set[str] = set()
     for c in commits:  # newest first: first writer of a fileId wins
-        with open(c["path"], encoding="utf-8") as fh:
-            meta = json.load(fh)
+        meta = _load_instant(c["path"])
         for stats in (meta.get("partitionToWriteStats") or {}).values():
             for st in stats:
                 fid = st["fileId"]
-                if fid not in latest:
+                if fid not in latest and fid not in replaced:
                     latest[fid] = (c["instant"], st["path"])
+        # AFTER this instant's own writes: a replacecommit kills all OLDER
+        # slices of the replaced groups (clustering/insert_overwrite), so
+        # the suppression applies only to commits we have not walked yet
+        replaced.update(_replaced_ids(meta))
     return sorted(os.path.join(path, rel) for _, rel in latest.values())
 
 
@@ -122,23 +144,25 @@ def read_hudi_incremental(
                 if str(begin_instant) < c["instant"] <= str(end)]
     touched: set[str] = set()
     for c in in_range:
-        with open(c["path"], encoding="utf-8") as fh:
-            meta = json.load(fh)
+        meta = _load_instant(c["path"])
         for stats in (meta.get("partitionToWriteStats") or {}).values():
             touched.update(st["fileId"] for st in stats)
     if not touched:
         raise ValueError(
             f"no commits in ({begin_instant}, {end}] touched any file group"
         )
-    # newest slice per touched file group, as of the range end
+    # newest slice per touched file group, as of the range end (same
+    # replacement suppression as the snapshot walk)
     latest: dict[str, str] = {}
+    replaced: set[str] = set()
     for c in [c for c in commits if c["instant"] <= str(end)]:
-        with open(c["path"], encoding="utf-8") as fh:
-            meta = json.load(fh)
+        meta = _load_instant(c["path"])
         for stats in (meta.get("partitionToWriteStats") or {}).values():
             for st in stats:
-                if st["fileId"] in touched and st["fileId"] not in latest:
-                    latest[st["fileId"]] = st["path"]
+                fid = st["fileId"]
+                if fid in touched and fid not in latest and fid not in replaced:
+                    latest[fid] = st["path"]
+        replaced.update(_replaced_ids(meta))
     df = spark.read.parquet(
         *sorted(os.path.join(path, rel) for rel in latest.values())
     ).where(

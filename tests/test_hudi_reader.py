@@ -79,14 +79,38 @@ def test_timeline_newest_first(tmp_path):
     assert [c["instant"] for c in hudi_timeline(root)] == [C2, C1]
 
 
-def test_mor_and_replacecommit_fail_closed(spark, tmp_path):
+def test_mor_fail_closed(spark, tmp_path):
     root = _table(tmp_path, ttype="MERGE_ON_READ")
     with pytest.raises(HudiUnsupported, match="MERGE_ON_READ"):
         read_hudi(spark, root)
-    root2 = _table(tmp_path / "r")
-    open(os.path.join(root2, ".hoodie", f"{C2}1.replacecommit"), "w").close()
-    with pytest.raises(HudiUnsupported, match="replacecommit"):
-        read_hudi(spark, root2)
+
+
+def test_replacecommit_clustering_applied(spark, tmp_path):
+    # clustering: a replacecommit merges fg1+fg2 into a new group fg3 —
+    # the old groups' slices die at the replacement, the new file lives;
+    # time travel BEFORE the replacecommit still sees the old groups.
+    root = _table(tmp_path)  # c1: fg1=[1,2] fg2=[3]; c2: fg1->[1,2,9]
+    C3 = "20260103000000000"
+    _data(root, f"p/fg3_0-0-0_{C3}.parquet", [1, 2, 3, 9], C3)
+    with open(os.path.join(root, ".hoodie", f"{C3}.replacecommit"), "w") as fh:
+        json.dump({
+            "partitionToWriteStats": {"p": [
+                {"fileId": "fg3", "path": f"p/fg3_0-0-0_{C3}.parquet"}]},
+            "partitionToReplaceFileIds": {"p": ["fg1", "fg2"]},
+        }, fh)
+    assert sorted(r.id for r in read_hudi(spark, root).collect()) == [1, 2, 3, 9]
+    # exactly ONE live slice (no double rows from the replaced groups)
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        _live_slices,
+    )
+    assert len(_live_slices(root, None)) == 1
+    # pre-replacement time travel sees the old layout
+    assert sorted(r.id for r in read_hudi(spark, root,
+                                          as_of_instant=C2).collect()) == [1, 2, 3, 9]
+    assert len(_live_slices(root, C2)) == 2
+    # an in-flight (empty) instant contributes nothing
+    open(os.path.join(root, ".hoodie", f"{C3}9.commit"), "w").close()
+    assert sorted(r.id for r in read_hudi(spark, root).collect()) == [1, 2, 3, 9]
 
 
 def test_incremental_query_mode(spark, tmp_path):
