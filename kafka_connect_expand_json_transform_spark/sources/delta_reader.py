@@ -112,7 +112,7 @@ def _checkpoint_actions(ckpt_path: str):
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(ckpt_path)
-    cols = [c for c in ("add", "remove", "metaData", "protocol")
+    cols = [c for c in ("add", "remove", "metaData", "protocol", "txn")
             if c in pf.schema_arrow.names]
     for batch in pf.iter_batches(columns=cols):
         rows = batch.to_pylist()

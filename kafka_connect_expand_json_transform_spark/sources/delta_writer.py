@@ -112,11 +112,27 @@ _TXN_WATERMARKS: dict[tuple[str, str], tuple[int, int | None]] = {}
 
 
 def _latest_txn_version(path: str, app_id: str) -> int | None:
-    """The highest ``txn`` version recorded for ``app_id`` across the
-    commit JSONs (the idempotence watermark); incremental across calls."""
+    """The highest ``txn`` version recorded for ``app_id`` (the
+    idempotence watermark); incremental across calls.  A cold scan seeds
+    from the newest checkpoint's txn rows — pre-checkpoint commits may
+    have been vacuumed, and PROTOCOL.md puts txn watermarks in the
+    checkpoint for exactly this reason."""
     key = (os.path.abspath(path), app_id)
     scanned, latest = _TXN_WATERMARKS.get(key, (-1, None))
-    commits, _ = _list_log(path)
+    commits, ckpts = _list_log(path)
+    if scanned == -1 and ckpts:
+        from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+            _checkpoint_actions,
+        )
+
+        base = max(ckpts)
+        for part in ckpts[base]:
+            for a in _checkpoint_actions(part):
+                t = a.get("txn")
+                if t and t.get("appId") == app_id:
+                    tv = int(t["version"])
+                    latest = tv if latest is None else max(latest, tv)
+        scanned = base
     new = sorted(v for v in commits if v > scanned)
     for v in new:
         with open(commits[v], encoding="utf-8") as fh:
@@ -134,15 +150,151 @@ def _latest_txn_version(path: str, app_id: str) -> int | None:
     return latest
 
 
+def delta_checkpoint(root: str, version: int | None = None) -> str:
+    """Write a single-part ``V.checkpoint.parquet`` of the replayed state
+    at ``version`` (default head) plus the ``_last_checkpoint`` pointer —
+    PROTOCOL.md "Checkpoints".  This bounds log replay for long-lived
+    tables: without one, every reader (and every ``delta_append``) walks
+    the FULL commit history; with one, replay starts at the newest
+    checkpoint.  Planner-side: the state is the live-file list, the same
+    O(live files) every Delta checkpointer materializes.  Tables whose
+    adds carry deletion vectors are refused (dropping the descriptor
+    would resurrect deleted rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files, meta, protocol, v = _replay(root, version)
+    if any(add.get("deletionVector") for add in files.values()):
+        raise ValueError(
+            "checkpointing deletion-vector tables is not supported"
+        )
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+    ])
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
+    ])
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()),
+        ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ])
+    txn_t = pa.struct([
+        ("appId", pa.string()),
+        ("version", pa.int64()),
+        ("lastUpdated", pa.int64()),
+    ])
+    # txn idempotence watermarks MUST ride the checkpoint (PROTOCOL.md
+    # checkpoint schema): once pre-checkpoint commits are vacuumed, the
+    # streaming sink's exactly-once dedup would otherwise reset
+    txns: dict[str, dict] = {}
+    commits, _ckpts = _list_log(root)
+    for cv in sorted(c for c in commits if c <= v):
+        with open(commits[cv], encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                t = a.get("txn")
+                if t and (t["appId"] not in txns
+                          or int(t["version"])
+                          >= int(txns[t["appId"]]["version"])):
+                    txns[t["appId"]] = {
+                        "appId": t["appId"],
+                        "version": int(t["version"]),
+                        "lastUpdated": t.get("lastUpdated"),
+                    }
+    # fold txns summarized by an older checkpoint — some of the commits it
+    # covered may already be vacuumed (max-merge, idempotent)
+    base = max((b for b in _ckpts if b <= v), default=None)
+    if base is not None:
+        from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+            _checkpoint_actions,
+        )
+
+        for part in _ckpts[base]:
+            for a in _checkpoint_actions(part):
+                t = a.get("txn")
+                if t and (t["appId"] not in txns
+                          or int(t["version"])
+                          >= int(txns[t["appId"]]["version"])):
+                    txns[t["appId"]] = {
+                        "appId": t["appId"],
+                        "version": int(t["version"]),
+                        "lastUpdated": t.get("lastUpdated"),
+                    }
+    txn_rows = [txns[k] for k in sorted(txns)]
+    adds = [
+        {
+            "path": add["path"],
+            "partitionValues": sorted(
+                (add.get("partitionValues") or {}).items()
+            ),
+            "size": add.get("size"),
+            "modificationTime": add.get("modificationTime"),
+            # a checkpointed add is state, not a change event
+            "dataChange": False,
+            "stats": add.get("stats"),
+        }
+        for _rel, add in sorted(files.items())
+    ]
+    meta_row = {
+        "id": meta.get("id"),
+        "schemaString": meta.get("schemaString"),
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "configuration": sorted((meta.get("configuration") or {}).items()),
+    }
+    proto_row = {
+        "minReaderVersion": (protocol or {}).get("minReaderVersion", 1),
+        "minWriterVersion": (protocol or {}).get("minWriterVersion", 2),
+        "readerFeatures": (protocol or {}).get("readerFeatures"),
+        "writerFeatures": (protocol or {}).get("writerFeatures"),
+    }
+    n = len(adds) + len(txn_rows) + 2
+    rows_add = [*adds] + [None] * (n - len(adds))
+    rows_txn = ([None] * len(adds)) + txn_rows + [None, None]
+    rows_meta = [None] * (n - 2) + [meta_row, None]
+    rows_proto = [None] * (n - 1) + [proto_row]
+    table = pa.table({
+        "add": pa.array(rows_add, add_t),
+        "txn": pa.array(rows_txn, txn_t),
+        "metaData": pa.array(rows_meta, meta_t),
+        "protocol": pa.array(rows_proto, proto_t),
+    })
+    final = os.path.join(_log_dir(root), f"{v:020d}.checkpoint.parquet")
+    tmp = final + f".tmp-{_time.time_ns()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)  # idempotent: any writer produces the same state
+    last = os.path.join(_log_dir(root), "_last_checkpoint")
+    with open(last + ".tmp", "w") as fh:
+        json.dump({"version": v, "size": n}, fh)
+    os.replace(last + ".tmp", last)
+    return final
+
+
 def delta_append(
     df: DataFrame,
     root: str,
     txn: tuple[str, int] | None = None,
+    checkpoint_interval: int | None = 10,
 ) -> int:
     """Append ``df`` as the next version of the Delta table at ``root``
     (creating it on first write); returns the committed version.  With
     ``txn=(app_id, version)``, an already-recorded version is a no-op
-    returning the current head — the exactly-once replay contract."""
+    returning the current head — the exactly-once replay contract.
+    Every ``checkpoint_interval`` commits a single-part checkpoint is
+    written (best-effort, post-commit) so replay stays bounded on
+    long-running sinks; pass None to disable."""
     from pyspark.sql import types as T
 
     exists = os.path.isdir(_log_dir(root))
@@ -225,6 +377,12 @@ def delta_append(
             fh.write(json.dumps(a) + "\n")
         fh.flush()
         os.fsync(fh.fileno())
+    if (checkpoint_interval and version > 0
+            and version % checkpoint_interval == 0):
+        try:
+            delta_checkpoint(root, version)
+        except Exception:
+            pass  # advisory: a missed checkpoint only lengthens replay
     return version
 
 

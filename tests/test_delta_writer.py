@@ -246,3 +246,41 @@ def test_txn_watermark_cache_incremental(spark, tmp_path, monkeypatch):
     assert DW._latest_txn_version(root, "app") == 2
     # only the ONE new commit was read
     assert len(opened) == 1 and opened[0].endswith(f"{2:020d}.json")
+
+
+def test_checkpoint_write_bounded_replay_and_txn_survival(spark, tmp_path):
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources import delta_writer as DW
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_checkpoint,
+    )
+
+    root = str(tmp_path / "ck")
+    for i in range(11):
+        delta_append(_df(spark, i * 5, i * 5 + 5), root, txn=("app", i),
+                     checkpoint_interval=5)
+    log = os.path.join(root, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{5:020d}.checkpoint.parquet"))
+    assert os.path.exists(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint")) as fh:
+        assert _json.load(fh)["version"] == 10
+    # vacuum every pre-checkpoint commit: replay starts at the checkpoint
+    for v in range(10):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert read_delta(spark, root).count() == 55
+    # add-action stats ride the checkpoint -> log-level skipping survives
+    # (only files whose max k can reach 50 are kept: the last append's)
+    assert read_delta(spark, root, where=[("k", ">=", 50)]).count() == 5
+    # txn watermarks ride the checkpoint -> exactly-once dedup survives
+    # the vacuum even from a cold cache
+    DW._TXN_WATERMARKS.clear()
+    assert delta_append(_df(spark, 0, 5), root, txn=("app", 3)) == 10  # no-op
+    assert delta_append(_df(spark, 55, 60), root, txn=("app", 11)) == 11
+    assert read_delta(spark, root).count() == 60
+    # explicit re-checkpoint at head folds the old checkpoint's txns
+    delta_checkpoint(root)
+    for v in (10, 11):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    DW._TXN_WATERMARKS.clear()
+    assert delta_append(_df(spark, 0, 5), root, txn=("app", 11)) == 11  # no-op
