@@ -472,17 +472,59 @@ def read_delta_changes(
     actions is refused — the pre/post images are unrecoverable, the same
     error Delta raises when ``delta.enableChangeDataFeed`` was off.
     Output schema: table columns + ``_change_type`` + ``_commit_version``.
-    Scale: one parquet scan per contributing version over only the change
-    files — never a snapshot diff."""
+    Partitioned tables re-inject partition columns from the actions'
+    ``partitionValues`` (broadcast file->values map, the snapshot read's
+    shape); column-mapped tables are refused.  Scale: one parquet scan
+    per contributing version over only the change files — never a
+    snapshot diff."""
     commits, _ = _list_log(path)
     latest = max(commits) if commits else -1
     end = latest if ending_version is None else int(ending_version)
     _files, meta, _proto, _v = _replay(path, end)  # protocol/meta guards
-    if meta.get("partitionColumns"):
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "none":
         raise DeltaProtocolUnsupported(
-            "CDF read over partitioned tables is not supported yet"
+            "CDF read over column-mapped tables is not supported (the "
+            "change files carry physical names this path does not map)"
         )
+    part_cols = list(meta.get("partitionColumns") or [])
     logical = _schema(meta)
+    by_logical = {f.name: f for f in logical.fields}
+    data_fields = [f for f in logical.fields if f.name not in part_cols]
+
+    def _with_parts(df, entries, extra_fields):
+        """Re-inject partition columns from the actions' partitionValues
+        via a broadcast file->values map — the snapshot read's shape."""
+        if not part_cols:
+            return df
+        rows = [
+            (os.path.abspath(os.path.join(path, rel)),
+             *[(pv or {}).get(c) for c in part_cols])
+            for rel, pv in entries
+        ]
+        map_schema = T.StructType(
+            [T.StructField("__file", T.StringType(), False)]
+            + [T.StructField(f"__pv_{c}", T.StringType(), True)
+               for c in part_cols]
+        )
+        pv_df = spark.createDataFrame(rows, map_schema)
+        return (
+            df.withColumn(
+                "__file",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^[a-z]+:/+", "/"
+                ),
+            )
+            .join(F.broadcast(pv_df), "__file")
+            .select(
+                *[f.name for f in data_fields],
+                *[F.col(f"__pv_{c}").cast(by_logical[c].dataType).alias(c)
+                  for c in part_cols],
+                *extra_fields,
+            )
+        )
+
     frames = []
     for v in range(int(starting_version), end + 1):
         if v not in commits:
@@ -495,22 +537,25 @@ def read_delta_changes(
                     continue
                 a = json.loads(line)
                 if a.get("cdc"):
-                    cdcs.append(a["cdc"]["path"])
+                    cdcs.append((a["cdc"]["path"],
+                                 a["cdc"].get("partitionValues")))
                 elif a.get("add") and a["add"].get("dataChange", True):
                     if a["add"].get("deletionVector"):
                         # a DV add soft-deletes rows: without cdc files its
                         # pre/post images are as unrecoverable as a rewrite
                         data_removed = True
-                    adds.append(a["add"]["path"])
+                    adds.append((a["add"]["path"],
+                                 a["add"].get("partitionValues")))
                 elif a.get("remove") and a["remove"].get("dataChange", True):
                     data_removed = True
         if cdcs:
             df = spark.read.schema(
                 T.StructType(
-                    [*logical.fields,
+                    [*[T.StructField(f.name, f.dataType, True)
+                       for f in data_fields],
                      T.StructField("_change_type", T.StringType(), True)]
-                )
-            ).parquet(*[os.path.join(path, c) for c in cdcs])
+            )).parquet(*[os.path.join(path, c) for c, _pv in cdcs])
+            df = _with_parts(df, cdcs, ["_change_type"])
         elif data_removed:
             raise DeltaProtocolUnsupported(
                 f"version {v} rewrites data without cdc actions; its "
@@ -520,13 +565,17 @@ def read_delta_changes(
         elif adds:
             df = spark.read.schema(
                 T.StructType([T.StructField(f.name, f.dataType, True)
-                              for f in logical.fields])
-            ).parquet(*[os.path.join(path, a) for a in adds]).select(
+                              for f in data_fields])
+            ).parquet(*[os.path.join(path, a) for a, _pv in adds]).select(
                 "*", F.lit("insert").alias("_change_type")
             )
+            df = _with_parts(df, adds, ["_change_type"])
         else:
             continue
-        frames.append(df.select("*", F.lit(v).alias("_commit_version")))
+        frames.append(
+            df.select(*[f.name for f in logical.fields], "_change_type")
+            .select("*", F.lit(v).alias("_commit_version"))
+        )
     if not frames:
         return spark.createDataFrame([], T.StructType(
             [*logical.fields,

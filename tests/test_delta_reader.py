@@ -716,3 +716,43 @@ def test_multipart_checkpoint_replay(spark, tmp_path):
                                 f"{2:010d}.{2:010d}.parquet"))
     with pytest.raises(DeltaProtocolUnsupported, match="incomplete"):
         read_delta(spark, root)
+
+
+def test_change_data_feed_partitioned(spark, tmp_path):
+    # CDF over a PARTITIONED table: partition columns re-injected from the
+    # cdc/add actions' partitionValues.
+    root = str(tmp_path / "cdfp")
+    data = pa.schema([("id", pa.int64())])
+    _write_part(root, "day=2026-01-01/f1.parquet", {"id": [1, 2]}, data)
+    _write_part(root, "day=2026-01-02/f2.parquet", {"id": [3]}, data)
+    cdc = pa.schema([("id", pa.int64()), ("_change_type", pa.string())])
+    _write_part(root, "_change_data/day=2026-01-02/c1.parquet",
+                {"id": [3, 4], "_change_type": ["delete", "insert"]}, cdc)
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        _meta([("id", "long"), ("day", "string")], partition_cols=["day"]),
+        _add("day=2026-01-01/f1.parquet", {"day": "2026-01-01"}),
+        _add("day=2026-01-02/f2.parquet", {"day": "2026-01-02"}),
+    ])
+    _write_part(root, "day=2026-01-02/f3.parquet", {"id": [4]}, data)
+    _commit(root, 1, [
+        {"cdc": {"path": "_change_data/day=2026-01-02/c1.parquet",
+                 "partitionValues": {"day": "2026-01-02"}, "size": 1}},
+        _add("day=2026-01-02/f3.parquet", {"day": "2026-01-02"}),
+        {"remove": {"path": "day=2026-01-02/f2.parquet",
+                    "deletionTimestamp": 1, "dataChange": True}},
+    ])
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        read_delta_changes,
+    )
+
+    ch = read_delta_changes(spark, root, 0)
+    got = sorted((r.id, r.day, r._change_type, r._commit_version)
+                 for r in ch.collect())
+    assert got == [
+        (1, "2026-01-01", "insert", 0),
+        (2, "2026-01-01", "insert", 0),
+        (3, "2026-01-02", "delete", 1),
+        (3, "2026-01-02", "insert", 0),
+        (4, "2026-01-02", "insert", 1),
+    ]
