@@ -531,43 +531,43 @@ def test_driver_window_composition():
     assert first50 == _DRIVER_WINDOW
     missing_oracles = [n for n in first50 if n not in ORACLES]
     assert not missing_oracles, missing_oracles
-    # round-7 rotation (VERDICT r06 ask#1): 18 family sentinels + 32
-    # never-driver-checked names (all 15 TPC-H pack 2, the round-6-born
-    # txlog MoR/WAP/partitioned names, the 5 unchecked streaming e2e,
-    # both wire-format directions, 5 headline LLM-ops/format names)
+    # round-8 rotation (VERDICT r07 ask#2): 7 family sentinels + 43
+    # never-driver-checked names (the r7-born interop streams, the two
+    # round-8 DV/position-delete reads, the join/partition showcase,
+    # schema_name_metadata_report, and a breadth sweep over SQL-surface /
+    # UDF / analytics / LLM-ops families)
     must_have = {
-        # family sentinels (every one has >=1 green driver row); the
-        # session-2 rotation swapped five multi-row sentinels for the new
-        # capabilities (protobuf wire, Debezium CDC, outbox chain, Delta +
-        # Iceberg interop) — each evicted family keeps an in-window
-        # representative or >=2 green rows in history
-        "expand_props_agg", "txlog_column_mapping_agg", "kafka_wire_pipeline",
-        "protobuf_wire_pipeline", "debezium_cdc_apply",
-        "outbox_route_expand_agg", "delta_interop_agg", "iceberg_interop_agg",
-        "txlog_bloom_point_lookups", "stream_txlog_cdf_e2e",
-        "stream_timeout_sessions_e2e", "q1_pricing_summary",
-        "pit_join_purchases", "rfm_segmentation", "sql_pipe_syntax_agg",
-        "udtf_table_partition_stats", "embedding_sq8_census",
-        "langid_distribution",
-        # TPC-H pack 2 — first driver rows
-        "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-        "q9_product_profit", "q11_important_parts", "q12_late_shipments",
-        "q13_customer_distribution", "q14_promo_revenue",
-        "q15_top_supplier", "q16_supplier_part_cnt",
-        "q17_small_quantity_revenue", "q18_large_volume_customers",
-        "q19_disjunctive_revenue", "q20_dominant_suppliers",
-        "q22_dormant_customers",
-        # txlog round-6-born — first driver rows
-        "txlog_mor_merge_agg", "txlog_mor_update_agg", "txlog_wap_pipeline",
-        "txlog_partitioned_pruning_agg", "txlog_skipping_agg",
-        # streaming e2e — first driver rows
-        "stream_multibatch_agg_e2e", "stream_sliding_agg_e2e",
-        "stream_txlog_ingest_maintenance_e2e", "stream_txlog_mor_e2e",
-        "dynamic_session_windows",
-        # wire formats + LLM-ops/format — first driver rows
-        "kafka_wire_sink_roundtrip", "schema_registry_wire_pipeline",
-        "expand_rescued_drift", "orc_roundtrip_agg",
-        "simhash_md5_pipeline", "curation_pipeline_md5", "lsh_md5_topk",
+        # family sentinels (every one has >=1 green driver row); every
+        # rotated-out name keeps >=1 green row and an in-window sibling
+        "expand_props_agg", "kafka_wire_pipeline", "q1_pricing_summary",
+        "pit_join_purchases", "txlog_mor_merge_agg", "stream_txlog_cdf_e2e",
+        "curation_pipeline_md5",
+        # [REF] fidelity + wire + interop — first driver rows
+        "schema_name_metadata_report", "avro_wire_expand_agg",
+        "stream_debezium_cdc_e2e", "delta_dv_read_agg",
+        "iceberg_pos_delete_agg", "stream_delta_source_e2e",
+        "stream_delta_sink_e2e", "stream_iceberg_source_e2e",
+        "hudi_interop_agg", "txlog_uniform_export_agg",
+        # join / partition showcase — first driver rows
+        "salted_join_agg", "fuzzy_join_part_names", "partitioned_pruned_agg",
+        "dynamic_partition_overwrite_agg", "sql_ddl_roundtrip_agg",
+        "heavy_hitters_hot_keys",
+        # SQL surface — first driver rows
+        "try_arithmetic", "hof_array_funcs", "parse_url_funcs",
+        "window_percent_rank", "rollup_grouping_marks",
+        "percentile_disc_quantity", "nullsafe_equijoin",
+        "string_agg_customers",
+        # UDF / Arrow surfaces — first driver rows
+        "udtf_extract_json_keys", "cogrouped_arrow_orders",
+        "map_in_arrow_dot", "posexplode_ordinality",
+        # analytics — first driver rows
+        "sessionize_events", "funnel_view_click_purchase", "cohort_retention",
+        "ohlc_hourly_bars", "equidepth_histogram", "histogram_totalprice",
+        # LLM-ops — first driver rows
+        "doc_quality_scores", "token_entropy", "cosine_topk",
+        "chunk_documents_sliding", "embedding_dedup_pipeline",
+        "decontaminate_survivors", "pii_redaction_stats",
+        "gini_customer_spend", "benford_digit_profile",
     }
     assert must_have <= set(first50), must_have - set(first50)
 
