@@ -603,9 +603,10 @@ def register_delta_stream_source(spark: SparkSession) -> None:
     ``remove`` actions aborts the stream unless ``ignoreChanges=true`` is
     set, in which case its ``add`` files are re-streamed (consumers
     downstream must dedup) — silently skipping rewrites would lose data.
-    Partitioned and column-mapped tables are refused (their adds need
-    value re-injection / renames the row stream does not perform yet).
-    Caveat shared with every Python stream reader: availableNow is not
+    Partitioned tables re-inject partition values from each add action as
+    typed per-file constants; column-mapped tables are refused (their
+    adds need renames the row stream does not perform yet).  Caveat
+    shared with every Python stream reader: availableNow is not
     supported — drive a processing-time trigger and stop at the head."""
     from dataclasses import dataclass
 
@@ -687,7 +688,8 @@ def register_delta_stream_source(spark: SparkSession) -> None:
                                     "not supported — use read_delta for "
                                     "snapshot reads"
                                 )
-                            adds.append(a["add"]["path"])
+                            adds.append((a["add"]["path"],
+                                         a["add"].get("partitionValues")))
                         elif a.get("remove") and a["remove"].get(
                             "dataChange", True
                         ):
@@ -698,10 +700,23 @@ def register_delta_stream_source(spark: SparkSession) -> None:
                         "update/delete rewrite); set ignoreChanges=true to "
                         "re-stream its adds, or start after it"
                     )
-                for rel in adds:
+                types_of = {
+                    f.name: f.dataType
+                    for f in T.StructType.fromJson(
+                        json.loads(partition.schema_json)
+                    ).fields
+                }
+                for rel, pv in adds:
                     table = pq.read_table(os.path.join(partition.root, rel))
+                    # partitioned table: the add's partitionValues become
+                    # typed per-file constants (the files do not store
+                    # partition columns, per the protocol)
+                    consts = {
+                        c: _typed_partition_value(raw, types_of.get(c))
+                        for c, raw in (pv or {}).items()
+                    } or None
                     yield from _shape_to_stream_batches(
-                        table, partition.schema_json
+                        table, partition.schema_json, constants=consts
                     )
 
         def commit(self, end: dict) -> None:
@@ -717,10 +732,6 @@ def register_delta_stream_source(spark: SparkSession) -> None:
 
         def schema(self):
             _files, meta, _proto, _v = _replay(self.options["path"], None)
-            if meta.get("partitionColumns"):
-                raise DeltaProtocolUnsupported(
-                    "deltastream does not support partitioned tables yet"
-                )
             mode = (meta.get("configuration") or {}).get(
                 "delta.columnMapping.mode", "none"
             )

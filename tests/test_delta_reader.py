@@ -756,3 +756,33 @@ def test_change_data_feed_partitioned(spark, tmp_path):
         (3, "2026-01-02", "insert", 0),
         (4, "2026-01-02", "insert", 1),
     ]
+
+
+def test_deltastream_partitioned_reinjection(spark, tmp_path):
+    # partitioned table: the stream re-injects partition values from each
+    # add action as typed per-file constants
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        register_delta_stream_source,
+    )
+
+    root = str(tmp_path / "dsp")
+    data = pa.schema([("id", pa.int64())])
+    _write_part(root, "day=2026-01-01/f1.parquet", {"id": [1, 2]}, data)
+    _write_part(root, "day=2026-01-02/f2.parquet", {"id": [3]}, data)
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("id", "long"), ("day", "date")], partition_cols=["day"]),
+        _add("day=2026-01-01/f1.parquet", {"day": "2026-01-01"}),
+    ])
+    _commit(root, 1, [_add("day=2026-01-02/f2.parquet", {"day": "2026-01-02"})])
+    register_delta_stream_source(spark)
+    q = (
+        spark.readStream.format("deltastream").option("path", root).load()
+        .writeStream.format("memory").queryName("sg_ds_part")
+        .outputMode("append").start()
+    )
+    _drain(q)
+    assert q.exception() is None
+    got = sorted((r.id, str(r.day)) for r in spark.table("sg_ds_part").collect())
+    assert got == [(1, "2026-01-01"), (2, "2026-01-01"), (3, "2026-01-02")]
+    assert dict(spark.table("sg_ds_part").dtypes)["day"] == "date"
