@@ -160,6 +160,97 @@ def iceberg_snapshots(path: str) -> list[dict]:
     return sorted(out, key=lambda s: -(s["timestamp_ms"] or 0))
 
 
+def _decode_bound(raw: bytes, itype) -> object | None:
+    """Iceberg Appendix D single-value BINARY serialization -> python
+    value (spec "Binary single-value serialization"): int/long/float/
+    double/date/timestamp are little-endian, decimal is an unscaled
+    big-endian two's-complement, string is UTF-8.  Unknown or nested
+    types return None (caller keeps the file — pruning stays sound)."""
+    import decimal
+    import struct
+
+    if raw is None or not isinstance(itype, str):
+        return None
+    try:
+        if itype == "boolean":
+            return raw[0] != 0
+        if itype == "int":
+            return struct.unpack("<i", raw)[0]
+        if itype == "long":
+            return struct.unpack("<q", raw)[0]
+        if itype == "float":
+            return struct.unpack("<f", raw)[0]
+        if itype == "double":
+            return struct.unpack("<d", raw)[0]
+        if itype == "date":  # days since epoch: ordering-preserving int
+            return struct.unpack("<i", raw)[0]
+        if itype in ("timestamp", "timestamptz", "time"):
+            return struct.unpack("<q", raw)[0]  # micros
+        if itype == "string":
+            return raw.decode("utf-8")
+        m = _DEC_RE.match(itype)
+        if m:
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return decimal.Decimal(unscaled).scaleb(-int(m.group(2)))
+    except (IndexError, ValueError, TypeError, decimal.InvalidOperation):
+        return None
+    return None
+
+
+def _as_kv(bounds) -> dict:
+    """Manifest bound maps arrive as Avro key/value record lists (Avro
+    maps cannot key by int) or as plain dicts — normalize."""
+    if bounds is None:
+        return {}
+    if isinstance(bounds, dict):
+        return bounds
+    out = {}
+    for e in bounds:
+        if isinstance(e, dict) and "key" in e:
+            out[e["key"]] = e.get("value")
+        elif isinstance(e, (list, tuple)) and len(e) == 2:
+            out[e[0]] = e[1]
+    return out
+
+
+def _bounds_keep(df_: dict, where: list[tuple], fields_by_name: dict) -> bool:
+    """Column-stat file skipping on the manifest entry's lower_bounds /
+    upper_bounds (the planning-time skip Iceberg clients perform on top
+    of partition pruning).  Keep when the predicate MAY match; missing,
+    null-typed, or undecodable bounds keep the file (sound)."""
+    lows = _as_kv(df_.get("lower_bounds"))
+    highs = _as_kv(df_.get("upper_bounds"))
+    if not lows and not highs:
+        return True
+    for col, op, val in where:
+        f = fields_by_name.get(col)
+        if f is None:
+            continue
+        fid, itype = f["id"], f["type"]
+        lo = _decode_bound(lows.get(fid), itype)
+        hi = _decode_bound(highs.get(fid), itype)
+        import datetime
+
+        if itype == "date" and isinstance(val, datetime.date):
+            val = (val - datetime.date(1970, 1, 1)).days
+        try:
+            if op == "=" and lo is not None and hi is not None and not (
+                lo <= val <= hi
+            ):
+                return False
+            if op in ("<", "<=") and lo is not None and not (
+                lo < val if op == "<" else lo <= val
+            ):
+                return False
+            if op in (">", ">=") and hi is not None and not (
+                hi > val if op == ">" else hi >= val
+            ):
+                return False
+        except TypeError:
+            continue  # incomparable: keep, sound
+    return True
+
+
 def _partition_keep(entry_partition, where: list[tuple]) -> bool:
     """Identity-partition pruning on the manifest entry's ``partition``
     struct (spec: data files carry their partition tuple).  Keep when the
@@ -205,6 +296,9 @@ def _snapshot_files(
     if snap is None:
         raise ValueError(f"snapshot {snapshot_id} not in table metadata")
     location = meta.get("location", path)
+    fields_by_name = {
+        f["name"]: f for f in _current_schema(meta).get("fields", [])
+    }
     files: list[str] = []
     deletes: list[str] = []
     mlist = _resolve(path, location, snap["manifest-list"])
@@ -225,6 +319,8 @@ def _snapshot_files(
                         "data entry inside a delete manifest"
                     )
                 if where and not _partition_keep(df_.get("partition"), where):
+                    continue
+                if where and not _bounds_keep(df_, where, fields_by_name):
                     continue
                 files.append(_resolve(path, location, df_["file_path"]))
             elif content == 1:  # position deletes

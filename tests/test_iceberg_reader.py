@@ -512,3 +512,107 @@ def test_position_deletes_applied(spark, tmp_path):
     ], codec="null")
     with pytest.raises(IcebergUnsupported, match="equality"):
         read_iceberg(spark, root)
+
+
+def test_bounds_decoding_appendix_d():
+    import decimal
+    import struct
+
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        _decode_bound,
+    )
+
+    assert _decode_bound(struct.pack("<i", 42), "int") == 42
+    assert _decode_bound(struct.pack("<q", -7), "long") == -7
+    assert _decode_bound(struct.pack("<d", 1.5), "double") == 1.5
+    assert _decode_bound(b"abc", "string") == "abc"
+    assert _decode_bound(struct.pack("<i", 20000), "date") == 20000
+    assert _decode_bound((1550).to_bytes(2, "big", signed=True),
+                         "decimal(10,2)") == decimal.Decimal("15.50")
+    assert _decode_bound(b"\x01", "boolean") is True
+    assert _decode_bound(None, "long") is None
+    assert _decode_bound(b"xx", "struct") is None  # unknown: keep
+
+
+def test_manifest_bounds_pruning(spark, tmp_path):
+    # lower/upper_bounds on manifest entries prune files the predicate
+    # cannot match — the stats half of Iceberg's planning-time skipping.
+    import struct
+
+    root = str(tmp_path / "iceb_bounds")
+    loc = "file://" + root
+    os.makedirs(root + "/metadata")
+    os.makedirs(root + "/data")
+    sch = pa.schema([("id", pa.int64()), ("v", pa.string())])
+    pq.write_table(pa.table({"id": [1, 2], "v": ["x", "y"]}, schema=sch),
+                   f"{root}/data/lo.parquet")
+    pq.write_table(pa.table({"id": [100, 200], "v": ["z", "w"]}, schema=sch),
+                   f"{root}/data/hi.parquet")
+
+    entry_b = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds", "type": {"type": "array",
+                        "items": {"type": "record", "name": "kv", "fields": [
+                            {"name": "key", "type": "int"},
+                            {"name": "value", "type": "bytes"}]}}},
+                    {"name": "upper_bounds", "type": {"type": "array",
+                        "items": "kv"}},
+                ]}},
+        ],
+    }
+
+    def data_file(name, lo, hi):
+        return {"content": 0, "file_path": f"{loc}/data/{name}.parquet",
+                "file_format": "parquet", "record_count": 2,
+                "file_size_in_bytes": 1,
+                "lower_bounds": [{"key": 1, "value": struct.pack("<q", lo)}],
+                "upper_bounds": [{"key": 1, "value": struct.pack("<q", hi)}]}
+
+    AC.write_container(f"{root}/metadata/mb.avro", entry_b, [
+        {"status": 1, "data_file": data_file("lo", 1, 2)},
+        {"status": 1, "data_file": data_file("hi", 100, 200)},
+    ], codec="null")
+    AC.write_container(f"{root}/metadata/snap-1-list.avro", MLIST, [
+        {"manifest_path": f"{loc}/metadata/mb.avro", "manifest_length": 1,
+         "content": 0},
+    ], codec="null")
+    meta = {
+        "format-version": 2, "table-uuid": "0003", "location": loc,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+                       "timestamp-ms": 1000,
+                       "summary": {"operation": "append"},
+                       "manifest-list": f"{loc}/metadata/snap-1-list.avro"}],
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": FIELDS}],
+        "current-schema-id": 0,
+    }
+    with open(root + "/metadata/v1.metadata.json", "w") as fh:
+        json.dump(meta, fh)
+    with open(root + "/metadata/version-hint.text", "w") as fh:
+        fh.write("1")
+
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        _read_metadata,
+        _snapshot_files,
+    )
+
+    m = _read_metadata(root)
+    fs, _ds = _snapshot_files(root, m, None, where=[("id", ">=", 100)])
+    assert [os.path.basename(f) for f in fs] == ["hi.parquet"]
+    fs2, _ = _snapshot_files(root, m, None, where=[("id", "<", 3)])
+    assert [os.path.basename(f) for f in fs2] == ["lo.parquet"]
+    # a column with no bounds keeps both files (sound)
+    fs3, _ = _snapshot_files(root, m, None, where=[("v", "=", "zzz")])
+    assert len(fs3) == 2
+    # read path composes: where= prunes but does NOT filter rows
+    got = sorted(r.id for r in read_iceberg(
+        spark, root, where=[("id", ">=", 100)]).collect())
+    assert got == [100, 200]
