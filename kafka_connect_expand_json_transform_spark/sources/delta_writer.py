@@ -453,12 +453,6 @@ def _delta_cow(
     ) != "none":
         raise ValueError("delta_delete_where does not support column mapping")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    if any(add.get("deletionVector") for add in files.values()):
-        # the CoW scan reads files fully; ignoring their DVs would apply
-        # the DML to already-deleted rows (and resurrect them on rewrite)
-        raise ValueError(
-            "delta DML does not support deletion-vector tables"
-        )
     if not files:
         return head, 0
 
@@ -477,12 +471,54 @@ def _delta_cow(
     if not candidates:
         return head, 0
 
+    # deletion-vector tables: the scan must EXCLUDE DV-deleted rows —
+    # counting them as hits would rewrite files needlessly, and carrying
+    # them into a rewrite would resurrect them.  The rewrite drops the
+    # affected files' DVs (survivors are fully materialized), the same
+    # DV-collapse a Delta OPTIMIZE performs.
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        _dv_deleted_positions,
+    )
+
+    dv_rows: list[tuple[str, int]] = []
+    for rel, add in candidates.items():
+        dv = add.get("deletionVector")
+        if dv:
+            ap = os.path.abspath(os.path.join(root, rel))
+            dv_rows.extend(
+                (ap, p) for p in _dv_deleted_positions(root, dv)
+            )
+
+    def _minus_dvs(df):
+        if not dv_rows:
+            return df
+        dv_df = spark.createDataFrame(
+            dv_rows,
+            T.StructType([
+                T.StructField("__dv_file", T.StringType(), False),
+                T.StructField("__dv_pos", T.LongType(), False),
+            ]),
+        )
+        return (
+            df.withColumn("__pos", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(dv_df),
+                (F.col("__f") == F.col("__dv_file"))
+                & (F.col("__pos") == F.col("__dv_pos")),
+                "left_anti",
+            )
+            .drop("__pos")
+        )
+
     abs_of = {os.path.abspath(os.path.join(root, rel)): rel
               for rel in candidates}
-    snap = spark.read.schema(schema).parquet(
-        *[os.path.join(root, rel) for rel in sorted(candidates)]
-    ).withColumn(
-        "__f", F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/+", "/")
+    snap = _minus_dvs(
+        spark.read.schema(schema).parquet(
+            *[os.path.join(root, rel) for rel in sorted(candidates)]
+        ).withColumn(
+            "__f",
+            F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/+", "/"),
+        )
     )
     # bounded collect: one row per file that CONTAINS a match
     hits = snap.where(predicate).groupBy("__f").count().collect()
@@ -503,9 +539,14 @@ def _delta_cow(
     # just the union of survivors, Delta's own rewrite economics); the
     # old per-file coalesce(1) loop was O(affected files) sequential
     # driver-orchestrated jobs plus a second evaluation per file
-    survivors = spark.read.schema(schema).parquet(
-        *[os.path.join(root, rel) for rel in affected]
-    )
+    survivors = _minus_dvs(
+        spark.read.schema(schema).parquet(
+            *[os.path.join(root, rel) for rel in affected]
+        ).withColumn(
+            "__f",
+            F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/+", "/"),
+        )
+    ).drop("__f")
     if assignments is None:
         rewritten = survivors.where(f"NOT ({predicate})")
     else:

@@ -625,9 +625,11 @@ def test_dv_guards_on_stream_cdf_and_dml(spark, tmp_path):
     # CDF: a DV add without cdc files is unrecoverable -> refused
     with pytest.raises(DeltaProtocolUnsupported, match="cdc"):
         read_delta_changes(spark, root, 0)
-    # DML on a DV table -> refused (would resurrect deleted rows)
-    with pytest.raises(ValueError, match="deletion-vector"):
-        delta_delete_where(spark, root, "id = 10")
+    # DML on a DV table works: deleted rows are neither counted as hits
+    # nor resurrected by the rewrite (which collapses the DV)
+    version, n = delta_delete_where(spark, root, "id >= 13")
+    assert (version, n) == (1, 2)  # 13 and 14 (11 was already DV-deleted)
+    assert sorted(r.id for r in read_delta(spark, root).collect()) == [10, 12]
     # stream -> fails closed on the DV add
     register_delta_stream_source(spark)
     q = (
