@@ -406,6 +406,28 @@ def _roaring_array_positions(data: bytes) -> list[int]:
     return out
 
 
+def _dv_file_path(root: str, dv: dict) -> str | None:
+    """Absolute path of an on-disk deletion-vector file (None for inline
+    descriptors): 'u' = table-relative prefix + 20-char Z85 UUID name,
+    'p' = absolute path."""
+    st = dv.get("storageType")
+    if st == "i":
+        return None
+    if st == "u":
+        import uuid as _uuid
+
+        enc = dv["pathOrInlineDv"]
+        prefix, tail = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=_z85_decode(tail))
+        return os.path.join(root, *([prefix] if prefix else []),
+                            f"deletion_vector_{u}.bin")
+    if st == "p":
+        return dv["pathOrInlineDv"]
+    raise DeltaProtocolUnsupported(
+        f"deletion vector storageType {st!r} not supported"
+    )
+
+
 def _dv_deleted_positions(root: str, dv: dict) -> list[int]:
     """Resolve a deletion-vector descriptor to its deleted row indexes.
     storageType 'u' = UUID-named file under the table (prefix + 20-char
@@ -422,20 +444,7 @@ def _dv_deleted_positions(root: str, dv: dict) -> list[int]:
         if dv.get("sizeInBytes") is not None:
             data = data[:int(dv["sizeInBytes"])]
     else:
-        if st == "u":
-            enc = dv["pathOrInlineDv"]
-            import uuid as _uuid
-
-            prefix, tail = enc[:-20], enc[-20:]
-            u = _uuid.UUID(bytes=_z85_decode(tail))
-            p = os.path.join(root, *([prefix] if prefix else []),
-                             f"deletion_vector_{u}.bin")
-        elif st == "p":
-            p = dv["pathOrInlineDv"]
-        else:
-            raise DeltaProtocolUnsupported(
-                f"deletion vector storageType {st!r} not supported"
-            )
+        p = _dv_file_path(root, dv)
         with open(p, "rb") as fh:
             fh.seek(int(dv["offset"]))
             size = int.from_bytes(fh.read(4), "big")

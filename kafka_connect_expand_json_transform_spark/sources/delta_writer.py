@@ -608,6 +608,64 @@ def _delta_cow(
     return version, n_deleted
 
 
+def delta_vacuum(
+    root: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """VACUUM: delete data/DV files not referenced by the CURRENT version
+    and older than ``retention_hours`` (Delta's default 7 days); returns
+    the removed relative paths.  Time travel to versions whose files were
+    vacuumed stops working — Delta's own documented trade; the retention
+    window is the guard, and the reader's replay fails loudly (missing
+    file at scan) rather than returning partial rows.  Leftover
+    ``_stage_*`` attempt dirs from crashed writers age out by the same
+    rule.  Planner-side: one replay + one directory walk."""
+    files, _meta, _proto, _head = _replay(root, None)
+    live = {os.path.normpath(rel) for rel in files}
+    for add in files.values():
+        dv = add.get("deletionVector")
+        if dv:
+            from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+                _dv_file_path,
+            )
+
+            p = _dv_file_path(root, dv)
+            if p:
+                live.add(os.path.normpath(os.path.relpath(p, root)))
+    cutoff = _time.time() - retention_hours * 3600.0
+    removed: list[str] = []
+    for dirpath, dirs, names in os.walk(root):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for n in names:
+            if not (n.endswith(".parquet") or n.endswith(".bin")):
+                continue
+            full = os.path.join(dirpath, n)
+            rel = os.path.normpath(os.path.relpath(full, root))
+            if rel in live:
+                continue
+            try:
+                if os.path.getmtime(full) >= cutoff:
+                    continue
+            except OSError:
+                continue  # raced with a concurrent writer's cleanup
+            removed.append(rel)
+            if not dry_run:
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
+    if not dry_run:
+        for dirpath, dirs, names in os.walk(root, topdown=False):
+            if (os.path.basename(dirpath).startswith("_stage_")
+                    and not names and not dirs):
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+    return sorted(removed)
+
+
 def delta_streaming_sink(root: str, app_id: str):
     """foreachBatch body for exactly-once streaming ingestion into a Delta
     table: ``batchId`` rides the ``txn`` action, so checkpoint replays

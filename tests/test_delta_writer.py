@@ -284,3 +284,27 @@ def test_checkpoint_write_bounded_replay_and_txn_survival(spark, tmp_path):
         os.remove(os.path.join(log, f"{v:020d}.json"))
     DW._TXN_WATERMARKS.clear()
     assert delta_append(_df(spark, 0, 5), root, txn=("app", 11)) == 11  # no-op
+
+
+def test_vacuum_unreferenced_files(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_delete_where,
+        delta_vacuum,
+    )
+
+    root = str(tmp_path / "vac")
+    delta_append(_df(spark, 0, 10).coalesce(1), root)
+    delta_append(_df(spark, 10, 20).coalesce(1), root)
+    delta_delete_where(spark, root, "k >= 15")  # file B rewritten
+    # inside retention: nothing deleted, dry_run lists the candidate
+    assert delta_vacuum(root) == []
+    cand = delta_vacuum(root, retention_hours=0, dry_run=True)
+    assert len(cand) == 1 and "v00001" in cand[0]
+    assert os.path.exists(os.path.join(root, cand[0]))  # dry run kept it
+    removed = delta_vacuum(root, retention_hours=0)
+    assert removed == cand
+    assert not os.path.exists(os.path.join(root, cand[0]))
+    # current snapshot unharmed; time travel to the vacuumed version fails
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == list(range(15))
+    with pytest.raises(Exception):
+        read_delta(spark, root, version=1).collect()
