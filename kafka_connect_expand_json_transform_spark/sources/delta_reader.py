@@ -293,29 +293,34 @@ def _roaring_array_bytes(positions) -> bytes:
     return bytes(out)
 
 
-def write_dv_file(root: str, positions, rel: str | None = None) -> dict:
+def write_dv_file(root: str, positions, storage: str = "p") -> dict:
     """Write a deletion-vector FILE (PROTOCOL.md framing: version byte,
     then int32-BE size + bitmap + int32-BE CRC-32) and return the add
-    action ``deletionVector`` descriptor referencing it (storageType 'p'
-    relative to nothing — an absolute path — unless ``rel`` is given, in
-    which case a table-relative UUID name is used with storageType 'u'
-    semantics via an explicit path).  Test/fixture-grade writer: one DV
-    per file."""
+    action ``deletionVector`` descriptor referencing it.  ``storage='p'``
+    emits an absolute-path descriptor; ``storage='u'`` emits the
+    spec-idiomatic relocatable form (table-relative
+    ``deletion_vector_<uuid>.bin``, descriptor carries the Z85 UUID).
+    One DV per call."""
     import uuid as _uuid
     import zlib
 
     data = _roaring_array_bytes(positions)
-    name = rel or f"deletion_vector_{_uuid.uuid4()}.bin"
-    p = os.path.join(root, name)
+    u = _uuid.uuid4()
+    p = os.path.join(root, f"deletion_vector_{u}.bin")
     with open(p, "wb") as fh:
         fh.write(b"\x01")
         fh.write(len(data).to_bytes(4, "big"))
         fh.write(data)
         fh.write((zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big"))
-    return {
-        "storageType": "p", "pathOrInlineDv": p, "offset": 1,
-        "sizeInBytes": len(data), "cardinality": len(set(positions)),
+    desc = {
+        "offset": 1, "sizeInBytes": len(data),
+        "cardinality": len(set(positions)),
     }
+    if storage == "u":
+        desc.update(storageType="u", pathOrInlineDv=_z85_encode(u.bytes))
+    else:
+        desc.update(storageType="p", pathOrInlineDv=p)
+    return desc
 
 
 def inline_dv_descriptor(positions) -> dict:

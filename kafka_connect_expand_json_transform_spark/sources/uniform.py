@@ -51,18 +51,36 @@ class UniformExportUnsupported(RuntimeError):
     represent; see the docstring for the compact-first workarounds."""
 
 
+def _dv_positions_by_abs(root: str, entries) -> dict[str, list[int]]:
+    """Accumulated txlog deletion-vector rows, grouped by absolute data
+    file path.  Driver-side read of the kilobyte (file, pos) sidecars —
+    O(deleted-not-compacted rows), the same bound every DV reader pays."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, set[int]] = {}
+    for rel in TX._replay_dvs(entries, None):
+        d = rel if os.path.isabs(rel) else os.path.join(root, rel)
+        for dirpath, _dirs, names in os.walk(d):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(dirpath, n),
+                                  columns=["file", "pos"])
+                for f, p in zip(t.column("file").to_pylist(),
+                                t.column("pos").to_pylist()):
+                    # the txlog stores Spark's file URI (file:/x) — strip
+                    # the scheme like every reader does
+                    f = re.sub(r"^[a-z]+:/+", "/", f)
+                    out.setdefault(os.path.abspath(f), set()).add(int(p))
+    return {k: sorted(v) for k, v in out.items()}
+
+
 def _txlog_state(root: str):
     entries = TX._list_entries(root)
     if not entries:
         raise FileNotFoundError(f"no txlog table at {root}")
     version = entries[-1]["version"]
     files, schema_ddl = TX._replay(entries, None)
-    if TX._replay_dvs(entries, None):
-        raise UniformExportUnsupported(
-            "table has live merge-on-read deletion vectors; run "
-            "compact_table() first — a metadata-only export cannot "
-            "express DVs"
-        )
     if TX._table_partition_by(entries):
         raise UniformExportUnsupported(
             "hive-partitioned txlog tables are not exportable yet "
@@ -74,7 +92,9 @@ def _txlog_state(root: str):
             "table has column-mapping renames; exportable as Delta "
             "columnMapping=name in a later tier"
         )
-    return entries, version, files, schema_ddl
+    return entries, version, files, schema_ddl, _dv_positions_by_abs(
+        root, entries
+    )
 
 
 def _expand_parquet(root: str, rel_entries: list[str]) -> dict[str, int]:
@@ -95,29 +115,55 @@ def _expand_parquet(root: str, rel_entries: list[str]) -> dict[str, int]:
     return out
 
 
-def _delta_replayed(root: str) -> tuple[int | None, set[str]]:
-    """(latest exported delta version, its live file set) — None when no
-    _delta_log exists yet."""
+def _delta_replayed(root: str) -> tuple[int | None, set[str], dict]:
+    """(latest exported delta version, its live file set, its add actions
+    by rel path) — (None, empty, empty) when no _delta_log exists yet."""
     from kafka_connect_expand_json_transform_spark.sources import delta_reader as DR
 
     try:
         files, _meta, _proto, ver = DR._replay(root, None)
     except FileNotFoundError:
-        return None, set()
-    return ver, set(files)
+        return None, set(), {}
+    return ver, set(files), dict(files)
 
 
 def export_delta(root: str) -> int:
     """Export the txlog table's current snapshot as the next Delta
     version beside it; returns the Delta version written (or the current
-    one when nothing changed).  Metadata-only: the data files are shared,
-    never copied."""
-    _entries, tx_version, rel_files, schema_ddl = _txlog_state(root)
-    current = _expand_parquet(root, rel_files)
-    prev_version, prev_files = _delta_replayed(root)
+    one when nothing changed).  Metadata-only for data: the parquet files
+    are shared, never copied.  MERGE-ON-READ tables export their txlog
+    (file, pos) deletion vectors as REAL Delta DV files (RoaringBitmapArray
+    bitmaps, storageType 'u') — kilobytes per affected file — with the
+    protocol upgraded to readerFeatures=[deletionVectors]; a DV change
+    re-issues the file's add (remove + add with the new descriptor, the
+    protocol's own DV-update shape)."""
+    from kafka_connect_expand_json_transform_spark.sources import (
+        delta_reader as DR,
+    )
 
-    adds = sorted(set(current) - prev_files)
-    removes = sorted(prev_files - set(current))
+    _entries, tx_version, rel_files, schema_ddl, dv_by_abs = _txlog_state(root)
+    current = _expand_parquet(root, rel_files)
+    prev_version, prev_files, prev_adds = _delta_replayed(root)
+
+    # live DV positions per CURRENT rel path (vectors on dropped files
+    # simply stop matching — txlog semantics)
+    dv_by_rel = {}
+    for rel in current:
+        pos = dv_by_abs.get(os.path.abspath(os.path.join(root, rel)))
+        if pos:
+            dv_by_rel[rel] = pos
+
+    def _prev_positions(rel):
+        dv = (prev_adds.get(rel) or {}).get("deletionVector")
+        return DR._dv_deleted_positions(root, dv) if dv else []
+
+    carried = set(current) & prev_files
+    dv_changed = sorted(
+        rel for rel in carried
+        if dv_by_rel.get(rel, []) != _prev_positions(rel)
+    )
+    adds = sorted(set(current) - prev_files) + dv_changed
+    removes = sorted(prev_files - set(current)) + dv_changed
     if prev_version is not None and not adds and not removes:
         return prev_version
 
@@ -132,8 +178,16 @@ def export_delta(root: str) -> int:
             "engineInfo": "kafka-connect-expand-json-transform-spark uniform export",
         }}
     ]
-    if prev_version is None:
+    if dv_by_rel:
+        # protocol upgrade the commit DVs first appear (idempotent)
+        actions.append({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }})
+    elif prev_version is None:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    if prev_version is None:
         actions.append({"metaData": {
             "id": f"txlog-uniform-{os.path.basename(os.path.abspath(root))}",
             "format": {"provider": "parquet", "options": {}},
@@ -142,16 +196,21 @@ def export_delta(root: str) -> int:
             "configuration": {},
             "createdTime": now_ms,
         }})
-    actions.extend(
-        {"add": {"path": rel, "partitionValues": {}, "size": current[rel],
-                 "modificationTime": now_ms, "dataChange": True}}
-        for rel in adds
-    )
+    # removes FIRST: a DV update re-issues the same path (remove + add in
+    # one commit), and replay applies actions in order
     actions.extend(
         {"remove": {"path": rel, "deletionTimestamp": now_ms,
                     "dataChange": True}}
         for rel in removes
     )
+    for rel in adds:
+        add = {"path": rel, "partitionValues": {}, "size": current[rel],
+               "modificationTime": now_ms, "dataChange": True}
+        if rel in dv_by_rel:
+            add["deletionVector"] = DR.write_dv_file(
+                root, dv_by_rel[rel], storage="u"
+            )
+        actions.append({"add": add})
     version = 0 if prev_version is None else prev_version + 1
     log_dir = os.path.join(root, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
@@ -276,7 +335,12 @@ def export_iceberg(root: str) -> int:
     from kafka_connect_expand_json_transform_spark.sources import avro_codec as AC
     from kafka_connect_expand_json_transform_spark.sources import iceberg_reader as IR
 
-    _entries, tx_version, rel_files, schema_ddl = _txlog_state(root)
+    _entries, tx_version, rel_files, schema_ddl, dv_by_abs = _txlog_state(root)
+    if dv_by_abs:
+        raise UniformExportUnsupported(
+            "Iceberg export of merge-on-read deletion vectors is not "
+            "supported yet; export_delta handles them, or compact first"
+        )
     current = _expand_parquet(root, rel_files)
 
     meta_dir = os.path.join(root, "metadata")

@@ -55,12 +55,34 @@ def test_incremental_export_after_cow_dml(spark, tmp_path):
     assert [h["version"] for h in delta_history(root)] == [1, 0]
 
 
-def test_refusals(spark, tmp_path):
+def test_mor_dv_export_roundtrip(spark, tmp_path):
+    # MoR deletion vectors export as REAL Delta DV files (r8): the txlog
+    # (file, pos) sidecars become RoaringBitmapArray bitmaps and the
+    # independent delta_reader applies them.
     root = _seed(spark, tmp_path, "dv")
     TX.delete_where_mor(spark, root, "k = 3")
-    with pytest.raises(UniformExportUnsupported, match="deletion vectors"):
-        export_delta(root)
+    assert export_delta(root) == 0
+    native = {(r.k, r.v, r.x) for r in TX.read_table(spark, root).collect()}
+    via_delta = {(r.k, r.v, r.x) for r in read_delta(spark, root).collect()}
+    assert via_delta == native and len(native) == 19
+    # a second MoR delete changes the DV -> re-issued add, new version
+    TX.delete_where_mor(spark, root, "k = 5")
+    assert export_delta(root) == 1
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == [
+        k for k in range(20) if k not in (3, 5)
+    ]
+    # no change -> no new version
+    assert export_delta(root) == 1
+    # iceberg export of DV tables stays refused for now
+    from kafka_connect_expand_json_transform_spark.sources.uniform import (
+        export_iceberg,
+    )
 
+    with pytest.raises(UniformExportUnsupported, match="deletion vectors"):
+        export_iceberg(root)
+
+
+def test_refusals(spark, tmp_path):
     root2 = _seed(spark, tmp_path, "cm")
     TX.rename_column(root2, "x", "y")
     with pytest.raises(UniformExportUnsupported, match="column-mapping"):
@@ -108,7 +130,7 @@ def test_export_commit_claim_is_atomic(spark, tmp_path, monkeypatch):
     with open(marker) as fh:
         winner = fh.read()
     # the loser computed its version from a PRE-commit view of the log
-    monkeypatch.setattr(U, "_delta_replayed", lambda r: (None, set()))
+    monkeypatch.setattr(U, "_delta_replayed", lambda r: (None, set(), {}))
     with pytest.raises(TX.TxLogConflict):
         U.export_delta(root)
     with open(marker) as fh:
