@@ -330,27 +330,39 @@ def export_iceberg(root: str) -> int:
     id.  Each export writes one full manifest of the live file set
     (status 1 = newly added vs the previous exported snapshot, 0 =
     carried — the layout an Iceberg manifest-compaction produces), so
-    time travel across exports works in any Iceberg reader.  Same
-    fail-closed guards as ``export_delta``."""
+    time travel across exports works in any Iceberg reader.  MERGE-ON-READ
+    tables export their txlog deletion vectors as a v2 POSITION-DELETE
+    file + delete manifest (the row-level-delete layout the spec
+    mandates; this repo's reader applies it).  Same fail-closed guards as
+    ``export_delta``."""
     from kafka_connect_expand_json_transform_spark.sources import avro_codec as AC
     from kafka_connect_expand_json_transform_spark.sources import iceberg_reader as IR
 
     _entries, tx_version, rel_files, schema_ddl, dv_by_abs = _txlog_state(root)
-    if dv_by_abs:
-        raise UniformExportUnsupported(
-            "Iceberg export of merge-on-read deletion vectors is not "
-            "supported yet; export_delta handles them, or compact first"
-        )
     current = _expand_parquet(root, rel_files)
+    cur_dels: set[tuple[str, int]] = set()
+    for rel in current:
+        for p in dv_by_abs.get(
+            os.path.abspath(os.path.join(root, rel))
+        ) or []:
+            cur_dels.add((rel, int(p)))
 
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
+    import pyarrow.parquet as _pq
+
+    abs_root = os.path.abspath(root)
     try:
         prev_meta = IR._read_metadata(root)
-        prev_files = {
-            os.path.relpath(f, root)
-            for f in IR._live_files(root, prev_meta, None)
-        }
+        prev_data, prev_del_files = IR._snapshot_files(root, prev_meta, None)
+        prev_files = {os.path.relpath(f, root) for f in prev_data}
+        prev_dels: set[tuple[str, int]] = set()
+        for f in prev_del_files:
+            t = _pq.read_table(f, columns=["file_path", "pos"])
+            for fp, p in zip(t.column("file_path").to_pylist(),
+                             t.column("pos").to_pylist()):
+                fp = re.sub(r"^[a-z]+:/+", "/", fp)
+                prev_dels.add((os.path.relpath(fp, abs_root), int(p)))
         prev_snaps = prev_meta.get("snapshots", [])
         meta_version = 1 + max(
             int(m.group(1))
@@ -360,12 +372,13 @@ def export_iceberg(root: str) -> int:
         )
     except FileNotFoundError:
         prev_files, prev_snaps, meta_version = set(), [], 1
-    if prev_snaps and prev_files == set(current):
+        prev_dels = set()
+    if (prev_snaps and prev_files == set(current)
+            and prev_dels == cur_dels):
         return prev_snaps[-1]["snapshot-id"]
 
     snap_id = len(prev_snaps) + 1
     loc = "file://" + os.path.abspath(root)
-    import pyarrow.parquet as _pq
 
     manifest_rel = f"metadata/uniform-m{snap_id}.avro"
     AC.write_container(
@@ -384,12 +397,47 @@ def export_iceberg(root: str) -> int:
         ],
         codec="null",
     )
+    mlist_entries = [
+        {"manifest_path": f"{loc}/{manifest_rel}",
+         "manifest_length": os.path.getsize(os.path.join(root, manifest_rel)),
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": snap_id}
+    ]
+    if cur_dels:
+        # position-delete file per the spec's reserved schema + a delete
+        # manifest (manifest-list content=1) — kilobytes, planner-side
+        import pyarrow as _pa
+
+        ordered = sorted(cur_dels)
+        pd_rel = f"metadata/uniform-pd-{snap_id}.parquet"
+        _pq.write_table(
+            _pa.table(
+                {"file_path": [f"{loc}/{rel}" for rel, _p in ordered],
+                 "pos": [p for _rel, p in ordered]},
+                schema=_pa.schema([("file_path", _pa.string()),
+                                   ("pos", _pa.int64())]),
+            ),
+            os.path.join(root, pd_rel),
+        )
+        mdel_rel = f"metadata/uniform-mdel{snap_id}.avro"
+        AC.write_container(
+            os.path.join(root, mdel_rel), _ICE_ENTRY_SCHEMA,
+            [{"status": 1, "snapshot_id": snap_id, "data_file": {
+                "content": 1, "file_path": f"{loc}/{pd_rel}",
+                "file_format": "parquet", "record_count": len(ordered),
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(root, pd_rel))}}],
+            codec="null",
+        )
+        mlist_entries.append(
+            {"manifest_path": f"{loc}/{mdel_rel}",
+             "manifest_length": os.path.getsize(os.path.join(root, mdel_rel)),
+             "partition_spec_id": 0, "content": 1,
+             "added_snapshot_id": snap_id}
+        )
     mlist_rel = f"metadata/uniform-snap-{snap_id}-list.avro"
     AC.write_container(
         os.path.join(root, mlist_rel), _ICE_MLIST_SCHEMA,
-        [{"manifest_path": f"{loc}/{manifest_rel}",
-          "manifest_length": os.path.getsize(os.path.join(root, manifest_rel)),
-          "partition_spec_id": 0, "content": 0, "added_snapshot_id": snap_id}],
+        mlist_entries,
         codec="null",
     )
     struct = T._parse_datatype_string(schema_ddl)
@@ -415,10 +463,12 @@ def export_iceberg(root: str) -> int:
             "snapshot-id": snap_id,
             "sequence-number": snap_id,
             "timestamp-ms": now_ms,
-            # honest operation label: a pure append (no files dropped)
-            # keeps streaming readers alive; a CoW rewrite is an overwrite
+            # honest operation label: a pure append (no files dropped, no
+            # row deletes) keeps streaming readers alive; a CoW rewrite or
+            # a DV change is an overwrite
             "summary": {"operation": "append"
-                        if prev_files <= set(current) else "overwrite"},
+                        if prev_files <= set(current)
+                        and cur_dels == prev_dels else "overwrite"},
             "manifest-list": f"{loc}/{mlist_rel}",
             "schema-id": 0,
         }],

@@ -73,13 +73,26 @@ def test_mor_dv_export_roundtrip(spark, tmp_path):
     ]
     # no change -> no new version
     assert export_delta(root) == 1
-    # iceberg export of DV tables stays refused for now
+    # the SAME MoR table also exports to Iceberg: DVs become a v2
+    # position-delete file + delete manifest the reader applies
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        read_iceberg,
+    )
     from kafka_connect_expand_json_transform_spark.sources.uniform import (
         export_iceberg,
     )
 
-    with pytest.raises(UniformExportUnsupported, match="deletion vectors"):
-        export_iceberg(root)
+    assert export_iceberg(root) == 1
+    got = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in range(20) if k not in (3, 5)]
+    # no change -> same snapshot
+    assert export_iceberg(root) == 1
+    # another MoR delete -> new snapshot with the updated delete file
+    TX.delete_where_mor(spark, root, "k = 7")
+    assert export_iceberg(root) == 2
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) == [
+        k for k in range(20) if k not in (3, 5, 7)
+    ]
 
 
 def test_refusals(spark, tmp_path):
