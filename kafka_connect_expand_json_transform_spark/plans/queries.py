@@ -23256,6 +23256,82 @@ def txlog_uniform_export_agg(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SQL_UNIFORM_MOR = """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), live AS (SELECT * FROM o WHERE k % 11 <> 4)
+    SELECT 'delta' AS fmt, status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM live GROUP BY status
+    UNION ALL
+    SELECT 'iceberg' AS fmt, status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM live GROUP BY status
+"""
+
+
+@query("uniform_mor_dv_export_agg", _SQL_UNIFORM_MOR)
+def uniform_mor_dv_export_agg(spark, sf_dir):
+    """MERGE-ON-READ dual export (r8): a txlog table takes a MoR DELETE
+    (deletion-vector sidecar, zero rewrite) and is then exported to BOTH
+    open formats over the same data files — the txlog (file, pos) vectors
+    become a real Delta DV (RoaringBitmapArray bitmap, storageType 'u',
+    reader-feature protocol upgrade) and an Iceberg v2 position-delete
+    file + delete manifest — and each tree is read back through its
+    independent reader.  A mis-encoded bitmap, wrong row-index base,
+    unapplied delete manifest, or leaked deleted row flips either census
+    hash.  Scale: the export is O(live files + deleted-not-compacted
+    rows) planner metadata; zero data bytes move."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_expand_json_transform_spark.sources import txlog as TX
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        read_delta,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        read_iceberg,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.uniform import (
+        export_delta,
+        export_iceberg,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="uniform_mor_q_")
+    try:
+        root = tmp + "/orders_mor"
+        TX.append_table(o.coalesce(2), root)
+        TX.delete_where_mor(spark, root, "k % 11 = 4")
+        export_delta(root)
+        export_iceberg(root)
+
+        def census(df, tag):
+            return df.groupBy("status").agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            ).select(F.lit(tag).alias("fmt"), "status", "n", "sum_cents")
+
+        out = census(read_delta(spark, root), "delta").unionByName(
+            census(read_iceberg(spark, root), "iceberg")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQL_HUDI_INTEROP = """
     WITH o AS (
       SELECT o_orderkey AS k, o_orderstatus AS status,
