@@ -24297,8 +24297,11 @@ _DRIVER_WINDOW = [
     "stream_iceberg_source_e2e",  # icebergstream source e2e (FIRST ROW)
     "hudi_interop_agg",        # Hudi CoW timeline reader (FIRST ROW)
     "txlog_uniform_export_agg",  # UniForm dual export (FIRST ROW)
-    # txlog lakehouse sentinels (family proven r7; MoR merge + CDF stay)
-    "txlog_mor_merge_agg",     # MoR MERGE sentinel (green r7)
+    # txlog lakehouse: CDF sentinel stays; the MoR slot goes to the
+    # round-8-born MoR DUAL EXPORT (txlog DV -> Delta DV bitmap + Iceberg
+    # position deletes, both read back independently) — the MoR family
+    # keeps txlog_mor_merge_agg's green r7 row and this in-window rep
+    "uniform_mor_dv_export_agg",  # MoR dual export (NEW r8, FIRST ROW)
     "stream_txlog_cdf_e2e",    # CDF stream sentinel (green r7)
     # join / partition showcase (all never-checked; judge-named)
     "salted_join_agg",         # skew-salted join (FIRST ROW)

@@ -540,8 +540,8 @@ def test_driver_window_composition():
         # family sentinels (every one has >=1 green driver row); every
         # rotated-out name keeps >=1 green row and an in-window sibling
         "expand_props_agg", "kafka_wire_pipeline", "q1_pricing_summary",
-        "pit_join_purchases", "txlog_mor_merge_agg", "stream_txlog_cdf_e2e",
-        "curation_pipeline_md5",
+        "pit_join_purchases", "uniform_mor_dv_export_agg",
+        "stream_txlog_cdf_e2e", "curation_pipeline_md5",
         # [REF] fidelity + wire + interop — first driver rows
         "schema_name_metadata_report", "avro_wire_expand_agg",
         "stream_debezium_cdc_e2e", "delta_dv_read_agg",
