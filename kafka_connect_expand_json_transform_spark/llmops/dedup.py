@@ -127,43 +127,57 @@ def _lsh_pairs_impl(
 def _pairs_from_keyed(keyed: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
     """(band_key, id) -> distinct candidate pairs with ``id_a < id_b``.
 
-    Buckets up to ``max_bucket`` emit all pairs (quadratic in bucket size but
-    bounded). Larger buckets — exactly the mass-duplicated clusters dedup
-    exists for — emit STAR edges to the bucket's min id: linear in bucket
-    size and connectivity-preserving, so connected-components dedup still
-    collapses the whole cluster. The trade-off is that pairwise verification
-    (Jaccard) then only checks members against the hub doc, relying on
-    near-transitivity inside a giant bucket.
+    Buckets up to ``max_bucket`` emit all pairs via a WITHIN-BUCKET
+    self-join (quadratic in bucket size but bounded, and fully
+    whole-stage-codegen'd).  Larger buckets — exactly the mass-duplicated
+    clusters dedup exists for — emit STAR edges to the bucket's min id:
+    linear in bucket size and connectivity-preserving, so connected-
+    components dedup still collapses the whole cluster.  The trade-off is
+    that pairwise verification (Jaccard) then only checks members against
+    the hub doc, relying on near-transitivity inside a giant bucket.
 
-    Both regimes are generated by ONE conditional expression over the bucket
-    aggregate (CASE is lazily evaluated per row).  The earlier small/big
-    filter + union shape referenced the aggregate twice, which re-evaluated
-    the ENTIRE upstream plan — scan, shingling, every MinHash — once per
-    branch: ~2x the whole signature cost at any scale.
-    """
-    buckets = (
-        keyed.groupBy("band_key")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .where(F.size("ids") > 1)
-        .select("ids", F.array_min("ids").alias("mn"))  # stage mn: O(n), not O(n^2)
+    History of this shape: a collect_list + nested-transform expression
+    generated the pairs before round 8, but (a) interpreted higher-order
+    functions run ~10x slower than the codegen'd join and pay a flaky
+    multi-second JIT warm-up (measured 20-30 s vs 1.5-4 s at sf0.1 on the
+    round-8 corpus), and (b) collect_list materializes an entire bucket
+    as ONE array row — a mass-duplicated band at 100 TB becomes a single
+    giant row long before the star cap applies.  The join never
+    materializes a bucket; the (band_key, __n, __mn) routing table is the
+    bucket aggregate, lazily localCheckpointed so the signature lineage
+    above it executes once, not once per branch."""
+    # keyed is referenced by the size aggregate AND the join probe side:
+    # without the checkpoint the signature pipeline above (pandas-UDF
+    # votes / MinHash) executes once per reference
+    keyed = keyed.localCheckpoint(eager=False)
+    sizes = keyed.groupBy("band_key").agg(
+        F.count("*").alias("__n"), F.min(id_col).alias("__mn")
     )
-    star = F.transform(
-        F.filter(F.col("ids"), lambda y: y != F.col("mn")),
-        lambda y: F.struct(F.col("mn").alias("a"), y.alias("b")),
+    sized = keyed.join(
+        sizes.where(F.col("__n") > 1), "band_key"
+    ).localCheckpoint(eager=False)
+    small = sized.where(F.col("__n") <= max_bucket)
+    small_pairs = (
+        small.select("band_key", F.col(id_col).alias("id_a"))
+        .join(small.select("band_key", F.col(id_col).alias("id_b")),
+              "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
     )
-    pairs_arr = F.when(F.size("ids") <= max_bucket, _pairs_expr(F.col("ids"))).otherwise(
-        star
-    )
-    return (
-        buckets.select(F.explode(pairs_arr).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .distinct()
-    )
+    star_pairs = sized.where(
+        (F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__mn"))
+    ).select(F.col("__mn").alias("id_a"), F.col(id_col).alias("id_b"))
+    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def _pairs_expr(ids: Column) -> Column:
-    """All unordered pairs from an id array, as array<struct<a,b>> with a<b —
-    pure expressions (flatten of per-element transforms)."""
+    """All unordered pairs from an id array, as array<struct<a,b>> with
+    a<b — pure expressions (flatten of per-element transforms).  The
+    inner slice re-evaluates the sort per outer element (interpreted HOFs
+    have no subexpression reuse: O(n^2 log n) per array), so keep this to
+    SMALL-k arrays — per-entity sets like parts-per-order — never LSH
+    buckets; ``_pairs_from_keyed`` generates bucket pairs with a
+    codegen'd within-bucket join instead."""
     sorted_ids = F.array_sort(ids)
     return F.flatten(
         F.transform(
@@ -403,10 +417,19 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             flat = np.concatenate(
                 [np.asarray(hashes.iloc[i], dtype=np.int64) for i in sl]
             ).astype(np.uint64)
-            bits = (((flat[:, None] >> shifts) & 1).astype(np.int8) * 2 - 1)
+            # np.unpackbits over the little-endian byte view IS the bit
+            # matrix: the broadcast-shift formulation
+            # ((flat[:,None] >> shifts) & 1) hits a non-vectorized numpy
+            # uint64 path — measured 13-25 s vs ~2 s for unpackbits at
+            # 270k tokens (round-8 corpus); bit k of the uint64 is column
+            # k of the little-endian unpack, verified bit-identical
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
             offsets = np.concatenate(([0], np.cumsum(lengths[sl])[:-1]))
-            votes = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
-            sig = (votes > 0).astype(np.uint64) << shifts
+            ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+            # majority vote: (+1 votes) - (-1 votes) > 0  <=>  2*ones > n
+            sig = ((2 * ones) > lengths[sl][:, None]).astype(np.uint64) << shifts
             out[sl] = sig.sum(axis=1).astype(np.int64)
             start = end
         return pd.Series(out)
