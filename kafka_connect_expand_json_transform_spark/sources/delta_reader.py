@@ -68,8 +68,11 @@ def _log_dir(path: str) -> str:
 def _list_log(path: str) -> tuple[dict[int, str], dict[int, list[str]]]:
     """(commit JSONs by version, checkpoint PART LISTS by version).  A
     single-part checkpoint is a one-element list; a multi-part checkpoint
-    (``V.checkpoint.P.N.parquet``) contributes its parts in part order
-    and is refused INCOMPLETE (missing parts would silently drop state)."""
+    (``V.checkpoint.P.N.parquet``) contributes its parts in part order.
+    An INCOMPLETE multi-part set is SKIPPED, not refused: PROTOCOL.md
+    tells readers to ignore partially-written checkpoints (writers can
+    crash mid-write) — replay falls back to a complete checkpoint at the
+    same or an earlier version, or to the commit chain."""
     commits: dict[int, str] = {}
     ckpts: dict[int, list[str]] = {}
     multi: dict[int, dict[int, tuple[int, str]]] = {}
@@ -93,10 +96,9 @@ def _list_log(path: str) -> tuple[dict[int, str], dict[int, list[str]]]:
     for v, parts in multi.items():
         nparts = {n for n, _p in parts.values()}
         if len(nparts) != 1 or set(parts) != set(range(1, nparts.pop() + 1)):
-            raise DeltaProtocolUnsupported(
-                f"multi-part checkpoint at version {v} is incomplete "
-                f"(found parts {sorted(parts)})"
-            )
+            # partially-written multi-part set — ignore it per PROTOCOL.md;
+            # replay uses another checkpoint or the commit chain instead
+            continue
         # a single-part checkpoint at the same version wins (either is
         # complete; prefer the one-file read)
         ckpts.setdefault(v, [p for _n, p in
@@ -121,9 +123,15 @@ def _checkpoint_actions(ckpt_path: str):
                 if row.get(kind) is not None:
                     action = row[kind]
                     # arrow MAP columns round-trip as [(k, v), ...] pairs
-                    pv = action.get("partitionValues") if isinstance(action, dict) else None
-                    if isinstance(pv, list):
-                        action["partitionValues"] = dict(pv)
+                    if isinstance(action, dict):
+                        for mk in ("partitionValues", "configuration"):
+                            if isinstance(action.get(mk), list):
+                                action[mk] = dict(action[mk])
+                        fmt = action.get("format")
+                        if isinstance(fmt, dict) and isinstance(
+                            fmt.get("options"), list
+                        ):
+                            fmt["options"] = dict(fmt["options"])
                     yield {kind: action}
 
 

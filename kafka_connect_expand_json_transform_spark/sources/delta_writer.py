@@ -157,17 +157,22 @@ def delta_checkpoint(root: str, version: int | None = None) -> str:
     tables: without one, every reader (and every ``delta_append``) walks
     the FULL commit history; with one, replay starts at the newest
     checkpoint.  Planner-side: the state is the live-file list, the same
-    O(live files) every Delta checkpointer materializes.  Tables whose
-    adds carry deletion vectors are refused (dropping the descriptor
-    would resurrect deleted rows)."""
+    O(live files) every Delta checkpointer materializes.  Adds carrying
+    deletion-vector descriptors keep them verbatim (PROTOCOL.md: the DV
+    descriptor is part of the add's state — long-lived MoR tables need
+    checkpoints most), and unexpired remove tombstones ride along so
+    external readers keep their retention info."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     files, meta, protocol, v = _replay(root, version)
-    if any(add.get("deletionVector") for add in files.values()):
-        raise ValueError(
-            "checkpointing deletion-vector tables is not supported"
-        )
+    dv_t = pa.struct([
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()),
+        ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
     add_t = pa.struct([
         ("path", pa.string()),
         ("partitionValues", pa.map_(pa.string(), pa.string())),
@@ -175,12 +180,25 @@ def delta_checkpoint(root: str, version: int | None = None) -> str:
         ("modificationTime", pa.int64()),
         ("dataChange", pa.bool_()),
         ("stats", pa.string()),
+        ("deletionVector", dv_t),
+    ])
+    remove_t = pa.struct([
+        ("path", pa.string()),
+        ("deletionTimestamp", pa.int64()),
+        ("dataChange", pa.bool_()),
+    ])
+    fmt_t = pa.struct([
+        ("provider", pa.string()),
+        ("options", pa.map_(pa.string(), pa.string())),
     ])
     meta_t = pa.struct([
         ("id", pa.string()),
+        ("name", pa.string()),
+        ("format", fmt_t),
         ("schemaString", pa.string()),
         ("partitionColumns", pa.list_(pa.string())),
         ("configuration", pa.map_(pa.string(), pa.string())),
+        ("createdTime", pa.int64()),
     ])
     proto_t = pa.struct([
         ("minReaderVersion", pa.int32()),
@@ -197,6 +215,13 @@ def delta_checkpoint(root: str, version: int | None = None) -> str:
     # checkpoint schema): once pre-checkpoint commits are vacuumed, the
     # streaming sink's exactly-once dedup would otherwise reset
     txns: dict[str, dict] = {}
+    tombstones: dict[str, int] = {}  # removed path -> deletionTimestamp ms
+
+    def _note_tomb(action: dict) -> None:
+        ts = action.get("deletionTimestamp") or 0
+        p = action["path"]
+        tombstones[p] = max(tombstones.get(p, 0), int(ts))
+
     commits, _ckpts = _list_log(root)
     for cv in sorted(c for c in commits if c <= v):
         with open(commits[cv], encoding="utf-8") as fh:
@@ -205,6 +230,8 @@ def delta_checkpoint(root: str, version: int | None = None) -> str:
                 if not line:
                     continue
                 a = json.loads(line)
+                if a.get("remove"):
+                    _note_tomb(a["remove"])
                 t = a.get("txn")
                 if t and (t["appId"] not in txns
                           or int(t["version"])
@@ -224,6 +251,8 @@ def delta_checkpoint(root: str, version: int | None = None) -> str:
 
         for part in _ckpts[base]:
             for a in _checkpoint_actions(part):
+                if a.get("remove"):
+                    _note_tomb(a["remove"])
                 t = a.get("txn")
                 if t and (t["appId"] not in txns
                           or int(t["version"])
@@ -234,6 +263,19 @@ def delta_checkpoint(root: str, version: int | None = None) -> str:
                         "lastUpdated": t.get("lastUpdated"),
                     }
     txn_rows = [txns[k] for k in sorted(txns)]
+
+    def _dv_row(add: dict):
+        dv = add.get("deletionVector")
+        if not dv:
+            return None
+        return {
+            "storageType": dv.get("storageType"),
+            "pathOrInlineDv": dv.get("pathOrInlineDv"),
+            "offset": dv.get("offset"),
+            "sizeInBytes": dv.get("sizeInBytes"),
+            "cardinality": dv.get("cardinality"),
+        }
+
     adds = [
         {
             "path": add["path"],
@@ -245,14 +287,32 @@ def delta_checkpoint(root: str, version: int | None = None) -> str:
             # a checkpointed add is state, not a change event
             "dataChange": False,
             "stats": add.get("stats"),
+            "deletionVector": _dv_row(add),
         }
         for _rel, add in sorted(files.items())
     ]
+    # unexpired tombstones ride the checkpoint (PROTOCOL.md: readers keep
+    # retention info once pre-checkpoint commits are cleaned up); a path
+    # re-added later is live state, not a tombstone
+    tomb_cutoff_ms = int((_time.time() - 168.0 * 3600.0) * 1000)
+    removes = [
+        {"path": p, "deletionTimestamp": ts, "dataChange": False}
+        for p, ts in sorted(tombstones.items())
+        if p not in files and ts >= tomb_cutoff_ms
+    ]
     meta_row = {
         "id": meta.get("id"),
+        "name": meta.get("name"),
+        "format": {
+            "provider": (meta.get("format") or {}).get("provider", "parquet"),
+            "options": sorted(
+                ((meta.get("format") or {}).get("options") or {}).items()
+            ),
+        },
         "schemaString": meta.get("schemaString"),
         "partitionColumns": list(meta.get("partitionColumns") or []),
         "configuration": sorted((meta.get("configuration") or {}).items()),
+        "createdTime": meta.get("createdTime"),
     }
     proto_row = {
         "minReaderVersion": (protocol or {}).get("minReaderVersion", 1),
@@ -260,13 +320,17 @@ def delta_checkpoint(root: str, version: int | None = None) -> str:
         "readerFeatures": (protocol or {}).get("readerFeatures"),
         "writerFeatures": (protocol or {}).get("writerFeatures"),
     }
-    n = len(adds) + len(txn_rows) + 2
+    n = len(adds) + len(removes) + len(txn_rows) + 2
     rows_add = [*adds] + [None] * (n - len(adds))
-    rows_txn = ([None] * len(adds)) + txn_rows + [None, None]
+    rows_remove = ([None] * len(adds)) + removes + [None] * (
+        len(txn_rows) + 2
+    )
+    rows_txn = ([None] * (len(adds) + len(removes))) + txn_rows + [None, None]
     rows_meta = [None] * (n - 2) + [meta_row, None]
     rows_proto = [None] * (n - 1) + [proto_row]
     table = pa.table({
         "add": pa.array(rows_add, add_t),
+        "remove": pa.array(rows_remove, remove_t),
         "txn": pa.array(rows_txn, txn_t),
         "metaData": pa.array(rows_meta, meta_t),
         "protocol": pa.array(rows_proto, proto_t),
@@ -421,8 +485,15 @@ def _predicate_hints(predicate: str) -> list[tuple]:
     for log-level file skipping (each parsed term may prune a file on its
     add-action stats; unparsed terms are simply not used — pruning stays
     sound because hints only ever SKIP files whose stats prove no match).
-    An OR at the top level defeats conjunct splitting, so it yields no
-    hints at all."""
+    An OR anywhere outside a string literal defeats conjunct splitting
+    (SQL precedence binds AND tighter: ``a=1 AND b=2 OR c=3`` is
+    ``(a=1 AND b=2) OR c=3``, so no single conjunct is required), so it
+    yields no hints at all."""
+    # blank out '…' literals (with '' escapes) before the OR scan so a
+    # value like name = 'black OR white' does not disable pruning
+    stripped = re.sub(r"'(?:[^']|'')*'", "''", predicate)
+    if re.search(r"(?i)\bOR\b", stripped):
+        return []
     hints = []
     for term in re.split(r"(?i)\s+AND\s+", predicate):
         m = _HINT_TERM.match(term)
@@ -618,10 +689,46 @@ def delta_vacuum(
     the removed relative paths.  Time travel to versions whose files were
     vacuumed stops working — Delta's own documented trade; the retention
     window is the guard, and the reader's replay fails loudly (missing
-    file at scan) rather than returning partial rows.  Leftover
+    file at scan) rather than returning partial rows.  Retention is keyed
+    off the remove action's ``deletionTimestamp`` (when the file became
+    UNREFERENCED — Delta's own rule: the window protects concurrent
+    readers and recent time travel, which file mtime cannot), with mtime
+    as the floor and the only signal for untracked leftovers.  Leftover
     ``_stage_*`` attempt dirs from crashed writers age out by the same
-    rule.  Planner-side: one replay + one directory walk."""
+    rule.  Planner-side: one replay + one log walk + one directory
+    walk."""
     files, _meta, _proto, _head = _replay(root, None)
+    # tombstone timestamps: rel path -> latest deletionTimestamp (ms)
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        _checkpoint_actions,
+        _list_log,
+    )
+
+    commits, ckpts = _list_log(root)
+    deleted_at: dict[str, float] = {}
+
+    def _note_remove(action: dict) -> None:
+        rel = os.path.normpath(action["path"])
+        ts = action.get("deletionTimestamp")
+        if ts is not None:
+            deleted_at[rel] = max(deleted_at.get(rel, 0.0), ts / 1000.0)
+
+    base = max(ckpts, default=None)
+    if base is not None:
+        for part in ckpts[base]:
+            for a in _checkpoint_actions(part):
+                if a.get("remove"):
+                    _note_remove(a["remove"])
+    for v in sorted(commits):
+        if base is not None and v <= base:
+            continue
+        with open(commits[v], encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if a.get("remove"):
+                        _note_remove(a["remove"])
     live = {os.path.normpath(rel) for rel in files}
     for add in files.values():
         dv = add.get("deletionVector")
@@ -645,7 +752,12 @@ def delta_vacuum(
             if rel in live:
                 continue
             try:
-                if os.path.getmtime(full) >= cutoff:
+                # cutoff applies to when the file became UNREFERENCED
+                # (tombstone deletionTimestamp), not when it was written;
+                # mtime is the floor, and the only signal for untracked
+                # files (crashed-writer leftovers with no remove action)
+                if max(deleted_at.get(rel, 0.0),
+                       os.path.getmtime(full)) >= cutoff:
                     continue
             except OSError:
                 continue  # raced with a concurrent writer's cleanup

@@ -460,6 +460,17 @@ def register_iceberg_stream_source(spark: SparkSession) -> None:
             }
 
         def partitions(self, start: dict, end: dict):
+            # offsets from before the r8 snapshot-id format carry a "pos"
+            # key; treating them as initial would silently re-stream every
+            # snapshot (duplicates) — fail closed instead, same contract
+            # as _resolve_pos on an expired snapshot
+            for off in (start, end):
+                if off and "pos" in off:
+                    raise ValueError(
+                        "icebergstream checkpoint holds a legacy {'pos': N} "
+                        "offset from a previous format; exactly-once resume "
+                        "is impossible — restart from a fresh checkpoint"
+                    )
             return [
                 _SnapRange(
                     self.root, start.get("snapshot_id"),

@@ -656,6 +656,25 @@ def test_module_dv_encoder_roundtrip_and_cross_check():
     assert _roaring_array_bytes([1, 3, 70000]) == _dv_array_bytes([1, 3, 70000])
 
 
+def test_checkpoint_preserves_deletion_vectors(spark, tmp_path):
+    # r9: DV descriptors ride checkpoint adds verbatim (PROTOCOL.md — the
+    # descriptor is part of the add's state); long-lived MoR tables need
+    # checkpoints most, so the old refusal is gone
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_checkpoint,
+    )
+
+    root = str(tmp_path / "dvck")
+    data = _dv_array_bytes([1, 3])
+    _dv_table(root, {"storageType": "i", "pathOrInlineDv": _z85_encode(data),
+                     "sizeInBytes": len(data), "cardinality": 2})
+    delta_checkpoint(root)
+    # replay must go THROUGH the checkpoint: drop the only commit
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    got = sorted(r.id for r in read_delta(spark, root).collect())
+    assert got == [10, 12, 14]
+
+
 def test_read_delta_pathtype_dv_via_write_dv_file(spark, tmp_path):
     from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
         write_dv_file,
@@ -713,11 +732,35 @@ def test_multipart_checkpoint_replay(spark, tmp_path):
     _commit(root, 2, [_add("part-d.parquet")])
     assert sorted(r.id for r in read_delta(spark, root).collect()) == [1, 2, 4, 9]
 
-    # drop part 2 -> incomplete -> refused
+    # drop part 2 -> incomplete set is IGNORED per PROTOCOL.md (writers
+    # can crash mid-checkpoint); with commits 0-1 also gone, replay
+    # genuinely needs it and fails loudly on the missing commit chain
     os.remove(os.path.join(log, f"{1:020d}.checkpoint."
                                 f"{2:010d}.{2:010d}.parquet"))
-    with pytest.raises(DeltaProtocolUnsupported, match="incomplete"):
+    with pytest.raises(ValueError, match="missing commit"):
         read_delta(spark, root)
+
+
+def test_incomplete_multipart_checkpoint_ignored_when_covered(spark, tmp_path):
+    # a partially-written multi-part checkpoint must NOT make the table
+    # unreadable when the commit chain (or another checkpoint) covers
+    # replay — PROTOCOL.md: readers ignore partial checkpoints
+    root = _plain_table(tmp_path)
+    log = os.path.join(root, "_delta_log")
+    add_t = pa.struct([("path", pa.string()),
+                       ("partitionValues", pa.map_(pa.string(), pa.string())),
+                       ("size", pa.int64()), ("modificationTime", pa.int64()),
+                       ("dataChange", pa.bool_())])
+    # only part 2 of a 2-part set at version 1 (part 1 never landed)
+    pq.write_table(
+        pa.table({"add": pa.array(
+            [{"path": "part-zzz.parquet", "partitionValues": [], "size": 1,
+              "modificationTime": 0, "dataChange": True}], add_t)}),
+        os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    # full commit chain still present -> table reads normally, the phantom
+    # part's add never surfaces
+    assert sorted(r.id for r in read_delta(spark, root).collect()) == [1, 2, 4]
 
 
 def test_change_data_feed_partitioned(spark, tmp_path):

@@ -163,8 +163,36 @@ def test_predicate_hints_parser():
     assert _predicate_hints("`k` < 1.5") == [("k", "<", 1.5)]
     # OR defeats conjunct splitting -> no hints (sound: nothing pruned)
     assert _predicate_hints("k = 1 OR v = 2") == []
+    # MIXED AND/OR: SQL precedence makes "a AND b OR c" = "(a AND b) OR c",
+    # so NO term is a required conjunct — the pre-r9 parser returned
+    # [('k','=',99)] here and silently skipped rows in pruned files
+    assert _predicate_hints("k = 1 OR v = 'a' AND k = 99") == []
+    assert _predicate_hints("v = 'a' AND k = 2 OR k = 3") == []
+    assert _predicate_hints("k = 1 AND (v = 'a' OR v = 'b')") == []
+    # ...but an OR INSIDE a string literal must not disable pruning
+    assert _predicate_hints("v = 'black OR white'") == [
+        ("v", "=", "black OR white")]
     # unparseable conjuncts are skipped, parseable ones still prune
     assert _predicate_hints("k % 2 = 0 AND k > 5") == [("k", ">", 5)]
+
+
+def test_delete_where_mixed_and_or_predicate(spark, tmp_path):
+    # e2e for the ADVICE-r8 high finding: a mixed AND/OR predicate must
+    # delete rows matching the OR arm even when they live in a file the
+    # (bogus) AND-split hint would have pruned
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_delete_where,
+    )
+
+    root = str(tmp_path / "mix")
+    delta_append(_df(spark, 0, 10).coalesce(1), root)    # file A: k 0-9
+    delta_append(_df(spark, 10, 20).coalesce(1), root)   # file B: k 10-19
+    # (k = 12 AND v = 24) OR k = 3 — the old hint (k,=,12)-style pruning
+    # would skip file A entirely, missing k=3
+    version, n = delta_delete_where(spark, root, "k = 12 AND v = 24 OR k = 3")
+    assert (version, n) == (2, 2)
+    got = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got == [k for k in range(20) if k not in (3, 12)]
 
 
 def test_cow_stats_pruning_skips_unaffected_files(spark, tmp_path):
@@ -286,6 +314,46 @@ def test_checkpoint_write_bounded_replay_and_txn_survival(spark, tmp_path):
     assert delta_append(_df(spark, 0, 5), root, txn=("app", 11)) == 11  # no-op
 
 
+def test_checkpoint_carries_format_and_tombstones(spark, tmp_path):
+    # ADVICE-r8 low: the checkpoint metaData must carry the
+    # protocol-required format field, and unexpired remove tombstones must
+    # ride the checkpoint so retention info survives log cleanup
+    import time as _t
+
+    import pyarrow.parquet as pq
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_checkpoint,
+        delta_delete_where,
+        delta_vacuum,
+    )
+
+    root = str(tmp_path / "ckfmt")
+    delta_append(_df(spark, 0, 10).coalesce(1), root)
+    delta_append(_df(spark, 10, 20).coalesce(1), root)
+    delta_delete_where(spark, root, "k >= 15")  # tombstones file B
+    path = delta_checkpoint(root)
+    rows = pq.read_table(path).to_pylist()
+    metas = [r["metaData"] for r in rows if r.get("metaData")]
+    assert len(metas) == 1
+    assert metas[0]["format"]["provider"] == "parquet"
+    removes = [r["remove"] for r in rows if r.get("remove")]
+    assert len(removes) == 1 and "v00001" in removes[0]["path"]
+    assert removes[0]["deletionTimestamp"] > 0
+    # drop every pre-checkpoint commit: the table still reads, and vacuum
+    # still keys retention off the CHECKPOINTED tombstone timestamp even
+    # when the data file's mtime is ancient
+    log = os.path.join(root, "_delta_log")
+    for v in range(3):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert read_delta(spark, root).count() == 15
+    old = _t.time() - 8 * 24 * 3600
+    for n in os.listdir(root):
+        if n.endswith(".parquet"):
+            os.utime(os.path.join(root, n), (old, old))
+    assert delta_vacuum(root) == []
+
+
 def test_vacuum_unreferenced_files(spark, tmp_path):
     from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
         delta_delete_where,
@@ -308,3 +376,41 @@ def test_vacuum_unreferenced_files(spark, tmp_path):
     assert sorted(r.k for r in read_delta(spark, root).collect()) == list(range(15))
     with pytest.raises(Exception):
         read_delta(spark, root, version=1).collect()
+
+
+def test_vacuum_retention_keys_off_tombstone_not_mtime(spark, tmp_path):
+    # ADVICE-r8 medium: the retention window protects concurrent readers /
+    # recent time travel, so it applies to WHEN THE FILE BECAME
+    # UNREFERENCED (remove action's deletionTimestamp), not the file's
+    # creation mtime — a file written 8 days ago but unreferenced seconds
+    # ago must survive the default 168h window
+    import time as _t
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_delete_where,
+        delta_vacuum,
+    )
+
+    root = str(tmp_path / "vac2")
+    delta_append(_df(spark, 0, 10).coalesce(1), root)
+    delta_append(_df(spark, 10, 20).coalesce(1), root)
+    # age every data file's mtime to 8 days ago
+    eight_days_ago = _t.time() - 8 * 24 * 3600
+    for n in os.listdir(root):
+        if n.endswith(".parquet"):
+            os.utime(os.path.join(root, n), (eight_days_ago, eight_days_ago))
+    delta_delete_where(spark, root, "k >= 15")  # tombstones file B NOW
+    # default retention: the old-mtime-but-recently-unreferenced file stays
+    assert delta_vacuum(root) == []
+    assert delta_vacuum(root, dry_run=True) == []
+    # an UNTRACKED old file (no tombstone — crashed-writer leftover) still
+    # ages out by mtime alone
+    orphan = os.path.join(root, "orphan-leftover.parquet")
+    import shutil as _sh
+
+    src = next(os.path.join(root, n) for n in os.listdir(root)
+               if n.endswith(".parquet"))
+    _sh.copyfile(src, orphan)
+    os.utime(orphan, (eight_days_ago, eight_days_ago))
+    assert delta_vacuum(root) == ["orphan-leftover.parquet"]
+    assert not os.path.exists(orphan)

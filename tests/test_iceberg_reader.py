@@ -432,6 +432,54 @@ def test_icebergstream_snapshot_id_offsets_survive_expiry(spark, tmp_path):
     )
 
 
+def test_icebergstream_legacy_pos_offset_fails_closed(spark, tmp_path):
+    # ADVICE-r8 medium: a checkpoint written by the pre-r8 positional
+    # offset format ({"pos": N}) must FAIL the resume, not be treated as
+    # initial (which would silently re-stream every snapshot = duplicates)
+    import glob as _glob
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        register_iceberg_stream_source,
+    )
+
+    root, write_meta, (s1, s2, s3) = _append_only_table(tmp_path)
+    register_iceberg_stream_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(expect_error=False):
+        q = (
+            spark.readStream.format("icebergstream").option("path", root)
+            .load()
+            .writeStream.format("json").option("path", out)
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+        )
+        _drain(q, expect_error=expect_error)
+        return q
+
+    q = run()
+    assert q.exception() is None
+    # rewrite the committed offset to the legacy positional format
+    write_meta(2, [s1, s2, s3], 303)  # new data so the resume plans a batch
+    off_files = sorted(_glob.glob(os.path.join(ckpt, "offsets", "*")))
+    legacy_written = False
+    for f in off_files:
+        if os.path.basename(f).startswith("."):
+            continue
+        lines = open(f).read().splitlines()
+        for i, ln in enumerate(lines):
+            if ln.startswith("{") and "snapshot_id" in ln:
+                lines[i] = _json.dumps({"pos": 2})
+                legacy_written = True
+        with open(f, "w") as fh:
+            fh.write("\n".join(lines))
+    assert legacy_written
+    q2 = run(expect_error=True)
+    assert q2.exception() is not None
+    assert "legacy" in str(q2.exception()).lower()
+
+
 def test_ordered_snapshots_mixed_sequence_numbers(tmp_path):
     # ADVICE r7 #3 (second half): when only SOME snapshots carry
     # sequence-number (v1->v2 upgrade), ordering falls back to
