@@ -23,14 +23,30 @@ instant <= T.
   travel to an instant before the replacement still sees the replaced
   groups.
 
-Fail-closed (the same rule the Delta/Iceberg readers apply):
-MERGE_ON_READ tables (unmerged ``.log`` deltas in Hudi's binary
-HoodieLogFormat would be silently missing; parsing that format is out of
-scope for this reader) raise instead of mis-reading.
+MERGE_ON_READ tables are read too (round 9): each file slice = base
+parquet + ordered HoodieLogFormat ``.log`` blocks; the merge (newest
+record per ``_hoodie_record_key`` wins, delete blocks drop keys,
+rollback command blocks invalidate their target instant's blocks) runs
+SLICE-LOCALLY inside one Arrow-batched task per file slice — the same
+no-shuffle shape as Hudi's own merge-on-read scan, where a record key
+lives in exactly one file group so merging never needs cross-slice
+traffic.  The HoodieLogFormat block layout (magic ``#HUDI#``, block
+size, version, type ordinal, header map, content, footer map, trailing
+total-size) follows the public Apache Hudi sources
+(hudi-common .../table/log/HoodieLogFormatWriter.java: appendBlocks;
+block/HoodieLogBlock.java: getLogMetadataBytes, HoodieLogBlockType and
+HeaderMetadataType enums; HoodieAvroDataBlock.java / HoodieDeleteBlock
+.java for content layouts).  Avro record payloads ride the repo's own
+stdlib codec (avro_codec.py).
+
+Fail-closed (the same rule the Delta/Iceberg readers apply): pending
+compactions, unknown block-format versions, HFILE/PARQUET/CDC data
+blocks, and kryo-era delete blocks raise instead of mis-reading.
 
 Scale: the timeline is O(commits) small JSON files; only the live
 file-slice LIST reaches the planner — the bound every Hudi client's file
-index pays — and the data is one parquet scan.
+index pays — CoW data is one parquet scan, MoR data is one task per file
+slice with no shuffle.
 """
 
 from __future__ import annotations
@@ -38,10 +54,14 @@ from __future__ import annotations
 import json
 import os
 import re
+import struct
 
 from pyspark.sql import DataFrame, SparkSession
 
-_COMMIT_RE = re.compile(r"^(\d+)\.(commit|replacecommit)$")
+_COMMIT_RE = re.compile(r"^(\d+)\.(commit|deltacommit|replacecommit)$")
+_PENDING_COMPACTION_RE = re.compile(
+    r"^\d+\.compaction(\.requested|\.inflight)?$"
+)
 
 
 class HudiUnsupported(RuntimeError):
@@ -138,6 +158,12 @@ def read_hudi_incremental(
     does.  Reads only the file groups the range's commits touched."""
     from pyspark.sql import functions as F
 
+    props = _properties(path)
+    if props.get("hoodie.table.type", "COPY_ON_WRITE") != "COPY_ON_WRITE":
+        raise HudiUnsupported(
+            "incremental queries are CoW-only here: MoR incremental needs "
+            "per-block instant filtering inside log files"
+        )
     commits = hudi_timeline(path)  # newest first
     end = end_instant or (commits[0]["instant"] if commits else "")
     in_range = [c for c in commits
@@ -180,18 +206,17 @@ def read_hudi(
     as_of_instant: str | None = None,
     keep_meta: bool = False,
 ) -> DataFrame:
-    """Snapshot (or time-travel) read of a Hudi COPY_ON_WRITE table
-    without the hudi-spark bundle: timeline walk -> newest file slice per
-    file group -> one parquet scan.  ``_hoodie_*`` meta columns are
-    dropped unless ``keep_meta``."""
+    """Snapshot (or time-travel) read of a Hudi table without the
+    hudi-spark bundle: timeline walk -> newest file slice per file group
+    -> one parquet scan (COPY_ON_WRITE) or one merge task per slice
+    (MERGE_ON_READ).  ``_hoodie_*`` meta columns are dropped unless
+    ``keep_meta``."""
     props = _properties(path)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype == "MERGE_ON_READ":
+        return _read_hudi_mor(spark, path, as_of_instant, keep_meta)
     if ttype != "COPY_ON_WRITE":
-        raise HudiUnsupported(
-            f"table type {ttype} not supported: MERGE_ON_READ snapshots "
-            "need unmerged .log deltas applied — use a Hudi-native reader "
-            "or compact the table first"
-        )
+        raise HudiUnsupported(f"unknown hoodie.table.type {ttype!r}")
     files = _live_slices(path, as_of_instant)
     if not files:
         raise ValueError(f"no completed commits in {path}")
@@ -199,3 +224,396 @@ def read_hudi(
     if not keep_meta:
         df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
     return df
+
+
+# ---------------------------------------------------------------------------
+# MERGE_ON_READ: HoodieLogFormat codec + slice-local merge
+# ---------------------------------------------------------------------------
+
+_LOG_MAGIC = b"#HUDI#"
+_LOG_FORMAT_VERSION = 1
+# HoodieLogBlockType ordinals (hudi-common block/HoodieLogBlock.java)
+_BLK_COMMAND, _BLK_DELETE, _BLK_CORRUPT, _BLK_AVRO = 0, 1, 2, 3
+_BLK_HFILE, _BLK_PARQUET, _BLK_CDC = 4, 5, 6
+# HeaderMetadataType ordinals (same file)
+_HDR_INSTANT_TIME, _HDR_TARGET_INSTANT, _HDR_SCHEMA, _HDR_COMMAND_TYPE = (
+    0, 1, 2, 3,
+)
+_AVRO_BLOCK_VERSION = 3   # HoodieAvroDataBlock current content version
+_DELETE_BLOCK_VERSION = 3  # Avro-era HoodieDeleteBlock (kryo-era refused)
+
+#: HoodieDeleteRecordList.avsc (hudi-common avro schema, public)
+_DELETE_LIST_SCHEMA = {
+    "type": "record", "name": "HoodieDeleteRecordList",
+    "fields": [{"name": "deleteRecordList", "type": {
+        "type": "array", "items": {
+            "type": "record", "name": "HoodieDeleteRecord",
+            "fields": [
+                {"name": "recordKey", "type": ["null", "string"]},
+                {"name": "partitionPath", "type": ["null", "string"]},
+                {"name": "orderingVal", "type": ["null", "long"]},
+            ]}}}],
+}
+
+
+def _meta_map_bytes(entries: dict[int, str]) -> bytes:
+    """HoodieLogBlock.getLogMetadataBytes: int count, then per entry
+    int ordinal + int length + utf8 bytes (Java DataOutputStream, BE)."""
+    out = bytearray(struct.pack(">i", len(entries)))
+    for k in sorted(entries):
+        raw = entries[k].encode("utf-8")
+        out += struct.pack(">ii", k, len(raw))
+        out += raw
+    return bytes(out)
+
+
+def _read_meta_map(buf: memoryview, pos: int) -> tuple[dict[int, str], int]:
+    (count,) = struct.unpack_from(">i", buf, pos)
+    pos += 4
+    out: dict[int, str] = {}
+    for _ in range(count):
+        k, n = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        out[k] = bytes(buf[pos:pos + n]).decode("utf-8")
+        pos += n
+    return out, pos
+
+
+def write_hudi_log_file(path: str, blocks: list[dict]) -> None:
+    """Append HoodieLogFormat blocks to ``path`` (fixture/export writer;
+    layout per HoodieLogFormatWriter.appendBlocks).  Each block dict:
+
+    * ``{"type": "avro", "instant": t, "schema": <avro json>,
+       "records": [dict, ...]}``  — data block;
+    * ``{"type": "delete", "instant": t, "keys": [str, ...]}`` — delete;
+    * ``{"type": "rollback", "instant": t, "target_instant": t0}`` —
+      command block invalidating t0's earlier blocks.
+    """
+    from kafka_connect_expand_json_transform_spark.sources.avro_codec import (
+        collect_named,
+        encode_value,
+    )
+
+    with open(path, "ab") as fh:
+        for b in blocks:
+            header = {_HDR_INSTANT_TIME: str(b["instant"])}
+            if b["type"] == "avro":
+                schema = b["schema"]
+                named: dict = {}
+                collect_named(schema, named)
+                header[_HDR_SCHEMA] = json.dumps(schema)
+                body = bytearray(struct.pack(
+                    ">ii", _AVRO_BLOCK_VERSION, len(b["records"])
+                ))
+                for rec in b["records"]:
+                    rb = bytearray()
+                    encode_value(rb, schema, rec, named)
+                    body += struct.pack(">i", len(rb))
+                    body += rb
+                btype, content = _BLK_AVRO, bytes(body)
+            elif b["type"] == "delete":
+                named = {}
+                collect_named(_DELETE_LIST_SCHEMA, named)
+                rb = bytearray()
+                encode_value(rb, _DELETE_LIST_SCHEMA, {
+                    "deleteRecordList": [
+                        {"recordKey": k, "partitionPath": b.get(
+                            "partition_path", ""), "orderingVal": None}
+                        for k in b["keys"]
+                    ]}, named)
+                body = struct.pack(
+                    ">ii", _DELETE_BLOCK_VERSION, len(rb)
+                ) + bytes(rb)
+                btype, content = _BLK_DELETE, body
+            elif b["type"] == "rollback":
+                header[_HDR_TARGET_INSTANT] = str(b["target_instant"])
+                header[_HDR_COMMAND_TYPE] = "0"  # ROLLBACK_BLOCK ordinal
+                btype, content = _BLK_COMMAND, b""
+            else:
+                raise ValueError(f"unknown log block type {b['type']!r}")
+            hdr = _meta_map_bytes(header)
+            ftr = _meta_map_bytes({})
+            # bytes after the size field through the trailing total-size
+            inner = (4 + 4 + len(hdr) + 8 + len(content) + len(ftr) + 8)
+            out = bytearray(_LOG_MAGIC)
+            out += struct.pack(">q", inner)
+            out += struct.pack(">ii", _LOG_FORMAT_VERSION, btype)
+            out += hdr
+            out += struct.pack(">q", len(content))
+            out += content
+            out += ftr
+            out += struct.pack(">q", len(_LOG_MAGIC) + 8 + inner)
+            fh.write(out)
+
+
+def _iter_log_blocks(path: str):
+    """Yield ``(block_type, header, content bytes)`` from a HoodieLogFormat
+    file; malformed framing fails closed (a real scanner marks CORRUPT
+    blocks, but silently skipping deltas would return wrong rows)."""
+    with open(path, "rb") as fh:
+        data = memoryview(fh.read())
+    pos = 0
+    while pos < len(data):
+        if bytes(data[pos:pos + 6]) != _LOG_MAGIC:
+            raise HudiUnsupported(
+                f"bad log block magic at offset {pos} in {path}"
+            )
+        (inner,) = struct.unpack_from(">q", data, pos + 6)
+        block_end = pos + 6 + 8 + inner
+        if block_end > len(data):
+            raise HudiUnsupported(f"truncated log block in {path}")
+        p = pos + 14
+        ver, btype = struct.unpack_from(">ii", data, p)
+        p += 8
+        if ver != _LOG_FORMAT_VERSION:
+            raise HudiUnsupported(f"log format version {ver} unsupported")
+        header, p = _read_meta_map(data, p)
+        (clen,) = struct.unpack_from(">q", data, p)
+        p += 8
+        content = bytes(data[p:p + clen])
+        p += clen
+        _footer, p = _read_meta_map(data, p)
+        (total,) = struct.unpack_from(">q", data, p)
+        if total != 6 + 8 + inner:
+            raise HudiUnsupported(
+                f"log block length mismatch at offset {pos} in {path}"
+            )
+        yield btype, header, content
+        pos = block_end
+
+
+def _decode_log_records(log_paths: list[str], valid_instants: set[str]):
+    """Decode a slice's log files into ``(instant, seq, is_delete, record
+    dict)`` tuples in block order.  Blocks whose INSTANT_TIME is not a
+    completed instant are skipped (uncommitted writes — the scanner
+    contract); rollback command blocks invalidate their target instant's
+    blocks slice-wide (HoodieMergedLogRecordScanner semantics)."""
+    from kafka_connect_expand_json_transform_spark.sources.avro_codec import (
+        Decoder,
+        collect_named,
+        decode_value,
+    )
+
+    parsed = []  # (btype, header, content) across files, in order
+    rolled_back: set[str] = set()
+    for lp in log_paths:
+        for btype, header, content in _iter_log_blocks(lp):
+            if btype == _BLK_COMMAND:
+                if header.get(_HDR_COMMAND_TYPE) == "0":
+                    tgt = header.get(_HDR_TARGET_INSTANT)
+                    if tgt:
+                        rolled_back.add(tgt)
+                continue
+            parsed.append((btype, header, content))
+    out = []
+    seq = 0
+    for btype, header, content in parsed:
+        instant = header.get(_HDR_INSTANT_TIME, "")
+        if instant in rolled_back or instant not in valid_instants:
+            continue
+        if btype == _BLK_AVRO:
+            ver, n = struct.unpack_from(">ii", content, 0)
+            if ver != _AVRO_BLOCK_VERSION:
+                raise HudiUnsupported(
+                    f"avro data block content version {ver} unsupported"
+                )
+            schema = json.loads(header[_HDR_SCHEMA])
+            named: dict = {}
+            collect_named(schema, named)
+            p = 8
+            for _ in range(n):
+                (rlen,) = struct.unpack_from(">i", content, p)
+                p += 4
+                rec = decode_value(
+                    Decoder(memoryview(content)[p:p + rlen]), schema, named
+                )
+                p += rlen
+                out.append((instant, seq, False, rec))
+                seq += 1
+        elif btype == _BLK_DELETE:
+            ver, rlen = struct.unpack_from(">ii", content, 0)
+            if ver != _DELETE_BLOCK_VERSION:
+                raise HudiUnsupported(
+                    f"delete block content version {ver} unsupported "
+                    "(kryo-era delete blocks cannot be decoded)"
+                )
+            named = {}
+            collect_named(_DELETE_LIST_SCHEMA, named)
+            lst = decode_value(
+                Decoder(memoryview(content)[8:8 + rlen]),
+                _DELETE_LIST_SCHEMA, named,
+            )
+            for dr in lst["deleteRecordList"]:
+                out.append((instant, seq, True,
+                            {"_hoodie_record_key": dr["recordKey"]}))
+                seq += 1
+        else:
+            raise HudiUnsupported(
+                f"log block type ordinal {btype} unsupported (hfile/"
+                "parquet/cdc data blocks)"
+            )
+    return out
+
+
+def _mor_slices(path: str, as_of_instant: str | None) -> list[dict]:
+    """Newest file slice per file group: base parquet (if any) + that
+    slice's log files in version order.  Metadata-only (timeline JSON +
+    writeStats), never opens data files."""
+    commits = hudi_timeline(path)  # newest first
+    if as_of_instant is not None:
+        commits = [c for c in commits if c["instant"] <= str(as_of_instant)]
+        if not commits:
+            raise ValueError(
+                f"instant {as_of_instant} predates the first commit"
+            )
+    base: dict[str, tuple[str, str]] = {}   # fileId -> (instant, rel)
+    logs: dict[str, set[str]] = {}          # fileId -> {rel}
+    replaced: set[str] = set()
+    for c in commits:
+        meta = _load_instant(c["path"])
+        for stats in (meta.get("partitionToWriteStats") or {}).values():
+            for st in stats:
+                fid = st["fileId"]
+                if fid in replaced:
+                    continue
+                rel = st["path"]
+                if rel.endswith(".parquet"):
+                    if fid not in base:
+                        base[fid] = (c["instant"], rel)
+                else:
+                    logs.setdefault(fid, set()).add(rel)
+        replaced.update(_replaced_ids(meta))
+    slices = []
+    for fid in sorted(set(base) | set(logs)):
+        b = base.get(fid)
+        slice_logs = []
+        for rel in logs.get(fid, ()):
+            # log name: .{fileId}_{baseInstant}.log.{version}_{token}
+            # (public file-layout docs); a log belongs to the CURRENT
+            # slice iff its embedded base instant matches the live base
+            name = os.path.basename(rel)
+            m = re.match(
+                re.escape(f".{fid}_") + r"(\d+)\.log\.(\d+)", name
+            )
+            if not m:
+                raise HudiUnsupported(f"unparseable log file name {name!r}")
+            b_instant, ver = m.group(1), int(m.group(2))
+            if b is None or b_instant == b[0]:
+                slice_logs.append((ver, rel))
+        slices.append({
+            "file_id": fid,
+            "base": None if b is None else b[1],
+            "logs": [rel for _v, rel in sorted(slice_logs)],
+        })
+    return slices
+
+
+def _read_hudi_mor(
+    spark: SparkSession,
+    path: str,
+    as_of_instant: str | None,
+    keep_meta: bool,
+) -> DataFrame:
+    """MERGE_ON_READ snapshot: one Arrow-batched merge task per file
+    slice (base parquet + ordered log blocks), newest record per
+    ``_hoodie_record_key`` wins, delete blocks drop keys.  No shuffle: a
+    record key lives in exactly one file group, so the merge is
+    slice-local — the same plan shape as Hudi's own MoR scan RDD."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    for name in os.listdir(_hoodie_dir(path)):
+        if _PENDING_COMPACTION_RE.match(name):
+            raise HudiUnsupported(
+                f"pending compaction {name}: file slices are mid-rewrite; "
+                "read after the compaction commits"
+            )
+    commits = hudi_timeline(path)
+    if as_of_instant is not None:
+        commits = [c for c in commits if c["instant"] <= str(as_of_instant)]
+    if not commits:
+        raise ValueError(f"no completed commits in {path}")
+    valid_instants = {c["instant"] for c in commits}
+    slices = _mor_slices(path, as_of_instant)
+    base_paths = [s["base"] for s in slices if s["base"]]
+    if not base_paths:
+        raise HudiUnsupported(
+            "table has no base files — schema discovery needs at least one "
+            "parquet slice"
+        )
+    # one footer read resolves the table schema (Spark's own parquet
+    # type mapping, so the merge output matches a plain CoW read)
+    schema = spark.read.parquet(os.path.join(path, base_paths[0])).schema
+    if "_hoodie_record_key" not in schema.names:
+        raise HudiUnsupported(
+            "base files lack _hoodie_record_key (virtual-key tables are "
+            "not supported: log records cannot be matched to base rows)"
+        )
+    out_fields = [f for f in schema.fields
+                  if keep_meta or not f.name.startswith("_hoodie_")]
+    out_schema = T.StructType(out_fields)
+    table_root = os.path.abspath(path)
+
+    plan = spark.createDataFrame(
+        [(s["base"], s["logs"]) for s in slices],
+        T.StructType([
+            T.StructField("base", T.StringType(), True),
+            T.StructField("logs", T.ArrayType(T.StringType()), False),
+        ]),
+    ).repartition(max(len(slices), 1))
+
+    out_names = [f.name for f in out_fields]
+    np_dtype = {
+        "bigint": "int64", "int": "int32", "double": "float64",
+        "float": "float32", "boolean": "bool",
+    }
+    col_dtypes = [(f.name, np_dtype.get(f.dataType.simpleString()))
+                  for f in out_fields]
+
+    def merge_slices(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for base_rel, log_rels in zip(pdf["base"], pdf["logs"]):
+                frames = []
+                if base_rel is not None:
+                    b = pq.read_table(
+                        os.path.join(table_root, base_rel)
+                    ).to_pandas()
+                    b["__instant"] = b["_hoodie_commit_time"].astype(str)
+                    b["__seq"] = -1
+                    b["__del"] = False
+                    frames.append(b)
+                recs = _decode_log_records(
+                    [os.path.join(table_root, rel) for rel in log_rels],
+                    valid_instants,
+                )
+                if recs:
+                    rows = []
+                    for instant, seq, is_del, rec in recs:
+                        r = dict(rec)
+                        r["__instant"] = instant
+                        r["__seq"] = seq
+                        r["__del"] = is_del
+                        rows.append(r)
+                    frames.append(pd.DataFrame(rows))
+                if not frames:
+                    continue
+                merged = pd.concat(frames, ignore_index=True)
+                if merged["_hoodie_record_key"].isna().any():
+                    raise HudiUnsupported(
+                        "log record without _hoodie_record_key"
+                    )
+                merged = merged.sort_values(
+                    ["__instant", "__seq"], kind="stable"
+                ).drop_duplicates("_hoodie_record_key", keep="last")
+                merged = merged[~merged["__del"]]
+                out = pd.DataFrame(index=merged.index)
+                for name, dt in col_dtypes:
+                    col = merged[name] if name in merged else pd.Series(
+                        [None] * len(merged), index=merged.index
+                    )
+                    out[name] = col.astype(dt) if dt else col
+                yield out[out_names]
+
+    return plan.mapInPandas(merge_slices, out_schema)

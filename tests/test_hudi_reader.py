@@ -79,9 +79,153 @@ def test_timeline_newest_first(tmp_path):
     assert [c["instant"] for c in hudi_timeline(root)] == [C2, C1]
 
 
-def test_mor_fail_closed(spark, tmp_path):
-    root = _table(tmp_path, ttype="MERGE_ON_READ")
-    with pytest.raises(HudiUnsupported, match="MERGE_ON_READ"):
+C3 = "20260103000000000"
+
+_REC_SCHEMA = {
+    "type": "record", "name": "rec", "fields": [
+        {"name": "_hoodie_commit_time", "type": "string"},
+        {"name": "_hoodie_record_key", "type": "string"},
+        {"name": "id", "type": "long"},
+        {"name": "v", "type": "string"},
+    ],
+}
+
+
+def _mor_data(root, rel, ids, commit):
+    p = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    pq.write_table(pa.table({
+        "_hoodie_commit_time": [commit] * len(ids),
+        "_hoodie_record_key": [str(i) for i in ids],
+        "id": ids, "v": [f"v{i}" for i in ids],
+    }), p)
+
+
+def _rec(commit, i, v=None):
+    return {"_hoodie_commit_time": commit, "_hoodie_record_key": str(i),
+            "id": i, "v": v or f"v{i}"}
+
+
+def _deltacommit(root, instant, partition_stats):
+    with open(os.path.join(root, ".hoodie", f"{instant}.deltacommit"),
+              "w") as fh:
+        json.dump({"partitionToWriteStats": partition_stats}, fh)
+
+
+def _mor_table(tmp_path):
+    """MoR table: base fg1=[1,2,3] at C1; deltacommit C2 appends a log
+    with an update (1 -> v1b), an insert (5), and a delete (2)."""
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        write_hudi_log_file,
+    )
+
+    root = str(tmp_path / "mor")
+    _props(root, ttype="MERGE_ON_READ")
+    _mor_data(root, f"p/fg1_0-0-0_{C1}.parquet", [1, 2, 3], C1)
+    log_rel = f"p/.fg1_{C1}.log.1_0-0-0"
+    write_hudi_log_file(os.path.join(root, log_rel), [
+        {"type": "avro", "instant": C2, "schema": _REC_SCHEMA,
+         "records": [_rec(C2, 1, "v1b"), _rec(C2, 5)]},
+        {"type": "delete", "instant": C2, "keys": ["2"]},
+    ])
+    _commit(root, C1, {"p": [
+        {"fileId": "fg1", "path": f"p/fg1_0-0-0_{C1}.parquet"}]})
+    _deltacommit(root, C2, {"p": [{"fileId": "fg1", "path": log_rel}]})
+    return root, log_rel
+
+
+def test_mor_snapshot_merge(spark, tmp_path):
+    root, _log = _mor_table(tmp_path)
+    df = read_hudi(spark, root)
+    got = sorted((r.id, r.v) for r in df.collect())
+    # 1 updated, 2 deleted, 3 carried, 5 inserted
+    assert got == [(1, "v1b"), (3, "v3"), (5, "v5")]
+    assert not [c for c in df.columns if c.startswith("_hoodie_")]
+    kept = read_hudi(spark, root, keep_meta=True)
+    assert "_hoodie_record_key" in kept.columns
+
+
+def test_mor_time_travel_and_uncommitted_blocks(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        write_hudi_log_file,
+    )
+
+    root, log_rel = _mor_table(tmp_path)
+    # time travel to C1: the C2 deltacommit (and its blocks) is invisible
+    old = read_hudi(spark, root, as_of_instant=C1)
+    assert sorted((r.id, r.v) for r in old.collect()) == [
+        (1, "v1"), (2, "v2"), (3, "v3")]
+    # an appended block whose instant has NO completed deltacommit is an
+    # uncommitted write: the scanner must skip it
+    write_hudi_log_file(os.path.join(root, log_rel), [
+        {"type": "avro", "instant": "20990101000000000",
+         "schema": _REC_SCHEMA,
+         "records": [_rec("20990101000000000", 99)]},
+    ])
+    assert sorted(r.id for r in read_hudi(spark, root).collect()) == [1, 3, 5]
+
+
+def test_mor_rollback_command_block(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        write_hudi_log_file,
+    )
+
+    root, log_rel = _mor_table(tmp_path)
+    # deltacommit C3 inserts 7, then a rollback command block targets C3:
+    # its records must not surface even though C3 is a completed instant
+    write_hudi_log_file(os.path.join(root, log_rel), [
+        {"type": "avro", "instant": C3, "schema": _REC_SCHEMA,
+         "records": [_rec(C3, 7)]},
+        {"type": "rollback", "instant": f"{C3}9", "target_instant": C3},
+    ])
+    _deltacommit(root, C3, {"p": [{"fileId": "fg1", "path": log_rel}]})
+    assert sorted(r.id for r in read_hudi(spark, root).collect()) == [1, 3, 5]
+
+
+def test_mor_log_only_file_group(spark, tmp_path):
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        write_hudi_log_file,
+    )
+
+    root, _log = _mor_table(tmp_path)
+    # fg2 has NO base file — a log-only first slice (insert into log)
+    log2 = f"p/.fg2_{C2}.log.1_0-0-0"
+    write_hudi_log_file(os.path.join(root, log2), [
+        {"type": "avro", "instant": C3, "schema": _REC_SCHEMA,
+         "records": [_rec(C3, 42)]},
+    ])
+    _deltacommit(root, C3, {"p": [{"fileId": "fg2", "path": log2}]})
+    assert sorted(r.id for r in read_hudi(spark, root).collect()) == [
+        1, 3, 5, 42]
+
+
+def test_mor_fail_closed_gates(spark, tmp_path):
+    root, _log = _mor_table(tmp_path)
+    # pending compaction: slices are mid-rewrite -> refuse
+    marker = os.path.join(root, ".hoodie",
+                          f"{C3}.compaction.requested")
+    open(marker, "w").close()
+    with pytest.raises(HudiUnsupported, match="pending compaction"):
+        read_hudi(spark, root)
+    os.remove(marker)
+    # incremental stays CoW-only
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        read_hudi_incremental,
+    )
+
+    with pytest.raises(HudiUnsupported, match="CoW-only"):
+        read_hudi_incremental(spark, root, begin_instant=C1)
+
+
+def test_mor_virtual_keys_fail_closed(spark, tmp_path):
+    # base files without _hoodie_record_key: log records cannot be
+    # matched to base rows -> refuse rather than mis-merge
+    root = str(tmp_path / "vk")
+    _props(root, ttype="MERGE_ON_READ")
+    _data(root, f"p/fg1_0-0-0_{C1}.parquet", [1, 2], C1)  # no record key
+    _commit(root, C1, {"p": [
+        {"fileId": "fg1", "path": f"p/fg1_0-0-0_{C1}.parquet"}]})
+    with pytest.raises(HudiUnsupported, match="record_key"):
         read_hudi(spark, root)
 
 
