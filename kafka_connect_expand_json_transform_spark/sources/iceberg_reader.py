@@ -29,9 +29,11 @@ metadata tree is walked with PUBLIC structures only:
 * format-version 2 POSITION delete files are APPLIED on the snapshot read
   (merge-on-read: broadcast (file_path, pos) anti-join against
   ``_metadata``, the same shape as delta_reader's deletion vectors);
-  EQUALITY delete files are refused fail-closed (they need sequence-
-  number-ordered predicate evaluation — silently skipping them would be
-  WRONG).
+  EQUALITY delete files are APPLIED too (round 9): sequence-scoped
+  broadcast anti-joins on the ``equality_ids`` columns with NULL = NULL
+  semantics — a delete hits only data files whose data sequence number
+  is strictly less than the delete's, so a newer re-insert survives
+  (spec "Scan Planning" / "Equality Delete Files").
 
 Scale: manifest lists/manifests are block-streamed through the stdlib
 Avro codec; only the live-file LIST materializes on the planner (the same
@@ -278,18 +280,21 @@ def _partition_keep(entry_partition, where: list[tuple]) -> bool:
     return True
 
 
-def _snapshot_files(
+def _snapshot_entries(
     path: str, meta: dict, snapshot_id: int | None, where: list[tuple] | None = None
-) -> tuple[list[str], list[str]]:
-    """(data files, POSITION-delete files) live at the snapshot.  Equality
-    deletes (data_file content=2) are refused fail-closed — applying them
-    needs sequence-number-ordered predicate evaluation this reader does
-    not implement; position deletes name their target file by exact path
+) -> tuple[list[tuple[str, int]], list[str], list[tuple[str, int, tuple]]]:
+    """(data files with their data sequence numbers, POSITION-delete file
+    paths, EQUALITY-delete files as ``(path, seq, equality_ids)``) live at
+    the snapshot.  Position deletes name their target file by exact path
     (paths are unique, spec "Position Delete Files"), so stale entries
-    simply stop matching."""
+    simply stop matching; equality deletes are sequence-scoped — they
+    apply only to data files whose data sequence number is STRICTLY LESS
+    than the delete's (spec "Scan Planning": a row re-inserted by a newer
+    commit survives).  Sequence numbers inherit per the spec: entry ->
+    manifest-list row -> snapshot, defaulting to 0 for v1."""
     snaps = meta.get("snapshots", [])
     if not snaps:
-        return [], []
+        return [], [], []
     if snapshot_id is None:
         snapshot_id = meta["current-snapshot-id"]
     snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
@@ -299,8 +304,9 @@ def _snapshot_files(
     fields_by_name = {
         f["name"]: f for f in _current_schema(meta).get("fields", [])
     }
-    files: list[str] = []
-    deletes: list[str] = []
+    files: dict[str, int] = {}
+    pos_deletes: list[str] = []
+    eq_deletes: dict[tuple[str, int, tuple], None] = {}
     mlist = _resolve(path, location, snap["manifest-list"])
     for mrow in AC.read_container(mlist):
         is_delete_manifest = mrow.get("content", 0) == 1
@@ -309,6 +315,11 @@ def _snapshot_files(
             if entry["status"] == 2:  # DELETED
                 continue
             df_ = entry["data_file"]
+            seq = entry.get("sequence_number")
+            if seq is None:
+                seq = mrow.get("sequence_number")
+            if seq is None:
+                seq = snap.get("sequence-number", 0)
             content = df_.get("content", 1 if is_delete_manifest else 0)
             fmt = str(df_.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
@@ -322,22 +333,44 @@ def _snapshot_files(
                     continue
                 if where and not _bounds_keep(df_, where, fields_by_name):
                     continue
-                files.append(_resolve(path, location, df_["file_path"]))
+                files[_resolve(path, location, df_["file_path"])] = int(seq)
             elif content == 1:  # position deletes
-                deletes.append(_resolve(path, location, df_["file_path"]))
-            else:
-                raise IcebergUnsupported(
-                    "equality delete files are not supported; compact the "
-                    "table or use an Iceberg-native reader"
-                )
-    return sorted(set(files)), sorted(set(deletes))
+                pos_deletes.append(_resolve(path, location, df_["file_path"]))
+            else:  # equality deletes
+                ids = df_.get("equality_ids")
+                if not ids:
+                    raise IcebergUnsupported(
+                        "equality delete file without equality_ids"
+                    )
+                eq_deletes[(
+                    _resolve(path, location, df_["file_path"]),
+                    int(seq), tuple(sorted(ids)),
+                )] = None
+    return (sorted(files.items()), sorted(set(pos_deletes)),
+            sorted(eq_deletes))
+
+
+def _snapshot_files(
+    path: str, meta: dict, snapshot_id: int | None, where: list[tuple] | None = None
+) -> tuple[list[str], list[str]]:
+    """Back-compat wrapper: (data paths, position-delete paths); callers
+    that cannot sequence-scope equality deletes refuse them here."""
+    files, pos_deletes, eq_deletes = _snapshot_entries(
+        path, meta, snapshot_id, where
+    )
+    if eq_deletes:
+        raise IcebergUnsupported(
+            "equality delete files need sequence-scoped application — "
+            "read through read_iceberg"
+        )
+    return [p for p, _seq in files], pos_deletes
 
 
 def _live_files(
     path: str, meta: dict, snapshot_id: int | None, where: list[tuple] | None = None
 ) -> list[str]:
     """Data files live at the snapshot — REFUSES tables carrying delete
-    files (callers that can apply them use ``_snapshot_files``)."""
+    files (callers that can apply them use ``_snapshot_entries``)."""
     files, deletes = _snapshot_files(path, meta, snapshot_id, where)
     if deletes:
         raise IcebergUnsupported(
@@ -541,7 +574,9 @@ def read_iceberg(
     into the already-pruned scan.  v2 POSITION deletes are applied as a
     broadcast (file_path, pos) anti-join against ``_metadata`` — the
     merge-on-read the spec mandates, same shape as delta_reader's
-    deletion vectors; equality deletes are refused fail-closed."""
+    deletion vectors; EQUALITY deletes are applied as sequence-scoped
+    broadcast anti-joins on their ``equality_ids`` columns (NULL = NULL,
+    delete seq strictly greater than the row's data-file seq)."""
     from pyspark.sql import functions as F
 
     if snapshot_id is not None and as_of_timestamp_ms is not None:
@@ -556,46 +591,49 @@ def read_iceberg(
     schema = _spark_type(
         {"type": "struct", "fields": _current_schema(meta)["fields"]}
     )
-    files, deletes = _snapshot_files(path, meta, snapshot_id, where)
+    files, pos_deletes, eq_deletes = _snapshot_entries(
+        path, meta, snapshot_id, where
+    )
     if not files:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*files)
-    if not deletes:
+    df = spark.read.schema(schema).parquet(*[p for p, _seq in files])
+    if not pos_deletes and not eq_deletes:
         return df
-    # position-delete files: (file_path, pos) parquet per the spec's
-    # reserved schema (field ids 2147483546/2147483545); the target path
-    # is the WRITER's URI — re-root it the same way _resolve re-roots
-    # manifest paths so relocated tables stay consistent
-    location = meta.get("location", path)
-    loc_norm = re.sub(r"^[a-z]+:/+", "/", location.rstrip("/"))
-    abs_root = os.path.abspath(path)
-    dels = (
-        spark.read.schema("file_path string, pos bigint").parquet(*deletes)
-        .withColumn(
-            "file_path",
-            F.regexp_replace(F.col("file_path"), "^[a-z]+:/+", "/"),
-        )
-    )
-    if loc_norm != abs_root:
-        n = len(loc_norm)
-        dels = dels.withColumn(
-            "file_path",
-            F.when(
-                F.col("file_path").startswith(loc_norm + "/"),
-                F.concat(F.lit(abs_root),
-                         F.expr(f"substring(file_path, {n + 1})")),
-            ).otherwise(F.col("file_path")),
-        )
     cols = df.columns
-    kept = (
-        df.select(
-            "*",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^[a-z]+:/+", "/"
-            ).alias("__f"),
-            F.col("_metadata.row_index").alias("__p"),
+    kept = df.select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^[a-z]+:/+", "/"
+        ).alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    )
+    if pos_deletes:
+        # position-delete files: (file_path, pos) parquet per the spec's
+        # reserved schema (field ids 2147483546/2147483545); the target
+        # path is the WRITER's URI — re-root it the same way _resolve
+        # re-roots manifest paths so relocated tables stay consistent
+        location = meta.get("location", path)
+        loc_norm = re.sub(r"^[a-z]+:/+", "/", location.rstrip("/"))
+        abs_root = os.path.abspath(path)
+        dels = (
+            spark.read.schema("file_path string, pos bigint")
+            .parquet(*pos_deletes)
+            .withColumn(
+                "file_path",
+                F.regexp_replace(F.col("file_path"), "^[a-z]+:/+", "/"),
+            )
         )
-        .join(
+        if loc_norm != abs_root:
+            n = len(loc_norm)
+            dels = dels.withColumn(
+                "file_path",
+                F.when(
+                    F.col("file_path").startswith(loc_norm + "/"),
+                    F.concat(F.lit(abs_root),
+                             F.expr(f"substring(file_path, {n + 1})")),
+                ).otherwise(F.col("file_path")),
+            )
+        kept = kept.join(
             F.broadcast(
                 dels.withColumnRenamed("file_path", "__df")
                 .withColumnRenamed("pos", "__dp")
@@ -603,5 +641,44 @@ def read_iceberg(
             (F.col("__f") == F.col("__df")) & (F.col("__p") == F.col("__dp")),
             "left_anti",
         )
-    )
+    if eq_deletes:
+        # equality deletes: anti-join on the equality_ids columns with
+        # NULL = NULL semantics (<=>), sequence-scoped — the delete hits
+        # only rows from data files with data seq STRICTLY LESS than the
+        # delete's seq (a re-insert in a newer commit survives).  Per-row
+        # data seq rides a broadcast (file -> seq) map; one broadcast
+        # anti-join per (equality_ids, seq) delete group — the delete
+        # side is the small dimension, the scan stays un-shuffled.
+        from pyspark.sql import types as T
+
+        seq_rows = [(os.path.abspath(p), s) for p, s in files]
+        seq_map = spark.createDataFrame(
+            seq_rows,
+            T.StructType([
+                T.StructField("__sf", T.StringType(), False),
+                T.StructField("__seq", T.LongType(), False),
+            ]),
+        )
+        kept = kept.join(
+            F.broadcast(seq_map), F.col("__f") == F.col("__sf"), "left"
+        ).drop("__sf")
+        id2name = {f["id"]: f["name"]
+                   for f in _current_schema(meta).get("fields", [])}
+        groups: dict[tuple, list[str]] = {}
+        for p, dseq, ids in eq_deletes:
+            groups.setdefault((ids, dseq), []).append(p)
+        for (ids, dseq), paths in sorted(groups.items()):
+            try:
+                names = [id2name[i] for i in ids]
+            except KeyError as e:
+                raise IcebergUnsupported(
+                    f"equality_ids references unknown field id {e}"
+                ) from e
+            ed = spark.read.parquet(*paths).select(
+                *[F.col(c).alias(f"__eq_{c}") for c in names]
+            )
+            cond = F.col("__seq") < F.lit(int(dseq))
+            for c in names:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            kept = kept.join(F.broadcast(ed), cond, "left_anti")
     return kept.select(*cols)

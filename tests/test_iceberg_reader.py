@@ -554,12 +554,90 @@ def test_position_deletes_applied(spark, tmp_path):
     got = sorted(r.id for r in read_iceberg(spark, root).collect())
     assert got == [2, 3]
 
-    # equality deletes (content=2) refuse fail-closed
+    # an equality delete (content=2) WITHOUT equality_ids is malformed:
+    # nothing to match on -> refuse rather than guess
     AC.write_container(f"{root}/metadata/mdel.avro", ENTRY_V2, [
         {"status": 1, "data_file": data_file("pd-1", content=2)},
     ], codec="null")
-    with pytest.raises(IcebergUnsupported, match="equality"):
+    with pytest.raises(IcebergUnsupported, match="equality_ids"):
         read_iceberg(spark, root)
+
+
+ENTRY_V2_EQ = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2e", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}]},
+            ]}},
+    ],
+}
+
+
+def test_equality_deletes_applied_sequence_scoped(spark, tmp_path):
+    # v2 equality deletes: rows matching the delete file's equality_ids
+    # columns die, but ONLY in data files whose data sequence number is
+    # STRICTLY LESS than the delete's — a newer re-insert of a deleted
+    # key survives (spec "Scan Planning" / "Equality Delete Files")
+    root = str(tmp_path / "iceb_eq")
+    loc = "file://" + root
+    os.makedirs(root + "/metadata")
+    os.makedirs(root + "/data")
+    sch = pa.schema([("id", pa.int64()), ("v", pa.string())])
+    # seq 1: ids 1,2,3 — seq 3: id 2 re-inserted after the seq-2 delete
+    pq.write_table(pa.table({"id": [1, 2, 3], "v": ["x", "y", "z"]},
+                            schema=sch), f"{root}/data/a.parquet")
+    pq.write_table(pa.table({"id": [2], "v": ["y2"]}, schema=sch),
+                   f"{root}/data/b.parquet")
+    # equality delete at seq 2 on field id 1 (= column "id"): kill 2 and 3
+    pq.write_table(pa.table({"id": [2, 3]},
+                            schema=pa.schema([("id", pa.int64())])),
+                   f"{root}/data/eq-1.parquet")
+
+    def entry(name, seq, content=0, eq_ids=None):
+        return {"status": 1, "sequence_number": seq, "data_file": {
+            "content": content, "file_path": f"{loc}/data/{name}.parquet",
+            "file_format": "parquet", "record_count": 1,
+            "file_size_in_bytes": 1, "equality_ids": eq_ids}}
+
+    AC.write_container(f"{root}/metadata/md.avro", ENTRY_V2_EQ, [
+        entry("a", 1), entry("b", 3),
+    ], codec="null")
+    AC.write_container(f"{root}/metadata/mdel.avro", ENTRY_V2_EQ, [
+        entry("eq-1", 2, content=2, eq_ids=[1]),
+    ], codec="null")
+    AC.write_container(f"{root}/metadata/snap-1-list.avro", MLIST, [
+        {"manifest_path": f"{loc}/metadata/md.avro", "manifest_length": 1,
+         "content": 0},
+        {"manifest_path": f"{loc}/metadata/mdel.avro", "manifest_length": 1,
+         "content": 1},
+    ], codec="null")
+    meta = {
+        "format-version": 2, "table-uuid": "0003", "location": loc,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 3,
+                       "timestamp-ms": 1000,
+                       "summary": {"operation": "overwrite"},
+                       "manifest-list": f"{loc}/metadata/snap-1-list.avro"}],
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": FIELDS}],
+        "current-schema-id": 0,
+    }
+    with open(root + "/metadata/v1.metadata.json", "w") as fh:
+        json.dump(meta, fh)
+    with open(root + "/metadata/version-hint.text", "w") as fh:
+        fh.write("1")
+
+    got = sorted((r.id, r.v) for r in read_iceberg(spark, root).collect())
+    # a: 1 survives (2,3 deleted at seq 2 > 1); b: the seq-3 re-insert of
+    # 2 survives (3 is NOT < 2)
+    assert got == [(1, "x"), (2, "y2")]
 
 
 def test_bounds_decoding_appendix_d():
