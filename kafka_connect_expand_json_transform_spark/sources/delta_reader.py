@@ -49,11 +49,17 @@ _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _MULTI_CKPT_RE = re.compile(
     r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
 )
+# V2 checkpoint manifest: V.checkpoint.<uuid>.{json|parquet} + sidecar
+# parquet files under _delta_log/_sidecars/ (PROTOCOL.md "V2 Checkpoints")
+_V2_CKPT_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{8,})\.(json|parquet)$"
+)
 
 #: reader features this implementation actually honors (PROTOCOL.md:
 #: unsupported features MUST fail the read, not degrade)
 _SUPPORTED_READER_FEATURES = {
     "columnMapping", "timestampNtz", "vacuumProtocolCheck", "deletionVectors",
+    "v2Checkpoint",
 }
 
 
@@ -79,6 +85,7 @@ def _list_log(path: str) -> tuple[dict[int, str], dict[int, list[str]]]:
     log = _log_dir(path)
     if not os.path.isdir(log):
         raise FileNotFoundError(f"no Delta log at {log}")
+    v2: dict[int, str] = {}
     for name in os.listdir(log):
         m = _COMMIT_RE.match(name)
         if m:
@@ -93,6 +100,18 @@ def _list_log(path: str) -> tuple[dict[int, str], dict[int, list[str]]]:
             v, part, nparts = (int(m.group(1)), int(m.group(2)),
                                int(m.group(3)))
             multi.setdefault(v, {})[part] = (nparts, os.path.join(log, name))
+            continue
+        m = _V2_CKPT_RE.match(name)
+        if m:
+            # multiple writers may race v2 checkpoints at one version;
+            # any complete one is equivalent — pick deterministically
+            v = int(m.group(1))
+            p = os.path.join(log, name)
+            if v not in v2 or p < v2[v]:
+                v2[v] = p
+    for v, p in v2.items():
+        # a classic checkpoint at the same version reads in one file
+        ckpts.setdefault(v, [p])
     for v, parts in multi.items():
         nparts = {n for n, _p in parts.values()}
         if len(nparts) != 1 or set(parts) != set(range(1, nparts.pop() + 1)):
@@ -109,13 +128,52 @@ def _list_log(path: str) -> tuple[dict[int, str], dict[int, list[str]]]:
 
 
 def _checkpoint_actions(ckpt_path: str):
-    """Yield action dicts from a single-part checkpoint (column-projected:
-    only the four state structs are materialized, never stats blobs)."""
+    """Yield action dicts from a checkpoint file.  Classic single-part /
+    multi-part parts stream their state structs directly; a V2 manifest
+    (``V.checkpoint.<uuid>.{json|parquet}``) additionally carries
+    ``sidecar`` actions whose ``_delta_log/_sidecars/<path>`` parquet
+    files hold the add/remove state (PROTOCOL.md "V2 Checkpoints" /
+    "Checkpoint Sidecar Files"); both tiers are expanded here so replay
+    is layout-agnostic.  Column-projected: only action structs are
+    materialized, never stats blobs."""
+    name = os.path.basename(ckpt_path)
+    if _V2_CKPT_RE.match(name):
+        sidecar_dir = os.path.join(os.path.dirname(ckpt_path), "_sidecars")
+        if name.endswith(".json"):
+            with open(ckpt_path, encoding="utf-8") as fh:
+                manifest = [json.loads(ln) for ln in fh if ln.strip()]
+        else:
+            manifest = list(_parquet_actions(
+                ckpt_path,
+                ("add", "remove", "metaData", "protocol", "txn",
+                 "sidecar", "checkpointMetadata"),
+            ))
+        for a in manifest:
+            sc = a.get("sidecar")
+            if sc is not None:
+                sp = os.path.join(sidecar_dir, sc["path"])
+                if not os.path.exists(sp):
+                    raise DeltaProtocolUnsupported(
+                        f"v2 checkpoint sidecar missing: {sc['path']}"
+                    )
+                yield from _parquet_actions(sp, ("add", "remove"))
+            elif a.get("checkpointMetadata") is not None:
+                continue  # {version, tags}: informational at read time
+            elif any(a.get(k) is not None
+                     for k in ("add", "remove", "metaData", "protocol",
+                               "txn")):
+                yield {k: v for k, v in a.items() if v is not None}
+        return
+    yield from _parquet_actions(
+        ckpt_path, ("add", "remove", "metaData", "protocol", "txn")
+    )
+
+
+def _parquet_actions(path: str, kinds: tuple[str, ...]):
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(ckpt_path)
-    cols = [c for c in ("add", "remove", "metaData", "protocol", "txn")
-            if c in pf.schema_arrow.names]
+    pf = pq.ParquetFile(path)
+    cols = [c for c in kinds if c in pf.schema_arrow.names]
     for batch in pf.iter_batches(columns=cols):
         rows = batch.to_pylist()
         for row in rows:

@@ -170,18 +170,19 @@ def test_column_mapping_name_mode(spark, tmp_path):
 
 
 def test_unsupported_features_fail_closed(spark, tmp_path):
-    root = str(tmp_path / "v2c")
+    root = str(tmp_path / "tw")
     _write_part(root, "f.parquet", {"id": [1], "v": ["a"]}, PLAIN)
     _commit(root, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"]}},
+                      "readerFeatures": ["typeWidening"]}},
         _meta([("id", "long"), ("v", "string")]),
         _add("f.parquet"),
     ])
-    with pytest.raises(DeltaProtocolUnsupported, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolUnsupported, match="typeWidening"):
         read_delta(spark, root)
-    # deletionVectors is a SUPPORTED reader feature since round 8: a
-    # DV-feature table with no actual DVs reads normally
+    # deletionVectors is a SUPPORTED reader feature since round 8 (and
+    # v2Checkpoint since round 9): a DV-feature table with no actual DVs
+    # reads normally
     root2 = str(tmp_path / "dvok")
     _write_part(root2, "f.parquet", {"id": [1], "v": ["a"]}, PLAIN)
     _commit(root2, 0, [
@@ -739,6 +740,107 @@ def test_multipart_checkpoint_replay(spark, tmp_path):
                                 f"{2:010d}.{2:010d}.parquet"))
     with pytest.raises(ValueError, match="missing commit"):
         read_delta(spark, root)
+
+
+def _v2_checkpoint(root, version, uuid, *, json_manifest=False,
+                   drop_sidecar=False):
+    """Hand-write a V2 checkpoint (manifest + sidecar) for the state at
+    `version` of _plain_table: live files part-a + part-c."""
+    log = os.path.join(root, "_delta_log")
+    add_t = pa.struct([("path", pa.string()),
+                       ("partitionValues", pa.map_(pa.string(), pa.string())),
+                       ("size", pa.int64()), ("modificationTime", pa.int64()),
+                       ("dataChange", pa.bool_())])
+    sidecar_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sidecar_dir, exist_ok=True)
+    sc_name = f"{uuid}-001.parquet"
+    pq.write_table(
+        pa.table({"add": pa.array([
+            {"path": "part-a.parquet", "partitionValues": [], "size": 1,
+             "modificationTime": 0, "dataChange": False},
+            {"path": "part-c.parquet", "partitionValues": [], "size": 1,
+             "modificationTime": 0, "dataChange": False},
+        ], add_t)}),
+        os.path.join(sidecar_dir, sc_name),
+    )
+    if drop_sidecar:
+        os.remove(os.path.join(sidecar_dir, sc_name))
+    meta_v = {"id": "test-table",
+              "schemaString": _schema_string([("id", "long"),
+                                              ("v", "string")]),
+              "partitionColumns": []}
+    proto_v = {"minReaderVersion": 3, "minWriterVersion": 7,
+               "readerFeatures": ["v2Checkpoint"],
+               "writerFeatures": ["v2Checkpoint"]}
+    if json_manifest:
+        p = os.path.join(log, f"{version:020d}.checkpoint.{uuid}.json")
+        with open(p, "w") as fh:
+            for a in [{"checkpointMetadata": {"version": version}},
+                      {"metaData": meta_v}, {"protocol": proto_v},
+                      {"sidecar": {"path": sc_name, "sizeInBytes": 1,
+                                   "modificationTime": 0}}]:
+                fh.write(json.dumps(a) + "\n")
+        return p
+    meta_t = pa.struct([("id", pa.string()), ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string()))])
+    proto_t = pa.struct([("minReaderVersion", pa.int32()),
+                         ("minWriterVersion", pa.int32()),
+                         ("readerFeatures", pa.list_(pa.string())),
+                         ("writerFeatures", pa.list_(pa.string()))])
+    sidecar_t = pa.struct([("path", pa.string()),
+                           ("sizeInBytes", pa.int64()),
+                           ("modificationTime", pa.int64())])
+    ckptmeta_t = pa.struct([("version", pa.int64())])
+    rows = [
+        {"checkpointMetadata": {"version": version}},
+        {"metaData": meta_v},
+        {"protocol": proto_v},
+        {"sidecar": {"path": sc_name, "sizeInBytes": 1,
+                     "modificationTime": 0}},
+    ]
+    p = os.path.join(log, f"{version:020d}.checkpoint.{uuid}.parquet")
+    pq.write_table(pa.table({
+        "checkpointMetadata": pa.array(
+            [r.get("checkpointMetadata") for r in rows], ckptmeta_t),
+        "metaData": pa.array([r.get("metaData") for r in rows], meta_t),
+        "protocol": pa.array([r.get("protocol") for r in rows], proto_t),
+        "sidecar": pa.array([r.get("sidecar") for r in rows], sidecar_t),
+    }), p)
+    return p
+
+
+def test_v2_checkpoint_parquet_manifest_replay(spark, tmp_path):
+    # V2 checkpoints (PROTOCOL.md): V.checkpoint.<uuid>.parquet manifest
+    # holds protocol/metaData + sidecar actions; file state lives in
+    # _delta_log/_sidecars/*.parquet.  Replay must go THROUGH the
+    # manifest once pre-checkpoint commits are cleaned up.
+    root = _plain_table(tmp_path)
+    log = os.path.join(root, "_delta_log")
+    _v2_checkpoint(root, 1, "0a1b2c3d-0000-4000-8000-000000000001")
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    _write_part(root, "part-d.parquet", {"id": [9], "v": ["z"]}, PLAIN)
+    _commit(root, 2, [_add("part-d.parquet")])
+    assert sorted(r.id for r in read_delta(spark, root).collect()) == [
+        1, 2, 4, 9]
+    # time travel ACROSS the checkpoint (to its own version)
+    assert sorted(r.id for r in read_delta(spark, root,
+                                           version=1).collect()) == [1, 2, 4]
+
+
+def test_v2_checkpoint_json_manifest_and_missing_sidecar(spark, tmp_path):
+    root = _plain_table(tmp_path)
+    log = os.path.join(root, "_delta_log")
+    _v2_checkpoint(root, 1, "0a1b2c3d-0000-4000-8000-000000000002",
+                   json_manifest=True)
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    assert sorted(r.id for r in read_delta(spark, root).collect()) == [1, 2, 4]
+    # a manifest whose sidecar is gone must fail loudly, not drop state
+    for n in os.listdir(os.path.join(log, "_sidecars")):
+        os.remove(os.path.join(log, "_sidecars", n))
+    with pytest.raises(DeltaProtocolUnsupported, match="sidecar"):
+        read_delta(spark, root).collect()
 
 
 def test_incomplete_multipart_checkpoint_ignored_when_covered(spark, tmp_path):
