@@ -934,6 +934,31 @@ def _stats_keep(add: dict, where: list[tuple], part_cols: list[str],
     return True
 
 
+def dv_frame(spark: SparkSession, path: str, files: dict) -> DataFrame | None:
+    """Deletion-vector rows as ONE ``(__dv_file, __dv_pos)`` frame across
+    the adds (or None if no add carries a DV) — the shared helper for the
+    snapshot read AND the CoW DML scan, so both exclude DV-deleted rows
+    through the same broadcast anti-join.  Positions decode planner-side:
+    O(total DV cardinality), the deleted-not-yet-compacted bound every
+    Delta MoR reader pays (the frame is broadcast afterwards, so it is
+    driver-sized by construction)."""
+    rows: list[tuple[str, int]] = []
+    for rel, add in files.items():
+        dv = add.get("deletionVector")
+        if dv:
+            ap = os.path.abspath(os.path.join(path, rel))
+            rows.extend((ap, p) for p in _dv_deleted_positions(path, dv))
+    if not rows:
+        return None
+    return spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("__dv_file", T.StringType(), False),
+            T.StructField("__dv_pos", T.LongType(), False),
+        ]),
+    )
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -981,16 +1006,8 @@ def read_delta(
             [T.StructField(f.name, f.dataType, True) for f in logical.fields]
         ))
 
-    # deletion vectors: decode each add's bitmap into (file, row_index)
-    # pairs.  Planner cost is O(total DV cardinality) — the not-yet-
-    # compacted deleted-row count, the same bound delta-rs pays; the data
-    # scan itself stays untouched (merge-on-read anti-join below).
-    dv_rows: list[tuple[str, int]] = []
-    for rel, add in files.items():
-        dv = add.get("deletionVector")
-        if dv:
-            ap = os.path.abspath(os.path.join(path, rel))
-            dv_rows.extend((ap, p) for p in _dv_deleted_positions(path, dv))
+    dv_df = dv_frame(spark, path, files)
+    dv_rows = dv_df is not None
 
     paths = [os.path.join(path, f) for f in sorted(files)]
     if part_cols or dv_rows:
@@ -1009,13 +1026,6 @@ def read_delta(
                 *[F.col(phys_of[f.name]).alias(f.name) for f in data_fields],
             )
         if dv_rows:
-            dv_df = spark.createDataFrame(
-                dv_rows,
-                T.StructType([
-                    T.StructField("__dv_file", T.StringType(), False),
-                    T.StructField("__dv_pos", T.LongType(), False),
-                ]),
-            )
             df = df.join(
                 F.broadcast(dv_df),
                 (F.col("__file") == F.col("__dv_file"))

@@ -457,8 +457,12 @@ def delta_delete_where(spark, root: str, predicate: str) -> tuple[int, int]:
     the affected files and adds their survivors — untouched files carry
     over by not being mentioned, Delta's partial-CoW economics.  Returns
     ``(version, rows_deleted)``; a predicate matching nothing is a no-op
-    returning the current head.  Unpartitioned, unmapped tables only
-    (the guards ``delta_append`` applies)."""
+    returning the current head.  Partitioned tables are supported
+    (round 9): partition-term hints prune whole partitions before stats
+    pruning, survivors restage through a hive-layout ``partitionBy``
+    write, and the new adds carry ``partitionValues`` — untouched
+    partitions' files are byte-identical carried references.
+    Column-mapped tables refuse (the guard ``delta_append`` applies)."""
     return _delta_cow(spark, root, predicate, None)
 
 
@@ -514,28 +518,35 @@ def _delta_cow(
 
     from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
         _stats_keep,
+        dv_frame,
     )
 
     files, meta, _proto, head = _replay(root, None)
-    if meta.get("partitionColumns"):
-        raise ValueError("delta_delete_where does not support partitioned tables")
     if (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     ) != "none":
         raise ValueError("delta_delete_where does not support column mapping")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    if assignments and any(c in assignments for c in part_cols):
+        raise ValueError(
+            "updating partition columns is not supported (rows would move "
+            "between partitions — delete + re-insert instead)"
+        )
     if not files:
         return head, 0
 
-    # log-level candidate pruning: files whose add-action stats prove the
-    # predicate cannot match are never even scanned (the reader's own
-    # skipping, reused on the write path)
+    # log-level candidate pruning: files whose add-action stats OR
+    # partitionValues prove the predicate cannot match are never even
+    # scanned (the reader's own skipping, reused on the write path; for
+    # partitioned tables the partition terms prune whole partitions)
     hints = _predicate_hints(predicate)
     if hints:
         phys = {f.name: f.name for f in schema.fields}
+        types_of = {f.name: f.dataType for f in schema.fields}
         candidates = {
             rel: add for rel, add in files.items()
-            if _stats_keep(add, hints, [], phys)
+            if _stats_keep(add, hints, part_cols, phys, types_of)
         }
     else:
         candidates = dict(files)
@@ -546,53 +557,60 @@ def _delta_cow(
     # counting them as hits would rewrite files needlessly, and carrying
     # them into a rewrite would resurrect them.  The rewrite drops the
     # affected files' DVs (survivors are fully materialized), the same
-    # DV-collapse a Delta OPTIMIZE performs.
-    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
-        _dv_deleted_positions,
-    )
+    # DV-collapse a Delta OPTIMIZE performs.  The (file, pos) frame comes
+    # from the reader's own shared helper.
+    dv_df = dv_frame(spark, root, candidates)
 
-    dv_rows: list[tuple[str, int]] = []
-    for rel, add in candidates.items():
-        dv = add.get("deletionVector")
-        if dv:
-            ap = os.path.abspath(os.path.join(root, rel))
-            dv_rows.extend(
-                (ap, p) for p in _dv_deleted_positions(root, dv)
-            )
-
-    def _minus_dvs(df):
-        if not dv_rows:
-            return df
-        dv_df = spark.createDataFrame(
-            dv_rows,
-            T.StructType([
-                T.StructField("__dv_file", T.StringType(), False),
-                T.StructField("__dv_pos", T.LongType(), False),
-            ]),
-        )
-        return (
-            df.withColumn("__pos", F.col("_metadata.row_index"))
-            .join(
-                F.broadcast(dv_df),
-                (F.col("__f") == F.col("__dv_file"))
-                & (F.col("__pos") == F.col("__dv_pos")),
-                "left_anti",
-            )
-            .drop("__pos")
+    by_name = {f.name: f for f in schema.fields}
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    read_schema = T.StructType(data_fields)
+    pv_df = None
+    if part_cols:
+        # broadcast file -> partitionValues map, the snapshot read's shape:
+        # partition columns live in the log, not the data files
+        pv_df = spark.createDataFrame(
+            [(os.path.abspath(os.path.join(root, rel)),
+              *[(add.get("partitionValues") or {}).get(c)
+                for c in part_cols])
+             for rel, add in candidates.items()],
+            T.StructType(
+                [T.StructField("__f", T.StringType(), False)]
+                + [T.StructField(f"__pv_{c}", T.StringType(), True)
+                   for c in part_cols]
+            ),
         )
 
-    abs_of = {os.path.abspath(os.path.join(root, rel)): rel
-              for rel in candidates}
-    snap = _minus_dvs(
-        spark.read.schema(schema).parquet(
-            *[os.path.join(root, rel) for rel in sorted(candidates)]
+    def scan(rels):
+        df = spark.read.schema(read_schema).parquet(
+            *[os.path.join(root, rel) for rel in sorted(rels)]
         ).withColumn(
             "__f",
             F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/+", "/"),
         )
-    )
+        if dv_df is not None:
+            df = (
+                df.withColumn("__pos", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(dv_df),
+                    (F.col("__f") == F.col("__dv_file"))
+                    & (F.col("__pos") == F.col("__dv_pos")),
+                    "left_anti",
+                )
+                .drop("__pos")
+            )
+        if pv_df is not None:
+            df = df.join(F.broadcast(pv_df), "__f").select(
+                "__f",
+                *[f.name for f in data_fields],
+                *[F.col(f"__pv_{c}").cast(by_name[c].dataType).alias(c)
+                  for c in part_cols],
+            )
+        return df
+
+    abs_of = {os.path.abspath(os.path.join(root, rel)): rel
+              for rel in candidates}
     # bounded collect: one row per file that CONTAINS a match
-    hits = snap.where(predicate).groupBy("__f").count().collect()
+    hits = scan(candidates).where(predicate).groupBy("__f").count().collect()
     if not hits:
         return head, 0
     n_deleted = sum(r["count"] for r in hits)
@@ -609,15 +627,11 @@ def _delta_cow(
     # rewrite has no file-to-file mapping obligation — the new files are
     # just the union of survivors, Delta's own rewrite economics); the
     # old per-file coalesce(1) loop was O(affected files) sequential
-    # driver-orchestrated jobs plus a second evaluation per file
-    survivors = _minus_dvs(
-        spark.read.schema(schema).parquet(
-            *[os.path.join(root, rel) for rel in affected]
-        ).withColumn(
-            "__f",
-            F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/+", "/"),
-        )
-    ).drop("__f")
+    # driver-orchestrated jobs plus a second evaluation per file.
+    # Untouched partitions' files are never rewritten: partition-term
+    # hints prune them above, and a file with no matching row is not in
+    # `affected` regardless.
+    survivors = scan(affected).drop("__f")
     if assignments is None:
         rewritten = survivors.where(f"NOT ({predicate})")
     else:
@@ -631,23 +645,43 @@ def _delta_cow(
             ]
         )
     stage = os.path.join(root, f"_stage_{nonce}")
-    rewritten.write.mode("overwrite").parquet(stage)
+    w = rewritten.write.mode("overwrite")
+    if part_cols:
+        # hive-layout staging: partition values travel as directory names
+        # and land in the adds' partitionValues, not in the data files
+        w = w.partitionBy(*part_cols)
+    w.parquet(stage)
     placed = []
     try:
+        import urllib.parse as _up
+
         import pyarrow.parquet as _pq
 
-        for i, p in enumerate(sorted(glob.glob(
-            os.path.join(stage, "part-*.parquet")
-        ))):
+        staged = sorted(glob.glob(
+            os.path.join(stage, "**", "part-*.parquet"), recursive=True
+        ))
+        for i, p in enumerate(staged):
             # footer-only row count (no second plan evaluation): empty
             # task outputs are dropped instead of committed as dead files
             if _pq.ParquetFile(p).metadata.num_rows == 0:
                 continue
-            new_rel = f"part-v{version:05d}-{nonce}-{i:05d}.parquet"
+            part_dirs = [d for d in
+                         os.path.relpath(p, stage).split(os.sep)[:-1]
+                         if "=" in d]
+            pvals = {}
+            for d in part_dirs:
+                key, _, raw = d.partition("=")
+                pvals[key] = (None if raw == "__HIVE_DEFAULT_PARTITION__"
+                              else _up.unquote(raw))
+            base = f"part-v{version:05d}-{nonce}-{i:05d}.parquet"
+            new_rel = os.path.join(*part_dirs, base) if part_dirs else base
+            if part_dirs:
+                os.makedirs(os.path.dirname(os.path.join(root, new_rel)),
+                            exist_ok=True)
             os.rename(p, os.path.join(root, new_rel))
             placed.append(new_rel)
             full = os.path.join(root, new_rel)
-            add = {"path": new_rel, "partitionValues": {},
+            add = {"path": new_rel, "partitionValues": pvals,
                    "size": os.path.getsize(full),
                    "modificationTime": now_ms, "dataChange": True}
             stats = _footer_stats(full)
