@@ -554,33 +554,39 @@ def read_delta_changes(
     Output schema: table columns + ``_change_type`` + ``_commit_version``.
     Partitioned tables re-inject partition columns from the actions'
     ``partitionValues`` (broadcast file->values map, the snapshot read's
-    shape); column-mapped tables are refused.  Scale: one parquet scan
-    per contributing version over only the change files — never a
-    snapshot diff."""
+    shape); column-mapped ('name') tables read through the physical ->
+    logical rename at plan time, the snapshot read's shape (r9).  Scale:
+    one parquet scan per contributing version over only the change
+    files — never a snapshot diff."""
     commits, _ = _list_log(path)
     latest = max(commits) if commits else -1
     end = latest if ending_version is None else int(ending_version)
     _files, meta, _proto, _v = _replay(path, end)  # protocol/meta guards
-    if (meta.get("configuration") or {}).get(
+    mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
-    ) != "none":
+    )
+    if mode not in ("none", "name"):
         raise DeltaProtocolUnsupported(
-            "CDF read over column-mapped tables is not supported (the "
-            "change files carry physical names this path does not map)"
+            f"columnMapping mode {mode!r} not supported (only 'none'/'name')"
         )
     part_cols = list(meta.get("partitionColumns") or [])
     logical = _schema(meta)
     by_logical = {f.name: f for f in logical.fields}
     data_fields = [f for f in logical.fields if f.name not in part_cols]
+    phys_of = {f.name: (_physical_name(f) if mode == "name" else f.name)
+               for f in logical.fields}
 
     def _with_parts(df, entries, extra_fields):
         """Re-inject partition columns from the actions' partitionValues
-        via a broadcast file->values map — the snapshot read's shape."""
+        via a broadcast file->values map — the snapshot read's shape.
+        Expects ``__file`` already on ``df`` (captured pre-rename, while
+        ``_metadata`` was still resolvable)."""
         if not part_cols:
             return df
         rows = [
             (os.path.abspath(os.path.join(path, rel)),
-             *[(pv or {}).get(c) for c in part_cols])
+             # column-mapped tables key partitionValues by PHYSICAL name
+             *[(pv or {}).get(phys_of[c]) for c in part_cols])
             for rel, pv in entries
         ]
         map_schema = T.StructType(
@@ -590,13 +596,7 @@ def read_delta_changes(
         )
         pv_df = spark.createDataFrame(rows, map_schema)
         return (
-            df.withColumn(
-                "__file",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^[a-z]+:/+", "/"
-                ),
-            )
-            .join(F.broadcast(pv_df), "__file")
+            df.join(F.broadcast(pv_df), "__file")
             .select(
                 *[f.name for f in data_fields],
                 *[F.col(f"__pv_{c}").cast(by_logical[c].dataType).alias(c)
@@ -604,6 +604,25 @@ def read_delta_changes(
                 *extra_fields,
             )
         )
+
+    def _scan(paths_, fields_with_types, keep_change_type):
+        df = spark.read.schema(T.StructType(fields_with_types)).parquet(
+            *paths_
+        )
+        if part_cols:
+            df = df.withColumn(
+                "__file",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^[a-z]+:/+", "/"
+                ),
+            )
+        # physical -> logical, plan-time rename (column mapping 'name')
+        df = df.select(
+            *(["__file"] if part_cols else []),
+            *[F.col(phys_of[f.name]).alias(f.name) for f in data_fields],
+            *(["_change_type"] if keep_change_type else []),
+        )
+        return df
 
     frames = []
     for v in range(int(starting_version), end + 1):
@@ -629,12 +648,13 @@ def read_delta_changes(
                 elif a.get("remove") and a["remove"].get("dataChange", True):
                     data_removed = True
         if cdcs:
-            df = spark.read.schema(
-                T.StructType(
-                    [*[T.StructField(f.name, f.dataType, True)
-                       for f in data_fields],
-                     T.StructField("_change_type", T.StringType(), True)]
-            )).parquet(*[os.path.join(path, c) for c, _pv in cdcs])
+            df = _scan(
+                [os.path.join(path, c) for c, _pv in cdcs],
+                [*[T.StructField(phys_of[f.name], f.dataType, True)
+                   for f in data_fields],
+                 T.StructField("_change_type", T.StringType(), True)],
+                keep_change_type=True,
+            )
             df = _with_parts(df, cdcs, ["_change_type"])
         elif data_removed:
             raise DeltaProtocolUnsupported(
@@ -643,12 +663,12 @@ def read_delta_changes(
                 "on the writer)"
             )
         elif adds:
-            df = spark.read.schema(
-                T.StructType([T.StructField(f.name, f.dataType, True)
-                              for f in data_fields])
-            ).parquet(*[os.path.join(path, a) for a, _pv in adds]).select(
-                "*", F.lit("insert").alias("_change_type")
-            )
+            df = _scan(
+                [os.path.join(path, a) for a, _pv in adds],
+                [T.StructField(phys_of[f.name], f.dataType, True)
+                 for f in data_fields],
+                keep_change_type=False,
+            ).select("*", F.lit("insert").alias("_change_type"))
             df = _with_parts(df, adds, ["_change_type"])
         else:
             continue
@@ -684,9 +704,10 @@ def register_delta_stream_source(spark: SparkSession) -> None:
     set, in which case its ``add`` files are re-streamed (consumers
     downstream must dedup) — silently skipping rewrites would lose data.
     Partitioned tables re-inject partition values from each add action as
-    typed per-file constants; column-mapped tables are refused (their
-    adds need renames the row stream does not perform yet).  Caveat
-    shared with every Python stream reader: availableNow is not
+    typed per-file constants; column-mapped ('name') tables stream
+    through a physical -> logical column rename on each Arrow batch and
+    physical-keyed partitionValues (r9; 'id' mapping still refuses).
+    Caveat shared with every Python stream reader: availableNow is not
     supported — drive a processing-time trigger and stop at the head."""
     from dataclasses import dataclass
 
@@ -703,11 +724,13 @@ def register_delta_stream_source(spark: SparkSession) -> None:
         end: int  # inclusive
         schema_json: str
         ignore_changes: bool
+        phys_json: str  # logical -> physical name map ('' when unmapped)
 
     class DeltaStreamReader(DataSourceStreamReader):
-        def __init__(self, options, schema_json):
+        def __init__(self, options, schema_json, phys_json=""):
             self.root = options["path"]
             self.schema_json = schema_json
+            self.phys_json = phys_json
             self.ignore_changes = (
                 str(options.get("ignoreChanges", "false")).lower() == "true"
             )
@@ -724,7 +747,7 @@ def register_delta_stream_source(spark: SparkSession) -> None:
             return [
                 _DeltaRange(
                     self.root, int(start["version"]), int(end["version"]),
-                    self.schema_json, self.ignore_changes,
+                    self.schema_json, self.ignore_changes, self.phys_json,
                 )
             ]
 
@@ -786,13 +809,25 @@ def register_delta_stream_source(spark: SparkSession) -> None:
                         json.loads(partition.schema_json)
                     ).fields
                 }
+                # column mapping 'name': files (and partitionValues keys)
+                # carry physical names — rename to logical per batch
+                log_of = {}
+                if partition.phys_json:
+                    log_of = {p: l for l, p in
+                              json.loads(partition.phys_json).items()}
                 for rel, pv in adds:
                     table = pq.read_table(os.path.join(partition.root, rel))
+                    if log_of:
+                        table = table.rename_columns(
+                            [log_of.get(c, c) for c in table.column_names]
+                        )
                     # partitioned table: the add's partitionValues become
                     # typed per-file constants (the files do not store
                     # partition columns, per the protocol)
                     consts = {
-                        c: _typed_partition_value(raw, types_of.get(c))
+                        log_of.get(c, c): _typed_partition_value(
+                            raw, types_of.get(log_of.get(c, c))
+                        )
                         for c, raw in (pv or {}).items()
                     } or None
                     yield from _shape_to_stream_batches(
@@ -815,14 +850,24 @@ def register_delta_stream_source(spark: SparkSession) -> None:
             mode = (meta.get("configuration") or {}).get(
                 "delta.columnMapping.mode", "none"
             )
-            if mode != "none":
+            if mode not in ("none", "name"):
                 raise DeltaProtocolUnsupported(
-                    "deltastream does not support column mapping yet"
+                    f"deltastream: columnMapping mode {mode!r} not supported"
                 )
             return _schema(meta)
 
         def streamReader(self, schema):
-            return DeltaStreamReader(self.options, schema.json())
+            _files, meta, _proto, _v = _replay(self.options["path"], None)
+            mode = (meta.get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            )
+            phys_json = ""
+            if mode == "name":
+                logical = _schema(meta)
+                phys_json = json.dumps(
+                    {f.name: _physical_name(f) for f in logical.fields}
+                )
+            return DeltaStreamReader(self.options, schema.json(), phys_json)
 
     spark.dataSource.register(DeltaStreamSource)
 

@@ -369,6 +369,81 @@ def test_change_data_feed_read(spark, tmp_path):
         read_delta_changes(spark, root2, 0).collect()
 
 
+PHYS = pa.schema([("col-0000", pa.int64()), ("col-0001", pa.string())])
+
+
+def test_change_data_feed_column_mapped(spark, tmp_path):
+    # r9: CDF over a columnMapping='name' table — change files and adds
+    # carry PHYSICAL names (and physical-keyed partitionValues); the read
+    # renames to logical at plan time, the snapshot read's shape
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        read_delta_changes,
+    )
+
+    root = str(tmp_path / "cdfm")
+    _write_part(root, "a.parquet",
+                {"col-0000": [1, 2], "col-0001": ["a", "b"]}, PHYS)
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _meta([("id", "long"), ("v", "string")], mapping=True),
+        _add("a.parquet"),
+    ])
+    cdc_schema = pa.schema([("col-0000", pa.int64()),
+                            ("col-0001", pa.string()),
+                            ("_change_type", pa.string())])
+    _write_part(root, "_change_data/c1.parquet",
+                {"col-0000": [2, 2], "col-0001": ["b", "B"],
+                 "_change_type": ["update_preimage", "update_postimage"]},
+                cdc_schema)
+    _write_part(root, "a2.parquet",
+                {"col-0000": [1, 2], "col-0001": ["a", "B"]}, PHYS)
+    _commit(root, 1, [
+        {"cdc": {"path": "_change_data/c1.parquet", "partitionValues": {},
+                 "size": 1, "dataChange": False}},
+        _add("a2.parquet"),
+        {"remove": {"path": "a.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+    ])
+    ch = read_delta_changes(spark, root, 0)
+    assert set(ch.columns) == {"id", "v", "_change_type", "_commit_version"}
+    got = {(r.id, r.v, r["_change_type"], r["_commit_version"])
+           for r in ch.collect()}
+    assert got == {
+        (1, "a", "insert", 0), (2, "b", "insert", 0),
+        (2, "b", "update_preimage", 1), (2, "B", "update_postimage", 1),
+    }
+
+
+def test_deltastream_column_mapped(spark, tmp_path):
+    # r9: deltastream over a columnMapping='name' table — each Arrow
+    # batch renames physical -> logical columns
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        register_delta_stream_source,
+    )
+
+    root = str(tmp_path / "dsm")
+    _write_part(root, "a.parquet",
+                {"col-0000": [1, 2], "col-0001": ["a", "b"]}, PHYS)
+    _write_part(root, "b.parquet", {"col-0000": [3], "col-0001": ["c"]}, PHYS)
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _meta([("id", "long"), ("v", "string")], mapping=True),
+        _add("a.parquet"),
+    ])
+    _commit(root, 1, [_add("b.parquet")])
+    register_delta_stream_source(spark)
+    name = "sg_deltastream_mapped"
+    q = (
+        spark.readStream.format("deltastream").option("path", root).load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+    )
+    _drain(q)
+    assert q.exception() is None
+    got = sorted((r.id, r.v) for r in spark.table(name).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
 def test_deltastream_starting_version_and_gap_fail_closed(spark, tmp_path):
     from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
         register_delta_stream_source,
