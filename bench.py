@@ -144,6 +144,11 @@ def main() -> int:
     if not only:
         streaming = _streaming_micro_bench(spark, sf_dir)
 
+    # a second stamp AFTER the suite: a run is provably clean only when
+    # BOTH ends read healthy (round 9 observed the box flip from healthy
+    # to degraded within one suite run)
+    health_post = _host_health()
+
     total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
     full = {
@@ -154,6 +159,7 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
         "host_health": health,
+        "host_health_post": health_post,
     }
     if streaming:
         full["streaming"] = streaming
@@ -175,6 +181,7 @@ def main() -> int:
         "n_queries": len(timings),
         "n_failures": len(failures),
         "host_health": health,
+        "host_health_post": health_post,
     }
     if streaming:
         compact["streaming"] = {

@@ -703,6 +703,11 @@ def register_delta_stream_source(spark: SparkSession) -> None:
     ``remove`` actions aborts the stream unless ``ignoreChanges=true`` is
     set, in which case its ``add`` files are re-streamed (consumers
     downstream must dedup) — silently skipping rewrites would lose data.
+    ``skipChangeCommits=true`` (the newer Delta option) instead skips
+    data-changing commits WHOLESALE — no rows from a version that
+    removes files or adds deletion vectors — which also makes DV-bearing
+    commits streamable (their adds never re-stream, so no bitmap needs
+    applying).
     Partitioned tables re-inject partition values from each add action as
     typed per-file constants; column-mapped ('name') tables stream
     through a physical -> logical column rename on each Arrow batch and
@@ -725,6 +730,7 @@ def register_delta_stream_source(spark: SparkSession) -> None:
         schema_json: str
         ignore_changes: bool
         phys_json: str  # logical -> physical name map ('' when unmapped)
+        skip_change_commits: bool
 
     class DeltaStreamReader(DataSourceStreamReader):
         def __init__(self, options, schema_json, phys_json=""):
@@ -733,6 +739,10 @@ def register_delta_stream_source(spark: SparkSession) -> None:
             self.phys_json = phys_json
             self.ignore_changes = (
                 str(options.get("ignoreChanges", "false")).lower() == "true"
+            )
+            self.skip_change_commits = (
+                str(options.get("skipChangeCommits", "false")).lower()
+                == "true"
             )
             self.starting_version = int(options.get("startingVersion", 0))
 
@@ -748,6 +758,7 @@ def register_delta_stream_source(spark: SparkSession) -> None:
                 _DeltaRange(
                     self.root, int(start["version"]), int(end["version"]),
                     self.schema_json, self.ignore_changes, self.phys_json,
+                    self.skip_change_commits,
                 )
             ]
 
@@ -773,7 +784,7 @@ def register_delta_stream_source(spark: SparkSession) -> None:
                 # (compaction / OPTIMIZE): the real Delta streaming source
                 # skips them entirely — streaming their adds would duplicate
                 # rows, and their removes must not abort the stream
-                adds, has_remove = [], False
+                adds, has_remove, has_dv = [], False, False
                 with open(commits[v], encoding="utf-8") as fh:
                     for line in fh:
                         line = line.strip()
@@ -782,26 +793,32 @@ def register_delta_stream_source(spark: SparkSession) -> None:
                         a = json.loads(line)
                         if a.get("add") and a["add"].get("dataChange", True):
                             if a["add"].get("deletionVector"):
-                                # re-streaming a DV-bearing add WITHOUT
-                                # applying its bitmap would resurrect the
-                                # deleted rows — fail closed
-                                raise ValueError(
-                                    f"Delta version {v} adds a deletion-"
-                                    "vector file; streaming DV commits is "
-                                    "not supported — use read_delta for "
-                                    "snapshot reads"
-                                )
+                                has_dv = True
                             adds.append((a["add"]["path"],
                                          a["add"].get("partitionValues")))
                         elif a.get("remove") and a["remove"].get(
                             "dataChange", True
                         ):
                             has_remove = True
+                if (has_remove or has_dv) and partition.skip_change_commits:
+                    # Delta's skipChangeCommits: data-changing commits are
+                    # skipped WHOLESALE (none of their adds stream) — which
+                    # also covers DV commits without applying any bitmap
+                    continue
+                if has_dv:
+                    # re-streaming a DV-bearing add WITHOUT applying its
+                    # bitmap would resurrect the deleted rows — fail closed
+                    raise ValueError(
+                        f"Delta version {v} adds a deletion-vector file; "
+                        "set skipChangeCommits=true to skip it, or use "
+                        "read_delta for snapshot reads"
+                    )
                 if has_remove and not partition.ignore_changes:
                     raise ValueError(
                         f"Delta version {v} contains remove actions (an "
                         "update/delete rewrite); set ignoreChanges=true to "
-                        "re-stream its adds, or start after it"
+                        "re-stream its adds, skipChangeCommits=true to "
+                        "skip it, or start after it"
                     )
                 types_of = {
                     f.name: f.dataType

@@ -155,15 +155,42 @@ def read_hudi_incremental(
     by commits in ``(begin_instant, end_instant]``.  CoW slices contain
     carried rows beside the new ones, so the slice read is filtered on
     ``_hoodie_commit_time`` — exactly what the native incremental relation
-    does.  Reads only the file groups the range's commits touched."""
+    does.  Reads only the file groups the range's commits touched.
+    MERGE_ON_READ tables (r9): the slice merge runs at the range end over
+    the touched file groups only, then filters merged rows to
+    ``_hoodie_commit_time`` in range — the newest in-range version of
+    each changed record, Hudi's incremental contract (in-range deletes
+    simply drop out of the merge, as in the native relation)."""
     from pyspark.sql import functions as F
 
     props = _properties(path)
-    if props.get("hoodie.table.type", "COPY_ON_WRITE") != "COPY_ON_WRITE":
-        raise HudiUnsupported(
-            "incremental queries are CoW-only here: MoR incremental needs "
-            "per-block instant filtering inside log files"
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype == "MERGE_ON_READ":
+        commits = hudi_timeline(path)
+        end = end_instant or (commits[0]["instant"] if commits else "")
+        touched: set[str] = set()
+        for c in commits:
+            if str(begin_instant) < c["instant"] <= str(end):
+                meta = _load_instant(c["path"])
+                for stats in (
+                    meta.get("partitionToWriteStats") or {}
+                ).values():
+                    touched.update(st["fileId"] for st in stats)
+        if not touched:
+            raise ValueError(
+                f"no commits in ({begin_instant}, {end}] touched any "
+                "file group"
+            )
+        merged = _read_hudi_mor(spark, path, str(end), keep_meta=True,
+                                only_fids=touched)
+        out = merged.where(
+            (F.col("_hoodie_commit_time") > str(begin_instant))
+            & (F.col("_hoodie_commit_time") <= str(end))
         )
+        if not keep_meta:
+            out = out.drop(*[c for c in out.columns
+                             if c.startswith("_hoodie_")])
+        return out
     commits = hudi_timeline(path)  # newest first
     end = end_instant or (commits[0]["instant"] if commits else "")
     in_range = [c for c in commits
@@ -513,6 +540,7 @@ def _read_hudi_mor(
     path: str,
     as_of_instant: str | None,
     keep_meta: bool,
+    only_fids: set[str] | None = None,
 ) -> DataFrame:
     """MERGE_ON_READ snapshot: one Arrow-batched merge task per file
     slice (base parquet + ordered log blocks), newest record per
@@ -535,7 +563,10 @@ def _read_hudi_mor(
         raise ValueError(f"no completed commits in {path}")
     valid_instants = {c["instant"] for c in commits}
     slices = _mor_slices(path, as_of_instant)
-    base_paths = [s["base"] for s in slices if s["base"]]
+    schema_donor = [s["base"] for s in slices if s["base"]]
+    if only_fids is not None:
+        slices = [s for s in slices if s["file_id"] in only_fids]
+    base_paths = [s["base"] for s in slices if s["base"]] or schema_donor
     if not base_paths:
         raise HudiUnsupported(
             "table has no base files — schema discovery needs at least one "

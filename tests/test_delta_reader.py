@@ -444,6 +444,57 @@ def test_deltastream_column_mapped(spark, tmp_path):
     assert got == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_deltastream_skip_change_commits(spark, tmp_path):
+    # r9: Delta's skipChangeCommits option — a data-changing commit
+    # (remove rewrite or DV-bearing add) streams NO rows at all; without
+    # it a DV commit fails closed (re-streaming the add would resurrect
+    # the bitmap-deleted rows)
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        register_delta_stream_source,
+    )
+
+    root = str(tmp_path / "dscc")
+    _write_part(root, "a.parquet", {"id": [1, 2], "v": ["a", "b"]}, PLAIN)
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta([("id", "long"), ("v", "string")]),
+        _add("a.parquet"),
+    ])
+    # v1: a DV commit (MoR delete of row 0 of a.parquet)
+    data = _dv_array_bytes([0])
+    dv_add = _add("a.parquet")
+    dv_add["add"]["deletionVector"] = {
+        "storageType": "i", "pathOrInlineDv": _z85_encode(data),
+        "sizeInBytes": len(data), "cardinality": 1}
+    _commit(root, 1, [dv_add])
+    # v2: a plain append
+    _write_part(root, "b.parquet", {"id": [3], "v": ["c"]}, PLAIN)
+    _commit(root, 2, [_add("b.parquet")])
+    register_delta_stream_source(spark)
+    # default: the DV commit fails closed
+    q = (
+        spark.readStream.format("deltastream").option("path", root).load()
+        .writeStream.format("memory").queryName("sg_dscc_fail")
+        .outputMode("append").start()
+    )
+    _drain(q, expect_error=True)
+    assert q.exception() is not None and "deletion-vector" in str(
+        q.exception())
+    # skipChangeCommits: v1 contributes nothing; v0 + v2 stream
+    q2 = (
+        spark.readStream.format("deltastream").option("path", root)
+        .option("skipChangeCommits", "true").load()
+        .writeStream.format("memory").queryName("sg_dscc_skip")
+        .outputMode("append").start()
+    )
+    _drain(q2)
+    assert q2.exception() is None
+    got = sorted(r.id for r in spark.table("sg_dscc_skip").collect())
+    assert got == [1, 2, 3]
+
+
 def test_deltastream_starting_version_and_gap_fail_closed(spark, tmp_path):
     from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
         register_delta_stream_source,

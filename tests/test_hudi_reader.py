@@ -208,13 +208,22 @@ def test_mor_fail_closed_gates(spark, tmp_path):
     with pytest.raises(HudiUnsupported, match="pending compaction"):
         read_hudi(spark, root)
     os.remove(marker)
-    # incremental stays CoW-only
+
+
+def test_mor_incremental_query(spark, tmp_path):
+    # r9: MoR incremental — merged newest in-range version of each
+    # changed record; in-range deletes drop out (the native relation's
+    # contract).  _mor_table: C2 updates 1 -> v1b, inserts 5, deletes 2.
     from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
         read_hudi_incremental,
     )
 
-    with pytest.raises(HudiUnsupported, match="CoW-only"):
-        read_hudi_incremental(spark, root, begin_instant=C1)
+    root, _log = _mor_table(tmp_path)
+    inc = read_hudi_incremental(spark, root, begin_instant=C1)
+    got = sorted((r.id, r.v) for r in inc.collect())
+    assert got == [(1, "v1b"), (5, "v5")]
+    with pytest.raises(ValueError, match="no commits"):
+        read_hudi_incremental(spark, root, begin_instant=C3)
 
 
 def test_mor_virtual_keys_fail_closed(spark, tmp_path):
