@@ -968,9 +968,13 @@ def _stats_keep(add: dict, where: list[tuple], part_cols: list[str],
     for col, op, val in where:
         key = phys_of.get(col, col)
         if col in part_cols:
-            got = pv.get(key)
+            if key not in pv:
+                continue  # partition value unknown: keep, sound
+            got = pv[key]
             if got is None:
-                continue
+                # explicit null partition value: no comparison hint
+                # (=, <, <=, >, >=) is ever true of SQL NULL — prune
+                return False
             dtype = types_of.get(col)
             try:
                 lo = hi = _typed_partition_value(got, dtype)

@@ -346,11 +346,75 @@ def delta_checkpoint(root: str, version: int | None = None) -> str:
     return final
 
 
+def _stage_adds(
+    df: DataFrame,
+    root: str,
+    version: int,
+    nonce: int,
+    now_ms: int,
+    part_cols: list[str],
+) -> tuple[list[str], list[dict]]:
+    """Write ``df`` to a stage directory (hive ``partitionBy`` layout when
+    ``part_cols``), move the task outputs into ``root`` under
+    attempt-unique names, and return ``(placed_rel_paths, add_actions)``.
+    Partition values travel as directory names and land in the adds'
+    ``partitionValues`` — never in the data files; adds carry
+    footer-derived stats so the reader's skipping works; empty task
+    outputs are dropped instead of committed as dead files.  Shared by
+    ``delta_append`` and the CoW DML rewrite (both stage the same way)."""
+    import urllib.parse as _up
+
+    import pyarrow.parquet as _pq
+
+    stage = os.path.join(root, f"_stage_{nonce}")
+    w = df.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(stage)
+    placed: list[str] = []
+    actions: list[dict] = []
+    try:
+        staged = sorted(glob.glob(
+            os.path.join(stage, "**", "part-*.parquet"), recursive=True
+        ))
+        for i, p in enumerate(staged):
+            # footer-only row count (no second plan evaluation)
+            if _pq.ParquetFile(p).metadata.num_rows == 0:
+                continue
+            part_dirs = [d for d in
+                         os.path.relpath(p, stage).split(os.sep)[:-1]
+                         if "=" in d]
+            pvals = {}
+            for d in part_dirs:
+                key, _, raw = d.partition("=")
+                pvals[key] = (None if raw == "__HIVE_DEFAULT_PARTITION__"
+                              else _up.unquote(raw))
+            base = f"part-v{version:05d}-{nonce}-{i:05d}.parquet"
+            new_rel = os.path.join(*part_dirs, base) if part_dirs else base
+            if part_dirs:
+                os.makedirs(os.path.dirname(os.path.join(root, new_rel)),
+                            exist_ok=True)
+            os.rename(p, os.path.join(root, new_rel))
+            placed.append(new_rel)
+            full = os.path.join(root, new_rel)
+            add = {"path": new_rel, "partitionValues": pvals,
+                   "size": os.path.getsize(full),
+                   "modificationTime": now_ms, "dataChange": True}
+            stats = _footer_stats(full)
+            if stats:
+                add["stats"] = stats
+            actions.append({"add": add})
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return placed, actions
+
+
 def delta_append(
     df: DataFrame,
     root: str,
     txn: tuple[str, int] | None = None,
     checkpoint_interval: int | None = 10,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Append ``df`` as the next version of the Delta table at ``root``
     (creating it on first write); returns the committed version.  With
@@ -358,14 +422,23 @@ def delta_append(
     returning the current head — the exactly-once replay contract.
     Every ``checkpoint_interval`` commits a single-part checkpoint is
     written (best-effort, post-commit) so replay stays bounded on
-    long-running sinks; pass None to disable."""
+    long-running sinks; pass None to disable.  ``partition_by`` (round 9)
+    hive-partitions the table on first write; appends to an existing
+    partitioned table follow the table's own ``partitionColumns`` (a
+    conflicting ``partition_by`` refuses — Delta partitioning is a
+    table-level invariant, not a per-write choice), and each add carries
+    its ``partitionValues`` so the reader prunes on them."""
     from pyspark.sql import types as T
 
     exists = os.path.isdir(_log_dir(root))
     if exists:
         _files, meta, _proto, head = _replay(root, None)
-        if meta.get("partitionColumns"):
-            raise ValueError("delta_append does not support partitioned tables")
+        part_cols = list(meta.get("partitionColumns") or [])
+        if partition_by is not None and list(partition_by) != part_cols:
+            raise ValueError(
+                f"partition_by {list(partition_by)} != table's "
+                f"partitionColumns {part_cols}"
+            )
         table_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         if [
             (f.name, f.dataType.simpleString()) for f in table_schema.fields
@@ -381,31 +454,17 @@ def delta_append(
         version = head + 1
     else:
         version = 0
+        part_cols = list(partition_by or [])
+        missing = [c for c in part_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by columns {missing} not in schema")
 
     # attempt-unique file names: a STALE writer racing a committed version
     # must never collide with (and clobber) that version's data files —
     # its uniquely-named orphans stay invisible and are unlinked on loss
     nonce = _time.time_ns()
-    stage = os.path.join(root, f"_stage_{nonce}")
-    df.write.mode("overwrite").parquet(stage)
-    adds, placed = [], []
-    try:
-        parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
-        now_ms = int(_time.time() * 1000)
-        for i, p in enumerate(parts):
-            rel = f"part-v{version:05d}-{nonce}-{i:05d}.parquet"
-            os.rename(p, os.path.join(root, rel))
-            placed.append(rel)
-            full = os.path.join(root, rel)
-            add = {"path": rel, "partitionValues": {},
-                   "size": os.path.getsize(full),
-                   "modificationTime": now_ms, "dataChange": True}
-            stats = _footer_stats(full)
-            if stats:
-                add["stats"] = stats
-            adds.append({"add": add})
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    now_ms = int(_time.time() * 1000)
+    placed, adds = _stage_adds(df, root, version, nonce, now_ms, part_cols)
 
     actions = [{"commitInfo": {"timestamp": now_ms, "operation": "WRITE",
                                "engineInfo": "kafka-connect-expand-json-transform-spark delta_append"}}]
@@ -415,7 +474,7 @@ def delta_append(
             "id": f"delta-append-{os.path.basename(os.path.abspath(root))}",
             "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps(df.schema.jsonValue()),
-            "partitionColumns": [], "configuration": {},
+            "partitionColumns": part_cols, "configuration": {},
             "createdTime": now_ms,
         }})
     if txn is not None:
@@ -644,52 +703,10 @@ def _delta_cow(
                 for c in schema.fields
             ]
         )
-    stage = os.path.join(root, f"_stage_{nonce}")
-    w = rewritten.write.mode("overwrite")
-    if part_cols:
-        # hive-layout staging: partition values travel as directory names
-        # and land in the adds' partitionValues, not in the data files
-        w = w.partitionBy(*part_cols)
-    w.parquet(stage)
-    placed = []
-    try:
-        import urllib.parse as _up
-
-        import pyarrow.parquet as _pq
-
-        staged = sorted(glob.glob(
-            os.path.join(stage, "**", "part-*.parquet"), recursive=True
-        ))
-        for i, p in enumerate(staged):
-            # footer-only row count (no second plan evaluation): empty
-            # task outputs are dropped instead of committed as dead files
-            if _pq.ParquetFile(p).metadata.num_rows == 0:
-                continue
-            part_dirs = [d for d in
-                         os.path.relpath(p, stage).split(os.sep)[:-1]
-                         if "=" in d]
-            pvals = {}
-            for d in part_dirs:
-                key, _, raw = d.partition("=")
-                pvals[key] = (None if raw == "__HIVE_DEFAULT_PARTITION__"
-                              else _up.unquote(raw))
-            base = f"part-v{version:05d}-{nonce}-{i:05d}.parquet"
-            new_rel = os.path.join(*part_dirs, base) if part_dirs else base
-            if part_dirs:
-                os.makedirs(os.path.dirname(os.path.join(root, new_rel)),
-                            exist_ok=True)
-            os.rename(p, os.path.join(root, new_rel))
-            placed.append(new_rel)
-            full = os.path.join(root, new_rel)
-            add = {"path": new_rel, "partitionValues": pvals,
-                   "size": os.path.getsize(full),
-                   "modificationTime": now_ms, "dataChange": True}
-            stats = _footer_stats(full)
-            if stats:
-                add["stats"] = stats
-            actions.append({"add": add})
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    placed, add_actions = _stage_adds(
+        rewritten, root, version, nonce, now_ms, part_cols
+    )
+    actions.extend(add_actions)
     actions.extend(
         {"remove": {"path": rel, "deletionTimestamp": now_ms,
                     "dataChange": True}}

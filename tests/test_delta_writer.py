@@ -500,3 +500,62 @@ def test_vacuum_retention_keys_off_tombstone_not_mtime(spark, tmp_path):
     os.utime(orphan, (eight_days_ago, eight_days_ago))
     assert delta_vacuum(root) == ["orphan-leftover.parquet"]
     assert not os.path.exists(orphan)
+
+
+def test_partitioned_append_create_and_read(spark, tmp_path):
+    # r9: delta_append creates and extends hive-partitioned tables —
+    # partitionColumns land in metaData on first write, adds carry
+    # partitionValues (incl. null -> __HIVE_DEFAULT_PARTITION__ on disk,
+    # null in the log), data files do NOT contain the partition column,
+    # and the reader re-injects + prunes on it
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    root = str(tmp_path / "pa")
+    df = spark.range(0, 6).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.when(F.col("id") < 3, "d1")
+        .when(F.col("id") < 5, "d2").alias("day"),  # id 5 -> null day
+    )
+    assert delta_append(df, root, partition_by=["day"]) == 0
+    # second append follows the table's OWN partitioning
+    df2 = spark.range(6, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit("d3").alias("day"),
+    )
+    assert delta_append(df2, root) == 1
+    got = sorted((r.k, r.day) for r in read_delta(spark, root).collect())
+    assert got == [(0, "d1"), (1, "d1"), (2, "d1"), (3, "d2"), (4, "d2"),
+                   (5, None), (6, "d3"), (7, "d3")]
+    # partition column lives in the log, not the data files
+    data_files = _glob.glob(os.path.join(root, "**", "part-*.parquet"),
+                            recursive=True)
+    assert data_files and all(
+        "day" not in _pq.ParquetFile(p).schema_arrow.names
+        for p in data_files
+    )
+    # adds carry partitionValues; null day recorded as null
+    pvals = set()
+    for logf in sorted(_glob.glob(os.path.join(root, "_delta_log",
+                                               "*.json"))):
+        with open(logf) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if a.get("add"):
+                    pvals.add(a["add"]["partitionValues"]["day"])
+    assert pvals == {"d1", "d2", "d3", None}
+    # log-level pruning on the partition column
+    assert sorted(
+        r.k
+        for r in read_delta(spark, root,
+                            where=[("day", "=", "d3")]).collect()
+    ) == [6, 7]
+    # a conflicting partition_by on an existing table refuses
+    with pytest.raises(ValueError, match="partitionColumns"):
+        delta_append(df2, root, partition_by=["k"])
+    # a partition column absent from the schema refuses at create
+    with pytest.raises(ValueError, match="not in schema"):
+        delta_append(df2, str(tmp_path / "pa2"), partition_by=["nope"])
