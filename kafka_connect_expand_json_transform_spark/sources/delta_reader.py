@@ -254,9 +254,10 @@ def _check_protocol(protocol: dict | None, meta: dict) -> None:
                 f"this reader supports {sorted(_SUPPORTED_READER_FEATURES)}"
             )
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-    if mode not in ("none", "name"):
+    if mode not in ("none", "name", "id"):
         raise DeltaProtocolUnsupported(
-            f"columnMapping mode {mode!r} not supported (only 'none'/'name')"
+            f"columnMapping mode {mode!r} not supported "
+            "(only 'none'/'name'/'id')"
         )
 
 
@@ -266,6 +267,34 @@ def _schema(meta: dict) -> T.StructType:
 
 def _physical_name(field: T.StructField) -> str:
     return field.metadata.get("delta.columnMapping.physicalName", field.name)
+
+
+def _field_id_type(dtype: T.DataType) -> T.DataType:
+    """Recursively stamp ``parquet.field.id`` metadata (from the Delta
+    schema's ``delta.columnMapping.id``) onto nested struct fields so
+    Spark's parquet field-id resolution matches them by id."""
+    if isinstance(dtype, T.StructType):
+        out = []
+        for f in dtype.fields:
+            fid = (f.metadata or {}).get("delta.columnMapping.id")
+            if fid is None:
+                raise DeltaProtocolUnsupported(
+                    f"columnMapping mode 'id': field {f.name!r} has no "
+                    "delta.columnMapping.id"
+                )
+            out.append(T.StructField(
+                f.name, _field_id_type(f.dataType), f.nullable,
+                metadata={"parquet.field.id": int(fid)},
+            ))
+        return T.StructType(out)
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(_field_id_type(dtype.elementType),
+                           dtype.containsNull)
+    if isinstance(dtype, T.MapType):
+        return T.MapType(_field_id_type(dtype.keyType),
+                         _field_id_type(dtype.valueType),
+                         dtype.valueContainsNull)
+    return dtype
 
 
 # --- deletion vectors (PROTOCOL.md "Deletion Vectors") -----------------------
@@ -1052,7 +1081,10 @@ def read_delta(
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
 
     by_logical = {f.name: f for f in logical.fields}
-    phys_of = {f.name: (_physical_name(f) if mode == "name" else f.name)
+    # partitionValues and stats are keyed by PHYSICAL name in BOTH mapping
+    # modes (PROTOCOL.md "Column Mapping": writers use physical names in
+    # all file-level metadata)
+    phys_of = {f.name: (_physical_name(f) if mode != "none" else f.name)
                for f in logical.fields}
 
     if where:
@@ -1064,9 +1096,24 @@ def read_delta(
         }
 
     data_fields = [f for f in logical.fields if f.name not in part_cols]
-    read_schema = T.StructType(
-        [T.StructField(phys_of[f.name], f.dataType, True) for f in data_fields]
-    )
+    if mode == "id":
+        # 'id' mapping resolves parquet columns by FIELD ID, not name:
+        # the read schema keeps the LOGICAL names and rides the ids in
+        # `parquet.field.id` metadata, which Spark's native parquet
+        # field-id resolution (spark.sql.parquet.fieldId.read.enabled)
+        # matches against the file footers — no rename needed, and a
+        # file missing ids fails loudly instead of resolving by the
+        # physical name the spec says to ignore
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        read_schema = _field_id_type(T.StructType(
+            [T.StructField(f.name, f.dataType, f.nullable, f.metadata)
+             for f in data_fields]
+        ))
+    else:
+        read_schema = T.StructType(
+            [T.StructField(phys_of[f.name], f.dataType, True)
+             for f in data_fields]
+        )
     if not files:
         return spark.createDataFrame([], T.StructType(
             [T.StructField(f.name, f.dataType, True) for f in logical.fields]
@@ -1113,8 +1160,7 @@ def read_delta(
             pv = add.get("partitionValues") or {}
             rows.append(
                 (os.path.abspath(os.path.join(path, rel)),
-                 *[pv.get(phys_of[c]) if mode == "name" else pv.get(c)
-                   for c in part_cols])
+                 *[pv.get(phys_of[c]) for c in part_cols])
             )
         map_schema = T.StructType(
             [T.StructField("__file", T.StringType(), False)]

@@ -1059,3 +1059,64 @@ def test_deltastream_partitioned_reinjection(spark, tmp_path):
     got = sorted((r.id, str(r.day)) for r in spark.table("sg_ds_part").collect())
     assert got == [(1, "2026-01-01"), (2, "2026-01-01"), (3, "2026-01-02")]
     assert dict(spark.table("sg_ds_part").dtypes)["day"] == "date"
+
+
+def test_column_mapping_id_mode(spark, tmp_path):
+    # r9: columnMapping 'id' — parquet columns resolve by FIELD ID, never
+    # by name (PROTOCOL.md "Column Mapping"): the second file's physical
+    # column names are SWAPPED relative to the first, so name-based
+    # resolution would transpose its columns; Spark's parquet field-id
+    # read (ids stamped into the read schema) resolves both correctly.
+    # Partition values stay keyed by PHYSICAL name; CDF keeps refusing.
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        read_delta_changes,
+    )
+
+    root = str(tmp_path / "cmid")
+
+    def fld(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    s1 = pa.schema([fld("col-aaa", pa.int64(), 1),
+                    fld("col-bbb", pa.string(), 2)])
+    _write_part(root, "f1.parquet",
+                {"col-aaa": [1, 2], "col-bbb": ["a", "b"]}, s1)
+    # f2: physical NAMES swapped; ids are authoritative
+    s2 = pa.schema([fld("col-bbb", pa.int64(), 1),
+                    fld("col-aaa", pa.string(), 2)])
+    _write_part(root, "f2.parquet", {"col-bbb": [3], "col-aaa": ["c"]}, s2)
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+        {"name": "day", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-ccc"}},
+    ]})
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cmid",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_string,
+                      "partitionColumns": ["day"],
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+        _add("f1.parquet", pv={"col-ccc": "d1"}),
+        _add("f2.parquet", pv={"col-ccc": "d2"}),
+    ])
+    df = read_delta(spark, root)
+    assert df.columns == ["id", "v", "day"]
+    got = sorted((r.id, r.v, r.day) for r in df.collect())
+    assert got == [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")]
+    # partition hint prunes on the LOGICAL column name
+    assert sorted(
+        r.id for r in read_delta(spark, root,
+                                 where=[("day", "=", "d2")]).collect()
+    ) == [3]
+    # CDF stays fail-closed under 'id' mapping
+    with pytest.raises(DeltaProtocolUnsupported, match="columnMapping"):
+        read_delta_changes(spark, root, 0).collect()
