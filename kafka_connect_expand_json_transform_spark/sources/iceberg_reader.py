@@ -253,30 +253,196 @@ def _bounds_keep(df_: dict, where: list[tuple], fields_by_name: dict) -> bool:
     return True
 
 
-def _partition_keep(entry_partition, where: list[tuple]) -> bool:
-    """Identity-partition pruning on the manifest entry's ``partition``
-    struct (spec: data files carry their partition tuple).  Keep when the
-    predicate MAY match; missing fields keep the file (sound)."""
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant), unsigned result — the hash Iceberg's
+    bucket transform mandates (spec Appendix B "Bucket Transform
+    Details"); pure stdlib, golden-vector tested."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data)
+    full = n - (n % 4)
+    for i in range(0, full, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[full:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _bucket_of(val, source_type: str, n: int) -> int | None:
+    """Iceberg bucket transform: ``(murmur3_x86_32(encode(v)) &
+    Integer.MAX_VALUE) % N`` with the spec's per-type encodings (Appendix
+    B): int/long/date hash as the 8-byte little-endian long, timestamps
+    as micros, strings as UTF-8.  None = this type does not prune."""
+    import datetime
+
+    t = str(source_type)
+    if t in ("int", "long"):
+        data = int(val).to_bytes(8, "little", signed=True)
+    elif t == "date":
+        data = int(_epoch_days(val)).to_bytes(8, "little", signed=True)
+    elif t.startswith("timestamp"):
+        if isinstance(val, datetime.datetime):
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=val.tzinfo)
+            val = int((val - epoch).total_seconds() * 1_000_000)
+        data = int(val).to_bytes(8, "little", signed=True)
+    elif t == "string":
+        data = str(val).encode("utf-8")
+    else:
+        return None
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def _epoch_days(val) -> int:
+    import datetime
+
+    if isinstance(val, datetime.datetime):
+        val = val.date()
+    if isinstance(val, datetime.date):
+        return (val - datetime.date(1970, 1, 1)).days
+    if isinstance(val, str):
+        return (datetime.date.fromisoformat(val)
+                - datetime.date(1970, 1, 1)).days
+    return int(val)
+
+
+def _time_ordinal(transform: str, val) -> int | None:
+    """Value of Iceberg's monotonic time transforms: day/month/year as
+    ordinals from 1970, hour as hours from epoch.  Accepts date/datetime/
+    ISO strings; None = cannot normalize (keep the file)."""
+    import datetime
+
+    if isinstance(val, str):
+        try:
+            val = (datetime.datetime.fromisoformat(val)
+                   if ("T" in val or " " in val or ":" in val)
+                   else datetime.date.fromisoformat(val))
+        except ValueError:
+            return None
+    if transform == "hour":
+        if isinstance(val, datetime.datetime):
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=val.tzinfo)
+            return int((val - epoch).total_seconds() // 3600)
+        return int(val)
+    if isinstance(val, datetime.datetime):
+        val = val.date()
+    if isinstance(val, datetime.date):
+        if transform == "day":
+            return _epoch_days(val)
+        if transform == "month":
+            return (val.year - 1970) * 12 + (val.month - 1)
+        if transform == "year":
+            return val.year - 1970
+    if isinstance(val, int):
+        return val  # already an ordinal in the transform's own unit
+    return None
+
+
+_TRANSFORM_RE = re.compile(r"^(bucket|truncate)\[(\d+)\]$")
+
+
+def _partition_keep(entry_partition, where: list[tuple],
+                    spec_map: dict | None = None) -> bool:
+    """Partition pruning on the manifest entry's ``partition`` struct
+    (spec: data files carry their partition tuple).  With ``spec_map``
+    (source column -> [(partition field name, transform, source type)])
+    the table's TRANSFORMS prune: identity compares directly; bucket[N]
+    prunes equality via the spec's Murmur3 hash; truncate[W] and the
+    monotonic time transforms (day/month/year/hour) prune ranges with
+    the op loosened to the transform's granularity (a file whose day
+    equals day(V) may still hold rows before V, so ``<`` keeps equal
+    ordinals).  A present-but-null partition value cannot satisfy any
+    comparison, so it prunes; an ABSENT field (older spec) keeps the
+    file.  Without a spec, falls back to identity-by-field-name.  Keep
+    when the predicate MAY match (sound)."""
     pv = entry_partition or {}
     if isinstance(pv, list):  # arrow/avro map round-trip
         pv = dict(pv)
-    for col, op, val in where:
-        got = pv.get(col)
-        if got is None:
-            continue
+
+    def cmp_keep(got, op, val, loosened: bool) -> bool:
+        # loosened: got/val are at transform granularity — equality at
+        # the ordinal cannot rule out rows on either side of val
         try:
-            if op == "=" and got != val:
-                return False
-            if op == "<" and not (got < val):
-                return False
-            if op == "<=" and not (got <= val):
-                return False
-            if op == ">" and not (got > val):
-                return False
-            if op == ">=" and not (got >= val):
-                return False
+            if op == "=":
+                return got == val
+            if op in ("<", "<="):
+                return got <= val if (loosened or op == "<=") else got < val
+            if op in (">", ">="):
+                return got >= val if (loosened or op == ">=") else got > val
         except TypeError:
-            continue
+            return True  # incomparable: keep, sound
+        return True
+
+    for col, op, val in where:
+        for fname, transform, stype in (spec_map or {}).get(
+            col, [(col, "identity", None)] if not spec_map else []
+        ):
+            if fname not in pv:
+                continue  # field absent (older spec): keep, sound
+            got = pv[fname]
+            if transform == "void":
+                continue
+            if got is None:
+                return False  # null source value: no comparison matches
+            if transform == "identity":
+                tgot, tval = got, val
+                if stype == "date":
+                    # avro date values may decode as ints or date objects
+                    try:
+                        tgot, tval = _epoch_days(got), _epoch_days(val)
+                    except (ValueError, TypeError):
+                        continue  # unnormalizable: keep, sound
+                if not cmp_keep(tgot, op, tval, loosened=False):
+                    return False
+                continue
+            m = _TRANSFORM_RE.match(transform)
+            if m and m.group(1) == "bucket":
+                if op != "=":
+                    continue  # buckets scatter ranges: only = prunes
+                b = _bucket_of(val, stype, int(m.group(2)))
+                if b is not None and got != b:
+                    return False
+                continue
+            if m and m.group(1) == "truncate":
+                w = int(m.group(2))
+                if isinstance(val, str):
+                    tval = val[:w]
+                elif isinstance(val, int):
+                    tval = val - (val % w)
+                else:
+                    continue
+                if not cmp_keep(got, op, tval, loosened=True):
+                    return False
+                continue
+            if transform in ("day", "month", "year", "hour"):
+                tval = _time_ordinal(transform, val)
+                if tval is not None and not cmp_keep(
+                    got, op, tval, loosened=True
+                ):
+                    return False
+                continue
+            # unknown transform: keep, sound
     return True
 
 
@@ -301,15 +467,46 @@ def _snapshot_entries(
     if snap is None:
         raise ValueError(f"snapshot {snapshot_id} not in table metadata")
     location = meta.get("location", path)
-    fields_by_name = {
-        f["name"]: f for f in _current_schema(meta).get("fields", [])
-    }
+    schema_fields = _current_schema(meta).get("fields", [])
+    fields_by_name = {f["name"]: f for f in schema_fields}
+    fields_by_id = {f["id"]: f for f in schema_fields}
+
+    def _spec_map(spec_id) -> dict:
+        """source column name -> [(partition field name, transform,
+        source type)] for one partition spec (v2 partition-specs list or
+        v1 flat partition-spec)."""
+        sfields = None
+        specs = meta.get("partition-specs")
+        if specs:
+            by = {s.get("spec-id", 0): s.get("fields", []) for s in specs}
+            sfields = by.get(
+                spec_id if spec_id is not None
+                else meta.get("default-spec-id", 0)
+            )
+        if sfields is None:
+            sfields = meta.get("partition-spec") or []
+        out: dict[str, list] = {}
+        for sf in sfields:
+            src = fields_by_id.get(sf.get("source-id"))
+            if src is None:
+                continue
+            out.setdefault(src["name"], []).append(
+                (sf["name"], str(sf.get("transform", "identity")),
+                 str(src.get("type")))
+            )
+        return out
+
+    spec_maps: dict = {}
     files: dict[str, int] = {}
     pos_deletes: list[str] = []
     eq_deletes: dict[tuple[str, int, tuple], None] = {}
     mlist = _resolve(path, location, snap["manifest-list"])
     for mrow in AC.read_container(mlist):
         is_delete_manifest = mrow.get("content", 0) == 1
+        spec_id = mrow.get("partition_spec_id")
+        if spec_id not in spec_maps:
+            spec_maps[spec_id] = _spec_map(spec_id)
+        spec_map = spec_maps[spec_id]
         manifest = _resolve(path, location, mrow["manifest_path"])
         for entry in AC.read_container(manifest):
             if entry["status"] == 2:  # DELETED
@@ -329,7 +526,9 @@ def _snapshot_entries(
                     raise IcebergUnsupported(
                         "data entry inside a delete manifest"
                     )
-                if where and not _partition_keep(df_.get("partition"), where):
+                if where and not _partition_keep(
+                    df_.get("partition"), where, spec_map
+                ):
                     continue
                 if where and not _bounds_keep(df_, where, fields_by_name):
                     continue

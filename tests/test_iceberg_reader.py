@@ -742,3 +742,137 @@ def test_manifest_bounds_pruning(spark, tmp_path):
     got = sorted(r.id for r in read_iceberg(
         spark, root, where=[("id", ">=", 100)]).collect())
     assert got == [100, 200]
+
+
+def test_murmur3_bucket_golden_vectors():
+    # spec Appendix B "Bucket Transform Details" hash examples: int/long
+    # hash as the 8-byte little-endian long, dates as the day ordinal
+    # long, timestamps as micros, strings as UTF-8
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        _bucket_of,
+        _murmur3_32,
+    )
+
+    def signed(u):
+        return u - (1 << 32) if u >= (1 << 31) else u
+
+    assert signed(_murmur3_32((34).to_bytes(8, "little", signed=True))) \
+        == 2017239379
+    assert signed(_murmur3_32("iceberg".encode())) == 1210000089
+    assert signed(_murmur3_32((17486).to_bytes(8, "little", signed=True))) \
+        == -653330422
+    assert signed(_murmur3_32(
+        (1510871468000000).to_bytes(8, "little", signed=True)
+    )) == -2047944441
+    assert _bucket_of(34, "long", 4) == 2017239379 % 4
+    import datetime
+    assert _bucket_of(datetime.date(2017, 11, 16), "date", 100) \
+        == ((-653330422) & 0x7FFFFFFF) % 100
+
+
+def test_transform_partition_pruning(spark, tmp_path):
+    # r9: hidden-partition pruning through the table's TRANSFORMS —
+    # bucket[N] (Murmur3 equality), day (monotonic, range ops loosened
+    # to the day grain), truncate[W] on strings
+    import datetime
+
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        _bucket_of,
+    )
+
+    root = str(tmp_path / "tpart")
+    loc = "file://" + root
+    os.makedirs(root + "/metadata")
+    os.makedirs(root + "/data")
+    sch = pa.schema([("id", pa.int64()), ("ds", pa.date32()),
+                     ("name", pa.string())])
+    d1, d2 = datetime.date(2017, 11, 16), datetime.date(2017, 11, 30)
+    pq.write_table(pa.table({"id": [34], "ds": [d1], "name": ["icex"]},
+                            schema=sch), root + "/data/p1.parquet")
+    pq.write_table(pa.table({"id": [35], "ds": [d2], "name": ["zebra"]},
+                            schema=sch), root + "/data/p2.parquet")
+    b34, b35 = _bucket_of(34, "long", 4), _bucket_of(35, "long", 4)
+    assert b34 != b35  # fixture precondition for the bucket assertion
+    days1 = (d1 - datetime.date(1970, 1, 1)).days
+    days2 = (d2 - datetime.date(1970, 1, 1)).days
+    entry = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": [
+                            {"name": "id_bucket", "type": "int"},
+                            {"name": "ds_day", "type": "int"},
+                            {"name": "name_trunc", "type": "string"}]}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}},
+        ],
+    }
+
+    def df_entry(name, b, days, pref):
+        return {"status": 1, "data_file": {
+            "content": 0, "file_path": f"{loc}/data/{name}.parquet",
+            "file_format": "parquet",
+            "partition": {"id_bucket": b, "ds_day": days,
+                          "name_trunc": pref},
+            "record_count": 1, "file_size_in_bytes": 1}}
+
+    AC.write_container(root + "/metadata/m.avro", entry, [
+        df_entry("p1", b34, days1, "ice"),
+        df_entry("p2", b35, days2, "zeb"),
+    ], codec="null")
+    AC.write_container(root + "/metadata/sl.avro", MLIST, [
+        {"manifest_path": f"{loc}/metadata/m.avro",
+         "manifest_length": 1, "content": 0,
+         "partition_spec_id": 0}], codec="null")
+    meta = {
+        "format-version": 2, "table-uuid": "0000", "location": loc,
+        "current-snapshot-id": 1,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {"id": 2, "name": "ds", "required": False, "type": "date"},
+            {"id": 3, "name": "name", "required": False, "type": "string"},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "id_bucket", "transform": "bucket[4]",
+             "source-id": 1, "field-id": 1000},
+            {"name": "ds_day", "transform": "day",
+             "source-id": 2, "field-id": 1001},
+            {"name": "name_trunc", "transform": "truncate[3]",
+             "source-id": 3, "field-id": 1002},
+        ]}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1000,
+                       "summary": {"operation": "append"},
+                       "manifest-list": f"{loc}/metadata/sl.avro"}],
+    }
+    with open(root + "/metadata/v1.metadata.json", "w") as fh:
+        json.dump(meta, fh)
+
+    full = read_iceberg(spark, root)
+    assert sorted(r.id for r in full.collect()) == [34, 35]
+
+    def kept(where):
+        return sorted(
+            r.id for r in read_iceberg(spark, root, where=where).collect()
+        )
+
+    # bucket: equality prunes to the matching bucket's file
+    assert kept([("id", "=", 34)]) == [34]
+    assert kept([("id", "=", 35)]) == [35]
+    # bucket: range ops never prune (buckets scatter ranges)
+    assert kept([("id", "<", 35)]) == [34, 35]
+    # day: equality and loosened range at the day grain
+    assert kept([("ds", "=", d1)]) == [34]
+    assert kept([("ds", "<", d1)]) == [34]        # same-day rows may precede
+    assert kept([("ds", "<", datetime.date(2017, 11, 15))]) == []
+    assert kept([("ds", ">", d2)]) == [35]
+    # truncate[3] on strings
+    assert kept([("name", "=", "iceberg")]) == [34]
+    assert kept([("name", ">=", "zeb")]) == [35]
