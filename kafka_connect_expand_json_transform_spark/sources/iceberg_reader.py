@@ -633,8 +633,13 @@ def register_iceberg_stream_source(spark: SparkSession) -> None:
     the data files ADDED by the new snapshots.  Overwrite/delete
     snapshots abort the stream unless ``ignoreChanges=true`` (their adds
     re-stream; consumers dedup) — the same contract Iceberg's own
-    streaming read documents.  availableNow is unsupported (Python
-    DataSource limit): drive a processing-time trigger to the head."""
+    streaming read documents — or the Iceberg option names
+    ``streaming-skip-delete-snapshots`` /
+    ``streaming-skip-overwrite-snapshots`` skip those snapshots
+    WHOLESALE; 'replace' (compaction) snapshots are always skipped,
+    matching the reference streaming source (r9).  availableNow is
+    unsupported (Python DataSource limit): drive a processing-time
+    trigger to the head."""
     from dataclasses import dataclass
 
     from pyspark.sql.datasource import (
@@ -650,6 +655,8 @@ def register_iceberg_stream_source(spark: SparkSession) -> None:
         end_id: int | None  # last snapshot-id of this batch (inclusive)
         schema_json: str
         ignore_changes: bool
+        skip_delete: bool
+        skip_overwrite: bool
 
     def _ordered_snapshots(path: str) -> list[dict]:
         meta = _read_metadata(path)
@@ -682,6 +689,14 @@ def register_iceberg_stream_source(spark: SparkSession) -> None:
                 str(options.get("ignoreChanges", "false")).lower() == "true"
             )
 
+            def flag(key):
+                return str(options.get(key, "false")).lower() == "true"
+
+            # Iceberg's own streaming options: skip the named snapshot
+            # types WHOLESALE instead of aborting on them
+            self.skip_delete = flag("streaming-skip-delete-snapshots")
+            self.skip_overwrite = flag("streaming-skip-overwrite-snapshots")
+
         def initialOffset(self) -> dict:
             return {"snapshot_id": None}
 
@@ -707,7 +722,8 @@ def register_iceberg_stream_source(spark: SparkSession) -> None:
                 _SnapRange(
                     self.root, start.get("snapshot_id"),
                     end.get("snapshot_id"), self.schema_json,
-                    self.ignore_changes,
+                    self.ignore_changes, self.skip_delete,
+                    self.skip_overwrite,
                 )
             ]
 
@@ -726,6 +742,16 @@ def register_iceberg_stream_source(spark: SparkSession) -> None:
                   else _resolve_pos(snaps, partition.start_id) + 1)
             hi = _resolve_pos(snaps, partition.end_id) + 1
             for snap in snaps[lo:hi]:
+                op = (snap.get("summary") or {}).get("operation", "append")
+                if op == "replace":
+                    # compaction/rewrite: no data change — Iceberg's own
+                    # streaming source always skips these (streaming
+                    # their adds would duplicate rows)
+                    continue
+                if op == "delete" and partition.skip_delete:
+                    continue
+                if op == "overwrite" and partition.skip_overwrite:
+                    continue
                 for f in _snapshot_appended_files(
                     partition.root, meta, snap, partition.ignore_changes
                 ):

@@ -876,3 +876,46 @@ def test_transform_partition_pruning(spark, tmp_path):
     # truncate[3] on strings
     assert kept([("name", "=", "iceberg")]) == [34]
     assert kept([("name", ">=", "zeb")]) == [35]
+
+
+def test_icebergstream_skip_snapshot_options(spark, tmp_path):
+    # r9: Iceberg's own streaming options — overwrite/delete snapshots
+    # are skipped WHOLESALE instead of aborting; 'replace' (compaction)
+    # snapshots are ALWAYS skipped, matching the reference streaming
+    # source's contract (re-streaming a rewrite would duplicate rows)
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        register_iceberg_stream_source,
+    )
+
+    # _table: snapshot 1 appends a+b (ids 1,2,3); snapshot 2 is an
+    # overwrite deleting b and adding c (id 4)
+    root = _table(tmp_path)
+    register_iceberg_stream_source(spark)
+    q = (
+        spark.readStream.format("icebergstream").option("path", root)
+        .option("streaming-skip-overwrite-snapshots", "true").load()
+        .writeStream.format("memory").queryName("sg_iskip")
+        .outputMode("append").start()
+    )
+    _drain(q)
+    assert q.exception() is None
+    assert sorted(r.id for r in spark.table("sg_iskip").collect()) == [1, 2, 3]
+
+    # a 'replace' snapshot is skipped even with no options set
+    mpath = root + "/metadata/v1.metadata.json"
+    with open(mpath) as fh:
+        meta = json.load(fh)
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] == 2:
+            s["summary"]["operation"] = "replace"
+    with open(mpath, "w") as fh:
+        json.dump(meta, fh)
+    q2 = (
+        spark.readStream.format("icebergstream").option("path", root).load()
+        .writeStream.format("memory").queryName("sg_ireplace")
+        .outputMode("append").start()
+    )
+    _drain(q2)
+    assert q2.exception() is None
+    assert sorted(r.id for r in spark.table("sg_ireplace").collect()) \
+        == [1, 2, 3]
