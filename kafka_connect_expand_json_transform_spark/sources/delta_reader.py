@@ -594,16 +594,18 @@ def read_delta_changes(
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode not in ("none", "name"):
-        raise DeltaProtocolUnsupported(
-            f"columnMapping mode {mode!r} not supported (only 'none'/'name')"
-        )
     part_cols = list(meta.get("partitionColumns") or [])
     logical = _schema(meta)
     by_logical = {f.name: f for f in logical.fields}
     data_fields = [f for f in logical.fields if f.name not in part_cols]
-    phys_of = {f.name: (_physical_name(f) if mode == "name" else f.name)
+    # partitionValues are keyed by PHYSICAL name in both mapping modes
+    phys_of = {f.name: (_physical_name(f) if mode != "none" else f.name)
                for f in logical.fields}
+    if mode == "id":
+        # resolve parquet columns by FIELD ID (the snapshot read's r9
+        # shape): logical names + parquet.field.id metadata; the extra
+        # _change_type column has no id and matches by name
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
     def _with_parts(df, entries, extra_fields):
         """Re-inject partition columns from the actions' partitionValues
@@ -634,10 +636,18 @@ def read_delta_changes(
             )
         )
 
-    def _scan(paths_, fields_with_types, keep_change_type):
-        df = spark.read.schema(T.StructType(fields_with_types)).parquet(
-            *paths_
-        )
+    def _scan(paths_, keep_change_type):
+        if mode == "id":
+            fields = list(_field_id_type(T.StructType(
+                [T.StructField(f.name, f.dataType, f.nullable, f.metadata)
+                 for f in data_fields]
+            )).fields)
+        else:
+            fields = [T.StructField(phys_of[f.name], f.dataType, True)
+                      for f in data_fields]
+        if keep_change_type:
+            fields.append(T.StructField("_change_type", T.StringType(), True))
+        df = spark.read.schema(T.StructType(fields)).parquet(*paths_)
         if part_cols:
             df = df.withColumn(
                 "__file",
@@ -645,10 +655,12 @@ def read_delta_changes(
                     F.col("_metadata.file_path"), "^[a-z]+:/+", "/"
                 ),
             )
-        # physical -> logical, plan-time rename (column mapping 'name')
+        # physical -> logical, plan-time rename ('name' mapping; 'id'
+        # already reads under logical names via field-id resolution)
         df = df.select(
             *(["__file"] if part_cols else []),
-            *[F.col(phys_of[f.name]).alias(f.name) for f in data_fields],
+            *[F.col(phys_of[f.name] if mode == "name" else f.name)
+              .alias(f.name) for f in data_fields],
             *(["_change_type"] if keep_change_type else []),
         )
         return df
@@ -679,9 +691,6 @@ def read_delta_changes(
         if cdcs:
             df = _scan(
                 [os.path.join(path, c) for c, _pv in cdcs],
-                [*[T.StructField(phys_of[f.name], f.dataType, True)
-                   for f in data_fields],
-                 T.StructField("_change_type", T.StringType(), True)],
                 keep_change_type=True,
             )
             df = _with_parts(df, cdcs, ["_change_type"])
@@ -694,8 +703,6 @@ def read_delta_changes(
         elif adds:
             df = _scan(
                 [os.path.join(path, a) for a, _pv in adds],
-                [T.StructField(phys_of[f.name], f.dataType, True)
-                 for f in data_fields],
                 keep_change_type=False,
             ).select("*", F.lit("insert").alias("_change_type"))
             df = _with_parts(df, adds, ["_change_type"])
@@ -760,12 +767,15 @@ def register_delta_stream_source(spark: SparkSession) -> None:
         ignore_changes: bool
         phys_json: str  # logical -> physical name map ('' when unmapped)
         skip_change_commits: bool
+        id_json: str  # logical -> field id map ('' unless mode 'id')
 
     class DeltaStreamReader(DataSourceStreamReader):
-        def __init__(self, options, schema_json, phys_json=""):
+        def __init__(self, options, schema_json, phys_json="",
+                     id_json=""):
             self.root = options["path"]
             self.schema_json = schema_json
             self.phys_json = phys_json
+            self.id_json = id_json
             self.ignore_changes = (
                 str(options.get("ignoreChanges", "false")).lower() == "true"
             )
@@ -787,7 +797,7 @@ def register_delta_stream_source(spark: SparkSession) -> None:
                 _DeltaRange(
                     self.root, int(start["version"]), int(end["version"]),
                     self.schema_json, self.ignore_changes, self.phys_json,
-                    self.skip_change_commits,
+                    self.skip_change_commits, self.id_json,
                 )
             ]
 
@@ -863,7 +873,23 @@ def register_delta_stream_source(spark: SparkSession) -> None:
                               json.loads(partition.phys_json).items()}
                 for rel, pv in adds:
                     table = pq.read_table(os.path.join(partition.root, rel))
-                    if log_of:
+                    if partition.id_json:
+                        # columnMapping 'id': resolve columns by the
+                        # parquet FIELD IDS pyarrow surfaces as field
+                        # metadata — physical names are ignored per spec
+                        name_of = {int(i): l for l, i in
+                                   json.loads(partition.id_json).items()}
+                        names = []
+                        for fld in table.schema:
+                            fid = (fld.metadata or {}).get(
+                                b"PARQUET:field_id"
+                            )
+                            names.append(
+                                name_of.get(int(fid), fld.name)
+                                if fid is not None else fld.name
+                            )
+                        table = table.rename_columns(names)
+                    elif log_of:
                         table = table.rename_columns(
                             [log_of.get(c, c) for c in table.column_names]
                         )
@@ -893,27 +919,26 @@ def register_delta_stream_source(spark: SparkSession) -> None:
 
         def schema(self):
             _files, meta, _proto, _v = _replay(self.options["path"], None)
-            mode = (meta.get("configuration") or {}).get(
-                "delta.columnMapping.mode", "none"
-            )
-            if mode not in ("none", "name"):
-                raise DeltaProtocolUnsupported(
-                    f"deltastream: columnMapping mode {mode!r} not supported"
-                )
-            return _schema(meta)
+            return _schema(meta)  # _replay gates unsupported modes
 
         def streamReader(self, schema):
             _files, meta, _proto, _v = _replay(self.options["path"], None)
             mode = (meta.get("configuration") or {}).get(
                 "delta.columnMapping.mode", "none"
             )
-            phys_json = ""
-            if mode == "name":
+            phys_json = id_json = ""
+            if mode != "none":
                 logical = _schema(meta)
                 phys_json = json.dumps(
                     {f.name: _physical_name(f) for f in logical.fields}
                 )
-            return DeltaStreamReader(self.options, schema.json(), phys_json)
+                if mode == "id":
+                    id_json = json.dumps({
+                        f.name: int(f.metadata["delta.columnMapping.id"])
+                        for f in logical.fields
+                    })
+            return DeltaStreamReader(self.options, schema.json(), phys_json,
+                                     id_json)
 
     spark.dataSource.register(DeltaStreamSource)
 

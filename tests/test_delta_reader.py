@@ -1117,6 +1117,72 @@ def test_column_mapping_id_mode(spark, tmp_path):
         r.id for r in read_delta(spark, root,
                                  where=[("day", "=", "d2")]).collect()
     ) == [3]
-    # CDF stays fail-closed under 'id' mapping
-    with pytest.raises(DeltaProtocolUnsupported, match="columnMapping"):
-        read_delta_changes(spark, root, 0).collect()
+    # CDF under 'id' mapping resolves by field id too (r9, see
+    # test_column_mapping_id_cdf_and_stream); partitioned variant here:
+    cdf = read_delta_changes(spark, root, 0)
+    got = sorted((r.id, r.day, r._change_type) for r in cdf.collect())
+    assert got == [(1, "d1", "insert"), (2, "d1", "insert"),
+                   (3, "d2", "insert")]
+
+
+def test_column_mapping_id_cdf_and_stream(spark, tmp_path):
+    # r9: CDF and the deltastream source under columnMapping 'id' —
+    # parquet columns resolve by field id on both paths (the stream maps
+    # ids from pyarrow's PARQUET:field_id metadata per batch), so a file
+    # with swapped physical names still streams the right values
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        read_delta_changes,
+        register_delta_stream_source,
+    )
+
+    root = str(tmp_path / "cmid_s")
+
+    def fld(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    s1 = pa.schema([fld("col-aaa", pa.int64(), 1),
+                    fld("col-bbb", pa.string(), 2)])
+    _write_part(root, "f1.parquet",
+                {"col-aaa": [1, 2], "col-bbb": ["a", "b"]}, s1)
+    # physical names swapped; the ids are authoritative
+    s2 = pa.schema([fld("col-bbb", pa.int64(), 1),
+                    fld("col-aaa", pa.string(), 2)])
+    _write_part(root, "f2.parquet", {"col-bbb": [3], "col-aaa": ["c"]}, s2)
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+    ]})
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cmid-s",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_string,
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+        _add("f1.parquet"),
+    ])
+    _commit(root, 1, [_add("f2.parquet")])
+
+    cdf = read_delta_changes(spark, root, 0)
+    got = sorted((r.id, r.v, r._change_type, r._commit_version)
+                 for r in cdf.collect())
+    assert got == [(1, "a", "insert", 0), (2, "b", "insert", 0),
+                   (3, "c", "insert", 1)]
+
+    register_delta_stream_source(spark)
+    q = (
+        spark.readStream.format("deltastream").option("path", root).load()
+        .writeStream.format("memory").queryName("sg_cmid_stream")
+        .outputMode("append").start()
+    )
+    _drain(q)
+    assert q.exception() is None
+    got = sorted((r.id, r.v)
+                 for r in spark.table("sg_cmid_stream").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
