@@ -415,6 +415,7 @@ def delta_append(
     txn: tuple[str, int] | None = None,
     checkpoint_interval: int | None = 10,
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Append ``df`` as the next version of the Delta table at ``root``
     (creating it on first write); returns the committed version.  With
@@ -427,10 +428,16 @@ def delta_append(
     partitioned table follow the table's own ``partitionColumns`` (a
     conflicting ``partition_by`` refuses — Delta partitioning is a
     table-level invariant, not a per-write choice), and each add carries
-    its ``partitionValues`` so the reader prunes on them."""
+    its ``partitionValues`` so the reader prunes on them.
+    ``merge_schema`` (r9) is Delta's mergeSchema append evolution: new
+    df columns are APPENDED to the table schema as nullable fields via a
+    new metaData action in the same commit, df may omit table columns
+    (readers surface nulls), and a type conflict on a shared column
+    still refuses — evolution widens, never rewrites."""
     from pyspark.sql import types as T
 
     exists = os.path.isdir(_log_dir(root))
+    evolved = None
     if exists:
         _files, meta, _proto, head = _replay(root, None)
         part_cols = list(meta.get("partitionColumns") or [])
@@ -440,7 +447,27 @@ def delta_append(
                 f"partitionColumns {part_cols}"
             )
         table_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-        if [
+        if merge_schema:
+            by_name = {f.name: f for f in table_schema.fields}
+            for f in df.schema.fields:
+                tf = by_name.get(f.name)
+                if tf is not None and (
+                    tf.dataType.simpleString() != f.dataType.simpleString()
+                ):
+                    raise ValueError(
+                        f"column {f.name!r}: append type "
+                        f"{f.dataType.simpleString()} conflicts with table "
+                        f"type {tf.dataType.simpleString()} (mergeSchema "
+                        "adds columns, it does not change types)"
+                    )
+            new_fields = [T.StructField(f.name, f.dataType, True)
+                          for f in df.schema.fields
+                          if f.name not in by_name]
+            if new_fields:
+                evolved = T.StructType(
+                    list(table_schema.fields) + new_fields
+                )
+        elif [
             (f.name, f.dataType.simpleString()) for f in table_schema.fields
         ] != [(f.name, f.dataType.simpleString()) for f in df.schema.fields]:
             raise ValueError(
@@ -476,6 +503,13 @@ def delta_append(
             "schemaString": json.dumps(df.schema.jsonValue()),
             "partitionColumns": part_cols, "configuration": {},
             "createdTime": now_ms,
+        }})
+    elif evolved is not None:
+        # mergeSchema evolution: the widened schema rides THIS commit as
+        # a new metaData action (Delta's own shape — schema is metadata,
+        # versioned with the data that first needs it)
+        actions.append({"metaData": {
+            **meta, "schemaString": json.dumps(evolved.jsonValue()),
         }})
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": int(txn[1]),
@@ -829,14 +863,18 @@ def delta_vacuum(
     return sorted(removed)
 
 
-def delta_streaming_sink(root: str, app_id: str):
+def delta_streaming_sink(root: str, app_id: str,
+                         partition_by: list[str] | None = None):
     """foreachBatch body for exactly-once streaming ingestion into a Delta
     table: ``batchId`` rides the ``txn`` action, so checkpoint replays
-    dedup (the public Delta idempotent-writer recipe)."""
+    dedup (the public Delta idempotent-writer recipe).  ``partition_by``
+    hive-partitions the table on the stream's FIRST commit; later batches
+    follow the table's own partitionColumns (r9)."""
 
     def apply(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        delta_append(batch_df, root, txn=(app_id, int(batch_id)))
+        delta_append(batch_df, root, txn=(app_id, int(batch_id)),
+                     partition_by=partition_by)
 
     return apply

@@ -559,3 +559,34 @@ def test_partitioned_append_create_and_read(spark, tmp_path):
     # a partition column absent from the schema refuses at create
     with pytest.raises(ValueError, match="not in schema"):
         delta_append(df2, str(tmp_path / "pa2"), partition_by=["nope"])
+
+
+def test_append_merge_schema_evolution(spark, tmp_path):
+    # r9: mergeSchema append — new columns append to the table schema as
+    # nullable via a metaData action in the same commit; earlier files'
+    # missing columns surface as nulls; df may omit table columns; a
+    # type conflict on a shared column refuses
+    root = str(tmp_path / "ev")
+    delta_append(_df(spark, 0, 3), root)  # k, v
+    wide = spark.range(3, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit("x").alias("tag"),
+    )
+    # without merge_schema: strict contract still refuses
+    with pytest.raises(ValueError, match="append schema"):
+        delta_append(wide, root)
+    assert delta_append(wide, root, merge_schema=True) == 1
+    got = sorted((r.k, r.tag) for r in read_delta(spark, root).collect())
+    assert got == [(0, None), (1, None), (2, None), (3, "x"), (4, "x")]
+    # time travel to v0 keeps the OLD schema
+    assert read_delta(spark, root, version=0).columns == ["k", "v"]
+    # a later append may omit the evolved column (nulls surface)
+    assert delta_append(_df(spark, 5, 6), root, merge_schema=True) == 2
+    assert read_delta(spark, root).where("k = 5").first().tag is None
+    # type conflict refuses even under merge_schema
+    bad = spark.range(6, 7).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit(1).alias("tag"),
+    )
+    with pytest.raises(ValueError, match="conflicts with table type"):
+        delta_append(bad, root, merge_schema=True)
