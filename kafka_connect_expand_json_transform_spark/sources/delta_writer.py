@@ -47,6 +47,113 @@ class DeltaCommitConflict(RuntimeError):
     head and retry."""
 
 
+# writer requirements this implementation can honor (PROTOCOL.md "Writer
+# Requirements"): appendOnly + CHECK constraints + invariants are
+# ENFORCED below, column mapping appends write physical names/field ids,
+# deletionVectors are collapsed by CoW DML, timestampNtz/vacuum checks
+# impose no write-side work, CDF tables accept appends (adds ARE the
+# change events for inserts) while DML refuses (no cdc files written).
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly", "invariants", "checkConstraints", "columnMapping",
+    "deletionVectors", "timestampNtz", "vacuumProtocolCheck",
+    "changeDataFeed", "v2Checkpoint",
+}
+
+
+def _check_writer_requirements(meta: dict, protocol: dict | None,
+                               dml: bool) -> None:
+    """Fail closed on tables whose WRITER requirements this
+    implementation cannot honor — writing anyway would corrupt the
+    table's invariants for every other engine (PROTOCOL.md: writers must
+    refuse tables with unknown writer features)."""
+    from pyspark.sql import types as T
+
+    v = (protocol or {}).get("minWriterVersion", 2)
+    if v == 7:
+        unknown = set((protocol or {}).get("writerFeatures") or []) \
+            - _SUPPORTED_WRITER_FEATURES
+        if unknown:
+            raise ValueError(
+                f"table requires writer features {sorted(unknown)}; "
+                "refusing to write"
+            )
+    elif v > 7:
+        raise ValueError(f"minWriterVersion {v} not supported")
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    for f in schema.fields:
+        md = f.metadata or {}
+        if "delta.generationExpression" in md:
+            raise ValueError(
+                f"column {f.name!r} is GENERATED; this writer cannot "
+                "compute generation expressions — refusing to write"
+            )
+        if any(k.startswith("delta.identity.") for k in md):
+            raise ValueError(
+                f"column {f.name!r} is an IDENTITY column; refusing to "
+                "write"
+            )
+    cfg = meta.get("configuration") or {}
+    if dml:
+        if str(cfg.get("delta.appendOnly", "false")).lower() == "true":
+            raise ValueError(
+                "table is delta.appendOnly=true: DELETE/UPDATE refused"
+            )
+        if str(cfg.get("delta.enableChangeDataFeed", "false")
+               ).lower() == "true":
+            raise ValueError(
+                "table has the change data feed enabled; this writer "
+                "does not emit cdc files for DML — a rewrite without "
+                "them would break every CDF reader, refusing"
+            )
+
+
+def _active_constraints(meta: dict) -> list[tuple[str, str]]:
+    """CHECK constraints (``delta.constraints.<name>`` configuration) and
+    column invariants (``delta.invariants`` field metadata) as
+    ``(label, sql_expression)`` — the writer must reject rows violating
+    either (PROTOCOL.md "CHECK Constraints" / "Column Invariants")."""
+    from pyspark.sql import types as T
+
+    out: list[tuple[str, str]] = []
+    for k, expr in sorted((meta.get("configuration") or {}).items()):
+        if k.startswith("delta.constraints."):
+            out.append((k[len("delta.constraints."):], expr))
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    for f in schema.fields:
+        inv = (f.metadata or {}).get("delta.invariants")
+        if not inv:
+            continue
+        try:
+            expr = json.loads(inv)["expression"]["expression"]
+        except (ValueError, KeyError, TypeError) as e:
+            raise ValueError(
+                f"unparseable delta.invariants on column {f.name!r}: "
+                f"{inv!r}"
+            ) from e
+        out.append((f"invariant({f.name})", expr))
+    return out
+
+
+def _enforce_constraints(df: DataFrame, constraints: list[tuple[str, str]],
+                         what: str) -> None:
+    """One early-out job over the batch: a row where any constraint
+    evaluates to FALSE (SQL semantics — NULL passes) aborts the write;
+    the violated constraint is then identified for the error message."""
+    if not constraints:
+        return
+    viol = " OR ".join(
+        f"NOT coalesce(({e}), true)" for _n, e in constraints
+    )
+    if df.where(viol).limit(1).count() == 0:
+        return
+    for name, e in constraints:
+        if df.where(f"NOT coalesce(({e}), true)").limit(1).count():
+            raise ValueError(
+                f"{what} violates CHECK constraint {name!r}: {e}"
+            )
+    raise ValueError(f"{what} violates a CHECK constraint")
+
+
 def _footer_stats(path: str) -> str | None:
     """Delta add-action ``stats`` JSON (numRecords/minValues/maxValues)
     from the parquet FOOTER — no data read.  Emitting stats at write time
@@ -436,10 +543,15 @@ def delta_append(
     still refuses — evolution widens, never rewrites."""
     from pyspark.sql import types as T
 
+    from pyspark.sql import functions as F
+
     exists = os.path.isdir(_log_dir(root))
     evolved = None
+    stage_df, stage_part_cols = df, None
     if exists:
         _files, meta, _proto, head = _replay(root, None)
+        _check_writer_requirements(meta, _proto, dml=False)
+        _enforce_constraints(df, _active_constraints(meta), "append")
         part_cols = list(meta.get("partitionColumns") or [])
         if partition_by is not None and list(partition_by) != part_cols:
             raise ValueError(
@@ -474,6 +586,38 @@ def delta_append(
                 f"append schema {df.schema.simpleString()} != table schema "
                 f"{table_schema.simpleString()}"
             )
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode != "none":
+            # column-mapped tables store PHYSICAL column names (and, for
+            # 'id', parquet field ids) in the data files — staging the
+            # logical names would make every reader surface nulls
+            if evolved is not None:
+                raise ValueError(
+                    "mergeSchema evolution on a column-mapped table needs "
+                    "id/physicalName assignment — not supported"
+                )
+            cols = []
+            for f in table_schema.fields:
+                if f.name not in df.columns:
+                    continue  # merge_schema append omitting a column
+                md = f.metadata or {}
+                phys = md.get("delta.columnMapping.physicalName", f.name)
+                fid = md.get("delta.columnMapping.id")
+                if fid is not None:
+                    cols.append(F.col(f.name).alias(
+                        phys, metadata={"parquet.field.id": int(fid)}
+                    ))
+                else:
+                    cols.append(F.col(f.name).alias(phys))
+            stage_df = df.select(*cols)
+            phys_of = {
+                f.name: (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                ) for f in table_schema.fields
+            }
+            stage_part_cols = [phys_of[c] for c in part_cols]
         if txn is not None:
             seen = _latest_txn_version(root, txn[0])
             if seen is not None and seen >= int(txn[1]):
@@ -491,7 +635,10 @@ def delta_append(
     # its uniquely-named orphans stay invisible and are unlinked on loss
     nonce = _time.time_ns()
     now_ms = int(_time.time() * 1000)
-    placed, adds = _stage_adds(df, root, version, nonce, now_ms, part_cols)
+    placed, adds = _stage_adds(
+        stage_df, root, version, nonce, now_ms,
+        part_cols if stage_part_cols is None else stage_part_cols,
+    )
 
     actions = [{"commitInfo": {"timestamp": now_ms, "operation": "WRITE",
                                "engineInfo": "kafka-connect-expand-json-transform-spark delta_append"}}]
@@ -615,6 +762,7 @@ def _delta_cow(
     )
 
     files, meta, _proto, head = _replay(root, None)
+    _check_writer_requirements(meta, _proto, dml=True)
     if (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     ) != "none":
@@ -737,6 +885,10 @@ def _delta_cow(
                 for c in schema.fields
             ]
         )
+    if assignments is not None:
+        # UPDATE may move rows outside a CHECK constraint — enforce on
+        # the rewritten frame (only evaluated when constraints exist)
+        _enforce_constraints(rewritten, _active_constraints(meta), "update")
     placed, add_actions = _stage_adds(
         rewritten, root, version, nonce, now_ms, part_cols
     )

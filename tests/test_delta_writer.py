@@ -590,3 +590,150 @@ def test_append_merge_schema_evolution(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="conflicts with table type"):
         delta_append(bad, root, merge_schema=True)
+
+
+def _hand_commit(root, version, actions):
+    import json as _json
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+
+
+def test_writer_requirements_and_constraints(spark, tmp_path):
+    # r9 (PROTOCOL.md "Writer Requirements"): CHECK constraints and
+    # column invariants are ENFORCED on append and UPDATE, appendOnly
+    # tables refuse DML, unknown writer features and generated columns
+    # refuse outright
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_delete_where,
+        delta_update_where,
+    )
+
+    root = str(tmp_path / "wr")
+    delta_append(_df(spark, 0, 5), root)
+    # add a CHECK constraint + an invariant via a metadata commit (the
+    # shape ALTER TABLE ADD CONSTRAINT writes)
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "long", "nullable": True, "metadata": {
+            "delta.invariants": _json.dumps(
+                {"expression": {"expression": "v >= 0"}})}},
+    ]}
+    _hand_commit(root, 1, [
+        {"commitInfo": {"timestamp": 0, "operation": "ADD CONSTRAINT"}},
+        {"metaData": {"id": "wr", "format": {"provider": "parquet",
+                                             "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.constraints.k_bound": "k < 100"}}},
+    ])
+    # a conforming append passes; violations name the constraint
+    assert delta_append(_df(spark, 5, 8), root) == 2
+    with pytest.raises(ValueError, match="k_bound"):
+        delta_append(_df(spark, 100, 101), root)
+    bad_inv = spark.range(1).select(F.col("id").alias("k"),
+                                    F.lit(-5).cast("long").alias("v"))
+    with pytest.raises(ValueError, match="invariant"):
+        delta_append(bad_inv, root)
+    # UPDATE moving a row past the constraint refuses; a legal one works
+    with pytest.raises(ValueError, match="k_bound"):
+        delta_update_where(spark, root, "k = 1", {"k": "k + 500"})
+    v, n = delta_update_where(spark, root, "k = 1", {"k": "k + 50"})
+    assert n == 1
+
+    # appendOnly: DML refuses, appends still work
+    root2 = str(tmp_path / "ao")
+    delta_append(_df(spark, 0, 3), root2)
+    _hand_commit(root2, 1, [
+        {"metaData": {"id": "ao", "format": {"provider": "parquet",
+                                             "options": {}},
+                      "schemaString": _json.dumps(
+                          {"type": "struct", "fields": [
+                              {"name": "k", "type": "long",
+                               "nullable": True, "metadata": {}},
+                              {"name": "v", "type": "long",
+                               "nullable": True, "metadata": {}}]}),
+                      "partitionColumns": [],
+                      "configuration": {"delta.appendOnly": "true"}}},
+    ])
+    assert delta_append(_df(spark, 3, 4), root2) == 2
+    with pytest.raises(ValueError, match="appendOnly"):
+        delta_delete_where(spark, root2, "k = 0")
+
+    # unknown writer feature refuses the append
+    root3 = str(tmp_path / "wf")
+    delta_append(_df(spark, 0, 2), root3)
+    _hand_commit(root3, 1, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["icebergCompatV2"]}},
+    ])
+    with pytest.raises(ValueError, match="icebergCompatV2"):
+        delta_append(_df(spark, 2, 3), root3)
+
+    # generated column refuses
+    root4 = str(tmp_path / "gen")
+    delta_append(_df(spark, 0, 2), root4)
+    gschema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "long", "nullable": True, "metadata": {
+            "delta.generationExpression": "k * 2"}},
+    ]}
+    _hand_commit(root4, 1, [
+        {"metaData": {"id": "gen", "format": {"provider": "parquet",
+                                              "options": {}},
+                      "schemaString": _json.dumps(gschema),
+                      "partitionColumns": [], "configuration": {}}},
+    ])
+    with pytest.raises(ValueError, match="GENERATED"):
+        delta_append(_df(spark, 2, 3), root4)
+
+
+def test_append_to_column_mapped_table_writes_physical_names(spark,
+                                                             tmp_path):
+    # r9 soundness fix: appending to a columnMapping table must stage
+    # PHYSICAL column names (and field ids under 'id') — the pre-fix
+    # logical-named staging made every reader surface nulls silently
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    for mode in ("name", "id"):
+        root = str(tmp_path / f"cm_{mode}")
+        os.makedirs(root)
+        fields = [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aa"}},
+            {"name": "v", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bb"}},
+        ]
+        _hand_commit(root, 0, [
+            {"commitInfo": {"timestamp": 0, "operation": "CREATE"}},
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": f"cm-{mode}",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": _json.dumps(
+                              {"type": "struct", "fields": fields}),
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": mode}}},
+        ])
+        assert delta_append(_df(spark, 0, 3), root) == 1
+        got = sorted((r.k, r.v) for r in read_delta(spark, root).collect())
+        assert got == [(0, 0), (1, 2), (2, 4)], mode
+        # the staged parquet carries PHYSICAL names (and ids under 'id')
+        f = _glob.glob(os.path.join(root, "part-*.parquet"))[0]
+        sch = _pq.ParquetFile(f).schema_arrow
+        assert sch.names == ["col-aa", "col-bb"]
+        if mode == "id":
+            ids = [int((fld.metadata or {}).get(b"PARQUET:field_id", b"-1"))
+                   for fld in sch]
+            assert ids == [1, 2]
