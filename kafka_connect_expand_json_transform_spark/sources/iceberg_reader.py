@@ -13,9 +13,11 @@ metadata tree is walked with PUBLIC structures only:
       -> live parquet data files
 
 * ``read_iceberg(spark, path, snapshot_id=None)`` — current snapshot, or
-  time travel by snapshot id; Iceberg data files STORE partition source
-  columns in-row (spec "Partitioning": unlike Hive layouts), so the read
-  is one parquet scan over the live file list — no value re-injection;
+  time travel by snapshot id; Iceberg data files normally STORE partition
+  source columns in-row, and when an identity-partition source column is
+  ABSENT from a file (spec "Column Projection" rule 2 — e.g. a migrated
+  Hive layout) its value is re-injected from the entry's partition tuple
+  via a broadcast file->values map (r9);
 * ``iceberg_snapshots(path)`` — the snapshot log (id, timestamp,
   operation) for time-travel discovery;
 * the Iceberg schema JSON (field-ids, required flags, nested
@@ -359,6 +361,42 @@ def _time_ordinal(transform: str, val) -> int | None:
     return None
 
 
+_IDENT_SKIP = object()  # sentinel: value not convertible, skip injection
+
+
+def _ident_py(raw, dtype: T.DataType):
+    """Avro-decoded partition-tuple value -> the Python value of the
+    column's Spark type (identity injection); ``_IDENT_SKIP`` when the
+    type is not convertible (caller leaves the column to the file)."""
+    import datetime
+
+    if raw is None:
+        return None
+    try:
+        if isinstance(dtype, T.DateType):
+            if isinstance(raw, datetime.date):
+                return raw
+            return (datetime.date(1970, 1, 1)
+                    + datetime.timedelta(days=int(raw)))
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                              T.LongType)):
+            return int(raw)
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return float(raw)
+        if isinstance(dtype, T.StringType):
+            return str(raw)
+        if isinstance(dtype, T.BooleanType):
+            return bool(raw)
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            if isinstance(raw, datetime.datetime):
+                return raw
+            return (datetime.datetime(1970, 1, 1)
+                    + datetime.timedelta(microseconds=int(raw)))
+    except (ValueError, TypeError, OverflowError):
+        return _IDENT_SKIP
+    return _IDENT_SKIP
+
+
 _TRANSFORM_RE = re.compile(r"^(bucket|truncate)\[(\d+)\]$")
 
 
@@ -498,6 +536,7 @@ def _snapshot_entries(
 
     spec_maps: dict = {}
     files: dict[str, int] = {}
+    ident_pv: dict[str, dict] = {}
     pos_deletes: list[str] = []
     eq_deletes: dict[tuple[str, int, tuple], None] = {}
     mlist = _resolve(path, location, snap["manifest-list"])
@@ -532,7 +571,22 @@ def _snapshot_entries(
                     continue
                 if where and not _bounds_keep(df_, where, fields_by_name):
                     continue
-                files[_resolve(path, location, df_["file_path"])] = int(seq)
+                rp = _resolve(path, location, df_["file_path"])
+                files[rp] = int(seq)
+                # identity partition values for the spec's column
+                # projection rule: a source column ABSENT from the data
+                # file reads from partition metadata (and when present
+                # its values equal the tuple by construction)
+                part = df_.get("partition") or {}
+                if isinstance(part, list):
+                    part = dict(part)
+                ipv = {}
+                for src_col, flist in spec_map.items():
+                    for fname, transform, _stype in flist:
+                        if transform == "identity" and fname in part:
+                            ipv[src_col] = part[fname]
+                if ipv:
+                    ident_pv[rp] = ipv
             elif content == 1:  # position deletes
                 pos_deletes.append(_resolve(path, location, df_["file_path"]))
             else:  # equality deletes
@@ -546,7 +600,7 @@ def _snapshot_entries(
                     int(seq), tuple(sorted(ids)),
                 )] = None
     return (sorted(files.items()), sorted(set(pos_deletes)),
-            sorted(eq_deletes))
+            sorted(eq_deletes), ident_pv)
 
 
 def _snapshot_files(
@@ -554,7 +608,7 @@ def _snapshot_files(
 ) -> tuple[list[str], list[str]]:
     """Back-compat wrapper: (data paths, position-delete paths); callers
     that cannot sequence-scope equality deletes refuse them here."""
-    files, pos_deletes, eq_deletes = _snapshot_entries(
+    files, pos_deletes, eq_deletes, _ipv = _snapshot_entries(
         path, meta, snapshot_id, where
     )
     if eq_deletes:
@@ -816,13 +870,13 @@ def read_iceberg(
     schema = _spark_type(
         {"type": "struct", "fields": _current_schema(meta)["fields"]}
     )
-    files, pos_deletes, eq_deletes = _snapshot_entries(
+    files, pos_deletes, eq_deletes, ident_pv = _snapshot_entries(
         path, meta, snapshot_id, where
     )
     if not files:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(*[p for p, _seq in files])
-    if not pos_deletes and not eq_deletes:
+    if not pos_deletes and not eq_deletes and not ident_pv:
         return df
     cols = df.columns
     kept = df.select(
@@ -874,8 +928,6 @@ def read_iceberg(
         # data seq rides a broadcast (file -> seq) map; one broadcast
         # anti-join per (equality_ids, seq) delete group — the delete
         # side is the small dimension, the scan stays un-shuffled.
-        from pyspark.sql import types as T
-
         seq_rows = [(os.path.abspath(p), s) for p, s in files]
         seq_map = spark.createDataFrame(
             seq_rows,
@@ -906,4 +958,42 @@ def read_iceberg(
             for c in names:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
             kept = kept.join(F.broadcast(ed), cond, "left_anti")
+    if ident_pv:
+        # spec "Column Projection" rule 2: an identity-partition source
+        # column ABSENT from a data file reads from the entry's partition
+        # tuple (when present in the file its values equal the tuple by
+        # construction, so coalesce is exact) — a broadcast file->values
+        # map, the same shape the Delta reader uses
+        by_name = {f.name: f for f in schema.fields}
+        inj = sorted({
+            c for pv in ident_pv.values() for c in pv
+            if c in by_name and all(
+                _ident_py(v2.get(c), by_name[c].dataType)
+                is not _IDENT_SKIP
+                for v2 in ident_pv.values() if c in v2
+            )
+        })
+        if inj:
+            rows = [
+                (os.path.abspath(p),
+                 *[_ident_py(ident_pv[p][c], by_name[c].dataType)
+                   if c in ident_pv.get(p, {}) else None
+                   for c in inj])
+                for p, _seq in files
+            ]
+            pv_df = spark.createDataFrame(
+                rows,
+                T.StructType(
+                    [T.StructField("__pf", T.StringType(), False)]
+                    + [T.StructField(f"__pv_{c}", by_name[c].dataType,
+                                     True) for c in inj]
+                ),
+            )
+            kept = kept.join(
+                F.broadcast(pv_df), F.col("__f") == F.col("__pf"), "left"
+            )
+            return kept.select(
+                *[F.coalesce(F.col(c), F.col(f"__pv_{c}")).alias(c)
+                  if c in inj else F.col(c) for c in cols]
+            )
     return kept.select(*cols)

@@ -919,3 +919,77 @@ def test_icebergstream_skip_snapshot_options(spark, tmp_path):
     assert q2.exception() is None
     assert sorted(r.id for r in spark.table("sg_ireplace").collect()) \
         == [1, 2, 3]
+
+
+def test_identity_partition_value_injection(spark, tmp_path):
+    # r9 (spec "Column Projection" rule 2): an identity-partition source
+    # column ABSENT from the data files reads from the partition tuple —
+    # the migrated-Hive-layout shape.  Typed: day is a date column whose
+    # tuple value is the avro day ordinal.
+    import datetime
+
+    root = str(tmp_path / "ipart")
+    loc = "file://" + root
+    os.makedirs(root + "/metadata")
+    os.makedirs(root + "/data")
+    sch = pa.schema([("id", pa.int64())])  # NO ds column in the files
+    pq.write_table(pa.table({"id": [1, 2]}, schema=sch),
+                   root + "/data/p1.parquet")
+    pq.write_table(pa.table({"id": [3]}, schema=sch),
+                   root + "/data/p2.parquet")
+    d1, d2 = datetime.date(2020, 1, 5), datetime.date(2020, 2, 7)
+    days = [(d - datetime.date(1970, 1, 1)).days for d in (d1, d2)]
+    entry = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": [
+                            {"name": "ds", "type": "int"}]}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}},
+        ],
+    }
+    AC.write_container(root + "/metadata/m.avro", entry, [
+        {"status": 1, "data_file": {
+            "content": 0, "file_path": f"{loc}/data/p1.parquet",
+            "file_format": "parquet", "partition": {"ds": days[0]},
+            "record_count": 2, "file_size_in_bytes": 1}},
+        {"status": 1, "data_file": {
+            "content": 0, "file_path": f"{loc}/data/p2.parquet",
+            "file_format": "parquet", "partition": {"ds": days[1]},
+            "record_count": 1, "file_size_in_bytes": 1}},
+    ], codec="null")
+    AC.write_container(root + "/metadata/sl.avro", MLIST, [
+        {"manifest_path": f"{loc}/metadata/m.avro",
+         "manifest_length": 1, "content": 0,
+         "partition_spec_id": 0}], codec="null")
+    meta = {
+        "format-version": 2, "table-uuid": "0000", "location": loc,
+        "current-snapshot-id": 1,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {"id": 2, "name": "ds", "required": False, "type": "date"},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "ds", "transform": "identity",
+             "source-id": 2, "field-id": 1000},
+        ]}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1000,
+                       "summary": {"operation": "append"},
+                       "manifest-list": f"{loc}/metadata/sl.avro"}],
+    }
+    with open(root + "/metadata/v1.metadata.json", "w") as fh:
+        json.dump(meta, fh)
+    got = sorted((r.id, r.ds) for r in read_iceberg(spark, root).collect())
+    assert got == [(1, d1), (2, d1), (3, d2)]
+    # identity pruning composes (typed date compare on the tuple)
+    pruned = read_iceberg(spark, root, where=[("ds", ">", d1)])
+    assert sorted(r.id for r in pruned.collect()) == [3]
