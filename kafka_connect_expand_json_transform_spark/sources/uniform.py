@@ -24,11 +24,18 @@ would corrupt every downstream Delta reader):
 
 * live merge-on-read DELETION VECTORS (Delta expresses DVs with reader
   feature v3 sidecars this exporter does not write) — compact first;
-* hive-PARTITIONED txlog tables (partition values live in the txlog stats
-  sidecar, not in the files; Delta needs partitionValues per add plus a
-  partition-pruned directory contract) — export the unpartitioned layout;
 * column mapping renames (the txlog stores physical names in files;
-  expressible as Delta columnMapping=name, left for a later tier).
+  expressible as Delta columnMapping=name, left for a later tier);
+* Iceberg partition tuples for non-string/integral/boolean partition
+  column types (the Delta side exports ANY partitioned table — values
+  are hive directory strings re-typed by the reader; r9).
+
+Hive-PARTITIONED txlog tables export in BOTH directions (r9): each add
+carries ``partitionValues`` parsed from its hive directory names, the
+Delta metaData carries ``partitionColumns``, and the Iceberg tree gets
+an identity partition spec + typed per-file partition tuples (the
+repo's Iceberg reader re-injects those values into columns absent from
+the data files, per the spec's column-projection rule).
 
 Scale: the export is O(live files) metadata on the planner — the same
 bound the txlog's own commit machinery pays — and zero data movement.
@@ -81,20 +88,37 @@ def _txlog_state(root: str):
         raise FileNotFoundError(f"no txlog table at {root}")
     version = entries[-1]["version"]
     files, schema_ddl = TX._replay(entries, None)
-    if TX._table_partition_by(entries):
-        raise UniformExportUnsupported(
-            "hive-partitioned txlog tables are not exportable yet "
-            "(partition values live in the stats sidecar, not the files)"
-        )
+    part_cols = TX._table_partition_by(entries) or []
     mapping = TX._replay_mapping(entries)
     if any(k != v for k, v in mapping.items()):
         raise UniformExportUnsupported(
             "table has column-mapping renames; exportable as Delta "
             "columnMapping=name in a later tier"
         )
-    return entries, version, files, schema_ddl, _dv_positions_by_abs(
-        root, entries
-    )
+    return (entries, version, files, schema_ddl,
+            _dv_positions_by_abs(root, entries), part_cols)
+
+
+def _hive_pvals(rel: str, part_cols: list[str]) -> dict:
+    """Partition values of one data file from its hive directory names
+    (``col=value`` path segments; the txlog stages partitionBy writes, so
+    values travel as directories, never in the files)."""
+    import urllib.parse as _up
+
+    out: dict = {}
+    for seg in rel.split(os.sep):
+        if "=" in seg and not seg.endswith(".parquet"):
+            k, _, raw = seg.partition("=")
+            if k in part_cols:
+                out[k] = (None if raw == "__HIVE_DEFAULT_PARTITION__"
+                          else _up.unquote(raw))
+    missing = [c for c in part_cols if c not in out]
+    if missing:
+        raise UniformExportUnsupported(
+            f"data file {rel!r} lacks hive directories for partition "
+            f"columns {missing}"
+        )
+    return out
 
 
 def _expand_parquet(root: str, rel_entries: list[str]) -> dict[str, int]:
@@ -141,7 +165,8 @@ def export_delta(root: str) -> int:
         delta_reader as DR,
     )
 
-    _entries, tx_version, rel_files, schema_ddl, dv_by_abs = _txlog_state(root)
+    (_entries, tx_version, rel_files, schema_ddl, dv_by_abs,
+     part_cols) = _txlog_state(root)
     current = _expand_parquet(root, rel_files)
     prev_version, prev_files, prev_adds = _delta_replayed(root)
 
@@ -192,7 +217,7 @@ def export_delta(root: str) -> int:
             "id": f"txlog-uniform-{os.path.basename(os.path.abspath(root))}",
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_string,
-            "partitionColumns": [],
+            "partitionColumns": part_cols,
             "configuration": {},
             "createdTime": now_ms,
         }})
@@ -204,7 +229,9 @@ def export_delta(root: str) -> int:
         for rel in removes
     )
     for rel in adds:
-        add = {"path": rel, "partitionValues": {}, "size": current[rel],
+        add = {"path": rel,
+               "partitionValues": _hive_pvals(rel, part_cols),
+               "size": current[rel],
                "modificationTime": now_ms, "dataChange": True}
         if rel in dv_by_rel:
             add["deletionVector"] = DR.write_dv_file(
@@ -338,7 +365,8 @@ def export_iceberg(root: str) -> int:
     from kafka_connect_expand_json_transform_spark.sources import avro_codec as AC
     from kafka_connect_expand_json_transform_spark.sources import iceberg_reader as IR
 
-    _entries, tx_version, rel_files, schema_ddl, dv_by_abs = _txlog_state(root)
+    (_entries, tx_version, rel_files, schema_ddl, dv_by_abs,
+     part_cols) = _txlog_state(root)
     current = _expand_parquet(root, rel_files)
     cur_dels: set[tuple[str, int]] = set()
     for rel in current:
@@ -380,14 +408,61 @@ def export_iceberg(root: str) -> int:
     snap_id = len(prev_snaps) + 1
     loc = "file://" + os.path.abspath(root)
 
+    struct0 = T._parse_datatype_string(schema_ddl)
+    by_col = {f.name: f.dataType for f in struct0.fields}
+    part_avro: list[tuple[str, str]] = []
+    for c in part_cols:
+        dt = by_col.get(c)
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            part_avro.append((c, "long"))
+        elif isinstance(dt, T.StringType):
+            part_avro.append((c, "string"))
+        elif isinstance(dt, T.BooleanType):
+            part_avro.append((c, "boolean"))
+        else:
+            raise UniformExportUnsupported(
+                f"partition column {c!r} of type "
+                f"{dt.simpleString() if dt else '?'} is not exportable to "
+                "Iceberg partition tuples (string/integral/boolean only)"
+            )
+
+    def _typed_pv(rel):
+        raw = _hive_pvals(rel, part_cols)
+        out = {}
+        for c, at in part_avro:
+            v = raw.get(c)
+            if v is None:
+                out[c] = None
+            elif at == "long":
+                out[c] = int(v)
+            elif at == "boolean":
+                out[c] = str(v).lower() == "true"
+            else:
+                out[c] = v
+        return out
+
+    entry_schema = _ICE_ENTRY_SCHEMA
+    if part_cols:
+        import copy as _copy
+
+        entry_schema = _copy.deepcopy(_ICE_ENTRY_SCHEMA)
+        entry_schema["fields"][2]["type"]["fields"].insert(3, {
+            "name": "partition", "type": {
+                "type": "record", "name": "r102", "fields": [
+                    {"name": c, "type": ["null", at]}
+                    for c, at in part_avro
+                ]}})
+
     manifest_rel = f"metadata/uniform-m{snap_id}.avro"
     AC.write_container(
-        os.path.join(root, manifest_rel), _ICE_ENTRY_SCHEMA,
+        os.path.join(root, manifest_rel), entry_schema,
         [
             {"status": 0 if rel in prev_files else 1, "snapshot_id": snap_id,
              "data_file": {
                  "content": 0, "file_path": f"{loc}/{rel}",
                  "file_format": "parquet",
+                 **({"partition": _typed_pv(rel)} if part_cols else {}),
                  # honest counts from the parquet footer (one footer read
                  # per file, O(files)): Iceberg planners trust record_count
                  "record_count": _pq.ParquetFile(
@@ -431,7 +506,8 @@ def export_iceberg(root: str) -> int:
         mlist_entries.append(
             {"manifest_path": f"{loc}/{mdel_rel}",
              "manifest_length": os.path.getsize(os.path.join(root, mdel_rel)),
-             "partition_spec_id": 0, "content": 1,
+             # global position deletes ride the UNPARTITIONED spec
+             "partition_spec_id": 1 if part_cols else 0, "content": 1,
              "added_snapshot_id": snap_id}
         )
     mlist_rel = f"metadata/uniform-snap-{snap_id}-list.avro"
@@ -440,8 +516,16 @@ def export_iceberg(root: str) -> int:
         mlist_entries,
         codec="null",
     )
-    struct = T._parse_datatype_string(schema_ddl)
-    schema, last_col_id = _iceberg_schema(struct)
+    schema, last_col_id = _iceberg_schema(struct0)
+    id_of = {f["name"]: f["id"] for f in schema["fields"]}
+    spec_fields = [
+        {"name": c, "transform": "identity", "source-id": id_of[c],
+         "field-id": 1000 + i}
+        for i, c in enumerate(part_cols)
+    ]
+    specs = [{"spec-id": 0, "fields": spec_fields}]
+    if part_cols:
+        specs.append({"spec-id": 1, "fields": []})  # for global deletes
     now_ms = int(_time.time() * 1000)
     meta = {
         "format-version": 2,
@@ -452,9 +536,9 @@ def export_iceberg(root: str) -> int:
         "last-sequence-number": snap_id,
         "schemas": [schema],
         "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": specs,
         "default-spec-id": 0,
-        "last-partition-id": 999,
+        "last-partition-id": 999 + len(part_cols),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {"txlog.version": str(tx_version)},

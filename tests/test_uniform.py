@@ -101,11 +101,49 @@ def test_refusals(spark, tmp_path):
     with pytest.raises(UniformExportUnsupported, match="column-mapping"):
         export_delta(root2)
 
-    root3 = str(tmp_path / "part")
-    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, day string")
-    TX.append_table(df, root3, partition_by=["day"])
-    with pytest.raises(UniformExportUnsupported, match="partitioned"):
-        export_delta(root3)
+
+def test_partitioned_export_both_directions(spark, tmp_path):
+    # r9: hive-partitioned txlog tables export to BOTH formats — Delta
+    # adds carry partitionValues (hive directory names) + metaData
+    # partitionColumns; the Iceberg tree gets an identity partition spec
+    # and typed per-file partition tuples, which the reader re-injects
+    # into the column (absent from the data files) and prunes on
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        read_iceberg,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.uniform import (
+        export_iceberg,
+    )
+
+    root = str(tmp_path / "pexp")
+    df = spark.range(8).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 2).cast("string")).alias("g"),
+    )
+    TX.append_table(df.coalesce(2), root, partition_by=["g"])
+    assert export_delta(root) == 0
+    assert export_iceberg(root) == 1
+    exp = sorted((k, f"g{k % 2}") for k in range(8))
+    assert sorted((r.k, r.g)
+                  for r in read_delta(spark, root).collect()) == exp
+    assert sorted((r.k, r.g)
+                  for r in read_iceberg(spark, root).collect()) == exp
+    # partition pruning through both exported metadata trees
+    assert sorted(
+        r.k for r in read_delta(spark, root,
+                                where=[("g", "=", "g1")]).collect()
+    ) == [1, 3, 5, 7]
+    assert sorted(
+        r.k for r in read_iceberg(spark, root,
+                                  where=[("g", "=", "g1")]).collect()
+    ) == [1, 3, 5, 7]
+    # MoR delete then incremental re-export: DVs land beside partitions
+    TX.delete_where_mor(spark, root, "k IN (2, 5)")
+    export_delta(root)
+    export_iceberg(root)
+    left = [k for k in range(8) if k not in (2, 5)]
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == left
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) == left
 
 
 def test_export_iceberg_and_read_back(spark, tmp_path):
