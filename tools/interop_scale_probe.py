@@ -32,6 +32,10 @@ PROBES = [
     "iceberg_eq_delete_agg",
     "uniform_mor_dv_export_agg",
     "hudi_mor_interop_agg",
+    # round-9 additions: partitioned write/export + transform pruning
+    "delta_partitioned_write_agg",
+    "uniform_partitioned_export_agg",
+    "iceberg_transform_prune_agg",
 ]
 
 
