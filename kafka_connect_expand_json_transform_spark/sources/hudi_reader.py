@@ -648,3 +648,152 @@ def _read_hudi_mor(
                 yield out[out_names]
 
     return plan.mapInPandas(merge_slices, out_schema)
+
+
+def register_hudi_stream_source(spark: SparkSession) -> None:
+    """Register the ``hudistream`` Python DataSource: STREAM a Hudi
+    COPY_ON_WRITE table's committed instants without the hudi-spark
+    bundle — completing the streaming triangle with ``deltastream`` and
+    ``icebergstream`` (r9).  Offsets are the LAST-STREAMED INSTANT
+    (instants are lexically-ordered ``yyyyMMddHHmmssSSS`` strings — the
+    same monotone key Hudi's own incremental relation pages on); a
+    checkpointed instant that is no longer on the timeline (archived)
+    fails closed.  Each micro-batch is the rows WRITTEN by the new
+    commits: a CoW update rewrites a whole slice with carried rows
+    beside the new ones, so every file is filtered to
+    ``_hoodie_commit_time == instant`` — the incremental-query contract,
+    applied per Arrow batch.  ``replacecommit`` instants
+    (clustering/insert_overwrite) abort unless ``ignoreChanges=true``
+    (their rows then stream under the same commit-time filter, so a pure
+    clustering contributes nothing — rewritten records keep their
+    original commit time).  MERGE_ON_READ tables refuse (the log-block
+    merge is a batch read: ``read_hudi_incremental``).  availableNow is
+    unsupported (Python DataSource limit)."""
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    @dataclass
+    class _InstantRange(InputPartition):
+        root: str
+        start: str  # last streamed instant (exclusive; '' = from start)
+        end: str  # inclusive
+        schema_json: str
+        ignore_changes: bool
+
+    class HudiStreamReader(DataSourceStreamReader):
+        def __init__(self, options, schema_json):
+            self.root = options["path"]
+            self.schema_json = schema_json
+            self.ignore_changes = (
+                str(options.get("ignoreChanges", "false")).lower() == "true"
+            )
+
+        def initialOffset(self) -> dict:
+            return {"instant": ""}
+
+        def latestOffset(self) -> dict:
+            commits = hudi_timeline(self.root)  # newest first
+            return {"instant": commits[0]["instant"] if commits else ""}
+
+        def partitions(self, start: dict, end: dict):
+            return [
+                _InstantRange(
+                    self.root, start.get("instant", ""),
+                    end.get("instant", ""), self.schema_json,
+                    self.ignore_changes,
+                )
+            ]
+
+        def read(self, partition):
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            from kafka_connect_expand_json_transform_spark.sources.txlog import (
+                _shape_to_stream_batches,
+            )
+
+            if not partition.end:
+                return
+            commits = sorted(hudi_timeline(partition.root),
+                             key=lambda c: c["instant"])
+            known = {c["instant"] for c in commits}
+            if partition.start and partition.start not in known:
+                raise ValueError(
+                    f"checkpointed instant {partition.start} is no longer "
+                    "on the timeline (archived?); exactly-once resume is "
+                    "impossible — restart from a fresh checkpoint"
+                )
+            for c in commits:
+                if not (partition.start < c["instant"] <= partition.end):
+                    continue
+                meta = _load_instant(c["path"])
+                if not meta:
+                    continue  # in-flight: nothing committed
+                if c["kind"] == "replacecommit" and not partition.ignore_changes:
+                    raise ValueError(
+                        f"instant {c['instant']} is a replacecommit "
+                        "(clustering/insert_overwrite); set "
+                        "ignoreChanges=true to stream its commit-time "
+                        "rows, or start after it"
+                    )
+                rels = sorted({
+                    st["path"]
+                    for stats in (meta.get("partitionToWriteStats")
+                                  or {}).values()
+                    for st in stats
+                })
+                for rel in rels:
+                    t = pq.read_table(os.path.join(partition.root, rel))
+                    if "_hoodie_commit_time" in t.column_names:
+                        t = t.filter(pc.equal(
+                            t.column("_hoodie_commit_time"), c["instant"]
+                        ))
+                    t = t.select([n for n in t.column_names
+                                  if not n.startswith("_hoodie_")])
+                    if t.num_rows:
+                        yield from _shape_to_stream_batches(
+                            t, partition.schema_json
+                        )
+
+        def commit(self, end: dict) -> None:
+            pass
+
+        def stop(self) -> None:
+            pass
+
+    class HudiStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "hudistream"
+
+        def schema(self):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            root = self.options["path"]
+            props = _properties(root)
+            if props.get(
+                "hoodie.table.type", "COPY_ON_WRITE"
+            ) != "COPY_ON_WRITE":
+                raise HudiUnsupported(
+                    "hudistream is CoW-only: the MERGE_ON_READ log merge "
+                    "is a batch read (read_hudi_incremental)"
+                )
+            files = _live_slices(root, None)
+            if not files:
+                raise ValueError(f"no completed commits in {root}")
+            sch = pq.read_schema(files[0])
+            sch = pa.schema([f for f in sch
+                             if not f.name.startswith("_hoodie_")])
+            return from_arrow_schema(sch)
+
+        def streamReader(self, schema):
+            return HudiStreamReader(self.options, schema.json())
+
+    spark.dataSource.register(HudiStreamSource)

@@ -293,3 +293,97 @@ def test_incremental_query_mode(spark, tmp_path):
     assert [(r.id, r.v) for r in inc.collect()] == [(9, "v9")]
     with pytest.raises(ValueError, match="no commits"):
         read_hudi_incremental(spark, root, begin_instant=C2)
+
+
+def _drain_q(q, seconds=60, expect_error=False):
+    import time as _t
+    deadline = _t.time() + seconds
+    while _t.time() < deadline:
+        if q.exception() is not None:
+            break
+        if q.lastProgress is not None and not q.status["isDataAvailable"]:
+            break
+        _t.sleep(0.25)
+    q.stop()
+    try:
+        q.awaitTermination()
+    except Exception:
+        if not expect_error:
+            raise
+
+
+def test_hudistream_cow_commits(spark, tmp_path):
+    # r9: the hudistream source — instant offsets, one micro-batch of the
+    # rows WRITTEN by each new commit; a CoW rewrite's carried rows are
+    # excluded by the _hoodie_commit_time filter (the incremental
+    # contract).  _table: C1 writes ids 1,2 (fg1) + 3 (fg2); C2 rewrites
+    # fg1 carrying 1,2 and adding 9 -> the stream must emit 1,2,3,9 (NOT
+    # 1,2 twice).
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        register_hudi_stream_source,
+    )
+
+    root = _table(tmp_path)
+    register_hudi_stream_source(spark)
+    q = (
+        spark.readStream.format("hudistream").option("path", root).load()
+        .writeStream.format("memory").queryName("sg_hudistream")
+        .outputMode("append").start()
+    )
+    _drain_q(q)
+    assert q.exception() is None
+    got = sorted(r.id for r in spark.table("sg_hudistream").collect())
+    # C2's slice stamps ALL its rows with C2 (the fixture models an
+    # update of 1,2 plus insert of 9), so the stream re-emits 1,2 as
+    # UPDATES — the incremental contract's changed-row semantics
+    assert got == [1, 1, 2, 2, 3, 9]
+    # MoR tables refuse fail-closed — eagerly, at load() (schema time)
+    from pyspark.sql.utils import AnalysisException
+
+    mroot, _log = _mor_table(tmp_path)
+    with pytest.raises(AnalysisException, match="CoW-only"):
+        spark.readStream.format("hudistream").option("path", mroot).load()
+
+
+def test_hudistream_replacecommit_contract(spark, tmp_path):
+    # clustering/insert_overwrite instants abort unless ignoreChanges;
+    # with it, the commit-time filter means a pure clustering (rewritten
+    # records keep their original commit time) contributes nothing
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        register_hudi_stream_source,
+    )
+
+    root = _table(tmp_path)
+    # C3: replacecommit clustering fg1+fg2 into fg3 (rows keep their
+    # ORIGINAL commit times — a rewrite, not new data)
+    _data(root, f"p/fg3_0-0-0_{C3}.parquet", [1, 2, 9, 3], C2)
+    with open(os.path.join(root, ".hoodie", f"{C3}.replacecommit"),
+              "w") as fh:
+        _json.dump({
+            "partitionToWriteStats": {"p": [
+                {"fileId": "fg3", "path": f"p/fg3_0-0-0_{C3}.parquet"}]},
+            "partitionToReplaceFileIds": {"p": [["fg1"], ["fg2"]][0]
+                                          + ["fg2"]},
+        }, fh)
+    register_hudi_stream_source(spark)
+    q = (
+        spark.readStream.format("hudistream").option("path", root).load()
+        .writeStream.format("memory").queryName("sg_hudistream_rc")
+        .outputMode("append").start()
+    )
+    _drain_q(q, expect_error=True)
+    assert q.exception() is not None and "replacecommit" in str(
+        q.exception())
+    q2 = (
+        spark.readStream.format("hudistream").option("path", root)
+        .option("ignoreChanges", "true").load()
+        .writeStream.format("memory").queryName("sg_hudistream_rc2")
+        .outputMode("append").start()
+    )
+    _drain_q(q2)
+    assert q2.exception() is None
+    got = sorted(r.id for r in spark.table("sg_hudistream_rc2").collect())
+    # same commit rows as before; the clustering contributed nothing new
+    assert got == [1, 1, 2, 2, 3, 9]
