@@ -1030,3 +1030,161 @@ def delta_streaming_sink(root: str, app_id: str,
                      partition_by=partition_by)
 
     return apply
+
+
+def delta_optimize(
+    spark,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """OPTIMIZE for standalone Delta tables: bin-pack small files (and
+    collapse deletion vectors) into ~``target_file_bytes`` files, in ONE
+    Spark job, committed with ``dataChange=false`` adds/removes — the
+    protocol's compaction marker, which keeps streaming readers alive
+    (``deltastream`` skips dataChange=false commits; re-streaming a
+    rewrite would duplicate rows).  ``zorder_by`` additionally clusters
+    the rewrite on the Morton key of the named columns (multi-dimensional
+    skipping: the rewritten files' stats become selective on EVERY named
+    column).  Partitioned tables compact within each partition (the
+    hive-layout restage).  Returns ``(version, files_rewritten)``; a
+    table with at most one live file per partition and no DVs is a no-op
+    returning the current head.  Scale: candidate selection is
+    O(live files) planner metadata; the rewrite reads only the files
+    being compacted."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        dv_frame,
+    )
+
+    files, meta, _proto, head = _replay(root, None)
+    _check_writer_requirements(meta, _proto, dml=False)
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "none":
+        raise ValueError("delta_optimize does not support column mapping")
+    part_cols = list(meta.get("partitionColumns") or [])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    by_name = {f.name: f for f in schema.fields}
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    if zorder_by:
+        bad = [c for c in zorder_by if c not in by_name or c in part_cols]
+        if bad:
+            raise ValueError(f"zorder_by columns {bad} not clusterable")
+
+    # candidates: per partition, every DV-bearing file plus small files
+    # when there are 2+ of them (compacting one lone small file is churn)
+    def pkey(add):
+        pv = add.get("partitionValues") or {}
+        return tuple(sorted(pv.items()))
+
+    groups: dict[tuple, list[str]] = {}
+    for rel, add in files.items():
+        groups.setdefault(pkey(add), []).append(rel)
+    affected: list[str] = []
+    for _k, rels in groups.items():
+        dvd = [r for r in rels if files[r].get("deletionVector")]
+        small = [r for r in rels
+                 if files[r].get("size", 0) < target_file_bytes
+                 and r not in dvd]
+        affected.extend(dvd)
+        if len(small) + len(dvd) >= 2:
+            affected.extend(small)
+    affected = sorted(set(affected))
+    if not affected:
+        return head, 0
+
+    cand = {rel: files[rel] for rel in affected}
+    dv_df = dv_frame(spark, root, cand)
+    read_schema = T.StructType(data_fields)
+    df = spark.read.schema(read_schema).parquet(
+        *[os.path.join(root, rel) for rel in affected]
+    ).withColumn(
+        "__f",
+        F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/+", "/"),
+    )
+    if dv_df is not None:
+        df = (
+            df.withColumn("__pos", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(dv_df),
+                (F.col("__f") == F.col("__dv_file"))
+                & (F.col("__pos") == F.col("__dv_pos")),
+                "left_anti",
+            )
+            .drop("__pos")
+        )
+    if part_cols:
+        pv_df = spark.createDataFrame(
+            [(os.path.abspath(os.path.join(root, rel)),
+              *[(add.get("partitionValues") or {}).get(c)
+                for c in part_cols])
+             for rel, add in cand.items()],
+            T.StructType(
+                [T.StructField("__f", T.StringType(), False)]
+                + [T.StructField(f"__pv_{c}", T.StringType(), True)
+                   for c in part_cols]
+            ),
+        )
+        df = df.join(F.broadcast(pv_df), "__f").select(
+            *[f.name for f in data_fields],
+            *[F.col(f"__pv_{c}").cast(by_name[c].dataType).alias(c)
+              for c in part_cols],
+        )
+    else:
+        df = df.drop("__f")
+
+    total = sum(cand[rel].get("size", 0) for rel in affected)
+    n_out = max(1, -(-total // target_file_bytes))
+    if zorder_by:
+        from kafka_connect_expand_json_transform_spark.sources.batch import (
+            zorder_key,
+        )
+
+        df = (
+            df.withColumn("__z", zorder_key(df, list(zorder_by)))
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        # bin-packing needs no row redistribution — coalesce, no shuffle
+        df = df.coalesce(n_out)
+
+    nonce = _time.time_ns()
+    now_ms = int(_time.time() * 1000)
+    version = head + 1
+    actions = [{"commitInfo": {
+        "timestamp": now_ms, "operation": "OPTIMIZE",
+        "operationParameters": {
+            "zOrderBy": json.dumps(list(zorder_by or []))},
+    }}]
+    placed, add_actions = _stage_adds(
+        df, root, version, nonce, now_ms, part_cols
+    )
+    for a in add_actions:
+        a["add"]["dataChange"] = False
+    actions.extend(add_actions)
+    actions.extend(
+        {"remove": {"path": rel, "deletionTimestamp": now_ms,
+                    "dataChange": False}}
+        for rel in affected
+    )
+    final = os.path.join(_log_dir(root), f"{version:020d}.json")
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        for rel in placed:
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
+        raise DeltaCommitConflict(f"version {version} already committed") from e
+    with os.fdopen(fd, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    return version, len(affected)

@@ -737,3 +737,119 @@ def test_append_to_column_mapped_table_writes_physical_names(spark,
             ids = [int((fld.metadata or {}).get(b"PARQUET:field_id", b"-1"))
                    for fld in sch]
             assert ids == [1, 2]
+
+
+def test_optimize_binpack_dv_collapse_and_stream_survival(spark, tmp_path):
+    # r9: OPTIMIZE — small files bin-pack into one dataChange=false
+    # commit (no shuffle: coalesce), deletion vectors collapse, time
+    # travel still sees the old layout, and a stream across the
+    # compaction does NOT re-stream rows (the protocol's compaction
+    # marker semantics)
+    import glob as _glob
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        register_delta_stream_source,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_delete_where,
+        delta_optimize,
+    )
+
+    root = str(tmp_path / "opt")
+    for lo in range(0, 20, 5):
+        delta_append(_df(spark, lo, lo + 5).coalesce(1), root)
+    v, n = delta_optimize(spark, root, target_file_bytes=1 << 30)
+    assert (v, n) == (4, 4)
+    assert sorted(r.k for r in read_delta(spark, root).collect()) \
+        == list(range(20))
+    # one output file; adds/removes carry dataChange=false
+    live = _glob.glob(os.path.join(root, "part-v00004-*.parquet"))
+    assert len(live) == 1
+    acts = [_json.loads(x) for x in open(os.path.join(
+        root, "_delta_log", f"{4:020d}.json")).read().strip().splitlines()]
+    assert all(not a["add"]["dataChange"] for a in acts if "add" in a)
+    assert all(not a["remove"]["dataChange"] for a in acts if "remove" in a)
+    # time travel sees the pre-compaction layout
+    assert read_delta(spark, root, version=3).count() == 20
+    # a second optimize is a no-op (single live file, no DVs)
+    assert delta_optimize(spark, root, target_file_bytes=1 << 30) == (4, 0)
+
+    # the stream does NOT re-stream the compacted rows
+    register_delta_stream_source(spark)
+    q = (
+        spark.readStream.format("deltastream").option("path", root).load()
+        .writeStream.format("memory").queryName("sg_opt_stream")
+        .outputMode("append").start()
+    )
+    import time as _t
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        if q.lastProgress is not None and not q.status["isDataAvailable"]:
+            break
+        _t.sleep(0.25)
+    q.stop()
+    q.awaitTermination()
+    assert spark.table("sg_opt_stream").count() == 20  # not 40
+
+    # DV collapse: a CoW-deleted... use MoR-shaped DV via delete on a
+    # fresh table with two files, then optimize collapses the DV
+    root2 = str(tmp_path / "optz")
+    delta_append(_df(spark, 0, 50).coalesce(2), root2)
+    vz, nz = delta_optimize(spark, root2, target_file_bytes=1 << 30,
+                            zorder_by=["k", "v"])
+    assert nz == 2
+    got = sorted(r.k for r in read_delta(spark, root2).collect())
+    assert got == list(range(50))
+    # zorder rejects partition/unknown columns
+    with pytest.raises(ValueError, match="not clusterable"):
+        delta_optimize(spark, root2, zorder_by=["nope"])
+
+
+def test_optimize_collapses_deletion_vectors(spark, tmp_path):
+    # a DV-bearing file is always an OPTIMIZE candidate; the rewrite
+    # materializes survivors and the new add carries NO deletionVector
+    import glob as _glob
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        inline_dv_descriptor,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_optimize,
+    )
+
+    root = str(tmp_path / "dvc")
+    delta_append(_df(spark, 0, 10).coalesce(1).sortWithinPartitions("k"),
+                 root)
+    # hand-commit a DV marking row positions 0 and 3 of the file deleted
+    rel = os.path.basename(_glob.glob(os.path.join(
+        root, "part-v00000-*.parquet"))[0])
+    files_v0 = _json.loads(
+        [line for line in open(os.path.join(
+            root, "_delta_log", f"{0:020d}.json"))
+         if '"add"' in line][0])["add"]
+    dv_add = dict(files_v0)
+    dv_add["deletionVector"] = inline_dv_descriptor([0, 3])
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"),
+              "w") as fh:
+        fh.write(_json.dumps({"commitInfo": {
+            "timestamp": 0, "operation": "DELETE"}}) + "\n")
+        fh.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        fh.write(_json.dumps({"remove": {
+            "path": rel, "deletionTimestamp": 0,
+            "dataChange": True}}) + "\n")
+        fh.write(_json.dumps({"add": dv_add}) + "\n")
+    assert sorted(r.k for r in read_delta(spark, root).collect()) \
+        == [1, 2, 4, 5, 6, 7, 8, 9]
+    v, n = delta_optimize(spark, root, target_file_bytes=1 << 30)
+    assert (v, n) == (2, 1)
+    assert sorted(r.k for r in read_delta(spark, root).collect()) \
+        == [1, 2, 4, 5, 6, 7, 8, 9]
+    acts = [_json.loads(x) for x in open(os.path.join(
+        root, "_delta_log", f"{2:020d}.json")).read().strip().splitlines()]
+    new_adds = [a["add"] for a in acts if "add" in a]
+    assert new_adds and all("deletionVector" not in a for a in new_adds)
