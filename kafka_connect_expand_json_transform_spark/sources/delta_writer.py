@@ -52,7 +52,7 @@ class DeltaCommitConflict(RuntimeError):
 # ENFORCED below, column mapping appends write physical names/field ids,
 # deletionVectors are collapsed by CoW DML, timestampNtz/vacuum checks
 # impose no write-side work, CDF tables accept appends (adds ARE the
-# change events for inserts) while DML refuses (no cdc files written).
+# change events for inserts) and DML writes cdc files (r9).
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "invariants", "checkConstraints", "columnMapping",
     "deletionVectors", "timestampNtz", "vacuumProtocolCheck",
@@ -98,13 +98,7 @@ def _check_writer_requirements(meta: dict, protocol: dict | None,
             raise ValueError(
                 "table is delta.appendOnly=true: DELETE/UPDATE refused"
             )
-        if str(cfg.get("delta.enableChangeDataFeed", "false")
-               ).lower() == "true":
-            raise ValueError(
-                "table has the change data feed enabled; this writer "
-                "does not emit cdc files for DML — a rewrite without "
-                "them would break every CDF reader, refusing"
-            )
+
 
 
 def _active_constraints(meta: dict) -> list[tuple[str, str]]:
@@ -516,6 +510,61 @@ def _stage_adds(
     return placed, actions
 
 
+def _stage_cdc(
+    df: DataFrame,
+    root: str,
+    version: int,
+    nonce: int,
+    now_ms: int,
+    part_cols: list[str],
+) -> tuple[list[str], list[dict]]:
+    """Stage change-data files under ``_change_data/`` and return
+    ``(placed_rel_paths, cdc_actions)`` — the same hive-layout walk as
+    ``_stage_adds``, but emitting the protocol's ``cdc`` action (no
+    stats; ``dataChange`` false by definition: change files never count
+    as table data)."""
+    import urllib.parse as _up
+
+    import pyarrow.parquet as _pq
+
+    stage = os.path.join(root, f"_stage_cdc_{nonce}")
+    w = df.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(stage)
+    placed: list[str] = []
+    actions: list[dict] = []
+    try:
+        staged = sorted(glob.glob(
+            os.path.join(stage, "**", "part-*.parquet"), recursive=True
+        ))
+        for i, p in enumerate(staged):
+            if _pq.ParquetFile(p).metadata.num_rows == 0:
+                continue
+            part_dirs = [d for d in
+                         os.path.relpath(p, stage).split(os.sep)[:-1]
+                         if "=" in d]
+            pvals = {}
+            for d in part_dirs:
+                key, _, raw = d.partition("=")
+                pvals[key] = (None if raw == "__HIVE_DEFAULT_PARTITION__"
+                              else _up.unquote(raw))
+            base = f"cdc-v{version:05d}-{nonce}-{i:05d}.parquet"
+            new_rel = os.path.join("_change_data", *part_dirs, base)
+            os.makedirs(os.path.dirname(os.path.join(root, new_rel)),
+                        exist_ok=True)
+            os.rename(p, os.path.join(root, new_rel))
+            placed.append(new_rel)
+            actions.append({"cdc": {
+                "path": new_rel, "partitionValues": pvals,
+                "size": os.path.getsize(os.path.join(root, new_rel)),
+                "dataChange": False,
+            }})
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return placed, actions
+
+
 def delta_append(
     df: DataFrame,
     root: str,
@@ -893,6 +942,36 @@ def _delta_cow(
         rewritten, root, version, nonce, now_ms, part_cols
     )
     actions.extend(add_actions)
+    if str((meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed", "false"
+    )).lower() == "true":
+        # CDF-enabled tables: the DML commit carries its change events
+        # as cdc actions over _change_data/ files (PROTOCOL.md "Change
+        # Data Files") — DELETE emits the deleted rows, UPDATE emits
+        # pre+post images; without these, the rewrite would be
+        # unrecoverable for every CDF reader
+        matched = scan(affected).drop("__f").where(predicate)
+        if assignments is None:
+            cdc_df = matched.withColumn("_change_type", F.lit("delete"))
+        else:
+            cond = F.expr(predicate)
+            post = matched.select(
+                *[
+                    (F.when(cond, F.expr(assignments[c.name]))
+                     .otherwise(F.col(c.name)).cast(c.dataType)
+                     .alias(c.name)
+                     if c.name in assignments else F.col(c.name))
+                    for c in schema.fields
+                ]
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            cdc_df = matched.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(post)
+        cdc_placed, cdc_actions = _stage_cdc(
+            cdc_df, root, version, nonce, now_ms, part_cols
+        )
+        placed.extend(cdc_placed)
+        actions.extend(cdc_actions)
     actions.extend(
         {"remove": {"path": rel, "deletionTimestamp": now_ms,
                     "dataChange": True}}

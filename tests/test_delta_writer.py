@@ -853,3 +853,52 @@ def test_optimize_collapses_deletion_vectors(spark, tmp_path):
         root, "_delta_log", f"{2:020d}.json")).read().strip().splitlines()]
     new_adds = [a["add"] for a in acts if "add" in a]
     assert new_adds and all("deletionVector" not in a for a in new_adds)
+
+
+def test_cow_dml_writes_change_data_files(spark, tmp_path):
+    # r9: DML on a CDF-enabled table emits cdc actions over
+    # _change_data/ files — DELETE carries the deleted rows, UPDATE
+    # carries update_preimage + update_postimage — so
+    # read_delta_changes serves the DML versions instead of refusing
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        read_delta_changes,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_delete_where,
+        delta_update_where,
+    )
+
+    root = str(tmp_path / "cdf")
+    delta_append(_df(spark, 0, 6).coalesce(1), root)
+    _hand_commit(root, 1, [
+        {"metaData": {"id": "cdf", "format": {"provider": "parquet",
+                                              "options": {}},
+                      "schemaString": _json.dumps(
+                          {"type": "struct", "fields": [
+                              {"name": "k", "type": "long",
+                               "nullable": True, "metadata": {}},
+                              {"name": "v", "type": "long",
+                               "nullable": True, "metadata": {}}]}),
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.enableChangeDataFeed": "true"}}},
+    ])
+    v_del, n_del = delta_delete_where(spark, root, "k >= 4")
+    assert (v_del, n_del) == (2, 2)
+    v_up, n_up = delta_update_where(spark, root, "k = 1", {"v": "v + 100"})
+    assert (v_up, n_up) == (3, 1)
+    # snapshot unaffected by cdc files
+    got = {r.k: r.v for r in read_delta(spark, root).collect()}
+    assert got == {0: 0, 1: 102, 2: 4, 3: 6}
+    # CDF serves the DML versions
+    ch = read_delta_changes(spark, root, 2)
+    rows = sorted((r.k, r.v, r._change_type, r._commit_version)
+                  for r in ch.collect())
+    assert rows == [
+        (1, 2, "update_preimage", 3),
+        (1, 102, "update_postimage", 3),
+        (4, 8, "delete", 2),
+        (5, 10, "delete", 2),
+    ]
