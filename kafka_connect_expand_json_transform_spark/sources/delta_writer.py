@@ -510,6 +510,38 @@ def _stage_adds(
     return placed, actions
 
 
+def _to_physical(df: DataFrame, table_schema, part_cols: list[str],
+                 mode: str, extra: tuple = ()):
+    """Rename a LOGICAL-named frame to the table's physical column names
+    (plus parquet field ids under 'id' mapping) for staging, and return
+    ``(stage_df, physical_part_cols)`` — column-mapped tables store
+    physical names in the data files, so staging logical names would
+    make every reader surface nulls.  Columns absent from ``df`` (a
+    merge_schema append omitting one) are skipped."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in table_schema.fields:
+        if f.name not in df.columns:
+            continue
+        md = f.metadata or {}
+        phys = md.get("delta.columnMapping.physicalName", f.name)
+        fid = md.get("delta.columnMapping.id")
+        if fid is not None:
+            cols.append(F.col(f.name).alias(
+                phys, metadata={"parquet.field.id": int(fid)}
+            ))
+        else:
+            cols.append(F.col(f.name).alias(phys))
+    cols.extend(F.col(e) for e in extra)
+    phys_of = {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        ) for f in table_schema.fields
+    }
+    return df.select(*cols), [phys_of[c] for c in part_cols]
+
+
 def _stage_cdc(
     df: DataFrame,
     root: str,
@@ -639,34 +671,14 @@ def delta_append(
             "delta.columnMapping.mode", "none"
         )
         if mode != "none":
-            # column-mapped tables store PHYSICAL column names (and, for
-            # 'id', parquet field ids) in the data files — staging the
-            # logical names would make every reader surface nulls
             if evolved is not None:
                 raise ValueError(
                     "mergeSchema evolution on a column-mapped table needs "
                     "id/physicalName assignment — not supported"
                 )
-            cols = []
-            for f in table_schema.fields:
-                if f.name not in df.columns:
-                    continue  # merge_schema append omitting a column
-                md = f.metadata or {}
-                phys = md.get("delta.columnMapping.physicalName", f.name)
-                fid = md.get("delta.columnMapping.id")
-                if fid is not None:
-                    cols.append(F.col(f.name).alias(
-                        phys, metadata={"parquet.field.id": int(fid)}
-                    ))
-                else:
-                    cols.append(F.col(f.name).alias(phys))
-            stage_df = df.select(*cols)
-            phys_of = {
-                f.name: (f.metadata or {}).get(
-                    "delta.columnMapping.physicalName", f.name
-                ) for f in table_schema.fields
-            }
-            stage_part_cols = [phys_of[c] for c in part_cols]
+            stage_df, stage_part_cols = _to_physical(
+                df, table_schema, part_cols, mode
+            )
         if txn is not None:
             seen = _latest_txn_version(root, txn[0])
             if seen is not None and seen >= int(txn[1]):
@@ -751,7 +763,9 @@ def delta_delete_where(spark, root: str, predicate: str) -> tuple[int, int]:
     pruning, survivors restage through a hive-layout ``partitionBy``
     write, and the new adds carry ``partitionValues`` — untouched
     partitions' files are byte-identical carried references.
-    Column-mapped tables refuse (the guard ``delta_append`` applies)."""
+    Column-mapped tables are supported (r9): the scan resolves
+    physical names / field ids like the snapshot read, and the
+    rewrite re-stages physical names (+ field ids under 'id')."""
     return _delta_cow(spark, root, predicate, None)
 
 
@@ -806,17 +820,20 @@ def _delta_cow(
     from pyspark.sql import types as T
 
     from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        _field_id_type,
+        _physical_name,
         _stats_keep,
         dv_frame,
     )
 
     files, meta, _proto, head = _replay(root, None)
     _check_writer_requirements(meta, _proto, dml=True)
-    if (meta.get("configuration") or {}).get(
+    mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
-    ) != "none":
-        raise ValueError("delta_delete_where does not support column mapping")
+    )
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    phys_of = {f.name: (_physical_name(f) if mode != "none" else f.name)
+               for f in schema.fields}
     part_cols = list(meta.get("partitionColumns") or [])
     if assignments and any(c in assignments for c in part_cols):
         raise ValueError(
@@ -832,11 +849,10 @@ def _delta_cow(
     # partitioned tables the partition terms prune whole partitions)
     hints = _predicate_hints(predicate)
     if hints:
-        phys = {f.name: f.name for f in schema.fields}
         types_of = {f.name: f.dataType for f in schema.fields}
         candidates = {
             rel: add for rel, add in files.items()
-            if _stats_keep(add, hints, part_cols, phys, types_of)
+            if _stats_keep(add, hints, part_cols, phys_of, types_of)
         }
     else:
         candidates = dict(files)
@@ -853,14 +869,25 @@ def _delta_cow(
 
     by_name = {f.name: f for f in schema.fields}
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    read_schema = T.StructType(data_fields)
+    if mode == "id":
+        # resolve parquet columns by FIELD ID (the snapshot read's shape)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        read_schema = _field_id_type(T.StructType(
+            [T.StructField(f.name, f.dataType, f.nullable, f.metadata)
+             for f in data_fields]
+        ))
+    else:
+        read_schema = T.StructType(
+            [T.StructField(phys_of[f.name], f.dataType, True)
+             for f in data_fields]
+        )
     pv_df = None
     if part_cols:
-        # broadcast file -> partitionValues map, the snapshot read's shape:
-        # partition columns live in the log, not the data files
+        # broadcast file -> partitionValues map, the snapshot read's shape
+        # (partitionValues are keyed by PHYSICAL name on mapped tables)
         pv_df = spark.createDataFrame(
             [(os.path.abspath(os.path.join(root, rel)),
-              *[(add.get("partitionValues") or {}).get(c)
+              *[(add.get("partitionValues") or {}).get(phys_of[c])
                 for c in part_cols])
              for rel, add in candidates.items()],
             T.StructType(
@@ -887,6 +914,14 @@ def _delta_cow(
                     "left_anti",
                 )
                 .drop("__pos")
+            )
+        if mode == "name":
+            # physical -> logical, plan-time rename ('id' already reads
+            # under logical names via field-id resolution)
+            df = df.select(
+                "__f",
+                *[F.col(phys_of[f.name]).alias(f.name)
+                  for f in data_fields],
             )
         if pv_df is not None:
             df = df.join(F.broadcast(pv_df), "__f").select(
@@ -938,8 +973,14 @@ def _delta_cow(
         # UPDATE may move rows outside a CHECK constraint — enforce on
         # the rewritten frame (only evaluated when constraints exist)
         _enforce_constraints(rewritten, _active_constraints(meta), "update")
+    stage_rewritten, stage_parts = rewritten, part_cols
+    if mode != "none":
+        # mapped tables stage PHYSICAL names (+ field ids under 'id')
+        stage_rewritten, stage_parts = _to_physical(
+            rewritten, schema, part_cols, mode
+        )
     placed, add_actions = _stage_adds(
-        rewritten, root, version, nonce, now_ms, part_cols
+        stage_rewritten, root, version, nonce, now_ms, stage_parts
     )
     actions.extend(add_actions)
     if str((meta.get("configuration") or {}).get(
@@ -967,8 +1008,13 @@ def _delta_cow(
             cdc_df = matched.withColumn(
                 "_change_type", F.lit("update_preimage")
             ).unionByName(post)
+        cdc_parts = part_cols
+        if mode != "none":
+            cdc_df, cdc_parts = _to_physical(
+                cdc_df, schema, part_cols, mode, extra=("_change_type",)
+            )
         cdc_placed, cdc_actions = _stage_cdc(
-            cdc_df, root, version, nonce, now_ms, part_cols
+            cdc_df, root, version, nonce, now_ms, cdc_parts
         )
         placed.extend(cdc_placed)
         actions.extend(cdc_actions)

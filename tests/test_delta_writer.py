@@ -902,3 +902,48 @@ def test_cow_dml_writes_change_data_files(spark, tmp_path):
         (4, 8, "delete", 2),
         (5, 10, "delete", 2),
     ]
+
+
+def test_cow_dml_on_column_mapped_tables(spark, tmp_path):
+    # r9: DELETE/UPDATE on columnMapping tables — the scan resolves
+    # physical names ('name') or field ids ('id'), the rewrite re-stages
+    # PHYSICAL names (+ field ids), and the untouched reader still
+    # resolves everything
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_delete_where,
+        delta_update_where,
+    )
+
+    for mode in ("name", "id"):
+        root = str(tmp_path / f"cmdml_{mode}")
+        os.makedirs(root)
+        fields = [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aa"}},
+            {"name": "v", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bb"}},
+        ]
+        _hand_commit(root, 0, [
+            {"commitInfo": {"timestamp": 0, "operation": "CREATE"}},
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": f"cmdml-{mode}",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": _json.dumps(
+                              {"type": "struct", "fields": fields}),
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": mode}}},
+        ])
+        delta_append(_df(spark, 0, 10).coalesce(1), root)
+        v, n = delta_delete_where(spark, root, "k >= 8")
+        assert (v, n) == (2, 2), mode
+        v2, n2 = delta_update_where(spark, root, "k = 1", {"v": "v + 100"})
+        assert (v2, n2) == (3, 1), mode
+        got = {r.k: r.v for r in read_delta(spark, root).collect()}
+        assert got == {0: 0, 1: 102, **{i: i * 2 for i in range(2, 8)}}, mode
+        # time travel still resolves the pre-DML state
+        assert read_delta(spark, root, version=1).count() == 10
