@@ -1186,10 +1186,9 @@ def delta_optimize(
 
     files, meta, _proto, head = _replay(root, None)
     _check_writer_requirements(meta, _proto, dml=False)
-    if (meta.get("configuration") or {}).get(
+    mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
-    ) != "none":
-        raise ValueError("delta_optimize does not support column mapping")
+    )
     part_cols = list(meta.get("partitionColumns") or [])
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     by_name = {f.name: f for f in schema.fields}
@@ -1223,7 +1222,24 @@ def delta_optimize(
 
     cand = {rel: files[rel] for rel in affected}
     dv_df = dv_frame(spark, root, cand)
-    read_schema = T.StructType(data_fields)
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        _field_id_type,
+        _physical_name,
+    )
+
+    phys_of = {f.name: (_physical_name(f) if mode != "none" else f.name)
+               for f in schema.fields}
+    if mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        read_schema = _field_id_type(T.StructType(
+            [T.StructField(f.name, f.dataType, f.nullable, f.metadata)
+             for f in data_fields]
+        ))
+    else:
+        read_schema = T.StructType(
+            [T.StructField(phys_of[f.name], f.dataType, True)
+             for f in data_fields]
+        )
     df = spark.read.schema(read_schema).parquet(
         *[os.path.join(root, rel) for rel in affected]
     ).withColumn(
@@ -1241,10 +1257,15 @@ def delta_optimize(
             )
             .drop("__pos")
         )
+    if mode == "name":
+        df = df.select(
+            "__f",
+            *[F.col(phys_of[f.name]).alias(f.name) for f in data_fields],
+        )
     if part_cols:
         pv_df = spark.createDataFrame(
             [(os.path.abspath(os.path.join(root, rel)),
-              *[(add.get("partitionValues") or {}).get(c)
+              *[(add.get("partitionValues") or {}).get(phys_of[c])
                 for c in part_cols])
              for rel, add in cand.items()],
             T.StructType(
@@ -1286,8 +1307,11 @@ def delta_optimize(
         "operationParameters": {
             "zOrderBy": json.dumps(list(zorder_by or []))},
     }}]
+    stage_df, stage_parts = df, part_cols
+    if mode != "none":
+        stage_df, stage_parts = _to_physical(df, schema, part_cols, mode)
     placed, add_actions = _stage_adds(
-        df, root, version, nonce, now_ms, part_cols
+        stage_df, root, version, nonce, now_ms, stage_parts
     )
     for a in add_actions:
         a["add"]["dataChange"] = False

@@ -947,3 +947,41 @@ def test_cow_dml_on_column_mapped_tables(spark, tmp_path):
         assert got == {0: 0, 1: 102, **{i: i * 2 for i in range(2, 8)}}, mode
         # time travel still resolves the pre-DML state
         assert read_delta(spark, root, version=1).count() == 10
+
+
+def test_optimize_on_column_mapped_table(spark, tmp_path):
+    # r9: OPTIMIZE compacts mapped tables too — same physical-name /
+    # field-id resolution as DML
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_optimize,
+    )
+
+    root = str(tmp_path / "optcm")
+    os.makedirs(root)
+    fields = [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aa"}},
+        {"name": "v", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bb"}},
+    ]
+    _hand_commit(root, 0, [
+        {"commitInfo": {"timestamp": 0, "operation": "CREATE"}},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "optcm",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": _json.dumps(
+                          {"type": "struct", "fields": fields}),
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "id"}}},
+    ])
+    delta_append(_df(spark, 0, 5).coalesce(1), root)
+    delta_append(_df(spark, 5, 10).coalesce(1), root)
+    v, n = delta_optimize(spark, root, target_file_bytes=1 << 30)
+    assert (v, n) == (3, 2)
+    assert sorted(r.k for r in read_delta(spark, root).collect()) \
+        == list(range(10))
