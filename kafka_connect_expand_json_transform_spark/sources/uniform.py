@@ -575,3 +575,104 @@ def export_iceberg(root: str) -> int:
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(meta_version))
     return snap_id
+
+
+def expire_iceberg_snapshots(
+    root: str,
+    keep_last: int = 1,
+    older_than_ms: int | None = None,
+) -> list[str]:
+    """Iceberg table maintenance for the exported ``metadata/`` tree:
+    drop snapshots beyond the newest ``keep_last`` (and, additionally,
+    only those older than ``older_than_ms`` when given — both bounds
+    must agree, Iceberg's own expire contract), then delete the
+    manifest lists, manifests, and uniform-written position-delete files
+    referenced ONLY by expired snapshots.  DATA files are never touched:
+    they belong to the txlog (the exporter's one-copy-of-data contract);
+    the txlog's own retention owns them.  Returns the deleted
+    metadata-relative paths.  Time travel to expired snapshots stops
+    working — the documented trade every engine's expireSnapshots makes.
+    Scale: O(snapshots + manifests) planner metadata."""
+    from kafka_connect_expand_json_transform_spark.sources import (
+        avro_codec as AC,
+    )
+    from kafka_connect_expand_json_transform_spark.sources import (
+        iceberg_reader as IR,
+    )
+
+    meta = IR._read_metadata(root)
+    snaps = sorted(meta.get("snapshots", []),
+                   key=lambda s: s.get("sequence-number",
+                                       s.get("timestamp-ms", 0)))
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cut = max(0, len(snaps) - keep_last)
+    expired = [
+        s for s in snaps[:cut]
+        if older_than_ms is None
+        or s.get("timestamp-ms", 0) < older_than_ms
+    ]
+    if not expired:
+        return []
+    kept = [s for s in snaps if s not in expired]
+    if meta.get("current-snapshot-id") in {
+        s["snapshot-id"] for s in expired
+    }:
+        raise ValueError("cannot expire the current snapshot")
+
+    location = meta.get("location", root)
+
+    def refs(snapshot) -> set[str]:
+        out = set()
+        mlist = IR._resolve(root, location, snapshot["manifest-list"])
+        out.add(os.path.abspath(mlist))
+        for mrow in AC.read_container(mlist):
+            mpath = IR._resolve(root, location, mrow["manifest_path"])
+            out.add(os.path.abspath(mpath))
+            for entry in AC.read_container(mpath):
+                df_ = entry["data_file"]
+                if df_.get("content", 0) != 0:
+                    # uniform-written delete files live under metadata/
+                    out.add(os.path.abspath(
+                        IR._resolve(root, location, df_["file_path"])
+                    ))
+        return out
+
+    kept_refs: set[str] = set()
+    for s in kept:
+        kept_refs |= refs(s)
+    doomed: set[str] = set()
+    for s in expired:
+        doomed |= refs(s)
+    doomed -= kept_refs
+    meta_dir = os.path.abspath(os.path.join(root, "metadata"))
+    removed = []
+    for p in sorted(doomed):
+        # only metadata-tree files are ever deleted (data is txlog-owned)
+        if os.path.dirname(p) != meta_dir:
+            continue
+        try:
+            os.unlink(p)
+            removed.append(os.path.relpath(p, root))
+        except FileNotFoundError:
+            pass
+
+    new_meta = dict(meta)
+    new_meta["snapshots"] = kept
+    versions = sorted(
+        int(m.group(1))
+        for n in os.listdir(os.path.join(root, "metadata"))
+        for m in [re.match(r"^v(\d+)\.metadata\.json$", n)]
+        if m
+    )
+    meta_version = versions[-1] + 1
+    final = os.path.join(root, "metadata", f"v{meta_version}.metadata.json")
+    fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    with open(os.path.join(root, "metadata", "version-hint.text"),
+              "w") as fh:
+        fh.write(str(meta_version))
+    return removed

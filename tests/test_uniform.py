@@ -208,3 +208,44 @@ def test_export_commit_claim_is_atomic(spark, tmp_path, monkeypatch):
         U.export_iceberg(root)
     with open(imarker) as fh:
         assert fh.read() == iwinner
+
+
+def test_expire_iceberg_snapshots(spark, tmp_path):
+    # r9: exported-tree maintenance — expired snapshots' manifest lists,
+    # manifests, and uniform delete files are removed; DATA files are
+    # txlog-owned and never touched; current snapshot keeps reading
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        read_iceberg,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.uniform import (
+        expire_iceberg_snapshots,
+        export_iceberg,
+    )
+
+    root = _seed(spark, tmp_path, "exp")
+    assert export_iceberg(root) == 1
+    TX.delete_where(spark, root, "k >= 15")
+    assert export_iceberg(root) == 2
+    TX.delete_where(spark, root, "k >= 10")
+    assert export_iceberg(root) == 3
+
+    n_data = len([1 for _dir, _d, names in os.walk(root)
+                  for n in names if n.endswith(".parquet")
+                  and "metadata" not in _dir])
+    removed = expire_iceberg_snapshots(root, keep_last=1)
+    assert removed and all(r.startswith("metadata/") for r in removed)
+    # current snapshot still reads; expired ones are gone
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) \
+        == list(range(10))
+    with pytest.raises(ValueError, match="not in table metadata"):
+        read_iceberg(spark, root, snapshot_id=1).collect()
+    # data files untouched
+    n_data2 = len([1 for _dir, _d, names in os.walk(root)
+                   for n in names if n.endswith(".parquet")
+                   and "metadata" not in _dir])
+    assert n_data2 == n_data
+    # the current snapshot can never be expired
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_iceberg_snapshots(root, keep_last=0)
+    # nothing more to expire
+    assert expire_iceberg_snapshots(root, keep_last=1) == []
