@@ -783,7 +783,28 @@ def register_delta_stream_source(spark: SparkSession) -> None:
                 str(options.get("skipChangeCommits", "false")).lower()
                 == "true"
             )
-            self.starting_version = int(options.get("startingVersion", 0))
+            if "startingTimestamp" in options:
+                if "startingVersion" in options:
+                    raise ValueError(
+                        "pass startingVersion or startingTimestamp, "
+                        "not both"
+                    )
+                # Delta's own rule: the first version committed AT or
+                # AFTER the timestamp starts the stream
+                ts = int(options["startingTimestamp"])
+                hist = delta_history(self.root)  # newest first
+                later = [h["version"] for h in hist
+                         if h["timestamp"] is not None
+                         and h["timestamp"] >= ts]
+                if not later:
+                    raise ValueError(
+                        f"startingTimestamp {ts} is after the last commit"
+                    )
+                self.starting_version = min(later)
+            else:
+                self.starting_version = int(options.get(
+                    "startingVersion", 0
+                ))
 
         def initialOffset(self) -> dict:
             return {"version": self.starting_version - 1}

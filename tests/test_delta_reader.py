@@ -1186,3 +1186,38 @@ def test_column_mapping_id_cdf_and_stream(spark, tmp_path):
     got = sorted((r.id, r.v)
                  for r in spark.table("sg_cmid_stream").collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_deltastream_starting_timestamp(spark, tmp_path):
+    # r9: startingTimestamp resolves to the first version committed AT or
+    # AFTER the bound (Delta's own startingTimestamp rule); conflicts
+    # with startingVersion refuse
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        register_delta_stream_source,
+    )
+
+    root = _plain_table(tmp_path)  # v0 at ts 1000 (ids 1,2,3 live)…
+    # v1 at ts 2000 rewrites part-b: remove + add — use ignoreChanges
+    register_delta_stream_source(spark)
+    q = (
+        spark.readStream.format("deltastream").option("path", root)
+        .option("startingTimestamp", "1500")
+        .option("ignoreChanges", "true").load()
+        .writeStream.format("memory").queryName("sg_dst")
+        .outputMode("append").start()
+    )
+    _drain(q)
+    assert q.exception() is None
+    # only v1's add streams (part-c: id 4)
+    assert sorted(r.id for r in spark.table("sg_dst").collect()) == [4]
+    with pytest.raises(Exception, match="not both"):
+        q2 = (
+            spark.readStream.format("deltastream").option("path", root)
+            .option("startingTimestamp", "1500")
+            .option("startingVersion", "1").load()
+            .writeStream.format("memory").queryName("sg_dst2")
+            .outputMode("append").start()
+        )
+        _drain(q2, expect_error=True)
+        if q2.exception() is not None:
+            raise q2.exception()
