@@ -1,0 +1,191 @@
+"""Pure-Python Apache Iceberg APPEND writer — the produce direction for
+the second open table format, mirroring ``delta_writer.delta_append``
+(reader: ``iceberg_reader``; txlog-side export: ``uniform``), per the
+public iceberg.apache.org spec:
+
+* ``iceberg_append(df, root)`` — commit the DataFrame as the next
+  snapshot of a standalone format-version-2 Iceberg table (creating the
+  ``metadata/`` tree on first write).  Appends only: schema must match
+  the table's exactly.  Each snapshot writes one full manifest of the
+  live file set (status 1 = added by this snapshot, 0 = carried — the
+  layout a manifest compaction produces), so time travel across appends
+  works in any Iceberg reader; the commit claims the next
+  ``vN.metadata.json`` with O_CREAT|O_EXCL, the same atomic
+  rename-if-absent contract Iceberg's own catalogs provide.
+
+Scale: one parquet write per batch plus O(live files) planner-side
+manifest metadata — the bound every Iceberg writer pays; data files
+land once under unique snapshot-scoped names and are never rewritten by
+appends.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+import time as _time
+
+from pyspark.sql import DataFrame
+
+from kafka_connect_expand_json_transform_spark.sources import avro_codec as AC
+from kafka_connect_expand_json_transform_spark.sources import (
+    iceberg_reader as IR,
+)
+from kafka_connect_expand_json_transform_spark.sources.uniform import (
+    _ICE_ENTRY_SCHEMA,
+    _ICE_MLIST_SCHEMA,
+    _iceberg_schema,
+)
+
+
+class IcebergCommitConflict(RuntimeError):
+    """A concurrent writer claimed this metadata version first; re-read
+    the head and retry."""
+
+
+def iceberg_append(df: DataFrame, root: str) -> int:
+    """Append ``df`` as the next snapshot of the Iceberg table at
+    ``root`` (creating it on first write); returns the committed
+    snapshot id.  See the module docstring for the layout contract."""
+    import pyarrow.parquet as _pq
+
+    meta_dir = os.path.join(root, "metadata")
+    loc = "file://" + os.path.abspath(root)
+    try:
+        prev_meta = IR._read_metadata(root)
+    except FileNotFoundError:
+        prev_meta = None
+
+    if prev_meta is not None:
+        table_fields = IR._current_schema(prev_meta)["fields"]
+        table_spark = IR._spark_type(
+            {"type": "struct", "fields": table_fields}
+        )
+        if [(f.name, f.dataType.simpleString())
+                for f in table_spark.fields] != \
+           [(f.name, f.dataType.simpleString())
+                for f in df.schema.fields]:
+            raise ValueError(
+                f"append schema {df.schema.simpleString()} != table "
+                f"schema {table_spark.simpleString()}"
+            )
+        prev_files, prev_dels = IR._snapshot_files(root, prev_meta, None)
+        if prev_dels:
+            raise ValueError(
+                "appending to a table with row-level delete files is "
+                "not supported (compact first)"
+            )
+        prev_rel = sorted(os.path.relpath(p, root) for p in prev_files)
+        prev_snaps = prev_meta.get("snapshots", [])
+        meta_version = 1 + max(
+            int(m.group(1))
+            for n in os.listdir(meta_dir)
+            for m in [re.match(r"^v(\d+)\.metadata\.json$", n)]
+            if m
+        )
+    else:
+        prev_rel, prev_snaps, meta_version = [], [], 1
+        os.makedirs(meta_dir, exist_ok=True)
+    snap_id = len(prev_snaps) + 1
+
+    # attempt-unique data file names: a stale racer's orphans are never
+    # referenced by a committed manifest and are unlinked on loss
+    nonce = _time.time_ns()
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    stage = os.path.join(root, f"_stage_{nonce}")
+    df.write.mode("overwrite").parquet(stage)
+    placed: list[str] = []
+    try:
+        for i, p in enumerate(sorted(glob.glob(
+            os.path.join(stage, "part-*.parquet")
+        ))):
+            if _pq.ParquetFile(p).metadata.num_rows == 0:
+                continue
+            rel = f"data/snap{snap_id:05d}-{nonce}-{i:05d}.parquet"
+            os.rename(p, os.path.join(root, rel))
+            placed.append(rel)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    live = prev_rel + placed
+    manifest_rel = f"metadata/append-m{snap_id}-{nonce}.avro"
+    AC.write_container(
+        os.path.join(root, manifest_rel), _ICE_ENTRY_SCHEMA,
+        [
+            {"status": 1 if rel in placed else 0, "snapshot_id": snap_id,
+             "data_file": {
+                 "content": 0, "file_path": f"{loc}/{rel}",
+                 "file_format": "parquet",
+                 "record_count": _pq.ParquetFile(
+                     os.path.join(root, rel)).metadata.num_rows,
+                 "file_size_in_bytes": os.path.getsize(
+                     os.path.join(root, rel))}}
+            for rel in sorted(live)
+        ],
+        codec="null",
+    )
+    mlist_rel = f"metadata/append-snap-{snap_id}-{nonce}-list.avro"
+    AC.write_container(
+        os.path.join(root, mlist_rel), _ICE_MLIST_SCHEMA,
+        [{"manifest_path": f"{loc}/{manifest_rel}",
+          "manifest_length": os.path.getsize(
+              os.path.join(root, manifest_rel)),
+          "partition_spec_id": 0, "content": 0,
+          "added_snapshot_id": snap_id}],
+        codec="null",
+    )
+
+    schema, last_col_id = _iceberg_schema(df.schema)
+    now_ms = int(_time.time() * 1000)
+    meta = {
+        "format-version": 2,
+        "table-uuid": (prev_meta or {}).get(
+            "table-uuid",
+            f"iceberg-append-{os.path.basename(os.path.abspath(root))}",
+        ),
+        "location": loc,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_col_id,
+        "last-sequence-number": snap_id,
+        "schemas": (prev_meta or {}).get("schemas") or [schema],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": snap_id,
+        "snapshots": [*prev_snaps, {
+            "snapshot-id": snap_id,
+            "sequence-number": snap_id,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "append"},
+            "manifest-list": f"{loc}/{mlist_rel}",
+            "schema-id": 0,
+        }],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    final = os.path.join(meta_dir, f"v{meta_version}.metadata.json")
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        for rel in placed:
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
+        raise IcebergCommitConflict(
+            f"metadata v{meta_version} already committed"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
+        json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(meta_version))
+    return snap_id
