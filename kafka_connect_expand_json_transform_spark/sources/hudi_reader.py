@@ -797,3 +797,112 @@ def register_hudi_stream_source(spark: SparkSession) -> None:
             return HudiStreamReader(self.options, schema.json())
 
     spark.dataSource.register(HudiStreamSource)
+
+
+class HudiCommitConflict(RuntimeError):
+    """A concurrent writer claimed this instant first; retry."""
+
+
+def hudi_append(
+    df: DataFrame,
+    root: str,
+    record_key: str,
+    instant: str | None = None,
+) -> str:
+    """Append ``df`` as the next COPY_ON_WRITE commit of the Hudi table
+    at ``root`` (creating ``.hoodie/hoodie.properties`` on first write);
+    returns the committed instant.  The produce direction for the third
+    open format, mirroring ``delta_append``/``iceberg_append`` at the
+    public timeline/file-group layer: each append writes NEW file groups
+    (append-only — updates/merges are the native engine's job), rows
+    carry ``_hoodie_commit_time`` and ``_hoodie_record_key`` (from
+    ``record_key``), the completed-commit JSON lists the files in
+    ``partitionToWriteStats``, and the ``<instant>.commit`` file is
+    claimed with O_CREAT|O_EXCL — a racing writer loses cleanly and its
+    attempt-unique data files are unlinked.  Instants are
+    ``yyyyMMddHHmmssSSS`` and must be lexically increasing; an older or
+    equal instant refuses.  Scale: one parquet write per batch plus one
+    O(written files) commit JSON — the timeline bound every Hudi writer
+    pays."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    props_path = os.path.join(_hoodie_dir(root), "hoodie.properties")
+    if os.path.exists(props_path):
+        props = _properties(root)
+        if props.get("hoodie.table.type", "COPY_ON_WRITE") \
+                != "COPY_ON_WRITE":
+            raise HudiUnsupported("hudi_append is CoW-only")
+    else:
+        os.makedirs(_hoodie_dir(root), exist_ok=True)
+        with open(props_path, "w") as fh:
+            fh.write(
+                f"hoodie.table.name={os.path.basename(os.path.abspath(root))}\n"
+                "hoodie.table.type=COPY_ON_WRITE\n"
+            )
+    commits = hudi_timeline(root)  # newest first
+    head = commits[0]["instant"] if commits else ""
+    if instant is None:
+        instant = _time.strftime("%Y%m%d%H%M%S") + f"{_time.time_ns() % 1000:03d}"
+        while instant <= head:  # same-millisecond successor: bump
+            instant = str(int(instant) + 1)
+    elif str(instant) <= head:
+        raise ValueError(
+            f"instant {instant} is not after the head {head} (the "
+            "timeline is lexically ordered)"
+        )
+    instant = str(instant)
+    if record_key not in df.columns:
+        raise ValueError(f"record_key column {record_key!r} not in schema")
+
+    nonce = _time.time_ns()
+    stage = os.path.join(root, f"_stage_{nonce}")
+    (
+        df.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            F.col(record_key).cast("string").alias("_hoodie_record_key"),
+            *df.columns,
+        )
+        .write.mode("overwrite").parquet(stage)
+    )
+    placed: list[str] = []
+    stats = []
+    try:
+        import pyarrow.parquet as _pq
+
+        os.makedirs(os.path.join(root, "p"), exist_ok=True)
+        for i, p in enumerate(sorted(_glob.glob(
+            os.path.join(stage, "part-*.parquet")
+        ))):
+            n_rows = _pq.ParquetFile(p).metadata.num_rows
+            if n_rows == 0:
+                continue
+            fid = f"w{nonce}-{i}"
+            rel = f"p/{fid}_0-0-0_{instant}.parquet"
+            os.rename(p, os.path.join(root, rel))
+            placed.append(rel)
+            stats.append({"fileId": fid, "path": rel,
+                          "numWrites": n_rows})
+    finally:
+        _shutil.rmtree(stage, ignore_errors=True)
+
+    final = os.path.join(_hoodie_dir(root), f"{instant}.commit")
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        for rel in placed:
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
+        raise HudiCommitConflict(
+            f"instant {instant} already committed"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"partitionToWriteStats": {"p": stats}}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    return instant

@@ -387,3 +387,57 @@ def test_hudistream_replacecommit_contract(spark, tmp_path):
     got = sorted(r.id for r in spark.table("sg_hudistream_rc2").collect())
     # same commit rows as before; the clustering contributed nothing new
     assert got == [1, 1, 2, 2, 3, 9]
+
+
+def test_hudi_append_roundtrip(spark, tmp_path, monkeypatch):
+    # r9: the CoW append writer — timeline-layout commits readable by the
+    # same reader (snapshot + time travel), streamable by hudistream;
+    # instants must be lexically increasing; a racing claim loses cleanly
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        HudiCommitConflict,
+        hudi_append,
+        read_hudi,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "hw")
+    df1 = spark.range(0, 4).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("v"))
+    i1 = hudi_append(df1.coalesce(1), root, record_key="k")
+    df2 = spark.range(4, 6).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("v"))
+    i2 = hudi_append(df2.coalesce(1), root, record_key="k",
+                     instant=str(int(i1) + 1000))
+    assert i2 > i1
+    got = sorted(r.k for r in read_hudi(spark, root).collect())
+    assert got == list(range(6))
+    assert sorted(
+        r.k for r in read_hudi(spark, root, as_of_instant=i1).collect()
+    ) == [0, 1, 2, 3]
+    # meta columns present when kept
+    kept = read_hudi(spark, root, keep_meta=True)
+    assert {"_hoodie_commit_time", "_hoodie_record_key"} <= set(kept.columns)
+    # stale instant refuses
+    with pytest.raises(ValueError, match="not after the head"):
+        hudi_append(df1, root, record_key="k", instant=i1)
+    # racing claim: another writer commits the instant BETWEEN this
+    # writer's timeline read and its O_EXCL claim — simulate with a
+    # stale timeline view; the loser must not clobber and must unlink
+    # its staged files
+    import kafka_connect_expand_json_transform_spark.sources.hudi_reader as HR
+
+    nxt = str(int(i2) + 1)
+    open(os.path.join(root, ".hoodie", f"{nxt}.commit"), "w").close()
+    real = HR.hudi_timeline
+    monkeypatch.setattr(
+        HR, "hudi_timeline",
+        lambda p: [c for c in real(p) if c["instant"] != nxt],
+    )
+    with pytest.raises(HudiCommitConflict):
+        HR.hudi_append(df1.coalesce(1), root, record_key="k", instant=nxt)
+    monkeypatch.setattr(HR, "hudi_timeline", real)
+    # no partial files leaked by the loser
+    import glob as _glob
+    leaked = [p for p in _glob.glob(os.path.join(root, "p", "*.parquet"))
+              if f"_{nxt}." in p]
+    assert leaked == []
