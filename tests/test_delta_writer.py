@@ -985,3 +985,50 @@ def test_optimize_on_column_mapped_table(spark, tmp_path):
     assert (v, n) == (3, 2)
     assert sorted(r.k for r in read_delta(spark, root).collect()) \
         == list(range(10))
+
+
+def test_cow_dml_change_data_on_partitioned_table(spark, tmp_path):
+    # r9: the cdc staging walks the hive layout too — change files land
+    # under _change_data/<p=v>/, cdc actions carry partitionValues, and
+    # the CDF read re-injects the partition column
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        read_delta_changes,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_delete_where,
+    )
+
+    root = str(tmp_path / "cdfp")
+    df = spark.range(0, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.when(F.col("id") < 3, "d1").otherwise("d2").alias("day"),
+    )
+    delta_append(df, root, partition_by=["day"])
+    # enable CDF via a metadata commit (keeps partitionColumns)
+    _hand_commit(root, 1, [
+        {"metaData": {"id": "cdfp", "format": {"provider": "parquet",
+                                               "options": {}},
+                      "schemaString": _json.dumps(
+                          {"type": "struct", "fields": [
+                              {"name": "k", "type": "long",
+                               "nullable": True, "metadata": {}},
+                              {"name": "v", "type": "long",
+                               "nullable": True, "metadata": {}},
+                              {"name": "day", "type": "string",
+                               "nullable": True, "metadata": {}}]}),
+                      "partitionColumns": ["day"],
+                      "configuration": {
+                          "delta.enableChangeDataFeed": "true"}}},
+    ])
+    v, n = delta_delete_where(spark, root, "k IN (1, 4)")
+    assert n == 2
+    ch = read_delta_changes(spark, root, v)
+    rows = sorted((r.k, r.day, r._change_type) for r in ch.collect())
+    assert rows == [(1, "d1", "delete"), (4, "d2", "delete")]
+    # change files live under the hive layout beneath _change_data/
+    import glob as _glob
+    cdc_files = _glob.glob(os.path.join(root, "_change_data", "**",
+                                        "cdc-*.parquet"), recursive=True)
+    assert cdc_files and all("day=" in p for p in cdc_files)
