@@ -46,10 +46,33 @@ class IcebergCommitConflict(RuntimeError):
     the head and retry."""
 
 
-def iceberg_append(df: DataFrame, root: str) -> int:
+def _offset_ids(t, off: int):
+    """Shift every assigned field id in an Iceberg type tree by ``off``
+    (schema evolution: new columns' ids must start after the table's
+    last-column-id)."""
+    if isinstance(t, dict):
+        out = {}
+        for k, v in t.items():
+            if k in ("id", "element-id", "key-id", "value-id"):
+                out[k] = v + off
+            else:
+                out[k] = _offset_ids(v, off)
+        return out
+    if isinstance(t, list):
+        return [_offset_ids(x, off) for x in t]
+    return t
+
+
+def iceberg_append(df: DataFrame, root: str,
+                   merge_schema: bool = False) -> int:
     """Append ``df`` as the next snapshot of the Iceberg table at
     ``root`` (creating it on first write); returns the committed
-    snapshot id.  See the module docstring for the layout contract."""
+    snapshot id.  ``merge_schema`` (r9) is Iceberg's add-column
+    evolution: new df columns are APPENDED to the table schema with
+    FRESH field ids (after last-column-id) in a new schema entry, df may
+    omit table columns, and a type conflict on a shared column refuses —
+    earlier data files simply lack the new columns and read as null.
+    See the module docstring for the layout contract."""
     import pyarrow.parquet as _pq
 
     meta_dir = os.path.join(root, "metadata")
@@ -59,14 +82,50 @@ def iceberg_append(df: DataFrame, root: str) -> int:
     except FileNotFoundError:
         prev_meta = None
 
+    evolved_schemas = None
+    evolved_last_id = None
     if prev_meta is not None:
         table_fields = IR._current_schema(prev_meta)["fields"]
         table_spark = IR._spark_type(
             {"type": "struct", "fields": table_fields}
         )
-        if [(f.name, f.dataType.simpleString())
+        if merge_schema:
+            by_name = {f.name: f for f in table_spark.fields}
+            for f in df.schema.fields:
+                tf = by_name.get(f.name)
+                if tf is not None and (
+                    tf.dataType.simpleString()
+                    != f.dataType.simpleString()
+                ):
+                    raise ValueError(
+                        f"column {f.name!r}: append type "
+                        f"{f.dataType.simpleString()} conflicts with "
+                        f"table type {tf.dataType.simpleString()}"
+                    )
+            new_names = [f.name for f in df.schema.fields
+                         if f.name not in by_name]
+            if new_names:
+                from pyspark.sql import types as T
+
+                last_id = prev_meta.get("last-column-id", 0)
+                add_schema, n_new = _iceberg_schema(T.StructType(
+                    [f for f in df.schema.fields if f.name in new_names]
+                ))
+                new_fields = _offset_ids(add_schema["fields"], last_id)
+                cur_id = IR._current_schema(prev_meta).get(
+                    "schema-id", 0
+                )
+                evolved = {
+                    "schema-id": cur_id + 1, "type": "struct",
+                    "fields": [*table_fields, *new_fields],
+                }
+                evolved_schemas = [
+                    *(prev_meta.get("schemas") or []), evolved,
+                ]
+                evolved_last_id = last_id + n_new
+        elif [(f.name, f.dataType.simpleString())
                 for f in table_spark.fields] != \
-           [(f.name, f.dataType.simpleString())
+             [(f.name, f.dataType.simpleString())
                 for f in df.schema.fields]:
             raise ValueError(
                 f"append schema {df.schema.simpleString()} != table "
@@ -148,10 +207,17 @@ def iceberg_append(df: DataFrame, root: str) -> int:
         ),
         "location": loc,
         "last-updated-ms": now_ms,
-        "last-column-id": last_col_id,
+        "last-column-id": (evolved_last_id
+                           if evolved_last_id is not None else
+                           (prev_meta or {}).get("last-column-id",
+                                                 last_col_id)),
         "last-sequence-number": snap_id,
-        "schemas": (prev_meta or {}).get("schemas") or [schema],
-        "current-schema-id": 0,
+        "schemas": (evolved_schemas
+                    or (prev_meta or {}).get("schemas") or [schema]),
+        "current-schema-id": (evolved_schemas[-1]["schema-id"]
+                              if evolved_schemas else
+                              (prev_meta or {}).get(
+                                  "current-schema-id", 0)),
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "default-spec-id": 0,
         "last-partition-id": 999,

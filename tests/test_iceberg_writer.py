@@ -60,3 +60,40 @@ def test_streams_through_icebergstream(spark, tmp_path):
     assert q.exception() is None
     got = sorted(r.k for r in spark.table("sg_iw_stream").collect())
     assert got == list(range(5))
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    # r9: add-column evolution — new columns get FRESH field ids after
+    # last-column-id in a NEW schema entry; earlier files read as null;
+    # a type conflict refuses
+    import json as _json
+    import os
+
+    root = str(tmp_path / "itev")
+    iceberg_append(_df(spark, 0, 3), root)
+    wide = spark.range(3, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit("x").alias("tag"),
+    )
+    with pytest.raises(ValueError, match="append schema"):
+        iceberg_append(wide, root)
+    assert iceberg_append(wide, root, merge_schema=True) == 2
+    got = sorted((r.k, r.tag) for r in read_iceberg(spark, root).collect())
+    assert got == [(0, None), (1, None), (2, None), (3, "x"), (4, "x")]
+    # the evolved schema entry carries fresh ids and bumps last-column-id
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        _read_metadata,
+    )
+
+    meta = _read_metadata(root)
+    assert meta["current-schema-id"] == 1
+    cur = [s for s in meta["schemas"] if s["schema-id"] == 1][0]
+    ids = [f["id"] for f in cur["fields"]]
+    assert ids == sorted(set(ids)) and meta["last-column-id"] == max(ids)
+    # type conflict refuses even under merge_schema
+    bad = spark.range(5, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit(1).alias("tag"),
+    )
+    with pytest.raises(ValueError, match="conflicts with"):
+        iceberg_append(bad, root, merge_schema=True)
