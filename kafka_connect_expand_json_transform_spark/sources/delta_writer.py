@@ -251,6 +251,31 @@ def _latest_txn_version(path: str, app_id: str) -> int | None:
     return latest
 
 
+def _retention_hours(meta: dict | None) -> float:
+    """``delta.deletedFileRetentionDuration`` from the table
+    configuration as hours (default 168 = 7 days).  Delta's interval
+    syntax: ``interval <n> <unit>`` (days/hours/minutes/seconds...);
+    an unparseable value falls back to the default rather than
+    silently shortening the retention window."""
+    raw = ((meta or {}).get("configuration") or {}).get(
+        "delta.deletedFileRetentionDuration"
+    )
+    if not raw:
+        return 168.0
+    m = re.match(
+        r"^\s*(?:interval\s+)?(\d+(?:\.\d+)?)\s*"
+        r"(week|day|hour|minute|second|millisecond)s?\s*$",
+        str(raw).strip(), re.IGNORECASE,
+    )
+    if not m:
+        return 168.0
+    n = float(m.group(1))
+    per_hour = {"week": 168.0, "day": 24.0, "hour": 1.0,
+                "minute": 1 / 60.0, "second": 1 / 3600.0,
+                "millisecond": 1 / 3.6e6}
+    return n * per_hour[m.group(2).lower()]
+
+
 def delta_checkpoint(root: str, version: int | None = None) -> str:
     """Write a single-part ``V.checkpoint.parquet`` of the replayed state
     at ``version`` (default head) plus the ``_last_checkpoint`` pointer —
@@ -395,7 +420,13 @@ def delta_checkpoint(root: str, version: int | None = None) -> str:
     # unexpired tombstones ride the checkpoint (PROTOCOL.md: readers keep
     # retention info once pre-checkpoint commits are cleaned up); a path
     # re-added later is live state, not a tombstone
-    tomb_cutoff_ms = int((_time.time() - 168.0 * 3600.0) * 1000)
+    # ADVICE r9 (medium): honor delta.deletedFileRetentionDuration —
+    # tombstones must outlive the table's configured retention or
+    # vacuum's deleted_at map loses them and falls back to file mtime,
+    # breaking the concurrent-reader/time-travel window
+    tomb_cutoff_ms = int(
+        (_time.time() - _retention_hours(meta) * 3600.0) * 1000
+    )
     removes = [
         {"path": p, "deletionTimestamp": ts, "dataChange": False}
         for p, ts in sorted(tombstones.items())
@@ -1043,7 +1074,7 @@ def _delta_cow(
 
 def delta_vacuum(
     root: str,
-    retention_hours: float = 168.0,
+    retention_hours: float | None = None,
     dry_run: bool = False,
 ) -> list[str]:
     """VACUUM: delete data/DV files not referenced by the CURRENT version
@@ -1060,6 +1091,10 @@ def delta_vacuum(
     rule.  Planner-side: one replay + one log walk + one directory
     walk."""
     files, _meta, _proto, _head = _replay(root, None)
+    if retention_hours is None:
+        # default to the table's configured retention, like Delta's own
+        # VACUUM (delta.deletedFileRetentionDuration, default 7 days)
+        retention_hours = _retention_hours(_meta)
     # tombstone timestamps: rel path -> latest deletionTimestamp (ms)
     from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
         _checkpoint_actions,

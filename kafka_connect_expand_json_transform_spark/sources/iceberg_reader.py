@@ -329,6 +329,21 @@ def _epoch_days(val) -> int:
     return int(val)
 
 
+def _epoch_micros(val) -> int:
+    """Timestamp-ish value -> micros since epoch (naive = UTC); raises
+    on unconvertible input (callers keep the file, sound)."""
+    import datetime
+
+    if isinstance(val, str):
+        val = datetime.datetime.fromisoformat(val)
+    if isinstance(val, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=val.tzinfo)
+        return int((val - epoch).total_seconds() * 1_000_000)
+    if isinstance(val, bool):
+        raise TypeError("bool is not a timestamp")
+    return int(val)
+
+
 def _time_ordinal(transform: str, val) -> int | None:
     """Value of Iceberg's monotonic time transforms: day/month/year as
     ordinals from 1970, hour as hours from epoch.  Accepts date/datetime/
@@ -444,13 +459,28 @@ def _partition_keep(entry_partition, where: list[tuple],
             if got is None:
                 return False  # null source value: no comparison matches
             if transform == "identity":
+                # ADVICE r9 (medium): normalize temporal types BOTH
+                # sides (avro tuples store date as int days, timestamp
+                # as micros long; literals arrive as str/datetime) and
+                # treat any residual cross-type comparison as
+                # incomparable (keep the file) — a plain != on
+                # mixed types silently pruned matching rows.
                 tgot, tval = got, val
-                if stype == "date":
-                    # avro date values may decode as ints or date objects
-                    try:
+                st = str(stype or "")
+                try:
+                    if st == "date":
                         tgot, tval = _epoch_days(got), _epoch_days(val)
-                    except (ValueError, TypeError):
-                        continue  # unnormalizable: keep, sound
+                    elif st.startswith("timestamp"):
+                        tgot, tval = _epoch_micros(got), _epoch_micros(val)
+                except (ValueError, TypeError, OverflowError):
+                    continue  # unnormalizable: keep, sound
+                if type(tgot) is not type(tval) and not (
+                    isinstance(tgot, (int, float))
+                    and isinstance(tval, (int, float))
+                    and not isinstance(tgot, bool)
+                    and not isinstance(tval, bool)
+                ):
+                    continue  # cross-type: incomparable, keep, sound
                 if not cmp_keep(tgot, op, tval, loosened=False):
                     return False
                 continue

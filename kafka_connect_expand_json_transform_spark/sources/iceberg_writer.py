@@ -137,6 +137,23 @@ def iceberg_append(df: DataFrame, root: str,
                 "appending to a table with row-level delete files is "
                 "not supported (compact first)"
             )
+        # ADVICE r9 (high): the carried-entry manifest this writer emits
+        # has no partition tuples, so appending to a partitioned table
+        # would silently drop the spec and read carried files with NULL
+        # partition columns.  Refuse, mirroring the prev_dels guard.
+        default_spec = next(
+            (s for s in prev_meta.get("partition-specs", [])
+             if s.get("spec-id") == prev_meta.get("default-spec-id", 0)),
+            None,
+        )
+        if default_spec and default_spec.get("fields"):
+            raise ValueError(
+                "appending to a partitioned Iceberg table is not "
+                "supported (default partition spec "
+                f"{default_spec['spec-id']} has "
+                f"{len(default_spec['fields'])} field(s); rewrite as "
+                "unpartitioned first)"
+            )
         prev_rel = sorted(os.path.relpath(p, root) for p in prev_files)
         prev_snaps = prev_meta.get("snapshots", [])
         meta_version = 1 + max(
@@ -148,7 +165,15 @@ def iceberg_append(df: DataFrame, root: str,
     else:
         prev_rel, prev_snaps, meta_version = [], [], 1
         os.makedirs(meta_dir, exist_ok=True)
-    snap_id = len(prev_snaps) + 1
+    # ADVICE r9 (high): len(prev_snaps)+1 collides with live snapshot
+    # ids once expire_iceberg_snapshots has pruned the list, making the
+    # append invisible (current-snapshot-id resolves to the OLD
+    # snapshot) and regressing sequence-number below
+    # last-sequence-number.  Allocate past the maximum instead.
+    snap_id = 1 + max(
+        (s["snapshot-id"] for s in prev_snaps), default=0
+    )
+    seq_no = 1 + (prev_meta or {}).get("last-sequence-number", 0)
 
     # attempt-unique data file names: a stale racer's orphans are never
     # referenced by a committed manifest and are unlinked on loss
@@ -198,6 +223,14 @@ def iceberg_append(df: DataFrame, root: str,
     )
 
     schema, last_col_id = _iceberg_schema(df.schema)
+    # ADVICE r9 (medium): stamp the snapshot with the schema id active
+    # at commit — the evolved id when merge_schema added columns, else
+    # the table's current id — so native engines resolving a snapshot's
+    # schema by id see the columns this snapshot wrote.
+    commit_schema_id = (
+        evolved_schemas[-1]["schema-id"] if evolved_schemas
+        else (prev_meta or {}).get("current-schema-id", 0)
+    )
     now_ms = int(_time.time() * 1000)
     meta = {
         "format-version": 2,
@@ -211,27 +244,28 @@ def iceberg_append(df: DataFrame, root: str,
                            if evolved_last_id is not None else
                            (prev_meta or {}).get("last-column-id",
                                                  last_col_id)),
-        "last-sequence-number": snap_id,
+        "last-sequence-number": seq_no,
         "schemas": (evolved_schemas
                     or (prev_meta or {}).get("schemas") or [schema]),
-        "current-schema-id": (evolved_schemas[-1]["schema-id"]
-                              if evolved_schemas else
-                              (prev_meta or {}).get(
-                                  "current-schema-id", 0)),
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "default-spec-id": 0,
-        "last-partition-id": 999,
+        "current-schema-id": commit_schema_id,
+        # preserve existing (empty-field) specs rather than rewriting;
+        # specs with fields were refused above
+        "partition-specs": (prev_meta or {}).get(
+            "partition-specs", [{"spec-id": 0, "fields": []}]),
+        "default-spec-id": (prev_meta or {}).get("default-spec-id", 0),
+        "last-partition-id": (prev_meta or {}).get(
+            "last-partition-id", 999),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {},
         "current-snapshot-id": snap_id,
         "snapshots": [*prev_snaps, {
             "snapshot-id": snap_id,
-            "sequence-number": snap_id,
+            "sequence-number": seq_no,
             "timestamp-ms": now_ms,
             "summary": {"operation": "append"},
             "manifest-list": f"{loc}/{mlist_rel}",
-            "schema-id": 0,
+            "schema-id": commit_schema_id,
         }],
         "snapshot-log": [],
         "metadata-log": [],

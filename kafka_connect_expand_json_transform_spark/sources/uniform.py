@@ -405,7 +405,13 @@ def export_iceberg(root: str) -> int:
             and prev_dels == cur_dels):
         return prev_snaps[-1]["snapshot-id"]
 
-    snap_id = len(prev_snaps) + 1
+    # allocate past the max live id (expiry prunes the list, so
+    # len()+1 could collide with a live snapshot id — ADVICE r9)
+    snap_id = 1 + max((s["snapshot-id"] for s in prev_snaps), default=0)
+    seq_no = 1 + max(
+        (s.get("sequence-number", s["snapshot-id"]) for s in prev_snaps),
+        default=0,
+    )
     loc = "file://" + os.path.abspath(root)
 
     struct0 = T._parse_datatype_string(schema_ddl)
@@ -533,7 +539,7 @@ def export_iceberg(root: str) -> int:
         "location": loc,
         "last-updated-ms": now_ms,
         "last-column-id": last_col_id,
-        "last-sequence-number": snap_id,
+        "last-sequence-number": seq_no,
         "schemas": [schema],
         "current-schema-id": 0,
         "partition-specs": specs,
@@ -545,7 +551,7 @@ def export_iceberg(root: str) -> int:
         "current-snapshot-id": snap_id,
         "snapshots": [*prev_snaps, {
             "snapshot-id": snap_id,
-            "sequence-number": snap_id,
+            "sequence-number": seq_no,
             "timestamp-ms": now_ms,
             # honest operation label: a pure append (no files dropped, no
             # row deletes) keeps streaming readers alive; a CoW rewrite or

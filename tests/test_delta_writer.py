@@ -1032,3 +1032,89 @@ def test_cow_dml_change_data_on_partitioned_table(spark, tmp_path):
     cdc_files = _glob.glob(os.path.join(root, "_change_data", "**",
                                         "cdc-*.parquet"), recursive=True)
     assert cdc_files and all("day=" in p for p in cdc_files)
+
+
+def test_retention_hours_parsing():
+    # ADVICE-r9 medium: checkpoint/vacuum retention must honor
+    # delta.deletedFileRetentionDuration from the table configuration
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        _retention_hours,
+    )
+
+    assert _retention_hours(None) == 168.0
+    assert _retention_hours({"configuration": {}}) == 168.0
+    cfg = lambda v: {"configuration": {
+        "delta.deletedFileRetentionDuration": v}}
+    assert _retention_hours(cfg("interval 2 days")) == 48.0
+    assert _retention_hours(cfg("interval 1 week")) == 168.0
+    assert _retention_hours(cfg("interval 12 hours")) == 12.0
+    assert _retention_hours(cfg("interval 30 minutes")) == 0.5
+    assert _retention_hours(cfg("INTERVAL 1 DAY")) == 24.0
+    # unparseable: fall back to the default, never silently shorten
+    assert _retention_hours(cfg("three fortnights")) == 168.0
+
+
+def test_checkpoint_honors_configured_retention(spark, tmp_path):
+    # ADVICE-r9 medium: a table configured with a LONGER retention than
+    # the 7-day default must keep its tombstones in the checkpoint that
+    # long (else vacuum falls back to file mtime and can delete files
+    # inside the configured window); a ZERO retention drops them
+    import json as _json
+    import time as _t
+
+    import pyarrow.parquet as pq
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_checkpoint,
+        delta_delete_where,
+    )
+
+    def _mk(root, retention):
+        delta_append(_df(spark, 0, 10).coalesce(1), root)
+        _hand_commit(root, 1, [
+            {"metaData": {"id": "ret", "format": {
+                "provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": [
+                        {"name": "k", "type": "long",
+                         "nullable": True, "metadata": {}},
+                        {"name": "v", "type": "long",
+                         "nullable": True, "metadata": {}}]}),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.deletedFileRetentionDuration": retention}}},
+        ])
+        delta_delete_where(spark, root, "k >= 5")  # tombstone NOW
+        return delta_checkpoint(root)
+
+    # 30-day retention: a tombstone aged past the 7-day DEFAULT still
+    # rides the checkpoint
+    root_long = str(tmp_path / "retlong")
+    path = _mk(root_long, "interval 30 days")
+    log = os.path.join(root_long, "_delta_log")
+    # age the tombstone 8 days by rewriting its deletionTimestamp
+    commit = os.path.join(log, f"{2:020d}.json")
+    aged = []
+    with open(commit) as fh:
+        for line in fh:
+            a = _json.loads(line)
+            if a.get("remove"):
+                a["remove"]["deletionTimestamp"] -= 8 * 24 * 3600 * 1000
+            aged.append(a)
+    with open(commit, "w") as fh:
+        for a in aged:
+            fh.write(_json.dumps(a) + "\n")
+    path = delta_checkpoint(root_long)
+    removes = [r["remove"] for r in pq.read_table(path).to_pylist()
+               if r.get("remove")]
+    assert len(removes) == 1  # default 168h would have dropped it
+
+    # millisecond retention: the fresh tombstone is already expired
+    root_zero = str(tmp_path / "retzero")
+    _t.sleep(0.01)
+    path0 = _mk(root_zero, "interval 1 millisecond")
+    _t.sleep(0.05)
+    path0 = delta_checkpoint(root_zero)
+    removes0 = [r["remove"] for r in pq.read_table(path0).to_pylist()
+                if r.get("remove")]
+    assert removes0 == []

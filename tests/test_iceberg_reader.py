@@ -993,3 +993,40 @@ def test_identity_partition_value_injection(spark, tmp_path):
     # identity pruning composes (typed date compare on the tuple)
     pruned = read_iceberg(spark, root, where=[("ds", ">", d1)])
     assert sorted(r.id for r in pruned.collect()) == [3]
+
+
+def test_partition_keep_timestamp_identity_normalizes():
+    # ADVICE-r9 medium: identity pruning compared the raw Avro micros
+    # long against a string/datetime literal with plain == — unequal but
+    # not TypeError — so timestamp-identity-partitioned files were
+    # wrongly pruned.  Both sides must normalize to micros, and a
+    # residual cross-type comparison keeps the file (sound).
+    import datetime
+
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        _partition_keep,
+    )
+
+    # 1_700_000_000 s epoch == 2023-11-14T22:13:20 UTC
+    micros = 1_700_000_000 * 1_000_000
+    spec = {"ts": [("ts_part", "identity", "timestamptz")]}
+    pv = {"ts_part": micros}
+    assert _partition_keep(pv, [("ts", "=", "2023-11-14T22:13:20")], spec)
+    assert _partition_keep(
+        pv, [("ts", "=", datetime.datetime(2023, 11, 14, 22, 13, 20))],
+        spec,
+    )
+    # a genuinely different literal still prunes
+    assert not _partition_keep(
+        pv, [("ts", "=", "2023-11-14T00:00:00")], spec
+    )
+    # range ops normalize too
+    assert _partition_keep(pv, [("ts", ">", "2023-01-01T00:00:00")], spec)
+    assert not _partition_keep(
+        pv, [("ts", "<", "2023-01-01T00:00:00")], spec
+    )
+    # cross-type comparison on a non-temporal identity field: keep
+    assert _partition_keep(
+        {"k_part": 5}, [("k", "=", "5")],
+        {"k": [("k_part", "identity", "string")]},
+    )

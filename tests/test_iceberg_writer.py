@@ -97,3 +97,74 @@ def test_merge_schema_evolution(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="conflicts with"):
         iceberg_append(bad, root, merge_schema=True)
+
+
+def test_append_after_expiry_allocates_fresh_ids(spark, tmp_path):
+    # ADVICE-r9 high: len(snapshots)+1 collides with live snapshot ids
+    # once expiry has pruned the list, making the append invisible and
+    # regressing sequence-number below last-sequence-number
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        _read_metadata,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.uniform import (
+        expire_iceberg_snapshots,
+    )
+
+    root = str(tmp_path / "exp")
+    for i in range(5):
+        iceberg_append(_df(spark, i, i + 1), root)
+    expire_iceberg_snapshots(root, keep_last=3)  # live ids: [3, 4, 5]
+    new_id = iceberg_append(_df(spark, 5, 7), root)
+    assert new_id == 6  # past the max live id, not len+1 (= 4, a collision)
+    meta = _read_metadata(root)
+    assert meta["current-snapshot-id"] == 6
+    snap = [s for s in meta["snapshots"] if s["snapshot-id"] == 6][0]
+    assert snap["sequence-number"] > max(
+        s["sequence-number"] for s in meta["snapshots"]
+        if s["snapshot-id"] != 6
+    )
+    assert meta["last-sequence-number"] == snap["sequence-number"]
+    # the append is visible through the independent reader
+    got = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert got == list(range(7))
+
+
+def test_append_refuses_partitioned_table(spark, tmp_path):
+    # ADVICE-r9 high: this writer emits carried entries without
+    # partition tuples, so appending to a partitioned table would read
+    # carried files with NULL partition columns — refuse instead
+    import json as _json
+    import os
+
+    root = str(tmp_path / "part")
+    iceberg_append(_df(spark, 0, 3), root)
+    meta_path = os.path.join(root, "metadata", "v1.metadata.json")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "k", "transform": "identity", "source-id": 1,
+         "field-id": 1000}]}]
+    with open(meta_path, "w") as fh:
+        _json.dump(meta, fh)
+    with pytest.raises(ValueError, match="partitioned"):
+        iceberg_append(_df(spark, 3, 5), root)
+
+
+def test_snapshot_stamps_commit_schema_id(spark, tmp_path):
+    # ADVICE-r9 medium: the snapshot must carry the schema id active at
+    # commit (the evolved id after merge_schema), not a hardcoded 0
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        _read_metadata,
+    )
+
+    root = str(tmp_path / "sid")
+    iceberg_append(_df(spark, 0, 3), root)
+    wide = spark.range(3, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit("x").alias("tag"),
+    )
+    iceberg_append(wide, root, merge_schema=True)
+    meta = _read_metadata(root)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert by_id[1]["schema-id"] == 0
+    assert by_id[2]["schema-id"] == 1 == meta["current-schema-id"]
