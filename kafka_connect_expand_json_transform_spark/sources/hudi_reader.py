@@ -906,3 +906,203 @@ def hudi_append(
         fh.flush()
         os.fsync(fh.fileno())
     return instant
+
+
+def hudi_upsert(
+    df: DataFrame,
+    root: str,
+    record_key: str,
+    instant: str | None = None,
+) -> str:
+    """UPSERT ``df`` into the COPY_ON_WRITE Hudi table at ``root`` —
+    the ``hoodie.datasource.write.operation=upsert`` semantics at the
+    public timeline/file-group layer (hudi.apache.org "Write
+    Operations"): rows whose ``record_key`` already exists REWRITE the
+    newest slice of their file group at the new instant (carried rows
+    keep their original ``_hoodie_commit_time``; updated rows get the
+    new one — exactly what makes incremental queries see only the
+    changed rows), and rows with unseen keys land in NEW file groups as
+    inserts.  Returns the committed instant; the ``<instant>.commit``
+    file is claimed with O_CREAT|O_EXCL like ``hudi_append``.
+
+    Scale: the shuffle is keyed on the 16-byte record key + file-group
+    id, never whole documents twice; each touched file group is
+    rewritten exactly once (``repartition`` on the group id keeps one
+    output file per slice), and untouched groups are never read — the
+    same bound Hudi's own CoW upsert pays.  Duplicate keys within one
+    batch refuse (Hudi resolves them with a precombine field; callers
+    precombine upstream)."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    props_path = os.path.join(_hoodie_dir(root), "hoodie.properties")
+    if not os.path.exists(props_path):
+        return hudi_append(df, root, record_key, instant)
+    props = _properties(root)
+    if props.get("hoodie.table.type", "COPY_ON_WRITE") != "COPY_ON_WRITE":
+        raise HudiUnsupported("hudi_upsert is CoW-only")
+    if record_key not in df.columns:
+        raise ValueError(f"record_key column {record_key!r} not in schema")
+    commits = hudi_timeline(root)
+    if not commits:  # empty table: every row is an insert
+        return hudi_append(df, root, record_key, instant)
+    head = commits[0]["instant"] if commits else ""
+    if instant is None:
+        instant = (_time.strftime("%Y%m%d%H%M%S")
+                   + f"{_time.time_ns() % 1000:03d}")
+        while instant <= head:
+            instant = str(int(instant) + 1)
+    elif str(instant) <= head:
+        raise ValueError(
+            f"instant {instant} is not after the head {head} (the "
+            "timeline is lexically ordered)"
+        )
+    instant = str(instant)
+
+    spark = df.sparkSession
+    files = _live_slices(root, None)
+    # abs path -> fileId (planner-side: O(file groups), same as the
+    # timeline walk every Hudi client performs)
+    fid_of = {}
+    latest: dict[str, tuple[str, str]] = {}
+    replaced: set[str] = set()
+    for c in commits:
+        meta = _load_instant(c["path"])
+        for stats in (meta.get("partitionToWriteStats") or {}).values():
+            for st in stats:
+                fid = st["fileId"]
+                if fid not in latest and fid not in replaced:
+                    latest[fid] = (c["instant"], st["path"])
+        replaced.update(_replaced_ids(meta))
+    for fid, (_, rel) in latest.items():
+        fid_of[os.path.abspath(os.path.join(root, rel))] = fid
+
+    existing = spark.read.parquet(*files)
+    data_cols = [c for c in existing.columns if not c.startswith("_hoodie_")]
+    if [(f.name, f.dataType.simpleString())
+            for f in df.schema.fields] != \
+       [(f.name, f.dataType.simpleString())
+            for f in existing.select(*data_cols).schema.fields]:
+        raise ValueError(
+            f"upsert schema {df.schema.simpleString()} != table schema"
+        )
+
+    batch = df.localCheckpoint(eager=True)
+    n_rows = batch.count()
+    n_keys = batch.select(record_key).distinct().count()
+    if n_keys != n_rows:
+        raise ValueError(
+            f"batch has duplicate record keys ({n_rows} rows, {n_keys} "
+            "keys): precombine upstream"
+        )
+    keyed = batch.withColumn(
+        "_hoodie_record_key", F.col(record_key).cast("string")
+    )
+
+    # map each existing row to its file group via the scanned file name
+    fid_map_expr = F.create_map(*[
+        x for p, fid in sorted(fid_of.items())
+        for x in (F.lit("file://" + p), F.lit(fid))
+    ])
+    ex = existing.withColumn("_fid", fid_map_expr[F.input_file_name()])
+
+    # file groups touched by this batch: semi-join on the record key
+    touched_rows = (
+        ex.select("_fid", "_hoodie_record_key")
+        .join(keyed.select("_hoodie_record_key"), "_hoodie_record_key",
+              "left_semi")
+        .select("_fid").distinct().collect()
+    )  # bounded: one row per touched file group
+    touched = sorted(r._fid for r in touched_rows)
+
+    nonce = _time.time_ns()
+    stage = os.path.join(root, f"_stage_{nonce}")
+    placed: list[str] = []
+    stats = []
+    try:
+        import pyarrow.parquet as _pq
+
+        if touched:
+            tset = set(touched)
+            ex_t = ex.where(F.col("_fid").isin(*touched))
+            upd_keys = ex_t.select("_hoodie_record_key", "_fid")
+            # carried rows: original commit time preserved
+            carried = ex_t.join(
+                keyed.select("_hoodie_record_key"), "_hoodie_record_key",
+                "left_anti",
+            ).select("_fid", "_hoodie_commit_time", "_hoodie_record_key",
+                     *data_cols)
+            # updated rows: the batch's values, the NEW commit time, the
+            # OWNING group's fid (broadcast-size join on key->fid)
+            updated = keyed.join(upd_keys, "_hoodie_record_key").select(
+                "_fid", F.lit(instant).alias("_hoodie_commit_time"),
+                "_hoodie_record_key", *data_cols,
+            )
+            (
+                carried.unionByName(updated)
+                .repartition(len(tset), "_fid")
+                .write.mode("overwrite").partitionBy("_fid")
+                .parquet(os.path.join(stage, "upd"))
+            )
+            for fid in touched:
+                parts = sorted(_glob.glob(os.path.join(
+                    stage, "upd", f"_fid={fid}", "part-*.parquet")))
+                assert len(parts) == 1, \
+                    f"file group {fid}: expected one rewritten slice file"
+                n = _pq.ParquetFile(parts[0]).metadata.num_rows
+                rel = f"p/{fid}_0-0-0_{instant}.parquet"
+                os.rename(parts[0], os.path.join(root, rel))
+                placed.append(rel)
+                stats.append({"fileId": fid, "path": rel, "numWrites": n})
+
+        # inserts: keys in no existing group -> new file groups
+        inserts = keyed.join(
+            ex.select("_hoodie_record_key"), "_hoodie_record_key",
+            "left_anti",
+        ).select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            "_hoodie_record_key", *data_cols,
+        )
+        inserts.write.mode("overwrite").parquet(os.path.join(stage, "ins"))
+        for i, p in enumerate(sorted(_glob.glob(
+            os.path.join(stage, "ins", "part-*.parquet")
+        ))):
+            n = _pq.ParquetFile(p).metadata.num_rows
+            if n == 0:
+                continue
+            fid = f"w{nonce}-{i}"
+            rel = f"p/{fid}_0-0-0_{instant}.parquet"
+            os.rename(p, os.path.join(root, rel))
+            placed.append(rel)
+            stats.append({"fileId": fid, "path": rel, "numWrites": n})
+    except BaseException:
+        for rel in placed:
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
+        _shutil.rmtree(stage, ignore_errors=True)
+        raise
+    finally:
+        _shutil.rmtree(stage, ignore_errors=True)
+
+    final = os.path.join(_hoodie_dir(root), f"{instant}.commit")
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        for rel in placed:
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
+        raise HudiCommitConflict(
+            f"instant {instant} already committed"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"partitionToWriteStats": {"p": stats}}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    return instant

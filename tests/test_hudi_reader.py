@@ -441,3 +441,61 @@ def test_hudi_append_roundtrip(spark, tmp_path, monkeypatch):
     leaked = [p for p in _glob.glob(os.path.join(root, "p", "*.parquet"))
               if f"_{nxt}." in p]
     assert leaked == []
+
+
+def test_hudi_upsert_roundtrip(spark, tmp_path):
+    # r10: CoW upsert — existing keys rewrite their file group's newest
+    # slice at the new instant (carried rows keep their ORIGINAL
+    # _hoodie_commit_time), unseen keys insert into new groups; time
+    # travel and incremental queries see exactly Hudi's contract
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        hudi_append,
+        hudi_upsert,
+        read_hudi,
+        read_hudi_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "hu")
+    df1 = spark.range(0, 6).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("v"))
+    i1 = hudi_append(df1.coalesce(2), root, record_key="k")
+    # update k in {1, 4} (two different file groups), insert k in {6, 7}
+    batch = spark.createDataFrame(
+        [(1, 100), (4, 400), (6, 600), (7, 700)], "k long, v long"
+    )
+    i2 = hudi_upsert(batch, root, record_key="k",
+                     instant=str(int(i1) + 1000))
+    got = {r.k: r.v for r in read_hudi(spark, root).collect()}
+    assert got == {0: 0, 1: 100, 2: 4, 3: 6, 4: 400, 5: 10,
+                   6: 600, 7: 700}
+    # time travel: pre-upsert state intact
+    old = {r.k: r.v for r in
+           read_hudi(spark, root, as_of_instant=i1).collect()}
+    assert old == {k: 2 * k for k in range(6)}
+    # carried rows keep their original commit time; changed rows carry i2
+    kept = read_hudi(spark, root, keep_meta=True)
+    by_k = {r.k: r._hoodie_commit_time for r in kept.collect()}
+    assert by_k[0] == i1 and by_k[5] == i1
+    assert {by_k[1], by_k[4], by_k[6], by_k[7]} == {i2}
+    # incremental (i1, i2]: exactly the changed/inserted rows
+    inc = {r.k: r.v for r in
+           read_hudi_incremental(spark, root, i1, i2).collect()}
+    assert inc == {1: 100, 4: 400, 6: 600, 7: 700}
+    # a second upsert touching one group only
+    i3 = hudi_upsert(
+        spark.createDataFrame([(0, -1)], "k long, v long"), root,
+        record_key="k", instant=str(int(i2) + 1000),
+    )
+    got3 = {r.k: r.v for r in read_hudi(spark, root).collect()}
+    assert got3[0] == -1 and got3[1] == 100 and len(got3) == 8
+    # duplicate keys in one batch refuse
+    dup = spark.createDataFrame([(9, 1), (9, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate record keys"):
+        hudi_upsert(dup, root, record_key="k")
+    # upsert on an empty table is an insert-only append
+    root2 = str(tmp_path / "hu2")
+    j1 = hudi_upsert(df1.coalesce(1), root2, record_key="k")
+    assert sorted(r.k for r in read_hudi(spark, root2).collect()) \
+        == list(range(6))
+    assert j1 is not None
