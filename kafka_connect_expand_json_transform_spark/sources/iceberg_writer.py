@@ -131,12 +131,21 @@ def iceberg_append(df: DataFrame, root: str,
                 f"append schema {df.schema.simpleString()} != table "
                 f"schema {table_spark.simpleString()}"
             )
-        prev_files, prev_dels = IR._snapshot_files(root, prev_meta, None)
-        if prev_dels:
+        prev_files_seq, prev_pos_dels, prev_eq_dels, _ipv = \
+            IR._snapshot_entries(root, prev_meta, None)
+        prev_files = [p for p, _s in prev_files_seq]
+        if prev_eq_dels:
             raise ValueError(
-                "appending to a table with row-level delete files is "
-                "not supported (compact first)"
+                "appending to a table with equality delete files is "
+                "not supported (their sequence scoping cannot be "
+                "preserved by a full-manifest rewrite; compact first)"
             )
+        # position deletes target (file, pos) pairs in EXISTING files —
+        # new appended files are never hit, so carrying the delete files
+        # forward in a delete manifest is exact (r10)
+        prev_del_rel = sorted(
+            os.path.relpath(p, root) for p in prev_pos_dels
+        )
         # ADVICE r9 (high): the carried-entry manifest this writer emits
         # has no partition tuples, so appending to a partitioned table
         # would silently drop the spec and read carried files with NULL
@@ -164,6 +173,7 @@ def iceberg_append(df: DataFrame, root: str,
         )
     else:
         prev_rel, prev_snaps, meta_version = [], [], 1
+        prev_del_rel = []
         os.makedirs(meta_dir, exist_ok=True)
     # ADVICE r9 (high): len(prev_snaps)+1 collides with live snapshot
     # ids once expire_iceberg_snapshots has pruned the list, making the
@@ -211,14 +221,38 @@ def iceberg_append(df: DataFrame, root: str,
         ],
         codec="null",
     )
+    mlist_entries = [
+        {"manifest_path": f"{loc}/{manifest_rel}",
+         "manifest_length": os.path.getsize(
+             os.path.join(root, manifest_rel)),
+         "partition_spec_id": 0, "content": 0,
+         "added_snapshot_id": snap_id},
+    ]
+    if prev_del_rel:
+        mdel_rel = f"metadata/append-mdel{snap_id}-{nonce}.avro"
+        AC.write_container(
+            os.path.join(root, mdel_rel), _ICE_ENTRY_SCHEMA,
+            [{"status": 0, "snapshot_id": snap_id, "data_file": {
+                "content": 1, "file_path": f"{loc}/{rel}",
+                "file_format": "parquet",
+                "record_count": _pq.ParquetFile(
+                    os.path.join(root, rel)).metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(root, rel))}}
+             for rel in prev_del_rel],
+            codec="null",
+        )
+        mlist_entries.append(
+            {"manifest_path": f"{loc}/{mdel_rel}",
+             "manifest_length": os.path.getsize(
+                 os.path.join(root, mdel_rel)),
+             "partition_spec_id": 0, "content": 1,
+             "added_snapshot_id": snap_id}
+        )
     mlist_rel = f"metadata/append-snap-{snap_id}-{nonce}-list.avro"
     AC.write_container(
         os.path.join(root, mlist_rel), _ICE_MLIST_SCHEMA,
-        [{"manifest_path": f"{loc}/{manifest_rel}",
-          "manifest_length": os.path.getsize(
-              os.path.join(root, manifest_rel)),
-          "partition_spec_id": 0, "content": 0,
-          "added_snapshot_id": snap_id}],
+        mlist_entries,
         codec="null",
     )
 
@@ -289,3 +323,191 @@ def iceberg_append(df: DataFrame, root: str,
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(meta_version))
     return snap_id
+
+
+def iceberg_delete_where(spark, root: str, predicate: str) -> tuple[int, int]:
+    """DELETE FROM the Iceberg table at ``root`` WHERE ``predicate`` by
+    writing a format-version-2 POSITION-DELETE commit (spec "Row-level
+    deletes"): matching rows become ``(file_path, pos)`` rows in a
+    delete parquet file (the spec's reserved schema, field ids
+    2147483546/2147483545) referenced by a delete manifest (content=1)
+    in the new snapshot; data files are never rewritten.  Returns
+    ``(snapshot_id, n_deleted)`` — the current snapshot unchanged when
+    nothing matches.  The commit claims the next metadata version with
+    O_CREAT|O_EXCL like ``iceberg_append``.
+
+    Scale: positions come from ``_metadata.row_index`` on the pinned
+    scan — predicate evaluation and position extraction stay
+    distributed and codegen'd; only manifest metadata (O(files)) is
+    planner-side, and the delete parquet is written by the cluster,
+    never collected."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    meta_dir = os.path.join(root, "metadata")
+    loc = "file://" + os.path.abspath(root)
+    prev_meta = IR._read_metadata(root)  # raises when no table
+    prev_files_seq, prev_pos_dels, prev_eq_dels, _ipv = \
+        IR._snapshot_entries(root, prev_meta, None)
+    if prev_eq_dels:
+        raise ValueError(
+            "delete on a table with equality delete files is not "
+            "supported (compact first)"
+        )
+    default_spec = next(
+        (s for s in prev_meta.get("partition-specs", [])
+         if s.get("spec-id") == prev_meta.get("default-spec-id", 0)),
+        None,
+    )
+    if default_spec and default_spec.get("fields"):
+        raise ValueError(
+            "delete on a partitioned Iceberg table is not supported "
+            "(the carried-entry manifest has no partition tuples)"
+        )
+    data_rels = sorted(
+        os.path.relpath(p, root) for p, _s in prev_files_seq
+    )
+    prev_del_rel = sorted(
+        os.path.relpath(p, root) for p in prev_pos_dels
+    )
+    prev_snaps = prev_meta.get("snapshots", [])
+    meta_version = 1 + max(
+        int(m.group(1))
+        for n in os.listdir(meta_dir)
+        for m in [re.match(r"^v(\d+)\.metadata\.json$", n)]
+        if m
+    )
+    snap_id = 1 + max((s["snapshot-id"] for s in prev_snaps), default=0)
+    seq_no = 1 + prev_meta.get("last-sequence-number", 0)
+
+    schema = IR._spark_type({
+        "type": "struct",
+        "fields": IR._current_schema(prev_meta)["fields"],
+    })
+    scan = spark.read.schema(schema).parquet(
+        *[os.path.join(root, rel) for rel in data_rels]
+    )
+    hits = scan.where(F.expr(predicate)).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    if prev_pos_dels:
+        # rows already position-deleted are not visible: do not re-count
+        # or re-delete them
+        old = (
+            spark.read.schema("file_path string, pos bigint")
+            .parquet(*prev_pos_dels)
+        )
+        hits = hits.join(F.broadcast(old), ["file_path", "pos"],
+                         "left_anti")
+
+    nonce = _time.time_ns()
+    stage = os.path.join(root, f"_stage_{nonce}")
+    hits.coalesce(1).write.mode("overwrite").parquet(stage)
+    placed: list[str] = []
+    try:
+        parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+        assert len(parts) == 1
+        n_deleted = _pq.ParquetFile(parts[0]).metadata.num_rows
+        if n_deleted == 0:
+            return prev_meta.get("current-snapshot-id"), 0
+        # re-emit with the spec's RESERVED field ids so native readers
+        # resolve the columns (2147483546 file_path / 2147483545 pos),
+        # sorted by (file_path, pos) as the spec requires
+        t = _pq.read_table(parts[0]).sort_by(
+            [("file_path", "ascending"), ("pos", "ascending")]
+        )
+        t = t.cast(_pa.schema([
+            _pa.field("file_path", _pa.string(),
+                      metadata={b"PARQUET:field_id": b"2147483546"}),
+            _pa.field("pos", _pa.int64(),
+                      metadata={b"PARQUET:field_id": b"2147483545"}),
+        ]))
+        del_rel = f"data/delete-snap{snap_id:05d}-{nonce}.parquet"
+        _pq.write_table(t, os.path.join(root, del_rel))
+        placed.append(del_rel)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    # full data manifest: every live data file carried (status 0)
+    manifest_rel = f"metadata/delete-m{snap_id}-{nonce}.avro"
+    AC.write_container(
+        os.path.join(root, manifest_rel), _ICE_ENTRY_SCHEMA,
+        [{"status": 0, "snapshot_id": snap_id, "data_file": {
+            "content": 0, "file_path": f"{loc}/{rel}",
+            "file_format": "parquet",
+            "record_count": _pq.ParquetFile(
+                os.path.join(root, rel)).metadata.num_rows,
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(root, rel))}}
+         for rel in data_rels],
+        codec="null",
+    )
+    # delete manifest: carried delete files (status 0) + this commit's
+    # new delete file (status 1)
+    mdel_rel = f"metadata/delete-mdel{snap_id}-{nonce}.avro"
+    AC.write_container(
+        os.path.join(root, mdel_rel), _ICE_ENTRY_SCHEMA,
+        [{"status": 0 if rel in prev_del_rel else 1,
+          "snapshot_id": snap_id, "data_file": {
+              "content": 1, "file_path": f"{loc}/{rel}",
+              "file_format": "parquet",
+              "record_count": _pq.ParquetFile(
+                  os.path.join(root, rel)).metadata.num_rows,
+              "file_size_in_bytes": os.path.getsize(
+                  os.path.join(root, rel))}}
+         for rel in [*prev_del_rel, *placed]],
+        codec="null",
+    )
+    mlist_rel = f"metadata/delete-snap-{snap_id}-{nonce}-list.avro"
+    AC.write_container(
+        os.path.join(root, mlist_rel), _ICE_MLIST_SCHEMA,
+        [{"manifest_path": f"{loc}/{manifest_rel}",
+          "manifest_length": os.path.getsize(
+              os.path.join(root, manifest_rel)),
+          "partition_spec_id": 0, "content": 0,
+          "added_snapshot_id": snap_id},
+         {"manifest_path": f"{loc}/{mdel_rel}",
+          "manifest_length": os.path.getsize(
+              os.path.join(root, mdel_rel)),
+          "partition_spec_id": 0, "content": 1,
+          "added_snapshot_id": snap_id}],
+        codec="null",
+    )
+
+    now_ms = int(_time.time() * 1000)
+    commit_schema_id = prev_meta.get("current-schema-id", 0)
+    meta = dict(prev_meta)
+    meta.update({
+        "last-updated-ms": now_ms,
+        "last-sequence-number": seq_no,
+        "current-snapshot-id": snap_id,
+        "snapshots": [*prev_snaps, {
+            "snapshot-id": snap_id,
+            "sequence-number": seq_no,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "delete"},
+            "manifest-list": f"{loc}/{mlist_rel}",
+            "schema-id": commit_schema_id,
+        }],
+    })
+    final = os.path.join(meta_dir, f"v{meta_version}.metadata.json")
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        for rel in placed:
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
+        raise IcebergCommitConflict(
+            f"metadata v{meta_version} already committed"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
+        json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(meta_version))
+    return snap_id, n_deleted

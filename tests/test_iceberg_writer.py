@@ -168,3 +168,50 @@ def test_snapshot_stamps_commit_schema_id(spark, tmp_path):
     by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
     assert by_id[1]["schema-id"] == 0
     assert by_id[2]["schema-id"] == 1 == meta["current-schema-id"]
+
+
+def test_position_delete_write_roundtrip(spark, tmp_path):
+    # r10: DELETE WHERE writes a v2 position-delete file + delete
+    # manifest; the independent reader applies it; time travel sees the
+    # pre-delete state; appends after deletes carry the delete files
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_writer import (
+        iceberg_delete_where,
+    )
+
+    root = str(tmp_path / "dw")
+    s1 = iceberg_append(_df(spark, 0, 10).coalesce(2), root)
+    s2, n = iceberg_delete_where(spark, root, "k >= 6")
+    assert n == 4 and s2 == 2
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) \
+        == [0, 1, 2, 3, 4, 5]
+    # time travel: pre-delete snapshot intact
+    assert read_iceberg(spark, root, snapshot_id=s1).count() == 10
+    # delete file carries the reserved field ids, sorted by (path, pos)
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    dfile = _glob.glob(os.path.join(root, "data", "delete-*.parquet"))
+    assert len(dfile) == 1
+    sch = _pq.read_schema(dfile[0])
+    assert sch.field("file_path").metadata[b"PARQUET:field_id"] \
+        == b"2147483546"
+    assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+    # append AFTER the delete: carried delete files still apply to the
+    # old files, new rows unaffected
+    s3 = iceberg_append(_df(spark, 20, 23), root)
+    got = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 20, 21, 22]
+    # second delete hits old + new files; already-deleted rows are not
+    # re-counted
+    s4, n4 = iceberg_delete_where(spark, root, "k >= 5")
+    assert n4 == 4  # k=5 plus the three appended; 6..9 already gone
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) \
+        == [0, 1, 2, 3, 4]
+    # no-match delete: no new snapshot
+    s5, n5 = iceberg_delete_where(spark, root, "k > 1000")
+    assert n5 == 0 and s5 == s4
+    # every historical snapshot still reads
+    assert read_iceberg(spark, root, snapshot_id=s3).count() == 9
+    assert s4 > s3 > s2
