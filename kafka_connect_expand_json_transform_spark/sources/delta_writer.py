@@ -844,60 +844,22 @@ def _predicate_hints(predicate: str) -> list[tuple]:
     return hints
 
 
-def _delta_cow(
-    spark, root: str, predicate: str, assignments: dict[str, str] | None
-) -> tuple[int, int]:
+def _cow_scan(spark, root, candidates, meta, schema, mode, phys_of,
+              part_cols):
+    """Shared CoW read machinery (DML + MERGE): a pinned-schema scan of
+    the candidate files under LOGICAL column names, excluding DV-deleted
+    rows (the (file, pos) frame comes from the reader's shared helper),
+    re-injecting hive partition values, and exposing ``__f`` (the
+    normalized absolute file path) for file-grain hit accounting."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
         _field_id_type,
-        _physical_name,
-        _stats_keep,
         dv_frame,
     )
 
-    files, meta, _proto, head = _replay(root, None)
-    _check_writer_requirements(meta, _proto, dml=True)
-    mode = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    )
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    phys_of = {f.name: (_physical_name(f) if mode != "none" else f.name)
-               for f in schema.fields}
-    part_cols = list(meta.get("partitionColumns") or [])
-    if assignments and any(c in assignments for c in part_cols):
-        raise ValueError(
-            "updating partition columns is not supported (rows would move "
-            "between partitions — delete + re-insert instead)"
-        )
-    if not files:
-        return head, 0
-
-    # log-level candidate pruning: files whose add-action stats OR
-    # partitionValues prove the predicate cannot match are never even
-    # scanned (the reader's own skipping, reused on the write path; for
-    # partitioned tables the partition terms prune whole partitions)
-    hints = _predicate_hints(predicate)
-    if hints:
-        types_of = {f.name: f.dataType for f in schema.fields}
-        candidates = {
-            rel: add for rel, add in files.items()
-            if _stats_keep(add, hints, part_cols, phys_of, types_of)
-        }
-    else:
-        candidates = dict(files)
-    if not candidates:
-        return head, 0
-
-    # deletion-vector tables: the scan must EXCLUDE DV-deleted rows —
-    # counting them as hits would rewrite files needlessly, and carrying
-    # them into a rewrite would resurrect them.  The rewrite drops the
-    # affected files' DVs (survivors are fully materialized), the same
-    # DV-collapse a Delta OPTIMIZE performs.  The (file, pos) frame comes
-    # from the reader's own shared helper.
     dv_df = dv_frame(spark, root, candidates)
-
     by_name = {f.name: f for f in schema.fields}
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     if mode == "id":
@@ -962,6 +924,61 @@ def _delta_cow(
                   for c in part_cols],
             )
         return df
+
+    return scan
+
+
+def _delta_cow(
+    spark, root: str, predicate: str, assignments: dict[str, str] | None
+) -> tuple[int, int]:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        _physical_name,
+        _stats_keep,
+    )
+
+    files, meta, _proto, head = _replay(root, None)
+    _check_writer_requirements(meta, _proto, dml=True)
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    phys_of = {f.name: (_physical_name(f) if mode != "none" else f.name)
+               for f in schema.fields}
+    part_cols = list(meta.get("partitionColumns") or [])
+    if assignments and any(c in assignments for c in part_cols):
+        raise ValueError(
+            "updating partition columns is not supported (rows would move "
+            "between partitions — delete + re-insert instead)"
+        )
+    if not files:
+        return head, 0
+
+    # log-level candidate pruning: files whose add-action stats OR
+    # partitionValues prove the predicate cannot match are never even
+    # scanned (the reader's own skipping, reused on the write path; for
+    # partitioned tables the partition terms prune whole partitions)
+    hints = _predicate_hints(predicate)
+    if hints:
+        types_of = {f.name: f.dataType for f in schema.fields}
+        candidates = {
+            rel: add for rel, add in files.items()
+            if _stats_keep(add, hints, part_cols, phys_of, types_of)
+        }
+    else:
+        candidates = dict(files)
+    if not candidates:
+        return head, 0
+
+    # deletion-vector tables: the scan must EXCLUDE DV-deleted rows —
+    # counting them as hits would rewrite files needlessly, and carrying
+    # them into a rewrite would resurrect them.  The rewrite drops the
+    # affected files' DVs (survivors are fully materialized), the same
+    # DV-collapse a Delta OPTIMIZE performs.
+    scan = _cow_scan(spark, root, candidates, meta, schema, mode,
+                     phys_of, part_cols)
 
     abs_of = {os.path.abspath(os.path.join(root, rel)): rel
               for rel in candidates}
@@ -1070,6 +1087,277 @@ def _delta_cow(
         fh.flush()
         os.fsync(fh.fileno())
     return version, n_deleted
+
+
+def delta_merge_into(
+    spark,
+    root: str,
+    source: DataFrame,
+    on: list[str],
+    *,
+    update: dict | str | None = "all",
+    delete_when=None,
+    insert: bool = True,
+    insert_when=None,
+) -> tuple[int, dict]:
+    """Standalone MERGE INTO on a Delta table, jar-free (r10; clause
+    semantics match ``txlog.merge_into`` and Delta's own MERGE): target
+    rows equi-match ``source`` on the ``on`` key columns, then —
+
+    * matched + ``delete_when`` (Column / SQL over the ``t.`` / ``s.``
+      namespaces) -> deleted;
+    * matched otherwise -> ``update`` applied ("all" = replace every
+      non-key target column the source carries; dict = column -> SQL /
+      Column over ``t.`` / ``s.``; None = keep);
+    * source-only -> inserted when ``insert`` and ``insert_when`` (SQL
+      MERGE's WHEN NOT MATCHED AND <cond>); target columns the source
+      lacks come in NULL;
+    * target-only -> kept.
+
+    A duplicate-keyed source refuses up front (matched rows would be
+    ambiguous — Delta's own rule).  Returns
+    ``(version, {"inserted": i, "updated": u, "deleted": d})``.
+
+    Partial-CoW economics: only files CONTAINING a matched row are
+    rewritten (one semi-join at file grain finds them; footer-stats
+    pruning on the first integer merge key skips non-overlapping files
+    before the scan); untouched files carry by not being mentioned.
+    DV tables scan minus deleted positions and the rewrite collapses the
+    affected files' DVs; column-mapped ('name'/'id') and partitioned
+    tables restage physical names / hive layout via the shared staging
+    path; CDF-enabled tables commit delete / update_preimage /
+    update_postimage / insert change rows as cdc actions.  Scale: one
+    shuffle equi-join on the merge keys (a small source broadcasts via
+    AQE); survivors + inserts stage as ONE job; nothing data-sized is
+    collected."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        _physical_name,
+        _stats_keep,
+    )
+
+    files, meta, _proto, head = _replay(root, None)
+    _check_writer_requirements(meta, _proto, dml=True)
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    phys_of = {f.name: (_physical_name(f) if mode != "none" else f.name)
+               for f in schema.fields}
+    part_cols = list(meta.get("partitionColumns") or [])
+    names = [f.name for f in schema.fields]
+    for k in on:
+        if k not in names or k not in source.columns:
+            raise ValueError(
+                f"merge key {k!r} missing from target or source"
+            )
+    if isinstance(update, dict):
+        for c in update:
+            if c not in names:
+                raise ValueError(f"unknown column {c!r} in merge update")
+            if c in on:
+                raise ValueError(
+                    f"merge update may not assign key column {c!r} (a "
+                    "key rewrite is a delete+insert, not an update)"
+                )
+            if c in part_cols:
+                raise ValueError(
+                    "updating partition columns is not supported (rows "
+                    "would move between partitions)"
+                )
+    if source.groupBy(*on).count().where(
+        F.col("count") > 1
+    ).limit(1).count():
+        raise ValueError(
+            "source has duplicate merge keys; matched rows ambiguous"
+        )
+
+    # footer-stats candidate pruning on the first integer merge key:
+    # files whose [min, max] cannot hold any source key are never read
+    # (sound: a pruned file can contain no matched row, and its rows are
+    # exactly the target-only-kept clause)
+    candidates = dict(files)
+    if files:
+        k0 = on[0]
+        mm = source.agg(F.min(k0).alias("lo"),
+                        F.max(k0).alias("hi")).first()
+        if (mm["lo"] is not None and isinstance(mm["lo"], int)
+                and isinstance(mm["hi"], int)
+                and not isinstance(mm["lo"], bool)):
+            hints = [(k0, ">=", mm["lo"]), (k0, "<=", mm["hi"])]
+            types_of = {f.name: f.dataType for f in schema.fields}
+            candidates = {
+                rel: add for rel, add in files.items()
+                if _stats_keep(add, hints, part_cols, phys_of, types_of)
+            }
+
+    nonce = _time.time_ns()
+    now_ms = int(_time.time() * 1000)
+    version = head + 1
+    # keep EXTRA source columns (clause expressions may reference them,
+    # e.g. a CDC is_delete flag); inserts take only target-schema columns
+    src = source
+
+    if candidates:
+        scan = _cow_scan(spark, root, candidates, meta, schema, mode,
+                         phys_of, part_cols)
+        tgt = scan(candidates)
+        # file-grain hit discovery: one semi-join, one row per file that
+        # CONTAINS a matched key (bounded collect)
+        abs_of = {os.path.abspath(os.path.join(root, rel)): rel
+                  for rel in candidates}
+        hit_files = (
+            tgt.select("__f", *on)
+            .join(src.select(*on).distinct(), on, "left_semi")
+            .select("__f").distinct().collect()
+        )
+        affected = sorted(abs_of[r["__f"]] for r in hit_files)
+    else:
+        affected = []
+
+    t_rows = (scan(affected).drop("__f") if affected
+              else spark.createDataFrame([], schema))
+    t = t_rows.withColumn("_in_t", F.lit(True)).alias("t")
+    sj = src.withColumn("_in_s", F.lit(True)).alias("s")
+    joined = t.join(
+        sj, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on],
+        "full_outer",
+    ).localCheckpoint(eager=False)
+    matched = F.coalesce(F.col("t._in_t"), F.lit(False)) & F.coalesce(
+        F.col("s._in_s"), F.lit(False)
+    )
+    s_only = F.coalesce(F.col("s._in_s"), F.lit(False)) & ~F.coalesce(
+        F.col("t._in_t"), F.lit(False)
+    )
+    if delete_when is None:
+        delc = F.lit(False)
+    else:
+        delc = (F.expr(delete_when) if isinstance(delete_when, str)
+                else delete_when)
+    delc = F.coalesce(delc, F.lit(False))
+    if insert_when is None:
+        ins_cond = F.lit(insert)
+    else:
+        insw = (F.expr(insert_when) if isinstance(insert_when, str)
+                else insert_when)
+        ins_cond = F.lit(insert) & F.coalesce(insw, F.lit(False))
+
+    if update == "all":
+        assignments = {
+            c: F.col(f"s.{c}") for c in names
+            if c not in on and c in src.columns and c not in part_cols
+        }
+    elif update is None:
+        assignments = {}
+    else:
+        assignments = {
+            c: (F.expr(v) if isinstance(v, str) else v)
+            for c, v in update.items()
+        }
+
+    counts = joined.agg(
+        F.sum((matched & delc).cast("long")).alias("deleted"),
+        F.sum((matched & ~delc).cast("long")).alias("matched_kept"),
+        F.sum((s_only & ins_cond).cast("long")).alias("inserted"),
+    ).first()
+    stats = {
+        "inserted": int(counts["inserted"] or 0),
+        "updated": int(counts["matched_kept"] or 0) if assignments else 0,
+        "deleted": int(counts["deleted"] or 0),
+    }
+    if not affected and stats["inserted"] == 0:
+        return head, stats
+
+    kept = joined.where(~(matched & delc) & ~(s_only & ~ins_cond))
+    out_cols = []
+    by_name = {f.name: f for f in schema.fields}
+    for c in names:
+        dt = by_name[c].dataType
+        insert_val = (F.col(f"s.{c}")
+                      if c in src.columns or c in on else F.lit(None))
+        col = F.when(s_only, insert_val)
+        if c in assignments:
+            col = col.when(matched, assignments[c])
+        out_cols.append(col.otherwise(F.col(f"t.{c}")).cast(dt).alias(c))
+    rewritten = kept.select(*out_cols)
+    _enforce_constraints(rewritten, _active_constraints(meta), "merge")
+
+    stage_df, stage_parts = rewritten, part_cols
+    if mode != "none":
+        stage_df, stage_parts = _to_physical(
+            rewritten, schema, part_cols, mode
+        )
+    placed, add_actions = _stage_adds(
+        stage_df, root, version, nonce, now_ms, stage_parts
+    )
+    actions = [{"commitInfo": {
+        "timestamp": now_ms, "operation": "MERGE",
+        "operationParameters": {"predicate": " AND ".join(
+            f"t.{k} = s.{k}" for k in on
+        )},
+    }}]
+    actions.extend(add_actions)
+    if str((meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed", "false"
+    )).lower() == "true":
+        tcols = [F.col(f"t.{c}").alias(c) for c in names]
+        del_pre = joined.where(matched & delc).select(*tcols)
+        if assignments:
+            upd_pre = joined.where(matched & ~delc).select(*tcols)
+            upd_post = joined.where(matched & ~delc).select(*out_cols)
+            # no-op assignments (post == pre) are not changes
+            eff_pre = upd_pre.exceptAll(upd_post).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            eff_post = upd_post.exceptAll(upd_pre).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+        else:
+            eff_pre = del_pre.limit(0).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            eff_post = eff_pre
+        ins = joined.where(s_only & ins_cond).select(*out_cols)
+        cdc_df = (
+            del_pre.withColumn("_change_type", F.lit("delete"))
+            .unionByName(eff_pre).unionByName(eff_post)
+            .unionByName(ins.withColumn("_change_type", F.lit("insert")))
+        )
+        cdc_parts = part_cols
+        if mode != "none":
+            cdc_df, cdc_parts = _to_physical(
+                cdc_df, schema, part_cols, mode, extra=("_change_type",)
+            )
+        cdc_placed, cdc_actions = _stage_cdc(
+            cdc_df, root, version, nonce, now_ms, cdc_parts
+        )
+        placed.extend(cdc_placed)
+        actions.extend(cdc_actions)
+    actions.extend(
+        {"remove": {"path": rel, "deletionTimestamp": now_ms,
+                    "dataChange": True}}
+        for rel in affected
+    )
+    final = os.path.join(_log_dir(root), f"{version:020d}.json")
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        for rel in placed:
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
+        raise DeltaCommitConflict(
+            f"version {version} already committed"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    return version, stats
 
 
 def delta_vacuum(

@@ -1118,3 +1118,145 @@ def test_checkpoint_honors_configured_retention(spark, tmp_path):
     removes0 = [r["remove"] for r in pq.read_table(path0).to_pylist()
                 if r.get("remove")]
     assert removes0 == []
+
+
+def test_merge_into_clauses(spark, tmp_path):
+    # r10: standalone Delta MERGE — update-all / delete_when /
+    # insert_when clause semantics, partial CoW (only files containing
+    # a matched row are rewritten), duplicate-source refusal
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_merge_into,
+    )
+
+    root = str(tmp_path / "mrg")
+    delta_append(_df(spark, 0, 10).repartition(2), root)
+    files_before = {
+        a["add"]["path"]
+        for a in _read_log_actions(root) if a.get("add")
+    }
+    src = spark.createDataFrame(
+        [(1, 111), (5, 555), (20, 2000), (21, -1)], "k long, v long"
+    )
+    v, stats = delta_merge_into(
+        spark, root, src, ["k"],
+        delete_when="s.v < 0",
+        insert_when="s.v >= 0",
+    )
+    assert stats == {"inserted": 1, "updated": 2, "deleted": 0}
+    got = {r.k: r.v for r in read_delta(spark, root).collect()}
+    expect = {k: 2 * k for k in range(10)}
+    expect.update({1: 111, 5: 555, 20: 2000})
+    assert got == expect
+    # delete_when fires on a matched row
+    src2 = spark.createDataFrame([(20, -9)], "k long, v long")
+    v2, stats2 = delta_merge_into(
+        spark, root, src2, ["k"], delete_when="s.v < 0",
+    )
+    assert stats2["deleted"] == 1
+    assert 20 not in {r.k for r in read_delta(spark, root).collect()}
+    # time travel to the pre-merge version
+    assert {r.k: r.v for r in
+            read_delta(spark, root, version=0).collect()} \
+        == {k: 2 * k for k in range(10)}
+    # duplicate source keys refuse
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        delta_merge_into(spark, root, dup, ["k"])
+    # no-match, no-insert merge: no new version
+    nm = spark.createDataFrame([(99, 9)], "k long, v long")
+    v3, stats3 = delta_merge_into(spark, root, nm, ["k"], insert=False)
+    assert stats3 == {"inserted": 0, "updated": 0, "deleted": 0}
+    assert v3 == v2
+
+
+def _read_log_actions(root):
+    import json as _json
+
+    log = os.path.join(root, "_delta_log")
+    out = []
+    for n in sorted(os.listdir(log)):
+        if n.endswith(".json"):
+            with open(os.path.join(log, n)) as fh:
+                out.extend(_json.loads(line) for line in fh if line.strip())
+    return out
+
+
+def test_merge_into_partial_cow_and_partitions(spark, tmp_path):
+    # only the files containing matched keys are rewritten; partitioned
+    # tables stage hive layout and carry partitionValues
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_merge_into,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "mrgp")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    delta_append(df, root, partition_by=["p"])
+    # merge touching only p=0 keys
+    src = spark.createDataFrame([(4, 444, "0")], "k long, v long, p string")
+    v, stats = delta_merge_into(spark, root, src, ["k"], update="all")
+    assert stats == {"inserted": 0, "updated": 1, "deleted": 0}
+    acts = _read_log_actions(root)
+    removes = [a["remove"]["path"] for a in acts if a.get("remove")]
+    # only p=0 files removed (k=4 lives in p=0)
+    assert removes and all(r.startswith("p=0/") for r in removes)
+    adds_v = [a["add"] for a in acts if a.get("add")
+              and f"part-v{v:05d}" in a["add"]["path"]]
+    assert adds_v and all(
+        a["partitionValues"].get("p") == "0" for a in adds_v
+    )
+    got = {r.k: (r.v, r.p) for r in read_delta(spark, root).collect()}
+    assert got[4] == (444, "0") and got[5] == (10, "1") and len(got) == 20
+    # update="all" never assigns partition columns; an explicit
+    # assignment refuses
+    with pytest.raises(ValueError, match="partition columns"):
+        delta_merge_into(spark, root, src, ["k"], update={"p": "'9'"})
+
+
+def test_merge_into_cdf_changes(spark, tmp_path):
+    # CDF-enabled tables: the MERGE commit carries delete /
+    # update_preimage / update_postimage / insert change rows
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_reader import (
+        read_delta_changes,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_merge_into,
+    )
+
+    root = str(tmp_path / "mrgc")
+    delta_append(_df(spark, 0, 6).coalesce(1), root)
+    _hand_commit(root, 1, [
+        {"metaData": {"id": "mrgc", "format": {"provider": "parquet",
+                                               "options": {}},
+                      "schemaString": _json.dumps(
+                          {"type": "struct", "fields": [
+                              {"name": "k", "type": "long",
+                               "nullable": True, "metadata": {}},
+                              {"name": "v", "type": "long",
+                               "nullable": True, "metadata": {}}]}),
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.enableChangeDataFeed": "true"}}},
+    ])
+    src = spark.createDataFrame(
+        [(2, 222), (4, -1), (10, 100)], "k long, v long"
+    )
+    v, stats = delta_merge_into(
+        spark, root, src, ["k"], delete_when="s.v < 0",
+    )
+    assert stats == {"inserted": 1, "updated": 1, "deleted": 1}
+    rows = sorted(
+        (r.k, r.v, r._change_type)
+        for r in read_delta_changes(spark, root, v).collect()
+    )
+    assert rows == [
+        (2, 4, "update_preimage"), (2, 222, "update_postimage"),
+        (4, 8, "delete"), (10, 100, "insert"),
+    ]
