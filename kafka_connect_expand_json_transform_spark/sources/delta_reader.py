@@ -528,12 +528,13 @@ def _dv_file_path(root: str, dv: dict) -> str | None:
     )
 
 
-def _dv_deleted_positions(root: str, dv: dict) -> list[int]:
-    """Resolve a deletion-vector descriptor to its deleted row indexes.
-    storageType 'u' = UUID-named file under the table (prefix + 20-char
-    Z85 UUID), 'p' = absolute path, 'i' = inline Z85 data.  On-disk DV
-    framing per PROTOCOL.md: at ``offset``, int32 BE data size, the
-    serialized bitmap, int32 BE CRC-32 of the data."""
+def _dv_bitmap_bytes(root: str, dv: dict) -> bytes:
+    """Resolve a deletion-vector descriptor to its RAW serialized
+    RoaringBitmapArray bytes (validated: CRC for on-disk DVs, sizeInBytes
+    for all).  storageType 'u' = UUID-named file under the table (prefix
+    + 20-char Z85 UUID), 'p' = absolute path, 'i' = inline Z85 data.
+    On-disk DV framing per PROTOCOL.md: at ``offset``, int32 BE data
+    size, the serialized bitmap, int32 BE CRC-32 of the data."""
     import zlib
 
     st = dv.get("storageType")
@@ -557,7 +558,14 @@ def _dv_deleted_positions(root: str, dv: dict) -> list[int]:
         raise ValueError(
             f"deletion vector size {len(data)} != descriptor {expected}"
         )
-    positions = _roaring_array_positions(data)
+    return data
+
+
+def _dv_deleted_positions(root: str, dv: dict) -> list[int]:
+    """Resolve a deletion-vector descriptor to its deleted row indexes
+    (driver-side decode — callers that scale with DV cardinality should
+    go through ``dv_frame``, which decodes executor-side)."""
+    positions = _roaring_array_positions(_dv_bitmap_bytes(root, dv))
     card = dv.get("cardinality")
     if card is not None and len(positions) != int(card):
         raise ValueError(
@@ -1079,24 +1087,53 @@ def dv_frame(spark: SparkSession, path: str, files: dict) -> DataFrame | None:
     """Deletion-vector rows as ONE ``(__dv_file, __dv_pos)`` frame across
     the adds (or None if no add carries a DV) — the shared helper for the
     snapshot read AND the CoW DML scan, so both exclude DV-deleted rows
-    through the same broadcast anti-join.  Positions decode planner-side:
-    O(total DV cardinality), the deleted-not-yet-compacted bound every
-    Delta MoR reader pays (the frame is broadcast afterwards, so it is
-    driver-sized by construction)."""
-    rows: list[tuple[str, int]] = []
+    through the same broadcast anti-join.  Positions decode
+    EXECUTOR-side (r10, ADVICE-r9 #6): the driver ships only the raw
+    roaring bitmap bytes (the compact form the log already stores —
+    O(bitmap bytes), not O(cardinality) Python tuples) and a
+    mapInPandas stage expands them to (file, pos) rows in parallel,
+    validating each descriptor's cardinality where the decode runs.
+    The expanded frame is broadcast by the consumers, the
+    deleted-not-yet-compacted bound every Delta MoR reader pays."""
+    descs: list[tuple[str, bytes, int | None]] = []
     for rel, add in files.items():
         dv = add.get("deletionVector")
         if dv:
             ap = os.path.abspath(os.path.join(path, rel))
-            rows.extend((ap, p) for p in _dv_deleted_positions(path, dv))
-    if not rows:
+            card = dv.get("cardinality")
+            descs.append((ap, _dv_bitmap_bytes(path, dv),
+                          None if card is None else int(card)))
+    if not descs:
         return None
-    return spark.createDataFrame(
-        rows,
+
+    def _expand(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for f, b, card in zip(pdf["__dv_file"], pdf["__dv_bitmap"],
+                                  pdf["__dv_card"]):
+                positions = _roaring_array_positions(bytes(b))
+                if card is not None and not pd.isna(card) \
+                        and len(positions) != int(card):
+                    raise ValueError(
+                        f"deletion vector cardinality {len(positions)} "
+                        f"!= {int(card)}"
+                    )
+                yield pd.DataFrame({
+                    "__dv_file": f,
+                    "__dv_pos": pd.array(positions, dtype="int64"),
+                })
+
+    desc_df = spark.createDataFrame(
+        descs,
         T.StructType([
             T.StructField("__dv_file", T.StringType(), False),
-            T.StructField("__dv_pos", T.LongType(), False),
+            T.StructField("__dv_bitmap", T.BinaryType(), False),
+            T.StructField("__dv_card", T.LongType(), True),
         ]),
+    )
+    return desc_df.repartition(min(len(descs), 32)).mapInPandas(
+        _expand, "__dv_file string, __dv_pos long"
     )
 
 
