@@ -535,6 +535,49 @@ def _mor_slices(path: str, as_of_instant: str | None) -> list[dict]:
     return slices
 
 
+def _merge_slice_pdf(table_root, base_rel, log_rels, valid_instants):
+    """Merge ONE file slice (base parquet + ordered log blocks) to a
+    pandas frame: newest record per ``_hoodie_record_key`` wins, delete
+    blocks drop keys.  Plain Python — runs inside a mapInPandas task or
+    a Python DataSource stream worker alike.  Returns None when the
+    slice merges to nothing."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    frames = []
+    if base_rel is not None:
+        b = pq.read_table(
+            os.path.join(table_root, base_rel)
+        ).to_pandas()
+        b["__instant"] = b["_hoodie_commit_time"].astype(str)
+        b["__seq"] = -1
+        b["__del"] = False
+        frames.append(b)
+    recs = _decode_log_records(
+        [os.path.join(table_root, rel) for rel in log_rels],
+        valid_instants,
+    )
+    if recs:
+        rows = []
+        for instant, seq, is_del, rec in recs:
+            r = dict(rec)
+            r["__instant"] = instant
+            r["__seq"] = seq
+            r["__del"] = is_del
+            rows.append(r)
+        frames.append(pd.DataFrame(rows))
+    if not frames:
+        return None
+    merged = pd.concat(frames, ignore_index=True)
+    if merged["_hoodie_record_key"].isna().any():
+        raise HudiUnsupported("log record without _hoodie_record_key")
+    merged = merged.sort_values(
+        ["__instant", "__seq"], kind="stable"
+    ).drop_duplicates("_hoodie_record_key", keep="last")
+    merged = merged[~merged["__del"]]
+    return merged.drop(columns=["__instant", "__seq", "__del"])
+
+
 def _read_hudi_mor(
     spark: SparkSession,
     path: str,
@@ -606,39 +649,11 @@ def _read_hudi_mor(
 
         for pdf in batches:
             for base_rel, log_rels in zip(pdf["base"], pdf["logs"]):
-                frames = []
-                if base_rel is not None:
-                    b = pq.read_table(
-                        os.path.join(table_root, base_rel)
-                    ).to_pandas()
-                    b["__instant"] = b["_hoodie_commit_time"].astype(str)
-                    b["__seq"] = -1
-                    b["__del"] = False
-                    frames.append(b)
-                recs = _decode_log_records(
-                    [os.path.join(table_root, rel) for rel in log_rels],
-                    valid_instants,
+                merged = _merge_slice_pdf(
+                    table_root, base_rel, list(log_rels), valid_instants
                 )
-                if recs:
-                    rows = []
-                    for instant, seq, is_del, rec in recs:
-                        r = dict(rec)
-                        r["__instant"] = instant
-                        r["__seq"] = seq
-                        r["__del"] = is_del
-                        rows.append(r)
-                    frames.append(pd.DataFrame(rows))
-                if not frames:
+                if merged is None:
                     continue
-                merged = pd.concat(frames, ignore_index=True)
-                if merged["_hoodie_record_key"].isna().any():
-                    raise HudiUnsupported(
-                        "log record without _hoodie_record_key"
-                    )
-                merged = merged.sort_values(
-                    ["__instant", "__seq"], kind="stable"
-                ).drop_duplicates("_hoodie_record_key", keep="last")
-                merged = merged[~merged["__del"]]
                 out = pd.DataFrame(index=merged.index)
                 for name, dt in col_dtypes:
                     col = merged[name] if name in merged else pd.Series(
@@ -666,9 +681,11 @@ def register_hudi_stream_source(spark: SparkSession) -> None:
     (clustering/insert_overwrite) abort unless ``ignoreChanges=true``
     (their rows then stream under the same commit-time filter, so a pure
     clustering contributes nothing — rewritten records keep their
-    original commit time).  MERGE_ON_READ tables refuse (the log-block
-    merge is a batch read: ``read_hudi_incremental``).  availableNow is
-    unsupported (Python DataSource limit)."""
+    original commit time).  MERGE_ON_READ tables stream too (r10): each
+    micro-batch merges the commit's touched file groups at that instant
+    (the batch reader's slice-local merge) and keeps the rows the commit
+    wrote — deletes drop out, matching ``read_hudi_incremental``.
+    availableNow is unsupported (Python DataSource limit)."""
     from dataclasses import dataclass
 
     from pyspark.sql.datasource import (
@@ -684,6 +701,7 @@ def register_hudi_stream_source(spark: SparkSession) -> None:
         end: str  # inclusive
         schema_json: str
         ignore_changes: bool
+        table_type: str = "COPY_ON_WRITE"
 
     class HudiStreamReader(DataSourceStreamReader):
         def __init__(self, options, schema_json):
@@ -691,6 +709,9 @@ def register_hudi_stream_source(spark: SparkSession) -> None:
             self.schema_json = schema_json
             self.ignore_changes = (
                 str(options.get("ignoreChanges", "false")).lower() == "true"
+            )
+            self.table_type = _properties(self.root).get(
+                "hoodie.table.type", "COPY_ON_WRITE"
             )
 
         def initialOffset(self) -> dict:
@@ -705,7 +726,7 @@ def register_hudi_stream_source(spark: SparkSession) -> None:
                 _InstantRange(
                     self.root, start.get("instant", ""),
                     end.get("instant", ""), self.schema_json,
-                    self.ignore_changes,
+                    self.ignore_changes, self.table_type,
                 )
             ]
 
@@ -741,6 +762,49 @@ def register_hudi_stream_source(spark: SparkSession) -> None:
                         "ignoreChanges=true to stream its commit-time "
                         "rows, or start after it"
                     )
+                if partition.table_type == "MERGE_ON_READ":
+                    # per-commit MoR micro-batch (r10): merge the
+                    # commit's TOUCHED file groups at this instant
+                    # (slice-local, same merge as the batch reader) and
+                    # keep rows this commit wrote — deletes drop out,
+                    # the incremental contract
+                    import pyarrow as pa
+
+                    for name in os.listdir(_hoodie_dir(partition.root)):
+                        if _PENDING_COMPACTION_RE.match(name):
+                            raise HudiUnsupported(
+                                f"pending compaction {name}: slices are "
+                                "mid-rewrite; stream after it commits"
+                            )
+                    touched = {
+                        st["fileId"]
+                        for stats in (meta.get("partitionToWriteStats")
+                                      or {}).values()
+                        for st in stats
+                    }
+                    valid = {x["instant"] for x in commits
+                             if x["instant"] <= c["instant"]}
+                    for sl in _mor_slices(partition.root, c["instant"]):
+                        if sl["file_id"] not in touched:
+                            continue
+                        pdf = _merge_slice_pdf(
+                            os.path.abspath(partition.root), sl["base"],
+                            sl["logs"], valid,
+                        )
+                        if pdf is None or not len(pdf):
+                            continue
+                        pdf = pdf[pdf["_hoodie_commit_time"].astype(str)
+                                  == c["instant"]]
+                        pdf = pdf[[n for n in pdf.columns
+                                   if not n.startswith("_hoodie_")]]
+                        if len(pdf):
+                            yield from _shape_to_stream_batches(
+                                pa.Table.from_pandas(
+                                    pdf, preserve_index=False
+                                ),
+                                partition.schema_json,
+                            )
+                    continue
                 rels = sorted({
                     st["path"]
                     for stats in (meta.get("partitionToWriteStats")
@@ -778,17 +842,24 @@ def register_hudi_stream_source(spark: SparkSession) -> None:
 
             root = self.options["path"]
             props = _properties(root)
-            if props.get(
-                "hoodie.table.type", "COPY_ON_WRITE"
-            ) != "COPY_ON_WRITE":
-                raise HudiUnsupported(
-                    "hudistream is CoW-only: the MERGE_ON_READ log merge "
-                    "is a batch read (read_hudi_incremental)"
-                )
-            files = _live_slices(root, None)
-            if not files:
-                raise ValueError(f"no completed commits in {root}")
-            sch = pq.read_schema(files[0])
+            if props.get("hoodie.table.type", "COPY_ON_WRITE") \
+                    == "MERGE_ON_READ":
+                # r10: MoR streams too — schema discovery needs at
+                # least one base parquet slice (same rule as the batch
+                # merge reader)
+                bases = [sl["base"] for sl in _mor_slices(root, None)
+                         if sl["base"]]
+                if not bases:
+                    raise HudiUnsupported(
+                        "table has no base files — schema discovery "
+                        "needs at least one parquet slice"
+                    )
+                sch = pq.read_schema(os.path.join(root, bases[0]))
+            else:
+                files = _live_slices(root, None)
+                if not files:
+                    raise ValueError(f"no completed commits in {root}")
+                sch = pq.read_schema(files[0])
             sch = pa.schema([f for f in sch
                              if not f.name.startswith("_hoodie_")])
             return from_arrow_schema(sch)

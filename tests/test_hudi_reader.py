@@ -337,12 +337,6 @@ def test_hudistream_cow_commits(spark, tmp_path):
     # update of 1,2 plus insert of 9), so the stream re-emits 1,2 as
     # UPDATES — the incremental contract's changed-row semantics
     assert got == [1, 1, 2, 2, 3, 9]
-    # MoR tables refuse fail-closed — eagerly, at load() (schema time)
-    from pyspark.sql.utils import AnalysisException
-
-    mroot, _log = _mor_table(tmp_path)
-    with pytest.raises(AnalysisException, match="CoW-only"):
-        spark.readStream.format("hudistream").option("path", mroot).load()
 
 
 def test_hudistream_replacecommit_contract(spark, tmp_path):
@@ -499,3 +493,36 @@ def test_hudi_upsert_roundtrip(spark, tmp_path):
     assert sorted(r.k for r in read_hudi(spark, root2).collect()) \
         == list(range(6))
     assert j1 is not None
+
+
+def test_hudistream_mor_commits(spark, tmp_path):
+    # r10: hudistream over MERGE_ON_READ — each micro-batch merges the
+    # commit's touched file groups at that instant (slice-local, the
+    # batch reader's own merge) and keeps the rows that commit wrote:
+    # C1 emits the base rows, C2 (deltacommit) emits the update (1 ->
+    # v1b) and the insert (5); the delete of 2 drops out — exactly the
+    # read_hudi_incremental contract, streamed
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        read_hudi_incremental,
+        register_hudi_stream_source,
+    )
+
+    root, _log = _mor_table(tmp_path)
+    register_hudi_stream_source(spark)
+    q = (
+        spark.readStream.format("hudistream").option("path", root).load()
+        .writeStream.format("memory").queryName("sg_hudistream_mor")
+        .outputMode("append").start()
+    )
+    _drain_q(q)
+    assert q.exception() is None
+    got = sorted((r.id, r.v)
+                 for r in spark.table("sg_hudistream_mor").collect())
+    assert got == [(1, "v1"), (1, "v1b"), (2, "v2"), (3, "v3"),
+                   (5, "v5")]
+    # the C2 micro-batch equals the incremental read over (C1, C2]
+    inc = sorted(
+        (r.id, r.v)
+        for r in read_hudi_incremental(spark, root, C1).collect()
+    )
+    assert inc == [(1, "v1b"), (5, "v5")]
