@@ -685,7 +685,20 @@ def _snapshot_appended_files(path: str, meta: dict, snap: dict,
     mlist = _resolve(path, location, snap["manifest-list"])
     for mrow in AC.read_container(mlist):
         if mrow.get("content", 0) == 1:
-            raise IcebergUnsupported("v2 delete manifests are not supported")
+            # v2 delete manifest (r10): delete files ADDED by this
+            # snapshot make it a rewrite — handled below like deleted
+            # entries (abort unless ignore_changes / the skip options).
+            # CARRIED delete files (earlier sequence) can never hit the
+            # data files this snapshot adds (position/equality deletes
+            # apply only to data with sequence <= the delete's), so a
+            # later append over a delete-bearing table streams cleanly.
+            manifest = _resolve(path, location, mrow["manifest_path"])
+            for entry in AC.read_container(manifest):
+                if entry["status"] == 1 and entry.get(
+                    "snapshot_id", snap["snapshot-id"]
+                ) == snap["snapshot-id"]:
+                    saw_delete = True
+            continue
         manifest = _resolve(path, location, mrow["manifest_path"])
         for entry in AC.read_container(manifest):
             if entry["status"] == 2:

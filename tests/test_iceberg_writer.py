@@ -215,3 +215,73 @@ def test_position_delete_write_roundtrip(spark, tmp_path):
     # every historical snapshot still reads
     assert read_iceberg(spark, root, snapshot_id=s3).count() == 9
     assert s4 > s3 > s2
+
+
+def _drain_stream(q, expect_error=False):
+    import time as _t
+
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        if q.exception() is not None:
+            break
+        if q.lastProgress is not None and not q.status["isDataAvailable"]:
+            break
+        _t.sleep(0.25)
+    q.stop()
+    try:
+        q.awaitTermination()
+    except Exception:
+        if not expect_error:
+            raise
+
+
+def test_icebergstream_over_delete_bearing_snapshots(spark, tmp_path):
+    # r10: a delete snapshot aborts the stream (a retraction cannot be
+    # appended) unless skipped wholesale or ignoreChanges — but LATER
+    # appends over a delete-bearing table stream cleanly, because
+    # carried delete files can never hit the data a snapshot adds
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        register_iceberg_stream_source,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_writer import (
+        iceberg_delete_where,
+    )
+
+    root = str(tmp_path / "isd")
+    iceberg_append(_df(spark, 0, 4), root)
+    iceberg_delete_where(spark, root, "k >= 2")
+    iceberg_append(_df(spark, 10, 12), root)
+    register_iceberg_stream_source(spark)
+    # no flags: the delete snapshot aborts
+    q = (
+        spark.readStream.format("icebergstream").option("path", root)
+        .load().writeStream.format("memory").queryName("sg_isd_abort")
+        .outputMode("append").start()
+    )
+    _drain_stream(q, expect_error=True)
+    assert q.exception() is not None \
+        and "delete" in str(q.exception()).lower()
+    # skip-delete-snapshots: appends stream, the delete is skipped
+    # wholesale (so pre-delete adds stream in full — documented)
+    q2 = (
+        spark.readStream.format("icebergstream").option("path", root)
+        .option("streaming-skip-delete-snapshots", "true").load()
+        .writeStream.format("memory").queryName("sg_isd_skip")
+        .outputMode("append").start()
+    )
+    _drain_stream(q2)
+    assert q2.exception() is None
+    got = sorted(r.k for r in spark.table("sg_isd_skip").collect())
+    assert got == [0, 1, 2, 3, 10, 11]
+    # ignoreChanges: the delete snapshot adds no data files, so it
+    # contributes nothing and the stream proceeds
+    q3 = (
+        spark.readStream.format("icebergstream").option("path", root)
+        .option("ignoreChanges", "true").load()
+        .writeStream.format("memory").queryName("sg_isd_ic")
+        .outputMode("append").start()
+    )
+    _drain_stream(q3)
+    assert q3.exception() is None
+    got3 = sorted(r.k for r in spark.table("sg_isd_ic").collect())
+    assert got3 == [0, 1, 2, 3, 10, 11]
