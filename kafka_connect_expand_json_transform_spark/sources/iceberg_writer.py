@@ -5,18 +5,24 @@ public iceberg.apache.org spec:
 
 * ``iceberg_append(df, root)`` — commit the DataFrame as the next
   snapshot of a standalone format-version-2 Iceberg table (creating the
-  ``metadata/`` tree on first write).  Appends only: schema must match
-  the table's exactly.  Each snapshot writes one full manifest of the
-  live file set (status 1 = added by this snapshot, 0 = carried — the
-  layout a manifest compaction produces), so time travel across appends
-  works in any Iceberg reader; the commit claims the next
-  ``vN.metadata.json`` with O_CREAT|O_EXCL, the same atomic
-  rename-if-absent contract Iceberg's own catalogs provide.
+  ``metadata/`` tree on first write).  Schema must match the table's
+  exactly (or evolve via ``merge_schema``).  Each commit CARRIES the
+  previous snapshot's manifests verbatim in the new manifest list and
+  adds ONE manifest holding only the new files — Iceberg's own append
+  economics — so carried entries keep their partition tuples, spec ids,
+  and sequence numbers, and time travel works in any Iceberg reader;
+  the commit claims the next ``vN.metadata.json`` with O_CREAT|O_EXCL,
+  the same atomic rename-if-absent contract Iceberg's catalogs provide.
+* ``iceberg_delete_where(spark, root, predicate)`` — a v2
+  POSITION-DELETE commit: matching rows (from ``_metadata.row_index``
+  on the distributed pinned scan) land in a delete parquet with the
+  spec's reserved field ids behind a content=1 delete manifest; data
+  files are never rewritten.
 
-Scale: one parquet write per batch plus O(live files) planner-side
-manifest metadata — the bound every Iceberg writer pays; data files
-land once under unique snapshot-scoped names and are never rewritten by
-appends.
+Scale: one parquet write per batch plus O(files WRITTEN BY THIS COMMIT)
+planner-side manifest metadata — previous manifests are referenced,
+never re-read or re-written; data files land once under unique
+snapshot-scoped names and are never rewritten by appends.
 """
 
 from __future__ import annotations
@@ -61,6 +67,65 @@ def _offset_ids(t, off: int):
     if isinstance(t, list):
         return [_offset_ids(x, off) for x in t]
     return t
+
+
+def _carried_mlist_rows(root: str, prev_meta: dict) -> list[dict]:
+    """The current snapshot's manifest-list rows, re-rooted under
+    ``root`` and normalized for carrying into the next snapshot: every
+    row keeps its partition_spec_id/content/added_snapshot_id, and a
+    missing sequence_number is recovered from the adding snapshot's
+    sequence (None when unrecoverable — callers decide whether that is
+    fatal for the carried content)."""
+    prev_snaps = prev_meta.get("snapshots", [])
+    cur = next(
+        (x for x in prev_snaps
+         if x["snapshot-id"] == prev_meta.get("current-snapshot-id")),
+        None,
+    )
+    if cur is None:
+        return []
+    location = prev_meta.get("location", root)
+    seq_of = {x["snapshot-id"]: x.get("sequence-number")
+              for x in prev_snaps}
+    rows = []
+    for row in AC.read_container(
+        IR._resolve(root, location, cur["manifest-list"])
+    ):
+        local = IR._resolve(root, location, row["manifest_path"])
+        rows.append({
+            "manifest_path": "file://" + os.path.abspath(local),
+            "manifest_length": row["manifest_length"],
+            "partition_spec_id": row.get("partition_spec_id", 0),
+            "content": row.get("content", 0),
+            "added_snapshot_id": row.get(
+                "added_snapshot_id", cur["snapshot-id"]
+            ),
+            "sequence_number": (
+                row.get("sequence_number")
+                if row.get("sequence_number") is not None
+                else seq_of.get(row.get("added_snapshot_id"))
+            ),
+        })
+    return rows
+
+
+def _refuse_eq_deletes_without_seq(root: str, prev_meta: dict,
+                                   carried_rows: list[dict]) -> None:
+    """Equality deletes are sequence-scoped; a carried delete manifest
+    whose row lost its sequence number would default to the NEW
+    snapshot's sequence and wrongly hit every old data file — refuse."""
+    location = prev_meta.get("location", root)
+    for row in carried_rows:
+        if row["sequence_number"] is not None or row["content"] != 1:
+            continue
+        local = IR._resolve(root, location, row["manifest_path"])
+        for entry in AC.read_container(local):
+            if entry["data_file"].get("content") == 2:
+                raise ValueError(
+                    "appending to a table with equality delete files "
+                    "whose sequence numbers are unrecoverable is not "
+                    "supported (compact first)"
+                )
 
 
 def iceberg_append(df: DataFrame, root: str,
@@ -131,40 +196,20 @@ def iceberg_append(df: DataFrame, root: str,
                 f"append schema {df.schema.simpleString()} != table "
                 f"schema {table_spark.simpleString()}"
             )
-        prev_files_seq, prev_pos_dels, prev_eq_dels, _ipv = \
-            IR._snapshot_entries(root, prev_meta, None)
-        prev_files = [p for p, _s in prev_files_seq]
-        if prev_eq_dels:
-            raise ValueError(
-                "appending to a table with equality delete files is "
-                "not supported (their sequence scoping cannot be "
-                "preserved by a full-manifest rewrite; compact first)"
-            )
-        # position deletes target (file, pos) pairs in EXISTING files —
-        # new appended files are never hit, so carrying the delete files
-        # forward in a delete manifest is exact (r10)
-        prev_del_rel = sorted(
-            os.path.relpath(p, root) for p in prev_pos_dels
-        )
-        # ADVICE r9 (high): the carried-entry manifest this writer emits
-        # has no partition tuples, so appending to a partitioned table
-        # would silently drop the spec and read carried files with NULL
-        # partition columns.  Refuse, mirroring the prev_dels guard.
-        default_spec = next(
-            (s for s in prev_meta.get("partition-specs", [])
-             if s.get("spec-id") == prev_meta.get("default-spec-id", 0)),
-            None,
-        )
-        if default_spec and default_spec.get("fields"):
-            raise ValueError(
-                "appending to a partitioned Iceberg table is not "
-                "supported (default partition spec "
-                f"{default_spec['spec-id']} has "
-                f"{len(default_spec['fields'])} field(s); rewrite as "
-                "unpartitioned first)"
-            )
-        prev_rel = sorted(os.path.relpath(p, root) for p in prev_files)
         prev_snaps = prev_meta.get("snapshots", [])
+        # r10: CARRY the previous snapshot's manifests verbatim and add
+        # ONE new manifest for this commit's files — Iceberg's own
+        # append economics (O(new files) per commit, not O(live files)
+        # footer reads), and carried entries keep their partition
+        # tuples and spec ids exactly (closes the r9 partitioned-append
+        # refusal with correct behavior instead).
+        carried_rows = _carried_mlist_rows(root, prev_meta)
+        # equality deletes scope by sequence number: they are safe to
+        # carry ONLY when every carried manifest row knows its sequence
+        # (a legacy row without one would default to the NEW snapshot's
+        # seq and wrongly hit old data files)
+        if any(r["sequence_number"] is None for r in carried_rows):
+            _refuse_eq_deletes_without_seq(root, prev_meta, carried_rows)
         meta_version = 1 + max(
             int(m.group(1))
             for n in os.listdir(meta_dir)
@@ -172,8 +217,8 @@ def iceberg_append(df: DataFrame, root: str,
             if m
         )
     else:
-        prev_rel, prev_snaps, meta_version = [], [], 1
-        prev_del_rel = []
+        prev_snaps, meta_version = [], 1
+        carried_rows = []
         os.makedirs(meta_dir, exist_ok=True)
     # ADVICE r9 (high): len(prev_snaps)+1 collides with live snapshot
     # ids once expire_iceberg_snapshots has pruned the list, making the
@@ -204,12 +249,22 @@ def iceberg_append(df: DataFrame, root: str,
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
-    live = prev_rel + placed
+    # new data files ride an UNPARTITIONED spec (found or added); the
+    # table's default spec and every carried manifest's spec are
+    # preserved untouched — Iceberg's multi-spec contract
+    specs = [dict(sp) for sp in
+             (prev_meta or {}).get("partition-specs")
+             or [{"spec-id": 0, "fields": []}]]
+    empty_spec = next((sp for sp in specs if not sp.get("fields")), None)
+    if empty_spec is None:
+        empty_spec = {"spec-id": max(sp["spec-id"] for sp in specs) + 1,
+                      "fields": []}
+        specs.append(empty_spec)
     manifest_rel = f"metadata/append-m{snap_id}-{nonce}.avro"
     AC.write_container(
         os.path.join(root, manifest_rel), _ICE_ENTRY_SCHEMA,
         [
-            {"status": 1 if rel in placed else 0, "snapshot_id": snap_id,
+            {"status": 1, "snapshot_id": snap_id,
              "data_file": {
                  "content": 0, "file_path": f"{loc}/{rel}",
                  "file_format": "parquet",
@@ -217,7 +272,7 @@ def iceberg_append(df: DataFrame, root: str,
                      os.path.join(root, rel)).metadata.num_rows,
                  "file_size_in_bytes": os.path.getsize(
                      os.path.join(root, rel))}}
-            for rel in sorted(live)
+            for rel in sorted(placed)
         ],
         codec="null",
     )
@@ -225,30 +280,10 @@ def iceberg_append(df: DataFrame, root: str,
         {"manifest_path": f"{loc}/{manifest_rel}",
          "manifest_length": os.path.getsize(
              os.path.join(root, manifest_rel)),
-         "partition_spec_id": 0, "content": 0,
-         "added_snapshot_id": snap_id},
+         "partition_spec_id": empty_spec["spec-id"], "content": 0,
+         "added_snapshot_id": snap_id, "sequence_number": seq_no},
+        *carried_rows,
     ]
-    if prev_del_rel:
-        mdel_rel = f"metadata/append-mdel{snap_id}-{nonce}.avro"
-        AC.write_container(
-            os.path.join(root, mdel_rel), _ICE_ENTRY_SCHEMA,
-            [{"status": 0, "snapshot_id": snap_id, "data_file": {
-                "content": 1, "file_path": f"{loc}/{rel}",
-                "file_format": "parquet",
-                "record_count": _pq.ParquetFile(
-                    os.path.join(root, rel)).metadata.num_rows,
-                "file_size_in_bytes": os.path.getsize(
-                    os.path.join(root, rel))}}
-             for rel in prev_del_rel],
-            codec="null",
-        )
-        mlist_entries.append(
-            {"manifest_path": f"{loc}/{mdel_rel}",
-             "manifest_length": os.path.getsize(
-                 os.path.join(root, mdel_rel)),
-             "partition_spec_id": 0, "content": 1,
-             "added_snapshot_id": snap_id}
-        )
     mlist_rel = f"metadata/append-snap-{snap_id}-{nonce}-list.avro"
     AC.write_container(
         os.path.join(root, mlist_rel), _ICE_MLIST_SCHEMA,
@@ -282,10 +317,7 @@ def iceberg_append(df: DataFrame, root: str,
         "schemas": (evolved_schemas
                     or (prev_meta or {}).get("schemas") or [schema]),
         "current-schema-id": commit_schema_id,
-        # preserve existing (empty-field) specs rather than rewriting;
-        # specs with fields were refused above
-        "partition-specs": (prev_meta or {}).get(
-            "partition-specs", [{"spec-id": 0, "fields": []}]),
+        "partition-specs": specs,
         "default-spec-id": (prev_meta or {}).get("default-spec-id", 0),
         "last-partition-id": (prev_meta or {}).get(
             "last-partition-id", 999),
@@ -368,9 +400,6 @@ def iceberg_delete_where(spark, root: str, predicate: str) -> tuple[int, int]:
     data_rels = sorted(
         os.path.relpath(p, root) for p, _s in prev_files_seq
     )
-    prev_del_rel = sorted(
-        os.path.relpath(p, root) for p in prev_pos_dels
-    )
     prev_snaps = prev_meta.get("snapshots", [])
     meta_version = 1 + max(
         int(m.group(1))
@@ -430,49 +459,32 @@ def iceberg_delete_where(spark, root: str, predicate: str) -> tuple[int, int]:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
-    # full data manifest: every live data file carried (status 0)
-    manifest_rel = f"metadata/delete-m{snap_id}-{nonce}.avro"
+    # r10: carry the previous snapshot's manifests verbatim and add
+    # ONE delete manifest holding only this commit's delete file —
+    # O(new) planner work per delete, the same economics as the append
+    carried_rows = _carried_mlist_rows(root, prev_meta)
+    mdel_rel = f"metadata/delete-mdel{snap_id}-{nonce}.avro"
     AC.write_container(
-        os.path.join(root, manifest_rel), _ICE_ENTRY_SCHEMA,
-        [{"status": 0, "snapshot_id": snap_id, "data_file": {
-            "content": 0, "file_path": f"{loc}/{rel}",
+        os.path.join(root, mdel_rel), _ICE_ENTRY_SCHEMA,
+        [{"status": 1, "snapshot_id": snap_id, "data_file": {
+            "content": 1, "file_path": f"{loc}/{rel}",
             "file_format": "parquet",
             "record_count": _pq.ParquetFile(
                 os.path.join(root, rel)).metadata.num_rows,
             "file_size_in_bytes": os.path.getsize(
                 os.path.join(root, rel))}}
-         for rel in data_rels],
-        codec="null",
-    )
-    # delete manifest: carried delete files (status 0) + this commit's
-    # new delete file (status 1)
-    mdel_rel = f"metadata/delete-mdel{snap_id}-{nonce}.avro"
-    AC.write_container(
-        os.path.join(root, mdel_rel), _ICE_ENTRY_SCHEMA,
-        [{"status": 0 if rel in prev_del_rel else 1,
-          "snapshot_id": snap_id, "data_file": {
-              "content": 1, "file_path": f"{loc}/{rel}",
-              "file_format": "parquet",
-              "record_count": _pq.ParquetFile(
-                  os.path.join(root, rel)).metadata.num_rows,
-              "file_size_in_bytes": os.path.getsize(
-                  os.path.join(root, rel))}}
-         for rel in [*prev_del_rel, *placed]],
+         for rel in placed],
         codec="null",
     )
     mlist_rel = f"metadata/delete-snap-{snap_id}-{nonce}-list.avro"
     AC.write_container(
         os.path.join(root, mlist_rel), _ICE_MLIST_SCHEMA,
-        [{"manifest_path": f"{loc}/{manifest_rel}",
-          "manifest_length": os.path.getsize(
-              os.path.join(root, manifest_rel)),
-          "partition_spec_id": 0, "content": 0,
-          "added_snapshot_id": snap_id},
-         {"manifest_path": f"{loc}/{mdel_rel}",
+        [{"manifest_path": f"{loc}/{mdel_rel}",
           "manifest_length": os.path.getsize(
               os.path.join(root, mdel_rel)),
           "partition_spec_id": 0, "content": 1,
-          "added_snapshot_id": snap_id}],
+          "added_snapshot_id": snap_id, "sequence_number": seq_no},
+         *carried_rows],
         codec="null",
     )
 

@@ -346,6 +346,9 @@ _ICE_MLIST_SCHEMA = {
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
         {"name": "added_snapshot_id", "type": "long"},
+        # v2 spec field (r10): carried manifests keep their commit's
+        # sequence so equality-delete scoping survives manifest reuse
+        {"name": "sequence_number", "type": ["null", "long"]},
     ],
 }
 
@@ -481,7 +484,8 @@ def export_iceberg(root: str) -> int:
     mlist_entries = [
         {"manifest_path": f"{loc}/{manifest_rel}",
          "manifest_length": os.path.getsize(os.path.join(root, manifest_rel)),
-         "partition_spec_id": 0, "content": 0, "added_snapshot_id": snap_id}
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": snap_id,
+         "sequence_number": seq_no}
     ]
     if cur_dels:
         # position-delete file per the spec's reserved schema + a delete
@@ -514,7 +518,7 @@ def export_iceberg(root: str) -> int:
              "manifest_length": os.path.getsize(os.path.join(root, mdel_rel)),
              # global position deletes ride the UNPARTITIONED spec
              "partition_spec_id": 1 if part_cols else 0, "content": 1,
-             "added_snapshot_id": snap_id}
+             "added_snapshot_id": snap_id, "sequence_number": seq_no}
         )
     mlist_rel = f"metadata/uniform-snap-{snap_id}-list.avro"
     AC.write_container(

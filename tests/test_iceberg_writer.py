@@ -129,12 +129,18 @@ def test_append_after_expiry_allocates_fresh_ids(spark, tmp_path):
     assert got == list(range(7))
 
 
-def test_append_refuses_partitioned_table(spark, tmp_path):
-    # ADVICE-r9 high: this writer emits carried entries without
-    # partition tuples, so appending to a partitioned table would read
-    # carried files with NULL partition columns — refuse instead
+def test_append_to_partitioned_table_preserves_specs(spark, tmp_path):
+    # ADVICE-r9 high, closed in r10 by MANIFEST CARRYING: appending to a
+    # partitioned table no longer rewrites carried entries (which would
+    # have dropped their partition tuples) — previous manifests carry
+    # verbatim with their own spec ids, and the new files ride an
+    # unpartitioned spec added beside the table's default
     import json as _json
     import os
+
+    from kafka_connect_expand_json_transform_spark.sources import (
+        avro_codec as AC,
+    )
 
     root = str(tmp_path / "part")
     iceberg_append(_df(spark, 0, 3), root)
@@ -146,8 +152,34 @@ def test_append_refuses_partitioned_table(spark, tmp_path):
          "field-id": 1000}]}]
     with open(meta_path, "w") as fh:
         _json.dump(meta, fh)
-    with pytest.raises(ValueError, match="partitioned"):
-        iceberg_append(_df(spark, 3, 5), root)
+    iceberg_append(_df(spark, 3, 5), root)
+    got = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert got == [0, 1, 2, 3, 4]
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        _read_metadata,
+        _resolve,
+    )
+
+    meta2 = _read_metadata(root)
+    # the partitioned default spec survives untouched; the new files
+    # ride a fresh empty spec
+    by_id = {sp["spec-id"]: sp for sp in meta2["partition-specs"]}
+    assert by_id[0]["fields"] and meta2["default-spec-id"] == 0
+    empty_ids = [i for i, sp in by_id.items() if not sp["fields"]]
+    assert empty_ids
+    snap = [x for x in meta2["snapshots"]
+            if x["snapshot-id"] == meta2["current-snapshot-id"]][0]
+    loc = meta2.get("location", root)
+    rows = list(AC.read_container(_resolve(root, loc,
+                                           snap["manifest-list"])))
+    # one carried manifest (old spec id, old snapshot) + one new
+    assert len(rows) == 2
+    new_rows = [r for r in rows
+                if r["added_snapshot_id"] == snap["snapshot-id"]]
+    old_rows = [r for r in rows
+                if r["added_snapshot_id"] != snap["snapshot-id"]]
+    assert len(new_rows) == 1 and new_rows[0]["partition_spec_id"] in empty_ids
+    assert len(old_rows) == 1 and old_rows[0]["partition_spec_id"] == 0
 
 
 def test_snapshot_stamps_commit_schema_id(spark, tmp_path):
