@@ -57,15 +57,58 @@ _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "invariants", "checkConstraints", "columnMapping",
     "deletionVectors", "timestampNtz", "vacuumProtocolCheck",
     "changeDataFeed", "v2Checkpoint",
+    # r10: appends compute/validate generated columns and assign
+    # identity values (high watermark versioned in the commit's
+    # metaData); DML on these tables is gated per-operation in
+    # _check_writer_requirements
+    "generatedColumns", "identityColumns",
 }
 
 
+def _generated_cols(schema) -> dict[str, str]:
+    """GENERATED columns: name -> generation expression (PROTOCOL.md
+    "Generated Columns": ``delta.generationExpression`` field
+    metadata)."""
+    out = {}
+    for f in schema.fields:
+        expr = (f.metadata or {}).get("delta.generationExpression")
+        if expr is not None:
+            out[f.name] = expr
+    return out
+
+
+def _identity_cols(schema) -> dict[str, dict]:
+    """IDENTITY columns: name -> {start, step, highWaterMark,
+    allowExplicitInsert} (PROTOCOL.md "Identity Columns"
+    ``delta.identity.*`` field metadata)."""
+    out = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if any(k.startswith("delta.identity.") for k in md):
+            out[f.name] = {
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": int(md.get("delta.identity.step", 1)),
+                "hwm": md.get("delta.identity.highWaterMark"),
+                "allow_explicit": bool(
+                    md.get("delta.identity.allowExplicitInsert", False)
+                ),
+            }
+    return out
+
+
 def _check_writer_requirements(meta: dict, protocol: dict | None,
-                               dml: bool) -> None:
+                               dml: bool,
+                               assignments: dict | str | None = None,
+                               merge_inserts: bool = False) -> None:
     """Fail closed on tables whose WRITER requirements this
     implementation cannot honor — writing anyway would corrupt the
     table's invariants for every other engine (PROTOCOL.md: writers must
-    refuse tables with unknown writer features)."""
+    refuse tables with unknown writer features).  Generated/identity
+    columns are handled per operation (r10): appends compute/validate/
+    assign them; DELETE changes no values; UPDATE/MERGE assignments may
+    invalidate a generation expression (dependency analysis would need
+    an expression parser) and MERGE inserts would need fresh identity
+    values — both refuse."""
     from pyspark.sql import types as T
 
     v = (protocol or {}).get("minWriterVersion", 2)
@@ -80,17 +123,32 @@ def _check_writer_requirements(meta: dict, protocol: dict | None,
     elif v > 7:
         raise ValueError(f"minWriterVersion {v} not supported")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    for f in schema.fields:
-        md = f.metadata or {}
-        if "delta.generationExpression" in md:
+    gen = _generated_cols(schema)
+    idc = _identity_cols(schema)
+    if dml and assignments is not None and gen:
+        raise ValueError(
+            "UPDATE/MERGE assignments on a table with GENERATED columns "
+            f"({sorted(gen)}) are refused: an assignment may invalidate "
+            "a generation expression"
+        )
+    if dml and idc:
+        if isinstance(assignments, dict) and any(
+            c in idc for c in assignments
+        ):
             raise ValueError(
-                f"column {f.name!r} is GENERATED; this writer cannot "
-                "compute generation expressions — refusing to write"
+                f"assignment to IDENTITY column(s) {sorted(idc)} refused"
             )
-        if any(k.startswith("delta.identity.") for k in md):
+        if assignments == "all":
             raise ValueError(
-                f"column {f.name!r} is an IDENTITY column; refusing to "
-                "write"
+                "MERGE update='all' on a table with IDENTITY columns "
+                "refused (it would assign the identity column); use an "
+                "explicit assignment dict"
+            )
+        if merge_inserts:
+            raise ValueError(
+                "MERGE inserts on a table with IDENTITY columns are "
+                "refused (fresh identity assignment in MERGE is not "
+                "implemented); pass insert=False"
             )
     cfg = meta.get("configuration") or {}
     if dml:
@@ -628,6 +686,56 @@ def _stage_cdc(
     return placed, actions
 
 
+def _assign_identity(df: DataFrame, name: str, dtype, base: int,
+                     step: int):
+    """Fill the identity column's NULL rows (or the whole missing
+    column) with ``base, base+step, ...`` and return
+    ``(df, n_assigned)``.  Distributed zipWithIndex shape: one bounded
+    per-partition COUNT aggregate (rows collected = #partitions),
+    cumulative offsets broadcast in the closure, one mapInPandas pass
+    numbering each partition locally — no single-partition window, no
+    driver-side data."""
+    from pyspark.sql import functions as F
+
+    if name in df.columns:
+        need = df.where(F.col(name).isNull())
+        have = df.where(F.col(name).isNotNull())
+    else:
+        need = df.withColumn(name, F.lit(None).cast(dtype))
+        have = None
+    need = need.localCheckpoint(eager=True)
+    n_by_pid = {
+        r["pid"]: r["n"]
+        for r in need.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(n_by_pid.values())
+    if total == 0:
+        return df, 0
+    offsets, acc = {}, 0
+    for pid in sorted(n_by_pid):
+        offsets[pid] = acc
+        acc += n_by_pid[pid]
+    cols = list(need.columns)
+
+    def assign(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pos = offsets.get(pid, 0)
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf[name] = [base + step * (pos + i) for i in range(n)]
+            pos += n
+            yield pdf[cols]
+
+    assigned = need.mapInPandas(assign, need.schema)
+    out = assigned if have is None else have.unionByName(assigned)
+    return out, total
+
+
 def delta_append(
     df: DataFrame,
     root: str,
@@ -671,6 +779,66 @@ def delta_append(
                 f"partitionColumns {part_cols}"
             )
         table_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        gen_cols = _generated_cols(table_schema)
+        id_cols = _identity_cols(table_schema)
+        id_meta_update: dict[str, int] = {}
+        if gen_cols or id_cols:
+            by_tname = {f.name: f for f in table_schema.fields}
+            # GENERATED: compute when omitted, validate when provided
+            # (PROTOCOL.md: the writer must ensure value == expression)
+            for name, expr in sorted(gen_cols.items()):
+                dtype = by_tname[name].dataType
+                if name not in df.columns:
+                    df = df.withColumn(name, F.expr(expr).cast(dtype))
+                elif df.where(
+                    ~F.col(name).eqNullSafe(F.expr(expr).cast(dtype))
+                ).limit(1).count():
+                    raise ValueError(
+                        f"provided value for GENERATED column {name!r} "
+                        f"differs from its expression {expr!r}"
+                    )
+            # IDENTITY: assign fresh values past the high watermark for
+            # NULL/missing rows; explicit values need allowExplicitInsert
+            # and advance the watermark past their max (SYNC semantics)
+            for name, info in sorted(id_cols.items()):
+                dtype = by_tname[name].dataType
+                explicit_max = None
+                if name in df.columns:
+                    if not info["allow_explicit"] and df.where(
+                        F.col(name).isNotNull()
+                    ).limit(1).count():
+                        raise ValueError(
+                            f"IDENTITY column {name!r} is GENERATED "
+                            "ALWAYS (allowExplicitInsert=false): "
+                            "explicit values refused"
+                        )
+                    row = df.agg(F.max(name).alias("m")).first()
+                    explicit_max = row["m"]
+                hwm = info["hwm"]
+                base = (int(hwm) + info["step"] if hwm is not None
+                        else info["start"])
+                df, n_assigned = _assign_identity(
+                    df, name, dtype, base, info["step"]
+                )
+                new_hwm = (base + info["step"] * (n_assigned - 1)
+                           if n_assigned else
+                           (int(hwm) if hwm is not None else None))
+                if explicit_max is not None:
+                    new_hwm = (int(explicit_max) if new_hwm is None
+                               else max(new_hwm, int(explicit_max)))
+                if new_hwm is not None and (
+                    hwm is None or new_hwm != int(hwm)
+                ):
+                    id_meta_update[name] = new_hwm
+            # table order for known columns; mergeSchema extras keep
+            # trailing positions for the evolution block below
+            extras = [c for c in df.columns if c not in by_tname]
+            df = df.select(
+                *[f.name for f in table_schema.fields
+                  if f.name in df.columns],
+                *extras,
+            )
+            stage_df = df
         if merge_schema:
             by_name = {f.name: f for f in table_schema.fields}
             for f in df.schema.fields:
@@ -717,6 +885,7 @@ def delta_append(
         version = head + 1
     else:
         version = 0
+        id_meta_update = {}
         part_cols = list(partition_by or [])
         missing = [c for c in part_cols if c not in df.columns]
         if missing:
@@ -749,6 +918,20 @@ def delta_append(
         # versioned with the data that first needs it)
         actions.append({"metaData": {
             **meta, "schemaString": json.dumps(evolved.jsonValue()),
+        }})
+    elif id_meta_update:
+        # identity assignment: the advanced high watermark is part of
+        # the schema metadata and rides THIS commit (versioned and
+        # crash-safe — a lost commit loses the watermark advance with
+        # the data that consumed it)
+        sj = json.loads(meta["schemaString"])
+        for f in sj["fields"]:
+            if f["name"] in id_meta_update:
+                f.setdefault("metadata", {})[
+                    "delta.identity.highWaterMark"
+                ] = id_meta_update[f["name"]]
+        actions.append({"metaData": {
+            **meta, "schemaString": json.dumps(sj),
         }})
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": int(txn[1]),
@@ -940,7 +1123,8 @@ def _delta_cow(
     )
 
     files, meta, _proto, head = _replay(root, None)
-    _check_writer_requirements(meta, _proto, dml=True)
+    _check_writer_requirements(meta, _proto, dml=True,
+                               assignments=assignments)
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
@@ -1139,7 +1323,9 @@ def delta_merge_into(
     )
 
     files, meta, _proto, head = _replay(root, None)
-    _check_writer_requirements(meta, _proto, dml=True)
+    _check_writer_requirements(meta, _proto, dml=True,
+                               assignments=update,
+                               merge_inserts=insert)
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )

@@ -690,8 +690,15 @@ def test_writer_requirements_and_constraints(spark, tmp_path):
                       "schemaString": _json.dumps(gschema),
                       "partitionColumns": [], "configuration": {}}},
     ])
+    # r10: generated columns are now SUPPORTED on append — a provided
+    # value matching the expression passes (v = 2k in _df), a wrong one
+    # refuses; dedicated coverage in
+    # test_generated_columns_computed_and_validated
+    assert delta_append(_df(spark, 2, 3), root4) == 2
+    bad = spark.range(3, 4).select(F.col("id").alias("k"),
+                                   F.lit(0).cast("long").alias("v"))
     with pytest.raises(ValueError, match="GENERATED"):
-        delta_append(_df(spark, 2, 3), root4)
+        delta_append(bad, root4)
 
 
 def test_append_to_column_mapped_table_writes_physical_names(spark,
@@ -1260,3 +1267,134 @@ def test_merge_into_cdf_changes(spark, tmp_path):
         (2, 4, "update_preimage"), (2, 222, "update_postimage"),
         (4, 8, "delete"), (10, 100, "insert"),
     ]
+
+
+def _schema_json_fields(fields):
+    import json as _json
+
+    return _json.dumps({"type": "struct", "fields": fields})
+
+
+def test_generated_columns_computed_and_validated(spark, tmp_path):
+    # r10 (PROTOCOL.md "Generated Columns"): appends COMPUTE an omitted
+    # generated column from its expression and VALIDATE a provided one;
+    # UPDATE assignments refuse (they may invalidate the expression);
+    # DELETE works
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_delete_where,
+        delta_update_where,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "gen")
+    fields = [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v2", "type": "long", "nullable": True,
+         "metadata": {"delta.generationExpression": "v * 2"}},
+    ]
+    _hand_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "readerFeatures": [],
+                      "writerFeatures": ["generatedColumns"]}},
+        {"metaData": {"id": "gen", "format": {"provider": "parquet",
+                                              "options": {}},
+                      "schemaString": _schema_json_fields(fields),
+                      "partitionColumns": [], "configuration": {}}},
+    ])
+    df = spark.range(0, 4).select(F.col("id").alias("k"),
+                                  (F.col("id") * 10).alias("v"))
+    delta_append(df, root)  # v2 omitted: computed
+    got = {r.k: r.v2 for r in read_delta(spark, root).collect()}
+    assert got == {k: 20 * k for k in range(4)}
+    # provided-and-correct passes; provided-and-wrong refuses
+    ok = spark.createDataFrame([(9, 90, 180)], "k long, v long, v2 long")
+    delta_append(ok, root)
+    bad = spark.createDataFrame([(8, 80, 7)], "k long, v long, v2 long")
+    with pytest.raises(ValueError, match="GENERATED"):
+        delta_append(bad, root)
+    # UPDATE refuses, DELETE works
+    with pytest.raises(ValueError, match="GENERATED"):
+        delta_update_where(spark, root, "k = 1", {"v": "v + 1"})
+    v, n = delta_delete_where(spark, root, "k = 9")
+    assert n == 1
+    assert 9 not in {r.k for r in read_delta(spark, root).collect()}
+
+
+def test_identity_columns_assign_and_watermark(spark, tmp_path):
+    # r10 (PROTOCOL.md "Identity Columns"): appends assign fresh values
+    # past the high watermark for NULL/missing identity values; the
+    # advanced watermark rides the commit's metaData; GENERATED ALWAYS
+    # refuses explicit values; BY DEFAULT accepts them and advances the
+    # watermark past their max
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ident")
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.identity.start": 100,
+                      "delta.identity.step": 10,
+                      "delta.identity.allowExplicitInsert": True}},
+        {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+    ]
+    _hand_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "readerFeatures": [],
+                      "writerFeatures": ["identityColumns"]}},
+        {"metaData": {"id": "ident", "format": {"provider": "parquet",
+                                                "options": {}},
+                      "schemaString": _schema_json_fields(fields),
+                      "partitionColumns": [], "configuration": {}}},
+    ])
+    # missing identity column: all rows assigned 100, 110, 120
+    delta_append(spark.createDataFrame([(1,), (2,), (3,)], "v long"),
+                 root)
+    got = sorted((r.id, r.v) for r in read_delta(spark, root).collect())
+    assert [i for i, _v in got] == [100, 110, 120]
+    # watermark persisted: next append continues at 130
+    delta_append(spark.createDataFrame([(4,)], "v long"), root)
+    ids = sorted(r.id for r in read_delta(spark, root).collect())
+    assert ids == [100, 110, 120, 130]
+    # explicit value allowed (BY DEFAULT) and advances the watermark
+    delta_append(spark.createDataFrame([(500, 5)], "id long, v long"),
+                 root)
+    delta_append(spark.createDataFrame(
+        [(None, 6)], "id long, v long"), root)
+    ids = sorted(r.id for r in read_delta(spark, root).collect())
+    assert ids == [100, 110, 120, 130, 500, 510]
+    # GENERATED ALWAYS: explicit values refuse
+    root2 = str(tmp_path / "ident2")
+    fields2 = [dict(fields[0]), dict(fields[1])]
+    fields2[0] = {**fields[0], "metadata": {
+        "delta.identity.start": 1, "delta.identity.step": 1,
+        "delta.identity.allowExplicitInsert": False}}
+    _hand_commit(root2, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "readerFeatures": [],
+                      "writerFeatures": ["identityColumns"]}},
+        {"metaData": {"id": "i2", "format": {"provider": "parquet",
+                                             "options": {}},
+                      "schemaString": _schema_json_fields(fields2),
+                      "partitionColumns": [], "configuration": {}}},
+    ])
+    with pytest.raises(ValueError, match="GENERATED\\s+ALWAYS|ALWAYS"):
+        delta_append(spark.createDataFrame([(7, 7)], "id long, v long"),
+                     root2)
+    delta_append(spark.createDataFrame([(70,)], "v long"), root2)
+    assert [r.id for r in read_delta(spark, root2).collect()] == [1]
+    # MERGE with update='all' / inserts refuses on identity tables
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_merge_into,
+    )
+
+    src = spark.createDataFrame([(100, 99)], "id long, v long")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        delta_merge_into(spark, root, src, ["id"])
+    v, stats = delta_merge_into(
+        spark, root, src, ["id"], update={"v": "s.v"}, insert=False,
+    )
+    assert stats["updated"] == 1
