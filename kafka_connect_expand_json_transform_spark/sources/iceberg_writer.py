@@ -271,7 +271,8 @@ def iceberg_append(df: DataFrame, root: str,
                  "record_count": _pq.ParquetFile(
                      os.path.join(root, rel)).metadata.num_rows,
                  "file_size_in_bytes": os.path.getsize(
-                     os.path.join(root, rel))}}
+                     os.path.join(root, rel)),
+                 "equality_ids": None}}
             for rel in sorted(placed)
         ],
         codec="null",
@@ -472,7 +473,8 @@ def iceberg_delete_where(spark, root: str, predicate: str) -> tuple[int, int]:
             "record_count": _pq.ParquetFile(
                 os.path.join(root, rel)).metadata.num_rows,
             "file_size_in_bytes": os.path.getsize(
-                os.path.join(root, rel))}}
+                os.path.join(root, rel)),
+            "equality_ids": None}}
          for rel in placed],
         codec="null",
     )
@@ -523,3 +525,135 @@ def iceberg_delete_where(spark, root: str, predicate: str) -> tuple[int, int]:
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(meta_version))
     return snap_id, n_deleted
+
+
+def iceberg_delete_keys(spark, root: str, keys: DataFrame) -> tuple[int, int]:
+    """DELETE FROM the Iceberg table at ``root`` by KEY EQUALITY — a
+    format-version-2 EQUALITY-DELETE commit (spec "Equality Delete
+    Files"): ``keys``' columns (a subset of the table schema) become the
+    delete file's ``equality_ids``; any data row whose values match a
+    key row is deleted from data files with sequence number STRICTLY
+    LESS than the delete's — so rows re-inserted by a LATER append
+    survive, the semantics CDC ingestion needs.  Returns
+    ``(snapshot_id, n_key_rows)``.  The table's own reader applies
+    these deletes sequence-scoped (``read_iceberg``).
+
+    Scale: the delete file is O(distinct keys) written by the cluster;
+    the commit carries the previous manifests verbatim plus ONE delete
+    manifest — no data file is read or rewritten at all, the cheapest
+    possible delete (Flink's CDC-to-Iceberg write path)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    meta_dir = os.path.join(root, "metadata")
+    loc = "file://" + os.path.abspath(root)
+    prev_meta = IR._read_metadata(root)  # raises when no table
+    cur_fields = IR._current_schema(prev_meta)["fields"]
+    id_of = {f["name"]: f["id"] for f in cur_fields}
+    missing = [c for c in keys.columns if c not in id_of]
+    if missing:
+        raise ValueError(
+            f"key columns {missing} are not table columns"
+        )
+    if not keys.columns:
+        raise ValueError("keys frame has no columns")
+    eq_ids = sorted(id_of[c] for c in keys.columns)
+    prev_snaps = prev_meta.get("snapshots", [])
+    carried_rows = _carried_mlist_rows(root, prev_meta)
+    if any(r["sequence_number"] is None for r in carried_rows):
+        raise ValueError(
+            "table has manifests with unrecoverable sequence numbers; "
+            "equality deletes cannot be scoped — compact first"
+        )
+    meta_version = 1 + max(
+        int(m.group(1))
+        for n in os.listdir(meta_dir)
+        for m in [re.match(r"^v(\d+)\.metadata\.json$", n)]
+        if m
+    )
+    snap_id = 1 + max((s["snapshot-id"] for s in prev_snaps), default=0)
+    seq_no = 1 + prev_meta.get("last-sequence-number", 0)
+
+    nonce = _time.time_ns()
+    stage = os.path.join(root, f"_stage_{nonce}")
+    keys.distinct().coalesce(1).write.mode("overwrite").parquet(stage)
+    placed: list[str] = []
+    try:
+        parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+        assert len(parts) == 1
+        n_keys = _pq.ParquetFile(parts[0]).metadata.num_rows
+        if n_keys == 0:
+            return prev_meta.get("current-snapshot-id"), 0
+        # stamp the table's field ids so native readers resolve columns
+        t = _pq.read_table(parts[0])
+        t = t.cast(_pa.schema([
+            _pa.field(f.name, f.type,
+                      metadata={b"PARQUET:field_id":
+                                str(id_of[f.name]).encode()})
+            for f in t.schema
+        ]))
+        del_rel = f"data/eqdelete-snap{snap_id:05d}-{nonce}.parquet"
+        _pq.write_table(t, os.path.join(root, del_rel))
+        placed.append(del_rel)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    mdel_rel = f"metadata/eqdelete-mdel{snap_id}-{nonce}.avro"
+    AC.write_container(
+        os.path.join(root, mdel_rel), _ICE_ENTRY_SCHEMA,
+        [{"status": 1, "snapshot_id": snap_id, "data_file": {
+            "content": 2, "file_path": f"{loc}/{rel}",
+            "file_format": "parquet",
+            "record_count": _pq.ParquetFile(
+                os.path.join(root, rel)).metadata.num_rows,
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(root, rel)),
+            "equality_ids": eq_ids}}
+         for rel in placed],
+        codec="null",
+    )
+    mlist_rel = f"metadata/eqdelete-snap-{snap_id}-{nonce}-list.avro"
+    AC.write_container(
+        os.path.join(root, mlist_rel), _ICE_MLIST_SCHEMA,
+        [{"manifest_path": f"{loc}/{mdel_rel}",
+          "manifest_length": os.path.getsize(
+              os.path.join(root, mdel_rel)),
+          "partition_spec_id": 0, "content": 1,
+          "added_snapshot_id": snap_id, "sequence_number": seq_no},
+         *carried_rows],
+        codec="null",
+    )
+    now_ms = int(_time.time() * 1000)
+    meta = dict(prev_meta)
+    meta.update({
+        "last-updated-ms": now_ms,
+        "last-sequence-number": seq_no,
+        "current-snapshot-id": snap_id,
+        "snapshots": [*prev_snaps, {
+            "snapshot-id": snap_id,
+            "sequence-number": seq_no,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "delete"},
+            "manifest-list": f"{loc}/{mlist_rel}",
+            "schema-id": prev_meta.get("current-schema-id", 0),
+        }],
+    })
+    final = os.path.join(meta_dir, f"v{meta_version}.metadata.json")
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        for rel in placed:
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
+        raise IcebergCommitConflict(
+            f"metadata v{meta_version} already committed"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
+        json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(meta_version))
+    return snap_id, n_keys

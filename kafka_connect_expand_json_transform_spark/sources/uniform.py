@@ -336,6 +336,9 @@ _ICE_ENTRY_SCHEMA = {
                 {"name": "file_format", "type": "string"},
                 {"name": "record_count", "type": "long"},
                 {"name": "file_size_in_bytes", "type": "long"},
+                # v2: present only on equality-delete files (content=2)
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}]},
             ]}},
     ],
 }
@@ -476,7 +479,8 @@ def export_iceberg(root: str) -> int:
                  # per file, O(files)): Iceberg planners trust record_count
                  "record_count": _pq.ParquetFile(
                      os.path.join(root, rel)).metadata.num_rows,
-                 "file_size_in_bytes": current[rel]}}
+                 "file_size_in_bytes": current[rel],
+                 "equality_ids": None}}
             for rel in sorted(current)
         ],
         codec="null",
@@ -510,7 +514,8 @@ def export_iceberg(root: str) -> int:
                 "content": 1, "file_path": f"{loc}/{pd_rel}",
                 "file_format": "parquet", "record_count": len(ordered),
                 "file_size_in_bytes": os.path.getsize(
-                    os.path.join(root, pd_rel))}}],
+                    os.path.join(root, pd_rel)),
+                "equality_ids": None}}],
             codec="null",
         )
         mlist_entries.append(

@@ -317,3 +317,54 @@ def test_icebergstream_over_delete_bearing_snapshots(spark, tmp_path):
     assert q3.exception() is None
     got3 = sorted(r.k for r in spark.table("sg_isd_ic").collect())
     assert got3 == [0, 1, 2, 3, 10, 11]
+
+
+def test_equality_delete_write_sequence_scoped(spark, tmp_path):
+    # r10 (spec "Equality Delete Files"): delete-by-key writes an
+    # equality delete file + manifest, no data file read or rewritten;
+    # the repo's own reader applies it sequence-scoped, so a LATER
+    # re-insert of a deleted key survives — the CDC semantics
+    from pyspark.sql import functions as F
+
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_writer import (
+        iceberg_delete_keys,
+    )
+
+    root = str(tmp_path / "eqd")
+    s1 = iceberg_append(_df(spark, 0, 6), root)
+    keys = spark.createDataFrame([(1,), (4,), (99,)], "k long")
+    s2, n = iceberg_delete_keys(spark, root, keys)
+    assert n == 3 and s2 == s1 + 1
+    got = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert got == [0, 2, 3, 5]
+    # time travel: pre-delete snapshot intact
+    assert read_iceberg(spark, root, snapshot_id=s1).count() == 6
+    # re-insert a deleted key in a LATER append: it must survive (its
+    # data sequence exceeds the delete's)
+    iceberg_append(
+        spark.createDataFrame([(4, 400)], "k long, v long"), root
+    )
+    got = sorted((r.k, r.v) for r in read_iceberg(spark, root).collect())
+    assert (4, 400) in got and (1, 2) not in got
+    assert [k for k, _ in got] == [0, 2, 3, 4, 5]
+    # field-id stamping on the delete file
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    f = _glob.glob(_os.path.join(root, "data", "eqdelete-*.parquet"))[0]
+    sch = _pq.read_schema(f)
+    assert sch.field("k").metadata[b"PARQUET:field_id"] == b"1"
+    # a non-table key column refuses
+    with pytest.raises(ValueError, match="not table columns"):
+        iceberg_delete_keys(
+            spark, root, spark.createDataFrame([(1,)], "zzz long")
+        )
+    # empty key frame: no-op
+    s_cur = read_iceberg(spark, root).count()
+    sid, n0 = iceberg_delete_keys(
+        spark, root,
+        spark.createDataFrame([], "k long"),
+    )
+    assert n0 == 0 and read_iceberg(spark, root).count() == s_cur
