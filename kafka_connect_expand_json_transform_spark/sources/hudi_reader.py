@@ -1177,3 +1177,292 @@ def hudi_upsert(
         fh.flush()
         os.fsync(fh.fileno())
     return instant
+
+
+_AVRO_OF_SPARK = {
+    "byte": "long", "short": "long", "int": "long", "bigint": "long",
+    "float": "double", "double": "double", "string": "string",
+    "boolean": "boolean",
+}
+
+
+def hudi_mor_upsert(
+    df: DataFrame,
+    root: str,
+    record_key: str,
+    delete_keys=None,
+    instant: str | None = None,
+) -> str:
+    """UPSERT into a MERGE_ON_READ Hudi table by appending LOG BLOCKS —
+    the write-hot ingestion path (hudi.apache.org "Table Types": a MoR
+    upsert writes deltas to the touched file groups' logs instead of
+    rewriting base parquet).  Rows whose ``record_key`` exists in the
+    merged state append an Avro data block to their group's log; unseen
+    keys land in NEW base parquet file groups; ``delete_keys`` (an
+    iterable or a one-column DataFrame) appends delete blocks (absent
+    keys are no-ops).  Returns the committed ``<instant>.deltacommit``
+    (claimed O_CREAT|O_EXCL).  Creating the table (or an empty one)
+    writes base files only.  Readable by ``read_hudi`` /
+    ``read_hudi_incremental`` / ``hudistream`` — the repo's own MoR
+    merge is the independent check.
+
+    Scale: key->file-group routing is one semi-join against a
+    keys-plus-group-id projection of the merged state (the merge is
+    slice-local mapInPandas, never shuffled); each touched group gets
+    exactly ONE log file, written executor-side after a repartition on
+    the group id — the driver never holds data rows, only the bounded
+    fid->log-name plan.  Columns must be primitive (long/double/string/
+    boolean families) — the Avro log schema is derived from the frame;
+    anything else refuses."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    props_path = os.path.join(_hoodie_dir(root), "hoodie.properties")
+    if not os.path.exists(props_path):
+        os.makedirs(_hoodie_dir(root), exist_ok=True)
+        with open(props_path, "w") as fh:
+            fh.write(
+                f"hoodie.table.name="
+                f"{os.path.basename(os.path.abspath(root))}\n"
+                "hoodie.table.type=MERGE_ON_READ\n"
+            )
+    props = _properties(root)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiUnsupported(
+            "hudi_mor_upsert needs a MERGE_ON_READ table (use "
+            "hudi_upsert for COPY_ON_WRITE)"
+        )
+    for name in os.listdir(_hoodie_dir(root)):
+        if _PENDING_COMPACTION_RE.match(name):
+            raise HudiUnsupported(
+                f"pending compaction {name}: slices are mid-rewrite"
+            )
+    if record_key not in df.columns:
+        raise ValueError(f"record_key column {record_key!r} not in schema")
+    data_cols = list(df.columns)
+    avro_fields = []
+    for f in df.schema.fields:
+        at = _AVRO_OF_SPARK.get(f.dataType.simpleString())
+        if at is None:
+            raise HudiUnsupported(
+                f"column {f.name!r} of type "
+                f"{f.dataType.simpleString()} is not log-encodable "
+                "(primitive long/double/string/boolean families only)"
+            )
+        avro_fields.append({"name": f.name, "type": ["null", at]})
+    rec_schema = {
+        "type": "record", "name": "rec", "fields": [
+            {"name": "_hoodie_commit_time", "type": "string"},
+            {"name": "_hoodie_record_key", "type": "string"},
+            *avro_fields,
+        ],
+    }
+
+    commits = hudi_timeline(root)
+    head = commits[0]["instant"] if commits else ""
+    if instant is None:
+        instant = (_time.strftime("%Y%m%d%H%M%S")
+                   + f"{_time.time_ns() % 1000:03d}")
+        while instant <= head:
+            instant = str(int(instant) + 1)
+    elif str(instant) <= head:
+        raise ValueError(
+            f"instant {instant} is not after the head {head}"
+        )
+    instant = str(instant)
+
+    batch = df.localCheckpoint(eager=True)
+    n_rows = batch.count()
+    if batch.select(record_key).distinct().count() != n_rows:
+        raise ValueError(
+            "batch has duplicate record keys: precombine upstream"
+        )
+    keyed = batch.withColumn(
+        "_hoodie_record_key", F.col(record_key).cast("string")
+    )
+    if delete_keys is None:
+        del_df = None
+    elif isinstance(delete_keys, DataFrame):
+        c0 = delete_keys.columns[0]
+        del_df = delete_keys.select(
+            F.col(c0).cast("string").alias("_hoodie_record_key")
+        ).distinct()
+    else:
+        del_df = spark.createDataFrame(
+            [(str(k),) for k in delete_keys], "_hoodie_record_key string"
+        ).distinct()
+
+    nonce = _time.time_ns()
+    stats = []
+    written_logs: list[str] = []
+    placed: list[str] = []
+    valid_instants = {c["instant"] for c in commits}
+    slices = _mor_slices(root, None) if commits else []
+    table_root = os.path.abspath(root)
+
+    if slices:
+        # bounded fid plan: base instant + next log version per group
+        plan_rows = []
+        log_name = {}
+        for sl in slices:
+            fid = sl["file_id"]
+            if sl["base"] is None:
+                m = re.match(r"^\.(.+)_(\d+)\.log\.",
+                             os.path.basename(sl["logs"][0]))
+                base_instant = m.group(2)
+            else:
+                m = re.match(r".*_(\d+)\.parquet$",
+                             os.path.basename(sl["base"]))
+                base_instant = m.group(1)
+            next_ver = 1 + max(
+                (int(re.search(r"\.log\.(\d+)", os.path.basename(rel))
+                     .group(1)) for rel in sl["logs"]),
+                default=0,
+            )
+            rel = f"p/.{fid}_{base_instant}.log.{next_ver}_w{nonce}"
+            log_name[fid] = rel
+            plan_rows.append((fid, sl["base"], sl["logs"]))
+
+        from pyspark.sql import types as T
+
+        plan = spark.createDataFrame(
+            plan_rows,
+            T.StructType([
+                T.StructField("fid", T.StringType(), False),
+                T.StructField("base", T.StringType(), True),
+                T.StructField("logs", T.ArrayType(T.StringType()), False),
+            ]),
+        ).repartition(max(len(plan_rows), 1))
+
+        def keys_of(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for fid, base_rel, log_rels in zip(
+                    pdf["fid"], pdf["base"], pdf["logs"]
+                ):
+                    merged = _merge_slice_pdf(
+                        table_root, base_rel, list(log_rels),
+                        valid_instants,
+                    )
+                    if merged is None or not len(merged):
+                        continue
+                    yield pd.DataFrame({
+                        "_hoodie_record_key":
+                            merged["_hoodie_record_key"].astype(str),
+                        "_fid": fid,
+                    })
+
+        key_fid = plan.mapInPandas(
+            keys_of, "_hoodie_record_key string, _fid string"
+        ).localCheckpoint(eager=True)
+
+        updates = keyed.join(key_fid, "_hoodie_record_key").select(
+            "_fid", F.lit("u").alias("__op"), "_hoodie_record_key",
+            *data_cols,
+        )
+        dels = None
+        if del_df is not None:
+            dels = del_df.join(key_fid, "_hoodie_record_key").select(
+                "_fid", F.lit("d").alias("__op"), "_hoodie_record_key",
+                *[F.lit(None).cast(batch.schema[c].dataType).alias(c)
+                  for c in data_cols],
+            )
+        routed = updates if dels is None else updates.unionByName(dels)
+        touched = sorted(
+            r["_fid"]
+            for r in routed.select("_fid").distinct().collect()
+        )  # bounded: one row per touched file group
+        if touched:
+            lname = dict(log_name)
+
+            def write_logs(rows):
+                by_fid: dict[str, dict] = {}
+                for r in rows:
+                    d = by_fid.setdefault(
+                        r["_fid"], {"recs": [], "dels": []}
+                    )
+                    if r["__op"] == "u":
+                        rec = {"_hoodie_commit_time": instant,
+                               "_hoodie_record_key":
+                                   r["_hoodie_record_key"]}
+                        for c in data_cols:
+                            rec[c] = r[c]
+                        d["recs"].append(rec)
+                    else:
+                        d["dels"].append(r["_hoodie_record_key"])
+                for fid, d in by_fid.items():
+                    blocks = []
+                    if d["recs"]:
+                        blocks.append({
+                            "type": "avro", "instant": instant,
+                            "schema": rec_schema,
+                            "records": d["recs"],
+                        })
+                    if d["dels"]:
+                        blocks.append({
+                            "type": "delete", "instant": instant,
+                            "keys": sorted(d["dels"]),
+                        })
+                    if blocks:
+                        write_hudi_log_file(
+                            os.path.join(table_root, lname[fid]), blocks
+                        )
+
+            routed.repartition(len(touched), "_fid") \
+                .foreachPartition(write_logs)
+            for fid in touched:
+                rel = log_name[fid]
+                if os.path.exists(os.path.join(root, rel)):
+                    written_logs.append(rel)
+                    stats.append({"fileId": fid, "path": rel})
+        inserts = keyed.join(key_fid, "_hoodie_record_key", "left_anti")
+    else:
+        inserts = keyed
+
+    # inserts: new base-parquet file groups (Hudi's MoR insert path)
+    ins = inserts.select(
+        F.lit(instant).alias("_hoodie_commit_time"),
+        "_hoodie_record_key", *data_cols,
+    )
+    stage = os.path.join(root, f"_stage_{nonce}")
+    ins.write.mode("overwrite").parquet(stage)
+    try:
+        import pyarrow.parquet as _pq
+
+        os.makedirs(os.path.join(root, "p"), exist_ok=True)
+        for i, pth in enumerate(sorted(_glob.glob(
+            os.path.join(stage, "part-*.parquet")
+        ))):
+            n = _pq.ParquetFile(pth).metadata.num_rows
+            if n == 0:
+                continue
+            fid = f"w{nonce}-{i}"
+            rel = f"p/{fid}_0-0-0_{instant}.parquet"
+            os.rename(pth, os.path.join(root, rel))
+            placed.append(rel)
+            stats.append({"fileId": fid, "path": rel, "numWrites": n})
+    finally:
+        _shutil.rmtree(stage, ignore_errors=True)
+
+    final = os.path.join(_hoodie_dir(root), f"{instant}.deltacommit")
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        for rel in [*placed, *written_logs]:
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
+        raise HudiCommitConflict(
+            f"instant {instant} already committed"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"partitionToWriteStats": {"p": stats}}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    return instant

@@ -526,3 +526,68 @@ def test_hudistream_mor_commits(spark, tmp_path):
         for r in read_hudi_incremental(spark, root, C1).collect()
     )
     assert inc == [(1, "v1b"), (5, "v5")]
+
+
+def test_hudi_mor_upsert_log_blocks(spark, tmp_path):
+    # r10: the MoR WRITE path — updates/deletes append log blocks to
+    # the touched file groups (written executor-side, one log per
+    # group), inserts land as new base parquet groups, all under one
+    # deltacommit; the repo's own MoR merge is the independent check
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        hudi_mor_upsert,
+        read_hudi,
+        read_hudi_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "morw")
+    base = spark.range(0, 6).select(F.col("id").alias("k"),
+                                    (F.col("id") * 2).alias("v"))
+    i1 = hudi_mor_upsert(base.coalesce(2), root, record_key="k")
+    assert sorted((r.k, r.v) for r in read_hudi(spark, root).collect()) \
+        == [(k, 2 * k) for k in range(6)]
+    # update 1 and 4 (different groups possible), insert 9, delete 5
+    batch = spark.createDataFrame([(1, 100), (4, 400), (9, 900)],
+                                  "k long, v long")
+    i2 = hudi_mor_upsert(batch, root, record_key="k",
+                         delete_keys=[5, 777],  # 777 absent: no-op
+                         instant=str(int(i1) + 1000))
+    got = {r.k: r.v for r in read_hudi(spark, root).collect()}
+    assert got == {0: 0, 1: 100, 2: 4, 3: 6, 4: 400, 9: 900}
+    # log files exist (not a rewrite): base files of i1 unchanged
+    import glob as _glob
+
+    logs = _glob.glob(os.path.join(root, "p", ".*log*"))
+    assert logs, "expected log files"
+    # time travel to i1
+    old = {r.k: r.v for r in
+           read_hudi(spark, root, as_of_instant=i1).collect()}
+    assert old == {k: 2 * k for k in range(6)}
+    # incremental (i1, i2]: updates + inserts surface, deletes drop out
+    inc = {r.k: r.v for r in
+           read_hudi_incremental(spark, root, i1, i2).collect()}
+    assert inc == {1: 100, 4: 400, 9: 900}
+    # a second round of log appends stacks on the same slices
+    i3 = hudi_mor_upsert(
+        spark.createDataFrame([(1, -1)], "k long, v long"), root,
+        record_key="k", instant=str(int(i2) + 1000),
+    )
+    got3 = {r.k: r.v for r in read_hudi(spark, root).collect()}
+    assert got3[1] == -1 and got3[4] == 400 and len(got3) == 6
+    # duplicate batch keys refuse; CoW tables refuse
+    dup = spark.createDataFrame([(7, 1), (7, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        hudi_mor_upsert(dup, root, record_key="k")
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        hudi_append,
+    )
+
+    cow = str(tmp_path / "coww")
+    hudi_append(base.coalesce(1), cow, record_key="k")
+    with pytest.raises(HudiUnsupported, match="MERGE_ON_READ"):
+        hudi_mor_upsert(batch, cow, record_key="k")
+    # unsupported column types refuse
+    arr = spark.range(1).select(F.col("id").alias("k"),
+                                F.array(F.lit(1)).alias("v"))
+    with pytest.raises(HudiUnsupported, match="log-encodable"):
+        hudi_mor_upsert(arr, root, record_key="k")
