@@ -1466,3 +1466,100 @@ def hudi_mor_upsert(
         fh.flush()
         os.fsync(fh.fileno())
     return instant
+
+
+def hudi_compact(spark, root: str, instant: str | None = None) -> str:
+    """COMPACTION for a MERGE_ON_READ table (hudi.apache.org "Async /
+    Inline Compaction"): merge every file slice that has log files into
+    a NEW base parquet at the compaction instant, committed as a
+    ``<instant>.commit`` — after it, snapshot reads pay zero log-merge
+    and the old slices remain for time travel.  Returns the committed
+    instant; a table with no log files is a no-op returning the head.
+
+    Scale: one executor-side merge-and-write task per compacted file
+    group (the same slice-local merge the read path uses — no shuffle);
+    the driver holds only the slice plan.  The commit rides the merged
+    rows' ORIGINAL ``_hoodie_commit_time`` values, so incremental
+    queries and ``hudistream`` (commit-time filtered) see no phantom
+    rows from a pure compaction."""
+    import time as _time
+
+    props = _properties(root)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiUnsupported("hudi_compact needs a MERGE_ON_READ table")
+    for name in os.listdir(_hoodie_dir(root)):
+        if _PENDING_COMPACTION_RE.match(name):
+            raise HudiUnsupported(
+                f"pending compaction {name}: another compaction is "
+                "mid-flight"
+            )
+    commits = hudi_timeline(root)
+    if not commits:
+        raise ValueError(f"no completed commits in {root}")
+    head = commits[0]["instant"]
+    slices = [s for s in _mor_slices(root, None) if s["logs"]]
+    if not slices:
+        return head
+    if instant is None:
+        instant = (_time.strftime("%Y%m%d%H%M%S")
+                   + f"{_time.time_ns() % 1000:03d}")
+        while instant <= head:
+            instant = str(int(instant) + 1)
+    elif str(instant) <= head:
+        raise ValueError(f"instant {instant} is not after the head {head}")
+    instant = str(instant)
+    valid_instants = {c["instant"] for c in commits}
+    table_root = os.path.abspath(root)
+    nonce = _time.time_ns()
+    out_rel = {s["file_id"]: f"p/{s['file_id']}_0-0-0_{instant}.parquet"
+               for s in slices}
+
+    from pyspark.sql import types as T
+
+    plan = spark.createDataFrame(
+        [(s["file_id"], s["base"], s["logs"]) for s in slices],
+        T.StructType([
+            T.StructField("fid", T.StringType(), False),
+            T.StructField("base", T.StringType(), True),
+            T.StructField("logs", T.ArrayType(T.StringType()), False),
+        ]),
+    ).repartition(max(len(slices), 1))
+    rel_of = dict(out_rel)
+
+    def compact_slice(rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for r in rows:
+            merged = _merge_slice_pdf(
+                table_root, r["base"], list(r["logs"]), valid_instants
+            )
+            if merged is None:
+                merged = __import__("pandas").DataFrame(
+                    columns=["_hoodie_record_key"]
+                )
+            pq.write_table(
+                pa.Table.from_pandas(merged, preserve_index=False),
+                os.path.join(table_root, rel_of[r["fid"]]),
+            )
+
+    plan.foreachPartition(compact_slice)
+    stats = [{"fileId": s["file_id"], "path": out_rel[s["file_id"]]}
+             for s in slices]
+    final = os.path.join(_hoodie_dir(root), f"{instant}.commit")
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        for rel in out_rel.values():
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
+        raise HudiCommitConflict(
+            f"instant {instant} already committed"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"partitionToWriteStats": {"p": stats}}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    return instant

@@ -591,3 +591,55 @@ def test_hudi_mor_upsert_log_blocks(spark, tmp_path):
                                 F.array(F.lit(1)).alias("v"))
     with pytest.raises(HudiUnsupported, match="log-encodable"):
         hudi_mor_upsert(arr, root, record_key="k")
+
+
+def test_hudi_compact_materializes_logs(spark, tmp_path):
+    # r10: compaction merges log-bearing slices into new base files at
+    # the compaction instant; snapshot reads stop paying the log merge,
+    # time travel still works, and a pure compaction contributes no
+    # phantom rows to incremental/streaming reads (merged rows keep
+    # their ORIGINAL commit times)
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        hudi_compact,
+        hudi_mor_upsert,
+        read_hudi,
+        read_hudi_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "cmp")
+    base = spark.range(0, 6).select(F.col("id").alias("k"),
+                                    (F.col("id") * 2).alias("v"))
+    i1 = hudi_mor_upsert(base.coalesce(2), root, record_key="k")
+    i2 = hudi_mor_upsert(
+        spark.createDataFrame([(1, 100), (9, 900)], "k long, v long"),
+        root, record_key="k", delete_keys=[5],
+        instant=str(int(i1) + 1000),
+    )
+    pre = {r.k: r.v for r in read_hudi(spark, root).collect()}
+    i3 = hudi_compact(spark, root, instant=str(int(i2) + 1000))
+    post = {r.k: r.v for r in read_hudi(spark, root).collect()}
+    assert post == pre == {0: 0, 1: 100, 2: 4, 3: 6, 4: 8, 9: 900}
+    # the merged slices now read from the compaction's base files; the
+    # newest slice per compacted group has no logs
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        _mor_slices,
+    )
+
+    for sl in _mor_slices(root, None):
+        assert not sl["logs"], sl
+    # time travel to pre-compaction instants still merges the old slices
+    assert {r.k: r.v for r in
+            read_hudi(spark, root, as_of_instant=i1).collect()} \
+        == {k: 2 * k for k in range(6)}
+    # a pure compaction adds nothing to the incremental range (i2, i3]:
+    # rows keep their original commit times, so the commit-time filter
+    # yields zero rows even though the compaction touched every group
+    assert read_hudi_incremental(spark, root, i2, i3).count() == 0
+    # post-compaction writes stack on the new bases
+    i4 = hudi_mor_upsert(
+        spark.createDataFrame([(0, -1)], "k long, v long"), root,
+        record_key="k", instant=str(int(i3) + 1000),
+    )
+    got = {r.k: r.v for r in read_hudi(spark, root).collect()}
+    assert got[0] == -1 and len(got) == 6
