@@ -36,6 +36,12 @@ PROBES = [
     "delta_partitioned_write_agg",
     "uniform_partitioned_export_agg",
     "iceberg_transform_prune_agg",
+    # round-10 additions: the write-side closures
+    "hudi_upsert_roundtrip_agg",
+    "hudi_mor_write_roundtrip_agg",
+    "iceberg_delete_roundtrip_agg",
+    "iceberg_eq_delete_write_agg",
+    "delta_merge_roundtrip_agg",
 ]
 
 
