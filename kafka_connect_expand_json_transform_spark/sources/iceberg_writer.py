@@ -657,3 +657,123 @@ def iceberg_delete_keys(spark, root: str, keys: DataFrame) -> tuple[int, int]:
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(meta_version))
     return snap_id, n_keys
+
+
+def iceberg_compact(spark, root: str) -> int:
+    """REWRITE DATA FILES for the Iceberg table at ``root`` (the
+    ``rewriteDataFiles`` maintenance action): the current snapshot —
+    position AND equality deletes applied — rewrites into fresh data
+    files under ONE full manifest, committed as a ``replace`` snapshot.
+    This bounds two growth axes at once: row-level delete files stop
+    taxing every read, and the manifest-list chain (one manifest per
+    carried commit) resets to a single manifest.  Old snapshots remain
+    time-travelable; ``icebergstream`` skips ``replace`` snapshots, so
+    compaction never re-streams rows.  Returns the new snapshot id.
+
+    Scale: one distributed read-rewrite job (the snapshot read's own
+    delete application) + O(new files) manifest metadata."""
+    import pyarrow.parquet as _pq
+
+    meta_dir = os.path.join(root, "metadata")
+    loc = "file://" + os.path.abspath(root)
+    prev_meta = IR._read_metadata(root)
+    prev_snaps = prev_meta.get("snapshots", [])
+    default_spec = next(
+        (sp for sp in prev_meta.get("partition-specs", [])
+         if sp.get("spec-id") == prev_meta.get("default-spec-id", 0)),
+        None,
+    )
+    if default_spec and default_spec.get("fields"):
+        raise ValueError(
+            "compacting a partitioned Iceberg table is not supported "
+            "(the rewrite would drop partition tuples)"
+        )
+    meta_version = 1 + max(
+        int(m.group(1))
+        for n in os.listdir(meta_dir)
+        for m in [re.match(r"^v(\d+)\.metadata\.json$", n)]
+        if m
+    )
+    snap_id = 1 + max((s["snapshot-id"] for s in prev_snaps), default=0)
+    seq_no = 1 + prev_meta.get("last-sequence-number", 0)
+
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        read_iceberg,
+    )
+
+    current = read_iceberg(spark, root)
+    nonce = _time.time_ns()
+    stage = os.path.join(root, f"_stage_{nonce}")
+    current.write.mode("overwrite").parquet(stage)
+    placed: list[str] = []
+    try:
+        for i, pth in enumerate(sorted(glob.glob(
+            os.path.join(stage, "part-*.parquet")
+        ))):
+            if _pq.ParquetFile(pth).metadata.num_rows == 0:
+                continue
+            rel = f"data/compact-snap{snap_id:05d}-{nonce}-{i:05d}.parquet"
+            os.rename(pth, os.path.join(root, rel))
+            placed.append(rel)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    manifest_rel = f"metadata/compact-m{snap_id}-{nonce}.avro"
+    AC.write_container(
+        os.path.join(root, manifest_rel), _ICE_ENTRY_SCHEMA,
+        [{"status": 1, "snapshot_id": snap_id, "data_file": {
+            "content": 0, "file_path": f"{loc}/{rel}",
+            "file_format": "parquet",
+            "record_count": _pq.ParquetFile(
+                os.path.join(root, rel)).metadata.num_rows,
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(root, rel)),
+            "equality_ids": None}}
+         for rel in sorted(placed)],
+        codec="null",
+    )
+    mlist_rel = f"metadata/compact-snap-{snap_id}-{nonce}-list.avro"
+    AC.write_container(
+        os.path.join(root, mlist_rel), _ICE_MLIST_SCHEMA,
+        [{"manifest_path": f"{loc}/{manifest_rel}",
+          "manifest_length": os.path.getsize(
+              os.path.join(root, manifest_rel)),
+          "partition_spec_id": prev_meta.get("default-spec-id", 0),
+          "content": 0, "added_snapshot_id": snap_id,
+          "sequence_number": seq_no}],
+        codec="null",
+    )
+    now_ms = int(_time.time() * 1000)
+    meta = dict(prev_meta)
+    meta.update({
+        "last-updated-ms": now_ms,
+        "last-sequence-number": seq_no,
+        "current-snapshot-id": snap_id,
+        "snapshots": [*prev_snaps, {
+            "snapshot-id": snap_id,
+            "sequence-number": seq_no,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "replace"},
+            "manifest-list": f"{loc}/{mlist_rel}",
+            "schema-id": prev_meta.get("current-schema-id", 0),
+        }],
+    })
+    final = os.path.join(meta_dir, f"v{meta_version}.metadata.json")
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        for rel in placed:
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
+        raise IcebergCommitConflict(
+            f"metadata v{meta_version} already committed"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
+        json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(meta_version))
+    return snap_id

@@ -368,3 +368,67 @@ def test_equality_delete_write_sequence_scoped(spark, tmp_path):
         spark.createDataFrame([], "k long"),
     )
     assert n0 == 0 and read_iceberg(spark, root).count() == s_cur
+
+
+def test_compact_materializes_deletes_and_resets_manifest_chain(
+    spark, tmp_path
+):
+    # r10: rewriteDataFiles — deletes materialize, the manifest-list
+    # chain (one manifest per carried commit) resets to ONE manifest,
+    # old snapshots stay time-travelable, and the replace snapshot does
+    # not re-stream
+    from kafka_connect_expand_json_transform_spark.sources import (
+        avro_codec as AC,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_reader import (
+        _read_metadata,
+        _resolve,
+        register_iceberg_stream_source,
+    )
+    from kafka_connect_expand_json_transform_spark.sources.iceberg_writer import (
+        iceberg_compact,
+        iceberg_delete_keys,
+        iceberg_delete_where,
+    )
+
+    root = str(tmp_path / "cmp")
+    iceberg_append(_df(spark, 0, 6), root)
+    iceberg_append(_df(spark, 6, 9), root)
+    iceberg_delete_where(spark, root, "k = 2")
+    iceberg_delete_keys(spark, root,
+                        spark.createDataFrame([(7,)], "k long"))
+    pre = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert pre == [0, 1, 3, 4, 5, 6, 8]
+    sc = iceberg_compact(spark, root)
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) == pre
+    meta = _read_metadata(root)
+    snap = [x for x in meta["snapshots"] if x["snapshot-id"] == sc][0]
+    assert snap["summary"]["operation"] == "replace"
+    rows = list(AC.read_container(_resolve(
+        root, meta.get("location", root), snap["manifest-list"]
+    )))
+    assert len(rows) == 1 and rows[0]["content"] == 0
+    # old snapshots still read (deletes still applied there)
+    assert read_iceberg(spark, root, snapshot_id=1).count() == 6
+    # appends after compaction carry just the one manifest + one new
+    iceberg_append(_df(spark, 20, 21), root)
+    meta2 = _read_metadata(root)
+    snap2 = [x for x in meta2["snapshots"]
+             if x["snapshot-id"] == meta2["current-snapshot-id"]][0]
+    rows2 = list(AC.read_container(_resolve(
+        root, meta2.get("location", root), snap2["manifest-list"]
+    )))
+    assert len(rows2) == 2
+    # streaming with skip-delete: replace snapshots are skipped, so the
+    # compaction re-streams nothing
+    register_iceberg_stream_source(spark)
+    q = (
+        spark.readStream.format("icebergstream").option("path", root)
+        .option("streaming-skip-delete-snapshots", "true").load()
+        .writeStream.format("memory").queryName("sg_cmp_stream")
+        .outputMode("append").start()
+    )
+    _drain_stream(q)
+    assert q.exception() is None
+    got = sorted(r.k for r in spark.table("sg_cmp_stream").collect())
+    assert got == list(range(9)) + [20]
