@@ -138,18 +138,11 @@ def _check_writer_requirements(meta: dict, protocol: dict | None,
             raise ValueError(
                 f"assignment to IDENTITY column(s) {sorted(idc)} refused"
             )
-        if assignments == "all":
-            raise ValueError(
-                "MERGE update='all' on a table with IDENTITY columns "
-                "refused (it would assign the identity column); use an "
-                "explicit assignment dict"
-            )
-        if merge_inserts:
-            raise ValueError(
-                "MERGE inserts on a table with IDENTITY columns are "
-                "refused (fresh identity assignment in MERGE is not "
-                "implemented); pass insert=False"
-            )
+        # update='all' and MERGE inserts are allowed (r10): 'all'
+        # never assigns columns the source lacks, and
+        # delta_merge_into itself refuses a source that CARRIES the
+        # identity column, assigns fresh ids to inserts, and bumps
+        # the watermark in the commit's metaData
     cfg = meta.get("configuration") or {}
     if dml:
         if str(cfg.get("delta.appendOnly", "false")).lower() == "true":
@@ -1456,7 +1449,20 @@ def delta_merge_into(
     if not affected and stats["inserted"] == 0:
         return head, stats
 
-    kept = joined.where(~(matched & delc) & ~(s_only & ~ins_cond))
+    id_cols = _identity_cols(schema)
+    if id_cols:
+        if any(c in assignments for c in id_cols):
+            raise ValueError(
+                f"assignment to IDENTITY column(s) "
+                f"{sorted(set(assignments) & set(id_cols))} refused"
+            )
+        carried_src = [c for c in id_cols
+                       if c in src.columns and c not in on]
+        if carried_src:
+            raise ValueError(
+                f"source carries IDENTITY column(s) {carried_src} that "
+                "are not merge keys; drop them — inserts get fresh ids"
+            )
     out_cols = []
     by_name = {f.name: f for f in schema.fields}
     for c in names:
@@ -1467,7 +1473,28 @@ def delta_merge_into(
         if c in assignments:
             col = col.when(matched, assignments[c])
         out_cols.append(col.otherwise(F.col(f"t.{c}")).cast(dt).alias(c))
-    rewritten = kept.select(*out_cols)
+    kept_matched = joined.where(
+        ~(matched & delc) & ~F.coalesce(F.col("s._in_s"), F.lit(False))
+        | (matched & ~delc)
+    ).select(*out_cols)
+    ins_rows = joined.where(s_only & ins_cond).select(*out_cols)
+    # identity columns not among the merge keys: inserted rows arrive
+    # NULL — assign fresh ids past the watermark (the surrogate-key SCD
+    # pattern) and ride the advanced watermark on this commit's metaData
+    id_meta_update: dict[str, int] = {}
+    for c in sorted(id_cols):
+        if c in on:
+            continue  # key-matched: the source supplies the value
+        info = id_cols[c]
+        hwm = info["hwm"]
+        base = (int(hwm) + info["step"] if hwm is not None
+                else info["start"])
+        ins_rows, n_assigned = _assign_identity(
+            ins_rows, c, by_name[c].dataType, base, info["step"]
+        )
+        if n_assigned:
+            id_meta_update[c] = base + info["step"] * (n_assigned - 1)
+    rewritten = kept_matched.unionByName(ins_rows)
     _enforce_constraints(rewritten, _active_constraints(meta), "merge")
 
     stage_df, stage_parts = rewritten, part_cols
@@ -1484,6 +1511,16 @@ def delta_merge_into(
             f"t.{k} = s.{k}" for k in on
         )},
     }}]
+    if id_meta_update:
+        sj = json.loads(meta["schemaString"])
+        for f in sj["fields"]:
+            if f["name"] in id_meta_update:
+                f.setdefault("metadata", {})[
+                    "delta.identity.highWaterMark"
+                ] = id_meta_update[f["name"]]
+        actions.append({"metaData": {
+            **meta, "schemaString": json.dumps(sj),
+        }})
     actions.extend(add_actions)
     if str((meta.get("configuration") or {}).get(
         "delta.enableChangeDataFeed", "false"
@@ -1505,7 +1542,7 @@ def delta_merge_into(
                 "_change_type", F.lit("update_preimage")
             )
             eff_post = eff_pre
-        ins = joined.where(s_only & ins_cond).select(*out_cols)
+        ins = ins_rows  # identity-assigned inserts, same rows as staged
         cdc_df = (
             del_pre.withColumn("_change_type", F.lit("delete"))
             .unionByName(eff_pre).unionByName(eff_post)

@@ -1386,15 +1386,31 @@ def test_identity_columns_assign_and_watermark(spark, tmp_path):
                      root2)
     delta_append(spark.createDataFrame([(70,)], "v long"), root2)
     assert [r.id for r in read_delta(spark, root2).collect()] == [1]
-    # MERGE with update='all' / inserts refuses on identity tables
+    # MERGE on identity tables (r10): merging ON the identity key
+    # works; a source CARRYING a non-key identity column refuses; an
+    # assignment to it refuses; inserts on a business key get FRESH ids
     from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
         delta_merge_into,
     )
 
     src = spark.createDataFrame([(100, 99)], "id long, v long")
-    with pytest.raises(ValueError, match="IDENTITY"):
-        delta_merge_into(spark, root, src, ["id"])
     v, stats = delta_merge_into(
         spark, root, src, ["id"], update={"v": "s.v"}, insert=False,
     )
     assert stats["updated"] == 1
+    with pytest.raises(ValueError, match="IDENTITY"):
+        delta_merge_into(spark, root, src, ["v"])  # id carried, not key
+    with pytest.raises(ValueError, match="IDENTITY"):
+        delta_merge_into(spark, root, src.select("id", "v"), ["id"],
+                         update={"id": "s.id"})
+    # surrogate-key SCD: merge on the business key v; inserts get fresh
+    # identity values past the watermark, which persists
+    biz = spark.createDataFrame([(99, ), (777, )], "v long")
+    v2, stats2 = delta_merge_into(spark, root, biz, ["v"])
+    assert stats2 == {"inserted": 1, "updated": 0, "deleted": 0}
+    rows = {r.v: r.id for r in read_delta(spark, root).collect()}
+    assert rows[777] is not None and rows[777] > 500
+    # next append continues past the merge-advanced watermark
+    delta_append(spark.createDataFrame([(8,)], "v long"), root)
+    rows2 = {r.v: r.id for r in read_delta(spark, root).collect()}
+    assert rows2[8] == rows[777] + 10
