@@ -1478,6 +1478,22 @@ def delta_merge_into(
         | (matched & ~delc)
     ).select(*out_cols)
     ins_rows = joined.where(s_only & ins_cond).select(*out_cols)
+    # generated columns on INSERTED rows (r10): compute when the source
+    # omits them, validate when it provides them — the same contract as
+    # append (matched rows keep their already-valid target values, and
+    # assignments on generated tables were refused above)
+    for c, expr in sorted(_generated_cols(schema).items()):
+        dt = by_name[c].dataType
+        if c in src.columns:
+            if ins_rows.where(
+                ~F.col(c).eqNullSafe(F.expr(expr).cast(dt))
+            ).limit(1).count():
+                raise ValueError(
+                    f"inserted value for GENERATED column {c!r} "
+                    f"differs from its expression {expr!r}"
+                )
+        else:
+            ins_rows = ins_rows.withColumn(c, F.expr(expr).cast(dt))
     # identity columns not among the merge keys: inserted rows arrive
     # NULL — assign fresh ids past the watermark (the surrogate-key SCD
     # pattern) and ride the advanced watermark on this commit's metaData

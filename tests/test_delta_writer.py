@@ -1414,3 +1414,47 @@ def test_identity_columns_assign_and_watermark(spark, tmp_path):
     delta_append(spark.createDataFrame([(8,)], "v long"), root)
     rows2 = {r.v: r.id for r in read_delta(spark, root).collect()}
     assert rows2[8] == rows[777] + 10
+
+
+def test_merge_inserts_compute_generated_columns(spark, tmp_path):
+    # r10: MERGE inserts on a generated-column table compute an omitted
+    # generated column and validate a provided one — NULL/unvalidated
+    # generated values must never land
+    import json as _json
+
+    from kafka_connect_expand_json_transform_spark.sources.delta_writer import (
+        delta_merge_into,
+    )
+
+    root = str(tmp_path / "mgen")
+    fields = [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v2", "type": "long", "nullable": True,
+         "metadata": {"delta.generationExpression": "v * 2"}},
+    ]
+    _hand_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "readerFeatures": [],
+                      "writerFeatures": ["generatedColumns"]}},
+        {"metaData": {"id": "mgen", "format": {"provider": "parquet",
+                                               "options": {}},
+                      "schemaString": _schema_json_fields(fields),
+                      "partitionColumns": [], "configuration": {}}},
+    ])
+    base = spark.createDataFrame([(0, 10, 20), (1, 11, 22)],
+                                 "k long, v long, v2 long")
+    delta_append(base, root)
+    # insert-only merge omitting v2: computed
+    src = spark.createDataFrame([(5, 50)], "k long, v long")
+    v, stats = delta_merge_into(spark, root, src, ["k"], update=None)
+    assert stats["inserted"] == 1
+    got = {r.k: r.v2 for r in read_delta(spark, root).collect()}
+    assert got[5] == 100
+    # provided-and-wrong refuses
+    bad = spark.createDataFrame([(6, 60, 7)], "k long, v long, v2 long")
+    with pytest.raises(ValueError, match="GENERATED"):
+        delta_merge_into(spark, root, bad, ["k"], update=None)
+    # assignments on generated tables still refuse
+    with pytest.raises(ValueError, match="GENERATED"):
+        delta_merge_into(spark, root, src, ["k"], update={"v": "s.v"})
