@@ -1622,12 +1622,10 @@ def hudi_clean(root: str, keep_last: int = 1,
     doomed: list[str] = []
     for fid, slices in by_fid.items():
         ordered = sorted(slices, reverse=True)  # newest base instant 1st
-        keep = keep_last
-        if fid in replaced_at:
-            # a replaced group's newest slice is already superseded; it
-            # still counts inside the keep window for rollback safety
-            pass
-        for key in ordered[keep:]:
+        # a replaced group's newest slice is already superseded by its
+        # replacement, but it still counts inside the keep window so a
+        # replacecommit rollback stays possible within retention
+        for key in ordered[keep_last:]:
             sl = slices[key]
             if sl["base"]:
                 doomed.append(sl["base"])
