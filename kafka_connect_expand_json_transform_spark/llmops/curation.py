@@ -67,7 +67,13 @@ def curate(
     follows ``minhash_dedup``: xxhash (production, engine-specific) or md5
     (bit-identical cross-engine, oracle-parity mode).
     """
-    staged = quality_filter(df, text_col, min_quality, min_tokens)
+    from kafka_connect_expand_json_transform_spark.operators.partitioning import fan_out
+
+    # fan_out at the head: the quality score re-tokenizes each document four
+    # times and the exact-dedup fingerprint normalizes+hashes the full text —
+    # all narrow work that an unsplittable single-row-group scan would run on
+    # one core (no-op at real scale, see operators/partitioning.py)
+    staged = quality_filter(fan_out(df), text_col, min_quality, min_tokens)
     # lazy local checkpoint: the exact-dedup output feeds the MinHash stage
     # THREE times (signatures, Jaccard verify, final anti-join) — without it
     # the filter+groupBy+semi-join lineage re-executes per use

@@ -33,6 +33,7 @@ from kafka_connect_expand_json_transform_spark.functions.text import (
     shingles_from_tokens,
     tokens,
 )
+from kafka_connect_expand_json_transform_spark.operators.partitioning import fan_out
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str, keep: str = "min") -> DataFrame:
@@ -66,8 +67,15 @@ def minhash_signatures(
     the tokenizer ~3×positions times per doc and the whole shingle array once
     per hash — staged, each stage runs once per row (and CollapseProject
     keeps it that way: it never merges projections that would duplicate
-    expensive multi-referenced expressions)."""
-    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).select(
+    expensive multi-referenced expressions).
+
+    The input is ``fan_out`` — the 16 hashes per shingle are the most
+    expensive narrow stage in the dedup family, and an unsplittable
+    single-row-group scan would otherwise run all of it on one core
+    (measured 2.8 s -> 0.7 s at sf0.1 for the md5 family; no-op at scale)."""
+    staged = fan_out(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col), shingles_from_tokens("__toks", shingle_size).alias("__sh")
     )
     sig = (
@@ -434,7 +442,11 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             start = end
         return pd.Series(out)
 
-    return df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).select(
+    # fan_out: tokenization + the vote kernel are heavy narrow work; an
+    # unsplittable single-row-group scan would run them on one core
+    return fan_out(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
         simhash_votes(F.transform("__toks", lambda t: F.xxhash64(t))).alias("simhash"),
     )

@@ -50,8 +50,14 @@ def winnowing_fingerprints(
     """
     # stage the normalized text FIRST: inlined, lower(trim(text)) would be
     # re-evaluated inside the transform lambda for EVERY gram (O(len^2)
-    # character work per doc — measured ~2x on the whole fingerprint pass)
-    normed = df.select(F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("__t"))
+    # character work per doc — measured ~2x on the whole fingerprint pass).
+    # fan_out: one md5 per character k-gram is the heaviest narrow stage in
+    # the text family; unsplittable scans must not run it on one core.
+    from kafka_connect_expand_json_transform_spark.operators.partitioning import fan_out
+
+    normed = fan_out(df).select(
+        F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("__t")
+    )
     c = F.col("__t")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
