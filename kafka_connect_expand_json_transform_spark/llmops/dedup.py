@@ -154,16 +154,26 @@ def _pairs_from_keyed(keyed: DataFrame, id_col: str, max_bucket: int) -> DataFra
     materializes a bucket; the (band_key, __n, __mn) routing table is the
     bucket aggregate, lazily localCheckpointed so the signature lineage
     above it executes once, not once per branch."""
-    # keyed is referenced by the size aggregate AND the join probe side:
-    # without the checkpoint the signature pipeline above (pandas-UDF
-    # votes / MinHash) executes once per reference
-    keyed = keyed.localCheckpoint(eager=False)
-    sizes = keyed.groupBy("band_key").agg(
-        F.count("*").alias("__n"), F.min(id_col).alias("__mn")
+    # Bucket size + min-id ride a WINDOW over band_key instead of a groupBy
+    # re-joined to keyed: one exchange of (band_key, id) instead of two
+    # (the groupBy shuffled keyed once and the join shuffled it again).
+    # The per-bucket partition a window task holds is exactly one LSH
+    # bucket's ids — bounded by construction (star routing caps the work a
+    # bucket can cause downstream; the window state itself is the bucket's
+    # rows, the same rows the old join materialized per task).
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("band_key")
+    sized = (
+        keyed.select(
+            "band_key",
+            F.col(id_col),
+            F.count("*").over(w).alias("__n"),
+            F.min(id_col).over(w).alias("__mn"),
+        )
+        .where(F.col("__n") > 1)
+        .localCheckpoint(eager=False)
     )
-    sized = keyed.join(
-        sizes.where(F.col("__n") > 1), "band_key"
-    ).localCheckpoint(eager=False)
     small = sized.where(F.col("__n") <= max_bucket)
     small_pairs = (
         small.select("band_key", F.col(id_col).alias("id_a"))
@@ -310,6 +320,13 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
+    # Convergence check: labels are monotone non-increasing (every update is
+    # least(old, candidate)), so SUM(component) strictly decreases iff any
+    # label changed this round.  One scan+aggregate job per round replaces
+    # the old-vs-new equi-join (shuffle + filter + count) — fewer stages per
+    # round at any scale.  decimal(38,0) keeps the sum exact for any id
+    # domain (an int64 sum could in principle wrap back to equality).
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["d"] == labels["id"])
@@ -340,20 +357,17 @@ def connected_components(
             )
         )
         # checkpoint truncates the lineage so the plan doesn't double per
-        # round; LAZY so the convergence count below is the action that
+        # round; LAZY so the convergence aggregate below is the action that
         # materializes it — one Spark job per round instead of two
         new_labels = new_labels.localCheckpoint(eager=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        label_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and label_sum == prev_sum:
             converged = True
             break
+        prev_sum = label_sum
     if not converged:
         warnings.warn(
             f"connected_components hit the {max_iterations}-round cap before "
