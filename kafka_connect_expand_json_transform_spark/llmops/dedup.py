@@ -326,7 +326,7 @@ def connected_components(
     # the old-vs-new equi-join (shuffle + filter + count) — fewer stages per
     # round at any scale.  decimal(38,0) keeps the sum exact for any id
     # domain (an int64 sum could in principle wrap back to equality).
-    prev_sum = None
+    prev_sum = _UNSET = object()  # sentinel: SUM() is None on an empty label set
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["d"] == labels["id"])
@@ -364,7 +364,7 @@ def connected_components(
             F.sum(F.col("component").cast("decimal(38,0)"))
         ).collect()[0][0]
         labels = new_labels
-        if prev_sum is not None and label_sum == prev_sum:
+        if prev_sum is not _UNSET and label_sum == prev_sum:
             converged = True
             break
         prev_sum = label_sum

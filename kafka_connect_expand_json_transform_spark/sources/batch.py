@@ -31,6 +31,14 @@ TESTDATA_TABLES = (
 # columns stored as TIMESTAMP(NANOS) in the driver's parquet, read as long
 _NANO_TS_COLUMNS = {"events": ["ts"]}
 
+# Lazy-PLAN cache: building the reader costs ~100 ms per call on the driver
+# (parquet footer schema read + conf round-trips), and a full bench run calls
+# load_table hundreds of times on the same ten immutable files.  The cache
+# holds the unexecuted logical plan only — every action still scans the
+# parquet — and the key carries the session id plus the file's (mtime, size)
+# so a regenerated table or a new session can never see a stale plan.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, normalizing nano-timestamps to timestamps.
@@ -43,6 +51,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     point: every read in this suite (driver tables or otherwise) must agree
     on UTC wall-clock TIMESTAMP or the DuckDB oracle comparisons break.
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        cache_key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except OSError:
+        cache_key = None  # let the reader raise its own error below
+    if cache_key is not None:
+        cached = _PLAN_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -64,7 +87,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     for col in _NANO_TS_COLUMNS.get(name, []):
         field = df.schema[col]
         if field.dataType.simpleString() == "bigint":
@@ -78,6 +101,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.dataType.simpleString() == "timestamp_ntz":
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    if cache_key is not None:
+        _PLAN_CACHE[cache_key] = df
     return df
 
 
