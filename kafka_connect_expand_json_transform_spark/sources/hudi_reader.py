@@ -1061,9 +1061,16 @@ def hudi_upsert(
             f"upsert schema {df.schema.simpleString()} != table schema"
         )
 
-    batch = df.localCheckpoint(eager=True)
-    n_rows = batch.count()
-    n_keys = batch.select(record_key).distinct().count()
+    # lazy checkpoint: the dup-key aggregate is the materializing action —
+    # count + distinct-count ride ONE job instead of three (NULL keys count
+    # as one group, matching the old distinct().count() acceptance)
+    batch = df.localCheckpoint(eager=False)
+    n_rows, n_distinct, n_nulls = batch.agg(
+        F.count("*"),
+        F.count_distinct(F.col(record_key)),
+        F.count(F.when(F.col(record_key).isNull(), 1)),
+    ).collect()[0]
+    n_keys = n_distinct + (1 if n_nulls else 0)
     if n_keys != n_rows:
         raise ValueError(
             f"batch has duplicate record keys ({n_rows} rows, {n_keys} "
@@ -1275,9 +1282,17 @@ def hudi_mor_upsert(
         )
     instant = str(instant)
 
-    batch = df.localCheckpoint(eager=True)
-    n_rows = batch.count()
-    if batch.select(record_key).distinct().count() != n_rows:
+    # lazy checkpoint: the dup-key aggregate below is the materializing
+    # action; count + distinct-count ride ONE job instead of three
+    batch = df.localCheckpoint(eager=False)
+    n_rows, n_keys, n_nulls = batch.agg(
+        F.count("*"),
+        F.count_distinct(F.col(record_key)),
+        F.count(F.when(F.col(record_key).isNull(), 1)),
+    ).collect()[0]
+    # count_distinct skips NULLs; the old distinct().count() counted the
+    # NULL group as one value — preserve that exact acceptance behavior
+    if n_keys + (1 if n_nulls else 0) != n_rows:
         raise ValueError(
             "batch has duplicate record keys: precombine upstream"
         )
@@ -1361,7 +1376,13 @@ def hudi_mor_upsert(
             keys_of, "_hoodie_record_key string, _fid string"
         ).localCheckpoint(eager=True)
 
-        updates = keyed.join(key_fid, "_hoodie_record_key").select(
+        # ONE left join routes the whole batch: matched keys are updates,
+        # unmatched are inserts — the old inner-join + separate anti-join
+        # shuffled keyed-vs-key_fid twice for complementary row sets
+        routed_all = keyed.join(
+            key_fid, "_hoodie_record_key", "left"
+        ).localCheckpoint(eager=False)
+        updates = routed_all.where(F.col("_fid").isNotNull()).select(
             "_fid", F.lit("u").alias("__op"), "_hoodie_record_key",
             *data_cols,
         )
@@ -1373,11 +1394,7 @@ def hudi_mor_upsert(
                   for c in data_cols],
             )
         routed = updates if dels is None else updates.unionByName(dels)
-        touched = sorted(
-            r["_fid"]
-            for r in routed.select("_fid").distinct().collect()
-        )  # bounded: one row per touched file group
-        if touched:
+        if log_name:
             lname = dict(log_name)
 
             def write_logs(rows):
@@ -1413,14 +1430,20 @@ def hudi_mor_upsert(
                             os.path.join(table_root, lname[fid]), blocks
                         )
 
-            routed.repartition(len(touched), "_fid") \
+            # partition by the ALREADY-KNOWN file-group plan (one per live
+            # slice) instead of first collecting the distinct touched set —
+            # that was an extra join+distinct+collect job per upsert; the
+            # filesystem scan below identifies what was actually written
+            routed.repartition(len(log_name), "_fid") \
                 .foreachPartition(write_logs)
-            for fid in touched:
+            for fid in sorted(log_name):
                 rel = log_name[fid]
                 if os.path.exists(os.path.join(root, rel)):
                     written_logs.append(rel)
                     stats.append({"fileId": fid, "path": rel})
-        inserts = keyed.join(key_fid, "_hoodie_record_key", "left_anti")
+        inserts = routed_all.where(F.col("_fid").isNull()).select(
+            keyed.columns
+        )
     else:
         inserts = keyed
 
