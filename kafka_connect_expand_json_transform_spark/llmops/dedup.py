@@ -682,7 +682,9 @@ def duplicate_span_coverage(
     inside the run is duplicated), shorter duplicates are ignored by
     design.
     """
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    # fan_out: the per-window md5 staging below is heavy narrow work that an
+    # unsplittable single-row-group scan would run on one core
+    toks = fan_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
     base = toks.select(F.col(id_col), F.size("__t").cast("bigint").alias("n_tokens"))
     grams = toks.select(
         F.col(id_col),
