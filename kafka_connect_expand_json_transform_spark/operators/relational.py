@@ -463,13 +463,25 @@ def skyline_2d(
 
 
 def _global_order_index(
-    df: DataFrame, order_by: list, num_ranges: int
+    df: DataFrame, order_by: list, num_ranges: int | None
 ) -> DataFrame:
     """Shared phase-1/2 of the two-phase global-order family: range-shuffle
     on the ordering key, per-range counts prefix-summed to start offsets (a
     ``num_ranges``-row window, never the data), partitioned ``row_number``
     within ranges.  Adds ``__gidx`` (exact 1-based global index over the
-    total order) and ``__n_total``; caller must drop both."""
+    total order) and ``__n_total``; caller must drop both.
+
+    ``num_ranges=None`` (the family default) derives the range count from
+    the session's ``spark.sql.shuffle.partitions`` — the same scale-set knob
+    every other shuffle in the plan uses — instead of a constant: the final
+    index is provably identical under ANY boundary choice (offsets are
+    computed from the realized per-range counts), so the range count is a
+    pure parallelism decision and must scale with the data/cluster, not sit
+    at a local constant."""
+    if num_ranges is None:
+        num_ranges = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     ranged = df.repartitionByRange(num_ranges, *order_by).withColumn(
         "__rng", F.spark_partition_id()
     )
@@ -493,7 +505,7 @@ def exact_row_number(
     df: DataFrame,
     order_by: list,
     out: str = "rn",
-    num_ranges: int = 64,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Exact global ``row_number`` over a TOTAL order without the
     single-partition window — the two-phase range-partitioned rank
@@ -511,14 +523,20 @@ def exact_running_sum(
     order_by: list,
     value_col: str,
     out: str = "running_sum",
-    num_ranges: int = 64,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Exact global running sum (UNBOUNDED PRECEDING .. CURRENT ROW over a
     total order) without the single-partition window: per-range value
     totals prefix-sum to range offsets (``num_ranges`` rows), then a
     PARTITIONED cumulative sum inside each range adds its offset — the
     classic distributed prefix-sum.  The timeline-sweep decomposition for
-    event-grain running state at 100 TB."""
+    event-grain running state at 100 TB.  ``num_ranges=None`` derives the
+    range count from the session's shuffle-partition setting (see
+    ``_global_order_index``)."""
+    if num_ranges is None:
+        num_ranges = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     ranged = df.repartitionByRange(num_ranges, *order_by).withColumn(
         "__rng", F.spark_partition_id()
     )
@@ -545,7 +563,7 @@ def exact_ntile(
     n_buckets: int,
     order_by: list,
     out: str = "bucket",
-    num_ranges: int = 64,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Exact NTILE over a TOTAL order without the single-partition window
     (``Window.orderBy`` with no partition moves every row to one task —
