@@ -51,8 +51,15 @@ _SCALAR_WRAP = "__v"
 # the session AND the exact input files with their (mtime, size), so a
 # rewritten file or another session can never see a stale schema; non-file
 # sources (empty inputFiles) are never memoized.  No query RESULT is cached
-# — only plan-time schema metadata, recomputed per process.
-_INFER_MEMO: dict[tuple, tuple] = {}
+# — only plan-time schema metadata, recomputed per process.  Bounded LRU
+# (the reference caps its own schema memo at 16 entries, ExpandJson.java:73):
+# a long-lived driver expanding rotating file sets must not grow this
+# monotonically — every file rewrite mints a new key, and nothing else
+# would ever evict the superseded one.
+from collections import OrderedDict as _OrderedDict
+
+_INFER_MEMO: _OrderedDict[tuple, tuple] = _OrderedDict()
+_INFER_MEMO_MAX = 64
 
 
 def _inference_memo_key(
@@ -224,6 +231,7 @@ def expand_json(
             )
             hit = _INFER_MEMO.get(memo_key) if memo_key is not None else None
             if hit is not None:
+                _INFER_MEMO.move_to_end(memo_key)
                 schemas[f], paths = hit
                 if decimal_fidelity:
                     decimal_paths[f] = paths
@@ -238,6 +246,8 @@ def expand_json(
                 decimal_paths[f] = decimal_leaf_paths(samples)
             if memo_key is not None:
                 _INFER_MEMO[memo_key] = (schemas[f], decimal_paths.get(f, []))
+                while len(_INFER_MEMO) > _INFER_MEMO_MAX:
+                    _INFER_MEMO.popitem(last=False)
 
     root_names: dict[str, str | None] = {}
     if schema_name_prefix:

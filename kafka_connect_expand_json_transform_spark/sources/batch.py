@@ -11,6 +11,7 @@ correctness oracle sees identical values.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,7 +38,12 @@ _NANO_TS_COLUMNS = {"events": ["ts"]}
 # holds the unexecuted logical plan only — every action still scans the
 # parquet — and the key carries the session id plus the file's (mtime, size)
 # so a regenerated table or a new session can never see a stale plan.
-_PLAN_CACHE: dict[tuple, DataFrame] = {}
+# Bounded LRU (the reference keeps the same class of memo at 16 entries,
+# ExpandJson.java:73): a long-lived driver over rotating file sets must not
+# grow this monotonically, and a rewrite of a path evicts the superseded
+# entry immediately rather than leaving it to age out.
+_PLAN_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_PLAN_CACHE_MAX = 64
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,7 +60,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(path)
+        # id(spark) alongside applicationId: two SparkSessions can share one
+        # application, and a DataFrame is bound to the session that built it
         cache_key = (
+            id(spark),
             spark.sparkContext.applicationId,
             os.path.abspath(path),
             st.st_mtime_ns,
@@ -65,7 +74,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cache_key is not None:
         cached = _PLAN_CACHE.get(cache_key)
         if cached is not None:
-            return cached
+            _PLAN_CACHE.move_to_end(cache_key)
+            # A fresh DataFrame object per hit (alias is ~2 ms vs ~15 ms for
+            # rebuilding a pinned-schema reader).  NOTE: hits share the
+            # cached plan's expression IDs, so a self-join of two loads with
+            # Column-object conditions (t1[k] == t2[k]) raises
+            # AMBIGUOUS_SELF_JOIN — use the standard idiom instead:
+            # distinct .alias("a")/.alias("b") + F.col("a.k") == F.col("b.k")
+            # (tests/test_memo_bounds.py proves that path works on hits).
+            return cached.alias(name)
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -102,7 +119,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if field.dataType.simpleString() == "timestamp_ntz":
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     if cache_key is not None:
+        # a rewritten file supersedes every older entry for the same path
+        stale = [k for k in _PLAN_CACHE
+                 if k[:3] == cache_key[:3] and k != cache_key]
+        for k in stale:
+            del _PLAN_CACHE[k]
         _PLAN_CACHE[cache_key] = df
+        while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+            _PLAN_CACHE.popitem(last=False)
+        return df.alias(name)
     return df
 
 
