@@ -57,6 +57,7 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_size: int = 3,
     hash_family: str = "xxhash",
+    parallelize: bool = True,
 ) -> DataFrame:
     """(id, signature) per doc. ``hash_family='md5'`` is the oracle-parity
     variant (DuckDB-reproducible); ``'xxhash'`` the production fast path.
@@ -72,8 +73,12 @@ def minhash_signatures(
     The input is ``fan_out`` — the 16 hashes per shingle are the most
     expensive narrow stage in the dedup family, and an unsplittable
     single-row-group scan would otherwise run all of it on one core
-    (measured 2.8 s -> 0.7 s at sf0.1 for the md5 family; no-op at scale)."""
-    staged = fan_out(df).select(
+    (measured 2.8 s -> 0.7 s at sf0.1 for the md5 family; no-op at scale).
+    ``parallelize=False`` skips that fan_out: per-micro-batch callers
+    (streaming ingest) pass tiny frames where the probe + extra exchange
+    per batch is a measured net loss (round-10 A/B: +0.6-0.9 s per
+    2-batch loop) and the narrow stage is small by construction."""
+    staged = (fan_out(df) if parallelize else df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     ).select(
         F.col(id_col), shingles_from_tokens("__toks", shingle_size).alias("__sh")
@@ -502,6 +507,7 @@ def corpus_artifacts(
     shingle_size: int = 3,
     hash_family: str = "xxhash",
     near: bool = True,
+    parallelize: bool = True,
 ) -> dict[str, DataFrame]:
     """The compact artifact tables :func:`dedup_against_corpus` needs from
     history — computed ONCE per accepted batch and appended to artifact
@@ -522,7 +528,8 @@ def corpus_artifacts(
     }
     if near:
         out["signatures"] = minhash_signatures(
-            corpus, text_col, id_col, num_hashes, shingle_size, hash_family
+            corpus, text_col, id_col, num_hashes, shingle_size, hash_family,
+            parallelize=parallelize,
         )
         out["shingles"] = corpus.select(
             F.col(id_col), tokens(F.col(text_col)).alias("__toks")
@@ -545,6 +552,7 @@ def dedup_against_corpus(
     hash_family: str = "xxhash",
     near: bool = True,
     artifacts: dict[str, DataFrame] | None = None,
+    parallelize: bool = True,
 ) -> DataFrame:
     """INCREMENTAL dedup: drop incoming docs that duplicate the EXISTING
     corpus — exact (normalized-text fingerprint) and, with ``near=True``,
@@ -559,12 +567,16 @@ def dedup_against_corpus(
     comparison is |bucket|-bounded, never |corpus|; the verify stage reads
     corpus shingles |candidates|-bounded through a semi-join.  Passing a
     text ``corpus`` computes the same artifacts inline (identical results).
+    ``parallelize=False`` gates the signature-stage fan_out off — pass it
+    from per-micro-batch callers whose frames are small by construction
+    (see :func:`minhash_signatures`); values are unaffected either way.
     """
     if artifacts is None:
         if corpus is None:
             raise ValueError("pass either a text corpus or artifacts=")
         artifacts = corpus_artifacts(
-            corpus, text_col, id_col, num_hashes, shingle_size, hash_family, near
+            corpus, text_col, id_col, num_hashes, shingle_size, hash_family,
+            near, parallelize=parallelize,
         )
     inc_fp = incoming.select(
         F.col(id_col), md5_fingerprint(F.col(text_col)).alias("__fp")
@@ -580,7 +592,8 @@ def dedup_against_corpus(
         return survivors
 
     sig_inc = minhash_signatures(
-        survivors, text_col, id_col, num_hashes, shingle_size, hash_family
+        survivors, text_col, id_col, num_hashes, shingle_size, hash_family,
+        parallelize=parallelize,
     ).localCheckpoint()
     sig_corp = artifacts["signatures"].localCheckpoint()
 

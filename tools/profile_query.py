@@ -48,23 +48,47 @@ def main() -> int:
             continue
         fn = QUERIES[name]
         times = []
+        jobs = []
         for rep in range(args.reps):
-            spark.sparkContext.setJobDescription(f"{name} rep{rep}")
+            group = f"prof_{name}_{rep}"
+            spark.sparkContext.setJobGroup(group, f"{name} rep{rep}")
             t0 = time.perf_counter()
             df = fn(spark, args.sf_dir)
             t_build = time.perf_counter() - t0
+            if args.explain and rep == 0:
+                # dump BEFORE the final action (VERDICT r10 #4): a post-
+                # execution dump of a localCheckpoint'ed result collapses
+                # every optimized stage into ExistingRDD and proves nothing.
+                # (Stages the query fn itself already executed — fixture
+                # writes, eager checkpoints — are inherently not visible at
+                # this level; those claims are evidenced by job counts.)
+                os.makedirs(args.explain, exist_ok=True)
+                plan = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+                with open(
+                    os.path.join(args.explain, f"{name}_{args.suffix}.txt"), "w"
+                ) as f:
+                    f.write(plan)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             times.append(dt)
-            print(f"{name} rep{rep}: {dt:.3f}s (construction {t_build:.3f}s)", flush=True)
+            n_jobs = len(
+                spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+            )
+            jobs.append(n_jobs)
+            spark.sparkContext.setJobGroup(None, None)
+            print(
+                f"{name} rep{rep}: {dt:.3f}s (construction {t_build:.3f}s, "
+                f"{n_jobs} jobs)",
+                flush=True,
+            )
             spark.catalog.clearCache()
-        if args.explain:
-            os.makedirs(args.explain, exist_ok=True)
-            df = fn(spark, args.sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-            with open(os.path.join(args.explain, f"{name}_{args.suffix}.txt"), "w") as f:
-                f.write(plan)
-        print(f"== {name}: min {min(times):.3f}s over {len(times)} reps", flush=True)
+        print(
+            f"== {name}: min {min(times):.3f}s over {len(times)} reps, "
+            f"jobs {jobs}",
+            flush=True,
+        )
     spark.stop()
     return 0
 
