@@ -193,15 +193,20 @@ def _pairs_from_keyed(keyed: DataFrame, id_col: str, max_bucket: int) -> DataFra
     return small_pairs.unionByName(star_pairs).distinct()
 
 
-def _pairs_expr(ids: Column) -> Column:
+def _pairs_expr(ids: Column, assume_sorted: bool = False) -> Column:
     """All unordered pairs from an id array, as array<struct<a,b>> with
     a<b — pure expressions (flatten of per-element transforms).  The
     inner slice re-evaluates the sort per outer element (interpreted HOFs
     have no subexpression reuse: O(n^2 log n) per array), so keep this to
     SMALL-k arrays — per-entity sets like parts-per-order — never LSH
     buckets; ``_pairs_from_keyed`` generates bucket pairs with a
-    codegen'd within-bucket join instead."""
-    sorted_ids = F.array_sort(ids)
+    codegen'd within-bucket join instead.
+
+    ``assume_sorted=True`` skips the internal sort: pass it when ``ids``
+    is ALREADY ascending (e.g. staged as ``array_sort(collect_set(...))``
+    in the producing aggregate) — the sort then runs once per row instead
+    of once per element reference, and the emitted pairs are identical."""
+    sorted_ids = ids if assume_sorted else F.array_sort(ids)
     return F.flatten(
         F.transform(
             sorted_ids,

@@ -1346,9 +1346,15 @@ def delta_merge_into(
                     "updating partition columns is not supported (rows "
                     "would move between partitions)"
                 )
-    if source.groupBy(*on).count().where(
-        F.col("count") > 1
-    ).limit(1).count():
+    # ONE source pass serves the duplicate-key guard AND the prune range
+    # (the first merge key is a group key, so its min/max over groups
+    # equals its min/max over rows — the old code scanned source twice)
+    mm = source.groupBy(*on).agg(F.count("*").alias("__c")).agg(
+        F.max("__c").alias("mx"),
+        F.min(F.col(on[0])).alias("lo"),
+        F.max(F.col(on[0])).alias("hi"),
+    ).first()
+    if mm["mx"] is not None and mm["mx"] > 1:
         raise ValueError(
             "source has duplicate merge keys; matched rows ambiguous"
         )
@@ -1360,8 +1366,6 @@ def delta_merge_into(
     candidates = dict(files)
     if files:
         k0 = on[0]
-        mm = source.agg(F.min(k0).alias("lo"),
-                        F.max(k0).alias("hi")).first()
         if (mm["lo"] is not None and isinstance(mm["lo"], int)
                 and isinstance(mm["hi"], int)
                 and not isinstance(mm["lo"], bool)):
@@ -1387,9 +1391,12 @@ def delta_merge_into(
         # CONTAINS a matched key (bounded collect)
         abs_of = {os.path.abspath(os.path.join(root, rel)): rel
                   for rel in candidates}
+        # no .distinct() on the source keys: the duplicate-key guard
+        # above proves they are already unique, and a LEFT SEMI join
+        # never multiplies — the old distinct was a pure extra aggregate
         hit_files = (
             tgt.select("__f", *on)
-            .join(src.select(*on).distinct(), on, "left_semi")
+            .join(src.select(*on), on, "left_semi")
             .select("__f").distinct().collect()
         )
         affected = sorted(abs_of[r["__f"]] for r in hit_files)

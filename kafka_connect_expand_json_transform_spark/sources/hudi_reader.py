@@ -1376,24 +1376,27 @@ def hudi_mor_upsert(
             keys_of, "_hoodie_record_key string, _fid string"
         ).localCheckpoint(eager=True)
 
-        # ONE left join routes the whole batch: matched keys are updates,
-        # unmatched are inserts — the old inner-join + separate anti-join
-        # shuffled keyed-vs-key_fid twice for complementary row sets
-        routed_all = keyed.join(
-            key_fid, "_hoodie_record_key", "left"
-        ).localCheckpoint(eager=False)
-        updates = routed_all.where(F.col("_fid").isNotNull()).select(
-            "_fid", F.lit("u").alias("__op"), "_hoodie_record_key",
-            *data_cols,
+        # ONE left join routes updates, deletes AND inserts: the delete
+        # keys ride the same join as op-tagged null-payload rows instead
+        # of paying their own key_fid shuffle join (absent delete keys
+        # get _fid NULL and drop out below — the same no-op semantics
+        # the old inner join gave them); matched batch rows are updates,
+        # unmatched batch rows are inserts
+        tagged = keyed.select(
+            F.lit("u").alias("__op"), "_hoodie_record_key", *data_cols
         )
-        dels = None
         if del_df is not None:
-            dels = del_df.join(key_fid, "_hoodie_record_key").select(
-                "_fid", F.lit("d").alias("__op"), "_hoodie_record_key",
+            tagged = tagged.unionByName(del_df.select(
+                F.lit("d").alias("__op"), "_hoodie_record_key",
                 *[F.lit(None).cast(batch.schema[c].dataType).alias(c)
                   for c in data_cols],
-            )
-        routed = updates if dels is None else updates.unionByName(dels)
+            ))
+        routed_all = tagged.join(
+            key_fid, "_hoodie_record_key", "left"
+        ).localCheckpoint(eager=False)
+        routed = routed_all.where(F.col("_fid").isNotNull()).select(
+            "_fid", "__op", "_hoodie_record_key", *data_cols,
+        )
         if log_name:
             lname = dict(log_name)
 
@@ -1441,9 +1444,9 @@ def hudi_mor_upsert(
                 if os.path.exists(os.path.join(root, rel)):
                     written_logs.append(rel)
                     stats.append({"fileId": fid, "path": rel})
-        inserts = routed_all.where(F.col("_fid").isNull()).select(
-            keyed.columns
-        )
+        inserts = routed_all.where(
+            F.col("_fid").isNull() & (F.col("__op") == "u")
+        ).select(keyed.columns)
     else:
         inserts = keyed
 

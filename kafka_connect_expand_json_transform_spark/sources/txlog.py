@@ -1836,7 +1836,16 @@ def merge_into(
     for k in on:
         if k not in snap.columns or k not in source.columns:
             raise ValueError(f"merge key {k!r} missing from target or source")
-    if source.groupBy(*on).count().where(F.col("count") > 1).limit(1).count():
+    # ONE source pass serves the duplicate-key guard AND the prune range:
+    # the first merge key is a group key, so its min/max over groups equals
+    # its min/max over rows (the old code paid a second full source scan
+    # for the same numbers)
+    mm = source.groupBy(*on).agg(F.count("*").alias("__c")).agg(
+        F.max("__c").alias("mx"),
+        F.min(F.col(on[0])).alias("lo"),
+        F.max(F.col(on[0])).alias("hi"),
+    ).first()
+    if mm["mx"] is not None and mm["mx"] > 1:
         raise ValueError("source has duplicate merge keys; matched rows ambiguous")
 
     # FILE PRUNING (partial CoW — the Delta MERGE refinement): data dirs
@@ -1849,9 +1858,6 @@ def merge_into(
     reused_dirs: list[str] = []
     if prune_files:
         k0 = on[0]
-        mm = source.agg(
-            F.min(F.col(k0)).alias("lo"), F.max(F.col(k0)).alias("hi")
-        ).first()
         if (
             mm["lo"] is not None
             and isinstance(mm["lo"], int)
@@ -2007,8 +2013,15 @@ def merge_into_mor(
     for k in on:
         if k not in source.columns:
             raise ValueError(f"merge key {k!r} missing from source")
-    if source.groupBy(*on).count().where(F.col("count") > 1).limit(1).count():
+    # ONE source pass serves the duplicate-key guard AND the source row
+    # count (keys are unique past the guard, so rows == keys; the insert
+    # count below is then pure arithmetic instead of its own job)
+    src_row = source.groupBy(*on).agg(F.count("*").alias("__c")).agg(
+        F.max("__c").alias("mx"), F.sum("__c").alias("n_src")
+    ).first()
+    if src_row["mx"] is not None and src_row["mx"] > 1:
         raise ValueError("source has duplicate merge keys; matched rows ambiguous")
+    n_source = int(src_row["n_src"] or 0)
     tagged, data_cols, _, _, current = _mor_matched(spark, root, F.lit(True))
     for k in on:
         if k not in data_cols:
@@ -2051,9 +2064,15 @@ def merge_into_mor(
     # are not vectored, the zero-write no-op)
     vec_cond = delc | F.lit(bool(assignments))
     vec_rows = m.where(vec_cond)
+    # distinct matched SOURCE keys ride the same aggregate: inserted =
+    # n_source - matched keys (source keys are unique, and a source key
+    # with any NULL component matches nothing, exactly like the anti-join)
     agg = m.agg(
         F.sum(delc.cast("long")).alias("deleted"),
         F.sum((~delc).cast("long")).alias("matched_kept_or_updated"),
+        F.count_distinct(
+            *[F.col(f"s.{k}") for k in on]
+        ).alias("matched_src_keys"),
     ).first()
     n_deleted = agg["deleted"] or 0
     n_updated = (agg["matched_kept_or_updated"] or 0) if assignments else 0
@@ -2077,7 +2096,10 @@ def merge_into_mor(
         if insert
         else None
     )
-    n_inserted = ins.count() if ins is not None else 0
+    n_inserted = (
+        n_source - int(agg["matched_src_keys"] or 0)
+        if ins is not None else 0
+    )
     new_rows = post if ins is None else post.unionByName(ins)
     new_rows = _apply_generated(root, new_rows)
     _enforce_constraints(root, new_rows)
