@@ -531,46 +531,41 @@ def test_driver_window_composition():
     assert first50 == _DRIVER_WINDOW
     missing_oracles = [n for n in first50 if n not in ORACLES]
     assert not missing_oracles, missing_oracles
-    # round-10 rotation (VERDICT r09 ask#1): all 8 round-9 structural
-    # additions that never had a driver row, the 3 round-10 write-side
-    # closures, the 12 verdict-named analytics-tail names, and 27 more
-    # never-checked oracle names; every rotated-out name keeps >=1 green
-    # driver row (r1-r9) and oracle-parity pytest coverage
+    # round-11 rotation (VERDICT r10 ask#2): 23 optimizer-touched names
+    # (rounds 10-11) get post-optimization driver hash rows — five of
+    # them first-ever — plus 27 more from the never-checked oracle tail;
+    # every rotated-out name keeps >=1 green driver row (r1-r10) and
+    # oracle-parity pytest coverage
     must_have = {
-        # round-9 structural additions
-        "hudi_write_roundtrip_agg", "iceberg_write_roundtrip_agg",
-        "delta_partitioned_write_agg", "delta_optimize_agg",
-        "iceberg_transform_prune_agg", "uniform_partitioned_export_agg",
-        "stream_hudi_source_e2e", "hudi_mor_incremental_agg",
-        # round-10 write-side closures
-        "hudi_upsert_roundtrip_agg", "iceberg_delete_roundtrip_agg",
-        "delta_merge_roundtrip_agg",
-        # verdict-named analytics tail
-        "spearman_spend_orders", "compaction_roundtrip_agg",
-        "weighted_median_price", "churn_label_table",
-        "pareto_rank_levels", "t_closeness_report",
-        "l_diversity_report", "power_iteration_top_eigen",
-        "ndcg_label_retrieval", "rrf_hybrid_fusion",
-        "association_rules_parts", "minhash_estimator_calibration",
-        # data quality / governance
-        "constraint_report_orders", "dataset_checksum_customer",
-        "pseudonymized_customers", "k_anonymity_report",
-        "fk_orphans_report", "pk_uniqueness_report",
-        "null_census_orders", "dataset_diff_orders",
-        "column_change_census",
-        # sampling / mixture planning
-        "stratified_sample_counts", "domain_mix_counts",
-        "cap_per_source", "weighted_sample_docs",
-        "neyman_allocation_plan",
-        # analytics / time series
-        "event_transitions", "mad_outlier_report",
-        "daily_new_cumulative_users", "incremental_agg_orders",
-        "interval_coverage_events", "skyline_orders",
-        "argmax_aggregates", "time_weighted_average",
-        "revenue_trend_slope", "hhi_supplier_concentration",
-        "rolling_zscore_anomalies",
-        # text / tokens
-        "heavy_hitter_tokens", "editdistance_pairs",
+        # optimizer-touched, rounds 10-11
+        "curation_pipeline_md5", "minhash_dedup_md5",
+        "winnowing_fingerprints", "winnowing_overlap_pairs",
+        "neardup_jaccard_pairs", "dup_span_coverage",
+        "containment_pairs", "incremental_dedup_report",
+        "nb_lang_classifier", "udtf_extract_json_keys",
+        "outbox_route_expand_agg", "hudi_mor_compact_agg",
+        "hudi_mor_write_roundtrip_agg", "hudi_mor_interop_agg",
+        "txlog_merge_upsert", "txlog_mor_merge_agg",
+        "stream_txlog_merge_e2e", "debezium_cdc_apply",
+        "delta_merge_roundtrip_agg", "triangle_count_part_graph",
+        "label_prop_communities", "local_clustering_coefficients",
+        "degree_assortativity",
+        # never-checked structural write paths
+        "iceberg_eq_delete_write_agg", "iceberg_compact_roundtrip_agg",
+        "rebalance_to_uniform", "burrows_delta_sources",
+        "cdc_chunk_stats",
+        # never-checked planning / advisory surfaces
+        "bloom_join_prefilter_report", "broadcast_advisor",
+        "salting_advisor", "join_size_estimate",
+        "column_storage_report", "udtf_arrow_parity",
+        "epoch_shuffle_order", "division_all_priorities",
+        # never-checked statistics / time series
+        "stats_aggregates", "corr_matrix_lineitem", "bigram_top20",
+        "ttr_by_source", "trimmed_mean_values",
+        "winsorized_mean_values", "log2_histogram_values",
+        "mode_quantity_by_flag", "ewma_purchase_values",
+        "lag1_autocorrelation", "theil_sen_trend", "pacf_lag2",
+        "historical_cvar", "largest_remainder_allocation",
     }
     assert must_have <= set(first50), must_have - set(first50)
 
