@@ -596,11 +596,21 @@ def dedup_against_corpus(
     if not near:
         return survivors
 
+    # survivors is referenced three times (signatures, the verify-side
+    # shingles, the final anti-join): one LAZY checkpoint — materialized by
+    # cand's checkpoint below — replaces two recomputes of the scan +
+    # fingerprint groupBy + semi-join chain
+    survivors = survivors.localCheckpoint(eager=False)
+    # sig_inc and the corpus signatures each feed ONLY the candidate join:
+    # checkpointing them bought nothing and cost one materialization job
+    # each — and eagerly checkpointing the corpus artifact table pulled the
+    # ENTIRE history's signatures into block storage per call (per
+    # micro-batch on the streaming path), an O(corpus) scale bug
     sig_inc = minhash_signatures(
         survivors, text_col, id_col, num_hashes, shingle_size, hash_family,
         parallelize=parallelize,
-    ).localCheckpoint()
-    sig_corp = artifacts["signatures"].localCheckpoint()
+    )
+    sig_corp = artifacts["signatures"]
 
     def _bands(sig_df, out_id):
         rpb = max(1, num_hashes // num_bands)
@@ -629,6 +639,9 @@ def dedup_against_corpus(
         .localCheckpoint()
     )
 
+    # each shingle side feeds the verify join exactly once — no checkpoint
+    # (the |candidates|-bounded semi-join is the cheap part; an eager
+    # checkpoint per side was one extra materialization job each)
     def _sh(df, out_id):
         return (
             df.join(
@@ -639,7 +652,6 @@ def dedup_against_corpus(
                 F.col(id_col).alias(out_id),
                 shingles_from_tokens("__toks", shingle_size).alias(f"{out_id}_sh"),
             )
-            .localCheckpoint()
         )
 
     # corpus-side shingles come from the artifact table, |candidates|-bounded
@@ -654,7 +666,6 @@ def dedup_against_corpus(
             F.col(id_col).alias("__corp_id"),
             F.col("shingles").alias("__corp_id_sh"),
         )
-        .localCheckpoint()
     )
 
     inter = F.size(F.array_intersect("__inc_id_sh", "__corp_id_sh"))
