@@ -314,6 +314,15 @@ def connected_components(
     Returns (id, component) where component = min id in the cluster. Warns if
     the iteration cap was hit before convergence (labels then still valid but
     possibly not fully merged — raise ``max_iterations``).
+
+    Note the sum-based convergence check needs one round to OBSERVE
+    stability, so a run that converges exactly at round ``max_iterations``
+    exits with the warning even though its labels are correct — size
+    ``max_iterations`` with +1 headroom over the expected round count.
+    (The check compares exact decimal(38,0) sums; int64 could in principle
+    wrap two different label sets to equality, and a decimal overflow
+    would return NULL under non-ANSI mode and read as converged — both
+    unreachable for any realistic id domain, decimal(38,0) holds ~1e38.)
     """
     # checkpoint FIRST: every derived frame (labels, each round) must build on
     # the materialized edges, or the full upstream pipeline (MinHash + LSH +

@@ -31,10 +31,22 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     the floor — callers can apply it unconditionally; only under-parallel
     plans pay the one round-robin exchange.  Row values are unchanged (only
     placement moves), so any order-insensitive downstream is unaffected.
+
+    CALLER CONTRACT (ADVICE r10): apply this directly on SCAN-ROOTED or
+    narrow plans (scan + project/filter/generate) or on already-
+    materialized frames (``localCheckpoint`` output).  On a plan that
+    contains exchanges, ``.rdd`` below finalizes the physical plan and —
+    with AQE enabled — eagerly EXECUTES the shuffle query stages at
+    plan-build time (a real job, not just planning); and on tiny
+    per-micro-batch frames the probe + extra exchange is a measured net
+    loss — gate it off there (``minhash_signatures(parallelize=False)``
+    is that gate for the dedup family).
     """
     sc = df.sparkSession.sparkContext
     want = min_partitions or sc.defaultParallelism
-    # getNumPartitions plans the RDD lineage but launches no job
+    # getNumPartitions plans the RDD lineage; launches no job for the
+    # narrow plans the caller contract requires (see above for why an
+    # exchange-bearing plan would behave differently under AQE)
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)
     return df
