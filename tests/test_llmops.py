@@ -853,3 +853,26 @@ def test_bpe_roundtrip_decode_inverts_encode(spark):
     # and with an empty merge table (pure character segmentation)
     out0 = bpe_decode(bpe_encode(df, []))
     assert all(r["w"] == r["decoded"] for r in out0.collect())
+
+
+def test_minhash_signatures_parallelize_flag_is_value_identical(spark):
+    """parallelize=False (the micro-batch gate, round 11) only skips the
+    adaptive repartition — signatures must be byte-identical."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i * 3) % 11} tok{i % 5} tok{(i + 1) % 7} tok{i%3}")
+         for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    on = {
+        r["doc_id"]: list(r["signature"])
+        for r in dedup.minhash_signatures(
+            docs, "text", "doc_id", 8, 3, "xxhash"
+        ).collect()
+    }
+    off = {
+        r["doc_id"]: list(r["signature"])
+        for r in dedup.minhash_signatures(
+            docs, "text", "doc_id", 8, 3, "xxhash", parallelize=False
+        ).collect()
+    }
+    assert on == off and len(on) == 60

@@ -2907,3 +2907,23 @@ def test_identity_column_assignment(spark, tmp_path):
     state["raced"] = False
     with mock.patch.object(txlog, "_publish_entry", conflict_once):
         assert txlog.append_table(_df(spark, 5, 10), root2) == 1
+
+
+def test_merge_into_mor_null_key_source_rows_count_as_inserts(spark, tmp_path):
+    """The MoR merge's insert count is arithmetic (n_source - distinct
+    matched keys, round 11); a source row with a NULL merge key matches
+    nothing under join equality, so it must land as an insert — exactly
+    like the anti-join that stages the insert rows."""
+    root = str(tmp_path / "mor_nullkey")
+    txlog.append_table(
+        spark.range(0, 10).selectExpr("id AS k", "CAST(id AS INT) AS v"),
+        root,
+    )
+    src = spark.createDataFrame(
+        [(3, 300), (None, 777), (42, 4200)], "k bigint, v int"
+    )
+    _, stats = txlog.merge_into_mor(spark, root, src, ["k"], update="all")
+    assert stats == {"inserted": 2, "updated": 1, "deleted": 0}
+    got = {(r["k"], r["v"]) for r in txlog.read_table(spark, root).collect()}
+    assert (3, 300) in got and (42, 4200) in got and (None, 777) in got
+    assert (3, 3) not in got
